@@ -1,0 +1,73 @@
+"""Extraction dispatcher: one row of the documents table -> ExtractResult.
+
+This is THE single-process oracle (BASELINE.json correctness gate:
+byte-identical extracted text per url). The Spark pipeline's
+``mapInPandas`` UDF calls :func:`extract_document` per row inside an
+Arrow batch — same code path, so equality is structural, not statistical.
+
+Reference trace re-expressed (SURVEY.md §3.1): payload sniff (S1) ->
+format-specific parse (S2/S3/S8) -> element classification (F1/F2) ->
+reading-order reassembly with "\\n" (A1, ``base_parser.py:42``) ->
+structured record with provenance (``base_parser.py:75-81``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .htmlx import decode_payload, extract_html
+from .pdfx import extract_pdf
+from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, sniff_kind
+
+# span struct field order used everywhere (Spark schema + oracle tuples)
+SPAN_FIELDS = ("start", "end", "kind")
+
+
+@dataclass
+class ExtractResult:
+    doc_kind: str
+    extracted_text: str
+    spans: list[tuple[int, int, str]] = field(default_factory=list)
+    n_blocks: int = 0
+    score: float = 0.0
+    failed: bool = False
+
+    def spans_as_dicts(self) -> list[dict]:
+        return [dict(zip(SPAN_FIELDS, s)) for s in self.spans]
+
+
+def extract_document(payload: bytes | None, fallback_text: str | None
+                     ) -> ExtractResult:
+    """Extract main content from one document payload.
+
+    - html  : DOM parse + Arc90-style boilerplate classification
+    - pdf   : PDF-subset layout pass
+    - empty : fall back to the row's ``text`` column (reference F5:
+      unparseable inputs return empty records, never crash —
+      ``llm_support_kickoff_parser.py:28-30``); counted as a fallback
+      row in lineage metrics.
+    """
+    kind = sniff_kind(payload)
+    try:
+        if kind == KIND_HTML:
+            src = decode_payload(payload)  # type: ignore[arg-type]
+            text, spans, score = extract_html(src)
+            return ExtractResult(KIND_HTML, text, spans, len(spans), score)
+        if kind == KIND_PDF:
+            text, spans, score = extract_pdf(payload)  # type: ignore[arg-type]
+            if score == 0.0 and not spans:
+                # %PDF- header but no parseable page (truncated payload):
+                # fallback row, counted in lineage failed_rows
+                return _fallback(fallback_text, failed=True)
+            return ExtractResult(KIND_PDF, text, spans, len(spans), score)
+    except Exception:
+        # degrade to fallback, mark failed (lineage failed_rows)
+        return _fallback(fallback_text, failed=True)
+    return _fallback(fallback_text, failed=False)
+
+
+def _fallback(fallback_text: str | None, failed: bool) -> ExtractResult:
+    text = fallback_text or ""
+    spans = [(0, len(text), "fallback")] if text else []
+    return ExtractResult(KIND_EMPTY, text, spans, len(spans), 0.0,
+                         failed=failed)

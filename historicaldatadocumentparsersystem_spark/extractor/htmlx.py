@@ -1,0 +1,379 @@
+"""HTML main-content extraction: stdlib DOM parse + Arc90-style scoring.
+
+Generalizes the reference's element pipeline to web pages:
+
+- element classification by tag deny-list — reference F1/F2
+  (``unstructured_chunker.py:137-166`` drops UncategorizedText /
+  FigureCaption; ``docling_chunker.py:147-154`` drops table/image/
+  document_index labels). Here: drop-list tags + negative id/class
+  regex, Arc90 readability tag weights.
+- nested-drop sweep — reference J1 ``doc_processor.py:355-390``
+  (contained rects removed, largest wins). Here: DOM nodes nested inside
+  dropped ancestors never emit text.
+- reading-order reassembly with "\\n" — reference A1
+  ``base_parser.py:42`` (``"\\n".join(texts)``), which defines the
+  byte-identical target string.
+
+Offsets: every emitted text segment is a VERBATIM substring of the
+decoded source (``extracted_text == "\\n".join(src[s:e] for spans)``).
+To keep that invariant we parse with ``convert_charrefs=False`` and keep
+character references in their raw source form (``&amp;`` stays
+``&amp;``) — no normalization the oracle doesn't do.
+
+Pure Python, stdlib only (environment has no lxml/bs4 — SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# --- tag classes -----------------------------------------------------------
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# subtrees that never contribute content (generalized F1/F2 deny-list)
+DROP_TAGS = frozenset(
+    "script style noscript template head title nav footer aside form iframe "
+    "svg canvas button select option textarea label object applet".split()
+)
+
+# implicit close: a new <p>/<li>/<tr>/<td> closes an open one (html.parser
+# does not do this; without it malformed pages nest unboundedly)
+_AUTOCLOSE = {
+    "p": ("p",),
+    "li": ("li",),
+    "tr": ("tr", "td", "th"),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+    "option": ("option",),
+}
+
+# candidate containers for the main-content vote (Arc90 candidate set)
+CANDIDATE_TAGS = frozenset("article main section div td body".split())
+
+# Arc90-style tag weights
+_TAG_WEIGHT = {
+    "article": 8.0,
+    "main": 8.0,
+    "section": 3.0,
+    "div": 0.0,
+    "td": -3.0,
+    "body": -5.0,
+}
+
+# paragraph-ish descendants that earn content points
+PARA_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li pre blockquote td figcaption dd dt".split()
+)
+
+# nearest-ancestor tags reported as span ``kind``
+KIND_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li td th pre blockquote figcaption dd dt a "
+    "div article section main body caption".split()
+)
+
+# Arc90 class/id regexes (readability.js unlikelyCandidates / positive)
+NEGATIVE_RE = re.compile(
+    r"comment|combx|disqus|foot|header|menu|meta|nav|rss|shoutbox|sidebar|"
+    r"sponsor|banner|breadcrumb|advert|\bad\b|ads\b|promo|related|share|"
+    r"social|widget|popup|cookie",
+    re.I,
+)
+POSITIVE_RE = re.compile(
+    r"\barticle\b|\bbody\b|content|entry|hentry|main|page|pagination|post|"
+    r"text|blog|story",
+    re.I,
+)
+
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)")
+_COMMA_RE = re.compile(r"[,，、]")  # ',' + fullwidth/ideographic comma
+
+_LINK_DENSITY_PRUNE = 0.6  # prune list/menu sub-blocks denser than this
+_PRUNE_TAGS = frozenset("ul ol table dl menu".split())
+
+
+# --- decoding --------------------------------------------------------------
+
+def decode_payload(payload: bytes) -> str:
+    """bytes -> str: BOM, then <meta charset>, then utf-8; errors=replace.
+
+    Mirrors the reference's implicit "whatever the loader decodes"
+    behavior but made explicit and deterministic.
+    """
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload.startswith(b"\xff\xfe"):
+        return payload[2:].decode("utf-16-le", errors="replace")
+    if payload.startswith(b"\xfe\xff"):
+        return payload[2:].decode("utf-16-be", errors="replace")
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            return payload.decode(enc, errors="replace")
+        except LookupError:
+            pass
+    return payload.decode("utf-8", errors="replace")
+
+
+# --- DOM -------------------------------------------------------------------
+
+class _Node:
+    __slots__ = ("tag", "attrs", "parent", "children", "order", "dropped",
+                 "text_chars", "link_chars", "commas")
+
+    def __init__(self, tag: str, attrs: dict, parent: "_Node | None",
+                 order: int) -> None:
+        self.tag = tag
+        self.attrs = attrs
+        self.parent = parent
+        self.children: list = []
+        self.order = order
+        self.dropped = False
+        self.text_chars = 0
+        self.link_chars = 0
+        self.commas = 0
+
+
+class _Text:
+    __slots__ = ("start", "end", "parent")
+
+    def __init__(self, start: int, end: int, parent: _Node) -> None:
+        self.start = start
+        self.end = end
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
+    """Build a DOM with exact char offsets into the decoded source."""
+
+    def __init__(self, src: str) -> None:
+        super().__init__(convert_charrefs=False)
+        self.src = src
+        # line -> char offset map for getpos() conversion (1-based lines)
+        self._line_starts = [0]
+        pos = src.find("\n")
+        while pos != -1:
+            self._line_starts.append(pos + 1)
+            pos = src.find("\n", pos + 1)
+        self._order = 0
+        self.root = _Node("#root", {}, None, self._order)
+        self._stack = [self.root]
+
+    # -- helpers
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    def _open(self, tag: str, attrs, push: bool) -> None:
+        for closer, closees in _AUTOCLOSE.items():
+            if tag == closer:
+                while (len(self._stack) > 1
+                       and self._stack[-1].tag in closees):
+                    self._stack.pop()
+                break
+        self._order += 1
+        node = _Node(tag, dict(attrs), self._stack[-1], self._order)
+        self._stack[-1].children.append(node)
+        if push and tag not in VOID_TAGS:
+            self._stack.append(node)
+
+    # -- HTMLParser hooks
+    def handle_starttag(self, tag, attrs):
+        self._open(tag, attrs, push=True)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs, push=False)
+
+    def handle_endtag(self, tag):
+        # pop to the matching open tag; stray close tags are ignored
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def _add_text(self, start: int, end: int) -> None:
+        if end <= start:
+            return
+        top = self._stack[-1]
+        # merge contiguous runs (data + charref + data) into one segment
+        if (top.children and isinstance(top.children[-1], _Text)
+                and top.children[-1].end == start):
+            top.children[-1].end = end
+            return
+        top.children.append(_Text(start, end, top))
+
+    def handle_data(self, data):
+        start = self._offset()
+        self._add_text(start, start + len(data))
+
+    def handle_entityref(self, name):
+        start = self._offset()
+        end = start + 1 + len(name)
+        if self.src[end:end + 1] == ";":
+            end += 1
+        self._add_text(start, end)
+
+    def handle_charref(self, name):
+        start = self._offset()
+        end = start + 2 + len(name)
+        if self.src[end:end + 1] == ";":
+            end += 1
+        self._add_text(start, end)
+
+
+def parse_dom(src: str) -> _Node:
+    builder = _TreeBuilder(src)
+    try:
+        builder.feed(src)
+        builder.close()
+    except Exception:
+        # malformed pages must degrade, never crash (FIXTURES class 3)
+        pass
+    return builder.root
+
+
+# --- classification + scoring ---------------------------------------------
+
+def _class_id(node: _Node) -> str:
+    return (node.attrs.get("class") or "") + " " + (node.attrs.get("id") or "")
+
+
+def _mark_dropped(node: _Node, src: str) -> None:
+    """Post-order: drop flags + text/link/comma stats per node."""
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.tag in DROP_TAGS:
+                child.dropped = True
+                continue  # stats of dropped subtrees stay zero
+            ci = _class_id(child)
+            if (ci.strip() and NEGATIVE_RE.search(ci)
+                    and not POSITIVE_RE.search(ci)):
+                child.dropped = True
+                continue
+            _mark_dropped(child, src)
+            node.text_chars += child.text_chars
+            node.link_chars += child.link_chars
+            node.commas += child.commas
+        else:
+            raw = src[child.start:child.end]
+            stripped = raw.strip()
+            n = len(stripped)
+            if n == 0:
+                continue
+            node.text_chars += n
+            node.commas += len(_COMMA_RE.findall(stripped))
+            if node.tag == "a" or _has_ancestor(node, "a"):
+                node.link_chars += n
+
+
+def _has_ancestor(node: _Node, tag: str) -> bool:
+    cur = node.parent
+    while cur is not None:
+        if cur.tag == tag:
+            return True
+        cur = cur.parent
+    return False
+
+
+def _link_density(node: _Node) -> float:
+    if node.text_chars <= 0:
+        return 0.0
+    return node.link_chars / node.text_chars
+
+
+def _iter_nodes(node: _Node):
+    """Document-order traversal skipping dropped subtrees."""
+    for child in node.children:
+        if isinstance(child, _Node) and not child.dropped:
+            yield child
+            yield from _iter_nodes(child)
+
+
+def _para_points(node: _Node) -> float:
+    pts = 0.0
+    for d in _iter_nodes(node):
+        if d.tag in PARA_TAGS and d.text_chars > 0:
+            own = d.text_chars - d.link_chars
+            pts += 1.0 + d.commas + min(own / 100.0, 3.0)
+    return pts
+
+
+def score_candidates(root: _Node) -> list[tuple[float, _Node]]:
+    """(score, node) for every candidate container, Arc90-style.
+
+    score = (tag_weight + class_bonus + paragraph_points)
+            * (1 - link_density)
+    """
+    out: list[tuple[float, _Node]] = []
+    for node in _iter_nodes(root):
+        if node.tag not in CANDIDATE_TAGS or node.text_chars <= 0:
+            continue
+        base = _TAG_WEIGHT.get(node.tag, 0.0)
+        ci = _class_id(node)
+        if ci.strip():
+            if POSITIVE_RE.search(ci):
+                base += 25.0
+            if NEGATIVE_RE.search(ci):
+                base -= 25.0
+        score = (base + _para_points(node)) * (1.0 - _link_density(node))
+        out.append((score, node))
+    return out
+
+
+def _kind_of(text: _Text, winner: _Node) -> str:
+    cur = text.parent
+    while cur is not None and cur is not winner.parent:
+        if cur.tag in KIND_TAGS:
+            return cur.tag
+        cur = cur.parent
+    return winner.tag
+
+
+def _collect_segments(node: _Node, winner: _Node, src: str,
+                      out: list[tuple[int, int, str]]) -> None:
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.dropped:
+                continue
+            # prune high-link-density list/menu sub-blocks (text-density /
+            # link-density classification per the north rule)
+            if (child is not winner and child.text_chars > 0
+                    and child.tag in _PRUNE_TAGS
+                    and _link_density(child) > _LINK_DENSITY_PRUNE):
+                continue
+            _collect_segments(child, winner, src, out)
+        else:
+            raw = src[child.start:child.end]
+            stripped = raw.strip()
+            if not stripped:
+                continue
+            lead = len(raw) - len(raw.lstrip())
+            start = child.start + lead
+            end = start + len(stripped)
+            out.append((start, end, _kind_of(child, winner)))
+
+
+def extract_html(src: str) -> tuple[str, list[tuple[int, int, str]], float]:
+    """(extracted_text, spans, score) for a decoded HTML source.
+
+    extracted_text == "\\n".join(src[s:e] for (s, e, _) in spans)
+    (the reference's A1 reassembly contract, ``base_parser.py:42``).
+    """
+    root = parse_dom(src)
+    root.text_chars = root.link_chars = root.commas = 0
+    _mark_dropped(root, src)
+    candidates = score_candidates(root)
+    if candidates:
+        # max score; ties broken by earliest document order
+        best_score, winner = max(
+            candidates, key=lambda sn: (sn[0], -sn[1].order))
+    else:
+        best_score, winner = 0.0, root
+    segments: list[tuple[int, int, str]] = []
+    _collect_segments(winner, winner, src, segments)
+    text = "\n".join(src[s:e] for s, e, _ in segments)
+    return text, segments, float(best_score)

@@ -1,0 +1,227 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1).
+
+Generates rows of exactly the BASELINE.json ``input_hint`` shape:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Row classes by ``i % 100`` (fixed proportions):
+  0-54   html-simple    (~55%) nav/header/article/aside/footer/script page
+  55-69  html-linky     (~15%) link-heavy menus around a real body
+  70-79  html-malformed (~10%) unclosed tags, stray closers, bad entities,
+                               latin-1 declared via <meta charset>
+  80-89  pdf            (~10%) synthesized minimal PDF (uncompressed
+                               streams, BT/ET, Tj, Td; 1-3 pages)
+  90-99  empty/garbage  (~10%) empty / truncated / random bytes ->
+                               doc_kind='empty', falls back to ``text``
+
+Hosts are Zipf-like: ~30% of urls share one hot host (exercises
+skew/salting). Everything is seeded (default 42); ``random.Random``
+seeded with str uses SHA-512 so results are stable across runs and
+Python versions. No wall-clock anywhere (warc_ts is a deterministic
+ramp from 2025-01-01).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+_WORDS = (
+    "data spark query engine table scan filter join merge sort window "
+    "group batch stream page crawl corpus token text content extract "
+    "layout span block score density link boiler plate article main "
+    "history archive record document parse render fetch index shard"
+).split()
+
+_HOT_HOST = "hot.example.com"
+_HOSTS = [_HOT_HOST] + [f"site{k}.example.org" for k in range(20)]
+
+_LANGS = ["en", "fr", "es", "ja", "zh-cn", "zh-tw"]  # tools.py:187-189 allowlist
+
+_EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _rng(seed: int, i: int) -> random.Random:
+    return random.Random(f"corpus:{seed}:{i}")
+
+
+def _sentence(rng: random.Random, lo: int = 6, hi: int = 16) -> str:
+    n = rng.randint(lo, hi)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + rng.choice([".", ".", ".", ",", "!"])
+
+
+def _paragraph(rng: random.Random, lo: int = 2, hi: int = 5) -> str:
+    return " ".join(_sentence(rng) for _ in range(rng.randint(lo, hi)))
+
+
+def _menu(rng: random.Random, n: int, cls: str = "") -> str:
+    items = "".join(
+        f'<li><a href="/{rng.choice(_WORDS)}-{j}">'
+        f"{rng.choice(_WORDS)} {rng.choice(_WORDS)}</a></li>"
+        for j in range(n)
+    )
+    attr = f' class="{cls}"' if cls else ""
+    return f"<ul{attr}>{items}</ul>"
+
+
+def _html_simple(rng: random.Random, i: int) -> bytes:
+    paras = "".join(f"<p>{_paragraph(rng)}</p>"
+                    for _ in range(rng.randint(3, 8)))
+    page = (
+        "<!DOCTYPE html><html><head>"
+        f"<meta charset=\"utf-8\"><title>Page {i}</title>"
+        "<style>body{margin:0}</style>"
+        "<script>var x=1;</script></head><body>"
+        f"<header><h1>Site Header {i}</h1>{_menu(rng, 4)}</header>"
+        f"<nav>{_menu(rng, 6)}</nav>"
+        f"<div class=\"content\"><article><h2>{_sentence(rng, 3, 6)}</h2>"
+        f"{paras}</article></div>"
+        f"<aside class=\"sidebar ad\">{_paragraph(rng, 1, 2)}</aside>"
+        f"<footer><p>copyright {1990 + i % 30}</p>{_menu(rng, 3)}</footer>"
+        "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def _html_linky(rng: random.Random, i: int) -> bytes:
+    body_paras = "".join(f"<p>{_paragraph(rng, 2, 4)}</p>"
+                         for _ in range(rng.randint(2, 4)))
+    clouds = "".join(_menu(rng, rng.randint(8, 15)) for _ in range(3))
+    page = (
+        "<html><head><meta charset=\"utf-8\"></head><body>"
+        f"<div id=\"menu-top\">{clouds}</div>"
+        f"<div class=\"post-body\">{body_paras}{_menu(rng, 10)}</div>"
+        f"<div class=\"tagcloud\">{clouds}</div>"
+        "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def _html_malformed(rng: random.Random, i: int) -> bytes:
+    paras = "".join(
+        f"<p>{_paragraph(rng, 1, 3)}" + ("" if j % 2 else "</p>")
+        for j in range(rng.randint(2, 5))
+    )
+    page = (
+        "<html><head><meta charset=\"latin-1\"></head><body>"
+        "</div><div class=content>"
+        f"<article>{paras}<p>caf\xe9 r&eacute;sum&eacute; &amp co"
+        "</body>"
+    )
+    return page.encode("latin-1")
+
+
+def _make_pdf(pages: list[list[str]]) -> bytes:
+    """Minimal valid-enough PDF: catalog/pages/page objs + uncompressed
+    content streams (the controlled subset extractor/pdfx.py targets)."""
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    for k, lines in enumerate(pages):
+        page_obj = (f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * k} 0 R "
+                    f"/MediaBox [0 0 612 792] >>").encode()
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for line in lines:
+            esc = line.replace("\\", r"\\").replace("(", r"\(") \
+                      .replace(")", r"\)")
+            ops.append(f"({esc}) Tj 0 -14 Td")
+        ops.append("ET")
+        stream = " ".join(ops).encode("latin-1")
+        objs.append(page_obj)
+        objs.append(b"<< /Length " + str(len(stream)).encode()
+                    + b" >>\nstream\n" + stream + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{idx} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def _pdf_payload(rng: random.Random, i: int) -> bytes:
+    n_pages = rng.randint(1, 3)
+    pages = [[_sentence(rng, 4, 9) for _ in range(rng.randint(3, 7))]
+             for _ in range(n_pages)]
+    return _make_pdf(pages)
+
+
+def _garbage(rng: random.Random, i: int) -> bytes:
+    mode = i % 10
+    if mode < 3:
+        return b""
+    if mode < 6:
+        return bytes(rng.getrandbits(8) for _ in range(rng.randint(5, 80)))
+    if mode < 8:
+        return _make_pdf([["truncated"]])[:20]  # truncated pdf header-less
+    return b"plain text, no markup at all " + str(i).encode()
+
+
+def row_class(i: int) -> str:
+    m = i % 100
+    if m < 55:
+        return "html-simple"
+    if m < 70:
+        return "html-linky"
+    if m < 80:
+        return "html-malformed"
+    if m < 90:
+        return "pdf"
+    return "garbage"
+
+
+def make_row(i: int, seed: int = 42) -> dict:
+    rng = _rng(seed, i)
+    cls = row_class(i)
+    if cls == "html-simple":
+        payload = _html_simple(rng, i)
+    elif cls == "html-linky":
+        payload = _html_linky(rng, i)
+    elif cls == "html-malformed":
+        payload = _html_malformed(rng, i)
+    elif cls == "pdf":
+        payload = _pdf_payload(rng, i)
+    else:
+        payload = _garbage(rng, i)
+    # Zipf-like hosts: ~30% hot host (FIXTURES.md skew requirement)
+    host = _HOT_HOST if (i * 2654435761) % 10 < 3 else \
+        _HOSTS[1 + (i * 40503) % (len(_HOSTS) - 1)]
+    return {
+        "url": f"https://{host}/{row_class(i)}/page-{i}",
+        "warc_ts": _EPOCH + _dt.timedelta(seconds=37 * i + (i % 7) * 11),
+        "html": payload,
+        "text": f"fallback text for doc {i}: " + _paragraph(rng, 1, 2),
+        "lang": _LANGS[i % len(_LANGS)],
+    }
+
+
+def generate_rows(n: int, seed: int = 42) -> list[dict]:
+    return [make_row(i, seed) for i in range(n)]
+
+
+def corpus_df(spark, n: int, seed: int = 42, num_partitions: int | None = None):
+    """Spark DataFrame of the synthetic corpus with the input_hint schema."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ])
+    rows = [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+            for r in generate_rows(n, seed)]
+    df = spark.createDataFrame(rows, schema)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return df

@@ -1,0 +1,202 @@
+"""Flagship Spark extraction job (SURVEY.md §3.1 re-expression).
+
+Plan shape (SURVEY.md §4.3 target):
+
+    Scan documents (prune cols; partitions NOT IN lineage.done)
+     └─ Exchange hashpartitioning(xxhash64(url), N)   <- the only shuffle
+         └─ MapInPandas extract_batch()               <- DOM/PDF parse,
+             └─ write extracted (partitionBy part_id)    classify, spans
+             └─ lineage rows aggregated from the written output
+
+All per-document logic is Arrow-batched (``mapInPandas``) — no per-row
+Python at the DataFrame level (north rule). Skew: url is unique so
+xxhash64(url) spreads rows uniformly even when one host owns 30% of
+urls; host-level aggregations use ``operators.skew.salted_key``.
+
+Reference trace generalized: ``main.py:91-104`` batch walk ->
+``base_parser.py:20-50`` per-file parse -> ``batch_processor.py:39-65``
+grouped sink. Lineage mirrors the registry status machine
+``utils/document.py:29-35`` (Expected→…→ContentExtracted).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType,
+                               TimestampType)
+
+from .extractor import extract_document
+
+# ---------------------------------------------------------------------------
+# schemas
+
+SPAN_TYPE = StructType([
+    StructField("start", LongType(), False),
+    StructField("end", LongType(), False),
+    StructField("kind", StringType(), False),
+])
+
+EXTRACTED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("lang", StringType(), True),
+    StructField("doc_kind", StringType(), False),
+    StructField("extracted_text", StringType(), True),
+    StructField("spans", ArrayType(SPAN_TYPE, False), True),
+    StructField("n_blocks", IntegerType(), False),
+    StructField("score", DoubleType(), False),
+    StructField("failed", IntegerType(), False),   # 1 if fallback-on-error
+    StructField("bytes_in", LongType(), False),    # lineage metric
+    StructField("part_id", IntegerType(), False),  # stable resume bucket
+])
+
+_IN_COLS = ["url", "warc_ts", "lang", "html", "text", "part_id"]
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: Arrow batch of documents -> extracted rows.
+
+    Heavy setup (none here — regexes are module-level, compiled once per
+    executor at import) follows the reference's lesson NOT to re-init
+    per row (tokenizer reloaded per call, ``doc_processor.py:96-99``).
+    """
+    for pdf_in in batches:
+        n = len(pdf_in)
+        out = {
+            "url": pdf_in["url"],
+            "warc_ts": pdf_in["warc_ts"],
+            "lang": pdf_in["lang"],
+            "doc_kind": [""] * n,
+            "extracted_text": [""] * n,
+            "spans": [None] * n,
+            "n_blocks": [0] * n,
+            "score": [0.0] * n,
+            "failed": [0] * n,
+            "bytes_in": [0] * n,
+            "part_id": pdf_in["part_id"],
+        }
+        payloads = pdf_in["html"]
+        fallbacks = pdf_in["text"]
+        for i in range(n):
+            payload = payloads.iloc[i]
+            payload = bytes(payload) if payload is not None else None
+            res = extract_document(payload, fallbacks.iloc[i])
+            out["doc_kind"][i] = res.doc_kind
+            out["extracted_text"][i] = res.extracted_text
+            out["spans"][i] = res.spans_as_dicts()
+            out["n_blocks"][i] = res.n_blocks
+            out["score"][i] = res.score
+            out["failed"][i] = 1 if res.failed else 0
+            out["bytes_in"][i] = len(payload) if payload else 0
+        yield pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# plan builders
+
+
+def with_part_id(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Stable resume bucket: pmod(xxhash64(url), num_buckets).
+
+    Content-defined (not spark_partition_id), so re-runs assign every
+    url to the same bucket — the MERGE/resume key (SURVEY.md §2.8).
+    """
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets))
+        .cast("int"))
+
+
+def extract_df(docs: DataFrame, num_buckets: int = 64,
+               shuffle: bool = True) -> DataFrame:
+    """documents DataFrame -> extracted DataFrame (lazy; no side effects).
+
+    Narrow select FIRST so column pruning reaches the scan, then the one
+    explicit shuffle on xxhash64(url) (north rule), then the fused
+    Arrow-batched extraction stage.
+    """
+    df = with_part_id(
+        docs.select("url", "warc_ts", "lang", "html", "text"), num_buckets)
+    if shuffle:
+        df = df.repartition(num_buckets, F.xxhash64(F.col("url")))
+    return df.select(*_IN_COLS).mapInPandas(extract_batch, EXTRACTED_SCHEMA)
+
+
+LINEAGE_SCHEMA = StructType([
+    StructField("run_id", StringType(), False),
+    StructField("snapshot_id", StringType(), False),
+    StructField("partition_id", IntegerType(), False),
+    StructField("input_rows", LongType(), False),
+    StructField("output_rows", LongType(), False),
+    StructField("failed_rows", LongType(), False),
+    StructField("bytes_in", LongType(), False),
+    StructField("chars_out", LongType(), False),
+    StructField("wall_ms", LongType(), False),
+    StructField("status", StringType(), False),
+])
+
+
+def lineage_from_extracted(extracted: DataFrame, run_id: str,
+                           snapshot_id: str, wall_ms: int) -> DataFrame:
+    """Per-partition lineage metrics (FIXTURES.md §3) from extracted rows.
+
+    Analog of the reference's document registry INSERTs
+    (``pg_vector_db.py:364-409``) with the status enum of
+    ``utils/document.py:29-35``; status 'ContentExtracted' marks a
+    bucket done for resume.
+    """
+    return (extracted
+            .groupBy(F.col("part_id").alias("partition_id"))
+            .agg(F.count("*").alias("input_rows"),
+                 F.count("*").alias("output_rows"),
+                 F.sum("failed").cast("long").alias("failed_rows"),
+                 F.sum("bytes_in").alias("bytes_in"),
+                 F.sum(F.length("extracted_text")).cast("long")
+                  .alias("chars_out"))
+            .select(F.lit(run_id).alias("run_id"),
+                    F.lit(snapshot_id).alias("snapshot_id"),
+                    "partition_id", "input_rows", "output_rows",
+                    "failed_rows", "bytes_in", "chars_out",
+                    F.lit(wall_ms).cast("long").alias("wall_ms"),
+                    F.lit("ContentExtracted").alias("status")))
+
+
+def run_extraction(spark: SparkSession, docs: DataFrame, out_dir: str,
+                   run_id: str, snapshot_id: str = "snap-0",
+                   num_buckets: int = 64) -> dict:
+    """Execute the flagship job with exact resume-from-checkpoint.
+
+    1. read lineage; buckets already ContentExtracted for this snapshot
+       are skipped (partition pruning via part_id predicate)
+    2. extract remaining buckets; write parquet partitioned by part_id
+       with dynamic partition overwrite (idempotent re-runs)
+    3. append lineage rows marking those buckets done
+    """
+    from .catalog import Catalog
+    cat = Catalog(out_dir)
+    done = cat.done_partitions(spark, snapshot_id)
+    docs_b = with_part_id(
+        docs.select("url", "warc_ts", "lang", "html", "text"), num_buckets)
+    todo = docs_b
+    if done:
+        # NOT IN over a small set: stays a pushable scan predicate
+        todo = docs_b.where(~F.col("part_id").isin(sorted(done)))
+    t0 = time.monotonic()
+    extracted = (todo
+                 .repartition(num_buckets, F.xxhash64(F.col("url")))
+                 .select(*_IN_COLS)
+                 .mapInPandas(extract_batch, EXTRACTED_SCHEMA))
+    n_written = cat.write_extracted(extracted)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    lineage = lineage_from_extracted(
+        cat.read_extracted(spark), run_id, snapshot_id, wall_ms)
+    if done:
+        lineage = lineage.where(~F.col("partition_id").isin(sorted(done)))
+    cat.append_lineage(lineage)
+    return {"rows_written": n_written, "wall_ms": wall_ms,
+            "skipped_partitions": len(done)}

@@ -1,0 +1,175 @@
+"""Oracle-level tests: pure-Python extraction core, no Spark.
+
+Encodes the reference's observable semantics (SURVEY.md §5.2):
+- A1 reassembly contract: extracted_text == "\\n".join(src[s:e])
+  (base_parser.py:42 joins kept elements with "\\n")
+- F1/F2 classification: boilerplate subtrees dropped
+- F5 robustness: garbage never crashes, routes to fallback
+- span validity: 0 <= start < end <= len(source)
+"""
+
+import pytest
+
+from historicaldatadocumentparsersystem_spark.extractor import (
+    extract_document, sniff_kind)
+from historicaldatadocumentparsersystem_spark.extractor.htmlx import (
+    decode_payload, extract_html)
+from historicaldatadocumentparsersystem_spark.fixtures import (
+    generate_rows, make_row, row_class, _make_pdf)
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_rows(N)
+
+
+# --- sniffing ---------------------------------------------------------------
+
+def test_sniff_magic_bytes():
+    assert sniff_kind(b"%PDF-1.4\nx") == "pdf"
+    assert sniff_kind(b"  \n<!DOCTYPE html><html>") == "html"
+    assert sniff_kind(b"<div>hi</div>") == "html"
+    assert sniff_kind(b"\xef\xbb\xbf<html>") == "html"
+    assert sniff_kind(b"") == "empty"
+    assert sniff_kind(None) == "empty"
+    assert sniff_kind(b"\x00\x01\x02 random") == "empty"
+
+
+def test_row_class_proportions(corpus):
+    from collections import Counter
+    c = Counter(row_class(i) for i in range(100))
+    assert c == {"html-simple": 55, "html-linky": 15,
+                 "html-malformed": 10, "pdf": 10, "garbage": 10}
+
+
+# --- classification semantics -----------------------------------------------
+
+def test_boilerplate_dropped_simple():
+    row = make_row(0)  # html-simple
+    res = extract_document(row["html"], row["text"])
+    assert res.doc_kind == "html"
+    src = decode_payload(row["html"])
+    # nav/footer/aside/script/style content never leaks into main text
+    assert "var x=1" not in res.extracted_text
+    assert "margin:0" not in res.extracted_text
+    assert "copyright" not in res.extracted_text
+    assert "Site Header" not in res.extracted_text
+    # the article's paragraphs ARE the extracted text
+    assert res.n_blocks >= 3
+    assert res.score > 0
+
+
+def test_link_density_prunes_menus():
+    html = (b"<html><body><div class='content'>"
+            b"<p>Real body paragraph, long enough to score points here, "
+            b"with several words and a comma, and more words again.</p>"
+            b"<ul><li><a href='/a'>menu one</a></li>"
+            b"<li><a href='/b'>menu two</a></li>"
+            b"<li><a href='/c'>menu three</a></li></ul>"
+            b"</div></body></html>")
+    res = extract_document(html, None)
+    assert "Real body paragraph" in res.extracted_text
+    assert "menu one" not in res.extracted_text
+
+
+def test_negative_class_id_dropped():
+    html = (b"<html><body><div class='content'><p>Keep this main text, "
+            b"a long paragraph with commas, yes, several of them here.</p>"
+            b"<div class='sidebar'>drop sidebar text</div>"
+            b"<div id='comments'>drop comment text</div></div>"
+            b"</body></html>")
+    res = extract_document(html, None)
+    assert "Keep this main text" in res.extracted_text
+    assert "drop sidebar" not in res.extracted_text
+    assert "drop comment" not in res.extracted_text
+
+
+def test_malformed_never_crashes(corpus):
+    for i, row in enumerate(corpus):
+        res = extract_document(row["html"], row["text"])  # must not raise
+        assert res.doc_kind in ("html", "pdf", "empty")
+
+
+def test_charref_kept_verbatim():
+    # convert_charrefs=False contract: raw entity form preserved
+    html = b"<html><body><div><p>fish &amp; chips &#233; ok</p></div></body></html>"
+    res = extract_document(html, None)
+    assert res.extracted_text == "fish &amp; chips &#233; ok"
+
+
+# --- span invariants ---------------------------------------------------------
+
+def test_span_invariants_all_rows(corpus):
+    for i, row in enumerate(corpus):
+        res = extract_document(row["html"], row["text"])
+        if res.doc_kind == "html":
+            src = decode_payload(row["html"])
+        elif res.doc_kind == "pdf":
+            src = row["html"].decode("latin-1")
+        else:
+            src = res.extracted_text if not row["text"] else row["text"]
+        for s, e, kind in res.spans:
+            assert 0 <= s < e <= len(src), (i, s, e, len(src))
+            assert kind
+        assert res.n_blocks == len(res.spans)
+        if res.doc_kind == "html":
+            assert res.extracted_text == "\n".join(
+                src[s:e] for s, e, _ in res.spans)
+
+
+def test_pdf_reassembly():
+    pdf = _make_pdf([["hello world", "second line"], ["page two here"]])
+    res = extract_document(pdf, None)
+    assert res.doc_kind == "pdf"
+    assert res.extracted_text == "hello world\nsecond line\npage two here"
+    assert res.score == 2.0  # pages
+    kinds = {k for _, _, k in res.spans}
+    assert kinds == {"page1", "page2"}
+
+
+def test_pdf_escapes_decoded():
+    pdf = _make_pdf([["parens (ok) and back\\slash"]])
+    res = extract_document(pdf, None)
+    assert res.extracted_text == "parens (ok) and back\\slash"
+
+
+def test_truncated_pdf_falls_back():
+    pdf = _make_pdf([["x"]])[:30]
+    res = extract_document(pdf, "the fallback")
+    assert res.doc_kind == "empty"
+    assert res.extracted_text == "the fallback"
+    assert res.failed
+
+
+def test_empty_fallback():
+    res = extract_document(b"", "plain fallback text")
+    assert res.doc_kind == "empty"
+    assert res.extracted_text == "plain fallback text"
+    assert res.spans == [(0, 19, "fallback")]
+    res2 = extract_document(None, None)
+    assert res2.extracted_text == "" and res2.spans == []
+
+
+# --- determinism --------------------------------------------------------------
+
+def test_generator_deterministic():
+    a = generate_rows(50)
+    b = generate_rows(50)
+    assert a == b
+    c = generate_rows(50, seed=7)
+    assert c != a
+
+
+def test_extraction_idempotent(corpus):
+    row = corpus[3]
+    r1 = extract_document(row["html"], row["text"])
+    r2 = extract_document(row["html"], row["text"])
+    assert r1 == r2
+
+
+def test_hot_host_skew():
+    rows = generate_rows(1000)
+    hot = sum(1 for r in rows if "hot.example.com" in r["url"])
+    assert 0.25 < hot / len(rows) < 0.35  # ~30% on one host
