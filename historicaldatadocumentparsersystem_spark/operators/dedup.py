@@ -1,0 +1,229 @@
+"""Deduplication operators for a 100 TB training-data pipeline.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. Design notes for scale:
+
+- exact dedup is one shuffle on a 16-byte hash (not the full text);
+  map-side partial aggregation applies.
+- MinHash uses lexicographic-min of md5 hex digests as the min-wise
+  hash family — identical in any SQL engine (DuckDB oracle twin) and
+  JVM-side in Spark (no Python). LSH banding turns all-pairs O(n²) into
+  a shuffle on (band_id, band_signature) buckets; only in-bucket pairs
+  are compared — the standard scale path for 10^9+ docs.
+- SimHash is a bit-vote over token md5 bits, expressed as
+  explode(tokens) x explode(bits) -> sum of votes -> bit assembly.
+- Reference analog: the id-preserving dedup join J4
+  (``utils/RAG_methods.py:74-84``: unique doc_ids, first-seen order) =
+  ``dropDuplicates`` + ``row_number``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+# --- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Canonical row per distinct text: keep min(id) per md5(text).
+
+    One hash-shuffle; at 100 TB this is the cheapest dedup pass and
+    runs first to shrink the corpus for the near-dup passes.
+    """
+    return (df
+            .select(F.md5(F.col(text_col)).alias("text_hash"),
+                    F.col(id_col))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def first_seen_dedup(df: DataFrame, key: str, order: str) -> DataFrame:
+    """J4 semantics: unique keys, first-seen row wins (row_number=1)."""
+    w = Window.partitionBy(key).orderBy(order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def shingles(text_col: str, n: int = 3) -> "F.Column":
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Guarded: texts shorter than n words yield an EMPTY array
+    (sequence(1, 0) would count down in Spark, not produce empty)."""
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold.
+
+    Scale path: explode shingles -> self-join on shingle (co-occurring
+    docs only — never a cartesian) -> |A∩B| per pair -> Jaccard via
+    |A|+|B|-|∩|. The shingle join shuffles on the shingle hash; hot
+    shingles can be frequency-capped upstream (stopword shingles pruned
+    by an occurrence limit) — at 100 TB add a document-frequency filter
+    before the join.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(text_col, n)).alias("sh")))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"),
+                   (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "sz_a"}),
+                  "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "sz_b"}),
+                  "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("sz_a") + F.col("sz_b")
+                                   - F.col("n_inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signature(shingle_col, num_hashes: int = 16) -> "F.Column":
+    """array<string> MinHash signature over an array-of-shingles column:
+    per hash i, the lexicographic MIN over shingles of
+    md5(i || ':' || shingle).
+
+    md5-hex-min is a portable min-wise hash family: any engine computes
+    the identical signature (DuckDB oracle parity), and it stays fully
+    JVM-side in Spark (no Python UDF).
+    """
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(
+                F.concat_ws(":", i.cast("string"), s)))))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding, verified by estimated
+    Jaccard (signature agreement rate) >= threshold.
+
+    shingle->minhash->band->bucket-join: docs sharing any full band
+    signature land in one bucket; pairs are generated per bucket only.
+    The bucket join shuffles on md5(band) — uniform by construction.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (df.select(F.col(id_col).alias("id"),
+                     shingles(text_col, n).alias("sh"))
+           .where(F.size("sh") > 0)
+           .select("id", minhash_signature("sh", num_hashes).alias("sig")))
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(F.concat_ws(
+                    "|", F.slice(F.col("sig"), b * rows_per_band + 1,
+                                 rows_per_band))).alias("bucket"))
+        )).alias("bb"))
+    candidates = (banded.alias("a")
+                  .join(banded.alias("b"),
+                        (F.col("a.bb") == F.col("b.bb"))
+                        & (F.col("a.id") < F.col("b.id")))
+                  .select(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"),
+                          F.col("a.sig").alias("sig_a"),
+                          F.col("b.sig").alias("sig_b"))
+                  .dropDuplicates(["id_a", "id_b"]))
+    # estimated Jaccard = fraction of agreeing signature positions
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda eq: eq))
+           / F.size(F.col("sig_a")))
+    return (candidates
+            .withColumn("est_jaccard", F.round(est, 6))
+            .where(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document, fully JVM-side.
+
+    Each token votes +1/-1 on each bit of conv(md5(token)[:8], 16, 10);
+    bit b of the simhash is 1 iff the vote sum is > 0. Explode tokens ->
+    one aggregation keyed by id (map-side combinable).
+    """
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(text_col)).alias("tok"))
+           .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                       .cast("long")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on bit-bands (pigeonhole — any pair within
+    hamming d shares at least one of d+1 bands) so the join is on band
+    equality, never all-pairs.
+    """
+    sh = simhash(df, text_col, id_col, bits)
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * band_bits)
+                     .bitwiseAND(mask).alias("key"))
+            for b in range(n_bands)])).alias("bb"))
+    pairs = (banded.alias("a")
+             .join(banded.alias("b"),
+                   (F.col("a.bb") == F.col("b.bb"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return (pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exactness baseline; LSH-bucketed
+(random-hyperplane signs) variant as the 100 TB scale path. Reference
+analog: the retrieval join J3 (``pg_vector_db.py:139-181``: ORDER BY
+l2_distance LIMIT k with metadata pre-filter) and W2 top-k.
+
+All arithmetic is JVM-side (``zip_with`` + ``aggregate`` over doubles,
+no Python); results are rounded so a DuckDB oracle can reproduce the
+values bit-stably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(_to_double(a), _to_double(b),
+                                  lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a, b) -> Column:
+    """J3's ``l2_distance`` (pg_vector ``<->``) as a column expr."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def brute_force_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+
+    query_df: (query_id, embedding). The query side is BROADCAST — at
+    100 TB the corpus side streams, queries are small dims. One shuffle
+    for the per-query window rank.
+    """
+    joined = (df.alias("c")
+              .join(F.broadcast(query_df.alias("q")),
+                    F.col(f"c.{id_col}") != F.col("q.query_id"))
+              .select(F.col("q.query_id").alias("query_id"),
+                      F.col(f"c.{id_col}").alias("neighbor_id"),
+                      F.round(cosine(F.col("c." + vec_col),
+                                     F.col("q.embedding")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (joined.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: sign bits of dot(v, plane_i),
+    packed into a long. Planes are deterministic (seeded by caller)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(_to_double(vec_col),
+                       F.array(*[F.lit(float(p)) for p in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(d > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return sig.cast("long")
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state)."""
+    import random
+    rng = random.Random(f"planes:{seed}")
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_planes: int = 8, n_tables: int = 2,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing an LSH bucket
+    with the query in ANY of ``n_tables`` tables, then exact cosine rank
+    within candidates.
+
+    The scale path: the corpus is bucketed ONCE (signature is a plain
+    column -> partition/bucket by it); each query probes its buckets
+    instead of scanning 100 TB. Here both sides compute signatures
+    inline; the join is on (table, signature) — never all-pairs.
+    """
+    tables = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def sigs(d: DataFrame, vc: str) -> DataFrame:
+        out = d
+        for t, planes in enumerate(tables):
+            out = out.withColumn(f"sig{t}",
+                                 hyperplane_signature(vc, planes))
+        return out
+
+    c = sigs(df, vec_col).alias("c")
+    q = sigs(query_df, "embedding").alias("q")
+    bucket_match = None
+    for t in range(n_tables):
+        m = F.col(f"c.sig{t}") == F.col(f"q.sig{t}")
+        bucket_match = m if bucket_match is None else (bucket_match | m)
+    joined = (c.join(F.broadcast(q),
+                     bucket_match
+                     & (F.col(f"c.{id_col}") != F.col("q.query_id")))
+              .select(F.col("q.query_id").alias("query_id"),
+                      F.col(f"c.{id_col}").alias("neighbor_id"),
+                      F.round(cosine(F.col(f"c.{vec_col}"),
+                                     F.col("q.embedding")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (joined.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))

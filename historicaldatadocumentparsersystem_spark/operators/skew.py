@@ -1,0 +1,38 @@
+"""Skew handling: salted two-stage aggregation for hot keys.
+
+The fixture corpus puts ~30% of urls on one host (FIXTURES.md), the
+Common-Crawl reality the north rule calls out. AQE skew-join handles
+joins; a skewed groupBy(host) still funnels one key to one reducer, so
+we salt: stage 1 aggregates (key, salt) partials, stage 2 merges per
+key. Salt = pmod(xxhash64(url), S) — deterministic, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def host_of(url_col: str = "url") -> Column:
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def salted_key(salt_src_col: str, num_salts: int = 16) -> Column:
+    return F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(num_salts))
+
+
+def salted_host_stats(df: DataFrame, url_col: str = "url",
+                      size_col: str | None = None,
+                      num_salts: int = 16) -> DataFrame:
+    """Per-host row counts (and optional byte sums) via two-stage
+    salted aggregation; result identical to a direct groupBy(host)."""
+    base = df.withColumn("host", host_of(url_col)) \
+             .withColumn("_salt", salted_key(url_col, num_salts))
+    aggs = [F.count("*").alias("_cnt")]
+    if size_col:
+        aggs.append(F.sum(size_col).alias("_sz"))
+    partial = base.groupBy("host", "_salt").agg(*aggs)
+    final_aggs = [F.sum("_cnt").alias("n_docs")]
+    if size_col:
+        final_aggs.append(F.sum("_sz").alias("total_bytes"))
+    return partial.groupBy("host").agg(*final_aggs)

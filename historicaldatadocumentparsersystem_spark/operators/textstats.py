@@ -1,0 +1,110 @@
+"""Text-analysis operators over a documents table — all JVM-side exprs.
+
+Training-data-pipeline ops (task brief): language-ID heuristic, quality
+scoring, token counting, document fingerprinting. Reference analogs:
+C10 language detection (``utils/tools.py:181-190`` allowlist), C5 token
+count (``doc_processor.py:96-99`` — reimplemented WITHOUT the
+reload-tokenizer-per-call bug: these are pure column expressions), C2
+regex strip (``utils/tools.py:84-99``).
+
+All functions return column expressions / DataFrames built from
+built-ins only, so each has an exact DuckDB oracle-SQL twin in
+``__spark_entry__.oracle_sql`` — correctness is SQL-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one stopword set per language for the n-gram/stopword language-ID
+# heuristic (deterministic, offline; C10 analog). The testdata corpus is
+# synthetic English-ish words, so the heuristic is exercised via the
+# relative-frequency machinery, not real-world accuracy.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est"),
+    "es": ("el", "la", "de", "y", "un", "una", "es"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu"),
+}
+
+_TOKEN_SPLIT = r"\s+"
+# BPE-ish word/number/punct segmentation (token counting, C5 analog)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens of a text column (empty strings filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """Count of BPE-ish regex tokens (letters runs / digit runs / punct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), F.lit(0)))
+
+
+def stopword_ratio(col: str | Column = "text",
+                   lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.size(F.filter(
+        toks, lambda t: F.lower(t).isin(*STOPWORDS[lang])))
+    return sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_word_len(col: str | Column = "text") -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length band + low punct +
+    sane mean word length (gopher-rules-style signals)."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_ok = (F.length(c) >= 100) & (F.length(c) <= 20000)
+    punct_ok = punct_ratio(c) < 0.2
+    mwl = mean_word_len(c)
+    mwl_ok = (mwl >= 3) & (mwl <= 12)
+    return ((len_ok.cast("double") + punct_ok.cast("double")
+             + mwl_ok.cast("double")) / F.lit(3.0))
+
+
+def lang_scores(col: str | Column = "text") -> list[Column]:
+    """Per-language stopword-hit ratios, aliased score_<lang>."""
+    return [stopword_ratio(col, lg).alias(f"score_{lg}") for lg in STOPWORDS]
+
+
+def fingerprint(col: str | Column = "text", width: int = 16) -> Column:
+    """Document fingerprint: first ``width`` hex chars of md5 of the
+    whitespace-normalized text (rolling-hash analog, portable to any
+    SQL engine for oracle checks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(c), r"\s+", " ")
+    return F.substring(F.md5(normalized), 1, width)
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Full per-document profile — the headline text-analysis operator."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(mean_word_len(text_col), 6).alias("mean_word_len"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,55 @@
+"""Structured Streaming form of the extraction pipeline.
+
+The reference is pure batch (SURVEY.md §2.8 — one os.walk pass,
+``main.py:91-104``); its streaming-adjacent requirement is resume, which
+the batch path implements via lineage MERGE. This module is the drop-in
+streaming form the north rule anticipates: ``readStream`` over a
+documents source -> the SAME Arrow-batched extraction (code reuse ==
+identical bytes) -> ``foreachBatch`` writing extracted + lineage per
+micro-batch, with checkpointLocation giving exactly-once resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import pipeline
+from ..catalog import Catalog
+
+
+def extraction_stream(spark: SparkSession, source_dir: str,
+                      out_dir: str, run_id: str,
+                      num_buckets: int = 32,
+                      max_files_per_trigger: int = 8):
+    """File-source stream of documents parquet -> extracted parquet.
+
+    Watermarks/session windows are not needed (per-row transform, no
+    event-time agg); late data is simply extracted when it arrives.
+    """
+    docs = (spark.readStream
+            .schema("url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir))
+    cat = Catalog(out_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = pipeline.extract_df(batch_df, num_buckets=num_buckets,
+                                        shuffle=False).cache()
+        extracted.write.mode("append").parquet(cat.extracted_path)
+        lineage = pipeline.lineage_from_extracted(
+            extracted, run_id=run_id,
+            snapshot_id=f"stream-batch-{batch_id}", wall_ms=0)
+        cat.append_lineage(lineage)
+        extracted.unpersist()
+
+    return (docs.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out_dir}/_checkpoint"))
+
+
+def run_stream_once(spark: SparkSession, source_dir: str, out_dir: str,
+                    run_id: str, num_buckets: int = 32) -> None:
+    """Process all available input once (trigger=availableNow) and stop."""
+    q = (extraction_stream(spark, source_dir, out_dir, run_id, num_buckets)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
