@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline
 from historicaldatadocumentparsersystem_spark.operators import (
-    chunking, dedup, keywords, similarity, skew, spans, textstats)
+    chunking, dedup, keywords, routing, similarity, skew, spans, textstats)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -191,6 +191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.asc("l2_dist"), F.asc("vec_id")).limit(10))
     q["l2_topk"] = q_l2
 
+    # --- J4 id-preserving first-seen dedup — SQL-checked
+    def q_first_seen(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return dedup.first_seen_dedup(ev, key="user_id", order="event_id") \
+            .select("user_id", "event_id", "event_type")
+    q["first_seen_dedup"] = q_first_seen
+
     # --- window top-k (W2) — SQL-checked
     def q_events_topk(spark, sf_dir):
         from pyspark.sql import Window
@@ -231,6 +238,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunking.chunk_by_token_budget(
             _elements_df(spark, sf_dir), max_tokens=24, overlap=6)
     q["chunk_token_budget"] = q_chunks
+
+    # --- language-ID heuristic (C10) — SQL-checked
+    def q_lang_id(spark, sf_dir):
+        return (_t(spark, sf_dir, "documents")
+                .select("doc_id",
+                        textstats.lang_id("text").alias("lang_pred")))
+    q["lang_id_heuristic"] = q_lang_id
+
+    # --- F6 rename + F7 defaulting — SQL-checked
+    def q_colmap(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return routing.apply_column_mapping(
+            docs.select("doc_id", "text", "source", "lang"),
+            {"doc_id": "id", "text": "content"},
+            defaults={"source": "Not specified"})
+    q["column_mapping"] = q_colmap
+
+    # --- F9 sentinel routing + U1 union — SQL-checked
+    def q_route(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents") \
+            .select("doc_id", "text", "n_chars")
+        return routing.route_sentinels(docs, F.col("n_chars") < 150)
+    q["route_sentinels"] = q_route
+
+    # --- U3 set operations — SQL-checked
+    def q_setops(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        big = docs.where(F.col("n_chars") > 400).select("lang").distinct()
+        small = docs.where(F.col("n_chars") < 100).select("lang").distinct()
+        inter = big.intersect(small).withColumn("op", F.lit("intersect"))
+        exc = big.subtract(small).withColumn("op", F.lit("except"))
+        return inter.unionByName(exc)
+    q["lang_set_ops"] = q_setops
+
+    # --- embedding-cosine near-dup (training-data dedup) — SQL-checked
+    def q_embdup(spark, sf_dir):
+        return similarity.embedding_near_dup_pairs(
+            _t(spark, sf_dir, "embeddings"), threshold=0.35)
+    q["embedding_near_dup"] = q_embdup
+
+    # --- IVF-bucketed ANN (scale path) — SQL-checked
+    def q_ivf(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = (emb.where(F.col("vec_id") < 5)
+                      .select(F.col("vec_id").alias("query_id"),
+                              "embedding"))
+        return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=16,
+                                   n_probe=2)
+    q["ivf_topk"] = q_ivf
 
     # --- TPC-H-style relational coverage — SQL-checked
     def q_tpch1(spark, sf_dir):
@@ -275,6 +331,28 @@ def oracle_sql() -> dict[str, str]:
     nrm = ("sqrt(list_reduce(list_transform({v}, z -> z::double * "
            "z::double), (x, y) -> x + y))")
     cos = (f"({dot}) / ({nrm.format(v='a.e')} * {nrm.format(v='b.e')})")
+
+    def _cos(u: str, v: str) -> str:
+        """cosine(u, v) with the exact fold order the Spark side uses
+        (aggregate starting at 0.0 == list_reduce first-element init,
+        IEEE-identical for these inputs)."""
+        d = (f"list_reduce(list_transform(generate_series(1, len({u})), "
+             f"i -> {u}[i]::double * {v}[i]::double), (x, y) -> x + y)")
+        nu = (f"sqrt(list_reduce(list_transform({u}, z -> z::double * "
+              f"z::double), (x, y) -> x + y))")
+        nv = (f"sqrt(list_reduce(list_transform({v}, z -> z::double * "
+              f"z::double), (x, y) -> x + y))")
+        return f"(({d}) / ({nu} * {nv}))"
+
+    sw = {"en": "('the','a','of','and','to','in','is')",
+          "fr": "('le','la','de','et','un','une','est')",
+          "es": "('el','la','de','y','un','una','es')",
+          "de": "('der','die','das','und','ein','ist','zu')"}
+    ratios = {
+        lg: (f"(len(list_filter({tok}, t -> lower(t) IN {words}))"
+             f" / greatest(len({tok}), 1))")
+        for lg, words in sw.items()}
+    best = "greatest({})".format(", ".join(ratios.values()))
 
     return {
         "lang_stats": f"""
@@ -419,6 +497,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY l2_dist ASC, vec_id ASC LIMIT 10""",
+        "first_seen_dedup": """
+            SELECT user_id, event_id, event_type
+            FROM (SELECT user_id, event_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY event_id) AS rn
+                  FROM events)
+            WHERE rn = 1""",
         "events_topk": """
             SELECT event_type, event_id, value,
                    row_number() OVER (PARTITION BY event_type
@@ -455,6 +540,72 @@ def oracle_sql() -> dict[str, str]:
                    max("end") AS span_end,
                    sum("end" - "start") AS covered_chars
             FROM s GROUP BY url, page""",
+        "lang_id_heuristic": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN {ratios['en']} = {best} AND {best} > 0 THEN 'en'
+                     WHEN {ratios['fr']} = {best} AND {best} > 0 THEN 'fr'
+                     WHEN {ratios['es']} = {best} AND {best} > 0 THEN 'es'
+                     WHEN {ratios['de']} = {best} AND {best} > 0 THEN 'de'
+                     ELSE 'unknown'
+                   END AS lang_pred
+            FROM documents""",
+        "column_mapping": """
+            SELECT doc_id AS id, text AS content,
+                   coalesce(source, 'Not specified') AS source, lang
+            FROM documents""",
+        "route_sentinels": """
+            SELECT doc_id, text, n_chars, 'text' AS kind
+            FROM documents WHERE NOT (n_chars < 150)
+            UNION ALL
+            SELECT doc_id, '' AS text, n_chars, 'stub' AS kind
+            FROM documents WHERE n_chars < 150""",
+        "lang_set_ops": """
+            SELECT lang, 'intersect' AS op FROM (
+              SELECT lang FROM documents WHERE n_chars > 400
+              INTERSECT
+              SELECT lang FROM documents WHERE n_chars < 100)
+            UNION ALL
+            SELECT lang, 'except' AS op FROM (
+              SELECT lang FROM documents WHERE n_chars > 400
+              EXCEPT
+              SELECT lang FROM documents WHERE n_chars < 100)""",
+        "embedding_near_dup": f"""
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({cos}, 6) AS cos_sim
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+            WHERE round({cos}, 6) >= 0.35""",
+        "ivf_topk": f"""
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
+            cents AS (
+              SELECT vec_id AS cent_id, e AS cent_vec FROM c
+              ORDER BY vec_id LIMIT 16),
+            assigned AS (
+              SELECT vec_id, e, cent_id FROM (
+                SELECT a.vec_id, a.e, cents.cent_id,
+                       row_number() OVER (PARTITION BY a.vec_id
+                         ORDER BY {_cos('a.e', 'cents.cent_vec')} DESC,
+                                  cents.cent_id ASC) AS rc
+                FROM c a CROSS JOIN cents)
+              WHERE rc = 1),
+            probes AS (
+              SELECT query_id, qe, cent_id FROM (
+                SELECT b.vec_id AS query_id, b.e AS qe, cents.cent_id,
+                       row_number() OVER (PARTITION BY b.vec_id
+                         ORDER BY {_cos('b.e', 'cents.cent_vec')} DESC,
+                                  cents.cent_id ASC) AS rq
+                FROM c b CROSS JOIN cents WHERE b.vec_id < 5)
+              WHERE rq <= 2),
+            j AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     round({_cos('a.e', 'p.qe')}, 6) AS cos_sim
+              FROM assigned a JOIN probes p USING (cent_id)
+              WHERE a.vec_id <> p.query_id)
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM j QUALIFY rk <= 5""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

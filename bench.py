@@ -27,7 +27,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+# page-size scale: 8 => ~12 KB mean pages, the realistic Common-Crawl
+# band, so per-doc compute dominates fixed Spark overheads
+DOC_SCALE = int(os.environ.get("SPARK_GRAFT_DOC_SCALE", "8"))
 
 
 def make_spark(cpus: int):
@@ -44,27 +47,36 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-def time_extraction(spark, n_docs: int, warmup: bool = True) -> dict:
-    """Generate corpus on executors, persist, then time extraction only."""
+def time_extraction(spark, n_docs: int, runs: int = 3) -> dict:
+    """Generate corpus on executors, persist, then time extraction only.
+
+    Protocol (BASELINE.md): 1 full-partitioning warmup (spins up every
+    reused Python worker + Arrow path on ALL partitions — a limit()
+    warmup would warm a single task only), then ``runs`` timed passes,
+    report the median.
+    """
+    import statistics
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
     from historicaldatadocumentparsersystem_spark import fixtures, pipeline
 
     cpus = spark.sparkContext.defaultParallelism
     docs = fixtures.corpus_df_distributed(spark, n_docs,
-                                          num_partitions=cpus * 2)
+                                          num_partitions=cpus * 2,
+                                          scale=DOC_SCALE)
     docs.persist(StorageLevel.MEMORY_AND_DISK)
     bytes_in = docs.select(
         F.sum(F.coalesce(F.length("html"), F.lit(0)))).first()[0] or 0
-    if warmup:
-        pipeline.extract_df(docs.limit(256), num_buckets=cpus) \
-            .count()  # JIT/Arrow warmup
-    t0 = time.monotonic()
-    extracted = pipeline.extract_df(docs, num_buckets=cpus * 2)
-    n_out = extracted.count()
-    wall = time.monotonic() - t0
+    pipeline.extract_df(docs, num_buckets=cpus * 2).count()  # warmup
+    times, n_out = [], 0
+    for _ in range(runs):
+        t0 = time.monotonic()
+        n_out = pipeline.extract_df(docs, num_buckets=cpus * 2).count()
+        times.append(time.monotonic() - t0)
+    wall = statistics.median(times)
     docs.unpersist()
     return {"n_docs": n_out, "wall_sec": round(wall, 3),
+            "runs_sec": [round(t, 3) for t in times],
             "docs_per_sec": round(n_out / wall, 2),
             "mb_in": round(bytes_in / 1e6, 1),
             "mb_per_sec": round(bytes_in / 1e6 / wall, 2)}
@@ -94,6 +106,7 @@ def main_default() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "extraction": ext,
         "bench_docs": BENCH_DOCS,
+        "doc_scale": DOC_SCALE,
         "cpus": CPUS,
     }))
 
@@ -106,8 +119,13 @@ def _scaling_child(cpus: int, n_docs: int) -> None:
 
 
 def main_scaling() -> None:
+    # N and 4N parallelism. Default 8->32; on a 32-core host local[32]
+    # plus its 32 Python UDF workers oversubscribes the box (64 runnable
+    # threads) while local[8] leaves JVM helpers free cores — set
+    # SPARK_GRAFT_SCALE_N=4 for the headroom-fair 4->16 proxy.
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n, 4 * n):
         env = dict(os.environ)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
@@ -119,16 +137,17 @@ def main_scaling() -> None:
             sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
             raise SystemExit(f"scaling child local[{cpus}] failed")
         results[cpus] = json.loads(line[-1].split(" ", 1)[1])
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
-    eff = (t32 / t8) / (32 / 8)
+    t_n, t_4n = results[n]["docs_per_sec"], results[4 * n]["docs_per_sec"]
+    eff = (t_4n / t_n) / 4.0
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{n}_to_{4 * n}",
         "value": round(eff, 3),
         "unit": "ratio",
-        "throughput_local8": t8,
-        "throughput_local32": t32,
+        f"throughput_local{n}": t_n,
+        f"throughput_local{4 * n}": t_4n,
         "detail": results,
         "bench_docs": BENCH_DOCS,
+        "doc_scale": DOC_SCALE,
     }))
 
 

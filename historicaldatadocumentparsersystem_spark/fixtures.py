@@ -65,9 +65,9 @@ def _menu(rng: random.Random, n: int, cls: str = "") -> str:
     return f"<ul{attr}>{items}</ul>"
 
 
-def _html_simple(rng: random.Random, i: int) -> bytes:
+def _html_simple(rng: random.Random, i: int, scale: int = 1) -> bytes:
     paras = "".join(f"<p>{_paragraph(rng)}</p>"
-                    for _ in range(rng.randint(3, 8)))
+                    for _ in range(rng.randint(3, 8) * scale))
     page = (
         "<!DOCTYPE html><html><head>"
         f"<meta charset=\"utf-8\"><title>Page {i}</title>"
@@ -84,10 +84,11 @@ def _html_simple(rng: random.Random, i: int) -> bytes:
     return page.encode("utf-8")
 
 
-def _html_linky(rng: random.Random, i: int) -> bytes:
+def _html_linky(rng: random.Random, i: int, scale: int = 1) -> bytes:
     body_paras = "".join(f"<p>{_paragraph(rng, 2, 4)}</p>"
-                         for _ in range(rng.randint(2, 4)))
-    clouds = "".join(_menu(rng, rng.randint(8, 15)) for _ in range(3))
+                         for _ in range(rng.randint(2, 4) * scale))
+    clouds = "".join(_menu(rng, rng.randint(8, 15))
+                     for _ in range(3 * scale))
     page = (
         "<html><head><meta charset=\"utf-8\"></head><body>"
         f"<div id=\"menu-top\">{clouds}</div>"
@@ -98,10 +99,10 @@ def _html_linky(rng: random.Random, i: int) -> bytes:
     return page.encode("utf-8")
 
 
-def _html_malformed(rng: random.Random, i: int) -> bytes:
+def _html_malformed(rng: random.Random, i: int, scale: int = 1) -> bytes:
     paras = "".join(
         f"<p>{_paragraph(rng, 1, 3)}" + ("" if j % 2 else "</p>")
-        for j in range(rng.randint(2, 5))
+        for j in range(rng.randint(2, 5) * scale)
     )
     page = (
         "<html><head><meta charset=\"latin-1\"></head><body>"
@@ -148,9 +149,10 @@ def _make_pdf(pages: list[list[str]]) -> bytes:
     return bytes(out)
 
 
-def _pdf_payload(rng: random.Random, i: int) -> bytes:
+def _pdf_payload(rng: random.Random, i: int, scale: int = 1) -> bytes:
     n_pages = rng.randint(1, 3)
-    pages = [[_sentence(rng, 4, 9) for _ in range(rng.randint(3, 7))]
+    pages = [[_sentence(rng, 4, 9)
+              for _ in range(rng.randint(3, 7) * scale)]
              for _ in range(n_pages)]
     return _make_pdf(pages)
 
@@ -179,17 +181,22 @@ def row_class(i: int) -> str:
     return "garbage"
 
 
-def make_row(i: int, seed: int = 42) -> dict:
+def make_row(i: int, seed: int = 42, scale: int = 1) -> dict:
+    """One corpus row. ``scale`` multiplies page size (paragraph / menu /
+    pdf-line counts): scale=1 ≈ 2 KB pages (test/golden default),
+    scale=8-16 ≈ 15-40 KB — the realistic Common-Crawl page-size band
+    used by the benchmark so per-document compute, not fixed overhead,
+    dominates the measurement."""
     rng = _rng(seed, i)
     cls = row_class(i)
     if cls == "html-simple":
-        payload = _html_simple(rng, i)
+        payload = _html_simple(rng, i, scale)
     elif cls == "html-linky":
-        payload = _html_linky(rng, i)
+        payload = _html_linky(rng, i, scale)
     elif cls == "html-malformed":
-        payload = _html_malformed(rng, i)
+        payload = _html_malformed(rng, i, scale)
     elif cls == "pdf":
-        payload = _pdf_payload(rng, i)
+        payload = _pdf_payload(rng, i, scale)
     else:
         payload = _garbage(rng, i)
     # Zipf-like hosts: ~30% hot host (FIXTURES.md skew requirement)
@@ -204,8 +211,8 @@ def make_row(i: int, seed: int = 42) -> dict:
     }
 
 
-def generate_rows(n: int, seed: int = 42) -> list[dict]:
-    return [make_row(i, seed) for i in range(n)]
+def generate_rows(n: int, seed: int = 42, scale: int = 1) -> list[dict]:
+    return [make_row(i, seed, scale) for i in range(n)]
 
 
 def corpus_schema():
@@ -221,7 +228,7 @@ def corpus_schema():
 
 
 def corpus_df_distributed(spark, n: int, seed: int = 42,
-                          num_partitions: int = 32):
+                          num_partitions: int = 32, scale: int = 1):
     """Corpus generated ON THE EXECUTORS (mapInPandas over spark.range).
 
     The generator is deterministic per row index, so distributed
@@ -232,7 +239,7 @@ def corpus_df_distributed(spark, n: int, seed: int = 42,
 
     def gen(batches):
         for b in batches:
-            rows = [make_row(int(i), seed) for i in b["id"]]
+            rows = [make_row(int(i), seed, scale) for i in b["id"]]
             yield pd.DataFrame(rows)
 
     return (spark.range(0, n, 1, num_partitions)

@@ -90,6 +90,67 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
             for _ in range(n_planes)]
 
 
+def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 2) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by
+    nearest centroid; a query scans only its ``n_probe`` closest lists.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic (no k-means iterations; at 100 TB you'd train once
+    offline and broadcast, which is exactly the plan shape here: the
+    centroid table is broadcast to both assignment joins, the corpus is
+    shuffled ONCE on centroid_id and can be written bucketed by it so
+    later queries prune 14/16 of the data at the scan).
+    """
+    cents = (df.orderBy(id_col).limit(n_centroids)
+             .select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cent_vec")))
+    w_c = Window.partitionBy(id_col).orderBy(
+        F.desc("sim_c"), F.asc("cent_id"))
+    assigned = (df.crossJoin(F.broadcast(cents))
+                .withColumn("sim_c", cosine(vec_col, F.col("cent_vec")))
+                .withColumn("rc", F.row_number().over(w_c))
+                .where(F.col("rc") == 1)
+                .select(id_col, vec_col, "cent_id"))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_q"), F.asc("cent_id"))
+    probes = (query_df.crossJoin(F.broadcast(cents))
+              .withColumn("sim_q", cosine("embedding", F.col("cent_vec")))
+              .withColumn("rq", F.row_number().over(w_q))
+              .where(F.col("rq") <= n_probe)
+              .select("query_id", F.col("embedding").alias("qe"),
+                      "cent_id"))
+    joined = (assigned.join(F.broadcast(probes), "cent_id")
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.round(cosine(vec_col, "qe"), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (joined.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.5,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (training-data dedup op).
+
+    All-pairs form for oracle checking; the scale path buckets by LSH
+    signature first (``hyperplane_signature``) so the join is per
+    bucket, never cartesian."""
+    a, b = df.alias("a"), df.alias("b")
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(cosine(F.col(f"a.{vec_col}"),
+                                   F.col(f"b.{vec_col}")), 6)
+                    .alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
 def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_planes: int = 8, n_tables: int = 2,

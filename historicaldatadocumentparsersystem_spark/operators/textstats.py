@@ -87,6 +87,21 @@ def lang_scores(col: str | Column = "text") -> list[Column]:
     return [stopword_ratio(col, lg).alias(f"score_{lg}") for lg in STOPWORDS]
 
 
+def lang_id(col: str | Column = "text") -> Column:
+    """n-gram/stopword language-ID heuristic (C10 analog,
+    ``utils/tools.py:181-190``): argmax of per-language stopword-hit
+    ratios, deterministic tie-break in STOPWORDS declaration order,
+    'unknown' when no stopword hits at all (the reference defaults to
+    'en' after its allowlist; we surface the no-evidence case)."""
+    ratios = {lg: stopword_ratio(col, lg) for lg in STOPWORDS}
+    best = F.greatest(*ratios.values())
+    expr = F.lit("unknown")
+    for lg in reversed(list(STOPWORDS)):
+        expr = F.when((ratios[lg] == best) & (best > 0), F.lit(lg)) \
+            .otherwise(expr)
+    return expr
+
+
 def fingerprint(col: str | Column = "text", width: int = 16) -> Column:
     """Document fingerprint: first ``width`` hex chars of md5 of the
     whitespace-normalized text (rolling-hash analog, portable to any

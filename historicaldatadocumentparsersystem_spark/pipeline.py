@@ -67,34 +67,35 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     per row (tokenizer reloaded per call, ``doc_processor.py:96-99``).
     """
     for pdf_in in batches:
-        n = len(pdf_in)
-        out = {
+        # .tolist() once per column: per-row .iloc is ~2x slower than the
+        # extraction itself; bytes are passed through without copying
+        # (extractor accepts any bytes-like)
+        payloads = pdf_in["html"].tolist()
+        fallbacks = pdf_in["text"].tolist()
+        kinds, texts, spans_col = [], [], []
+        n_blocks, scores, failed, bytes_in = [], [], [], []
+        for payload, fb in zip(payloads, fallbacks):
+            res = extract_document(payload if payload else None, fb)
+            kinds.append(res.doc_kind)
+            texts.append(res.extracted_text)
+            spans_col.append(res.spans_as_dicts())
+            n_blocks.append(res.n_blocks)
+            scores.append(res.score)
+            failed.append(1 if res.failed else 0)
+            bytes_in.append(len(payload) if payload else 0)
+        yield pd.DataFrame({
             "url": pdf_in["url"],
             "warc_ts": pdf_in["warc_ts"],
             "lang": pdf_in["lang"],
-            "doc_kind": [""] * n,
-            "extracted_text": [""] * n,
-            "spans": [None] * n,
-            "n_blocks": [0] * n,
-            "score": [0.0] * n,
-            "failed": [0] * n,
-            "bytes_in": [0] * n,
+            "doc_kind": kinds,
+            "extracted_text": texts,
+            "spans": spans_col,
+            "n_blocks": n_blocks,
+            "score": scores,
+            "failed": failed,
+            "bytes_in": bytes_in,
             "part_id": pdf_in["part_id"],
-        }
-        payloads = pdf_in["html"]
-        fallbacks = pdf_in["text"]
-        for i in range(n):
-            payload = payloads.iloc[i]
-            payload = bytes(payload) if payload is not None else None
-            res = extract_document(payload, fallbacks.iloc[i])
-            out["doc_kind"][i] = res.doc_kind
-            out["extracted_text"][i] = res.extracted_text
-            out["spans"][i] = res.spans_as_dicts()
-            out["n_blocks"][i] = res.n_blocks
-            out["score"][i] = res.score
-            out["failed"][i] = 1 if res.failed else 0
-            out["bytes_in"][i] = len(payload) if payload else 0
-        yield pd.DataFrame(out)
+        })
 
 
 # ---------------------------------------------------------------------------

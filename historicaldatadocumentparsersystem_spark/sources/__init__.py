@@ -1,0 +1,64 @@
+"""Sources: readers for the documents table and auxiliary formats.
+
+Reference scan/source inventory (SURVEY.md §2.1): the directory walk S1
+becomes a table scan; format dispatch happens per row by payload sniff
+(extractor.sniff), not per file extension. S5 (CSV rows regrouped 10 per
+chunk, ``unstructured_chunker.py:65-78``) is re-expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DOCUMENTS_DDL = ("url string, warc_ts timestamp, html binary, "
+                 "text string, lang string")
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the Common-Crawl-style documents table (schema-checked).
+
+    Narrow reads: callers should .select() immediately so Catalyst
+    prunes the parquet scan to the touched columns.
+    """
+    df = spark.read.parquet(path)
+    missing = {"url", "warc_ts", "html", "text", "lang"} - set(df.columns)
+    if missing:
+        raise ValueError(f"documents table missing columns: {missing}")
+    return df
+
+
+def read_csv_chunks(spark: SparkSession, path: str,
+                    rows_per_chunk: int = 10, **csv_opts) -> DataFrame:
+    """S5: CSV rows regrouped ``rows_per_chunk`` rows per chunk
+    (``unstructured_chunker.py:65-78``: CSVLoader rows joined 10 at a
+    time into one text chunk).
+
+    Output: (file, chunk_id, text) where text is the newline-join of the
+    chunk's rows in row order. Row order within a file follows the CSV's
+    physical order via the input file + a monotonic position.
+    """
+    raw = (spark.read.options(**csv_opts).csv(path)
+           .withColumn("_file", F.input_file_name())
+           .withColumn("_pos", F.monotonically_increasing_id()))
+    row_text = F.concat_ws(",", *[c for c in raw.columns
+                                  if c not in ("_file", "_pos")])
+    w = Window.partitionBy("_file").orderBy("_pos")
+    rows = (raw.select("_file", "_pos", row_text.alias("_row"))
+            .withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("chunk_id",
+                        (F.col("_rn") / rows_per_chunk).cast("int")))
+    return (rows.groupBy(F.col("_file").alias("file"), "chunk_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("_rn").alias("o"),
+                                 F.col("_row").alias("t")))),
+                    lambda s: s.getField("t")), "\n").alias("text")))
+
+
+def read_text_documents(spark: SparkSession, path: str) -> DataFrame:
+    """S4: plain-text files, one row per file (wholetext)."""
+    return (spark.read.text(path, wholetext=True)
+            .withColumn("file", F.input_file_name())
+            .withColumnRenamed("value", "text"))

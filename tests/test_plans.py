@@ -1,0 +1,65 @@
+"""Plan-shape regression tests (SURVEY.md §4.3 target plan).
+
+These pin the *physical* properties the 100 TB design depends on:
+- flagship = scan -> ONE exchange -> MapInPandas (no hidden shuffles)
+- column pruning reaches the parquet scan (narrow ReadSchema)
+- small dimension joins broadcast instead of shuffling
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from historicaldatadocumentparsersystem_spark import fixtures, pipeline
+from historicaldatadocumentparsersystem_spark.plans import (
+    count_exchanges, has_broadcast_join, physical_plan, scan_read_schemas)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "docs")
+    fixtures.corpus_df(spark, 50, num_partitions=2).withColumn(
+        "decoy", F.lit("wide-column-that-must-be-pruned")
+    ).write.parquet(path)
+    return path
+
+
+def test_flagship_single_exchange(spark, docs_parquet):
+    src = spark.read.parquet(docs_parquet)
+    df = pipeline.extract_df(src, num_buckets=8)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(xxhash64(url" in plan
+
+
+def test_flagship_scan_prunes_columns(spark, docs_parquet):
+    src = spark.read.parquet(docs_parquet)
+    schemas = scan_read_schemas(pipeline.extract_df(src, num_buckets=8))
+    assert len(schemas) == 1
+    assert "decoy" not in schemas[0], schemas[0]
+    for col in ("url", "html", "text", "lang", "warc_ts"):
+        assert col in schemas[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, docs_parquet):
+    src = spark.read.parquet(docs_parquet)
+    narrow = src.where(F.col("lang") == "en").select("url", "lang")
+    plan = physical_plan(narrow)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    schemas = scan_read_schemas(narrow)
+    assert "html" not in schemas[0]  # binary column pruned
+
+
+def test_segment_revenue_broadcasts_dimension(spark):
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["segment_revenue"](spark, SF)
+    assert has_broadcast_join(df), physical_plan(df)
+
+
+def test_topk_is_single_shuffle(spark):
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["events_topk"](spark, SF)
+    # one hash-partition exchange for the window, nothing else
+    assert count_exchanges(df) == 1, physical_plan(df)
