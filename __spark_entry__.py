@@ -272,10 +272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return inter.unionByName(exc)
     q["lang_set_ops"] = q_setops
 
-    # --- embedding-cosine near-dup (training-data dedup) — SQL-checked
+    # --- embedding-cosine near-dup (training-data dedup) — SQL-checked;
+    # id-bounded like the other pair queries (all-pairs grows O(sf^2))
     def q_embdup(spark, sf_dir):
-        return similarity.embedding_near_dup_pairs(
-            _t(spark, sf_dir, "embeddings"), threshold=0.35)
+        emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+        return similarity.embedding_near_dup_pairs(emb, threshold=0.35)
     q["embedding_near_dup"] = q_embdup
 
     # --- IVF-bucketed ANN (scale path) — SQL-checked
@@ -571,7 +572,8 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT
               SELECT lang FROM documents WHERE n_chars < 100)""",
         "embedding_near_dup": f"""
-            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings)
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings
+                       WHERE vec_id < 500)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({cos}, 6) AS cos_sim
             FROM c a JOIN c b ON a.vec_id < b.vec_id

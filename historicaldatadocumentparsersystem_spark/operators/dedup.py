@@ -136,6 +136,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                      shingles(text_col, n).alias("sh"))
            .where(F.size("sh") > 0)
            .select("id", minhash_signature("sh", num_hashes).alias("sig")))
+    # materialize signatures once: the bucket self-join would otherwise
+    # recompute num_hashes x |shingles| md5s on BOTH sides (at scale:
+    # write the signature table, bucketed by band hash, then join)
+    sig = sig.persist()
     banded = sig.select(
         "id", "sig",
         F.explode(F.transform(

@@ -113,13 +113,35 @@ def fingerprint(col: str | Column = "text", width: int = 16) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """Full per-document profile — the headline text-analysis operator."""
-    return df.select(
+    """Full per-document profile — the headline text-analysis operator.
+
+    Tokenizes ONCE into an intermediate column and derives every stat
+    from it (a single regex split per row instead of one per stat;
+    Catalyst's CollapseProject keeps multi-use non-cheap aliases
+    materialized, so the two Projects don't re-inline)."""
+    toks = "__toks"
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(id_col), c.alias("__text"), tokens(text_col).alias(toks))
+    tk = F.col(toks)
+    txt = F.col("__text")
+    total_wlen = F.aggregate(tk, F.lit(0).cast("long"),
+                             lambda acc, t: acc + F.length(t))
+    mwl = total_wlen / F.greatest(F.size(tk), F.lit(1))
+    pr = ((F.length(txt)
+           - F.length(F.regexp_replace(txt, r"[^\w\s]", "")))
+          / F.greatest(F.length(txt), F.lit(1)))
+    len_ok = (F.length(txt) >= 100) & (F.length(txt) <= 20000)
+    quality = ((len_ok.cast("double") + (pr < 0.2).cast("double")
+                + ((mwl >= 3) & (mwl <= 12)).cast("double")) / F.lit(3.0))
+    return staged.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        bpe_token_count(text_col).alias("n_bpe_tokens"),
-        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(mean_word_len(text_col), 6).alias("mean_word_len"),
-        F.round(quality_score(text_col), 6).alias("quality"),
-        fingerprint(text_col).alias("fingerprint"),
+        F.size(tk).alias("n_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(_BPE_RE), F.lit(0)))
+        .alias("n_bpe_tokens"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(quality, 6).alias("quality"),
+        F.substring(F.md5(F.regexp_replace(F.trim(txt), r"\s+", " ")),
+                    1, 16).alias("fingerprint"),
     )

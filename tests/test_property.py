@@ -1,0 +1,78 @@
+"""Property-based robustness tests (hypothesis) for the extraction core.
+
+The invariants (SURVEY.md §5.2 item 3) must hold for ARBITRARY input,
+not just the fixture corpus:
+- extract_document never raises, whatever the bytes
+- every span satisfies 0 <= start < end <= len(decoded source)
+- for html: extracted_text == "\\n".join(src[s:e]) (A1 contract)
+- idempotence: same input -> same output
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from historicaldatadocumentparsersystem_spark.extractor import extract_document
+from historicaldatadocumentparsersystem_spark.extractor.htmlx import decode_payload
+
+_TAGS = ["div", "p", "a", "span", "ul", "li", "nav", "footer", "article",
+         "script", "b", "h1", "table", "td", "form", "br", "img"]
+
+_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="<>&"),
+    max_size=80)
+
+
+def _element(children: st.SearchStrategy[str]) -> st.SearchStrategy[str]:
+    return st.builds(
+        lambda tag, attrs, body, close:
+            f"<{tag}{attrs}>" + body + (f"</{tag}>" if close else ""),
+        st.sampled_from(_TAGS),
+        st.sampled_from(["", " class='content'", " id=nav-menu",
+                         " href='/x'", " class=\"sidebar ad\""]),
+        children,
+        st.booleans())
+
+
+_html_fragment = st.recursive(
+    _text, lambda kids: st.builds(
+        lambda parts: "".join(parts),
+        st.lists(st.one_of(kids, _element(kids)), max_size=5)),
+    max_leaves=25)
+
+
+@given(_html_fragment)
+@settings(max_examples=150, deadline=None)
+def test_random_html_invariants(fragment):
+    payload = f"<html><body>{fragment}</body></html>".encode()
+    res = extract_document(payload, "fb")
+    assert res.doc_kind == "html"
+    src = decode_payload(payload)
+    for s, e, kind in res.spans:
+        assert 0 <= s < e <= len(src)
+        assert src[s] not in " \t\r\n" and src[e - 1] not in " \t\r\n"
+    assert res.extracted_text == "\n".join(
+        src[s:e] for s, e, _ in res.spans)
+    assert res.n_blocks == len(res.spans)
+    # idempotent
+    again = extract_document(payload, "fb")
+    assert again == res
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_arbitrary_bytes_never_crash(payload):
+    res = extract_document(payload, "fallback")
+    assert res.doc_kind in ("html", "pdf", "empty")
+    if res.doc_kind == "empty":
+        assert res.extracted_text == "fallback"
+
+
+@given(st.binary(max_size=512), st.integers(0, 3))
+@settings(max_examples=100, deadline=None)
+def test_pdf_prefixed_bytes_never_crash(tail, npages):
+    payload = b"%PDF-1.4\n" + tail
+    res = extract_document(payload, "fb")
+    assert res.doc_kind in ("pdf", "empty")
+    if res.doc_kind == "pdf":
+        src = payload.decode("latin-1")
+        for s, e, _ in res.spans:
+            assert 0 <= s < e <= len(src)
