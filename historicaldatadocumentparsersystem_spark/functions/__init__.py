@@ -104,6 +104,12 @@ def char_ordinal_embedding(col, dim: int = 16) -> Column:
         lambda i: F.ascii(F.substring(padded, i, 1)).cast("double"))
 
 
+# W4: cap retrieved arrays (multimodal_RAG_methods.py:236-237 keeps the
+# first 3 retrieved images)
+def cap_array(arr_col, k: int = 3) -> Column:
+    return F.slice(_c(arr_col), 1, k)
+
+
 # W3: LongContextReorder (multimodal_RAG_methods.py:42-44) —
 # deterministic permutation: most relevant at the ends, i.e. ranks
 # [1,3,5,...,6,4,2]: odd ranks ascending then even ranks descending.

@@ -173,3 +173,22 @@ def test_hot_host_skew():
     rows = generate_rows(1000)
     hot = sum(1 for r in rows if "hot.example.com" in r["url"])
     assert 0.25 < hot / len(rows) < 0.35  # ~30% on one host
+
+
+def test_fast_scanner_equals_htmlparser_builder(corpus):
+    """The regex scanner must produce the IDENTICAL extraction result as
+    the stdlib html.parser reference builder on every corpus row."""
+    from historicaldatadocumentparsersystem_spark.extractor import htmlx
+
+    for row in corpus:
+        if sniff_kind(row["html"]) != "html":
+            continue
+        src = decode_payload(row["html"])
+        fast = extract_html(src)
+        orig = htmlx.parse_dom
+        htmlx.parse_dom = htmlx.parse_dom_htmlparser
+        try:
+            ref = extract_html(src)
+        finally:
+            htmlx.parse_dom = orig
+        assert fast == ref, row["url"]
