@@ -55,27 +55,35 @@ def time_extraction(spark, n_docs: int, runs: int = 4) -> dict:
     warmup would warm a single task only), then ``runs`` timed passes,
     report the median.
     """
+    import shutil
     import statistics
-    from pyspark import StorageLevel
+    import tempfile
     from pyspark.sql import functions as F
     from historicaldatadocumentparsersystem_spark import fixtures, pipeline
 
     cpus = spark.sparkContext.defaultParallelism
-    docs = fixtures.corpus_df_distributed(spark, n_docs,
-                                          num_partitions=cpus * 2,
-                                          scale=DOC_SCALE)
-    docs.persist(StorageLevel.MEMORY_AND_DISK)
-    bytes_in = docs.select(
-        F.sum(F.coalesce(F.length("html"), F.lit(0)))).first()[0] or 0
-    pipeline.extract_df(docs, num_buckets=cpus * 2).count()  # warmup
-    times, n_out = [], 0
-    for _ in range(runs):
-        t0 = time.monotonic()
-        n_out = pipeline.extract_df(docs, num_buckets=cpus * 2).count()
-        times.append(time.monotonic() - t0)
-    # drop the first timed run (post-warmup GC settling), median the rest
-    wall = statistics.median(times[1:] if len(times) > 1 else times)
-    docs.unpersist()
+    # materialize the corpus as PARQUET and read it per run — the real
+    # job shape (scan -> shuffle -> UDF), served from the OS page cache.
+    # Caching it in the JVM block manager instead caused multi-GB heap
+    # churn that throttled the timed runs (GC, not extraction).
+    tmp = tempfile.mkdtemp(prefix="bench-corpus-")
+    try:
+        fixtures.corpus_df_distributed(
+            spark, n_docs, num_partitions=cpus * 2, scale=DOC_SCALE
+        ).write.mode("overwrite").parquet(tmp)
+        docs = spark.read.parquet(tmp)
+        bytes_in = docs.select(
+            F.sum(F.coalesce(F.length("html"), F.lit(0)))).first()[0] or 0
+        pipeline.extract_df(docs, num_buckets=cpus * 2).count()  # warmup
+        times, n_out = [], 0
+        for _ in range(runs):
+            t0 = time.monotonic()
+            n_out = pipeline.extract_df(docs, num_buckets=cpus * 2).count()
+            times.append(time.monotonic() - t0)
+        # drop the first timed run (post-warmup settling), median the rest
+        wall = statistics.median(times[1:] if len(times) > 1 else times)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return {"n_docs": n_out, "wall_sec": round(wall, 3),
             "runs_sec": [round(t, 3) for t in times],
             "docs_per_sec": round(n_out / wall, 2),
@@ -86,6 +94,11 @@ def time_extraction(spark, n_docs: int, runs: int = 4) -> dict:
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
+    # spin up the reused Python UDF workers once so the first query
+    # isn't charged ~6 s of worker start + pandas import
+    import pandas as _pd
+    spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism) \
+        .mapInPandas(lambda it: it, "id long").count()
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.monotonic()

@@ -307,7 +307,7 @@ def parse_dom(src: str) -> _Node:
         if m.start() > pos:
             add_text(pos, m.start())
         pos = m.end()
-        end_tag, start_tag = m.group(1), m.group(2)
+        end_tag, start_tag, raw_attrs, slash = m.group(1, 2, 3, 4)
         if end_tag is not None:
             tag = end_tag.lower()
             for i in range(len(stack) - 1, 0, -1):
@@ -316,16 +316,17 @@ def parse_dom(src: str) -> _Node:
                     break
         elif start_tag is not None:
             tag = start_tag.lower()
-            self_closing = m.group(4) == "/"
-            for closer, closees in _AUTOCLOSE.items():
-                if tag == closer:
-                    while len(stack) > 1 and stack[-1].tag in closees:
-                        stack.pop()
-                    break
+            self_closing = slash == "/"
+            if tag in _AUTOCLOSE:
+                closees = _AUTOCLOSE[tag]
+                while len(stack) > 1 and stack[-1].tag in closees:
+                    stack.pop()
             order += 1
-            raw_attrs = m.group(3)
-            node = _Node(tag, _attr_dict(raw_attrs) if raw_attrs else {},
-                         stack[-1], order)
+            # attr regexes only when 'class'/'id' can be present at all
+            attrs = (_attr_dict(raw_attrs)
+                     if raw_attrs and ("class" in raw_attrs
+                                       or "id" in raw_attrs) else {})
+            node = _Node(tag, attrs, stack[-1], order)
             stack[-1].children.append(node)
             if not self_closing and tag not in VOID_TAGS:
                 if tag in _RAWTEXT:
@@ -384,7 +385,8 @@ def _mark_dropped(node: _Node, src: str) -> None:
             if n == 0:
                 continue
             node.text_chars += n
-            node.commas += len(_COMMA_RE.findall(stripped))
+            node.commas += (stripped.count(",") + stripped.count("，")
+                            + stripped.count("、"))
             if node_is_link:
                 node.link_chars += n
 

@@ -255,3 +255,29 @@ def test_remove_nested_largest_wins(spark):
     got = sorted((r.kind) for r in
                  spans.remove_nested_bboxes(df).collect())
     assert got == ["big", "otherpage"]
+
+
+def test_host_salted_repartition_bounds_skew(spark):
+    """FIXTURES.md §5 scale/skew item: one host owns ~30% of urls;
+    plain host partitioning puts them in ONE partition, the salted
+    composite bounds max/mean partition size."""
+    from pyspark.sql import functions as F
+    from historicaldatadocumentparsersystem_spark import fixtures
+
+    docs = fixtures.corpus_df(spark, 600, num_partitions=8)
+    n_parts = 16
+
+    plain = docs.repartition(n_parts, skew.host_of()) \
+        .withColumn("pid", F.spark_partition_id()) \
+        .groupBy("pid").count().collect()
+    salted = skew.repartition_by_host_salted(docs, n_parts) \
+        .withColumn("pid", F.spark_partition_id()) \
+        .groupBy("pid").count().collect()
+
+    def max_over_mean(rows):
+        counts = [r["count"] for r in rows]
+        return max(counts) / (sum(counts) / n_parts)
+
+    assert max_over_mean(plain) > 3.0      # hot host dominates a partition
+    assert max_over_mean(salted) < 2.0     # salting bounds the ratio
+    assert sum(r["count"] for r in salted) == 600
