@@ -31,6 +31,7 @@ class ExtractResult:
     n_blocks: int = 0
     score: float = 0.0
     failed: bool = False
+    title: str | None = None  # html <title> metadata (None elsewhere)
 
     def spans_as_dicts(self) -> list[dict]:
         return [dict(zip(SPAN_FIELDS, s)) for s in self.spans]
@@ -51,8 +52,9 @@ def extract_document(payload: bytes | None, fallback_text: str | None
     try:
         if kind == KIND_HTML:
             src = decode_payload(payload)  # type: ignore[arg-type]
-            text, spans, score = extract_html(src)
-            return ExtractResult(KIND_HTML, text, spans, len(spans), score)
+            text, spans, score, title = extract_html(src)
+            return ExtractResult(KIND_HTML, text, spans, len(spans), score,
+                                 title=title)
         if kind == KIND_PDF:
             text, spans, score = extract_pdf(payload)  # type: ignore[arg-type]
             if score == 0.0 and not spans:

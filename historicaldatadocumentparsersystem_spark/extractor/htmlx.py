@@ -463,8 +463,26 @@ def _collect_segments(node: _Node, winner: _Node, src: str,
             out.append((start, end, _kind_of(child, winner)))
 
 
-def extract_html(src: str) -> tuple[str, list[tuple[int, int, str]], float]:
-    """(extracted_text, spans, score) for a decoded HTML source.
+def _find_title(node: _Node, src: str) -> str | None:
+    """First <title> text in document order (raw, stripped) — emitted as
+    metadata even though the head subtree is dropped from body text."""
+    for child in node.children:
+        if not isinstance(child, _Node):
+            continue
+        if child.tag == "title":
+            parts = [src[t.start:t.end] for t in child.children
+                     if isinstance(t, _Text)]
+            title = "".join(parts).strip()
+            return title or None
+        found = _find_title(child, src)
+        if found is not None:
+            return found
+    return None
+
+
+def extract_html(src: str) -> tuple[str, list[tuple[int, int, str]],
+                                    float, str | None]:
+    """(extracted_text, spans, score, title) for a decoded HTML source.
 
     extracted_text == "\\n".join(src[s:e] for (s, e, _) in spans)
     (the reference's A1 reassembly contract, ``base_parser.py:42``).
@@ -482,4 +500,4 @@ def extract_html(src: str) -> tuple[str, list[tuple[int, int, str]], float]:
     segments: list[tuple[int, int, str]] = []
     _collect_segments(winner, winner, src, segments)
     text = "\n".join(src[s:e] for s, e, _ in segments)
-    return text, segments, float(best_score)
+    return text, segments, float(best_score), _find_title(root, src)

@@ -47,6 +47,7 @@ EXTRACTED_SCHEMA = StructType([
     StructField("warc_ts", TimestampType(), True),
     StructField("lang", StringType(), True),
     StructField("doc_kind", StringType(), False),
+    StructField("title", StringType(), True),
     StructField("extracted_text", StringType(), True),
     StructField("spans", ArrayType(SPAN_TYPE, False), True),
     StructField("n_blocks", IntegerType(), False),
@@ -72,11 +73,12 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (extractor accepts any bytes-like)
         payloads = pdf_in["html"].tolist()
         fallbacks = pdf_in["text"].tolist()
-        kinds, texts, spans_col = [], [], []
+        kinds, titles, texts, spans_col = [], [], [], []
         n_blocks, scores, failed, bytes_in = [], [], [], []
         for payload, fb in zip(payloads, fallbacks):
             res = extract_document(payload if payload else None, fb)
             kinds.append(res.doc_kind)
+            titles.append(res.title)
             texts.append(res.extracted_text)
             spans_col.append(res.spans_as_dicts())
             n_blocks.append(res.n_blocks)
@@ -88,6 +90,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "warc_ts": pdf_in["warc_ts"],
             "lang": pdf_in["lang"],
             "doc_kind": kinds,
+            "title": titles,
             "extracted_text": texts,
             "spans": spans_col,
             "n_blocks": n_blocks,
@@ -199,5 +202,9 @@ def run_extraction(spark: SparkSession, docs: DataFrame, out_dir: str,
     if done:
         lineage = lineage.where(~F.col("partition_id").isin(sorted(done)))
     cat.append_lineage(lineage)
+    cat.commit_snapshot(snapshot_id, {
+        "run_id": run_id, "rows_total": n_written,
+        "num_buckets": num_buckets,
+        "buckets_done": sorted(cat.done_partitions(spark, snapshot_id))})
     return {"rows_written": n_written, "wall_ms": wall_ms,
             "skipped_partitions": len(done)}

@@ -18,6 +18,7 @@ def test_oracle_matches_committed_golden():
         res = extract_document(row["html"], row["text"])
         g = golden[row["url"]]
         assert res.doc_kind == g["doc_kind"], row["url"]
+        assert res.title == g["title"], row["url"]
         assert res.extracted_text == g["extracted_text"], row["url"]
         assert res.spans_as_dicts() == g["spans"], row["url"]
         assert res.n_blocks == g["n_blocks"]

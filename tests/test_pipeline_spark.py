@@ -32,6 +32,7 @@ def test_byte_identical_vs_oracle(extracted_rows):
         got = extracted_rows[row["url"]]
         assert got.extracted_text == oracle.extracted_text, row["url"]
         assert got.doc_kind == oracle.doc_kind
+        assert got.title == oracle.title
         assert [(s.start, s.end, s.kind) for s in got.spans] == oracle.spans
         assert got.n_blocks == oracle.n_blocks
         assert got.score == pytest.approx(oracle.score)
@@ -42,8 +43,8 @@ def test_schema_and_kind_mix(extracted_rows):
     assert kinds == {"html", "pdf", "empty"}
     sample = next(iter(extracted_rows.values()))
     assert set(sample.asDict()) == {
-        "url", "warc_ts", "lang", "doc_kind", "extracted_text", "spans",
-        "n_blocks", "score", "failed", "bytes_in", "part_id"}
+        "url", "warc_ts", "lang", "doc_kind", "title", "extracted_text",
+        "spans", "n_blocks", "score", "failed", "bytes_in", "part_id"}
 
 
 def test_part_id_stable(spark, docs_df):

@@ -1,0 +1,48 @@
+"""End-to-end training-data pipeline: extract -> quality -> dedup -> chunk."""
+
+from pyspark.sql import functions as F
+
+from historicaldatadocumentparsersystem_spark import fixtures, training
+
+
+def test_prepare_training_data(spark, tmp_path):
+    docs = fixtures.corpus_df(spark, 150, num_partitions=4)
+    # inject an exact duplicate payload under a different url
+    dup = docs.where(F.col("url").contains("html-simple")).limit(1) \
+        .withColumn("url", F.lit("https://dup.example.com/copy"))
+    docs = docs.unionByName(dup)
+
+    out = str(tmp_path / "train")
+    stats = training.prepare_training_data(
+        spark, docs, out, run_id="t1", min_quality=0.5, max_tokens=64,
+        overlap=8, num_buckets=8)
+
+    assert stats["n_input"] == 151
+    assert stats["n_extracted"] == 151
+    assert 0 < stats["n_quality_kept"] <= 151
+    # the injected duplicate is removed, nothing else collapses
+    assert stats["n_unique"] == stats["n_quality_kept"] - 1
+    assert stats["n_chunks"] >= stats["n_unique"]
+
+    chunks = spark.read.parquet(f"{out}/chunks")
+    bad = chunks.where((F.col("n_tokens") <= 0)
+                       | (F.col("n_tokens") > 64)).count()
+    assert bad == 0
+    # every chunk's text reassembles from its document's extracted blocks
+    clean = spark.read.parquet(f"{out}/documents_clean")
+    joined = (chunks.join(clean.select("url", "extracted_text"), "url")
+              .select("url", "text", "extracted_text").limit(50).collect())
+    for r in joined:
+        for line in r.text.split("\n"):
+            assert line in r.extracted_text
+
+
+def test_quality_gate_drops_garbage(spark):
+    docs = fixtures.corpus_df(spark, 100, num_partitions=4)
+    from historicaldatadocumentparsersystem_spark import pipeline
+    extracted = pipeline.extract_df(docs, num_buckets=4)
+    kept = training.quality_gate(extracted)
+    kinds = {r.doc_kind for r in kept.select("doc_kind").distinct().collect()}
+    assert "html" in kinds
+    # failed fallback rows never pass the gate
+    assert kept.where(F.col("failed") == 1).count() == 0
