@@ -10,10 +10,17 @@ driver sorts columns by name and value-hashes).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# import-safe from any CWD (driver may load this file by path)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline
 from historicaldatadocumentparsersystem_spark.operators import (

@@ -66,7 +66,10 @@ def time_extraction(spark, n_docs: int, runs: int = 4) -> dict:
     # job shape (scan -> shuffle -> UDF), served from the OS page cache.
     # Caching it in the JVM block manager instead caused multi-GB heap
     # churn that throttled the timed runs (GC, not extraction).
-    tmp = tempfile.mkdtemp(prefix="bench-corpus-")
+    # tmpfs when available: parquet scan stays in the plan, but shared-VM
+    # disk writeback stops injecting 2-4x run-to-run noise
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench-corpus-", dir=base)
     try:
         fixtures.corpus_df_distributed(
             spark, n_docs, num_partitions=cpus * 2, scale=DOC_SCALE

@@ -89,8 +89,6 @@ POSITIVE_RE = re.compile(
 )
 
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)")
-_COMMA_RE = re.compile(r"[,，、]")  # ',' + fullwidth/ideographic comma
-
 _LINK_DENSITY_PRUNE = 0.6  # prune list/menu sub-blocks denser than this
 _PRUNE_TAGS = frozenset("ul ol table dl menu".split())
 

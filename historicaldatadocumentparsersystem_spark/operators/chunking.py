@@ -17,8 +17,6 @@ offline; same proxy in the oracle below and the DuckDB-free pytest).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
