@@ -11,10 +11,13 @@ Default mode: one JSON line
 - per-query seconds for every __spark_entry__.queries() entry at
   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-Scaling mode (``--scaling``): reruns the flagship job in subprocesses at
-local[8] and local[32] on the SAME input and reports throughput at both
-plus efficiency = (T8/T32)/(32/8) — the sandbox proxy for the north
-rule's N -> 4N executor criterion (see BASELINE.md).
+Scaling mode (``--scaling``): reruns the flagship job in subprocesses
+at local[N] and local[4N] (SPARK_GRAFT_SCALE_N, default 8) on the SAME
+input and reports throughput at both plus efficiency = speedup/4 — the
+sandbox proxy for the north rule's N -> 4N executor criterion. Knobs:
+SPARK_GRAFT_BENCH_DOCS, SPARK_GRAFT_DOC_SCALE (page size),
+SPARK_GRAFT_BENCH_INPUT=cache|parquet (see BENCH/BASELINE.md for the
+measured sweep and which configuration evidences what).
 """
 
 from __future__ import annotations
@@ -31,6 +34,10 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
 # page-size scale: 8 => ~12 KB mean pages, the realistic Common-Crawl
 # band, so per-doc compute dominates fixed Spark overheads
 DOC_SCALE = int(os.environ.get("SPARK_GRAFT_DOC_SCALE", "8"))
+# input mode for timed extraction runs: "parquet" = scan a tmpfs table
+# per run (full job shape); "cache" = serve from the JVM block manager
+# (isolates the extraction pipeline from scan cost)
+BENCH_INPUT = os.environ.get("SPARK_GRAFT_BENCH_INPUT", "parquet")
 
 
 def make_spark(cpus: int):
@@ -75,6 +82,9 @@ def time_extraction(spark, n_docs: int, runs: int = 4) -> dict:
             spark, n_docs, num_partitions=cpus * 2, scale=DOC_SCALE
         ).write.mode("overwrite").parquet(tmp)
         docs = spark.read.parquet(tmp)
+        if BENCH_INPUT == "cache":
+            from pyspark import StorageLevel
+            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         bytes_in = docs.select(
             F.sum(F.coalesce(F.length("html"), F.lit(0)))).first()[0] or 0
         pipeline.extract_df(docs, num_buckets=cpus * 2).count()  # warmup
