@@ -296,6 +296,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    n_probe=2)
     q["ivf_topk"] = q_ivf
 
+    # --- multi-dimensional agg (cube) — SQL-checked
+    def q_cube(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "hour", F.hour("ts"))
+        return (ev.cube("event_type", "hour")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 2).alias("total_value"))
+                .select(F.coalesce("event_type", F.lit("ALL"))
+                        .alias("event_type"),
+                        F.coalesce("hour", F.lit(-1)).alias("hour"),
+                        "n", "total_value"))
+    q["events_cube"] = q_cube
+
+    # --- sessionization (gap-based windows over event time) — SQL-checked
+    def q_sessions(spark, sf_dir):
+        from pyspark.sql import Window
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # gap in integer MICROSECONDS on both sides (ts is TIMESTAMP_NTZ;
+        # Spark timestampdiff == DuckDB epoch_us difference, exactly)
+        ev = ev.withColumn("lag_ts", F.lag("ts").over(w))
+        gap = F.expr("timestampdiff(MICROSECOND, lag_ts, ts)")
+        sess = (ev.withColumn(
+                    "new_sess",
+                    F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+                    .otherwise(0))
+                .withColumn("session_no",
+                            F.sum("new_sess").over(
+                                w.rowsBetween(Window.unboundedPreceding,
+                                              0))))
+        return (sess.groupBy("user_id", "session_no")
+                .agg(F.count("*").alias("n_events"),
+                     F.min("event_id").alias("first_event"),
+                     F.round(F.sum("value"), 2).alias("session_value")))
+    q["event_sessions"] = q_sessions
+
     # --- TPC-H-style relational coverage — SQL-checked
     def q_tpch1(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -615,6 +651,31 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
             FROM j QUALIFY rk <= 5""",
+        "events_cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hour(ts), -1) AS hour,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY CUBE (event_type, hour(ts))""",
+        "event_sessions": """
+            WITH gaps AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM gaps
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(event_id) AS first_event,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_no""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -47,7 +47,7 @@ def make_spark(cpus: int):
             .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
             .config("spark.driver.memory",
                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
             .config("spark.ui.enabled", "false")

@@ -45,7 +45,7 @@ def main() -> None:
              .appName(f"extract-{args.run_id}")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
              .getOrCreate())
     if args.synthetic_docs:
         docs = fixtures.corpus_df_distributed(

@@ -9,7 +9,7 @@ def spark():
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "4g")
          .getOrCreate())
