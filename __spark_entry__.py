@@ -185,6 +185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.brute_force_topk(emb, queries_df, k=5)
     q["cosine_topk"] = q_ann
 
+    # J3 with metadata pre-filter ($in) before the distance top-k
+    # (pg_vector_db.py:158-172 filter builder + ORDER BY LIMIT k)
+    def q_ann_filtered(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("label").isin(1, 3, 5, 7))
+        queries_df = (emb.where(F.col("vec_id") < 3)
+                      .select(F.col("vec_id").alias("query_id"),
+                              "embedding"))
+        return similarity.brute_force_topk(corpus, queries_df, k=4)
+    q["cosine_topk_filtered"] = q_ann_filtered
+
     def q_l2(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         q0 = emb.where(F.col("vec_id") == 0) \
@@ -529,6 +540,21 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
             FROM j
             QUALIFY rk <= 5""",
+        "cosine_topk_filtered": f"""
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings
+                       WHERE label IN (1, 3, 5, 7)),
+            q AS (SELECT vec_id, embedding AS e FROM embeddings
+                  WHERE vec_id < 3),
+            j AS (
+              SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                     round({cos}, 6) AS cos_sim
+              FROM c a JOIN q b ON a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM j
+            QUALIFY rk <= 4""",
         "l2_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings
                        WHERE vec_id = 0)
