@@ -24,7 +24,8 @@ if _REPO not in sys.path:
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline
 from historicaldatadocumentparsersystem_spark.operators import (
-    chunking, dedup, keywords, routing, similarity, skew, spans, textstats)
+    asof, chunking, dedup, keywords, routing, similarity, skew, spans,
+    textstats)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -306,6 +307,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=16,
                                    n_probe=2)
     q["ivf_topk"] = q_ivf
+
+    # --- as-of join (custom operator; union+window, no range blowup)
+    def q_asof(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        purchases = ev.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        logins = ev.where(F.col("event_type").isin("login", "signup")) \
+            .select("user_id", "ts", "event_id")
+        return (asof.asof_join(purchases, logins, key="user_id",
+                               time_col="ts", value_cols=["event_id"])
+                .select("event_id", "user_id",
+                        F.col("asof_event_id").alias("prior_login_id")))
+    q["asof_join"] = q_asof
 
     # --- multi-dimensional agg (cube) — SQL-checked
     def q_cube(spark, sf_dir):
@@ -677,6 +691,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
             FROM j QUALIFY rk <= 5""",
+        "asof_join": """
+            SELECT p.event_id, p.user_id,
+                   l.event_id AS prior_login_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events
+                            WHERE event_type IN ('login', 'signup')) l
+              ON p.user_id = l.user_id AND p.ts >= l.ts""",
         "events_cube": """
             SELECT coalesce(event_type, 'ALL') AS event_type,
                    coalesce(hour(ts), -1) AS hour,
