@@ -24,8 +24,8 @@ if _REPO not in sys.path:
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline
 from historicaldatadocumentparsersystem_spark.operators import (
-    asof, chunking, dedup, keywords, routing, similarity, skew, spans,
-    textstats)
+    asof, chunking, dedup, keywords, rollup, routing, similarity, skew,
+    spans, textstats)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -356,6 +356,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.min("event_id").alias("first_event"),
                      F.round(F.sum("value"), 2).alias("session_value")))
     q["event_sessions"] = q_sessions
+
+    # --- range (overlap) join via grid binning — SQL-checked (theta
+    # self-join oracle on the shared VALUES fixture)
+    def q_overlap(spark, sf_dir):
+        return spans.overlapping_bbox_pairs(_bbox_df(spark), cell=20.0)
+    q["bbox_overlap_pairs"] = q_overlap
+
+    # --- hypertable cascade: hourly level derived from minute level;
+    # oracle aggregates hourly DIRECTLY from raw — equality proves the
+    # decomposable-merge cascade correct
+    def q_rollup(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        levels = rollup.cascade(ev, lengths=("1 minute", "1 hour"))
+        hourly = levels[1]
+        return hourly.select(
+            "bucket_start", F.col("key").alias("event_type"), "n",
+            F.round("total", 2).alias("total"),
+            F.round("vmin", 2).alias("vmin"),
+            F.round("vmax", 2).alias("vmax"))
+    q["hypertable_rollup"] = q_rollup
 
     # --- TPC-H-style relational coverage — SQL-checked
     def q_tpch1(spark, sf_dir):
@@ -723,6 +743,24 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS first_event,
                    round(sum(value), 2) AS session_value
             FROM sess GROUP BY user_id, session_no""",
+        "bbox_overlap_pairs": f"""
+            WITH boxes(url, page, x0, y0, x1, y1, kind) AS (
+              VALUES {_BBOX_VALUES}
+            )
+            SELECT a.url, a.page, a.kind AS kind_a, b.kind AS kind_b
+            FROM boxes a JOIN boxes b
+              ON a.url = b.url AND a.page = b.page
+             AND greatest(a.x0, b.x0) < least(a.x1, b.x1)
+             AND greatest(a.y0, b.y0) < least(a.y1, b.y1)
+             AND (a.x0, a.y0, a.x1, a.y1, a.kind)
+                 < (b.x0, b.y0, b.x1, b.y1, b.kind)""",
+        "hypertable_rollup": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   round(min(value), 2) AS vmin,
+                   round(max(value), 2) AS vmax
+            FROM events GROUP BY 1, 2""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -49,6 +49,75 @@ def enclosing_bbox(df: DataFrame) -> DataFrame:
                  F.count("*").alias("n_boxes")))
 
 
+def overlapping_bbox_pairs(df: DataFrame, cell: float = 50.0) -> DataFrame:
+    """Range (overlap) join without a cartesian: grid-cell binning.
+
+    Each box is exploded onto the grid cells it covers; candidate pairs
+    come from an equi-join on (url, page, cell) — only boxes sharing a
+    cell ever meet — then the exact overlap predicate filters and
+    dropDuplicates removes multi-cell repeats. At 10^12 rows the
+    equi-join shuffles on uniform cell keys instead of degenerating
+    into a BroadcastNestedLoop theta-join; ``cell`` trades shuffle
+    width against candidate count.
+
+    Overlap = strict interior intersection: max(x0) < min(x1) and
+    max(y0) < min(y1). Output (url, page, kind_a, kind_b) pairs with
+    kind_a < kind_b ordering by (x0, y0, kind) row identity.
+    """
+    boxed = df.withColumn(
+        "_id", F.xxhash64("url", "page", "x0", "y0", "x1", "y1", "kind"))
+    cells = boxed.withColumn(
+        "cx", F.explode(F.sequence(F.floor(F.col("x0") / cell),
+                                   F.floor(F.col("x1") / cell)))) \
+        .withColumn(
+        "cy", F.explode(F.sequence(F.floor(F.col("y0") / cell),
+                                   F.floor(F.col("y1") / cell))))
+    a, b = cells.alias("a"), cells.alias("b")
+    # canonical pair order by row VALUES (struct comparison), matching a
+    # SQL row-value tuple comparison, so oracles order pairs identically
+    ord_a = F.struct(*[F.col(f"a.{c}") for c in
+                       ("x0", "y0", "x1", "y1", "kind")])
+    ord_b = F.struct(*[F.col(f"b.{c}") for c in
+                       ("x0", "y0", "x1", "y1", "kind")])
+    pairs = (a.join(b, (F.col("a.url") == F.col("b.url"))
+                    & (F.col("a.page") == F.col("b.page"))
+                    & (F.col("a.cx") == F.col("b.cx"))
+                    & (F.col("a.cy") == F.col("b.cy"))
+                    & (ord_a < ord_b))
+             .where((F.greatest("a.x0", "b.x0") < F.least("a.x1", "b.x1"))
+                    & (F.greatest("a.y0", "b.y0")
+                       < F.least("a.y1", "b.y1")))
+             .select(F.col("a.url").alias("url"),
+                     F.col("a.page").alias("page"),
+                     F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a.kind").alias("kind_a"),
+                     F.col("b.kind").alias("kind_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return pairs.select("url", "page", "kind_a", "kind_b")
+
+
+def naive_overlapping_bbox_pairs(df: DataFrame) -> DataFrame:
+    """Theta-join reference implementation (test oracle for the binned
+    version; never run this at scale)."""
+    boxed = df.withColumn(
+        "_id", F.xxhash64("url", "page", "x0", "y0", "x1", "y1", "kind"))
+    a, b = boxed.alias("a"), boxed.alias("b")
+    ord_a = F.struct(*[F.col(f"a.{c}") for c in
+                       ("x0", "y0", "x1", "y1", "kind")])
+    ord_b = F.struct(*[F.col(f"b.{c}") for c in
+                       ("x0", "y0", "x1", "y1", "kind")])
+    return (a.join(b, (F.col("a.url") == F.col("b.url"))
+                   & (F.col("a.page") == F.col("b.page"))
+                   & (ord_a < ord_b)
+                   & (F.greatest("a.x0", "b.x0") < F.least("a.x1", "b.x1"))
+                   & (F.greatest("a.y0", "b.y0") < F.least("a.y1", "b.y1")))
+            .select(F.col("a.url").alias("url"),
+                    F.col("a.page").alias("page"),
+                    F.col("a.kind").alias("kind_a"),
+                    F.col("b.kind").alias("kind_b")))
+
+
 def merge_spans(df: DataFrame, group_cols: list[str],
                 start_col: str = "start", end_col: str = "end") -> DataFrame:
     """Span-merge provenance: (min(start), max(end), total chars)."""

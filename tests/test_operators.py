@@ -281,3 +281,46 @@ def test_host_salted_repartition_bounds_skew(spark):
     assert max_over_mean(plain) > 3.0      # hot host dominates a partition
     assert max_over_mean(salted) < 2.0     # salting bounds the ratio
     assert sum(r["count"] for r in salted) == 600
+
+
+def test_binned_overlap_join_equals_theta_join(spark):
+    """Grid binning must find EXACTLY the theta-join's overlap pairs,
+    for any cell size (multi-cell duplicates deduped, none missed)."""
+    import random
+    rng = random.Random("overlap:42")
+    rows = []
+    for i in range(120):
+        x0 = rng.uniform(0, 400); y0 = rng.uniform(0, 300)
+        rows.append((f"u{i % 3}", 1 + i % 2, x0, y0,
+                     x0 + rng.uniform(1, 120), y0 + rng.uniform(1, 90),
+                     f"k{i}"))
+    df = spark.createDataFrame(
+        rows, "url string, page int, x0 double, y0 double, x1 double, "
+              "y1 double, kind string")
+    naive = {tuple(r) for r in
+             spans.naive_overlapping_bbox_pairs(df).collect()}
+    assert naive  # dense enough to overlap
+    for cell in (25.0, 80.0, 500.0):
+        binned = {tuple(r) for r in
+                  spans.overlapping_bbox_pairs(df, cell=cell).collect()}
+        assert binned == naive, f"cell={cell}"
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """Hypertable invariant: hour-from-minutes == hour-from-raw, and
+    day-from-hours == day-from-raw (decomposable merge correctness)."""
+    from historicaldatadocumentparsersystem_spark.operators import rollup
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    minute, hour, day = rollup.cascade(
+        ev, lengths=("1 minute", "1 hour", "1 day"))
+
+    def snap(df):
+        return {(r.bucket_start, r.key):
+                (r.n, round(r.total, 6), r.vmin, r.vmax)
+                for r in df.collect()}
+
+    direct_hour = rollup.finest_rollup(ev, length="1 hour")
+    direct_day = rollup.finest_rollup(ev, length="1 day")
+    assert snap(hour) == snap(direct_hour)
+    assert snap(day) == snap(direct_day)
+    assert minute.count() >= hour.count() >= day.count()
