@@ -76,3 +76,35 @@ def test_pdf_prefixed_bytes_never_crash(tail, npages):
         src = payload.decode("latin-1")
         for s, e, _ in res.spans:
             assert 0 <= s < e <= len(src)
+
+
+# --- chunking oracle properties (A4) ----------------------------------------
+
+_elements = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50),
+              st.text(alphabet=" abcdef", max_size=60)),
+    max_size=20)
+
+
+@given(_elements, st.integers(2, 12), st.integers(0, 4))
+@settings(max_examples=200, deadline=None)
+def test_chunking_properties(elements, max_tokens, overlap):
+    from historicaldatadocumentparsersystem_spark.operators.chunking import (
+        chunk_elements)
+    overlap = min(overlap, max_tokens - 1)
+    chunks = chunk_elements(elements, max_tokens, overlap)
+    # budget respected by every chunk
+    for cid, page, text, n_tokens in chunks:
+        assert 1 <= n_tokens <= max_tokens
+        assert n_tokens == len(text.split())
+    # chunk ids are dense and ordered
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    # no content loss: every input word lands in some chunk (window
+    # splits may duplicate words, never drop them)
+    in_words = [w for _, _, t in elements for w in t.split()]
+    out_words = [w for _, _, t, _ in chunks for w in t.split()]
+    assert set(in_words) <= set(out_words)
+    if not in_words:
+        assert chunks == []
+    # deterministic
+    assert chunks == chunk_elements(elements, max_tokens, overlap)
