@@ -24,8 +24,8 @@ if _REPO not in sys.path:
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline
 from historicaldatadocumentparsersystem_spark.operators import (
-    asof, chunking, dedup, keywords, rollup, routing, similarity, skew,
-    spans, textstats)
+    asof, chunking, dedup, keywords, records, rollup, routing, similarity,
+    skew, spans, textstats)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -307,6 +307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=16,
                                    n_probe=2)
     q["ivf_topk"] = q_ivf
+
+    # --- structured-record emission (the reference's final stage,
+    # LLM replaced by deterministic keyword rules) — SQL-checked
+    def q_records(spark, sf_dir):
+        return records.extract_records(
+            _t(spark, sf_dir, "documents"),
+            {"merges": ["merge"], "windows": ["window", "stream"]})
+    q["structured_records"] = q_records
 
     # --- as-of join (custom operator; union+window, no range blowup)
     def q_asof(spark, sf_dir):
@@ -711,6 +719,29 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
             FROM j QUALIFY rk <= 5""",
+        "structured_records": r"""
+            WITH raw AS (
+              SELECT doc_id, string_split_regex(text, '\. ') AS bl
+              FROM documents
+            ), blocks AS (
+              SELECT doc_id AS id,
+                     unnest(list_transform(generate_series(1, len(bl)),
+                            i -> {'ord': i, 'block': bl[i]})) AS u
+              FROM raw
+            ), bb AS (
+              SELECT id, u.ord AS ord, u.block AS block FROM blocks
+              WHERE trim(u.block) != ''
+            ), rules(data_type, pat) AS (
+              VALUES ('merges', 'merge'), ('windows', 'window|stream')
+            ), matched AS (
+              SELECT bb.id, bb.ord, bb.block, rules.data_type
+              FROM bb JOIN rules
+                ON regexp_matches(lower(bb.block), rules.pat)
+            )
+            SELECT id, data_type,
+                   string_agg(block, ' ' ORDER BY ord) AS content,
+                   count(*) AS n_blocks
+            FROM matched GROUP BY id, data_type""",
         "asof_join": """
             SELECT p.event_id, p.user_id,
                    l.event_id AS prior_login_id
