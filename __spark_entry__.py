@@ -453,7 +453,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "lang_stats": f"""
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::bigint AS total_chars,
                    sum(len({tok}))::bigint AS total_tokens
             FROM documents GROUP BY lang""",
         "text_profile": f"""
@@ -623,7 +624,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events QUALIFY rk <= 5""",
         "host_stats_salted": """
             SELECT source AS host, count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   sum(n_chars)::bigint AS total_chars
             FROM documents GROUP BY source""",
         "bbox_remove_nested": f"""
             WITH boxes(url, page, x0, y0, x1, y1, kind) AS (
@@ -648,9 +649,9 @@ def oracle_sql() -> dict[str, str]:
             FROM boxes GROUP BY url, page""",
         "span_merge": f"""
             WITH s(url, page, "start", "end") AS (VALUES {_SPAN_VALUES})
-            SELECT url, page, min("start") AS span_start,
-                   max("end") AS span_end,
-                   sum("end" - "start") AS covered_chars
+            SELECT url, page, min("start")::bigint AS span_start,
+                   max("end")::bigint AS span_end,
+                   sum("end" - "start")::bigint AS covered_chars
             FROM s GROUP BY url, page""",
         "lang_id_heuristic": f"""
             SELECT doc_id,
@@ -767,7 +768,7 @@ def oracle_sql() -> dict[str, str]:
             ), sess AS (
               SELECT *, sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_no
+                       ROWS UNBOUNDED PRECEDING)::bigint AS session_no
               FROM gaps
             )
             SELECT user_id, session_no, count(*) AS n_events,

@@ -46,6 +46,59 @@ def _normalize(rows, cols):
     return out
 
 
+def _spark_type_key(ts: str) -> str:
+    """Normalize a Spark simpleString type to a comparable key."""
+    if ts.startswith("array<") and ts.endswith(">"):
+        return f"list<{_spark_type_key(ts[6:-1])}>"
+    return {
+        "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+        "double": "f", "float": "f", "string": "str", "boolean": "bool",
+        "binary": "bin", "date": "date",
+    }.get(ts, "ts" if ts.startswith("timestamp") else ts)
+
+
+def _arrow_type_key(t) -> str:
+    """Normalize a pyarrow type to the same key space as _spark_type_key."""
+    import pyarrow as pa
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_type_key(t.value_type)}>"
+    # DuckDB DECIMAL (incl. HUGEINT = decimal128(38,0)) lands as float64
+    # through the driver's pandas conversion — class-match against Spark
+    # doubles, but flag it against Spark integer columns (the HUGEINT trap).
+    if pa.types.is_decimal(t):
+        return "f"
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    return str(t)
+
+
+def _assert_type_parity(name, sdf, ddb, oracle):
+    """Mirror the driver's TYPED value-hash: a DuckDB HUGEINT / INTEGER
+    aggregate vs a Spark LONG hashes differently even when str() values
+    match, so assert normalized type equality per column up front."""
+    o_schema = ddb.execute(
+        f"SELECT * FROM ({oracle}) __q LIMIT 0").fetch_arrow_table().schema
+    o_types = {f.name: _arrow_type_key(f.type) for f in o_schema}
+    s_types = {f.name: _spark_type_key(f.dataType.simpleString())
+               for f in sdf.schema.fields}
+    assert o_types == s_types, (
+        f"{name}: oracle column types {o_types} != spark {s_types} "
+        f"(an untyped str() compare would hide this; cast the oracle, "
+        f"e.g. sum(x)::bigint)")
+
+
 def _approx_equal(a, b):
     if len(a) != len(b):
         return False, f"row count {len(a)} vs {len(b)}"
@@ -76,6 +129,7 @@ def test_query_vs_oracle(spark, ddb, name):
         assert len(spark_rows) >= 0  # rows-only smoke
         assert spark_cols
         return
+    _assert_type_parity(name, sdf, ddb, oracle)
     res = ddb.execute(oracle)
     o_cols = [d[0] for d in res.description]
     o_rows = res.fetchall()
