@@ -33,6 +33,13 @@ from historicaldatadocumentparsersystem_spark.operators import (
 _KEYWORDS = ["merge", "window", "stream"]  # F4 keyword sets analog
 _TOKSPLIT = r"\s+"
 
+# committed golden output of the PURE-PYTHON extractor over the seed-42
+# corpus (regenerated only on conscious semantic change; see
+# tests/test_golden.py) — serves as the DuckDB oracle source for the
+# extraction queries, whose DOM parse itself is not SQL-expressible
+_GOLDEN = os.path.join(_REPO, "fixtures",
+                       "golden_extracted_seed42_n300.parquet")
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -105,13 +112,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # --- flagship extraction (rows-only: DOM parse not SQL-expressible)
+    # --- flagship extraction — hash-checked against the committed golden
+    # parquet (the pure-Python extractor's pinned output; the Spark UDF
+    # calls the same functions, so scores are byte-identical doubles and
+    # need no rounding on either side)
     def q_extract(spark, sf_dir):
         docs = fixtures.corpus_df(spark, 300, num_partitions=8)
         return (pipeline.extract_df(docs, num_buckets=8)
                 .select("url", "doc_kind", "n_blocks",
                         F.length("extracted_text").alias("n_chars"),
-                        F.round("score", 4).alias("score"))
+                        "score")
                 .orderBy("url"))
     q["extract_corpus"] = q_extract
 
@@ -452,6 +462,60 @@ def oracle_sql() -> dict[str, str]:
     best = "greatest({})".format(", ".join(ratios.values()))
 
     return {
+        # extraction queries: oracle = the committed golden parquet, the
+        # pinned output of the PURE-PYTHON extractor over the same seed-42
+        # corpus (tests/test_golden.py re-derives it element-by-element) —
+        # DuckDB aggregates the golden file, Spark runs the real pipeline
+        "extract_corpus": f"""
+            SELECT url, doc_kind, n_blocks,
+                   length(extracted_text) AS n_chars, score
+            FROM read_parquet('{_GOLDEN}')
+            ORDER BY url""",
+        "extract_kind_stats": f"""
+            SELECT doc_kind, count(*) AS n_docs,
+                   sum(n_blocks)::bigint AS total_blocks,
+                   sum(length(extracted_text))::bigint AS total_chars
+            FROM read_parquet('{_GOLDEN}')
+            GROUP BY doc_kind""",
+        # A4 token-budget fold as a linear recursive CTE: iteration i
+        # carries (chunk_id, cur_tokens) from element i-1 to element i per
+        # url — the exact budget-reset/page-close semantics of
+        # chunking.chunk_elements (reference doc_processor.py:225-329).
+        # Elements are 8-word sentences (< max_tokens=24), so the
+        # oversize window-split path is provably unreachable here; it is
+        # covered by tests/test_property.py instead.
+        "chunk_token_budget": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id::varchar AS url,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x != '') AS tk
+              FROM documents
+            ), sent AS (
+              SELECT url, (i - 1)::int AS pos, ((i - 1) // 4)::int AS page,
+                     array_to_string(
+                       list_slice(tk, (i - 1) * 8 + 1, i * 8), ' ') AS text,
+                     len(list_slice(tk, (i - 1) * 8 + 1, i * 8)) AS w
+              FROM toks, unnest(generate_series(1,
+                     greatest((len(tk) + 7) // 8, 1))) AS u(i)
+            ), elems AS (
+              SELECT url, page, text, w,
+                     row_number() OVER (PARTITION BY url ORDER BY pos) AS idx
+              FROM sent WHERE text != ''
+            ), rec AS (
+              SELECT url, idx, page, text, w, 0 AS chunk_id, w AS cur_tokens
+              FROM elems WHERE idx = 1
+              UNION ALL
+              SELECT e.url, e.idx, e.page, e.text, e.w,
+                     CASE WHEN e.page != r.page OR r.cur_tokens + e.w > 24
+                          THEN r.chunk_id + 1 ELSE r.chunk_id END,
+                     CASE WHEN e.page != r.page OR r.cur_tokens + e.w > 24
+                          THEN e.w ELSE r.cur_tokens + e.w END
+              FROM rec r JOIN elems e ON e.url = r.url AND e.idx = r.idx + 1
+            )
+            SELECT url, chunk_id::int AS chunk_id, min(page)::int AS page,
+                   string_agg(text, chr(10) ORDER BY idx) AS text,
+                   sum(w)::bigint AS n_tokens
+            FROM rec GROUP BY url, chunk_id""",
         "lang_stats": f"""
             SELECT lang, count(*) AS n_docs,
                    sum(n_chars)::bigint AS total_chars,
