@@ -32,6 +32,93 @@ from historicaldatadocumentparsersystem_spark.operators import (
 
 _KEYWORDS = ["merge", "window", "stream"]  # F4 keyword sets analog
 _TOKSPLIT = r"\s+"
+_EMB_PLANES, _EMB_TABLES = 4, 6  # near-dup LSH config (query + oracle)
+
+
+def _flit(p: float) -> str:
+    """DuckDB DOUBLE literal: an exponent forces DOUBLE parsing (plain
+    decimals parse as DECIMAL, whose re-conversion need not be
+    IEEE-exact); repr round-trips the exact double."""
+    s = repr(float(p))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _sig_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity.hyperplane_signature: sign bits of
+    dot(vec, plane_i) packed into a bigint, with the plane constants
+    inlined as double literals (same values the Spark side uses) and
+    the same left fold order (0.0-init aggregate == list_reduce)."""
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(_flit(p) for p in plane) + "]"
+        d = (f"list_reduce(list_transform(generate_series(1, {len(plane)}),"
+             f" i -> {vec}[i]::double * ({arr})[i]::double),"
+             f" (x, y) -> x + y)")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::bigint"
+
+
+def _cos_sql(u: str, v: str) -> str:
+    """cosine(u, v) with the exact fold order the Spark side uses
+    (aggregate starting at 0.0 == list_reduce first-element init,
+    IEEE-identical for these inputs)."""
+    d = (f"list_reduce(list_transform(generate_series(1, len({u})), "
+         f"i -> {u}[i]::double * {v}[i]::double), (x, y) -> x + y)")
+    nu = (f"sqrt(list_reduce(list_transform({u}, z -> z::double * "
+          f"z::double), (x, y) -> x + y))")
+    nv = (f"sqrt(list_reduce(list_transform({v}, z -> z::double * "
+          f"z::double), (x, y) -> x + y))")
+    return f"(({d}) / ({nu} * {nv}))"
+
+
+def _near_dup_oracle() -> str:
+    """DuckDB twin of similarity.embedding_near_dup_lsh: same plane
+    constants, same per-(table, signature) candidate equi-join, same
+    rounded-cosine threshold."""
+    tables = [similarity.make_planes(64, _EMB_PLANES, 42 + t)
+              for t in range(_EMB_TABLES)]
+    sig_rows = "\n              UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS t, {_sig_sql('e', planes)} AS sig FROM c"
+        for t, planes in enumerate(tables))
+    return f"""
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings
+                       WHERE vec_id < 500),
+            sigs AS (
+              {sig_rows}
+            ),
+            cand AS (
+              SELECT DISTINCT s1.vec_id AS id_a, s2.vec_id AS id_b
+              FROM sigs s1 JOIN sigs s2
+                ON s1.t = s2.t AND s1.sig = s2.sig
+               AND s1.vec_id < s2.vec_id
+            )
+            SELECT id_a, id_b, round({_cos_sql('a.e', 'b.e')}, 6) AS cos_sim
+            FROM cand JOIN c a ON a.vec_id = cand.id_a
+                      JOIN c b ON b.vec_id = cand.id_b
+            WHERE round({_cos_sql('a.e', 'b.e')}, 6) >= 0.35"""
+
+
+def _lsh_topk_oracle() -> str:
+    """DuckDB twin of similarity.lsh_topk (k=5, 8 planes x 2 tables,
+    queries vec_id < 5): candidates share a bucket in ANY table."""
+    t0 = similarity.make_planes(64, 8, 42)
+    t1 = similarity.make_planes(64, 8, 43)
+    return f"""
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
+            cs AS (SELECT vec_id, e, {_sig_sql('e', t0)} AS sig0,
+                          {_sig_sql('e', t1)} AS sig1 FROM c),
+            qs AS (SELECT vec_id AS query_id, e AS qe, sig0, sig1
+                   FROM cs WHERE vec_id < 5),
+            j AS (
+              SELECT qs.query_id, cs.vec_id AS neighbor_id,
+                     round({_cos_sql('cs.e', 'qs.qe')}, 6) AS cos_sim
+              FROM cs JOIN qs
+                ON (cs.sig0 = qs.sig0 OR cs.sig1 = qs.sig1)
+               AND cs.vec_id <> qs.query_id)
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM j QUALIFY rk <= 5"""
 
 # committed golden output of the PURE-PYTHON extractor over the seed-42
 # corpus (regenerated only on conscious semantic change; see
@@ -302,11 +389,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_set_ops"] = q_setops
 
     # --- embedding-cosine near-dup (training-data dedup) — SQL-checked;
-    # id-bounded like the other pair queries (all-pairs grows O(sf^2))
+    # LSH-bucketed candidates (equi-join per (table, signature) bucket;
+    # no all-pairs cartesian anywhere in the plan — see test_plans.py).
+    # The id bound keeps bench wall-time flat across sf.
     def q_embdup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-        return similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+        return similarity.embedding_near_dup_lsh(
+            emb, threshold=0.35, dim=64, n_planes=_EMB_PLANES,
+            n_tables=_EMB_TABLES, seed=42)
     q["embedding_near_dup"] = q_embdup
+
+    # --- LSH-bucketed ANN top-k (scale path, portable signatures) —
+    # SQL-checked: the oracle embeds the same hyperplane constants
+    def q_lsh_topk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = (emb.where(F.col("vec_id") < 5)
+                      .select(F.col("vec_id").alias("query_id"),
+                              "embedding"))
+        return similarity.lsh_topk(emb, queries_df, k=5, dim=64,
+                                   n_planes=8, n_tables=2, seed=42)
+    q["lsh_topk"] = q_lsh_topk
 
     # --- IVF-bucketed ANN (scale path) — SQL-checked
     def q_ivf(spark, sf_dir):
@@ -439,17 +541,7 @@ def oracle_sql() -> dict[str, str]:
            "z::double), (x, y) -> x + y))")
     cos = (f"({dot}) / ({nrm.format(v='a.e')} * {nrm.format(v='b.e')})")
 
-    def _cos(u: str, v: str) -> str:
-        """cosine(u, v) with the exact fold order the Spark side uses
-        (aggregate starting at 0.0 == list_reduce first-element init,
-        IEEE-identical for these inputs)."""
-        d = (f"list_reduce(list_transform(generate_series(1, len({u})), "
-             f"i -> {u}[i]::double * {v}[i]::double), (x, y) -> x + y)")
-        nu = (f"sqrt(list_reduce(list_transform({u}, z -> z::double * "
-              f"z::double), (x, y) -> x + y))")
-        nv = (f"sqrt(list_reduce(list_transform({v}, z -> z::double * "
-              f"z::double), (x, y) -> x + y))")
-        return f"(({d}) / ({nu} * {nv}))"
+    _cos = _cos_sql  # module-level helper, shared with the LSH oracles
 
     sw = {"en": "('the','a','of','and','to','in','is')",
           "fr": "('le','la','de','et','un','une','est')",
@@ -747,13 +839,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang FROM documents WHERE n_chars > 400
               EXCEPT
               SELECT lang FROM documents WHERE n_chars < 100)""",
-        "embedding_near_dup": f"""
-            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings
-                       WHERE vec_id < 500)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round({cos}, 6) AS cos_sim
-            FROM c a JOIN c b ON a.vec_id < b.vec_id
-            WHERE round({cos}, 6) >= 0.35""",
+        "embedding_near_dup": _near_dup_oracle(),
+        "lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": f"""
             WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
             cents AS (

@@ -151,6 +151,50 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.5,
             .where(F.col("cos_sim") >= threshold))
 
 
+def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding", dim: int = 64,
+                           n_planes: int = 4, n_tables: int = 6,
+                           seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed — the 100 TB scale path
+    (``embedding_near_dup_pairs`` is kept only as the exactness oracle
+    for pytest; its O(n^2) self-join must never run at scale).
+
+    Candidates come from an EQUI-join on (table, signature): the corpus
+    is exploded to one row per (id, table, sig) and self-joined per
+    bucket — never a cartesian. Duplicate candidates across tables are
+    collapsed before the exact cosine. Signatures use the deterministic
+    ``make_planes`` hyperplanes, so a SQL oracle reproduces them by
+    embedding the plane constants as double literals.
+
+    Expected recall for a pair with cosine s is
+    1 - (1 - p**n_planes)**n_tables with p = 1 - acos(s)/pi — tune
+    n_planes down / n_tables up for higher recall.
+
+    At 100 TB: persist the exploded corpus bucketed by (t, sig) once;
+    each bucket's self-join is then co-located (no shuffle) and skewed
+    buckets are split by AQE. Vectors ride along into the candidate
+    dedup (cheaper than two id->vector re-joins at dim 64; for very
+    wide vectors, dedup on ids and re-join instead).
+    """
+    tables = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+    sig_arr = F.array(*[hyperplane_signature(vec_col, p) for p in tables])
+    sigs = df.select(id_col, vec_col,
+                     F.posexplode(sig_arr).alias("t", "sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"a.{vec_col}").alias("va"),
+                    F.col(f"b.{vec_col}").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.select("id_a", "id_b",
+                        F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
 def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, n_planes: int = 8, n_tables: int = 2,

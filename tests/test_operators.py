@@ -120,6 +120,26 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     assert hits >= 1
 
 
+def test_near_dup_lsh_subset_of_allpairs(spark):
+    """The bucketed near-dup returns a subset of the exact all-pairs
+    result with IDENTICAL cosine values (all-pairs is the pytest-only
+    oracle; it never runs in the driver queries or at scale)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 200)
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in similarity.embedding_near_dup_pairs(
+                 emb, threshold=0.35).collect()}
+    approx = {(r.id_a, r.id_b): r.cos_sim
+              for r in similarity.embedding_near_dup_lsh(
+                  emb, threshold=0.35, dim=64, n_planes=4,
+                  n_tables=6).collect()}
+    assert approx, "LSH near-dup found no pairs at all"
+    for pair, v in approx.items():
+        assert pair in exact and v == exact[pair], pair
+    # recall sanity at this config (not a tight bound; catches breakage)
+    assert len(approx) >= len(exact) * 0.3, (len(approx), len(exact))
+
+
 def test_cosine_self_similarity(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
                                "vec_id long, embedding array<double>")

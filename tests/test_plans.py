@@ -63,3 +63,18 @@ def test_topk_is_single_shuffle(spark):
     df = entrymod.queries()["events_topk"](spark, SF)
     # one hash-partition exchange for the window, nothing else
     assert count_exchanges(df) == 1, physical_plan(df)
+
+
+def test_embedding_near_dup_has_no_cartesian(spark):
+    """The near-dup candidate join must be an equi-join on
+    (table, signature) buckets — the O(n^2) all-pairs form would show
+    up as a cartesian / nested-loop with only the id range condition."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["embedding_near_dup"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the bucket keys drive the join — any equi-keyed join form is fine
+    # (tiny input broadcasts; at scale AQE picks sort-merge/shuffled-hash)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
