@@ -22,10 +22,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from historicaldatadocumentparsersystem_spark import fixtures, pipeline
+from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
-    asof, chunking, dedup, keywords, records, rollup, routing, similarity,
-    skew, spans, textstats)
+    asof, chunking, dedup, keywords, multimodal, records, rollup, routing,
+    similarity, skew, spans, textstats)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -98,6 +98,33 @@ def _near_dup_oracle() -> str:
             WHERE round({_cos_sql('a.e', 'b.e')}, 6) >= 0.35"""
 
 
+def _picture_filter_oracle() -> str:
+    """DuckDB twin of multimodal.filter_allowed_classes over the same
+    fixture, exploded to (media_id, name, conf) rows: the Spark fold's
+    running cumulative confidence == a window sum over the identical
+    (conf DESC, name DESC) order, so sums are IEEE-identical."""
+    triples = ", ".join(
+        f"('{m}', '{n}', {_flit(c)})"
+        for m, classes in _MEDIA_CLASS_ROWS for n, c in classes)
+    allowed = ", ".join(f"'{a}'" for a in _ALLOWED_CLASSES)
+    return f"""
+            WITH cls(media_id, name, conf) AS (VALUES {triples}),
+            w AS (
+              SELECT media_id, name, conf,
+                     coalesce(sum(conf) OVER (PARTITION BY media_id
+                       ORDER BY conf DESC, name DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0.0e0) AS cum_before
+              FROM cls),
+            keep AS (
+              SELECT DISTINCT media_id FROM w
+              WHERE cum_before <= 0.8e0 AND name IN ({allowed})),
+            cnt AS (SELECT media_id, count(*)::int AS n_classes
+                    FROM cls GROUP BY media_id)
+            SELECT keep.media_id, cnt.n_classes
+            FROM keep JOIN cnt USING (media_id)"""
+
+
 def _lsh_topk_oracle() -> str:
     """DuckDB twin of similarity.lsh_topk (k=5, 8 planes x 2 tables,
     queries vec_id < 5): candidates share a bucket in ANY table."""
@@ -126,6 +153,8 @@ def _lsh_topk_oracle() -> str:
 # extraction queries, whose DOM parse itself is not SQL-expressible
 _GOLDEN = os.path.join(_REPO, "fixtures",
                        "golden_extracted_seed42_n300.parquet")
+_GOLDEN_PPTX = os.path.join(_REPO, "fixtures",
+                            "golden_pptx_elements_seed42_n40.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -155,6 +184,20 @@ _SPAN_ROWS = [
 ]
 _SPAN_VALUES = ", ".join(f"('{u}', {p}, {s}, {e})"
                          for u, p, s, e in _SPAN_ROWS)
+
+# F3 picture-class fixture (reference docling_chunker.py:104-126): keep a
+# row iff an ALLOWED class appears within the cumulative-confidence<=0.8
+# prefix of its classes sorted by confidence desc (ties: name desc)
+_MEDIA_CLASS_ROWS = [
+    ("m1", [("figure", 0.6), ("text", 0.3)]),    # allowed first -> keep
+    ("m2", [("text", 0.7), ("figure", 0.25)]),   # cum_before 0.7 -> keep
+    ("m3", [("text", 0.85), ("figure", 0.1)]),   # cum_before 0.85 -> drop
+    ("m4", [("chart", 0.9)]),                    # no allowed class -> drop
+    ("m5", [("table", 0.5), ("figure", 0.4), ("noise", 0.05)]),  # keep
+    ("m6", []),                                  # empty list -> drop
+    ("m7", [("figure", 0.4), ("text", 0.4)]),    # conf tie -> keep
+]
+_ALLOWED_CLASSES = ["figure", "table"]
 
 
 def _bbox_df(spark: SparkSession) -> DataFrame:
@@ -419,6 +462,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=16,
                                    n_probe=2)
     q["ivf_topk"] = q_ivf
+
+    # --- S7 pptx-subset source — hash-checked against the committed
+    # golden (pure-Python extract_pptx over the same deterministic
+    # decks; tests/test_sources.py re-derives it element-by-element)
+    def _pptx_df(spark):
+        decks = fixtures.pptx_deck_rows(40)
+        return spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in decks],
+            "url string, payload binary").repartition(8)
+
+    def q_pptx(spark, sf_dir):
+        return sources.read_pptx_elements(_pptx_df(spark))
+    q["pptx_elements"] = q_pptx
+
+    # S7 routed through F4+A2: keyword sections per deck in reading order
+    def q_pptx_kw(spark, sf_dir):
+        els = sources.read_pptx_elements(_pptx_df(spark)).withColumn(
+            "elem_no", F.col("slide") * 1000000 + F.col("shape") * 1000
+            + F.col("para"))
+        return keywords.keyword_sections(els, _KEYWORDS, group_col="url",
+                                         order_col="elem_no")
+    q["pptx_keyword_sections"] = q_pptx_kw
+
+    # --- F3 picture-class filter — SQL-checked (VALUES fixture both
+    # sides; the oracle re-derives the fold as a running window sum)
+    def q_picture_filter(spark, sf_dir):
+        df = spark.createDataFrame(
+            _MEDIA_CLASS_ROWS,
+            "media_id string, "
+            "classes array<struct<name:string, conf:double>>")
+        kept = multimodal.filter_allowed_classes(
+            df, "classes", _ALLOWED_CLASSES, conf_prefix=0.8)
+        return kept.select("media_id",
+                           F.size("classes").alias("n_classes"))
+    q["picture_class_filter"] = q_picture_filter
 
     # --- structured-record emission (the reference's final stage,
     # LLM replaced by deterministic keyword rules) — SQL-checked
@@ -841,6 +919,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang FROM documents WHERE n_chars < 100)""",
         "embedding_near_dup": _near_dup_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
+        "picture_class_filter": _picture_filter_oracle(),
+        "pptx_elements": f"""
+            SELECT url, slide, shape, para, kind, text
+            FROM read_parquet('{_GOLDEN_PPTX}')""",
+        "pptx_keyword_sections": f"""
+            SELECT url, string_agg(text, chr(10) || chr(10)
+                     ORDER BY slide * 1000000 + shape * 1000 + para
+                   ) AS joined
+            FROM read_parquet('{_GOLDEN_PPTX}')
+            WHERE regexp_matches(lower(text), 'merge|window|stream')
+            GROUP BY url""",
         "ivf_topk": f"""
             WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
             cents AS (

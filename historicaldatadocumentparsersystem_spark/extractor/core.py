@@ -17,7 +17,10 @@ from dataclasses import dataclass, field
 
 from .htmlx import decode_payload, extract_html
 from .pdfx import extract_pdf
-from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, sniff_kind
+from .pptx import extract_pptx_text, is_pptx
+from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_ZIP, sniff_kind
+
+KIND_PPTX = "pptx"
 
 # span struct field order used everywhere (Spark schema + oracle tuples)
 SPAN_FIELDS = ("start", "end", "kind")
@@ -62,6 +65,14 @@ def extract_document(payload: bytes | None, fallback_text: str | None
                 # fallback row, counted in lineage failed_rows
                 return _fallback(fallback_text, failed=True)
             return ExtractResult(KIND_PDF, text, spans, len(spans), score)
+        if kind == KIND_ZIP:
+            # S7 pptx subset (reference loaders.py:30-37 -> partition_pptx)
+            if not is_pptx(payload):  # non-OOXML zip: fallback, not a fail
+                return _fallback(fallback_text, failed=False)
+            text, spans = extract_pptx_text(payload)  # type: ignore[arg-type]
+            if not spans:
+                return _fallback(fallback_text, failed=True)
+            return ExtractResult(KIND_PPTX, text, spans, len(spans), 0.0)
     except Exception:
         # degrade to fallback, mark failed (lineage failed_rows)
         return _fallback(fallback_text, failed=True)

@@ -20,6 +20,7 @@ _BOMS = (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")
 
 KIND_HTML = "html"
 KIND_PDF = "pdf"
+KIND_ZIP = "zip"  # OOXML container candidate (pptx subset, S7)
 KIND_EMPTY = "empty"
 
 
@@ -40,4 +41,8 @@ def sniff_kind(payload: bytes | None) -> str:
         return KIND_HTML
     if stripped.startswith(b"<"):
         return KIND_HTML
+    if payload.startswith(b"PK\x03\x04"):
+        # zip container: the dispatcher confirms which OOXML type (a
+        # pptx has ppt/slides/ parts); non-OOXML zips fall back
+        return KIND_ZIP
     return KIND_EMPTY

@@ -215,6 +215,33 @@ def generate_rows(n: int, seed: int = 42, scale: int = 1) -> list[dict]:
     return [make_row(i, seed, scale) for i in range(n)]
 
 
+def pptx_deck_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic decks (S7 fixture): (url, payload).
+
+    Mix per deck: 1-3 slides, alternating titles, 2-4 paragraphs per
+    slide alternating bullet/plain; ~1/3 of paragraphs lead with an F4
+    keyword so keyword-section routing has hits to assert on."""
+    from .extractor.pptx import make_pptx
+    kw = ["merge", "window", "stream"]
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 7919, i)
+        slides = []
+        for s in range(1 + i % 3):
+            paras = []
+            for p in range(2 + (i + s) % 3):
+                txt = _sentence(rng, 4, 9)
+                if (i + s + p) % 3 == 0:
+                    txt = f"{kw[(i + p) % 3]} {txt}"
+                paras.append((txt, (p % 2) == 0))
+            slides.append({"title": f"Deck {i} slide {s + 1}"
+                           if s % 2 == 0 else None,
+                           "paras": paras})
+        out.append({"url": f"pptx://deck-{i}",
+                    "payload": make_pptx(slides)})
+    return out
+
+
 def corpus_schema():
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType, TimestampType)

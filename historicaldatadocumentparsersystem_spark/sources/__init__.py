@@ -62,3 +62,49 @@ def read_text_documents(spark: SparkSession, path: str) -> DataFrame:
     return (spark.read.text(path, wholetext=True)
             .withColumn("file", F.input_file_name())
             .withColumnRenamed("value", "text"))
+
+
+PPTX_ELEMENTS_DDL = ("url string, slide int, shape int, para int, "
+                     "kind string, text string")
+
+
+def read_pptx_elements(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """S7: (url, pptx payload) rows -> ordered slide elements.
+
+    Arrow-batched mapInPandas over the binary column; each row's parse
+    is the pure-Python ``extractor.pptx.extract_pptx`` (the oracle —
+    reference ``utils/loaders.py:30-37`` -> ``partition_pptx``), so
+    Spark output equals the single-process parse structurally.
+    Unparseable payloads yield no rows (F5: degrade, never crash).
+    """
+    import pandas as pd
+
+    from ..extractor.pptx import extract_pptx
+
+    def parse(batches):
+        for b in batches:
+            urls, slides, shapes, paras, kinds, texts = ([] for _ in
+                                                         range(6))
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    els = extract_pptx(bytes(payload))
+                except Exception:
+                    continue
+                for el in els:
+                    urls.append(url)
+                    slides.append(el.slide)
+                    shapes.append(el.shape)
+                    paras.append(el.para)
+                    kinds.append(el.kind)
+                    texts.append(el.text)
+            yield pd.DataFrame({
+                "url": urls,
+                "slide": pd.array(slides, dtype="int32"),
+                "shape": pd.array(shapes, dtype="int32"),
+                "para": pd.array(paras, dtype="int32"),
+                "kind": kinds, "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PPTX_ELEMENTS_DDL))
