@@ -565,14 +565,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle aggregates hourly DIRECTLY from raw — equality proves the
     # decomposable-merge cascade correct
     def q_rollup(spark, sf_dir):
-        ev = _t(spark, sf_dir, "events")
+        # value aggregated as DECIMAL: exact and associative, so the
+        # re-summed per-minute partials equal the oracle's direct sum
+        # bit-for-bit — no reliance on round(2) absorbing double
+        # reassociation error (verified: Spark/DuckDB double->decimal
+        # casts agree on every sf0.01 and sf0.1 events row)
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "value", F.col("value").cast("decimal(20,6)"))
         levels = rollup.cascade(ev, lengths=("1 minute", "1 hour"))
         hourly = levels[1]
         return hourly.select(
             "bucket_start", F.col("key").alias("event_type"), "n",
-            F.round("total", 2).alias("total"),
-            F.round("vmin", 2).alias("vmin"),
-            F.round("vmax", 2).alias("vmax"))
+            F.round("total", 2).cast("double").alias("total"),
+            F.round("vmin", 2).cast("double").alias("vmin"),
+            F.round("vmax", 2).cast("double").alias("vmax"))
     q["hypertable_rollup"] = q_rollup
 
     # --- TPC-H-style relational coverage — SQL-checked
@@ -1029,9 +1035,9 @@ def oracle_sql() -> dict[str, str]:
         "hypertable_rollup": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
                    event_type, count(*) AS n,
-                   round(sum(value), 2) AS total,
-                   round(min(value), 2) AS vmin,
-                   round(max(value), 2) AS vmax
+                   round(sum(value::decimal(20,6)), 2)::double AS total,
+                   round(min(value::decimal(20,6)), 2)::double AS vmin,
+                   round(max(value::decimal(20,6)), 2)::double AS vmax
             FROM events GROUP BY 1, 2""",
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -25,6 +25,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
 
     Ties (equal timestamps) resolve to the right row (side priority 0
     sorts before the left row's 1) — ASOF JOIN ``>=`` semantics.
+
+    Tie rule among RIGHT rows sharing (key, time): the row with the
+    greatest value tuple wins (the window ordering ends with the value
+    columns ascending, so ``last`` picks the largest). Without this
+    the relative order of equal-time right rows would be whatever the
+    shuffle produced — nondeterministic across runs/cluster sizes.
     """
     lcols = left.columns
     rtypes = dict(right.dtypes)
@@ -45,7 +51,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
 
     unioned = l_side.unionByName(r_side.select(l_side.columns))
     w = (Window.partitionBy(key)
-         .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+         .orderBy(F.col(time_col).asc(), F.col("_side").asc(),
+                  *[F.col(f"_rv_{v}").asc_nulls_first()
+                    for v in value_cols])
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = unioned
     for v in value_cols:

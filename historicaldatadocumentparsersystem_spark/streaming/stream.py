@@ -6,12 +6,22 @@ the batch path implements via lineage MERGE. This module is the drop-in
 streaming form the north rule anticipates: ``readStream`` over a
 documents source -> the SAME Arrow-batched extraction (code reuse ==
 identical bytes) -> ``foreachBatch`` writing extracted + lineage per
-micro-batch, with checkpointLocation giving exactly-once resume.
+micro-batch.
+
+Exactly-once: ``foreachBatch`` itself is only at-least-once (a batch
+that fails after a partial/complete write is replayed from the
+checkpoint), so the sink is made idempotent — extracted rows land in a
+``batch_id=N`` partition under DYNAMIC partition overwrite (a replay
+atomically rewrites exactly that partition, never appends), and a
+batch whose lineage snapshot is already committed is skipped outright
+(lineage is written last, so its presence proves the parquet write
+completed). Replays therefore converge to one copy of every row.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import pipeline
 from ..catalog import Catalog
@@ -34,12 +44,21 @@ def extraction_stream(spark: SparkSession, source_dir: str,
     cat = Catalog(out_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        snap = f"stream-batch-{batch_id}"
+        lin = cat.read_lineage(session)
+        if lin is not None and \
+                lin.where(lin.snapshot_id == snap).limit(1).count() > 0:
+            return  # replayed batch: already fully committed
+        session.conf.set("spark.sql.sources.partitionOverwriteMode",
+                         "dynamic")
         extracted = pipeline.extract_df(batch_df, num_buckets=num_buckets,
                                         shuffle=False).cache()
-        extracted.write.mode("append").parquet(cat.extracted_path)
+        (extracted.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(cat.extracted_path))
         lineage = pipeline.lineage_from_extracted(
-            extracted, run_id=run_id,
-            snapshot_id=f"stream-batch-{batch_id}", wall_ms=0)
+            extracted, run_id=run_id, snapshot_id=snap, wall_ms=0)
         cat.append_lineage(lineage)
         extracted.unpersist()
 

@@ -326,6 +326,19 @@ def test_binned_overlap_join_equals_theta_join(spark):
         assert binned == naive, f"cell={cell}"
 
 
+def test_asof_join_tie_rule_deterministic(spark):
+    """Right rows sharing (key, time): the greatest value tuple wins —
+    pinned so the pick cannot drift with shuffle order."""
+    from historicaldatadocumentparsersystem_spark.operators import asof
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 7.0), (1, 9, 99.0)],
+        "k int, t int, v double")
+    got = asof.asof_join(left, right, key="k", time_col="t",
+                         value_cols=["v"]).collect()
+    assert len(got) == 1 and got[0].asof_v == 7.0
+
+
 def test_rollup_cascade_equals_direct(spark):
     """Hypertable invariant: hour-from-minutes == hour-from-raw, and
     day-from-hours == day-from-raw (decomposable merge correctness)."""
