@@ -155,6 +155,8 @@ _GOLDEN = os.path.join(_REPO, "fixtures",
                        "golden_extracted_seed42_n300.parquet")
 _GOLDEN_PPTX = os.path.join(_REPO, "fixtures",
                             "golden_pptx_elements_seed42_n40.parquet")
+_GOLDEN_DOCX = os.path.join(_REPO, "fixtures",
+                            "golden_docx_elements_seed42_n40.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -484,6 +486,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return keywords.keyword_sections(els, _KEYWORDS, group_col="url",
                                          order_col="elem_no")
     q["pptx_keyword_sections"] = q_pptx_kw
+
+    # --- S6 docx-subset source — hash-checked against committed golden
+    def _docx_df(spark):
+        files = fixtures.docx_file_rows(40)
+        return spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+
+    def q_docx(spark, sf_dir):
+        return sources.read_docx_elements(_docx_df(spark))
+    q["docx_elements"] = q_docx
+
+    # S6 routed through A4 (the reference's docx shape: extract
+    # paragraphs -> token-budget chunking, unstructured_chunker.py:79-91)
+    def q_docx_chunks(spark, sf_dir):
+        els = sources.read_docx_elements(_docx_df(spark)).select(
+            "url", F.lit(0).alias("page"), F.col("para").alias("pos"),
+            "text")
+        return chunking.chunk_by_token_budget(els, max_tokens=24,
+                                              overlap=6)
+    q["docx_token_chunks"] = q_docx_chunks
 
     # --- F3 picture-class filter — SQL-checked (VALUES fixture both
     # sides; the oracle re-derives the fold as a running window sum)
@@ -936,6 +959,37 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_PPTX}')
             WHERE regexp_matches(lower(text), 'merge|window|stream')
             GROUP BY url""",
+        "docx_elements": f"""
+            SELECT url, para, kind, text
+            FROM read_parquet('{_GOLDEN_DOCX}')""",
+        # same linear recursive-CTE fold as chunk_token_budget, over the
+        # golden docx paragraphs (single page, so only the budget rule
+        # closes chunks; fixture paragraphs are < max_tokens by
+        # construction, so the window-split path cannot trigger)
+        "docx_token_chunks": rf"""
+            WITH RECURSIVE elems AS (
+              SELECT url, text,
+                     len(list_filter(regexp_split_to_array(trim(text),
+                         '\s+'), x -> x != '')) AS w,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY para) AS idx
+              FROM read_parquet('{_GOLDEN_DOCX}')
+            ), rec AS (
+              SELECT url, idx, text, w, 0 AS chunk_id, w AS cur_tokens
+              FROM elems WHERE idx = 1
+              UNION ALL
+              SELECT e.url, e.idx, e.text, e.w,
+                     CASE WHEN r.cur_tokens + e.w > 24
+                          THEN r.chunk_id + 1 ELSE r.chunk_id END,
+                     CASE WHEN r.cur_tokens + e.w > 24
+                          THEN e.w ELSE r.cur_tokens + e.w END
+              FROM rec r JOIN elems e ON e.url = r.url
+                                     AND e.idx = r.idx + 1
+            )
+            SELECT url, chunk_id::int AS chunk_id, 0::int AS page,
+                   string_agg(text, chr(10) ORDER BY idx) AS text,
+                   sum(w)::bigint AS n_tokens
+            FROM rec GROUP BY url, chunk_id""",
         "ivf_topk": f"""
             WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
             cents AS (

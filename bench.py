@@ -42,8 +42,24 @@ BENCH_INPUT = os.environ.get("SPARK_GRAFT_BENCH_INPUT", "parquet")
 
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
+    # shuffle/spill local dirs on tmpfs: on this shared VM /tmp is ext4,
+    # so every timed run writes the whole corpus through the disk — a
+    # host-constant bandwidth term. On a real N vs 4N cluster shuffle
+    # dirs are per-executor local disks that scale WITH the cluster, so
+    # tmpfs is the fair single-box proxy (and kills writeback noise).
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp")
     return (SparkSession.builder.master(f"local[{cpus}]")
             .appName("historicaldatadocumentparsersystem-spark-bench")
+            .config("spark.local.dir", local_dir)
+            # with tmpfs shuffle dirs, lz4 on the 12 KB html blobs is
+            # pure CPU for a memcpy-speed medium — skip it (a real
+            # cluster with disk/network shuffle keeps compression ON)
+            .config("spark.shuffle.compress",
+                    str(not local_dir.startswith("/dev/shm")).lower())
+            .config("spark.shuffle.spill.compress",
+                    str(not local_dir.startswith("/dev/shm")).lower())
             .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -54,7 +70,10 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-def time_extraction(spark, n_docs: int, runs: int = 4) -> dict:
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+
+
+def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
     """Generate corpus on executors, persist, then time extraction only.
 
     Protocol (BASELINE.md): 1 full-partitioning warmup (spins up every
@@ -154,13 +173,23 @@ def main_scaling() -> None:
     # threads) while local[8] leaves JVM helpers free cores — set
     # SPARK_GRAFT_SCALE_N=4 for the headroom-fair 4->16 proxy.
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    # SPARK_GRAFT_PIN_CPUS=1: taskset each child to exactly its core
+    # count (0..N-1 / 0..4N-1). Without pinning, the local[N] JVM's
+    # helper threads (GC, netty, parquet IO) borrow the box's other
+    # 32-N cores — a subsidy a real N-executor cluster does not get —
+    # inflating the small-N baseline and understating efficiency.
+    # Pinning is the faithful N vs 4N cluster proxy: each "cluster
+    # size" owns its cores and nothing more.
+    pin = os.environ.get("SPARK_GRAFT_PIN_CPUS", "0") == "1"
     results = {}
     for cpus in (n, 4 * n):
         env = dict(os.environ)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--scaling-child", str(cpus), str(BENCH_DOCS)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child",
-             str(cpus), str(BENCH_DOCS)],
-            capture_output=True, text=True, env=env, timeout=3600)
+            cmd, capture_output=True, text=True, env=env, timeout=3600)
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("SCALING_RESULT ")]
         if not line:
@@ -178,6 +207,8 @@ def main_scaling() -> None:
         "detail": results,
         "bench_docs": BENCH_DOCS,
         "doc_scale": DOC_SCALE,
+        "pinned_cpus": pin,
+        "input_mode": BENCH_INPUT,
     }))
 
 

@@ -15,12 +15,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from .docx import extract_docx_text, is_docx
 from .htmlx import decode_payload, extract_html
 from .pdfx import extract_pdf
 from .pptx import extract_pptx_text, is_pptx
 from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_ZIP, sniff_kind
 
 KIND_PPTX = "pptx"
+KIND_DOCX = "docx"
 
 # span struct field order used everywhere (Spark schema + oracle tuples)
 SPAN_FIELDS = ("start", "end", "kind")
@@ -67,12 +69,19 @@ def extract_document(payload: bytes | None, fallback_text: str | None
             return ExtractResult(KIND_PDF, text, spans, len(spans), score)
         if kind == KIND_ZIP:
             # S7 pptx subset (reference loaders.py:30-37 -> partition_pptx)
-            if not is_pptx(payload):  # non-OOXML zip: fallback, not a fail
-                return _fallback(fallback_text, failed=False)
-            text, spans = extract_pptx_text(payload)  # type: ignore[arg-type]
-            if not spans:
-                return _fallback(fallback_text, failed=True)
-            return ExtractResult(KIND_PPTX, text, spans, len(spans), 0.0)
+            if is_pptx(payload):
+                text, spans = extract_pptx_text(payload)  # type: ignore[arg-type]
+                if not spans:
+                    return _fallback(fallback_text, failed=True)
+                return ExtractResult(KIND_PPTX, text, spans, len(spans), 0.0)
+            # S6 docx subset (unstructured_chunker.py:79-91, Docx2txt)
+            if is_docx(payload):
+                text, spans = extract_docx_text(payload)  # type: ignore[arg-type]
+                if not spans:
+                    return _fallback(fallback_text, failed=True)
+                return ExtractResult(KIND_DOCX, text, spans, len(spans), 0.0)
+            # non-OOXML zip: fallback, not a fail
+            return _fallback(fallback_text, failed=False)
     except Exception:
         # degrade to fallback, mark failed (lineage failed_rows)
         return _fallback(fallback_text, failed=True)

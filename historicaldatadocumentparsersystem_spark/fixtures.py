@@ -242,6 +242,28 @@ def pptx_deck_rows(n: int, seed: int = 42) -> list[dict]:
     return out
 
 
+def docx_file_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic .docx files (S6 fixture): (url, payload).
+
+    3-7 paragraphs per document cycling heading/list/plain; every
+    paragraph stays under 10 words so the A4 chunk fold's oversize
+    window-split path is provably unreachable (pinned separately by
+    tests/test_property.py)."""
+    from .extractor.docx import make_docx
+    kinds = ["heading", "list_item", "text", "text", "list_item"]
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 104729, i)
+        paras = []
+        for p in range(3 + i % 5):
+            txt = _sentence(rng, 4, 9)
+            if (i + p) % 4 == 0:
+                txt = f"{['merge', 'window', 'stream'][(i + p) % 3]} {txt}"
+            paras.append((kinds[(i + p) % len(kinds)], txt))
+        out.append({"url": f"docx://file-{i}", "payload": make_docx(paras)})
+    return out
+
+
 def corpus_schema():
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType, TimestampType)

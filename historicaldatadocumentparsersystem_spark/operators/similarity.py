@@ -50,8 +50,18 @@ def brute_force_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     """Exact top-k neighbors for every query vector.
 
     query_df: (query_id, embedding). The query side is BROADCAST — at
-    100 TB the corpus side streams, queries are small dims. One shuffle
-    for the per-query window rank.
+    100 TB the corpus side streams, queries are small dims.
+
+    Two-phase rank: a single ``Window.partitionBy(query_id)`` ranks
+    |corpus| x |queries| rows with parallelism = |queries| (5 queries
+    -> 5 tasks doing ALL the sort work, whatever the cluster size).
+    Phase 1 ranks per (query, source partition id): its exchange moves
+    the same row volume, but hashes on (query_id, pid) so the sort
+    spreads over partitions x queries tasks, and only k rows per
+    (query, pid) survive. Phase 2 re-ranks the surviving
+    ~(partitions x k) rows per query — a tiny exchange. Identical
+    result: any row cut by phase 1 loses the same deterministic
+    (cos_sim DESC, neighbor_id ASC) comparison globally.
     """
     joined = (df.alias("c")
               .join(F.broadcast(query_df.alias("q")),
@@ -61,9 +71,13 @@ def brute_force_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
                       F.round(cosine(F.col("c." + vec_col),
                                      F.col("q.embedding")), 6)
                       .alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (joined.withColumn("rk", F.row_number().over(w))
+    order = (F.desc("cos_sim"), F.asc("neighbor_id"))
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    survivors = (joined.withColumn("pid", F.spark_partition_id())
+                 .withColumn("rk1", F.row_number().over(w_local))
+                 .where(F.col("rk1") <= k).drop("pid", "rk1"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (survivors.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rk"))
 

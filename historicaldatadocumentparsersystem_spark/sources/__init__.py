@@ -108,3 +108,41 @@ def read_pptx_elements(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, PPTX_ELEMENTS_DDL))
+
+
+DOCX_ELEMENTS_DDL = "url string, para int, kind string, text string"
+
+
+def read_docx_elements(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """S6: (url, docx payload) rows -> ordered paragraph elements.
+
+    Same shape as :func:`read_pptx_elements`; the per-row parse is the
+    pure-Python ``extractor.docx.extract_docx`` (reference
+    ``unstructured_chunker.py:79-91`` Docx2txt extraction subset).
+    """
+    import pandas as pd
+
+    from ..extractor.docx import extract_docx
+
+    def parse(batches):
+        for b in batches:
+            urls, paras, kinds, texts = [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    els = extract_docx(bytes(payload))
+                except Exception:
+                    continue
+                for el in els:
+                    urls.append(url)
+                    paras.append(el.para)
+                    kinds.append(el.kind)
+                    texts.append(el.text)
+            yield pd.DataFrame({
+                "url": urls,
+                "para": pd.array(paras, dtype="int32"),
+                "kind": kinds, "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, DOCX_ELEMENTS_DDL))

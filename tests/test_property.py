@@ -108,3 +108,52 @@ def test_chunking_properties(elements, max_tokens, overlap):
         assert chunks == []
     # deterministic
     assert chunks == chunk_elements(elements, max_tokens, overlap)
+
+
+# --- OOXML subset round-trips (S6/S7) ---------------------------------------
+
+# XML 1.0 cannot carry control chars (category Cc) — the builders would
+# emit invalid documents, which is out of contract for OOXML payloads
+_para_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="<>&\"",
+                           exclude_categories=("Cs", "Cc")),
+    min_size=0, max_size=40)
+
+
+@given(st.lists(st.tuples(
+    st.sampled_from(["heading", "list_item", "text"]), _para_text),
+    max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_docx_roundtrip(paras):
+    """make_docx -> extract_docx returns exactly the non-blank
+    paragraphs, kinds preserved, in order."""
+    from historicaldatadocumentparsersystem_spark.extractor import docx
+    payload = docx.make_docx(paras)
+    got = [(e.kind, e.text) for e in docx.extract_docx(payload)]
+    want = [(k, t) for k, t in paras if t.strip()]
+    assert got == want
+    # and the dispatcher never fails on it
+    res = extract_document(payload, "fb")
+    assert res.doc_kind in ("docx", "empty")
+
+
+@given(st.lists(st.fixed_dictionaries({
+    "title": st.one_of(st.none(), _para_text.filter(lambda s: s.strip())),
+    "paras": st.lists(st.tuples(_para_text, st.booleans()), max_size=6),
+}), max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_pptx_roundtrip(slides):
+    """make_pptx -> extract_pptx: titles then non-blank paragraphs per
+    slide, bullet flag -> list_item, reading order preserved."""
+    from historicaldatadocumentparsersystem_spark.extractor import pptx
+    payload = pptx.make_pptx(slides)
+    got = [(e.slide, e.kind, e.text) for e in pptx.extract_pptx(payload)]
+    want = []
+    for i, slide in enumerate(slides):
+        if slide["title"]:
+            want.append((i + 1, "title", slide["title"]))
+        for text, bulleted in slide["paras"]:
+            if text.strip():
+                want.append((i + 1,
+                             "list_item" if bulleted else "text", text))
+    assert got == want

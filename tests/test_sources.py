@@ -36,6 +36,63 @@ def test_text_documents_s4(spark, tmp_path):
     assert len(got) == 1 and got[0].text == "hello\nworld"
 
 
+# --- S6 docx subset ---------------------------------------------------------
+
+def test_docx_parse_classification():
+    from historicaldatadocumentparsersystem_spark.extractor import docx
+    d = docx.make_docx([("heading", "Report Title"),
+                        ("text", "Intro paragraph."),
+                        ("list_item", "first point"),
+                        ("text", "Closing & summary.")])
+    els = docx.extract_docx(d)
+    assert [(e.para, e.kind, e.text) for e in els] == [
+        (0, "heading", "Report Title"),
+        (1, "text", "Intro paragraph."),
+        (2, "list_item", "first point"),
+        (3, "text", "Closing & summary."),
+    ]
+    text, spans = docx.extract_docx_text(d)
+    for (s, e, _k), el in zip(spans, els):
+        assert text[s:e] == el.text
+
+
+def test_docx_core_dispatch():
+    from historicaldatadocumentparsersystem_spark.extractor import (
+        docx, extract_document)
+    d = docx.make_docx([("heading", "T"), ("text", "body")])
+    res = extract_document(d, "fallback")
+    assert res.doc_kind == "docx" and res.extracted_text == "T\nbody"
+    assert not res.failed and res.n_blocks == 2
+
+
+def test_docx_golden_rederivation():
+    import pyarrow.parquet as pq
+
+    from historicaldatadocumentparsersystem_spark.extractor.docx import \
+        extract_docx
+    golden = pq.read_table(
+        "fixtures/golden_docx_elements_seed42_n40.parquet").to_pylist()
+    derived = []
+    for r in fixtures.docx_file_rows(40):
+        for el in extract_docx(r["payload"]):
+            derived.append({"url": r["url"], "para": el.para,
+                            "kind": el.kind, "text": el.text})
+    assert golden == derived
+
+
+def test_docx_spark_source_matches_oracle(spark):
+    from historicaldatadocumentparsersystem_spark.extractor.docx import \
+        extract_docx
+    files = fixtures.docx_file_rows(10)
+    df = spark.createDataFrame([(r["url"], r["payload"]) for r in files],
+                               "url string, payload binary").repartition(4)
+    got = sorted((r.url, r.para, r.kind, r.text)
+                 for r in sources.read_docx_elements(df).collect())
+    want = sorted((r["url"], el.para, el.kind, el.text)
+                  for r in files for el in extract_docx(r["payload"]))
+    assert got == want
+
+
 # --- S7 pptx subset ---------------------------------------------------------
 
 def test_pptx_parse_classification():
