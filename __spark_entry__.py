@@ -125,6 +125,26 @@ def _picture_filter_oracle() -> str:
             FROM keep JOIN cnt USING (media_id)"""
 
 
+def _media_sniff_oracle() -> str:
+    """DuckDB twin of multimodal.sniff_media_kind_col: same magic
+    prefixes, same first-match priority, over the same BLOB fixture."""
+    vals = ", ".join(f"('{m}', {_blob_lit(p)})"
+                     for m, p in _MEDIA_SNIFF_ROWS)
+    magics = [(b"\xff\xd8\xff", "jpeg"), (b"\x89PNG\r\n\x1a\n", "png"),
+              (b"GIF87a", "gif"), (b"GIF89a", "gif"),
+              (b"RIFF", "webp_or_wav"), (b"ID3", "mp3"),
+              (b"\x1a\x45\xdf\xa3", "webm")]
+    whens = "\n              ".join(
+        f"WHEN starts_with(hex(payload), '{m.hex().upper()}') "
+        f"THEN '{k}'" for m, k in magics)
+    return f"""
+            WITH m(media_id, payload) AS (VALUES {vals})
+            SELECT media_id, CASE
+              {whens}
+              ELSE 'unknown' END AS media_kind
+            FROM m"""
+
+
 def _lsh_topk_oracle() -> str:
     """DuckDB twin of similarity.lsh_topk (k=5, 8 planes x 2 tables,
     queries vec_id < 5): candidates share a bucket in ANY table."""
@@ -200,6 +220,18 @@ _MEDIA_CLASS_ROWS = [
     ("m7", [("figure", 0.4), ("text", 0.4)]),    # conf tie -> keep
 ]
 _ALLOWED_CLASSES = ["figure", "table"]
+
+# F10 magic-byte sniff fixture: one row per magic family + unknowns
+_MEDIA_SNIFF_ROWS = [
+    ("j1", b"\xff\xd8\xff\xe0rest"), ("p1", b"\x89PNG\r\n\x1a\nrest"),
+    ("g1", b"GIF87athing"), ("g2", b"GIF89athing"),
+    ("r1", b"RIFF1234WAVE"), ("m1", b"ID3\x04tag"),
+    ("w1", b"\x1a\x45\xdf\xa3webm"), ("u1", b"plain bytes"), ("u2", b""),
+]
+
+
+def _blob_lit(b: bytes) -> str:
+    return "'" + "".join(f"\\x{x:02X}" for x in b) + "'::BLOB"
 
 
 def _bbox_df(spark: SparkSession) -> DataFrame:
@@ -520,6 +552,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("media_id",
                            F.size("classes").alias("n_classes"))
     q["picture_class_filter"] = q_picture_filter
+
+    # --- F10 magic-byte media sniff — SQL-checked (BLOB VALUES fixture;
+    # the oracle compares the same prefixes on blob literals)
+    def q_media_sniff(spark, sf_dir):
+        df = spark.createDataFrame(_MEDIA_SNIFF_ROWS,
+                                   "media_id string, payload binary")
+        return df.select(
+            "media_id",
+            multimodal.sniff_media_kind_col("payload").alias("media_kind"))
+    q["media_kind_sniff"] = q_media_sniff
 
     # --- structured-record emission (the reference's final stage,
     # LLM replaced by deterministic keyword rules) — SQL-checked
@@ -949,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
         "picture_class_filter": _picture_filter_oracle(),
+        "media_kind_sniff": _media_sniff_oracle(),
         "pptx_elements": f"""
             SELECT url, slide, shape, para, kind, text
             FROM read_parquet('{_GOLDEN_PPTX}')""",
