@@ -44,24 +44,40 @@ def l2_distance(a, b) -> Column:
         F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _ranked_topk(cands: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) candidates -> top-k per query.
+
+    Two-phase rank: a single ``Window.partitionBy(query_id)`` sorts ALL
+    candidates with parallelism = |queries| (5 queries -> 5 tasks doing
+    every comparison, whatever the cluster size). Phase 1 ranks per
+    (query, source partition id): its exchange moves the same row
+    volume but hashes on (query_id, pid), spreading the sort over
+    partitions x queries tasks, and only k rows per (query, pid)
+    survive. Phase 2 re-ranks the surviving ~(partitions x k) rows per
+    query — a tiny exchange. Identical result: any row cut by phase 1
+    loses the same deterministic (cos_sim DESC, neighbor_id ASC)
+    comparison globally.
+    """
+    order = (F.desc("cos_sim"), F.asc("neighbor_id"))
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    survivors = (cands.withColumn("pid", F.spark_partition_id())
+                 .withColumn("rk1", F.row_number().over(w_local))
+                 .where(F.col("rk1") <= k).drop("pid", "rk1"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (survivors.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+
+
 def brute_force_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors for every query vector.
 
     query_df: (query_id, embedding). The query side is BROADCAST — at
-    100 TB the corpus side streams, queries are small dims.
-
-    Two-phase rank: a single ``Window.partitionBy(query_id)`` ranks
-    |corpus| x |queries| rows with parallelism = |queries| (5 queries
-    -> 5 tasks doing ALL the sort work, whatever the cluster size).
-    Phase 1 ranks per (query, source partition id): its exchange moves
-    the same row volume, but hashes on (query_id, pid) so the sort
-    spreads over partitions x queries tasks, and only k rows per
-    (query, pid) survive. Phase 2 re-ranks the surviving
-    ~(partitions x k) rows per query — a tiny exchange. Identical
-    result: any row cut by phase 1 loses the same deterministic
-    (cos_sim DESC, neighbor_id ASC) comparison globally.
+    100 TB the corpus side streams, queries are small dims. Ranking is
+    the two-phase ``_ranked_topk`` (parallel rank, tiny final
+    exchange).
     """
     joined = (df.alias("c")
               .join(F.broadcast(query_df.alias("q")),
@@ -71,15 +87,7 @@ def brute_force_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
                       F.round(cosine(F.col("c." + vec_col),
                                      F.col("q.embedding")), 6)
                       .alias("cos_sim")))
-    order = (F.desc("cos_sim"), F.asc("neighbor_id"))
-    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
-    survivors = (joined.withColumn("pid", F.spark_partition_id())
-                 .withColumn("rk1", F.row_number().over(w_local))
-                 .where(F.col("rk1") <= k).drop("pid", "rk1"))
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (survivors.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+    return _ranked_topk(joined, k)
 
 
 def hyperplane_signature(vec_col, planes: list[list[float]]) -> Column:
@@ -140,11 +148,7 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       F.round(cosine(vec_col, "qe"), 6)
                       .alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (joined.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+    return _ranked_topk(joined, k)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.5,
@@ -245,8 +249,4 @@ def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
                       F.round(cosine(F.col(f"c.{vec_col}"),
                                      F.col("q.embedding")), 6)
                       .alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (joined.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+    return _ranked_topk(joined, k)
