@@ -314,6 +314,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.text_profile(_t(spark, sf_dir, "documents"))
     q["text_profile"] = q_profile
 
+    # Gopher-style repetition signals (training-data quality filter)
+    def q_repetition(spark, sf_dir):
+        return textstats.repetition_profile(
+            _t(spark, sf_dir, "documents"))
+    q["repetition_profile"] = q_repetition
+
     # --- F4 + A2 keyword sections — SQL-checked
     def q_keywords(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -762,6 +768,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::bigint AS total_chars,
                    sum(len({tok}))::bigint AS total_tokens
             FROM documents GROUP BY lang""",
+        "repetition_profile": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_transform({tok}, t -> lower(t)) AS w
+              FROM documents
+            ), per_doc AS (
+              SELECT doc_id, len(w) AS n_words,
+                     round(1 - len(list_distinct(w))::double
+                           / greatest(len(w), 1), 6) AS dup_word_ratio, w
+              FROM base
+            ), bg AS (
+              SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS g
+              FROM base, unnest(generate_series(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 2
+            ), bgc AS (
+              SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+            ), top AS (
+              SELECT doc_id, max(c) AS top_c, sum(c) AS total
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_words, p.dup_word_ratio,
+                   round(coalesce(top.top_c::double / top.total::double,
+                                  0.0e0), 6) AS top_bigram_ratio
+            FROM per_doc p LEFT JOIN top USING (doc_id)""",
         "text_profile": f"""
             SELECT doc_id,
                    len({tok}) AS n_tokens,

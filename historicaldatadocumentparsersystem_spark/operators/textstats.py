@@ -145,3 +145,43 @@ def text_profile(df: DataFrame, text_col: str = "text",
         F.substring(F.md5(F.regexp_replace(F.trim(txt), r"\s+", " ")),
                     1, 16).alias("fingerprint"),
     )
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (the rules used to
+    drop boilerplate-heavy / spammy pages from training corpora):
+
+    - ``dup_word_ratio``   : 1 - distinct_words / total_words
+    - ``top_bigram_ratio`` : occurrences of the most frequent word
+      2-gram / total 2-grams (0.0 when the doc has < 2 words)
+
+    Plan shape: per-row stats are pure column exprs; the top-bigram
+    mode needs a distributed count, so bigrams EXPLODE -> two-level
+    groupBy (partial aggregation map-side both times) -> broadcast-able
+    per-doc join back. No window over the exploded set, no collect.
+    """
+    w = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(F.col(id_col), w.alias("__w"))
+    wc = F.col("__w")
+    per_doc = base.select(
+        F.col(id_col),
+        F.size(wc).alias("n_words"),
+        F.round(1 - F.size(F.array_distinct(wc))
+                / F.greatest(F.size(wc), F.lit(1)), 6)
+        .alias("dup_word_ratio"))
+    bigram_arr = F.when(
+        F.size(wc) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(wc) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(wc, i),
+                                          F.element_at(wc, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(F.col(id_col), F.explode(bigram_arr).alias("g"))
+    bgc = bg.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    top = bgc.groupBy(id_col).agg(
+        F.max("c").alias("__top"), F.sum("c").alias("__total"))
+    return (per_doc.join(top, id_col, "left")
+            .select(id_col, "n_words", "dup_word_ratio",
+                    F.round(F.coalesce(F.col("__top") / F.col("__total"),
+                                       F.lit(0.0)), 6)
+                    .alias("top_bigram_ratio")))

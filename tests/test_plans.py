@@ -65,6 +65,15 @@ def test_topk_is_single_shuffle(spark):
     assert count_exchanges(df) == 1, physical_plan(df)
 
 
+def test_ann_broadcasts_query_side(spark):
+    """The ANN joins must broadcast the (small) query side — a shuffled
+    join of corpus x queries would move the corpus twice."""
+    import __spark_entry__ as entrymod
+    for name in ("cosine_topk", "lsh_topk"):
+        df = entrymod.queries()[name](spark, SF)
+        assert has_broadcast_join(df), f"{name}: {physical_plan(df)}"
+
+
 def test_embedding_near_dup_has_no_cartesian(spark):
     """The near-dup candidate join must be an equi-join on
     (table, signature) buckets — the O(n^2) all-pairs form would show

@@ -157,3 +157,13 @@ def test_pptx_roundtrip(slides):
                 want.append((i + 1,
                              "list_item" if bulleted else "text", text))
     assert got == want
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_zip_prefixed_bytes_never_crash(tail):
+    """The OOXML dispatcher branch must degrade, never raise, on
+    arbitrary PK-prefixed garbage (truncated/corrupt zips)."""
+    res = extract_document(b"PK\x03\x04" + tail, "fb")
+    assert res.doc_kind in ("pptx", "docx", "empty")
+    assert isinstance(res.extracted_text, str)
