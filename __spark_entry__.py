@@ -408,6 +408,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_type", "event_id", "value", "rk"))
     q["events_topk"] = q_events_topk
 
+    # --- domain cap (web-corpus sampling vs hot hosts) — SQL-checked
+    def q_cap_host(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://"), F.col("source"),
+                            F.lit("/doc-"), F.col("doc_id")))
+        return skew.cap_per_host(docs, cap=3).select(
+            "doc_id", "host", "rk")
+    q["cap_per_host"] = q_cap_host
+
     # --- skew-salted host aggregation — SQL-checked (identical result to
     # direct groupBy; salting is an internal two-stage plan detail)
     def q_host_stats(spark, sf_dir):
@@ -957,6 +966,19 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY event_type
                      ORDER BY value DESC, event_id ASC) AS rk
             FROM events QUALIFY rk <= 5""",
+        "cap_per_host": r"""
+            SELECT doc_id, host, rk FROM (
+              SELECT doc_id,
+                     regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                     row_number() OVER (
+                       PARTITION BY regexp_extract(url,
+                                    'https?://([^/]+)', 1)
+                       ORDER BY md5(url)) AS rk
+              FROM (SELECT doc_id,
+                           'https://' || source || '/doc-' || doc_id
+                             AS url
+                    FROM documents))
+            WHERE rk <= 3""",
         "host_stats_salted": """
             SELECT source AS host, count(*) AS n_docs,
                    sum(n_chars)::bigint AS total_chars

@@ -36,6 +36,28 @@ def repartition_by_host_salted(df: DataFrame, num_partitions: int,
         F.xxhash64(host_of(url_col), salted_key(url_col, num_salts)))
 
 
+def cap_per_host(df: DataFrame, url_col: str = "url",
+                 cap: int = 2) -> DataFrame:
+    """Domain cap: keep at most ``cap`` documents per host — the
+    standard web-corpus defense against hot domains flooding the
+    training mix (and the F4-adjacent sampling op a Common-Crawl
+    pipeline runs before expensive downstream stages).
+
+    Deterministic pick: rows rank by md5(url) within host (urls are
+    unique, so the order is total and reproducible on any cluster
+    layout — no RNG, no first-seen shuffle dependence). Host comes
+    from a regexp rather than parse_url so the exact same expression
+    exists in the SQL oracle. One shuffle on host; a hot host's group
+    is bounded by the window's top-``cap`` early-out under AQE.
+    """
+    host = F.regexp_extract(F.col(url_col), r"https?://([^/]+)", 1)
+    from pyspark.sql import Window
+    w = Window.partitionBy("host").orderBy(F.md5(F.col(url_col)))
+    return (df.withColumn("host", host)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= cap))
+
+
 def salted_host_stats(df: DataFrame, url_col: str = "url",
                       size_col: str | None = None,
                       num_salts: int = 16) -> DataFrame:
