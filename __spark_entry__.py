@@ -125,6 +125,41 @@ def _picture_filter_oracle() -> str:
             FROM keep JOIN cnt USING (media_id)"""
 
 
+def _hash_split_oracle() -> str:
+    """DuckDB twin of functions.hash_split: same md5-derived unit
+    hash, same cumulative thresholds (accumulated in the SAME Python
+    floats — 0.8 + 0.1 is 0.9000000000000001, not 0.9)."""
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    u = ("(cast('0x' || substr(md5('42:' || doc_id), 1, 8) AS bigint)"
+         " / 4294967296.0e0)")
+    names, cum, whens = list(weights), 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"WHEN {u} < {_flit(cum)} THEN '{name}'")
+    body = "\n              ".join(whens)
+    return f"""
+            SELECT doc_id, CASE
+              {body}
+              ELSE '{names[-1]}' END AS split
+            FROM documents"""
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of functions.redact_pii: identical RE2/Java-common
+    patterns applied globally in the same order."""
+    from historicaldatadocumentparsersystem_spark import functions as fn
+    vals = ", ".join(f"('{r}', '{t}')" for r, t in _PII_ROWS)
+    expr = "text"
+    for pat, repl in fn.PII_PATTERNS:
+        # DuckDB single-quoted strings take backslashes literally —
+        # only quotes need escaping
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return f"""
+            WITH t(row_id, text) AS (VALUES {vals})
+            SELECT row_id, {expr} AS clean FROM t"""
+
+
 def _media_sniff_oracle() -> str:
     """DuckDB twin of multimodal.sniff_media_kind_col: same magic
     prefixes, same first-match priority, over the same BLOB fixture."""
@@ -220,6 +255,15 @@ _MEDIA_CLASS_ROWS = [
     ("m7", [("figure", 0.4), ("text", 0.4)]),    # conf tie -> keep
 ]
 _ALLOWED_CLASSES = ["figure", "table"]
+
+# PII-redaction fixture (deterministic VALUES both sides)
+_PII_ROWS = [
+    ("t1", "contact john.doe+x@example.com or jane@sub.domain.org now"),
+    ("t2", "server at 192.168.1.250 port 8080"),
+    ("t3", "call +1 (555) 123-4567 today"),
+    ("t4", "mixed: a@b.co, 10.0.0.1, +44 20 7946 0958."),
+    ("t5", "no pii here, just text 42"),
+]
 
 # F10 magic-byte sniff fixture: one row per magic family + unknowns
 _MEDIA_SNIFF_ROWS = [
@@ -407,6 +451,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("rk") <= 5)
                 .select("event_type", "event_id", "value", "rk"))
     q["events_topk"] = q_events_topk
+
+    # --- deterministic hash split (leakage-safe train/val/test) —
+    # SQL-checked; thresholds shared with the oracle builder
+    def q_hash_split(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark import functions as fn
+        return (_t(spark, sf_dir, "documents")
+                .select("doc_id",
+                        fn.hash_split("doc_id").alias("split")))
+    q["hash_split"] = q_hash_split
+
+    # --- PII redaction (training-data hygiene) — SQL-checked
+    def q_pii(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark import functions as fn
+        df = spark.createDataFrame(_PII_ROWS, "row_id string, text string")
+        return df.select("row_id", fn.redact_pii("text").alias("clean"))
+    q["pii_redaction"] = q_pii
 
     # --- domain cap (web-corpus sampling vs hot hosts) — SQL-checked
     def q_cap_host(spark, sf_dir):
@@ -966,6 +1026,8 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY event_type
                      ORDER BY value DESC, event_id ASC) AS rk
             FROM events QUALIFY rk <= 5""",
+        "hash_split": _hash_split_oracle(),
+        "pii_redaction": _pii_oracle(),
         "cap_per_host": r"""
             SELECT doc_id, host, rk FROM (
               SELECT doc_id,

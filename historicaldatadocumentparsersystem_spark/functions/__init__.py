@@ -122,3 +122,56 @@ def long_context_reorder(arr_col) -> Column:
     idx = F.concat(odd, even)
     return F.when(n > 0, F.transform(idx, lambda i: F.element_at(a, i))) \
         .otherwise(a)
+
+
+# --- training-data pipeline scalars (round 2) -------------------------------
+
+def hash_unit(col, seed: int = 42) -> Column:
+    """Deterministic uniform [0, 1) from an id column: first 8 md5 hex
+    chars as a 32-bit int / 2^32. Portable — DuckDB reproduces it via
+    cast('0x' || substr(md5(...), 1, 8) AS bigint) / 4294967296."""
+    h = F.substring(F.md5(F.concat(F.lit(f"{seed}:"),
+                                   _c(col).cast("string"))), 1, 8)
+    return F.conv(h, 16, 10).cast("long") / F.lit(float(2 ** 32))
+
+
+def hash_split(col, weights: dict[str, float] | None = None,
+               seed: int = 42) -> Column:
+    """Deterministic train/val/test assignment by id hash (the standard
+    leakage-safe split for training corpora: membership depends only on
+    the id, never on partitioning, sampling order, or cluster size).
+
+    ``weights`` maps split name -> fraction; assignment is by
+    cumulative-threshold cascade over :func:`hash_unit`.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    u = hash_unit(col, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum),
+                                                    F.lit(name))
+    return (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+
+
+# PII scrub patterns (training-data hygiene). RE2/Java-common subset
+# only — no lookaround — so the DuckDB oracle runs the same regexes.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d()./\s-]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Chained global regexp_replace of email / IPv4 / phone-like
+    spans, in PII_PATTERNS order (IP before phone: a dotted quad also
+    matches the phone shape)."""
+    out = _c(col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
