@@ -30,7 +30,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+# 60k x ~12 KB (~740 MB html) keeps a local[32] timed run ~10 s — long
+# enough that job fixed costs (scheduling, first-stage settling) stop
+# dominating the docs/sec reading; 30k runs were ~5 s and noisy
 # page-size scale: 8 => ~12 KB mean pages, the realistic Common-Crawl
 # band, so per-doc compute dominates fixed Spark overheads
 DOC_SCALE = int(os.environ.get("SPARK_GRAFT_DOC_SCALE", "8"))
