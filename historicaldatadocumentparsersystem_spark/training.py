@@ -5,14 +5,18 @@ actually executes:
 
     documents ──extract──▶ main text (+title/spans/score)
               ──quality──▶ keep documents passing heuristic gates
+                           (+ Gopher repetition gate)
+              ──redact───▶ PII scrub (email/IP/phone spans)
               ──dedup────▶ one canonical row per distinct text
+              ──cap──────▶ at most N docs per host (hot-domain cap)
+              ──split────▶ leakage-safe train/val/test assignment
               ──chunk────▶ token-budget chunks for the tokenizer
 
 Plan shape: the extraction shuffle (url-hash) is the first exchange;
-quality filtering is a codegen'd filter fused onto the UDF output; the
-dedup is one hash-shuffle on md5(text) (16-byte keys, map-side partial
-agg); chunking reuses the url partitioning. Four stages, three
-exchanges, all keys uniform.
+quality filtering + PII redaction are codegen'd exprs fused onto the
+UDF output; the dedup is one hash-shuffle on md5(text) (16-byte keys,
+map-side partial agg); the host cap is one window on host; the split
+is a pure scalar; chunking reuses the url partitioning.
 """
 
 from __future__ import annotations
@@ -20,8 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import functions as fn
 from . import pipeline
-from .operators import chunking, textstats
+from .operators import chunking, skew, textstats
 
 
 def quality_gate(extracted: DataFrame, min_quality: float = 0.5,
@@ -32,6 +37,21 @@ def quality_gate(extracted: DataFrame, min_quality: float = 0.5,
             .where(F.length("extracted_text") >= min_chars)
             .where(textstats.quality_score("extracted_text")
                    >= min_quality))
+
+
+def repetition_gate(extracted: DataFrame, max_dup_word: float = 0.9,
+                    max_top_bigram: float = 0.30) -> DataFrame:
+    """Gopher repetition rules over extracted text: drop documents
+    whose duplicate-word ratio or top-bigram fraction betrays
+    boilerplate/spam. Join-free for the dup-word rule (pure expr); the
+    bigram rule joins the per-doc mode computed by
+    ``textstats.repetition_profile``."""
+    rep = textstats.repetition_profile(
+        extracted, text_col="extracted_text", id_col="url")
+    keep = rep.where((F.col("dup_word_ratio") <= max_dup_word)
+                     & (F.col("top_bigram_ratio") <= max_top_bigram)) \
+        .select("url")
+    return extracted.join(keep, "url", "left_semi")
 
 
 def dedup_extracted(extracted: DataFrame) -> DataFrame:
@@ -58,18 +78,25 @@ def prepare_training_data(spark: SparkSession, docs: DataFrame,
                           out_dir: str, run_id: str,
                           min_quality: float = 0.5,
                           max_tokens: int = 256, overlap: int = 32,
-                          num_buckets: int = 64) -> dict:
+                          num_buckets: int = 64,
+                          max_per_host: int = 10_000) -> dict:
     """Full pipeline; writes kept docs + chunks, returns stage counts."""
     extracted = pipeline.extract_df(docs, num_buckets=num_buckets)
     extracted.write.mode("overwrite").parquet(f"{out_dir}/extracted")
     extracted = spark.read.parquet(f"{out_dir}/extracted")
 
-    kept = quality_gate(extracted, min_quality=min_quality)
-    unique = dedup_extracted(kept)
+    kept = repetition_gate(
+        quality_gate(extracted, min_quality=min_quality))
+    kept = kept.withColumn("extracted_text",
+                           fn.redact_pii("extracted_text"))
+    unique = skew.cap_per_host(dedup_extracted(kept),
+                               cap=max_per_host).drop("rk")
+    unique = unique.withColumn("split", fn.hash_split("url"))
     unique.write.mode("overwrite").parquet(f"{out_dir}/documents_clean")
     unique = spark.read.parquet(f"{out_dir}/documents_clean")
 
-    chunks = chunks_from_extracted(unique, max_tokens, overlap)
+    chunks = chunks_from_extracted(unique, max_tokens, overlap) \
+        .join(unique.select("url", "split"), "url")
     chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
 
     stats = {

@@ -28,6 +28,13 @@ def test_prepare_training_data(spark, tmp_path):
     bad = chunks.where((F.col("n_tokens") <= 0)
                        | (F.col("n_tokens") > 64)).count()
     assert bad == 0
+    # split assignment is carried onto every chunk and is well-formed
+    splits = {r.split for r in chunks.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # chunks of one document all share the document's split
+    assert (chunks.groupBy("url")
+            .agg(F.countDistinct("split").alias("k"))
+            .where(F.col("k") > 1).count()) == 0
     # every chunk's text reassembles from its document's extracted blocks
     clean = spark.read.parquet(f"{out}/documents_clean")
     joined = (chunks.join(clean.select("url", "extracted_text"), "url")
