@@ -160,6 +160,46 @@ def _pii_oracle() -> str:
             SELECT row_id, {expr} AS clean FROM t"""
 
 
+def _media_dims_oracle() -> str:
+    """DuckDB twin of multimodal.decode_media over the header fixture:
+    dimensions re-derived from the SAME bytes via hex arithmetic (PNG
+    IHDR BE-u32 at bytes 16/20; GIF LE-u16 at 6/8; the fixture JPEGs
+    place SOF0 at byte 2 — SOI + frame header, the minimal real
+    layout — so height/width sit at bytes 7/9). Unknown payloads get
+    the stub's deterministic fake dims, also re-derived."""
+    vals = ", ".join(f"('{m}', {_blob_lit(p)})" for m, p in
+                     _media_dim_rows())
+    fake = "cast('0x' || substr(x, 1, 8) AS bigint)"
+    return f"""
+            WITH m(media_id, payload) AS (VALUES {vals}),
+            hx AS (SELECT media_id, hex(payload) AS x FROM m)
+            SELECT media_id,
+              CASE WHEN starts_with(x, 'FFD8FF') THEN 'jpeg'
+                   WHEN starts_with(x, '89504E470D0A1A0A') THEN 'png'
+                   WHEN starts_with(x, '474946383761')
+                     OR starts_with(x, '474946383961') THEN 'gif'
+                   ELSE 'unknown' END AS media_kind,
+              (CASE
+                 WHEN starts_with(x, '89504E470D0A1A0A')
+                   THEN cast('0x' || substr(x, 33, 8) AS bigint)
+                 WHEN starts_with(x, '47494638')
+                   THEN cast('0x' || substr(x, 15, 2)
+                             || substr(x, 13, 2) AS bigint)
+                 WHEN starts_with(x, 'FFD8FFC0')
+                   THEN cast('0x' || substr(x, 19, 4) AS bigint)
+                 ELSE 64 + {fake} % 1920 END)::int AS width,
+              (CASE
+                 WHEN starts_with(x, '89504E470D0A1A0A')
+                   THEN cast('0x' || substr(x, 41, 8) AS bigint)
+                 WHEN starts_with(x, '47494638')
+                   THEN cast('0x' || substr(x, 19, 2)
+                             || substr(x, 17, 2) AS bigint)
+                 WHEN starts_with(x, 'FFD8FFC0')
+                   THEN cast('0x' || substr(x, 15, 4) AS bigint)
+                 ELSE 64 + ({fake} // 256) % 1080 END)::int AS height
+            FROM hx"""
+
+
 def _media_sniff_oracle() -> str:
     """DuckDB twin of multimodal.sniff_media_kind_col: same magic
     prefixes, same first-match priority, over the same BLOB fixture."""
@@ -264,6 +304,22 @@ _PII_ROWS = [
     ("t4", "mixed: a@b.co, 10.0.0.1, +44 20 7946 0958."),
     ("t5", "no pii here, just text 42"),
 ]
+
+# C8/C14 header-decode fixture: real container headers (synthesized by
+# the same byte layout real files use), one per format + a garbage row
+def _media_dim_rows():
+    from historicaldatadocumentparsersystem_spark.operators import \
+        multimodal as mm
+    return [
+        ("png1", mm.make_png(640, 480)),
+        ("png2", mm.make_png(16384, 9)),
+        ("gif1", mm.make_gif(320, 200)),
+        ("gif2", mm.make_gif(1, 65535)),
+        ("jpg1", mm.make_jpeg(1024, 768)),
+        ("jpg2", mm.make_jpeg(33, 7)),
+        ("bad1", b"not an image at all"),
+    ]
+
 
 # F10 magic-byte sniff fixture: one row per magic family + unknowns
 _MEDIA_SNIFF_ROWS = [
@@ -627,6 +683,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("media_id",
                            F.size("classes").alias("n_classes"))
     q["picture_class_filter"] = q_picture_filter
+
+    # --- C8/C14 image header decode (REAL byte parsing, no codec) —
+    # SQL-checked: the oracle re-derives dims from the same blob hex
+    def q_media_dims(spark, sf_dir):
+        df = spark.createDataFrame(_media_dim_rows(),
+                                   "media_id string, payload binary")
+        return (multimodal.decode_media(df)
+                .select("media_id", "media_kind", "width", "height"))
+    q["media_dimensions"] = q_media_dims
 
     # --- F10 magic-byte media sniff — SQL-checked (BLOB VALUES fixture;
     # the oracle compares the same prefixes on blob literals)
@@ -1106,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_oracle(),
         "picture_class_filter": _picture_filter_oracle(),
         "media_kind_sniff": _media_sniff_oracle(),
+        "media_dimensions": _media_dims_oracle(),
         "pptx_elements": f"""
             SELECT url, slide, shape, para, kind, text
             FROM read_parquet('{_GOLDEN_PPTX}')""",

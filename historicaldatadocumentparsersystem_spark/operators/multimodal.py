@@ -55,15 +55,81 @@ def sniff_media_kind_col(payload_col: str = "payload"):
     return expr
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: the container ships no image codec (no PIL/cv2).
+def make_png(width: int, height: int) -> bytes:
+    """Minimal valid PNG signature + IHDR chunk (fixture support)."""
+    import struct
+    import zlib
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
 
-    A real deployment replaces this with PIL.Image.open(...).size.
-    Here: deterministic fake dimensions derived from the payload so the
-    plumbing (batching, schema, partitioning) is fully exercised.
+
+def make_gif(width: int, height: int) -> bytes:
+    import struct
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """SOI + a single SOF0 frame header (grayscale)."""
+    import struct
+    return (b"\xff\xd8\xff\xc0\x00\x0b\x08"
+            + struct.pack(">HH", height, width) + b"\x01\x11\x00")
+
+
+def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """REAL (codec-free) dimension extraction from container headers —
+    pure byte parsing, no PIL/cv2 required:
+
+    - PNG : IHDR width/height, big-endian u32 at offsets 16/20
+    - GIF : logical screen w/h, little-endian u16 at offsets 6/8
+    - JPEG: scan segment markers for a SOFn frame header (C0-CF except
+      C4/C8/CC), height/width big-endian u16 at +5/+7
+
+    Returns None when the payload is not one of these containers or is
+    truncated before its header fields.
     """
+    import struct
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            return (w, h)
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return (w, h)
+        if payload.startswith(b"\xff\xd8"):
+            i = 2
+            while i + 9 <= len(payload):
+                if payload[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+                if (0xC0 <= marker <= 0xCF
+                        and marker not in (0xC4, 0xC8, 0xCC)):
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    return (w, h)
+                i += 2 + seg_len
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """Dimensions come from the REAL header parse when the payload is a
+    recognized container; only PIXEL decode (resize/crop content) is
+    stubbed — the container ships no image codec (no PIL/cv2), so a
+    real deployment swaps the pixel path for PIL and nothing else
+    changes."""
     if not payload:
         raise NotImplementedError("no codec in container; empty payload")
+    dims = parse_image_dimensions(payload)
+    if dims is not None:
+        return dims
+    # unrecognized container: deterministic fake keeps plumbing testable
     h = int.from_bytes(payload[:4].ljust(4, b"\0"), "big")
     return (64 + h % 1920, 64 + (h >> 8) % 1080)
 

@@ -194,6 +194,22 @@ def test_media_decode_stub_plumbing(spark):
     assert again["m1"] == (got["m1"].width, got["m1"].height)
 
 
+def test_image_header_dimensions_roundtrip():
+    """REAL codec-free dimension parse: synthesized container headers
+    round-trip exactly for PNG/GIF/JPEG; garbage/truncated -> None."""
+    for maker, w, h in [(multimodal.make_png, 640, 480),
+                        (multimodal.make_png, 16384, 1),
+                        (multimodal.make_gif, 320, 200),
+                        (multimodal.make_gif, 65535, 7),
+                        (multimodal.make_jpeg, 1024, 768),
+                        (multimodal.make_jpeg, 1, 33)]:
+        assert multimodal.parse_image_dimensions(maker(w, h)) == (w, h)
+    assert multimodal.parse_image_dimensions(b"junk") is None
+    assert multimodal.parse_image_dimensions(
+        multimodal.make_png(9, 9)[:20]) is None  # truncated IHDR
+    assert multimodal.parse_image_dimensions(b"\xff\xd8\xff") is None
+
+
 def test_picture_class_filter_f3(spark):
     rows = [
         (1, [("bar_chart", 0.9), ("other", 0.1)]),          # keep
