@@ -73,7 +73,10 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+# 6 timed passes (median of the last 5): the shared VM throws
+# multi-minute noise bursts (observed a 19.5 s outlier amid 7.5 s
+# runs) and a median over 3 values is fragile against them
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "6"))
 
 
 def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
@@ -143,11 +146,14 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main_default() -> None:
-    # queries FIRST on a fresh heap: the extraction phase leaves the JVM
-    # with GC pressure that contaminates per-query timings (measured 2s
-    # -> 16s drift on identical queries when run after extraction)
+    # each phase gets its OWN JVM: per-query timings degrade 2s -> 16s
+    # when run after extraction, and extraction runs drift 7s -> 10s
+    # when run after 47 queries (accumulated heap/GC pressure in both
+    # directions). A restart costs ~15 s and decouples the readings.
     spark = make_spark(CPUS)
     queries = run_queries(spark, SF_DIR)
+    spark.stop()
+    spark = make_spark(CPUS)
     ext = time_extraction(spark, BENCH_DOCS)
     spark.stop()
     print(json.dumps({
