@@ -25,7 +25,7 @@ if _REPO not in sys.path:
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
     asof, chunking, dedup, keywords, multimodal, records, rollup, routing,
-    similarity, skew, spans, textstats)
+    similarity, skew, spans, textstats, webtext)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -296,6 +296,22 @@ _MEDIA_CLASS_ROWS = [
 ]
 _ALLOWED_CLASSES = ["figure", "table"]
 
+# URL-canonicalization fixture (deterministic VALUES both sides; no
+# userinfo urls — out of the normalizer's documented scope)
+_URL_ROWS = [
+    ("u1", "HTTPS://Example.COM:443/Path/To/Page#frag"),
+    ("u2", "http://WWW.Example.com:80/a/b?q=1#x"),
+    ("u3", "https://Sub.Domain.co.uk/path/"),
+    ("u4", "http://example.com/"),
+    ("u5", "https://example.com:8443/x"),
+    ("u6", "HTTP://News.Site.org:80"),
+    ("u7", "https://a.b.c.d.com/deep?x=2"),
+    ("u8", "http://host.io:801/x"),       # NOT the default port
+]
+
+# stratified-sample rates (shared Spark/oracle; absent stratum -> 0)
+_SAMPLE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25}
+
 # PII-redaction fixture (deterministic VALUES both sides)
 _PII_ROWS = [
     ("t1", "contact john.doe+x@example.com or jane@sub.domain.org now"),
@@ -532,6 +548,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return skew.cap_per_host(docs, cap=3).select(
             "doc_id", "host", "rk")
     q["cap_per_host"] = q_cap_host
+
+    # --- CCNet-style line-level dedup (cross-document boilerplate
+    # removal) — SQL-checked; lines are deterministic 8-word segments
+    def q_line_dedup(spark, sf_dir):
+        return webtext.line_dedup(_t(spark, sf_dir, "documents"),
+                                  line_words=8, max_doc_freq=2)
+    q["line_dedup"] = q_line_dedup
+
+    # --- URL canonicalization (web-corpus hygiene) — SQL-checked
+    def q_url_norm(spark, sf_dir):
+        df = spark.createDataFrame(_URL_ROWS, "row_id string, url string")
+        return webtext.normalize_urls(df).select(
+            "row_id", "url_norm", "host", "domain")
+    q["url_normalize"] = q_url_norm
+
+    # --- deterministic stratified sampling — SQL-checked
+    def q_strat_sample(spark, sf_dir):
+        return webtext.stratified_sample(
+            _t(spark, sf_dir, "documents"), "lang", _SAMPLE_RATES) \
+            .select("doc_id", "lang")
+    q["stratified_sample"] = q_strat_sample
+
+    # --- fixed-width length histogram — SQL-checked
+    def q_len_hist(spark, sf_dir):
+        return webtext.length_histogram(
+            _t(spark, sf_dir, "documents"), "n_chars", width=50)
+    q["doc_length_histogram"] = q_len_hist
+
+    # --- TF-IDF top terms per document — SQL-checked
+    def q_tfidf(spark, sf_dir):
+        return webtext.tfidf_top_terms(
+            _t(spark, sf_dir, "documents"), k=3)
+    q["tfidf_top_terms"] = q_tfidf
 
     # --- skew-salted host aggregation — SQL-checked (identical result to
     # direct groupBy; salting is an internal two-stage plan detail)
@@ -1106,6 +1155,99 @@ def oracle_sql() -> dict[str, str]:
                              AS url
                     FROM documents))
             WHERE rk <= 3""",
+        # CCNet-style line dedup: same 8-word line derivation as the
+        # chunk oracle; lines in > 2 distinct docs are boilerplate.
+        # (Spark groups on md5(line) — same partition, 16-byte keys.)
+        "line_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), rawlines AS (
+              SELECT doc_id, (i - 1)::int AS pos,
+                     array_to_string(
+                       list_slice(tk, (i - 1) * 8 + 1, i * 8), ' ') AS line
+              FROM toks, unnest(generate_series(1,
+                     greatest((len(tk) + 7) // 8, 1))) AS u(i)
+            ), lines AS (
+              SELECT * FROM rawlines WHERE line != ''
+            ), freq AS (
+              SELECT line, count(DISTINCT doc_id) AS doc_freq
+              FROM lines GROUP BY line
+            ), kept AS (
+              SELECT lines.* FROM lines JOIN freq USING (line)
+              WHERE doc_freq <= 2
+            ), ka AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, ' ' ORDER BY pos) AS text_kept
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT tot.doc_id, n_lines,
+                   coalesce(n_kept, 0)::bigint AS n_kept,
+                   coalesce(text_kept, '') AS text_kept
+            FROM tot LEFT JOIN ka USING (doc_id)""",
+        # URL canonicalization over the shared VALUES fixture (RE2 \\1
+        # backrefs; the Spark twin uses Java's $1 — same regexes)
+        "url_normalize": r"""
+            WITH t(row_id, url) AS (VALUES {vals}),
+            s1 AS (SELECT row_id, url,
+                          regexp_replace(url, '#.*$', '') AS u FROM t),
+            s2 AS (SELECT row_id, url,
+                     lower(regexp_extract(u, '^[^:/?#]+://[^/?#]*'))
+                     || substr(u, length(regexp_extract(u,
+                          '^[^:/?#]+://[^/?#]*')) + 1) AS u
+                   FROM s1),
+            s3 AS (SELECT row_id, url, regexp_replace(regexp_replace(u,
+                     '^(http://[^/?#]*):80([/?#].*)?$', '\1\2'),
+                     '^(https://[^/?#]*):443([/?#].*)?$', '\1\2') AS u
+                   FROM s2),
+            s4 AS (SELECT row_id, url, regexp_replace(u,
+                     '^([a-z]+://[^/?#]+)/$', '\1') AS u FROM s3),
+            h AS (SELECT row_id, u,
+                    lower(regexp_extract(url,
+                      '^[^:/?#]+://([^/?#:@]+)', 1)) AS host
+                  FROM s4)
+            SELECT row_id, u AS url_norm, host,
+                   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+            FROM h""".replace("{vals}", ", ".join(
+            f"('{r}', '{u}')" for r, u in _URL_ROWS)),
+        # deterministic stratified sample: same md5-unit hash as
+        # hash_split, rate per stratum (absent stratum -> 0)
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE (cast('0x' || substr(md5('42:' || doc_id), 1, 8)
+                        AS bigint) / 4294967296.0e0)
+                  < CASE lang
+                      {" ".join(f"WHEN '{s}' THEN {_flit(r)}"
+                                for s, r in _SAMPLE_RATES.items())}
+                      ELSE 0.0e0 END""",
+        "doc_length_histogram": """
+            SELECT (n_chars // 50)::int AS bucket, count(*) AS n,
+                   min(n_chars) AS lo, max(n_chars) AS hi
+            FROM documents GROUP BY 1""",
+        # TF-IDF: idf = ln((N+1)/(df+1)) + 1 with (N+1) as double and
+        # (df+1) as bigint on BOTH sides — one IEEE division, one ln,
+        # rounded to 6; ties sort by the ROUNDED score then term
+        "tfidf_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(list_transform({tok}, t -> lower(t))) AS term
+              FROM documents
+            ), tf AS (
+              SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term
+            ), dfq AS (
+              SELECT term, count(DISTINCT id) AS doc_freq
+              FROM tok GROUP BY term
+            ), n AS (SELECT count(*) AS nd FROM documents)
+            SELECT id AS doc_id, term, tf, doc_freq,
+                   round(tf * (ln((nd + 1)::double / (doc_freq + 1)) + 1),
+                         6) AS tfidf,
+                   row_number() OVER (PARTITION BY id
+                     ORDER BY round(tf * (ln((nd + 1)::double
+                                / (doc_freq + 1)) + 1), 6) DESC,
+                              term ASC) AS rk
+            FROM tf JOIN dfq USING (term), n
+            QUALIFY rk <= 3""",
         "host_stats_salted": """
             SELECT source AS host, count(*) AS n_docs,
                    sum(n_chars)::bigint AS total_chars

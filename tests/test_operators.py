@@ -373,3 +373,50 @@ def test_rollup_cascade_equals_direct(spark):
     assert snap(hour) == snap(direct_hour)
     assert snap(day) == snap(direct_day)
     assert minute.count() >= hour.count() >= day.count()
+
+
+# --- webtext corpus-curation ops ----------------------------------------------
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"          # one exact 8-word line
+    rows = [(i, boiler + f" uniq{i}a uniq{i}b") for i in range(4)]
+    rows.append((9, "solo a b c d e f g"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in webtext.line_dedup(
+        df, max_doc_freq=2).collect()}
+    # boilerplate line occurs in 4 > 2 docs -> removed everywhere
+    for i in range(4):
+        assert out[i]["n_lines"] == 2 and out[i]["n_kept"] == 1
+        assert out[i]["text_kept"] == f"uniq{i}a uniq{i}b"
+    # unique doc untouched
+    assert out[9]["n_kept"] == 1 and out[9]["text_kept"].startswith("solo")
+
+
+def test_url_normalize_edge_rules(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.createDataFrame(
+        [("a", "HTTP://X.Com:80"), ("b", "https://y.io:443/p#f"),
+         ("c", "http://z.org:8080/"), ("d", "https://w.net/")],
+        "row_id string, url string")
+    got = {r["row_id"]: r for r in webtext.normalize_urls(df).collect()}
+    assert got["a"]["url_norm"] == "http://x.com"          # default port
+    assert got["b"]["url_norm"] == "https://y.io/p"        # 443 + fragment
+    assert got["c"]["url_norm"] == "http://z.org:8080"     # root slash only
+    assert got["d"]["url_norm"] == "https://w.net"
+    assert got["c"]["host"] == "z.org" and got["c"]["domain"] == "z.org"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.read.parquet(SF + "/documents.parquet")
+    rates = {"en": 0.5, "fr": 1.0}
+    a = webtext.stratified_sample(df, "lang", rates)
+    b = webtext.stratified_sample(df.repartition(7), "lang", rates)
+    ra = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    assert ra == sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    langs = {r["lang"] for r in a.select("lang").distinct().collect()}
+    assert langs <= {"en", "fr"}          # absent strata dropped
+    fr_in = df.where(F.col("lang") == "fr").count()
+    fr_out = a.where(F.col("lang") == "fr").count()
+    assert fr_in == fr_out                # rate 1.0 keeps all

@@ -87,3 +87,24 @@ def test_embedding_near_dup_has_no_cartesian(spark):
     # (tiny input broadcasts; at scale AQE picks sort-merge/shuffled-hash)
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
+
+
+def test_vector_index_probe_prunes_partitions(spark, tmp_path_factory):
+    """S10 sink: a probe read must carry the cent_id partition filter
+    (only probed inverted lists are scanned) and must agree with the
+    in-memory ivf_topk on identical parameters."""
+    from historicaldatadocumentparsersystem_spark import vector_index
+    from historicaldatadocumentparsersystem_spark.operators import similarity
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("vidx"))
+    stats = vector_index.build_ivf_index(emb, path, n_centroids=8)
+    assert stats["n_vectors"] == emb.count()
+    qdf = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = vector_index.query_ivf_index(spark, path, qdf, k=4, n_probe=2)
+    plan = physical_plan(got)
+    assert "PartitionFilters" in plan and "cent_id" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+    want = similarity.ivf_topk(emb, qdf, k=4, n_centroids=8, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
