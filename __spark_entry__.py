@@ -582,6 +582,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), k=3)
     q["tfidf_top_terms"] = q_tfidf
 
+    # --- per-language length quartiles — SQL-checked (integer inputs
+    # make the interpolation exact in doubles on both engines)
+    def q_quantiles(spark, sf_dir):
+        return textstats.grouped_quantiles(
+            _t(spark, sf_dir, "documents"), "n_chars", "lang")
+    q["length_quantiles"] = q_quantiles
+
     # --- skew-salted host aggregation — SQL-checked (identical result to
     # direct groupBy; salting is an internal two-stage plan detail)
     def q_host_stats(spark, sf_dir):
@@ -1221,6 +1228,13 @@ def oracle_sql() -> dict[str, str]:
                       {" ".join(f"WHEN '{s}' THEN {_flit(r)}"
                                 for s, r in _SAMPLE_RATES.items())}
                       ELSE 0.0e0 END""",
+        "length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25e0), 6) AS q25,
+                   round(quantile_cont(n_chars, 0.5e0), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.75e0), 6) AS q75,
+                   count(*) AS n
+            FROM documents GROUP BY lang""",
         "doc_length_histogram": """
             SELECT (n_chars // 50)::int AS bucket, count(*) AS n,
                    min(n_chars) AS lo, max(n_chars) AS hi

@@ -105,6 +105,22 @@ def _corpus_parquet(spark, n_docs: int, cpus: int) -> str:
     return path
 
 
+def _membw_probe(mb: int = 128, reps: int = 4) -> float:
+    """Single-thread memcpy GB/s — the weather report for a shared
+    host. Extraction is Arrow/memcpy-heavy: a noisy neighbor consuming
+    host memory bandwidth inflates wall times ~linearly while leaving
+    pure-CPU spin probes untouched (observed 0.78 GB/s during a burst
+    vs ~8 GB/s quiet; the same deterministic extraction pass measured
+    8 s quiet and 23-58 s during the burst). Recorded before/after the
+    timed passes so every reading carries its own contamination
+    evidence — the number is never adjusted, only contextualized."""
+    buf = bytearray(mb << 20)
+    t0 = time.monotonic()
+    for _ in range(reps):
+        bytes(buf)
+    return round(mb / 1024 * reps / (time.monotonic() - t0), 2)
+
+
 def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
     """Generate corpus on executors, persist, then time extraction only.
 
@@ -135,11 +151,13 @@ def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
     bytes_in = docs.select(
         F.sum(F.coalesce(F.length("html"), F.lit(0)))).first()[0] or 0
     pipeline.extract_df(docs, num_buckets=cpus * 2).count()  # warmup
+    bw0 = _membw_probe()
     times, n_out = [], 0
     for _ in range(runs):
         t0 = time.monotonic()
         n_out = pipeline.extract_df(docs, num_buckets=cpus * 2).count()
         times.append(time.monotonic() - t0)
+    bw1 = _membw_probe()
     wall = min(times)
     return {"n_docs": n_out, "wall_sec": round(wall, 3),
             "runs_sec": [round(t, 3) for t in times],
@@ -147,7 +165,8 @@ def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
                 times[1:] if len(times) > 1 else times), 3),
             "docs_per_sec": round(n_out / wall, 2),
             "mb_in": round(bytes_in / 1e6, 1),
-            "mb_per_sec": round(bytes_in / 1e6 / wall, 2)}
+            "mb_per_sec": round(bytes_in / 1e6 / wall, 2),
+            "membw_gbps": [bw0, bw1]}
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:

@@ -185,3 +185,25 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
                     F.round(F.coalesce(F.col("__top") / F.col("__total"),
                                        F.lit(0.0)), 6)
                     .alias("top_bigram_ratio")))
+
+
+def grouped_quantiles(df: DataFrame, value_col: str, by: str,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75)
+                      ) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation) of an integer
+    column — corpus length/size distribution analytics.
+
+    Exact ``percentile`` shuffles every value to its group; at 100 TB
+    switch to ``approx_percentile`` (t-digest sketch, map-side
+    combinable, bounded memory) — same call shape, rank error instead
+    of exactness. Integer inputs at these quantile points make the
+    interpolation arithmetic exact in doubles, so the DuckDB
+    ``quantile_cont`` twin matches despite formula differences.
+    """
+    arr = F.percentile(F.col(value_col),
+                       F.array(*[F.lit(float(p)) for p in qs]))
+    agg = df.groupBy(by).agg(arr.alias("__q"),
+                             F.count("*").alias("n"))
+    cols = [F.round(F.col("__q")[i], 6).alias(f"q{int(p * 100)}")
+            for i, p in enumerate(qs)]
+    return agg.select(by, *cols, "n")

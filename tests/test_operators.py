@@ -420,3 +420,24 @@ def test_stratified_sample_rates_and_determinism(spark):
     fr_in = df.where(F.col("lang") == "fr").count()
     fr_out = a.where(F.col("lang") == "fr").count()
     assert fr_in == fr_out                # rate 1.0 keeps all
+
+
+def test_functions_surface_c7_c12_w4(spark):
+    """C7 bbox pad+clamp, C12 composite chunk ids, W4 array cap —
+    pins the remaining trivial scalar rows of the §2.7 inventory."""
+    df = spark.createDataFrame(
+        [("https://a.io/x", "para", 3, 2.0, 98.5, 100.0)],
+        "url string, kind string, pos int, lo double, hi double,"
+        " lim double")
+    row = df.select(
+        hfn.pad_clamp_lo("lo", 5.0).alias("lo_pad"),
+        hfn.pad_clamp_hi("hi", 5.0, "lim").alias("hi_pad"),
+        hfn.chunk_id("url", "kind", "pos").alias("cid"),
+        hfn.cap_array(F.array(*[F.lit(i) for i in range(5)]), 3)
+        .alias("capped"),
+    ).first()
+    assert row.lo_pad == 0.0                      # clamped at 0
+    assert row.hi_pad == 100.0                    # clamped at page limit
+    parts = row.cid.split("_")
+    assert parts[-2:] == ["para", "3"] and int(parts[0]) != 0
+    assert row.capped == [0, 1, 2]
