@@ -749,6 +749,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "media_kind", "width", "height"))
     q["media_dimensions"] = q_media_dims
 
+    # --- C8/C14 REAL pixel path (stdlib PNG codec) — SQL-checked
+    # against stats pinned as literals from the committed pure-Python
+    # decoder (extractor/imagex.py; same pattern as the golden parquet)
+    def _image_fixture_df(spark):
+        from historicaldatadocumentparsersystem_spark.extractor import \
+            imagex
+        rows = [("i1", imagex.make_test_png(32, 20, 3, seed=1)),
+                ("i2", imagex.make_test_png(16, 16, 1, seed=2,
+                                            filter_type=4)),
+                ("i3", imagex.make_test_png(8, 10, 4, seed=3,
+                                            filter_type=2)),
+                ("i4", b"not an image")]
+        return spark.createDataFrame(rows,
+                                     "media_id string, payload binary")
+
+    def q_image_stats(spark, sf_dir):
+        return multimodal.image_pixel_stats(_image_fixture_df(spark))
+    q["image_pixel_stats"] = q_image_stats
+
+    # --- REAL WAV audio stats (stdlib wave reader) — SQL-checked
+    # against pinned literals
+    def q_audio_stats(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.extractor import \
+            imagex
+        rows = [("w1", imagex.make_wav(4000, 8000, 32)),
+                ("w2", imagex.make_wav(1000, 16000, 64)),
+                ("w3", b"RIFFnot-a-wav")]
+        df = spark.createDataFrame(rows,
+                                   "media_id string, payload binary")
+        return multimodal.audio_stats(df)
+    q["audio_wav_stats"] = q_audio_stats
+
     # --- F10 magic-byte media sniff — SQL-checked (BLOB VALUES fixture;
     # the oracle compares the same prefixes on blob literals)
     def q_media_sniff(spark, sf_dir):
@@ -1328,6 +1360,29 @@ def oracle_sql() -> dict[str, str]:
         "picture_class_filter": _picture_filter_oracle(),
         "media_kind_sniff": _media_sniff_oracle(),
         "media_dimensions": _media_dims_oracle(),
+        # REAL PNG pixel decode: expected rows pinned from the
+        # committed pure-Python codec over the deterministic
+        # make_test_png fixture (regenerate ONLY on a conscious codec
+        # semantic change, like the golden parquet)
+        "image_pixel_stats": """
+            SELECT * FROM (VALUES
+              ('i1', 32, 20, 3, 114.0e0, 125.0e0, 136.0e0,
+               '8ed9793ce904adbd382cd0498610f922'),
+              ('i2', 16, 16, 1, 77.0e0, NULL, NULL,
+               '93478d96f36cc4b2b5900da7f3c430d5'),
+              ('i3', 8, 10, 4, 45.0e0, 56.0e0, 67.0e0,
+               'e871f32eea64e84bab650af932453026'),
+              ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+            ) AS t(media_id, width, height, channels,
+                   mean_c0, mean_c1, mean_c2, px_md5)""",
+        # REAL WAV stats pinned the same way (square wave: rms == amp)
+        "audio_wav_stats": """
+            SELECT * FROM (VALUES
+              ('w1', 1, 8000, 4000::bigint, 500::bigint, 12000.0e0),
+              ('w2', 1, 16000, 1000::bigint, 62::bigint, 12000.0e0),
+              ('w3', NULL, NULL, NULL::bigint, NULL::bigint, NULL)
+            ) AS t(media_id, n_channels, sample_rate, n_frames,
+                   duration_ms, rms)""",
         "pptx_elements": f"""
             SELECT url, slide, shape, para, kind, text
             FROM read_parquet('{_GOLDEN_PPTX}')""",

@@ -6,12 +6,11 @@ fitz 300-dpi pixmap -> PNG -> base64), image resize C14
 sniff F10 (``multimodal_RAG_methods.py:313-334``), picture-class filter
 F3 (``docling_chunker.py:104-126``).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(clearly marked) while the Spark-side plumbing is real and tested:
-schema (binary + struct metadata), partitioning, Arrow-batched UDF
-signatures, and batch shapes are exactly what a codec-backed
-implementation would use — swap ``_decode_image_stub`` for PIL/ffmpeg
-and nothing else changes.
+PNG pixel decode/resize/crop and WAV analysis are REAL — pure-stdlib
+zlib/wave codecs in ``extractor/imagex.py`` (no PIL/cv2 needed). Only
+JPEG/GIF *pixel* decode (DCT / LZW) stays stubbed behind the header
+parse; a deployment with PIL swaps those branches and nothing else
+changes — schema, partitioning, Arrow batch shapes are identical.
 """
 
 from __future__ import annotations
@@ -196,3 +195,203 @@ def filter_allowed_classes(df: DataFrame, classes_col: str,
              | ((acc.getField("cum") <= conf_prefix)
                 & s.getField("name").isin(*allowed))).alias("keep")))
     return df.where(folded.getField("keep"))
+
+
+# --- REAL pixel/audio paths (stdlib codecs, extractor/imagex.py) --------------
+
+def _image_stats_batch(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    import hashlib
+    from ..extractor import imagex
+    for b in batches:
+        rows = {"media_id": [], "width": [], "height": [], "channels": [],
+                "mean_c0": [], "mean_c1": [], "mean_c2": [], "px_md5": []}
+        for mid, payload in zip(b["media_id"], b["payload"]):
+            payload = bytes(payload) if payload is not None else b""
+            try:
+                w, h, ch, px = imagex.decode_png(payload)
+                means = [round(m, 6) for m in imagex.channel_means(px, ch)]
+                means += [None] * (3 - len(means))
+                digest = hashlib.md5(px).hexdigest()
+            except ValueError:
+                w = h = ch = None
+                means, digest = [None, None, None], None
+            rows["media_id"].append(mid)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["channels"].append(ch)
+            for i in range(3):
+                rows[f"mean_c{i}"].append(means[i])
+            rows["px_md5"].append(digest)
+        yield pd.DataFrame({
+            "media_id": rows["media_id"],
+            "width": pd.array(rows["width"], dtype="Int32"),
+            "height": pd.array(rows["height"], dtype="Int32"),
+            "channels": pd.array(rows["channels"], dtype="Int32"),
+            "mean_c0": rows["mean_c0"],
+            "mean_c1": rows["mean_c1"],
+            "mean_c2": rows["mean_c2"],
+            "px_md5": rows["px_md5"],
+        })
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL C8-adjacent analytics: decode PNG pixels (stdlib zlib +
+    scanline unfilter), emit dimensions, the first three per-channel
+    means, and an md5 fingerprint of the raw pixel buffer. Non-PNG /
+    unsupported payloads yield null stats (the F5 never-crash rule)."""
+    return df.select("media_id", "payload").mapInPandas(
+        _image_stats_batch,
+        "media_id string, width int, height int, channels int, "
+        "mean_c0 double, mean_c1 double, mean_c2 double, px_md5 string")
+
+
+def _resize_batch_fn(w2: int, h2: int):
+    from ..extractor import imagex
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads, ws, hs = [], [], []
+            for payload in b["payload"]:
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, ch, px = imagex.decode_png(payload)
+                    small = imagex.resize_nearest(px, w, h, ch, w2, h2)
+                    payloads.append(imagex.encode_png(small, w2, h2, ch))
+                    ws.append(w2)
+                    hs.append(h2)
+                except ValueError:
+                    payloads.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame({
+                "media_id": b["media_id"], "payload": payloads,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+            })
+    return fn
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL C14 for PNG: decode -> nearest-neighbor resample ->
+    re-encode PNG (reference ``multimodal_RAG_methods.py:336-352``,
+    LANCZOS swapped for the deterministic codec-free kernel)."""
+    return df.select("media_id", "payload").mapInPandas(
+        _resize_batch_fn(width, height),
+        "media_id string, payload binary, width int, height int")
+
+
+def _crop_b64_batch_fn(x0: int, y0: int, x1: int, y1: int):
+    import base64
+    from ..extractor import imagex
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for payload in b["payload"]:
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, ch, px = imagex.decode_png(payload)
+                    cx0, cy0 = max(0, x0), max(0, y0)
+                    cx1, cy1 = min(w, x1), min(h, y1)
+                    sub = imagex.crop(px, w, h, ch, cx0, cy0, cx1, cy1)
+                    png = imagex.encode_png(sub, cx1 - cx0, cy1 - cy0, ch)
+                    out.append(base64.b64encode(png).decode("ascii"))
+                except ValueError:
+                    out.append(None)
+            yield pd.DataFrame({"media_id": b["media_id"], "b64": out})
+    return fn
+
+
+def crop_media_b64(df: DataFrame, x0: int, y0: int,
+                   x1: int, y1: int) -> DataFrame:
+    """REAL C8 for PNG: crop -> render PNG -> base64 (reference
+    ``doc_processor.py:171-186``: fitz pixmap -> PNG -> b64)."""
+    return df.select("media_id", "payload").mapInPandas(
+        _crop_b64_batch_fn(x0, y0, x1, y1),
+        "media_id string, b64 string")
+
+
+def _audio_stats_batch(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    from ..extractor import imagex
+    for b in batches:
+        rows = {"media_id": [], "n_channels": [], "sample_rate": [],
+                "n_frames": [], "duration_ms": [], "rms": []}
+        for mid, payload in zip(b["media_id"], b["payload"]):
+            payload = bytes(payload) if payload is not None else b""
+            try:
+                s = imagex.wav_stats(payload)
+            except Exception:
+                s = {k: None for k in ("n_channels", "sample_rate",
+                                       "n_frames", "duration_ms", "rms")}
+            rows["media_id"].append(mid)
+            for k in ("n_channels", "sample_rate", "n_frames",
+                      "duration_ms"):
+                rows[k].append(s[k])
+            rows["rms"].append(round(s["rms"], 6)
+                               if s["rms"] is not None else None)
+        yield pd.DataFrame({
+            "media_id": rows["media_id"],
+            "n_channels": pd.array(rows["n_channels"], dtype="Int32"),
+            "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+            "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+            "duration_ms": pd.array(rows["duration_ms"], dtype="Int64"),
+            "rms": rows["rms"],
+        })
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL WAV analysis via the stdlib wave reader: channels, rate,
+    frames, duration, RMS — the audio feature-extraction leg of the
+    multimodal brief, Arrow-batched like the image ops."""
+    return df.select("media_id", "payload").mapInPandas(
+        _audio_stats_batch,
+        "media_id string, n_channels int, sample_rate int, "
+        "n_frames long, duration_ms long, rms double")
+
+
+def _frame_sample_batch_fn(every: int):
+    from ..extractor import imagex
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"media_id": [], "frame_no": [], "payload": [],
+                    "width": [], "height": []}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    frames = imagex.unpack_frames(payload)
+                except ValueError:
+                    continue                    # not a frame container
+                for i in range(0, len(frames), every):
+                    try:
+                        w, h, _, _ = imagex.decode_png(frames[i])
+                    except ValueError:
+                        w = h = None
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(i)
+                    rows["payload"].append(frames[i])
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "frame_no": pd.array(rows["frame_no"], dtype="Int32"),
+                "payload": rows["payload"],
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+            })
+    return fn
+
+
+def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling (1 row -> N frame rows): demux the frame
+    container, keep every ``every``-th frame, decode its real PNG
+    dimensions. The classic multimodal explode — output rows carry
+    (media_id, frame_no) so downstream image ops join/partition on
+    them; at scale the container bytes stream through one Arrow batch
+    per task and only sampled frames are materialized."""
+    return df.select("media_id", "payload").mapInPandas(
+        _frame_sample_batch_fn(every),
+        "media_id string, frame_no int, payload binary, "
+        "width int, height int")

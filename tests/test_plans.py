@@ -108,3 +108,12 @@ def test_vector_index_probe_prunes_partitions(spark, tmp_path_factory):
     want = similarity.ivf_topk(emb, qdf, k=4, n_centroids=8, n_probe=2)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_flagship_bucketed_path_is_map_only(spark, docs_parquet):
+    """The 100 TB design: with the ingest table bucketed by url hash,
+    extraction runs with shuffle=False and the plan has ZERO exchanges
+    (measured +81% at local[32] in BENCH/BASELINE.md)."""
+    src = spark.read.parquet(docs_parquet)
+    df = pipeline.extract_df(src, num_buckets=8, shuffle=False)
+    assert count_exchanges(df) == 0, physical_plan(df)
