@@ -582,6 +582,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), k=3)
     q["tfidf_top_terms"] = q_tfidf
 
+    # --- unigram LM cross-entropy (KenLM-style quality signal) —
+    # SQL-checked via fixed-point decimal summation on both sides
+    def q_logppl(spark, sf_dir):
+        return textstats.unigram_logppl(_t(spark, sf_dir, "documents"))
+    q["unigram_logppl"] = q_logppl
+
     # --- per-language length quartiles — SQL-checked (integer inputs
     # make the interpolation exact in doubles on both engines)
     def q_quantiles(spark, sf_dir):
@@ -760,7 +766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                             filter_type=4)),
                 ("i3", imagex.make_test_png(8, 10, 4, seed=3,
                                             filter_type=2)),
-                ("i4", b"not an image")]
+                ("i4", b"not an image"),
+                ("i5", imagex.encode_gif(        # REAL LZW + interlace
+                    bytes((3 * x + 5 * y) % 6 for y in range(9)
+                          for x in range(14)), 14, 9,
+                    [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+                     (255, 255, 0), (9, 9, 9)], interlaced=True))]
         return spark.createDataFrame(rows,
                                      "media_id string, payload binary")
 
@@ -1260,6 +1271,27 @@ def oracle_sql() -> dict[str, str]:
                       {" ".join(f"WHEN '{s}' THEN {_flit(r)}"
                                 for s, r in _SAMPLE_RATES.items())}
                       ELSE 0.0e0 END""",
+        # unigram LM cross-entropy: per-token -ln p rounded to 9 and
+        # summed as DECIMAL (associative, order-free) on both engines
+        "unigram_logppl": f"""
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(list_transform({tok}, t -> lower(t))) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term, count(*) AS c FROM tok GROUP BY term
+            ), totals AS (
+              SELECT sum(c)::double AS n_tok, count(*)::double AS v
+              FROM counts
+            ), scored AS (
+              SELECT id,
+                     round(-ln((c + 1) / (n_tok + v)),
+                           9)::decimal(20,9) AS nlp
+              FROM tok JOIN counts USING (term), totals
+            )
+            SELECT id AS doc_id, count(*) AS n_tokens,
+                   round(sum(nlp)::double / count(*), 6) AS log_ppl
+            FROM scored GROUP BY id""",
         "length_quantiles": """
             SELECT lang,
                    round(quantile_cont(n_chars, 0.25e0), 6) AS q25,
@@ -1372,7 +1404,9 @@ def oracle_sql() -> dict[str, str]:
                '93478d96f36cc4b2b5900da7f3c430d5'),
               ('i3', 8, 10, 4, 45.0e0, 56.0e0, 67.0e0,
                'e871f32eea64e84bab650af932453026'),
-              ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+              ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+              ('i5', 14, 9, 3, 86.5e0, 86.5e0, 44.0e0,
+               '87e2ee40a6fc79e38ba8a0385229af75')
             ) AS t(media_id, width, height, channels,
                    mean_c0, mean_c1, mean_c2, px_md5)""",
         # REAL WAV stats pinned the same way (square wave: rms == amp)

@@ -282,3 +282,175 @@ def unpack_frames(payload: bytes) -> list[bytes]:
         frames.append(payload[pos:pos + ln])
         pos += ln
     return frames
+
+
+# --- GIF (real LZW decode; encoder uses the uncompressed-GIF technique) --------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_rows(height: int, interlaced: bool) -> list[int]:
+    if not interlaced:
+        return list(range(height))
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def encode_gif(indices: bytes, width: int, height: int,
+               palette: list[tuple[int, int, int]],
+               interlaced: bool = False) -> bytes:
+    """Real GIF89a writer using the classic "uncompressed GIF" LZW
+    stream: fixed (min+1)-bit codes with a CLEAR before the table
+    would grow — every conforming decoder accepts it, and it needs no
+    string table. Palette is padded to a power of two >= 2."""
+    size = 2
+    while size < len(palette) or size < 4:
+        size *= 2
+    if size > 256 or max(indices, default=0) >= len(palette):
+        raise ValueError("palette too large or index out of range")
+    pal = list(palette) + [(0, 0, 0)] * (size - len(palette))
+    n = size.bit_length() - 1               # color resolution bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (n - 1), 0, 0])    # global table, 2^n entries
+    for r, g, b in pal:
+        out += bytes([r, g, b])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlaced else 0])
+    min_code = max(2, n)
+    clear, _end = 1 << min_code, (1 << min_code) + 1
+    out += bytes([min_code])
+    # bit-pack (min_code+1)-bit codes LSB-first, CLEAR every 2^min-3
+    # codes so the width never grows past min_code+1
+    codes = [clear]
+    budget = (1 << min_code) - 3
+    rows = _gif_rows(height, interlaced)
+    for y in rows:
+        for x in range(width):
+            codes.append(indices[y * width + x])
+            budget -= 1
+            if budget == 0:
+                codes.append(clear)
+                budget = (1 << min_code) - 3
+    codes.append(_end)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += min_code + 1
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"                      # block terminator + trailer
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """Real GIF LZW decoder (variable code width 3..12 bits)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, 3, RGB pixels) of the FIRST image frame — a
+    real LZW decode (variable-width codes, clear/EOI, interlace).
+    Transparency/animation are ignored; local palettes supported."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh = struct.unpack("<HH", payload[6:10])
+    packed, _bg, _ar = payload[10], payload[11], payload[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:                       # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:                     # image descriptor
+            _l, _t, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+            ip = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                table = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise ValueError("no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("short pixel stream")
+            rows = _gif_rows(h, bool(ip & 0x40))
+            px = bytearray(w * h * 3)
+            for src_row, y in enumerate(rows):
+                for x in range(w):
+                    i = idx[src_row * w + x] * 3
+                    d = (y * w + x) * 3
+                    px[d:d + 3] = table[i:i + 3]
+            return w, h, 3, bytes(px)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("no image frame")

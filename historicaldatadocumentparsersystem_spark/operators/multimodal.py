@@ -6,11 +6,13 @@ fitz 300-dpi pixmap -> PNG -> base64), image resize C14
 sniff F10 (``multimodal_RAG_methods.py:313-334``), picture-class filter
 F3 (``docling_chunker.py:104-126``).
 
-PNG pixel decode/resize/crop and WAV analysis are REAL — pure-stdlib
-zlib/wave codecs in ``extractor/imagex.py`` (no PIL/cv2 needed). Only
-JPEG/GIF *pixel* decode (DCT / LZW) stays stubbed behind the header
-parse; a deployment with PIL swaps those branches and nothing else
-changes — schema, partitioning, Arrow batch shapes are identical.
+PNG and GIF pixel decode, resize/crop, and WAV analysis are REAL —
+pure-stdlib codecs in ``extractor/imagex.py`` (zlib scanline filters
+for PNG, a from-scratch variable-width LZW for GIF; no PIL/cv2
+needed). Only JPEG *pixel* decode (baseline DCT) stays behind the
+header parse; a deployment with PIL swaps that branch and nothing
+else changes — schema, partitioning, Arrow batch shapes are
+identical.
 """
 
 from __future__ import annotations
@@ -209,7 +211,10 @@ def _image_stats_batch(batches: Iterator[pd.DataFrame]
         for mid, payload in zip(b["media_id"], b["payload"]):
             payload = bytes(payload) if payload is not None else b""
             try:
-                w, h, ch, px = imagex.decode_png(payload)
+                try:
+                    w, h, ch, px = imagex.decode_png(payload)
+                except ValueError:
+                    w, h, ch, px = imagex.decode_gif(payload)
                 means = [round(m, 6) for m in imagex.channel_means(px, ch)]
                 means += [None] * (3 - len(means))
                 digest = hashlib.md5(px).hexdigest()

@@ -207,3 +207,43 @@ def grouped_quantiles(df: DataFrame, value_col: str, by: str,
     cols = [F.round(F.col("__q")[i], 6).alias(f"q{int(p * 100)}")
             for i, p in enumerate(qs)]
     return agg.select(by, *cols, "n")
+
+
+def unigram_logppl(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram cross-entropy (KenLM-style quality signal
+    at unigram order): mean over tokens of -ln p(t), with Laplace
+    smoothing p(t) = (c_t + 1) / (N + V) from the corpus itself.
+    High values mark gibberish / rare-token documents for filtering.
+
+    Determinism across engines: double summation is order-dependent,
+    and a groupBy's partial-merge order is not — so each token's
+    -ln p is rounded to 9 places and cast to DECIMAL(20,9) BEFORE the
+    sum (exact, associative), then the mean is rounded to 6. The
+    DuckDB twin applies the identical fixed-point pipeline.
+
+    Scale: token counts are one map-side-combinable groupBy; the
+    unigram table is |vocabulary| rows, broadcast to the token stream;
+    corpus totals ride in via a crossJoin of a 1-row aggregate (no
+    driver collect).
+    """
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(text_col)).alias("t"))
+           .select("id", F.lower("t").alias("term")))
+    counts = tok.groupBy("term").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("n_tok"),
+        F.count("*").cast("double").alias("v"))
+    neglogp = F.round(
+        -F.log((F.col("c") + 1) / (F.col("n_tok") + F.col("v"))), 9) \
+        .cast("decimal(20,9)")
+    scored = (tok.join(F.broadcast(counts), "term")
+              .crossJoin(F.broadcast(totals))
+              .select("id", neglogp.alias("nlp")))
+    # exact decimal sum -> ONE double cast -> one IEEE divide -> round:
+    # the same op order in the DuckDB twin gives bit-equal results
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.sum("nlp").cast("double") / F.count("*"), 6)
+                 .alias("log_ppl"))
+            .withColumnRenamed("id", id_col))

@@ -127,3 +127,60 @@ def test_spark_frame_sample(spark):
     # sampled frame payloads are the real PNG bytes
     f0 = sorted(by["v1"], key=lambda r: r["frame_no"])[0]
     assert bytes(f0["payload"]) == imagex.make_test_png(6, 4, 3, seed=0)
+
+
+# --- real GIF LZW codec -------------------------------------------------------
+
+_PAL = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+        (255, 255, 0), (9, 9, 9)]
+
+
+def _gif_indices(w, h, npal):
+    return bytes((3 * x + 5 * y) % npal for y in range(h)
+                 for x in range(w))
+
+
+@pytest.mark.parametrize("interlaced", [False, True])
+def test_gif_lzw_roundtrip(interlaced):
+    w, h = 19, 11
+    idx = _gif_indices(w, h, len(_PAL))
+    gif = imagex.encode_gif(idx, w, h, _PAL, interlaced=interlaced)
+    gw, gh, ch, px = imagex.decode_gif(gif)
+    assert (gw, gh, ch) == (w, h, 3)
+    want = bytearray()
+    for i in idx:
+        want += bytes(_PAL[i])
+    assert px == bytes(want)
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError):
+        imagex.decode_gif(b"GIF89a but not really")
+    with pytest.raises(ValueError):
+        imagex.decode_gif(b"PNG?")
+
+
+def test_gif_large_palette_roundtrip():
+    # 256-color palette exercises 8-bit min code (9-bit LZW codes)
+    pal = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    w, h = 33, 9
+    idx = bytes((x * y + x) % 256 for y in range(h) for x in range(w))
+    gw, gh, ch, px = imagex.decode_gif(imagex.encode_gif(idx, w, h, pal))
+    assert (gw, gh) == (w, h)
+    assert px[:3] == bytes(pal[idx[0]])
+    assert px[-3:] == bytes(pal[idx[-1]])
+
+
+def test_spark_image_stats_decodes_gif(spark):
+    from historicaldatadocumentparsersystem_spark.operators import multimodal
+    idx = _gif_indices(8, 6, len(_PAL))
+    rows = [("g1", imagex.encode_gif(idx, 8, 6, _PAL))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    r = multimodal.image_pixel_stats(df).collect()[0]
+    px = bytearray()
+    for i in idx:
+        px += bytes(_PAL[i])
+    means = imagex.channel_means(bytes(px), 3)
+    assert (r["width"], r["height"], r["channels"]) == (8, 6, 3)
+    assert r["mean_c0"] == round(means[0], 6)
+    assert r["px_md5"] == hashlib.md5(bytes(px)).hexdigest()
