@@ -473,6 +473,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_near_pairs(docs, bits=32, max_hamming=7)
     q["simhash_near_pairs"] = q_simhash_pairs
 
+    # --- dedup clustering: connected components over near-dup pairs —
+    # SQL-checked (oracle: recursive-CTE transitive closure + min)
+    def q_dedup_clusters(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        pairs = dedup.simhash_near_pairs(docs, bits=32, max_hamming=7)
+        return dedup.dedup_clusters(pairs)
+    q["dedup_clusters"] = q_dedup_clusters
+
     # --- similarity search (J3/W2 analogs) — SQL-checked
     def q_ann(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
@@ -1139,6 +1147,45 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 7""",
+        # connected components == transitive closure min-label (the
+        # iterative Spark loop's fixpoint, computed declaratively)
+        "dedup_clusters": f"""
+            WITH RECURSIVE tokens AS (
+              SELECT doc_id, unnest({tok}) AS t FROM documents
+              WHERE doc_id < 500
+            ), hashes AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(t), 1, 8)) AS bigint) AS h
+              FROM tokens
+            ), votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashes, unnest(generate_series(0, 31)) AS bb(b)
+              GROUP BY doc_id, b
+            ), sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::bigint << b)
+                              ELSE 0 END)::bigint AS s
+              FROM votes GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.s, b.s)) <= 7
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach AS (
+              SELECT src AS node, src AS lab FROM edges
+              UNION
+              SELECT e.dst AS node, r.lab
+              FROM reach r JOIN edges e ON e.src = r.node
+            ), comp AS (
+              SELECT node, min(lab) AS component FROM reach GROUP BY node
+            )
+            SELECT component, count(*) AS n_members,
+                   min(node) AS keep_id
+            FROM comp GROUP BY component""",
         "cosine_topk": f"""
             WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
             j AS (

@@ -231,3 +231,72 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# --- dedup clustering (connected components) ---------------------------------
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id_a, id_b) near-dup pairs -> (node, component) with component
+    = min node id in the connected cluster: the canonicalization step
+    every dedup pipeline runs after LSH pair generation (keep one doc
+    per component).
+
+    Min-label propagation (the large-star/small-star simplification):
+    each round every node takes the min of its own and its neighbors'
+    labels; converged when no label changes. Rounds needed = graph
+    diameter (near-dup clusters are shallow — a handful of rounds);
+    each round is ONE broadcast-free equi-join on node id plus a
+    map-side-combinable min-aggregate. The per-round driver scalar
+    (`changed`) is an aggregate count, not row data.
+
+    Labels are ``localCheckpoint``-ed each round: iterative DataFrame
+    loops otherwise stack join-plans into a tree that grows per
+    iteration until the driver OOMs just *analyzing* it — lineage
+    truncation per round is the canonical fix (same move GraphFrames
+    makes; on a cluster use a reliable ``checkpoint`` dir so executor
+    loss can recompute).
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges.dst == labels.node)
+                        .groupBy("src")
+                        .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src,
+                                  "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nbr_min",
+                                                 F.col("component")))
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "id_a",
+                   b_col: str = "id_b") -> DataFrame:
+    """Cluster summary: (component, n_members, keep_id) — keep_id is
+    the canonical (min-id) member, everything else is a near-dup to
+    drop."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (cc.groupBy("component")
+            .agg(F.count("*").alias("n_members"),
+                 F.min("node").alias("keep_id")))

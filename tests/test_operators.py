@@ -441,3 +441,25 @@ def test_functions_surface_c7_c12_w4(spark):
     parts = row.cid.split("_")
     assert parts[-2:] == ["para", "3"] and int(parts[0]) != 0
     assert row.capped == [0, 1, 2]
+
+
+def test_connected_components_known_graph(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 10)],
+        "id_a long, id_b long")
+    cc = {r["node"]: r["component"]
+          for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+    summary = {r["component"]: (r["n_members"], r["keep_id"])
+               for r in dedup.dedup_clusters(pairs).collect()}
+    assert summary == {1: (3, 1), 7: (2, 7), 10: (3, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a path graph needs ~diameter rounds; prove the loop converges
+    n = 17
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    cc = dedup.connected_components(pairs)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {0} and cc.count() == n + 1
