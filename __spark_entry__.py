@@ -763,6 +763,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "media_kind", "width", "height"))
     q["media_dimensions"] = q_media_dims
 
+    def _jpeg_fixture():
+        from historicaldatadocumentparsersystem_spark.extractor import \
+            jpegx
+        rgb = bytearray()
+        for y in range(16):
+            for x in range(24):
+                rgb += bytes([(x * 6) % 256, (y * 8) % 256, 90])
+        return jpegx.encode_jpeg(bytes(rgb), 24, 16, 3)
+
     # --- C8/C14 REAL pixel path (stdlib PNG codec) — SQL-checked
     # against stats pinned as literals from the committed pure-Python
     # decoder (extractor/imagex.py; same pattern as the golden parquet)
@@ -779,7 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     bytes((3 * x + 5 * y) % 6 for y in range(9)
                           for x in range(14)), 14, 9,
                     [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
-                     (255, 255, 0), (9, 9, 9)], interlaced=True))]
+                     (255, 255, 0), (9, 9, 9)], interlaced=True)),
+                ("i6", _jpeg_fixture())]         # REAL baseline DCT
         return spark.createDataFrame(rows,
                                      "media_id string, payload binary")
 
@@ -1453,7 +1463,9 @@ def oracle_sql() -> dict[str, str]:
                'e871f32eea64e84bab650af932453026'),
               ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL),
               ('i5', 14, 9, 3, 86.5e0, 86.5e0, 44.0e0,
-               '87e2ee40a6fc79e38ba8a0385229af75')
+               '87e2ee40a6fc79e38ba8a0385229af75'),
+              ('i6', 24, 16, 3, 69.036458e0, 59.84375e0, 89.830729e0,
+               'db4968be0f29a4d6cdd280bdee567277')
             ) AS t(media_id, width, height, channels,
                    mean_c0, mean_c1, mean_c2, px_md5)""",
         # REAL WAV stats pinned the same way (square wave: rms == amp)

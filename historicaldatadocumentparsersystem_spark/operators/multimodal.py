@@ -6,13 +6,13 @@ fitz 300-dpi pixmap -> PNG -> base64), image resize C14
 sniff F10 (``multimodal_RAG_methods.py:313-334``), picture-class filter
 F3 (``docling_chunker.py:104-126``).
 
-PNG and GIF pixel decode, resize/crop, and WAV analysis are REAL —
-pure-stdlib codecs in ``extractor/imagex.py`` (zlib scanline filters
-for PNG, a from-scratch variable-width LZW for GIF; no PIL/cv2
-needed). Only JPEG *pixel* decode (baseline DCT) stays behind the
-header parse; a deployment with PIL swaps that branch and nothing
-else changes — schema, partitioning, Arrow batch shapes are
-identical.
+ALL pixel paths are REAL, pure stdlib, no PIL/cv2/libjpeg: PNG
+(zlib + scanline filters), GIF (from-scratch variable-width LZW),
+baseline JPEG incl. 4:2:0 chroma subsampling (from-scratch Huffman +
+DCT, ``extractor/jpegx.py``), WAV analysis, resize/crop/stats, and
+frame sampling. The header-only dimension parse remains as the fast
+path and the fallback for exotic variants (progressive JPEG, 16-bit
+PNG, sampling factors > 2).
 """
 
 from __future__ import annotations
@@ -120,11 +120,12 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """Dimensions come from the REAL header parse when the payload is a
-    recognized container; only PIXEL decode (resize/crop content) is
-    stubbed — the container ships no image codec (no PIL/cv2), so a
-    real deployment swaps the pixel path for PIL and nothing else
-    changes."""
+    """Fast header-only dimensions for ``decode_media`` (full pixel
+    decode lives in ``extractor/imagex.py``/``jpegx.py`` and powers
+    ``image_pixel_stats``/``resize_media``/``crop_media_b64``).
+    Unrecognized containers get a deterministic fake so the metadata
+    plumbing stays testable — the historical 'stub', kept for the F5
+    never-crash contract."""
     if not payload:
         raise NotImplementedError("no codec in container; empty payload")
     dims = parse_image_dimensions(payload)
@@ -214,7 +215,11 @@ def _image_stats_batch(batches: Iterator[pd.DataFrame]
                 try:
                     w, h, ch, px = imagex.decode_png(payload)
                 except ValueError:
-                    w, h, ch, px = imagex.decode_gif(payload)
+                    try:
+                        w, h, ch, px = imagex.decode_gif(payload)
+                    except ValueError:
+                        from ..extractor import jpegx
+                        w, h, ch, px = jpegx.decode_jpeg(payload)
                 means = [round(m, 6) for m in imagex.channel_means(px, ch)]
                 means += [None] * (3 - len(means))
                 digest = hashlib.md5(px).hexdigest()

@@ -184,3 +184,77 @@ def test_spark_image_stats_decodes_gif(spark):
     assert (r["width"], r["height"], r["channels"]) == (8, 6, 3)
     assert r["mean_c0"] == round(means[0], 6)
     assert r["px_md5"] == hashlib.md5(bytes(px)).hexdigest()
+
+
+# --- baseline JPEG codec ------------------------------------------------------
+
+from historicaldatadocumentparsersystem_spark.extractor import jpegx
+
+
+def test_jpeg_flat_gray_roundtrip_exact():
+    px = bytes([120] * (24 * 16))
+    w, h, ch, out = jpegx.decode_jpeg(jpegx.encode_jpeg(px, 24, 16, 1))
+    assert (w, h, ch) == (24, 16, 1)
+    assert max(abs(a - b) for a, b in zip(px, out)) == 0
+
+
+def test_jpeg_rgb_gradient_bounded_error():
+    rgb = bytearray()
+    for y in range(16):
+        for x in range(24):
+            rgb += bytes([(x * 6) % 256, (y * 8) % 256, 90])
+    w, h, ch, out = jpegx.decode_jpeg(
+        jpegx.encode_jpeg(bytes(rgb), 24, 16, 3))
+    assert (w, h, ch) == (24, 16, 3)
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 12
+
+
+def test_jpeg_odd_dims_and_header_parse():
+    from historicaldatadocumentparsersystem_spark.operators import multimodal
+    px = bytes([(3 * x + 5 * y) % 200 for y in range(11)
+                for x in range(13)])
+    j = jpegx.encode_jpeg(px, 13, 11, 1)
+    w, h, ch, out = jpegx.decode_jpeg(j)
+    assert (w, h) == (13, 11)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 4
+    # the header-only parser agrees on a REAL encoded stream
+    assert multimodal.parse_image_dimensions(j) == (13, 11)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    j = bytearray(jpegx.encode_jpeg(bytes(64), 8, 8, 1))
+    i = j.find(b"\xff\xc0")
+    j[i + 1] = 0xC2                         # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError):
+        jpegx.decode_jpeg(bytes(j))
+    with pytest.raises(ValueError):
+        jpegx.decode_jpeg(b"\xff\xd8nonsense")
+    with pytest.raises(ValueError):
+        jpegx.decode_jpeg(b"PNG")
+
+
+def test_spark_image_stats_decodes_jpeg(spark):
+    from historicaldatadocumentparsersystem_spark.operators import multimodal
+    px = bytes([120] * (24 * 16))
+    j = jpegx.encode_jpeg(px, 24, 16, 1)
+    df = spark.createDataFrame([("j1", j)],
+                               "media_id string, payload binary")
+    r = multimodal.image_pixel_stats(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (24, 16, 1)
+    assert r["mean_c0"] == 120.0 and r["mean_c1"] is None
+    assert r["px_md5"] == hashlib.md5(px).hexdigest()
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    rgb = bytearray()
+    for y in range(21):
+        for x in range(30):
+            rgb += bytes([(x * 5) % 256, (y * 7) % 256, 120])
+    j = jpegx.encode_jpeg(bytes(rgb), 30, 21, 3, subsample=True)
+    w, h, ch, out = jpegx.decode_jpeg(j)
+    assert (w, h, ch) == (30, 21, 3)
+    # chroma is 2x2-box averaged: smooth image stays within a few levels
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 20
+    # and the stream really declares 4:2:0 (luma 0x22 in SOF0)
+    i = j.find(b"\xff\xc0")
+    assert j[i + 11] == 0x22 and j[i + 14] == 0x11
