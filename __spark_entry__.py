@@ -144,6 +144,26 @@ def _hash_split_oracle() -> str:
             FROM documents"""
 
 
+def _text_norm_oracle() -> str:
+    """DuckDB twin of nfc_clean + ascii_fold: nfc_normalize +
+    regexp_replace over the SHARED explicit whitespace class (RE2 \\s
+    is ASCII-only, so both engines use the same literal class) +
+    lower(strip_accents(...))."""
+    from historicaldatadocumentparsersystem_spark import functions as fn
+    vals = ", ".join(
+        "('{}', '{}')".format(r, t.replace("'", "''"))
+        for r, t in _NORM_ROWS)
+    return f"""
+            WITH t(row_id, raw) AS (VALUES {vals}),
+            c AS (SELECT row_id,
+                    trim(regexp_replace(nfc_normalize(raw),
+                         '{fn.UNICODE_WS}+', ' ', 'g')) AS clean
+                  FROM t)
+            SELECT row_id, clean,
+                   lower(strip_accents(clean)) AS folded
+            FROM c"""
+
+
 def _pii_oracle() -> str:
     """DuckDB twin of functions.redact_pii: identical RE2/Java-common
     patterns applied globally in the same order."""
@@ -311,6 +331,18 @@ _URL_ROWS = [
 
 # stratified-sample rates (shared Spark/oracle; absent stratum -> 0)
 _SAMPLE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25}
+
+# unicode-normalization fixture (deterministic VALUES both sides):
+# decomposed accents, NBSP, tabs/newlines, ideographic + narrow
+# spaces, line/paragraph separators, accented letters for folding
+_NORM_ROWS = [
+    ("n1", "Cafe\u0301  du\u00a0monde"),      # decomposed accent + NBSP
+    ("n2", "  tabs\tand\nnewlines  "),
+    ("n3", "already clean"),
+    ("n4", "ideographic\u3000space"),
+    ("n5", "\u00c0\u00c9\u00ce\u00d5\u00dc \u00e7\u00f1"),
+    ("n6", "\u2028line\u2029sep\u202fnarrow"),
+]
 
 # PII-redaction fixture (deterministic VALUES both sides)
 _PII_ROWS = [
@@ -547,6 +579,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame(_PII_ROWS, "row_id string, text string")
         return df.select("row_id", fn.redact_pii("text").alias("clean"))
     q["pii_redaction"] = q_pii
+
+    # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
+    # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
+    # explicit whitespace class because RE2's \s is ASCII-only)
+    def q_text_norm(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark import functions as fn
+        df = spark.createDataFrame(_NORM_ROWS, "row_id string, raw string")
+        cleaned = df.select("row_id", fn.nfc_clean("raw").alias("clean"))
+        return cleaned.select("row_id", "clean",
+                              fn.ascii_fold("clean").alias("folded"))
+    q["text_normalize"] = q_text_norm
 
     # --- domain cap (web-corpus sampling vs hot hosts) — SQL-checked
     def q_cap_host(spark, sf_dir):
@@ -1247,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY event_type
                      ORDER BY value DESC, event_id ASC) AS rk
             FROM events QUALIFY rk <= 5""",
+        "text_normalize": _text_norm_oracle(),
         "hash_split": _hash_split_oracle(),
         "pii_redaction": _pii_oracle(),
         "cap_per_host": r"""

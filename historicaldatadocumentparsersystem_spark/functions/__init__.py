@@ -5,6 +5,7 @@ JVM-side, whole-stage-codegen friendly. No Python UDFs here.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 (resolves pandas_udf type hints)
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -175,3 +176,49 @@ def redact_pii(col) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# --- unicode text normalization (web-corpus cleaning) ------------------------
+
+# explicit whitespace class shared with the DuckDB oracle: RE2's \s is
+# ASCII-only while Python's is unicode-aware, so BOTH sides use this
+# literal class instead (covers NBSP, ogham, en/em spaces, line/para
+# separators, narrow nbsp, math space, ideographic space)
+UNICODE_WS = ("[ \t\n\r\f\v\u00a0\u1680\u2000-\u200a"
+              "\u2028\u2029\u202f\u205f\u3000]")
+
+
+def nfc_clean(col) -> Column:
+    """NFC-normalize + collapse unicode whitespace + trim. The ONE
+    scalar with no JVM built-in (Spark has no unicode normalizer), so
+    it is an Arrow-batched pandas UDF over C-level ``unicodedata`` —
+    documented slow path, still vectorized at the transfer layer."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+        ws = re.compile(UNICODE_WS + "+")
+        return s.map(lambda t: None if t is None else ws.sub(
+            " ", unicodedata.normalize("NFC", t)).strip())
+    return _udf(_c(col))
+
+
+def ascii_fold(col) -> Column:
+    """Accent-strip + lowercase (matching/join keys): NFD, drop
+    combining marks, lower — DuckDB twin: lower(strip_accents(x))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def fold(t):
+            if t is None:
+                return None
+            d = unicodedata.normalize("NFD", t)
+            return "".join(c for c in d
+                           if not unicodedata.combining(c)).lower()
+        return s.map(fold)
+    return _udf(_c(col))
