@@ -165,11 +165,17 @@ def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
         F.sum(F.coalesce(F.length("html"), F.lit(0)))).first()[0] or 0
     pipeline.extract_df(docs, num_buckets=cpus * 2).count()  # warmup
     bw0 = _membw_probe()
-    times, n_out = [], 0
+    times, n_out, run_fault_ms = [], 0, []
     for _ in range(runs):
         t0 = time.monotonic()
         n_out = pipeline.extract_df(docs, num_buckets=cpus * 2).count()
         times.append(time.monotonic() - t0)
+        # tag EACH pass with adjacent fault weather (storms are
+        # sub-minute; the block-level brackets miss them)
+        fresh = bytearray(32 << 20)
+        t0 = time.monotonic()
+        fresh[::4096] = b"\x01" * len(fresh[::4096])
+        run_fault_ms.append(round((time.monotonic() - t0) * 1000, 1))
     bw1 = _membw_probe()
     wall = min(times)
     return {"n_docs": n_out, "wall_sec": round(wall, 3),
@@ -179,7 +185,8 @@ def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
             "docs_per_sec": round(n_out / wall, 2),
             "mb_in": round(bytes_in / 1e6, 1),
             "mb_per_sec": round(bytes_in / 1e6 / wall, 2),
-            "host_probe": [bw0, bw1]}
+            "host_probe": [bw0, bw1],
+            "run_fault_ms": run_fault_ms}
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
