@@ -73,10 +73,13 @@ def make_spark(cpus: int):
             .getOrCreate())
 
 
-# 6 timed passes (median of the last 5): the shared VM throws
-# multi-minute noise bursts (observed a 19.5 s outlier amid 7.5 s
-# runs) and a median over 3 values is fragile against them
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "6"))
+# 8 timed passes, headline = min: besides additive noise bursts, the
+# shared VM shows a LONG warm-up — a 12-pass diagnostic measured the
+# identical job decaying 68.7 -> 9.7 s monotonically (~5 min to steady
+# state; host-side page-sharing/balloon effects, per-pass fault probes
+# healthy throughout), so early passes read far below capability and
+# the min needs enough passes to reach the plateau
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "8"))
 
 
 def _corpus_parquet(spark, n_docs: int, cpus: int) -> str:
