@@ -117,3 +117,22 @@ def test_flagship_bucketed_path_is_map_only(spark, docs_parquet):
     src = spark.read.parquet(docs_parquet)
     df = pipeline.extract_df(src, num_buckets=8, shuffle=False)
     assert count_exchanges(df) == 0, physical_plan(df)
+
+
+def test_tfidf_broadcasts_document_frequency(spark):
+    """The vocabulary-sized df table must broadcast to the token
+    stream (corpus-sized side never shuffles for the join)."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.read.parquet(SF + "/documents.parquet")
+    plan = physical_plan(webtext.tfidf_top_terms(df, k=3))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_dedup_no_cartesian(spark):
+    """Line-frequency removal is an equi-join on the line hash — a
+    cartesian or nested-loop join would be the scale-killer."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.read.parquet(SF + "/documents.parquet")
+    plan = physical_plan(webtext.line_dedup(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
