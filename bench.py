@@ -88,13 +88,19 @@ def _corpus_parquet(spark, n_docs: int, cpus: int) -> str:
     regeneration was ~90 s of every run for an identical byte stream.
     Written to a temp dir + atomic rename; _SUCCESS guards torn writes.
     """
+    import hashlib
     import shutil
     import tempfile
     from historicaldatadocumentparsersystem_spark import fixtures
 
+    # key the cache by the fixture generator's content too: without it,
+    # a fixtures.py change silently reuses the stale corpus until reboot
+    # and every subsequent bench measures the OLD data
+    with open(fixtures.__file__, "rb") as fh:
+        fix_ver = hashlib.md5(fh.read()).hexdigest()[:8]
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     path = os.path.join(base,
-                        f"hddps-bench-corpus-{n_docs}x{DOC_SCALE}")
+                        f"hddps-bench-corpus-{n_docs}x{DOC_SCALE}-{fix_ver}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     tmp = tempfile.mkdtemp(prefix="bench-corpus-", dir=base)

@@ -484,6 +484,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if not comps or not scan or not data:
         raise ValueError("missing SOF/SOS")
     nch = len(comps)
+    if nch not in (1, 3):
+        # 2-component scans and 4-component (Adobe CMYK) streams are not
+        # supported by the grayscale/YCbCr paths; raise ValueError BEFORE
+        # the full entropy decode so callers take the documented
+        # header-dims fallback instead of IndexError / silently-wrong RGB.
+        raise ValueError(f"unsupported component count {nch}")
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)

@@ -266,6 +266,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels,
                                    edges.dst == labels.node)
@@ -286,8 +287,17 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                    .count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Silently returning mid-propagation labels would split one
+        # cluster into several keep_ids with no signal — plausible for
+        # chained near-dup clusters whose diameter exceeds max_iter at
+        # corpus scale. Fail loudly; the caller raises max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter")
     return labels
 
 

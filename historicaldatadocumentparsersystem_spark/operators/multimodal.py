@@ -204,6 +204,11 @@ def filter_allowed_classes(df: DataFrame, classes_col: str,
 
 def _image_stats_batch(batches: Iterator[pd.DataFrame]
                        ) -> Iterator[pd.DataFrame]:
+    # All media batches catch BROAD Exception around the decoders: a
+    # malformed real-world payload with a valid magic prefix raises
+    # zlib.error (corrupt IDAT), struct.error / IndexError (truncated
+    # container), not just ValueError — and the F5 contract is that a
+    # bad payload yields null stats, never a crashed task.
     import hashlib
     from ..extractor import imagex
     for b in batches:
@@ -214,16 +219,16 @@ def _image_stats_batch(batches: Iterator[pd.DataFrame]
             try:
                 try:
                     w, h, ch, px = imagex.decode_png(payload)
-                except ValueError:
+                except Exception:
                     try:
                         w, h, ch, px = imagex.decode_gif(payload)
-                    except ValueError:
+                    except Exception:
                         from ..extractor import jpegx
                         w, h, ch, px = jpegx.decode_jpeg(payload)
                 means = [round(m, 6) for m in imagex.channel_means(px, ch)]
                 means += [None] * (3 - len(means))
                 digest = hashlib.md5(px).hexdigest()
-            except ValueError:
+            except Exception:
                 w = h = ch = None
                 means, digest = [None, None, None], None
             rows["media_id"].append(mid)
@@ -270,7 +275,7 @@ def _resize_batch_fn(w2: int, h2: int):
                     payloads.append(imagex.encode_png(small, w2, h2, ch))
                     ws.append(w2)
                     hs.append(h2)
-                except ValueError:
+                except Exception:
                     payloads.append(None)
                     ws.append(None)
                     hs.append(None)
@@ -307,7 +312,7 @@ def _crop_b64_batch_fn(x0: int, y0: int, x1: int, y1: int):
                     sub = imagex.crop(px, w, h, ch, cx0, cy0, cx1, cy1)
                     png = imagex.encode_png(sub, cx1 - cx0, cy1 - cy0, ch)
                     out.append(base64.b64encode(png).decode("ascii"))
-                except ValueError:
+                except Exception:
                     out.append(None)
             yield pd.DataFrame({"media_id": b["media_id"], "b64": out})
     return fn
@@ -372,12 +377,12 @@ def _frame_sample_batch_fn(every: int):
                 payload = bytes(payload) if payload is not None else b""
                 try:
                     frames = imagex.unpack_frames(payload)
-                except ValueError:
+                except Exception:
                     continue                    # not a frame container
                 for i in range(0, len(frames), every):
                     try:
                         w, h, _, _ = imagex.decode_png(frames[i])
-                    except ValueError:
+                    except Exception:
                         w = h = None
                     rows["media_id"].append(mid)
                     rows["frame_no"].append(i)

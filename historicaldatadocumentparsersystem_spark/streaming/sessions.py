@@ -49,6 +49,17 @@ _STATE_SCHEMA = StructType([
 GAP_US = 1_800_000_000  # 30 minutes, microseconds (same as batch)
 
 
+def _round_half_up(v: float, scale: int = 2) -> float:
+    """Match Spark's F.round on DOUBLE (the batch sessionizer's
+    ``F.round(F.sum("value"), 2)``): Spark rounds the shortest decimal
+    repr of the double with HALF_UP — Python's builtin round() is
+    banker's (HALF_EVEN) and diverges on exact .xx5 boundaries."""
+    import decimal
+    q = decimal.Decimal(1).scaleb(-scale)
+    return float(decimal.Decimal(repr(v)).quantize(
+        q, rounding=decimal.ROUND_HALF_UP))
+
+
 def _make_sessionize_fn(timeout_ms: int):
     def fn(key, batches, state: GroupState):
         import pandas as pd
@@ -58,7 +69,7 @@ def _make_sessionize_fn(timeout_ms: int):
 
         if timeout_ms and state.hasTimedOut:   # quiet user: flush open
             sno, last, n, first, vs = state.get
-            closed.append((user_id, sno, n, first, round(vs, 2)))
+            closed.append((user_id, sno, n, first, _round_half_up(vs)))
             state.remove()
             return iter((pd.DataFrame(
                 closed, columns=[f.name for f in SESSION_OUT_SCHEMA]),))
@@ -77,7 +88,7 @@ def _make_sessionize_fn(timeout_ms: int):
                     sno, last, n, first, vs = cur
                     if us - last > GAP_US:
                         closed.append((user_id, sno, n, first,
-                                       round(vs, 2)))
+                                       _round_half_up(vs)))
                         cur = (sno + 1, us, 1, int(eid), float(val))
                     else:
                         cur = (sno, us, n + 1, first, vs + float(val))
