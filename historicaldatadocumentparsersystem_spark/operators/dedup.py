@@ -66,20 +66,44 @@ def shingles(text_col: str, n: int = 3) -> "F.Column":
     return F.array_distinct(grams)
 
 
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
+                       max_shingle_doc_freq: int | None) -> DataFrame:
+    """(id, sh) rows, one per distinct shingle per doc, optionally with
+    hot shingles (document frequency > cap) removed.
+
+    Shingles are per-doc distinct, so count(*) per shingle IS its doc
+    frequency. The hot set is a handful of stop-shingles on a real
+    corpus — the anti-join broadcasts (AQE) — while each surviving
+    shingle contributes at most cap*(cap-1)/2 pairs to any downstream
+    self-join: the 100 TB job-killer (one stop-shingle bucket holding
+    30% of the corpus) becomes a bounded bucket.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(text_col, n)).alias("sh")))
+    if max_shingle_doc_freq is None:
+        return sh
+    hot = (sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
+           .where(F.col("df_sh") > max_shingle_doc_freq)
+           .select("sh"))
+    return sh.join(hot, "sh", "left_anti")
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_doc_freq: int | None = None
+                        ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold.
 
     Scale path: explode shingles -> self-join on shingle (co-occurring
     docs only — never a cartesian) -> |A∩B| per pair -> Jaccard via
-    |A|+|B|-|∩|. The shingle join shuffles on the shingle hash; hot
-    shingles can be frequency-capped upstream (stopword shingles pruned
-    by an occurrence limit) — at 100 TB add a document-frequency filter
-    before the join.
+    |A|+|B|-|∩|. The shingle join shuffles on the shingle hash; with
+    ``max_shingle_doc_freq`` set, stop-shingles above that document
+    frequency are pruned BEFORE the join (``_exploded_shingles``) and
+    the Jaccard is computed over the capped shingle universe — exact
+    for that universe, with every join bucket bounded at the cap.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(text_col, n)).alias("sh")))
+    sh = _exploded_shingles(df, text_col, id_col, n, max_shingle_doc_freq)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("a")
              .join(sh.alias("b"),
@@ -123,19 +147,34 @@ def minhash_signature(shingle_col, num_hashes: int = 16) -> "F.Column":
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_shingle_doc_freq: int | None = None
+                      ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified by estimated
     Jaccard (signature agreement rate) >= threshold.
 
     shingle->minhash->band->bucket-join: docs sharing any full band
     signature land in one bucket; pairs are generated per bucket only.
     The bucket join shuffles on md5(band) — uniform by construction.
+
+    ``max_shingle_doc_freq`` prunes stop-shingles before the signature
+    (standard remove-stop-shingles-then-minhash): boilerplate shingles
+    shared by a large corpus fraction otherwise drag unrelated docs'
+    signatures together, inflating hot band buckets. Costs one extra
+    id-keyed shuffle (regrouping the capped shingles), only when set.
     """
     rows_per_band = num_hashes // bands
-    sig = (df.select(F.col(id_col).alias("id"),
-                     shingles(text_col, n).alias("sh"))
-           .where(F.size("sh") > 0)
-           .select("id", minhash_signature("sh", num_hashes).alias("sig")))
+    if max_shingle_doc_freq is None:
+        shingled = (df.select(F.col(id_col).alias("id"),
+                              shingles(text_col, n).alias("sh"))
+                    .where(F.size("sh") > 0))
+    else:
+        shingled = (_exploded_shingles(df, text_col, id_col, n,
+                                       max_shingle_doc_freq)
+                    .groupBy("id")
+                    .agg(F.collect_list("sh").alias("sh")))
+    sig = shingled.select(
+        "id", minhash_signature("sh", num_hashes).alias("sig"))
     # materialize signatures once: the bucket self-join would otherwise
     # recompute num_hashes x |shingles| md5s on BOTH sides (at scale:
     # write the signature table, bucketed by band hash, then join)

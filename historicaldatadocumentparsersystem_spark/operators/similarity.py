@@ -221,32 +221,33 @@ def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     with the query in ANY of ``n_tables`` tables, then exact cosine rank
     within candidates.
 
-    The scale path: the corpus is bucketed ONCE (signature is a plain
-    column -> partition/bucket by it); each query probes its buckets
-    instead of scanning 100 TB. Here both sides compute signatures
-    inline; the join is on (table, signature) — never all-pairs.
+    The scale path: the corpus is exploded ONCE to (id, t, sig) and the
+    (tiny) query side — exploded the same way — is BROADCAST, so the
+    candidate join is a BroadcastHashJoin keyed on (t, sig): every
+    corpus row hashes into its probe buckets and rows outside any query
+    bucket are dropped at the join, never scored. (An earlier form
+    joined on an OR of per-table signature equalities — that compiles
+    to BroadcastNestedLoopJoin, i.e. brute force with extra signature
+    math; tests/test_plans.py pins the equi-join shape.) At 100 TB,
+    persist the exploded corpus bucketed by (t, sig) and the probe read
+    prunes at the scan.
     """
     tables = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
 
-    def sigs(d: DataFrame, vc: str) -> DataFrame:
-        out = d
-        for t, planes in enumerate(tables):
-            out = out.withColumn(f"sig{t}",
-                                 hyperplane_signature(vc, planes))
-        return out
+    def exploded(d: DataFrame, idc: str, vc: str) -> DataFrame:
+        sig_arr = F.array(*[hyperplane_signature(vc, p) for p in tables])
+        return d.select(F.col(idc), F.col(vc),
+                        F.posexplode(sig_arr).alias("t", "sig"))
 
-    c = sigs(df, vec_col).alias("c")
-    q = sigs(query_df, "embedding").alias("q")
-    bucket_match = None
-    for t in range(n_tables):
-        m = F.col(f"c.sig{t}") == F.col(f"q.sig{t}")
-        bucket_match = m if bucket_match is None else (bucket_match | m)
-    joined = (c.join(F.broadcast(q),
-                     bucket_match
-                     & (F.col(f"c.{id_col}") != F.col("q.query_id")))
-              .select(F.col("q.query_id").alias("query_id"),
-                      F.col(f"c.{id_col}").alias("neighbor_id"),
-                      F.round(cosine(F.col(f"c.{vec_col}"),
-                                     F.col("q.embedding")), 6)
-                      .alias("cos_sim")))
+    c = exploded(df, id_col, vec_col)
+    q = (exploded(query_df, "query_id", "embedding")
+         .withColumnRenamed("embedding", "__qv"))
+    cand = (c.join(F.broadcast(q), ["t", "sig"])
+            .where(F.col(id_col) != F.col("query_id"))
+            # a (query, neighbor) pair matching in several tables is one
+            # candidate — dedup BEFORE the exact cosine
+            .dropDuplicates(["query_id", id_col]))
+    joined = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(vec_col, "__qv"), 6).alias("cos_sim"))
     return _ranked_topk(joined, k)

@@ -172,7 +172,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
 
     Scale: tf is one (id, term) groupBy (map-side combine); df is one
     term groupBy whose output is |vocabulary| rows — broadcast to the
-    tf side (hinted) since vocabulary << corpus; N is a single count.
+    tf side (hinted) since vocabulary << corpus; N rides in as a 1-row
+    aggregate via a broadcast crossJoin (the unigram_logppl pattern) —
+    fully lazy, no eager driver action at plan-build time.
     The final top-k window partitions by doc — bounded groups.
     """
     tok = (df.select(F.col(id_col).alias("id"),
@@ -181,10 +183,12 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("term").agg(
         F.countDistinct("id").alias("doc_freq"))
-    n_docs = df.count()  # single scalar aggregate; computed once
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1)) + 1
+    totals = df.agg(F.count("*").cast("double").alias("__n_docs"))
+    idf = F.log((F.col("__n_docs") + 1) / (F.col("doc_freq") + 1)) + 1
     scored = (tf.join(F.broadcast(dfreq), "term")
-              .withColumn("tfidf", F.round(F.col("tf") * idf, 6)))
+              .crossJoin(F.broadcast(totals))
+              .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+              .drop("__n_docs"))
     from pyspark.sql import Window
     w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rk", F.row_number().over(w))

@@ -82,6 +82,50 @@ def test_minhash_identical_docs_bucket_together(spark):
     assert got[0].est_jaccard == 1.0
 
 
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """Skew guard: one stop-shingle shared by 30% of docs must not
+    drive O(hot^2) candidate pairs once the doc-frequency cap is on.
+
+    30 of 100 docs share the 'spam spam spam' shingle but are otherwise
+    unique. Uncapped, that one bucket alone emits C(30,2)=435 candidate
+    pairs; capped at doc_freq<=5 the shingle is pruned and ZERO pairs
+    co-occur. threshold=0.0 surfaces every candidate pair.
+    """
+    rows = [(i, f"spam spam spam u{i}a u{i}b u{i}c") for i in range(30)]
+    rows += [(100 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).count()
+    assert uncapped == 435
+    capped = dedup.ngram_jaccard_pairs(
+        df, n=3, threshold=0.0, max_shingle_doc_freq=5).count()
+    assert capped == 0
+    # minhash path: pruning the stop-shingle must not create pairs
+    # between otherwise-unique docs, and docs left with zero shingles
+    # simply drop out (no crash on empty shingle sets)
+    mh = dedup.minhash_lsh_pairs(df, num_hashes=16, bands=4, n=3,
+                                 threshold=0.5, max_shingle_doc_freq=5)
+    assert mh.count() == 0
+
+
+def test_hot_shingle_cap_keeps_real_near_dups(spark):
+    """The cap prunes ONLY shingles above the frequency bound: genuine
+    near-dup pairs built from low-frequency shingles survive with the
+    identical jaccard value."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),
+         (3, "one two three four five")],
+        "doc_id long, text string")
+    base = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                df, n=2, threshold=0.3).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in dedup.ngram_jaccard_pairs(
+                  df, n=2, threshold=0.3,
+                  max_shingle_doc_freq=5).collect()}
+    assert base == capped and (1, 2) in base
+
+
 def test_simhash_lsh_complete_vs_bruteforce(spark):
     """Banding must find EVERY pair within max_hamming (pigeonhole)."""
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)

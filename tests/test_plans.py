@@ -67,11 +67,18 @@ def test_topk_is_single_shuffle(spark):
 
 def test_ann_broadcasts_query_side(spark):
     """The ANN joins must broadcast the (small) query side — a shuffled
-    join of corpus x queries would move the corpus twice."""
+    join of corpus x queries would move the corpus twice. For lsh_topk
+    the join must be a HASH join on the (t, sig) bucket key: the
+    OR-of-signatures form compiles to BroadcastNestedLoopJoin, which
+    tests every corpus row against every query — brute force wearing an
+    LSH costume."""
     import __spark_entry__ as entrymod
     for name in ("cosine_topk", "lsh_topk"):
         df = entrymod.queries()[name](spark, SF)
         assert has_broadcast_join(df), f"{name}: {physical_plan(df)}"
+    plan = physical_plan(entrymod.queries()["lsh_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_embedding_near_dup_has_no_cartesian(spark):
