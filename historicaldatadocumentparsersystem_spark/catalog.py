@@ -22,6 +22,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class Catalog:
@@ -33,16 +34,29 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
 
     # -- extracted table ----------------------------------------------------
-    def write_extracted(self, df: DataFrame) -> int:
-        """Write partitioned by part_id; dynamic overwrite = idempotent."""
+    def write_extracted(self, df: DataFrame) -> None:
+        """Write partitioned by part_id; dynamic overwrite = idempotent.
+
+        No post-write count: row totals come from the lineage rows
+        (``snapshot_output_rows``) — an incremental run must never pay
+        a full-table scan just for bookkeeping.
+        """
         spark = df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         df.write.mode("overwrite").partitionBy("part_id") \
             .parquet(self.extracted_path)
-        return spark.read.parquet(self.extracted_path).count()
 
     def read_extracted(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.extracted_path)
+
+    def read_extracted_parts(self, spark: SparkSession,
+                             parts: list[int]) -> DataFrame:
+        """Partition-pruned read of specific buckets: ``part_id IN``
+        lands as a PartitionFilter on the parquet scan (pinned by
+        tests/test_plans.py), so an incremental lineage pass touches
+        only this run's buckets — never the whole 100 TB table."""
+        return (self.read_extracted(spark)
+                .where(F.col("part_id").isin(list(parts))))
 
     # -- lineage table ------------------------------------------------------
     def append_lineage(self, df: DataFrame) -> None:
@@ -66,6 +80,20 @@ class Catalog:
                           & (lin.status == "ContentExtracted"))
                 .select("partition_id").distinct().collect())
         return {r.partition_id for r in rows}
+
+    def snapshot_output_rows(self, spark: SparkSession,
+                             snapshot_id: str) -> int:
+        """Total rows extracted for a snapshot, from LINEAGE — each
+        bucket is written exactly once per snapshot (done buckets are
+        skipped on resume), so a plain sum over its lineage rows equals
+        the table count without scanning the table."""
+        lin = self.read_lineage(spark)
+        if lin is None:
+            return 0
+        total = (lin.where((lin.snapshot_id == snapshot_id)
+                           & (lin.status == "ContentExtracted"))
+                 .agg(F.sum("output_rows")).first()[0])
+        return int(total or 0)
 
     # -- manifest -----------------------------------------------------------
     def commit_snapshot(self, snapshot_id: str, meta: dict) -> None:

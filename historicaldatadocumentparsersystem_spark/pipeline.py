@@ -179,32 +179,41 @@ def run_extraction(spark: SparkSession, docs: DataFrame, out_dir: str,
        are skipped (partition pruning via part_id predicate)
     2. extract remaining buckets; write parquet partitioned by part_id
        with dynamic partition overwrite (idempotent re-runs)
-    3. append lineage rows marking those buckets done
+    3. append lineage rows marking those buckets done — aggregated from
+       a PARTITION-PRUNED read of just this run's buckets (part_id IN
+       todo carries to the scan as a PartitionFilter); totals come from
+       the lineage rows. An incremental run never re-scans previously
+       extracted partitions.
     """
     from .catalog import Catalog
     cat = Catalog(out_dir)
     done = cat.done_partitions(spark, snapshot_id)
-    docs_b = with_part_id(
-        docs.select("url", "warc_ts", "lang", "html", "text"), num_buckets)
-    todo = docs_b
-    if done:
-        # NOT IN over a small set: stays a pushable scan predicate
-        todo = docs_b.where(~F.col("part_id").isin(sorted(done)))
+    todo_parts = sorted(set(range(num_buckets)) - done)
     t0 = time.monotonic()
-    extracted = (todo
-                 .repartition(num_buckets, F.xxhash64(F.col("url")))
-                 .select(*_IN_COLS)
-                 .mapInPandas(extract_batch, EXTRACTED_SCHEMA))
-    n_written = cat.write_extracted(extracted)
-    wall_ms = int((time.monotonic() - t0) * 1000)
-    lineage = lineage_from_extracted(
-        cat.read_extracted(spark), run_id, snapshot_id, wall_ms)
-    if done:
-        lineage = lineage.where(~F.col("partition_id").isin(sorted(done)))
-    cat.append_lineage(lineage)
+    if todo_parts:
+        docs_b = with_part_id(
+            docs.select("url", "warc_ts", "lang", "html", "text"),
+            num_buckets)
+        todo = docs_b
+        if done:
+            # IN over a small set: stays a pushable scan predicate
+            todo = docs_b.where(F.col("part_id").isin(todo_parts))
+        extracted = (todo
+                     .repartition(num_buckets, F.xxhash64(F.col("url")))
+                     .select(*_IN_COLS)
+                     .mapInPandas(extract_batch, EXTRACTED_SCHEMA))
+        cat.write_extracted(extracted)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = lineage_from_extracted(
+            cat.read_extracted_parts(spark, todo_parts),
+            run_id, snapshot_id, wall_ms)
+        cat.append_lineage(lineage)
+    else:
+        wall_ms = int((time.monotonic() - t0) * 1000)
+    n_total = cat.snapshot_output_rows(spark, snapshot_id)
     cat.commit_snapshot(snapshot_id, {
-        "run_id": run_id, "rows_total": n_written,
+        "run_id": run_id, "rows_total": n_total,
         "num_buckets": num_buckets,
         "buckets_done": sorted(cat.done_partitions(spark, snapshot_id))})
-    return {"rows_written": n_written, "wall_ms": wall_ms,
+    return {"rows_written": n_total, "wall_ms": wall_ms,
             "skipped_partitions": len(done)}

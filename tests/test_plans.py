@@ -126,6 +126,24 @@ def test_flagship_bucketed_path_is_map_only(spark, docs_parquet):
     assert count_exchanges(df) == 0, physical_plan(df)
 
 
+def test_lineage_read_partition_prunes(spark, docs_parquet, tmp_path_factory):
+    """Incremental lineage contract: the post-write read that feeds
+    lineage aggregation must carry part_id as a PartitionFilter — at
+    100 TB a resume run re-scans ONLY the buckets it just wrote, never
+    the whole extracted table."""
+    from historicaldatadocumentparsersystem_spark.catalog import Catalog
+    cat = Catalog(str(tmp_path_factory.mktemp("lincat")))
+    src = spark.read.parquet(docs_parquet)
+    cat.write_extracted(pipeline.extract_df(src, num_buckets=8))
+    got = cat.read_extracted_parts(spark, [0, 1])
+    plan = physical_plan(got)
+    assert "PartitionFilters" in plan, plan
+    tail = plan.split("PartitionFilters", 1)[1][:200]
+    assert "part_id" in tail, plan
+    assert set(r.part_id for r in got.select("part_id")
+               .distinct().collect()) <= {0, 1}
+
+
 def test_tfidf_broadcasts_document_frequency(spark):
     """The vocabulary-sized df table must broadcast to the token
     stream (corpus-sized side never shuffles for the join)."""
