@@ -26,6 +26,7 @@ from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
     asof, chunking, dedup, keywords, multimodal, records, rollup, routing,
     similarity, skew, spans, textstats, webtext)
+from historicaldatadocumentparsersystem_spark.operators import psl as _psl
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -327,6 +328,11 @@ _URL_ROWS = [
     ("u6", "HTTP://News.Site.org:80"),
     ("u7", "https://a.b.c.d.com/deep?x=2"),
     ("u8", "http://host.io:801/x"),       # NOT the default port
+    # public-suffix registrable-domain cases (operators/psl.py)
+    ("u9", "https://Shop.Example.COM.AU/item"),   # 2-label suffix
+    ("u10", "http://www.school.k12.ca.us/"),      # 3-label suffix
+    ("u11", "https://co.uk/"),                    # host IS a suffix -> ''
+    ("u12", "http://blogs.dept.vic.edu.au/x"),    # 3-label, 4+ labels
 ]
 
 # stratified-sample rates (shared Spark/oracle; absent stratum -> 0)
@@ -1359,9 +1365,22 @@ def oracle_sql() -> dict[str, str]:
                       '^[^:/?#]+://([^/?#:@]+)', 1)) AS host
                   FROM s4)
             SELECT row_id, u AS url_norm, host,
-                   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+                   CASE WHEN regexp_extract(host,
+                          '([^.]+\.[^.]+\.[^.]+)$', 1) IN ({suf3})
+                        THEN regexp_extract(host,
+                          '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1)
+                        WHEN regexp_extract(host,
+                          '([^.]+\.[^.]+)$', 1) IN ({suf2})
+                        THEN regexp_extract(host,
+                          '([^.]+\.[^.]+\.[^.]+)$', 1)
+                        ELSE regexp_extract(host,
+                          '([^.]+\.[^.]+)$', 1) END AS domain
             FROM h""".replace("{vals}", ", ".join(
-            f"('{r}', '{u}')" for r, u in _URL_ROWS)),
+            f"('{r}', '{u}')" for r, u in _URL_ROWS))
+        .replace("{suf3}", ", ".join(
+            f"'{s}'" for s in sorted(_psl.SUFFIX_3)))
+        .replace("{suf2}", ", ".join(
+            f"'{s}'" for s in sorted(_psl.SUFFIX_2))),
         # deterministic stratified sample: same md5-unit hash as
         # hash_split, rate per stratum (absent stratum -> 0)
         "stratified_sample": f"""

@@ -111,10 +111,23 @@ def url_host(url_col: str | Column = "url") -> Column:
 
 
 def url_domain(url_col: str | Column = "url") -> Column:
-    """Last-two-label registrable-domain approximation (a public-suffix
-    list is the production upgrade; the rule is the deterministic
-    testable core)."""
-    return F.regexp_extract(url_host(url_col), r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain (eTLD+1) via the trimmed public-suffix list
+    (``operators.psl``): longest-match against the exact 3-label then
+    2-label suffix sets, else the default one-label TLD rule.
+
+    Pure column expression — the ``isin`` over the static suffix sets
+    compiles to a codegen'd InSet probe, no join, no shuffle; the
+    DuckDB twin is the same CASE/IN cascade. A host that IS a public
+    suffix (e.g. ``co.uk`` itself) has no registrable domain -> ''.
+    """
+    from . import psl
+    host = url_host(url_col)
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    last4 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
+    return (F.when(last3.isin(*sorted(psl.SUFFIX_3)), last4)
+            .when(last2.isin(*sorted(psl.SUFFIX_2)), last3)
+            .otherwise(last2))
 
 
 def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -451,6 +451,29 @@ def test_url_normalize_edge_rules(spark):
     assert got["c"]["host"] == "z.org" and got["c"]["domain"] == "z.org"
 
 
+def test_url_domain_public_suffix(spark):
+    """eTLD+1 via the trimmed PSL: multi-label public suffixes must not
+    collapse a whole ccTLD hierarchy into one pseudo-domain."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    cases = [
+        ("a", "https://sub.example.co.uk/x", "example.co.uk"),
+        ("b", "https://shop.news.com.au/x", "news.com.au"),
+        ("c", "http://www.example.com/x", "example.com"),
+        ("d", "https://deep.a.b.example.co.jp/", "example.co.jp"),
+        ("e", "http://www.school.k12.ca.us/", "school.k12.ca.us"),
+        ("f", "https://dept.vic.edu.au/", "dept.vic.edu.au"),
+        ("g", "https://co.uk/", ""),            # host IS a public suffix
+        ("h", "http://localhost/x", ""),        # single label: no eTLD+1
+        ("i", "https://x.gob.mx/", "x.gob.mx"),
+    ]
+    df = spark.createDataFrame([(r, u) for r, u, _ in cases],
+                               "row_id string, url string")
+    got = {r["row_id"]: r["domain"]
+           for r in webtext.normalize_urls(df).collect()}
+    for rid, _, want in cases:
+        assert got[rid] == want, (rid, got[rid], want)
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     from historicaldatadocumentparsersystem_spark.operators import webtext
     df = spark.read.parquet(SF + "/documents.parquet")
