@@ -689,6 +689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         textstats.lang_id("text").alias("lang_pred")))
     q["lang_id_heuristic"] = q_lang_id
 
+    # --- character-trigram language ID (C10 upgrade) — SQL-checked
+    def q_lang_tri(spark, sf_dir):
+        return textstats.lang_id_trigram(_t(spark, sf_dir, "documents"))
+    q["lang_id_trigram"] = q_lang_tri
+
     # --- F6 rename + F7 defaulting — SQL-checked
     def q_colmap(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -845,6 +850,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_image_stats(spark, sf_dir):
         return multimodal.image_pixel_stats(_image_fixture_df(spark))
     q["image_pixel_stats"] = q_image_stats
+
+    # --- C14 REAL resize (exact integer area-average kernel) —
+    # SQL-checked against stats pinned from the committed pure-Python
+    # resample (resize -> re-encode PNG -> decode -> stats; the mean is
+    # PRESERVED by area averaging on these gradient fixtures, which
+    # pins the kernel's weight normalization, not just its plumbing)
+    def q_resize_stats(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.extractor import \
+            imagex
+        rows = [("i1", imagex.make_test_png(32, 20, 3, seed=1)),
+                ("i2", imagex.make_test_png(16, 16, 1, seed=2,
+                                            filter_type=4)),
+                ("i3", imagex.make_test_png(8, 10, 4, seed=3,
+                                            filter_type=2)),
+                ("i4", b"not an image")]
+        df = spark.createDataFrame(rows,
+                                   "media_id string, payload binary")
+        resized = multimodal.resize_media(df, 7, 5, kernel="area")
+        return multimodal.image_pixel_stats(
+            resized.select("media_id", "payload"))
+    q["image_resize_stats"] = q_resize_stats
 
     # --- REAL WAV audio stats (stdlib wave reader) — SQL-checked
     # against pinned literals
@@ -1487,6 +1513,34 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'unknown'
                    END AS lang_pred
             FROM documents""",
+        # trigram language ID: same profile table (VALUES), same
+        # space-padded 256-char sample, same (n_hits DESC, lang ASC)
+        # argmax; docs with zero profile hits -> 'unknown'
+        "lang_id_trigram": r"""
+            WITH prof(lang, tri) AS (VALUES {profvals}),
+            t AS (SELECT doc_id,
+                         ' ' || regexp_replace(lower(substr(text, 1, 256)),
+                                               '\s+', ' ', 'g') || ' ' AS s
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(length(s) - 2, 0)),
+                             i -> substr(s, i, 3))) AS tri
+                  FROM t),
+            h AS (SELECT g.doc_id, prof.lang, count(*)::bigint AS n_hits
+                  FROM g JOIN prof ON g.tri = prof.tri
+                  GROUP BY g.doc_id, prof.lang),
+            b AS (SELECT doc_id, lang, n_hits FROM h
+                  QUALIFY row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY n_hits DESC, lang ASC) = 1)
+            SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred,
+                   coalesce(b.n_hits, 0)::bigint AS n_hits
+            FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+        """.replace("{profvals}", ", ".join(
+            f"('{lg}', '{t}')"
+            for lg, tris in sorted(textstats.TRIGRAM_PROFILES.items())
+            for t in tris)),
         "column_mapping": """
             SELECT doc_id AS id, text AS content,
                    coalesce(source, 'Not specified') AS source, lang
@@ -1529,6 +1583,20 @@ def oracle_sql() -> dict[str, str]:
                '87e2ee40a6fc79e38ba8a0385229af75'),
               ('i6', 24, 16, 3, 69.036458e0, 59.84375e0, 89.830729e0,
                'db4968be0f29a4d6cdd280bdee567277')
+            ) AS t(media_id, width, height, channels,
+                   mean_c0, mean_c1, mean_c2, px_md5)""",
+        # C14 area-average resize: pinned from the pure-Python kernel
+        # (exact integer box filter; per-channel means preserved by the
+        # weight normalization on the gradient fixtures)
+        "image_resize_stats": """
+            SELECT * FROM (VALUES
+              ('i1', 7, 5, 3, 114.0e0, 125.0e0, 136.0e0,
+               'd19b3141ecdd39a3dd5e85dafc2e88f7'),
+              ('i2', 7, 5, 1, 77.0e0, NULL, NULL,
+               '9c183a7e95c0bf419c9100f19017c5a6'),
+              ('i3', 7, 5, 4, 45.0e0, 56.0e0, 67.0e0,
+               '043b00035ad3a25e40652d04ecc41bb6'),
+              ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL)
             ) AS t(media_id, width, height, channels,
                    mean_c0, mean_c1, mean_c2, px_md5)""",
         # REAL WAV stats pinned the same way (square wave: rms == amp)

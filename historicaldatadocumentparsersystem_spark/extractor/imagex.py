@@ -176,6 +176,48 @@ def resize_nearest(pixels: bytes, w: int, h: int, ch: int,
     return bytes(out)
 
 
+def resize_area(pixels: bytes, w: int, h: int, ch: int,
+                w2: int, h2: int) -> bytes:
+    """Deterministic area-average (box-filter) resample — the C14
+    kernel (reference swaps PIL LANCZOS at
+    ``multimodal_RAG_methods.py:336-352``; a box filter is the closest
+    exactly-reproducible stdlib-free kernel, far closer to LANCZOS
+    than nearest-neighbor for downscaling).
+
+    Every destination pixel averages the source box it covers with
+    EXACT integer fractional-coverage weights: overlap lengths are
+    computed in units of 1/w2 (resp. 1/h2) so each dest pixel's
+    weights sum to exactly w*h, and the final value is the rational
+    sum rounded HALF_UP — bit-identical on any platform, no floats.
+    """
+    out = bytearray(w2 * h2 * ch)
+    wh = w * h
+    for y2 in range(h2):
+        sy0n, sy1n = y2 * h, (y2 + 1) * h       # box edges, units 1/h2
+        ys = range(sy0n // h2, (sy1n + h2 - 1) // h2)
+        for x2 in range(w2):
+            sx0n, sx1n = x2 * w, (x2 + 1) * w   # box edges, units 1/w2
+            xs = range(sx0n // w2, (sx1n + w2 - 1) // w2)
+            sums = [0] * ch
+            for sy in ys:
+                oy = min((sy + 1) * h2, sy1n) - max(sy * h2, sy0n)
+                if oy <= 0:
+                    continue
+                rowbase = sy * w * ch
+                for sx in xs:
+                    ox = min((sx + 1) * w2, sx1n) - max(sx * w2, sx0n)
+                    if ox <= 0:
+                        continue
+                    wgt = ox * oy
+                    p = rowbase + sx * ch
+                    for c in range(ch):
+                        sums[c] += pixels[p + c] * wgt
+            dst = (y2 * w2 + x2) * ch
+            for c in range(ch):
+                out[dst + c] = (2 * sums[c] + wh) // (2 * wh)
+    return bytes(out)
+
+
 def crop(pixels: bytes, w: int, h: int, ch: int,
          x0: int, y0: int, x1: int, y1: int) -> bytes:
     """Crop [x0,x1) x [y0,y1) (clamped) — the C8 pixel step."""

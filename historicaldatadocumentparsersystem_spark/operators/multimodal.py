@@ -261,8 +261,10 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
         "mean_c0 double, mean_c1 double, mean_c2 double, px_md5 string")
 
 
-def _resize_batch_fn(w2: int, h2: int):
+def _resize_batch_fn(w2: int, h2: int, kernel: str = "area"):
     from ..extractor import imagex
+    resample = (imagex.resize_area if kernel == "area"
+                else imagex.resize_nearest)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -271,7 +273,7 @@ def _resize_batch_fn(w2: int, h2: int):
                 payload = bytes(payload) if payload is not None else b""
                 try:
                     w, h, ch, px = imagex.decode_png(payload)
-                    small = imagex.resize_nearest(px, w, h, ch, w2, h2)
+                    small = resample(px, w, h, ch, w2, h2)
                     payloads.append(imagex.encode_png(small, w2, h2, ch))
                     ws.append(w2)
                     hs.append(h2)
@@ -287,12 +289,14 @@ def _resize_batch_fn(w2: int, h2: int):
     return fn
 
 
-def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL C14 for PNG: decode -> nearest-neighbor resample ->
-    re-encode PNG (reference ``multimodal_RAG_methods.py:336-352``,
+def resize_media(df: DataFrame, width: int, height: int,
+                 kernel: str = "area") -> DataFrame:
+    """REAL C14 for PNG: decode -> area-average resample (exact
+    integer box filter; ``kernel="nearest"`` keeps the old A/B path)
+    -> re-encode PNG (reference ``multimodal_RAG_methods.py:336-352``,
     LANCZOS swapped for the deterministic codec-free kernel)."""
     return df.select("media_id", "payload").mapInPandas(
-        _resize_batch_fn(width, height),
+        _resize_batch_fn(width, height, kernel),
         "media_id string, payload binary, width int, height int")
 
 

@@ -14,7 +14,7 @@ built-ins only, so each has an exact DuckDB oracle-SQL twin in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # one stopword set per language for the n-gram/stopword language-ID
@@ -26,6 +26,36 @@ STOPWORDS = {
     "fr": ("le", "la", "de", "et", "un", "une", "est"),
     "es": ("el", "la", "de", "y", "un", "una", "es"),
     "de": ("der", "die", "das", "und", "ein", "ist", "zu"),
+}
+
+# Character-trigram profiles for the upgraded language ID (the
+# reference's langdetect allowlist semantics, ``utils/tools.py:181-190``,
+# rebuilt as an offline-deterministic profile table). Trigrams are the
+# highest-frequency character 3-grams of each language's function words
+# (public linguistic knowledge — Cavnar & Trenkle n-gram profiles);
+# space-padded so word boundaries discriminate. A corpus-trained table
+# is a drop-in swap: same (lang, trigram) shape.
+TRIGRAM_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", " to", "to ", "ion", " in", "in ", "ed ", " is", "is ",
+           "tha", "hat", "at ", "er ", " be", "ent", " wi", "wit", "ith",
+           "th ", " co", "on ", " re", "es ", " he", " fo", "for", "or ",
+           " it", "it ", "as ", " ha", "ave", " no", "not", " ar", "are"),
+    "fr": (" de", "de ", " le", "le ", "es ", " la", "la ", "ent", " et",
+           "et ", "que", " qu", "ue ", " un", "un ", "une", "re ", " pa",
+           "par", "ais", "ont", "eur", "les", " ce", "ce ", "ur ", " du",
+           "du ", " da", "dan", "ans", "our", " po", "pou", "ous", "ait",
+           " es", "est", "st ", " il", "il ", "ne ", " so", "son", "eau"),
+    "es": (" de", "de ", " la", "la ", "os ", " qu", "que", "ue ", " el",
+           "el ", "en ", " en", " co", "con", "ión", "ció", "aci", " es",
+           "es ", "as ", "ar ", " se", "se ", "nte", " un", "una", "un ",
+           "ado", " po", "por", "or ", "par", "ara", " lo", "los", "las",
+           " no", "no ", "sta", " su", "ien", "cia", "nto", "ndo", "ada"),
+    "de": (" de", "der", "er ", "ie ", " di", "die", "und", " un", "nd ",
+           "ein", "in ", "ch ", "sch", "ich", "nde", "den", "en ", "ung",
+           "ng ", " da", "das", "as ", "ist", "st ", " ge", "gen", " zu",
+           "zu ", "cht", "ht ", " be", "ver", " ve", "ten", "ne ", " au",
+           "auf", "uf ", " ei", "eit", "it ", "ter", " we", "wer", "lle"),
 }
 
 _TOKEN_SPLIT = r"\s+"
@@ -100,6 +130,53 @@ def lang_id(col: str | Column = "text") -> Column:
         expr = F.when((ratios[lg] == best) & (best > 0), F.lit(lg)) \
             .otherwise(expr)
     return expr
+
+
+def lang_id_trigram(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sample_chars: int = 256) -> DataFrame:
+    """Character-trigram language ID (C10 upgrade over the stopword
+    heuristic): returns (id, lang_pred, n_hits) where lang_pred is the
+    argmax over ``TRIGRAM_PROFILES`` of profile-trigram hits in the
+    first ``sample_chars`` characters, 'unknown' when nothing hits.
+
+    Plan shape for 100 TB: the per-document work is BOUNDED — only a
+    ``sample_chars`` prefix is exploded (<=254 trigram rows/doc however
+    large the page), the profile table is a few hundred rows broadcast
+    to the trigram stream, and the hit count is one map-side-combinable
+    groupBy + a bounded per-doc argmax window (<= n_langs rows/doc).
+    Deterministic ties: higher n_hits wins, then lang ascending.
+    """
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(lg, t) for lg, tris in sorted(TRIGRAM_PROFILES.items())
+         for t in tris], "lang string, tri string")
+    txt = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.substring(F.col(text_col), 1,
+                                             sample_chars)),
+                         r"\s+", " "),
+        F.lit(" "))
+    n = F.length(txt) - 2
+    tri_arr = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: txt.substr(i, F.lit(3)))
+    ).otherwise(F.array().cast("array<string>"))
+    tris = df.select(F.col(id_col).alias("id"),
+                     F.explode(tri_arr).alias("tri"))
+    hits = (tris.join(F.broadcast(prof), "tri")
+            .groupBy("id", "lang")
+            .agg(F.count("*").alias("n_hits")))
+    w = Window.partitionBy("id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = (hits.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1).drop("__rk"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(best, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("lang", F.lit("unknown")).alias("lang_pred"),
+                    F.coalesce("n_hits", F.lit(0).cast("long"))
+                    .alias("n_hits")))
 
 
 def fingerprint(col: str | Column = "text", width: int = 16) -> Column:

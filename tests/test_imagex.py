@@ -41,6 +41,25 @@ def test_resize_nearest_and_crop():
     assert sub == bytes(q[1]) + bytes(q[3])
 
 
+def test_resize_area_exact_rational():
+    """The C14 kernel: exact fractional-coverage box averages with
+    HALF_UP rounding — no float in the pipeline."""
+    # 2x2 -> 1x1: avg(0,1,2,3) = 1.5 -> 2 (HALF_UP)
+    assert imagex.resize_area(bytes([0, 1, 2, 3]), 2, 2, 1, 1, 1) == \
+        bytes([2])
+    # 3x1 -> 2x1 fractional boxes: (2*0 + 1*30)/3, (1*30 + 2*60)/3
+    assert imagex.resize_area(bytes([0, 30, 60]), 3, 1, 1, 2, 1) == \
+        bytes([10, 50])
+    # constant image stays constant at any ratio (weights sum to w*h)
+    c = bytes([77] * 35)
+    for w2, h2 in ((3, 2), (10, 14), (5, 7), (1, 1)):
+        assert set(imagex.resize_area(c, 5, 7, 1, w2, h2)) == {77}
+    # upscale replicates; channels stay independent
+    assert imagex.resize_area(bytes([9]), 1, 1, 1, 3, 3) == bytes([9] * 9)
+    assert imagex.resize_area(bytes([10, 200, 30, 100]), 2, 1, 2,
+                              1, 1) == bytes([20, 150])
+
+
 def test_channel_means_exact():
     px = bytes([10, 20, 30, 50, 60, 70])          # two RGB pixels
     assert imagex.channel_means(px, 3) == [30.0, 40.0, 50.0]
@@ -74,7 +93,7 @@ def test_spark_image_ops_real_pixels(spark):
            for r in multimodal.resize_media(df, 8, 5).collect()}
     w2, h2, ch2, px2 = imagex.decode_png(bytes(out["a"]["payload"]))
     assert (w2, h2, ch2) == (8, 5, 3)
-    assert px2 == imagex.resize_nearest(px, 32, 20, 3, 8, 5)
+    assert px2 == imagex.resize_area(px, 32, 20, 3, 8, 5)
     assert out["c"]["payload"] is None
     # REAL C8: crop -> PNG -> base64 round-trips to the cropped pixels
     b64 = {r["media_id"]: r

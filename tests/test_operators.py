@@ -474,6 +474,32 @@ def test_url_domain_public_suffix(spark):
         assert got[rid] == want, (rid, got[rid], want)
 
 
+def test_lang_id_trigram_mixed_languages(spark):
+    """Accuracy pin on mixed-language fixtures: the trigram profiles
+    must separate the four languages and surface the no-evidence case,
+    which the 7-stopword heuristic could not do on short texts."""
+    from historicaldatadocumentparsersystem_spark.operators import textstats
+    rows = [
+        (1, "the quick brown fox is in the garden and it is not there",
+         "en"),
+        (2, "le chien est dans le jardin et il mange une pomme avec les "
+            "enfants", "fr"),
+        (3, "el perro esta en el jardin y come una manzana con los amigos",
+         "es"),
+        (4, "der hund ist in dem garten und er isst einen apfel mit den "
+            "kindern", "de"),
+        (5, "zzz qqq xxx", "unknown"),
+        (6, "", "unknown"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.lang_pred, r.n_hits)
+           for r in textstats.lang_id_trigram(df).collect()}
+    for i, _, want in rows:
+        assert got[i][0] == want, (i, got[i], want)
+    assert got[5][1] == 0 and got[6][1] == 0
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     from historicaldatadocumentparsersystem_spark.operators import webtext
     df = spark.read.parquet(SF + "/documents.parquet")
