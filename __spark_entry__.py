@@ -427,7 +427,56 @@ def entry(spark: SparkSession) -> DataFrame:
                       "score")
 
 
+# Driver-visible registration order: the correctness driver checks at most
+# 50 queries, so queries() exposes EXACTLY 50, risk-first (previously
+# unverified / new queries lead). Stable-trivial queries that have been
+# driver-green in past rounds live in extra_queries(): still oracle-
+# checked every pytest run (tests/test_entry_oracle.py parametrizes over
+# the union), just not spending driver slots.
+_DRIVER_ORDER = [
+    # never driver-verified in r2 (registration outran the 50-cap) /
+    # event_sessions failed a hash in r1 — these must be checked first
+    "event_sessions", "asof_join", "events_cube", "bbox_overlap_pairs",
+    "hypertable_rollup", "tpch_q1_pricing", "segment_revenue",
+    # new this round
+    "lang_id_trigram", "image_resize_stats",
+    # the established suite
+    "extract_corpus", "extract_kind_stats", "lang_stats", "text_profile",
+    "repetition_profile", "keyword_sections", "exact_dedup",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
+    "dedup_clusters", "cosine_topk", "cosine_topk_filtered", "l2_topk",
+    "first_seen_dedup", "events_topk", "pii_redaction", "cap_per_host",
+    "line_dedup", "url_normalize", "tfidf_top_terms", "unigram_logppl",
+    "length_quantiles", "host_stats_salted", "bbox_remove_nested",
+    "bbox_enclosing", "span_merge", "chunk_token_budget",
+    "lang_id_heuristic", "embedding_near_dup", "lsh_topk", "ivf_topk",
+    "pptx_elements", "pptx_keyword_sections", "docx_elements",
+    "docx_token_chunks", "picture_class_filter", "media_dimensions",
+    "image_pixel_stats", "audio_wav_stats", "structured_records",
+]
+_EXTRA_ORDER = [
+    "simhash", "hash_split", "text_normalize", "column_mapping",
+    "route_sentinels", "lang_set_ops", "stratified_sample",
+    "doc_length_histogram", "media_kind_sniff",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    assert len(_DRIVER_ORDER) == 50
+    assert set(_DRIVER_ORDER) | set(_EXTRA_ORDER) == set(q), (
+        sorted(set(q) ^ (set(_DRIVER_ORDER) | set(_EXTRA_ORDER))))
+    return {k: q[k] for k in _DRIVER_ORDER}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked in pytest only (driver slots are capped at 50);
+    every entry here has been driver-green in a previous round."""
+    q = _all_queries()
+    return {k: q[k] for k in _EXTRA_ORDER}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- flagship extraction — hash-checked against the committed golden

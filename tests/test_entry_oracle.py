@@ -115,12 +115,21 @@ def _approx_equal(a, b):
     return True, ""
 
 
-ALL_QUERIES = sorted(entrymod.queries().keys())
+ALL_QUERIES = sorted({**entrymod.queries(),
+                      **entrymod.extra_queries()}.keys())
+
+
+def test_driver_window_cap():
+    """The correctness driver checks at most 50 queries: queries() must
+    expose exactly 50 so NOTHING registered goes unverified (extras are
+    pytest-checked here instead)."""
+    assert len(entrymod.queries()) == 50
+    assert not set(entrymod.queries()) & set(entrymod.extra_queries())
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_vs_oracle(spark, ddb, name):
-    qfn = entrymod.queries()[name]
+    qfn = {**entrymod.queries(), **entrymod.extra_queries()}[name]
     sdf = qfn(spark, SF_DIR)
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
