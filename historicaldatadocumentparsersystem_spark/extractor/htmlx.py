@@ -321,9 +321,14 @@ def parse_dom(src: str) -> _Node:
                     stack.pop()
             order += 1
             # attr regexes only when 'class'/'id' can be present at all
-            attrs = (_attr_dict(raw_attrs)
-                     if raw_attrs and ("class" in raw_attrs
-                                       or "id" in raw_attrs) else {})
+            # (case-insensitive guard: html.parser lowercases attribute
+            # names, so <DIV CLASS=Content> must classify identically —
+            # caught by the adversarial A/B corpus)
+            attrs = {}
+            if raw_attrs:
+                low = raw_attrs.lower()
+                if "class" in low or "id" in low:
+                    attrs = _attr_dict(raw_attrs)
             node = _Node(tag, attrs, stack[-1], order)
             stack[-1].children.append(node)
             if not self_closing and tag not in VOID_TAGS:

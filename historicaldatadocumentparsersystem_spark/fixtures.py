@@ -215,6 +215,82 @@ def generate_rows(n: int, seed: int = 42, scale: int = 1) -> list[dict]:
     return [make_row(i, seed, scale) for i in range(n)]
 
 
+def adversarial_html_pages(n: int, seed: int = 42) -> list[bytes]:
+    """Test-only adversarial page generator (FIXTURES class-3 stress):
+    deeply-nested, entity-heavy, rawtext-with-markup, quote-abused and
+    truncated pages for the fast-scanner vs html.parser A/B harness.
+
+    Deliberately SEPARATE from make_row: the golden parquet pins
+    generate_rows at scale=1, and these pages exist to hunt parser
+    divergences, not to move the pinned corpus.
+    """
+    pages: list[bytes] = []
+    for i in range(n):
+        rng = _rng(seed * 7919, i)
+        kind = i % 8
+        body: str
+        if kind == 0:                       # deep nesting, half unclosed
+            depth = rng.randint(30, 120)
+            tags = [rng.choice(["div", "span", "section", "b", "ul", "li"])
+                    for _ in range(depth)]
+            open_ = "".join(f"<{t} class=c{j % 5}>"
+                            for j, t in enumerate(tags))
+            close = "".join(f"</{t}>" for t in reversed(tags[depth // 2:]))
+            body = open_ + _paragraph(rng, 1, 2) + close
+        elif kind == 1:                     # entity storm + charrefs
+            # NOTE no bogus ("&#;") or ';'-less ("&#65") charrefs here:
+            # on those, stdlib html.parser breaks out of its goahead
+            # loop and close() flushes the REST OF THE DOCUMENT as raw
+            # data (closing tags swallowed) — the fast scanner's
+            # keep-parsing behavior is the HTML5-correct one, so the
+            # strict A/B only covers inputs where html.parser is itself
+            # well-behaved; test_bogus_charref_fast_scanner_keeps_parsing
+            # pins ours. ';'-less ENTITY refs ("&amp") are fine.
+            ents = ["&amp;", "&lt;", "&gt;", "&quot;", "&eacute;",
+                    "&#65;", "&#x2603;", "&amp", "&unknown;", "&#x41;"]
+            body = "<p>" + " ".join(rng.choice(ents) for _ in range(80)) \
+                + _sentence(rng) + "</p>"
+        elif kind == 2:                     # rawtext containing markup
+            body = ("<script>var a = '<div><p>not real</p>' && 1 < 2;"
+                    "</script><style>p>a{color:red}</style>"
+                    f"<textarea><b>{_sentence(rng)}</b></textarea>"
+                    f"<p>{_paragraph(rng, 2, 3)}</p>")
+        elif kind == 3:                     # attribute quote abuse
+            # quoted values containing '>' are in the A/B contract;
+            # garbage AFTER a closed quote (title='it''s > x') is not:
+            # HTML5/html.parser re-enter before-attribute-name and end
+            # the tag at the next '>', the one-regex scanner cannot
+            body = ("<div class=\"a > b\" id='x > y'>"
+                    f"<p title='its > fine'>{_paragraph(rng, 1, 3)}</p>"
+                    "<a href=http://e.com/x?a=1&b=2 class=link>t</a></div>")
+        elif kind == 4:                     # stray closers + autoclose
+            body = ("</p></div></li>"
+                    + "".join(f"<li>{_sentence(rng)}"
+                              for _ in range(rng.randint(3, 9)))
+                    + f"<p>{_sentence(rng)}<p>{_sentence(rng)}</ul>")
+        elif kind == 5:                     # comments / CDATA / doctype
+            # terminated forms only: an UNTERMINATED comment runs to
+            # EOF per HTML5 (the scanner's reading) but html.parser
+            # flushes it as text data on close() — pinned separately in
+            # test_unterminated_comment_runs_to_eof
+            body = ("<!-- normal --><![CDATA[<p>raw</p>]]>"
+                    f"<em>{_sentence(rng)}</em><!-- x -->"
+                    if rng.random() < 0.5 else
+                    "<!DOCTYPE html><!--x--><?php echo 1 ?>"
+                    f"<p>{_paragraph(rng, 1, 3)}</p>")
+        elif kind == 6:                     # mixed-case + void tags
+            body = (f"<DIV CLASS=Content><P>{_sentence(rng)}<BR/>"
+                    f"<IMG src=x.png><Hr>{_sentence(rng)}</P></DIV>")
+        else:                               # truncated mid-tag / mid-ent
+            full = (f"<div class=content><p>{_paragraph(rng, 2, 4)}</p>"
+                    f"<a href='/x'>{_sentence(rng)}</a></div>")
+            cut = rng.randint(len(full) // 2, len(full) - 1)
+            body = full[:cut]
+        pages.append((f"<html><head><title>adv {i}</title></head>"
+                      f"<body>{body}</body></html>").encode("utf-8"))
+    return pages
+
+
 def pptx_deck_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic decks (S7 fixture): (url, payload).
 

@@ -175,20 +175,73 @@ def test_hot_host_skew():
     assert 0.25 < hot / len(rows) < 0.35  # ~30% on one host
 
 
+def _extract_both(src):
+    """(fast-scanner result, html.parser-builder result) for one page."""
+    from historicaldatadocumentparsersystem_spark.extractor import htmlx
+    fast = extract_html(src)
+    orig = htmlx.parse_dom
+    htmlx.parse_dom = htmlx.parse_dom_htmlparser
+    try:
+        ref = extract_html(src)
+    finally:
+        htmlx.parse_dom = orig
+    return fast, ref
+
+
 def test_fast_scanner_equals_htmlparser_builder(corpus):
     """The regex scanner must produce the IDENTICAL extraction result as
     the stdlib html.parser reference builder on every corpus row."""
-    from historicaldatadocumentparsersystem_spark.extractor import htmlx
-
     for row in corpus:
         if sniff_kind(row["html"]) != "html":
             continue
-        src = decode_payload(row["html"])
-        fast = extract_html(src)
-        orig = htmlx.parse_dom
-        htmlx.parse_dom = htmlx.parse_dom_htmlparser
-        try:
-            ref = extract_html(src)
-        finally:
-            htmlx.parse_dom = orig
+        fast, ref = _extract_both(decode_payload(row["html"]))
         assert fast == ref, row["url"]
+
+
+def test_fast_scanner_equals_htmlparser_adversarial():
+    """Same A/B over the adversarial generator: deep nesting, entity
+    storms, rawtext containing markup, quote abuse, stray closers,
+    broken comments, truncation mid-tag — the fast path stays honest
+    exactly where hand-written scanners historically diverge."""
+    from historicaldatadocumentparsersystem_spark.fixtures import (
+        adversarial_html_pages)
+    for i, payload in enumerate(adversarial_html_pages(160)):
+        src = decode_payload(payload)
+        fast, ref = _extract_both(src)
+        assert fast == ref, (i, src[:160])
+
+
+def test_bogus_charref_fast_scanner_keeps_parsing():
+    """Known reference-parser wart, pinned: on a bogus charref ('&#'
+    not followed by digits/x) stdlib html.parser breaks its goahead
+    loop and close() flushes the remaining document as raw DATA —
+    '</p></body></html>' lands inside the text node. The fast scanner
+    treats the bogus ref as text and KEEPS PARSING (the HTML5-correct
+    reading), so this class is excluded from the strict A/B and our
+    behavior is asserted directly."""
+    from historicaldatadocumentparsersystem_spark.extractor import htmlx
+    src = "<html><body><p>&#; and &#; tail.</p></body></html>"
+    fast = extract_html(src)
+    text, spans = fast[0], fast[1]
+    assert text == "&#; and &#; tail."
+    assert src[spans[0][0]:spans[-1][1]] == text
+    # html.parser really does swallow the closing tags (the wart that
+    # forces the exclusion — if this stops failing, re-enable the class)
+    orig = htmlx.parse_dom
+    htmlx.parse_dom = htmlx.parse_dom_htmlparser
+    try:
+        ref_text = extract_html(src)[0]
+    finally:
+        htmlx.parse_dom = orig
+    assert "</body>" in ref_text
+
+
+def test_unterminated_comment_runs_to_eof():
+    """HTML5: an unterminated <!-- comment swallows the rest of the
+    document. The fast scanner does exactly that (empty extraction);
+    html.parser instead flushes the tail as TEXT on close() — the other
+    reference wart excluded from the strict A/B."""
+    src = "<html><body><p>kept text here</p><!-- unterminated tail"
+    fast = extract_html(src)
+    assert fast[0] == "kept text here"
+    assert all("unterminated" not in src[s:e] for s, e, _ in fast[1])

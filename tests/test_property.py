@@ -78,6 +78,58 @@ def test_pdf_prefixed_bytes_never_crash(tail, npages):
             assert 0 <= s < e <= len(src)
 
 
+# --- fast scanner vs html.parser A/B (adversarial markup) -------------------
+
+# in-contract adversarial markup: every construct both parsers define
+# identically (excluded warts — bogus/;-less charrefs, unterminated
+# comments, post-quote garbage — are pinned one-sidedly in
+# tests/test_extractor_oracle.py)
+_ab_text = st.text(alphabet=" abcdef,.!", max_size=30)
+_ab_ents = st.sampled_from(
+    ["&amp;", "&lt;", "&gt;", "&quot;", "&eacute;", "&#65;", "&#x2603;",
+     "&amp", "&unknown;"])
+_ab_attrs = st.sampled_from(
+    ["", " class=content", " CLASS=Content", " class=\"a > b\"",
+     " id='x > y'", " title='its > fine'", " href=/x?a=1&b=2",
+     " class='sidebar ad' id=MENU"])
+_ab_chunks = st.one_of(
+    _ab_text, _ab_ents,
+    st.builds(lambda t, a, txt, close:
+              f"<{t}{a}>{txt}" + (f"</{t}>" if close else ""),
+              st.sampled_from(["div", "p", "span", "li", "ul", "article",
+                               "DIV", "P", "B", "table", "td", "nav"]),
+              _ab_attrs, _ab_text, st.booleans()),
+    st.builds(lambda t: f"</{t}>",
+              st.sampled_from(["p", "div", "li", "ul", "b", "x"])),
+    st.builds(lambda txt: f"<!-- {txt} -->", _ab_text),
+    st.builds(lambda txt: f"<script>var a = '<p>{txt}</p>' && 1 < 2;"
+                          "</script>", _ab_text),
+    st.sampled_from(["<br>", "<BR/>", "<img src=x.png>", "<hr>",
+                     "<![CDATA[<p>raw</p>]]>", "<!DOCTYPE html>",
+                     "<?php echo 1 ?>"]))
+
+
+@given(st.lists(_ab_chunks, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_fast_scanner_ab_property(parts):
+    """For arbitrary in-contract markup soup, the one-regex scanner and
+    the stdlib html.parser builder must yield the IDENTICAL extraction
+    tuple (text, spans, title, score) — the property form of the
+    fixture A/B, hunting tokenizer divergence classes, not just rows
+    the corpus generator happens to produce."""
+    from historicaldatadocumentparsersystem_spark.extractor import htmlx
+    src = ("<html><head><title>t</title></head><body>"
+           + "".join(parts) + "</body></html>")
+    fast = htmlx.extract_html(src)
+    orig = htmlx.parse_dom
+    htmlx.parse_dom = htmlx.parse_dom_htmlparser
+    try:
+        ref = htmlx.extract_html(src)
+    finally:
+        htmlx.parse_dom = orig
+    assert fast == ref
+
+
 # --- chunking oracle properties (A4) ----------------------------------------
 
 _elements = st.lists(
