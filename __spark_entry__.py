@@ -458,6 +458,10 @@ _EXTRA_ORDER = [
     "simhash", "hash_split", "text_normalize", "column_mapping",
     "route_sentinels", "lang_set_ops", "stratified_sample",
     "doc_length_histogram", "media_kind_sniff",
+    # rows-only here (BPE merges are not SQL-expressible); the real
+    # oracle is the Spark-free tokenizer itself, asserted per-document
+    # in tests/test_operators.py::test_bpe_token_stats_matches_pure_oracle
+    "bpe_token_count",
 ]
 
 
@@ -742,6 +746,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_tri(spark, sf_dir):
         return textstats.lang_id_trigram(_t(spark, sf_dir, "documents"))
     q["lang_id_trigram"] = q_lang_tri
+
+    # --- committed-vocab BPE token counts (C5 tokenizer-exact) —
+    # rows-only for the driver (merge inference is not SQL); the pure
+    # tokenizer is the oracle, asserted per-document in pytest
+    def q_bpe_count(spark, sf_dir):
+        return textstats.bpe_token_stats(_t(spark, sf_dir, "documents"))
+    q["bpe_token_count"] = q_bpe_count
 
     # --- F6 rename + F7 defaulting — SQL-checked
     def q_colmap(spark, sf_dir):

@@ -1,0 +1,124 @@
+"""Pure-Python BPE tokenizer with a committed merge table (C4/C5).
+
+The reference counts token budgets with a real HF tokenizer
+(``doc_processor.py:89-137`` — reloaded per call, a bug SURVEY.md §6
+documents); this is the same greedy lowest-rank-pair-first BPE
+*inference algorithm* (Sennrich et al. 2016, the public algorithm every
+GPT-2-style tokenizer runs) over a committed, deterministic merge
+table, so token budgets are tokenizer-exact and reproducible offline —
+no model download, no network.
+
+Spark-free on purpose: like ``extractor/``, this module IS the
+correctness oracle — the Arrow-batched Spark operator calls these same
+functions, making equality structural. Swapping in a production vocab
+(e.g. a real tokenizer.json merge list) only replaces ``MERGES``.
+
+Pre-tokenization: lowercase words / digit runs / single punctuation
+(the same ``_BPE_RE`` class split used by the regex proxy in
+``operators/textstats.py``); each word ends with the ``</w>``
+end-of-word marker, standard word-level BPE.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+_W = "</w>"
+
+# Committed merge table, rank = position (lower merges first). Built
+# from the highest-frequency English letter pairs/suffixes (public
+# linguistic frequency data) so common words collapse to 1-2 tokens
+# while rare/gibberish words stay near character count — the property
+# token-budget chunking and quality filtering actually rely on.
+MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("the", _W), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("and", _W), ("e", "r"), ("er", _W), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("es", _W), ("t", "i"), ("o", "u"), ("in", "g"), ("ing", _W),
+    ("a", "l"), ("i", "s"), ("is", _W), ("i", "t"), ("it", _W),
+    ("a", "r"), ("l", "e"), ("o", "f"), ("of", _W), ("t", "o"),
+    ("to", _W), ("s", "t"), ("e", "d"), ("ed", _W), ("s", "e"),
+    ("in", _W), ("n", "d"), ("on", _W), ("l", "l"), ("a", "s"),
+    ("as", _W), ("h", "e"), ("he", _W), ("m", "e"), ("c", "o"),
+    ("r", "o"), ("at", _W), ("l", "i"), ("d", "e"), ("b", "e"),
+    ("be", _W), ("m", "a"), ("s", "i"), ("u", "n"), ("l", "a"),
+    ("t", "a"), ("e", "l"), ("p", "o"), ("s", "o"), ("d", "i"),
+    ("f", "or"), ("for", _W), ("w", "i"), ("wi", "th"), ("with", _W),
+    ("the", "r"), ("ther", _W), ("a", "b"), ("p", "r"), ("c", "h"),
+    ("w", "h"), ("s", "h"), ("y", _W), ("e", _W), ("s", _W),
+    ("t", _W), ("d", _W), ("n", _W), ("r", _W), ("o", _W),
+    ("a", _W), ("g", _W), ("l", _W), ("h", _W), ("er", "s"),
+    ("ers", _W), ("ti", "on"), ("tion", _W), ("a", "g"), ("m", "en"),
+    ("men", "t"), ("ment", _W), ("c", "e"), ("ce", _W), ("n", "t"),
+    ("nt", _W), ("u", "s"), ("us", _W), ("al", _W), ("ar", _W),
+    ("es", "t"), ("est", _W), ("i", "c"), ("ic", _W), ("i", "ve"),
+    ("ive", _W), ("v", "e"), ("ve", _W), ("s", "u"), ("p", "a"),
+    ("p", "e"), ("c", "a"), ("c", "on"), ("d", "o"), ("f", "i"),
+    ("f", "a"), ("g", "r"), ("h", "a"), ("h", "o"), ("j", "u"),
+    ("k", "e"), ("l", "o"), ("m", "o"), ("n", "e"), ("n", "o"),
+    ("p", "l"), ("q", "u"), ("r", "a"), ("r", "i"), ("s", "p"),
+    ("t", "r"), ("v", "i"), ("w", "a"), ("w", "e"), ("w", "o"),
+    ("e", "x"), ("b", "l"), ("b", "r"), ("c", "l"), ("c", "r"),
+    ("d", "r"), ("f", "l"), ("f", "r"), ("g", "l"), ("p", "h"),
+    ("s", "c"), ("s", "k"), ("s", "l"), ("s", "m"), ("s", "n"),
+    ("s", "w"), ("t", "w"), ("l", "y"), ("ly", _W), ("o", "w"),
+    ("ow", _W), ("a", "y"), ("ay", _W), ("e", "y"), ("ey", _W),
+    ("i", "d"), ("id", _W), ("a", "m"), ("am", _W), ("u", "m"),
+    ("um", _W), ("u", "t"), ("ut", _W), ("i", "l"), ("i", "m"),
+    ("i", "r"), ("ir", _W), ("u", "r"), ("ur", _W), ("o", "m"),
+    ("om", _W), ("o", "p"), ("op", _W), ("o", "t"), ("ot", _W),
+    ("e", "t"), ("et", _W), ("e", "m"), ("em", _W), ("o", "l"),
+    ("o", "d"), ("od", _W), ("a", "d"), ("ad", _W), ("a", "p"),
+    ("ap", _W), ("a", "c"), ("ac", _W), ("a", "k"), ("ak", _W),
+    ("0", _W), ("1", _W), ("2", _W), ("3", _W), ("4", _W),
+    ("5", _W), ("6", _W), ("7", _W), ("8", _W), ("9", _W),
+    (".", _W), (",", _W), ("!", _W), ("?", _W), (";", _W),
+    (":", _W), ("'", _W), ('"', _W), ("-", _W), (")", _W),
+    ("(", _W), ("/", _W),
+)
+
+_RANK: dict[tuple[str, str], int] = {p: i for i, p in enumerate(MERGES)}
+
+# lowercase word / digit run / single non-alnum (same class split as
+# textstats._BPE_RE, so the regex proxy and the real BPE pre-tokenize
+# identically and differ only in the merge stage)
+_PRETOK = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+@lru_cache(maxsize=65536)
+def bpe_word(word: str) -> tuple[str, ...]:
+    """Greedy BPE inference for one pre-token: start from characters +
+    end-of-word marker, repeatedly merge the LOWEST-RANK adjacent pair
+    until no committed merge applies. lru_cache: real corpora repeat
+    words heavily (Zipf), so the per-word cost amortizes to a dict hit.
+    """
+    symbols = list(word) + [_W]
+    while len(symbols) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(symbols) - 1):
+            r = _RANK.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        symbols[best_i:best_i + 2] = [symbols[best_i]
+                                      + symbols[best_i + 1]]
+    return tuple(symbols)
+
+
+def tokenize(text: str) -> list[str]:
+    """Full BPE tokenization of a document (lowercased)."""
+    out: list[str] = []
+    for word in _PRETOK.findall(text.lower()):
+        out.extend(bpe_word(word))
+    return out
+
+
+def token_count(text: str) -> int:
+    """Tokenizer-exact token count — the C5 budget unit."""
+    n = 0
+    for word in _PRETOK.findall(text.lower()):
+        n += len(bpe_word(word))
+    return n

@@ -32,24 +32,61 @@ CHUNK_SCHEMA = StructType([
 ])
 
 
-def _window_split(words: list[str], max_tokens: int,
-                  overlap: int) -> list[list[str]]:
-    """chunk_text semantics: fixed windows with overlap rewind."""
-    out, i, n = [], 0, len(words)
-    step = max(max_tokens - overlap, 1)
+def _word_cost_ws(word: str) -> int:
+    return 1
+
+
+def _word_cost_bpe(word: str) -> int:
+    from ..extractor import bpe
+    return len(bpe.bpe_word(word)) if word else 0
+
+
+_COUNTERS = {"words": _word_cost_ws, "bpe": _word_cost_bpe}
+# The BPE pre-tokenizer splits on whitespace first, so a text's token
+# count is EXACTLY the sum of its whitespace-words' counts — additivity
+# is what lets the fold accumulate per-word costs instead of
+# re-tokenizing the growing chunk (the reference re-tokenizes the whole
+# text per check, doc_processor.py:96-99 — O(n^2) it never noticed).
+
+
+def _window_split(words: list[str], max_tokens: int, overlap: int,
+                  cost) -> list[tuple[list[str], int]]:
+    """chunk_text semantics: budget-bounded windows with overlap
+    rewind, measured in ``cost`` units (1/word or BPE tokens/word).
+    Returns (window_words, window_cost) pairs."""
+    costs = [cost(w) for w in words]
+    out: list[tuple[list[str], int]] = []
+    i, n = 0, len(words)
     while i < n:
-        out.append(words[i:i + max_tokens])
-        if i + max_tokens >= n:
+        j, c = i, 0
+        while j < n and (c + costs[j] <= max_tokens or j == i):
+            c += costs[j]
+            j += 1
+        out.append((words[i:j], c))
+        if j >= n:
             break
-        i += step
+        # rewind whole words until >= overlap budget units are repeated
+        back, oc = j, 0
+        while back > i + 1 and oc < overlap:
+            back -= 1
+            oc += costs[back]
+        i = back if back > i else j
     return out
 
 
 def chunk_elements(elements: list[tuple[int, int, str]], max_tokens: int,
-                   overlap: int) -> list[tuple[int, int, str, int]]:
+                   overlap: int, counter: str = "words"
+                   ) -> list[tuple[int, int, str, int]]:
     """Pure-Python oracle: [(page, pos, text)] sorted by (page, pos) ->
     [(chunk_id, page, text, n_tokens)]. Budget resets at chunk close;
-    page change closes the chunk; oversize elements window-split."""
+    page change closes the chunk; oversize elements window-split.
+
+    ``counter="words"`` reproduces the whitespace proxy (recursive-CTE
+    oracle-checkable); ``counter="bpe"`` measures budgets in
+    tokenizer-exact committed-vocab BPE tokens (extractor/bpe.py) —
+    the reference's real semantics (HF token budgets).
+    """
+    cost = _COUNTERS[counter]
     chunks: list[tuple[int, int, str, int]] = []
     cur: list[str] = []
     cur_tokens = 0
@@ -68,20 +105,21 @@ def chunk_elements(elements: list[tuple[int, int, str]], max_tokens: int,
         words = text.split()
         if not words:
             continue
+        el_tokens = sum(cost(w) for w in words)
         if cur_page is not None and page != cur_page:
             close()
         cur_page = page
-        if len(words) > max_tokens:
+        if el_tokens > max_tokens:
             close()
-            for win in _window_split(words, max_tokens, overlap):
-                chunks.append((cid, page, " ".join(win), len(win)))
+            for win, wc in _window_split(words, max_tokens, overlap, cost):
+                chunks.append((cid, page, " ".join(win), wc))
                 cid += 1
             continue
-        if cur_tokens + len(words) > max_tokens:
+        if cur_tokens + el_tokens > max_tokens:
             close()
             cur_page = page
         cur.append(text)
-        cur_tokens += len(words)
+        cur_tokens += el_tokens
     close()
     return chunks
 
@@ -97,7 +135,8 @@ def _rows_df(url: str, rows: list) -> pd.DataFrame:
 
 
 def chunk_by_token_budget(df: DataFrame, max_tokens: int = 64,
-                          overlap: int = 16) -> DataFrame:
+                          overlap: int = 16,
+                          counter: str = "words") -> DataFrame:
     """A4 over (url, page, pos, text) rows.
 
     Plan: ONE shuffle (repartition by url) + sortWithinPartitions(url,
@@ -123,13 +162,15 @@ def chunk_by_token_budget(df: DataFrame, max_tokens: int = 64,
                     if cur_url is not None:
                         out.append(_rows_df(
                             cur_url,
-                            chunk_elements(cur, max_tokens, overlap)))
+                            chunk_elements(cur, max_tokens, overlap,
+                                           counter)))
                     cur_url, cur = url, []
                 cur.append((int(page), int(pos), text))
             if out:
                 yield pd.concat(out, ignore_index=True)
         if cur_url is not None:
             yield _rows_df(cur_url,
-                           chunk_elements(cur, max_tokens, overlap))
+                           chunk_elements(cur, max_tokens, overlap,
+                                          counter))
 
     return prepared.mapInPandas(fold_partition, CHUNK_SCHEMA)

@@ -474,6 +474,25 @@ def test_url_domain_public_suffix(spark):
         assert got[rid] == want, (rid, got[rid], want)
 
 
+def test_bpe_token_stats_matches_pure_oracle(spark):
+    """The Arrow-batched BPE counter must equal the Spark-free pure
+    tokenizer on every document (repo invariant: extractor-side code IS
+    the oracle), and behave like a tokenizer: common English merges to
+    ~2 tokens/word, gibberish stays near character count."""
+    from historicaldatadocumentparsersystem_spark.extractor import bpe
+    from historicaldatadocumentparsersystem_spark.operators import textstats
+    docs = spark.read.parquet(SF + "/documents.parquet") \
+        .select("doc_id", "text").limit(120)
+    got = {r.doc_id: r.n_bpe_real
+           for r in textstats.bpe_token_stats(docs).collect()}
+    for row in docs.collect():
+        assert got[row.doc_id] == bpe.token_count(row.text), row.doc_id
+    eng = "the cat and the dog are in the garden with the other animals"
+    gib = "xq zv qqj wkx zzv jqx vvq kzj xqw jzx qvk wxz"
+    assert bpe.token_count(eng) / len(eng.split()) < 2.5
+    assert bpe.token_count(gib) / len(gib.split()) > 3.0
+
+
 def test_lang_id_trigram_mixed_languages(spark):
     """Accuracy pin on mixed-language fixtures: the trigram profiles
     must separate the four languages and surface the no-evidence case,

@@ -130,6 +130,27 @@ def test_fast_scanner_ab_property(parts):
     assert fast == ref
 
 
+# --- committed-vocab BPE invariants (C5) ------------------------------------
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_bpe_invariants(text):
+    """For ARBITRARY text: tokens are non-empty, per-word tokens
+    concatenate back to word + end marker (lossless), counts are
+    deterministic, and every pre-token costs at least one token."""
+    from historicaldatadocumentparsersystem_spark.extractor import bpe
+    words = bpe._PRETOK.findall(text.lower())
+    total = 0
+    for w in words:
+        toks = bpe.bpe_word(w)
+        assert all(toks)
+        assert "".join(toks) == w + "</w>"
+        assert 1 <= len(toks) <= len(w) + 1
+        total += len(toks)
+    assert bpe.token_count(text) == total
+    assert bpe.token_count(text) == bpe.token_count(text)
+
+
 # --- chunking oracle properties (A4) ----------------------------------------
 
 _elements = st.lists(
@@ -160,6 +181,32 @@ def test_chunking_properties(elements, max_tokens, overlap):
         assert chunks == []
     # deterministic
     assert chunks == chunk_elements(elements, max_tokens, overlap)
+
+
+@given(_elements, st.integers(4, 16), st.integers(0, 3))
+@settings(max_examples=150, deadline=None)
+def test_chunking_bpe_counter_properties(elements, max_tokens, overlap):
+    """Tokenizer-exact budgets: with counter='bpe' every chunk's
+    n_tokens equals the committed-vocab tokenizer's count of its text
+    (additivity across whitespace joins), and the budget holds except
+    when a single word alone exceeds it (forced one-word window)."""
+    from historicaldatadocumentparsersystem_spark.extractor import bpe
+    from historicaldatadocumentparsersystem_spark.operators.chunking import (
+        chunk_elements)
+    overlap = min(overlap, max_tokens - 1)
+    chunks = chunk_elements(elements, max_tokens, overlap, counter="bpe")
+    for cid, page, text, n_tokens in chunks:
+        assert n_tokens == bpe.token_count(text)
+        words = text.split()
+        if len(words) > 1:
+            assert n_tokens <= max_tokens
+        assert n_tokens >= 1
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    in_words = [w for _, _, t in elements for w in t.split()]
+    out_words = [w for _, _, t, _ in chunks for w in t.split()]
+    assert set(in_words) <= set(out_words)
+    assert chunks == chunk_elements(elements, max_tokens, overlap,
+                                    counter="bpe")
 
 
 # --- OOXML subset round-trips (S6/S7) ---------------------------------------
