@@ -461,7 +461,7 @@ _EXTRA_ORDER = [
     # rows-only here (BPE merges are not SQL-expressible); the real
     # oracle is the Spark-free tokenizer itself, asserted per-document
     # in tests/test_operators.py::test_bpe_token_stats_matches_pure_oracle
-    "bpe_token_count",
+    "bpe_token_count", "chunk_token_budget_bpe",
 ]
 
 
@@ -734,6 +734,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunking.chunk_by_token_budget(
             _elements_df(spark, sf_dir), max_tokens=24, overlap=6)
     q["chunk_token_budget"] = q_chunks
+
+    # --- A4 with tokenizer-exact budgets (extras; rows-only — BPE
+    # merge inference is not SQL; per-chunk n_tokens == bpe.token_count
+    # pinned by the hypothesis property + pure-fold oracle in pytest)
+    def q_chunks_bpe(spark, sf_dir):
+        return chunking.chunk_by_token_budget(
+            _elements_df(spark, sf_dir), max_tokens=48, overlap=12,
+            counter="bpe")
+    q["chunk_token_budget_bpe"] = q_chunks_bpe
 
     # --- language-ID heuristic (C10) — SQL-checked
     def q_lang_id(spark, sf_dir):

@@ -198,7 +198,8 @@ def time_extraction(spark, n_docs: int, runs: int = BENCH_RUNS) -> dict:
             "run_fault_ms": run_fault_ms}
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str,
+                passes: int = 2) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     # spin up the reused Python UDF workers once so the first query
@@ -206,11 +207,19 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import pandas as _pd
     spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism) \
         .mapInPandas(lambda it: it, "id long").count()
+    # min of `passes` per query: a single pass is exposed to the
+    # host's sub-minute fault storms — r2's five phantom "per-query
+    # regressions" were exactly that (all cleared on a fresh window).
+    # Same additive-noise argument as the extraction headline.
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(passes):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
     return out
 
 

@@ -153,6 +153,16 @@ def test_tfidf_broadcasts_document_frequency(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_lang_id_trigram_broadcasts_profiles(spark):
+    """The (few-hundred-row) trigram profile table must broadcast to
+    the exploded trigram stream — shuffling the corpus-sized trigram
+    side for a dictionary join would be the 100 TB mistake."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["lang_id_trigram"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_line_dedup_no_cartesian(spark):
     """Line-frequency removal is an equi-join on the line hash — a
     cartesian or nested-loop join would be the scale-killer."""
