@@ -326,9 +326,14 @@ def parse_dom(src: str) -> _Node:
             # caught by the adversarial A/B corpus)
             attrs = {}
             if raw_attrs:
-                low = raw_attrs.lower()
-                if "class" in low or "id" in low:
+                # fast path: lowercase source (the overwhelming case)
+                # needs no .lower() allocation; mixed-case pays one
+                if "class" in raw_attrs or "id" in raw_attrs:
                     attrs = _attr_dict(raw_attrs)
+                elif not raw_attrs.islower():
+                    low = raw_attrs.lower()
+                    if "class" in low or "id" in low:
+                        attrs = _attr_dict(raw_attrs)
             node = _Node(tag, attrs, stack[-1], order)
             stack[-1].children.append(node)
             if not self_closing and tag not in VOID_TAGS:
@@ -367,11 +372,12 @@ def _mark_dropped(node: _Node, src: str) -> None:
             if child.tag in DROP_TAGS:
                 child.dropped = True
                 continue  # stats of dropped subtrees stay zero
-            ci = _class_id(child)
-            if (ci.strip() and NEGATIVE_RE.search(ci)
-                    and not POSITIVE_RE.search(ci)):
-                child.dropped = True
-                continue
+            if child.attrs:     # attr-less nodes can't class-match
+                ci = _class_id(child)
+                if (ci.strip() and NEGATIVE_RE.search(ci)
+                        and not POSITIVE_RE.search(ci)):
+                    child.dropped = True
+                    continue
             _mark_dropped(child, src)
             node.text_chars += child.text_chars
             node.link_chars += child.link_chars
