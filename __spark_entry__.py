@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+# Python WORKERS spawn fresh interpreters that must import the package
+# by name: when the driver's cwd is the repo (the driver harness) the
+# workers resolve it via cwd, but a session created from elsewhere
+# needs the repo on PYTHONPATH before the JVM launches — set it here
+# (import precedes session creation in every entry-point flow; no-op
+# for an already-running JVM, where cwd must cover it).
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _REPO)
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (

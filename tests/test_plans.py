@@ -153,6 +153,17 @@ def test_tfidf_broadcasts_document_frequency(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_chunking_single_exchange(spark):
+    """A4 fold (both counters): ONE url repartition exchange feeding
+    the sorted mapInPandas fold — no hidden second shuffle."""
+    import __spark_entry__ as entrymod
+    for name in ("chunk_token_budget",):
+        df = entrymod.queries()[name](spark, SF)
+        assert count_exchanges(df) == 1, f"{name}: {physical_plan(df)}"
+    df = entrymod.extra_queries()["chunk_token_budget_bpe"](spark, SF)
+    assert count_exchanges(df) == 1, physical_plan(df)
+
+
 def test_lang_id_trigram_broadcasts_profiles(spark):
     """The (few-hundred-row) trigram profile table must broadcast to
     the exploded trigram stream — shuffling the corpus-sized trigram
