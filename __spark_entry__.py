@@ -449,12 +449,13 @@ _DRIVER_ORDER = [
     "event_sessions", "asof_join", "events_cube", "bbox_overlap_pairs",
     "hypertable_rollup", "tpch_q1_pricing", "segment_revenue",
     # new this round
-    "lang_id_trigram", "image_resize_stats",
+    "lang_id_trigram", "image_resize_stats", "gopher_rules",
+    "c4_line_filter",
     # the established suite
     "extract_corpus", "extract_kind_stats", "lang_stats", "text_profile",
     "repetition_profile", "keyword_sections", "exact_dedup",
     "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
-    "dedup_clusters", "cosine_topk", "cosine_topk_filtered", "l2_topk",
+    "dedup_clusters", "cosine_topk",
     "first_seen_dedup", "events_topk", "pii_redaction", "cap_per_host",
     "line_dedup", "url_normalize", "tfidf_top_terms", "unigram_logppl",
     "length_quantiles", "host_stats_salted", "bbox_remove_nested",
@@ -465,6 +466,9 @@ _DRIVER_ORDER = [
     "image_pixel_stats", "audio_wav_stats", "structured_records",
 ]
 _EXTRA_ORDER = [
+    # driver-green in r1+r2; demoted to make driver room for the new
+    # quality gates (J3 keeps cosine_topk/ivf_topk/lsh_topk driver rows)
+    "cosine_topk_filtered", "l2_topk",
     "simhash", "hash_split", "text_normalize", "column_mapping",
     "route_sentinels", "lang_set_ops", "stratified_sample",
     "doc_length_histogram", "media_kind_sniff",
@@ -701,6 +705,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.tfidf_top_terms(
             _t(spark, sf_dir, "documents"), k=3)
     q["tfidf_top_terms"] = q_tfidf
+
+    # --- Gopher document-quality rules over the EXTRACTED corpus —
+    # SQL-checked: both sides read the committed golden parquet (the
+    # extraction==golden byte-identity is already proven by
+    # extract_corpus, so this isolates the rule logic on realistic
+    # multi-line punctuated text); thresholds are integer-cross-
+    # multiplied, so no float ever reaches the hash
+    def q_gopher(spark, sf_dir):
+        docs = spark.read.parquet(_GOLDEN).select(
+            "url", F.col("extracted_text").alias("text"))
+        return (webtext.gopher_rules(docs, id_col="url")
+                .withColumnRenamed("id", "url"))
+    q["gopher_rules"] = q_gopher
+
+    # --- C4 line-level cleaning pass over the extracted corpus —
+    # SQL-checked byte-exact (clean_text is a string rebuild)
+    def q_c4(spark, sf_dir):
+        docs = spark.read.parquet(_GOLDEN).select(
+            "url", F.col("extracted_text").alias("text"))
+        return (webtext.c4_line_filter(docs, id_col="url")
+                .withColumnRenamed("id", "url"))
+    q["c4_line_filter"] = q_c4
 
     # --- unigram LM cross-entropy (KenLM-style quality signal) —
     # SQL-checked via fixed-point decimal summation on both sides
@@ -1555,6 +1581,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT source AS host, count(*) AS n_docs,
                    sum(n_chars)::bigint AS total_chars
             FROM documents GROUP BY source""",
+        # Gopher rules: every threshold is an integer cross-multiply,
+        # so no float reaches the hash; symbol_hits' /3 is exact (the
+        # replace-diff is always a multiple of 3) and DuckDB's
+        # round-on-cast == Spark's trunc-on-cast on exact integers
+        "gopher_rules": f"""
+            WITH d AS (
+              SELECT url, extracted_text AS text
+              FROM read_parquet('{_GOLDEN}')
+            ), t AS (
+              SELECT url, text,
+                     list_filter(regexp_split_to_array(trim(text),
+                                 '\\s+'), x -> x != '') AS tok,
+                     str_split(text, chr(10)) AS lines
+              FROM d
+            ), m AS (
+              SELECT url,
+                len(tok)::bigint AS n_words,
+                (CASE WHEN len(tok) = 0 THEN 0 ELSE
+                   list_reduce(list_transform(tok,
+                     w -> length(w)::bigint), (a, b) -> a + b)
+                 END)::bigint AS total_word_chars,
+                len(list_filter(tok, w -> regexp_matches(w,
+                    '[A-Za-z]')))::bigint AS n_alpha_words,
+                len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(tok,
+                         w -> lower(w)), s)))::bigint AS n_stop_hits,
+                ((length(text) - length(replace(text, '...', ''))) / 3
+                  + length(text) - length(replace(text, '…', ''))
+                  + length(text) - length(replace(text, '#', ''))
+                 )::bigint AS symbol_hits,
+                len(lines)::bigint AS n_lines,
+                len(list_filter(lines, l -> regexp_matches(l,
+                    '^\\s*[-*•]')))::bigint AS n_bullet_lines,
+                len(list_filter(lines, l -> regexp_matches(l,
+                    '(\\.\\.\\.|…)\\s*$')))::bigint AS n_ellipsis_lines
+              FROM t
+            )
+            SELECT url, n_words, total_word_chars, n_alpha_words,
+                   n_stop_hits, symbol_hits, n_lines, n_bullet_lines,
+                   n_ellipsis_lines,
+                   (n_words BETWEEN 50 AND 100000) AS r_word_count,
+                   (total_word_chars >= 3 * n_words
+                    AND total_word_chars <= 10 * n_words
+                    AND n_words > 0) AS r_mean_word_len,
+                   (10 * symbol_hits <= n_words) AS r_symbol_ratio,
+                   (10 * n_bullet_lines <= n_lines) AS r_bullet_lines,
+                   (10 * n_ellipsis_lines <= 3 * n_lines)
+                     AS r_ellipsis_lines,
+                   (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+                   (n_stop_hits >= 2) AS r_stop_words,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND total_word_chars >= 3 * n_words
+                    AND total_word_chars <= 10 * n_words
+                    AND n_words > 0
+                    AND 10 * symbol_hits <= n_words
+                    AND 10 * n_bullet_lines <= n_lines
+                    AND 10 * n_ellipsis_lines <= 3 * n_lines
+                    AND 5 * n_alpha_words >= 4 * n_words
+                    AND n_stop_hits >= 2) AS keep
+            FROM m""",
+        # C4 line filter: terminal punctuation by last-char compare
+        # (NOT '$'-anchored regex — Java vs RE2 end-anchor semantics
+        # differ on trailing \\r); clean_text is byte-exact
+        "c4_line_filter": f"""
+            WITH d AS (
+              SELECT url, extracted_text AS text
+              FROM read_parquet('{_GOLDEN}')
+            ), t AS (
+              SELECT url, text, str_split(text, chr(10)) AS lines
+              FROM d
+            ), k AS (
+              SELECT url, text, lines,
+                     list_filter(lines, l ->
+                       right(trim(l), 1) IN ('.', '!', '?', '"')
+                       AND len(list_filter(regexp_split_to_array(
+                             trim(l), '\\s+'), x -> x != '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM t
+            )
+            SELECT url, len(lines)::bigint AS n_lines,
+                   len(kept)::bigint AS n_kept,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, chr(123))) AS keep,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                     AS clean_text
+            FROM k""",
         "bbox_remove_nested": f"""
             WITH boxes(url, page, x0, y0, x1, y1, kind) AS (
               VALUES {_BBOX_VALUES}

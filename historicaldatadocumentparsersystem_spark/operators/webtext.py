@@ -175,6 +175,129 @@ def length_histogram(df: DataFrame, col: str = "n_chars",
                  F.max(col).alias("hi")))
 
 
+# --- document-level quality gates (Gopher / C4) --------------------------------
+
+#: Gopher's "must contain >= 2 of these" stop-word list (Rae et al.
+#: 2021, Appendix A.1.1) — the canonical eight.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "url", min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A.1.1)
+    as one pass of pure column expressions: word-count bounds, mean
+    word length in [3, 10], symbol-to-word ratio (# and ellipsis)
+    <= 0.1, <= 10% bullet-started lines, <= 30% ellipsis-ended lines,
+    >= 80% of words containing an alphabetic character, and >= 2 hits
+    from the canonical stop-word list.
+
+    Every threshold is evaluated in CROSS-MULTIPLIED INTEGER form
+    (e.g. mean word length in [3, 10] <=> 3*n_words <= total_chars
+    <= 10*n_words), so the output carries no float ratios and the
+    DuckDB oracle twin is hash-exact by construction.
+
+    Scale: a narrow projection — no shuffle, no UDF, no explode; the
+    split arrays live only inside one codegen stage. At 100 TB this is
+    scan-bound and pushes column pruning down to (id, text).
+
+    Reference analog: the reference gates documents one at a time
+    before LLM calls (``utils/tools.py:84-99``); this is the published
+    corpus-curation rule set a training pipeline runs at ingest.
+    """
+    words = tokens(text_col)
+    low = F.transform(words, lambda w: F.lower(w))
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(words).cast("long")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"))
+    n_alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(low, s))).cast("long")
+    hash_hits = (F.length(text_col)
+                 - F.length(F.replace(F.col(text_col), F.lit("#"))))
+    ell_hits = (
+        (F.length(text_col)
+         - F.length(F.replace(F.col(text_col), F.lit("...")))) / 3
+        + F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("…"))))
+    symbol_hits = ell_hits.cast("long") + hash_hits.cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("long")
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).cast("long")
+    out = df.select(
+        F.col(id_col).alias("id"), n_words.alias("n_words"),
+        total_chars.alias("total_word_chars"),
+        n_alpha.alias("n_alpha_words"), n_stop.alias("n_stop_hits"),
+        symbol_hits.alias("symbol_hits"), n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"))
+    return out.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("r_word_count"),
+        ((F.col("total_word_chars") >= 3 * F.col("n_words"))
+         & (F.col("total_word_chars") <= 10 * F.col("n_words"))
+         & (F.col("n_words") > 0)).alias("r_mean_word_len"),
+        (10 * F.col("symbol_hits") <= F.col("n_words"))
+        .alias("r_symbol_ratio"),
+        (10 * F.col("n_bullet_lines") <= F.col("n_lines"))
+        .alias("r_bullet_lines"),
+        (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+        .alias("r_ellipsis_lines"),
+        (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        .alias("r_alpha_words"),
+        (F.col("n_stop_hits") >= 2).alias("r_stop_words"),
+    ).withColumn(
+        "keep",
+        F.col("r_word_count") & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio") & F.col("r_bullet_lines")
+        & F.col("r_ellipsis_lines") & F.col("r_alpha_words")
+        & F.col("r_stop_words"))
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "url", min_line_words: int = 5,
+                   min_kept_lines: int = 3) -> DataFrame:
+    """C4 cleaning pass (Raffel et al. 2020 §2.2) as pure column
+    expressions: keep only lines that end in terminal punctuation
+    (. ! ? ") AND have >= ``min_line_words`` words AND do not mention
+    'javascript'; then keep only documents with >=
+    ``min_kept_lines`` surviving lines and no 'lorem ipsum' / '{'
+    anywhere. Returns (id, n_lines, n_kept, keep, clean_text) where
+    clean_text is the surviving lines re-joined with newlines —
+    byte-exact against the DuckDB twin.
+
+    Scale: like :func:`gopher_rules`, a single narrow projection (the
+    line array is consumed inside one codegen stage; no explode means
+    no row blow-up and no shuffle).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    line_words = (lambda l: F.size(F.filter(
+        F.split(F.trim(l), r"\s+"), lambda t: t != "")))
+    # terminal punctuation via last-char compare, NOT a '$'-anchored
+    # regex: Java's '$' matches before a final \r/\n while the DuckDB
+    # twin's RE2 '$' does not — substring is identical in both
+    kept = F.filter(
+        lines,
+        lambda l: (F.substring(F.trim(l), -1, 1)
+                   .isin(".", "!", "?", '"')
+                   & (line_words(l) >= min_line_words)
+                   & ~F.lower(l).contains("javascript")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        ((F.size(kept) >= min_kept_lines)
+         & ~F.lower(text_col).contains("lorem ipsum")
+         & ~F.col(text_col).contains("{")).alias("keep"),
+        F.concat_ws("\n", kept).alias("clean_text"))
+
+
 # --- TF-IDF salient terms -----------------------------------------------------
 
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",

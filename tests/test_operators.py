@@ -437,6 +437,74 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out[9]["n_kept"] == 1 and out[9]["text_kept"].startswith("solo")
 
 
+def test_gopher_rules_branches(spark):
+    """Every Gopher rule fires on a purpose-built doc; the good doc
+    passes all seven. Thresholds are integer cross-multiplied, so the
+    boundary docs sit exactly ON the published ratio limits."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    good = ("the cat and the dog have fun with all of that today. " * 5
+            + "more plain words here to cross fifty total easily okay "
+            * 3)
+    rows = [
+        ("good", good),
+        ("short", "the and of tiny doc"),                 # < 50 words
+        ("longwords", " ".join(["the", "and"] + [
+            "supercalifragilistic"] * 60)),               # mean len > 10
+        ("symbols", "the and " + "# " * 20 + "word " * 50),  # ratio > .1
+        ("bullets", "the and words here fine.\n"
+         + "\n".join("- item" for _ in range(9))),        # > 10% bullets
+        ("ellipsis", "the and more...\nalso trailing…  \nplain line"),
+        ("nonalpha", "the and " + "123 456 " * 40),       # < 80% alpha
+        ("nostop", " ".join(f"w{i}" for i in range(60))),  # < 2 stopwords
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["id"]: r for r in
+           webtext.gopher_rules(df, id_col="url").collect()}
+    assert got["good"]["keep"] is True
+    assert got["short"]["r_word_count"] is False
+    assert got["longwords"]["r_mean_word_len"] is False
+    assert got["symbols"]["r_symbol_ratio"] is False
+    assert got["bullets"]["r_bullet_lines"] is False
+    assert got["ellipsis"]["r_ellipsis_lines"] is False  # 2 of 3 lines
+    assert got["ellipsis"]["n_ellipsis_lines"] == 2      # …-with-spaces too
+    assert got["nonalpha"]["r_alpha_words"] is False
+    assert got["nostop"]["r_stop_words"] is False
+    for bad in ("short", "longwords", "symbols", "bullets",
+                "nonalpha", "nostop"):
+        assert got[bad]["keep"] is False
+
+
+def test_c4_line_filter_branches(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    keepable = ("One good sentence with enough words here.\n"
+                "Another proper sentence that also qualifies!\n"
+                'A third line ending in a quote mark?"\n')
+    rows = [
+        ("good", keepable + "short one.\nno terminal punct at all"),
+        ("js", keepable.replace("Another", "javascript Another")),
+        ("lorem", keepable + "this page has Lorem Ipsum filler."),
+        ("brace", keepable + "function() { return 1; } and more."),
+        ("crlf", "Ends with punct then carriage return.\r\n"
+         "Another full sentence right here too.\r\n"
+         "And a third proper sentence as well."),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["id"]: r for r in
+           webtext.c4_line_filter(df, id_col="url").collect()}
+    g = got["good"]
+    assert g["keep"] is True and g["n_kept"] == 3 and g["n_lines"] == 5
+    assert g["clean_text"] == keepable.rstrip("\n")
+    # a javascript line is dropped -> only 2 survivors -> doc dropped
+    assert got["js"]["n_kept"] == 2 and got["js"]["keep"] is False
+    assert got["lorem"]["keep"] is False   # case-insensitive lorem ipsum
+    assert got["brace"]["keep"] is False   # curly brace
+    # \r-terminated lines do NOT count as punctuation-terminated (the
+    # last-char compare sees '\r' — pinned so the RE2/Java '$' trap
+    # can't silently reappear); the bare-LF third line survives
+    c = got["crlf"]
+    assert c["n_kept"] == 1 and c["keep"] is False
+
+
 def test_url_normalize_edge_rules(spark):
     from historicaldatadocumentparsersystem_spark.operators import webtext
     df = spark.createDataFrame(
