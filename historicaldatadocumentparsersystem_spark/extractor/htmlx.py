@@ -120,9 +120,13 @@ def decode_payload(payload: bytes) -> str:
 # --- DOM -------------------------------------------------------------------
 
 class _Node:
+    # title_node is set ONLY on the root, only by parse_dom (first
+    # <title> seen, saving _find_title a full-tree walk); it is left
+    # unset everywhere else so per-node construction stays lean —
+    # readers use getattr(root, "title_node", None).
     __slots__ = ("tag", "attrs", "parent", "children", "order", "dropped",
                  "text_chars", "link_chars", "commas", "para_points",
-                 "in_link")
+                 "in_link", "title_node")
 
     def __init__(self, tag: str, attrs: dict, parent: "_Node | None",
                  order: int) -> None:
@@ -297,6 +301,7 @@ def parse_dom(src: str) -> _Node:
             return
         top.children.append(_Text(start, end, top))
 
+    first_title: _Node | None = None
     while pos < n:
         m = _TAG_RE.search(src, pos)
         if m is None:
@@ -305,16 +310,21 @@ def parse_dom(src: str) -> _Node:
         if m.start() > pos:
             add_text(pos, m.start())
         pos = m.end()
-        end_tag, start_tag, raw_attrs, slash = m.group(1, 2, 3, 4)
-        if end_tag is not None:
-            tag = end_tag.lower()
+        # dispatch on the char after '<': the alternation's prefixes are
+        # disjoint ('</letter' = end tag, '<!'/'<?' = comment/decl/cdata,
+        # '<letter' = start tag), so one char test replaces building a
+        # 4-group tuple for every token
+        c = src[m.start() + 1]
+        if c == "/":
+            tag = m.group(1).lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
-        elif start_tag is not None:
-            tag = start_tag.lower()
-            self_closing = slash == "/"
+        elif c != "!" and c != "?":
+            tag = m.group(2).lower()
+            raw_attrs = m.group(3)
+            self_closing = m.group(4) == "/"
             if tag in _AUTOCLOSE:
                 closees = _AUTOCLOSE[tag]
                 while len(stack) > 1 and stack[-1].tag in closees:
@@ -336,6 +346,8 @@ def parse_dom(src: str) -> _Node:
                         attrs = _attr_dict(raw_attrs)
             node = _Node(tag, attrs, stack[-1], order)
             stack[-1].children.append(node)
+            if first_title is None and tag == "title":
+                first_title = node
             if not self_closing and tag not in VOID_TAGS:
                 if tag in _RAWTEXT:
                     cm = _RAWTEXT_CLOSE[tag].search(src, pos)
@@ -350,6 +362,7 @@ def parse_dom(src: str) -> _Node:
                 else:
                     stack.append(node)
         # else: comment/doctype/decl — skipped
+    root.title_node = first_title
     return root
 
 
@@ -407,11 +420,18 @@ def _link_density(node: _Node) -> float:
 
 
 def _iter_nodes(node: _Node):
-    """Document-order traversal skipping dropped subtrees."""
-    for child in node.children:
-        if isinstance(child, _Node) and not child.dropped:
+    """Document-order traversal skipping dropped subtrees — an explicit
+    stack, not nested generators (``yield from`` chains cost O(depth)
+    per yielded node; this tree is regularly 10+ deep)."""
+    stack = [iter(node.children)]
+    while stack:
+        child = next(stack[-1], None)
+        if child is None:
+            stack.pop()
+        elif isinstance(child, _Node) and not child.dropped:
             yield child
-            yield from _iter_nodes(child)
+            if child.children:
+                stack.append(iter(child.children))
 
 
 def score_candidates(root: _Node) -> list[tuple[float, _Node]]:
@@ -509,4 +529,21 @@ def extract_html(src: str) -> tuple[str, list[tuple[int, int, str]],
     segments: list[tuple[int, int, str]] = []
     _collect_segments(winner, winner, src, segments)
     text = "\n".join(src[s:e] for s, e, _ in segments)
-    return text, segments, float(best_score), _find_title(root, src)
+    # fast path: parse_dom recorded the first <title> in document order
+    # (same node the preorder walk hits first). A NON-EMPTY first title
+    # is what _find_title would return; the empty-first-title edge case
+    # (where _find_title's early return prunes that level but later
+    # subtrees are still searched) falls back to the exact walk.
+    # parse_dom_htmlparser roots never set the slot -> always walk.
+    tn = getattr(root, "title_node", False)
+    if tn is None:                      # parse_dom saw NO title at all
+        title = None
+    elif tn is not False:
+        parts = [src[t.start:t.end] for t in tn.children
+                 if isinstance(t, _Text)]
+        title = "".join(parts).strip() or None
+        if title is None:               # empty first title: exact walk
+            title = _find_title(root, src)
+    else:
+        title = _find_title(root, src)
+    return text, segments, float(best_score), title
