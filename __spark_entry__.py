@@ -34,9 +34,10 @@ if _REPO not in os.environ.get("PYTHONPATH", ""):
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
-    asof, chunking, dedup, keywords, multimodal, records, rollup, routing,
-    similarity, skew, spans, textstats, webtext)
+    asof, chunking, dedup, keywords, linkgraph, multimodal, quality,
+    records, rollup, routing, similarity, skew, spans, textstats, webtext)
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
+from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -283,6 +284,58 @@ _GOLDEN_PPTX = os.path.join(_REPO, "fixtures",
                             "golden_pptx_elements_seed42_n40.parquet")
 _GOLDEN_DOCX = os.path.join(_REPO, "fixtures",
                             "golden_docx_elements_seed42_n40.parquet")
+_GOLDEN_LINKS = os.path.join(_REPO, "fixtures",
+                             "golden_links_seed42_n300.parquet")
+
+# committed quality-classifier weights as a DuckDB list literal
+_W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
+
+
+def _pagerank_sql(iters: int) -> str:
+    """DuckDB twin of the host_pagerank query: derive the deterministic
+    ring edge table from documents, then unroll ``iters`` PageRank
+    iterations as chained CTEs in pure int64 floor division (``//`` ==
+    Spark ``div`` on non-negative values)."""
+    scale, d = linkgraph.PAGERANK_SCALE, linkgraph.DAMPING_PCT
+    ctes = [f"""
+        WITH h AS (
+          SELECT source, row_number() OVER (ORDER BY source) - 1 AS r
+          FROM (SELECT DISTINCT source FROM documents)
+        ), nn AS (SELECT count(*)::bigint AS n FROM h),
+        e AS (
+          SELECT DISTINCT h1.source AS src_host, h2.source AS dst_host
+          FROM documents dd
+          JOIN h h1 ON dd.source = h1.source
+          CROSS JOIN nn
+          JOIN h h2 ON h2.r = (h1.r + 1 + dd.doc_id % (nn.n - 1)) % nn.n
+        ),
+        hosts AS (SELECT src_host AS host FROM e
+                  UNION SELECT dst_host FROM e),
+        od AS (SELECT src_host, count(*)::bigint AS out_deg
+               FROM e GROUP BY src_host),
+        r0 AS (SELECT host, {scale} // nn.n AS rank_micro
+               FROM hosts CROSS JOIN nn)"""]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        i{k} AS (
+          SELECT e.dst_host AS host,
+                 sum({prev}.rank_micro // od.out_deg)::bigint AS in_sum
+          FROM e JOIN {prev} ON e.src_host = {prev}.host
+                 JOIN od ON e.src_host = od.src_host
+          GROUP BY e.dst_host
+        ),
+        r{k} AS (
+          SELECT hosts.host,
+                 ({scale} * {100 - d}) // (100 * nn.n)
+                 + ({d} * coalesce(i{k}.in_sum, 0)) // 100 AS rank_micro
+          FROM hosts CROSS JOIN nn
+          LEFT JOIN i{k} ON hosts.host = i{k}.host
+        )""")
+        prev = f"r{k}"
+    return (",".join(ctes)
+            + f"\n        SELECT host, rank_micro::bigint AS rank_micro"
+              f" FROM {prev}")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -450,17 +503,18 @@ _DRIVER_ORDER = [
     "hypertable_rollup", "tpch_q1_pricing", "segment_revenue",
     # new this round
     "lang_id_trigram", "image_resize_stats", "gopher_rules",
-    "c4_line_filter",
+    "c4_line_filter", "dup_span_removal", "quality_classifier",
+    "extract_links", "host_pagerank",
     # the established suite
     "extract_corpus", "extract_kind_stats", "lang_stats", "text_profile",
     "repetition_profile", "keyword_sections", "exact_dedup",
     "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
     "dedup_clusters", "cosine_topk",
-    "first_seen_dedup", "events_topk", "pii_redaction", "cap_per_host",
+    "first_seen_dedup", "pii_redaction", "cap_per_host",
     "line_dedup", "url_normalize", "tfidf_top_terms", "unigram_logppl",
     "length_quantiles", "host_stats_salted", "bbox_remove_nested",
-    "bbox_enclosing", "span_merge", "chunk_token_budget",
-    "lang_id_heuristic", "embedding_near_dup", "lsh_topk", "ivf_topk",
+    "chunk_token_budget",
+    "embedding_near_dup", "lsh_topk", "ivf_topk",
     "pptx_elements", "pptx_keyword_sections", "docx_elements",
     "docx_token_chunks", "picture_class_filter", "media_dimensions",
     "image_pixel_stats", "audio_wav_stats", "structured_records",
@@ -468,7 +522,11 @@ _DRIVER_ORDER = [
 _EXTRA_ORDER = [
     # driver-green in r1+r2; demoted to make driver room for the new
     # quality gates (J3 keeps cosine_topk/ivf_topk/lsh_topk driver rows)
+    # and (round 3, late) the link-graph / span-dedup / classifier ops
+    # (J2 keeps bbox_remove_nested; C10 keeps lang_id_trigram; W2 keeps
+    # cosine_topk)
     "cosine_topk_filtered", "l2_topk",
+    "bbox_enclosing", "span_merge", "events_topk", "lang_id_heuristic",
     "simhash", "hash_split", "text_normalize", "column_mapping",
     "route_sentinels", "lang_set_ops", "stratified_sample",
     "doc_length_histogram", "media_kind_sniff",
@@ -727,6 +785,56 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (webtext.c4_line_filter(docs, id_col="url")
                 .withColumnRenamed("id", "url"))
     q["c4_line_filter"] = q_c4
+
+    # --- duplicated-substring removal (Lee et al. 2022 adapted to
+    # hashed token-n-gram spans) — SQL-checked end-to-end including the
+    # per-document text rebuild (byte-exact string_agg twin)
+    def q_dup_span(spark, sf_dir):
+        return webtext.duplicate_span_removal(
+            _t(spark, sf_dir, "documents"), ngram=8, max_doc_freq=1)
+    q["dup_span_removal"] = q_dup_span
+
+    # --- hashed-linear quality classifier (fastText/DCLM-style gate,
+    # committed integer weights) — SQL-checked; pure int64 on both
+    # sides (weights in micro-units, normalization cross-multiplied)
+    def q_quality(spark, sf_dir):
+        return quality.quality_classifier(_t(spark, sf_dir, "documents"))
+    q["quality_classifier"] = q_quality
+
+    # --- outlink extraction (link graph layer) — hash-checked against
+    # the committed golden links parquet (same oracle pattern as
+    # extract_corpus: the Spark UDF calls the Spark-free extractor)
+    def q_links(spark, sf_dir):
+        docs = fixtures.corpus_df(spark, 300, num_partitions=8)
+        return (linkgraph.extract_links_df(docs)
+                .orderBy("url", "link_pos"))
+    q["extract_links"] = q_links
+
+    # --- host-level PageRank (integer fixed-point, 3 iterations) —
+    # SQL-checked bit-for-bit: the oracle unrolls the same iterations
+    # as chained CTEs; edges derive deterministically from the
+    # documents table (source hosts in a ring offset by doc_id) so the
+    # whole query is SQL-expressible; real crawls feed
+    # host_edges(extract_links_df(...)) instead (pytest-covered)
+    def q_pagerank(spark, sf_dir):
+        from pyspark.sql import Window
+        docs = _t(spark, sf_dir, "documents")
+        hosts = (docs.select("source").distinct()
+                 .withColumn("r", F.row_number().over(
+                     Window.orderBy("source")) - 1))
+        n1 = hosts.agg(F.count("*").alias("__n"))
+        edges = (docs.select("doc_id", "source")
+                 .join(hosts, "source")
+                 .crossJoin(F.broadcast(n1))
+                 .select(F.col("source").alias("src_host"),
+                         ((F.col("r") + 1 + F.col("doc_id")
+                           % (F.col("__n") - 1)) % F.col("__n"))
+                         .alias("dst_r"))
+                 .join(hosts.select(F.col("source").alias("dst_host"),
+                                    F.col("r").alias("dst_r")), "dst_r")
+                 .select("src_host", "dst_host"))
+        return linkgraph.pagerank_hosts(edges, iters=3)
+    q["host_pagerank"] = q_pagerank
 
     # --- unigram LM cross-entropy (KenLM-style quality signal) —
     # SQL-checked via fixed-point decimal summation on both sides
@@ -1474,6 +1582,74 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_kept, 0)::bigint AS n_kept,
                    coalesce(text_kept, '') AS text_kept
             FROM tot LEFT JOIN ka USING (doc_id)""",
+        # duplicated-substring removal: hashed 8-token windows with
+        # corpus doc_freq > 1 mark their positions; kept tokens rebuild
+        # the text byte-exactly (string_agg ORDER BY pos == Spark's
+        # array_sort struct fold)
+        "dup_span_removal": f"""
+            WITH toks AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), grams AS (
+              SELECT doc_id, i AS p,
+                     md5(array_to_string(list_slice(tk, i, i + 7), ' '))
+                       AS gh
+              FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+              WHERE len(tk) >= 8
+            ), dup AS (
+              SELECT gh FROM grams GROUP BY gh
+              HAVING count(DISTINCT doc_id) > 1
+            ), cov AS (
+              SELECT DISTINCT doc_id, p + j AS pos
+              FROM grams JOIN dup USING (gh),
+                   unnest(generate_series(0, 7)) AS v(j)
+            ), tokpos AS (
+              SELECT doc_id, i AS pos, tk[i] AS tok
+              FROM toks, unnest(generate_series(1, len(tk))) AS w(i)
+            ), kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+              WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                WHERE c.doc_id = t.doc_id
+                                  AND c.pos = t.pos)
+            ), ka AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS text_kept
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, len(tk)::bigint AS n_tokens FROM toks
+            )
+            SELECT tot.doc_id, n_tokens,
+                   (n_tokens - coalesce(n_kept, 0))::bigint AS n_removed,
+                   coalesce(text_kept, '') AS text_kept
+            FROM tot LEFT JOIN ka USING (doc_id)""",
+        # hashed-linear quality gate: committed integer weights as a
+        # list literal, md5 bucket per token, pure int64 cross-multiply
+        # (list_sum on [] is NULL in DuckDB -> coalesce; Spark's
+        # aggregate fold returns the 0 seed)
+        "quality_classifier": f"""
+            WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
+            s AS (
+              SELECT doc_id, len(tk)::bigint AS n_tokens,
+                     coalesce(list_sum(list_transform(tk,
+                       x -> ({_W_SQL})[((cast('0x' ||
+                         substr(md5(lower(x)), 1, 8) AS bigint))
+                         % {_qmodel.N_BUCKETS}) + 1])), 0)::bigint
+                       AS score_micro
+              FROM t)
+            SELECT doc_id, n_tokens, score_micro,
+                   (CASE WHEN score_micro >
+                       {-_qmodel.BIAS_MICRO}::bigint * n_tokens
+                    THEN 1 ELSE 0 END)::bigint AS keep
+            FROM s""",
+        # outlink extraction: oracle = committed golden links parquet
+        # (pure-Python linkx over the same seed-42 corpus; pinned by
+        # tests/test_links.py the same way test_golden pins extraction)
+        "extract_links": f"""
+            SELECT url, link_pos, href, anchor
+            FROM read_parquet('{_GOLDEN_LINKS}')
+            ORDER BY url, link_pos""",
+        # host PageRank: same derived ring edges, 3 iterations unrolled
+        # as chained CTEs, all int64 floor division — bit-exact twin
+        "host_pagerank": _pagerank_sql(3),
         # URL canonicalization over the shared VALUES fixture (RE2 \\1
         # backrefs; the Spark twin uses Java's $1 — same regexes)
         "url_normalize": r"""

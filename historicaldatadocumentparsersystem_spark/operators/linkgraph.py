@@ -1,0 +1,140 @@
+"""Link-graph operators: outlink table, host edges, integer PageRank.
+
+Common Crawl ships a host-level web graph + rank alongside the text
+corpus because curation wants graph priors (seed lists, spam demotion,
+crawl frontier ordering). These are those operators, Spark-first:
+
+- ``extract_links_df``: documents -> (url, link_pos, href, anchor)
+  via an Arrow-batched mapInPandas over the Spark-free extractor
+  (``extractor/linkx.py`` — the same oracle pattern as the flagship
+  extraction stage: byte-identity with the golden parquet is
+  structural because the UDF calls the oracle's own functions).
+- ``host_edges``: links -> distinct (src_host, dst_host) pairs.
+- ``pagerank_hosts``: fixed-iteration PageRank over an edge table in
+  PURE INT64 fixed-point (micro-rank units, truncating division via
+  SQL ``div``), so Spark and the DuckDB oracle agree bit-for-bit —
+  no float reassociation anywhere. Production at float precision is
+  the same plan with the casts removed.
+
+Scale: links explode ~50x rows but only (url, href, anchor) columns;
+host_edges is one groupBy on the 2-host key (map-side combinable).
+Each PageRank iteration is one equi-join ranks-to-edges on src_host +
+one groupBy on dst_host — the standard Spark PageRank shape; the rank
+table is |hosts| rows (millions, not trillions) so iterations never
+touch document data. ``localCheckpoint`` every few rounds would
+truncate lineage for deep iteration counts (the connected_components
+move); at the default 3 iterations the plan stays shallow enough
+to leave lazy, which keeps the whole query oracle-checkable.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..extractor import linkx
+from .webtext import url_host
+
+LINKS_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("link_pos", IntegerType(), False),
+    StructField("href", StringType(), False),
+    StructField("anchor", StringType(), False),
+])
+
+PAGERANK_SCALE = 10 ** 12   # 1.0 of rank mass, in rank-micro units
+DAMPING_PCT = 85            # 0.85 as an integer percentage
+
+
+def extract_links_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per navigable outlink.
+
+    Narrow select first so column pruning reaches the scan; 1->N rows
+    per document (F5 contract: malformed pages yield fewer links,
+    never fail the task).
+    """
+    import pandas as pd
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            urls = pdf["url"].tolist()
+            payloads = pdf["html"].tolist()
+            out_url, out_pos, out_href, out_anchor = [], [], [], []
+            for u, payload in zip(urls, payloads):
+                if not payload:
+                    continue
+                for pos, href, anchor in linkx.extract_links(payload, u):
+                    out_url.append(u)
+                    out_pos.append(pos)
+                    out_href.append(href)
+                    out_anchor.append(anchor)
+            yield pd.DataFrame({"url": out_url, "link_pos": out_pos,
+                                "href": out_href, "anchor": out_anchor})
+
+    return (docs.select("url", "html")
+            .mapInPandas(batch, LINKS_SCHEMA))
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """links -> distinct (src_host, dst_host) edges with link counts.
+
+    One groupBy on the two-host key; hosts come from the same portable
+    regex as ``webtext.url_host`` so the DuckDB twin is exact.
+    """
+    return (links.select(url_host("url").alias("src_host"),
+                         url_host("href").alias("dst_host"))
+            .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("long").alias("n_links")))
+
+
+def pagerank_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-point integer PageRank over (src_host, dst_host) edges.
+
+    rank_0 = SCALE div n  per host;  each iteration:
+        contrib(e)   = rank(src) div out_deg(src)         (int64)
+        rank'(host)  = (SCALE * (100-d)) div (100 * n)
+                     + (d * sum incoming contrib) div 100  (int64)
+    Truncating division on non-negative int64 is identical in Spark
+    (``div``) and DuckDB (``//``), so the whole computation is
+    bit-exact across engines — the property the correctness gate
+    needs; production would run the same joins on doubles. Dangling
+    hosts (no outlinks) leak their mass each round, the standard
+    simplification — ranks still order hosts by link authority.
+
+    Returns (host, rank_micro) with sum(rank) <= SCALE.
+    """
+    e = (edges.select("src_host", "dst_host").distinct()
+         .persist())
+    hosts = (e.select(F.col("src_host").alias("host"))
+             .union(e.select(F.col("dst_host").alias("host")))
+             .distinct())
+    n1 = hosts.agg(F.count("*").alias("__n_hosts"))
+    out_deg = e.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("out_deg"))
+    base = F.expr(f"({PAGERANK_SCALE}::long * {100 - DAMPING_PCT}) "
+                  f"div (100 * __n_hosts)")
+    ranks = (hosts.crossJoin(F.broadcast(n1))
+             .select("host", "__n_hosts",
+                     F.expr(f"{PAGERANK_SCALE}::long div __n_hosts")
+                     .alias("rank_micro")))
+    for _ in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("host", "src_host"),
+                          "src_host")
+                   .join(out_deg, "src_host")
+                   .select(F.col("dst_host").alias("host"),
+                           F.expr("rank_micro div out_deg")
+                           .alias("contrib")))
+        incoming = contrib.groupBy("host").agg(
+            F.sum("contrib").cast("long").alias("in_sum"))
+        ranks = (hosts.crossJoin(F.broadcast(n1))
+                 .join(incoming, "host", "left")
+                 .select("host", "__n_hosts",
+                         (base + F.expr(
+                             f"({DAMPING_PCT} * coalesce(in_sum, 0::long))"
+                             f" div 100")).alias("rank_micro")))
+    return ranks.select("host", F.col("rank_micro").cast("long")
+                        .alias("rank_micro"))

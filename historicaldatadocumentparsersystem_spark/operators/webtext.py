@@ -331,3 +331,67 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
             .where(F.col("rk") <= k)
             .select(F.col("id").alias("doc_id"), "term", "tf",
                     "doc_freq", "tfidf", "rk"))
+
+
+# --- duplicated-substring (span) removal -------------------------------------
+
+def duplicate_span_removal(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", ngram: int = 8,
+                           max_doc_freq: int = 1) -> DataFrame:
+    """Remove duplicated substrings across the corpus, Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    adapted to Spark: the paper's suffix-array exact-substring pass
+    becomes a hashed token-n-gram span pass — any window of ``ngram``
+    consecutive tokens whose text occurs in more than ``max_doc_freq``
+    distinct documents marks ALL its token positions as duplicated, and
+    marked tokens are dropped before the per-document reassembly.
+    Overlapping duplicated windows merge naturally (position-set
+    union), so a long shared passage is removed end-to-end exactly as
+    the suffix-array method would, quantized to token n-grams.
+
+    Returns (doc_id, n_tokens, n_removed, text_kept). Documents
+    shorter than ``ngram`` tokens have no windows and pass through
+    unchanged; a document that is entirely boilerplate survives with
+    text_kept = ''.
+
+    Scale: windows are hashed to md5 BEFORE the frequency shuffle so
+    the groupBy moves 16-byte keys, never window text, and is map-side
+    combinable; the duplicated-hash set joins back by equi-join
+    (fraction of distinct windows on a real crawl — broadcastable when
+    small, plain hash join otherwise, never a cartesian). The covered-
+    position explode is ``ngram``x the duplicated windows only, and
+    the final anti-join + per-doc reassembly group on (doc, pos) /
+    doc — bounded by document length, no unbounded window functions.
+    Collisions: md5 over 128 bits, negligible at 10^12 windows (same
+    budget as ``line_dedup``).
+    """
+    n = ngram
+    base = df.select(F.col(id_col).alias("id"),
+                     tokens(text_col).alias("tk"))
+    grams = (base.where(F.size("tk") >= n)
+             .select("id", F.posexplode(F.transform(
+                 F.sequence(F.lit(1), F.size("tk") - n + 1),
+                 lambda i: F.concat_ws(" ", F.slice("tk", i, n))))
+                 .alias("p0", "gram"))
+             .select("id", (F.col("p0") + 1).alias("p"),
+                     F.md5("gram").alias("gh")))
+    dup = (grams.groupBy("gh")
+           .agg(F.countDistinct("id").alias("gdf"))
+           .where(F.col("gdf") > max_doc_freq).select("gh"))
+    cov = (grams.join(dup, "gh")
+           .select("id", F.explode(
+               F.sequence(F.col("p"), F.col("p") + n - 1)).alias("pos"))
+           .distinct())
+    tokpos = (base.select("id", F.posexplode("tk").alias("p0", "tok"))
+              .select("id", (F.col("p0") + 1).alias("pos"), "tok"))
+    kept = (tokpos.join(cov, ["id", "pos"], "left_anti")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_kept"),
+                 F.concat_ws(" ", F.array_sort(F.collect_list(
+                     F.struct("pos", "tok"))).tok).alias("text_kept")))
+    totals = base.select("id", F.size("tk").cast("long").alias("n_tokens"))
+    return (totals.join(kept, "id", "left")
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    (F.col("n_tokens") -
+                     F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+                    F.coalesce("text_kept", F.lit("")).alias("text_kept")))

@@ -1,0 +1,183 @@
+"""Link-graph layer: outlink extraction (golden-pinned), host edges,
+integer PageRank — plus the new curation ops (duplicated-span removal,
+hashed-linear quality gate) at unit level."""
+
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from historicaldatadocumentparsersystem_spark.extractor import linkx
+from historicaldatadocumentparsersystem_spark.fixtures import generate_rows
+from historicaldatadocumentparsersystem_spark.operators import (
+    linkgraph, qmodel, quality, webtext)
+
+GOLDEN_LINKS = "fixtures/golden_links_seed42_n300.parquet"
+
+
+# --- linkx oracle ------------------------------------------------------------
+
+def test_links_match_committed_golden():
+    """Pins linkx semantics the way test_golden pins extraction: the
+    committed parquet must equal a fresh pure-Python re-derivation."""
+    golden: dict[str, list] = {}
+    for r in pq.read_table(GOLDEN_LINKS).to_pylist():
+        golden.setdefault(r["url"], []).append(
+            (r["link_pos"], r["href"], r["anchor"]))
+    n_golden = sum(len(v) for v in golden.values())
+    n_fresh = 0
+    for row in generate_rows(300):
+        if not row["html"]:
+            assert row["url"] not in golden
+            continue
+        fresh = linkx.extract_links(row["html"], row["url"])
+        n_fresh += len(fresh)
+        assert golden.get(row["url"], []) == fresh, row["url"]
+    assert n_fresh == n_golden
+
+
+def test_linkx_skips_and_resolution():
+    src = ('<html><body>'
+           '<a href="/rel/path">Rel</a>'
+           '<a href="https://other.org/abs">Abs</a>'
+           '<a href="#frag">skip frag</a>'
+           '<a href="javascript:void(0)">skip js</a>'
+           '<a href="mailto:x@y.z">skip mail</a>'
+           '<a>no href</a>'
+           '<a href="  ">blank</a>'
+           '<div><a href="b.html"><b>nested</b> text</a></div>'
+           '</body></html>')
+    got = linkx.extract_links(src, "https://ex.com/dir/page.html")
+    assert got == [
+        (0, "https://ex.com/rel/path", "Rel"),
+        (1, "https://other.org/abs", "Abs"),
+        (2, "https://ex.com/dir/b.html", "nested text"),
+    ]
+
+
+def test_linkx_malformed_never_raises():
+    for junk in (b"", b"<a href=", b"\xff\xfe\x00garbage",
+                 b"<a href='x'>unclosed", b"<<<>>>&#;&bogus"):
+        assert isinstance(linkx.extract_links(junk, "http://h/"), list)
+
+
+# --- host edges + PageRank ---------------------------------------------------
+
+def _pure_pagerank(edges: set[tuple[str, str]], iters: int = 3):
+    """Pure-Python integer PageRank twin (same truncating arithmetic)."""
+    scale, d = linkgraph.PAGERANK_SCALE, linkgraph.DAMPING_PCT
+    hosts = sorted({h for e in edges for h in e})
+    n = len(hosts)
+    out = {h: 0 for h in hosts}
+    for s, _ in edges:
+        out[s] += 1
+    rank = {h: scale // n for h in hosts}
+    for _ in range(iters):
+        inc = {h: 0 for h in hosts}
+        for s, t in edges:
+            inc[t] += rank[s] // out[s]
+        rank = {h: (scale * (100 - d)) // (100 * n) + (d * inc[h]) // 100
+                for h in hosts}
+    return rank
+
+
+def test_pagerank_matches_pure_python(spark):
+    edges = {("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("d", "a"), ("d", "c")}
+    df = spark.createDataFrame(sorted(edges),
+                               "src_host string, dst_host string")
+    got = {r["host"]: r["rank_micro"]
+           for r in linkgraph.pagerank_hosts(df, iters=3).collect()}
+    assert got == _pure_pagerank(edges, 3)
+    # link authority ordering: c has 3 in-edges, d none
+    assert got["c"] > got["a"] > got["d"]
+
+
+def test_host_edges_from_real_extraction(spark):
+    """End-to-end chain on a hand-built cross-host mini-web."""
+    pages = [
+        ("https://a.com/1", '<a href="https://b.com/x">b</a>'
+                            '<a href="/local">self</a>'),
+        ("https://b.com/1", '<a href="https://c.com/y">c</a>'),
+        ("https://c.com/1", '<a href="https://a.com/z">a</a>'
+                            '<a href="https://b.com/w">b</a>'),
+    ]
+    docs = spark.createDataFrame(
+        [(u, bytearray(h.encode())) for u, h in pages],
+        "url string, html binary")
+    links = linkgraph.extract_links_df(docs)
+    edges = linkgraph.host_edges(links)
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in edges.collect()}
+    assert got == {("a.com", "b.com"): 1, ("a.com", "a.com"): 1,
+                   ("b.com", "c.com"): 1, ("c.com", "a.com"): 1,
+                   ("c.com", "b.com"): 1}
+
+
+# --- duplicated-span removal -------------------------------------------------
+
+def test_dup_span_removal_shared_passage(spark):
+    shared = " ".join(f"s{i}" for i in range(10))     # 10 shared tokens
+    doc1 = "alpha beta " + shared + " gamma delta"
+    doc2 = "uniq one two " + shared + " three"
+    doc3 = "totally different words here only once"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           webtext.duplicate_span_removal(df, ngram=8).collect()}
+    # every window inside the 10-token shared passage is duplicated ->
+    # all 10 positions covered in both docs; unique prefix/suffix kept
+    assert out[1]["text_kept"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["text_kept"] == "uniq one two three"
+    assert out[2]["n_removed"] == 10
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_kept"] == doc3
+
+
+def test_dup_span_removal_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "only seven tokens in this tiny doc"),
+         (2, "only seven tokens in this tiny doc")],
+        "doc_id long, text string")
+    out = webtext.duplicate_span_removal(df, ngram=8).collect()
+    assert all(r["n_removed"] == 0 for r in out)      # no 8-windows
+    assert all(r["text_kept"] == "only seven tokens in this tiny doc"
+               for r in out)
+
+
+# --- quality classifier ------------------------------------------------------
+
+def _py_score(text: str) -> int:
+    return sum(qmodel.W_MICRO[
+        int(hashlib.md5(t.lower().encode()).hexdigest()[:8], 16)
+        % qmodel.N_BUCKETS] for t in text.split())
+
+
+@pytest.mark.parametrize("text,want_keep", [
+    ("the data of the table and the index will be in the report "
+     "because people think about information and history", 1),
+    ("#$%& *+=~ ^|<> {}[] ()!? #$%& *+=~ ^|<> {}[] ()!?", 0),
+    ("", 0),
+])
+def test_quality_classifier_gate(spark, text, want_keep):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = quality.quality_classifier(df).collect()[0]
+    n = len(text.split())
+    assert row["n_tokens"] == n
+    assert row["score_micro"] == _py_score(text)
+    assert row["keep"] == want_keep
+    assert (row["score_micro"] > -qmodel.BIAS_MICRO * n) == bool(want_keep)
+
+
+def test_quality_classifier_plan_is_map_only(spark):
+    """The gate must stay a pure per-row projection: no Exchange, no
+    Python UDF — one whole-stage-codegen pass over the scan."""
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"))
+    plan = (quality.quality_classifier(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan
