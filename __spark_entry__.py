@@ -34,8 +34,9 @@ if _REPO not in os.environ.get("PYTHONPATH", ""):
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
-    asof, chunking, dedup, keywords, linkgraph, multimodal, quality,
-    records, rollup, routing, similarity, skew, spans, textstats, webtext)
+    asof, chunking, dedup, keywords, linkgraph, membership, multimodal,
+    quality, records, rollup, routing, similarity, skew, spans, textstats,
+    webtext)
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
 from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
 
@@ -307,7 +308,9 @@ def _pagerank_sql(iters: int) -> str:
           FROM documents dd
           JOIN h h1 ON dd.source = h1.source
           CROSS JOIN nn
-          JOIN h h2 ON h2.r = (h1.r + 1 + dd.doc_id % (nn.n - 1)) % nn.n
+          JOIN h h2 ON h2.r =
+            (h1.r + 1 + (dd.doc_id * 31) % (nn.n - 1)) % nn.n
+          WHERE dd.doc_id % 17 = 0
         ),
         hosts AS (SELECT src_host AS host FROM e
                   UNION SELECT dst_host FROM e),
@@ -534,6 +537,8 @@ _EXTRA_ORDER = [
     # oracle is the Spark-free tokenizer itself, asserted per-document
     # in tests/test_operators.py::test_bpe_token_stats_matches_pure_oracle
     "bpe_token_count", "chunk_token_budget_bpe",
+    # new post-cap ops: full DuckDB oracles, pytest-gated
+    "bigram_logppl", "bloom_url_membership",
 ]
 
 
@@ -813,8 +818,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
     # as chained CTEs; edges derive deterministically from the
-    # documents table (source hosts in a ring offset by doc_id) so the
-    # whole query is SQL-expressible; real crawls feed
+    # documents table (SPARSE ring: only doc_id % 17 == 0 docs emit an
+    # edge, offset by doc_id * 31, so in/out-degrees genuinely vary —
+    # a dense derivation yields the complete graph and uniform ranks)
+    # so the whole query is SQL-expressible; real crawls feed
     # host_edges(extract_links_df(...)) instead (pytest-covered)
     def q_pagerank(spark, sf_dir):
         from pyspark.sql import Window
@@ -824,10 +831,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      Window.orderBy("source")) - 1))
         n1 = hosts.agg(F.count("*").alias("__n"))
         edges = (docs.select("doc_id", "source")
+                 .where(F.col("doc_id") % 17 == 0)
                  .join(hosts, "source")
                  .crossJoin(F.broadcast(n1))
                  .select(F.col("source").alias("src_host"),
-                         ((F.col("r") + 1 + F.col("doc_id")
+                         ((F.col("r") + 1 + (F.col("doc_id") * 31)
                            % (F.col("__n") - 1)) % F.col("__n"))
                          .alias("dst_r"))
                  .join(hosts.select(F.col("source").alias("dst_host"),
@@ -841,6 +849,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_logppl(spark, sf_dir):
         return textstats.unigram_logppl(_t(spark, sf_dir, "documents"))
     q["unigram_logppl"] = q_logppl
+
+    # --- interpolated bigram LM cross-entropy (order-2 KenLM signal) —
+    # SQL-checked; same fixed-point pipeline, shuffle-joined bigram
+    # table (too big to broadcast at scale), broadcast unigrams
+    def q_bigram(spark, sf_dir):
+        return textstats.bigram_logppl(_t(spark, sf_dir, "documents"))
+    q["bigram_logppl"] = q_bigram
+
+    # --- portable Bloom filter (crawl-history URL seen-set) — SQL-
+    # checked bit-for-bit incl. false positives: filter built from the
+    # even-doc_id half, every url probed against it (no false
+    # negatives by construction; FPs are deterministic md5 math)
+    def q_bloom(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://"), F.col("source"),
+                            F.lit("/doc-"), F.col("doc_id")))
+        bloom = membership.bloom_build(
+            d.where(F.col("doc_id") % 2 == 0), "url",
+            m_bits=1 << 16, k=4)
+        return membership.bloom_might_contain(
+            d, bloom, "url", "doc_id", m_bits=1 << 16, k=4)
+    q["bloom_url_membership"] = q_bloom
 
     # --- per-language length quartiles — SQL-checked (integer inputs
     # make the interpolation exact in doubles on both engines)
@@ -1650,6 +1680,71 @@ def oracle_sql() -> dict[str, str]:
         # host PageRank: same derived ring edges, 3 iterations unrolled
         # as chained CTEs, all int64 floor division — bit-exact twin
         "host_pagerank": _pagerank_sql(3),
+        # portable Bloom filter: same md5 hash family / 63-bit words;
+        # bit_or build over the even half, 4-probe AND membership —
+        # bit-for-bit identical to Spark including false positives
+        "bloom_url_membership": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://' || source || '/doc-' || doc_id AS url
+              FROM documents
+            ), pb AS (
+              SELECT (cast('0x' || substr(md5('42:' || i || ':' || url), 1, 15) AS bigint) % 65536) AS pos
+              FROM d, unnest([0, 1, 2, 3]) AS u(i)
+              WHERE doc_id % 2 = 0
+            ), bloom AS (
+              SELECT pos // 63 AS word_idx,
+                     bit_or(1::bigint << (pos % 63)::int) AS bits
+              FROM pb GROUP BY word_idx
+            ), pq AS (
+              SELECT doc_id, (cast('0x' || substr(md5('42:' || i || ':' || url), 1, 15) AS bigint) % 65536) AS pos
+              FROM d, unnest([0, 1, 2, 3]) AS u(i)
+            ), j AS (
+              SELECT doc_id,
+                     CASE WHEN (coalesce(bits, 0)
+                                & (1::bigint << (pos % 63)::int))
+                          = (1::bigint << (pos % 63)::int)
+                     THEN 1 ELSE 0 END AS hit
+              FROM pq LEFT JOIN bloom ON pq.pos // 63 = bloom.word_idx
+            )
+            SELECT doc_id,
+                   (CASE WHEN sum(hit) = 4 THEN 1 ELSE 0 END)::bigint
+                     AS might_contain
+            FROM j GROUP BY doc_id""",
+        # interpolated bigram LM: p = 0.75*c12/c1 + 0.25*(c2+1)/(N+V),
+        # -ln p fixed-pointed to DECIMAL(20,9) before the sum (the
+        # unigram_logppl pipeline at order 2; 0.75 is binary-exact)
+        "bigram_logppl": f"""
+            WITH t AS (
+              SELECT doc_id, list_transform({tok}, x -> lower(x)) AS tk
+              FROM documents
+            ), uni AS (
+              SELECT term, count(*) AS c
+              FROM (SELECT unnest(tk) AS term FROM t) GROUP BY term
+            ), tot AS (
+              SELECT sum(c)::double AS n_tok, count(*)::double AS v
+              FROM uni
+            ), pairs AS (
+              SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
+              FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+              WHERE len(tk) >= 2
+            ), big AS (
+              SELECT t1, t2, count(*) AS c12 FROM pairs GROUP BY t1, t2
+            ), s AS (
+              SELECT doc_id,
+                     round(-ln(0.75e0 * c12 / u1.c
+                               + 0.25e0 * (u2.c + 1)
+                                 / (tot.n_tok + tot.v)),
+                           9)::decimal(20,9) AS nlp
+              FROM pairs
+              JOIN big USING (t1, t2)
+              JOIN uni u1 ON pairs.t1 = u1.term
+              JOIN uni u2 ON pairs.t2 = u2.term
+              CROSS JOIN tot
+            )
+            SELECT doc_id, count(*)::bigint AS n_bigrams,
+                   round(sum(nlp)::double / count(*), 6) AS log_ppl
+            FROM s GROUP BY doc_id""",
         # URL canonicalization over the shared VALUES fixture (RE2 \\1
         # backrefs; the Spark twin uses Java's $1 — same regexes)
         "url_normalize": r"""

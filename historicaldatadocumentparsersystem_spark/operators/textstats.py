@@ -358,3 +358,65 @@ def unigram_logppl(df: DataFrame, text_col: str = "text",
                  F.round(F.sum("nlp").cast("double") / F.count("*"), 6)
                  .alias("log_ppl"))
             .withColumnRenamed("id", id_col))
+
+
+def bigram_logppl(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document interpolated bigram cross-entropy (the KenLM-style
+    quality signal at order 2): mean over adjacent token pairs of
+    -ln p(w2 | w1) with
+        p(w2|w1) = 0.75 * c(w1,w2)/c(w1)
+                 + 0.25 * (c(w2)+1)/(N+V)      (Laplace unigram backoff)
+    trained on the corpus itself, like ``unigram_logppl``. High values
+    mark token sequences the corpus has never seen — a sharper
+    gibberish detector than unigram order (word salad from common
+    words scores high here, low there). 0.75 is binary-exact, so the
+    interpolation constant adds no cross-engine literal risk.
+
+    Documents with fewer than 2 tokens have no bigrams and are absent
+    from the output (documented; callers left-join if they need every
+    id). Determinism across engines: same fixed-point pipeline as
+    unigram_logppl — each pair's -ln p rounds to 9 places into
+    DECIMAL(20,9) before the (associative) sum; one double cast, one
+    IEEE divide, round to 6.
+
+    Scale: the bigram count table is O(distinct adjacent pairs) — too
+    big to broadcast at corpus scale, so pairs join it by SHUFFLE
+    equi-join on (t1, t2); the unigram table (|vocabulary|) and the
+    1-row totals ride in broadcast, exactly like unigram_logppl. No
+    windows, no collect; bigram derivation is an in-row array
+    transform (one explode, no self-join of token positions).
+    """
+    tk = tokens(text_col)
+    pairs = (df.select(F.col(id_col).alias("id"), tk.alias("tk"))
+             .where(F.size("tk") >= 2)
+             .select("id", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("tk") - 1),
+                 lambda i: F.struct(
+                     F.lower(F.element_at("tk", i)).alias("t1"),
+                     F.lower(F.element_at("tk", i + 1)).alias("t2"))))
+                 .alias("bg"))
+             .select("id", "bg.t1", "bg.t2"))
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(tk).alias("t"))
+           .select(F.lower("t").alias("term")))
+    uni = tok.groupBy("term").agg(F.count("*").alias("c"))
+    totals = uni.agg(F.sum("c").cast("double").alias("n_tok"),
+                     F.count("*").cast("double").alias("v"))
+    big = pairs.groupBy("t1", "t2").agg(F.count("*").alias("c12"))
+    p = (F.lit(0.75) * F.col("c12") / F.col("c1")
+         + F.lit(0.25) * (F.col("c2") + 1)
+         / (F.col("n_tok") + F.col("v")))
+    nlp = F.round(-F.log(p), 9).cast("decimal(20,9)")
+    scored = (pairs.join(big, ["t1", "t2"])
+              .join(F.broadcast(uni.select(F.col("term").alias("t1"),
+                                           F.col("c").alias("c1"))), "t1")
+              .join(F.broadcast(uni.select(F.col("term").alias("t2"),
+                                           F.col("c").alias("c2"))), "t2")
+              .crossJoin(F.broadcast(totals))
+              .select("id", nlp.alias("nlp")))
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum("nlp").cast("double") / F.count("*"), 6)
+                 .alias("log_ppl"))
+            .withColumnRenamed("id", id_col))

@@ -60,7 +60,7 @@ def test_segment_revenue_broadcasts_dimension(spark):
 
 def test_topk_is_single_shuffle(spark):
     import __spark_entry__ as entrymod
-    df = entrymod.queries()["events_topk"](spark, SF)
+    df = entrymod.extra_queries()["events_topk"](spark, SF)
     # one hash-partition exchange for the window, nothing else
     assert count_exchanges(df) == 1, physical_plan(df)
 
@@ -182,3 +182,35 @@ def test_line_dedup_no_cartesian(spark):
     plan = physical_plan(webtext.line_dedup(df))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dup_span_removal_no_nested_loop(spark):
+    """Span dedup must stay equi-join shaped end-to-end: the dup-hash
+    set joins back on gh, coverage anti-joins on (id, pos) — a nested-
+    loop or cartesian anywhere means the hashing bought nothing."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = physical_plan(webtext.duplicate_span_removal(docs))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_iteration_joins_are_hash_joins(spark):
+    """Each PageRank iteration is rank⋈edges + groupBy. The only
+    nested-loop allowed is the 1-row broadcast host-count crossJoin
+    (the lazy-N pattern shared with tfidf/unigram_logppl); every
+    KEYED join — rank-to-edges on src_host, incoming on host — must
+    be a hash join, and nothing may be a cartesian product."""
+    import re
+    from historicaldatadocumentparsersystem_spark.operators import linkgraph
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        "src_host string, dst_host string")
+    plan = physical_plan(linkgraph.pagerank_hosts(edges, iters=2))
+    assert "CartesianProduct" not in plan, plan
+    # keyed joins resolve to hash joins (either side/strategy is fine)
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                     plan), plan
+    # any BNLJ present must be a cross (1-row count), never a keyed join
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
+        assert m.group(2) in ("Cross", "Inner"), plan
