@@ -35,8 +35,8 @@ if _REPO not in os.environ.get("PYTHONPATH", ""):
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
     asof, chunking, dedup, keywords, linkgraph, membership, multimodal,
-    quality, records, rollup, routing, similarity, skew, spans, textstats,
-    webtext)
+    quality, records, rollup, routing, similarity, sketches, skew, spans,
+    textstats, webtext)
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
 from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
 
@@ -538,7 +538,7 @@ _EXTRA_ORDER = [
     # in tests/test_operators.py::test_bpe_token_stats_matches_pure_oracle
     "bpe_token_count", "chunk_token_budget_bpe",
     # new post-cap ops: full DuckDB oracles, pytest-gated
-    "bigram_logppl", "bloom_url_membership",
+    "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
 ]
 
 
@@ -871,6 +871,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return membership.bloom_might_contain(
             d, bloom, "url", "doc_id", m_bits=1 << 16, k=4)
     q["bloom_url_membership"] = q_bloom
+
+    # --- portable HyperLogLog distinct-url estimate — SQL-checked to
+    # the last bit: integer register math, one IEEE divide (or one ln
+    # on the linear-counting branch), round 6 — same op order both
+    # engines; the register table itself is the mergeable artifact
+    def q_hll(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://"), F.col("source"),
+                            F.lit("/doc-"), F.col("doc_id")))
+        return sketches.hll_distinct(d, "url", b=8)
+    q["hll_url_distinct"] = q_hll
 
     # --- per-language length quartiles — SQL-checked (integer inputs
     # make the interpolation exact in doubles on both engines)
@@ -1711,6 +1722,42 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN sum(hit) = 4 THEN 1 ELSE 0 END)::bigint
                      AS might_contain
             FROM j GROUP BY doc_id""",
+        # portable HyperLogLog: 60-bit md5 hash, top-8-bit bucket,
+        # integer 2^(W+1-M) indicator sum, one IEEE divide / ln + round
+        # — estimate matches Spark to the last bit
+        "hll_url_distinct": """
+            WITH d AS (
+              SELECT 'https://' || source || '/doc-' || doc_id AS url
+              FROM documents
+            ), r AS (
+              SELECT h // 4503599627370496 AS bucket,
+                     max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+                         ELSE 53
+                              - length(bin(h % 4503599627370496))
+                         END)::int AS max_rho
+              FROM (SELECT cast('0x' || substr(md5('42:' || url), 1, 15)
+                           AS bigint) AS h FROM d)
+              GROUP BY bucket
+            ), a AS (
+              SELECT count(*)::bigint AS used,
+                     sum(1::bigint << (53 - max_rho))::bigint
+                       AS s_used
+              FROM r
+            )
+            SELECT used AS n_registers_used,
+                   CASE WHEN (4.2399330249068963e+20
+                              / (s_used + (256 - used)
+                                 * 9007199254740992)::double)
+                             <= 640.0e0
+                         AND (256 - used) > 0
+                        THEN round(256.0e0
+                                   * ln(256.0e0 / (256 - used)::double),
+                                   6)
+                        ELSE round(4.2399330249068963e+20
+                                   / (s_used + (256 - used)
+                                      * 9007199254740992)::double, 6)
+                   END AS estimate
+            FROM a""",
         # interpolated bigram LM: p = 0.75*c12/c1 + 0.25*(c2+1)/(N+V),
         # -ln p fixed-pointed to DECIMAL(20,9) before the sum (the
         # unigram_logppl pipeline at order 2; 0.75 is binary-exact)

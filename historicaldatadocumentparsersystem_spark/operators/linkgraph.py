@@ -107,14 +107,17 @@ def pagerank_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
 
     Returns (host, rank_micro) with sum(rank) <= SCALE.
     """
+    # the three iteration-invariant tables are re-read every round;
+    # persist them so each iteration recomputes neither the distinct
+    # nor the degree aggregate (|hosts|-row tables — cheap to cache)
     e = (edges.select("src_host", "dst_host").distinct()
          .persist())
     hosts = (e.select(F.col("src_host").alias("host"))
              .union(e.select(F.col("dst_host").alias("host")))
-             .distinct())
+             .distinct().persist())
     n1 = hosts.agg(F.count("*").alias("__n_hosts"))
     out_deg = e.groupBy("src_host").agg(
-        F.count("*").cast("long").alias("out_deg"))
+        F.count("*").cast("long").alias("out_deg")).persist()
     base = F.expr(f"({PAGERANK_SCALE}::long * {100 - DAMPING_PCT}) "
                   f"div (100 * __n_hosts)")
     ranks = (hosts.crossJoin(F.broadcast(n1))
