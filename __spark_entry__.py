@@ -35,8 +35,8 @@ if _REPO not in os.environ.get("PYTHONPATH", ""):
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
     asof, chunking, dedup, keywords, linkgraph, membership, multimodal,
-    quality, records, rollup, routing, similarity, sketches, skew, spans,
-    textstats, webtext)
+    quality, records, robots, rollup, routing, similarity, sketches, skew,
+    spans, textstats, webtext)
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
 from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
 
@@ -441,6 +441,15 @@ def _media_dim_rows():
     ]
 
 
+# robots.txt rule fixture shared by the Spark query and its DuckDB twin
+# (hosts = documents.source values; exercises longest-prefix override,
+# whole-host disallow, equal-length allow-wins tie, and no-rule hosts)
+_ROBOTS_RULES = [
+    ("src0", "disallow", "/doc-1"), ("src0", "allow", "/doc-12"),
+    ("src3", "disallow", "/"),
+    ("src5", "disallow", "/doc-7"), ("src5", "allow", "/doc-7"),
+]
+
 # F10 magic-byte sniff fixture: one row per magic family + unknowns
 _MEDIA_SNIFF_ROWS = [
     ("j1", b"\xff\xd8\xff\xe0rest"), ("p1", b"\x89PNG\r\n\x1a\nrest"),
@@ -539,6 +548,7 @@ _EXTRA_ORDER = [
     "bpe_token_count", "chunk_token_budget_bpe",
     # new post-cap ops: full DuckDB oracles, pytest-gated
     "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
+    "robots_gate",
 ]
 
 
@@ -882,6 +892,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.lit("/doc-"), F.col("doc_id")))
         return sketches.hll_distinct(d, "url", b=8)
     q["hll_url_distinct"] = q_hll
+
+    # --- robots.txt compliance gate (RFC 9309 longest-prefix match) —
+    # SQL-checked; rule table from the shared VALUES fixture
+    def q_robots(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://"), F.col("source"),
+                            F.lit("/doc-"), F.col("doc_id")))
+        rules = spark.createDataFrame(
+            _ROBOTS_RULES, "host string, rule string, prefix string")
+        return robots.robots_filter(d, rules)
+    q["robots_gate"] = q_robots
 
     # --- per-language length quartiles — SQL-checked (integer inputs
     # make the interpolation exact in doubles on both engines)
@@ -1758,6 +1779,31 @@ def oracle_sql() -> dict[str, str]:
                                       * 9007199254740992)::double, 6)
                    END AS estimate
             FROM a""",
+        # robots gate: host equi-join + longest-prefix window, allow
+        # wins length ties (RFC 9309); unknown host / no match => allow
+        "robots_gate": """
+            WITH d AS (
+              SELECT 'https://' || source || '/doc-' || doc_id AS url,
+                     source AS host, '/doc-' || doc_id AS path
+              FROM documents
+            ), r(host, rule, prefix) AS (VALUES {rvals}),
+            m AS (
+              SELECT d.url, d.host, d.path, r.rule, r.prefix,
+                     (r.prefix IS NOT NULL
+                      AND starts_with(d.path, r.prefix)) AS hit
+              FROM d LEFT JOIN r ON d.host = r.host
+            )
+            SELECT url, host, path,
+                   (CASE WHEN hit AND rule = 'disallow' THEN 0
+                    ELSE 1 END)::bigint AS allowed
+            FROM m
+            QUALIFY row_number() OVER (
+              PARTITION BY url, path
+              ORDER BY CASE WHEN hit THEN length(prefix)
+                       ELSE -1 END DESC,
+                       CASE WHEN rule = 'allow' THEN 0 ELSE 1 END ASC)
+              = 1""".replace("{rvals}", ", ".join(
+            f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)),
         # interpolated bigram LM: p = 0.75*c12/c1 + 0.25*(c2+1)/(N+V),
         # -ln p fixed-pointed to DECIMAL(20,9) before the sum (the
         # unigram_logppl pipeline at order 2; 0.75 is binary-exact)

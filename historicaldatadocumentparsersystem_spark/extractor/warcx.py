@@ -1,0 +1,143 @@
+"""WARC (Web ARChive) container parsing — Spark-free, stdlib-only.
+
+Common Crawl ships its corpus as WARC files: concatenated records,
+each `WARC/1.0\\r\\n` + header lines + `\\r\\n\\r\\n` + Content-Length
+payload bytes + `\\r\\n\\r\\n`; response-record payloads are full HTTP
+responses (status line + headers + body). Production archives gzip
+each record as an independent member, so a whole-file gunzip that
+iterates members recovers the same byte stream.
+
+This parser feeds ``sources.read_warc_documents`` (binaryFile scan +
+Arrow batch over these functions), turning raw WARC shards into the
+engine's documents schema (url, warc_ts, html, ...) with no external
+dependency. Like the rest of ``extractor/``, it is the correctness
+oracle: malformed containers degrade to fewer records, never raise
+(the F5 contract).
+
+Reference analog: the reference loads web pages one URL at a time
+(its web loader fetches and parses a live page); WARC is how the
+same pages arrive at 10^12 scale, where fetching is a separate
+system and extraction consumes archived captures.
+"""
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenate all gzip members (per-record compression)."""
+    out = []
+    rest = data
+    while rest[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error:
+            break
+        rest = d.unused_data
+        if not rest:
+            break
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:       # [0] is the version line
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("latin-1").lower()] = \
+                v.strip().decode("latin-1")
+    return headers
+
+
+def _http_body(payload: bytes) -> tuple[int | None, bytes]:
+    """(status, body) from an HTTP response payload; non-HTTP payloads
+    come back unsplit with status None."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    head, sep, body = payload.partition(_CRLF2)
+    if not sep:
+        return None, payload
+    try:
+        status = int(head.split(b"\r\n", 1)[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    return status, body
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """All response records of one WARC shard, in order:
+    {url, warc_ts (datetime, UTC), status, body (bytes)}.
+
+    Truncated/corrupt trailing records are dropped (never raise);
+    non-response records (warcinfo, request, metadata) are skipped.
+    """
+    if data[:2] == _GZIP_MAGIC:
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF2, start)
+        if head_end < 0:
+            break
+        headers = _parse_headers(data[start:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = head_end + len(_CRLF2)
+        if body_start + length > n:
+            break                                   # truncated record
+        payload = data[body_start:body_start + length]
+        pos = body_start + length
+        if headers.get("warc-type") == "response":
+            ts = None
+            raw_ts = headers.get("warc-date", "")
+            try:
+                ts = datetime.strptime(
+                    raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+                    tzinfo=timezone.utc)
+            except ValueError:
+                pass
+            status, body = _http_body(payload)
+            records.append({
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": ts,
+                "status": status,
+                "body": body,
+            })
+    return records
+
+
+def build_warc(records: list[dict], gzip_records: bool = False) -> bytes:
+    """Serialize records (same dict shape parse_warc returns) into a
+    valid WARC shard — the test fixture generator and the exactness
+    witness: build_warc -> parse_warc round-trips byte-identically.
+    """
+    out = []
+    for r in records:
+        status = r.get("status", 200) or 200
+        body = r["body"]
+        payload = (b"HTTP/1.1 " + str(status).encode() +
+                   b" OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
+                b"WARC-Date: " + ts.encode() + b"\r\n"
+                b"Content-Length: " + str(len(payload)).encode() +
+                b"\r\n\r\n")
+        rec = head + payload + b"\r\n\r\n"
+        if gzip_records:
+            c = zlib.compressobj(wbits=31)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    return b"".join(out)

@@ -146,3 +146,40 @@ def read_docx_elements(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, DOCX_ELEMENTS_DDL))
+
+
+def read_warc_documents(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards -> the documents table (url, warc_ts, html, text,
+    lang): binaryFile scan (one row per shard) + Arrow batch over the
+    Spark-free ``extractor.warcx.parse_warc``; response bodies land in
+    ``html`` for the payload-sniffing extraction stage, ``text``/
+    ``lang`` stay null (no fallback, no crawl-provided language).
+
+    Scale: Common Crawl ships ~64k shards per crawl — per-FILE
+    parallelism is the archive's own unit of work, and shard bytes
+    stay inside the executor that scanned them (no shuffle between
+    scan and parse). Each task holds one shard in memory (~1 GB for
+    production CC; size executors or split shards accordingly).
+    Malformed/truncated shards degrade to fewer rows (F5 contract).
+    """
+    import pandas as pd
+
+    from ..extractor.warcx import parse_warc
+
+    def parse(batches):
+        for b in batches:
+            urls, tss, bodies = [], [], []
+            for blob in b["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    urls.append(rec["url"])
+                    tss.append(rec["warc_ts"])
+                    bodies.append(rec["body"])
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss, "html": bodies,
+                "text": pd.array([None] * len(urls), dtype=object),
+                "lang": pd.array([None] * len(urls), dtype=object)})
+
+    return (spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(parse, DOCUMENTS_DDL))
