@@ -548,7 +548,7 @@ _EXTRA_ORDER = [
     "bpe_token_count", "chunk_token_budget_bpe",
     # new post-cap ops: full DuckDB oracles, pytest-gated
     "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
-    "robots_gate",
+    "robots_gate", "anchor_text_terms",
 ]
 
 
@@ -903,6 +903,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ROBOTS_RULES, "host string, rule string, prefix string")
         return robots.robots_filter(d, rules)
     q["robots_gate"] = q_robots
+
+    # --- anchor-text aggregation per target host — SQL-checked over
+    # the committed golden links parquet on BOTH sides (link
+    # extraction==golden is proven by extract_links; this isolates the
+    # aggregation), same top-k tie rule as tfidf_top_terms
+    def q_anchor(spark, sf_dir):
+        links = spark.read.parquet(_GOLDEN_LINKS)
+        return linkgraph.anchor_text_terms(links, k=3)
+    q["anchor_text_terms"] = q_anchor
 
     # --- per-language length quartiles — SQL-checked (integer inputs
     # make the interpolation exact in doubles on both engines)
@@ -1804,6 +1813,26 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN rule = 'allow' THEN 0 ELSE 1 END ASC)
               = 1""".replace("{rvals}", ", ".join(
             f"('{h}', '{r}', '{p}')" for h, r, p in _ROBOTS_RULES)),
+        # anchor-text terms per dst host over the golden links table
+        "anchor_text_terms": f"""
+            WITH l AS (
+              SELECT lower(regexp_extract(href,
+                       '^[^:/?#]+://([^/?#:@]+)', 1)) AS target,
+                     anchor
+              FROM read_parquet('{_GOLDEN_LINKS}')
+            ), tok AS (
+              SELECT target, lower(t) AS term
+              FROM l, unnest(list_filter(regexp_split_to_array(
+                     trim(anchor), '\\s+'), x -> x != '')) AS u(t)
+              WHERE target != ''
+            ), c AS (
+              SELECT target, term, count(*) AS n
+              FROM tok GROUP BY target, term
+            )
+            SELECT target, term, n,
+                   row_number() OVER (PARTITION BY target
+                     ORDER BY n DESC, term ASC) AS rk
+            FROM c QUALIFY rk <= 3""",
         # interpolated bigram LM: p = 0.75*c12/c1 + 0.25*(c2+1)/(N+V),
         # -ln p fixed-pointed to DECIMAL(20,9) before the sum (the
         # unigram_logppl pipeline at order 2; 0.75 is binary-exact)

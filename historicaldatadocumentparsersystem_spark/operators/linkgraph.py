@@ -141,3 +141,32 @@ def pagerank_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
                              f" div 100")).alias("rank_micro")))
     return ranks.select("host", F.col("rank_micro").cast("long")
                         .alias("rank_micro"))
+
+
+def anchor_text_terms(links: DataFrame, k: int = 3,
+                      by_host: bool = True) -> DataFrame:
+    """Top-k anchor-text terms per link target — the classic IR signal
+    (anchor text describes the TARGET better than the target's own
+    page; search and quality pipelines aggregate it corpus-wide).
+
+    Targets are dst hosts (``by_host``) or exact hrefs. Ties break by
+    term ascending on equal counts so the DuckDB twin sorts identical
+    keys. Returns (target, term, n, rk).
+
+    Scale: one explode over anchor tokens -> one (target, term)
+    groupBy (map-side combinable) -> top-k window partitioned by
+    target (bounded: distinct terms pointing at one target; the
+    row_number cuts it to k). Same shape as tfidf_top_terms.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import tokens
+    target = (url_host("href") if by_host else F.col("href")).alias(
+        "target")
+    tok = (links.select(target, F.explode(tokens("anchor")).alias("t"))
+           .where(F.col("target") != "")
+           .select("target", F.lower("t").alias("term")))
+    counts = tok.groupBy("target", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k))
