@@ -181,3 +181,17 @@ def test_quality_classifier_plan_is_map_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# --- property test ------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None)
+def test_linkx_arbitrary_bytes_never_raise(data):
+    out = linkx.extract_links(data, "https://base.example/")
+    assert isinstance(out, list)
+    for pos, href, anchor in out:
+        assert isinstance(href, str) and isinstance(anchor, str)

@@ -75,3 +75,32 @@ def test_spark_warc_extraction_matches_direct(spark, tmp_path):
                 direct_docs, num_buckets=4).collect()}
     assert got == want
     assert len(got) == len(rows)
+
+
+# --- property tests ----------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_bodies = st.lists(
+    st.binary(max_size=300).map(
+        # adversarial: embed record markers inside bodies — the parser
+        # must honor Content-Length, never resync on the marker
+        lambda b: b + b"\r\n\r\nWARC/1.0\r\n" if len(b) % 3 == 0 else b),
+    min_size=1, max_size=8)
+
+
+@given(_bodies, st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_property(bodies, gz):
+    recs = [{"url": f"https://h{i}.com/p", "status": 200,
+             "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+             "body": b} for i, b in enumerate(bodies)]
+    got = warcx.parse_warc(warcx.build_warc(recs, gzip_records=gz))
+    assert [(g["url"], g["body"]) for g in got] == \
+        [(r["url"], r["body"]) for r in recs]
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None)
+def test_warc_parse_arbitrary_bytes_never_raises(data):
+    assert isinstance(warcx.parse_warc(data), list)
