@@ -548,7 +548,7 @@ _EXTRA_ORDER = [
     "bpe_token_count", "chunk_token_budget_bpe",
     # new post-cap ops: full DuckDB oracles, pytest-gated
     "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
-    "robots_gate", "anchor_text_terms",
+    "robots_gate", "anchor_text_terms", "decontaminate",
 ]
 
 
@@ -912,6 +912,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         links = spark.read.parquet(_GOLDEN_LINKS)
         return linkgraph.anchor_text_terms(links, k=3)
     q["anchor_text_terms"] = q_anchor
+
+    # --- benchmark decontamination (eval-set n-gram overlap) — SQL-
+    # checked; the "benchmark" derives deterministically from the
+    # corpus itself (first 12 tokens of every 37th doc) so both engines
+    # build the identical gram set and contamination is non-degenerate
+    def q_decontam(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        bench = (docs.where(F.col("doc_id") % 37 == 0)
+                 .select(F.concat_ws(" ", F.slice(
+                     F.filter(F.split(F.trim("text"), _TOKSPLIT),
+                              lambda t: t != ""), 1, 12)).alias("text")))
+        return webtext.decontaminate(docs, bench, ngram=8)
+    q["decontaminate"] = q_decontam
 
     # --- per-language length quartiles — SQL-checked (integer inputs
     # make the interpolation exact in doubles on both engines)
@@ -1833,6 +1846,41 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY target
                      ORDER BY n DESC, term ASC) AS rk
             FROM c QUALIFY rk <= 3""",
+        # decontamination: benchmark grams (from every 37th doc's first
+        # 12 tokens) semi-joined against every document's 8-gram set
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), bench AS (
+              SELECT array_to_string(list_slice(tk, 1, 12), ' ')
+                       AS btext
+              FROM toks WHERE doc_id % 37 = 0
+            ), btoks AS (
+              SELECT list_filter(regexp_split_to_array(trim(btext),
+                       '\\s+'), t -> t != '') AS tk
+              FROM bench
+            ), bgrams AS (
+              SELECT DISTINCT md5(array_to_string(
+                       list_slice(tk, i, i + 7), ' ')) AS gh
+              FROM btoks, unnest(generate_series(1, len(tk) - 7)) u(i)
+              WHERE len(tk) >= 8
+            ), dgrams AS (
+              SELECT doc_id, md5(array_to_string(
+                       list_slice(tk, i, i + 7), ' ')) AS gh
+              FROM toks, unnest(generate_series(1, len(tk) - 7)) u(i)
+              WHERE len(tk) >= 8
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM dgrams JOIN bgrams USING (gh) GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, greatest(len(tk) - 7, 0)::bigint AS n_grams
+              FROM toks
+            )
+            SELECT tot.doc_id, n_grams,
+                   coalesce(n_hits, 0)::bigint AS n_hits,
+                   (CASE WHEN coalesce(n_hits, 0) > 0 THEN 1
+                    ELSE 0 END)::bigint AS contaminated
+            FROM tot LEFT JOIN hits USING (doc_id)""",
         # interpolated bigram LM: p = 0.75*c12/c1 + 0.25*(c2+1)/(N+V),
         # -ln p fixed-pointed to DECIMAL(20,9) before the sum (the
         # unigram_logppl pipeline at order 2; 0.75 is binary-exact)

@@ -395,3 +395,55 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
                     (F.col("n_tokens") -
                      F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
                     F.coalesce("text_kept", F.lit("")).alias("text_kept")))
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text",
+                  ngram: int = 8) -> DataFrame:
+    """Flag training documents that overlap an evaluation benchmark
+    (the GPT-3-appendix / open-LM-eval decontamination step): a
+    document is contaminated when any of its ``ngram``-token windows
+    also occurs in any benchmark text.
+
+    Returns (doc_id, n_grams, n_hits, contaminated) — n_hits counts
+    overlapping windows (not distinct grams), so downstream can
+    threshold instead of hard-dropping.
+
+    Scale: benchmark suites are tiny next to the corpus — their gram
+    set broadcasts; the corpus side streams through one hashed-window
+    projection + broadcast semi-join + per-doc groupBy. Window hashes
+    are md5 (16-byte keys, same budget as line_dedup); the corpus is
+    never shuffled on text.
+    """
+    n = ngram
+
+    def grams(frame: DataFrame, idc, txt) -> DataFrame:
+        tk = tokens(txt)
+        return (frame.select(F.col(idc).alias("id"), tk.alias("tk"))
+                .where(F.size("tk") >= n)
+                .select("id", F.explode(F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - n + 1),
+                    lambda i: F.md5(F.concat_ws(
+                        " ", F.slice("tk", i, n))))).alias("gh")))
+
+    bench = (grams(benchmark.select(
+        F.lit(0).alias("__bid"), F.col(bench_text_col)), "__bid",
+        bench_text_col)
+        .select("gh").distinct())
+    doc_grams = grams(df, id_col, text_col)
+    hits = (doc_grams.join(F.broadcast(bench), "gh")
+            .groupBy("id").agg(F.count("*").alias("n_hits")))
+    totals = (df.select(F.col(id_col).alias("id"), tokens(text_col)
+                        .alias("tk"))
+              .select("id", F.greatest(F.size("tk") - n + 1, F.lit(0))
+                      .cast("long").alias("n_grams")))
+    return (totals.join(hits, "id", "left")
+            .select(F.col("id").alias(id_col), "n_grams",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.when(F.coalesce("n_hits", F.lit(0)) > 0, F.lit(1))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("contaminated")))

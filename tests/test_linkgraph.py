@@ -195,3 +195,23 @@ def test_linkx_arbitrary_bytes_never_raise(data):
     assert isinstance(out, list)
     for pos, href, anchor in out:
         assert isinstance(href, str) and isinstance(anchor, str)
+
+
+# --- decontamination ----------------------------------------------------------
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    passage = " ".join(f"b{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(1, "clean words that never appear in any benchmark at all ok"),
+         (2, "prefix tokens " + passage + " suffix"),
+         (3, passage),
+         (4, "short doc")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(passage,)], "text string")
+    got = {r["doc_id"]: r for r in
+           webtext.decontaminate(docs, bench, ngram=8).collect()}
+    assert got[1]["contaminated"] == 0 and got[1]["n_hits"] == 0
+    # 9-token passage -> 2 overlapping 8-gram windows
+    assert got[2]["contaminated"] == 1 and got[2]["n_hits"] == 2
+    assert got[3]["contaminated"] == 1 and got[3]["n_hits"] == 2
+    assert got[4]["contaminated"] == 0 and got[4]["n_grams"] == 0
