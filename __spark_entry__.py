@@ -404,6 +404,9 @@ _URL_ROWS = [
 # stratified-sample rates (shared Spark/oracle; absent stratum -> 0)
 _SAMPLE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25}
 
+# BM25 query terms (shared Spark/oracle)
+_BM25_TERMS = ("spark", "join", "window")
+
 # unicode-normalization fixture (deterministic VALUES both sides):
 # decomposed accents, NBSP, tabs/newlines, ideographic + narrow
 # spaces, line/paragraph separators, accented letters for folding
@@ -549,6 +552,8 @@ _EXTRA_ORDER = [
     # new post-cap ops: full DuckDB oracles, pytest-gated
     "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
     "robots_gate", "anchor_text_terms", "decontaminate",
+    "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
+    "domain_mixture_sample",
 ]
 
 
@@ -752,6 +757,52 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.line_dedup(_t(spark, sf_dir, "documents"),
                                   line_words=8, max_doc_freq=2)
     q["line_dedup"] = q_line_dedup
+
+    # --- per-HOST template stripping (site boilerplate) — SQL-checked;
+    # integer cross-multiply threshold keeps floats out of the hash.
+    # line_words=2: the synthetic corpus's 8-word segments are unique,
+    # so the template rule only fires at bigram-line granularity
+    def q_host_boiler(spark, sf_dir):
+        return webtext.host_boilerplate_strip(
+            _t(spark, sf_dir, "documents"), host_col="source",
+            line_words=2, pct=10, min_host_docs=2)
+    q["host_boilerplate"] = q_host_boiler
+
+    # --- crawl snapshot delta (incremental recrawl planner) —
+    # SQL-checked; old/new snapshots derived deterministically from
+    # the documents table on both sides
+    def q_crawl_delta(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://"), F.col("source"),
+                            F.lit("/doc-"), F.col("doc_id")))
+        old = docs.where(F.col("doc_id") % 7 != 0)
+        new = (docs.where(F.col("doc_id") % 5 != 0)
+               .withColumn("text", F.when(
+                   F.col("doc_id") % 3 == 0,
+                   F.concat(F.col("text"), F.lit(" updated")))
+                   .otherwise(F.col("text"))))
+        return webtext.crawl_delta(old, new)
+    q["crawl_delta"] = q_crawl_delta
+
+    # --- BM25 retrieval scores — SQL-checked (unigram_logppl-style
+    # decimal fixed-point sum)
+    def q_bm25(spark, sf_dir):
+        return webtext.bm25_scores(
+            _t(spark, sf_dir, "documents"), list(_BM25_TERMS))
+    q["bm25_scores"] = q_bm25
+
+    # --- positional inverted index (capped postings) — SQL-checked
+    def q_inv_index(spark, sf_dir):
+        return webtext.inverted_index(
+            _t(spark, sf_dir, "documents"), max_postings=50)
+    q["inverted_index"] = q_inv_index
+
+    # --- sqrt-temperature domain mixture sampling — SQL-checked
+    # (name-ordered Z fold, hash-unit membership)
+    def q_domain_mix(spark, sf_dir):
+        return webtext.domain_mixture_sample(
+            _t(spark, sf_dir, "documents"), target_frac=0.5)
+    q["domain_mixture_sample"] = q_domain_mix
 
     # --- URL canonicalization (web-corpus hygiene) — SQL-checked
     def q_url_norm(spark, sf_dir):
@@ -1666,6 +1717,140 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_kept, 0)::bigint AS n_kept,
                    coalesce(text_kept, '') AS text_kept
             FROM tot LEFT JOIN ka USING (doc_id)""",
+        # per-HOST template stripping: integer cross-multiply threshold
+        # (100*line_docs > pct*host_docs), string_agg ORDER BY pos ==
+        # Spark's array_sort struct fold
+        "host_boilerplate": f"""
+            WITH toks AS (
+              SELECT doc_id, source AS host, {tok} AS tk FROM documents
+            ), rawlines AS (
+              SELECT doc_id, host, (i - 1)::int AS pos,
+                     array_to_string(
+                       list_slice(tk, (i - 1) * 2 + 1, i * 2), ' ') AS line
+              FROM toks, unnest(generate_series(1,
+                     greatest((len(tk) + 1) // 2, 1))) AS u(i)
+            ), lines AS (
+              SELECT * FROM rawlines WHERE line != ''
+            ), hd AS (
+              SELECT source AS host, count(DISTINCT doc_id) AS host_docs
+              FROM documents GROUP BY 1
+            ), lf AS (
+              SELECT host, line, count(DISTINCT doc_id) AS line_docs
+              FROM lines GROUP BY 1, 2
+            ), tmpl AS (
+              SELECT host, line FROM lf JOIN hd USING (host)
+              WHERE 100 * line_docs > 10 * host_docs AND host_docs >= 2
+            ), kept AS (
+              SELECT l.* FROM lines l
+              WHERE NOT EXISTS (SELECT 1 FROM tmpl t
+                                WHERE t.host = l.host AND t.line = l.line)
+            ), ka AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, ' ' ORDER BY pos) AS text_kept
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, host, count(*) AS n_lines
+              FROM lines GROUP BY 1, 2
+            )
+            SELECT tot.doc_id, host, n_lines,
+                   coalesce(n_kept, 0)::bigint AS n_kept,
+                   coalesce(text_kept, '') AS text_kept
+            FROM tot LEFT JOIN ka USING (doc_id)""",
+        # crawl snapshot delta: full-outer join of (url, md5) projections;
+        # old/new derived from documents with the same arithmetic filters
+        "crawl_delta": """
+            WITH docs AS (
+              SELECT 'https://' || source || '/doc-' || doc_id AS url,
+                     doc_id, text
+              FROM documents
+            ), old AS (
+              SELECT url, md5(text) AS h_old FROM docs WHERE doc_id % 7 != 0
+            ), new AS (
+              SELECT url, md5(CASE WHEN doc_id % 3 = 0
+                                   THEN text || ' updated'
+                                   ELSE text END) AS h_new
+              FROM docs WHERE doc_id % 5 != 0
+            )
+            SELECT coalesce(old.url, new.url) AS url,
+                   CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'deleted'
+                        WHEN h_old = h_new THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   h_new AS content_hash
+            FROM old FULL OUTER JOIN new ON old.url = new.url""",
+        # BM25 (Lucene idf): per-(doc,term) score rounds into
+        # DECIMAL(20,9) before the associative sum — the unigram_logppl
+        # fixed-point pipeline; all float literals exponent-forced DOUBLE
+        "bm25_scores": f"""
+            WITH base AS (
+              SELECT doc_id, len({tok})::double AS dl,
+                     list_transform({tok}, t -> lower(t)) AS tk
+              FROM documents
+            ), corpus AS (
+              SELECT count(*)::double AS n_docs, sum(dl) AS sum_dl
+              FROM base
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*)::double AS tf
+              FROM base, unnest(tk) AS u(term)
+              WHERE term IN {repr(tuple(_BM25_TERMS))}
+              GROUP BY 1, 2, 3
+            ), dfreq AS (
+              SELECT term, count(*)::double AS df_t FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT doc_id,
+                     round(
+                       ln((n_docs - df_t + {_flit(0.5)})
+                          / (df_t + {_flit(0.5)}) + 1)
+                       * (tf * {_flit(1.2 + 1)})
+                       / (tf + {_flit(1.2)} * ({_flit(1 - 0.75)}
+                          + {_flit(0.75)} * dl / (sum_dl / n_docs))),
+                       9)::decimal(20,9) AS s
+              FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+            )
+            SELECT doc_id, count(*)::bigint AS n_terms,
+                   round(sum(s)::double, 6) AS bm25
+            FROM scored GROUP BY doc_id""",
+        # sqrt-temperature domain mixture: Z folds sqrt(n_d) in domain-
+        # name order (list_reduce seedless == 0.0-seeded F.aggregate:
+        # 0.0 + x is exact); membership = the portable md5 unit hash
+        "domain_mixture_sample": f"""
+            WITH counts AS (
+              SELECT source AS domain, count(*) AS n_d
+              FROM documents GROUP BY 1
+            ), ztab AS (
+              SELECT list_reduce(list_transform(
+                       list(n_d ORDER BY domain), x -> sqrt(x::double)),
+                       (a, b) -> a + b) AS z,
+                     sum(n_d)::bigint AS n_total
+              FROM counts
+            ), rates AS (
+              SELECT domain,
+                     least(1e0, {_flit(0.5)} * n_total
+                           * (sqrt(n_d::double) / z) / n_d) AS rate
+              FROM counts CROSS JOIN ztab
+            )
+            SELECT doc_id, domain
+            FROM (SELECT doc_id, source AS domain FROM documents) d
+            JOIN rates USING (domain)
+            WHERE (cast('0x' || substr(md5('42:' || doc_id), 1, 8)
+                        AS bigint) / 4294967296.0e0) < rate""",
+        # positional inverted index: df/total exact, postings capped to
+        # 50 by (doc, pos) — DuckDB's list(... ORDER BY) slice == Spark's
+        # array_sort(collect_list(struct)) slice (keys are unique)
+        "inverted_index": f"""
+            WITH toks AS (
+              SELECT doc_id, {tok} AS tk FROM documents
+            ), pos_tok AS (
+              SELECT doc_id AS doc, i AS pos, lower(tk[i]) AS term
+              FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+            )
+            SELECT term, count(DISTINCT doc)::bigint AS df_t,
+                   count(*)::bigint AS n_total,
+                   least(count(*), 50)::bigint AS n_postings,
+                   array_to_string(list_slice(
+                     list(doc || ':' || pos ORDER BY doc, pos),
+                     1, 50), ',') AS postings
+            FROM pos_tok GROUP BY term""",
         # duplicated-substring removal: hashed 8-token windows with
         # corpus doc_freq > 1 mark their positions; kept tokens rebuild
         # the text byte-exactly (string_agg ORDER BY pos == Spark's

@@ -397,6 +397,266 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
                     F.coalesce("text_kept", F.lit("")).alias("text_kept")))
 
 
+# --- per-host template (boilerplate) stripping --------------------------------
+
+def host_boilerplate_strip(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           host_col: str = "source",
+                           line_words: int = 8, pct: int = 50,
+                           min_host_docs: int = 2) -> DataFrame:
+    """Remove per-HOST template lines: a line is boilerplate within a
+    host when it appears in more than ``pct`` percent of that host's
+    documents (and the host has >= ``min_host_docs`` docs). This is the
+    site-template variant of :func:`line_dedup` — nav bars and footers
+    repeat WITHIN a site even when they are globally rare, which the
+    absolute-doc-freq rule misses on small hosts.
+
+    The threshold is the integer cross-multiply
+    ``100 * line_docs > pct * host_docs`` (no float ratios -> the
+    DuckDB twin is hash-exact by construction).
+
+    Returns (doc_id, host, n_lines, n_kept, text_kept); text_kept is
+    the per-document residual in reading order ('' when every line is
+    template).
+
+    Scale: line frequencies shuffle on (host, md5(line)) — 16-byte-key,
+    map-side combinable, and the composite key spreads one hot host's
+    lines across partitions; per-host doc counts are |hosts| rows
+    (broadcast); the removal join is an equi-join on (host, lh), never
+    a cartesian. Same shape as line_dedup with host prepended to every
+    key.
+    """
+    # stage the token split as a real column: referenced twice below,
+    # and CollapseProject keeps multi-use non-cheap aliases materialized
+    # (the lang_id_trigram lesson) instead of re-running the regex split
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.col(host_col).alias("host"),
+                       tokens(text_col).alias("__tk"))
+    tk = F.col("__tk")
+    lines = (staged.select("id", "host",
+                           F.posexplode(F.transform(
+                               F.sequence(F.lit(1), F.greatest(
+                                   ((F.size(tk) + line_words - 1)
+                                    / line_words).cast("int"), F.lit(1))),
+                               lambda i: F.concat_ws(" ", F.slice(
+                                   tk, (i - 1) * line_words + 1,
+                                   line_words))))
+                           .alias("pos", "line"))
+             .where(F.col("line") != "")
+             .withColumn("lh", F.md5("line")))
+    host_docs = (df.groupBy(F.col(host_col).alias("host"))
+                 .agg(F.countDistinct(id_col).alias("host_docs")))
+    linefreq = (lines.groupBy("host", "lh")
+                .agg(F.countDistinct("id").alias("line_docs")))
+    template = (linefreq.join(F.broadcast(host_docs), "host")
+                .where((100 * F.col("line_docs") > pct * F.col("host_docs"))
+                       & (F.col("host_docs") >= min_host_docs))
+                .select("host", "lh"))
+    kept = lines.join(template, ["host", "lh"], "left_anti")
+    kept_agg = (kept.groupBy("id")
+                .agg(F.count("*").alias("n_kept"),
+                     F.concat_ws(" ", F.array_sort(F.collect_list(
+                         F.struct("pos", "line"))).line).alias("text_kept")))
+    totals = (lines.groupBy("id", "host")
+              .agg(F.count("*").alias("n_lines")))
+    return (totals.join(kept_agg, "id", "left")
+            .select(F.col("id").alias("doc_id"), "host", "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_kept", F.lit("")).alias("text_kept")))
+
+
+# --- crawl snapshot delta ------------------------------------------------------
+
+def crawl_delta(old: DataFrame, new: DataFrame, url_col: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Classify every URL across two crawl snapshots as added /
+    deleted / changed / unchanged (the incremental-recrawl planner:
+    only 'added' + 'changed' pages re-enter extraction).
+
+    Content identity is md5 of the text — the full-outer join carries
+    16-byte hashes, never page bodies.
+
+    Returns (url, status, content_hash) where content_hash is the NEW
+    snapshot's hash (NULL for deleted urls).
+
+    Scale: ONE full-outer equi-join on url between two narrow
+    (url, hash) projections. At 100 TB both snapshots are written
+    bucketed by url (the ingest table's layout — see
+    ``catalog.write_extracted``), so the join is a shuffle-free
+    per-bucket zipper; unbucketed it is a single sort-merge shuffle on
+    uniformly-distributed url keys, no skew amplification.
+    """
+    o = old.select(F.col(url_col).alias("url"),
+                   F.md5(text_col).alias("h_old"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.md5(text_col).alias("h_new"))
+    j = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("h_old").isNull(), F.lit("added"))
+              .when(F.col("h_new").isNull(), F.lit("deleted"))
+              .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("url", status.alias("status"),
+                    F.col("h_new").alias("content_hash"))
+
+
+# --- BM25 retrieval scoring ----------------------------------------------------
+
+def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones) document scores for a bag-of-words
+    query — the retrieval scorer a crawl-curation pipeline uses to mine
+    topic-relevant documents (e.g. OpenWebMath-style targeted subsets)
+    without embeddings:
+
+        score(d) = sum_t idf(t) * tf * (k1+1)
+                            / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   (Lucene form)
+
+    Only documents matching >= 1 query term appear. Determinism across
+    engines: the per-(doc, term) score is rounded to 9 places into
+    DECIMAL(20,9) BEFORE the per-doc sum (associative — groupBy merge
+    order cannot change the result), then one double cast + round(6) —
+    the ``unigram_logppl`` fixed-point pipeline. ``b`` = 0.75 is
+    binary-exact; k1 rides as the same nearest-double in both engines.
+
+    Returns (doc_id, n_terms, bm25).
+
+    Scale: tf is one (id, term) groupBy pre-filtered to the query's
+    terms (a tiny IN-set pushed to the scan side of the explode);
+    df_t/N/avgdl are |terms|-row and 1-row aggregates broadcast to the
+    scored stream; no window, no collect, no join wider than the
+    query-term set.
+    """
+    staged = df.select(F.col(id_col).alias("id"),
+                       tokens(text_col).alias("__tk"))
+    base = staged.select(
+        "id", F.size("__tk").cast("double").alias("dl"),
+        F.transform("__tk", lambda t: F.lower(t)).alias("tk"))
+    corpus = base.agg(F.count("*").cast("double").alias("n_docs"),
+                      F.sum("dl").alias("sum_dl"))
+    tf = (base.select("id", "dl", F.explode("tk").alias("term"))
+          .where(F.col("term").isin(*[t.lower() for t in terms]))
+          .groupBy("id", "dl", "term")
+          .agg(F.count("*").cast("double").alias("tf")))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df_t"))
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5) + 1)
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    part = F.round(
+        idf * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        9).cast("decimal(20,9)")
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(corpus))
+              .select("id", part.alias("s")))
+    return (scored.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_terms"),
+                 F.round(F.sum("s").cast("double"), 6).alias("bm25"))
+            .withColumnRenamed("id", "doc_id"))
+
+
+# --- temperature-flattened domain mixture sampling -----------------------------
+
+def domain_mixture_sample(df: DataFrame, domain_col: str = "source",
+                          id_col: str = "doc_id",
+                          target_frac: float = 0.5,
+                          seed: int = 42) -> DataFrame:
+    """Domain-mixture sampling with square-root temperature flattening
+    (the GPT-3/PaLM data-mixing step): resample the corpus to
+    ``target_frac`` of its size with each domain's share proportional
+    to sqrt(n_d) instead of n_d — head domains are down-weighted,
+    tail domains up-weighted, and a domain whose flattened quota
+    exceeds its size is simply kept whole (rate capped at 1; the cap
+    means the realized total can undershoot target_frac, which is the
+    standard behavior — epochs-per-domain > 1 is a training-loop
+    concern, not a sampling one).
+
+        rate_d = min(1, target_frac * N * (sqrt(n_d)/Z) / n_d),
+        Z = sum_d sqrt(n_d)
+
+    Z folds over domains in NAME order (array_sort + F.aggregate ==
+    DuckDB list(ORDER BY) + list_reduce, IEEE-identical), so the only
+    order-sensitive float sum is deterministic in both engines.
+    Membership is the hash-unit filter (md5-derived, partitioning-
+    independent — same mechanism as :func:`stratified_sample`).
+
+    Returns the sampled (doc_id, domain) rows.
+
+    Scale: per-domain counts are one map-side-combinable groupBy; the
+    rate table is |domains| rows, broadcast; the Z fold happens on a
+    1-row aggregate. The corpus itself is touched by exactly one
+    broadcast equi-join + filter — no shuffle of document rows.
+    """
+    from ..functions import hash_unit
+    counts = (df.groupBy(F.col(domain_col).alias("domain"))
+              .agg(F.count("*").alias("n_d")))
+    ztab = (counts.agg(F.array_sort(F.collect_list(
+        F.struct("domain", "n_d"))).alias("ds"))
+        .select(F.aggregate(F.col("ds"), F.lit(0.0),
+                            lambda acc, s: acc + F.sqrt(s["n_d"]))
+                .alias("z"),
+                F.aggregate(F.col("ds"), F.lit(0).cast("long"),
+                            lambda acc, s: acc + s["n_d"])
+                .alias("n_total")))
+    rates = (counts.crossJoin(F.broadcast(ztab))
+             .select("domain", F.least(
+                 F.lit(1.0),
+                 target_frac * F.col("n_total")
+                 * (F.sqrt("n_d") / F.col("z")) / F.col("n_d"))
+                 .alias("rate")))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(domain_col).alias("domain"))
+            .join(F.broadcast(rates), "domain")
+            .where(hash_unit("doc_id", seed=seed) < F.col("rate"))
+            .select("doc_id", "domain"))
+
+
+# --- inverted index construction ----------------------------------------------
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_postings: int = 50) -> DataFrame:
+    """Build a positional inverted index: one row per term with its
+    document frequency, total occurrence count, and the first
+    ``max_postings`` postings (by (doc, position)) encoded as a
+    ``doc:pos`` CSV string — the batch index-construction job behind
+    any BM25/phrase-query serving layer.
+
+    The posting CAP is the hot-term guard: stop-words occur in nearly
+    every document, and an uncapped collect_list would build one
+    multi-GB row per stop term at corpus scale. ``df_t`` / ``n_total``
+    stay exact (they aggregate before the cap); only the materialized
+    posting sample is bounded. Overflow is visible as
+    ``n_total > n_postings``.
+
+    Returns (term, df_t, n_total, n_postings, postings).
+
+    Scale: explode -> ONE groupBy on term (map-side combinable for the
+    counts); the per-term sort+slice touches at most the collected
+    postings of one term per task. At 100 TB the posting lists
+    themselves would stream to a term-bucketed sink instead of a
+    capped sample (same plan minus the slice) — the cap is what makes
+    the single-row-per-term shape safe.
+    """
+    pos_tok = (df.select(F.col(id_col).alias("doc"),
+                         F.posexplode(tokens(text_col)).alias("p0", "t"))
+               .select("doc", (F.col("p0") + 1).alias("pos"),
+                       F.lower("t").alias("term")))
+    return (pos_tok.groupBy("term")
+            .agg(F.countDistinct("doc").alias("df_t"),
+                 F.count("*").alias("n_total"),
+                 F.slice(F.array_sort(F.collect_list(
+                     F.struct("doc", "pos"))), 1, max_postings)
+                 .alias("__p"))
+            .select("term", "df_t", "n_total",
+                    F.size("__p").cast("long").alias("n_postings"),
+                    F.concat_ws(",", F.transform(
+                        "__p", lambda s: F.concat_ws(
+                            ":", s["doc"], s["pos"]))).alias("postings")))
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 def decontaminate(df: DataFrame, benchmark: DataFrame,

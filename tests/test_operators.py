@@ -437,6 +437,90 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out[9]["n_kept"] == 1 and out[9]["text_kept"].startswith("solo")
 
 
+def test_host_boilerplate_strip_is_per_host(spark):
+    """The SAME line is stripped on the host where it exceeds pct of
+    docs and kept on the host where it does not — the per-host rule
+    global line_dedup cannot express (globally the line is in 5 docs)."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    tmpl = "n1 n2 n3 n4 n5 n6 n7 n8"
+    rows = ([(i, "hostA", tmpl + f" a{i}x a{i}y") for i in range(4)]
+            + [(10, "hostB", tmpl + " b0x b0y"),
+               (11, "hostB", "other words here b1x b1y quite different")])
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {r["doc_id"]: r for r in webtext.host_boilerplate_strip(
+        df, pct=50, min_host_docs=2).collect()}
+    for i in range(4):           # hostA: 4/4 docs > 50% -> stripped
+        assert out[i]["n_lines"] == 2 and out[i]["n_kept"] == 1
+        assert out[i]["text_kept"] == f"a{i}x a{i}y"
+    # hostB: 1/2 docs = 50%, not > 50% -> the identical line survives
+    assert out[10]["n_kept"] == 2 and tmpl in out[10]["text_kept"]
+    assert out[11]["n_kept"] == 1
+
+
+def test_crawl_delta_statuses(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, text string")
+    rows = webtext.crawl_delta(old, new).collect()
+    out = {r["url"]: r["status"] for r in rows}
+    assert out == {"u1": "unchanged", "u2": "changed",
+                   "u3": "deleted", "u4": "added"}
+    hashes = {r["url"]: r["content_hash"] for r in rows}
+    assert hashes["u3"] is None and hashes["u4"] is not None
+
+
+def test_bm25_scores_rank_and_coverage(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = [(1, "spark spark spark join"),
+            (2, "spark alone here today"),
+            (3, "nothing relevant at all"),
+            (4, "join window join window spark")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in webtext.bm25_scores(
+        df, ["spark", "join", "window"]).collect()}
+    assert set(out) == {1, 2, 4}          # non-matching doc absent
+    assert out[4]["n_terms"] == 3 and out[1]["n_terms"] == 2
+    assert out[4]["bm25"] > out[2]["bm25"] > 0
+
+
+def test_domain_mixture_flattens_head_domain(spark):
+    """900/100 skew at target 0.5: sqrt shares are 0.75/0.25, so the
+    tail domain's quota (0.5*1000*0.25 = 125 > 100) caps at rate 1
+    (kept whole) while the head samples at ~0.417."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = ([(i, "big") for i in range(900)]
+            + [(i, "small") for i in range(900, 1000)])
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = webtext.domain_mixture_sample(df, target_frac=0.5).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], set()).add(r["doc_id"])
+    assert len(by_dom["small"]) == 100          # rate capped at 1
+    frac_big = len(by_dom["big"]) / 900
+    assert 0.33 < frac_big < 0.50               # ~0.417 expected
+    # determinism: same input -> identical sample set
+    again = {r["doc_id"] for r in webtext.domain_mixture_sample(
+        df, target_frac=0.5).collect()}
+    assert again == by_dom["big"] | by_dom["small"]
+
+
+def test_inverted_index_caps_postings(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "Alpha only")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["term"]: r for r in webtext.inverted_index(
+        df, max_postings=2).collect()}
+    a = out["alpha"]
+    assert (a["df_t"], a["n_total"]) == (2, 3)     # exact despite the cap
+    assert a["n_postings"] == 2 and a["postings"] == "1:1,1:3"
+    assert out["gamma"]["postings"] == "2:2"
+    assert out["only"]["df_t"] == 1                # lowercased 'Alpha' merged
+
+
 def test_gopher_rules_branches(spark):
     """Every Gopher rule fires on a purpose-built doc; the good doc
     passes all seven. Thresholds are integer cross-multiplied, so the

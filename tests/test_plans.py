@@ -214,3 +214,47 @@ def test_pagerank_iteration_joins_are_hash_joins(spark):
     # any BNLJ present must be a cross (1-row count), never a keyed join
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
         assert m.group(2) in ("Cross", "Inner"), plan
+
+
+def test_host_boilerplate_joins_are_keyed(spark):
+    """Per-host template removal must stay equi-join shaped on
+    (host, lh): composite-key frequency join + anti-join — a nested
+    loop anywhere means a hot host degenerates to all-pairs."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = physical_plan(webtext.host_boilerplate_strip(
+        docs, host_col="source", line_words=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_crawl_delta_is_one_keyed_join(spark):
+    """Snapshot delta = ONE full-outer equi-join on url between two
+    narrow hash projections; page text must never reach the join."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    docs = spark.read.parquet(SF + "/documents.parquet").withColumn(
+        "url", F.concat(F.lit("u"), F.col("doc_id")))
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    plan = physical_plan(webtext.crawl_delta(old, docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import re
+    assert len(re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|"
+                          r"BroadcastHashJoin)", plan, re.M)) == 1, plan
+
+
+def test_bm25_broadcasts_stats_sides(spark):
+    """BM25's df table and 1-row corpus stats ride in as broadcasts;
+    the only BNLJ allowed is the 1-row stats crossJoin (the lazy-N
+    pattern shared with tfidf/unigram_logppl); the term join must be
+    a hash join and nothing may be a cartesian."""
+    import re
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = physical_plan(webtext.bm25_scores(
+        docs, ["spark", "join", "window"]))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
+        assert m.group(2) in ("Cross", "Inner"), plan
+
