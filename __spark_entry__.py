@@ -111,6 +111,55 @@ def _near_dup_oracle() -> str:
             WHERE round({_cos_sql('a.e', 'b.e')}, 6) >= 0.35"""
 
 
+# k-means / SemDeDup config (query + oracle share these)
+_KMEANS_K, _KMEANS_ITER, _KMEANS_DIM = 8, 2, 64
+_SEMDEDUP_THR = 0.35
+
+
+def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
+    """DuckDB twin of clustering.kmeans_assign as an unrolled CTE
+    chain ending in ``fin(vec_id, cid, dist)``: c0 = first-k-by-id
+    init, each iteration = argmin assignment (row_number ORDER BY
+    dist, cid == Spark's array_min + first array_position) + the
+    DECIMAL(20,9) fixed-point per-dimension mean (identical 9-dp
+    double both engines); empty clusters keep the previous centroid."""
+    d = (f"list_reduce(list_transform(generate_series(1, {dim}), "
+         "i -> (m.e[i] - c.c[i]) * (m.e[i] - c.c[i])), "
+         "(x, y) -> x + y)")
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> x::double)"
+        " AS e FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f" e AS c FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""a{t} AS (
+              SELECT vec_id, cid FROM (
+                SELECT m.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY m.vec_id
+                                          ORDER BY {d}, c.cid) AS rk
+                FROM emb m CROSS JOIN c{t - 1} c) WHERE rk = 1)""")
+        parts.append(f"""s{t} AS (
+              SELECT a.cid, u.i,
+                     round(sum(round(m.e[u.i], 9)::decimal(20,9))::double
+                           / count(*), 9)::decimal(20,9)::double AS mm
+              FROM a{t} a JOIN emb m USING (vec_id),
+                   unnest(generate_series(1, {dim})) AS u(i)
+              GROUP BY a.cid, u.i)""")
+        parts.append(f"""c{t} AS (
+              SELECT cid, list(mm ORDER BY i) AS c FROM s{t} GROUP BY cid
+              UNION ALL
+              SELECT cid, c FROM c{t - 1}
+              WHERE cid NOT IN (SELECT cid FROM s{t}))""")
+    parts.append(f"""fin AS (
+              SELECT vec_id, cid, dist FROM (
+                SELECT m.vec_id, c.cid, {d} AS dist,
+                       row_number() OVER (PARTITION BY m.vec_id
+                                          ORDER BY {d}, c.cid) AS rk
+                FROM emb m CROSS JOIN c{n_iter} c) WHERE rk = 1)""")
+    return "WITH " + ",\n            ".join(parts)
+
+
 def _picture_filter_oracle() -> str:
     """DuckDB twin of multimodal.filter_allowed_classes over the same
     fixture, exploded to (media_id, name, conf) rows: the Spark fold's
@@ -553,7 +602,7 @@ _EXTRA_ORDER = [
     "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
     "robots_gate", "anchor_text_terms", "decontaminate",
     "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
-    "domain_mixture_sample",
+    "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
 ]
 
 
@@ -803,6 +852,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.domain_mixture_sample(
             _t(spark, sf_dir, "documents"), target_frac=0.5)
     q["domain_mixture_sample"] = q_domain_mix
+
+    # --- deterministic Lloyd k-means over embeddings — SQL-checked
+    # (unrolled-CTE twin; decimal fixed-point centroid means)
+    def q_kmeans(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import clustering
+        return clustering.kmeans_assign(
+            _t(spark, sf_dir, "embeddings"),
+            k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    q["kmeans_clusters"] = q_kmeans
+
+    # --- SemDeDup: within-cluster cosine near-dup removal — SQL-checked
+    def q_semdedup(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import clustering
+        return clustering.semantic_dedup(
+            _t(spark, sf_dir, "embeddings"),
+            k=_KMEANS_K, n_iter=_KMEANS_ITER, threshold=_SEMDEDUP_THR)
+    q["semantic_dedup"] = q_semdedup
 
     # --- URL canonicalization (web-corpus hygiene) — SQL-checked
     def q_url_norm(spark, sf_dir):
@@ -1851,6 +1917,29 @@ def oracle_sql() -> dict[str, str]:
                      list(doc || ':' || pos ORDER BY doc, pos),
                      1, 50), ',') AS postings
             FROM pos_tok GROUP BY term""",
+        # Lloyd k-means: unrolled-CTE iteration twin (_kmeans_ctes);
+        # assignment tie-break ORDER BY dist, cid == array_min + first
+        # array_position; centroid means fixed-pointed to decimal(20,9)
+        "kmeans_clusters": f"""
+            {_kmeans_ctes(_KMEANS_K, _KMEANS_ITER, _KMEANS_DIM)}
+            SELECT vec_id, cid AS cluster,
+                   round(sqrt(dist), 6) AS l2_dist
+            FROM fin""",
+        # SemDeDup: same kmeans chain; a vector is dropped when a
+        # lower-id member of its cluster has rounded cosine >= thr
+        "semantic_dedup": f"""
+            {_kmeans_ctes(_KMEANS_K, _KMEANS_ITER, _KMEANS_DIM)},
+            dup AS (
+              SELECT DISTINCT b.vec_id
+              FROM fin a JOIN fin b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              JOIN emb ea ON ea.vec_id = a.vec_id
+              JOIN emb eb ON eb.vec_id = b.vec_id
+              WHERE round({_cos_sql('ea.e', 'eb.e')}, 6)
+                    >= {_flit(_SEMDEDUP_THR)})
+            SELECT f.vec_id, f.cid AS cluster,
+                   (d.vec_id IS NULL) AS kept
+            FROM fin f LEFT JOIN dup d USING (vec_id)""",
         # duplicated-substring removal: hashed 8-token windows with
         # corpus doc_freq > 1 mark their positions; kept tokens rebuild
         # the text byte-exactly (string_agg ORDER BY pos == Spark's

@@ -727,3 +727,53 @@ def test_connected_components_long_chain_converges(spark):
     cc = dedup.connected_components(pairs)
     comps = {r["component"] for r in cc.collect()}
     assert comps == {0} and cc.count() == n + 1
+
+
+def test_kmeans_separates_obvious_groups(spark):
+    """Two well-separated point clouds in 2-D, k=2: iteration must pull
+    the second centroid (init = vec 1, still inside group A) over to
+    group B, so membership ends exactly by group — init alone would
+    split group A. Ties/argmin: lowest cid wins (checked via the
+    equidistant point)."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    a = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]          # near origin
+    b = [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)]   # far corner
+    df = spark.createDataFrame(a + b, "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: r for r in clustering.kmeans_assign(
+        df, k=2, n_iter=3).collect()}
+    groups = {c: {v for v, r in out.items() if r["cluster"] == c}
+              for c in {r["cluster"] for r in out.values()}}
+    assert sorted(len(g) for g in groups.values()) == [5, 5]
+    assert {v for g in groups.values() for v in g if v < 10} in (
+        set(groups[0]), set(groups[1]))
+    assert all(r["l2_dist"] < 1.0 for r in out.values())
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k=3 on 3 identical-ish + distinct points where one init centroid
+    captures nothing after iteration 1: the operator must not crash and
+    every vector still gets a cluster."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.05, 0.0]),
+         (3, [9.0, 9.0])],
+        "vec_id int, embedding array<float>")
+    out = clustering.kmeans_assign(df, k=3, n_iter=2).collect()
+    assert len(out) == 4
+    assert all(r["cluster"] in (0, 1, 2) for r in out)
+
+
+def test_semantic_dedup_drops_within_cluster_near_dup(spark):
+    """Two near-identical vectors land in one cluster: the higher id is
+    dropped; a far-away vector in another cluster survives even though
+    its cosine to nothing is checked cross-cluster."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+         (3, [-1.0, 0.0, 0.0]), (4, [-0.999, -0.02, 0.0])],
+        "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: r for r in clustering.semantic_dedup(
+        df, k=2, n_iter=2, threshold=0.9).collect()}
+    assert out[1]["kept"] and not out[2]["kept"]      # lower id kept
+    assert out[3]["kept"] and not out[4]["kept"]
+    assert out[1]["cluster"] != out[3]["cluster"]

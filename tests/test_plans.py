@@ -258,3 +258,27 @@ def test_bm25_broadcasts_stats_sides(spark):
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
         assert m.group(2) in ("Cross", "Inner"), plan
 
+
+
+def test_kmeans_assignment_is_pure_projection(spark):
+    """The returned assignment plan must contain NO join and NO
+    exchange: centroids ride as literals, so assignment is a scan +
+    projection (whole-stage codegen) — the shape that keeps Lloyd's
+    per-iteration cost at one narrow (cluster, dim) shuffle, which
+    happens inside the iteration jobs, not in the output plan."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    plan = physical_plan(clustering.kmeans_assign(emb, k=4, n_iter=1))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_pair_join_is_keyed(spark):
+    """SemDeDup's quadratic step must be an EQUI-join on cluster id
+    (plus the lower-id anti/left join) — a cartesian or BNLJ means the
+    cell scoping bought nothing."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    plan = physical_plan(clustering.semantic_dedup(emb, k=4, n_iter=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
