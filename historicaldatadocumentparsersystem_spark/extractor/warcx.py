@@ -69,16 +69,12 @@ def _http_body(payload: bytes) -> tuple[int | None, bytes]:
     return status, body
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """All response records of one WARC shard, in order:
-    {url, warc_ts (datetime, UTC), status, body (bytes)}.
-
-    Truncated/corrupt trailing records are dropped (never raise);
-    non-response records (warcinfo, request, metadata) are skipped.
-    """
+def _iter_records(data: bytes):
+    """Yield (headers, payload) for every well-formed record of a
+    (possibly per-record-gzipped) WARC-family shard, stopping at the
+    first truncated/corrupt record (never raise)."""
     if data[:2] == _GZIP_MAGIC:
         data = _gunzip_members(data)
-    records: list[dict] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -98,22 +94,56 @@ def parse_warc(data: bytes) -> list[dict]:
             break                                   # truncated record
         payload = data[body_start:body_start + length]
         pos = body_start + length
-        if headers.get("warc-type") == "response":
-            ts = None
-            raw_ts = headers.get("warc-date", "")
-            try:
-                ts = datetime.strptime(
-                    raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
-                    tzinfo=timezone.utc)
-            except ValueError:
-                pass
-            status, body = _http_body(payload)
-            records.append({
-                "url": headers.get("warc-target-uri", ""),
-                "warc_ts": ts,
-                "status": status,
-                "body": body,
-            })
+        yield headers, payload
+
+
+def _warc_ts(headers: dict[str, str]) -> datetime | None:
+    try:
+        return datetime.strptime(
+            headers.get("warc-date", ""),
+            "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+    except ValueError:
+        return None
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """All response records of one WARC shard, in order:
+    {url, warc_ts (datetime, UTC), status, body (bytes)}.
+
+    Truncated/corrupt trailing records are dropped (never raise);
+    non-response records (warcinfo, request, metadata) are skipped.
+    """
+    records: list[dict] = []
+    for headers, payload in _iter_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        status, body = _http_body(payload)
+        records.append({
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _warc_ts(headers),
+            "status": status,
+            "body": body,
+        })
+    return records
+
+
+def parse_wet(data: bytes) -> list[dict]:
+    """All conversion records of a WET shard (Common Crawl's
+    pre-extracted plain-text sibling of WARC), in order:
+    {url, warc_ts (datetime, UTC), text (str)}.
+
+    WET payloads are bare UTF-8 text — no HTTP envelope; undecodable
+    bytes degrade via replacement (F5: fewer/lossy rows, never raise).
+    """
+    records: list[dict] = []
+    for headers, payload in _iter_records(data):
+        if headers.get("warc-type") != "conversion":
+            continue
+        records.append({
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _warc_ts(headers),
+            "text": payload.decode("utf-8", errors="replace"),
+        })
     return records
 
 
@@ -133,6 +163,29 @@ def build_warc(records: list[dict], gzip_records: bool = False) -> bytes:
                 b"WARC-Type: response\r\n"
                 b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
                 b"WARC-Date: " + ts.encode() + b"\r\n"
+                b"Content-Length: " + str(len(payload)).encode() +
+                b"\r\n\r\n")
+        rec = head + payload + b"\r\n\r\n"
+        if gzip_records:
+            c = zlib.compressobj(wbits=31)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    return b"".join(out)
+
+
+def build_wet(records: list[dict], gzip_records: bool = False) -> bytes:
+    """Serialize {url, warc_ts, text} records into a valid WET shard —
+    fixture generator + exactness witness (build_wet -> parse_wet
+    round-trips the text byte-identically through UTF-8)."""
+    out = []
+    for r in records:
+        payload = r["text"].encode("utf-8")
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (b"WARC/1.0\r\n"
+                b"WARC-Type: conversion\r\n"
+                b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
+                b"WARC-Date: " + ts.encode() + b"\r\n"
+                b"Content-Type: text/plain\r\n"
                 b"Content-Length: " + str(len(payload)).encode() +
                 b"\r\n\r\n")
         rec = head + payload + b"\r\n\r\n"

@@ -183,3 +183,38 @@ def read_warc_documents(spark: SparkSession, path: str) -> DataFrame:
             .load(path)
             .select("content")
             .mapInPandas(parse, DOCUMENTS_DDL))
+
+
+def read_wet_documents(spark: SparkSession, path: str) -> DataFrame:
+    """WET shards (Common Crawl's pre-extracted plain text) -> the
+    documents table: ``text`` carries the conversion-record payload,
+    ``html`` stays null (there is nothing to extract — WET rows enter
+    the pipeline downstream of the extraction stage, feeding the
+    quality/dedup/curation operators directly).
+
+    Scale: identical shape to ``read_warc_documents`` — per-shard
+    binaryFile parallelism, shard bytes never shuffle, malformed
+    records degrade to fewer rows (F5).
+    """
+    import pandas as pd
+
+    from ..extractor.warcx import parse_wet
+
+    def parse(batches):
+        for b in batches:
+            urls, tss, texts = [], [], []
+            for blob in b["content"]:
+                for rec in parse_wet(bytes(blob)):
+                    urls.append(rec["url"])
+                    tss.append(rec["warc_ts"])
+                    texts.append(rec["text"])
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss,
+                "html": pd.array([None] * len(urls), dtype=object),
+                "text": texts,
+                "lang": pd.array([None] * len(urls), dtype=object)})
+
+    return (spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(parse, DOCUMENTS_DDL))

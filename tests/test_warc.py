@@ -104,3 +104,71 @@ def test_warc_roundtrip_property(bodies, gz):
 @settings(max_examples=150, deadline=None)
 def test_warc_parse_arbitrary_bytes_never_raises(data):
     assert isinstance(warcx.parse_warc(data), list)
+
+
+# --- WET (conversion-record plain text) --------------------------------------
+
+def test_wet_roundtrip_plain_and_gzip():
+    recs = [{"url": f"https://s{i}.example/p", "warc_ts": datetime(
+                2024, 5, 1, 12, 0, i, tzinfo=timezone.utc),
+             "text": f"line one {i}\nline two é中"}
+            for i in range(6)]
+    for gz in (False, True):
+        got = warcx.parse_wet(warcx.build_wet(recs, gzip_records=gz))
+        assert [(g["url"], g["warc_ts"], g["text"]) for g in got] == \
+            [(r["url"], r["warc_ts"], r["text"]) for r in recs]
+
+
+def test_wet_skips_response_records_and_vice_versa():
+    """A mixed shard: parse_wet sees only conversion records, parse_warc
+    only response records — the two readers partition the container."""
+    wet = warcx.build_wet([{
+        "url": "https://a/t", "text": "plain text",
+        "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc)}])
+    warc = warcx.build_warc([{
+        "url": "https://a/h", "status": 200, "body": b"<p>hi</p>",
+        "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc)}])
+    mixed = wet + warc
+    assert [r["url"] for r in warcx.parse_wet(mixed)] == ["https://a/t"]
+    assert [r["url"] for r in warcx.parse_warc(mixed)] == ["https://a/h"]
+
+
+def test_spark_wet_reader_feeds_curation_ops(spark, tmp_path):
+    """WET shards -> read_wet_documents: text lands in the documents
+    schema (html null) and flows straight into a curation operator."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    from historicaldatadocumentparsersystem_spark.sources import (
+        read_wet_documents)
+    recs = [{"url": f"https://h{i}.com/p", "warc_ts": datetime(
+                2024, 2, 2, tzinfo=timezone.utc),
+             "text": f"the quick brown fox {i} " * 3}
+            for i in range(10)]
+    (tmp_path / "s0.wet").write_bytes(warcx.build_wet(recs[:5]))
+    (tmp_path / "s1.wet.gz").write_bytes(
+        warcx.build_wet(recs[5:], gzip_records=True))
+    docs = read_wet_documents(spark, str(tmp_path) + "/*")
+    assert docs.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = docs.collect()
+    assert len(rows) == 10 and all(r["html"] is None for r in rows)
+    assert {r["url"] for r in rows} == {r["url"] for r in recs}
+    prof = webtext.c4_line_filter(
+        docs.select("url", "text")).collect()
+    assert len(prof) == 10
+
+
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=8),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_wet_roundtrip_property(texts, gz):
+    recs = [{"url": f"https://h{i}.com/p",
+             "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+             "text": t} for i, t in enumerate(texts)]
+    got = warcx.parse_wet(warcx.build_wet(recs, gzip_records=gz))
+    assert [(g["url"], g["text"]) for g in got] == \
+        [(r["url"], r["text"]) for r in recs]
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=100, deadline=None)
+def test_wet_parse_arbitrary_bytes_never_raises(data):
+    assert isinstance(warcx.parse_wet(data), list)
