@@ -603,6 +603,7 @@ _EXTRA_ORDER = [
     "robots_gate", "anchor_text_terms", "decontaminate",
     "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
     "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
+    "dsir_weights",
 ]
 
 
@@ -852,6 +853,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.domain_mixture_sample(
             _t(spark, sf_dir, "documents"), target_frac=0.5)
     q["domain_mixture_sample"] = q_domain_mix
+
+    # --- DSIR importance-resampling weights — SQL-checked (target =
+    # doc_id % 11 == 0 subset; decimal fixed-point log-ratio sum)
+    def q_dsir(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return webtext.dsir_weights(
+            docs.where(F.col("doc_id") % 11 != 0),
+            docs.where(F.col("doc_id") % 11 == 0), n_buckets=512)
+    q["dsir_weights"] = q_dsir
 
     # --- deterministic Lloyd k-means over embeddings — SQL-checked
     # (unrolled-CTE twin; decimal fixed-point centroid means)
@@ -1917,6 +1927,44 @@ def oracle_sql() -> dict[str, str]:
                      list(doc || ':' || pos ORDER BY doc, pos),
                      1, 50), ',') AS postings
             FROM pos_tok GROUP BY term""",
+        # DSIR: hashed-bigram buckets (portable md5 hash), add-1
+        # smoothed log-ratio per bucket fixed-pointed to decimal(20,9)
+        # before the per-doc sum; tf * decimal products exact
+        "dsir_weights": f"""
+            WITH tk AS (
+              SELECT doc_id, list_transform({tok}, t -> lower(t)) AS tk
+              FROM documents
+            ), cb AS (
+              SELECT doc_id,
+                     cast('0x' || substr(md5(tk[i] || ' ' || tk[i+1]),
+                          1, 8) AS bigint) % 512 AS b
+              FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+              WHERE doc_id % 11 != 0
+            ), tb AS (
+              SELECT cast('0x' || substr(md5(tk[i] || ' ' || tk[i+1]),
+                          1, 8) AS bigint) % 512 AS b
+              FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+              WHERE doc_id % 11 = 0
+            ), docb AS (
+              SELECT doc_id, b, count(*) AS tf FROM cb GROUP BY 1, 2
+            ), raw AS (
+              SELECT b, sum(tf)::bigint AS c_r FROM docb GROUP BY 1
+            ), tgt AS (
+              SELECT b, count(*) AS c_t FROM tb GROUP BY 1
+            ), tt AS (SELECT sum(c_t)::double AS tt FROM tgt),
+            rr AS (SELECT sum(c_r)::double AS rr FROM raw),
+            lr AS (
+              SELECT b,
+                     round(ln((coalesce(c_t, 0) + 1)::double / (tt + 512))
+                         - ln((coalesce(c_r, 0) + 1)::double / (rr + 512)),
+                           9)::decimal(20,9) AS lr
+              FROM tgt FULL OUTER JOIN raw USING (b)
+              CROSS JOIN tt CROSS JOIN rr
+            )
+            SELECT doc_id, sum(tf)::bigint AS n_bigrams,
+                   round(sum(tf::decimal(10,0) * lr)::double, 6)
+                     AS logratio
+            FROM docb JOIN lr USING (b) GROUP BY doc_id""",
         # Lloyd k-means: unrolled-CTE iteration twin (_kmeans_ctes);
         # assignment tie-break ORDER BY dist, cid == array_min + first
         # array_position; centroid means fixed-pointed to decimal(20,9)

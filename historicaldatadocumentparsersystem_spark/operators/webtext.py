@@ -707,3 +707,76 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
                     F.when(F.coalesce("n_hits", F.lit(0)) > 0, F.lit(1))
                     .otherwise(F.lit(0)).cast("long")
                     .alias("contaminated")))
+
+
+# --- DSIR importance weights ---------------------------------------------------
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 512) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw-corpus document by how much more
+    likely its hashed-bigram features are under the TARGET distribution
+    (e.g. a trusted wiki/books subset) than under the raw corpus —
+    the weight that importance-resamples a web crawl toward a target
+    domain without training a classifier.
+
+        logratio(d) = sum_b tf_db * (ln p_t(b) - ln p_r(b)),
+        p(b) = (count_b + 1) / (total + n_buckets)   (add-1 smoothing)
+
+    Features are lowercased word bigrams hashed into ``n_buckets``
+    buckets (first-8-hex-md5 mod — the portable ``hash_unit`` family,
+    so DuckDB rebuilds identical buckets). Per-bucket log-ratios round
+    into DECIMAL(20,9) BEFORE the per-doc sum (associative — the
+    unigram_logppl pipeline); tf * decimal products stay exact.
+
+    Returns (doc_id, n_bigrams, logratio) for every corpus doc with
+    >= 1 bigram; select by descending logratio (or threshold) to take
+    the resampled subset.
+
+    Scale: both bucket-count tables are <= n_buckets rows (broadcast);
+    totals are 1-row lazy crossJoin broadcasts (no eager count); the
+    corpus touches one (id, bucket) map-side-combinable groupBy and one
+    broadcast equi-join — bigram text never shuffles, only 16-hex-char
+    hashes reduced to a bucket id.
+    """
+    B = n_buckets
+
+    def buckets(frame: DataFrame, idc: str, txt: str) -> DataFrame:
+        tk = F.transform(tokens(txt), lambda t: F.lower(t))
+        staged = frame.select(F.col(idc).alias("id"), tk.alias("__tk"))
+        return (staged.where(F.size("__tk") >= 2)
+                .select("id", F.explode(F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - 1),
+                    lambda i: F.pmod(F.conv(F.substring(F.md5(
+                        F.concat_ws(" ", F.slice("__tk", i, 2))),
+                        1, 8), 16, 10).cast("long"), F.lit(B))))
+                    .alias("b")))
+
+    docb = (buckets(corpus, id_col, text_col)
+            .groupBy("id", "b").agg(F.count("*").alias("tf")))
+    raw = docb.groupBy("b").agg(F.sum("tf").alias("c_r"))
+    tgt = (buckets(target, id_col, text_col)
+           .groupBy("b").agg(F.count("*").alias("c_t")))
+    tot_t = tgt.agg(F.sum("c_t").cast("double").alias("tt"))
+    tot_r = raw.agg(F.sum("c_r").cast("double").alias("rr"))
+    lr = (tgt.join(raw, "b", "full_outer")
+          .select("b", F.coalesce("c_t", F.lit(0)).alias("c_t"),
+                  F.coalesce("c_r", F.lit(0)).alias("c_r"))
+          .crossJoin(F.broadcast(tot_t))
+          .crossJoin(F.broadcast(tot_r))
+          .select("b", F.round(
+              F.log((F.col("c_t") + 1).cast("double") / (F.col("tt") + B))
+              - F.log((F.col("c_r") + 1).cast("double")
+                      / (F.col("rr") + B)), 9)
+              .cast("decimal(20,9)").alias("lr")))
+    # tf rides as decimal(10,0): a bare long would make the product
+    # decimal(41,9) -> Spark's precision-loss rule silently drops the
+    # scale to 6 mid-multiply; (10,0) x (20,9) = (31,9) stays exact
+    return (docb.join(F.broadcast(lr), "b")
+            .groupBy("id")
+            .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                 F.round(F.sum(F.col("tf").cast("decimal(10,0)")
+                               * F.col("lr")).cast("double"),
+                         6).alias("logratio"))
+            .withColumnRenamed("id", "doc_id"))

@@ -777,3 +777,22 @@ def test_semantic_dedup_drops_within_cluster_near_dup(spark):
     assert out[1]["kept"] and not out[2]["kept"]      # lower id kept
     assert out[3]["kept"] and not out[4]["kept"]
     assert out[1]["cluster"] != out[3]["cluster"]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target's bigrams must out-score docs that don't
+    — the importance-resampling ordering DSIR exists for."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat " * 3) for i in range(3)],
+        "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat quietly today"),
+         (2, "stock market indices fell sharply overnight again"),
+         (3, "cat sat on the mat")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in webtext.dsir_weights(
+        corpus, target, n_buckets=64).collect()}
+    assert out[1]["logratio"] > out[2]["logratio"]
+    assert out[3]["logratio"] > out[2]["logratio"]
+    assert out[1]["n_bigrams"] == 7

@@ -282,3 +282,20 @@ def test_semantic_dedup_pair_join_is_keyed(spark):
     plan = physical_plan(clustering.semantic_dedup(emb, k=4, n_iter=1))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_corpus_side_joins_are_broadcast(spark):
+    """DSIR's bucket log-ratio table (<= n_buckets rows) must reach the
+    corpus stream as a broadcast hash join; the only BNLJ allowed is
+    the two 1-row totals crossJoins (the lazy-N pattern); nothing may
+    be a cartesian of row data."""
+    import re
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = physical_plan(webtext.dsir_weights(
+        docs.where(F.col("doc_id") % 11 != 0),
+        docs.where(F.col("doc_id") % 11 == 0)))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
+        assert m.group(2) in ("Cross", "Inner"), plan
