@@ -456,6 +456,9 @@ _SAMPLE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25}
 # BM25 query terms (shared Spark/oracle)
 _BM25_TERMS = ("spark", "join", "window")
 
+# Count-Min probe terms (shared Spark/oracle; zzqx is absent)
+_CMS_PROBES = ("the", "spark", "join", "window", "zzqx")
+
 # unicode-normalization fixture (deterministic VALUES both sides):
 # decomposed accents, NBSP, tabs/newlines, ideographic + narrow
 # spaces, line/paragraph separators, accented letters for folding
@@ -603,7 +606,7 @@ _EXTRA_ORDER = [
     "robots_gate", "anchor_text_terms", "decontaminate",
     "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
     "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
-    "dsir_weights",
+    "dsir_weights", "cms_term_counts",
 ]
 
 
@@ -853,6 +856,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.domain_mixture_sample(
             _t(spark, sf_dir, "documents"), target_frac=0.5)
     q["domain_mixture_sample"] = q_domain_mix
+
+    # --- Count-Min sketch term counts — SQL-checked (exact integer
+    # cells; est is min over d portable md5 rows, only ever >= true)
+    def q_cms(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import sketches
+        from historicaldatadocumentparsersystem_spark.operators.textstats import \
+            tokens as _tk
+        docs = _t(spark, sf_dir, "documents")
+        terms = docs.select(F.explode(F.transform(
+            _tk("text"), lambda t: F.lower(t))).alias("term"))
+        sk = sketches.cms_table(terms, "term", d=4, w=256)
+        probes = spark.createDataFrame(
+            [(t,) for t in _CMS_PROBES], "term string")
+        est = sketches.cms_estimate(sk, probes, "term", d=4, w=256)
+        true = (terms.where(F.col("term").isin(*_CMS_PROBES))
+                .groupBy("term")
+                .agg(F.count("*").cast("long").alias("true_cnt")))
+        return (probes.join(est, "term").join(true, "term", "left")
+                .select("term", "est",
+                        F.coalesce("true_cnt", F.lit(0)).cast("long")
+                        .alias("true_cnt")))
+    q["cms_term_counts"] = q_cms
 
     # --- DSIR importance-resampling weights — SQL-checked (target =
     # doc_id % 11 == 0 subset; decimal fixed-point log-ratio sum)
@@ -1927,6 +1952,34 @@ def oracle_sql() -> dict[str, str]:
                      list(doc || ':' || pos ORDER BY doc, pos),
                      1, 50), ',') AS postings
             FROM pos_tok GROUP BY term""",
+        # Count-Min sketch: exact integer cells from the portable md5
+        # bucket family; est = min over d rows (left join, empty -> 0)
+        "cms_term_counts": f"""
+            WITH toks AS (
+              SELECT lower(u.t) AS term
+              FROM documents, unnest({tok}) AS u(t)
+            ), rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+            cells AS (
+              SELECT r, cast('0x' || substr(md5('42:' || r || ':' ||
+                     term), 1, 8) AS bigint) % 256 AS cell
+              FROM toks CROSS JOIN rr
+            ), sk AS (
+              SELECT r, cell, count(*) AS cnt FROM cells GROUP BY 1, 2
+            ), probes AS (
+              SELECT unnest({list(_CMS_PROBES)!r}) AS term
+            ), pc AS (
+              SELECT term, r, cast('0x' || substr(md5('42:' || r || ':'
+                     || term), 1, 8) AS bigint) % 256 AS cell
+              FROM probes CROSS JOIN rr
+            ), est AS (
+              SELECT term, min(coalesce(cnt, 0))::bigint AS est
+              FROM pc LEFT JOIN sk USING (r, cell) GROUP BY term
+            ), tc AS (
+              SELECT term, count(*)::bigint AS true_cnt FROM toks
+              WHERE term IN {repr(tuple(_CMS_PROBES))} GROUP BY 1
+            )
+            SELECT p.term, est, coalesce(true_cnt, 0)::bigint AS true_cnt
+            FROM probes p JOIN est USING (term) LEFT JOIN tc USING (term)""",
         # DSIR: hashed-bigram buckets (portable md5 hash), add-1
         # smoothed log-ratio per bucket fixed-pointed to decimal(20,9)
         # before the per-doc sum; tf * decimal products exact

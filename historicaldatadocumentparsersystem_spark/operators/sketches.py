@@ -99,3 +99,73 @@ def hll_distinct(df: DataFrame, col: str = "url", b: int = 8,
 def hll_error_bound(b: int = 8) -> float:
     """Relative standard error 1.04 / sqrt(m)."""
     return 1.04 / math.sqrt(1 << b)
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+
+def _cms_bucket(v, r: int, w: int, seed: int):
+    """Row-r bucket of a value: first-8-md5-hex of 'seed:r:value' mod w
+    (the portable hash family hash_unit/HLL/Bloom already use)."""
+    h = F.substring(F.md5(F.concat(F.lit(f"{seed}:{r}:"),
+                                   v.cast("string"))), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(w))
+
+
+def cms_table(df: DataFrame, col: str = "term", d: int = 4,
+              w: int = 256, seed: int = 42) -> DataFrame:
+    """d x w Count-Min sketch (Cormode & Muthukrishnan 2005) of a
+    value column as an at-rest table: (row, cell, cnt). Point-estimate
+    error <= e/w * N with probability 1 - e^-d; estimates only ever
+    OVER-count (min over d independent rows).
+
+    Like the HLL/Bloom siblings, the layout is portable (md5 buckets)
+    so the sketch persists as a shared table, merges across shards
+    (union + groupBy sum — associative), and has an exact integer
+    DuckDB twin; Spark's JVM-private CountMinSketch can do none of
+    that.
+
+    Scale: one explode to d cells per value, then ONE map-side-
+    combinable groupBy -> at most d*w output rows whatever N is.
+    Heavy-hitter queries join this <= d*w-row table broadcast.
+    """
+    v = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("row"),
+                 _cms_bucket(v, r, w, seed).alias("cell"))
+        for r in range(d)])
+    return (df.select(F.explode(cells).alias("rc"))
+            .select("rc.row", "rc.cell")
+            .groupBy("row", "cell")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine shard/crawl sketches built with identical (d, w, seed):
+    cellwise sum — the mergeability that makes CMS a distributed
+    counter (each executor/shard sketches locally, cells reduce)."""
+    from functools import reduce
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return (u.groupBy("row", "cell")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame,
+                 col: str = "term", d: int = 4, w: int = 256,
+                 seed: int = 42) -> DataFrame:
+    """Point estimates for a probe-value table: est = min over the d
+    rows of that value's cell count (0 when a cell is empty).
+
+    Scale: probes explode to d rows each and join the <= d*w-row
+    sketch (broadcast); no pass over the sketched corpus.
+    """
+    v = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("row"),
+                 _cms_bucket(v, r, w, seed).alias("cell"))
+        for r in range(d)])
+    pr = (probes.select(v.alias(col), F.explode(cells).alias("rc"))
+          .select(col, "rc.row", "rc.cell"))
+    return (pr.join(F.broadcast(sketch), ["row", "cell"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
+                 .alias("est")))

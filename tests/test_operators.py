@@ -796,3 +796,27 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert out[1]["logratio"] > out[2]["logratio"]
     assert out[3]["logratio"] > out[2]["logratio"]
     assert out[1]["n_bigrams"] == 7
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS point estimates never under-count; exact on sparse input
+    with w >> distinct; shard sketches merge cellwise into exactly the
+    whole-corpus sketch (the distributed-counter property)."""
+    from historicaldatadocumentparsersystem_spark.operators import sketches
+    rows = ([("alpha",)] * 50 + [("beta",)] * 7 + [("gamma",)] * 1)
+    df = spark.createDataFrame(rows, "term string")
+    sk = sketches.cms_table(df, "term", d=4, w=64)
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("absent",)], "term string")
+    est = {r["term"]: r["est"] for r in sketches.cms_estimate(
+        sk, probes, "term", d=4, w=64).collect()}
+    assert est["alpha"] >= 50 and est["beta"] >= 7 and est["gamma"] >= 1
+    assert est["alpha"] == 50          # w=64, 3 distinct: no collision
+    assert est["absent"] == 0
+    half_a = sketches.cms_table(df.limit(30), "term", d=4, w=64)
+    half_b = sketches.cms_table(
+        spark.createDataFrame(rows[30:], "term string"), "term", d=4, w=64)
+    merged = {(r["row"], r["cell"]): r["cnt"]
+              for r in sketches.cms_merge(half_a, half_b).collect()}
+    whole = {(r["row"], r["cell"]): r["cnt"] for r in sk.collect()}
+    assert merged == whole
