@@ -72,3 +72,75 @@ def run_stream_once(spark: SparkSession, source_dir: str, out_dir: str,
     q = (extraction_stream(spark, source_dir, out_dir, run_id, num_buckets)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+# --- incremental corpus sketches ----------------------------------------------
+
+def sketch_stream(spark: SparkSession, source_dir: str, out_dir: str,
+                  d: int = 4, w: int = 256, b: int = 8, seed: int = 42,
+                  max_files_per_trigger: int = 8):
+    """Maintain corpus sketches incrementally as crawl shards arrive:
+    each micro-batch writes ITS OWN Count-Min cell table (token
+    frequencies) and HLL register table (distinct urls) into a
+    ``batch_id=N`` partition; the current corpus sketch is the
+    merge-on-read of all partitions (``read_cms``/``read_hll`` below).
+
+    Idempotency: per-batch partitions under dynamic overwrite — a
+    replayed batch atomically rewrites exactly its partition, so the
+    non-idempotent sum-merge of CMS cells can never double-count (the
+    merge happens at read time over converged partitions, the same
+    design as the extraction sink's batch_id layout).
+
+    Scale: each partition is <= d*w (CMS) / 2^b (HLL) rows regardless
+    of batch size; merge-on-read over B batches touches B*d*w tiny
+    rows — compact periodically by rewriting the merged table as a
+    single batch partition if B grows unbounded.
+    """
+    from ..operators import sketches
+    from ..operators.textstats import tokens
+
+    docs = (spark.readStream
+            .schema("url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode",
+                      "dynamic")
+        terms = batch_df.select(F.explode(F.transform(
+            tokens("text"), lambda t: F.lower(t))).alias("term"))
+        (sketches.cms_table(terms, "term", d=d, w=w, seed=seed)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{out_dir}/cms"))
+        (sketches.hll_registers(batch_df, "url", b=b, seed=seed)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{out_dir}/hll"))
+
+    return (docs.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out_dir}/_checkpoint"))
+
+
+def run_sketch_stream_once(spark: SparkSession, source_dir: str,
+                           out_dir: str, **kw) -> None:
+    """Sketch all available input once (trigger=availableNow)."""
+    q = sketch_stream(spark, source_dir, out_dir, **kw) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def read_cms(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read: current whole-corpus CMS cell table."""
+    part = spark.read.parquet(f"{out_dir}/cms").drop("batch_id")
+    return (part.groupBy("row", "cell")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def read_hll(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read: current whole-corpus HLL register table."""
+    part = spark.read.parquet(f"{out_dir}/hll").drop("batch_id")
+    return (part.groupBy("bucket")
+            .agg(F.max("max_rho").alias("max_rho")))
