@@ -606,7 +606,7 @@ _EXTRA_ORDER = [
     "robots_gate", "anchor_text_terms", "decontaminate",
     "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
     "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
-    "dsir_weights", "cms_term_counts",
+    "dsir_weights", "cms_term_counts", "ccnet_ppl_buckets",
 ]
 
 
@@ -856,6 +856,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.domain_mixture_sample(
             _t(spark, sf_dir, "documents"), target_frac=0.5)
     q["domain_mixture_sample"] = q_domain_mix
+
+    # --- CCNet perplexity buckets — SQL-checked (integer fixed-point
+    # percentile: quantile_cont on round(ppl*1e6) quarters is exact)
+    def q_ppl_buckets(spark, sf_dir):
+        return textstats.ccnet_ppl_buckets(_t(spark, sf_dir, "documents"))
+    q["ccnet_ppl_buckets"] = q_ppl_buckets
 
     # --- Count-Min sketch term counts — SQL-checked (exact integer
     # cells; est is min over d portable md5 rows, only ever >= true)
@@ -1952,6 +1958,42 @@ def oracle_sql() -> dict[str, str]:
                      list(doc || ':' || pos ORDER BY doc, pos),
                      1, 50), ',') AS postings
             FROM pos_tok GROUP BY term""",
+        # CCNet ppl buckets: unigram_logppl CTE + quantile_cont over the
+        # INTEGER fixed-point round(ppl*1e6) at quarter fractions
+        # (integer interpolation is exact in both engines)
+        "ccnet_ppl_buckets": f"""
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(list_transform({tok}, t -> lower(t))) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term, count(*) AS c FROM tok GROUP BY term
+            ), totals AS (
+              SELECT sum(c)::double AS n_tok, count(*)::double AS v
+              FROM counts
+            ), scored AS (
+              SELECT id,
+                     round(-ln((c + 1) / (n_tok + v)),
+                           9)::decimal(20,9) AS nlp
+              FROM tok JOIN counts USING (term), totals
+            ), ppl AS (
+              SELECT id AS doc_id,
+                     round(sum(nlp)::double / count(*), 6) AS log_ppl
+              FROM scored GROUP BY id
+            ), p6 AS (
+              SELECT doc_id, log_ppl,
+                     round(log_ppl * 1e6)::bigint AS p
+              FROM ppl
+            ), cuts AS (
+              SELECT quantile_cont(p, 0.25e0) AS c25,
+                     quantile_cont(p, 0.75e0) AS c75
+              FROM p6
+            )
+            SELECT doc_id, log_ppl,
+                   CASE WHEN p <= c25 THEN 'head'
+                        WHEN p <= c75 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM p6 CROSS JOIN cuts""",
         # Count-Min sketch: exact integer cells from the portable md5
         # bucket family; est = min over d rows (left join, empty -> 0)
         "cms_term_counts": f"""

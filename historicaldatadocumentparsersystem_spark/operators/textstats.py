@@ -420,3 +420,41 @@ def bigram_logppl(df: DataFrame, text_col: str = "text",
                  F.round(F.sum("nlp").cast("double") / F.count("*"), 6)
                  .alias("log_ppl"))
             .withColumnRenamed("id", id_col))
+
+
+def ccnet_ppl_buckets(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020 §4.3):
+    split the corpus into head / middle / tail by LM cross-entropy —
+    head (lowest perplexity) is the highest-quality slice, tail the
+    filter candidate. Cut points here are the corpus P25/P75 of
+    ``unigram_logppl`` (CCNet's terciles come from a held-out LM; the
+    quartile rule keeps the cuts binary-exact fractions).
+
+    Determinism across engines: quantile interpolation of arbitrary
+    doubles is formula-order-sensitive, so the percentile runs over the
+    INTEGER fixed-point round(log_ppl * 1e6) — integer inputs at
+    quarter fractions interpolate exactly in both engines (the
+    grouped_quantiles precedent) — and docs compare against the cuts
+    in that integer space. Bucket rule: p6 <= c25 -> 'head',
+    p6 <= c75 -> 'middle', else 'tail'.
+
+    Returns (doc_id, log_ppl, ppl_bucket).
+
+    Scale: one extra 1-row percentile aggregate + broadcast crossJoin
+    on top of unigram_logppl's plan. Exact percentile shuffles the
+    (id, ppl) pairs to one reducer — at 100 TB swap approx_percentile
+    (t-digest, map-side combinable), identical call shape.
+    """
+    ppl = unigram_logppl(df, text_col, id_col)
+    scored = ppl.select(
+        F.col(id_col), F.col("log_ppl"),
+        F.round(F.col("log_ppl") * 1e6).cast("long").alias("__p6"))
+    cuts = scored.agg(F.percentile(
+        "__p6", F.array(F.lit(0.25), F.lit(0.75))).alias("__c"))
+    bucket = (F.when(F.col("__p6") <= F.col("__c")[0], F.lit("head"))
+              .when(F.col("__p6") <= F.col("__c")[1], F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select(F.col(id_col), "log_ppl",
+                    bucket.alias("ppl_bucket")))

@@ -820,3 +820,18 @@ def test_cms_overestimates_and_merges(spark):
               for r in sketches.cms_merge(half_a, half_b).collect()}
     whole = {(r["row"], r["cell"]): r["cnt"] for r in sk.collect()}
     assert merged == whole
+
+
+def test_ccnet_ppl_buckets_partition_by_quality(spark):
+    """Rare-token (gibberish) docs land in tail, common-word docs in
+    head; every doc gets exactly one bucket and bucket sizes respect
+    the P25/P75 rule (ties included downward)."""
+    from historicaldatadocumentparsersystem_spark.operators import textstats
+    common = "the cat sat on the mat and the dog ran"
+    rows = ([(i, common) for i in range(6)]
+            + [(10 + i, f"zq{i}x wv{i}k jj{i}m qq{i}z pp{i}r") for i in range(2)])
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in textstats.ccnet_ppl_buckets(df).collect()}
+    assert len(out) == 8
+    assert all(out[i]["ppl_bucket"] == "head" for i in range(6))
+    assert all(out[10 + i]["ppl_bucket"] == "tail" for i in range(2))
