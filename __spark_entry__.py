@@ -607,6 +607,7 @@ _EXTRA_ORDER = [
     "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
     "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
     "dsir_weights", "cms_term_counts", "ccnet_ppl_buckets",
+    "pack_offsets", "pack_greedy",
 ]
 
 
@@ -862,6 +863,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ppl_buckets(spark, sf_dir):
         return textstats.ccnet_ppl_buckets(_t(spark, sf_dir, "documents"))
     q["ccnet_ppl_buckets"] = q_ppl_buckets
+
+    # --- training-sequence packing — SQL-checked (concatenation
+    # manifest: pure window arithmetic; greedy: recursive-CTE fold)
+    def q_pack_offsets(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import packing
+        return packing.sequence_pack_offsets(
+            _t(spark, sf_dir, "documents"), seq_len=64, n_shards=8)
+    q["pack_offsets"] = q_pack_offsets
+
+    def q_pack_greedy(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import packing
+        return packing.sequence_pack_greedy(
+            _t(spark, sf_dir, "documents"), seq_len=64, n_shards=8)
+    q["pack_greedy"] = q_pack_greedy
 
     # --- Count-Min sketch term counts — SQL-checked (exact integer
     # cells; est is min over d portable md5 rows, only ever >= true)
@@ -1994,6 +2009,71 @@ def oracle_sql() -> dict[str, str]:
                         WHEN p <= c75 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM p6 CROSS JOIN cuts""",
+        # Concatenation-packing manifest: running-sum window + integer
+        # floor division (seq_len=64, n_shards=8; cost = tokens + EOS)
+        "pack_offsets": f"""
+            WITH costs AS (
+              SELECT (doc_id % 8)::int AS shard, doc_id,
+                     (len({tok}) + 1)::bigint AS cost
+              FROM documents
+            ), offs AS (
+              SELECT shard, doc_id, cost,
+                     coalesce(sum(cost) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::bigint AS start_off
+              FROM costs
+            )
+            SELECT shard, doc_id, cost, start_off,
+                   (start_off // 64)::bigint AS first_seq,
+                   ((start_off + cost - 1) // 64)::bigint AS last_seq,
+                   ((start_off + cost - 1) // 64 - start_off // 64
+                    + 1)::bigint AS n_seqs
+            FROM offs""",
+        # Greedy boundary packing: linear recursive-CTE fold per shard
+        # carrying (open_seq, seq_used); oversize docs occupy
+        # ceil(cost/64) sequences alone and reset the fill
+        "pack_greedy": f"""
+            WITH RECURSIVE costs AS (
+              SELECT (doc_id % 8)::int AS shard, doc_id,
+                     (len({tok}) + 1)::bigint AS cost,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS idx
+              FROM documents
+            ), rec AS (
+              SELECT shard, idx, doc_id, cost,
+                     0::bigint AS seq_id,
+                     CASE WHEN cost > 64 THEN (cost + 63) // 64
+                          ELSE 1 END::bigint AS n_pieces,
+                     CASE WHEN cost > 64 THEN 0
+                          ELSE cost END::bigint AS seq_used,
+                     CASE WHEN cost > 64 THEN (cost + 63) // 64
+                          ELSE 0 END::bigint AS open_seq
+              FROM costs WHERE idx = 1
+              UNION ALL
+              SELECT c.shard, c.idx, c.doc_id, c.cost,
+                     (CASE WHEN c.cost > 64 THEN r.open_seq
+                             + (CASE WHEN r.seq_used > 0 THEN 1
+                                ELSE 0 END)
+                           WHEN r.seq_used + c.cost > 64
+                             THEN r.open_seq + 1
+                           ELSE r.open_seq END)::bigint,
+                     (CASE WHEN c.cost > 64 THEN (c.cost + 63) // 64
+                           ELSE 1 END)::bigint,
+                     (CASE WHEN c.cost > 64 THEN 0
+                           WHEN r.seq_used + c.cost > 64 THEN c.cost
+                           ELSE r.seq_used + c.cost END)::bigint,
+                     (CASE WHEN c.cost > 64 THEN r.open_seq
+                             + (CASE WHEN r.seq_used > 0 THEN 1
+                                ELSE 0 END) + (c.cost + 63) // 64
+                           WHEN r.seq_used + c.cost > 64
+                             THEN r.open_seq + 1
+                           ELSE r.open_seq END)::bigint
+              FROM rec r JOIN costs c
+                ON c.shard = r.shard AND c.idx = r.idx + 1
+            )
+            SELECT shard, doc_id, cost, seq_id, n_pieces, seq_used
+            FROM rec""",
         # Count-Min sketch: exact integer cells from the portable md5
         # bucket family; est = min over d rows (left join, empty -> 0)
         "cms_term_counts": f"""

@@ -835,3 +835,56 @@ def test_ccnet_ppl_buckets_partition_by_quality(spark):
     assert len(out) == 8
     assert all(out[i]["ppl_bucket"] == "head" for i in range(6))
     assert all(out[10 + i]["ppl_bucket"] == "tail" for i in range(2))
+
+
+def test_sequence_packing(spark):
+    """Greedy packing: Spark fold == pure fold; no sequence overflows;
+    fit docs never split; oversize docs occupy exclusive sequences.
+    Concatenation manifest: offsets are contiguous per shard."""
+    from historicaldatadocumentparsersystem_spark.operators import packing
+    # doc 7 is oversize (>= 64 tokens + EOS); shard = doc_id % 2
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n)))
+            for i, n in enumerate([10, 30, 25, 63, 5, 40, 64, 130, 1, 0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_len = 64
+
+    got = packing.sequence_pack_greedy(df, seq_len=seq_len, n_shards=2)
+    by_doc = {r["doc_id"]: r for r in got.collect()}
+    assert len(by_doc) == len(rows)
+    for shard in (0, 1):
+        docs = sorted((i, len(t.split()) + 1) for i, t in rows
+                      if i % 2 == shard)
+        expect = packing.pack_greedy_fold(docs, seq_len)
+        for doc_id, cost, seq_id, n_pieces, seq_used in expect:
+            r = by_doc[doc_id]
+            assert (r["cost"], r["seq_id"], r["n_pieces"],
+                    r["seq_used"]) == (cost, seq_id, n_pieces, seq_used)
+            assert r["seq_used"] <= seq_len
+            if cost <= seq_len:
+                assert r["n_pieces"] == 1
+            else:
+                assert r["n_pieces"] == -(-cost // seq_len)
+    # no two docs share a sequence with an oversize doc
+    over = [r for r in by_doc.values() if r["cost"] > seq_len]
+    for o in over:
+        span = set(range(o["seq_id"], o["seq_id"] + o["n_pieces"]))
+        for r in by_doc.values():
+            if r["doc_id"] != o["doc_id"] and r["shard"] == o["shard"]:
+                assert r["seq_id"] not in span
+
+    offs = packing.sequence_pack_offsets(df, seq_len=seq_len, n_shards=2)
+    per_shard = {}
+    for r in sorted(offs.collect(), key=lambda r: (r["shard"], r["doc_id"])):
+        prev = per_shard.get(r["shard"], 0)
+        assert r["start_off"] == prev  # contiguous stream, no gaps
+        per_shard[r["shard"]] = prev + r["cost"]
+        assert r["first_seq"] == r["start_off"] // seq_len
+        assert r["last_seq"] == (r["start_off"] + r["cost"] - 1) // seq_len
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+    util = {r["shard"]: r for r in packing.packing_utilization(
+        got, seq_len=seq_len).collect()}
+    for shard, u in util.items():
+        assert 0 < u["util_bp"] <= 10000
+        assert u["n_tokens"] == sum(r["cost"] for r in by_doc.values()
+                                    if r["shard"] == shard)

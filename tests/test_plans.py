@@ -299,3 +299,20 @@ def test_dsir_corpus_side_joins_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
         assert m.group(2) in ("Cross", "Inner"), plan
+
+
+def test_packing_plans(spark):
+    """Greedy packing = ONE shard exchange + mapInPandas fold (the
+    chunking shape); the concatenation manifest is pure window
+    arithmetic — one exchange, zero Python stages."""
+    from historicaldatadocumentparsersystem_spark.operators import packing
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    greedy = packing.sequence_pack_greedy(docs, seq_len=64, n_shards=8)
+    plan = physical_plan(greedy)
+    assert count_exchanges(greedy) == 1, plan
+    assert "MapInPandas" in plan
+    offs = packing.sequence_pack_offsets(docs, seq_len=64, n_shards=8)
+    plan = physical_plan(offs)
+    assert count_exchanges(offs) == 1, plan
+    assert "Window" in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
