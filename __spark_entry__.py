@@ -206,6 +206,51 @@ def _hash_split_oracle() -> str:
             FROM documents"""
 
 
+_SPLIT_TLDS = ("com", "co.uk", "com.au", "org")
+
+
+def _domain_split_oracle() -> str:
+    """DuckDB twin of webtext.domain_split over synthesized multi-host
+    urls: the PSL CASE cascade on the host, then hash_split's md5-unit
+    cascade keyed on the DOMAIN string (same Python-float cumulative
+    thresholds as _hash_split_oracle)."""
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    u = ("(cast('0x' || substr(md5('42:' || domain), 1, 8) AS bigint)"
+         " / 4294967296.0e0)")
+    names, cum, whens = list(weights), 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"WHEN {u} < {_flit(cum)} THEN '{name}'")
+    body = "\n              ".join(whens)
+    suf2 = ", ".join(f"'{s}'" for s in sorted(_psl.SUFFIX_2))
+    suf3 = ", ".join(f"'{s}'" for s in sorted(_psl.SUFFIX_3))
+    tlds = ", ".join(f"'{t}'" for t in _SPLIT_TLDS)
+    return f"""
+            WITH h AS (
+              SELECT doc_id,
+                     'sub' || (doc_id % 3) || '.' || source || '.' ||
+                     ([{tlds}])[ascii(right(source, 1)) % 4 + 1] AS host
+              FROM documents
+            ), d AS (
+              SELECT doc_id,
+                   CASE WHEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({suf3})
+                        THEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
+                        WHEN regexp_extract(host,
+                          '([^.]+\\.[^.]+)$', 1) IN ({suf2})
+                        THEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                        ELSE regexp_extract(host,
+                          '([^.]+\\.[^.]+)$', 1) END AS domain
+              FROM h
+            )
+            SELECT doc_id, domain, CASE
+              {body}
+              ELSE '{names[-1]}' END AS split
+            FROM d"""
+
+
 def _text_norm_oracle() -> str:
     """DuckDB twin of nfc_clean + ascii_fold: nfc_normalize +
     regexp_replace over the SHARED explicit whitespace class (RE2 \\s
@@ -607,7 +652,8 @@ _EXTRA_ORDER = [
     "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
     "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
     "dsir_weights", "cms_term_counts", "ccnet_ppl_buckets",
-    "pack_offsets", "pack_greedy",
+    "pack_offsets", "pack_greedy", "domain_split", "mojibake_repair",
+    "incremental_dedup_pairs",
 ]
 
 
@@ -863,6 +909,55 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ppl_buckets(spark, sf_dir):
         return textstats.ccnet_ppl_buckets(_t(spark, sf_dir, "documents"))
     q["ccnet_ppl_buckets"] = q_ppl_buckets
+
+    # --- leakage-safe domain-disjoint split — SQL-checked (PSL
+    # cascade + md5-unit cascade keyed on the registrable domain)
+    def q_domain_split(spark, sf_dir):
+        tld = F.element_at(
+            F.array(*[F.lit(t) for t in _SPLIT_TLDS]),
+            (F.ascii(F.expr("right(source, 1)")) % 4 + 1).cast("int"))
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("https://sub"),
+                     (F.col("doc_id") % 3).cast("string"), F.lit("."),
+                     F.col("source"), F.lit("."), tld,
+                     F.lit("/doc-"), F.col("doc_id")).alias("url"))
+        return webtext.domain_split(docs).select(
+            "doc_id", "domain", "split")
+    q["domain_split"] = q_domain_split
+
+    # --- incremental dedup vs a persisted signature store — the
+    # batch (doc_id in [250, 500)) probes the store (doc_id < 250):
+    # store-vs-new + new-vs-new pairs only, store never re-hashed
+    def q_incremental(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            incremental
+        docs = _t(spark, sf_dir, "documents")
+        store = incremental.minhash_band_table(
+            docs.where(F.col("doc_id") < 250), n=2)
+        pairs, _ = incremental.incremental_minhash_pairs(
+            docs.where((F.col("doc_id") >= 250)
+                       & (F.col("doc_id") < 500)),
+            store, n=2, threshold=0.0)
+        return pairs
+    q["incremental_dedup_pairs"] = q_incremental
+
+    # --- mojibake repair — the query corrupts accented text through
+    # the real defect (UTF-8 bytes mis-decoded as sloppy cp1252) and
+    # repairs it; the oracle states the CONTRACT (repair restores the
+    # original byte-exactly wherever corruption occurred), so any
+    # repair failure is a driver-grade hash mismatch
+    def q_mojibake(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark import functions as fn
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.translate("text", "aeou", "áéöü").alias("t"))
+        out = (docs
+               .withColumn("c", fn.mojibake_corrupt("t"))
+               .withColumn("r", fn.fix_mojibake("c")))
+        return out.select(
+            "doc_id", (F.col("c") != F.col("t")).alias("was_mojibake"),
+            (F.col("r") == F.col("t")).alias("restored"))
+    q["mojibake_repair"] = q_mojibake
 
     # --- training-sequence packing — SQL-checked (concatenation
     # manifest: pure window arithmetic; greedy: recursive-CTE fold)
@@ -1663,6 +1758,29 @@ def oracle_sql() -> dict[str, str]:
                          i -> sig_a[i] = sig_b[i])) / 16.0, 6)
                    AS est_jaccard
             FROM cand""",
+        "incremental_dedup_pairs": f"""
+            WITH sig AS (
+              SELECT doc_id AS id,
+                     list_transform(generate_series(0, 15),
+                       i -> list_min(list_transform({sh2},
+                            s -> md5(i::varchar || ':' || s)))) AS sig
+              FROM documents
+              WHERE doc_id < 500 AND len({sh2}) > 0
+            ), banded AS (
+              SELECT id, sig, b,
+                     md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+              FROM sig, unnest(generate_series(0, 7)) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_filter(generate_series(1, 16),
+                         i -> sig_a[i] = sig_b[i])) / 16.0, 6)
+                   AS est_jaccard
+            FROM cand WHERE id_b >= 250""",
         "simhash": f"""
             WITH tokens AS (
               SELECT doc_id, unnest({tok}) AS t FROM documents
@@ -1794,6 +1912,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events QUALIFY rk <= 5""",
         "text_normalize": _text_norm_oracle(),
         "hash_split": _hash_split_oracle(),
+        "domain_split": _domain_split_oracle(),
+        # contract twin: corruption happens iff an a/e/o/u was
+        # accented into non-ASCII; repair must restore byte-exactly
+        "mojibake_repair": """
+            SELECT doc_id,
+                   regexp_matches(text, '[aeou]') AS was_mojibake,
+                   true AS restored
+            FROM documents""",
         "pii_redaction": _pii_oracle(),
         "cap_per_host": r"""
             SELECT doc_id, host, rk FROM (

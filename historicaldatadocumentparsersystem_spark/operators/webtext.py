@@ -780,3 +780,27 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
                                * F.col("lr")).cast("double"),
                          6).alias("logratio"))
             .withColumnRenamed("id", "doc_id"))
+
+
+# --- leakage-safe (domain-disjoint) train/val/test split ---------------------
+
+def domain_split(df: DataFrame, url_col: str = "url",
+                 weights: dict[str, float] | None = None,
+                 seed: int = 42) -> DataFrame:
+    """Train/val/test assignment keyed on the REGISTRABLE DOMAIN, not
+    the document id: every page of ``example.co.uk`` (all hosts, all
+    paths) lands in the same split, so near-duplicate pages and shared
+    site boilerplate can never straddle the train/test boundary — the
+    standard contamination control for web corpora (plain id-hash
+    splits leak template text across splits).
+
+    Pure column expression — ``url_domain``'s InSet PSL cascade +
+    ``hash_split``'s md5-unit cascade on the domain string; no joins,
+    no shuffle, pushes past the scan like any filter. Docs whose host
+    IS a bare public suffix ('' domain) still split deterministically
+    (hash of '').
+    """
+    from ..functions import hash_split
+    return df.select(
+        "*", url_domain(url_col).alias("domain"),
+        hash_split(url_domain(url_col), weights, seed).alias("split"))

@@ -888,3 +888,92 @@ def test_sequence_packing(spark):
         assert 0 < u["util_bp"] <= 10000
         assert u["n_tokens"] == sum(r["cost"] for r in by_doc.values()
                                     if r["shard"] == shard)
+
+
+def test_domain_split_is_domain_disjoint(spark):
+    """Every host of one registrable domain (all subdomains) lands in
+    the same split; different domains spread across splits; bare
+    public-suffix hosts still get a deterministic split."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = [(i, f"https://sub{i % 5}.site{i % 7}.co.uk/p{i}")
+            for i in range(70)]
+    rows += [(100 + i, f"https://www.example{i}.com/x") for i in range(30)]
+    rows.append((999, "https://co.uk/"))  # host IS a public suffix
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = webtext.domain_split(df).collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r["domain"], set()).add(r["split"])
+    for dom, splits in by_domain.items():
+        assert len(splits) == 1, (dom, splits)
+    assert {r["domain"] for r in out if r["doc_id"] < 70} == {
+        f"site{k}.co.uk" for k in range(7)}
+    assert len({next(iter(s)) for s in by_domain.values()}) > 1
+    suffix_row = [r for r in out if r["doc_id"] == 999][0]
+    assert suffix_row["domain"] == "" and suffix_row["split"] in (
+        "train", "val", "test")
+
+
+def test_mojibake_repair_udf_matches_pure_function(spark):
+    """Spark UDF == pure function on single/double corruption, clean
+    accented text (idempotent), CJK, and invalid-tail passthrough."""
+    from historicaldatadocumentparsersystem_spark import functions as fn
+    cases = ["café déjà vu — naïve", "“quoted” – dash", "日本語テキスト",
+             "plain ascii", "Ã invalid tail", "€100 • bullet", ""]
+    rows = []
+    for i, good in enumerate(cases):
+        bad = fn.mojibake_corrupt_str(good)
+        rows += [(3 * i, good), (3 * i + 1, bad),
+                 (3 * i + 2, fn.mojibake_corrupt_str(bad))]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r["id"]: r["fixed"] for r in df.select(
+        "id", fn.fix_mojibake("s").alias("fixed")).collect()}
+    for i, (rid, s) in enumerate(rows):
+        assert got[rid] == fn.fix_mojibake_str(s), (rid, s)
+    for i, good in enumerate(cases):
+        if good not in ("Ã invalid tail",):  # corrupt('Ã...') repairs
+            assert got[3 * i] == good
+            assert got[3 * i + 1] == good
+            assert got[3 * i + 2] == good
+
+
+def test_incremental_matches_full_recompute(spark):
+    """Ingesting a corpus in two batches against the signature store
+    yields EXACTLY the one-shot minhash_lsh_pairs result: batch-1
+    pairs (emitted at batch-1 time) + batch-2's incremental pairs."""
+    from historicaldatadocumentparsersystem_spark.operators import (
+        dedup, incremental)
+    base = ["the quick brown fox jumps over the lazy dog every day",
+            "pack my box with five dozen liquor jugs right now",
+            "sphinx of black quartz judge my vow tonight again"]
+    rows = []
+    for i in range(30):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t += f" variant {i}"
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in dedup.minhash_lsh_pairs(
+                df, num_hashes=16, bands=8, n=2, threshold=0.0).collect()}
+    assert full, "fixture must produce near-dup pairs"
+
+    b1 = df.where(F.col("doc_id") < 15)
+    b2 = df.where(F.col("doc_id") >= 15)
+    # batch 1 into an empty store
+    empty = incremental.minhash_band_table(
+        df.where(F.lit(False)), n=2)
+    p1, store1 = incremental.incremental_minhash_pairs(
+        b1, empty, n=2, threshold=0.0)
+    # batch 2 against batch 1's accumulated store
+    p2, _ = incremental.incremental_minhash_pairs(
+        b2, store1, n=2, threshold=0.0)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in p1.collect()}
+    inc2 = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in p2.collect()}
+    assert not set(got) & set(inc2)
+    got.update(inc2)
+    assert got == full
+    # every batch-2 pair touches batch 2; store-store pairs never recur
+    assert all(b >= 15 for _, b in inc2)

@@ -316,3 +316,18 @@ def test_packing_plans(spark):
     assert count_exchanges(offs) == 1, plan
     assert "Window" in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_probe_is_hash_equi_join(spark):
+    """The store probe must be a hash equi-join on (band, bucket) —
+    never a nested loop — and the store side must NOT recompute
+    signatures (its scan carries the at-rest columns only)."""
+    from historicaldatadocumentparsersystem_spark.operators import incremental
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    store = incremental.minhash_band_table(
+        docs.where(F.col("doc_id") < 50), n=2)
+    pairs, _ = incremental.incremental_minhash_pairs(
+        docs.where(F.col("doc_id") >= 50), store, n=2, threshold=0.0)
+    plan = physical_plan(pairs)
+    assert "NestedLoop" not in plan, plan
+    assert "hashpartitioning(band" in plan or "BroadcastHashJoin" in plan, plan
