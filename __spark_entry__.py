@@ -206,6 +206,19 @@ def _hash_split_oracle() -> str:
             FROM documents"""
 
 
+def _hash_split_case(key: str = "doc_id") -> str:
+    """The hash_split CASE expression alone (same Python-float
+    cumulative thresholds), for embedding in larger oracles."""
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    u = (f"(cast('0x' || substr(md5('42:' || {key}), 1, 8) AS bigint)"
+         " / 4294967296.0e0)")
+    names, cum, whens = list(weights), 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"WHEN {u} < {_flit(cum)} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
 _SPLIT_TLDS = ("com", "co.uk", "com.au", "org")
 
 
@@ -653,7 +666,7 @@ _EXTRA_ORDER = [
     "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
     "dsir_weights", "cms_term_counts", "ccnet_ppl_buckets",
     "pack_offsets", "pack_greedy", "domain_split", "mojibake_repair",
-    "incremental_dedup_pairs",
+    "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
 ]
 
 
@@ -925,6 +938,46 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.domain_split(docs).select(
             "doc_id", "domain", "split")
     q["domain_split"] = q_domain_split
+
+    # --- latest-wins snapshot consolidation — SQL-checked (QUALIFY
+    # twin; md5 tiebreak exercised by a same-ts conflict slice)
+    def q_snapshot_latest(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        snaps = []
+        for s in range(3):
+            snap = (docs.where((F.col("doc_id") + s) % 4 != 0)
+                    .select(F.concat(F.lit("https://"), F.col("source"),
+                                     F.lit("/doc-"), F.col("doc_id"))
+                            .alias("url"),
+                            F.lit(s).cast("long").alias("fetch_ts"),
+                            F.when((F.lit(s) > 0)
+                                   & (F.col("doc_id") % 3 == 0),
+                                   F.concat("text", F.lit(f" v{s}")))
+                            .otherwise(F.col("text")).alias("text")))
+            snaps.append(snap)
+        # same-ts conflict rows: the md5 tiebreak must decide
+        snaps.append(
+            docs.where(F.col("doc_id") % 10 == 0)
+            .select(F.concat(F.lit("https://"), F.col("source"),
+                             F.lit("/doc-"), F.col("doc_id")).alias("url"),
+                    F.lit(2).cast("long").alias("fetch_ts"),
+                    F.concat("text", F.lit(" alt")).alias("text")))
+        allsnaps = snaps[0]
+        for s in snaps[1:]:
+            allsnaps = allsnaps.unionByName(s)
+        return (webtext.snapshot_latest(allsnaps)
+                .select("url", "fetch_ts",
+                        F.md5("text").alias("content_hash")))
+    q["snapshot_latest"] = q_snapshot_latest
+
+    # --- corpus token accounting per (lang, split) — SQL-checked
+    # (integer basis points, lazy 1-row total)
+    def q_token_budget(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark import functions as fn
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "split", fn.hash_split("doc_id"))
+        return webtext.corpus_token_budget(docs, ["lang", "split"])
+    q["corpus_token_budget"] = q_token_budget
 
     # --- incremental dedup vs a persisted signature store — the
     # batch (doc_id in [250, 500)) probes the store (doc_id < 250):
@@ -1758,6 +1811,34 @@ def oracle_sql() -> dict[str, str]:
                          i -> sig_a[i] = sig_b[i])) / 16.0, 6)
                    AS est_jaccard
             FROM cand""",
+        "snapshot_latest": """
+            WITH s AS (
+              SELECT 'https://' || source || '/doc-' || doc_id AS url,
+                     s::bigint AS fetch_ts,
+                     CASE WHEN s > 0 AND doc_id % 3 = 0
+                          THEN text || ' v' || s
+                          ELSE text END AS text
+              FROM documents, unnest(generate_series(0, 2)) AS g(s)
+              WHERE (doc_id + s) % 4 != 0
+              UNION ALL
+              SELECT 'https://' || source || '/doc-' || doc_id,
+                     2::bigint, text || ' alt'
+              FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT url, fetch_ts, md5(text) AS content_hash
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY url
+                    ORDER BY fetch_ts DESC, md5(text) DESC) = 1""",
+        "corpus_token_budget": f"""
+            WITH per AS (
+              SELECT lang, {_hash_split_case('doc_id')} AS split,
+                     count(*) AS n_docs,
+                     sum(len({tok}))::bigint AS n_tokens
+              FROM documents GROUP BY lang, split
+            ), tt AS (SELECT sum(n_tokens) AS _tt FROM per)
+            SELECT lang, split, n_docs, n_tokens,
+                   ((n_tokens * 10000) // _tt)::bigint AS share_bp
+            FROM per CROSS JOIN tt""",
         "incremental_dedup_pairs": f"""
             WITH sig AS (
               SELECT doc_id AS id,

@@ -19,7 +19,7 @@ that hygiene pass, which a single-process engine cannot express.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import tokens
@@ -804,3 +804,48 @@ def domain_split(df: DataFrame, url_col: str = "url",
     return df.select(
         "*", url_domain(url_col).alias("domain"),
         hash_split(url_domain(url_col), weights, seed).alias("split"))
+
+
+def snapshot_latest(df: DataFrame, url_col: str = "url",
+                    ts_col: str = "fetch_ts",
+                    text_col: str = "text") -> DataFrame:
+    """Latest-wins consolidation of a multi-snapshot crawl union: one
+    row per URL — the newest fetch, ties broken by content hash (the
+    deterministic tiebreak a re-crawled-same-second page needs).
+
+    This is the step between raw Common-Crawl dumps (each URL appears
+    in many monthly snapshots) and a dedup-ready corpus; running it
+    BEFORE near-dup detection removes the dominant trivial duplicate
+    class (the same page re-fetched) for the cost of one shuffle.
+
+    Scale: one window keyed on url (uniform keys). With snapshots
+    written bucketed by url (the ingest layout), the window needs no
+    exchange at all — sort within co-located buckets.
+    """
+    w = (Window.partitionBy(F.col(url_col))
+         .orderBy(F.col(ts_col).desc(), F.md5(F.col(text_col)).desc()))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk"))
+
+
+def corpus_token_budget(df: DataFrame, group_cols: list[str],
+                        text_col: str = "text") -> DataFrame:
+    """Token accounting per corpus slice — the table a training-mix
+    planner actually reads (how many tokens does each (lang, split)
+    hold, and what corpus share is that): doc count, token total, and
+    share in basis points (integer cross-multiply via ``div`` —
+    float-free, driver-hashable).
+
+    Scale: ONE map-side-combinable groupBy; the corpus total rides a
+    lazy 1-row aggregate crossJoin (never an eager .count())."""
+    from .textstats import token_count
+    per = (df.groupBy(*group_cols)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(token_count(text_col)).cast("long")
+                .alias("n_tokens")))
+    total = per.agg(F.sum("n_tokens").alias("_tt"))
+    return (per.crossJoin(F.broadcast(total))
+            .select(*group_cols, "n_docs", "n_tokens",
+                    F.expr("(n_tokens * 10000) div _tt").cast("long")
+                    .alias("share_bp")))

@@ -977,3 +977,16 @@ def test_incremental_matches_full_recompute(spark):
     assert got == full
     # every batch-2 pair touches batch 2; store-store pairs never recur
     assert all(b >= 15 for _, b in inc2)
+
+
+def test_snapshot_latest_wins_and_tiebreaks(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    import hashlib
+    rows = [("u1", 1, "old"), ("u1", 3, "newest"), ("u1", 2, "mid"),
+            ("u2", 5, "tie-a"), ("u2", 5, "tie-b"), ("u3", 0, "only")]
+    df = spark.createDataFrame(rows, "url string, fetch_ts long, text string")
+    got = {r["url"]: r["text"]
+           for r in webtext.snapshot_latest(df).collect()}
+    tie_winner = max(["tie-a", "tie-b"],
+                     key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert got == {"u1": "newest", "u2": tie_winner, "u3": "only"}
