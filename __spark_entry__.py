@@ -222,6 +222,51 @@ def _hash_split_case(key: str = "doc_id") -> str:
 _SPLIT_TLDS = ("com", "co.uk", "com.au", "org")
 
 
+def _synth_snapshots(docs):
+    """Three derived crawl snapshots of the documents table (s = 0..2:
+    every 4th url absent per snapshot, every 3rd url's text changes
+    after s=0) plus a same-ts conflict slice (doc_id % 10 == 0 at
+    ts=2) so the md5 tiebreak is exercised. Shared by the
+    snapshot_latest and recrawl_priority queries; the SQL twin is
+    ``_SNAP_CTE``."""
+    snaps = []
+    for s in range(3):
+        snaps.append(
+            docs.where((F.col("doc_id") + s) % 4 != 0)
+            .select(F.concat(F.lit("https://"), F.col("source"),
+                             F.lit("/doc-"), F.col("doc_id"))
+                    .alias("url"),
+                    F.lit(s).cast("long").alias("fetch_ts"),
+                    F.when((F.lit(s) > 0) & (F.col("doc_id") % 3 == 0),
+                           F.concat("text", F.lit(f" v{s}")))
+                    .otherwise(F.col("text")).alias("text")))
+    snaps.append(
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(F.concat(F.lit("https://"), F.col("source"),
+                         F.lit("/doc-"), F.col("doc_id")).alias("url"),
+                F.lit(2).cast("long").alias("fetch_ts"),
+                F.concat("text", F.lit(" alt")).alias("text")))
+    allsnaps = snaps[0]
+    for s in snaps[1:]:
+        allsnaps = allsnaps.unionByName(s)
+    return allsnaps
+
+
+_SNAP_CTE = """s AS (
+              SELECT 'https://' || source || '/doc-' || doc_id AS url,
+                     s::bigint AS fetch_ts,
+                     CASE WHEN s > 0 AND doc_id % 3 = 0
+                          THEN text || ' v' || s
+                          ELSE text END AS text
+              FROM documents, unnest(generate_series(0, 2)) AS g(s)
+              WHERE (doc_id + s) % 4 != 0
+              UNION ALL
+              SELECT 'https://' || source || '/doc-' || doc_id,
+                     2::bigint, text || ' alt'
+              FROM documents WHERE doc_id % 10 = 0
+            )"""
+
+
 def _domain_split_oracle() -> str:
     """DuckDB twin of webtext.domain_split over synthesized multi-host
     urls: the PSL CASE cascade on the host, then hash_split's md5-unit
@@ -262,6 +307,72 @@ def _domain_split_oracle() -> str:
               {body}
               ELSE '{names[-1]}' END AS split
             FROM d"""
+
+
+def _url_quality_oracle() -> str:
+    """DuckDB twin of webtext.url_quality over the synthetic urls
+    built in q_url_quality: hostbase (digit-heavy 'cdn<id>' for
+    doc_id%7==0, else 'sub<0..2>') + source + a TLD picked from
+    _SPLIT_TLDS, with a '?session=1&download=now' query string on
+    every 5th doc. Same PSL CASE cascade as _domain_split_oracle for
+    the registrable domain; instr probes for the soft words; integer
+    basis points for the digit share (no floats anywhere)."""
+    from historicaldatadocumentparsersystem_spark.operators.webtext \
+        import URL_SOFT_WORDS
+    suf2 = ", ".join(f"'{s}'" for s in sorted(_psl.SUFFIX_2))
+    suf3 = ", ".join(f"'{s}'" for s in sorted(_psl.SUFFIX_3))
+    tlds = ", ".join(f"'{t}'" for t in _SPLIT_TLDS)
+    soft = "\n                   + ".join(
+        f"(instr(lower(url), '{w}') > 0)::bigint"
+        for w in sorted(set(URL_SOFT_WORDS)))
+    return f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' ||
+                     CASE WHEN doc_id % 7 = 0 THEN 'cdn' || doc_id
+                          ELSE 'sub' || (doc_id % 3) END
+                     || '.' || source || '.' ||
+                     ([{tlds}])[ascii(right(source, 1)) % 4 + 1]
+                     || '/doc-' || doc_id ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN '?session=1&download=now'
+                          ELSE '' END AS url
+              FROM documents
+            ), h AS (
+              SELECT doc_id, url,
+                     lower(regexp_replace(regexp_extract(url,
+                       '^[^:/?#]+://([^/?#:@]+(?::\\d+)?)', 1),
+                       ':\\d+$', '')) AS host
+              FROM u
+            ), d AS (
+              SELECT doc_id, url, host,
+                   CASE WHEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({suf3})
+                        THEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
+                        WHEN regexp_extract(host,
+                          '([^.]+\\.[^.]+)$', 1) IN ({suf2})
+                        THEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                        ELSE regexp_extract(host,
+                          '([^.]+\\.[^.]+)$', 1) END AS domain
+              FROM h
+            ), s AS (
+              SELECT doc_id, domain,
+                     ({soft})::bigint AS n_soft,
+                     length(regexp_replace(host, '[^0-9]', '', 'g'))
+                       ::bigint AS _nd,
+                     length(host)::bigint AS _hl
+              FROM d
+            ), b AS (
+              SELECT doc_id, domain, n_soft,
+                     (CASE WHEN _hl > 0 THEN (_nd * 10000) // _hl
+                           ELSE 0 END)::bigint AS digit_bp
+              FROM s)
+            SELECT doc_id, domain, n_soft, digit_bp,
+                   (domain NOT IN ('src1.co.uk', 'src2.com')
+                    AND n_soft <= 1 AND digit_bp <= 2000) AS keep
+            FROM b"""
 
 
 def _text_norm_oracle() -> str:
@@ -667,6 +778,7 @@ _EXTRA_ORDER = [
     "dsir_weights", "cms_term_counts", "ccnet_ppl_buckets",
     "pack_offsets", "pack_greedy", "domain_split", "mojibake_repair",
     "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
+    "recrawl_priority", "blocklist_gate", "url_quality_filter",
 ]
 
 
@@ -942,33 +1054,46 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- latest-wins snapshot consolidation — SQL-checked (QUALIFY
     # twin; md5 tiebreak exercised by a same-ts conflict slice)
     def q_snapshot_latest(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
-        snaps = []
-        for s in range(3):
-            snap = (docs.where((F.col("doc_id") + s) % 4 != 0)
-                    .select(F.concat(F.lit("https://"), F.col("source"),
-                                     F.lit("/doc-"), F.col("doc_id"))
-                            .alias("url"),
-                            F.lit(s).cast("long").alias("fetch_ts"),
-                            F.when((F.lit(s) > 0)
-                                   & (F.col("doc_id") % 3 == 0),
-                                   F.concat("text", F.lit(f" v{s}")))
-                            .otherwise(F.col("text")).alias("text")))
-            snaps.append(snap)
-        # same-ts conflict rows: the md5 tiebreak must decide
-        snaps.append(
-            docs.where(F.col("doc_id") % 10 == 0)
-            .select(F.concat(F.lit("https://"), F.col("source"),
-                             F.lit("/doc-"), F.col("doc_id")).alias("url"),
-                    F.lit(2).cast("long").alias("fetch_ts"),
-                    F.concat("text", F.lit(" alt")).alias("text")))
-        allsnaps = snaps[0]
-        for s in snaps[1:]:
-            allsnaps = allsnaps.unionByName(s)
+        allsnaps = _synth_snapshots(_t(spark, sf_dir, "documents"))
         return (webtext.snapshot_latest(allsnaps)
                 .select("url", "fetch_ts",
                         F.md5("text").alias("content_hash")))
     q["snapshot_latest"] = q_snapshot_latest
+
+    # --- recrawl priority from the same multi-snapshot history —
+    # SQL-checked (integer change_bp, groupBy twin)
+    def q_recrawl(spark, sf_dir):
+        allsnaps = _synth_snapshots(_t(spark, sf_dir, "documents"))
+        return webtext.recrawl_priority(allsnaps)
+    q["recrawl_priority"] = q_recrawl
+
+    # --- C4 blocklist document gate — SQL-checked (list_intersect
+    # twin; 'window' hits ~80% of docs, 'vacuum' never — both classes)
+    def q_blocklist(spark, sf_dir):
+        return webtext.blocklist_gate(
+            _t(spark, sf_dir, "documents"), ["window", "vacuum"])
+    q["blocklist_gate"] = q_blocklist
+
+    # --- RefinedWeb-style URL quality filter — SQL-checked (synthetic
+    # urls exercise banned domains, soft words, digit-heavy hosts)
+    def q_url_quality(spark, sf_dir):
+        tld = F.element_at(
+            F.array(*[F.lit(t) for t in _SPLIT_TLDS]),
+            (F.ascii(F.expr("right(source, 1)")) % 4 + 1).cast("int"))
+        hostbase = (
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit("cdn"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("sub"), (F.col("doc_id") % 3))))
+        url = F.concat(
+            F.lit("https://"), hostbase, F.lit("."), F.col("source"),
+            F.lit("."), tld, F.lit("/doc-"), F.col("doc_id"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("?session=1&download=now")).otherwise(F.lit("")))
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", url.alias("url"))
+        return webtext.url_quality(
+            docs, banned_domains=("src1.co.uk", "src2.com"))
+    q["url_quality_filter"] = q_url_quality
 
     # --- corpus token accounting per (lang, split) — SQL-checked
     # (integer basis points, lazy 1-row total)
@@ -1811,24 +1936,38 @@ def oracle_sql() -> dict[str, str]:
                          i -> sig_a[i] = sig_b[i])) / 16.0, 6)
                    AS est_jaccard
             FROM cand""",
-        "snapshot_latest": """
-            WITH s AS (
-              SELECT 'https://' || source || '/doc-' || doc_id AS url,
-                     s::bigint AS fetch_ts,
-                     CASE WHEN s > 0 AND doc_id % 3 = 0
-                          THEN text || ' v' || s
-                          ELSE text END AS text
-              FROM documents, unnest(generate_series(0, 2)) AS g(s)
-              WHERE (doc_id + s) % 4 != 0
-              UNION ALL
-              SELECT 'https://' || source || '/doc-' || doc_id,
-                     2::bigint, text || ' alt'
-              FROM documents WHERE doc_id % 10 = 0
-            )
+        "snapshot_latest": f"""
+            WITH {_SNAP_CTE}
             SELECT url, fetch_ts, md5(text) AS content_hash
             FROM s
             QUALIFY row_number() OVER (PARTITION BY url
                     ORDER BY fetch_ts DESC, md5(text) DESC) = 1""",
+        "recrawl_priority": f"""
+            WITH {_SNAP_CTE}, g AS (
+              SELECT url, count(*)::bigint AS n_fetches,
+                     count(DISTINCT md5(text))::bigint AS n_versions,
+                     max(fetch_ts)::bigint AS last_ts
+              FROM s GROUP BY url
+            ), c AS (
+              SELECT *, (CASE WHEN n_fetches > 1
+                         THEN ((n_versions - 1) * 10000)
+                              // (n_fetches - 1)
+                         ELSE 0 END)::bigint AS change_bp
+              FROM g)
+            SELECT url, n_fetches, n_versions, last_ts, change_bp,
+                   CASE WHEN change_bp >= 5000 THEN 'hot'
+                        WHEN change_bp > 0 THEN 'warm'
+                        ELSE 'cold' END AS priority
+            FROM c""",
+        "blocklist_gate": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     len(list_intersect(list_distinct(
+                       list_transform({tok}, y -> lower(y))),
+                       ['vacuum', 'window']))::bigint AS n_hits
+              FROM documents)
+            SELECT doc_id, n_hits, n_hits = 0 AS keep FROM h""",
+        "url_quality_filter": _url_quality_oracle(),
         "corpus_token_budget": f"""
             WITH per AS (
               SELECT lang, {_hash_split_case('doc_id')} AS split,

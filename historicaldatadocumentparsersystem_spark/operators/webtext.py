@@ -849,3 +849,117 @@ def corpus_token_budget(df: DataFrame, group_cols: list[str],
             .select(*group_cols, "n_docs", "n_tokens",
                     F.expr("(n_tokens * 10000) div _tt").cast("long")
                     .alias("share_bp")))
+
+
+# --- document-level blocklist gate (C4 "bad words") ---------------------------
+
+def blocklist_gate(df: DataFrame, terms: list[str],
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4's document-level blocklist gate (Raffel et al. 2020 §2.2:
+    any page containing a word on the block list is removed). Returns
+    (id, n_hits, keep) where n_hits counts the DISTINCT blocked terms
+    present as whitespace tokens (case-insensitive) and keep is
+    n_hits == 0 — callers filter or audit on it.
+
+    The term list rides as an array literal (curation blocklists are
+    hundreds of words — a driver-side constant, never a join side).
+
+    Scale: pure codegen projection — array_intersect against a literal
+    array, zero joins, zero shuffles; the filter pushes past the
+    scan's column pruning like any other predicate.
+    """
+    lows = F.array_distinct(F.transform(tokens(text_col),
+                                        lambda t: F.lower(t)))
+    lit = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    hits = F.size(F.array_intersect(lows, lit)).cast("long")
+    return df.select(F.col(id_col), hits.alias("n_hits"),
+                     (hits == F.lit(0)).alias("keep"))
+
+
+# --- URL quality filter (RefinedWeb-style) ------------------------------------
+
+URL_SOFT_WORDS = ("download", "signup", "login", "search", "session",
+                  "redirect", "tracker")
+
+
+def url_quality(df: DataFrame, url_col: str = "url",
+                id_col: str = "doc_id",
+                banned_domains: tuple[str, ...] = (),
+                soft_words: tuple[str, ...] = URL_SOFT_WORDS,
+                max_soft: int = 1,
+                max_digit_bp: int = 2000) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): score
+    every URL before its body is ever fetched/extracted — (a)
+    hard-banned registrable domains, (b) "soft" spam words appearing
+    anywhere in the lowercased URL, (c) digit share of the host
+    (spam/CDN hosts are digit-heavy). Returns (id, domain, n_soft,
+    digit_bp, keep) with keep = not banned AND n_soft <= max_soft AND
+    digit_bp <= max_digit_bp. digit_bp is integer basis points
+    ((digits * 10000) div len(host)) — no float thresholds anywhere in
+    the gate, so the driver hash never sees a double.
+
+    Scale: pure column expressions (PSL InSet cascade for the domain,
+    instr probes for the soft words, regexp strip for the digit
+    count) — zero joins/shuffles; runs at the crawl frontier BEFORE
+    page bodies exist, so it prunes fetch volume, not just rows.
+    """
+    u = F.lower(F.col(url_col))
+    n_soft = F.lit(0).cast("long")
+    for w in sorted(set(soft_words)):
+        n_soft = n_soft + (F.instr(u, w) > 0).cast("long")
+    staged = df.select(
+        F.col(id_col), url_domain(url_col).alias("domain"),
+        n_soft.alias("n_soft"),
+        F.length(F.regexp_replace(url_host(url_col), "[^0-9]", ""))
+        .cast("long").alias("_nd"),
+        F.length(url_host(url_col)).cast("long").alias("_hl"))
+    digit_bp = (F.when(F.col("_hl") > 0,
+                       F.expr("(_nd * 10000) div _hl"))
+                .otherwise(F.lit(0))).cast("long")
+    banned = (F.col("domain").isin(*sorted(banned_domains))
+              if banned_domains else F.lit(False))
+    staged = staged.withColumn("digit_bp", digit_bp)
+    return staged.select(
+        F.col(id_col), "domain", "n_soft", "digit_bp",
+        (~banned & (F.col("n_soft") <= max_soft)
+         & (F.col("digit_bp") <= max_digit_bp)).alias("keep"))
+
+
+# --- recrawl priority (multi-snapshot change history) --------------------------
+
+def recrawl_priority(snapshots: DataFrame, url_col: str = "url",
+                     ts_col: str = "fetch_ts",
+                     text_col: str = "text",
+                     hot_bp: int = 5000) -> DataFrame:
+    """Crawl-frontier scheduling signal from a multi-snapshot history:
+    per URL, how often did the content actually change between
+    fetches? change_bp = ((distinct_versions - 1) * 10000) div
+    (fetches - 1) — 0 for never-changed or single-fetch URLs, 10000
+    for changed-every-fetch. priority buckets: 'hot' (>= hot_bp),
+    'warm' (> 0), 'cold' (0) — the recrawl planner fetches hot URLs
+    every snapshot, samples warm, and skips cold (the incremental
+    complement of ``crawl_delta``, which diffs exactly two snapshots).
+
+    Content identity is md5 of the text: the aggregate carries 16-byte
+    hashes, never page bodies.
+
+    Scale: ONE map-side-combinable groupBy on url (uniform keys);
+    count(DISTINCT md5) is bounded by the snapshot count per URL, so
+    no group ever grows beyond the number of crawls.
+    """
+    g = (snapshots.groupBy(F.col(url_col).alias("url"))
+         .agg(F.count("*").cast("long").alias("n_fetches"),
+              F.countDistinct(F.md5(text_col)).cast("long")
+              .alias("n_versions"),
+              F.max(F.col(ts_col)).cast("long").alias("last_ts")))
+    change_bp = (F.when(F.col("n_fetches") > 1,
+                        F.expr("((n_versions - 1) * 10000)"
+                               " div (n_fetches - 1)"))
+                 .otherwise(F.lit(0))).cast("long")
+    g = g.withColumn("change_bp", change_bp)
+    pri = (F.when(F.col("change_bp") >= hot_bp, F.lit("hot"))
+           .when(F.col("change_bp") > 0, F.lit("warm"))
+           .otherwise(F.lit("cold")))
+    return g.select("url", "n_fetches", "n_versions", "last_ts",
+                    "change_bp", pri.alias("priority"))

@@ -990,3 +990,47 @@ def test_snapshot_latest_wins_and_tiebreaks(spark):
     tie_winner = max(["tie-a", "tie-b"],
                      key=lambda t: hashlib.md5(t.encode()).hexdigest())
     assert got == {"u1": "newest", "u2": tie_winner, "u3": "only"}
+
+def test_blocklist_gate_distinct_case_insensitive(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = [(1, "Window cleaner WINDOW window"),   # 1 distinct hit
+            (2, "a clean page"),                   # 0 hits
+            (3, "vacuum the Window sill"),         # 2 distinct hits
+            (4, "windows are fine")]               # substring, no token hit
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["keep"])
+           for r in webtext.blocklist_gate(df, ["window", "vacuum"]).collect()}
+    assert got == {1: (1, False), 2: (0, True), 3: (2, False), 4: (0, True)}
+
+
+def test_url_quality_gates(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = [(1, "https://good.example.com/a"),
+            (2, "https://spam.co.uk/x"),                       # banned domain
+            (3, "https://ok.example.com/login?session=1"),      # 2 soft words
+            (4, "https://123456789012.example.com/b"),          # digit-heavy
+            (5, "https://sub1.example.com/download")]           # 1 soft word ok
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = webtext.url_quality(df, banned_domains=("spam.co.uk",))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["keep"] and got[1]["domain"] == "example.com"
+    assert not got[2]["keep"] and got[2]["domain"] == "spam.co.uk"
+    assert got[3]["n_soft"] == 2 and not got[3]["keep"]
+    # host '123456789012.example.com' = 12 digits / 24 chars = 5000 bp
+    assert got[4]["digit_bp"] == 5000 and not got[4]["keep"]
+    assert got[5]["n_soft"] == 1 and got[5]["keep"]
+
+
+def test_recrawl_priority_buckets(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = [("hot", 0, "a"), ("hot", 1, "b"), ("hot", 2, "c"),    # changes every fetch
+            ("warm", 0, "a"), ("warm", 1, "a"), ("warm", 2, "b"),  # one change / 2 gaps
+            ("cold", 0, "a"), ("cold", 1, "a"),                    # never changes
+            ("single", 7, "z")]                                    # one fetch
+    df = spark.createDataFrame(rows, "url string, fetch_ts long, text string")
+    got = {r["url"]: r for r in webtext.recrawl_priority(df).collect()}
+    assert got["hot"]["change_bp"] == 10000 and got["hot"]["priority"] == "hot"
+    assert got["warm"]["change_bp"] == 5000 and got["warm"]["priority"] == "hot"
+    assert got["cold"]["change_bp"] == 0 and got["cold"]["priority"] == "cold"
+    assert got["single"]["n_fetches"] == 1 and got["single"]["priority"] == "cold"
+    assert got["hot"]["last_ts"] == 2
