@@ -510,6 +510,47 @@ _GOLDEN_LINKS = os.path.join(_REPO, "fixtures",
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
 
 
+def _simhash_cc_sql(tok: str) -> str:
+    """Recursive-CTE chain (tokens -> ... -> comp): 32-bit simhash over
+    documents WHERE doc_id < 500, near-dup pairs at hamming <= 7, then
+    the transitive-closure min-label components — the declarative twin
+    of ``dedup.simhash_near_pairs`` + ``connected_components``, shared
+    by the dedup_clusters and fuzzy_keep_best oracles."""
+    return f"""tokens AS (
+              SELECT doc_id, unnest({tok}) AS t FROM documents
+              WHERE doc_id < 500
+            ), hashes AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(t), 1, 8)) AS bigint) AS h
+              FROM tokens
+            ), votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashes, unnest(generate_series(0, 31)) AS bb(b)
+              GROUP BY doc_id, b
+            ), sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::bigint << b)
+                              ELSE 0 END)::bigint AS s
+              FROM votes GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.s, b.s)) <= 7
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach AS (
+              SELECT src AS node, src AS lab FROM edges
+              UNION
+              SELECT e.dst AS node, r.lab
+              FROM reach r JOIN edges e ON e.src = r.node
+            ), comp AS (
+              SELECT node, min(lab) AS component FROM reach GROUP BY node
+            )"""
+
+
 def _pagerank_sql(iters: int) -> str:
     """DuckDB twin of the host_pagerank query: derive the deterministic
     ring edge table from documents, then unroll ``iters`` PageRank
@@ -779,6 +820,7 @@ _EXTRA_ORDER = [
     "pack_offsets", "pack_greedy", "domain_split", "mojibake_repair",
     "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
+    "fuzzy_keep_best",
 ]
 
 
@@ -888,6 +930,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dedup.simhash_near_pairs(docs, bits=32, max_hamming=7)
         return dedup.dedup_clusters(pairs)
     q["dedup_clusters"] = q_dedup_clusters
+
+    # --- fuzzy-dedup keep-policy: best-quality member per near-dup
+    # cluster — SQL-checked (closure CTE + window twin)
+    def q_fuzzy_keep(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        pairs = dedup.simhash_near_pairs(docs, bits=32, max_hamming=7)
+        return dedup.keep_best_per_cluster(
+            docs, pairs, quality.quality_score_micro("text"))
+    q["fuzzy_keep_best"] = q_fuzzy_keep
 
     # --- similarity search (J3/W2 analogs) — SQL-checked
     def q_ann(spark, sf_dir):
@@ -2043,42 +2094,33 @@ def oracle_sql() -> dict[str, str]:
         # connected components == transitive closure min-label (the
         # iterative Spark loop's fixpoint, computed declaratively)
         "dedup_clusters": f"""
-            WITH RECURSIVE tokens AS (
-              SELECT doc_id, unnest({tok}) AS t FROM documents
-              WHERE doc_id < 500
-            ), hashes AS (
-              SELECT doc_id,
-                     cast(concat('0x', substr(md5(t), 1, 8)) AS bigint) AS h
-              FROM tokens
-            ), votes AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM hashes, unnest(generate_series(0, 31)) AS bb(b)
-              GROUP BY doc_id, b
-            ), sim AS (
-              SELECT doc_id,
-                     sum(CASE WHEN v > 0 THEN (1::bigint << b)
-                              ELSE 0 END)::bigint AS s
-              FROM votes GROUP BY doc_id
-            ), pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.s, b.s)) <= 7
-            ), edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION
-              SELECT id_b AS src, id_a AS dst FROM pairs
-            ), reach AS (
-              SELECT src AS node, src AS lab FROM edges
-              UNION
-              SELECT e.dst AS node, r.lab
-              FROM reach r JOIN edges e ON e.src = r.node
-            ), comp AS (
-              SELECT node, min(lab) AS component FROM reach GROUP BY node
-            )
+            WITH RECURSIVE {_simhash_cc_sql(tok)}
             SELECT component, count(*) AS n_members,
                    min(node) AS keep_id
             FROM comp GROUP BY component""",
+        # fuzzy-dedup keep-policy: same closure chain, then the
+        # quality-classifier score ranks members within each component
+        # (singletons = own component, always kept)
+        "fuzzy_keep_best": f"""
+            WITH RECURSIVE {_simhash_cc_sql(tok)}, scored AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform({tok},
+                       x -> ({_W_SQL})[((cast('0x' ||
+                         substr(md5(lower(x)), 1, 8) AS bigint))
+                         % {_qmodel.N_BUCKETS}) + 1])), 0)::bigint
+                       AS score_micro
+              FROM documents WHERE doc_id < 500
+            ), lab AS (
+              SELECT s.doc_id,
+                     coalesce(c.component, s.doc_id) AS component,
+                     s.score_micro
+              FROM scored s LEFT JOIN comp c ON c.node = s.doc_id
+            )
+            SELECT doc_id, component, score_micro,
+                   (row_number() OVER (PARTITION BY component
+                      ORDER BY score_micro DESC, doc_id ASC) = 1)
+                     AS keep
+            FROM lab""",
         "cosine_topk": f"""
             WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
             j AS (

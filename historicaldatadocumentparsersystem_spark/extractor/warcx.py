@@ -194,3 +194,83 @@ def build_wet(records: list[dict], gzip_records: bool = False) -> bytes:
             rec = c.compress(rec) + c.flush()
         out.append(rec)
     return b"".join(out)
+
+
+def parse_wat(data: bytes) -> list[dict]:
+    """All metadata records of a WAT shard (Common Crawl's per-page
+    metadata sibling: JSON envelopes describing each WARC response),
+    in order: {url, warc_ts, title (str | None),
+    links: [{path, href, anchor}, ...]}.
+
+    Only the HTML-Metadata subset the pipeline consumes is surfaced —
+    head title and outgoing links — from the envelope path
+    ``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata``.
+    Unparseable JSON or missing envelope levels degrade to title=None
+    / links=[] (F5: lossy rows, never raise).
+    """
+    import json
+
+    records: list[dict] = []
+    for headers, payload in _iter_records(data):
+        if headers.get("warc-type") != "metadata":
+            continue
+        title, links = None, []
+        try:
+            env = json.loads(payload.decode("utf-8", errors="replace"))
+            html_md = (env.get("Envelope", {})
+                       .get("Payload-Metadata", {})
+                       .get("HTTP-Response-Metadata", {})
+                       .get("HTML-Metadata", {}))
+            t = html_md.get("Head", {}).get("Title")
+            title = t if isinstance(t, str) else None
+            raw = html_md.get("Links", [])
+            if isinstance(raw, list):
+                for lk in raw:
+                    if isinstance(lk, dict) and "url" in lk:
+                        links.append({
+                            "path": str(lk.get("path", "")),
+                            "href": str(lk["url"]),
+                            "anchor": str(lk.get("text", ""))})
+        except (ValueError, AttributeError, TypeError):
+            pass
+        records.append({
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _warc_ts(headers),
+            "title": title,
+            "links": links,
+        })
+    return records
+
+
+def build_wat(records: list[dict], gzip_records: bool = False) -> bytes:
+    """Serialize {url, warc_ts, title, links} records into a valid WAT
+    shard (Common Crawl's envelope JSON under metadata records) —
+    fixture generator + exactness witness (build_wat -> parse_wat
+    round-trips title and links exactly)."""
+    import json
+
+    out = []
+    for r in records:
+        env = {"Envelope": {"Payload-Metadata": {
+            "HTTP-Response-Metadata": {"HTML-Metadata": {
+                "Head": ({"Title": r["title"]}
+                         if r.get("title") is not None else {}),
+                "Links": [{"path": lk["path"], "url": lk["href"],
+                           "text": lk["anchor"]}
+                          for lk in r.get("links", [])],
+            }}}}}
+        payload = json.dumps(env, sort_keys=True).encode("utf-8")
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (b"WARC/1.0\r\n"
+                b"WARC-Type: metadata\r\n"
+                b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
+                b"WARC-Date: " + ts.encode() + b"\r\n"
+                b"Content-Type: application/json\r\n"
+                b"Content-Length: " + str(len(payload)).encode() +
+                b"\r\n\r\n")
+        rec = head + payload + b"\r\n\r\n"
+        if gzip_records:
+            c = zlib.compressobj(wbits=31)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    return b"".join(out)

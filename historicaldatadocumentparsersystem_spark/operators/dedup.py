@@ -349,3 +349,39 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "id_a",
     return (cc.groupBy("component")
             .agg(F.count("*").alias("n_members"),
                  F.min("node").alias("keep_id")))
+
+
+def keep_best_per_cluster(df: DataFrame, pairs: DataFrame,
+                          score, id_col: str = "doc_id",
+                          a_col: str = "id_a",
+                          b_col: str = "id_b") -> DataFrame:
+    """Fuzzy-dedup keep-policy — the step every near-dup pipeline runs
+    AFTER pair generation + clustering: within each connected near-dup
+    cluster keep the single highest-``score`` member (ties broken by
+    lowest id, so the policy is total and deterministic); documents
+    that appear in no pair are their own singleton component and are
+    always kept. This replaces ``dedup_clusters``'s min-id canonical
+    with a quality-aware canonical (CCNet/FineWeb keep the best page of
+    a template cluster, not the numerically-first one).
+
+    ``score`` is any integer column expression over ``df`` (e.g.
+    ``quality.quality_score_micro("text")``) — integer so the ranking
+    is exact cross-engine. Returns (id, component, score_micro, keep).
+
+    Scale: one equi-join of the corpus against the (node, component)
+    label table on id, then ONE window partitioned by component —
+    near-dup clusters are small (bounded by template family size), so
+    no window partition ever approaches executor memory; singletons
+    never enter the label table and pay only the join probe.
+    """
+    cc = connected_components(pairs, a_col, b_col)
+    scored = df.select(F.col(id_col).alias("id"),
+                       score.cast("long").alias("score_micro"))
+    lab = (scored.join(cc.withColumnRenamed("node", "id"), "id", "left")
+           .withColumn("component",
+                       F.coalesce("component", F.col("id"))))
+    w = (Window.partitionBy("component")
+         .orderBy(F.col("score_micro").desc(), F.col("id").asc()))
+    return lab.select(
+        F.col("id").alias(id_col), "component", "score_micro",
+        (F.row_number().over(w) == 1).alias("keep"))

@@ -218,3 +218,51 @@ def read_wet_documents(spark: SparkSession, path: str) -> DataFrame:
             .load(path)
             .select("content")
             .mapInPandas(parse, DOCUMENTS_DDL))
+
+
+WAT_LINKS_DDL = ("url string, warc_ts timestamp, title string, "
+                 "link_pos int, path string, href string, anchor string")
+
+
+def read_wat_links(spark: SparkSession, path: str) -> DataFrame:
+    """WAT shards (Common Crawl's per-page metadata JSON) -> the link
+    table (url, warc_ts, title, link_pos, path, href, anchor): one row
+    per outgoing link, 1->N via the Spark-free
+    ``extractor.warcx.parse_wat``. This is the cheap path to the link
+    graph — ``linkgraph.host_edges``/``pagerank_hosts``/
+    ``anchor_text_terms`` consume it directly without ever touching
+    page bodies (WAT shards are ~1/5 the bytes of their WARC parents).
+
+    Pages whose metadata parses but carries no links still emit one
+    row with link_pos = -1 and null href, so URL coverage (for
+    crawl-frontier joins) survives the explode.
+
+    Scale: identical shape to ``read_warc_documents`` — per-shard
+    binaryFile parallelism, shard bytes never shuffle, malformed
+    envelopes degrade to titleless/linkless rows (F5).
+    """
+    import pandas as pd
+
+    from ..extractor.warcx import parse_wat
+
+    def parse(batches):
+        cols = ("url", "warc_ts", "title", "link_pos", "path", "href",
+                "anchor")
+        for b in batches:
+            rows = []
+            for blob in b["content"]:
+                for rec in parse_wat(bytes(blob)):
+                    if rec["links"]:
+                        for i, lk in enumerate(rec["links"]):
+                            rows.append((rec["url"], rec["warc_ts"],
+                                         rec["title"], i, lk["path"],
+                                         lk["href"], lk["anchor"]))
+                    else:
+                        rows.append((rec["url"], rec["warc_ts"],
+                                     rec["title"], -1, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(parse, WAT_LINKS_DDL))

@@ -1034,3 +1034,23 @@ def test_recrawl_priority_buckets(spark):
     assert got["cold"]["change_bp"] == 0 and got["cold"]["priority"] == "cold"
     assert got["single"]["n_fetches"] == 1 and got["single"]["priority"] == "cold"
     assert got["hot"]["last_ts"] == 2
+
+
+def test_keep_best_per_cluster_policy(spark):
+    from historicaldatadocumentparsersystem_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 20), (6, 20)],
+        "doc_id long, q long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = dedup.keep_best_per_cluster(docs, pairs, F.col("q"))
+    got = {r["doc_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    # cluster {1,2,3}: doc 2 has the best score
+    assert got[1] == (1, False) and got[2] == (1, True) and got[3] == (1, False)
+    # singleton 4 is its own component, always kept
+    assert got[4] == (4, True)
+    # tie on score in {5,6}: lowest id wins
+    assert got[5] == (5, True) and got[6] == (5, False)
+    # exactly one keeper per component
+    kept = [r for r in out.collect() if r["keep"]]
+    assert len(kept) == 3

@@ -172,3 +172,69 @@ def test_wet_roundtrip_property(texts, gz):
 @settings(max_examples=100, deadline=None)
 def test_wet_parse_arbitrary_bytes_never_raises(data):
     assert isinstance(warcx.parse_wet(data), list)
+
+
+def _wat_records(n=6):
+    return [{"url": f"https://h{i % 3}.com/p{i}",
+             "warc_ts": datetime(2024, 3, 3, tzinfo=timezone.utc),
+             "title": (f"Page {i}" if i % 4 else None),
+             "links": [{"path": "A@/href",
+                        "href": f"https://h{(i + j) % 3}.com/t{j}",
+                        "anchor": f"anchor {i} {j}"}
+                       for j in range(i % 3)]}
+            for i in range(n)]
+
+
+def test_wat_roundtrip_plain_and_gzip():
+    recs = _wat_records()
+    for gz in (False, True):
+        got = warcx.parse_wat(warcx.build_wat(recs, gzip_records=gz))
+        assert [(g["url"], g["title"], g["links"]) for g in got] == \
+            [(r["url"], r["title"], r["links"]) for r in recs]
+
+
+def test_wat_malformed_json_degrades_not_raises():
+    junk = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"WARC-Target-URI: https://t/x\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: 9\r\n\r\n{not json\r\n\r\n")
+    got = warcx.parse_wat(junk)
+    assert got == [{"url": "https://t/x",
+                    "warc_ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+                    "title": None, "links": []}]
+    # envelope is valid JSON but not the CC shape: still degrades
+    flat = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"WARC-Target-URI: https://t/y\r\n"
+            b"Content-Length: 2\r\n\r\n[]\r\n\r\n")
+    assert warcx.parse_wat(flat)[0]["links"] == []
+
+
+def test_spark_wat_reader_feeds_link_graph(spark, tmp_path):
+    """WAT shards -> read_wat_links: one row per link (linkless pages
+    keep a sentinel row) and the table drives host_edges directly."""
+    from historicaldatadocumentparsersystem_spark.operators import linkgraph
+    from historicaldatadocumentparsersystem_spark.sources import (
+        read_wat_links)
+    recs = _wat_records(9)
+    (tmp_path / "s0.wat").write_bytes(warcx.build_wat(recs[:4]))
+    (tmp_path / "s1.wat.gz").write_bytes(
+        warcx.build_wat(recs[4:], gzip_records=True))
+    links = read_wat_links(spark, str(tmp_path) + "/*")
+    rows = links.collect()
+    n_links = sum(len(r["links"]) for r in recs)
+    n_linkless = sum(1 for r in recs if not r["links"])
+    assert len(rows) == n_links + n_linkless
+    assert all(r["href"] is None and r["link_pos"] == -1
+               for r in rows if r["link_pos"] < 0)
+    edges = linkgraph.host_edges(
+        links.where(F.col("link_pos") >= 0).select("url", "href"))
+    got = {(r["src_host"], r["dst_host"]) for r in edges.collect()}
+    exp = {(f"h{i % 3}.com", f"h{(i + j) % 3}.com")
+           for i in range(9) for j in range(i % 3)}
+    assert got == exp
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=100, deadline=None)
+def test_wat_parse_arbitrary_bytes_never_raises(data):
+    assert isinstance(warcx.parse_wat(data), list)
