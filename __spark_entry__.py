@@ -551,6 +551,98 @@ def _simhash_cc_sql(tok: str) -> str:
             )"""
 
 
+def _surt_sql(x: str) -> str:
+    """DuckDB twin of ``functions.surt_urlkey`` (and of the Python
+    ``extractor.cdxx.surt_key``): the same regexp/list pipeline step
+    for step — fragment, scheme, userinfo, host case/www/ports, label
+    reversal, query-param sort."""
+    u = f"regexp_replace(trim({x}), '#.*$', '')"
+    scheme = "'^[A-Za-z][A-Za-z0-9+.\\-]*://'"
+    u2 = f"regexp_replace({u}, {scheme}, '')"
+    u3 = f"regexp_replace({u2}, '^[^/@?]*@', '')"
+    hostport = f"lower(regexp_extract({u3}, '^[^/?]*', 0))"
+    rest = f"regexp_extract({u3}, '^[^/?]*([/?].*)$', 1)"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    host = (f"regexp_replace(regexp_replace({hostport},"
+            f" ':[0-9]+$', ''), '^www\\.', '')")
+    revhost = f"array_to_string(list_reverse(str_split({host}, '.')), ',')"
+    portpart = (f"CASE WHEN {port} <> '' AND {port} NOT IN ('80', '443')"
+                f" THEN ':' || {port} ELSE '' END")
+    rawpath = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    path = f"CASE WHEN {rawpath} = '' THEN '/' ELSE {rawpath} END"
+    q = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    qpart = (f"CASE WHEN {q} <> '' THEN '?' || array_to_string("
+             f"list_sort(str_split({q}, '&')), '&') ELSE '' END")
+    return (f"CASE WHEN NOT regexp_matches({u}, {scheme})"
+            f" OR {host} = '' THEN ''"
+            f" ELSE {revhost} || {portpart} || ')' || {path} || {qpart}"
+            f" END")
+
+
+# Synthetic CDX capture index derived from documents, same arithmetic
+# on both engines: per-doc url (www/port/query-param variety for the
+# SURT twin), mod-class mime/status gates, digest dup classes
+# (doc_id % 211 -> every digest group spans many captures), and
+# locator fields. Shared by the surt_urlkey and cdx_fetch_plan twins.
+_CDX_CTE = f"""c AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 9 = 0 THEN 'WWW.' ELSE '' END ||
+             'h' || (doc_id % 5) || '.' || source ||
+             CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                  WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END ||
+             '/P' || doc_id ||
+             CASE WHEN doc_id % 3 = 0 THEN '?z=' || doc_id || '&a=1'
+                  ELSE '' END AS url,
+             TIMESTAMP '2024-01-01' + (doc_id % 97) * INTERVAL 1 SECOND
+               AS ts,
+             CASE WHEN doc_id % 13 = 7 THEN 'application/pdf'
+                  ELSE 'text/html' END AS mime,
+             CASE WHEN doc_id % 17 = 5 THEN 404
+                  WHEN doc_id % 23 = 11 THEN 301 ELSE 200 END AS status,
+             md5(cast(doc_id % 211 AS varchar)) AS digest,
+             (200 + doc_id % 700)::bigint AS length,
+             (doc_id * 1000)::bigint AS "offset",
+             'shard-' || (doc_id % 8) AS filename
+      FROM documents
+    ), k AS (SELECT *, {_surt_sql('url')} AS urlkey FROM c)"""
+
+
+def _synth_cdx(docs: DataFrame) -> DataFrame:
+    """Spark half of ``_CDX_CTE``: the same synthetic capture index,
+    urlkey via the codegen ``functions.surt_urlkey``."""
+    from historicaldatadocumentparsersystem_spark import functions as fn
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 9 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("h"), (did % 5).cast("string"), F.lit("."),
+        F.col("source"),
+        F.when(did % 7 == 0, F.lit(":8080"))
+        .when(did % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/P"), did.cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("?z="), did.cast("string"),
+                        F.lit("&a=1"))).otherwise(F.lit("")))
+    return docs.select(
+        "doc_id",
+        fn.surt_urlkey(url).alias("urlkey"),
+        F.expr("timestamp'2024-01-01 00:00:00'"
+               " + (doc_id % 97) * INTERVAL '1' SECOND").alias("ts"),
+        url.alias("url"),
+        F.when(did % 13 == 7, F.lit("application/pdf"))
+        .otherwise(F.lit("text/html")).alias("mime"),
+        F.when(did % 17 == 5, F.lit(404))
+        .when(did % 23 == 11, F.lit(301))
+        .otherwise(F.lit(200)).cast("int").alias("status"),
+        F.md5((did % 211).cast("string")).alias("digest"),
+        (F.lit(200) + did % 700).cast("long").alias("length"),
+        (did * 1000).cast("long").alias("offset"),
+        F.concat(F.lit("shard-"),
+                 (did % 8).cast("string")).alias("filename"))
+
+
 def _pagerank_sql(iters: int) -> str:
     """DuckDB twin of the host_pagerank query: derive the deterministic
     ring edge table from documents, then unroll ``iters`` PageRank
@@ -820,7 +912,7 @@ _EXTRA_ORDER = [
     "pack_offsets", "pack_greedy", "domain_split", "mojibake_repair",
     "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
-    "fuzzy_keep_best",
+    "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
 ]
 
 
@@ -1145,6 +1237,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.url_quality(
             docs, banned_domains=("src1.co.uk", "src2.com"))
     q["url_quality_filter"] = q_url_quality
+
+    # --- SURT urlkey (CDX sort key) as pure column exprs — SQL-checked
+    # (identical regexp/list pipeline in DuckDB; www/port/query-sort
+    # variety synthesized per doc)
+    def q_surt(spark, sf_dir):
+        return _synth_cdx(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "url", "urlkey")
+    q["surt_urlkey"] = q_surt
+
+    # --- CDX fetch planning: status/mime gate + digest dedup to ONE
+    # record locator per payload — SQL-checked (QUALIFY row_number
+    # twin over the same synthetic capture index)
+    def q_cdx_plan(spark, sf_dir):
+        cdx = _synth_cdx(_t(spark, sf_dir, "documents"))
+        plan = webtext.cdx_fetch_plan(cdx)
+        return plan.select(
+            "digest", "url", "urlkey", F.col("ts").cast("long")
+            .alias("ts_s"), "filename", "offset", "length",
+            "n_copies", "bytes_saved")
+    q["cdx_fetch_plan"] = q_cdx_plan
 
     # --- corpus token accounting per (lang, split) — SQL-checked
     # (integer basis points, lazy 1-row total)
@@ -2019,6 +2131,25 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, n_hits, n_hits = 0 AS keep FROM h""",
         "url_quality_filter": _url_quality_oracle(),
+        "surt_urlkey": f"""
+            WITH {_CDX_CTE}
+            SELECT doc_id, url, urlkey FROM k""",
+        "cdx_fetch_plan": f"""
+            WITH {_CDX_CTE}, gated AS (
+              SELECT * FROM k
+              WHERE status = 200 AND mime = 'text/html'
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY digest
+                       ORDER BY ts, urlkey, filename, "offset") AS rn,
+                     count(*) OVER (PARTITION BY digest) AS nc,
+                     sum(length) OVER (PARTITION BY digest) AS ba
+              FROM gated)
+            SELECT digest, url, urlkey, epoch(ts)::bigint AS ts_s,
+                   filename, "offset", length, nc::bigint AS n_copies,
+                   (ba - length)::bigint AS bytes_saved
+            FROM ranked WHERE rn = 1""",
         "corpus_token_budget": f"""
             WITH per AS (
               SELECT lang, {_hash_split_case('doc_id')} AS split,

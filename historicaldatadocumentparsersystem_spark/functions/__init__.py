@@ -317,3 +317,40 @@ def mojibake_corrupt(col) -> Column:
         return s.map(
             lambda t: None if t is None else mojibake_corrupt_str(t))
     return _udf(_c(col))
+
+
+def surt_urlkey(col) -> Column:
+    """SURT urlkey (the CDX index sort key) as a pure column
+    expression — the codegen twin of ``extractor.cdxx.surt_key``:
+    fragment dropped, scheme and userinfo stripped, host lowercased,
+    leading ``www.`` and default ports (80/443) stripped, host labels
+    reversed and comma-joined, ``)`` + path (``/`` when empty), query
+    params sorted lexicographically. Hostless inputs degrade to ''.
+
+    Assumes scheme-ful absolute urls (CDX ``url`` fields always are);
+    the pytest A/B pins expression == ``cdxx.surt_key`` over the
+    supported shapes. All regexp/array builtins — no UDF, no shuffle.
+    """
+    u = F.regexp_replace(F.trim(_c(col)), r"#.*$", "")
+    has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    u = F.regexp_replace(u, r"^[^/@?]*@", "")
+    hostport = F.lower(F.regexp_extract(u, r"^[^/?]*", 0))
+    rest = F.regexp_extract(u, r"^[^/?]*([/?].*)$", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    portpart = F.when(
+        (port != "") & ~port.isin("80", "443"),
+        F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qpart = F.when(
+        query != "",
+        F.concat(F.lit("?"),
+                 F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    ).otherwise(F.lit(""))
+    return F.when(~has_scheme | (host == ""), F.lit("")).otherwise(
+        F.concat(revhost, portpart, F.lit(")"), path, qpart))

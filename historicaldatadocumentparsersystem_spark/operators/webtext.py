@@ -963,3 +963,44 @@ def recrawl_priority(snapshots: DataFrame, url_col: str = "url",
            .otherwise(F.lit("cold")))
     return g.select("url", "n_fetches", "n_versions", "last_ts",
                     "change_bp", pri.alias("priority"))
+
+
+def cdx_fetch_plan(cdx: DataFrame,
+                   mimes: tuple[str, ...] = ("text/html",),
+                   statuses: tuple[int, ...] = (200,)) -> DataFrame:
+    """Fetch planning over the CDX capture index (``sources.
+    read_cdx``): gate captures by status/mime, then collapse every
+    digest-identical group to ONE record locator — exact payload
+    dedup BEFORE any WARC byte is read. The production pre-fetch
+    move: Common Crawl crawls re-capture unchanged pages constantly,
+    so digest dedup at the index prunes archive IO by the duplicate
+    ratio (bytes_saved accounts for it per row).
+
+    The kept copy is deterministic: minimum (ts, urlkey, filename,
+    offset) — a total order, so no tie ambiguity cross-engine.
+    Output: (digest, url, urlkey, ts, filename, offset, length,
+    n_copies, bytes_saved) — (filename, offset, length) feed
+    ``sources.read_warc_members`` directly.
+
+    Scale: one filter (pushed to the index scan) + ONE map-side-
+    combinable groupBy on digest (hash keys, uniform); the aggregate
+    carries one small struct per group, never payloads.
+    """
+    key = F.struct(F.col("ts"), F.col("urlkey"), F.col("filename"),
+                   F.col("offset"))
+    gated = cdx.where(F.col("status").isin(*statuses)
+                      & F.col("mime").isin(*mimes))
+    pick = (gated.groupBy("digest")
+            .agg(F.min_by(
+                    F.struct("url", "urlkey", "ts", "filename",
+                             "offset", "length"), key).alias("r"),
+                 F.count("*").cast("long").alias("n_copies"),
+                 F.sum("length").cast("long").alias("bytes_all")))
+    return pick.select(
+        "digest", F.col("r.url").alias("url"),
+        F.col("r.urlkey").alias("urlkey"), F.col("r.ts").alias("ts"),
+        F.col("r.filename").alias("filename"),
+        F.col("r.offset").alias("offset"),
+        F.col("r.length").alias("length"), "n_copies",
+        (F.col("bytes_all") - F.col("r.length")).cast("long")
+        .alias("bytes_saved"))
