@@ -913,6 +913,7 @@ _EXTRA_ORDER = [
     "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
+    "frontier_candidates",
 ]
 
 
@@ -1257,6 +1258,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("ts_s"), "filename", "offset", "length",
             "n_copies", "bytes_saved")
     q["cdx_fetch_plan"] = q_cdx_plan
+
+    # --- frontier candidates: sitemap-discovered URLs never captured
+    # (SURT anti-join vs the capture index) — SQL-checked (NOT EXISTS
+    # twin; even doc_ids rediscover captured urls, odd ones are novel)
+    def q_frontier(spark, sf_dir):
+        cdx = _synth_cdx(_t(spark, sf_dir, "documents"))
+        did = F.col("doc_id")
+        loc = F.when(did % 2 == 0, F.col("url")).otherwise(
+            F.concat(F.regexp_replace(F.col("url"), "/P.*$", ""),
+                     F.lit("/NEW-"), did.cast("string")))
+        freq = F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"),
+                    F.lit(None).cast("string"), F.lit("hourly"),
+                    F.lit(None).cast("string")),
+            (did % 5 + 1).cast("int"))
+        pr = (F.when(did % 6 == 1, F.lit(9000))
+              .when(did % 6 == 3, F.lit(3000))
+              .otherwise(F.lit(None))).cast("int")
+        disc = cdx.select(loc.alias("loc"), freq.alias("changefreq"),
+                          pr.alias("priority_bp"))
+        return webtext.frontier_candidates(disc, cdx)
+    q["frontier_candidates"] = q_frontier
 
     # --- corpus token accounting per (lang, split) — SQL-checked
     # (integer basis points, lazy 1-row total)
@@ -2150,6 +2173,30 @@ def oracle_sql() -> dict[str, str]:
                    filename, "offset", length, nc::bigint AS n_copies,
                    (ba - length)::bigint AS bytes_saved
             FROM ranked WHERE rn = 1""",
+        "frontier_candidates": f"""
+            WITH {_CDX_CTE}, d AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN url
+                     ELSE regexp_replace(url, '/P.*$', '')
+                          || '/NEW-' || doc_id END AS loc,
+                     (['daily', 'weekly', NULL, 'hourly', NULL])
+                       [doc_id % 5 + 1] AS changefreq,
+                     CASE WHEN doc_id % 6 = 1 THEN 9000
+                          WHEN doc_id % 6 = 3 THEN 3000 END
+                       AS priority_bp
+              FROM k
+            ), dk AS (
+              SELECT loc AS url, {_surt_sql('loc')} AS urlkey,
+                     changefreq, priority_bp FROM d)
+            SELECT url, urlkey, changefreq,
+                   priority_bp::int AS priority_bp,
+                   CASE WHEN changefreq IN ('always', 'hourly', 'daily')
+                             OR priority_bp >= 7000 THEN 'high'
+                        WHEN changefreq IS NOT NULL
+                             OR priority_bp IS NOT NULL THEN 'normal'
+                        ELSE 'low' END AS priority
+            FROM dk
+            WHERE NOT EXISTS (
+              SELECT 1 FROM k WHERE k.urlkey = dk.urlkey)""",
         "corpus_token_budget": f"""
             WITH per AS (
               SELECT lang, {_hash_split_case('doc_id')} AS split,

@@ -1,0 +1,247 @@
+"""Sitemap / RSS / Atom parsing — Spark-free, stdlib-only.
+
+URL discovery is the stage BEFORE fetching: crawlers learn what to
+fetch from sitemaps (robots.txt's ``Sitemap:`` lines point at them)
+and from syndication feeds. This module turns those XML documents
+into frontier rows for ``sources.read_sitemap_urls`` /
+``read_feed_entries``; ``webtext.frontier_candidates`` then
+anti-joins them against the CDX capture index to find never-captured
+URLs.
+
+The parser is the repo's regex tag scanner (same strategy as
+``extractor.htmlx``): machine-generated sitemap/feed XML is scanned
+for ``<url>``/``<sitemap>``/``<item>``/``<entry>`` blocks and their
+child fields — O(n), deterministic, and it degrades on malformed or
+truncated input instead of raising (the F5 contract; a DOM XML parser
+would throw on the first bad byte). Like the rest of ``extractor/``,
+these functions are the correctness oracle the Spark readers call.
+
+Reference analog: the reference ingests a hand-given directory of
+files (`main_parser.py`); at crawl scale the list of what to ingest
+is itself harvested from sitemaps/feeds and is a dataset.
+"""
+from __future__ import annotations
+
+import re
+import zlib
+from datetime import datetime, timezone
+from html import unescape
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+_BLOCK_RE = re.compile(
+    rb"<(url|sitemap|item|entry)[\s>](.*?)</\1\s*>",
+    re.S | re.I)
+_FIELD_RES: dict[str, re.Pattern] = {}
+
+
+def _field(block: bytes, tag: str) -> str | None:
+    """First <tag>...</tag> text inside the block, entity-unescaped
+    and stripped; None when absent/empty."""
+    pat = _FIELD_RES.get(tag)
+    if pat is None:
+        pat = re.compile(
+            (r"<%s(?:\s[^>]*)?>(.*?)</%s\s*>" % (tag, tag)).encode(),
+            re.S | re.I)
+        _FIELD_RES[tag] = pat
+    m = pat.search(block)
+    if not m:
+        return None
+    text = unescape(
+        m.group(1).decode("utf-8", errors="replace")).strip()
+    return text or None
+
+
+_ATOM_LINK_RE = re.compile(
+    rb"<link\b[^>]*\bhref\s*=\s*[\"']([^\"']*)[\"']", re.I)
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    if data[:2] == _GZIP_MAGIC:
+        try:
+            return zlib.decompress(data, wbits=47)
+        except zlib.error:
+            return b""
+    return data
+
+
+def _w3c_ts(s: str | None) -> datetime | None:
+    """W3C datetime (sitemap <lastmod>, Atom <updated>): date-only or
+    full timestamp, 'Z' or numeric offset; None on anything else."""
+    if not s:
+        return None
+    for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S%z",
+                "%Y-%m-%dT%H:%M:%S.%f%z"):
+        try:
+            dt = datetime.strptime(s.replace("Z", "+0000"), fmt)
+        except ValueError:
+            continue
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc)
+    return None
+
+
+def _rfc822_ts(s: str | None) -> datetime | None:
+    """RFC 822/1123 datetime (RSS <pubDate>); None on junk."""
+    if not s:
+        return None
+    from email.utils import parsedate_to_datetime
+    try:
+        dt = parsedate_to_datetime(s)
+    except (ValueError, TypeError):
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+def parse_sitemap(data: bytes) -> list[dict]:
+    """All entries of a sitemap document (urlset OR sitemapindex;
+    plain or whole-file gzip — ``sitemap.xml.gz`` is the norm), in
+    order: {kind ('url' | 'sitemap'), loc, lastmod (datetime | None),
+    changefreq (str | None), priority_bp (int | None)}.
+
+    ``priority_bp`` is the 0.0–1.0 sitemap priority in integer basis
+    points (0–10000) — float-free so downstream ordering is exact
+    cross-engine. Blocks without a <loc> are dropped; unparsable
+    lastmod/priority degrade to None (F5: lossy rows, never raise).
+    """
+    data = _maybe_gunzip(data)
+    out: list[dict] = []
+    for m in _BLOCK_RE.finditer(data):
+        kind = m.group(1).decode().lower()
+        if kind not in ("url", "sitemap"):
+            continue
+        block = m.group(2)
+        loc = _field(block, "loc")
+        if not loc:
+            continue
+        pr = None
+        raw_pr = _field(block, "priority")
+        if raw_pr:
+            try:
+                pr = round(float(raw_pr) * 10000)
+            except ValueError:
+                pr = None
+            else:
+                pr = pr if 0 <= pr <= 10000 else None
+        cf = _field(block, "changefreq")
+        out.append({
+            "kind": kind,
+            "loc": loc,
+            "lastmod": _w3c_ts(_field(block, "lastmod")),
+            "changefreq": cf.lower() if cf else None,
+            "priority_bp": pr,
+        })
+    return out
+
+
+def parse_feed(data: bytes) -> list[dict]:
+    """All entries of an RSS 2.0 or Atom feed, in order:
+    {feed_kind ('rss' | 'atom'), url, title (str | None),
+    pub_ts (datetime | None)}.
+
+    RSS items use <link> text + <pubDate> (RFC 822); Atom entries use
+    <link href=...> + <updated> (W3C). Entries without a resolvable
+    url are dropped; bad dates degrade to None (F5).
+    """
+    data = _maybe_gunzip(data)
+    out: list[dict] = []
+    for m in _BLOCK_RE.finditer(data):
+        kind = m.group(1).decode().lower()
+        block = m.group(2)
+        if kind == "item":
+            url = _field(block, "link")
+            if not url:
+                continue
+            out.append({"feed_kind": "rss", "url": url,
+                        "title": _field(block, "title"),
+                        "pub_ts": _rfc822_ts(_field(block, "pubDate"))})
+        elif kind == "entry":
+            lm = _ATOM_LINK_RE.search(block)
+            if not lm:
+                continue
+            url = unescape(
+                lm.group(1).decode("utf-8", errors="replace")).strip()
+            if not url:
+                continue
+            out.append({"feed_kind": "atom", "url": url,
+                        "title": _field(block, "title"),
+                        "pub_ts": _w3c_ts(_field(block, "updated"))})
+    return out
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def build_sitemap(entries: list[dict], gzip_file: bool = False) -> bytes:
+    """Serialize entries (same dict shape parse_sitemap returns) into
+    a valid sitemap document — fixture generator + exactness witness
+    (build_sitemap -> parse_sitemap round-trips every field)."""
+    is_index = entries and entries[0]["kind"] == "sitemap"
+    root = "sitemapindex" if is_index else "urlset"
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<%s xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+             % root]
+    for e in entries:
+        lines.append("<%s>" % e["kind"])
+        lines.append("<loc>%s</loc>" % _xml_escape(e["loc"]))
+        if e.get("lastmod") is not None:
+            lines.append("<lastmod>%s</lastmod>" %
+                         e["lastmod"].strftime("%Y-%m-%dT%H:%M:%S+00:00"))
+        if e.get("changefreq"):
+            lines.append("<changefreq>%s</changefreq>" % e["changefreq"])
+        if e.get("priority_bp") is not None:
+            lines.append("<priority>%.4f</priority>" %
+                         (e["priority_bp"] / 10000.0))
+        lines.append("</%s>" % e["kind"])
+    lines.append("</%s>" % root)
+    out = "\n".join(lines).encode("utf-8")
+    if gzip_file:
+        c = zlib.compressobj(wbits=31)
+        out = c.compress(out) + c.flush()
+    return out
+
+
+def build_feed(entries: list[dict], gzip_file: bool = False) -> bytes:
+    """Serialize entries (same dict shape parse_feed returns) into an
+    RSS 2.0 or Atom feed (per entry feed_kind of the FIRST entry) —
+    fixture generator + exactness witness."""
+    is_atom = entries and entries[0]["feed_kind"] == "atom"
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>']
+    if is_atom:
+        lines.append('<feed xmlns="http://www.w3.org/2005/Atom">')
+        for e in entries:
+            lines.append("<entry>")
+            if e.get("title") is not None:
+                lines.append("<title>%s</title>" %
+                             _xml_escape(e["title"]))
+            lines.append('<link href="%s"/>' % _xml_escape(e["url"]))
+            if e.get("pub_ts") is not None:
+                lines.append("<updated>%s</updated>" %
+                             e["pub_ts"].strftime(
+                                 "%Y-%m-%dT%H:%M:%S+00:00"))
+            lines.append("</entry>")
+        lines.append("</feed>")
+    else:
+        lines.append('<rss version="2.0"><channel>')
+        for e in entries:
+            lines.append("<item>")
+            if e.get("title") is not None:
+                lines.append("<title>%s</title>" %
+                             _xml_escape(e["title"]))
+            lines.append("<link>%s</link>" % _xml_escape(e["url"]))
+            if e.get("pub_ts") is not None:
+                lines.append("<pubDate>%s</pubDate>" %
+                             e["pub_ts"].strftime(
+                                 "%a, %d %b %Y %H:%M:%S +0000"))
+            lines.append("</item>")
+        lines.append("</channel></rss>")
+    out = "\n".join(lines).encode("utf-8")
+    if gzip_file:
+        c = zlib.compressobj(wbits=31)
+        out = c.compress(out) + c.flush()
+    return out

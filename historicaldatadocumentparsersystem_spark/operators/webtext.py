@@ -1004,3 +1004,45 @@ def cdx_fetch_plan(cdx: DataFrame,
         F.col("r.length").alias("length"), "n_copies",
         (F.col("bytes_all") - F.col("r.length")).cast("long")
         .alias("bytes_saved"))
+
+
+def frontier_candidates(discovered: DataFrame, captured: DataFrame,
+                        url_col: str = "loc",
+                        hot_freqs: tuple[str, ...] = ("always", "hourly",
+                                                      "daily"),
+                        hot_bp: int = 7000) -> DataFrame:
+    """Crawl-frontier planning: URLs discovered via sitemaps/feeds
+    (``sources.read_sitemap_urls`` / ``read_feed_entries``) that the
+    crawl has NEVER captured — an anti-join on SURT urlkey against
+    the CDX capture index, so ``http://www.a.com/p?b=1&a=2`` and
+    ``https://a.com/p?a=2&b=1`` are recognized as the same page.
+
+    Each candidate gets a deterministic priority bucket from the
+    sitemap's own hints: 'high' when changefreq is in ``hot_freqs``
+    OR priority_bp >= ``hot_bp``, else 'normal' when either hint is
+    present, else 'low' — the fetch scheduler's admission order.
+
+    Output: (url, urlkey, changefreq, priority_bp, priority).
+
+    Scale: ONE shuffle pair — both sides hash-partition on urlkey;
+    the captured side is projected to its urlkey column only (the
+    scan prunes to one column) and deduplicated map-side by the
+    left_anti join itself. No window, no collect.
+    """
+    from ..functions import surt_urlkey
+
+    disc = discovered.select(
+        F.col(url_col).alias("url"),
+        surt_urlkey(url_col).alias("urlkey"),
+        (F.col("changefreq") if "changefreq" in discovered.columns
+         else F.lit(None).cast("string")).alias("changefreq"),
+        (F.col("priority_bp") if "priority_bp" in discovered.columns
+         else F.lit(None).cast("int")).alias("priority_bp"))
+    novel = disc.join(captured.select("urlkey"), "urlkey", "left_anti")
+    pri = (F.when(F.col("changefreq").isin(*hot_freqs)
+                  | (F.col("priority_bp") >= hot_bp), F.lit("high"))
+           .when(F.col("changefreq").isNotNull()
+                 | F.col("priority_bp").isNotNull(), F.lit("normal"))
+           .otherwise(F.lit("low")))
+    return novel.select("url", "urlkey", "changefreq", "priority_bp",
+                        pri.alias("priority"))

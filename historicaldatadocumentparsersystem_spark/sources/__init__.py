@@ -372,3 +372,70 @@ def read_warc_members(locators: DataFrame,
             .repartition(n, "filename")
             .sortWithinPartitions("filename", "offset")
             .mapInPandas(fetch, WARC_MEMBER_DDL))
+
+
+SITEMAP_DDL = ("kind string, loc string, lastmod timestamp, "
+               "changefreq string, priority_bp int")
+
+
+def read_sitemap_urls(spark: SparkSession, path: str) -> DataFrame:
+    """Sitemap documents (urlset or sitemapindex, plain or .gz) ->
+    frontier rows (kind, loc, lastmod, changefreq, priority_bp) via
+    the Spark-free ``extractor.feedx.parse_sitemap``. kind='sitemap'
+    rows are index pointers (the caller recurses by globbing those
+    paths next); kind='url' rows feed ``webtext.frontier_candidates``.
+
+    Scale: per-file binaryFile parallelism (a large site ships
+    thousands of 50k-url sitemap shards), no shuffle between scan and
+    parse; malformed XML degrades to fewer rows (F5).
+    """
+    import pandas as pd
+
+    from ..extractor.feedx import parse_sitemap
+
+    cols = ("kind", "loc", "lastmod", "changefreq", "priority_bp")
+
+    def parse(batches):
+        for b in batches:
+            rows = [tuple(rec[c] for c in cols)
+                    for blob in b["content"]
+                    for rec in parse_sitemap(bytes(blob))]
+            df = pd.DataFrame(rows, columns=cols)
+            df["priority_bp"] = df["priority_bp"].astype("Int32")
+            yield df
+
+    return (spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(parse, SITEMAP_DDL))
+
+
+FEED_DDL = "feed_kind string, url string, title string, pub_ts timestamp"
+
+
+def read_feed_entries(spark: SparkSession, path: str) -> DataFrame:
+    """RSS 2.0 / Atom feeds -> frontier rows (feed_kind, url, title,
+    pub_ts) via the Spark-free ``extractor.feedx.parse_feed`` — the
+    freshness-driven complement of sitemaps (feeds surface NEW urls
+    minutes after publication; sitemaps enumerate the whole site).
+
+    Scale: identical shape to ``read_sitemap_urls`` — per-file
+    parallelism, no shuffle, malformed feeds degrade (F5).
+    """
+    import pandas as pd
+
+    from ..extractor.feedx import parse_feed
+
+    cols = ("feed_kind", "url", "title", "pub_ts")
+
+    def parse(batches):
+        for b in batches:
+            rows = [tuple(rec[c] for c in cols)
+                    for blob in b["content"]
+                    for rec in parse_feed(bytes(blob))]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(parse, FEED_DDL))

@@ -1,0 +1,154 @@
+"""Sitemap / RSS / Atom discovery layer: round-trips, malformed
+degrade, Spark readers, and the frontier anti-join."""
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from historicaldatadocumentparsersystem_spark.extractor import cdxx, feedx
+from historicaldatadocumentparsersystem_spark.operators import webtext
+from historicaldatadocumentparsersystem_spark.sources import (
+    read_feed_entries, read_sitemap_urls)
+
+_TS = datetime(2024, 5, 6, 7, 8, 9, tzinfo=timezone.utc)
+
+
+def _sitemap_entries(n=6):
+    freqs = [None, "daily", "weekly", "HOURLY", "monthly", "never"]
+    return [{"kind": "url",
+             "loc": f"https://site.com/p{i}?b={i}&a=1",
+             "lastmod": _TS if i % 2 else None,
+             "changefreq": (freqs[i].lower() if freqs[i] else None),
+             "priority_bp": (i * 2000) if i % 3 else None}
+            for i in range(n)]
+
+
+def test_sitemap_roundtrip_plain_and_gzip():
+    entries = _sitemap_entries()
+    for gz in (False, True):
+        got = feedx.parse_sitemap(
+            feedx.build_sitemap(entries, gzip_file=gz))
+        assert got == entries
+
+
+def test_sitemapindex_roundtrip():
+    idx = [{"kind": "sitemap", "loc": f"https://s.com/map{i}.xml.gz",
+            "lastmod": None, "changefreq": None, "priority_bp": None}
+           for i in range(3)]
+    assert feedx.parse_sitemap(feedx.build_sitemap(idx)) == idx
+
+
+def test_sitemap_malformed_degrades():
+    # no <loc> -> dropped; junk priority/lastmod -> None; entities
+    xml = (b"<urlset><url><lastmod>x</lastmod></url>"
+           b"<url><loc> https://a.com/x?a=1&amp;b=2 </loc>"
+           b"<lastmod>not-a-date</lastmod>"
+           b"<priority>nine</priority></url>"
+           b"<url><loc>https://a.com/y</loc>"
+           b"<priority>7.5</priority></url>"          # out of range
+           b"<url><loc>https://a.com/z</loc><lastmod>2024-01-02"
+           b"</lastmod></url><url><loc>https://trunc")
+    got = feedx.parse_sitemap(xml)
+    assert [g["loc"] for g in got] == [
+        "https://a.com/x?a=1&b=2", "https://a.com/y", "https://a.com/z"]
+    assert got[0]["lastmod"] is None and got[0]["priority_bp"] is None
+    assert got[1]["priority_bp"] is None
+    assert got[2]["lastmod"] == datetime(2024, 1, 2,
+                                         tzinfo=timezone.utc)
+
+
+def _rss_entries(n=4):
+    return [{"feed_kind": "rss", "url": f"https://blog.io/post-{i}",
+             "title": f"Post {i} <&>" if i % 2 else None,
+             "pub_ts": _TS if i % 3 else None}
+            for i in range(n)]
+
+
+def _atom_entries(n=4):
+    return [{"feed_kind": "atom", "url": f"https://news.io/e{i}?x=1",
+             "title": f"Entry {i}" if i % 2 else None,
+             "pub_ts": _TS if i % 3 else None}
+            for i in range(n)]
+
+
+def test_feed_roundtrip_rss_and_atom():
+    for entries in (_rss_entries(), _atom_entries()):
+        for gz in (False, True):
+            got = feedx.parse_feed(
+                feedx.build_feed(entries, gzip_file=gz))
+            assert got == entries
+
+
+def test_feed_malformed_degrades():
+    xml = (b"<rss><channel>"
+           b"<item><title>no link</title></item>"
+           b"<item><link>https://a.io/1</link>"
+           b"<pubDate>junk date</pubDate></item>"
+           b"</channel></rss>"
+           b'<feed><entry><link rel="self"/></entry>'
+           b'<entry><link href="https://a.io/2"/>'
+           b"<updated>whenever</updated></entry></feed>")
+    got = feedx.parse_feed(xml)
+    assert [(g["feed_kind"], g["url"], g["pub_ts"]) for g in got] == [
+        ("rss", "https://a.io/1", None), ("atom", "https://a.io/2", None)]
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=100, deadline=None)
+def test_feed_parsers_arbitrary_bytes_never_raise(data):
+    assert isinstance(feedx.parse_sitemap(data), list)
+    assert isinstance(feedx.parse_feed(data), list)
+
+
+def test_spark_sitemap_and_feed_readers(spark, tmp_path):
+    (tmp_path / "map.xml").write_bytes(
+        feedx.build_sitemap(_sitemap_entries()))
+    (tmp_path / "map2.xml.gz").write_bytes(
+        feedx.build_sitemap(_sitemap_entries(3), gzip_file=True))
+    urls = read_sitemap_urls(spark, str(tmp_path) + "/map*").collect()
+    assert len(urls) == 9
+    by_loc = {(r["loc"], r["changefreq"], r["priority_bp"])
+              for r in urls}
+    assert ("https://site.com/p1?b=1&a=1", "daily", 2000) in by_loc
+
+    (tmp_path / "f.rss").write_bytes(feedx.build_feed(_rss_entries()))
+    (tmp_path / "f.atom").write_bytes(feedx.build_feed(_atom_entries()))
+    feed = read_feed_entries(spark, str(tmp_path) + "/f.*").collect()
+    assert len(feed) == 8
+    kinds = {r["feed_kind"] for r in feed}
+    assert kinds == {"rss", "atom"}
+    ts = [r["pub_ts"] for r in feed if r["url"] == "https://blog.io/post-1"]
+    assert ts[0].replace(tzinfo=timezone.utc) == _TS
+
+
+def test_frontier_candidates_anti_join_and_priority(spark):
+    captured = spark.createDataFrame(
+        [(cdxx.surt_key("https://www.site.com/p0?a=1&b=0"),),
+         (cdxx.surt_key("https://site.com/p2"),)],
+        "urlkey string")
+    disc = spark.createDataFrame(
+        [  # same page as captured p0 despite www/order differences
+           ("https://site.com/p0?b=0&a=1", "daily", None),
+           ("https://site.com/new-hot", "hourly", None),
+           ("https://site.com/new-pri", None, 8000),
+           ("https://site.com/new-norm", "yearly", None),
+           ("https://site.com/new-low", None, None)],
+        "loc string, changefreq string, priority_bp int")
+    got = {r["url"]: r["priority"]
+           for r in webtext.frontier_candidates(disc, captured).collect()}
+    assert got == {"https://site.com/new-hot": "high",
+                   "https://site.com/new-pri": "high",
+                   "https://site.com/new-norm": "normal",
+                   "https://site.com/new-low": "low"}
+
+
+def test_frontier_candidates_defaults_without_hint_columns(spark):
+    disc = spark.createDataFrame(
+        [("https://x.io/a",)], "url string")
+    captured = spark.createDataFrame([("never",)], "urlkey string")
+    (row,) = webtext.frontier_candidates(
+        disc, captured, url_col="url").collect()
+    assert (row["priority"], row["changefreq"], row["priority_bp"]) == \
+        ("low", None, None)
