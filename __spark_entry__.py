@@ -913,7 +913,7 @@ _EXTRA_ORDER = [
     "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
-    "frontier_candidates",
+    "frontier_candidates", "cdc_block_dedup",
 ]
 
 
@@ -1280,6 +1280,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           pr.alias("priority_bp"))
         return webtext.frontier_candidates(disc, cdx)
     q["frontier_candidates"] = q_frontier
+
+    # --- content-defined (FastCDC) block dedup over binary payloads —
+    # rows-only here (a sequential gear-hash fold over bytes is not
+    # SQL-expressible); the REAL oracle is structural: pytest pins
+    # Spark blocks == pure-Python extractor.cdc.cdc_chunks per row
+    # (test_cdc_blocks_spark_matches_oracle_and_stats)
+    def q_cdc(spark, sf_dir):
+        did = F.col("doc_id")
+        shared = F.repeat(
+            F.concat(F.lit("SHARED-"), (did % 20).cast("string"),
+                     F.lit("-")), 600)
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.encode(F.concat(F.substring("text", 1, 1500), shared),
+                     "utf-8").alias("payload"))
+        blocks = dedup.cdc_blocks(docs, min_size=256, avg_size=1024,
+                                  max_size=4096)
+        return dedup.block_dedup_stats(blocks)
+    q["cdc_block_dedup"] = q_cdc
 
     # --- corpus token accounting per (lang, split) — SQL-checked
     # (integer basis points, lazy 1-row total)

@@ -385,3 +385,66 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame,
     return lab.select(
         F.col("id").alias(id_col), "component", "score_micro",
         (F.row_number().over(w) == 1).alias("keep"))
+
+
+def cdc_blocks(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id", min_size: int = 2048,
+               avg_size: int = 8192,
+               max_size: int = 65536) -> DataFrame:
+    """Content-defined block table over a binary column: 1 row ->
+    N blocks (id, block_pos, offset, length, block_md5) via the
+    Spark-free FastCDC oracle ``extractor.cdc.cdc_chunks`` — the
+    binary-payload counterpart of the text dedup family: re-exported
+    PDFs, watermark variants, and partially re-crawled media share
+    most of their block digests even though no two payloads are
+    byte-identical, so ``first_seen_dedup``/``block_dedup_stats``
+    over block_md5 recovers storage the exact-dedup md5 cannot see.
+
+    Scale: Arrow-batched mapInPandas, payload bytes never shuffle
+    (blocks carry 16-byte digests + offsets); the downstream groupBy
+    on block_md5 is uniform by construction (crypto hash keys).
+    """
+    import pandas as pd
+
+    from ..extractor.cdc import cdc_chunks
+
+    cols = (id_col, "block_pos", "offset", "length", "block_md5")
+
+    def split(batches):
+        for b in batches:
+            rows = []
+            for did, payload in zip(b[id_col], b[payload_col]):
+                if payload is None:
+                    continue
+                for pos, (off, ln, dg) in enumerate(
+                        cdc_chunks(bytes(payload), min_size,
+                                   avg_size, max_size)):
+                    rows.append((did, pos, off, ln, dg))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(
+                split, f"{id_col} long, block_pos int, offset long, "
+                       "length long, block_md5 string"))
+
+
+def block_dedup_stats(blocks: DataFrame) -> DataFrame:
+    """One-row storage accounting over a ``cdc_blocks`` table:
+    (n_blocks, n_distinct, total_bytes, unique_bytes, saved_bytes).
+    saved_bytes is what block-level dedup reclaims vs storing every
+    payload whole — the number a dedup store quotes.
+
+    Scale: one map-side-combinable groupBy on block_md5 (identical
+    digest => identical length, so min(length) is exact), then a
+    1-row global aggregate.
+    """
+    per = (blocks.groupBy("block_md5")
+           .agg(F.count("*").alias("n_copies"),
+                F.min("length").alias("length")))
+    total = F.sum(F.col("n_copies") * F.col("length"))
+    return per.agg(
+        F.sum("n_copies").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("n_distinct"),
+        total.cast("long").alias("total_bytes"),
+        F.sum("length").cast("long").alias("unique_bytes"),
+        (total - F.sum("length")).cast("long").alias("saved_bytes"))

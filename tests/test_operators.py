@@ -1054,3 +1054,71 @@ def test_keep_best_per_cluster_policy(spark):
     # exactly one keeper per component
     kept = [r for r in out.collect() if r["keep"]]
     assert len(kept) == 3
+
+
+def test_cdc_chunks_cover_and_bounds():
+    import hashlib
+    import random
+    from historicaldatadocumentparsersystem_spark.extractor.cdc import cdc_chunks
+    rng = random.Random(42)
+    data = bytes(rng.randrange(256) for _ in range(200_000))
+    chunks = cdc_chunks(data, min_size=512, avg_size=2048, max_size=8192)
+    # exact coverage, in order, no gaps
+    pos = 0
+    for off, ln, dg in chunks:
+        assert off == pos and ln > 0
+        assert dg == hashlib.md5(data[off:off + ln]).hexdigest()
+        pos += ln
+    assert pos == len(data)
+    # bounds: every chunk but the last within [min, max]
+    for off, ln, _ in chunks[:-1]:
+        assert 512 <= ln <= 8192
+    assert chunks[-1][1] <= 8192
+    assert len(chunks) > 10          # avg-size actually cuts
+    # determinism + empty input
+    assert cdc_chunks(data, 512, 2048, 8192) == chunks
+    assert cdc_chunks(b"") == []
+
+
+def test_cdc_resynchronizes_after_prefix_edit():
+    """The content-defined property fixed-size blocks lack: inserting
+    bytes at the front shifts every fixed block, but CDC cut points
+    resynchronize, so most block digests survive the edit."""
+    import random
+    from historicaldatadocumentparsersystem_spark.extractor.cdc import cdc_chunks
+    rng = random.Random(7)
+    data = bytes(rng.randrange(256) for _ in range(100_000))
+    edited = b"INSERTED-PREFIX-BYTES" + data
+    d0 = {dg for _, _, dg in cdc_chunks(data, 512, 2048, 8192)}
+    d1 = {dg for _, _, dg in cdc_chunks(edited, 512, 2048, 8192)}
+    shared = len(d0 & d1)
+    assert shared >= 0.8 * len(d0)
+
+
+def test_cdc_blocks_spark_matches_oracle_and_stats(spark):
+    import random
+    from historicaldatadocumentparsersystem_spark.extractor.cdc import cdc_chunks
+    from historicaldatadocumentparsersystem_spark.operators import dedup
+    rng = random.Random(3)
+    common = bytes(rng.randrange(256) for _ in range(30_000))
+    payloads = {i: bytes(rng.randrange(256) for _ in range(2_000 * i))
+                   + common for i in range(1, 5)}
+    df = spark.createDataFrame(
+        [(i, p) for i, p in payloads.items()],
+        "doc_id long, payload binary")
+    blocks = dedup.cdc_blocks(df, min_size=512, avg_size=2048,
+                              max_size=8192)
+    got = {(r["doc_id"], r["block_pos"], r["offset"], r["length"],
+            r["block_md5"]) for r in blocks.collect()}
+    exp = {(i, pos, off, ln, dg)
+           for i, p in payloads.items()
+           for pos, (off, ln, dg) in enumerate(
+               cdc_chunks(p, 512, 2048, 8192))}
+    assert got == exp
+    (s,) = dedup.block_dedup_stats(blocks).collect()
+    assert s["total_bytes"] == sum(len(p) for p in payloads.values())
+    assert s["n_distinct"] < s["n_blocks"]       # shared tail dedups
+    assert s["saved_bytes"] == s["total_bytes"] - s["unique_bytes"]
+    # the shared 30 KB suffix across 4 docs must reclaim most of 3
+    # extra copies (boundary chunks differ, interior ones dedup)
+    assert s["saved_bytes"] > 2 * 30_000 * 8 // 10
