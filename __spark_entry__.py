@@ -913,7 +913,7 @@ _EXTRA_ORDER = [
     "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
-    "frontier_candidates", "cdc_block_dedup",
+    "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
 ]
 
 
@@ -1299,6 +1299,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   max_size=4096)
         return dedup.block_dedup_stats(blocks)
     q["cdc_block_dedup"] = q_cdc
+
+    # --- MinHash estimator calibration: signature-agreement estimate
+    # vs EXACT shingle Jaccard on strided sample pairs, integer basis
+    # points — SQL-checked (list_intersect + per-index agreement twin)
+    def q_minhash_cal(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        pairs = (docs.select(F.col("doc_id").alias("id_a"),
+                             (F.col("doc_id") + 1).alias("id_b"))
+                 .where(F.col("id_a") % 2 == 0))
+        return dedup.minhash_calibration(docs, pairs, num_hashes=16, n=2)
+    q["minhash_calibration"] = q_minhash_cal
 
     # --- corpus token accounting per (lang, split) — SQL-checked
     # (integer basis points, lazy 1-row total)
@@ -2118,6 +2129,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.05""",
+        "minhash_calibration": f"""
+            WITH t AS (
+              SELECT doc_id AS id, {sh2} AS sh FROM documents
+              WHERE doc_id < 500
+            ), s AS (
+              SELECT id, sh,
+                     list_transform(generate_series(0, 15),
+                       i -> list_min(list_transform(sh,
+                            g -> md5(i::varchar || ':' || g)))) AS sig
+              FROM t WHERE len(sh) > 0
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_filter(generate_series(1, 16),
+                         i -> a.sig[i] = b.sig[i])) AS n_match,
+                     len(list_intersect(a.sh, b.sh)) AS n_inter,
+                     len(a.sh) AS sz_a, len(b.sh) AS sz_b
+              FROM s a JOIN s b ON b.id = a.id + 1 AND a.id % 2 = 0
+            )
+            SELECT id_a, id_b, n_match::bigint AS n_match,
+                   (n_match * 10000 // 16)::bigint AS est_bp,
+                   (n_inter * 10000 // (sz_a + sz_b - n_inter))::bigint
+                     AS exact_bp,
+                   abs(n_match * 10000 // 16
+                       - n_inter * 10000 // (sz_a + sz_b - n_inter))
+                     ::bigint AS err_bp
+            FROM p""",
         "minhash_lsh_pairs": f"""
             WITH sig AS (
               SELECT doc_id AS id,

@@ -448,3 +448,53 @@ def block_dedup_stats(blocks: DataFrame) -> DataFrame:
         total.cast("long").alias("total_bytes"),
         F.sum("length").cast("long").alias("unique_bytes"),
         (total - F.sum("length")).cast("long").alias("saved_bytes"))
+
+
+def minhash_calibration(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        num_hashes: int = 16, n: int = 3,
+                        a_col: str = "id_a",
+                        b_col: str = "id_b") -> DataFrame:
+    """Estimator QA for the MinHash family: per given pair, the
+    signature-agreement estimate vs the EXACT shingle Jaccard, in
+    integer basis points — (id_a, id_b, n_match, est_bp, exact_bp,
+    err_bp). Running this on a sampled/candidate pair set is how a
+    production dedup pipeline validates that ``num_hashes`` is large
+    enough before trusting LSH verdicts on 10^12 pairs: E[est] =
+    exact, with binomial spread ~1/sqrt(num_hashes) per pair.
+
+    ``pairs`` comes from any generator — LSH candidates for the
+    similar regime, strided samples for the dissimilar one. The exact
+    side re-materializes both docs' shingle sets per pair, so this is
+    a SAMPLED job by design (calibration, not dedup): cost is
+    O(|pairs| * shingles/doc), never corpus-quadratic.
+
+    Integer basis points (div) keep the driver/oracle hash float-free.
+    """
+    shingled = (df.select(F.col(id_col).alias("id"),
+                          shingles(text_col, n).alias("sh"))
+                .where(F.size("sh") > 0))
+    sigs = shingled.select(
+        "id", "sh", minhash_signature("sh", num_hashes).alias("sig"))
+    a = sigs.select(F.col("id").alias(a_col),
+                    F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias(b_col),
+                    F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    j = (pairs.select(a_col, b_col).join(a, a_col).join(b, b_col)
+         .select(
+             a_col, b_col,
+             F.size(F.filter(
+                 F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                 lambda m: m)).alias("n_match"),
+             F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+             F.size("sh_a").alias("sz_a"), F.size("sh_b").alias("sz_b")))
+    return (j.select(
+        a_col, b_col, F.col("n_match").cast("long").alias("n_match"),
+        F.expr(f"n_match * 10000 div {num_hashes}").cast("long")
+        .alias("est_bp"),
+        F.expr("n_inter * 10000 div (sz_a + sz_b - n_inter)")
+        .cast("long").alias("exact_bp"))
+        .withColumn("err_bp",
+                    F.abs(F.col("est_bp") - F.col("exact_bp"))
+                    .cast("long")))

@@ -1122,3 +1122,28 @@ def test_cdc_blocks_spark_matches_oracle_and_stats(spark):
     # the shared 30 KB suffix across 4 docs must reclaim most of 3
     # extra copies (boundary chunks differ, interior ones dedup)
     assert s["saved_bytes"] > 2 * 30_000 * 8 // 10
+
+
+def test_minhash_calibration_semantics(spark):
+    from historicaldatadocumentparsersystem_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"),          # identical pair (0, 1)
+         (1, "a b c d e f g h"),
+         (2, "a b c d e f g h"),          # half-overlap pair (2, 3)
+         (3, "a b c d x y z w"),
+         (4, "p q r s"),                  # disjoint pair (4, 5)
+         (5, "t u v w2")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "id_a long, id_b long")
+    got = {r["id_a"]: r for r in dedup.minhash_calibration(
+        docs, pairs, num_hashes=16, n=2).collect()}
+    # identical: estimate and exact both 10000, zero error
+    assert (got[0]["n_match"], got[0]["est_bp"], got[0]["exact_bp"],
+            got[0]["err_bp"]) == (16, 10000, 10000, 0)
+    # half-overlap: 7 shingles each, 3 shared -> J = 3/11 = 2727 bp
+    assert got[2]["exact_bp"] == 3 * 10000 // 11
+    assert 0 <= got[2]["n_match"] <= 16
+    assert got[2]["err_bp"] == abs(got[2]["est_bp"] - got[2]["exact_bp"])
+    # disjoint: exact 0; md5 collisions can't happen on these shingles
+    assert (got[4]["exact_bp"], got[4]["n_match"]) == (0, 0)
