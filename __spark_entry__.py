@@ -914,6 +914,7 @@ _EXTRA_ORDER = [
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
+    "retention_funnel",
 ]
 
 
@@ -1310,6 +1311,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .where(F.col("id_a") % 2 == 0))
         return dedup.minhash_calibration(docs, pairs, num_hashes=16, n=2)
     q["minhash_calibration"] = q_minhash_cal
+
+    # --- curation retention funnel: cumulative per-gate survival in
+    # ONE corpus pass (first-failing-gate histogram) — SQL-checked
+    def q_funnel(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators.textstats import (
+            tokens)
+        docs = _t(spark, sf_dir, "documents")
+        tok = tokens("text")
+        gates = [
+            ("min_chars", F.col("n_chars") >= 100),
+            ("lang_latin", F.col("lang").isin("en", "de", "es", "fr")),
+            ("min_tokens", F.size(tok) >= 20),
+            ("blocklist", ~F.array_contains(
+                F.transform(tok, lambda x: F.lower(x)), "window")),
+        ]
+        return webtext.retention_funnel(docs, gates)
+    q["retention_funnel"] = q_funnel
 
     # --- corpus token accounting per (lang, split) — SQL-checked
     # (integer basis points, lazy 1-row total)
@@ -2253,6 +2271,36 @@ def oracle_sql() -> dict[str, str]:
             FROM dk
             WHERE NOT EXISTS (
               SELECT 1 FROM k WHERE k.urlkey = dk.urlkey)""",
+        "retention_funnel": f"""
+            WITH f AS (
+              SELECT CASE
+                WHEN NOT coalesce(n_chars >= 100, false) THEN 1
+                WHEN NOT coalesce(
+                  lang IN ('en', 'de', 'es', 'fr'), false) THEN 2
+                WHEN NOT coalesce(len({tok}) >= 20, false) THEN 3
+                WHEN NOT coalesce(NOT list_contains(
+                  list_transform({tok}, x -> lower(x)), 'window'),
+                  false) THEN 4
+                ELSE 5 END AS ff
+              FROM documents
+            ), h AS (SELECT ff, count(*) AS cnt FROM f GROUP BY ff),
+            s AS (SELECT * FROM (VALUES
+              (1, 'min_chars'), (2, 'lang_latin'),
+              (3, 'min_tokens'), (4, 'blocklist'))
+              AS v(stage_idx, stage))
+            SELECT stage_idx, stage,
+                   sum(CASE WHEN ff >= stage_idx THEN cnt ELSE 0 END)
+                     ::bigint AS n_in,
+                   sum(CASE WHEN ff > stage_idx THEN cnt ELSE 0 END)
+                     ::bigint AS n_out,
+                   (CASE WHEN sum(CASE WHEN ff >= stage_idx
+                                  THEN cnt ELSE 0 END) > 0
+                    THEN sum(CASE WHEN ff > stage_idx
+                             THEN cnt ELSE 0 END) * 10000
+                         // sum(CASE WHEN ff >= stage_idx
+                                THEN cnt ELSE 0 END) END)::bigint
+                     AS kept_bp
+            FROM s, h GROUP BY stage_idx, stage""",
         "corpus_token_budget": f"""
             WITH per AS (
               SELECT lang, {_hash_split_case('doc_id')} AS split,

@@ -1046,3 +1046,54 @@ def frontier_candidates(discovered: DataFrame, captured: DataFrame,
            .otherwise(F.lit("low")))
     return novel.select("url", "urlkey", "changefreq", "priority_bp",
                         pri.alias("priority"))
+
+
+def retention_funnel(df: DataFrame,
+                     gates: list[tuple[str, Column]]) -> DataFrame:
+    """Pipeline observability: per ordered curation gate, how many
+    rows enter it and how many survive — the retention report every
+    published curation pipeline quotes (URL filter -> language ->
+    quality -> dedup each keep X%). Gates are (name, boolean column)
+    applied CUMULATIVELY: a row enters gate k only if gates 1..k-1
+    all passed; NULL gate values count as failures.
+
+    Output: (stage_idx, stage, n_in, n_out, kept_bp) — kept_bp =
+    n_out / n_in in integer basis points (NULL when nothing enters).
+
+    Scale: ONE pass over the corpus — each row is reduced to the
+    index of its FIRST failing gate (a codegen CASE chain), then one
+    tiny groupBy on that index; the per-stage table is derived from
+    the histogram, never from re-scanning. L gates cost 1 scan, not L.
+    """
+    n_gates = len(gates)
+    if n_gates == 0:
+        raise ValueError("retention_funnel needs at least one gate")
+    first_fail = F.lit(n_gates + 1)
+    for i in range(n_gates, 0, -1):
+        cond = gates[i - 1][1]
+        first_fail = F.when(~F.coalesce(cond, F.lit(False)),
+                            F.lit(i)).otherwise(first_fail)
+    hist = (df.select(first_fail.alias("ff"))
+            .groupBy("ff").agg(F.count("*").alias("cnt"))
+            # global agg -> ALWAYS one row (array may be empty), so an
+            # empty corpus still reports every stage at 0/0
+            .agg(F.collect_list(F.struct("ff", "cnt")).alias("h")))
+    stage_lit = F.array(*[
+        F.struct(F.lit(i).alias("stage_idx"),
+                 F.lit(name).alias("stage"))
+        for i, (name, _) in enumerate(gates, start=1)])
+    stages = (df.sparkSession.range(1)
+              .select(F.explode(stage_lit).alias("s"))
+              .select("s.stage_idx", "s.stage"))
+    agg = (stages.crossJoin(hist)          # 1-row broadcast side
+           .select(
+               "stage_idx", "stage",
+               F.expr("aggregate(filter(h, e -> e.ff >= stage_idx),"
+                      " 0L, (a, e) -> a + e.cnt)").alias("n_in"),
+               F.expr("aggregate(filter(h, e -> e.ff > stage_idx),"
+                      " 0L, (a, e) -> a + e.cnt)").alias("n_out")))
+    return agg.select(
+        "stage_idx", "stage", "n_in", "n_out",
+        F.when(F.col("n_in") > 0,
+               F.expr("n_out * 10000 div n_in")).cast("long")
+        .alias("kept_bp"))

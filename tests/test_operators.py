@@ -1147,3 +1147,35 @@ def test_minhash_calibration_semantics(spark):
     assert got[2]["err_bp"] == abs(got[2]["est_bp"] - got[2]["exact_bp"])
     # disjoint: exact 0; md5 collisions can't happen on these shingles
     assert (got[4]["exact_bp"], got[4]["n_match"]) == (0, 0)
+
+
+def test_retention_funnel_cumulative_and_nulls(spark):
+    import pytest as _pytest
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 10, None), (3, 1, "en"), (4, 10, "zh"),
+         (5, None, "en"), (6, 10, "en")],
+        "id long, score int, lang string")
+    gates = [("score", F.col("score") >= 5),
+             ("lang", F.col("lang") == "en")]
+    got = {r["stage"]: r for r in webtext.retention_funnel(
+        df, gates).collect()}
+    # score gate: NULL score (id 5) and low score (id 3) fail -> 4 of 6
+    s = got["score"]
+    assert (s["stage_idx"], s["n_in"], s["n_out"], s["kept_bp"]) == \
+        (1, 6, 4, 6666)
+    # lang gate sees only the 4 survivors; NULL lang and zh fail
+    la = got["lang"]
+    assert (la["stage_idx"], la["n_in"], la["n_out"], la["kept_bp"]) == \
+        (2, 4, 2, 5000)
+    with _pytest.raises(ValueError):
+        webtext.retention_funnel(df, [])
+
+
+def test_retention_funnel_empty_input(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.createDataFrame([], "id long, score int")
+    got = webtext.retention_funnel(
+        df, [("g", F.col("score") > 0)]).collect()
+    (row,) = got
+    assert (row["n_in"], row["n_out"], row["kept_bp"]) == (0, 0, None)
