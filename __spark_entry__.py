@@ -914,7 +914,7 @@ _EXTRA_ORDER = [
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
-    "retention_funnel",
+    "retention_funnel", "quality_gate_agreement",
 ]
 
 
@@ -1328,6 +1328,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return webtext.retention_funnel(docs, gates)
     q["retention_funnel"] = q_funnel
+
+    # --- gate agreement: C4 blocklist rule gate vs hashed-linear
+    # learned gate, 2x2 confusion over the same corpus — SQL-checked
+    # (both gates already have exact twins; the join/agg composes
+    # them). Gopher-vs-classifier is the production pairing, but its
+    # stop-word rule is degenerate (always-false) on this synthetic
+    # corpus; the blocklist gate splits ~20/80 so all four cells fill.
+    def q_gate_agree(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        g = webtext.blocklist_gate(docs, ["window", "vacuum"]).select(
+            "doc_id", "keep")
+        c = quality.quality_classifier(docs)
+        return quality.gate_agreement(g, c)
+    q["quality_gate_agreement"] = q_gate_agree
 
     # --- corpus token accounting per (lang, split) — SQL-checked
     # (integer basis points, lazy 1-row total)
@@ -1986,6 +2000,92 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _qclass_sql() -> str:
+    """Hashed-linear quality classifier as a complete DuckDB query
+    over documents — shared by the quality_classifier oracle and the
+    quality_gate_agreement oracle."""
+    tok = (r"list_filter(regexp_split_to_array(trim(text), '\s+'), "
+           r"x -> x != '')")
+    return f"""
+            WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
+            s AS (
+              SELECT doc_id, len(tk)::bigint AS n_tokens,
+                     coalesce(list_sum(list_transform(tk,
+                       x -> ({_W_SQL})[((cast('0x' ||
+                         substr(md5(lower(x)), 1, 8) AS bigint))
+                         % {_qmodel.N_BUCKETS}) + 1])), 0)::bigint
+                       AS score_micro
+              FROM t)
+            SELECT doc_id, n_tokens, score_micro,
+                   (CASE WHEN score_micro >
+                       {-_qmodel.BIAS_MICRO}::bigint * n_tokens
+                    THEN 1 ELSE 0 END)::bigint AS keep
+            FROM s"""
+
+
+def _gopher_sql(src: str, min_words: int = 50,
+                max_words: int = 100000) -> str:
+    """Gopher document-quality rules as a complete DuckDB query over
+    any (url, text) source select ``src`` — shared by the golden-
+    corpus ``gopher_rules`` oracle and the documents-table
+    ``quality_gate_agreement`` oracle (the id column keeps the name
+    ``url`` whatever its type)."""
+    return f"""
+            WITH d AS ({src}), t AS (
+              SELECT url, text,
+                     list_filter(regexp_split_to_array(trim(text),
+                                 '\\s+'), x -> x != '') AS tok,
+                     str_split(text, chr(10)) AS lines
+              FROM d
+            ), m AS (
+              SELECT url,
+                len(tok)::bigint AS n_words,
+                (CASE WHEN len(tok) = 0 THEN 0 ELSE
+                   list_reduce(list_transform(tok,
+                     w -> length(w)::bigint), (a, b) -> a + b)
+                 END)::bigint AS total_word_chars,
+                len(list_filter(tok, w -> regexp_matches(w,
+                    '[A-Za-z]')))::bigint AS n_alpha_words,
+                len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(tok,
+                         w -> lower(w)), s)))::bigint AS n_stop_hits,
+                ((length(text) - length(replace(text, '...', ''))) / 3
+                  + length(text) - length(replace(text, '…', ''))
+                  + length(text) - length(replace(text, '#', ''))
+                 )::bigint AS symbol_hits,
+                len(lines)::bigint AS n_lines,
+                len(list_filter(lines, l -> regexp_matches(l,
+                    '^\\s*[-*•]')))::bigint AS n_bullet_lines,
+                len(list_filter(lines, l -> regexp_matches(l,
+                    '(\\.\\.\\.|…)\\s*$')))::bigint AS n_ellipsis_lines
+              FROM t
+            )
+            SELECT url, n_words, total_word_chars, n_alpha_words,
+                   n_stop_hits, symbol_hits, n_lines, n_bullet_lines,
+                   n_ellipsis_lines,
+                   (n_words BETWEEN {min_words} AND {max_words}) AS r_word_count,
+                   (total_word_chars >= 3 * n_words
+                    AND total_word_chars <= 10 * n_words
+                    AND n_words > 0) AS r_mean_word_len,
+                   (10 * symbol_hits <= n_words) AS r_symbol_ratio,
+                   (10 * n_bullet_lines <= n_lines) AS r_bullet_lines,
+                   (10 * n_ellipsis_lines <= 3 * n_lines)
+                     AS r_ellipsis_lines,
+                   (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+                   (n_stop_hits >= 2) AS r_stop_words,
+                   ((n_words BETWEEN {min_words} AND {max_words})
+                    AND total_word_chars >= 3 * n_words
+                    AND total_word_chars <= 10 * n_words
+                    AND n_words > 0
+                    AND 10 * symbol_hits <= n_words
+                    AND 10 * n_bullet_lines <= n_lines
+                    AND 10 * n_ellipsis_lines <= 3 * n_lines
+                    AND 5 * n_alpha_words >= 4 * n_words
+                    AND n_stop_hits >= 2) AS keep
+            FROM m"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = (r"list_filter(regexp_split_to_array(trim(text), '\s+'), "
            r"x -> x != '')")
@@ -2301,6 +2401,27 @@ def oracle_sql() -> dict[str, str]:
                                 THEN cnt ELSE 0 END) END)::bigint
                      AS kept_bp
             FROM s, h GROUP BY stage_idx, stage""",
+        "quality_gate_agreement": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     (len(list_intersect(list_distinct(
+                        list_transform({tok}, y -> lower(y))),
+                        ['vacuum', 'window'])) = 0) AS ka
+              FROM documents
+            ), c AS (
+              SELECT doc_id, keep FROM ({_qclass_sql()})
+            ), j AS (
+              SELECT g.doc_id, g.ka, (c.keep = 1) AS kb
+              FROM g JOIN c USING (doc_id))
+            SELECT count(*)::bigint AS n_docs,
+                   sum((ka AND kb)::bigint)::bigint AS n_both_keep,
+                   sum((ka AND NOT kb)::bigint)::bigint AS n_a_only,
+                   sum((NOT ka AND kb)::bigint)::bigint AS n_b_only,
+                   sum((NOT ka AND NOT kb)::bigint)::bigint
+                     AS n_neither,
+                   (sum((ka = kb)::bigint) * 10000 // count(*))
+                     ::bigint AS agree_bp
+            FROM j""",
         "corpus_token_budget": f"""
             WITH per AS (
               SELECT lang, {_hash_split_case('doc_id')} AS split,
@@ -2876,21 +2997,7 @@ def oracle_sql() -> dict[str, str]:
         # list literal, md5 bucket per token, pure int64 cross-multiply
         # (list_sum on [] is NULL in DuckDB -> coalesce; Spark's
         # aggregate fold returns the 0 seed)
-        "quality_classifier": f"""
-            WITH t AS (SELECT doc_id, {tok} AS tk FROM documents),
-            s AS (
-              SELECT doc_id, len(tk)::bigint AS n_tokens,
-                     coalesce(list_sum(list_transform(tk,
-                       x -> ({_W_SQL})[((cast('0x' ||
-                         substr(md5(lower(x)), 1, 8) AS bigint))
-                         % {_qmodel.N_BUCKETS}) + 1])), 0)::bigint
-                       AS score_micro
-              FROM t)
-            SELECT doc_id, n_tokens, score_micro,
-                   (CASE WHEN score_micro >
-                       {-_qmodel.BIAS_MICRO}::bigint * n_tokens
-                    THEN 1 ELSE 0 END)::bigint AS keep
-            FROM s""",
+        "quality_classifier": _qclass_sql(),
         # outlink extraction: oracle = committed golden links parquet
         # (pure-Python linkx over the same seed-42 corpus; pinned by
         # tests/test_links.py the same way test_golden pins extraction)
@@ -3193,63 +3300,9 @@ def oracle_sql() -> dict[str, str]:
         # so no float reaches the hash; symbol_hits' /3 is exact (the
         # replace-diff is always a multiple of 3) and DuckDB's
         # round-on-cast == Spark's trunc-on-cast on exact integers
-        "gopher_rules": f"""
-            WITH d AS (
-              SELECT url, extracted_text AS text
-              FROM read_parquet('{_GOLDEN}')
-            ), t AS (
-              SELECT url, text,
-                     list_filter(regexp_split_to_array(trim(text),
-                                 '\\s+'), x -> x != '') AS tok,
-                     str_split(text, chr(10)) AS lines
-              FROM d
-            ), m AS (
-              SELECT url,
-                len(tok)::bigint AS n_words,
-                (CASE WHEN len(tok) = 0 THEN 0 ELSE
-                   list_reduce(list_transform(tok,
-                     w -> length(w)::bigint), (a, b) -> a + b)
-                 END)::bigint AS total_word_chars,
-                len(list_filter(tok, w -> regexp_matches(w,
-                    '[A-Za-z]')))::bigint AS n_alpha_words,
-                len(list_filter(
-                    ['the','be','to','of','and','that','have','with'],
-                    s -> list_contains(list_transform(tok,
-                         w -> lower(w)), s)))::bigint AS n_stop_hits,
-                ((length(text) - length(replace(text, '...', ''))) / 3
-                  + length(text) - length(replace(text, '…', ''))
-                  + length(text) - length(replace(text, '#', ''))
-                 )::bigint AS symbol_hits,
-                len(lines)::bigint AS n_lines,
-                len(list_filter(lines, l -> regexp_matches(l,
-                    '^\\s*[-*•]')))::bigint AS n_bullet_lines,
-                len(list_filter(lines, l -> regexp_matches(l,
-                    '(\\.\\.\\.|…)\\s*$')))::bigint AS n_ellipsis_lines
-              FROM t
-            )
-            SELECT url, n_words, total_word_chars, n_alpha_words,
-                   n_stop_hits, symbol_hits, n_lines, n_bullet_lines,
-                   n_ellipsis_lines,
-                   (n_words BETWEEN 50 AND 100000) AS r_word_count,
-                   (total_word_chars >= 3 * n_words
-                    AND total_word_chars <= 10 * n_words
-                    AND n_words > 0) AS r_mean_word_len,
-                   (10 * symbol_hits <= n_words) AS r_symbol_ratio,
-                   (10 * n_bullet_lines <= n_lines) AS r_bullet_lines,
-                   (10 * n_ellipsis_lines <= 3 * n_lines)
-                     AS r_ellipsis_lines,
-                   (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
-                   (n_stop_hits >= 2) AS r_stop_words,
-                   ((n_words BETWEEN 50 AND 100000)
-                    AND total_word_chars >= 3 * n_words
-                    AND total_word_chars <= 10 * n_words
-                    AND n_words > 0
-                    AND 10 * symbol_hits <= n_words
-                    AND 10 * n_bullet_lines <= n_lines
-                    AND 10 * n_ellipsis_lines <= 3 * n_lines
-                    AND 5 * n_alpha_words >= 4 * n_words
-                    AND n_stop_hits >= 2) AS keep
-            FROM m""",
+        "gopher_rules": _gopher_sql(
+            f"SELECT url, extracted_text AS text "
+            f"FROM read_parquet('{_GOLDEN}')"),
         # C4 line filter: terminal punctuation by last-char compare
         # (NOT '$'-anchored regex — Java vs RE2 end-anchor semantics
         # differ on trailing \\r); clean_text is byte-exact

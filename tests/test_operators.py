@@ -1179,3 +1179,17 @@ def test_retention_funnel_empty_input(spark):
         df, [("g", F.col("score") > 0)]).collect()
     (row,) = got
     assert (row["n_in"], row["n_out"], row["kept_bp"]) == (0, 0, None)
+
+
+def test_gate_agreement_confusion_cells(spark):
+    from historicaldatadocumentparsersystem_spark.operators import quality
+    a = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, False), (5, True)],
+        "doc_id long, keep boolean")
+    # integer keep on the b side; id 5 missing -> excluded (inner join)
+    b = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0)], "doc_id long, keep int")
+    (r,) = quality.gate_agreement(a, b).collect()
+    assert (r["n_docs"], r["n_both_keep"], r["n_a_only"],
+            r["n_b_only"], r["n_neither"]) == (4, 1, 1, 1, 1)
+    assert r["agree_bp"] == 2 * 10000 // 4
