@@ -643,6 +643,36 @@ def _synth_cdx(docs: DataFrame) -> DataFrame:
                  (did % 8).cast("string")).alias("filename"))
 
 
+def _frontier_sql() -> str:
+    """Frontier-candidates DuckDB query (discovery minus capture
+    history) — shared by the frontier_candidates oracle and the
+    fetch_schedule oracle that windows over it."""
+    return f"""
+            WITH {_CDX_CTE}, d AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN url
+                     ELSE regexp_replace(url, '/P.*$', '')
+                          || '/NEW-' || doc_id END AS loc,
+                     (['daily', 'weekly', NULL, 'hourly', NULL])
+                       [doc_id % 5 + 1] AS changefreq,
+                     CASE WHEN doc_id % 6 = 1 THEN 9000
+                          WHEN doc_id % 6 = 3 THEN 3000 END
+                       AS priority_bp
+              FROM k
+            ), dk AS (
+              SELECT loc AS url, {_surt_sql('loc')} AS urlkey,
+                     changefreq, priority_bp FROM d)
+            SELECT url, urlkey, changefreq,
+                   priority_bp::int AS priority_bp,
+                   CASE WHEN changefreq IN ('always', 'hourly', 'daily')
+                             OR priority_bp >= 7000 THEN 'high'
+                        WHEN changefreq IS NOT NULL
+                             OR priority_bp IS NOT NULL THEN 'normal'
+                        ELSE 'low' END AS priority
+            FROM dk
+            WHERE NOT EXISTS (
+              SELECT 1 FROM k WHERE k.urlkey = dk.urlkey)"""
+
+
 def _pagerank_sql(iters: int) -> str:
     """DuckDB twin of the host_pagerank query: derive the deterministic
     ring edge table from documents, then unroll ``iters`` PageRank
@@ -914,7 +944,7 @@ _EXTRA_ORDER = [
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
-    "retention_funnel", "quality_gate_agreement",
+    "retention_funnel", "quality_gate_agreement", "fetch_schedule",
 ]
 
 
@@ -1263,7 +1293,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- frontier candidates: sitemap-discovered URLs never captured
     # (SURT anti-join vs the capture index) — SQL-checked (NOT EXISTS
     # twin; even doc_ids rediscover captured urls, odd ones are novel)
-    def q_frontier(spark, sf_dir):
+    def _synth_frontier(spark, sf_dir):
         cdx = _synth_cdx(_t(spark, sf_dir, "documents"))
         did = F.col("doc_id")
         loc = F.when(did % 2 == 0, F.col("url")).otherwise(
@@ -1280,7 +1310,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         disc = cdx.select(loc.alias("loc"), freq.alias("changefreq"),
                           pr.alias("priority_bp"))
         return webtext.frontier_candidates(disc, cdx)
-    q["frontier_candidates"] = q_frontier
+
+    q["frontier_candidates"] = _synth_frontier
+
+    # --- politeness fetch scheduling over the frontier: per-host
+    # batches of <= budget URLs, priority-first — SQL-checked
+    # (row_number window twin over the same frontier)
+    def q_schedule(spark, sf_dir):
+        return webtext.fetch_schedule(
+            _synth_frontier(spark, sf_dir), per_host_budget=3)
+    q["fetch_schedule"] = q_schedule
 
     # --- content-defined (FastCDC) block dedup over binary payloads —
     # rows-only here (a sequential gear-hash fold over bytes is not
@@ -2347,30 +2386,21 @@ def oracle_sql() -> dict[str, str]:
                    filename, "offset", length, nc::bigint AS n_copies,
                    (ba - length)::bigint AS bytes_saved
             FROM ranked WHERE rn = 1""",
-        "frontier_candidates": f"""
-            WITH {_CDX_CTE}, d AS (
-              SELECT CASE WHEN doc_id % 2 = 0 THEN url
-                     ELSE regexp_replace(url, '/P.*$', '')
-                          || '/NEW-' || doc_id END AS loc,
-                     (['daily', 'weekly', NULL, 'hourly', NULL])
-                       [doc_id % 5 + 1] AS changefreq,
-                     CASE WHEN doc_id % 6 = 1 THEN 9000
-                          WHEN doc_id % 6 = 3 THEN 3000 END
-                       AS priority_bp
-              FROM k
-            ), dk AS (
-              SELECT loc AS url, {_surt_sql('loc')} AS urlkey,
-                     changefreq, priority_bp FROM d)
-            SELECT url, urlkey, changefreq,
-                   priority_bp::int AS priority_bp,
-                   CASE WHEN changefreq IN ('always', 'hourly', 'daily')
-                             OR priority_bp >= 7000 THEN 'high'
-                        WHEN changefreq IS NOT NULL
-                             OR priority_bp IS NOT NULL THEN 'normal'
-                        ELSE 'low' END AS priority
-            FROM dk
-            WHERE NOT EXISTS (
-              SELECT 1 FROM k WHERE k.urlkey = dk.urlkey)""",
+        "frontier_candidates": _frontier_sql(),
+        "fetch_schedule": f"""
+            WITH fc AS ({_frontier_sql()}),
+            r AS (
+              SELECT url, str_split(urlkey, ')')[1] AS host,
+                     CASE priority WHEN 'high' THEN 0
+                          WHEN 'normal' THEN 1 ELSE 2 END AS pr
+              FROM fc),
+            k2 AS (
+              SELECT url, host, row_number() OVER (
+                PARTITION BY host ORDER BY pr, url) - 1 AS rk
+              FROM r)
+            SELECT url, host, (rk // 3)::bigint AS batch,
+                   (rk % 3)::bigint AS slot
+            FROM k2""",
         "retention_funnel": f"""
             WITH f AS (
               SELECT CASE

@@ -1097,3 +1097,42 @@ def retention_funnel(df: DataFrame,
         F.when(F.col("n_in") > 0,
                F.expr("n_out * 10000 div n_in")).cast("long")
         .alias("kept_bp"))
+
+
+def fetch_schedule(candidates: DataFrame, per_host_budget: int = 4,
+                   url_col: str = "url",
+                   urlkey_col: str = "urlkey",
+                   priority_col: str = "priority") -> DataFrame:
+    """Politeness scheduling over frontier candidates
+    (``frontier_candidates`` output): assign every URL a fetch batch
+    such that no batch holds more than ``per_host_budget`` URLs of
+    one host — the crawler's per-origin rate limit — while distinct
+    hosts proceed in parallel. Within a host, 'high' priority URLs
+    fill the earliest batches; ties break on url so the schedule is
+    total and reproducible.
+
+    The host is the SURT urlkey's host prefix (label-reversed,
+    INCLUDING a non-default port — politeness is per origin), so no
+    re-parsing of the raw url. Output: (url, host, batch, slot) with
+    slot in [0, per_host_budget) inside the batch.
+
+    Scale: ONE window partitioned by host — partition size = URLs per
+    host in the frontier, bounded in practice by per-host discovery
+    caps (``skew.cap_per_host`` upstream if a host explodes); no
+    global sort, no collect. Batch k is recovered by a partition-
+    pruned ``batch = k`` filter at fetch time.
+    """
+    if per_host_budget <= 0:
+        raise ValueError("per_host_budget must be positive")
+    host = F.split(F.col(urlkey_col), r"\)").getItem(0)
+    pr = (F.when(F.col(priority_col) == "high", 0)
+          .when(F.col(priority_col) == "normal", 1)
+          .otherwise(2))
+    w = Window.partitionBy("host").orderBy("pr", url_col)
+    ranked = (candidates.select(F.col(url_col).alias("url"),
+                                host.alias("host"), pr.alias("pr"))
+              .withColumn("rk", F.row_number().over(w) - 1))
+    return ranked.select(
+        "url", "host",
+        F.expr(f"rk div {per_host_budget}").cast("long").alias("batch"),
+        (F.col("rk") % per_host_budget).cast("long").alias("slot"))

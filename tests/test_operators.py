@@ -1193,3 +1193,35 @@ def test_gate_agreement_confusion_cells(spark):
     assert (r["n_docs"], r["n_both_keep"], r["n_a_only"],
             r["n_b_only"], r["n_neither"]) == (4, 1, 1, 1, 1)
     assert r["agree_bp"] == 2 * 10000 // 4
+
+
+def test_fetch_schedule_politeness_invariants(spark):
+    import pytest as _pytest
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    cands = spark.createDataFrame(
+        [(f"https://a.com/p{i}", f"com,a)/p{i}",
+          "high" if i < 2 else ("normal" if i < 5 else "low"))
+         for i in range(7)] +
+        [("https://b.com/x", "com,b)/x", "low")],
+        "url string, urlkey string, priority string")
+    out = webtext.fetch_schedule(cands, per_host_budget=3).collect()
+    rows = {r["url"]: r for r in out}
+    # no batch exceeds the per-host budget
+    from collections import Counter
+    per = Counter((r["host"], r["batch"]) for r in out)
+    assert max(per.values()) <= 3
+    # high-priority urls land in batch 0; slots dense within batch
+    assert rows["https://a.com/p0"]["batch"] == 0
+    assert rows["https://a.com/p1"]["batch"] == 0
+    a_rows = [r for r in out if r["host"] == "com,a"]
+    assert sorted((r["batch"], r["slot"]) for r in a_rows) == \
+        [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2), (2, 0)]
+    # priority order: the low-priority a-urls fill the LAST slots
+    low_a = [r for r in a_rows if r["url"] in
+             ("https://a.com/p5", "https://a.com/p6")]
+    assert all(r["batch"] == 2 or (r["batch"], r["slot"]) == (1, 2)
+               for r in low_a)
+    # other host is independent: starts at batch 0
+    assert rows["https://b.com/x"]["batch"] == 0
+    with _pytest.raises(ValueError):
+        webtext.fetch_schedule(cands, per_host_budget=0)
