@@ -673,14 +673,9 @@ def _frontier_sql() -> str:
               SELECT 1 FROM k WHERE k.urlkey = dk.urlkey)"""
 
 
-def _pagerank_sql(iters: int) -> str:
-    """DuckDB twin of the host_pagerank query: derive the deterministic
-    ring edge table from documents, then unroll ``iters`` PageRank
-    iterations as chained CTEs in pure int64 floor division (``//`` ==
-    Spark ``div`` on non-negative values)."""
-    scale, d = linkgraph.PAGERANK_SCALE, linkgraph.DAMPING_PCT
-    ctes = [f"""
-        WITH h AS (
+# shared synthetic host-graph derivation (ring edges off documents),
+# used by the PageRank and HITS oracle twins
+_HOSTGRAPH_SQL = """h AS (
           SELECT source, row_number() OVER (ORDER BY source) - 1 AS r
           FROM (SELECT DISTINCT source FROM documents)
         ), nn AS (SELECT count(*)::bigint AS n FROM h),
@@ -694,7 +689,62 @@ def _pagerank_sql(iters: int) -> str:
           WHERE dd.doc_id % 17 = 0
         ),
         hosts AS (SELECT src_host AS host FROM e
-                  UNION SELECT dst_host FROM e),
+                  UNION SELECT dst_host FROM e)"""
+
+
+def _hits_sql(iters: int) -> str:
+    """DuckDB twin of the host_hits query: same derived host graph,
+    ``iters`` HITS rounds unrolled as chained CTEs — L1 rescale to
+    HITS_SCALE in pure int64 floor division (// == Spark div)."""
+    scale = linkgraph.HITS_SCALE
+    ctes = [f"""
+        WITH {{_HOSTGRAPH_SQL}},
+        h0 AS (SELECT host, {scale} // nn.n AS hub_micro
+               FROM hosts CROSS JOIN nn)"""]
+    prev = "h0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        ar{k} AS (
+          SELECT e.dst_host AS host, sum(p.hub_micro)::bigint AS raw
+          FROM e JOIN {prev} p ON e.src_host = p.host
+          GROUP BY e.dst_host),
+        at{k} AS (SELECT sum(raw)::bigint AS t FROM ar{k}),
+        a{k} AS (
+          SELECT hosts.host,
+                 (CASE WHEN t > 0
+                  THEN (coalesce(raw, 0) * {scale}) // t
+                  ELSE 0 END)::bigint AS auth_micro
+          FROM hosts CROSS JOIN at{k}
+          LEFT JOIN ar{k} ON hosts.host = ar{k}.host),
+        hr{k} AS (
+          SELECT e.src_host AS host, sum(a.auth_micro)::bigint AS raw
+          FROM e JOIN a{k} a ON e.dst_host = a.host
+          GROUP BY e.src_host),
+        ht{k} AS (SELECT sum(raw)::bigint AS t FROM hr{k}),
+        h{k} AS (
+          SELECT hosts.host,
+                 (CASE WHEN t > 0
+                  THEN (coalesce(raw, 0) * {scale}) // t
+                  ELSE 0 END)::bigint AS hub_micro
+          FROM hosts CROSS JOIN ht{k}
+          LEFT JOIN hr{k} ON hosts.host = hr{k}.host)""")
+        prev = f"h{k}"
+    body = ",".join(ctes) + f"""
+        SELECT h{iters}.host AS host,
+               hub_micro::bigint AS hub_micro,
+               auth_micro::bigint AS auth_micro
+        FROM h{iters} JOIN a{iters} USING (host)"""
+    return body.replace("{_HOSTGRAPH_SQL}", _HOSTGRAPH_SQL)
+
+
+def _pagerank_sql(iters: int) -> str:
+    """DuckDB twin of the host_pagerank query: derive the deterministic
+    ring edge table from documents, then unroll ``iters`` PageRank
+    iterations as chained CTEs in pure int64 floor division (``//`` ==
+    Spark ``div`` on non-negative values)."""
+    scale, d = linkgraph.PAGERANK_SCALE, linkgraph.DAMPING_PCT
+    ctes = [f"""
+        WITH {_HOSTGRAPH_SQL},
         od AS (SELECT src_host, count(*)::bigint AS out_deg
                FROM e GROUP BY src_host),
         r0 AS (SELECT host, {scale} // nn.n AS rank_micro
@@ -945,6 +995,7 @@ _EXTRA_ORDER = [
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
+    "host_hits",
 ]
 
 
@@ -1566,26 +1617,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a dense derivation yields the complete graph and uniform ranks)
     # so the whole query is SQL-expressible; real crawls feed
     # host_edges(extract_links_df(...)) instead (pytest-covered)
-    def q_pagerank(spark, sf_dir):
+    def _synth_host_edges(spark, sf_dir):
         from pyspark.sql import Window
         docs = _t(spark, sf_dir, "documents")
         hosts = (docs.select("source").distinct()
                  .withColumn("r", F.row_number().over(
                      Window.orderBy("source")) - 1))
         n1 = hosts.agg(F.count("*").alias("__n"))
-        edges = (docs.select("doc_id", "source")
-                 .where(F.col("doc_id") % 17 == 0)
-                 .join(hosts, "source")
-                 .crossJoin(F.broadcast(n1))
-                 .select(F.col("source").alias("src_host"),
-                         ((F.col("r") + 1 + (F.col("doc_id") * 31)
-                           % (F.col("__n") - 1)) % F.col("__n"))
-                         .alias("dst_r"))
-                 .join(hosts.select(F.col("source").alias("dst_host"),
-                                    F.col("r").alias("dst_r")), "dst_r")
-                 .select("src_host", "dst_host"))
-        return linkgraph.pagerank_hosts(edges, iters=3)
+        return (docs.select("doc_id", "source")
+                .where(F.col("doc_id") % 17 == 0)
+                .join(hosts, "source")
+                .crossJoin(F.broadcast(n1))
+                .select(F.col("source").alias("src_host"),
+                        ((F.col("r") + 1 + (F.col("doc_id") * 31)
+                          % (F.col("__n") - 1)) % F.col("__n"))
+                        .alias("dst_r"))
+                .join(hosts.select(F.col("source").alias("dst_host"),
+                                   F.col("r").alias("dst_r")), "dst_r")
+                .select("src_host", "dst_host"))
+
+    def q_pagerank(spark, sf_dir):
+        return linkgraph.pagerank_hosts(
+            _synth_host_edges(spark, sf_dir), iters=3)
     q["host_pagerank"] = q_pagerank
+
+    # --- HITS hubs/authorities over the same derived host graph —
+    # SQL-checked (unrolled-CTE twin, int64 fixed point like PageRank)
+    def q_hits(spark, sf_dir):
+        return linkgraph.hits_hosts(
+            _synth_host_edges(spark, sf_dir), iters=3)
+    q["host_hits"] = q_hits
 
     # --- unigram LM cross-entropy (KenLM-style quality signal) —
     # SQL-checked via fixed-point decimal summation on both sides
@@ -3038,6 +3099,9 @@ def oracle_sql() -> dict[str, str]:
         # host PageRank: same derived ring edges, 3 iterations unrolled
         # as chained CTEs, all int64 floor division — bit-exact twin
         "host_pagerank": _pagerank_sql(3),
+        # HITS hubs/authorities: same derived graph, unrolled rounds,
+        # int64 L1 rescale — bit-exact twin like PageRank
+        "host_hits": _hits_sql(3),
         # portable Bloom filter: same md5 hash family / 63-bit words;
         # bit_or build over the even half, 4-probe AND membership —
         # bit-for-bit identical to Spark including false positives

@@ -47,6 +47,7 @@ LINKS_SCHEMA = StructType([
 
 PAGERANK_SCALE = 10 ** 12   # 1.0 of rank mass, in rank-micro units
 DAMPING_PCT = 85            # 0.85 as an integer percentage
+HITS_SCALE = 10 ** 6        # 1.0 of hub/auth mass (int64-safe rescale)
 
 
 def extract_links_df(docs: DataFrame) -> DataFrame:
@@ -170,3 +171,65 @@ def anchor_text_terms(links: DataFrame, k: int = 3,
     w = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("term"))
     return (counts.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k))
+
+
+def hits_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999) over (src_host,
+    dst_host) edges — the hub/authority complement of
+    ``pagerank_hosts``: directories and link farms score as hubs,
+    heavily-cited content hosts as authorities; curation pipelines use
+    LOW authority + HIGH hub as a spam-host signal PageRank alone
+    misses (rank flows through farms, authority does not).
+
+    Per iteration (standard order, L1-normalized to ``SCALE``):
+        auth_raw(v) = sum of hub(u) over edges u->v
+        auth(v)     = auth_raw(v) * SCALE div sum(auth_raw)
+        hub_raw(u)  = sum of auth(v) over edges u->v
+        hub(u)      = hub_raw(u) * SCALE div sum(hub_raw)
+    All int64 truncating division (Spark ``div`` == DuckDB ``//`` on
+    non-negatives) -> bit-exact twin. SCALE is ``HITS_SCALE`` = 1e6
+    (not the 1e12 PageRank scale): auth_raw(v) <= SCALE because hub
+    mass totals SCALE, so the rescale product stays <= 1e12 — safely
+    inside int64. An edgeless graph side yields all-zero scores
+    (no 0-div).
+
+    Returns (host, hub_micro, auth_micro).
+
+    Scale: same shape as pagerank_hosts — iteration-invariant edge and
+    host tables persisted once; each iteration is two hash joins + two
+    map-side-combinable groupBys + two 1-row broadcast normalizers.
+    """
+    scale = HITS_SCALE
+    e = edges.select("src_host", "dst_host").distinct().persist()
+    hosts = (e.select(F.col("src_host").alias("host"))
+             .union(e.select(F.col("dst_host").alias("host")))
+             .distinct().persist())
+    n1 = hosts.agg(F.count("*").alias("__n"))
+    hub = (hosts.crossJoin(F.broadcast(n1))
+           .select("host", F.expr(f"{scale}::long div __n")
+                   .alias("hub_micro")))
+    auth = hub.select("host", F.lit(0).cast("long").alias("auth_micro"))
+
+    def _normalize(raw: DataFrame, raw_col: str, out_col: str) -> DataFrame:
+        tot = raw.agg(F.sum(raw_col).cast("long").alias("__t"))
+        return (hosts.join(raw, "host", "left")
+                .crossJoin(F.broadcast(tot))
+                .select("host", F.when(
+                    F.col("__t") > 0,
+                    F.expr(f"(coalesce({raw_col}, 0::long)"
+                           f" * {scale}::long) div __t"))
+                    .otherwise(F.lit(0)).cast("long").alias(out_col)))
+
+    for _ in range(iters):
+        a_raw = (e.join(hub.withColumnRenamed("host", "src_host"),
+                        "src_host")
+                 .groupBy(F.col("dst_host").alias("host"))
+                 .agg(F.sum("hub_micro").cast("long").alias("a_raw")))
+        auth = _normalize(a_raw, "a_raw", "auth_micro")
+        h_raw = (e.join(auth.withColumnRenamed("host", "dst_host"),
+                        "dst_host")
+                 .groupBy(F.col("src_host").alias("host"))
+                 .agg(F.sum("auth_micro").cast("long").alias("h_raw")))
+        hub = _normalize(h_raw, "h_raw", "hub_micro")
+    return hub.join(auth, "host").select(
+        "host", "hub_micro", "auth_micro")

@@ -1225,3 +1225,29 @@ def test_fetch_schedule_politeness_invariants(spark):
     assert rows["https://b.com/x"]["batch"] == 0
     with _pytest.raises(ValueError):
         webtext.fetch_schedule(cands, per_host_budget=0)
+
+
+def test_hits_hub_authority_structure(spark):
+    from historicaldatadocumentparsersystem_spark.operators import linkgraph
+    # hub -> {auth1, auth2}; spam -> spam2 (isolated chain)
+    edges = spark.createDataFrame(
+        [("hub", "auth1"), ("hub", "auth2"), ("also", "auth1"),
+         ("spam", "spam2")],
+        "src_host string, dst_host string")
+    got = {r["host"]: (r["hub_micro"], r["auth_micro"])
+           for r in linkgraph.hits_hosts(edges, iters=3).collect()}
+    S = linkgraph.HITS_SCALE
+    # the dual-outlink hub dominates hub mass; auth1 (2 in-links from
+    # strong hubs) dominates authority mass
+    assert got["hub"][0] == max(h for h, _ in got.values())
+    assert got["auth1"][1] == max(a for _, a in got.values())
+    # pure authorities have zero hub score; pure hubs zero authority
+    assert got["auth1"][0] == 0 and got["auth2"][0] == 0
+    assert got["hub"][1] == 0 and got["also"][1] == 0
+    # L1 normalization: each mass sums to ~SCALE (floor-div slack)
+    assert S - 10 <= sum(h for h, _ in got.values()) <= S
+    assert S - 10 <= sum(a for _, a in got.values()) <= S
+    # deterministic
+    again = {r["host"]: (r["hub_micro"], r["auth_micro"])
+             for r in linkgraph.hits_hosts(edges, iters=3).collect()}
+    assert again == got
