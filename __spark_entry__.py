@@ -995,7 +995,7 @@ _EXTRA_ORDER = [
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
-    "host_hits",
+    "host_hits", "quantized_topk",
 ]
 
 
@@ -1647,6 +1647,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return linkgraph.hits_hosts(
             _synth_host_edges(spark, sf_dir), iters=3)
     q["host_hits"] = q_hits
+
+    # --- int8-quantized ANN: integer-score ranking (bit-exact) +
+    # float-cosine rerank of the winners — SQL-checked
+    def q_qtopk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = (emb.where(F.col("vec_id") < 5)
+                      .select(F.col("vec_id").alias("query_id"),
+                              "embedding"))
+        return similarity.quantized_topk(emb, queries_df, k=5)
+    q["quantized_topk"] = q_qtopk
 
     # --- unigram LM cross-entropy (KenLM-style quality signal) —
     # SQL-checked via fixed-point decimal summation on both sides
@@ -2627,6 +2637,41 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
             FROM j
             QUALIFY rk <= 5""",
+        "quantized_topk": f"""
+            WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
+            sq AS (
+              SELECT vec_id, e,
+                     greatest(floor(list_max(list_transform(e,
+                       x -> abs(x::double))) * 1000000.0)::bigint,
+                       1) AS s_micro
+              FROM c
+            ), qc AS (
+              SELECT vec_id, s_micro,
+                     list_transform(e, x -> floor(x::double
+                       * 127000000.0 / s_micro::double + 0.5)::int)
+                       AS q
+              FROM sq
+            ), qq AS (
+              SELECT vec_id AS query_id, q AS qv FROM qc
+              WHERE vec_id < 5
+            ), cand AS (
+              SELECT qq.query_id, qc.vec_id AS neighbor_id,
+                     (list_sum(list_transform(
+                        generate_series(1, len(qc.q)),
+                        i -> (qc.q[i] * qq.qv[i])::bigint))
+                      * qc.s_micro)::bigint AS score_q
+              FROM qc JOIN qq ON qc.vec_id <> qq.query_id
+            ), topk AS (
+              SELECT query_id, neighbor_id, score_q,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_q DESC, neighbor_id ASC) AS rk
+              FROM cand QUALIFY rk <= 5
+            )
+            SELECT t.query_id, t.neighbor_id, t.score_q, t.rk,
+                   round({cos}, 6) AS cos_sim
+            FROM topk t
+            JOIN c a ON a.vec_id = t.neighbor_id
+            JOIN c b ON b.vec_id = t.query_id""",
         "cosine_topk_filtered": f"""
             WITH c AS (SELECT vec_id, embedding AS e FROM embeddings
                        WHERE label IN (1, 3, 5, 7)),

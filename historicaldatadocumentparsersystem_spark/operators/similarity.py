@@ -251,3 +251,83 @@ def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
         "query_id", F.col(id_col).alias("neighbor_id"),
         F.round(cosine(vec_col, "__qv"), 6).alias("cos_sim"))
     return _ranked_topk(joined, k)
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    at-rest ANN compression step: (id, q array<int> in [-127, 127],
+    s_micro long) where s_micro = floor(max|v| * 1e6) (>= 1) and
+    q_i = floor(v_i * 127e6 / s_micro + 0.5). A quantized corpus is
+    ~4x fewer scan bytes than float32 (8x vs float64), which at
+    100 TB of vectors is the difference between an ANN sweep reading
+    25 TB and reading 100 TB.
+
+    Every step is floor/IEEE arithmetic in a fixed evaluation order,
+    so the DuckDB twin reproduces the integers bit-exactly (no
+    round() — engines disagree on tie semantics; floor(x + 0.5) is
+    deterministic everywhere). Dequantization error is <= s/254 per
+    coordinate.
+
+    Scale: map-only projection — no shuffle, no UDF.
+    """
+    v = _to_double(vec_col)
+    max_abs = F.aggregate(v, F.lit(0.0),
+                          lambda acc, x: F.greatest(acc, F.abs(x)))
+    staged = df.select(
+        F.col(id_col), v.alias("__v"),
+        F.greatest(F.floor(max_abs * F.lit(1000000.0)).cast("long"),
+                   F.lit(1).cast("long")).alias("s_micro"))
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(x * F.lit(127000000.0)
+                          / F.col("s_micro").cast("double")
+                          + F.lit(0.5)).cast("int"))
+    return staged.select(id_col, q.alias("q"), "s_micro")
+
+
+def quantized_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors, exact-cosine
+    rerank of the winners: candidates rank by score_q = int_dot *
+    s_micro(neighbor) — PURE int64 (the query's own scale is constant
+    per query, so it cannot change the order), making the quantized
+    ranking deterministic and bit-exact cross-engine; the float
+    cosine is then computed only for the k survivors.
+
+    Output: (query_id, neighbor_id, score_q, rk, cos_sim).
+
+    Scale: the corpus streams once over its int8 arrays (4x fewer
+    bytes than the float sweep of ``brute_force_topk``), the
+    quantized query side broadcasts, and the exact rerank touches
+    k rows per query — the standard quantize-then-rerank ANN shape.
+    """
+    qc = quantize_embeddings(df, id_col, vec_col)
+    qq = (quantize_embeddings(query_df, "query_id", "embedding")
+          .select("query_id", F.col("q").alias("qq")))
+    int_dot = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cands = (qc.join(F.broadcast(qq),
+                     F.col(id_col) != F.col("query_id"))
+             .select("query_id", F.col(id_col).alias("neighbor_id"),
+                     (int_dot * F.col("s_micro")).alias("score_q")))
+    order = (F.desc("score_q"), F.asc("neighbor_id"))
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    survivors = (cands.withColumn("pid", F.spark_partition_id())
+                 .withColumn("rk1", F.row_number().over(w_local))
+                 .where(F.col("rk1") <= k).drop("pid", "rk1"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    winners = (survivors.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") <= k))
+    # exact rerank column: float cosine for the k survivors only
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("__cv"))
+    qv = query_df.select("query_id", F.col("embedding").alias("__qv"))
+    return (winners.join(c, "neighbor_id").join(F.broadcast(qv),
+                                                "query_id")
+            .select("query_id", "neighbor_id",
+                    F.col("score_q").cast("long").alias("score_q"),
+                    "rk", F.round(cosine("__cv", "__qv"), 6)
+                    .alias("cos_sim")))

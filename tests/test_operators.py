@@ -1251,3 +1251,44 @@ def test_hits_hub_authority_structure(spark):
     again = {r["host"]: (r["hub_micro"], r["auth_micro"])
              for r in linkgraph.hits_hosts(edges, iters=3).collect()}
     assert again == got
+
+
+def test_quantize_embeddings_bounds_and_error(spark):
+    import math
+    from historicaldatadocumentparsersystem_spark.operators import similarity
+    vecs = [(i, [math.sin(i * 1.7 + j) * (0.1 + 0.2 * i)
+                 for j in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (list(r["q"]), r["s_micro"])
+           for r in similarity.quantize_embeddings(df).collect()}
+    for i, v in vecs:
+        q, s = out[i]
+        assert all(-127 <= x <= 127 for x in q)
+        assert s >= 1
+        scale = s / 1e6
+        assert abs(scale - max(abs(x) for x in v)) <= 1e-6
+        for x, qx in zip(v, q):
+            # dequantization error bound: half a quantization step
+            assert abs(qx * scale / 127 - x) <= scale / 127
+
+
+def test_quantized_topk_matches_exact_on_separated_vectors(spark):
+    from historicaldatadocumentparsersystem_spark.operators import similarity
+    # well-separated directions: quantized ranking == exact ranking
+    base = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.5],
+            [0.5, 0.5, 0.5, 0.5], [-1.0, 0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    qt = {r["rk"]: r["neighbor_id"] for r in
+          similarity.quantized_topk(df, queries, k=3).collect()}
+    bf = {r["rk"]: r["neighbor_id"] for r in
+          similarity.brute_force_topk(df, queries, k=3).collect()}
+    assert qt == bf
+    # cos_sim column is the exact (rounded) cosine of the winners
+    row = [r for r in similarity.quantized_topk(
+        df, queries, k=3).collect() if r["rk"] == 1][0]
+    assert row["neighbor_id"] == 1 and abs(row["cos_sim"] - 0.993884) < 1e-6
