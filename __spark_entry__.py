@@ -995,7 +995,8 @@ _EXTRA_ORDER = [
     "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
-    "host_hits", "quantized_topk",
+    "host_hits", "quantized_topk", "compression_profile",
+    "host_reputation",
 ]
 
 
@@ -1657,6 +1658,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "embedding"))
         return similarity.quantized_topk(emb, queries_df, k=5)
     q["quantized_topk"] = q_qtopk
+
+    # --- compression-ratio quality signal — rows-only for the driver
+    # (the compressor IS the model; zlib isn't SQL). Exactness oracle:
+    # pytest pins Spark == per-row textstats.compression_ratio_bp.
+    def q_compression(spark, sf_dir):
+        return textstats.compression_profile(
+            _t(spark, sf_dir, "documents"))
+    q["compression_profile"] = q_compression
+
+    # --- domain reputation: volume / keep rate / dup rate / score per
+    # registrable domain, spam flag — SQL-checked (PSL cascade +
+    # classifier + md5 dup twin; a forced 25% template class per
+    # domain exercises the dup rate)
+    def q_host_reputation(spark, sf_dir):
+        tld = F.element_at(
+            F.array(*[F.lit(t) for t in _SPLIT_TLDS]),
+            (F.ascii(F.expr("right(source, 1)")) % 4 + 1).cast("int"))
+        url = F.concat(
+            F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("."), F.col("source"), F.lit("."), tld,
+            F.lit("/p"), F.col("doc_id").cast("string"))
+        text = F.when(F.col("doc_id") % 4 == 0,
+                      F.concat(F.lit("TEMPLATE PAGE "),
+                               F.col("source"))).otherwise(F.col("text"))
+        docs = _t(spark, sf_dir, "documents").select(
+            url.alias("url"), text.alias("text"))
+        return webtext.host_reputation(docs)
+    q["host_reputation"] = q_host_reputation
 
     # --- unigram LM cross-entropy (KenLM-style quality signal) —
     # SQL-checked via fixed-point decimal summation on both sides
@@ -2637,6 +2666,66 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
             FROM j
             QUALIFY rk <= 5""",
+        "host_reputation": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'TEMPLATE PAGE ' || source
+                          ELSE text END AS text
+              FROM documents
+            ), h AS (
+              SELECT doc_id, text,
+                     'sub' || (doc_id % 3) || '.' || source || '.' ||
+                     ([{", ".join(f"'{t}'" for t in _SPLIT_TLDS)}])
+                       [ascii(right(source, 1)) % 4 + 1] AS host
+              FROM b
+            ), d AS (
+              SELECT doc_id, text,
+                   CASE WHEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN
+                          ({", ".join(f"'{s}'"
+                                      for s in sorted(_psl.SUFFIX_3))})
+                        THEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
+                        WHEN regexp_extract(host,
+                          '([^.]+\\.[^.]+)$', 1) IN
+                          ({", ".join(f"'{s}'"
+                                      for s in sorted(_psl.SUFFIX_2))})
+                        THEN regexp_extract(host,
+                          '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                        ELSE regexp_extract(host,
+                          '([^.]+\\.[^.]+)$', 1) END AS domain
+              FROM h
+            ), s AS (
+              SELECT domain, md5(text) AS hsh,
+                     len({tok})::bigint AS n_tokens,
+                     coalesce(list_sum(list_transform({tok},
+                       x -> ({_W_SQL})[((cast('0x' ||
+                         substr(md5(lower(x)), 1, 8) AS bigint))
+                         % {_qmodel.N_BUCKETS}) + 1])), 0)::bigint
+                       AS score
+              FROM d
+            ), k AS (
+              SELECT domain, hsh, score,
+                     CASE WHEN score >
+                          {-_qmodel.BIAS_MICRO}::bigint * n_tokens
+                     THEN 1 ELSE 0 END AS keep
+              FROM s
+            ), g AS (
+              SELECT domain, count(*)::bigint AS n_docs,
+                     sum(keep)::bigint AS n_keep,
+                     count(DISTINCT hsh)::bigint AS n_distinct,
+                     sum(score)::bigint AS score_sum_micro
+              FROM k GROUP BY domain)
+            SELECT domain, n_docs,
+                   (n_keep * 10000 // n_docs)::bigint AS keep_bp,
+                   ((n_docs - n_distinct) * 10000 // n_docs)::bigint
+                     AS dup_bp,
+                   score_sum_micro,
+                   ((n_keep * 10000 // n_docs) < 3000
+                    OR ((n_docs - n_distinct) * 10000 // n_docs)
+                       > 5000) AS flagged
+            FROM g""",
         "quantized_topk": f"""
             WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
             sq AS (

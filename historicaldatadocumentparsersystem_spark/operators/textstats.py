@@ -14,6 +14,7 @@ built-ins only, so each has an exact DuckDB oracle-SQL twin in
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 (resolves pandas_udf type hints)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -458,3 +459,51 @@ def ccnet_ppl_buckets(df: DataFrame, text_col: str = "text",
     return (scored.crossJoin(F.broadcast(cuts))
             .select(F.col(id_col), "log_ppl",
                     bucket.alias("ppl_bucket")))
+
+
+def compression_ratio_bp(text: str, level: int = 6) -> int:
+    """zlib-compressed size of the UTF-8 text in basis points of the
+    raw size (Spark-free oracle; 10000 = incompressible, small =
+    highly repetitive). Empty text -> 10000 (neutral)."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    if not raw:
+        return 10000
+    return len(zlib.compress(raw, level)) * 10000 // len(raw)
+
+
+def compression_profile(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        level: int = 6,
+                        max_keep_bp: int = 9000,
+                        min_keep_bp: int = 1500) -> DataFrame:
+    """Compression-ratio quality signal (id, comp_bp, keep): the
+    cheap detector for the two pathologies token statistics miss —
+    near-random gibberish (comp_bp ~ 10000: nothing to compress) and
+    machine-generated boilerplate/repetition (comp_bp tiny: the
+    stream is one long backreference). Curation keeps the middle
+    band [min_keep_bp, max_keep_bp], the natural-language range.
+
+    The compressor is the quality model here, so this is a Pandas-UDF
+    operator by necessity (zlib is not a SQL expression) — rows-only
+    for the driver; the exactness oracle is the Spark-free
+    ``compression_ratio_bp`` itself (pytest pins Spark == per-row
+    Python; zlib output is deterministic for a fixed level/library).
+
+    Scale: Arrow-batched map-only projection — no shuffle; cost is
+    one deflate pass over the text bytes (~100 MB/s/core), far
+    cheaper than any model-based quality score.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _comp(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: 10000 if t is None
+                     else compression_ratio_bp(t, level))
+
+    return df.select(
+        F.col(id_col), _comp(F.col(text_col)).alias("comp_bp")
+    ).withColumn(
+        "keep", (F.col("comp_bp") >= min_keep_bp)
+                & (F.col("comp_bp") <= max_keep_bp))

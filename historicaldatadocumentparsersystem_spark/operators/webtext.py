@@ -1136,3 +1136,50 @@ def fetch_schedule(candidates: DataFrame, per_host_budget: int = 4,
         "url", "host",
         F.expr(f"rk div {per_host_budget}").cast("long").alias("batch"),
         (F.col("rk") % per_host_budget).cast("long").alias("slot"))
+
+
+def host_reputation(df: DataFrame, url_col: str = "url",
+                    text_col: str = "text",
+                    min_keep_bp: int = 3000,
+                    max_dup_bp: int = 5000) -> DataFrame:
+    """Domain-level reputation table — the aggregate curation signal
+    spam demotion and crawl-budget allocation read: per registrable
+    domain (PSL eTLD+1), corpus volume, learned-gate keep rate,
+    exact-duplicate rate, and total classifier score; ``flagged``
+    marks domains whose keep rate falls below ``min_keep_bp`` OR
+    whose dup rate exceeds ``max_dup_bp`` (template farms).
+
+    Output: (domain, n_docs, keep_bp, dup_bp, score_sum_micro,
+    flagged). score_sum_micro is the raw int64 sum (NOT an average:
+    integer division of negative sums truncates differently across
+    engines; consumers divide at display time).
+
+    Scale: a map-only projection (PSL InSet domain + classifier score
+    + md5) followed by ONE map-side-combinable groupBy on domain;
+    the aggregate carries a 16-byte hash and three int64s per row.
+    """
+    from . import qmodel
+    from .quality import quality_score_micro
+    from .textstats import tokens as _tokens
+
+    score = quality_score_micro(text_col).cast("long")
+    n_tok = F.size(_tokens(text_col)).cast("long")
+    keep = (score > F.lit(-qmodel.BIAS_MICRO).cast("long") * n_tok
+            ).cast("long")
+    rows = df.select(url_domain(url_col).alias("domain"),
+                     score.alias("score"), keep.alias("keep"),
+                     F.md5(text_col).alias("h"))
+    g = rows.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        F.sum("score").cast("long").alias("score_sum_micro"))
+    out = g.select(
+        "domain", "n_docs",
+        F.expr("n_keep * 10000 div n_docs").cast("long")
+        .alias("keep_bp"),
+        F.expr("(n_docs - n_distinct) * 10000 div n_docs")
+        .cast("long").alias("dup_bp"), "score_sum_micro")
+    return out.withColumn(
+        "flagged", (F.col("keep_bp") < min_keep_bp)
+                   | (F.col("dup_bp") > max_dup_bp))

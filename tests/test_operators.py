@@ -1292,3 +1292,24 @@ def test_quantized_topk_matches_exact_on_separated_vectors(spark):
     row = [r for r in similarity.quantized_topk(
         df, queries, k=3).collect() if r["rk"] == 1][0]
     assert row["neighbor_id"] == 1 and abs(row["cos_sim"] - 0.993884) < 1e-6
+
+
+def test_compression_profile_matches_python_oracle(spark):
+    from historicaldatadocumentparsersystem_spark.operators import textstats
+    texts = ["spam spam spam " * 60,                  # repetitive
+             "The quick brown fox jumps over the lazy dog. " * 5,
+             "k9$Qz!mX#w2@Lr^v&Yc*Ad(Bf)Gh_Ji+Ke=Ln~Mo",  # noise
+             ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["comp_bp"], r["keep"])
+           for r in textstats.compression_profile(df).collect()}
+    for i, t in enumerate(texts):
+        bp = textstats.compression_ratio_bp(t)
+        assert got[i][0] == bp
+        assert got[i][1] == (1500 <= bp <= 9000)
+    # the three regimes separate: repetitive < natural < noise
+    assert got[0][0] < got[1][0] < got[2][0]
+    assert got[0][1] is False and got[1][1] is True
+    assert got[3][0] == 10000                        # empty = neutral
