@@ -378,6 +378,23 @@ SITEMAP_DDL = ("kind string, loc string, lastmod timestamp, "
                "changefreq string, priority_bp int")
 
 
+def _sitemap_parse_batches(batches):
+    """Arrow-batch parser shared by the batch reader and the
+    streaming ``discovery_stream`` (same bytes -> same rows)."""
+    import pandas as pd
+
+    from ..extractor.feedx import parse_sitemap
+
+    cols = ("kind", "loc", "lastmod", "changefreq", "priority_bp")
+    for b in batches:
+        rows = [tuple(rec[c] for c in cols)
+                for blob in b["content"]
+                for rec in parse_sitemap(bytes(blob))]
+        df = pd.DataFrame(rows, columns=cols)
+        df["priority_bp"] = df["priority_bp"].astype("Int32")
+        yield df
+
+
 def read_sitemap_urls(spark: SparkSession, path: str) -> DataFrame:
     """Sitemap documents (urlset or sitemapindex, plain or .gz) ->
     frontier rows (kind, loc, lastmod, changefreq, priority_bp) via
@@ -389,25 +406,10 @@ def read_sitemap_urls(spark: SparkSession, path: str) -> DataFrame:
     thousands of 50k-url sitemap shards), no shuffle between scan and
     parse; malformed XML degrades to fewer rows (F5).
     """
-    import pandas as pd
-
-    from ..extractor.feedx import parse_sitemap
-
-    cols = ("kind", "loc", "lastmod", "changefreq", "priority_bp")
-
-    def parse(batches):
-        for b in batches:
-            rows = [tuple(rec[c] for c in cols)
-                    for blob in b["content"]
-                    for rec in parse_sitemap(bytes(blob))]
-            df = pd.DataFrame(rows, columns=cols)
-            df["priority_bp"] = df["priority_bp"].astype("Int32")
-            yield df
-
     return (spark.read.format("binaryFile")
             .load(path)
             .select("content")
-            .mapInPandas(parse, SITEMAP_DDL))
+            .mapInPandas(_sitemap_parse_batches, SITEMAP_DDL))
 
 
 FEED_DDL = "feed_kind string, url string, title string, pub_ts timestamp"

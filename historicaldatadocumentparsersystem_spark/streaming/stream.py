@@ -144,3 +144,83 @@ def read_hll(spark: SparkSession, out_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{out_dir}/hll").drop("batch_id")
     return (part.groupBy("bucket")
             .agg(F.max("max_rho").alias("max_rho")))
+
+
+# --- continuous URL discovery ---------------------------------------------------
+
+def discovery_stream(spark: SparkSession, source_dir: str,
+                     out_dir: str, captured: DataFrame | None = None,
+                     max_files_per_trigger: int = 8):
+    """Continuous crawl-frontier discovery: sitemap shards stream in
+    (binaryFile source); each micro-batch parses its new shards
+    (the SAME Spark-free ``extractor.feedx.parse_sitemap`` the batch
+    reader uses), SURT-keys the locs, drops URLs already captured
+    (optional static ``captured`` side with a urlkey column) and URLs
+    already discovered by EARLIER batches, and lands its novel URLs
+    in a ``batch_id=N`` partition of ``{out_dir}/frontier``.
+
+    Idempotency: same design as the extraction sink — the anti-join
+    reads only partitions with batch_id != current (a replayed batch
+    must not anti-join against its own partial write), then the
+    dynamic overwrite rewrites exactly its own partition, so replays
+    converge. Within a batch, one urlkey keeps its lexicographically
+    smallest (url, changefreq, priority_bp) row (deterministic).
+
+    The live frontier is the merge-on-read of all partitions
+    (``read_frontier``); feed it to ``webtext.fetch_schedule``.
+    """
+    from ..functions import surt_urlkey
+    from ..sources import SITEMAP_DDL, _sitemap_parse_batches
+
+    raw = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .load(source_dir)
+           .select("content"))
+    urls = raw.mapInPandas(_sitemap_parse_batches, SITEMAP_DDL)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode",
+                      "dynamic")
+        disc = (batch_df.where(F.col("kind") == "url")
+                .select(F.col("loc").alias("url"),
+                        surt_urlkey("loc").alias("urlkey"),
+                        "changefreq", "priority_bp")
+                .groupBy("urlkey")
+                .agg(F.min(F.struct("url", "changefreq",
+                                    "priority_bp")).alias("r"))
+                .select("urlkey", "r.url", "r.changefreq",
+                        "r.priority_bp"))
+        if captured is not None:
+            disc = disc.join(captured.select("urlkey"),
+                             "urlkey", "left_anti")
+        seen = read_frontier(sess, out_dir)
+        if seen is not None:
+            seen = seen.where(F.col("batch_id") != int(batch_id))
+            disc = disc.join(seen.select("urlkey"), "urlkey",
+                             "left_anti")
+        (disc.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{out_dir}/frontier"))
+
+    return (urls.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out_dir}/_checkpoint"))
+
+
+def run_discovery_stream_once(spark: SparkSession, source_dir: str,
+                              out_dir: str, **kw) -> None:
+    """Discover all available sitemap input once (availableNow)."""
+    q = discovery_stream(spark, source_dir, out_dir, **kw) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def read_frontier(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Merge-on-read of the discovered frontier; None before the
+    first committed batch."""
+    try:
+        return spark.read.parquet(f"{out_dir}/frontier")
+    except Exception:
+        return None

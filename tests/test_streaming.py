@@ -45,3 +45,51 @@ def test_stream_replayed_batch_is_idempotent(spark, tmp_path):
 
     assert Catalog(out).read_extracted(spark).count() == 60
     assert Catalog(out).read_lineage(spark).count() == lineage_rows
+
+
+def test_discovery_stream_incremental_and_dedup(spark, tmp_path):
+    """Sitemap shards stream in across two availableNow runs: the
+    frontier accumulates only NOVEL urlkeys (www/param-order variants
+    unify via SURT), captured urls never enter, and re-discovered
+    urls in later shards are dropped."""
+    from historicaldatadocumentparsersystem_spark.extractor import feedx
+    from historicaldatadocumentparsersystem_spark.streaming.stream import (
+        read_frontier, run_discovery_stream_once)
+
+    src = tmp_path / "maps"
+    out = tmp_path / "disc"
+    src.mkdir()
+
+    def entry(loc, freq=None):
+        return {"kind": "url", "loc": loc, "lastmod": None,
+                "changefreq": freq, "priority_bp": None}
+
+    captured = spark.createDataFrame(
+        [("com,site)/old",)], "urlkey string")
+    (src / "m0.xml").write_bytes(feedx.build_sitemap([
+        entry("https://site.com/a", "daily"),
+        entry("https://www.site.com/a?x=1&b=2"),      # variant of /a? no: different path-query => distinct
+        entry("https://site.com/old"),                 # already captured
+        entry("https://site.com/b")]))
+    run_discovery_stream_once(spark, str(src), str(out),
+                              captured=captured)
+    f1 = {r["urlkey"]: r for r in read_frontier(spark, str(out)).collect()}
+    assert "com,site)/old" not in f1
+    assert set(f1) == {"com,site)/a", "com,site)/a?b=2&x=1",
+                       "com,site)/b"}
+    assert f1["com,site)/a"]["changefreq"] == "daily"
+
+    # second shard arrives: one novel url + two re-discoveries
+    (src / "m1.xml").write_bytes(feedx.build_sitemap([
+        entry("https://site.com/b"),                   # seen batch 1
+        entry("https://WWW.site.com/a"),               # SURT dup of /a
+        entry("https://site.com/c")]))
+    run_discovery_stream_once(spark, str(src), str(out),
+                              captured=captured)
+    f2 = read_frontier(spark, str(out))
+    rows = f2.collect()
+    assert len(rows) == len(f1) + 1
+    assert {r["urlkey"] for r in rows} == set(f1) | {"com,site)/c"}
+    # each urlkey appears exactly once across all batch partitions
+    assert f2.groupBy("urlkey").count().agg(
+        {"count": "max"}).collect()[0][0] == 1
