@@ -331,3 +331,56 @@ def test_incremental_probe_is_hash_equi_join(spark):
     plan = physical_plan(pairs)
     assert "NestedLoop" not in plan, plan
     assert "hashpartitioning(band" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cdx_fetch_plan_pushes_gate_to_scan(spark, tmp_path_factory):
+    """The status/mime gate must reach the capture-index parquet scan
+    (PushedFilters), and the dedup is exactly ONE exchange (the
+    digest groupBy) — at 100 TB of WARC the index scan is the only
+    thing allowed to grow."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    path = str(tmp_path_factory.mktemp("cdx") / "idx")
+    spark.createDataFrame(
+        [("k", None, "u", "text/html", 200, "D", 10, 0, "f")],
+        "urlkey string, ts timestamp, url string, mime string, "
+        "status int, digest string, length long, offset long, "
+        "filename string").write.parquet(path)
+    plan = physical_plan(webtext.cdx_fetch_plan(spark.read.parquet(path)))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "status" in pushed[0] and "mime" in pushed[0]
+    assert plan.count("(1) Scan parquet") == 1
+    import re
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1
+
+
+def test_frontier_anti_join_is_hash_not_cartesian(spark):
+    """frontier_candidates must anti-join on the urlkey hash — never
+    BroadcastNestedLoopJoin/Cartesian (that would test every
+    discovered URL against every capture)."""
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    disc = spark.createDataFrame(
+        [("https://a.com/x", "daily", 1)],
+        "loc string, changefreq string, priority_bp int")
+    cap = spark.createDataFrame([("k",)], "urlkey string")
+    plan = physical_plan(webtext.frontier_candidates(disc, cap))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantized_topk_scan_side_carries_int8_only(spark):
+    """The quantized candidate stage must not drag the float vectors
+    through the ranking: the corpus-side columns feeding the score
+    are the int8 array + scale (the 4x IO win); the float embedding
+    is joined back only for the k winners."""
+    from historicaldatadocumentparsersystem_spark.operators import (
+        similarity)
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = physical_plan(similarity.quantized_topk(df, queries, k=2))
+    # winners rerank joins broadcast (query vectors + corpus rows by id)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
