@@ -996,7 +996,7 @@ _EXTRA_ORDER = [
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
     "host_hits", "quantized_topk", "compression_profile",
-    "host_reputation",
+    "host_reputation", "hll_calibration",
 ]
 
 
@@ -1726,6 +1726,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sketches.hll_distinct(d, "url", b=8)
     q["hll_url_distinct"] = q_hll
 
+    # --- HLL estimator calibration: estimate vs EXACT distinct, 3-
+    # sigma acceptance — SQL-checked (shared register/estimate twin)
+    def q_hll_cal(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://"), F.col("source"),
+                            F.lit("/doc-"), F.col("doc_id")))
+        return sketches.hll_calibration(d, "url", b=8)
+    q["hll_calibration"] = q_hll_cal
+
     # --- robots.txt compliance gate (RFC 9309 longest-prefix match) —
     # SQL-checked; rule table from the shared VALUES fixture
     def q_robots(spark, sf_dir):
@@ -2160,6 +2169,41 @@ def _qclass_sql() -> str:
                        {-_qmodel.BIAS_MICRO}::bigint * n_tokens
                     THEN 1 ELSE 0 END)::bigint AS keep
             FROM s"""
+
+
+# HLL estimate over a CTE named d carrying (url): register + estimate
+# fragments shared by the hll_url_distinct and hll_calibration twins
+_HLL_EST_CTES = """r AS (
+              SELECT h // 4503599627370496 AS bucket,
+                     max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+                         ELSE 53
+                              - length(bin(h % 4503599627370496))
+                         END)::int AS max_rho
+              FROM (SELECT cast('0x' || substr(md5('42:' || url), 1, 15)
+                           AS bigint) AS h FROM d)
+              GROUP BY bucket
+            ), a AS (
+              SELECT count(*)::bigint AS used,
+                     sum(1::bigint << (53 - max_rho))::bigint
+                       AS s_used
+              FROM r
+            )"""
+
+_HLL_EST_EXPR = """CASE WHEN (4.2399330249068963e+20
+                              / (s_used + (256 - used)
+                                 * 9007199254740992)::double)
+                             <= 640.0e0
+                         AND (256 - used) > 0
+                        THEN round(256.0e0
+                                   * ln(256.0e0 / (256 - used)::double),
+                                   6)
+                        ELSE round(4.2399330249068963e+20
+                                   / (s_used + (256 - used)
+                                      * 9007199254740992)::double, 6)
+                   END"""
+
+_HLL_URLS = ("SELECT 'https://' || source || '/doc-' || doc_id AS url"
+             " FROM documents")
 
 
 def _gopher_sql(src: str, min_words: int = 50,
@@ -3270,39 +3314,22 @@ def oracle_sql() -> dict[str, str]:
         # portable HyperLogLog: 60-bit md5 hash, top-8-bit bucket,
         # integer 2^(W+1-M) indicator sum, one IEEE divide / ln + round
         # — estimate matches Spark to the last bit
-        "hll_url_distinct": """
-            WITH d AS (
-              SELECT 'https://' || source || '/doc-' || doc_id AS url
-              FROM documents
-            ), r AS (
-              SELECT h // 4503599627370496 AS bucket,
-                     max(CASE WHEN h % 4503599627370496 = 0 THEN 53
-                         ELSE 53
-                              - length(bin(h % 4503599627370496))
-                         END)::int AS max_rho
-              FROM (SELECT cast('0x' || substr(md5('42:' || url), 1, 15)
-                           AS bigint) AS h FROM d)
-              GROUP BY bucket
-            ), a AS (
-              SELECT count(*)::bigint AS used,
-                     sum(1::bigint << (53 - max_rho))::bigint
-                       AS s_used
-              FROM r
-            )
+        "hll_url_distinct": f"""
+            WITH d AS ({_HLL_URLS}), {_HLL_EST_CTES}
             SELECT used AS n_registers_used,
-                   CASE WHEN (4.2399330249068963e+20
-                              / (s_used + (256 - used)
-                                 * 9007199254740992)::double)
-                             <= 640.0e0
-                         AND (256 - used) > 0
-                        THEN round(256.0e0
-                                   * ln(256.0e0 / (256 - used)::double),
-                                   6)
-                        ELSE round(4.2399330249068963e+20
-                                   / (s_used + (256 - used)
-                                      * 9007199254740992)::double, 6)
-                   END AS estimate
+                   {_HLL_EST_EXPR} AS estimate
             FROM a""",
+        "hll_calibration": f"""
+            WITH d AS ({_HLL_URLS}), {_HLL_EST_CTES},
+            e AS (SELECT count(DISTINCT url)::bigint AS exact FROM d),
+            est AS (SELECT {_HLL_EST_EXPR} AS estimate FROM a)
+            SELECT exact, estimate,
+                   round(abs(estimate - exact) / exact, 6)
+                     AS err_ratio,
+                   0.065e0 AS bound_ratio,
+                   (round(abs(estimate - exact) / exact, 6)
+                    <= 3 * 0.065e0) AS within_3_sigma
+            FROM est, e""",
         # robots gate: host equi-join + longest-prefix window, allow
         # wins length ties (RFC 9309); unknown host / no match => allow
         "robots_gate": """

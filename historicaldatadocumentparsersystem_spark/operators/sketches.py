@@ -169,3 +169,31 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame,
             .groupBy(col)
             .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
                  .alias("est")))
+
+
+def hll_calibration(df: DataFrame, col: str = "url",
+                    b: int = 8, seed: int = 42) -> DataFrame:
+    """Sketch QA — one row comparing the HLL estimate against the
+    EXACT distinct count: (exact, estimate, err_ratio, bound_ratio,
+    within_3_sigma). The pre-flight check before trusting register
+    tables for crawl accounting: HLL's relative standard error is
+    1.04/sqrt(2^b); an estimate outside 3 sigma means the hash family
+    or b is wrong for this key distribution.
+
+    Like minhash_calibration, this is a SAMPLED/periodic job by
+    design (the exact side costs a real count-distinct — the thing
+    the sketch exists to avoid paying every time).
+
+    Scale: the exact side is one countDistinct (map-side partial);
+    both sides reduce to 1-row aggregates crossJoin-broadcast
+    composed, so nothing large ever moves.
+    """
+    est = hll_distinct(df, col, b, seed).select("estimate")
+    exact = df.agg(F.countDistinct(col).cast("long").alias("exact"))
+    bound = round(hll_error_bound(b), 6)
+    err = F.round(F.abs(F.col("estimate") - F.col("exact"))
+                  / F.col("exact"), 6)
+    return (est.crossJoin(F.broadcast(exact))
+            .select("exact", "estimate", err.alias("err_ratio"),
+                    F.lit(bound).alias("bound_ratio"),
+                    (err <= 3 * F.lit(bound)).alias("within_3_sigma")))
