@@ -103,3 +103,28 @@ def robots_filter(docs: DataFrame, rules: DataFrame,
                     F.when(F.col("hit") & (F.col("rule") == "disallow"),
                            F.lit(0)).otherwise(F.lit(1))
                     .cast("long").alias("allowed")))
+
+
+def robots_sitemaps(payload: bytes | str) -> list[str]:
+    """``Sitemap:`` lines of one robots.txt — the discovery bridge:
+    robots points at sitemaps (sitemaps.org autodiscovery), sitemaps
+    feed ``sources.read_sitemap_urls`` -> ``webtext.
+    frontier_candidates``. Sitemap lines are GLOBAL (agent-
+    independent, unlike allow/disallow groups), absolute URLs, kept
+    in file order and deduplicated exactly. Never raises.
+    """
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        text = bytes(payload).decode("utf-8", errors="replace")
+    else:
+        text = payload or ""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in out:
+                out.append(val)
+    return out

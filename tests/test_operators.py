@@ -1313,3 +1313,40 @@ def test_compression_profile_matches_python_oracle(spark):
     assert got[0][0] < got[1][0] < got[2][0]
     assert got[0][1] is False and got[1][1] is True
     assert got[3][0] == 10000                        # empty = neutral
+
+
+def test_cms_calibration_one_sided_error(spark):
+    from historicaldatadocumentparsersystem_spark.operators import sketches
+    rows = ([("alpha",)] * 40 + [("beta",)] * 15 + [("gamma",)] * 3
+            + [(f"noise{i}",) for i in range(150)])
+    df = spark.createDataFrame(rows, "term string")
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("absent",)], "term string")
+    # w=8 forces heavy collisions: estimates still NEVER undercount
+    got = {r["term"]: r for r in sketches.cms_calibration(
+        df, probes, d=4, w=8).collect()}
+    assert got["alpha"]["exact"] == 40 and got["beta"]["exact"] == 15
+    assert got["absent"]["exact"] == 0
+    for r in got.values():
+        assert r["est"] >= r["exact"] and r["overcount"] >= 0
+        assert r["ok"] is True
+    # with a realistically-sized sketch the estimates are exact here
+    wide = {r["term"]: r for r in sketches.cms_calibration(
+        df, probes, d=4, w=1024).collect()}
+    assert all(r["overcount"] == 0 for r in wide.values())
+
+
+def test_robots_sitemaps_discovery_lines():
+    from historicaldatadocumentparsersystem_spark.operators.robots import (
+        robots_sitemaps)
+    txt = (b"User-agent: *\nDisallow: /private\n"
+           b"Sitemap: https://a.com/sitemap.xml\n"
+           b"# comment\nSITEMAP: https://a.com/news.xml.gz \n"
+           b"Sitemap: https://a.com/sitemap.xml\n"   # dup dropped
+           b"Sitemap:\n"                              # empty dropped
+           b"User-agent: bot\nSitemap: https://a.com/bot.xml\n")
+    assert robots_sitemaps(txt) == [
+        "https://a.com/sitemap.xml", "https://a.com/news.xml.gz",
+        "https://a.com/bot.xml"]
+    assert robots_sitemaps(b"\xff\xfe junk") == []
+    assert robots_sitemaps(None) == []
