@@ -996,7 +996,7 @@ _EXTRA_ORDER = [
     "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
     "host_hits", "quantized_topk", "compression_profile",
-    "host_reputation", "hll_calibration",
+    "host_reputation", "hll_calibration", "crawl_trap_score",
 ]
 
 
@@ -1734,6 +1734,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.lit("/doc-"), F.col("doc_id")))
         return sketches.hll_calibration(d, "url", b=8)
     q["hll_calibration"] = q_hll_cal
+
+    # --- crawl-trap detection over capture history — SQL-checked
+    # (trap hosts mint distinct urls over one content digest; normal
+    # hosts stay under min_urls)
+    def q_trap(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        trap = docs.select(
+            F.concat(F.lit("https://trap."), F.col("source"),
+                     F.lit("/cal?d="), did.cast("string")).alias("url"),
+            F.md5(F.concat(F.lit("trap-"),
+                           F.col("source"))).alias("digest"))
+        normal = docs.select(
+            F.concat(F.lit("https://h"), (did % 5).cast("string"),
+                     F.lit("."), F.col("source"), F.lit("/p"),
+                     did.cast("string")).alias("url"),
+            F.md5(did.cast("string")).alias("digest"))
+        return webtext.crawl_trap_score(trap.unionByName(normal),
+                                        min_urls=10)
+    q["crawl_trap_score"] = q_trap
 
     # --- robots.txt compliance gate (RFC 9309 longest-prefix match) —
     # SQL-checked; rule table from the shared VALUES fixture
@@ -2575,6 +2595,33 @@ def oracle_sql() -> dict[str, str]:
                                 THEN cnt ELSE 0 END) END)::bigint
                      AS kept_bp
             FROM s, h GROUP BY stage_idx, stage""",
+        "crawl_trap_score": """
+            WITH cap AS (
+              SELECT 'https://trap.' || source || '/cal?d=' || doc_id
+                       AS url,
+                     md5('trap-' || source) AS digest
+              FROM documents
+              UNION ALL
+              SELECT 'https://h' || (doc_id % 5) || '.' || source
+                       || '/p' || doc_id,
+                     md5(doc_id::varchar)
+              FROM documents
+            ), h AS (
+              SELECT lower(regexp_replace(regexp_extract(url,
+                       '^[^:/?#]+://([^/?#:@]+(?::\\d+)?)', 1),
+                       ':\\d+$', '')) AS host, url, digest
+              FROM cap
+            ), g AS (
+              SELECT host, count(DISTINCT url)::bigint AS n_urls,
+                     count(DISTINCT digest)::bigint AS n_contents
+              FROM h WHERE host <> '' GROUP BY host
+            )
+            SELECT host, n_urls, n_contents,
+                   (n_urls * 10000 // n_contents)::bigint
+                     AS urls_per_content_bp,
+                   (n_urls >= 10 AND
+                    (n_urls * 10000 // n_contents) >= 50000) AS trap
+            FROM g""",
         "quality_gate_agreement": f"""
             WITH g AS (
               SELECT doc_id,

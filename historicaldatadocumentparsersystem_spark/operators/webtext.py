@@ -1183,3 +1183,37 @@ def host_reputation(df: DataFrame, url_col: str = "url",
     return out.withColumn(
         "flagged", (F.col("keep_bp") < min_keep_bp)
                    | (F.col("dup_bp") > max_dup_bp))
+
+
+def crawl_trap_score(captures: DataFrame, url_col: str = "url",
+                     digest_col: str = "digest",
+                     min_urls: int = 20,
+                     trap_bp: int = 50000) -> DataFrame:
+    """Crawl-trap detection over capture history (CDX rows or any
+    (url, content-digest) table): a trap host (calendar pages,
+    session-id urls, faceted search) mints unbounded DISTINCT URLs
+    for a tiny set of DISTINCT CONTENTS. Per host:
+    urls_per_content_bp = n_urls * 10000 div n_contents; hosts with
+    >= ``min_urls`` urls and a ratio >= ``trap_bp`` (default 5x) are
+    flagged — the frontier scheduler demotes them before they eat
+    the fetch budget.
+
+    Output: (host, n_urls, n_contents, urls_per_content_bp, trap).
+
+    Scale: ONE groupBy on host carrying two distinct-counts (url
+    strings hash-aggregate map-side; digests are 16 bytes) — runs on
+    the INDEX, never on page bodies.
+    """
+    rows = captures.select(url_host(url_col).alias("host"),
+                           F.col(url_col).alias("u"),
+                           F.col(digest_col).alias("d"))
+    g = (rows.where(F.col("host") != "")
+         .groupBy("host")
+         .agg(F.countDistinct("u").cast("long").alias("n_urls"),
+              F.countDistinct("d").cast("long").alias("n_contents")))
+    ratio = F.expr("n_urls * 10000 div n_contents")
+    return (g.select("host", "n_urls", "n_contents",
+                     ratio.cast("long").alias("urls_per_content_bp"))
+            .withColumn("trap",
+                        (F.col("n_urls") >= min_urls)
+                        & (F.col("urls_per_content_bp") >= trap_bp)))

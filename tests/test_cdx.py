@@ -187,3 +187,22 @@ def test_ranged_fetch_end_to_end(spark, tmp_path):
               not r["url"].endswith("p3")}
     # the kept copy per digest is the min-(ts,urlkey) one == originals
     assert bodies == expect
+
+
+def test_ranged_fetch_missing_file_degrades(spark, tmp_path):
+    """Locators pointing at a vanished shard yield no rows (F5),
+    without failing the task or the other shards' reads."""
+    recs = _warc_records(2)
+    blob, rows = cdxx.build_warc_indexed(recs, gzip_records=True)
+    good = tmp_path / "ok.warc.gz"
+    good.write_bytes(blob)
+    locs = []
+    for r in rows:
+        locs.append((str(good), r["offset"], r["length"]))
+        locs.append((str(tmp_path / "GONE.warc.gz"), r["offset"],
+                     r["length"]))
+    df = spark.createDataFrame(
+        locs, "filename string, offset long, length long")
+    got = read_warc_members(df, num_partitions=2).collect()
+    assert {r["url"] for r in got} == {r["url"] for r in recs}
+    assert all(r["filename"] == str(good) for r in got)

@@ -1350,3 +1350,21 @@ def test_robots_sitemaps_discovery_lines():
         "https://a.com/bot.xml"]
     assert robots_sitemaps(b"\xff\xfe junk") == []
     assert robots_sitemaps(None) == []
+
+
+def test_crawl_trap_score_flags_url_explosion(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = (  # trap: 30 urls, 2 contents
+        [(f"https://trap.io/cal?d={i}", f"C{i % 2}") for i in range(30)]
+        # healthy: 30 urls, 30 contents
+        + [(f"https://news.io/a{i}", f"N{i}") for i in range(30)]
+        # small host: explosive ratio but under min_urls
+        + [(f"https://tiny.io/s?x={i}", "T") for i in range(5)])
+    df = spark.createDataFrame(rows, "url string, digest string")
+    got = {r["host"]: r for r in webtext.crawl_trap_score(
+        df, min_urls=20).collect()}
+    assert got["trap.io"]["trap"] is True
+    assert got["trap.io"]["urls_per_content_bp"] == 150000
+    assert got["news.io"]["trap"] is False
+    assert got["news.io"]["urls_per_content_bp"] == 10000
+    assert got["tiny.io"]["trap"] is False       # min_urls guard
