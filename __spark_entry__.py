@@ -643,6 +643,28 @@ def _synth_cdx(docs: DataFrame) -> DataFrame:
                  (did % 8).cast("string")).alias("filename"))
 
 
+def _fetch_plan_sql() -> str:
+    """cdx_fetch_plan DuckDB query over the synthetic capture index —
+    shared by the cdx_fetch_plan oracle and the resolve_revisits
+    oracle that joins against it."""
+    return f"""
+            WITH {_CDX_CTE}, gated AS (
+              SELECT * FROM k
+              WHERE status = 200 AND mime = 'text/html'
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY digest
+                       ORDER BY ts, urlkey, filename, "offset") AS rn,
+                     count(*) OVER (PARTITION BY digest) AS nc,
+                     sum(length) OVER (PARTITION BY digest) AS ba
+              FROM gated)
+            SELECT digest, url, urlkey, epoch(ts)::bigint AS ts_s,
+                   filename, "offset", length, nc::bigint AS n_copies,
+                   (ba - length)::bigint AS bytes_saved
+            FROM ranked WHERE rn = 1"""
+
+
 def _frontier_sql() -> str:
     """Frontier-candidates DuckDB query (discovery minus capture
     history) — shared by the frontier_candidates oracle and the
@@ -997,6 +1019,7 @@ _EXTRA_ORDER = [
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
     "host_hits", "quantized_topk", "compression_profile",
     "host_reputation", "hll_calibration", "crawl_trap_score",
+    "resolve_revisits",
 ]
 
 
@@ -1754,6 +1777,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.crawl_trap_score(trap.unionByName(normal),
                                         min_urls=10)
     q["crawl_trap_score"] = q_trap
+
+    # --- WARC revisit resolution: bodyless digest pointers -> the
+    # stored canonical copy's record locator — SQL-checked (digest
+    # equi-join twin against the shared fetch-plan query; odd doc_ids
+    # replay the digest classes the plan kept)
+    def q_revisits(spark, sf_dir):
+        cdx = _synth_cdx(_t(spark, sf_dir, "documents"))
+        plan = webtext.cdx_fetch_plan(cdx)
+        did = F.col("doc_id")
+        rev = (cdx.where(did % 2 == 1)
+               .select(F.concat(F.lit("https://replay.io/r"),
+                                did.cast("string")).alias("url"),
+                       F.col("ts").alias("warc_ts"), "digest"))
+        out = webtext.resolve_revisits(rev, plan)
+        return out.select("url", F.col("warc_ts").cast("long")
+                          .alias("ts_s"), "digest", "filename",
+                          "offset", "length", "canonical_url")
+    q["resolve_revisits"] = q_revisits
 
     # --- robots.txt compliance gate (RFC 9309 longest-prefix match) —
     # SQL-checked; rule table from the shared VALUES fixture
@@ -2534,22 +2575,20 @@ def oracle_sql() -> dict[str, str]:
         "surt_urlkey": f"""
             WITH {_CDX_CTE}
             SELECT doc_id, url, urlkey FROM k""",
-        "cdx_fetch_plan": f"""
-            WITH {_CDX_CTE}, gated AS (
-              SELECT * FROM k
-              WHERE status = 200 AND mime = 'text/html'
-            ), ranked AS (
-              SELECT *,
-                     row_number() OVER (
-                       PARTITION BY digest
-                       ORDER BY ts, urlkey, filename, "offset") AS rn,
-                     count(*) OVER (PARTITION BY digest) AS nc,
-                     sum(length) OVER (PARTITION BY digest) AS ba
-              FROM gated)
-            SELECT digest, url, urlkey, epoch(ts)::bigint AS ts_s,
-                   filename, "offset", length, nc::bigint AS n_copies,
-                   (ba - length)::bigint AS bytes_saved
-            FROM ranked WHERE rn = 1""",
+        "cdx_fetch_plan": _fetch_plan_sql(),
+        "resolve_revisits": f"""
+            WITH plan AS ({_fetch_plan_sql()}),
+            rev AS (
+              SELECT 'https://replay.io/r' || doc_id AS url,
+                     TIMESTAMP '2024-01-01'
+                       + (doc_id % 97) * INTERVAL 1 SECOND AS warc_ts,
+                     md5(cast(doc_id % 211 AS varchar)) AS digest
+              FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT rev.url, epoch(rev.warc_ts)::bigint AS ts_s,
+                   rev.digest, plan.filename, plan."offset",
+                   plan.length, plan.url AS canonical_url
+            FROM rev JOIN plan USING (digest)""",
         "frontier_candidates": _frontier_sql(),
         "fetch_schedule": f"""
             WITH fc AS ({_frontier_sql()}),

@@ -274,3 +274,48 @@ def build_wat(records: list[dict], gzip_records: bool = False) -> bytes:
             rec = c.compress(rec) + c.flush()
         out.append(rec)
     return b"".join(out)
+
+
+def parse_revisits(data: bytes) -> list[dict]:
+    """All revisit records of a WARC shard, in order: {url, warc_ts,
+    digest}. Revisit records are how production archives dedup at
+    write time: a re-capture whose payload digest matched an earlier
+    capture stores NO body, only ``WARC-Payload-Digest`` — the reader
+    resolves content through the index (``webtext.resolve_revisits``).
+    Records without a digest are skipped (unresolvable); never raises
+    (F5).
+    """
+    records: list[dict] = []
+    for headers, _payload in _iter_records(data):
+        if headers.get("warc-type") != "revisit":
+            continue
+        digest = headers.get("warc-payload-digest", "")
+        if not digest:
+            continue
+        records.append({
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _warc_ts(headers),
+            "digest": digest,
+        })
+    return records
+
+
+def build_revisits(records: list[dict],
+                   gzip_records: bool = False) -> bytes:
+    """Serialize {url, warc_ts, digest} revisit records (bodyless,
+    digest pointer only) — fixture generator + exactness witness
+    (build_revisits -> parse_revisits round-trips every field)."""
+    out = []
+    for r in records:
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: revisit\r\n"
+               b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
+               b"WARC-Date: " + ts.encode() + b"\r\n"
+               b"WARC-Payload-Digest: " + r["digest"].encode() +
+               b"\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+        if gzip_records:
+            c = zlib.compressobj(wbits=31)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    return b"".join(out)

@@ -1217,3 +1217,30 @@ def crawl_trap_score(captures: DataFrame, url_col: str = "url",
             .withColumn("trap",
                         (F.col("n_urls") >= min_urls)
                         & (F.col("urls_per_content_bp") >= trap_bp)))
+
+
+def resolve_revisits(revisits: DataFrame, plan: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Resolve WARC revisit records (bodyless digest pointers —
+    production archives' write-time dedup) against a fetch plan
+    (``cdx_fetch_plan`` output): every revisit URL gets the record
+    locator of the stored canonical copy of its payload, so
+    ``sources.read_warc_members`` can serve the revisit's content
+    without the archive ever storing the duplicate bytes.
+
+    Output: (url, warc_ts, digest, filename, offset, length,
+    canonical_url). Revisits whose digest is not in the plan resolve
+    to no row (the archive lost/never-kept that payload — surface
+    the gap, don't invent bytes).
+
+    Scale: ONE equi-join on digest (crypto-hash keys, uniform); the
+    plan side is one row per distinct payload — broadcast when it
+    fits (AQE decides).
+    """
+    p = plan.select("digest", F.col("url").alias("canonical_url"),
+                    "filename", "offset", "length")
+    return (revisits.select(F.col(url_col).alias("url"), "warc_ts",
+                            "digest")
+            .join(p, "digest")
+            .select("url", "warc_ts", "digest", "filename", "offset",
+                    "length", "canonical_url"))

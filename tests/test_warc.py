@@ -238,3 +238,62 @@ def test_spark_wat_reader_feeds_link_graph(spark, tmp_path):
 @settings(max_examples=100, deadline=None)
 def test_wat_parse_arbitrary_bytes_never_raises(data):
     assert isinstance(warcx.parse_wat(data), list)
+
+
+def test_revisit_roundtrip_and_skip_rules():
+    recs = [{"url": f"https://h.com/r{i}",
+             "warc_ts": datetime(2024, 4, 4, tzinfo=timezone.utc),
+             "digest": f"md5:{i:032d}"} for i in range(4)]
+    for gz in (False, True):
+        got = warcx.parse_revisits(
+            warcx.build_revisits(recs, gzip_records=gz))
+        assert got == recs
+    # response records are not revisits; digestless revisits skipped
+    mixed = (warcx.build_warc(_records(2))
+             + warcx.build_revisits(recs[:1])
+             + b"WARC/1.0\r\nWARC-Type: revisit\r\n"
+               b"WARC-Target-URI: https://h.com/no-digest\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Length: 0\r\n\r\n\r\n\r\n")
+    assert warcx.parse_revisits(mixed) == recs[:1]
+    # revisit records are invisible to the response/conversion parsers
+    assert len(warcx.parse_warc(mixed)) == 2
+    assert warcx.parse_wet(mixed) == []
+
+
+def test_resolve_revisits_serves_content_from_canonical(spark, tmp_path):
+    """Revisit pointers resolve to the stored copy's locator, and the
+    ranged fetch serves the ORIGINAL bytes for the revisit's url;
+    unresolvable digests surface as missing rows."""
+    import hashlib
+    from historicaldatadocumentparsersystem_spark.extractor import cdxx
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    from historicaldatadocumentparsersystem_spark.sources import (
+        read_warc_members)
+    recs = _records(3)
+    shard, rows = cdxx.build_warc_indexed(recs, gzip_records=True)
+    path = tmp_path / "s.warc.gz"
+    path.write_bytes(shard)
+    for r in rows:
+        r["filename"] = str(path)
+        body = next(x["body"] for x in recs if x["url"] == r["url"])
+        r["digest"] = hashlib.md5(body).hexdigest()
+    plan = webtext.cdx_fetch_plan(
+        spark.createDataFrame(
+            [tuple(r[c] for c in ("urlkey", "ts", "url", "mime",
+                                  "status", "digest", "length",
+                                  "offset", "filename"))
+             for r in rows],
+            "urlkey string, ts timestamp, url string, mime string, "
+            "status int, digest string, length long, offset long, "
+            "filename string"))
+    rev = spark.createDataFrame(
+        [("https://h.com/replay", rows[1]["ts"], rows[1]["digest"]),
+         ("https://h.com/lost", rows[1]["ts"], "gone")],
+        "url string, warc_ts timestamp, digest string")
+    res = webtext.resolve_revisits(rev, plan)
+    got = res.collect()
+    assert len(got) == 1 and got[0]["url"] == "https://h.com/replay"
+    assert got[0]["canonical_url"] == recs[1]["url"]
+    fetched = read_warc_members(res).collect()
+    assert bytes(fetched[0]["body"]) == recs[1]["body"]
