@@ -1,0 +1,134 @@
+"""Handoff sinks: the engine's output surface toward the tokenizer /
+training stack.
+
+Curation ends with two artifacts every training pipeline expects:
+sharded JSONL (the lingua franca tokenizer pipelines consume) and a
+dataset card (the datasheet quoting sizes, token counts, and language
+mix). Both are deterministic — same input rows => byte-stable shard
+membership and an identical card — so a re-export after an
+incremental run changes only what actually changed.
+
+Reference analog: the reference's terminal stage persists chunks into
+a Postgres vector store (``pg_vector_db.py``); at corpus scale the
+terminal stage is files + a manifest, because the consumer is a
+training job, not a query endpoint.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_jsonl_shards(df: DataFrame, path: str,
+                       id_col: str = "doc_id",
+                       docs_per_shard: int = 100_000) -> dict:
+    """Export rows as JSONL, partitioned into deterministic shards:
+    shard = pmod(xxhash64(id), n_shards) with n_shards =
+    ceil(n_rows / docs_per_shard) — membership depends only on the id,
+    never on cluster layout, so re-exports are stable and a consumer
+    can locate any document's shard from its id alone.
+
+    Layout: ``{path}/data/shard=N/*.json`` (Spark's JSON writer emits
+    one JSON object per line = JSONL) plus ``{path}/manifest.json``
+    carrying per-shard row counts and the total. Returns the manifest
+    dict.
+
+    Scale: one count (footer metadata when the source is parquet),
+    ONE shuffle on the shard key (each shard written by one task —
+    same move as catalog.compact_extracted), and a |shards|-row
+    aggregate for the manifest. No collect of row data.
+    """
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // docs_per_shard))
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)),
+                        F.lit(n_shards)).cast("int"))
+    per_shard = {int(r["shard"]): int(r["n"])
+                 for r in sharded.groupBy("shard")
+                 .agg(F.count("*").alias("n")).collect()}
+    (sharded.repartition(n_shards, "shard")
+     .write.mode("overwrite").partitionBy("shard")
+     .json(os.path.join(path, "data")))
+    manifest = {
+        "format": "jsonl",
+        "n_rows": int(n_rows),
+        "n_shards": int(n_shards),
+        "docs_per_shard": int(docs_per_shard),
+        "shards": {str(k): per_shard.get(k, 0)
+                   for k in range(n_shards)},
+    }
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return manifest
+
+
+def read_jsonl_shards(spark, path: str) -> DataFrame:
+    """Read a ``write_jsonl_shards`` export back (shard column
+    restored from the partition dirs)."""
+    return spark.read.json(os.path.join(path, "data"))
+
+
+def dataset_card(df: DataFrame, text_col: str = "text",
+                 lang_col: str | None = "lang") -> dict:
+    """The dataset datasheet: corpus-level numbers a release quotes —
+    document count, whitespace-token and character totals, exact-dup
+    ratio (md5), and the per-language mix (docs + tokens + basis-point
+    shares). Deterministic integers only.
+
+    Scale: one global aggregate + one groupBy(lang) — two passes of
+    map-side-combinable aggregation, nothing collected but the
+    |langs|-row mix.
+    """
+    from .operators.textstats import tokens
+
+    base = df.select(
+        F.size(tokens(text_col)).cast("long").alias("n_tok"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.md5(F.col(text_col)).alias("h"),
+        *( [F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang")]
+           if lang_col else [F.lit("all").alias("lang")] ))
+    tot = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("h").cast("long").alias("n_distinct")).first()
+    mix = (base.groupBy("lang")
+           .agg(F.count("*").cast("long").alias("docs"),
+                F.sum("n_tok").cast("long").alias("tokens"))
+           .collect())
+    n_docs = int(tot["n_docs"]) or 1
+    n_tokens = int(tot["n_tokens"] or 0)
+    return {
+        "n_docs": int(tot["n_docs"]),
+        "n_tokens": n_tokens,
+        "n_chars": int(tot["n_chars"] or 0),
+        "exact_dup_bp": int((tot["n_docs"] - tot["n_distinct"])
+                            * 10000 // n_docs),
+        "languages": {
+            r["lang"]: {"docs": int(r["docs"]),
+                        "tokens": int(r["tokens"] or 0),
+                        "doc_share_bp": int(r["docs"] * 10000
+                                            // n_docs),
+                        "token_share_bp": int((r["tokens"] or 0)
+                                              * 10000
+                                              // max(n_tokens, 1))}
+            for r in sorted(mix, key=lambda r: r["lang"])},
+    }
+
+
+def write_dataset_card(df: DataFrame, path: str,
+                       text_col: str = "text",
+                       lang_col: str | None = "lang") -> dict:
+    """Compute and persist the card as ``{path}/dataset_card.json``."""
+    card = dataset_card(df, text_col, lang_col)
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "dataset_card.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(card, fh, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "dataset_card.json"))
+    return card
