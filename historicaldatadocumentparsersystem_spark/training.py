@@ -108,3 +108,29 @@ def prepare_training_data(spark: SparkSession, docs: DataFrame,
         "n_chunks": spark.read.parquet(f"{out_dir}/chunks").count(),
     }
     return stats
+
+
+def export_training_data(spark: SparkSession, out_dir: str,
+                         docs_per_shard: int = 100_000) -> dict:
+    """Handoff stage after ``prepare_training_data``: export the
+    cleaned documents as deterministic JSONL shards plus the dataset
+    card — the two artifacts the tokenizer/training stack consumes
+    (``sinks.write_jsonl_shards`` / ``write_dataset_card``). Returns
+    {"manifest": ..., "card": ...}.
+    """
+    from . import sinks
+
+    unique = (spark.read.parquet(f"{out_dir}/documents_clean")
+              .select(F.col("url").alias("doc_id"),
+                      F.col("extracted_text").alias("text"),
+                      F.col("split").alias("lang_or_split")))
+    # the card groups by split here (the clean table carries no lang
+    # column); callers with language labels pass their own frame
+    manifest = sinks.write_jsonl_shards(
+        unique.withColumnRenamed("lang_or_split", "split"),
+        f"{out_dir}/export", id_col="doc_id",
+        docs_per_shard=docs_per_shard)
+    card = sinks.write_dataset_card(
+        unique, f"{out_dir}/export", text_col="text",
+        lang_col="lang_or_split")
+    return {"manifest": manifest, "card": card}

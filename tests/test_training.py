@@ -53,3 +53,23 @@ def test_quality_gate_drops_garbage(spark):
     assert "html" in kinds
     # failed fallback rows never pass the gate
     assert kept.where(F.col("failed") == 1).count() == 0
+
+
+def test_export_training_data_handoff(spark, tmp_path):
+    import json
+    from historicaldatadocumentparsersystem_spark import fixtures, training
+    out = str(tmp_path / "run")
+    docs = fixtures.corpus_df(spark, 60, num_partitions=4)
+    stats = training.prepare_training_data(
+        spark, docs, out, run_id="r", num_buckets=8)
+    res = training.export_training_data(spark, out, docs_per_shard=10)
+    assert res["manifest"]["n_rows"] == stats["n_unique"]
+    assert sum(res["manifest"]["shards"].values()) == stats["n_unique"]
+    assert res["card"]["n_docs"] == stats["n_unique"]
+    # splits appear as card buckets; shares sum to <= 10000 (floor div)
+    shares = [v["doc_share_bp"] for v in res["card"]["languages"].values()]
+    assert 0 < sum(shares) <= 10000
+    # the exported JSONL round-trips through a plain JSON reader
+    back = spark.read.json(f"{out}/export/data")
+    assert back.count() == stats["n_unique"]
+    assert json.load(open(f"{out}/export/dataset_card.json")) == res["card"]
