@@ -1019,7 +1019,7 @@ _EXTRA_ORDER = [
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
     "host_hits", "quantized_topk", "compression_profile",
     "host_reputation", "hll_calibration", "crawl_trap_score",
-    "resolve_revisits",
+    "resolve_revisits", "lang_id_margin",
 ]
 
 
@@ -1795,6 +1795,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("ts_s"), "digest", "filename",
                           "offset", "length", "canonical_url")
     q["resolve_revisits"] = q_revisits
+
+    # --- language-ID confidence margin (top1 vs top2 trigram hits) —
+    # SQL-checked (rank<=2 pivot twin over the shared profile VALUES)
+    def q_lang_margin(spark, sf_dir):
+        return textstats.lang_id_margin(_t(spark, sf_dir, "documents"))
+    q["lang_id_margin"] = q_lang_margin
 
     # --- robots.txt compliance gate (RFC 9309 longest-prefix match) —
     # SQL-checked; rule table from the shared VALUES fixture
@@ -3732,6 +3738,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred,
                    coalesce(b.n_hits, 0)::bigint AS n_hits
             FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+        """.replace("{profvals}", ", ".join(
+            f"('{lg}', '{t}')"
+            for lg, tris in sorted(textstats.TRIGRAM_PROFILES.items())
+            for t in tris)),
+        "lang_id_margin": r"""
+            WITH prof(lang, tri) AS (VALUES {profvals}),
+            t AS (SELECT doc_id,
+                         ' ' || regexp_replace(lower(substr(text, 1, 256)),
+                                               '\s+', ' ', 'g') || ' ' AS s
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(length(s) - 2, 0)),
+                             i -> substr(s, i, 3))) AS tri
+                  FROM t),
+            h AS (SELECT g.doc_id, prof.lang, count(*)::bigint AS n_hits
+                  FROM g JOIN prof ON g.tri = prof.tri
+                  GROUP BY g.doc_id, prof.lang),
+            r AS (SELECT doc_id, lang, n_hits,
+                         row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY n_hits DESC, lang ASC) AS rk
+                  FROM h QUALIFY rk <= 2),
+            b AS (SELECT doc_id,
+                         max(CASE WHEN rk = 1 THEN lang END) AS lang,
+                         max(CASE WHEN rk = 1 THEN n_hits END) AS n1,
+                         max(CASE WHEN rk = 2 THEN n_hits END) AS n2
+                  FROM r GROUP BY doc_id),
+            o AS (SELECT d.doc_id,
+                         coalesce(b.lang, 'unknown') AS lang_pred,
+                         coalesce(b.n1, 0)::bigint AS n_hits,
+                         coalesce(b.n2, 0)::bigint AS n_hits_2nd
+                  FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id)
+            SELECT doc_id, lang_pred, n_hits, n_hits_2nd,
+                   (CASE WHEN n_hits > 0
+                    THEN (n_hits - n_hits_2nd) * 10000 // n_hits
+                    ELSE 0 END)::bigint AS margin_bp,
+                   (n_hits > 0 AND
+                    (CASE WHEN n_hits > 0
+                     THEN (n_hits - n_hits_2nd) * 10000 // n_hits
+                     ELSE 0 END) >= 3000) AS confident
+            FROM o
         """.replace("{profvals}", ", ".join(
             f"('{lg}', '{t}')"
             for lg, tris in sorted(textstats.TRIGRAM_PROFILES.items())

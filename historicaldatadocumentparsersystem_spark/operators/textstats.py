@@ -507,3 +507,69 @@ def compression_profile(df: DataFrame, text_col: str = "text",
     ).withColumn(
         "keep", (F.col("comp_bp") >= min_keep_bp)
                 & (F.col("comp_bp") <= max_keep_bp))
+
+
+def lang_id_margin(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", sample_chars: int = 256,
+                   min_margin_bp: int = 3000) -> DataFrame:
+    """Language ID with a CONFIDENCE MARGIN — the routing signal
+    curation needs on top of the argmax: margin_bp =
+    (top1_hits - top2_hits) * 10000 div top1_hits. Low-margin docs
+    (mixed-language pages, boilerplate-dominated text) are the ones
+    a pipeline escalates to an expensive classifier or drops from
+    language-filtered corpora; ``confident`` gates at
+    ``min_margin_bp`` (zero-hit docs are never confident).
+
+    Output: (id, lang_pred, n_hits, n_hits_2nd, margin_bp,
+    confident). Same bounded plan as ``lang_id_trigram`` (sampled
+    prefix explode, broadcast profiles, per-doc window bounded by
+    n_langs) — the window just keeps rank 2 as well.
+    """
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(lg, t) for lg, tris in sorted(TRIGRAM_PROFILES.items())
+         for t in tris], "lang string, tri string")
+    txt = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.substring(F.col(text_col), 1,
+                                             sample_chars)),
+                         r"\s+", " "),
+        F.lit(" "))
+    staged = df.select(F.col(id_col).alias("id"), txt.alias("__s"))
+    s = F.col("__s")
+    n = F.length(s) - 2
+    tri_arr = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: s.substr(i, F.lit(3)))
+    ).otherwise(F.array().cast("array<string>"))
+    tris = staged.select("id", F.explode(tri_arr).alias("tri"))
+    hits = (tris.join(F.broadcast(prof), "tri")
+            .groupBy("id", "lang")
+            .agg(F.count("*").alias("n_hits")))
+    w = Window.partitionBy("id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    top2 = (hits.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= 2))
+    best = (top2.groupBy("id")
+            .agg(F.max(F.when(F.col("__rk") == 1,
+                              F.col("lang"))).alias("lang"),
+                 F.max(F.when(F.col("__rk") == 1,
+                              F.col("n_hits"))).alias("n1"),
+                 F.max(F.when(F.col("__rk") == 2,
+                              F.col("n_hits"))).alias("n2")))
+    out = (df.select(F.col(id_col).alias("id"))
+           .join(best, "id", "left")
+           .select(
+               F.col("id").alias(id_col),
+               F.coalesce("lang", F.lit("unknown")).alias("lang_pred"),
+               F.coalesce("n1", F.lit(0)).cast("long").alias("n_hits"),
+               F.coalesce("n2", F.lit(0)).cast("long")
+               .alias("n_hits_2nd")))
+    margin = F.when(
+        F.col("n_hits") > 0,
+        F.expr("(n_hits - n_hits_2nd) * 10000 div n_hits")
+    ).otherwise(F.lit(0)).cast("long")
+    return (out.withColumn("margin_bp", margin)
+            .withColumn("confident",
+                        (F.col("n_hits") > 0)
+                        & (F.col("margin_bp") >= min_margin_bp)))
