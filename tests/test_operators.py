@@ -1368,3 +1368,28 @@ def test_crawl_trap_score_flags_url_explosion(spark):
     assert got["news.io"]["trap"] is False
     assert got["news.io"]["urls_per_content_bp"] == 10000
     assert got["tiny.io"]["trap"] is False       # min_urls guard
+
+
+def test_lang_id_margin_routing(spark):
+    from historicaldatadocumentparsersystem_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog with all of them"),
+         (2, "der die das und der die das oder the of and with them"),
+         (3, "zz qq xx vv kk jj ww")],        # no profile hits
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.lang_id_margin(
+        docs, min_margin_bp=3000).collect()}
+    # clean English: large margin, confident
+    assert got[1]["lang_pred"] == "en" and got[1]["confident"] is True
+    assert got[1]["margin_bp"] >= 3000
+    # mixed de/en: margin collapses below the gate
+    assert got[2]["margin_bp"] < got[1]["margin_bp"]
+    # zero hits: unknown, never confident, margin 0
+    assert (got[3]["lang_pred"], got[3]["n_hits"],
+            got[3]["margin_bp"], got[3]["confident"]) == \
+        ("unknown", 0, 0, False)
+    # margin arithmetic holds on every row
+    for r in got.values():
+        if r["n_hits"]:
+            assert r["margin_bp"] == (r["n_hits"] - r["n_hits_2nd"]) \
+                * 10000 // r["n_hits"]
