@@ -132,3 +132,82 @@ def write_dataset_card(df: DataFrame, path: str,
         json.dump(card, fh, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(path, "dataset_card.json"))
     return card
+
+
+def write_wet_shards(df: DataFrame, path: str,
+                     url_col: str = "url", text_col: str = "text",
+                     ts_col: str = "warc_ts",
+                     docs_per_shard: int = 100_000,
+                     gzip_records: bool = True) -> dict:
+    """Export extracted text as WET shards — the archive ecosystem's
+    OWN interchange format (Common Crawl publishes extraction output
+    exactly this way), so downstream consumers that already ingest
+    CC WET can ingest this engine's output unchanged, and
+    ``sources.read_wet_documents`` round-trips it byte-identically.
+
+    Shard membership is pmod(xxhash64(url), n_shards) — the same
+    deterministic rule as the JSONL sink. Each shard is built by ONE
+    task from the Spark-free ``extractor.warcx.build_wet`` (the
+    parser's exactness witness) and written as
+    ``{path}/data/shard-NNNNN.warc.wet[.gz]``; records within a
+    shard are url-ordered so re-exports are byte-stable. Returns the
+    manifest (also persisted as ``{path}/manifest.json``).
+
+    Scale: one count + ONE shuffle on the shard key; shard bytes are
+    assembled and written inside the executor (one file per task —
+    no driver collect). Null timestamps default to the epoch.
+    """
+    import pandas as pd
+
+    from .extractor.warcx import build_wet
+
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // docs_per_shard))
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    suffix = ".warc.wet.gz" if gzip_records else ".warc.wet"
+
+    sharded = (df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(F.col(ts_col).cast("timestamp"),
+                   F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        .alias("warc_ts"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"))
+        .withColumn("shard", F.pmod(F.xxhash64("url"),
+                                    F.lit(n_shards)).cast("int")))
+
+    def write(batches):
+        from datetime import timezone
+        rows_by_shard: dict[int, list] = {}
+        for b in batches:
+            for u, ts, tx, sh in zip(b["url"], b["warc_ts"],
+                                     b["text"], b["shard"]):
+                ts = ts.to_pydatetime().replace(tzinfo=timezone.utc)
+                rows_by_shard.setdefault(int(sh), []).append(
+                    {"url": u, "warc_ts": ts, "text": tx})
+        out = []
+        for sh, recs in rows_by_shard.items():
+            recs.sort(key=lambda r: r["url"])
+            blob = build_wet(recs, gzip_records=gzip_records)
+            fname = os.path.join(data_dir, f"shard-{sh:05d}{suffix}")
+            with open(fname, "wb") as fh:
+                fh.write(blob)
+            out.append((sh, len(recs), len(blob)))
+        yield pd.DataFrame(out, columns=("shard", "n_docs", "n_bytes"))
+
+    stats = (sharded.repartition(n_shards, "shard")
+             .sortWithinPartitions("shard", "url")
+             .mapInPandas(write, "shard int, n_docs long, n_bytes long")
+             .collect())
+    manifest = {
+        "format": "wet", "gzip": bool(gzip_records),
+        "n_rows": int(n_rows), "n_shards": int(n_shards),
+        "shards": {str(r["shard"]): {"n_docs": int(r["n_docs"]),
+                                     "n_bytes": int(r["n_bytes"])}
+                   for r in stats},
+    }
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return manifest
