@@ -415,6 +415,21 @@ def read_sitemap_urls(spark: SparkSession, path: str) -> DataFrame:
 FEED_DDL = "feed_kind string, url string, title string, pub_ts timestamp"
 
 
+def _feed_parse_batches(batches):
+    """Arrow-batch parser shared by the batch reader and the
+    streaming ``discovery_stream(source_format="feed")``."""
+    import pandas as pd
+
+    from ..extractor.feedx import parse_feed
+
+    cols = ("feed_kind", "url", "title", "pub_ts")
+    for b in batches:
+        rows = [tuple(rec[c] for c in cols)
+                for blob in b["content"]
+                for rec in parse_feed(bytes(blob))]
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def read_feed_entries(spark: SparkSession, path: str) -> DataFrame:
     """RSS 2.0 / Atom feeds -> frontier rows (feed_kind, url, title,
     pub_ts) via the Spark-free ``extractor.feedx.parse_feed`` — the
@@ -424,20 +439,7 @@ def read_feed_entries(spark: SparkSession, path: str) -> DataFrame:
     Scale: identical shape to ``read_sitemap_urls`` — per-file
     parallelism, no shuffle, malformed feeds degrade (F5).
     """
-    import pandas as pd
-
-    from ..extractor.feedx import parse_feed
-
-    cols = ("feed_kind", "url", "title", "pub_ts")
-
-    def parse(batches):
-        for b in batches:
-            rows = [tuple(rec[c] for c in cols)
-                    for blob in b["content"]
-                    for rec in parse_feed(bytes(blob))]
-            yield pd.DataFrame(rows, columns=cols)
-
     return (spark.read.format("binaryFile")
             .load(path)
             .select("content")
-            .mapInPandas(parse, FEED_DDL))
+            .mapInPandas(_feed_parse_batches, FEED_DDL))

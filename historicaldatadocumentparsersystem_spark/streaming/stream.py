@@ -150,9 +150,11 @@ def read_hll(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def discovery_stream(spark: SparkSession, source_dir: str,
                      out_dir: str, captured: DataFrame | None = None,
+                     source_format: str = "sitemap",
                      max_files_per_trigger: int = 8):
-    """Continuous crawl-frontier discovery: sitemap shards stream in
-    (binaryFile source); each micro-batch parses its new shards
+    """Continuous crawl-frontier discovery: sitemap shards (or RSS/
+    Atom feeds with ``source_format="feed"`` — the freshness channel)
+    stream in (binaryFile source); each micro-batch parses its new shards
     (the SAME Spark-free ``extractor.feedx.parse_sitemap`` the batch
     reader uses), SURT-keys the locs, drops URLs already captured
     (optional static ``captured`` side with a urlkey column) and URLs
@@ -170,15 +172,28 @@ def discovery_stream(spark: SparkSession, source_dir: str,
     (``read_frontier``); feed it to ``webtext.fetch_schedule``.
     """
     from ..functions import surt_urlkey
-    from ..sources import SITEMAP_DDL, _sitemap_parse_batches
+    from ..sources import (FEED_DDL, SITEMAP_DDL, _feed_parse_batches,
+                           _sitemap_parse_batches)
 
+    if source_format not in ("sitemap", "feed"):
+        raise ValueError("source_format must be 'sitemap' or 'feed'")
     raw = (spark.readStream.format("binaryFile")
            .schema("path string, modificationTime timestamp, "
                    "length long, content binary")
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .load(source_dir)
            .select("content"))
-    urls = raw.mapInPandas(_sitemap_parse_batches, SITEMAP_DDL)
+    if source_format == "sitemap":
+        urls = raw.mapInPandas(_sitemap_parse_batches, SITEMAP_DDL)
+    else:
+        # feeds carry no changefreq/priority hints; normalize to the
+        # sitemap row shape so the sink is format-agnostic
+        urls = (raw.mapInPandas(_feed_parse_batches, FEED_DDL)
+                .select(F.lit("url").alias("kind"),
+                        F.col("url").alias("loc"),
+                        F.col("pub_ts").alias("lastmod"),
+                        F.lit(None).cast("string").alias("changefreq"),
+                        F.lit(None).cast("int").alias("priority_bp")))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession

@@ -93,3 +93,41 @@ def test_discovery_stream_incremental_and_dedup(spark, tmp_path):
     # each urlkey appears exactly once across all batch partitions
     assert f2.groupBy("urlkey").count().agg(
         {"count": "max"}).collect()[0][0] == 1
+
+
+def test_discovery_stream_from_feeds(spark, tmp_path):
+    """RSS/Atom feeds drive the same frontier sink: novel urls land,
+    re-announcements and captured urls are dropped."""
+    from datetime import datetime, timezone
+    from historicaldatadocumentparsersystem_spark.extractor import feedx
+    from historicaldatadocumentparsersystem_spark.streaming.stream import (
+        read_frontier, run_discovery_stream_once)
+    src = tmp_path / "feeds"
+    out = tmp_path / "disc"
+    src.mkdir()
+    ts = datetime(2024, 8, 1, tzinfo=timezone.utc)
+    (src / "a.rss").write_bytes(feedx.build_feed(
+        [{"feed_kind": "rss", "url": "https://blog.io/n1",
+          "title": "n1", "pub_ts": ts},
+         {"feed_kind": "rss", "url": "https://www.blog.io/n1?b=1&a=2",
+          "title": "distinct query", "pub_ts": ts},
+         {"feed_kind": "rss", "url": "https://blog.io/old",
+          "title": "old", "pub_ts": ts}]))
+    captured = spark.createDataFrame(
+        [("io,blog)/old",)], "urlkey string")
+    run_discovery_stream_once(spark, str(src), str(out),
+                              captured=captured, source_format="feed")
+    f1 = {r["urlkey"] for r in read_frontier(spark, str(out)).collect()}
+    assert f1 == {"io,blog)/n1", "io,blog)/n1?a=2&b=1"}
+    # a later atom feed re-announces n1 and adds one novel entry
+    (src / "b.atom").write_bytes(feedx.build_feed(
+        [{"feed_kind": "atom", "url": "https://blog.io/n1",
+          "title": None, "pub_ts": None},
+         {"feed_kind": "atom", "url": "https://blog.io/n2",
+          "title": None, "pub_ts": None}]))
+    run_discovery_stream_once(spark, str(src), str(out),
+                              captured=captured, source_format="feed")
+    f2 = read_frontier(spark, str(out))
+    assert {r["urlkey"] for r in f2.collect()} == f1 | {"io,blog)/n2"}
+    assert f2.groupBy("urlkey").count().agg(
+        {"count": "max"}).collect()[0][0] == 1
