@@ -763,7 +763,9 @@ def _pagerank_sql(iters: int) -> str:
     """DuckDB twin of the host_pagerank query: derive the deterministic
     ring edge table from documents, then unroll ``iters`` PageRank
     iterations as chained CTEs in pure int64 floor division (``//`` ==
-    Spark ``div`` on non-negative values)."""
+    Spark ``div`` on non-negative values). Dangling mass (rank held by
+    hosts with no outlinks) is summed per round and redistributed
+    uniformly, mirroring linkgraph.pagerank_hosts term-for-term."""
     scale, d = linkgraph.PAGERANK_SCALE, linkgraph.DAMPING_PCT
     ctes = [f"""
         WITH {_HOSTGRAPH_SQL},
@@ -781,11 +783,17 @@ def _pagerank_sql(iters: int) -> str:
                  JOIN od ON e.src_host = od.src_host
           GROUP BY e.dst_host
         ),
+        g{k} AS (
+          SELECT coalesce(sum(rank_micro), 0)::bigint AS dang
+          FROM {prev}
+          WHERE {prev}.host NOT IN (SELECT src_host FROM od)
+        ),
         r{k} AS (
           SELECT hosts.host,
                  ({scale} * {100 - d}) // (100 * nn.n)
-                 + ({d} * coalesce(i{k}.in_sum, 0)) // 100 AS rank_micro
-          FROM hosts CROSS JOIN nn
+                 + ({d} * (coalesce(i{k}.in_sum, 0)
+                           + g{k}.dang // nn.n)) // 100 AS rank_micro
+          FROM hosts CROSS JOIN nn CROSS JOIN g{k}
           LEFT JOIN i{k} ON hosts.host = i{k}.host
         )""")
         prev = f"r{k}"
@@ -968,56 +976,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked every pytest run (tests/test_entry_oracle.py parametrizes over
 # the union), just not spending driver slots.
 _DRIVER_ORDER = [
-    # never driver-verified in r2 (registration outran the 50-cap) /
-    # event_sessions failed a hash in r1 — these must be checked first
-    "event_sessions", "asof_join", "events_cube", "bbox_overlap_pairs",
-    "hypertable_rollup", "tpch_q1_pricing", "segment_revenue",
-    # new this round
+    # round 4: first-ever driver rows for the 20 highest-value post-cap
+    # ops (sketches, retrieval scoring, clustering dedup, packing,
+    # crawl-index planning) — each was pytest-oracle-green through r3
+    # but the driver is the independent signal and had never seen them
+    "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
+    "cms_term_counts", "robots_gate", "decontaminate", "bm25_scores",
+    "kmeans_clusters", "semantic_dedup", "dsir_weights",
+    "pack_offsets", "pack_greedy", "snapshot_latest",
+    "frontier_candidates", "surt_urlkey", "cdx_fetch_plan",
+    "host_hits", "quantized_topk", "host_boilerplate", "crawl_delta",
+    # kept: the flagship + every row that is the sole driver witness for
+    # a SURVEY §2 family (extraction, dedup/ANN, quality gates, link
+    # graph, chunking, time-series joins)
+    "extract_corpus", "event_sessions", "asof_join",
+    "bbox_overlap_pairs", "hypertable_rollup",
     "lang_id_trigram", "image_resize_stats", "gopher_rules",
     "c4_line_filter", "dup_span_removal", "quality_classifier",
     "extract_links", "host_pagerank",
-    # the established suite
-    "extract_corpus", "extract_kind_stats", "lang_stats", "text_profile",
-    "repetition_profile", "keyword_sections", "exact_dedup",
+    "text_profile", "repetition_profile", "exact_dedup",
     "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
-    "dedup_clusters", "cosine_topk",
-    "first_seen_dedup", "pii_redaction", "cap_per_host",
-    "line_dedup", "url_normalize", "tfidf_top_terms", "unigram_logppl",
-    "length_quantiles", "host_stats_salted", "bbox_remove_nested",
-    "chunk_token_budget",
-    "embedding_near_dup", "lsh_topk", "ivf_topk",
-    "pptx_elements", "pptx_keyword_sections", "docx_elements",
-    "docx_token_chunks", "picture_class_filter", "media_dimensions",
-    "image_pixel_stats", "audio_wav_stats", "structured_records",
+    "dedup_clusters", "cosine_topk", "line_dedup", "url_normalize",
+    "tfidf_top_terms", "unigram_logppl", "host_stats_salted",
+    "chunk_token_budget", "embedding_near_dup", "lsh_topk", "ivf_topk",
 ]
 _EXTRA_ORDER = [
-    # driver-green in r1+r2; demoted to make driver room for the new
-    # quality gates (J3 keeps cosine_topk/ivf_topk/lsh_topk driver rows)
-    # and (round 3, late) the link-graph / span-dedup / classifier ops
-    # (J2 keeps bbox_remove_nested; C10 keeps lang_id_trigram; W2 keeps
-    # cosine_topk)
+    # driver-green in earlier rounds; demoted so never-driver-checked
+    # ops could earn their first CORRECTNESS rows. r1/r2 green:
     "cosine_topk_filtered", "l2_topk",
     "bbox_enclosing", "span_merge", "events_topk", "lang_id_heuristic",
     "simhash", "hash_split", "text_normalize", "column_mapping",
     "route_sentinels", "lang_set_ops", "stratified_sample",
     "doc_length_histogram", "media_kind_sniff",
+    # r1-r3 driver-green, demoted round 4 (long-stable trivial/format
+    # rows; the extraction family keeps extract_corpus as its witness)
+    "extract_kind_stats", "lang_stats", "keyword_sections",
+    "first_seen_dedup", "pii_redaction", "cap_per_host",
+    "length_quantiles", "bbox_remove_nested", "tpch_q1_pricing",
+    "segment_revenue", "events_cube",
+    "pptx_elements", "pptx_keyword_sections", "docx_elements",
+    "docx_token_chunks", "picture_class_filter", "media_dimensions",
+    "image_pixel_stats", "audio_wav_stats", "structured_records",
     # rows-only here (BPE merges are not SQL-expressible); the real
     # oracle is the Spark-free tokenizer itself, asserted per-document
     # in tests/test_operators.py::test_bpe_token_stats_matches_pure_oracle
     "bpe_token_count", "chunk_token_budget_bpe",
-    # new post-cap ops: full DuckDB oracles, pytest-gated
-    "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
-    "robots_gate", "anchor_text_terms", "decontaminate",
-    "host_boilerplate", "crawl_delta", "bm25_scores", "inverted_index",
-    "domain_mixture_sample", "kmeans_clusters", "semantic_dedup",
-    "dsir_weights", "cms_term_counts", "ccnet_ppl_buckets",
-    "pack_offsets", "pack_greedy", "domain_split", "mojibake_repair",
-    "incremental_dedup_pairs", "snapshot_latest", "corpus_token_budget",
+    # post-cap ops with full DuckDB oracles, pytest-gated (the 20
+    # highest-value of the original 44 were promoted above in round 4)
+    "anchor_text_terms", "inverted_index",
+    "domain_mixture_sample", "ccnet_ppl_buckets",
+    "domain_split", "mojibake_repair",
+    "incremental_dedup_pairs", "corpus_token_budget",
     "recrawl_priority", "blocklist_gate", "url_quality_filter",
-    "fuzzy_keep_best", "surt_urlkey", "cdx_fetch_plan",
-    "frontier_candidates", "cdc_block_dedup", "minhash_calibration",
+    "fuzzy_keep_best", "cdc_block_dedup", "minhash_calibration",
     "retention_funnel", "quality_gate_agreement", "fetch_schedule",
-    "host_hits", "quantized_topk", "compression_profile",
+    "compression_profile",
     "host_reputation", "hll_calibration", "crawl_trap_score",
     "resolve_revisits", "lang_id_margin",
 ]
@@ -1032,8 +1045,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-checked in pytest only (driver slots are capped at 50);
-    every entry here has been driver-green in a previous round."""
+    """Oracle-checked in pytest only (driver slots are capped at 50).
+    Most entries were driver-green in a previous round before demotion;
+    the post-cap block at the end has only ever been pytest-verified
+    (same rows+schema+hash harness, tests/test_entry_oracle.py) — the
+    20 highest-value of those earned first driver rows in round 4."""
     q = _all_queries()
     return {k: q[k] for k in _EXTRA_ORDER}
 

@@ -164,8 +164,16 @@ class Catalog:
          .drop("__rows", "__n_files", "__salt")
          .write.mode("overwrite").partitionBy("part_id")
          .parquet(staged))
-        shutil.rmtree(self.extracted_path)
+        # Swap non-destructively: move the live dir ASIDE first, then
+        # promote staging, then drop the old copy — every crash point
+        # leaves a recoverable directory (live, or .compact-old +
+        # staging), unlike rmtree-then-rename which has a window where
+        # the table path simply doesn't exist.
+        old = self.extracted_path + ".compact-old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.extracted_path, old)
         os.replace(staged, self.extracted_path)
+        shutil.rmtree(old)
         return {"files_before": before,
                 "files_after": len(self.data_files()),
                 "rows": n_rows}

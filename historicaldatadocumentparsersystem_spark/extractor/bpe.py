@@ -11,7 +11,11 @@ no model download, no network.
 Spark-free on purpose: like ``extractor/``, this module IS the
 correctness oracle — the Arrow-batched Spark operator calls these same
 functions, making equality structural. Swapping in a production vocab
-(e.g. a real tokenizer.json merge list) only replaces ``MERGES``.
+is a data swap, not a code change: ``load_merges`` parses a
+tokenizer.json-style merge list (HF "a b" strings or [a, b] pairs) or
+merges.txt text, and ``BPETokenizer(merges)`` runs the identical
+greedy inference over it (the module-level functions are the
+committed-table instance).
 
 Pre-tokenization: lowercase words / digit runs / single punctuation
 (the same ``_BPE_RE`` class split used by the regex proxy in
@@ -86,19 +90,18 @@ _RANK: dict[tuple[str, str], int] = {p: i for i, p in enumerate(MERGES)}
 _PRETOK = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
 
 
-@lru_cache(maxsize=65536)
-def bpe_word(word: str) -> tuple[str, ...]:
+def _bpe_merge(word: str, rank: dict[tuple[str, str], int]
+               ) -> tuple[str, ...]:
     """Greedy BPE inference for one pre-token: start from characters +
     end-of-word marker, repeatedly merge the LOWEST-RANK adjacent pair
-    until no committed merge applies. lru_cache: real corpora repeat
-    words heavily (Zipf), so the per-word cost amortizes to a dict hit.
-    """
+    until no merge applies. Shared by the committed table and any
+    loaded production vocab — same algorithm, different rank dict."""
     symbols = list(word) + [_W]
     while len(symbols) > 1:
         best_rank = None
         best_i = -1
         for i in range(len(symbols) - 1):
-            r = _RANK.get((symbols[i], symbols[i + 1]))
+            r = rank.get((symbols[i], symbols[i + 1]))
             if r is not None and (best_rank is None or r < best_rank):
                 best_rank, best_i = r, i
         if best_rank is None:
@@ -106,6 +109,91 @@ def bpe_word(word: str) -> tuple[str, ...]:
         symbols[best_i:best_i + 2] = [symbols[best_i]
                                       + symbols[best_i + 1]]
     return tuple(symbols)
+
+
+@lru_cache(maxsize=65536)
+def bpe_word(word: str) -> tuple[str, ...]:
+    """Committed-table BPE for one pre-token. lru_cache: real corpora
+    repeat words heavily (Zipf), so per-word cost amortizes to a dict
+    hit."""
+    return _bpe_merge(word, _RANK)
+
+
+def load_merges(source) -> tuple[tuple[str, str], ...]:
+    """Parse a merge table from the formats production tokenizers ship:
+
+    - a parsed tokenizer.json dict (``{"model": {"merges": [...]}}``,
+      or any dict with a ``merges`` list at the top level or under
+      ``model``), entries either HF ``"left right"`` strings or
+      ``[left, right]`` pairs;
+    - a merges.txt-style string (one ``left right`` per line,
+      ``#``-comment/version headers skipped);
+    - an iterable of pairs / "left right" strings.
+
+    Rank = list position, as in every GPT-2-lineage tokenizer. This is
+    a VOCAB swap only — pre-tokenization stays this module's
+    lowercase word / digit-run / punct split (reference swaps the
+    whole HF tokenizer, doc_processor.py:89-137; byte-level
+    pre-tokenizers would need their own split rule).
+    """
+    if isinstance(source, dict):
+        model = source.get("model", source)
+        entries = model["merges"]
+    elif isinstance(source, str):
+        entries = [ln for ln in source.splitlines()
+                   if ln.strip() and not ln.startswith("#")]
+    else:
+        entries = list(source)
+    out: list[tuple[str, str]] = []
+    for e in entries:
+        if isinstance(e, str):
+            left, right = e.split(" ", 1)
+        else:
+            left, right = e[0], e[1]
+        out.append((left, right))
+    return tuple(out)
+
+
+class BPETokenizer:
+    """Greedy BPE over an arbitrary merge table (e.g. ``load_merges``
+    output). Instances are picklable (plain dict/tuple state), so a
+    production-vocab tokenizer ships to executors inside an Arrow UDF
+    closure; the per-instance word cache gives the same Zipf
+    amortization as the module-level lru_cache."""
+
+    def __init__(self, merges) -> None:
+        self.merges: tuple[tuple[str, str], ...] = tuple(
+            (a, b) for a, b in merges)
+        self._rank = {p: i for i, p in enumerate(self.merges)}
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def bpe_word(self, word: str) -> tuple[str, ...]:
+        got = self._cache.get(word)
+        if got is None:
+            got = self._cache[word] = _bpe_merge(word, self._rank)
+        return got
+
+    def word_cost(self, word: str) -> int:
+        return len(self.bpe_word(word)) if word else 0
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        for word in _PRETOK.findall(text.lower()):
+            out.extend(self.bpe_word(word))
+        return out
+
+    def token_count(self, text: str) -> int:
+        n = 0
+        for word in _PRETOK.findall(text.lower()):
+            n += len(self.bpe_word(word))
+        return n
+
+    def __getstate__(self):
+        # ship the table, not the cache (rebuilt warm on the executor)
+        return {"merges": self.merges}
+
+    def __setstate__(self, state):
+        self.__init__(state["merges"])
 
 
 def tokenize(text: str) -> list[str]:

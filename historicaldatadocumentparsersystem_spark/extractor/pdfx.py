@@ -1,10 +1,12 @@
 """pdfminer-style layout pass for a controlled PDF subset (pure Python).
 
 The environment ships no pdfminer.six (SURVEY.md §7.0), so this targets
-exactly the subset our fixture generator synthesizes: uncompressed
-content streams with ``BT/ET`` text objects, ``Tj``/``TJ`` show-text and
-``Td/TD/T*`` positioning. One content stream == one page; one string
-literal == one output line (the fixtures emit one ``Tj`` per line).
+the subset our fixture generator synthesizes: content streams with
+``BT/ET`` text objects, ``Tj``/``TJ`` show-text and ``Td/TD/T*``
+positioning — stored either raw or ``/Filter /FlateDecode`` zlib-
+compressed (the near-universal real-world encoding; zlib is stdlib).
+One content stream == one page; one string literal == one output line
+(the fixtures emit one ``Tj`` per line).
 
 This generalizes the reference's PDF sources S2/S3
 (``docling_chunker.py:38-58``, ``unstructured_chunker.py:124-133``):
@@ -12,19 +14,29 @@ parse a binary document into ordered layout elements with page
 provenance, reassemble reading-order text with "\\n"
 (``base_parser.py:42``).
 
+Stream framing: each ``<< ... >> stream`` header is located by a flat
+(non-nested) dict scan; ``/Length`` slices the body exactly when
+present, else the body runs to the next ``endstream``. A dict that
+nests another dict (``/DecodeParms << ... >>``) or a Flate body that
+fails to inflate skips that stream — degrade, never raise (F5 gate).
+
 Offsets: the payload is decoded latin-1 (1 byte == 1 char), so each
 span's ``(start, end)`` indexes the interior of the string literal in
 the decoded payload; when the literal contains no escapes the verbatim
 invariant ``text == src[start:end]`` holds (our fixtures guarantee it;
 escaped literals are still decoded correctly, their spans simply cover
-the raw escaped form).
+the raw escaped form). For Flate streams no payload position exists:
+spans index the INFLATED content stream instead (page-local), same
+structural shape either way.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+_STREAM_HDR_RE = re.compile(rb"<<(?P<dict>[^<]*)>>\s*stream\r?\n")
+_LEN_RE = re.compile(rb"/Length\s+(\d+)")
 _TEXTOBJ_RE = re.compile(r"BT(.*?)ET", re.S)
 # string literal (no nested parens in our subset, escaped chars allowed)
 _LIT = r"\((?:[^()\\]|\\.)*\)"
@@ -66,24 +78,63 @@ def _unescape(raw: str) -> str:
     return "".join(out)
 
 
+def iter_content_streams(payload: bytes):
+    """Yield ``(body_start, body_bytes, flate)`` per content stream.
+
+    ``/Length`` slices the body exactly when present; otherwise the
+    body runs to the next ``endstream`` (trailing EOL stripped). Flate
+    bodies arrive INFLATED with ``flate=True``; a body that fails to
+    inflate is skipped (degrade, never raise). The header scan resumes
+    past each body, so compressed bytes can never be misread as a
+    stream header.
+    """
+    pos = 0
+    while True:
+        sm = _STREAM_HDR_RE.search(payload, pos)
+        if sm is None:
+            return
+        sdict = sm.group("dict")
+        body_start = sm.end()
+        mlen = _LEN_RE.search(sdict)
+        if mlen is not None:
+            body = payload[body_start:body_start + int(mlen.group(1))]
+        else:
+            end = payload.find(b"endstream", body_start)
+            if end < 0:
+                return
+            body = payload[body_start:end]
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n"):
+                body = body[:-1]
+        pos = body_start + len(body)
+        flate = b"/FlateDecode" in sdict
+        if flate:
+            try:
+                body = zlib.decompress(body)
+            except Exception:
+                continue  # corrupt stream: skip it, never raise
+        yield body_start, body, flate
+
+
 def extract_pdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]], float]:
     """(extracted_text, spans, score) for a PDF-subset payload.
 
-    spans index into the latin-1 decoded payload; kind = ``page<N>``.
+    spans index into the latin-1 decoded payload for raw streams, or
+    the inflated content stream (page-local) for Flate streams;
+    kind = ``page<N>``.
     """
     segments: list[tuple[int, int, str]] = []
     texts: list[str] = []
     page = 0
-    for sm in _STREAM_RE.finditer(payload):
-        body = sm.group(1)
-        try:
-            body_str = body.decode("latin-1")
-        except Exception:  # pragma: no cover - latin-1 cannot fail
-            continue
+    for body_start, body, flate in iter_content_streams(payload):
+        body_str = body.decode("latin-1")
         if "BT" not in body_str:
             continue
         page += 1
-        base = sm.start(1)  # char offset == byte offset under latin-1
+        # char offset == byte offset under latin-1; Flate spans are
+        # page-local (index the inflated stream, base 0)
+        base = 0 if flate else body_start
         kind = f"page{page}"
         for tm in _TEXTOBJ_RE.finditer(body_str):
             obj_off = tm.start(1)

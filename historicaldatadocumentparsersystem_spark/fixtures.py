@@ -8,7 +8,7 @@ Row classes by ``i % 100`` (fixed proportions):
   55-69  html-linky     (~15%) link-heavy menus around a real body
   70-79  html-malformed (~10%) unclosed tags, stray closers, bad entities,
                                latin-1 declared via <meta charset>
-  80-89  pdf            (~10%) synthesized minimal PDF (uncompressed
+  80-89  pdf            (~10%) synthesized minimal PDF (raw or Flate
                                streams, BT/ET, Tj, Td; 1-3 pages)
   90-99  empty/garbage  (~10%) empty / truncated / random bytes ->
                                doc_kind='empty', falls back to ``text``
@@ -113,9 +113,12 @@ def _html_malformed(rng: random.Random, i: int, scale: int = 1) -> bytes:
     return page.encode("latin-1")
 
 
-def _make_pdf(pages: list[list[str]]) -> bytes:
-    """Minimal valid-enough PDF: catalog/pages/page objs + uncompressed
-    content streams (the controlled subset extractor/pdfx.py targets)."""
+def _make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+    """Minimal valid-enough PDF: catalog/pages/page objs + content
+    streams, raw or (``compress``) /FlateDecode zlib-compressed — the
+    near-universal real-world encoding (the controlled subset
+    extractor/pdfx.py targets)."""
+    import zlib
     objs: list[bytes] = []
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
@@ -133,8 +136,14 @@ def _make_pdf(pages: list[list[str]]) -> bytes:
         ops.append("ET")
         stream = " ".join(ops).encode("latin-1")
         objs.append(page_obj)
-        objs.append(b"<< /Length " + str(len(stream)).encode()
-                    + b" >>\nstream\n" + stream + b"\nendstream")
+        if compress:
+            stream = zlib.compress(stream, 6)
+            objs.append(b"<< /Length " + str(len(stream)).encode()
+                        + b" /Filter /FlateDecode >>\nstream\n"
+                        + stream + b"\nendstream")
+        else:
+            objs.append(b"<< /Length " + str(len(stream)).encode()
+                        + b" >>\nstream\n" + stream + b"\nendstream")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for idx, body in enumerate(objs, start=1):
@@ -154,7 +163,9 @@ def _pdf_payload(rng: random.Random, i: int, scale: int = 1) -> bytes:
     pages = [[_sentence(rng, 4, 9)
               for _ in range(rng.randint(3, 7) * scale)]
              for _ in range(n_pages)]
-    return _make_pdf(pages)
+    # half the pdf rows are Flate-compressed (round 4) — decided from
+    # the row index, not the rng, so text content draws are unchanged
+    return _make_pdf(pages, compress=(i % 2 == 1))
 
 
 def _garbage(rng: random.Random, i: int) -> bytes:

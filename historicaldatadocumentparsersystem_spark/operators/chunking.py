@@ -42,6 +42,13 @@ def _word_cost_bpe(word: str) -> int:
 
 
 _COUNTERS = {"words": _word_cost_ws, "bpe": _word_cost_bpe}
+
+
+def _resolve_counter(counter):
+    """``counter`` is a registry key ("words"/"bpe") or any callable
+    word -> int — e.g. ``BPETokenizer(load_merges(...)).word_cost`` for
+    a production vocab (the tokenizer pickles into the UDF closure)."""
+    return _COUNTERS[counter] if isinstance(counter, str) else counter
 # The BPE pre-tokenizer splits on whitespace first, so a text's token
 # count is EXACTLY the sum of its whitespace-words' counts — additivity
 # is what lets the fold accumulate per-word costs instead of
@@ -75,7 +82,7 @@ def _window_split(words: list[str], max_tokens: int, overlap: int,
 
 
 def chunk_elements(elements: list[tuple[int, int, str]], max_tokens: int,
-                   overlap: int, counter: str = "words"
+                   overlap: int, counter="words"
                    ) -> list[tuple[int, int, str, int]]:
     """Pure-Python oracle: [(page, pos, text)] sorted by (page, pos) ->
     [(chunk_id, page, text, n_tokens)]. Budget resets at chunk close;
@@ -86,7 +93,7 @@ def chunk_elements(elements: list[tuple[int, int, str]], max_tokens: int,
     tokenizer-exact committed-vocab BPE tokens (extractor/bpe.py) —
     the reference's real semantics (HF token budgets).
     """
-    cost = _COUNTERS[counter]
+    cost = _resolve_counter(counter)
     chunks: list[tuple[int, int, str, int]] = []
     cur: list[str] = []
     cur_tokens = 0
@@ -136,7 +143,7 @@ def _rows_df(url: str, rows: list) -> pd.DataFrame:
 
 def chunk_by_token_budget(df: DataFrame, max_tokens: int = 64,
                           overlap: int = 16,
-                          counter: str = "words") -> DataFrame:
+                          counter="words") -> DataFrame:
     """A4 over (url, page, pos, text) rows.
 
     Plan: ONE shuffle (repartition by url) + sortWithinPartitions(url,

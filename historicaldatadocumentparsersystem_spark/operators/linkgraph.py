@@ -96,17 +96,22 @@ def pagerank_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Fixed-point integer PageRank over (src_host, dst_host) edges.
 
     rank_0 = SCALE div n  per host;  each iteration:
-        contrib(e)   = rank(src) div out_deg(src)         (int64)
+        contrib(e)   = rank(src) div out_deg(src)           (int64)
+        dangling     = sum of rank over hosts w/o outlinks  (1 row)
         rank'(host)  = (SCALE * (100-d)) div (100 * n)
-                     + (d * sum incoming contrib) div 100  (int64)
+                     + (d * (sum incoming contrib
+                             + dangling div n)) div 100     (int64)
     Truncating division on non-negative int64 is identical in Spark
     (``div``) and DuckDB (``//``), so the whole computation is
     bit-exact across engines — the property the correctness gate
     needs; production would run the same joins on doubles. Dangling
-    hosts (no outlinks) leak their mass each round, the standard
-    simplification — ranks still order hosts by link authority.
+    hosts (no outlinks) redistribute their mass uniformly each round
+    (the standard correction) instead of leaking it, so total rank
+    stays SCALE up to integer-truncation dust; the dangling sum is a
+    1-row aggregate broadcast into the update — no extra shuffle of
+    the rank table.
 
-    Returns (host, rank_micro) with sum(rank) <= SCALE.
+    Returns (host, rank_micro) with sum(rank) == SCALE - O(truncation).
     """
     # the three iteration-invariant tables are re-read every round;
     # persist them so each iteration recomputes neither the distinct
@@ -125,7 +130,16 @@ def pagerank_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
              .select("host", "__n_hosts",
                      F.expr(f"{PAGERANK_SCALE}::long div __n_hosts")
                      .alias("rank_micro")))
-    for _ in range(iters):
+    for it in range(iters):
+        # localCheckpoint each iteration's rank table: the dangling
+        # aggregate and the contribution join BOTH read it, and the
+        # lazy chain nests the full previous-iteration DAG per
+        # consumer — plan SIZE (not just compute) grows exponentially
+        # in iters. persist() is not enough: it caches blocks but
+        # keeps the logical plan, and plan-tree stringification alone
+        # OOMs the driver at sf0.1. Checkpoint truncates lineage to a
+        # scan of the materialized |hosts|-row table.
+        ranks = ranks.localCheckpoint()
         contrib = (e.join(ranks.withColumnRenamed("host", "src_host"),
                           "src_host")
                    .join(out_deg, "src_host")
@@ -134,12 +148,18 @@ def pagerank_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
                            .alias("contrib")))
         incoming = contrib.groupBy("host").agg(
             F.sum("contrib").cast("long").alias("in_sum"))
+        dang = (ranks.join(out_deg.withColumnRenamed("src_host", "host"),
+                           "host", "left_anti")
+                .agg(F.coalesce(F.sum("rank_micro"), F.lit(0))
+                     .cast("long").alias("__dang")))
         ranks = (hosts.crossJoin(F.broadcast(n1))
+                 .crossJoin(F.broadcast(dang))
                  .join(incoming, "host", "left")
                  .select("host", "__n_hosts",
                          (base + F.expr(
-                             f"({DAMPING_PCT} * coalesce(in_sum, 0::long))"
-                             f" div 100")).alias("rank_micro")))
+                             f"({DAMPING_PCT} * (coalesce(in_sum, 0::long)"
+                             f" + __dang div __n_hosts)) div 100"))
+                         .alias("rank_micro")))
     return ranks.select("host", F.col("rank_micro").cast("long")
                         .alias("rank_micro"))
 
@@ -221,15 +241,31 @@ def hits_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
                     .otherwise(F.lit(0)).cast("long").alias(out_col)))
 
     for _ in range(iters):
+        # ONE localCheckpoint per iteration, on the cross-iteration
+        # carrier (hub): left fully lazy, every consumer re-nests the
+        # entire previous DAG and the PLAN TREE blows up
+        # combinatorially in iters (measured 89 s at sf0.1 for 3
+        # iterations — the 1-row totals were re-running the whole
+        # chain, and plan stringification alone OOMed the driver).
+        # persist() alone does not help (it caches blocks but keeps
+        # the nested logical plan); checkpoint truncates lineage to a
+        # scan of the materialized |hosts|-row table. The in-iteration
+        # tables stay lazily persisted — their plans are bounded
+        # (≤4 levels above the checkpointed carrier) and the persist
+        # makes each total's broadcast job and the main join compute
+        # them once, not twice. One eager job per iteration keeps the
+        # fixed scheduling overhead at the PageRank level.
         a_raw = (e.join(hub.withColumnRenamed("host", "src_host"),
                         "src_host")
                  .groupBy(F.col("dst_host").alias("host"))
-                 .agg(F.sum("hub_micro").cast("long").alias("a_raw")))
-        auth = _normalize(a_raw, "a_raw", "auth_micro")
+                 .agg(F.sum("hub_micro").cast("long").alias("a_raw"))
+                 .persist())
+        auth = _normalize(a_raw, "a_raw", "auth_micro").persist()
         h_raw = (e.join(auth.withColumnRenamed("host", "dst_host"),
                         "dst_host")
                  .groupBy(F.col("src_host").alias("host"))
-                 .agg(F.sum("auth_micro").cast("long").alias("h_raw")))
-        hub = _normalize(h_raw, "h_raw", "hub_micro")
+                 .agg(F.sum("auth_micro").cast("long").alias("h_raw"))
+                 .persist())
+        hub = _normalize(h_raw, "h_raw", "hub_micro").localCheckpoint()
     return hub.join(auth, "host").select(
         "host", "hub_micro", "auth_micro")

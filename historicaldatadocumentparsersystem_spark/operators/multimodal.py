@@ -87,17 +87,25 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
     - JPEG: scan segment markers for a SOFn frame header (C0-CF except
       C4/C8/CC), height/width big-endian u16 at +5/+7
 
-    Returns None when the payload is not one of these containers or is
-    truncated before its header fields.
+    Returns None when the payload is not one of these containers, is
+    truncated before its header fields, or declares absurd dimensions
+    (zero, or past the PNG spec's 2^31-1 bound — corrupt headers on
+    real crawls routinely decode as multi-gigapixel garbage, which must
+    yield null metadata, not overflow the Int32 Arrow column).
     """
     import struct
+
+    def ok(w: int, h: int):
+        return (w, h) if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF \
+            else None
+
     try:
         if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
             w, h = struct.unpack(">II", payload[16:24])
-            return (w, h)
+            return ok(w, h)
         if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
             w, h = struct.unpack("<HH", payload[6:10])
-            return (w, h)
+            return ok(w, h)
         if payload.startswith(b"\xff\xd8"):
             i = 2
             while i + 9 <= len(payload):
@@ -112,7 +120,7 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
                 if (0xC0 <= marker <= 0xCF
                         and marker not in (0xC4, 0xC8, 0xCC)):
                     h, w = struct.unpack(">HH", payload[i + 5:i + 9])
-                    return (w, h)
+                    return ok(w, h)
                 i += 2 + seg_len
     except (struct.error, IndexError):
         return None

@@ -153,15 +153,22 @@ def lineage_from_extracted(extracted: DataFrame, run_id: str,
     (``pg_vector_db.py:364-409``) with the status enum of
     ``utils/document.py:29-35``; status 'ContentExtracted' marks a
     bucket done for resume.
+
+    A bucket with zero rows in the given frame gets NO lineage row and
+    so stays not-done: an empty bucket in this run's input is
+    indistinguishable from a partial input (a killed job resumed with
+    a fuller snapshot must still process it), so it is retried — a
+    cheap no-op when genuinely empty — rather than marked done.
     """
-    return (extracted
-            .groupBy(F.col("part_id").alias("partition_id"))
-            .agg(F.count("*").alias("input_rows"),
-                 F.count("*").alias("output_rows"),
-                 F.sum("failed").cast("long").alias("failed_rows"),
-                 F.sum("bytes_in").alias("bytes_in"),
-                 F.sum(F.length("extracted_text")).cast("long")
-                  .alias("chars_out"))
+    agg = (extracted
+           .groupBy(F.col("part_id").alias("partition_id"))
+           .agg(F.count("*").alias("input_rows"),
+                F.count("*").alias("output_rows"),
+                F.sum("failed").cast("long").alias("failed_rows"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum(F.length("extracted_text")).cast("long")
+                 .alias("chars_out")))
+    return (agg
             .select(F.lit(run_id).alias("run_id"),
                     F.lit(snapshot_id).alias("snapshot_id"),
                     "partition_id", "input_rows", "output_rows",
@@ -181,9 +188,15 @@ def run_extraction(spark: SparkSession, docs: DataFrame, out_dir: str,
        with dynamic partition overwrite (idempotent re-runs)
     3. append lineage rows marking those buckets done — aggregated from
        a PARTITION-PRUNED read of just this run's buckets (part_id IN
-       todo carries to the scan as a PartitionFilter); totals come from
-       the lineage rows. An incremental run never re-scans previously
-       extracted partitions.
+       todo carries to the scan as a PartitionFilter), FILTERED to this
+       run's run_id (each extracted row carries it): a todo bucket that
+       received zero rows this snapshot is not rewritten by dynamic
+       overwrite, so without the run filter a previous snapshot's
+       leftover rows in that partition would be counted into this
+       snapshot's lineage (and the bucket wrongly marked done with
+       foreign data). Totals come from the lineage rows.
+       An incremental run never re-scans previously extracted
+       partitions.
     """
     from .catalog import Catalog
     cat = Catalog(out_dir)
@@ -201,11 +214,13 @@ def run_extraction(spark: SparkSession, docs: DataFrame, out_dir: str,
         extracted = (todo
                      .repartition(num_buckets, F.xxhash64(F.col("url")))
                      .select(*_IN_COLS)
-                     .mapInPandas(extract_batch, EXTRACTED_SCHEMA))
+                     .mapInPandas(extract_batch, EXTRACTED_SCHEMA)
+                     .withColumn("run_id", F.lit(run_id)))
         cat.write_extracted(extracted)
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage = lineage_from_extracted(
-            cat.read_extracted_parts(spark, todo_parts),
+            cat.read_extracted_parts(spark, todo_parts)
+            .where(F.col("run_id") == run_id),
             run_id, snapshot_id, wall_ms)
         cat.append_lineage(lineage)
     else:

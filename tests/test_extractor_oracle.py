@@ -107,7 +107,16 @@ def test_span_invariants_all_rows(corpus):
         if res.doc_kind == "html":
             src = decode_payload(row["html"])
         elif res.doc_kind == "pdf":
-            src = row["html"].decode("latin-1")
+            # Flate pages have no payload frame: their spans index the
+            # INFLATED stream, so the bound is the longest decoded
+            # content stream rather than the raw payload
+            from historicaldatadocumentparsersystem_spark.extractor \
+                import pdfx
+            streams = list(pdfx.iter_content_streams(row["html"]))
+            if any(fl for _, _, fl in streams):
+                src = "x" * max(len(b) for _, b, _ in streams)
+            else:
+                src = row["html"].decode("latin-1")
         else:
             src = res.extracted_text if not row["text"] else row["text"]
         for s, e, kind in res.spans:
@@ -133,6 +142,60 @@ def test_pdf_escapes_decoded():
     pdf = _make_pdf([["parens (ok) and back\\slash"]])
     res = extract_document(pdf, None)
     assert res.extracted_text == "parens (ok) and back\\slash"
+
+
+def test_pdf_flate_streams_decoded():
+    """/FlateDecode content streams (the near-universal real-world
+    encoding) extract identically to their raw form; spans stay valid
+    against the INFLATED stream (verbatim literal invariant)."""
+    from historicaldatadocumentparsersystem_spark.extractor import pdfx
+    pages = [["hello compressed world", "line (two)"], ["page deux"]]
+    raw = extract_document(_make_pdf(pages, compress=False), None)
+    fl = extract_document(_make_pdf(pages, compress=True), None)
+    assert fl.doc_kind == "pdf"
+    assert fl.extracted_text == raw.extracted_text
+    assert fl.score == raw.score and fl.n_blocks == raw.n_blocks
+    assert [k for _, _, k in fl.spans] == [k for _, _, k in raw.spans]
+    # page-local span frame: literal interiors are verbatim in the
+    # inflated stream (modulo escape sequences, covered raw)
+    streams = [b.decode("latin-1") for _, b, f in
+               pdfx.iter_content_streams(_make_pdf(pages, compress=True))
+               if f]
+    assert len(streams) == 2
+    assert streams[0][fl.spans[0][0]:fl.spans[0][1]] \
+        == "hello compressed world"
+
+
+def test_pdf_corrupt_flate_stream_skipped():
+    """A Flate stream that fails to inflate is skipped; remaining
+    pages still extract (degrade, never raise — F5 gate)."""
+    good = _make_pdf([["page one ok"], ["page two ok"]], compress=True)
+    import re as _re
+    # corrupt the FIRST compressed stream body only
+    m = _re.search(rb"stream\r?\n", good)
+    start = m.end()
+    bad = good[:start] + b"\xff\xff\xff\xff" + good[start + 4:]
+    res = extract_document(bad, "fallback")
+    assert res.doc_kind == "pdf"
+    assert "page two ok" in res.extracted_text
+    assert "page one ok" not in res.extracted_text
+
+
+def test_pdf_mixed_raw_and_flate_corpus_rows():
+    """Fixture rows i%2==1 are Flate; both variants appear in the 300-
+    row corpus and both extract as doc_kind='pdf' with text."""
+    flate_seen = raw_seen = 0
+    for row in generate_rows(300):
+        if "/pdf/" not in row["url"]:
+            continue
+        res = extract_document(row["html"], row["text"])
+        assert res.doc_kind == "pdf"
+        assert res.extracted_text
+        if b"/FlateDecode" in row["html"]:
+            flate_seen += 1
+        else:
+            raw_seen += 1
+    assert flate_seen >= 10 and raw_seen >= 10
 
 
 def test_truncated_pdf_falls_back():

@@ -77,7 +77,9 @@ def _pure_pagerank(edges: set[tuple[str, str]], iters: int = 3):
         inc = {h: 0 for h in hosts}
         for s, t in edges:
             inc[t] += rank[s] // out[s]
-        rank = {h: (scale * (100 - d)) // (100 * n) + (d * inc[h]) // 100
+        dang = sum(rank[h] for h in hosts if out[h] == 0)
+        rank = {h: (scale * (100 - d)) // (100 * n)
+                + (d * (inc[h] + dang // n)) // 100
                 for h in hosts}
     return rank
 
@@ -92,6 +94,26 @@ def test_pagerank_matches_pure_python(spark):
     assert got == _pure_pagerank(edges, 3)
     # link authority ordering: c has 3 in-edges, d none
     assert got["c"] > got["a"] > got["d"]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Graph with sinks: e and f have no outlinks. Their rank must be
+    redistributed, not leaked — total rank stays SCALE up to integer-
+    truncation dust (bounded by iters * (|E| + 2n + n) micro-units),
+    and the Spark result still matches the pure-Python twin exactly."""
+    edges = {("a", "b"), ("b", "e"), ("a", "e"), ("b", "f"),
+             ("c", "a"), ("c", "f")}
+    df = spark.createDataFrame(sorted(edges),
+                               "src_host string, dst_host string")
+    got = {r["host"]: r["rank_micro"]
+           for r in linkgraph.pagerank_hosts(df, iters=3).collect()}
+    assert got == _pure_pagerank(edges, 3)
+    n, n_e, iters = 6, len(edges), 3
+    dust = (iters + 1) * (n_e + 3 * n + 200)
+    assert sum(got.values()) > linkgraph.PAGERANK_SCALE - dust
+    assert sum(got.values()) <= linkgraph.PAGERANK_SCALE
+    # sinks fed by two links outrank the one-in-edge host
+    assert got["e"] > got["b"] and got["f"] > got["b"]
 
 
 def test_host_edges_from_real_extraction(spark):

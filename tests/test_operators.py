@@ -645,6 +645,68 @@ def test_bpe_token_stats_matches_pure_oracle(spark):
     assert bpe.token_count(gib) / len(gib.split()) > 3.0
 
 
+def test_bpe_loader_roundtrip_and_identity():
+    """load_merges parses all three production formats; a BPETokenizer
+    over the committed table is byte-identical to the module-level
+    functions on fixture text (budgets unchanged by the refactor)."""
+    from historicaldatadocumentparsersystem_spark.extractor import bpe
+    from historicaldatadocumentparsersystem_spark.fixtures import (
+        generate_rows)
+    tok_json = {"model": {"type": "BPE",
+                          "merges": [f"{a} {b}" for a, b in bpe.MERGES]}}
+    pair_json = {"merges": [[a, b] for a, b in bpe.MERGES]}
+    merges_txt = "#version: 0.2\n" + "\n".join(
+        f"{a} {b}" for a, b in bpe.MERGES)
+    for src in (tok_json, pair_json, merges_txt):
+        assert bpe.load_merges(src) == bpe.MERGES
+    tok = bpe.BPETokenizer(bpe.load_merges(tok_json))
+    for row in generate_rows(30):
+        text = row["text"]
+        assert tok.tokenize(text) == bpe.tokenize(text)
+        assert tok.token_count(text) == bpe.token_count(text)
+
+
+def test_bpe_swapped_vocab_chunk_budgets(spark):
+    """Chunk budgets are tokenizer-exact under a LOADED production-style
+    vocab: the Spark fold with a swapped BPETokenizer equals the pure
+    oracle with the same tokenizer, and differs from the committed
+    table where the vocabs disagree."""
+    import pickle
+
+    from historicaldatadocumentparsersystem_spark.extractor import bpe
+    from historicaldatadocumentparsersystem_spark.operators import chunking
+
+    # a deliberately tiny vocab: only 'th'+'e' merges — every other
+    # word stays near character count, so budgets shift vs committed
+    swapped = bpe.BPETokenizer(bpe.load_merges(
+        {"model": {"merges": ["t h", "th e", "the </w>"]}}))
+    assert pickle.loads(pickle.dumps(swapped)).merges == swapped.merges
+
+    rows = [("u1", 1, p, f"the spark engine chunk number {p} extends")
+            for p in range(6)] + \
+           [("u2", 1, 0, "the " * 40)]  # oversize element under swap
+    df = spark.createDataFrame(rows, "url string, page int, pos int, "
+                                     "text string")
+    got = sorted(
+        (r.url, r.chunk_id, r.page, r.text, r.n_tokens)
+        for r in chunking.chunk_by_token_budget(
+            df, max_tokens=24, overlap=4,
+            counter=swapped.word_cost).collect())
+    want = []
+    for url in ("u1", "u2"):
+        els = [(p, pos, t) for u, p, pos, t in rows if u == url]
+        for cid, page, text, n in chunking.chunk_elements(
+                els, 24, 4, counter=swapped.word_cost):
+            want.append((url, cid, page, text, n))
+    assert got == sorted(want)
+    # swapped budgets actually differ from the committed table's
+    committed = sorted(
+        (r.url, r.chunk_id, r.page, r.text, r.n_tokens)
+        for r in chunking.chunk_by_token_budget(
+            df, max_tokens=24, overlap=4, counter="bpe").collect())
+    assert got != committed
+
+
 def test_lang_id_trigram_mixed_languages(spark):
     """Accuracy pin on mixed-language fixtures: the trigram profiles
     must separate the four languages and surface the no-evidence case,

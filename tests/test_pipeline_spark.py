@@ -72,6 +72,37 @@ def test_run_extraction_and_lineage(spark, docs_df, tmp_path):
         .select("part_id").distinct().collect())
 
 
+def test_new_snapshot_never_counts_foreign_rows(spark, docs_df, tmp_path):
+    """A later snapshot whose input leaves some buckets empty must not
+    credit those buckets with the PREVIOUS snapshot's rows (dynamic
+    overwrite leaves untouched partitions on disk; the lineage
+    read-back is filtered to this run's run_id)."""
+    from pyspark.sql import functions as F
+    from historicaldatadocumentparsersystem_spark.catalog import Catalog
+
+    out = str(tmp_path / "cat")
+    pipeline.run_extraction(spark, docs_df, out, run_id="r1",
+                            snapshot_id="s1", num_buckets=8)
+    half = docs_df.transform(lambda d: pipeline.with_part_id(d, 8)) \
+                  .where(F.col("part_id") < 4).drop("part_id")
+    n_half = half.count()
+    stats = pipeline.run_extraction(spark, half, out, run_id="r2",
+                                    snapshot_id="s2", num_buckets=8)
+    cat = Catalog(out)
+    # s2 lineage counts exactly the s2 input — zero foreign rows
+    assert stats["rows_written"] == n_half
+    assert cat.snapshot_output_rows(spark, "s2") == n_half
+    lin = cat.read_lineage(spark)
+    s2 = lin.where(lin.snapshot_id == "s2")
+    assert s2.agg(F.sum("input_rows")).first()[0] == n_half
+    # buckets with no s2 input stay NOT done for s2 (retryable),
+    # even though s1 rows still occupy those partitions on disk
+    assert cat.done_partitions(spark, "s2") <= {0, 1, 2, 3}
+    assert cat.done_partitions(spark, "s1") == set(range(8)) & set(
+        r.part_id for r in cat.read_extracted(spark)
+        .select("part_id").distinct().collect())
+
+
 def test_exact_resume(spark, docs_df, tmp_path):
     """Pre-populate lineage with half the buckets done; run; assert only
     the other half processed and final contents == a clean full run

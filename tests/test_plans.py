@@ -16,6 +16,14 @@ from historicaldatadocumentparsersystem_spark.plans import (
 SF = "/root/testdata/sf0.001"
 
 
+def _q(name):
+    """Query callable by name from the driver+extras union — plan pins
+    must survive driver-window rotations (which list a query is in is
+    a verification-budget decision, not a plan property)."""
+    import __spark_entry__ as entrymod
+    return {**entrymod.queries(), **entrymod.extra_queries()}[name]
+
+
 @pytest.fixture(scope="module")
 def docs_parquet(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("plans") / "docs")
@@ -54,13 +62,13 @@ def test_filter_pushdown_reaches_scan(spark, docs_parquet):
 
 def test_segment_revenue_broadcasts_dimension(spark):
     import __spark_entry__ as entrymod
-    df = entrymod.queries()["segment_revenue"](spark, SF)
+    df = _q("segment_revenue")(spark, SF)
     assert has_broadcast_join(df), physical_plan(df)
 
 
 def test_topk_is_single_shuffle(spark):
     import __spark_entry__ as entrymod
-    df = entrymod.extra_queries()["events_topk"](spark, SF)
+    df = _q("events_topk")(spark, SF)
     # one hash-partition exchange for the window, nothing else
     assert count_exchanges(df) == 1, physical_plan(df)
 
@@ -74,9 +82,9 @@ def test_ann_broadcasts_query_side(spark):
     LSH costume."""
     import __spark_entry__ as entrymod
     for name in ("cosine_topk", "lsh_topk"):
-        df = entrymod.queries()[name](spark, SF)
+        df = _q(name)(spark, SF)
         assert has_broadcast_join(df), f"{name}: {physical_plan(df)}"
-    plan = physical_plan(entrymod.queries()["lsh_topk"](spark, SF))
+    plan = physical_plan(_q("lsh_topk")(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
@@ -86,7 +94,7 @@ def test_embedding_near_dup_has_no_cartesian(spark):
     (table, signature) buckets — the O(n^2) all-pairs form would show
     up as a cartesian / nested-loop with only the id range condition."""
     import __spark_entry__ as entrymod
-    df = entrymod.queries()["embedding_near_dup"](spark, SF)
+    df = _q("embedding_near_dup")(spark, SF)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -158,9 +166,9 @@ def test_chunking_single_exchange(spark):
     the sorted mapInPandas fold — no hidden second shuffle."""
     import __spark_entry__ as entrymod
     for name in ("chunk_token_budget",):
-        df = entrymod.queries()[name](spark, SF)
+        df = _q(name)(spark, SF)
         assert count_exchanges(df) == 1, f"{name}: {physical_plan(df)}"
-    df = entrymod.extra_queries()["chunk_token_budget_bpe"](spark, SF)
+    df = _q("chunk_token_budget_bpe")(spark, SF)
     assert count_exchanges(df) == 1, physical_plan(df)
 
 
@@ -169,7 +177,7 @@ def test_lang_id_trigram_broadcasts_profiles(spark):
     the exploded trigram stream — shuffling the corpus-sized trigram
     side for a dictionary join would be the 100 TB mistake."""
     import __spark_entry__ as entrymod
-    df = entrymod.queries()["lang_id_trigram"](spark, SF)
+    df = _q("lang_id_trigram")(spark, SF)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
 

@@ -266,3 +266,66 @@ def test_zip_prefixed_bytes_never_crash(tail):
     res = extract_document(b"PK\x03\x04" + tail, "fb")
     assert res.doc_kind in ("pptx", "docx", "empty")
     assert isinstance(res.extracted_text, str)
+
+
+# --- media batch ops: never-raise fuzz (round-4 regression guard for the
+# r3 malformed-payload fix — broad except -> null rows, never a crashed
+# Arrow task). The batch fns are called IN-PROCESS with pandas frames:
+# identical code path to mapInPandas, no Spark session needed.
+
+def _media_batch(payloads):
+    import pandas as pd
+    return [pd.DataFrame({
+        "media_id": [f"m{i}" for i in range(len(payloads))],
+        "payload": payloads})]
+
+
+_MAGICS = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff",
+           b"RIFF1234WAVE", b"FRMS"]
+
+
+@given(st.binary(max_size=400), st.sampled_from(_MAGICS))
+@settings(max_examples=80, deadline=None)
+def test_media_batch_ops_never_raise(tail, magic):
+    """image stats / resize / crop / audio / frame-sample / decode all
+    degrade to null rows (or skip) on arbitrary — including magic-
+    prefixed — garbage; output row counts obey each op's contract."""
+    from historicaldatadocumentparsersystem_spark.operators import multimodal
+
+    payloads = [magic + tail, None, b""]
+    batches = _media_batch(payloads)
+
+    out = list(multimodal._image_stats_batch(iter(batches)))
+    assert sum(len(o) for o in out) == len(payloads)
+
+    out = list(multimodal._resize_batch_fn(4, 3)(iter(batches)))
+    assert sum(len(o) for o in out) == len(payloads)
+
+    out = list(multimodal._crop_b64_batch_fn(0, 0, 2, 2)(iter(batches)))
+    assert sum(len(o) for o in out) == len(payloads)
+
+    out = list(multimodal._audio_stats_batch(iter(batches)))
+    assert sum(len(o) for o in out) == len(payloads)
+
+    # frame-sample SKIPS non-containers (1->N contract), never raises
+    out = list(multimodal._frame_sample_batch_fn(2)(iter(batches)))
+    assert all(len(o) >= 0 for o in out)
+
+    out = list(multimodal.decode_media_batch(iter(batches)))
+    assert sum(len(o) for o in out) == len(payloads)
+
+
+@given(st.binary(max_size=200), st.integers(0, 120))
+@settings(max_examples=60, deadline=None)
+def test_media_truncated_real_png_never_raises(tail, cut):
+    """A REAL encoded PNG truncated at any byte (then garbage-extended)
+    must yield null stats, not a crash — the exact malformed-payload
+    class the r3 ADVICE flagged."""
+    from historicaldatadocumentparsersystem_spark.extractor import imagex
+    from historicaldatadocumentparsersystem_spark.operators import multimodal
+    px = bytes(range(48))  # 4x4 RGB
+    png = imagex.encode_png(px, 4, 4, 3)
+    mangled = png[:min(cut, len(png))] + tail
+    out = list(multimodal._image_stats_batch(
+        _media_batch([mangled]).__iter__()))
+    assert sum(len(o) for o in out) == 1
