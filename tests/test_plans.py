@@ -224,6 +224,35 @@ def test_pagerank_iteration_joins_are_hash_joins(spark):
         assert m.group(2) in ("Cross", "Inner"), plan
 
 
+def test_iterative_plans_stay_bounded(spark):
+    """Iterative operators must localCheckpoint their cross-iteration
+    carrier: left lazy, every 1-row normalizer/aggregate re-nests the
+    FULL previous-iteration DAG and the logical plan grows
+    exponentially in iterations (host_hits measured 89 s at sf0.1 and
+    OOMed the driver on plan stringification alone — round 4). Pin:
+    the final physical plan's size must grow at most mildly with the
+    iteration count, and never past an absolute ceiling a sane plan
+    would not approach. persist() would NOT pass this test — it
+    caches blocks but keeps the nested plan."""
+    from historicaldatadocumentparsersystem_spark.operators import (
+        clustering, linkgraph)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src_host string, dst_host string")
+    for fn in (linkgraph.pagerank_hosts, linkgraph.hits_hosts):
+        small = len(physical_plan(fn(edges, iters=1)))
+        big = len(physical_plan(fn(edges, iters=4)))
+        # exponential nesting gives big/small in the thousands; the
+        # checkpointed form keeps the last iteration's constant shape
+        assert big < 3 * small + 10_000, (fn.__name__, small, big)
+        assert big < 100_000, (fn.__name__, big)
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    plan = physical_plan(clustering.semantic_dedup(emb, k=4, n_iter=2))
+    # the k x dim literal-centroid assignment must appear as the
+    # checkpointed scan, not be re-inlined per reference
+    assert len(plan) < 100_000, len(plan)
+
+
 def test_host_boilerplate_joins_are_keyed(spark):
     """Per-host template removal must stay equi-join shaped on
     (host, lh): composite-key frequency join + anti-join — a nested
