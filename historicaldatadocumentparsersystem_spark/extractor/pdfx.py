@@ -3,8 +3,15 @@
 The environment ships no pdfminer.six (SURVEY.md §7.0), so this targets
 the subset our fixture generator synthesizes: content streams with
 ``BT/ET`` text objects, ``Tj``/``TJ`` show-text and ``Td/TD/T*``
-positioning — stored either raw or ``/Filter /FlateDecode`` zlib-
-compressed (the near-universal real-world encoding; zlib is stdlib).
+positioning — stored raw or behind the standard stream filters:
+``/FlateDecode`` (zlib, the near-universal real-world encoding),
+``/LZWDecode`` (the pre-Flate legacy encoding, implemented from the
+PDF/TIFF spec with EarlyChange=1 — the width-bump rule matches
+pdfminer's decoder), ``/ASCIIHexDecode`` and ``/ASCII85Decode``
+(transport armors, stdlib binascii/base64), including filter CHAINS
+(``/Filter [/ASCII85Decode /FlateDecode]`` applies left-to-right). A
+stream with an unsupported filter or a corrupt body is skipped —
+degrade, never raise (F5 gate).
 One content stream == one page; one string literal == one output line
 (the fixtures emit one ``Tj`` per line).
 
@@ -17,26 +24,33 @@ provenance, reassemble reading-order text with "\\n"
 Stream framing: each ``<< ... >> stream`` header is located by a flat
 (non-nested) dict scan; ``/Length`` slices the body exactly when
 present, else the body runs to the next ``endstream``. A dict that
-nests another dict (``/DecodeParms << ... >>``) or a Flate body that
-fails to inflate skips that stream — degrade, never raise (F5 gate).
+nests another dict (``/DecodeParms << ... >>``), an unsupported
+filter, or a body that fails to decode skips that stream — degrade,
+never raise (F5 gate).
 
 Offsets: the payload is decoded latin-1 (1 byte == 1 char), so each
 span's ``(start, end)`` indexes the interior of the string literal in
 the decoded payload; when the literal contains no escapes the verbatim
 invariant ``text == src[start:end]`` holds (our fixtures guarantee it;
 escaped literals are still decoded correctly, their spans simply cover
-the raw escaped form). For Flate streams no payload position exists:
-spans index the INFLATED content stream instead (page-local), same
-structural shape either way.
+the raw escaped form). For filtered streams no payload position
+exists: spans index the DECODED content stream instead (page-local),
+same structural shape either way.
 """
 
 from __future__ import annotations
 
+import base64
+import binascii
 import re
 import zlib
 
 _STREAM_HDR_RE = re.compile(rb"<<(?P<dict>[^<]*)>>\s*stream\r?\n")
 _LEN_RE = re.compile(rb"/Length\s+(\d+)")
+# /Filter with a single name or an array of names (applied in order)
+_FILTER_RE = re.compile(
+    rb"/Filter\s*(?:\[(?P<arr>[^\]]*)\]|(?P<one>/[A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _TEXTOBJ_RE = re.compile(r"BT(.*?)ET", re.S)
 # string literal (no nested parens in our subset, escaped chars allowed)
 _LIT = r"\((?:[^()\\]|\\.)*\)"
@@ -78,15 +92,102 @@ def _unescape(raw: str) -> str:
     return "".join(out)
 
 
+def _asciihex_decode(body: bytes) -> bytes:
+    """/ASCIIHexDecode: hex digits (whitespace ignored) up to the ``>``
+    EOD marker; an odd trailing digit is padded with 0 (PDF 7.4.2)."""
+    s = body.split(b">")[0]
+    s = b"".join(s.split())
+    if len(s) % 2:
+        s += b"0"
+    return binascii.unhexlify(s)
+
+
+def _ascii85_decode(body: bytes) -> bytes:
+    """/ASCII85Decode: Adobe ascii85 up to the ``~>`` EOD marker
+    (``z`` zero-group shorthand supported via the stdlib adobe mode)."""
+    s = body.split(b"~>")[0]
+    s = b"".join(s.split())
+    if s.startswith(b"<~"):
+        s = s[2:]
+    return base64.a85decode(b"<~" + s + b"~>", adobe=True)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """/LZWDecode (PDF 7.4.4 == TIFF LZW), EarlyChange=1: variable
+    9->12-bit codes MSB-first, 256=clear-table, 257=EOD. The decoder
+    widens one entry EARLIER than the encoder assigns (next_code ==
+    2^w - 2) — the early-change convention, same rule as pdfminer's
+    LZWDecoder — and stops assigning at 4095, where a conforming
+    encoder emits a clear code instead."""
+    out = bytearray()
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = dict(base)
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                if next_code < 4095:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                if next_code < 4095:
+                    table[next_code] = entry
+                    next_code += 1
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if next_code >= (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_DECODERS = {
+    b"FlateDecode": zlib.decompress,
+    b"LZWDecode": _lzw_decode,
+    b"ASCIIHexDecode": _asciihex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+}
+
+
+def _stream_filters(sdict: bytes) -> list[bytes] | None:
+    """Filter-name chain from a stream dict, in application order.
+    ``[]`` = raw stream; ``None`` = has a filter we cannot decode."""
+    fm = _FILTER_RE.search(sdict)
+    if fm is None:
+        return []
+    names = (_NAME_RE.findall(fm.group("arr"))
+             if fm.group("arr") is not None
+             else [fm.group("one")[1:]])
+    return names if all(n in _DECODERS for n in names) else None
+
+
 def iter_content_streams(payload: bytes):
-    """Yield ``(body_start, body_bytes, flate)`` per content stream.
+    """Yield ``(body_start, body_bytes, filtered)`` per content stream.
 
     ``/Length`` slices the body exactly when present; otherwise the
-    body runs to the next ``endstream`` (trailing EOL stripped). Flate
-    bodies arrive INFLATED with ``flate=True``; a body that fails to
-    inflate is skipped (degrade, never raise). The header scan resumes
-    past each body, so compressed bytes can never be misread as a
-    stream header.
+    body runs to the next ``endstream`` (trailing EOL stripped).
+    Filtered bodies arrive DECODED (the ``/Filter`` chain applied
+    left-to-right) with ``filtered=True``; a stream with an unknown
+    filter or a body that fails to decode is skipped (degrade, never
+    raise). The header scan resumes past each body, so encoded bytes
+    can never be misread as a stream header.
     """
     pos = 0
     while True:
@@ -108,33 +209,35 @@ def iter_content_streams(payload: bytes):
             elif body.endswith(b"\n"):
                 body = body[:-1]
         pos = body_start + len(body)
-        flate = b"/FlateDecode" in sdict
-        if flate:
-            try:
-                body = zlib.decompress(body)
-            except Exception:
-                continue  # corrupt stream: skip it, never raise
-        yield body_start, body, flate
+        filters = _stream_filters(sdict)
+        if filters is None:
+            continue  # unsupported filter: skip the stream
+        try:
+            for name in filters:
+                body = _DECODERS[name](body)
+        except Exception:
+            continue  # corrupt stream: skip it, never raise
+        yield body_start, body, bool(filters)
 
 
 def extract_pdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]], float]:
     """(extracted_text, spans, score) for a PDF-subset payload.
 
     spans index into the latin-1 decoded payload for raw streams, or
-    the inflated content stream (page-local) for Flate streams;
+    the decoded content stream (page-local) for filtered streams;
     kind = ``page<N>``.
     """
     segments: list[tuple[int, int, str]] = []
     texts: list[str] = []
     page = 0
-    for body_start, body, flate in iter_content_streams(payload):
+    for body_start, body, filtered in iter_content_streams(payload):
         body_str = body.decode("latin-1")
         if "BT" not in body_str:
             continue
         page += 1
-        # char offset == byte offset under latin-1; Flate spans are
-        # page-local (index the inflated stream, base 0)
-        base = 0 if flate else body_start
+        # char offset == byte offset under latin-1; filtered spans are
+        # page-local (index the decoded stream, base 0)
+        base = 0 if filtered else body_start
         kind = f"page{page}"
         for tm in _TEXTOBJ_RE.finditer(body_str):
             obj_off = tm.start(1)

@@ -113,12 +113,82 @@ def _html_malformed(rng: random.Random, i: int, scale: int = 1) -> bytes:
     return page.encode("latin-1")
 
 
-def _make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
-    """Minimal valid-enough PDF: catalog/pages/page objs + content
-    streams, raw or (``compress``) /FlateDecode zlib-compressed — the
-    near-universal real-world encoding (the controlled subset
-    extractor/pdfx.py targets)."""
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF/TIFF LZW encoder (EarlyChange=1): the fixture-side inverse
+    of extractor/pdfx._lzw_decode — clear-table first, variable
+    9->12-bit MSB-first codes, width bump one entry early, clear
+    emitted instead of assigning code 4095. Verified against the PDF
+    spec's '-----A---B' -> 800B6050220C0C8501 vector."""
+    base = {bytes([i]): i for i in range(256)}
+    table = dict(base)
+    next_code, width = 258, 9
+    codes: list[tuple[int, int]] = [(256, width)]
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        codes.append((table[prev], width))
+        if next_code < 4095:
+            table[cur] = next_code
+            next_code += 1
+            if next_code >= (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            codes.append((256, width))
+            table = dict(base)
+            next_code, width = 258, 9
+        prev = bytes([b])
+    if prev:
+        codes.append((table[prev], width))
+    codes.append((257, width))
+    buf = n = 0
+    out = bytearray()
+    for code, w in codes:
+        buf = (buf << w) | code
+        n += w
+        while n >= 8:
+            out.append((buf >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((buf << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def _pdf_encode(stream: bytes, filters: list[str]) -> tuple[bytes, bytes]:
+    """Apply a PDF filter chain IN DECODE ORDER (encode right-to-left)
+    and return (encoded_bytes, /Filter dict fragment)."""
+    import base64
+    import binascii
     import zlib
+    for name in reversed(filters):
+        if name == "FlateDecode":
+            stream = zlib.compress(stream, 6)
+        elif name == "LZWDecode":
+            stream = _lzw_encode(stream)
+        elif name == "ASCIIHexDecode":
+            stream = binascii.hexlify(stream) + b">"
+        elif name == "ASCII85Decode":
+            stream = base64.a85encode(stream, adobe=True)[2:]  # strip <~
+        else:
+            raise ValueError(name)
+    if len(filters) == 1:
+        frag = f" /Filter /{filters[0]}".encode()
+    else:
+        frag = (" /Filter [" + " ".join(f"/{n}" for n in filters)
+                + "]").encode()
+    return stream, frag
+
+
+def _make_pdf(pages: list[list[str]], compress: bool = False,
+              filters: list[str] | None = None) -> bytes:
+    """Minimal valid-enough PDF: catalog/pages/page objs + content
+    streams — raw, ``compress`` (/FlateDecode, the near-universal
+    real-world encoding), or an explicit ``filters`` chain in decode
+    order (the controlled subset extractor/pdfx.py targets)."""
+    if filters is None and compress:
+        filters = ["FlateDecode"]
     objs: list[bytes] = []
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
@@ -136,10 +206,10 @@ def _make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
         ops.append("ET")
         stream = " ".join(ops).encode("latin-1")
         objs.append(page_obj)
-        if compress:
-            stream = zlib.compress(stream, 6)
+        if filters:
+            stream, frag = _pdf_encode(stream, filters)
             objs.append(b"<< /Length " + str(len(stream)).encode()
-                        + b" /Filter /FlateDecode >>\nstream\n"
+                        + frag + b" >>\nstream\n"
                         + stream + b"\nendstream")
         else:
             objs.append(b"<< /Length " + str(len(stream)).encode()
@@ -163,9 +233,16 @@ def _pdf_payload(rng: random.Random, i: int, scale: int = 1) -> bytes:
     pages = [[_sentence(rng, 4, 9)
               for _ in range(rng.randint(3, 7) * scale)]
              for _ in range(n_pages)]
-    # half the pdf rows are Flate-compressed (round 4) — decided from
-    # the row index, not the rng, so text content draws are unchanged
-    return _make_pdf(pages, compress=(i % 2 == 1))
+    # half the pdf rows are filtered (round 4) — decided from the row
+    # index, not the rng, so text content draws are unchanged. The
+    # filtered half cycles through the real-world encodings the
+    # extractor supports: Flate (dominant), legacy LZW, and an
+    # ASCII85+Flate transport chain.
+    mix = {1: ["FlateDecode"],
+           3: ["LZWDecode"],
+           5: ["ASCII85Decode", "FlateDecode"],
+           7: ["FlateDecode"]}
+    return _make_pdf(pages, filters=mix.get(i % 8))
 
 
 def _garbage(rng: random.Random, i: int) -> bytes:

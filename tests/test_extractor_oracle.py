@@ -182,20 +182,74 @@ def test_pdf_corrupt_flate_stream_skipped():
 
 
 def test_pdf_mixed_raw_and_flate_corpus_rows():
-    """Fixture rows i%2==1 are Flate; both variants appear in the 300-
-    row corpus and both extract as doc_kind='pdf' with text."""
-    flate_seen = raw_seen = 0
+    """Fixture pdf rows cycle raw / Flate / LZW / ASCII85+Flate; every
+    variant appears in the 300-row corpus and all extract as
+    doc_kind='pdf' with text."""
+    seen = {"raw": 0, "flate": 0, "lzw": 0, "a85": 0}
     for row in generate_rows(300):
         if "/pdf/" not in row["url"]:
             continue
         res = extract_document(row["html"], row["text"])
         assert res.doc_kind == "pdf"
         assert res.extracted_text
-        if b"/FlateDecode" in row["html"]:
-            flate_seen += 1
+        if b"/ASCII85Decode" in row["html"]:
+            seen["a85"] += 1
+        elif b"/LZWDecode" in row["html"]:
+            seen["lzw"] += 1
+        elif b"/FlateDecode" in row["html"]:
+            seen["flate"] += 1
         else:
-            raw_seen += 1
-    assert flate_seen >= 10 and raw_seen >= 10
+            seen["raw"] += 1
+    assert seen["raw"] >= 10 and seen["flate"] >= 5
+    assert seen["lzw"] >= 2 and seen["a85"] >= 2, seen
+
+
+def test_pdf_lzw_spec_vector():
+    """The from-scratch LZW codec reproduces the PDF spec's published
+    example (PDF 32000-1:2008 §7.4.4.2: '-----A---B' <->
+    800B6050220C0C8501, EarlyChange=1), pinning both the encoder the
+    fixtures use and the decoder the extractor uses against an
+    external reference — not just against each other."""
+    from historicaldatadocumentparsersystem_spark.extractor.pdfx import \
+        _lzw_decode
+    from historicaldatadocumentparsersystem_spark.fixtures import _lzw_encode
+    vec = bytes.fromhex("800B6050220C0C8501")
+    assert _lzw_encode(b"-----A---B") == vec
+    assert _lzw_decode(vec) == b"-----A---B"
+
+
+def test_pdf_lzw_roundtrip_width_growth():
+    """LZW roundtrip through all code widths (9->12 bits) and the
+    table-full clear: repetitive text grows the dictionary fast, random
+    bytes grow it past 4094 forcing the mid-stream clear code."""
+    import random as _random
+    from historicaldatadocumentparsersystem_spark.extractor.pdfx import \
+        _lzw_decode
+    from historicaldatadocumentparsersystem_spark.fixtures import _lzw_encode
+    rng = _random.Random(7)
+    rep = b"the quick brown fox jumps over the lazy dog " * 2000
+    assert _lzw_decode(_lzw_encode(rep)) == rep
+    rand = bytes(rng.randrange(256) for _ in range(50000))
+    assert _lzw_decode(_lzw_encode(rand)) == rand
+
+
+def test_pdf_filter_chains_extract_identically():
+    """Every supported filter and chain yields byte-identical text to
+    the raw form; an unsupported filter degrades to a skipped stream
+    (never a raised task)."""
+    pages = [["alpha beta gamma", "delta (five)"], ["page two"]]
+    ref = extract_document(_make_pdf(pages), None)
+    for filters in (["FlateDecode"], ["LZWDecode"], ["ASCIIHexDecode"],
+                    ["ASCII85Decode"], ["ASCII85Decode", "FlateDecode"],
+                    ["ASCIIHexDecode", "LZWDecode"]):
+        res = extract_document(_make_pdf(pages, filters=filters), None)
+        assert res.extracted_text == ref.extracted_text, filters
+        assert res.score == ref.score and res.n_blocks == ref.n_blocks
+    unsupported = _make_pdf(pages, filters=["FlateDecode"]).replace(
+        b"/FlateDecode", b"/JBIG2Decode")
+    res = extract_document(unsupported, "fallback")
+    # every stream skipped -> no pdf text -> the F5 fallback engages
+    assert res.extracted_text == "fallback"
 
 
 def test_truncated_pdf_falls_back():
