@@ -78,8 +78,11 @@ def make_spark(cpus: int):
 # identical job decaying 68.7 -> 9.7 s monotonically (~5 min to steady
 # state; host-side page-sharing/balloon effects, per-pass fault probes
 # healthy throughout), so early passes read far below capability and
-# the min needs enough passes to reach the plateau
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "8"))
+# the min needs enough passes to reach the plateau. Default 12 (was 8):
+# the round-4 quiet record's min landed on pass 12 of 12 — 8 passes
+# still understated the plateau by ~35% (bench_r4_quiet.json vs
+# bench_r4_quiet12.json: 7 883 vs 12 241 docs/s, both clean weather).
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "12"))
 
 
 def _corpus_parquet(spark, n_docs: int, cpus: int) -> str:
