@@ -54,12 +54,15 @@ _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _TEXTOBJ_RE = re.compile(r"BT(.*?)ET", re.S)
 # string literal (no nested parens in our subset, escaped chars allowed)
 _LIT = r"\((?:[^()\\]|\\.)*\)"
+# hex string <48656C6C6F> — the other PDF string form, ubiquitous in
+# real-world TJ arrays emitted by font subsetters
+_HEX = r"<[0-9A-Fa-f\s]*>"
 _SHOW_RE = re.compile(
-    rf"(?P<lit>{_LIT})\s*Tj"            # (text) Tj
-    rf"|\[(?P<arr>(?:{_LIT}|[-\d.\s])*)\]\s*TJ",  # [(a) -120 (b)] TJ
+    rf"(?P<lit>{_LIT}|{_HEX})\s*Tj"     # (text) Tj  /  <hex> Tj
+    rf"|\[(?P<arr>(?:{_LIT}|{_HEX}|[-\d.\s])*)\]\s*TJ",
     re.S,
 )
-_LIT_RE = re.compile(_LIT, re.S)
+_LIT_RE = re.compile(rf"{_LIT}|{_HEX}", re.S)
 
 _ESCAPES = {
     "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
@@ -251,9 +254,21 @@ def extract_pdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]], float]
                     interior = lit[1:-1]
                     if not interior:
                         continue
+                    if lit[0] == "<":
+                        # hex string: whitespace ignored, odd trailing
+                        # digit padded with 0 (PDF 7.3.4.3); the span
+                        # covers the raw hex form (like escaped
+                        # literals cover their escaped form)
+                        h = "".join(interior.split())
+                        if not h:
+                            continue
+                        decoded = bytes.fromhex(
+                            h + "0" if len(h) % 2 else h).decode("latin-1")
+                    else:
+                        decoded = _unescape(interior)
                     start = base + obj_off + rel + 1
                     segments.append((start, start + len(interior), kind))
-                    texts.append(_unescape(interior))
+                    texts.append(decoded)
     text = "\n".join(texts)
     score = float(page)
     return text, segments, score

@@ -204,6 +204,31 @@ def test_pdf_mixed_raw_and_flate_corpus_rows():
     assert seen["lzw"] >= 2 and seen["a85"] >= 2, seen
 
 
+def test_pdf_hex_show_strings():
+    """<hex> show strings (PDF 7.3.4.3 — the form font subsetters
+    emit) extract alongside literals, in order, inside Tj and TJ;
+    whitespace inside hex is ignored and an odd trailing digit pads
+    with 0. Spans cover the raw hex form (the escaped-literal rule)."""
+    from historicaldatadocumentparsersystem_spark.extractor.pdfx import \
+        extract_pdf
+    body = (b"BT /F1 12 Tf 72 720 Td <48656C6C6F2068657821> Tj 0 -14 Td "
+            b"[(mixed ) <776F726C64> -120 ( array)] TJ 0 -14 Td "
+            b"(plain) Tj ET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+    text, spans, score = extract_pdf(pdf)
+    assert text == "Hello hex!\nmixed \nworld\n array\nplain"
+    assert score == 1.0 and len(spans) == 5
+    src = pdf.decode("latin-1")
+    # span of the first hex token covers its raw hex interior
+    s, e, kind = spans[0]
+    assert src[s:e] == "48656C6C6F2068657821" and kind == "page1"
+    # odd-digit padding and interior whitespace
+    t2, _, _ = extract_pdf(pdf.replace(b"<48656C6C6F2068657821>",
+                                       b"<48 65 6C\n6C 6F2>"))
+    assert t2.startswith("Hello ")
+
+
 def test_pdf_lzw_spec_vector():
     """The from-scratch LZW codec reproduces the PDF spec's published
     example (PDF 32000-1:2008 §7.4.4.2: '-----A---B' <->
