@@ -1033,6 +1033,8 @@ _EXTRA_ORDER = [
     "compression_profile",
     "host_reputation", "hll_calibration", "crawl_trap_score",
     "resolve_revisits", "lang_id_margin",
+    # round-4 late additions
+    "image_resize_lanczos",
 ]
 
 
@@ -2093,6 +2095,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.image_pixel_stats(
             resized.select("media_id", "payload"))
     q["image_resize_stats"] = q_resize_stats
+
+    # --- C14 LANCZOS parity (the reference's actual PIL kernel,
+    # multimodal_RAG_methods.py:336-352): separable Lanczos-3 with
+    # fixed-point weights and a Taylor sin, bit-identical on any host;
+    # oracle VALUES pinned from the committed pure-Python kernel
+    def q_resize_lanczos(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.extractor import \
+            imagex
+        rows = [("i1", imagex.make_test_png(32, 20, 3, seed=1)),
+                ("i2", imagex.make_test_png(16, 16, 1, seed=2,
+                                            filter_type=4)),
+                ("i3", imagex.make_test_png(8, 10, 4, seed=3,
+                                            filter_type=2)),
+                ("i4", b"not an image")]
+        df = spark.createDataFrame(rows,
+                                   "media_id string, payload binary")
+        resized = multimodal.resize_media(df, 7, 5, kernel="lanczos")
+        return multimodal.image_pixel_stats(
+            resized.select("media_id", "payload"))
+    q["image_resize_lanczos"] = q_resize_lanczos
 
     # --- REAL WAV audio stats (stdlib wave reader) — SQL-checked
     # against pinned literals
@@ -3855,6 +3877,21 @@ def oracle_sql() -> dict[str, str]:
                '9c183a7e95c0bf419c9100f19017c5a6'),
               ('i3', 7, 5, 4, 45.0e0, 56.0e0, 67.0e0,
                '043b00035ad3a25e40652d04ecc41bb6'),
+              ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+            ) AS t(media_id, width, height, channels,
+                   mean_c0, mean_c1, mean_c2, px_md5)""",
+        # C14 Lanczos-3 resize: pinned from the pure-Python fixed-point
+        # kernel (negative lobes + per-pass clamping shift the gradient
+        # means ~0.03 off the box filter's exact preservation — the
+        # expected LANCZOS signature)
+        "image_resize_lanczos": """
+            SELECT * FROM (VALUES
+              ('i1', 7, 5, 3, 113.971429e0, 124.971429e0, 135.971429e0,
+               '66420cc347031324b3bf0a348042e875'),
+              ('i2', 7, 5, 1, 76.971429e0, NULL, NULL,
+               '33338f12f574333b9358407e2f02da5f'),
+              ('i3', 7, 5, 4, 44.971429e0, 55.971429e0, 66.971429e0,
+               'a1037852f0cc92422d75a446938d3bb3'),
               ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL)
             ) AS t(media_id, width, height, channels,
                    mean_c0, mean_c1, mean_c2, px_md5)""",

@@ -218,6 +218,118 @@ def resize_area(pixels: bytes, w: int, h: int, ch: int,
     return bytes(out)
 
 
+_PI = 3.141592653589793  # double literal — no libm constant lookup
+
+
+def _sin(x: float) -> float:
+    """Deterministic sin(x) for |x| <= ~10 (the Lanczos kernel's
+    argument range): range-reduce by exact multiples of pi into
+    [-pi/2, pi/2], then a Taylor series using only IEEE-754 +,-,*
+    (correctly rounded everywhere, unlike platform libm sin whose
+    last ulp varies) — bit-identical on any host."""
+    neg = x < 0.0
+    if neg:
+        x = -x
+    k = int(x / _PI + 0.5)           # nearest multiple of pi
+    x -= k * _PI                     # now in [-pi/2, pi/2]
+    if k % 2:
+        x = -x
+    x2 = x * x
+    # sin x = x * P, P nested Horner: P_n = 1 - x^2/((2n)(2n+1))*P_{n+1};
+    # through n=11 the truncation is below 1 ulp on [-pi/2, pi/2]
+    s = 1.0
+    for dd in (506.0, 420.0, 342.0, 272.0, 210.0, 156.0,
+               110.0, 72.0, 42.0, 20.0, 6.0):
+        s = 1.0 - x2 * s / dd
+    r = x * s
+    return -r if neg else r
+
+
+def _lanczos3(d: float) -> float:
+    """Lanczos a=3 kernel: sinc(d) * sinc(d/3) for |d| < 3, else 0."""
+    if d <= -3.0 or d >= 3.0:
+        return 0.0
+    if d == 0.0:
+        return 1.0
+    pd = _PI * d
+    return 3.0 * _sin(pd) * _sin(pd / 3.0) / (pd * pd)
+
+
+def _lanczos_weights(src: int, dst: int) -> list[tuple[int, list[int]]]:
+    """Per-destination-index (first_src_index, fixed-point weights):
+    the PIL convolution geometry — center (i+0.5)*scale, support
+    3*filterscale with filterscale = max(1, src/dst), window clipped
+    to the image and normalized over the clipped window — quantized
+    to 1/65536 integer weights that sum to exactly 65536 (largest
+    weight absorbs the rounding residue), so the convolution itself
+    is pure-integer and bit-identical."""
+    scale = src / dst
+    fscale = scale if scale > 1.0 else 1.0
+    support = 3.0 * fscale
+    out: list[tuple[int, list[int]]] = []
+    for i in range(dst):
+        center = (i + 0.5) * scale
+        lo = int(center - support + 0.5)
+        if lo < 0:
+            lo = 0
+        hi = int(center + support + 0.5)
+        if hi > src:
+            hi = src
+        ws = [_lanczos3((j + 0.5 - center) / fscale) for j in range(lo, hi)]
+        total = 0.0
+        for v in ws:
+            total += v
+        qs = [int((v / total) * 65536.0 + (0.5 if v >= 0 else -0.5))
+              for v in ws]
+        k = max(range(len(qs)), key=lambda t: qs[t])
+        qs[k] += 65536 - sum(qs)
+        out.append((lo, qs))
+    return out
+
+
+def resize_lanczos(pixels: bytes, w: int, h: int, ch: int,
+                   w2: int, h2: int) -> bytes:
+    """Deterministic separable Lanczos-3 resample — the C14 kernel in
+    the reference's own family (PIL LANCZOS at
+    ``multimodal_RAG_methods.py:336-352``): same convolution geometry
+    (center/support/window-clip, horizontal pass then vertical, each
+    clamped to 8 bits), but with the kernel evaluated by a
+    correctly-rounded Taylor sin and weights quantized to integer
+    1/65536 fixed point, so the output is bit-identical on any
+    platform — unlike libm-backed floats. Negative lobes (the
+    sharpening that distinguishes LANCZOS from a box filter) are kept
+    and the result clamped to [0, 255] per pass, as PIL does."""
+    # horizontal pass: (w, h) -> (w2, h), clamped uint8
+    mid = bytearray(w2 * h * ch)
+    for x2, (lo, qs) in enumerate(_lanczos_weights(w, w2)):
+        for y in range(h):
+            rowbase = y * w * ch
+            dst = (y * w2 + x2) * ch
+            for c in range(ch):
+                acc = 32768
+                p = rowbase + lo * ch + c
+                for q in qs:
+                    acc += q * pixels[p]
+                    p += ch
+                v = acc >> 16
+                mid[dst + c] = 0 if v < 0 else (255 if v > 255 else v)
+    # vertical pass: (w2, h) -> (w2, h2)
+    out = bytearray(w2 * h2 * ch)
+    for y2, (lo, qs) in enumerate(_lanczos_weights(h, h2)):
+        for x2 in range(w2):
+            dst = (y2 * w2 + x2) * ch
+            for c in range(ch):
+                acc = 32768
+                p = (lo * w2 + x2) * ch + c
+                step = w2 * ch
+                for q in qs:
+                    acc += q * mid[p]
+                    p += step
+                v = acc >> 16
+                out[dst + c] = 0 if v < 0 else (255 if v > 255 else v)
+    return bytes(out)
+
+
 def crop(pixels: bytes, w: int, h: int, ch: int,
          x0: int, y0: int, x1: int, y1: int) -> bytes:
     """Crop [x0,x1) x [y0,y1) (clamped) — the C8 pixel step."""

@@ -7,7 +7,8 @@ positioning — stored raw or behind the standard stream filters:
 ``/FlateDecode`` (zlib, the near-universal real-world encoding),
 ``/LZWDecode`` (the pre-Flate legacy encoding, implemented from the
 PDF/TIFF spec with EarlyChange=1 — the width-bump rule matches
-pdfminer's decoder), ``/ASCIIHexDecode`` and ``/ASCII85Decode``
+pdfminer's decoder), ``/RunLengthDecode`` (PackBits-style byte runs,
+PDF 7.4.5), ``/ASCIIHexDecode`` and ``/ASCII85Decode``
 (transport armors, stdlib binascii/base64), including filter CHAINS
 (``/Filter [/ASCII85Decode /FlateDecode]`` applies left-to-right). A
 stream with an unsupported filter or a corrupt body is skipped —
@@ -161,9 +162,34 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _runlength_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (PDF 7.4.5): a length byte L, then either
+    L+1 literal bytes (L <= 127) or one byte repeated 257-L times
+    (L >= 129); 128 is EOD. A truncated run is corrupt."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            return bytes(out)
+        if length <= 127:
+            j = i + 1 + length + 1
+            if j > n:
+                raise ValueError("truncated RunLength literal run")
+            out += data[i + 1:j]
+            i = j
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated RunLength repeat run")
+            out += bytes([data[i + 1]]) * (257 - length)
+            i += 2
+    return bytes(out)
+
+
 _DECODERS = {
     b"FlateDecode": zlib.decompress,
     b"LZWDecode": _lzw_decode,
+    b"RunLengthDecode": _runlength_decode,
     b"ASCIIHexDecode": _asciihex_decode,
     b"ASCII85Decode": _ascii85_decode,
 }

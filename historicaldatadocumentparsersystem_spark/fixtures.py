@@ -156,6 +156,38 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _runlength_encode(data: bytes) -> bytes:
+    """PDF 7.4.5 RunLength encoder (fixture-side inverse of
+    extractor/pdfx._runlength_decode): runs of >= 3 identical bytes
+    become (257-len, byte) repeats, everything else literal blocks of
+    up to 128 bytes, terminated by the 128 EOD byte."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(end, j + 128)
+            out.append(k - j - 1)
+            out.extend(data[j:k])
+            j = k
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    out.append(128)
+    return bytes(out)
+
+
 def _pdf_encode(stream: bytes, filters: list[str]) -> tuple[bytes, bytes]:
     """Apply a PDF filter chain IN DECODE ORDER (encode right-to-left)
     and return (encoded_bytes, /Filter dict fragment)."""
@@ -167,6 +199,8 @@ def _pdf_encode(stream: bytes, filters: list[str]) -> tuple[bytes, bytes]:
             stream = zlib.compress(stream, 6)
         elif name == "LZWDecode":
             stream = _lzw_encode(stream)
+        elif name == "RunLengthDecode":
+            stream = _runlength_encode(stream)
         elif name == "ASCIIHexDecode":
             stream = binascii.hexlify(stream) + b">"
         elif name == "ASCII85Decode":
@@ -236,12 +270,14 @@ def _pdf_payload(rng: random.Random, i: int, scale: int = 1) -> bytes:
     # half the pdf rows are filtered (round 4) — decided from the row
     # index, not the rng, so text content draws are unchanged. The
     # filtered half cycles through the real-world encodings the
-    # extractor supports: Flate (dominant), legacy LZW, and an
-    # ASCII85+Flate transport chain.
+    # extractor supports: Flate (dominant), legacy LZW, an
+    # ASCII85+Flate transport chain, and a RunLength+Flate chain
+    # (decoded stream identical to plain Flate, so goldens are
+    # unchanged — filtered spans are page-local).
     mix = {1: ["FlateDecode"],
            3: ["LZWDecode"],
            5: ["ASCII85Decode", "FlateDecode"],
-           7: ["FlateDecode"]}
+           7: ["RunLengthDecode", "FlateDecode"]}
     return _make_pdf(pages, filters=mix.get(i % 8))
 
 

@@ -271,8 +271,9 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
 
 def _resize_batch_fn(w2: int, h2: int, kernel: str = "area"):
     from ..extractor import imagex
-    resample = (imagex.resize_area if kernel == "area"
-                else imagex.resize_nearest)
+    resample = {"area": imagex.resize_area,
+                "lanczos": imagex.resize_lanczos,
+                "nearest": imagex.resize_nearest}[kernel]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -299,10 +300,12 @@ def _resize_batch_fn(w2: int, h2: int, kernel: str = "area"):
 
 def resize_media(df: DataFrame, width: int, height: int,
                  kernel: str = "area") -> DataFrame:
-    """REAL C14 for PNG: decode -> area-average resample (exact
-    integer box filter; ``kernel="nearest"`` keeps the old A/B path)
-    -> re-encode PNG (reference ``multimodal_RAG_methods.py:336-352``,
-    LANCZOS swapped for the deterministic codec-free kernel)."""
+    """REAL C14 for PNG: decode -> resample -> re-encode PNG
+    (reference ``multimodal_RAG_methods.py:336-352``). Kernels:
+    ``area`` (exact integer box filter), ``lanczos`` (separable
+    Lanczos-3 in the reference's own PIL family — fixed-point
+    weights + Taylor sin, bit-identical on any host), ``nearest``
+    (the A/B path)."""
     return df.select("media_id", "payload").mapInPandas(
         _resize_batch_fn(width, height, kernel),
         "media_id string, payload binary, width int, height int")

@@ -182,10 +182,10 @@ def test_pdf_corrupt_flate_stream_skipped():
 
 
 def test_pdf_mixed_raw_and_flate_corpus_rows():
-    """Fixture pdf rows cycle raw / Flate / LZW / ASCII85+Flate; every
-    variant appears in the 300-row corpus and all extract as
-    doc_kind='pdf' with text."""
-    seen = {"raw": 0, "flate": 0, "lzw": 0, "a85": 0}
+    """Fixture pdf rows cycle raw / Flate / LZW / ASCII85+Flate /
+    RunLength+Flate; every variant appears in the 300-row corpus and
+    all extract as doc_kind='pdf' with text."""
+    seen = {"raw": 0, "flate": 0, "lzw": 0, "a85": 0, "rle": 0}
     for row in generate_rows(300):
         if "/pdf/" not in row["url"]:
             continue
@@ -194,6 +194,8 @@ def test_pdf_mixed_raw_and_flate_corpus_rows():
         assert res.extracted_text
         if b"/ASCII85Decode" in row["html"]:
             seen["a85"] += 1
+        elif b"/RunLengthDecode" in row["html"]:
+            seen["rle"] += 1
         elif b"/LZWDecode" in row["html"]:
             seen["lzw"] += 1
         elif b"/FlateDecode" in row["html"]:
@@ -201,7 +203,7 @@ def test_pdf_mixed_raw_and_flate_corpus_rows():
         else:
             seen["raw"] += 1
     assert seen["raw"] >= 10 and seen["flate"] >= 5
-    assert seen["lzw"] >= 2 and seen["a85"] >= 2, seen
+    assert seen["lzw"] >= 2 and seen["a85"] >= 2 and seen["rle"] >= 2, seen
 
 
 def test_pdf_hex_show_strings():
@@ -258,6 +260,39 @@ def test_pdf_lzw_roundtrip_width_growth():
     assert _lzw_decode(_lzw_encode(rand)) == rand
 
 
+def test_pdf_runlength_vectors():
+    """The RunLength codec pins PDF 7.4.5 semantics: length byte
+    L<=127 copies L+1 literals, L>=129 repeats the next byte 257-L
+    times, 128 is EOD (trailing bytes after EOD are ignored); a
+    truncated run is corrupt (raises -> stream skipped upstream)."""
+    import pytest as _pytest
+    from historicaldatadocumentparsersystem_spark.extractor.pdfx import \
+        _runlength_decode
+    from historicaldatadocumentparsersystem_spark.fixtures import \
+        _runlength_encode
+    assert _runlength_decode(bytes([2, 65, 66, 67, 128])) == b"ABC"
+    assert _runlength_decode(bytes([257 - 5, 66, 128])) == b"BBBBB"
+    assert _runlength_decode(bytes([0, 88, 128, 99])) == b"X"  # post-EOD
+    assert _runlength_encode(b"AAAAA") == bytes([257 - 5, 65, 128])
+    assert _runlength_encode(b"") == bytes([128])
+    with _pytest.raises(ValueError):
+        _runlength_decode(bytes([5, 65]))       # truncated literal
+    with _pytest.raises(ValueError):
+        _runlength_decode(bytes([200]))         # truncated repeat
+    # roundtrip across literal-block splits (>128 literals) and runs
+    import random as _random
+    rng = _random.Random(11)
+    for _ in range(200):
+        data = bytearray()
+        for _ in range(rng.randint(0, 8)):
+            if rng.random() < 0.5:
+                data += bytes([rng.randrange(256)]) * rng.randint(1, 300)
+            else:
+                data += bytes(rng.randrange(256)
+                              for _ in range(rng.randint(1, 200)))
+        assert _runlength_decode(_runlength_encode(bytes(data))) == bytes(data)
+
+
 def test_pdf_filter_chains_extract_identically():
     """Every supported filter and chain yields byte-identical text to
     the raw form; an unsupported filter degrades to a skipped stream
@@ -265,8 +300,10 @@ def test_pdf_filter_chains_extract_identically():
     pages = [["alpha beta gamma", "delta (five)"], ["page two"]]
     ref = extract_document(_make_pdf(pages), None)
     for filters in (["FlateDecode"], ["LZWDecode"], ["ASCIIHexDecode"],
-                    ["ASCII85Decode"], ["ASCII85Decode", "FlateDecode"],
-                    ["ASCIIHexDecode", "LZWDecode"]):
+                    ["ASCII85Decode"], ["RunLengthDecode"],
+                    ["ASCII85Decode", "FlateDecode"],
+                    ["ASCIIHexDecode", "LZWDecode"],
+                    ["RunLengthDecode", "FlateDecode"]):
         res = extract_document(_make_pdf(pages, filters=filters), None)
         assert res.extracted_text == ref.extracted_text, filters
         assert res.score == ref.score and res.n_blocks == ref.n_blocks

@@ -277,3 +277,45 @@ def test_jpeg_420_subsampled_roundtrip():
     # and the stream really declares 4:2:0 (luma 0x22 in SOF0)
     i = j.find(b"\xff\xc0")
     assert j[i + 11] == 0x22 and j[i + 14] == 0x11
+
+
+def test_lanczos_kernel_properties():
+    """The fixed-point Lanczos-3 kernel (C14 parity with the
+    reference's PIL LANCZOS family): sinc zeros at integer offsets,
+    exact flat-field preservation (weights sum to exactly 65536),
+    identity at 1:1 scale, and overshoot clamped to 8 bits."""
+    from historicaldatadocumentparsersystem_spark.extractor.imagex import (
+        _lanczos3, resize_lanczos)
+    import math
+    assert _lanczos3(0.0) == 1.0
+    for d in (1.0, 2.0, -1.0, -2.0):
+        assert abs(_lanczos3(d)) < 1e-12
+    assert _lanczos3(3.0) == 0.0 and _lanczos3(-2.9) != 0.0
+    # flat field survives down- AND up-scale exactly
+    flat = bytes([137]) * (20 * 14 * 3)
+    assert set(resize_lanczos(flat, 20, 14, 3, 7, 5)) == {137}
+    assert set(resize_lanczos(bytes([9] * 16), 4, 4, 1, 9, 9)) == {9}
+    # 1:1 resize is the identity (single unit weight per pixel)
+    import random
+    rng = random.Random(5)
+    px = bytes(rng.randrange(256) for _ in range(12 * 7 * 3))
+    assert resize_lanczos(px, 12, 7, 3, 12, 7) == px
+    # a hard step edge overshoots (the negative-lobe signature the box
+    # filter cannot produce) and the overshoot clamps into [0, 255]
+    step = bytes([0] * 20 + [255] * 20) * 8
+    up = resize_lanczos(step, 40, 8, 1, 80, 8)
+    assert min(up) == 0 and max(up) == 255
+    # deterministic: same input -> same bytes (sin is Taylor, not libm)
+    assert resize_lanczos(px, 12, 7, 3, 5, 3) == \
+        resize_lanczos(px, 12, 7, 3, 5, 3)
+
+
+def test_lanczos_taylor_sin_matches_libm():
+    """The deterministic Taylor sin tracks libm to < 5 ulp over the
+    kernel's full argument range [-3*pi, 3*pi]."""
+    import math
+    from historicaldatadocumentparsersystem_spark.extractor.imagex import \
+        _sin
+    for i in range(-3000, 3001):
+        x = i * 0.0031415926
+        assert abs(_sin(x) - math.sin(x)) <= 5e-16, x

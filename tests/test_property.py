@@ -80,15 +80,18 @@ def test_pdf_prefixed_bytes_never_crash(tail, npages):
 
 @given(st.binary(max_size=300),
        st.sampled_from([b"/FlateDecode", b"/LZWDecode", b"/ASCIIHexDecode",
-                        b"/ASCII85Decode",
+                        b"/ASCII85Decode", b"/RunLengthDecode",
                         b"[/ASCII85Decode /FlateDecode]",
-                        b"[/ASCIIHexDecode /LZWDecode]", b"/JBIG2Decode"]))
+                        b"[/ASCIIHexDecode /LZWDecode]",
+                        b"[/RunLengthDecode /FlateDecode]",
+                        b"/JBIG2Decode"]))
 @settings(max_examples=150, deadline=None)
 def test_pdf_filtered_stream_garbage_never_crashes(body, filt):
     """Arbitrary bytes behind every supported /Filter (and chain, and
     one unsupported name) must decode-or-skip, never raise — the F5
-    degrade gate now covers four decoders, each with its own failure
-    modes (zlib errors, LZW bad codes, odd hex, a85 range errors)."""
+    degrade gate now covers five decoders, each with its own failure
+    modes (zlib errors, LZW bad codes, odd hex, a85 range errors,
+    truncated RunLength runs)."""
     payload = (b"%PDF-1.4\n1 0 obj\n<< /Length " +
                str(len(body)).encode() + b" /Filter " + filt +
                b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
