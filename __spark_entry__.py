@@ -1034,7 +1034,7 @@ _EXTRA_ORDER = [
     "host_reputation", "hll_calibration", "crawl_trap_score",
     "resolve_revisits", "lang_id_margin",
     # round-4 late additions
-    "image_resize_lanczos",
+    "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
 ]
 
 
@@ -1103,6 +1103,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"))
     q["repetition_profile"] = q_repetition
 
+    # --- Flesch reading-ease (quality-gate family) — SQL-checked,
+    # IEEE-double score evaluated in the same order as the twin
+    def q_readability(spark, sf_dir):
+        return textstats.readability_scores(
+            _t(spark, sf_dir, "documents"))
+    q["readability_scores"] = q_readability
+
     # --- F4 + A2 keyword sections — SQL-checked
     def q_keywords(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -1139,6 +1146,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
         return dedup.simhash_near_pairs(docs, bits=32, max_hamming=7)
     q["simhash_near_pairs"] = q_simhash_pairs
+
+    # --- winnowing fingerprints (Schleimer/MOSS local fingerprints:
+    # min k-gram hash per window — positional coverage guarantee the
+    # MinHash family lacks) — SQL-checked
+    def q_winnow(spark, sf_dir):
+        return (dedup.winnow_fingerprints(
+                    _t(spark, sf_dir, "documents"), k=8, window=4)
+                .withColumnRenamed("id", "doc_id"))
+    q["winnow_fingerprints"] = q_winnow
 
     # --- dedup clustering: connected components over near-dup pairs —
     # SQL-checked (oracle: recursive-CTE transitive closure + min)
@@ -2483,6 +2499,30 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(top.top_c::double / top.total::double,
                                   0.0e0), 6) AS top_bigram_ratio
             FROM per_doc p LEFT JOIN top USING (doc_id)""",
+        # Flesch reading-ease: identical count definitions and the
+        # same left-associated double arithmetic as the Spark side
+        # (a - b - c evaluates ((a-b)-c) in both engines; literals
+        # carry e0 so DuckDB parses DOUBLE, not DECIMAL)
+        "readability_scores": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({tok})::bigint AS words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1)::bigint AS sentences,
+                     (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      + len(list_filter({tok},
+                          x -> NOT regexp_matches(lower(x),
+                                                  '[aeiouy]')))
+                     )::bigint AS syllables
+              FROM documents
+            )
+            SELECT doc_id, words, sentences, syllables,
+                   CASE WHEN words > 0 THEN
+                     206.835e0
+                     - 1.015e0 * (words::double / sentences::double)
+                     - 84.6e0 * (syllables::double / words::double)
+                   END AS flesch
+            FROM t""",
         "text_profile": f"""
             SELECT doc_id,
                    len({tok}) AS n_tokens,
@@ -2798,6 +2838,27 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 7""",
+        # winnowing: min of each window of 4 consecutive 8-gram hashes,
+        # distinct per doc; 48-bit md5-prefix hashes keep the bigint
+        # positive in both engines (DuckDB slice l[i:j] is 1-based
+        # inclusive == Spark slice(l, i, 4))
+        "winnow_fingerprints": """
+            WITH grams AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(text) - 7),
+                       p -> cast('0x' || substr(md5(substr(text, p, 8)),
+                                 1, 12) AS bigint)) AS hs
+              FROM documents WHERE length(text) >= 8
+            ), fps AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                          ELSE list_transform(generate_series(1,
+                                 len(hs) - 3),
+                               i -> list_min(hs[i : i + 3])) END AS fp
+              FROM grams
+            )
+            SELECT doc_id, unnest(list_distinct(fp)) AS fingerprint
+            FROM fps""",
         # connected components == transitive closure min-label (the
         # iterative Spark loop's fixpoint, computed declaratively)
         "dedup_clusters": f"""

@@ -211,6 +211,51 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 # --- SimHash ------------------------------------------------------------------
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram,
+    then keep the minimum hash of each window of ``window`` consecutive
+    k-gram hashes; the distinct set of selected hashes is the
+    document's fingerprint. Guarantees every shared substring of
+    length >= k + window - 1 contributes at least one matching
+    fingerprint between two documents — a positional-coverage property
+    the MinHash/SimHash family does not give (reference analog: the
+    engine's dedup surface, ``doc_processor.py``; this is the classic
+    local-fingerprint complement).
+
+    Fully map-side (array expressions, no Python, no shuffle until the
+    output distinct): per row,
+      hashes[p] = first 48 bits of md5(substr(text, p, k)), and
+      fp[i]     = array_min(slice(hashes, i, window)).
+    A text shorter than k chars yields no fingerprints; with fewer
+    than ``window`` k-grams the whole doc is one window. 48-bit hashes
+    keep the bigint positive in both Spark and DuckDB (twin:
+    ``cast('0x' || substr(md5(g), 1, 12) AS bigint)``).
+
+    At 100 TB: the map stage is embarrassingly parallel; the output
+    (id, fingerprint) table joins on fingerprint for candidate pairs
+    with the same hot-key cap discipline as the shingle family.
+    """
+    t, kk, w = text_col, k, window
+    hashes = (
+        f"CASE WHEN length({t}) >= {kk} THEN "
+        f"  transform(sequence(1, length({t}) - {kk} + 1), p -> "
+        f"    cast(conv(substr(md5(substring({t}, p, {kk})), 1, 12), "
+        f"         16, 10) as bigint)) "
+        f"ELSE cast(array() as array<bigint>) END")
+    fps = (
+        f"CASE WHEN size(_hashes) = 0 THEN cast(array() as array<bigint>)"
+        f" WHEN size(_hashes) <= {w} THEN array(array_min(_hashes)) "
+        f"ELSE transform(sequence(1, size(_hashes) - {w} + 1), i -> "
+        f"       array_min(slice(_hashes, i, {w}))) END")
+    return (df
+            .select(F.col(id_col).alias("id"), F.expr(hashes).alias("_hashes"))
+            .select("id", F.explode(F.array_distinct(F.expr(fps)))
+                    .alias("fingerprint")))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """32-bit SimHash per document, fully JVM-side.

@@ -259,6 +259,44 @@ def text_profile(df: DataFrame, text_col: str = "text",
     )
 
 
+def readability_scores(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document — the classic text-quality
+    signal curation pipelines bucket on (quality-gate family alongside
+    the Gopher/C4 rules).
+
+    Deterministic cross-engine heuristic, all counts regexp-derived:
+      words     = whitespace tokens
+      sentences = runs of [.!?] (min 1)
+      syllables = [aeiouy]+ vowel groups, plus 1 for each word with no
+                  vowel at all (the per-word >= 1 clamp, doc-level)
+      flesch    = 206.835 - 1.015*(words/sents) - 84.6*(syll/words)
+    The score is plain IEEE double arithmetic evaluated in the same
+    order as the DuckDB twin, so the hash comparison is exact; a doc
+    with zero words scores null. Map-only plan — scale-free."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    words = F.size(toks)
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    vg = F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"),
+                                     F.lit(0)))
+    no_vowel = F.size(F.filter(
+        toks, lambda t: ~F.lower(t).rlike("[aeiouy]")))
+    syll = (vg + no_vowel).cast("long")
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+              - F.lit(84.6) * (syll.cast("double") / words.cast("double")))
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("words"),
+        sents.cast("long").alias("sentences"),
+        syll.alias("syllables"),
+        F.when(words > 0, flesch).alias("flesch"),
+    )
+
+
 def repetition_profile(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document (the rules used to

@@ -1455,3 +1455,78 @@ def test_lang_id_margin_routing(spark):
         if r["n_hits"]:
             assert r["margin_bp"] == (r["n_hits"] - r["n_hits_2nd"]) \
                 * 10000 // r["n_hits"]
+
+
+def _winnow_oracle(text: str, k: int = 8, window: int = 4) -> set:
+    """Pure-Python winnowing twin (Schleimer et al. fig. 5 semantics
+    reduced to the fingerprint SET: min per window, dedup)."""
+    import hashlib
+    n = len(text)
+    if n < k:
+        return set()
+    hs = [int(hashlib.md5(text[p:p + k].encode()).hexdigest()[:12], 16)
+          for p in range(n - k + 1)]
+    if len(hs) <= window:
+        return {min(hs)}
+    return {min(hs[i:i + window]) for i in range(len(hs) - window + 1)}
+
+
+def test_winnow_matches_pure_oracle(spark):
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "abcdefgh",            # exactly k chars -> 1 fingerprint
+             "short",               # < k -> no fingerprints
+             "aaaaaaaaaaaaaaaa",    # all k-grams identical
+             "café résumé unicode text here"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprints(df, k=8, window=4).collect():
+        got.setdefault(r["id"], set()).add(r["fingerprint"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_oracle(t), (i, t)
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The paper's guarantee: any shared substring of length
+    >= k + window - 1 (here 11) yields at least one shared
+    fingerprint between the two documents."""
+    shared = "UNIQUE-SHARED-RUN"  # 17 chars >= 11
+    a = "left context blah " + shared + " tail of doc a"
+    b = "totally different opening " + shared + " other ending"
+    fa, fb = _winnow_oracle(a), _winnow_oracle(b)
+    assert fa & fb, "coverage guarantee violated in the pure oracle"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    rows = dedup.winnow_fingerprints(df).collect()
+    sa = {r["fingerprint"] for r in rows if r["id"] == 0}
+    sb = {r["fingerprint"] for r in rows if r["id"] == 1}
+    assert sa == fa and sb == fb
+    assert sa & sb
+
+
+def test_winnow_plan_is_map_only(spark):
+    """Winnowing is a scan -> generate/project plan: no exchange
+    before the fingerprint rows exist (the 100 TB shape)."""
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = dedup.winnow_fingerprints(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_readability_scores_edges(spark):
+    from historicaldatadocumentparsersystem_spark.operators import textstats
+    rows = [(0, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            (1, "xyz 123"),                     # no-vowel tokens clamp
+            (2, "no terminal punctuation here"),  # sentences clamps to 1
+            (3, "")]                            # zero words -> null score
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textstats.readability_scores(df).collect()}
+    assert (got[0]["words"], got[0]["sentences"]) == (6, 2)
+    # "xyz" has a y-vowel group; "123" has none -> clamp adds 1
+    assert got[1]["syllables"] == 2 and got[1]["words"] == 2
+    assert got[2]["sentences"] == 1
+    assert got[3]["words"] == 0 and got[3]["flesch"] is None
+    # flesch formula spot-check for doc 0 (syllables: the=1 cat=1
+    # sat=1 the=1 dog=1 ran=1 -> 6)
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert got[0]["flesch"] == expected
