@@ -505,6 +505,8 @@ _GOLDEN_DOCX = os.path.join(_REPO, "fixtures",
                             "golden_docx_elements_seed42_n40.parquet")
 _GOLDEN_LINKS = os.path.join(_REPO, "fixtures",
                              "golden_links_seed42_n300.parquet")
+_GOLDEN_META = os.path.join(_REPO, "fixtures",
+                            "golden_meta_seed42_n120.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1035,6 +1037,7 @@ _EXTRA_ORDER = [
     "resolve_revisits", "lang_id_margin",
     # round-4 late additions
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
+    "extract_meta",
 ]
 
 
@@ -1666,6 +1669,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (linkgraph.extract_links_df(docs)
                 .orderBy("url", "link_pos"))
     q["extract_links"] = q_links
+
+    # --- page-metadata extraction (title/description/robots/canonical/
+    # OpenGraph/lang from the <head>) — hash-checked against the
+    # committed golden meta parquet (same oracle pattern as
+    # extract_links: the Spark UDF calls the Spark-free extractor)
+    def q_meta(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.meta_pages_df(spark, 120)
+        return pagemeta.extract_meta_df(docs).orderBy("url")
+    q["extract_meta"] = q_meta
 
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
@@ -3465,6 +3479,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, link_pos, href, anchor
             FROM read_parquet('{_GOLDEN_LINKS}')
             ORDER BY url, link_pos""",
+        # page metadata: committed golden parquet pinned by
+        # tests/test_pagemeta.py against the pure re-derivation
+        "extract_meta": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_META}')
+            ORDER BY url""",
         # host PageRank: same derived ring edges, 3 iterations unrolled
         # as chained CTEs, all int64 floor division — bit-exact twin
         "host_pagerank": _pagerank_sql(3),

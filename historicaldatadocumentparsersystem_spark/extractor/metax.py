@@ -1,0 +1,120 @@
+"""Page-metadata extraction from HTML heads (Spark-free, pure Python).
+
+A webtext pipeline wants more than the main text: the <head> carries
+the canonical URL (dedup key for syndicated copies), robots directives
+(noindex pages are usually boilerplate/error shells worth gating),
+OpenGraph fields (the publisher's own title/description — higher
+precision than Arc90 guesses), and the declared language. The
+reference's loader surfaces page title/metadata alongside the body
+(its web loader keeps the document title in metadata); this is the
+corpus-level pass over the same DOM.
+
+Built on ``htmlx.parse_dom_htmlparser`` like ``linkx`` — metadata
+lives in attributes, and the fast scanner's ``_attr_dict``
+deliberately parses only class/id. Cold-path operator: the ~2x parser
+cost is paid only where metadata is actually wanted.
+
+Like the extractor, this module is the correctness oracle: the Spark
+operator (``operators/pagemeta.py``) calls these functions from a
+mapInPandas batch, so golden-parquet parity is structural.
+
+Determinism contract:
+- first occurrence wins for every field (browser-ish; a second
+  <title> or duplicate <meta name=description> is ignored);
+- ``name``/``property``/``rel`` attribute VALUES match
+  case-insensitively (html.parser already lowercases attribute
+  names; real pages mix ``Description``/``OG:title``);
+- extracted values are whitespace-normalized; attribute values come
+  back entity-DECODED (html.parser unescapes attributes), while
+  <title> text is a raw source slice with entities PRESERVED — the
+  same byte-slice contract as the body extractor and linkx anchors;
+- ``canonical``/``og_url``/``og_image`` resolve against ``base_url``
+  via stdlib urljoin when given;
+- malformed pages degrade to null fields, never raise (F5 contract).
+"""
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from .htmlx import _Node, _Text, decode_payload, parse_dom_htmlparser
+
+# output field order — the single source of truth shared by the Spark
+# schema (operators/pagemeta.py) and the golden fixture
+META_FIELDS = ("title", "description", "keywords", "robots",
+               "canonical", "og_title", "og_description", "og_url",
+               "og_image", "lang")
+
+_OG_KEYS = {"og:title": "og_title", "og:description": "og_description",
+            "og:url": "og_url", "og:image": "og_image"}
+_NAME_KEYS = {"description": "description", "keywords": "keywords",
+              "robots": "robots"}
+_URL_FIELDS = ("canonical", "og_url", "og_image")
+
+
+def _norm(value: str | None) -> str | None:
+    """Whitespace-normalize; empty-after-strip becomes None."""
+    if value is None:
+        return None
+    out = " ".join(value.split())
+    return out or None
+
+
+def _node_text(node: _Node, src: str) -> str:
+    """Raw-slice text of a subtree (entities preserved — the linkx
+    anchor-text contract)."""
+    parts: list[str] = []
+    stack = [iter(node.children)]
+    while stack:
+        child = next(stack[-1], None)
+        if child is None:
+            stack.pop()
+        elif isinstance(child, _Text):
+            parts.append(src[child.start:child.end])
+        else:
+            stack.append(iter(child.children))
+    return " ".join("".join(parts).split())
+
+
+def extract_meta(payload, base_url: str | None = None) -> dict:
+    """Page metadata dict with exactly the ``META_FIELDS`` keys (every
+    value ``str | None``). Walks the whole tree, not just <head> —
+    malformed pages routinely leak meta tags into <body> and browsers
+    still honor them.
+    """
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        src = decode_payload(bytes(payload))
+    else:
+        src = payload or ""
+    out: dict = {k: None for k in META_FIELDS}
+    root = parse_dom_htmlparser(src)
+    stack = [iter(root.children)]
+    while stack:
+        child = next(stack[-1], None)
+        if child is None:
+            stack.pop()
+            continue
+        if not isinstance(child, _Node):
+            continue
+        tag = child.tag
+        if tag == "html" and out["lang"] is None:
+            out["lang"] = _norm(child.attrs.get("lang"))
+        elif tag == "title" and out["title"] is None:
+            out["title"] = _norm(_node_text(child, src))
+        elif tag == "meta":
+            content = child.attrs.get("content")
+            name = (child.attrs.get("name") or "").strip().lower()
+            prop = (child.attrs.get("property") or "").strip().lower()
+            key = _NAME_KEYS.get(name) or _OG_KEYS.get(prop)
+            if key and out[key] is None:
+                out[key] = _norm(content)
+        elif tag == "link":
+            rels = (child.attrs.get("rel") or "").lower().split()
+            if "canonical" in rels and out["canonical"] is None:
+                out["canonical"] = _norm(child.attrs.get("href"))
+        if child.children:
+            stack.append(iter(child.children))
+    if base_url:
+        for key in _URL_FIELDS:
+            if out[key]:
+                out[key] = urljoin(base_url, out[key])
+    return out

@@ -512,3 +512,94 @@ def corpus_df(spark, n: int, seed: int = 42, num_partitions: int | None = None):
     if num_partitions:
         df = df.repartition(num_partitions)
     return df
+
+
+# --- page-metadata fixture pages ---------------------------------------------
+
+def meta_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the page-metadata
+    extractor (extractor/metax.py): full OpenGraph sets, case-mixed
+    attribute values, relative canonicals, duplicate tags (first
+    wins), meta leaked into <body>, entity-bearing values, headless
+    pages and empty payloads. SEPARATE from make_row for the same
+    reason as adversarial_html_pages: the golden extraction parquet
+    pins generate_rows, and these pages feed their own golden
+    (fixtures/golden_meta_seed42_n*.parquet)."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 104729, i)
+        host = _HOSTS[(i * 40503) % len(_HOSTS)]
+        url = f"https://{host}/meta/page-{i}"
+        kind = i % 8
+        title = _sentence(rng, 3, 7)
+        desc = _sentence(rng, 8, 18)
+        body = f"<body><p>{_paragraph(rng, 2, 4)}</p></body>"
+        if kind == 0:       # the full, well-formed set
+            page = (
+                f'<!DOCTYPE html><html lang="en-US"><head>'
+                f'<title>{title}</title>'
+                f'<meta name="description" content="{desc}">'
+                f'<meta name="keywords" content="{", ".join(rng.choice(_WORDS) for _ in range(4))}">'
+                f'<meta name="robots" content="index, follow">'
+                f'<link rel="canonical" href="/meta/canon-{i}">'
+                f'<meta property="og:title" content="OG {title}">'
+                f'<meta property="og:description" content="{desc}">'
+                f'<meta property="og:url" content="https://{host}/og/page-{i}">'
+                f'<meta property="og:image" content="/img/{i}.png">'
+                f'</head>{body}</html>')
+        elif kind == 1:     # case-mixed names, single quotes, no og
+            page = (
+                f"<html LANG='fr'><head><TITLE>{title}</TITLE>"
+                f"<meta NAME='Description' content='{desc}'>"
+                f"<META name='ROBOTS' content='NOINDEX'>"
+                f"<link REL='Canonical Alternate' href='canon-{i}.html'>"
+                f"</head>{body}</html>")
+        elif kind == 2:     # og-only, uppercase property values
+            page = (
+                f'<html><head>'
+                f'<meta property="OG:Title" content="OG {title}">'
+                f'<meta property="OG:IMAGE" content="//cdn.{host}/i{i}.jpg">'
+                f'</head>{body}</html>')
+        elif kind == 3:     # duplicates: FIRST occurrence wins
+            page = (
+                f'<html lang="de"><head><title>{title}</title>'
+                f'<title>second {i} loses</title>'
+                f'<meta name="description" content="first {i}">'
+                f'<meta name="description" content="second {i}">'
+                f'<link rel="canonical" href="https://{host}/a-{i}">'
+                f'<link rel="canonical" href="https://{host}/b-{i}">'
+                f'</head>{body}</html>')
+        elif kind == 4:     # meta leaked into <body> (still honored)
+            page = (
+                f'<html><head></head><body><p>{_paragraph(rng, 1, 2)}</p>'
+                f'<meta name="description" content="{desc}">'
+                f'<title>{title}</title>'
+                f'<meta property="og:url" content="page-{i}-rel">'
+                f'</body></html>')
+        elif kind == 5:     # entities + messy whitespace in values
+            page = (
+                f'<html><head>'
+                f'<title>  {title} &amp; more\n\t(part {i}) </title>'
+                f'<meta name="description" content="A&amp;B &lt;{i}&gt;   x">'
+                f'<meta name="keywords" content="  ">'
+                f'</head>{body}</html>')
+        elif kind == 6:     # headless page: every field null
+            page = f'<div><p>{_paragraph(rng, 1, 3)}</p></div>'
+        else:               # kind == 7: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url, "html": page.encode("utf-8")})
+    return pages
+
+
+def meta_pages_df(spark, n: int, seed: int = 42,
+                  num_partitions: int = 8):
+    """Spark DataFrame of the meta fixture pages (url, html)."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType(), True),
+    ])
+    rows = [(p["url"], p["html"]) for p in meta_pages(n, seed)]
+    return spark.createDataFrame(rows, schema).repartition(num_partitions)
