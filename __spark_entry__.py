@@ -507,6 +507,8 @@ _GOLDEN_LINKS = os.path.join(_REPO, "fixtures",
                              "golden_links_seed42_n300.parquet")
 _GOLDEN_META = os.path.join(_REPO, "fixtures",
                             "golden_meta_seed42_n120.parquet")
+_GOLDEN_TABLES = os.path.join(_REPO, "fixtures",
+                              "golden_tables_seed42_n120.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1037,7 +1039,8 @@ _EXTRA_ORDER = [
     "resolve_revisits", "lang_id_margin",
     # round-4 late additions
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
-    "extract_meta",
+    "extract_meta", "extract_tables", "canonical_dedup",
+    "table_shape_stats",
 ]
 
 
@@ -1680,6 +1683,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = fixtures.meta_pages_df(spark, 120)
         return pagemeta.extract_meta_df(docs).orderBy("url")
     q["extract_meta"] = q_meta
+
+    # --- HTML table extraction (one row per table cell) — hash-checked
+    # against the committed golden tables parquet (structured-data
+    # pass: thead/soup/nested/colspan cases in the fixture pages)
+    def q_tables(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.table_pages_df(spark, 120)
+        return (pagemeta.extract_tables_df(docs)
+                .orderBy("url", "table_idx", "row_idx", "col_idx"))
+    q["extract_tables"] = q_tables
+
+    # --- canonical-URL pre-dedup + noindex gate — SQL-checked; reads
+    # the GOLDEN meta parquet on BOTH sides (extraction==golden is
+    # proven by extract_meta, so this isolates the composition logic,
+    # the quality-gate pattern)
+    def q_canon(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.canonical_dedup(spark.read.parquet(_GOLDEN_META))
+    q["canonical_dedup"] = q_canon
+
+    # --- per-table shape stats — SQL-checked over the golden tables
+    # parquet on both sides (same isolation rationale)
+    def q_tshapes(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.table_shapes(
+            spark.read.parquet(_GOLDEN_TABLES))
+    q["table_shape_stats"] = q_tshapes
 
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
@@ -3484,6 +3517,32 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta": f"""
             SELECT * FROM read_parquet('{_GOLDEN_META}')
             ORDER BY url""",
+        # table cells: committed golden parquet pinned by
+        # tests/test_pagemeta.py against the pure re-derivation
+        "extract_tables": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_TABLES}')
+            ORDER BY url, table_idx, row_idx, col_idx""",
+        # canonical pre-dedup: noindex gate + group on declared
+        # canonical (fallback: own url), first member kept
+        "canonical_dedup": f"""
+            SELECT coalesce(canonical, url) AS canonical_key,
+                   min(url) AS kept_url,
+                   count(*)::bigint AS n_copies
+            FROM read_parquet('{_GOLDEN_META}')
+            WHERE robots IS NULL
+               OR NOT contains(lower(robots), 'noindex')
+            GROUP BY 1""",
+        # per-table shape stats (max+1 extents stay INTEGER in both
+        # engines; count/sum cast to bigint per the HUGEINT rule)
+        "table_shape_stats": f"""
+            SELECT url, table_idx,
+                   max(row_idx) + 1 AS n_rows,
+                   max(col_idx) + 1 AS n_cols,
+                   count(*)::bigint AS n_cells,
+                   sum(CASE WHEN is_header THEN 1 ELSE 0 END)::bigint
+                     AS n_header_cells
+            FROM read_parquet('{_GOLDEN_TABLES}')
+            GROUP BY url, table_idx""",
         # host PageRank: same derived ring edges, 3 iterations unrolled
         # as chained CTEs, all int64 floor division — bit-exact twin
         "host_pagerank": _pagerank_sql(3),

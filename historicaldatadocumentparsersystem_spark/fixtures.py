@@ -541,7 +541,11 @@ def meta_pages(n: int, seed: int = 42) -> list[dict]:
                 f'<meta name="description" content="{desc}">'
                 f'<meta name="keywords" content="{", ".join(rng.choice(_WORDS) for _ in range(4))}">'
                 f'<meta name="robots" content="index, follow">'
-                f'<link rel="canonical" href="/meta/canon-{i}">'
+                # absolute canonical on a SHARED host, colliding across
+                # pages (i % 7): syndicated-copy groups for canonical
+                # pre-dedup downstream
+                f'<link rel="canonical" '
+                f'href="https://{_HOSTS[0]}/meta/canon-{i % 7}">'
                 f'<meta property="og:title" content="OG {title}">'
                 f'<meta property="og:description" content="{desc}">'
                 f'<meta property="og:url" content="https://{host}/og/page-{i}">'
@@ -602,4 +606,87 @@ def meta_pages_df(spark, n: int, seed: int = 42,
         StructField("html", BinaryType(), True),
     ])
     rows = [(p["url"], p["html"]) for p in meta_pages(n, seed)]
+    return spark.createDataFrame(rows, schema).repartition(num_partitions)
+
+
+def table_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the table extractor
+    (extractor/tablex.py): thead/tbody with th headers, multiple
+    tables per page, tables nested inside cells, tag-soup rows with
+    unclosed td/tr, colspan/rowspan attributes (incl. garbage values),
+    table-free pages and empty payloads. Feeds its own golden
+    (fixtures/golden_tables_seed42_n*.parquet), same isolation
+    rationale as meta_pages."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 122949823, i)
+        host = _HOSTS[(i * 48271) % len(_HOSTS)]
+        url = f"https://{host}/tables/page-{i}"
+        kind = i % 8
+
+        def _tbl(nrows: int, ncols: int, header: bool = True,
+                 closed: bool = True) -> str:
+            parts = ["<table>"]
+            if header:
+                parts.append("<thead><tr>" + "".join(
+                    f"<th>{rng.choice(_WORDS)}</th>"
+                    for _ in range(ncols)) + "</tr></thead><tbody>")
+            for r in range(nrows):
+                if closed:
+                    parts.append("<tr>" + "".join(
+                        f"<td>{rng.choice(_WORDS)} {r}-{c}</td>"
+                        for c in range(ncols)) + "</tr>")
+                else:       # tag soup: rely on tr/td auto-close
+                    parts.append("<tr>" + "".join(
+                        f"<td>{rng.choice(_WORDS)} {r}-{c}"
+                        for c in range(ncols)))
+            if header:
+                parts.append("</tbody>")
+            parts.append("</table>")
+            return "".join(parts)
+
+        body: str
+        if kind == 0:       # one well-formed table
+            body = f"<p>{_paragraph(rng, 1, 2)}</p>" + _tbl(4, 3)
+        elif kind == 1:     # several tables interleaved with prose
+            body = "<hr>".join(_tbl(rng.randint(1, 3), rng.randint(2, 4),
+                                    header=bool(t % 2))
+                               for t in range(3))
+        elif kind == 2:     # nested table inside a cell
+            inner = _tbl(1, 2, header=False)
+            body = (f"<table><tr><th>outer</th></tr>"
+                    f"<tr><td>host cell {inner} trailing</td>"
+                    f"<td>plain {i}</td></tr></table>")
+        elif kind == 3:     # tag soup, no closers
+            body = _tbl(3, 3, header=False, closed=False)
+        elif kind == 4:     # colspan/rowspan incl. garbage values
+            body = (f'<table><tr><td colspan="2">span {i}</td>'
+                    f'<td rowspan="3">tall</td></tr>'
+                    f'<tr><td colspan="x">garbage span</td>'
+                    f'<td rowspan="-1">neg</td></tr></table>')
+        elif kind == 5:     # entities + markup inside cells
+            body = (f"<table><tr><td>a &amp; b</td>"
+                    f"<td><b>bold {i}</b> tail</td>"
+                    f"<td><ul><li>x</li><li>y</li></ul></td></tr></table>")
+        elif kind == 6:     # no tables at all
+            body = f"<article><p>{_paragraph(rng, 2, 4)}</p></article>"
+        else:               # kind == 7: empty payload -> no output rows
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url,
+                      "html": f"<html><body>{body}</body></html>"
+                      .encode("utf-8")})
+    return pages
+
+
+def table_pages_df(spark, n: int, seed: int = 42,
+                   num_partitions: int = 8):
+    """Spark DataFrame of the table fixture pages (url, html)."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType(), True),
+    ])
+    rows = [(p["url"], p["html"]) for p in table_pages(n, seed)]
     return spark.createDataFrame(rows, schema).repartition(num_partitions)

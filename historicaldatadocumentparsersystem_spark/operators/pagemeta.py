@@ -1,4 +1,4 @@
-"""Page-metadata operator: documents -> one metadata row per page.
+"""Page-structure operators: metadata and table cells per page.
 
 Spark wrapper over the Spark-free ``extractor/metax.py`` (the
 correctness oracle — golden-parquet parity is structural, same
@@ -17,9 +17,10 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                               StructField, StructType)
 
-from ..extractor import metax
+from ..extractor import metax, tablex
 
 META_SCHEMA = StructType(
     [StructField("url", StringType(), False)]
@@ -45,3 +46,71 @@ def extract_meta_df(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select("url", "html").mapInPandas(batch, META_SCHEMA)
+
+
+TABLES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("table_idx", IntegerType(), False),
+    StructField("row_idx", IntegerType(), False),
+    StructField("col_idx", IntegerType(), False),
+    StructField("is_header", BooleanType(), False),
+    StructField("colspan", IntegerType(), False),
+    StructField("rowspan", IntegerType(), False),
+    StructField("cell_text", StringType(), False),
+])
+
+
+def extract_tables_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per table CELL
+    (url, table_idx, row_idx, col_idx, is_header, colspan, rowspan,
+    cell_text) — the structured-data pass over the same DOM
+    (extractor/tablex.py is the Spark-free oracle). Map-only 1->N,
+    same scale shape as extract_links: one pass over payload bytes,
+    no shuffle; downstream pivots/joins key on (url, table_idx)."""
+    import pandas as pd
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "table_idx", "row_idx", "col_idx",
+                "is_header", "colspan", "rowspan", "cell_text"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                for cell in tablex.extract_tables(payload):
+                    rows.append((u, *cell))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(batch, TABLES_SCHEMA)
+
+
+def canonical_dedup(meta: DataFrame) -> DataFrame:
+    """Canonical-URL pre-dedup over extract_meta_df output: drop
+    robots-noindex pages (codegen filter), then group by the page's
+    declared canonical (falling back to its own url) keeping the
+    lexicographically-first member. The CHEAP first dedup pass — one
+    shuffle on a short string key, no content hashing; syndicated
+    copies that declare the same canonical collapse before MinHash
+    ever sees their bytes."""
+    from pyspark.sql import functions as F
+    return (meta
+            .where(F.col("robots").isNull()
+                   | ~F.lower(F.col("robots")).contains("noindex"))
+            .groupBy(F.coalesce(F.col("canonical"), F.col("url"))
+                     .alias("canonical_key"))
+            .agg(F.min("url").alias("kept_url"),
+                 F.count("*").cast("long").alias("n_copies")))
+
+
+def table_shapes(cells: DataFrame) -> DataFrame:
+    """Per-table shape stats over extract_tables_df output: row/col
+    extents, cell count, header-cell count. One map-side-combinable
+    groupBy on (url, table_idx) — the feature table a downstream
+    'is this a data table or a layout table' gate keys on."""
+    from pyspark.sql import functions as F
+    return (cells.groupBy("url", "table_idx")
+            .agg((F.max("row_idx") + F.lit(1)).alias("n_rows"),
+                 (F.max("col_idx") + F.lit(1)).alias("n_cols"),
+                 F.count("*").cast("long").alias("n_cells"),
+                 F.sum(F.col("is_header").cast("int")).cast("long")
+                 .alias("n_header_cells")))

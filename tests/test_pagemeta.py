@@ -1,13 +1,15 @@
-"""Page-metadata layer: extractor/metax.py (golden-pinned) and the
-mapInPandas operator (structural identity + map-only plan)."""
+"""Page-structure layer: extractor/metax.py and extractor/tablex.py
+(both golden-pinned) and their mapInPandas operators (structural
+identity + map-only plans)."""
 
 import pyarrow.parquet as pq
 
 from historicaldatadocumentparsersystem_spark import fixtures
-from historicaldatadocumentparsersystem_spark.extractor import metax
+from historicaldatadocumentparsersystem_spark.extractor import metax, tablex
 from historicaldatadocumentparsersystem_spark.operators import pagemeta
 
 GOLDEN_META = "fixtures/golden_meta_seed42_n120.parquet"
+GOLDEN_TABLES = "fixtures/golden_tables_seed42_n120.parquet"
 
 
 def _pure_rows(n: int) -> dict[str, dict]:
@@ -71,6 +73,62 @@ def test_meta_df_structural_identity(spark):
            for r in pagemeta.extract_meta_df(
                fixtures.meta_pages_df(spark, 40)).collect()}
     assert got == _pure_rows(40)
+
+
+def _pure_cells(n: int) -> list[tuple]:
+    out = []
+    for p in fixtures.table_pages(n):
+        if not p["html"]:
+            continue
+        for cell in tablex.extract_tables(p["html"]):
+            out.append((p["url"], *cell))
+    out.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    return out
+
+
+def test_tables_match_committed_golden():
+    golden = [(r["url"], r["table_idx"], r["row_idx"], r["col_idx"],
+               r["is_header"], r["colspan"], r["rowspan"], r["cell_text"])
+              for r in pq.read_table(GOLDEN_TABLES).to_pylist()]
+    assert golden == _pure_cells(120)
+
+
+def test_tables_nesting_soup_and_spans():
+    src = ("<table><thead><tr><th>H1</th><th colspan=2>H2</th></tr>"
+           "</thead><tbody>"
+           "<tr><td>a<td>b<td>c"                      # soup: no closers
+           "<tr><td>x &amp; y</td>"
+           "<td>pre <table><tr><td>inner</td></tr></table> post</td>"
+           '<td rowspan="2">tall</td><td colspan="zz">junk span</td></tr>'
+           "</tbody></table>")
+    got = tablex.extract_tables(src)
+    assert got == [
+        (0, 0, 0, True, 1, 1, "H1"),
+        (0, 0, 1, True, 2, 1, "H2"),
+        (0, 1, 0, False, 1, 1, "a"),
+        (0, 1, 1, False, 1, 1, "b"),
+        (0, 1, 2, False, 1, 1, "c"),
+        (0, 2, 0, False, 1, 1, "x &amp; y"),
+        (0, 2, 1, False, 1, 1, "pre post"),   # nested table text excluded
+        (0, 2, 2, False, 1, 2, "tall"),
+        (0, 2, 3, False, 1, 1, "junk span"),  # garbage colspan -> 1
+        (1, 0, 0, False, 1, 1, "inner"),      # nested = own table_idx
+    ]
+
+
+def test_tables_malformed_never_raises():
+    for junk in (b"", None, b"<table>", b"<table><tr>", b"<td>orphan",
+                 b"\xff\xfe\x00garbage", b"<table><tr><td>a",
+                 b"<<<>>>&#;&bogus<table"):
+        assert isinstance(tablex.extract_tables(junk), list)
+
+
+def test_tables_df_structural_identity(spark):
+    got = sorted(
+        tuple(r) for r in
+        pagemeta.extract_tables_df(
+            fixtures.table_pages_df(spark, 40)).collect())
+    assert got == sorted(_pure_cells(40))
 
 
 def test_meta_df_plan_is_map_only(spark):
