@@ -1040,7 +1040,7 @@ _EXTRA_ORDER = [
     # round-4 late additions
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "extract_meta", "extract_tables", "canonical_dedup",
-    "table_shape_stats",
+    "table_shape_stats", "winnow_near_pairs", "soft404_gate",
 ]
 
 
@@ -1161,6 +1161,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     _t(spark, sf_dir, "documents"), k=8, window=4)
                 .withColumnRenamed("id", "doc_id"))
     q["winnow_fingerprints"] = q_winnow
+
+    # --- winnowing near-dup candidate pairs (shared-passage detector:
+    # positional fingerprints catch containment that global-Jaccard
+    # MinHash dilutes) — SQL-checked; doc_id < 800 scope + the
+    # stop-fingerprint cap keep the oracle join bounded
+    def q_winnow_pairs(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+        return dedup.winnow_near_pairs(docs, k=8, window=4,
+                                       min_shared=3,
+                                       max_fingerprint_doc_freq=16)
+    q["winnow_near_pairs"] = q_winnow_pairs
+
+    # --- soft-404 / error-page gate — SQL-checked; error phrases are
+    # derived arithmetically from doc_id on BOTH sides (the synthetic-
+    # edges pattern) so outcomes genuinely vary on word-soup fixtures
+    def q_soft404(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        marked = docs.withColumn("text", F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" error 404 - page not found"))
+             .when(F.col("doc_id") % 13 == 5, F.lit(" access denied"))
+             .otherwise(F.lit(""))))
+        return webtext.soft404_gate(marked)
+    q["soft404_gate"] = q_soft404
 
     # --- dedup clustering: connected components over near-dup pairs —
     # SQL-checked (oracle: recursive-CTE transitive closure + min)
@@ -2906,6 +2931,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(list_distinct(fp)) AS fingerprint
             FROM fps""",
+        # winnowing candidate pairs: same CTE chain scoped to
+        # doc_id < 800, stop-fingerprint doc-freq cap 16, >= 3 shared
+        "winnow_near_pairs": """
+            WITH grams AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(text) - 7),
+                       p -> cast('0x' || substr(md5(substr(text, p, 8)),
+                                 1, 12) AS bigint)) AS hs
+              FROM documents WHERE length(text) >= 8 AND doc_id < 800
+            ), fps AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                          ELSE list_transform(generate_series(1,
+                                 len(hs) - 3),
+                               i -> list_min(hs[i : i + 3])) END AS fp
+              FROM grams
+            ), flat AS (
+              SELECT doc_id, unnest(list_distinct(fp)) AS f FROM fps
+            ), kept AS (
+              SELECT doc_id, f FROM flat
+              QUALIFY count(*) OVER (PARTITION BY f) <= 16
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::bigint AS n_shared
+            FROM kept a JOIN kept b
+              ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3""",
         # connected components == transitive closure min-label (the
         # iterative Spark loop's fixpoint, computed declaratively)
         "dedup_clusters": f"""
@@ -3543,6 +3595,39 @@ def oracle_sql() -> dict[str, str]:
                      AS n_header_cells
             FROM read_parquet('{_GOLDEN_TABLES}')
             GROUP BY url, table_idx""",
+        # soft-404 gate: phrase list + brevity over the arithmetically
+        # marked text (same CASE derivation as the Spark side)
+        "soft404_gate": r"""
+            WITH marked AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 13 = 0
+                         THEN ' error 404 - page not found'
+                       WHEN doc_id % 13 = 5 THEN ' access denied'
+                       ELSE '' END AS text
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text),
+                         '\s+'), x -> x != ''))::bigint AS n_words,
+                     contains(lower(text), '404') AS has_404,
+                     (contains(lower(text), 'page not found')
+                      OR contains(lower(text), 'not found')
+                      OR contains(lower(text), 'access denied')
+                      OR contains(lower(text), 'forbidden')
+                      OR contains(lower(text), 'does not exist')
+                      OR contains(lower(text), 'no longer available')
+                      OR contains(lower(text), 'temporarily unavailable')
+                     ) AS has_error_phrase
+              FROM marked
+            )
+            SELECT doc_id, n_words, has_404, has_error_phrase,
+                   n_words <= 30 AS is_short,
+                   (has_404 AND has_error_phrase)
+                     OR (has_error_phrase AND n_words <= 30) AS soft404,
+                   NOT ((has_404 AND has_error_phrase)
+                     OR (has_error_phrase AND n_words <= 30)) AS keep
+            FROM sig""",
         # host PageRank: same derived ring edges, 3 iterations unrolled
         # as chained CTEs, all int64 floor division — bit-exact twin
         "host_pagerank": _pagerank_sql(3),

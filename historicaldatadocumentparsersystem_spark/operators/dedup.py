@@ -256,6 +256,39 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                     .alias("fingerprint")))
 
 
+def winnow_near_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      window: int = 4, min_shared: int = 3,
+                      max_fingerprint_doc_freq: int = 16) -> DataFrame:
+    """Candidate near-dup pairs from winnowing fingerprints: docs
+    sharing >= ``min_shared`` selected fingerprints. The local-
+    fingerprint counterpart of ``minhash_lsh_pairs`` — because
+    winnowing is positional, a shared PASSAGE (not just globally
+    similar token sets) is guaranteed to produce shared fingerprints,
+    so this catches quote/boilerplate containment that MinHash's
+    global Jaccard estimate dilutes away.
+
+    Same scale discipline as the shingle family: fingerprints hotter
+    than ``max_fingerprint_doc_freq`` docs are dropped before the
+    self-join (stop-fingerprint cap — bounds every join bucket at
+    C(cap, 2)), then one equi-join on fingerprint + a count groupBy.
+    Never all-pairs.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    freq = (fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_fingerprint_doc_freq)
+            .select("fingerprint"))
+    kept = fps.join(freq, "fingerprint")
+    a = kept.select(F.col("id").alias("id_a"), "fingerprint")
+    b = kept.select(F.col("id").alias("id_b"), "fingerprint")
+    return (a.join(b, "fingerprint")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """32-bit SimHash per document, fully JVM-side.

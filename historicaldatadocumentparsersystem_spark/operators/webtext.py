@@ -1244,3 +1244,53 @@ def resolve_revisits(revisits: DataFrame, plan: DataFrame,
             .join(p, "digest")
             .select("url", "warc_ts", "digest", "filename", "offset",
                     "length", "canonical_url"))
+
+
+# --- soft-404 / error-page gate -----------------------------------------------
+
+# phrase list a crawl pipeline matches against fetched-200 pages that
+# are actually error shells (soft 404s); lowercase substring matches,
+# RE2-free so both engines agree byte-for-byte
+SOFT404_PHRASES = ("page not found", "not found", "access denied",
+                   "forbidden", "does not exist", "no longer available",
+                   "temporarily unavailable")
+
+
+def soft404_gate(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 max_error_words: int = 30) -> DataFrame:
+    """Soft-404 / error-page detection: HTTP-200 pages whose body is an
+    error shell ("404 - page not found", "access denied", ...) pollute
+    a corpus and every dedup cluster they join. Heuristic (the
+    phrase-list + brevity detector crawl pipelines run at ingest):
+
+      has_404          '404' appears in the text
+      has_error_phrase any SOFT404_PHRASES substring (lowercased)
+      is_short         word count <= ``max_error_words``
+      soft404          = (has_404 AND has_error_phrase)
+                         OR (has_error_phrase AND is_short)
+      keep             = NOT soft404
+
+    A long page that merely DISCUSSES 404s is kept (phrase without
+    brevity and without a literal '404' co-occurrence). All signals
+    are plain contains/size comparisons — map-only codegen projection,
+    no shuffle, scan-bound at 100 TB like the other gates.
+    """
+    low = F.lower(F.col(text_col))
+    has_404 = low.contains("404")
+    has_phrase = None
+    for p in SOFT404_PHRASES:
+        hit = low.contains(p)
+        has_phrase = hit if has_phrase is None else (has_phrase | hit)
+    n_words = F.size(tokens(text_col))
+    is_short = n_words <= F.lit(max_error_words)
+    soft404 = (has_404 & has_phrase) | (has_phrase & is_short)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        has_404.alias("has_404"),
+        has_phrase.alias("has_error_phrase"),
+        is_short.alias("is_short"),
+        soft404.alias("soft404"),
+        (~soft404).alias("keep"),
+    )

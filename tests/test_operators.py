@@ -1530,3 +1530,68 @@ def test_readability_scores_edges(spark):
     # sat=1 the=1 dog=1 ran=1 -> 6)
     expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert got[0]["flesch"] == expected
+
+
+def test_winnow_near_pairs_shared_passage(spark):
+    shared = "COMMON BOILERPLATE PASSAGE REPEATED ACROSS DOCS"
+    rows = [(0, "alpha opening " + shared + " alpha tail"),
+            (1, "totally different start " + shared + " other end"),
+            (2, "unrelated content with no overlap whatsoever here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in dedup.winnow_near_pairs(
+               df, min_shared=3, max_fingerprint_doc_freq=16).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 3
+    assert not any(2 in p for p in got)
+
+
+def test_winnow_near_pairs_hot_fingerprint_cap(spark):
+    # three byte-identical docs: every fingerprint has doc-freq 3,
+    # so a cap of 2 drops them all -> zero candidate pairs
+    t = "identical document body repeated verbatim three times over"
+    df = spark.createDataFrame([(i, t) for i in range(3)],
+                               "doc_id long, text string")
+    assert dedup.winnow_near_pairs(
+        df, max_fingerprint_doc_freq=2).count() == 0
+    assert dedup.winnow_near_pairs(
+        df, max_fingerprint_doc_freq=3).count() == 3
+
+
+def test_winnow_near_pairs_plan_is_hash_join(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = dedup.winnow_near_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_soft404_gate_branches(spark):
+    long_pad = " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (0, "error 404 - page not found"),              # classic shell
+        (1, "Access Denied"),                            # short + phrase
+        (2, f"a long essay about http 404 responses {long_pad}"),
+        # long page discussing 404s without an error phrase -> kept
+        (3, f"this page is not found worthy {long_pad}"),
+        # long + phrase but no '404' -> kept (brevity missing)
+        (4, "short harmless note"),                      # short, no phrase
+        (5, f"404 handling guide: when a page is not found {long_pad}"),
+        # long but '404' AND phrase co-occur -> flagged
+    ]
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in webtext.soft404_gate(df).collect()}
+    assert got[0]["soft404"] and not got[0]["keep"]
+    assert got[1]["soft404"] and got[1]["has_error_phrase"]
+    assert not got[2]["soft404"] and got[2]["keep"]
+    assert not got[3]["soft404"]
+    assert not got[4]["soft404"] and not got[4]["has_error_phrase"]
+    assert got[5]["soft404"] and got[5]["has_404"]
+
+
+def test_soft404_gate_plan_is_map_only(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = webtext.soft404_gate(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
