@@ -1041,6 +1041,7 @@ _EXTRA_ORDER = [
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "extract_meta", "extract_tables", "canonical_dedup",
     "table_shape_stats", "winnow_near_pairs", "soft404_gate",
+    "table_records",
 ]
 
 
@@ -1738,6 +1739,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagemeta.table_shapes(
             spark.read.parquet(_GOLDEN_TABLES))
     q["table_shape_stats"] = q_tshapes
+
+    # --- header-keyed table records (tables -> KV training records) —
+    # SQL-checked over the golden tables parquet on both sides
+    def q_trecords(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.table_records(
+            spark.read.parquet(_GOLDEN_TABLES))
+    q["table_records"] = q_trecords
 
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
@@ -3595,6 +3605,27 @@ def oracle_sql() -> dict[str, str]:
                      AS n_header_cells
             FROM read_parquet('{_GOLDEN_TABLES}')
             GROUP BY url, table_idx""",
+        # header-keyed table records: first-row <th> gates the table,
+        # later rows pivot to (key, value) by column position
+        "table_records": f"""
+            WITH cells AS (
+              SELECT * FROM read_parquet('{_GOLDEN_TABLES}')
+            ), eligible AS (
+              SELECT url, table_idx FROM cells WHERE row_idx = 0
+              GROUP BY 1, 2 HAVING max(CASE WHEN is_header THEN 1
+                                            ELSE 0 END) = 1
+            ), header AS (
+              SELECT url, table_idx, col_idx, cell_text AS key
+              FROM cells WHERE row_idx = 0
+            )
+            SELECT c.url, c.table_idx,
+                   c.row_idx - 1 AS record_idx, c.col_idx,
+                   coalesce(h.key, 'col' || c.col_idx) AS key,
+                   c.cell_text AS value
+            FROM cells c
+            JOIN eligible e USING (url, table_idx)
+            LEFT JOIN header h USING (url, table_idx, col_idx)
+            WHERE c.row_idx > 0""",
         # soft-404 gate: phrase list + brevity over the arithmetically
         # marked text (same CASE derivation as the Spark side)
         "soft404_gate": r"""

@@ -84,6 +84,38 @@ def extract_tables_df(docs: DataFrame) -> DataFrame:
     return docs.select("url", "html").mapInPandas(batch, TABLES_SCHEMA)
 
 
+def table_records(cells: DataFrame) -> DataFrame:
+    """Header-keyed records from extract_tables_df output: for every
+    table whose FIRST row contains at least one <th>, each later row
+    becomes a record and each cell a (key, value) pair keyed by the
+    header cell in its column (falling back to ``colN`` where a data
+    row is wider than the header). The tables -> structured-records
+    step a training pipeline feeds to schema inference / KV corpora.
+
+    Plan: the header side is a tiny projection of row 0; one equi-join
+    on (url, table_idx) to gate eligibility + one left join on
+    (url, table_idx, col_idx) to attach keys — both plain hash joins
+    on the table's natural key, no UDF, no explode.
+    """
+    from pyspark.sql import functions as F
+    row0 = cells.where(F.col("row_idx") == 0)
+    eligible = (row0.groupBy("url", "table_idx")
+                .agg(F.max(F.col("is_header").cast("int")).alias("_h"))
+                .where(F.col("_h") == 1).drop("_h"))
+    header = row0.select("url", "table_idx", "col_idx",
+                         F.col("cell_text").alias("key"))
+    data = cells.where(F.col("row_idx") > 0).join(
+        eligible, ["url", "table_idx"])
+    return (data.join(header, ["url", "table_idx", "col_idx"], "left")
+            .select("url", "table_idx",
+                    (F.col("row_idx") - F.lit(1)).alias("record_idx"),
+                    "col_idx",
+                    F.coalesce(F.col("key"),
+                               F.concat(F.lit("col"), F.col("col_idx")))
+                    .alias("key"),
+                    F.col("cell_text").alias("value")))
+
+
 def canonical_dedup(meta: DataFrame) -> DataFrame:
     """Canonical-URL pre-dedup over extract_meta_df output: drop
     robots-noindex pages (codegen filter), then group by the page's

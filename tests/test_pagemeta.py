@@ -131,6 +131,29 @@ def test_tables_df_structural_identity(spark):
     assert got == sorted(_pure_cells(40))
 
 
+def test_table_records_header_pivot(spark):
+    cells = spark.createDataFrame(
+        [  # table 0: th header, one record, data row wider than header
+            ("u", 0, 0, 0, True, 1, 1, "name"),
+            ("u", 0, 0, 1, True, 1, 1, "score"),
+            ("u", 0, 1, 0, False, 1, 1, "alpha"),
+            ("u", 0, 1, 1, False, 1, 1, "9"),
+            ("u", 0, 1, 2, False, 1, 1, "overflow"),
+            # table 1: no th in row 0 -> not a data table, no records
+            ("u", 1, 0, 0, False, 1, 1, "layout"),
+            ("u", 1, 1, 0, False, 1, 1, "junk"),
+        ],
+        "url string, table_idx int, row_idx int, col_idx int, "
+        "is_header boolean, colspan int, rowspan int, cell_text string")
+    from historicaldatadocumentparsersystem_spark.operators import pagemeta
+    got = sorted((r["table_idx"], r["record_idx"], r["col_idx"],
+                  r["key"], r["value"])
+                 for r in pagemeta.table_records(cells).collect())
+    assert got == [(0, 0, 0, "name", "alpha"),
+                   (0, 0, 1, "score", "9"),
+                   (0, 0, 2, "col2", "overflow")]
+
+
 def test_meta_df_plan_is_map_only(spark):
     """The operator adds zero shuffles over its input (the fixture df
     itself carries one round-robin repartition Exchange)."""
