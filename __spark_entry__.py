@@ -509,6 +509,8 @@ _GOLDEN_META = os.path.join(_REPO, "fixtures",
                             "golden_meta_seed42_n120.parquet")
 _GOLDEN_TABLES = os.path.join(_REPO, "fixtures",
                               "golden_tables_seed42_n120.parquet")
+_GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
+                              "golden_jsonld_seed42_n120.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1041,7 +1043,7 @@ _EXTRA_ORDER = [
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "extract_meta", "extract_tables", "canonical_dedup",
     "table_shape_stats", "winnow_near_pairs", "soft404_gate",
-    "table_records",
+    "table_records", "extract_jsonld",
 ]
 
 
@@ -1748,6 +1750,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagemeta.table_records(
             spark.read.parquet(_GOLDEN_TABLES))
     q["table_records"] = q_trecords
+
+    # --- JSON-LD structured-data extraction (schema.org mining) —
+    # hash-checked against the committed golden jsonld parquet
+    def q_jsonld(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.jsonld_pages_df(spark, 120)
+        return (pagemeta.extract_jsonld_df(docs)
+                .orderBy("url", "block_idx"))
+    q["extract_jsonld"] = q_jsonld
 
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
@@ -3605,6 +3617,11 @@ def oracle_sql() -> dict[str, str]:
                      AS n_header_cells
             FROM read_parquet('{_GOLDEN_TABLES}')
             GROUP BY url, table_idx""",
+        # JSON-LD blocks: committed golden parquet pinned by
+        # tests/test_pagemeta.py against the pure re-derivation
+        "extract_jsonld": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_JSONLD}')
+            ORDER BY url, block_idx""",
         # header-keyed table records: first-row <th> gates the table,
         # later rows pivot to (key, value) by column position
         "table_records": f"""

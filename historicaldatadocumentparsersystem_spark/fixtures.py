@@ -690,3 +690,68 @@ def table_pages_df(spark, n: int, seed: int = 42,
     ])
     rows = [(p["url"], p["html"]) for p in table_pages(n, seed)]
     return spark.createDataFrame(rows, schema).repartition(num_partitions)
+
+
+def jsonld_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the JSON-LD extractor
+    (extractor/jsonldx.py): article/product/FAQ blocks with @context,
+    list-valued @type, invalid JSON, array roots, mime parameters and
+    case variation, pages with only non-LD scripts, and empty
+    payloads. Feeds fixtures/golden_jsonld_seed42_n*.parquet."""
+    import json as _json
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 15485863, i)
+        host = _HOSTS[(i * 69621) % len(_HOSTS)]
+        url = f"https://{host}/ld/page-{i}"
+        kind = i % 6
+        body = f"<p>{_paragraph(rng, 1, 3)}</p>"
+        blocks: list[str] = []
+        if kind == 0:       # canonical article block
+            blocks.append(_json.dumps({
+                "@context": "https://schema.org", "@type": "Article",
+                "headline": _sentence(rng, 3, 7),
+                "wordCount": rng.randint(100, 2000)}))
+        elif kind == 1:     # product (list @type) + FAQ, mime params
+            blocks.append(_json.dumps({
+                "@type": ["Product", "Thing"],
+                "name": rng.choice(_WORDS),
+                "offers": {"@type": "Offer",
+                           "price": f"{rng.randint(1, 999)}.99"}}))
+            blocks.append(_json.dumps({
+                "@context": "https://schema.org", "@type": "FAQPage",
+                "mainEntity": [{"@type": "Question",
+                                "name": _sentence(rng, 4, 8)}]}))
+        elif kind == 2:     # invalid JSON (truncated)
+            blocks.append('{"@type": "Recipe", "name": "broken')
+        elif kind == 3:     # array root + scalar root
+            blocks.append(_json.dumps(
+                [{"@type": "ItemList", "position": i}]))
+            blocks.append('"just a string"')
+        elif kind == 4:     # only non-LD scripts -> no rows
+            body += "<script>var x = {\"@type\": \"nope\"};</script>"
+        else:               # kind == 5: empty payload
+            pages.append({"url": url, "html": None})
+            continue
+        mime = ("application/ld+json" if i % 2 == 0
+                else "APPLICATION/LD+JSON; charset=utf-8")
+        scripts = "".join(
+            f'<script type="{mime}">{b}</script>' for b in blocks)
+        pages.append({"url": url,
+                      "html": (f"<html><head>{scripts}</head>"
+                               f"<body>{body}</body></html>")
+                      .encode("utf-8")})
+    return pages
+
+
+def jsonld_pages_df(spark, n: int, seed: int = 42,
+                    num_partitions: int = 8):
+    """Spark DataFrame of the JSON-LD fixture pages (url, html)."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType(), True),
+    ])
+    rows = [(p["url"], p["html"]) for p in jsonld_pages(n, seed)]
+    return spark.createDataFrame(rows, schema).repartition(num_partitions)

@@ -146,3 +146,39 @@ def table_shapes(cells: DataFrame) -> DataFrame:
                  F.count("*").cast("long").alias("n_cells"),
                  F.sum(F.col("is_header").cast("int")).cast("long")
                  .alias("n_header_cells")))
+
+
+JSONLD_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("block_idx", IntegerType(), False),
+    StructField("json_text", StringType(), False),
+    StructField("valid", BooleanType(), False),
+    StructField("root_type", StringType(), True),
+    StructField("schema_context", StringType(), True),
+])
+
+
+def extract_jsonld_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per JSON-LD block
+    (url, block_idx, json_text, valid, root_type, schema_context).
+    Map-only 1->N over (url, html) like extract_links; the schema.org
+    mining pass — downstream filters on root_type ('Product',
+    'Recipe', ...) are codegen'd string equality over a tiny column,
+    and json_text feeds from_json with a per-type schema only for the
+    rows that survive."""
+    import pandas as pd
+    from ..extractor import jsonldx
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "block_idx", "json_text", "valid", "root_type",
+                "schema_context"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                for blk in jsonldx.extract_jsonld(payload):
+                    rows.append((u, *blk))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(batch, JSONLD_SCHEMA)

@@ -131,6 +131,66 @@ def test_tables_df_structural_identity(spark):
     assert got == sorted(_pure_cells(40))
 
 
+def _pure_blocks(n: int) -> list[tuple]:
+    from historicaldatadocumentparsersystem_spark.extractor import jsonldx
+    out = []
+    for p in fixtures.jsonld_pages(n):
+        if not p["html"]:
+            continue
+        for blk in jsonldx.extract_jsonld(p["html"]):
+            out.append((p["url"], *blk))
+    out.sort(key=lambda r: (r[0], r[1]))
+    return out
+
+
+def test_jsonld_matches_committed_golden():
+    golden = [(r["url"], r["block_idx"], r["json_text"], r["valid"],
+               r["root_type"], r["schema_context"])
+              for r in pq.read_table(
+                  "fixtures/golden_jsonld_seed42_n120.parquet").to_pylist()]
+    assert golden == _pure_blocks(120)
+
+
+def test_jsonld_mime_roots_and_validity():
+    from historicaldatadocumentparsersystem_spark.extractor import jsonldx
+    src = ('<html><head>'
+           '<script type="APPLICATION/LD+JSON; charset=utf-8">'
+           '{"@context": "https://schema.org", "@type": ["Recipe", "x"]}'
+           '</script>'
+           '<script type="text/javascript">{"@type": "nope"}</script>'
+           '<script type="application/ld+json">{bad</script>'
+           '<script type="application/ld+json">[1, 2]</script>'
+           '<script type="application/ld+json">  </script>'
+           '</head><body>'
+           '<script type="application/ld+json">{"@type": "FAQPage", '
+           '"a": "x < y & z"}</script></body></html>')
+    got = jsonldx.extract_jsonld(src)
+    assert [(b[0], b[2], b[3], b[4]) for b in got] == [
+        (0, True, "Recipe", "https://schema.org"),
+        (1, False, None, None),
+        (2, True, None, None),          # array root: no @type lift
+        (3, True, "FAQPage", None),     # body block; '<' survives CDATA
+    ]
+    assert got[1][1] == "{bad"
+
+
+def test_jsonld_malformed_never_raises():
+    from historicaldatadocumentparsersystem_spark.extractor import jsonldx
+    for junk in (b"", None, b"<script type=", b"\xff\xfe\x00garbage",
+                 b"<script type='application/ld+json'>{",
+                 b"<script type='application/ld+json'>" + b"[" * 4000,
+                 b"<<<>>>&#;&bogus<script"):
+        assert isinstance(jsonldx.extract_jsonld(junk), list)
+
+
+def test_jsonld_df_structural_identity(spark):
+    got = sorted(
+        tuple(r) for r in
+        pagemeta.extract_jsonld_df(
+            fixtures.jsonld_pages_df(spark, 36)).collect())
+    assert got == sorted(_pure_blocks(36))
+
+
 def test_table_records_header_pivot(spark):
     cells = spark.createDataFrame(
         [  # table 0: th header, one record, data row wider than header
