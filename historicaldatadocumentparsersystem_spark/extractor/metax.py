@@ -39,16 +39,22 @@ from urllib.parse import urljoin
 from .htmlx import _Node, _Text, decode_payload, parse_dom_htmlparser
 
 # output field order — the single source of truth shared by the Spark
-# schema (operators/pagemeta.py) and the golden fixture
+# schema (operators/pagemeta.py) and the golden fixture.
+# rel_next/rel_prev (pagination chains -> multi-page article
+# stitching + frontier seeding) and feed_url (RSS/Atom autodiscovery
+# -> feeds the feedx/discovery-stream pipeline) are crawl-discovery
+# outputs of the same head walk.
 META_FIELDS = ("title", "description", "keywords", "robots",
                "canonical", "og_title", "og_description", "og_url",
-               "og_image", "lang")
+               "og_image", "lang", "rel_next", "rel_prev", "feed_url")
 
 _OG_KEYS = {"og:title": "og_title", "og:description": "og_description",
             "og:url": "og_url", "og:image": "og_image"}
 _NAME_KEYS = {"description": "description", "keywords": "keywords",
               "robots": "robots"}
-_URL_FIELDS = ("canonical", "og_url", "og_image")
+_URL_FIELDS = ("canonical", "og_url", "og_image", "rel_next",
+               "rel_prev", "feed_url")
+_FEED_MIMES = ("application/rss+xml", "application/atom+xml")
 
 
 def _norm(value: str | None) -> str | None:
@@ -109,8 +115,18 @@ def extract_meta(payload, base_url: str | None = None) -> dict:
                 out[key] = _norm(content)
         elif tag == "link":
             rels = (child.attrs.get("rel") or "").lower().split()
+            href = child.attrs.get("href")
             if "canonical" in rels and out["canonical"] is None:
-                out["canonical"] = _norm(child.attrs.get("href"))
+                out["canonical"] = _norm(href)
+            if "next" in rels and out["rel_next"] is None:
+                out["rel_next"] = _norm(href)
+            if "prev" in rels and out["rel_prev"] is None:
+                out["rel_prev"] = _norm(href)
+            mime = ((child.attrs.get("type") or "")
+                    .split(";")[0].strip().lower())
+            if ("alternate" in rels and mime in _FEED_MIMES
+                    and out["feed_url"] is None):
+                out["feed_url"] = _norm(href)
         if child.children:
             stack.append(iter(child.children))
     if base_url:

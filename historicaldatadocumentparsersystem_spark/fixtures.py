@@ -557,12 +557,17 @@ def meta_pages(n: int, seed: int = 42) -> list[dict]:
                 f"<meta NAME='Description' content='{desc}'>"
                 f"<META name='ROBOTS' content='NOINDEX'>"
                 f"<link REL='Canonical Alternate' href='canon-{i}.html'>"
+                f"<link rel='next' href='page-{i + 1}'>"
+                f"<link rel='PREV' href='/meta/page-{i - 1}'>"
                 f"</head>{body}</html>")
         elif kind == 2:     # og-only, uppercase property values
             page = (
                 f'<html><head>'
                 f'<meta property="OG:Title" content="OG {title}">'
                 f'<meta property="OG:IMAGE" content="//cdn.{host}/i{i}.jpg">'
+                f'<link rel="alternate" type="application/rss+xml" '
+                f'href="/feed.xml">'
+                f'<link rel="alternate" type="text/html" href="/mobile">'
                 f'</head>{body}</html>')
         elif kind == 3:     # duplicates: FIRST occurrence wins
             page = (

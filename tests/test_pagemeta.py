@@ -50,6 +50,23 @@ def test_meta_first_wins_case_and_entities():
     assert m["keywords"] is None and m["robots"] is None
 
 
+def test_meta_pagination_and_feed_discovery():
+    src = ('<html><head>'
+           '<link rel="NEXT" href="?page=3">'
+           '<link rel="next" href="/loser">'
+           '<link rel="prev" href="?page=1">'
+           '<link rel="alternate" type="text/html" href="/not-a-feed">'
+           '<link rel="alternate" type="application/atom+xml; q=0.9" '
+           'href="/atom.xml">'
+           '<link rel="alternate" type="application/rss+xml" '
+           'href="/second-feed-loses">'
+           '</head></html>')
+    m = metax.extract_meta(src, "https://h.example/list?page=2")
+    assert m["rel_next"] == "https://h.example/list?page=3"
+    assert m["rel_prev"] == "https://h.example/list?page=1"
+    assert m["feed_url"] == "https://h.example/atom.xml"
+
+
 def test_meta_empty_values_are_null():
     m = metax.extract_meta(
         '<html lang=""><head><title>  </title>'
