@@ -511,6 +511,8 @@ _GOLDEN_TABLES = os.path.join(_REPO, "fixtures",
                               "golden_tables_seed42_n120.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
                               "golden_jsonld_seed42_n120.parquet")
+_GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
+                              "golden_shapes_seed42_n300.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1043,7 +1045,8 @@ _EXTRA_ORDER = [
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "extract_meta", "extract_tables", "canonical_dedup",
     "table_shape_stats", "winnow_near_pairs", "soft404_gate",
-    "table_records", "extract_jsonld",
+    "table_records", "extract_jsonld", "page_shapes",
+    "template_clusters",
 ]
 
 
@@ -1760,6 +1763,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pagemeta.extract_jsonld_df(docs)
                 .orderBy("url", "block_idx"))
     q["extract_jsonld"] = q_jsonld
+
+    # --- DOM-shape skeletons (layout fingerprints) — hash-checked
+    # against the committed golden shapes parquet over the standard
+    # seed-42 corpus (the extract_links pattern)
+    def q_shapes(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.corpus_df(spark, 300, num_partitions=8)
+        return pagemeta.page_shapes(docs).orderBy("url")
+    q["page_shapes"] = q_shapes
+
+    # --- per-host template clusters — SQL-checked over the golden
+    # shapes parquet on both sides (quality-gate isolation pattern)
+    def q_templates(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.template_clusters(
+            spark.read.parquet(_GOLDEN_SHAPES))
+    q["template_clusters"] = q_templates
 
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
@@ -3622,6 +3644,23 @@ def oracle_sql() -> dict[str, str]:
         "extract_jsonld": f"""
             SELECT * FROM read_parquet('{_GOLDEN_JSONLD}')
             ORDER BY url, block_idx""",
+        # DOM skeletons: committed golden parquet pinned by
+        # tests/test_pagemeta.py against the pure re-derivation
+        "page_shapes": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_SHAPES}')
+            ORDER BY url""",
+        # template clusters: same host regex as the Spark url_host and
+        # the shared 48-bit md5-prefix hash of the skeleton
+        "template_clusters": f"""
+            SELECT lower(regexp_replace(regexp_extract(url,
+                     '^[^:/?#]+://([^/?#:@]+(?::\\d+)?)', 1),
+                     ':\\d+$', '')) AS host,
+                   cast('0x' || substr(md5(skeleton), 1, 12) AS bigint)
+                     AS shape_hash,
+                   count(*)::bigint AS n_pages,
+                   min(url) AS sample_url
+            FROM read_parquet('{_GOLDEN_SHAPES}')
+            GROUP BY 1, 2""",
         # header-keyed table records: first-row <th> gates the table,
         # later rows pivot to (key, value) by column position
         "table_records": f"""

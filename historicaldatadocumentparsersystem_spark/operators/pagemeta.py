@@ -182,3 +182,53 @@ def extract_jsonld_df(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select("url", "html").mapInPandas(batch, JSONLD_SCHEMA)
+
+
+SHAPES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("skeleton", StringType(), False),
+    StructField("n_tags", IntegerType(), False),
+    StructField("max_depth", IntegerType(), False),
+    StructField("truncated", BooleanType(), False),
+])
+
+
+def page_shapes(docs: DataFrame, max_tags: int = 500) -> DataFrame:
+    """documents (url, html, ...) -> DOM-shape skeleton per page
+    (extractor/shapex.py is the Spark-free oracle). Map-only 1->1;
+    the skeleton is bounded (<= max_tags short tokens) so the output
+    row is KBs regardless of page size — the cheap layout fingerprint
+    feeding template discovery."""
+    import pandas as pd
+    from ..extractor import shapex
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "skeleton", "n_tags", "max_depth", "truncated"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                rows.append((u, *shapex.dom_skeleton(payload, max_tags)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(batch, SHAPES_SCHEMA)
+
+
+def template_clusters(shapes: DataFrame) -> DataFrame:
+    """Template discovery over page_shapes output: pages of the same
+    HOST sharing a DOM skeleton are one template cluster. Hashing the
+    skeleton (64-bit md5 prefix) keeps the groupBy key short; one
+    map-side-combinable shuffle on (host, shape_hash). At 100 TB the
+    cluster table is |templates|-sized — tiny — and per-host chrome
+    stripping joins back on the same key."""
+    from pyspark.sql import functions as F
+    from .webtext import url_host
+    shape_hash = F.expr(
+        "cast(conv(substr(md5(skeleton), 1, 12), 16, 10) as bigint)")
+    return (shapes
+            .select(url_host("url").alias("host"),
+                    shape_hash.alias("shape_hash"), "url")
+            .groupBy("host", "shape_hash")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.min("url").alias("sample_url")))

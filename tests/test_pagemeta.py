@@ -208,6 +208,48 @@ def test_jsonld_df_structural_identity(spark):
     assert got == sorted(_pure_blocks(36))
 
 
+def test_shapes_match_committed_golden():
+    from historicaldatadocumentparsersystem_spark.extractor import shapex
+    golden = [(r["url"], r["skeleton"], r["n_tags"], r["max_depth"],
+               r["truncated"])
+              for r in pq.read_table(
+                  "fixtures/golden_shapes_seed42_n300.parquet").to_pylist()]
+    fresh = sorted((r["url"], *shapex.dom_skeleton(r["html"]))
+                   for r in fixtures.generate_rows(300) if r["html"])
+    assert golden == fresh
+
+
+def test_shape_invariant_to_text_and_attrs():
+    from historicaldatadocumentparsersystem_spark.extractor import shapex
+    a = shapex.dom_skeleton(
+        '<html><body><div class="x"><p>alpha</p><span>b</span></div>'
+        "</body></html>")
+    b = shapex.dom_skeleton(
+        "<html><body><div id='other'><p>entirely different words here"
+        "</p><span>zz</span></div></body></html>")
+    assert a == b
+    assert a[0] == "0:html 1:body 2:div 3:p 3:span"
+    # cap: deep page truncates deterministically
+    s, n, d, trunc = shapex.dom_skeleton("<div>" * 600, max_tags=100)
+    assert trunc and n == 100 and d == 99
+
+
+def test_template_clusters_groups_same_host_layouts(spark):
+    from historicaldatadocumentparsersystem_spark.operators import pagemeta
+    shapes = spark.createDataFrame(
+        [("https://a.com/1", "0:html 1:p", 2, 1, False),
+         ("https://a.com/2", "0:html 1:p", 2, 1, False),
+         ("https://a.com:8080/3", "0:html 1:p", 2, 1, False),  # port strip
+         ("https://a.com/4", "0:html 1:div", 2, 1, False),
+         ("https://b.org/1", "0:html 1:p", 2, 1, False)],
+        "url string, skeleton string, n_tags int, max_depth int, "
+        "truncated boolean")
+    got = {(r["host"], r["n_pages"]): r["sample_url"]
+           for r in pagemeta.template_clusters(shapes).collect()}
+    assert got[("a.com", 3)] == "https://a.com/1"
+    assert ("a.com", 1) in got and ("b.org", 1) in got
+
+
 def test_table_records_header_pivot(spark):
     cells = spark.createDataFrame(
         [  # table 0: th header, one record, data row wider than header
