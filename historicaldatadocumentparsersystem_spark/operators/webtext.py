@@ -1256,6 +1256,28 @@ SOFT404_PHRASES = ("page not found", "not found", "access denied",
                    "temporarily unavailable")
 
 
+def _soft404_exprs(text_col: str, max_error_words: int):
+    """(has_404, has_error_phrase, n_words, is_short, soft404) column
+    expressions shared by the gate operator and soft404_keep."""
+    low = F.lower(F.col(text_col))
+    has_404 = low.contains("404")
+    has_phrase = None
+    for p in SOFT404_PHRASES:
+        hit = low.contains(p)
+        has_phrase = hit if has_phrase is None else (has_phrase | hit)
+    n_words = F.size(tokens(text_col))
+    is_short = n_words <= F.lit(max_error_words)
+    soft404 = (has_404 & has_phrase) | (has_phrase & is_short)
+    return has_404, has_phrase, n_words, is_short, soft404
+
+
+def soft404_keep(text_col: str = "text",
+                 max_error_words: int = 30) -> Column:
+    """Join-free keep predicate (the composition form): push straight
+    into a ``.where`` so the pipeline pays zero extra exchanges."""
+    return ~_soft404_exprs(text_col, max_error_words)[4]
+
+
 def soft404_gate(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  max_error_words: int = 30) -> DataFrame:
@@ -1276,15 +1298,8 @@ def soft404_gate(df: DataFrame, text_col: str = "text",
     are plain contains/size comparisons — map-only codegen projection,
     no shuffle, scan-bound at 100 TB like the other gates.
     """
-    low = F.lower(F.col(text_col))
-    has_404 = low.contains("404")
-    has_phrase = None
-    for p in SOFT404_PHRASES:
-        hit = low.contains(p)
-        has_phrase = hit if has_phrase is None else (has_phrase | hit)
-    n_words = F.size(tokens(text_col))
-    is_short = n_words <= F.lit(max_error_words)
-    soft404 = (has_404 & has_phrase) | (has_phrase & is_short)
+    has_404, has_phrase, n_words, is_short, soft404 = _soft404_exprs(
+        text_col, max_error_words)
     return df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

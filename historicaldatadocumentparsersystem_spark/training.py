@@ -4,6 +4,7 @@ Chains the engine's stages into the job a 100 TB training-data run
 actually executes:
 
     documents ──extract──▶ main text (+title/spans/score)
+              ──soft404──▶ drop error-shell pages (phrase + brevity)
               ──quality──▶ keep documents passing heuristic gates
                            (+ Gopher repetition gate)
               ──redact───▶ PII scrub (email/IP/phone spans)
@@ -31,9 +32,13 @@ from .operators import chunking, skew, textstats
 
 def quality_gate(extracted: DataFrame, min_quality: float = 0.5,
                  min_chars: int = 80) -> DataFrame:
-    """Heuristic quality filter over extracted rows (gopher-style)."""
+    """Heuristic quality filter over extracted rows (gopher-style),
+    fused with the soft-404 error-shell gate — all pure column
+    predicates on one codegen stage, no extra exchange."""
+    from .operators.webtext import soft404_keep
     return (extracted
             .where(F.col("failed") == 0)
+            .where(soft404_keep("extracted_text"))
             .where(F.length("extracted_text") >= min_chars)
             .where(textstats.quality_score("extracted_text")
                    >= min_quality))

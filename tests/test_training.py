@@ -55,6 +55,27 @@ def test_quality_gate_drops_garbage(spark):
     assert kept.where(F.col("failed") == 1).count() == 0
 
 
+def test_quality_gate_drops_soft404_shells(spark):
+    """An extracted 'page' whose text is an error shell never reaches
+    the kept set, while a long page discussing 404s survives."""
+    from historicaldatadocumentparsersystem_spark import pipeline
+    docs = fixtures.corpus_df(spark, 40, num_partitions=2)
+    extracted = pipeline.extract_df(docs, num_buckets=4)
+    shell = extracted.limit(1).withColumn(
+        "url", F.lit("https://err.example.com/shell")).withColumn(
+        "extracted_text", F.lit("Error 404 - page not found."))
+    essay_text = ("A thorough essay on how servers answer a missing "
+                  "resource. " * 20) + " The 404 code is historic."
+    essay = extracted.limit(1).withColumn(
+        "url", F.lit("https://ok.example.com/essay")).withColumn(
+        "extracted_text", F.lit(essay_text))
+    kept = training.quality_gate(
+        extracted.unionByName(shell).unionByName(essay))
+    urls = {r.url for r in kept.select("url").collect()}
+    assert "https://err.example.com/shell" not in urls
+    assert "https://ok.example.com/essay" in urls
+
+
 def test_export_training_data_handoff(spark, tmp_path):
     import json
     from historicaldatadocumentparsersystem_spark import fixtures, training
