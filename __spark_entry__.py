@@ -3683,8 +3683,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN header h USING (url, table_idx, col_idx)
             WHERE c.row_idx > 0""",
         # soft-404 gate: phrase list + brevity over the arithmetically
-        # marked text (same CASE derivation as the Spark side)
-        "soft404_gate": r"""
+        # marked text (same CASE derivation as the Spark side; the
+        # phrase OR-chain is generated from webtext.SOFT404_PHRASES so
+        # the two engines can never drift)
+        "soft404_gate": rf"""
             WITH marked AS (
               SELECT doc_id,
                      text || CASE
@@ -3698,13 +3700,8 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(regexp_split_to_array(trim(text),
                          '\s+'), x -> x != ''))::bigint AS n_words,
                      contains(lower(text), '404') AS has_404,
-                     (contains(lower(text), 'page not found')
-                      OR contains(lower(text), 'not found')
-                      OR contains(lower(text), 'access denied')
-                      OR contains(lower(text), 'forbidden')
-                      OR contains(lower(text), 'does not exist')
-                      OR contains(lower(text), 'no longer available')
-                      OR contains(lower(text), 'temporarily unavailable')
+                     ({" OR ".join(f"contains(lower(text), '{p}')"
+                                   for p in webtext.SOFT404_PHRASES)}
                      ) AS has_error_phrase
               FROM marked
             )

@@ -244,6 +244,41 @@ def parse_dom_htmlparser(src: str) -> _Node:
     return builder.root
 
 
+def iter_elements(node: _Node, descend=None):
+    """Preorder generator over ELEMENT nodes under ``node`` (text
+    nodes skipped), yielding ``(element, depth)`` with depth 0 for the
+    direct children of ``node``. ``descend(element) -> bool`` controls
+    whether a yielded element's subtree is entered (default: always).
+    The shared walk for the satellite extractors (metax/tablex/
+    jsonldx/shapex) — one traversal to fix, not six."""
+    stack = [(c, 0) for c in reversed(node.children)
+             if isinstance(c, _Node)]
+    while stack:
+        el, depth = stack.pop()
+        yield el, depth
+        if descend is None or descend(el):
+            for child in reversed(el.children):
+                if isinstance(child, _Node):
+                    stack.append((child, depth + 1))
+
+
+def subtree_text(node: _Node, src: str, stop_tags=()) -> str:
+    """Whitespace-normalized text of a subtree as raw source slices
+    (entities preserved — the linkx anchor-text contract), excluding
+    any subtree rooted at a tag in ``stop_tags``."""
+    parts: list[str] = []
+    stack = [iter(node.children)]
+    while stack:
+        child = next(stack[-1], None)
+        if child is None:
+            stack.pop()
+        elif isinstance(child, _Text):
+            parts.append(src[child.start:child.end])
+        elif child.tag not in stop_tags:
+            stack.append(iter(child.children))
+    return " ".join("".join(parts).split())
+
+
 # --- fast scanner ------------------------------------------------------------
 # html.parser spends ~65% of extraction time in per-tag Python (goahead /
 # parse_starttag / updatepos). This scanner tokenizes with ONE compiled

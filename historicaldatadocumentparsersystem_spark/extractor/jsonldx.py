@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import json
 
-from .htmlx import _Node, _Text, decode_payload, parse_dom_htmlparser
+from .htmlx import (_Node, _Text, decode_payload, iter_elements,
+                    parse_dom_htmlparser)
 
 
 def _is_ldjson(node: _Node) -> bool:
@@ -57,16 +58,9 @@ def extract_jsonld(payload) -> list[tuple[int, str, bool,
         src = payload or ""
     root = parse_dom_htmlparser(src)
     out = []
-    stack = [iter(root.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-            continue
-        if not isinstance(child, _Node):
-            continue
-        if child.tag == "script" and _is_ldjson(child):
-            body = _raw_text(child, src).strip()
+    for el, _depth in iter_elements(root):
+        if el.tag == "script" and _is_ldjson(el):
+            body = _raw_text(el, src).strip()
             if body:
                 valid, rtype, ctx = False, None, None
                 try:
@@ -85,6 +79,4 @@ def extract_jsonld(payload) -> list[tuple[int, str, bool,
                     if isinstance(c, str):
                         ctx = c
                 out.append((len(out), body, valid, rtype, ctx))
-        if child.children:
-            stack.append(iter(child.children))
     return out

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from .htmlx import _Node, _Text, decode_payload, parse_dom_htmlparser
+from .htmlx import (_Node, decode_payload, iter_elements,
+                    parse_dom_htmlparser, subtree_text)
 
 # schemes that are not navigable document links
 _SKIP_PREFIXES = ("javascript:", "mailto:", "tel:", "data:")
@@ -32,17 +33,7 @@ def _anchor_text(node: _Node, src: str) -> str:
     """Whitespace-normalized text content of an <a> subtree (raw source
     slices, entities preserved — same byte-slice contract as the body
     extractor)."""
-    parts: list[str] = []
-    stack = [iter(node.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-        elif isinstance(child, _Text):
-            parts.append(src[child.start:child.end])
-        else:
-            stack.append(iter(child.children))
-    return " ".join("".join(parts).split())
+    return subtree_text(node, src)
 
 
 def extract_links(payload, base_url: str | None = None
@@ -59,21 +50,12 @@ def extract_links(payload, base_url: str | None = None
         src = payload or ""
     root = parse_dom_htmlparser(src)
     out: list[tuple[int, str, str]] = []
-    stack = [iter(root.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-            continue
-        if not isinstance(child, _Node):
-            continue
-        if child.tag == "a":
-            href = (child.attrs.get("href") or "").strip()
+    for el, _depth in iter_elements(root):
+        if el.tag == "a":
+            href = (el.attrs.get("href") or "").strip()
             low = href.lower()
             if (href and not href.startswith("#")
                     and not low.startswith(_SKIP_PREFIXES)):
                 target = urljoin(base_url, href) if base_url else href
-                out.append((len(out), target, _anchor_text(child, src)))
-        if child.children:
-            stack.append(iter(child.children))
+                out.append((len(out), target, _anchor_text(el, src)))
     return out

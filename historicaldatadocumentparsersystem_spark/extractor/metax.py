@@ -19,8 +19,11 @@ operator (``operators/pagemeta.py``) calls these functions from a
 mapInPandas batch, so golden-parquet parity is structural.
 
 Determinism contract:
-- first occurrence wins for every field (browser-ish; a second
-  <title> or duplicate <meta name=description> is ignored);
+- the FIRST OCCURRENCE of a field's source element claims the field,
+  even when its value is empty (normalized to null) — a later
+  duplicate can never override it (browser-ish, and it keeps a
+  boilerplate/attacker-controlled second tag from winning past an
+  empty placeholder first tag);
 - ``name``/``property``/``rel`` attribute VALUES match
   case-insensitively (html.parser already lowercases attribute
   names; real pages mix ``Description``/``OG:title``);
@@ -36,7 +39,8 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from .htmlx import _Node, _Text, decode_payload, parse_dom_htmlparser
+from .htmlx import (decode_payload, iter_elements, parse_dom_htmlparser,
+                    subtree_text)
 
 # output field order — the single source of truth shared by the Spark
 # schema (operators/pagemeta.py) and the golden fixture.
@@ -65,22 +69,6 @@ def _norm(value: str | None) -> str | None:
     return out or None
 
 
-def _node_text(node: _Node, src: str) -> str:
-    """Raw-slice text of a subtree (entities preserved — the linkx
-    anchor-text contract)."""
-    parts: list[str] = []
-    stack = [iter(node.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-        elif isinstance(child, _Text):
-            parts.append(src[child.start:child.end])
-        else:
-            stack.append(iter(child.children))
-    return " ".join("".join(parts).split())
-
-
 def extract_meta(payload, base_url: str | None = None) -> dict:
     """Page metadata dict with exactly the ``META_FIELDS`` keys (every
     value ``str | None``). Walks the whole tree, not just <head> —
@@ -92,43 +80,40 @@ def extract_meta(payload, base_url: str | None = None) -> dict:
     else:
         src = payload or ""
     out: dict = {k: None for k in META_FIELDS}
+    claimed: set = set()
+
+    def claim(key: str, value) -> None:
+        # first OCCURRENCE claims the field, even when value -> None
+        if key not in claimed:
+            claimed.add(key)
+            out[key] = _norm(value)
+
     root = parse_dom_htmlparser(src)
-    stack = [iter(root.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-            continue
-        if not isinstance(child, _Node):
-            continue
-        tag = child.tag
-        if tag == "html" and out["lang"] is None:
-            out["lang"] = _norm(child.attrs.get("lang"))
-        elif tag == "title" and out["title"] is None:
-            out["title"] = _norm(_node_text(child, src))
+    for el, _depth in iter_elements(root):
+        tag = el.tag
+        if tag == "html":
+            claim("lang", el.attrs.get("lang"))
+        elif tag == "title":
+            claim("title", subtree_text(el, src))
         elif tag == "meta":
-            content = child.attrs.get("content")
-            name = (child.attrs.get("name") or "").strip().lower()
-            prop = (child.attrs.get("property") or "").strip().lower()
+            name = (el.attrs.get("name") or "").strip().lower()
+            prop = (el.attrs.get("property") or "").strip().lower()
             key = _NAME_KEYS.get(name) or _OG_KEYS.get(prop)
-            if key and out[key] is None:
-                out[key] = _norm(content)
+            if key:
+                claim(key, el.attrs.get("content"))
         elif tag == "link":
-            rels = (child.attrs.get("rel") or "").lower().split()
-            href = child.attrs.get("href")
-            if "canonical" in rels and out["canonical"] is None:
-                out["canonical"] = _norm(href)
-            if "next" in rels and out["rel_next"] is None:
-                out["rel_next"] = _norm(href)
-            if "prev" in rels and out["rel_prev"] is None:
-                out["rel_prev"] = _norm(href)
-            mime = ((child.attrs.get("type") or "")
+            rels = (el.attrs.get("rel") or "").lower().split()
+            href = el.attrs.get("href")
+            if "canonical" in rels:
+                claim("canonical", href)
+            if "next" in rels:
+                claim("rel_next", href)
+            if "prev" in rels:
+                claim("rel_prev", href)
+            mime = ((el.attrs.get("type") or "")
                     .split(";")[0].strip().lower())
-            if ("alternate" in rels and mime in _FEED_MIMES
-                    and out["feed_url"] is None):
-                out["feed_url"] = _norm(href)
-        if child.children:
-            stack.append(iter(child.children))
+            if "alternate" in rels and mime in _FEED_MIMES:
+                claim("feed_url", href)
     if base_url:
         for key in _URL_FIELDS:
             if out[key]:

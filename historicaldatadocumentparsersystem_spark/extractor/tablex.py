@@ -29,7 +29,8 @@ Determinism contract:
 """
 from __future__ import annotations
 
-from .htmlx import _Node, _Text, decode_payload, parse_dom_htmlparser
+from .htmlx import (_Node, decode_payload, iter_elements,
+                    parse_dom_htmlparser, subtree_text)
 
 _CELL_TAGS = ("td", "th")
 
@@ -47,52 +48,26 @@ def _int_attr(node: _Node, name: str) -> int:
 
 def _cell_text(cell: _Node, src: str) -> str:
     """Text of a cell subtree, stopping at nested <table> boundaries."""
-    parts: list[str] = []
-    stack = [iter(cell.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-        elif isinstance(child, _Text):
-            parts.append(src[child.start:child.end])
-        elif child.tag != "table":
-            stack.append(iter(child.children))
-    return " ".join("".join(parts).split())
+    return subtree_text(cell, src, stop_tags=("table",))
 
 
 def _iter_tables(root: _Node):
     """Every <table> node in document order (nested ones included)."""
-    stack = [iter(root.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-            continue
-        if not isinstance(child, _Node):
-            continue
-        if child.tag == "table":
-            yield child
-        if child.children:
-            stack.append(iter(child.children))
+    for el, _depth in iter_elements(root):
+        if el.tag == "table":
+            yield el
 
 
 def _table_cells(table: _Node, src: str):
     """(row_idx, col_idx, is_header, colspan, rowspan, text) for one
-    table, skipping rows/cells of nested tables (they are their own
-    tables)."""
-    rows: list[_Node] = []
-    stack = [iter(table.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-            continue
-        if not isinstance(child, _Node) or child.tag == "table":
-            continue
-        if child.tag == "tr":
-            rows.append(child)
-        if child.children:
-            stack.append(iter(child.children))
+    table, skipping rows/cells of nested tables (their own tables) AND
+    anything wrapped inside a cell (a stray <tr> under <td><div> stays
+    cell text — descending into cells here would double-extract it as
+    both a row and part of its parent cell's text)."""
+    rows = [el for el, _depth in iter_elements(
+                table,
+                descend=lambda e: e.tag not in ("table", "td", "th"))
+            if el.tag == "tr"]
     out = []
     for row_idx, tr in enumerate(rows):
         col_idx = 0

@@ -601,17 +601,22 @@ def meta_pages(n: int, seed: int = 42) -> list[dict]:
     return pages
 
 
-def meta_pages_df(spark, n: int, seed: int = 42,
-                  num_partitions: int = 8):
-    """Spark DataFrame of the meta fixture pages (url, html)."""
+def _pages_df(spark, pages: list[dict], num_partitions: int):
+    """(url, html) Spark frame shared by the satellite fixture sets."""
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType)
     schema = StructType([
         StructField("url", StringType(), False),
         StructField("html", BinaryType(), True),
     ])
-    rows = [(p["url"], p["html"]) for p in meta_pages(n, seed)]
+    rows = [(p["url"], p["html"]) for p in pages]
     return spark.createDataFrame(rows, schema).repartition(num_partitions)
+
+
+def meta_pages_df(spark, n: int, seed: int = 42,
+                  num_partitions: int = 8):
+    """Spark DataFrame of the meta_pages fixture set (url, html)."""
+    return _pages_df(spark, meta_pages(n, seed), num_partitions)
 
 
 def table_pages(n: int, seed: int = 42) -> list[dict]:
@@ -685,16 +690,9 @@ def table_pages(n: int, seed: int = 42) -> list[dict]:
 
 
 def table_pages_df(spark, n: int, seed: int = 42,
-                   num_partitions: int = 8):
-    """Spark DataFrame of the table fixture pages (url, html)."""
-    from pyspark.sql.types import (BinaryType, StringType, StructField,
-                                   StructType)
-    schema = StructType([
-        StructField("url", StringType(), False),
-        StructField("html", BinaryType(), True),
-    ])
-    rows = [(p["url"], p["html"]) for p in table_pages(n, seed)]
-    return spark.createDataFrame(rows, schema).repartition(num_partitions)
+                  num_partitions: int = 8):
+    """Spark DataFrame of the table_pages fixture set (url, html)."""
+    return _pages_df(spark, table_pages(n, seed), num_partitions)
 
 
 def jsonld_pages(n: int, seed: int = 42) -> list[dict]:
@@ -750,13 +748,6 @@ def jsonld_pages(n: int, seed: int = 42) -> list[dict]:
 
 
 def jsonld_pages_df(spark, n: int, seed: int = 42,
-                    num_partitions: int = 8):
-    """Spark DataFrame of the JSON-LD fixture pages (url, html)."""
-    from pyspark.sql.types import (BinaryType, StringType, StructField,
-                                   StructType)
-    schema = StructType([
-        StructField("url", StringType(), False),
-        StructField("html", BinaryType(), True),
-    ])
-    rows = [(p["url"], p["html"]) for p in jsonld_pages(n, seed)]
-    return spark.createDataFrame(rows, schema).repartition(num_partitions)
+                  num_partitions: int = 8):
+    """Spark DataFrame of the jsonld_pages fixture set (url, html)."""
+    return _pages_df(spark, jsonld_pages(n, seed), num_partitions)

@@ -274,7 +274,10 @@ def winnow_near_pairs(df: DataFrame, text_col: str = "text",
     C(cap, 2)), then one equi-join on fingerprint + a count groupBy.
     Never all-pairs.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    # materialize fingerprints once: the freq aggregation and both
+    # sides of the self-join would otherwise re-run the per-position
+    # md5 derivation (the minhash signature-persist pattern)
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).persist()
     freq = (fps.groupBy("fingerprint")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") <= max_fingerprint_doc_freq)

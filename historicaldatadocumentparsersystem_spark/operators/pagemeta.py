@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (BooleanType, IntegerType, StringType,
                                StructField, StructType)
 
@@ -97,7 +98,6 @@ def table_records(cells: DataFrame) -> DataFrame:
     (url, table_idx, col_idx) to attach keys — both plain hash joins
     on the table's natural key, no UDF, no explode.
     """
-    from pyspark.sql import functions as F
     row0 = cells.where(F.col("row_idx") == 0)
     eligible = (row0.groupBy("url", "table_idx")
                 .agg(F.max(F.col("is_header").cast("int")).alias("_h"))
@@ -124,7 +124,6 @@ def canonical_dedup(meta: DataFrame) -> DataFrame:
     shuffle on a short string key, no content hashing; syndicated
     copies that declare the same canonical collapse before MinHash
     ever sees their bytes."""
-    from pyspark.sql import functions as F
     return (meta
             .where(F.col("robots").isNull()
                    | ~F.lower(F.col("robots")).contains("noindex"))
@@ -139,7 +138,6 @@ def table_shapes(cells: DataFrame) -> DataFrame:
     extents, cell count, header-cell count. One map-side-combinable
     groupBy on (url, table_idx) — the feature table a downstream
     'is this a data table or a layout table' gate keys on."""
-    from pyspark.sql import functions as F
     return (cells.groupBy("url", "table_idx")
             .agg((F.max("row_idx") + F.lit(1)).alias("n_rows"),
                  (F.max("col_idx") + F.lit(1)).alias("n_cols"),
@@ -222,7 +220,6 @@ def template_clusters(shapes: DataFrame) -> DataFrame:
     map-side-combinable shuffle on (host, shape_hash). At 100 TB the
     cluster table is |templates|-sized — tiny — and per-host chrome
     stripping joins back on the same key."""
-    from pyspark.sql import functions as F
     from .webtext import url_host
     shape_hash = F.expr(
         "cast(conv(substr(md5(skeleton), 1, 12), 16, 10) as bigint)")

@@ -1250,9 +1250,11 @@ def resolve_revisits(revisits: DataFrame, plan: DataFrame,
 
 # phrase list a crawl pipeline matches against fetched-200 pages that
 # are actually error shells (soft 404s); lowercase substring matches,
-# RE2-free so both engines agree byte-for-byte
-SOFT404_PHRASES = ("page not found", "not found", "access denied",
-                   "forbidden", "does not exist", "no longer available",
+# RE2-free so both engines agree byte-for-byte. The DuckDB oracle
+# OR-chain is GENERATED from this tuple (__spark_entry__) — edit here
+# only. No entry may be a substring of another (it would be dead).
+SOFT404_PHRASES = ("not found", "access denied", "forbidden",
+                   "does not exist", "no longer available",
                    "temporarily unavailable")
 
 

@@ -67,6 +67,22 @@ def test_meta_pagination_and_feed_discovery():
     assert m["feed_url"] == "https://h.example/atom.xml"
 
 
+def test_meta_first_occurrence_claims_even_when_empty():
+    """The first source element claims the field even if its value
+    normalizes to null — a later (boilerplate/attacker-controlled)
+    duplicate can never override an empty placeholder."""
+    m = metax.extract_meta(
+        '<html><head>'
+        '<meta name="description" content=""><meta name="description" '
+        'content="spam wins without claim semantics">'
+        '<title>  </title><title>late title</title>'
+        '<link rel="canonical" href=""><link rel="canonical" href="/x">'
+        '</head></html>', "https://h/")
+    assert m["description"] is None
+    assert m["title"] is None
+    assert m["canonical"] is None
+
+
 def test_meta_empty_values_are_null():
     m = metax.extract_meta(
         '<html lang=""><head><title>  </title>'
@@ -131,6 +147,17 @@ def test_tables_nesting_soup_and_spans():
         (0, 2, 3, False, 1, 1, "junk span"),  # garbage colspan -> 1
         (1, 0, 0, False, 1, 1, "inner"),      # nested = own table_idx
     ]
+
+
+def test_tables_stray_tr_inside_cell_not_double_extracted():
+    """A <tr> wrapped in a non-table element INSIDE a cell stays cell
+    text only — it must not also surface as a row of the outer table
+    (the double-extraction bug the row walk's no-descend-into-cells
+    rule prevents)."""
+    got = tablex.extract_tables(
+        "<table><tr><td>before <div><tr><td>X</td></tr></div>"
+        "</td></tr></table>")
+    assert got == [(0, 0, 0, False, 1, 1, "before X")]
 
 
 def test_tables_malformed_never_raises():
