@@ -513,6 +513,8 @@ _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
                               "golden_jsonld_seed42_n120.parquet")
 _GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
                               "golden_shapes_seed42_n300.parquet")
+_GOLDEN_HREFLANG = os.path.join(_REPO, "fixtures",
+                                "golden_hreflang_seed42_n120.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1046,7 +1048,7 @@ _EXTRA_ORDER = [
     "extract_meta", "extract_tables", "canonical_dedup",
     "table_shape_stats", "winnow_near_pairs", "soft404_gate",
     "table_records", "extract_jsonld", "page_shapes",
-    "template_clusters",
+    "template_clusters", "extract_hreflang",
 ]
 
 
@@ -1782,6 +1784,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagemeta.template_clusters(
             spark.read.parquet(_GOLDEN_SHAPES))
     q["template_clusters"] = q_templates
+
+    # --- hreflang language alternates (mirror-cluster discovery) —
+    # hash-checked against the committed golden hreflang parquet
+    def q_hreflang(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.meta_pages_df(spark, 120)
+        return (pagemeta.extract_hreflang_df(docs)
+                .orderBy("url", "pos"))
+    q["extract_hreflang"] = q_hreflang
 
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
@@ -3649,6 +3661,11 @@ def oracle_sql() -> dict[str, str]:
         "page_shapes": f"""
             SELECT * FROM read_parquet('{_GOLDEN_SHAPES}')
             ORDER BY url""",
+        # hreflang alternates: committed golden parquet pinned by
+        # tests/test_pagemeta.py against the pure re-derivation
+        "extract_hreflang": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_HREFLANG}')
+            ORDER BY url, pos""",
         # template clusters: same host regex as the Spark url_host and
         # the shared 48-bit md5-prefix hash of the skeleton
         "template_clusters": f"""

@@ -119,3 +119,35 @@ def extract_meta(payload, base_url: str | None = None) -> dict:
             if out[key]:
                 out[key] = urljoin(base_url, out[key])
     return out
+
+
+def extract_hreflang(payload, base_url: str | None = None
+                     ) -> list[tuple[int, str, str]]:
+    """(pos, hreflang, href) for every ``<link rel=alternate hreflang>``
+    in document order — the language-mirror map publishers declare
+    (x-default included). Unlike the single-value META_FIELDS this is
+    1->N: one page may declare dozens of language versions; a curation
+    pipeline clusters them so per-language corpora keep ONE member per
+    cluster instead of near-identical navigation chrome in 30 locales.
+
+    hreflang values are lowercased (BCP-47 tags are case-insensitive);
+    hrefs resolve against ``base_url``; entries missing either value
+    are skipped; malformed pages degrade to fewer rows (F5)."""
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        src = decode_payload(bytes(payload))
+    else:
+        src = payload or ""
+    out: list[tuple[int, str, str]] = []
+    for el, _depth in iter_elements(parse_dom_htmlparser(src)):
+        if el.tag != "link":
+            continue
+        rels = (el.attrs.get("rel") or "").lower().split()
+        if "alternate" not in rels:
+            continue
+        lang = (el.attrs.get("hreflang") or "").strip().lower()
+        href = (el.attrs.get("href") or "").strip()
+        if not lang or not href:
+            continue
+        target = urljoin(base_url, href) if base_url else href
+        out.append((len(out), lang, target))
+    return out

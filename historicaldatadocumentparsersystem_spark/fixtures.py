@@ -550,6 +550,10 @@ def meta_pages(n: int, seed: int = 42) -> list[dict]:
                 f'<meta property="og:description" content="{desc}">'
                 f'<meta property="og:url" content="https://{host}/og/page-{i}">'
                 f'<meta property="og:image" content="/img/{i}.png">'
+                f'<link rel="alternate" hreflang="EN-US" href="/meta/page-{i}">'
+                f'<link rel="alternate" hreflang="fr" '
+                f'href="https://fr.{host}/meta/page-{i}">'
+                f'<link rel="alternate" hreflang="x-default" href="/">'
                 f'</head>{body}</html>')
         elif kind == 1:     # case-mixed names, single quotes, no og
             page = (

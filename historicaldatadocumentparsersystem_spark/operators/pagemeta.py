@@ -229,3 +229,33 @@ def template_clusters(shapes: DataFrame) -> DataFrame:
             .groupBy("host", "shape_hash")
             .agg(F.count("*").cast("long").alias("n_pages"),
                  F.min("url").alias("sample_url")))
+
+
+HREFLANG_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("pos", IntegerType(), False),
+    StructField("hreflang", StringType(), False),
+    StructField("href", StringType(), False),
+])
+
+
+def extract_hreflang_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per declared language
+    alternate (url, pos, hreflang, href). Map-only 1->N; downstream,
+    grouping by href yields language-mirror clusters so per-language
+    corpora keep one member instead of 30 near-identical locales."""
+    import pandas as pd
+    from ..extractor import metax
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "pos", "hreflang", "href"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                for entry in metax.extract_hreflang(payload, u):
+                    rows.append((u, *entry))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(batch, HREFLANG_SCHEMA)

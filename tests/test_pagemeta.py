@@ -83,6 +83,40 @@ def test_meta_first_occurrence_claims_even_when_empty():
     assert m["canonical"] is None
 
 
+def test_hreflang_extraction_and_golden():
+    got = metax.extract_hreflang(
+        '<html><head>'
+        '<link rel="alternate" hreflang="EN-us" href="/en">'
+        '<link rel="alternate" hreflang="fr" href="https://fr.h/">'
+        '<link rel="alternate" hreflang="x-default" href="/">'
+        '<link rel="alternate" type="application/rss+xml" href="/feed">'
+        '<link rel="canonical" hreflang="de" href="/de">'
+        '<link rel="alternate" hreflang="" href="/none">'
+        '</head></html>', "https://h.example/p")
+    assert got == [(0, "en-us", "https://h.example/en"),
+                   (1, "fr", "https://fr.h/"),
+                   (2, "x-default", "https://h.example/")]
+    golden = [(r["url"], r["pos"], r["hreflang"], r["href"])
+              for r in pq.read_table(
+                  "fixtures/golden_hreflang_seed42_n120.parquet").to_pylist()]
+    fresh = []
+    for p in fixtures.meta_pages(120):
+        if p["html"]:
+            fresh += [(p["url"], *e) for e in
+                      metax.extract_hreflang(p["html"], p["url"])]
+    fresh.sort(key=lambda r: (r[0], r[1]))
+    assert golden == fresh
+
+
+def test_hreflang_df_structural_identity(spark):
+    got = sorted(tuple(r) for r in pagemeta.extract_hreflang_df(
+        fixtures.meta_pages_df(spark, 40)).collect())
+    pure = sorted((p["url"], *e) for p in fixtures.meta_pages(40)
+                  if p["html"]
+                  for e in metax.extract_hreflang(p["html"], p["url"]))
+    assert got == pure and got
+
+
 def test_meta_empty_values_are_null():
     m = metax.extract_meta(
         '<html lang=""><head><title>  </title>'
