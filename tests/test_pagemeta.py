@@ -334,6 +334,29 @@ def test_table_records_header_pivot(spark):
                    (0, 0, 2, "col2", "overflow")]
 
 
+def test_composition_plans(spark):
+    """Plan pins for the composed ops: canonical_dedup is ONE exchange
+    over its input; table_records joins stay hash joins (no
+    nested-loop); template_clusters adds exactly one exchange."""
+    meta = spark.read.parquet("fixtures/golden_meta_seed42_n120.parquet")
+    plan = pagemeta.canonical_dedup(meta)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    cells = spark.read.parquet(
+        "fixtures/golden_tables_seed42_n120.parquet")
+    plan = pagemeta.table_records(cells)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    shapes = spark.read.parquet(
+        "fixtures/golden_shapes_seed42_n300.parquet")
+    plan = pagemeta.template_clusters(shapes)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_meta_df_plan_is_map_only(spark):
     """The operator adds zero shuffles over its input (the fixture df
     itself carries one round-robin repartition Exchange)."""
