@@ -1048,7 +1048,7 @@ _EXTRA_ORDER = [
     "extract_meta", "extract_tables", "canonical_dedup",
     "table_shape_stats", "winnow_near_pairs", "soft404_gate",
     "table_records", "extract_jsonld", "page_shapes",
-    "template_clusters", "extract_hreflang",
+    "template_clusters", "extract_hreflang", "page_artifacts_stats",
 ]
 
 
@@ -1794,6 +1794,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pagemeta.extract_hreflang_df(docs)
                 .orderBy("url", "pos"))
     q["extract_hreflang"] = q_hreflang
+
+    # --- one-parse combined artifact pass — SQL-checked by CROSSING
+    # two independent goldens: per-page family sizes from the single
+    # parse must match golden_links counts joined onto golden_shapes
+    def q_artifacts(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.corpus_df(spark, 300, num_partitions=8)
+        a = pagemeta.page_artifacts(docs)
+        return a.select(
+            "url",
+            F.size("links").cast("long").alias("n_links"),
+            F.size("cells").cast("long").alias("n_table_cells"),
+            F.size("jsonld").cast("long").alias("n_jsonld"),
+            "n_tags", "max_depth", "truncated")
+    q["page_artifacts_stats"] = q_artifacts
 
     # --- host-level PageRank (integer fixed-point, 3 iterations) —
     # SQL-checked bit-for-bit: the oracle unrolls the same iterations
@@ -3666,6 +3682,21 @@ def oracle_sql() -> dict[str, str]:
         "extract_hreflang": f"""
             SELECT * FROM read_parquet('{_GOLDEN_HREFLANG}')
             ORDER BY url, pos""",
+        # one-parse artifact pass vs TWO independent goldens: link
+        # counts from golden_links, skeleton stats from golden_shapes;
+        # the seed-42 corpus carries no tables/JSON-LD (the literal
+        # zeros are load-bearing — they fail loudly if the corpus
+        # fixture ever grows those elements)
+        "page_artifacts_stats": f"""
+            SELECT s.url,
+                   coalesce(l.c, 0)::bigint AS n_links,
+                   0::bigint AS n_table_cells,
+                   0::bigint AS n_jsonld,
+                   s.n_tags, s.max_depth, s.truncated
+            FROM read_parquet('{_GOLDEN_SHAPES}') s
+            LEFT JOIN (SELECT url, count(*)::bigint AS c
+                       FROM read_parquet('{_GOLDEN_LINKS}')
+                       GROUP BY url) l USING (url)""",
         # template clusters: same host regex as the Spark url_host and
         # the shared 48-bit md5-prefix hash of the skeleton
         "template_clusters": f"""

@@ -56,7 +56,11 @@ def extract_jsonld(payload) -> list[tuple[int, str, bool,
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    root = parse_dom_htmlparser(src)
+    return jsonld_from_root(parse_dom_htmlparser(src), src)
+
+
+def jsonld_from_root(root, src: str) -> list[tuple]:
+    """extract_jsonld over an already-parsed tree."""
     out = []
     for el, _depth in iter_elements(root):
         if el.tag == "script" and _is_ldjson(el):

@@ -48,7 +48,12 @@ def extract_links(payload, base_url: str | None = None
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    root = parse_dom_htmlparser(src)
+    return links_from_root(parse_dom_htmlparser(src), src, base_url)
+
+
+def links_from_root(root, src: str, base_url: str | None = None
+                    ) -> list[tuple[int, str, str]]:
+    """extract_links over an already-parsed tree."""
     out: list[tuple[int, str, str]] = []
     for el, _depth in iter_elements(root):
         if el.tag == "a":

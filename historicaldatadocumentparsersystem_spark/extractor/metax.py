@@ -79,6 +79,12 @@ def extract_meta(payload, base_url: str | None = None) -> dict:
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
+    return meta_from_root(parse_dom_htmlparser(src), src, base_url)
+
+
+def meta_from_root(root, src: str, base_url: str | None = None) -> dict:
+    """extract_meta over an already-parsed tree (the one-parse
+    page_artifacts path shares the DOM across artifact families)."""
     out: dict = {k: None for k in META_FIELDS}
     claimed: set = set()
 
@@ -88,7 +94,6 @@ def extract_meta(payload, base_url: str | None = None) -> dict:
             claimed.add(key)
             out[key] = _norm(value)
 
-    root = parse_dom_htmlparser(src)
     for el, _depth in iter_elements(root):
         tag = el.tag
         if tag == "html":
@@ -137,8 +142,14 @@ def extract_hreflang(payload, base_url: str | None = None
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
+    return hreflang_from_root(parse_dom_htmlparser(src), base_url)
+
+
+def hreflang_from_root(root, base_url: str | None = None
+                       ) -> list[tuple[int, str, str]]:
+    """extract_hreflang over an already-parsed tree."""
     out: list[tuple[int, str, str]] = []
-    for el, _depth in iter_elements(parse_dom_htmlparser(src)):
+    for el, _depth in iter_elements(root):
         if el.tag != "link":
             continue
         rels = (el.attrs.get("rel") or "").lower().split()

@@ -89,7 +89,11 @@ def extract_tables(payload) -> list[tuple]:
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    root = parse_dom_htmlparser(src)
+    return tables_from_root(parse_dom_htmlparser(src), src)
+
+
+def tables_from_root(root, src: str) -> list[tuple]:
+    """extract_tables over an already-parsed tree."""
     out: list[tuple] = []
     for table_idx, table in enumerate(_iter_tables(root)):
         for cell in _table_cells(table, src):

@@ -259,3 +259,79 @@ def extract_hreflang_df(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select("url", "html").mapInPandas(batch, HREFLANG_SCHEMA)
+
+
+def _artifacts_schema() -> StructType:
+    from pyspark.sql.types import ArrayType
+    from ..extractor import metax
+    meta_struct = StructType(
+        [StructField(f, StringType(), True) for f in metax.META_FIELDS])
+    link_struct = StructType([
+        StructField("link_pos", IntegerType(), False),
+        StructField("href", StringType(), False),
+        StructField("anchor", StringType(), False)])
+    hreflang_struct = StructType([
+        StructField("pos", IntegerType(), False),
+        StructField("hreflang", StringType(), False),
+        StructField("href", StringType(), False)])
+    cell_struct = StructType([
+        StructField("table_idx", IntegerType(), False),
+        StructField("row_idx", IntegerType(), False),
+        StructField("col_idx", IntegerType(), False),
+        StructField("is_header", BooleanType(), False),
+        StructField("colspan", IntegerType(), False),
+        StructField("rowspan", IntegerType(), False),
+        StructField("cell_text", StringType(), False)])
+    jsonld_struct = StructType([
+        StructField("block_idx", IntegerType(), False),
+        StructField("json_text", StringType(), False),
+        StructField("valid", BooleanType(), False),
+        StructField("root_type", StringType(), True),
+        StructField("schema_context", StringType(), True)])
+    return StructType([
+        StructField("url", StringType(), False),
+        StructField("meta", meta_struct, False),
+        StructField("hreflang", ArrayType(hreflang_struct), False),
+        StructField("links", ArrayType(link_struct), False),
+        StructField("cells", ArrayType(cell_struct), False),
+        StructField("jsonld", ArrayType(jsonld_struct), False),
+        StructField("skeleton", StringType(), False),
+        StructField("n_tags", IntegerType(), False),
+        StructField("max_depth", IntegerType(), False),
+        StructField("truncated", BooleanType(), False),
+    ])
+
+
+ARTIFACTS_SCHEMA = _artifacts_schema()
+
+
+def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
+    """ALL artifact families from ONE decode + ONE DOM parse per page
+    (extractor/pagex.py) — the combined pass a pipeline runs when it
+    wants several artifact tables: at 100 TB the parse dominates, so
+    five separate satellite passes pay ~5x this cost. One row per
+    page; array<struct> per family; downstream explodes only what it
+    consumes. Outputs are definitionally identical to the individual
+    operators (same *_from_root functions, equivalence pytest-pinned)."""
+    import pandas as pd
+    from ..extractor import metax, pagex
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
+                "skeleton", "n_tags", "max_depth", "truncated"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                a = pagex.extract_page_artifacts(payload, u, max_tags)
+                rows.append((
+                    u,
+                    tuple(a["meta"][f] for f in metax.META_FIELDS),
+                    a["hreflang"], a["links"], a["cells"], a["jsonld"],
+                    a["skeleton"], a["n_tags"], a["max_depth"],
+                    a["truncated"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(
+        batch, ARTIFACTS_SCHEMA)

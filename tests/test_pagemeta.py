@@ -334,6 +334,47 @@ def test_table_records_header_pivot(spark):
                    (0, 0, 2, "col2", "overflow")]
 
 
+def test_page_artifacts_equals_individual_extractors():
+    """The one-parse combined pass is definitionally identical to the
+    five individual extractors on every fixture family."""
+    from historicaldatadocumentparsersystem_spark.extractor import (
+        jsonldx, linkx, pagex, shapex, tablex)
+    pages = ([(r["url"], r["html"]) for r in fixtures.generate_rows(80)]
+             + [(p["url"], p["html"]) for p in fixtures.meta_pages(40)]
+             + [(p["url"], p["html"]) for p in fixtures.table_pages(40)]
+             + [(p["url"], p["html"]) for p in fixtures.jsonld_pages(40)])
+    n_checked = 0
+    for url, html in pages:
+        if not html:
+            continue
+        a = pagex.extract_page_artifacts(html, url)
+        assert a["meta"] == metax.extract_meta(html, url), url
+        assert a["hreflang"] == metax.extract_hreflang(html, url), url
+        assert a["links"] == linkx.extract_links(html, url), url
+        assert a["cells"] == tablex.extract_tables(html), url
+        assert a["jsonld"] == jsonldx.extract_jsonld(html), url
+        sk = shapex.dom_skeleton(html)
+        assert (a["skeleton"], a["n_tags"], a["max_depth"],
+                a["truncated"]) == sk, url
+        n_checked += 1
+    assert n_checked > 150
+
+
+def test_page_artifacts_df_spark_level(spark):
+    from historicaldatadocumentparsersystem_spark.extractor import pagex
+    docs = fixtures.table_pages_df(spark, 24)
+    rows = {r["url"]: r for r in pagemeta.page_artifacts(docs).collect()}
+    for p in fixtures.table_pages(24):
+        if not p["html"]:
+            assert p["url"] not in rows
+            continue
+        a = pagex.extract_page_artifacts(p["html"], p["url"])
+        r = rows[p["url"]]
+        assert [tuple(c) for c in r["cells"]] == a["cells"]
+        assert r["skeleton"] == a["skeleton"]
+        assert r["meta"]["title"] == a["meta"]["title"]
+
+
 def test_composition_plans(spark):
     """Plan pins for the composed ops: canonical_dedup is ONE exchange
     over its input; table_records joins stay hash joins (no
