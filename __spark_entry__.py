@@ -999,16 +999,22 @@ _DRIVER_ORDER = [
     # kept: the flagship + every row that is the sole driver witness for
     # a SURVEY §2 family (extraction, dedup/ANN, quality gates, link
     # graph, chunking, time-series joins)
-    "extract_corpus", "event_sessions", "asof_join",
-    "bbox_overlap_pairs", "hypertable_rollup",
-    "lang_id_trigram", "image_resize_stats", "gopher_rules",
-    "c4_line_filter", "dup_span_removal", "quality_classifier",
+    "extract_corpus", "asof_join",
+    "lang_id_trigram", "image_resize_stats",
+    "dup_span_removal", "quality_classifier",
     "extract_links", "host_pagerank",
-    "text_profile", "repetition_profile", "exact_dedup",
-    "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
-    "dedup_clusters", "cosine_topk", "line_dedup", "url_normalize",
-    "tfidf_top_terms", "unigram_logppl", "host_stats_salted",
+    "text_profile", "repetition_profile",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dedup_clusters", "line_dedup",
+    "tfidf_top_terms", "host_stats_salted",
     "chunk_token_budget", "embedding_near_dup", "lsh_topk", "ivf_topk",
+    # round-4 late rotation: first-ever driver rows for the new
+    # page-structure family + dedup/gate additions (each swapped-out
+    # row is multi-round driver-green and its family keeps a witness)
+    "extract_meta", "extract_tables", "table_records",
+    "extract_jsonld", "page_shapes", "template_clusters",
+    "canonical_dedup", "winnow_near_pairs", "soft404_gate",
+    "page_artifacts_stats",
 ]
 _EXTRA_ORDER = [
     # driver-green in earlier rounds; demoted so never-driver-checked
@@ -1045,10 +1051,12 @@ _EXTRA_ORDER = [
     "resolve_revisits", "lang_id_margin",
     # round-4 late additions
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
-    "extract_meta", "extract_tables", "canonical_dedup",
-    "table_shape_stats", "winnow_near_pairs", "soft404_gate",
-    "table_records", "extract_jsonld", "page_shapes",
-    "template_clusters", "extract_hreflang", "page_artifacts_stats",
+    "table_shape_stats", "extract_hreflang",
+    # demoted in the round-4 late rotation (multi-round driver-green)
+    "event_sessions", "bbox_overlap_pairs", "hypertable_rollup",
+    "gopher_rules", "c4_line_filter", "exact_dedup",
+    "simhash_near_pairs", "cosine_topk", "unigram_logppl",
+    "url_normalize",
 ]
 
 
