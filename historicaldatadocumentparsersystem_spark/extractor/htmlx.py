@@ -302,8 +302,45 @@ _ID_RE = re.compile(
 # (html.parser's CDATA content mode — without this, markup inside
 # <script> would corrupt the stack)
 _RAWTEXT = ("script", "style", "textarea", "title")
+_RAWTEXT_CDATA = ("script", "style")  # stdlib CDATA_CONTENT_ELEMENTS
 _RAWTEXT_CLOSE = {t: re.compile(rf"</{t}(?=[\s/>])|</{t}$|</{t}>", re.I)
                   for t in _RAWTEXT}
+
+
+_ATTR_SEP = re.compile(r"(?:\s|/(?!>))*")
+
+
+def _attr_dict_full(raw: str) -> dict:
+    """Full attribute dict with stdlib-html.parser semantics,
+    bit-for-bit: the SAME tolerant regex (imported from html.parser),
+    same quote stripping, same entity unescape, None for bare
+    attributes, lowercased names, last duplicate wins (html.parser
+    appends pairs; our builder dict()s them). Used by the full_attrs
+    scanner mode the satellite extractors run on — equality with the
+    reference builder is pinned by the attr A/B test."""
+    from html import unescape
+    from html.parser import attrfind_tolerant
+    attrs: dict = {}
+    i = _ATTR_SEP.match(raw).end()
+    n = len(raw)
+    while i < n:
+        m = attrfind_tolerant.match(raw, i)
+        if not m:
+            break
+        name, rest, value = m.group(1, 2, 3)
+        if not rest:
+            value = None
+        else:
+            if (value[:1] == "'" == value[-1:]
+                    or value[:1] == '"' == value[-1:]):
+                value = value[1:-1]
+            if value:
+                value = unescape(value)
+        attrs[name.lower()] = value
+        if m.end() == i:
+            break
+        i = m.end()
+    return attrs
 
 
 def _attr_dict(raw: str) -> dict:
@@ -319,7 +356,7 @@ def _attr_dict(raw: str) -> dict:
     return attrs
 
 
-def parse_dom(src: str) -> _Node:
+def parse_dom(src: str, full_attrs: bool = False) -> _Node:
     root = _Node("#root", {}, None, 0)
     stack = [root]
     order = 0
@@ -371,9 +408,11 @@ def parse_dom(src: str) -> _Node:
             # caught by the adversarial A/B corpus)
             attrs = {}
             if raw_attrs:
+                if full_attrs:
+                    attrs = _attr_dict_full(raw_attrs)
                 # fast path: lowercase source (the overwhelming case)
                 # needs no .lower() allocation; mixed-case pays one
-                if "class" in raw_attrs or "id" in raw_attrs:
+                elif "class" in raw_attrs or "id" in raw_attrs:
                     attrs = _attr_dict(raw_attrs)
                 elif not raw_attrs.islower():
                     low = raw_attrs.lower()
@@ -384,7 +423,12 @@ def parse_dom(src: str) -> _Node:
             if first_title is None and tag == "title":
                 first_title = node
             if not self_closing and tag not in VOID_TAGS:
-                if tag in _RAWTEXT:
+                # full_attrs mode mirrors stdlib html.parser exactly:
+                # CDATA content applies to script/style ONLY (title/
+                # textarea markup is parsed as elements there, and the
+                # satellite goldens pin that reading); the default
+                # extraction mode keeps the wider RAWTEXT set
+                if tag in (_RAWTEXT_CDATA if full_attrs else _RAWTEXT):
                     cm = _RAWTEXT_CLOSE[tag].search(src, pos)
                     body_end = cm.start() if cm else n
                     if body_end > pos:

@@ -7,7 +7,7 @@ Recipe/FAQ records that large-scale pipelines mine as aligned
 per-document metadata; this is the corpus-level pass over the same
 DOM for the embedded structured blocks.
 
-Built on ``htmlx.parse_dom_htmlparser`` like linkx/metax (script is a
+Built on the fast scanner's full-attribute mode like linkx/metax (script is a
 RAWTEXT element there, so the block body is one text child with exact
 source offsets). This module is the correctness oracle: the Spark
 operator (``operators/pagemeta.py:extract_jsonld_df``) calls these
@@ -32,7 +32,7 @@ from __future__ import annotations
 import json
 
 from .htmlx import (_Node, _Text, decode_payload, iter_elements,
-                    parse_dom_htmlparser)
+                    parse_dom)
 
 
 def _is_ldjson(node: _Node) -> bool:
@@ -56,7 +56,7 @@ def extract_jsonld(payload) -> list[tuple[int, str, bool,
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    return jsonld_from_root(parse_dom_htmlparser(src), src)
+    return jsonld_from_root(parse_dom(src, full_attrs=True), src)
 
 
 def jsonld_from_root(root, src: str) -> list[tuple]:

@@ -7,8 +7,9 @@ signals. The reference's loader follows links one page at a time
 (its web loader fetches a url and parses the DOM); this is the
 corpus-level pass over the same DOM.
 
-Built on ``htmlx.parse_dom_htmlparser`` (the stdlib-backed A/B
-reference parser) because link extraction needs FULL attribute dicts
+Built on the fast scanner's full-attribute mode (node-identical to
+the stdlib A/B reference parser) because link extraction needs FULL
+attribute dicts
 — the fast scanner's ``_attr_dict`` deliberately parses only
 class/id for Arc90 classification. Link extraction is a separate
 cold-path operator, not part of the flagship extraction stage, so the
@@ -23,7 +24,7 @@ from __future__ import annotations
 from urllib.parse import urljoin
 
 from .htmlx import (_Node, decode_payload, iter_elements,
-                    parse_dom_htmlparser, subtree_text)
+                    parse_dom, subtree_text)
 
 # schemes that are not navigable document links
 _SKIP_PREFIXES = ("javascript:", "mailto:", "tel:", "data:")
@@ -48,7 +49,7 @@ def extract_links(payload, base_url: str | None = None
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    return links_from_root(parse_dom_htmlparser(src), src, base_url)
+    return links_from_root(parse_dom(src, full_attrs=True), src, base_url)
 
 
 def links_from_root(root, src: str, base_url: str | None = None

@@ -9,7 +9,8 @@ reference's loader surfaces page title/metadata alongside the body
 (its web loader keeps the document title in metadata); this is the
 corpus-level pass over the same DOM.
 
-Built on ``htmlx.parse_dom_htmlparser`` like ``linkx`` — metadata
+Built on the fast scanner's full-attribute mode (node-identical
+to stdlib html.parser, pinned by the attr A/B) — metadata
 lives in attributes, and the fast scanner's ``_attr_dict``
 deliberately parses only class/id. Cold-path operator: the ~2x parser
 cost is paid only where metadata is actually wanted.
@@ -39,7 +40,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from .htmlx import (decode_payload, iter_elements, parse_dom_htmlparser,
+from .htmlx import (decode_payload, iter_elements, parse_dom,
                     subtree_text)
 
 # output field order — the single source of truth shared by the Spark
@@ -79,7 +80,7 @@ def extract_meta(payload, base_url: str | None = None) -> dict:
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    return meta_from_root(parse_dom_htmlparser(src), src, base_url)
+    return meta_from_root(parse_dom(src, full_attrs=True), src, base_url)
 
 
 def meta_from_root(root, src: str, base_url: str | None = None) -> dict:
@@ -142,7 +143,7 @@ def extract_hreflang(payload, base_url: str | None = None
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    return hreflang_from_root(parse_dom_htmlparser(src), base_url)
+    return hreflang_from_root(parse_dom(src, full_attrs=True), base_url)
 
 
 def hreflang_from_root(root, base_url: str | None = None

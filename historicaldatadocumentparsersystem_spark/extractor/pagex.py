@@ -15,7 +15,7 @@ explodes only the families it consumes.
 """
 from __future__ import annotations
 
-from .htmlx import decode_payload, parse_dom_htmlparser
+from .htmlx import decode_payload, parse_dom
 from .jsonldx import jsonld_from_root
 from .linkx import links_from_root
 from .metax import hreflang_from_root, meta_from_root
@@ -32,7 +32,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    root = parse_dom_htmlparser(src)
+    root = parse_dom(src, full_attrs=True)
     skeleton, n_tags, max_depth, truncated = skeleton_from_root(
         root, max_tags)
     return {

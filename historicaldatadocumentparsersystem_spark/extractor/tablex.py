@@ -8,7 +8,7 @@ document loaders surface per-element structure (its partitioners
 yield Table elements); this is the corpus-level pass producing one
 row per cell so downstream SQL can pivot/filter.
 
-Built on ``htmlx.parse_dom_htmlparser`` like linkx/metax (the tree
+Built on the fast scanner's full-attribute mode like linkx/metax (the tree
 builder already auto-closes the tr/td/th soup of real-world markup).
 This module is the correctness oracle: the Spark operator
 (``operators/pagemeta.py:extract_tables_df``) calls these functions
@@ -30,7 +30,7 @@ Determinism contract:
 from __future__ import annotations
 
 from .htmlx import (_Node, decode_payload, iter_elements,
-                    parse_dom_htmlparser, subtree_text)
+                    parse_dom, subtree_text)
 
 _CELL_TAGS = ("td", "th")
 
@@ -89,7 +89,7 @@ def extract_tables(payload) -> list[tuple]:
         src = decode_payload(bytes(payload))
     else:
         src = payload or ""
-    return tables_from_root(parse_dom_htmlparser(src), src)
+    return tables_from_root(parse_dom(src, full_attrs=True), src)
 
 
 def tables_from_root(root, src: str) -> list[tuple]:

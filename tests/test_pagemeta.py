@@ -334,6 +334,41 @@ def test_table_records_header_pivot(spark):
                    (0, 0, 2, "col2", "overflow")]
 
 
+def test_full_attr_scanner_tree_equals_htmlparser():
+    """The fast scanner's full_attrs mode must be NODE-IDENTICAL to
+    the stdlib html.parser reference builder — tags, complete attr
+    dicts (entity-unescaped values, None bare attrs, lowercased
+    names), and text slices — on every HTML fixture family plus the
+    adversarial corpus. Binary junk (pdf/garbage payloads) is
+    excluded: the two tokenizers read garbage pseudo-tags differently
+    and the satellite goldens pin the scanner's reading there."""
+    from historicaldatadocumentparsersystem_spark.extractor import htmlx
+
+    def sig(root, src):
+        out, stack = [], [root]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, htmlx._Text):
+                out.append(("#text", src[n.start:n.end]))
+                continue
+            out.append((n.tag, tuple(sorted(n.attrs.items()))))
+            stack.extend(reversed(n.children))
+        return out
+
+    pages = [(r["html"], r["url"]) for r in fixtures.generate_rows(150)
+             if r["html"] and fixtures.row_class(
+                 int(r["url"].rsplit("-", 1)[1])).startswith("html")]
+    for fam in (fixtures.meta_pages, fixtures.table_pages,
+                fixtures.jsonld_pages):
+        pages += [(p["html"], p["url"]) for p in fam(60) if p["html"]]
+    pages += [(p, f"adv-{i}") for i, p in
+              enumerate(fixtures.adversarial_html_pages(120))]
+    for payload, label in pages:
+        src = htmlx.decode_payload(payload)
+        assert (sig(htmlx.parse_dom(src, full_attrs=True), src)
+                == sig(htmlx.parse_dom_htmlparser(src), src)), label
+
+
 def test_page_artifacts_equals_individual_extractors():
     """The one-parse combined pass is definitionally identical to the
     five individual extractors on every fixture family."""
