@@ -239,3 +239,45 @@ def read_frontier(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return spark.read.parquet(f"{out_dir}/frontier")
     except Exception:
         return None
+
+
+# --- streaming page artifacts ---------------------------------------------------
+
+def artifacts_stream(spark: SparkSession, source_dir: str, out_dir: str,
+                     max_files_per_trigger: int = 8):
+    """File-source stream of documents parquet -> one-parse page
+    artifacts (operators/pagemeta.page_artifacts) per micro-batch.
+
+    Replay-safe without lineage: the output partitions by batch_id and
+    writes with dynamic partition overwrite, so a replayed batch
+    rewrites exactly its own partition with identical deterministic
+    rows. Per-row transform, no event-time agg -> no watermark needed
+    (the extraction_stream rationale)."""
+    from ..operators import pagemeta
+    docs = (spark.readStream
+            .schema("url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        session.conf.set("spark.sql.sources.partitionOverwriteMode",
+                         "dynamic")
+        (pagemeta.page_artifacts(batch_df)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{out_dir}/artifacts"))
+
+    return (docs.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out_dir}/_checkpoint"))
+
+
+def run_artifacts_stream_once(spark: SparkSession, source_dir: str,
+                              out_dir: str,
+                              max_files_per_trigger: int = 8) -> None:
+    """Process all available input once (trigger=availableNow)."""
+    q = (artifacts_stream(spark, source_dir, out_dir,
+                          max_files_per_trigger)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

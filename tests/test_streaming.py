@@ -131,3 +131,35 @@ def test_discovery_stream_from_feeds(spark, tmp_path):
     assert {r["urlkey"] for r in f2.collect()} == f1 | {"io,blog)/n2"}
     assert f2.groupBy("urlkey").count().agg(
         {"count": "max"}).collect()[0][0] == 1
+
+
+def test_artifacts_stream_equals_batch(spark, tmp_path):
+    """Streaming one-parse artifacts == the batch operator over the
+    same documents, and a replayed run is idempotent (batch_id
+    partitions rewrite themselves via dynamic overwrite)."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.operators import pagemeta
+    from historicaldatadocumentparsersystem_spark.streaming.stream import (
+        run_artifacts_stream_once)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    docs = fixtures.corpus_df(spark, 80, num_partitions=4)
+    docs.write.parquet(src)
+
+    run_artifacts_stream_once(spark, src, out, max_files_per_trigger=2)
+    streamed = spark.read.parquet(f"{out}/artifacts")
+    batch = pagemeta.page_artifacts(spark.read.parquet(src))
+
+    key = lambda r: r["url"]
+    srows = sorted(streamed.drop("batch_id").collect(), key=key)
+    brows = sorted(batch.collect(), key=key)
+    assert srows == brows and len(srows) > 60
+
+    # replay with a fresh checkpoint: same deterministic partitions
+    import shutil
+    shutil.rmtree(f"{out}/_checkpoint")
+    run_artifacts_stream_once(spark, src, out, max_files_per_trigger=2)
+    again = sorted(spark.read.parquet(f"{out}/artifacts")
+                   .drop("batch_id").collect(), key=key)
+    assert again == brows
