@@ -509,6 +509,8 @@ _GOLDEN_META = os.path.join(_REPO, "fixtures",
                             "golden_meta_seed42_n120.parquet")
 _GOLDEN_TABLES = os.path.join(_REPO, "fixtures",
                               "golden_tables_seed42_n120.parquet")
+_GOLDEN_CHARSET = os.path.join(_REPO, "fixtures",
+                               "golden_charset_seed42_n120.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
                               "golden_jsonld_seed42_n120.parquet")
 _GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
@@ -1052,6 +1054,7 @@ _EXTRA_ORDER = [
     # round-4 late additions
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "table_shape_stats", "extract_hreflang",
+    "encoding_profile", "charset_stats", "encoding_gate",
     # demoted in the round-4 late rotation (multi-round driver-green)
     "event_sessions", "bbox_overlap_pairs", "hypertable_rollup",
     "gopher_rules", "c4_line_filter", "exact_dedup",
@@ -1724,6 +1727,48 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = fixtures.meta_pages_df(spark, 120)
         return pagemeta.extract_meta_df(docs).orderBy("url")
     q["extract_meta"] = q_meta
+
+    # --- charset diagnostics + mojibake repair (the byte-level decode
+    # explanation layer) — hash-checked against the committed golden
+    # charset parquet (same oracle pattern as extract_links: the Spark
+    # UDF calls the Spark-free extractor/charsetx.py)
+    def q_encoding(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            encoding)
+        docs = fixtures.charset_pages_df(spark, 120)
+        return encoding.encoding_profile_df(docs).orderBy("url")
+    q["encoding_profile"] = q_encoding
+
+    # --- charset mix rollup — reads the GOLDEN on both sides
+    # (profile==golden is proven by encoding_profile; this isolates the
+    # rollup a crawl operator actually dashboards: decode source mix,
+    # lossy-decode damage, repair and mis-declaration counts)
+    def q_charset_stats(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_CHARSET)
+        return (g.groupBy("charset", "source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_replacements").cast("long")
+                     .alias("total_replacements"),
+                     F.sum(F.when(F.col("mojibake_passes") > 0, 1)
+                           .otherwise(0)).cast("long").alias("n_repaired"),
+                     F.sum(F.when(F.col("declared_ok") == False, 1)  # noqa: E712
+                           .otherwise(0)).cast("long")
+                     .alias("n_misdeclared"))
+                .orderBy("charset", "source"))
+    q["charset_stats"] = q_charset_stats
+
+    # --- encoding quality gate — golden on both sides (same isolation
+    # rationale): route documents to keep / repair-and-keep / transcode
+    def q_encoding_gate(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_CHARSET)
+        return (g.select(
+            "url", "charset",
+            (F.col("mojibake_passes") > 0).alias("repaired"),
+            ((F.col("n_replacements") == 0)
+             & (F.col("moji_hits_after") == 0)).alias("keep"),
+            (F.col("charset") != "utf-8").alias("needs_transcode"))
+            .orderBy("url"))
+    q["encoding_gate"] = q_encoding_gate
 
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
@@ -3648,6 +3693,32 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_pagemeta.py against the pure re-derivation
         "extract_meta": f"""
             SELECT * FROM read_parquet('{_GOLDEN_META}')
+            ORDER BY url""",
+        # charset diagnostics: committed golden parquet pinned by
+        # tests/test_charset.py against the pure re-derivation
+        "encoding_profile": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_CHARSET}')
+            ORDER BY url""",
+        # charset mix rollup: golden on both sides (profile==golden is
+        # proven by encoding_profile; this checks the rollup alone)
+        "charset_stats": f"""
+            SELECT charset, source,
+                   count(*)::bigint AS n_docs,
+                   sum(n_replacements)::bigint AS total_replacements,
+                   sum(CASE WHEN mojibake_passes > 0 THEN 1 ELSE 0
+                       END)::bigint AS n_repaired,
+                   sum(CASE WHEN declared_ok = false THEN 1 ELSE 0
+                       END)::bigint AS n_misdeclared
+            FROM read_parquet('{_GOLDEN_CHARSET}')
+            GROUP BY charset, source
+            ORDER BY charset, source""",
+        # encoding gate: golden on both sides (same isolation)
+        "encoding_gate": f"""
+            SELECT url, charset,
+                   mojibake_passes > 0 AS repaired,
+                   (n_replacements = 0 AND moji_hits_after = 0) AS keep,
+                   charset <> 'utf-8' AS needs_transcode
+            FROM read_parquet('{_GOLDEN_CHARSET}')
             ORDER BY url""",
         # table cells: committed golden parquet pinned by
         # tests/test_pagemeta.py against the pure re-derivation

@@ -755,3 +755,78 @@ def jsonld_pages_df(spark, n: int, seed: int = 42,
                   num_partitions: int = 8):
     """Spark DataFrame of the jsonld_pages fixture set (url, html)."""
     return _pages_df(spark, jsonld_pages(n, seed), num_partitions)
+
+
+# --- charset / mojibake fixture pages -----------------------------------------
+
+def charset_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html-bytes) pages exercising the charset
+    diagnostics + mojibake repair family (extractor/charsetx.py):
+    BOM'd UTF-8/UTF-16, correctly-declared windows-1252 and latin-1
+    byte payloads, UTF-8-read-as-cp1252 mojibake (single and double
+    mangling), mis-declared payloads with invalid bytes, plain
+    ASCII-safe pages and empty payloads. Feeds its own golden
+    (fixtures/golden_charset_seed42_n*.parquet), same isolation
+    rationale as meta_pages. Accented chars avoid cp1252's five holes
+    so the mangled forms stay losslessly representable (the realistic
+    browser path; hole-crossing bytes are covered by unit tests)."""
+    accents = ("café", "über", "niño", "árbol",
+               "prêt", "—dash—", "…", "€99",
+               "‘quote’", "“led”")
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 179424673, i)
+        host = _HOSTS[(i * 2654435761) % len(_HOSTS)]
+        url = f"https://{host}/charset/page-{i}"
+        kind = i % 8
+        deco = " ".join(rng.choice(accents) for _ in range(3))
+        body_txt = f"{_paragraph(rng, 2, 4)} {deco} {_sentence(rng, 4, 9)}"
+        if kind == 0:       # undeclared UTF-8 (the default path)
+            page = (f"<html><head><title>{_sentence(rng, 3, 6)}</title>"
+                    f"</head><body><p>{body_txt}</p></body></html>")
+            payload = page.encode("utf-8")
+        elif kind == 1:     # UTF-8 BOM + matching declaration
+            page = (f'<html><head><meta charset="utf-8"></head>'
+                    f"<body><p>{body_txt}</p></body></html>")
+            payload = b"\xef\xbb\xbf" + page.encode("utf-8")
+        elif kind == 2:     # UTF-16-LE BOM (declaration unreadable)
+            page = (f"<html><head></head><body><p>{body_txt}</p>"
+                    f"</body></html>")
+            payload = b"\xff\xfe" + page.encode("utf-16-le")
+        elif kind == 3:     # declared windows-1252, real cp1252 bytes
+            page = (f'<html><head><meta charset="windows-1252"></head>'
+                    f"<body><p>{body_txt}</p></body></html>")
+            payload = page.encode("cp1252")
+        elif kind == 4:     # http-equiv latin-1 declaration
+            safe = body_txt.translate(
+                {0x2014: "-", 0x2026: "...", 0x20ac: "EUR",
+                 0x2018: "'", 0x2019: "'", 0x201c: '"', 0x201d: '"'})
+            page = (f'<html><head><meta http-equiv="Content-Type" '
+                    f'content="text/html; charset=ISO-8859-1"></head>'
+                    f"<body><p>{safe}</p></body></html>")
+            payload = page.encode("latin-1")
+        elif kind == 5:     # mojibake: UTF-8 read as cp1252, re-served
+            from .extractor.charsetx import sloppy_cp1252_decode
+            mangles = 2 if i % 16 == 13 else 1
+            cur = body_txt
+            for _ in range(mangles):
+                cur = sloppy_cp1252_decode(cur.encode("utf-8"))
+            page = (f"<html><head></head><body><p>{cur}</p>"
+                    f"</body></html>")
+            payload = page.encode("utf-8")
+        elif kind == 6:     # declared utf-8 but raw latin bytes inside
+            page = (f'<html><head><meta charset="utf-8"></head>'
+                    f"<body><p>{_paragraph(rng, 1, 3)} X|Y</p>"
+                    f"</body></html>")
+            payload = page.encode("utf-8").replace(b"X|Y", b"caf\xe9")
+        else:               # kind == 7: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url, "html": payload})
+    return pages
+
+
+def charset_pages_df(spark, n: int, seed: int = 42,
+                     num_partitions: int = 8):
+    """Spark DataFrame of the charset_pages fixture set (url, html)."""
+    return _pages_df(spark, charset_pages(n, seed), num_partitions)

@@ -226,65 +226,11 @@ def ascii_fold(col) -> Column:
 
 # --- mojibake repair (ftfy-style, conservative) ------------------------------
 
-# Telltale signature of UTF-8 bytes mis-decoded as windows-1252: a
-# decoded LEAD byte (0xC2-0xF4, identity in cp1252 -> U+00C2-U+00F4)
-# immediately followed by a decoded CONTINUATION byte (0x80-0xBF:
-# identity above 0xA0, the cp1252 punctuation block below it, holes
-# kept as raw controls). A pair like "Ã©" or "æ—" is vanishingly rare
-# in clean text, so this is the cheap reject; the strict round-trip
-# below is the real gate.
-_MOJI_CONT = "".join(sorted(
-    bytes([b]).decode("cp1252")
-    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) else chr(b)
-    for b in range(0x80, 0xC0)))
-import re as _re
-_MOJI_RE = _re.compile("[Â-ô][" + _re.escape(_MOJI_CONT) + "]")
-
-
-def _encode_sloppy1252(s: str) -> bytes:
-    """cp1252 encode with the 5 undefined cells (0x81 8D 8F 90 9D)
-    falling back to their latin-1 byte — 'sloppy windows-1252', the
-    decoder browsers (and hence real mojibake) actually apply."""
-    try:
-        return s.encode("cp1252")
-    except UnicodeEncodeError:
-        out = bytearray()
-        for ch in s:
-            try:
-                out += ch.encode("cp1252")
-            except UnicodeEncodeError:
-                o = ord(ch)
-                if o < 0x100:
-                    out.append(o)
-                else:
-                    raise
-        return bytes(out)
-
-
-def fix_mojibake_str(s: str, max_passes: int = 2) -> str:
-    """Repair UTF-8 text that was mis-decoded as windows-1252
-    ("Ã©" -> "é"), the dominant encoding defect in web crawls.
-
-    Conservative by construction: a pass applies ONLY when the whole
-    string round-trips strictly (sloppy-cp1252 encode, then strict
-    UTF-8 decode) — any byte that can't be part of a valid UTF-8
-    sequence aborts the repair and the input is returned unchanged.
-    Two passes undo the double-encoded case. Pure function, Spark-free:
-    it IS the oracle for the pandas UDF below.
-    """
-    if not s or not _MOJI_RE.search(s):
-        return s
-    for _ in range(max_passes):
-        try:
-            cand = _encode_sloppy1252(s).decode("utf-8")
-        except (UnicodeEncodeError, UnicodeDecodeError):
-            break
-        if cand == s:
-            break
-        s = cand
-        if not _MOJI_RE.search(s):
-            break
-    return s
+# The pure repair/corrupt engine lives in extractor/charsetx.py (the
+# Spark-free charset diagnostics family — one implementation, one
+# oracle); these re-exports keep the historical functions surface.
+from ..extractor.charsetx import (fix_mojibake_str,  # noqa: F401
+                                  mojibake_corrupt_str)
 
 
 def fix_mojibake(col) -> Column:
@@ -297,16 +243,6 @@ def fix_mojibake(col) -> Column:
     def _udf(s: pd.Series) -> pd.Series:
         return s.map(lambda t: None if t is None else fix_mojibake_str(t))
     return _udf(_c(col))
-
-
-def mojibake_corrupt_str(s: str) -> str:
-    """The defect itself (test/fixture helper): mis-decode the text's
-    UTF-8 bytes as sloppy windows-1252 — exactly what a crawler that
-    trusts a wrong charset header does. Inverse of one repair pass."""
-    return "".join(
-        bytes([b]).decode("cp1252")
-        if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) else chr(b)
-        for b in s.encode("utf-8"))
 
 
 def mojibake_corrupt(col) -> Column:
