@@ -511,6 +511,8 @@ _GOLDEN_TABLES = os.path.join(_REPO, "fixtures",
                               "golden_tables_seed42_n120.parquet")
 _GOLDEN_CHARSET = os.path.join(_REPO, "fixtures",
                                "golden_charset_seed42_n120.parquet")
+_GOLDEN_MICRODATA = os.path.join(_REPO, "fixtures",
+                                 "golden_microdata_seed42_n120.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
                               "golden_jsonld_seed42_n120.parquet")
 _GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
@@ -1055,6 +1057,7 @@ _EXTRA_ORDER = [
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "table_shape_stats", "extract_hreflang",
     "encoding_profile", "charset_stats", "encoding_gate",
+    "extract_microdata", "microdata_records",
     # demoted in the round-4 late rotation (multi-round driver-green)
     "event_sessions", "bbox_overlap_pairs", "hypertable_rollup",
     "gopher_rules", "c4_line_filter", "exact_dedup",
@@ -1770,6 +1773,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("url"))
     q["encoding_gate"] = q_encoding_gate
 
+    # --- schema.org microdata (itemscope/itemprop — the third
+    # structured-data syntax next to meta tags and JSON-LD) —
+    # hash-checked against the committed golden microdata parquet
+    def q_microdata(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.microdata_pages_df(spark, 120)
+        return (pagemeta.extract_microdata_df(docs)
+                .orderBy("url", "item_idx", "prop_idx"))
+    q["extract_microdata"] = q_microdata
+
+    # --- typed microdata records — reads the GOLDEN on both sides
+    # (extraction==golden is proven by extract_microdata; this isolates
+    # the two declaration self-joins: item typing + nested-ref
+    # resolution)
+    def q_microdata_records(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        md = spark.read.parquet(_GOLDEN_MICRODATA)
+        return (pagemeta.microdata_records(md)
+                .orderBy("url", "item_idx", "prop_idx"))
+    q["microdata_records"] = q_microdata_records
+
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
     # pass: thead/soup/nested/colspan cases in the fixture pages)
@@ -1861,6 +1887,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("links").cast("long").alias("n_links"),
             F.size("cells").cast("long").alias("n_table_cells"),
             F.size("jsonld").cast("long").alias("n_jsonld"),
+            F.size("microdata").cast("long").alias("n_microdata"),
             "n_tags", "max_depth", "truncated")
     q["page_artifacts_stats"] = q_artifacts
 
@@ -3720,6 +3747,29 @@ def oracle_sql() -> dict[str, str]:
                    charset <> 'utf-8' AS needs_transcode
             FROM read_parquet('{_GOLDEN_CHARSET}')
             ORDER BY url""",
+        # microdata: committed golden parquet pinned by
+        # tests/test_microdata.py against the pure re-derivation
+        "extract_microdata": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_MICRODATA}')
+            ORDER BY url, item_idx, prop_idx""",
+        # typed records: golden on both sides; the same two
+        # declaration self-joins (item typing + nested-ref resolution)
+        "microdata_records": f"""
+            WITH g AS (
+              SELECT * FROM read_parquet('{_GOLDEN_MICRODATA}')
+            ), decl AS (
+              SELECT url, item_idx, itemtype FROM g
+              WHERE kind = 'item'
+            )
+            SELECT p.url, p.item_idx, d.itemtype, p.prop_idx, p.prop,
+                   p.value, p.kind, c.itemtype AS ref_itemtype
+            FROM g p
+            JOIN decl d USING (url, item_idx)
+            LEFT JOIN decl c
+              ON p.kind = 'ref' AND c.url = p.url
+             AND c.item_idx = TRY_CAST(p.value AS INTEGER)
+            WHERE p.kind <> 'item'
+            ORDER BY url, item_idx, prop_idx""",
         # table cells: committed golden parquet pinned by
         # tests/test_pagemeta.py against the pure re-derivation
         "extract_tables": f"""
@@ -3763,14 +3813,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url, pos""",
         # one-parse artifact pass vs TWO independent goldens: link
         # counts from golden_links, skeleton stats from golden_shapes;
-        # the seed-42 corpus carries no tables/JSON-LD (the literal
-        # zeros are load-bearing — they fail loudly if the corpus
-        # fixture ever grows those elements)
+        # the seed-42 corpus carries no tables/JSON-LD/microdata (the
+        # literal zeros are load-bearing — they fail loudly if the
+        # corpus fixture ever grows those elements)
         "page_artifacts_stats": f"""
             SELECT s.url,
                    coalesce(l.c, 0)::bigint AS n_links,
                    0::bigint AS n_table_cells,
                    0::bigint AS n_jsonld,
+                   0::bigint AS n_microdata,
                    s.n_tags, s.max_depth, s.truncated
             FROM read_parquet('{_GOLDEN_SHAPES}') s
             LEFT JOIN (SELECT url, count(*)::bigint AS c

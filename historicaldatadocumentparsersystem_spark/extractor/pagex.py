@@ -19,6 +19,7 @@ from .htmlx import decode_payload, parse_dom
 from .jsonldx import jsonld_from_root
 from .linkx import links_from_root
 from .metax import hreflang_from_root, meta_from_root
+from .microdatax import microdata_from_root
 from .shapex import skeleton_from_root
 from .tablex import tables_from_root
 
@@ -26,8 +27,8 @@ from .tablex import tables_from_root
 def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
-    {meta, hreflang, links, cells, jsonld, skeleton, n_tags,
-    max_depth, truncated}."""
+    {meta, hreflang, links, cells, jsonld, microdata, skeleton,
+    n_tags, max_depth, truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
     else:
@@ -41,6 +42,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "links": links_from_root(root, src, base_url),
         "cells": tables_from_root(root, src),
         "jsonld": jsonld_from_root(root, src),
+        "microdata": microdata_from_root(root, src, base_url),
         "skeleton": skeleton,
         "n_tags": n_tags,
         "max_depth": max_depth,

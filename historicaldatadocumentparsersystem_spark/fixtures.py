@@ -830,3 +830,106 @@ def charset_pages_df(spark, n: int, seed: int = 42,
                      num_partitions: int = 8):
     """Spark DataFrame of the charset_pages fixture set (url, html)."""
     return _pages_df(spark, charset_pages(n, seed), num_partitions)
+
+
+def microdata_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the schema.org
+    microdata extractor (extractor/microdatax.py): flat Product items
+    with attribute- and text-valued props, nested Offer/Organization
+    items three levels deep, multiple top-level items with itemid,
+    multi-token itemprop attributes, time/data value rules, itemprop
+    outside any itemscope (ignored), stray non-property itemscope
+    inside an item, tag soup with case-mixed attributes, markup-free
+    pages and empty payloads. Feeds its own golden
+    (fixtures/golden_microdata_seed42_n*.parquet), same isolation
+    rationale as meta_pages."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 32452843, i)
+        host = _HOSTS[(i * 22695477) % len(_HOSTS)]
+        url = f"https://{host}/md/page-{i}"
+        kind = i % 8
+        name = _sentence(rng, 2, 5)
+        body = f"<p>{_paragraph(rng, 1, 3)}</p>"
+        if kind == 0:       # flat Product: text, meta, img, a props
+            page = (
+                f'<html><body>'
+                f'<div itemscope itemtype="https://schema.org/Product">'
+                f'<span itemprop="name">{name}</span>'
+                f'<meta itemprop="sku" content="SKU-{i:05d}">'
+                f'<img itemprop="image" src="/img/{i}.png">'
+                f'<a itemprop="url" href="item-{i}.html">details</a>'
+                f'</div>{body}</body></html>')
+        elif kind == 1:     # 3-level nesting: Product > Offer > seller
+            page = (
+                f'<html><body>'
+                f'<div itemscope itemtype="https://schema.org/Product">'
+                f'<span itemprop="name">{name}</span>'
+                f'<div itemprop="offers" itemscope '
+                f'itemtype="https://schema.org/Offer">'
+                f'<meta itemprop="priceCurrency" content="USD">'
+                f'<span itemprop="price">{rng.randint(1, 999)}.99</span>'
+                f'<div itemprop="seller" itemscope '
+                f'itemtype="https://schema.org/Organization">'
+                f'<span itemprop="name">{rng.choice(_WORDS)} inc</span>'
+                f'</div></div>'
+                f'<span itemprop="category">{rng.choice(_WORDS)}</span>'
+                f'</div></body></html>')
+        elif kind == 2:     # two top-level Persons, second has itemid
+            page = (
+                f'<html><body>'
+                f'<section itemscope itemtype="https://schema.org/Person">'
+                f'<b itemprop="name">{name}</b>'
+                f'<span itemprop="jobTitle">{rng.choice(_WORDS)}</span>'
+                f'</section>{body}'
+                f'<section itemscope itemtype="https://schema.org/Person" '
+                f'itemid="/people/{i}">'
+                f'<b itemprop="name">{_sentence(rng, 2, 4)}</b>'
+                f'</section></body></html>')
+        elif kind == 3:     # multi-token itemprop (dupes dropped),
+            # time datetime vs time text, data value
+            page = (
+                f'<html><body>'
+                f'<article itemscope '
+                f'itemtype="https://schema.org/Article extra/Type">'
+                f'<h1 itemprop="name headline name">{name}</h1>'
+                f'<time itemprop="datePublished" '
+                f'datetime="2024-0{1 + i % 9}-11">January {i}</time>'
+                f'<time itemprop="dateModified">yesterday {i}</time>'
+                f'<data itemprop="wordCount" '
+                f'value="{rng.randint(100, 2000)}">long</data>'
+                f'</article></body></html>')
+        elif kind == 4:     # itemprop OUTSIDE any item (ignored) +
+            # typeless itemscope + stray non-property itemscope inside
+            page = (
+                f'<html><body>'
+                f'<span itemprop="orphan">{rng.choice(_WORDS)}</span>'
+                f'<div itemscope>'
+                f'<span itemprop="label">{name}</span>'
+                f'<div itemscope itemtype="https://schema.org/Thing">'
+                f'<span itemprop="name">stray {i}</span>'
+                f'</div>'
+                f'<span itemprop="note">{rng.choice(_WORDS)}</span>'
+                f'</div></body></html>')
+        elif kind == 5:     # tag soup: unclosed divs, case-mixed
+            # attribute NAMES (html.parser lowercases), entities
+            page = (
+                f'<html><body>'
+                f'<div ITEMSCOPE ItemType="https://schema.org/Event">'
+                f'<span ITEMPROP="name">{name} &amp; co</span>'
+                f'<p itemprop="description">{_sentence(rng, 4, 8)}'
+                f'<meta itemprop="startDate">'
+                f'</body></html>')
+        elif kind == 6:     # no microdata at all -> zero rows
+            page = f'<html><body>{body}<div class="x">{name}</div></body></html>'
+        else:               # kind == 7: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url, "html": page.encode("utf-8")})
+    return pages
+
+
+def microdata_pages_df(spark, n: int, seed: int = 42,
+                       num_partitions: int = 8):
+    """Spark DataFrame of the microdata_pages fixture set (url, html)."""
+    return _pages_df(spark, microdata_pages(n, seed), num_partitions)

@@ -182,6 +182,79 @@ def extract_jsonld_df(docs: DataFrame) -> DataFrame:
     return docs.select("url", "html").mapInPandas(batch, JSONLD_SCHEMA)
 
 
+MICRODATA_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("item_idx", IntegerType(), False),
+    StructField("parent_idx", IntegerType(), True),
+    StructField("itemtype", StringType(), True),
+    StructField("itemid", StringType(), True),
+    StructField("prop_idx", IntegerType(), False),
+    StructField("prop", StringType(), True),
+    StructField("value", StringType(), True),
+    StructField("kind", StringType(), False),
+])
+
+
+def extract_microdata_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per microdata item
+    declaration / property (url, item_idx, parent_idx, itemtype,
+    itemid, prop_idx, prop, value, kind) — the itemscope/itemprop
+    structured-data pass over the same DOM (extractor/microdatax.py
+    is the Spark-free oracle; see its module contract). Map-only 1->N
+    like extract_jsonld_df: one pass over payload bytes, no shuffle;
+    (url, item_idx, prop_idx) is the unique downstream key, and
+    per-type mining filters on the tiny ``itemtype`` column before
+    touching values. A production swap for full itemref support would
+    drop in an extruct-style resolver behind the same schema."""
+    import pandas as pd
+    from ..extractor import microdatax
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "item_idx", "parent_idx", "itemtype", "itemid",
+                "prop_idx", "prop", "value", "kind"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                for r in microdatax.extract_microdata(payload, u):
+                    rows.append((u, *r))
+            out = pd.DataFrame(rows, columns=cols)
+            # ints stay nullable-int, not float, when a batch mixes
+            # null and non-null parent_idx
+            out["parent_idx"] = out["parent_idx"].astype("Int32")
+            yield out
+
+    return docs.select("url", "html").mapInPandas(batch, MICRODATA_SCHEMA)
+
+
+def microdata_records(md: DataFrame) -> DataFrame:
+    """Typed property records from extract_microdata_df output: each
+    property row gains its item's ``itemtype`` and, for nested-item
+    refs, the referenced child's ``itemtype`` — the flat
+    (type, prop, value) table a schema.org mining pass feeds to
+    per-type parsers. Plan: two self-joins of the prop stream against
+    the tiny declaration slice, both plain hash joins on
+    (url, item_idx) — declarations are ~1% of rows, so both build
+    sides broadcast at any scale."""
+    decl = (md.where(F.col("kind") == "item")
+            .select("url", "item_idx", "itemtype"))
+    props = (md.where(F.col("kind") != "item")
+             .select("url", "item_idx", "prop_idx", "prop", "value",
+                     "kind"))
+    child = decl.select(F.col("url").alias("c_url"),
+                        F.col("item_idx").alias("c_idx"),
+                        F.col("itemtype").alias("ref_itemtype"))
+    return (props.join(decl, ["url", "item_idx"])
+            .join(child,
+                  (F.col("url") == F.col("c_url"))
+                  & (F.col("kind") == F.lit("ref"))
+                  & (F.col("value").try_cast("int") == F.col("c_idx")),
+                  "left")
+            .select("url", "item_idx", "itemtype", "prop_idx", "prop",
+                    "value", "kind", "ref_itemtype"))
+
+
 SHAPES_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("skeleton", StringType(), False),
@@ -288,6 +361,15 @@ def _artifacts_schema() -> StructType:
         StructField("valid", BooleanType(), False),
         StructField("root_type", StringType(), True),
         StructField("schema_context", StringType(), True)])
+    microdata_struct = StructType([
+        StructField("item_idx", IntegerType(), False),
+        StructField("parent_idx", IntegerType(), True),
+        StructField("itemtype", StringType(), True),
+        StructField("itemid", StringType(), True),
+        StructField("prop_idx", IntegerType(), False),
+        StructField("prop", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField("kind", StringType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -295,6 +377,7 @@ def _artifacts_schema() -> StructType:
         StructField("links", ArrayType(link_struct), False),
         StructField("cells", ArrayType(cell_struct), False),
         StructField("jsonld", ArrayType(jsonld_struct), False),
+        StructField("microdata", ArrayType(microdata_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
         StructField("max_depth", IntegerType(), False),
@@ -318,7 +401,8 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
 
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
-                "skeleton", "n_tags", "max_depth", "truncated"]
+                "microdata", "skeleton", "n_tags", "max_depth",
+                "truncated"]
         for pdf in it:
             rows = []
             for u, payload in zip(pdf["url"], pdf["html"]):
@@ -329,6 +413,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     u,
                     tuple(a["meta"][f] for f in metax.META_FIELDS),
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
+                    a["microdata"],
                     a["skeleton"], a["n_tags"], a["max_depth"],
                     a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)

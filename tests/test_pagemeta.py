@@ -371,13 +371,15 @@ def test_full_attr_scanner_tree_equals_htmlparser():
 
 def test_page_artifacts_equals_individual_extractors():
     """The one-parse combined pass is definitionally identical to the
-    five individual extractors on every fixture family."""
+    six individual extractors on every fixture family."""
     from historicaldatadocumentparsersystem_spark.extractor import (
-        jsonldx, linkx, pagex, shapex, tablex)
+        jsonldx, linkx, microdatax, pagex, shapex, tablex)
     pages = ([(r["url"], r["html"]) for r in fixtures.generate_rows(80)]
              + [(p["url"], p["html"]) for p in fixtures.meta_pages(40)]
              + [(p["url"], p["html"]) for p in fixtures.table_pages(40)]
-             + [(p["url"], p["html"]) for p in fixtures.jsonld_pages(40)])
+             + [(p["url"], p["html"]) for p in fixtures.jsonld_pages(40)]
+             + [(p["url"], p["html"])
+                for p in fixtures.microdata_pages(40)])
     n_checked = 0
     for url, html in pages:
         if not html:
@@ -388,6 +390,8 @@ def test_page_artifacts_equals_individual_extractors():
         assert a["links"] == linkx.extract_links(html, url), url
         assert a["cells"] == tablex.extract_tables(html), url
         assert a["jsonld"] == jsonldx.extract_jsonld(html), url
+        assert (a["microdata"]
+                == microdatax.extract_microdata(html, url)), url
         sk = shapex.dom_skeleton(html)
         assert (a["skeleton"], a["n_tags"], a["max_depth"],
                 a["truncated"]) == sk, url
