@@ -897,6 +897,28 @@ _NORM_ROWS = [
     ("n6", "\u2028line\u2029sep\u202fnarrow"),
 ]
 
+# dHash fingerprints of fixtures.dhash_media_rows(), pinned as
+# literals from the committed pure kernel (imagex.dhash64) — the
+# image_resize_lanczos pattern: regenerating the fixture or touching
+# the kernel/codecs shifts a hash and fails the driver hash loudly
+_DHASH_VALUES = """(VALUES
+  ('img0a', 36, 28, 0::bigint),
+  ('img0b', 36, 28, 0::bigint),
+  ('img1a', 40, 24, -1::bigint),
+  ('img1b', 40, 24, -551903297537::bigint),
+  ('img2a', 36, 28, 2604448218777705435::bigint),
+  ('img2b', 36, 28, 2604448218777705435::bigint),
+  ('img3a', 30, 30, -6773059791549327272::bigint),
+  ('img3b', 30, 30, 2459284260188100696::bigint),
+  ('img4a', 48, 20, 2604246222170760228::bigint),
+  ('img4b', 48, 20, 2604246222170760228::bigint),
+  ('img5a', 33, 27, 5009245451513242701::bigint),
+  ('img5b', 33, 27, 5009245725321602125::bigint),
+  ('gif2', 36, 28, 2604448218777705435::bigint),
+  ('jpg4', 48, 20, 2604246222170760228::bigint),
+  ('bad0', NULL, NULL, NULL::bigint)
+  ) AS t(media_id, width, height, dhash)"""
+
 # PII-redaction fixture (deterministic VALUES both sides)
 _PII_ROWS = [
     ("t1", "contact john.doe+x@example.com or jane@sub.domain.org now"),
@@ -1058,6 +1080,7 @@ _EXTRA_ORDER = [
     "table_shape_stats", "extract_hreflang",
     "encoding_profile", "charset_stats", "encoding_gate",
     "extract_microdata", "microdata_records",
+    "image_dhash", "dhash_near_pairs",
     # demoted in the round-4 late rotation (multi-round driver-green)
     "event_sessions", "bbox_overlap_pairs", "hypertable_rollup",
     "gopher_rules", "c4_line_filter", "exact_dedup",
@@ -2355,6 +2378,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.image_pixel_stats(
             resized.select("media_id", "payload"))
     q["image_resize_lanczos"] = q_resize_lanczos
+
+    # --- perceptual image dedup: 64-bit dHash over the REAL codecs
+    # (PNG/GIF/JPEG decode -> integer luma -> exact 9x8 area resample
+    # -> difference bits) — SQL-checked against hashes pinned as
+    # literals from the committed pure-Python kernel (the lanczos
+    # pattern); the fixture plants near-twins incl. cross-format
+    # PNG/GIF/JPEG visual dups
+    def q_image_dhash(spark, sf_dir):
+        return (multimodal.image_dhash(fixtures.dhash_media_df(spark))
+                .orderBy("media_id"))
+    q["image_dhash"] = q_image_dhash
+
+    # --- visual near-dup pairs: pigeonhole bit-band blocking + exact
+    # bit_count verify (the shared hamming_near_pairs path behind
+    # simhash) — the oracle brute-forces all pairs over the pinned
+    # hashes, which equals the banded join EXACTLY because pigeonhole
+    # blocking is lossless within the threshold
+    def q_dhash_pairs(spark, sf_dir):
+        hashes = multimodal.image_dhash(fixtures.dhash_media_df(spark))
+        return (multimodal.dhash_near_pairs(hashes, max_hamming=7)
+                .orderBy("id_a", "id_b"))
+    q["dhash_near_pairs"] = q_dhash_pairs
 
     # --- REAL WAV audio stats (stdlib wave reader) — SQL-checked
     # against pinned literals
@@ -4381,6 +4426,26 @@ def oracle_sql() -> dict[str, str]:
               ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL)
             ) AS t(media_id, width, height, channels,
                    mean_c0, mean_c1, mean_c2, px_md5)""",
+        # dHash fingerprints pinned as literals from the committed
+        # pure-Python kernel (grayscale + exact-integer 9x8 area
+        # resample + difference bits); planted near-twins: imgKa/imgKb
+        # per pattern K, plus gif2==img2a and jpg4==img4a cross-format
+        "image_dhash": f"""
+            SELECT * FROM {_DHASH_VALUES}
+            ORDER BY media_id""",
+        # visual near-dup pairs: brute force over the pinned hashes ==
+        # the banded join exactly (pigeonhole blocking is lossless
+        # within the threshold; Spark verifies with the same
+        # bit_count(xor) the oracle scores with)
+        "dhash_near_pairs": f"""
+            WITH h AS (
+              SELECT * FROM {_DHASH_VALUES} WHERE dhash IS NOT NULL
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   bit_count(xor(a.dhash, b.dhash))::int AS hamming
+            FROM h a JOIN h b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+            ORDER BY id_a, id_b""",
         # REAL WAV stats pinned the same way (square wave: rms == amp)
         "audio_wav_stats": """
             SELECT * FROM (VALUES

@@ -342,6 +342,43 @@ def crop(pixels: bytes, w: int, h: int, ch: int,
     return bytes(out)
 
 
+def grayscale(pixels: bytes, ch: int) -> bytes:
+    """Integer ITU-R 601 luma ((299R + 587G + 114B + 500) // 1000) —
+    deterministic on any host, no floats. ch=1 is identity; ch=2
+    (gray+alpha) keeps gray; ch=4 ignores alpha."""
+    if ch == 1:
+        return bytes(pixels)
+    if ch == 2:
+        return bytes(pixels[::2])
+    out = bytearray(len(pixels) // ch)
+    for i in range(len(out)):
+        p = i * ch
+        out[i] = (299 * pixels[p] + 587 * pixels[p + 1]
+                  + 114 * pixels[p + 2] + 500) // 1000
+    return bytes(out)
+
+
+def dhash64(pixels: bytes, w: int, h: int, ch: int) -> int:
+    """64-bit difference hash (the standard perceptual near-dup
+    fingerprint): grayscale -> exact-integer area resample to 9x8 ->
+    one bit per adjacent-column comparison (bit set when the left
+    pixel is brighter), row-major MSB-first. Built entirely from the
+    committed deterministic kernels (``grayscale`` + ``resize_area``),
+    so the hash is bit-identical on any platform. Returned as SIGNED
+    int64 (two's complement) so it lands in a Spark/DuckDB BIGINT
+    without loss. Visually-near images differ in a few bits; pairing
+    uses pigeonhole bit-bands (operators/dedup.hamming_near_pairs),
+    never all-pairs."""
+    small = resize_area(grayscale(pixels, ch), w, h, 1, 9, 8)
+    v = 0
+    for r in range(8):
+        row = r * 9
+        for c in range(8):
+            v = (v << 1) | (1 if small[row + c] > small[row + c + 1]
+                            else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def channel_means(pixels: bytes, ch: int) -> list[float]:
     """Per-channel mean sample value (exact rational -> float)."""
     n = len(pixels) // ch

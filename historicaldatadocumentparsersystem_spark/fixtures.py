@@ -933,3 +933,86 @@ def microdata_pages_df(spark, n: int, seed: int = 42,
                        num_partitions: int = 8):
     """Spark DataFrame of the microdata_pages fixture set (url, html)."""
     return _pages_df(spark, microdata_pages(n, seed), num_partitions)
+
+
+def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
+    """Grayscale test pattern with a DISTINCT adjacent-difference sign
+    structure per kind (dHash only sees those signs: any monotone ramp
+    hashes identically, so distinctness needs direction/frequency
+    variety, not slope variety) + mild seeded noise."""
+    rng = _rng(seed, kind)
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if kind == 0:                               # ramp right
+                v = x * 255 // (w - 1)
+            elif kind == 1:                             # ramp left
+                v = 255 - x * 255 // (w - 1)
+            elif kind == 2:                             # fine checker
+                v = 255 * ((x * 6 // w + y * 4 // h) % 2)
+            elif kind == 3:                             # coarse checker
+                v = 255 * ((x * 2 // w + y * 2 // h) % 2)
+            elif kind == 4:                             # sawtooth x3
+                v = (x * 765 // w) % 256
+            else:                                       # triangle wave y
+                v = abs(((y * 510 // h) % 510) - 255)
+            out.append(max(0, min(255, v + rng.randint(-6, 6))))
+    return bytes(out)
+
+
+def _dhash_patch(px: bytes, w: int, h: int, seed: int,
+                 size: int = 6, delta: int = 60) -> bytes:
+    """Brighten one small block — the watermark/logo-swap class of
+    visual near-dup (flips only the hash bits whose 9x8 cells the
+    patch touches)."""
+    rng = _rng(seed, 7)
+    b = bytearray(px)
+    x0, y0 = rng.randrange(w - size), rng.randrange(h - size)
+    for y in range(y0, y0 + size):
+        for x in range(x0, x0 + size):
+            i = y * w + x
+            b[i] = max(0, min(255, b[i] + delta))
+    return bytes(b)
+
+
+def dhash_media_rows(seed: int = 42) -> list[tuple[str, bytes]]:
+    """Deterministic image set with PLANTED visual near-dups for the
+    dHash family: six structurally-distinct patterns (pairwise >= 16
+    bits apart), each with a patched near-twin (<= 2 bits), the k2
+    checker re-encoded as a palette GIF (cross-format near-dup), a
+    real baseline JPEG, and an undecodable payload (null hash)."""
+    from .extractor import imagex, jpegx
+    dims = [(36, 28, 1), (40, 24, 1), (36, 28, 1),
+            (30, 30, 3), (48, 20, 3), (33, 27, 3)]
+    rows: list[tuple[str, bytes]] = []
+    for k, (w, h, ch) in enumerate(dims):
+        gray = _dhash_pattern(k, w, h, seed)
+        if ch == 1:
+            base, patched = gray, _dhash_patch(gray, w, h, seed + k)
+        else:
+            pg = _dhash_patch(gray, w, h, seed + k)
+            base = bytes(min(255, v + off)
+                         for v in gray for off in (0, 5, 10))
+            patched = bytes(min(255, v + off)
+                            for v in pg for off in (0, 5, 10))
+        rows.append((f"img{k}a", imagex.encode_png(base, w, h, ch)))
+        rows.append((f"img{k}b", imagex.encode_png(patched, w, h, ch)))
+    # cross-format: the k2 checker as a 8-level palette GIF
+    w, h = 36, 28
+    gray = _dhash_pattern(2, w, h, seed)
+    rows.append(("gif2", imagex.encode_gif(
+        bytes(v // 32 for v in gray), w, h,
+        [(i * 32 + 16, i * 32 + 16, i * 32 + 16) for i in range(8)])))
+    rgb = bytes(min(255, v + off)
+                for v in _dhash_pattern(4, 48, 20, seed)
+                for off in (0, 5, 10))
+    rows.append(("jpg4", jpegx.encode_jpeg(rgb, 48, 20, 3)))
+    rows.append(("bad0", b"not an image"))
+    return rows
+
+
+def dhash_media_df(spark, seed: int = 42, num_partitions: int = 4):
+    """Spark DataFrame of the dhash_media_rows set (media_id, payload)."""
+    return (spark.createDataFrame(dhash_media_rows(seed),
+                                  "media_id string, payload binary")
+            .repartition(num_partitions))

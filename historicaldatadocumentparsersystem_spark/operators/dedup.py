@@ -327,15 +327,38 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     equality, never all-pairs.
     """
     sh = simhash(df, text_col, id_col, bits)
+    return hamming_near_pairs(sh, "simhash", "id", bits, max_hamming)
+
+
+def hamming_near_pairs(hashes: DataFrame, hash_col: str,
+                       id_col: str = "id", bits: int = 64,
+                       max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` bits over
+    any integer fingerprint column — the shared scale path behind
+    SimHash text near-dup AND perceptual image near-dup (dHash).
+
+    Block on bit-bands: split the hash into ``max_hamming + 1``
+    equal bands (pigeonhole — any pair within hamming d agrees on at
+    least one of d+1 bands), equi-join on (band, key), then verify
+    with a codegen'd bit_count(xor). Never all-pairs: the join is a
+    plain hash join on a short key, and skew is bounded by how many
+    images/docs genuinely share a band value."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
+    if band_bits < 1:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands "
+                         f"than bits={bits} provides")
+    # floor division may leave the top bits % n_bands bits uncovered;
+    # completeness holds regardless (an uncovered differing bit can't
+    # dirty any band, so a within-threshold pair still agrees on one) —
+    # the exact bit_count verify then scores the full width.
     mask = (1 << band_bits) - 1
-    banded = sh.select(
-        "id", "simhash",
+    banded = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("simhash", b * band_bits)
-                     .bitwiseAND(mask).alias("key"))
+                     F.shiftright(F.col(hash_col), b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
             for b in range(n_bands)])).alias("bb"))
     pairs = (banded.alias("a")
              .join(banded.alias("b"),
@@ -343,8 +366,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.simhash").alias("sh_b"))
+                     F.col("a.fp").alias("sh_a"),
+                     F.col("b.fp").alias("sh_b"))
              .dropDuplicates(["id_a", "id_b"]))
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     hamming = F.bit_count(xor)

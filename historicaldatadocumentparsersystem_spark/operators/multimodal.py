@@ -258,6 +258,61 @@ def _image_stats_batch(batches: Iterator[pd.DataFrame]
         })
 
 
+def _image_dhash_batch(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+    from ..extractor import imagex
+    for b in batches:
+        ids, ws, hs, hashes = [], [], [], []
+        for mid, payload in zip(b["media_id"], b["payload"]):
+            payload = bytes(payload) if payload is not None else b""
+            try:
+                try:
+                    w, h, ch, px = imagex.decode_png(payload)
+                except Exception:
+                    try:
+                        w, h, ch, px = imagex.decode_gif(payload)
+                    except Exception:
+                        from ..extractor import jpegx
+                        w, h, ch, px = jpegx.decode_jpeg(payload)
+                dh = imagex.dhash64(px, w, h, ch)
+            except Exception:       # F5: bad payload -> null row
+                w = h = dh = None
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            hashes.append(dh)
+        yield pd.DataFrame({
+            "media_id": ids,
+            "width": pd.array(ws, dtype="Int32"),
+            "height": pd.array(hs, dtype="Int32"),
+            "dhash": pd.array(hashes, dtype="Int64"),
+        })
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual fingerprint per image: decode (PNG/GIF/JPEG, the
+    committed from-scratch codecs), grayscale, 9x8 exact-integer area
+    resample, 64-bit difference hash (extractor/imagex.dhash64 is the
+    Spark-free oracle). Map-only 1->1 over (media_id, payload) — at
+    100 TB this is the cheap first pass of visual dedup: the hash
+    table is 16 bytes/image, and pairing runs over IT, never over
+    payload bytes. Undecodable payloads yield null hashes (F5)."""
+    return df.select("media_id", "payload").mapInPandas(
+        _image_dhash_batch,
+        "media_id string, width int, height int, dhash long")
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 7
+                     ) -> DataFrame:
+    """Visually-near image pairs from image_dhash output: pigeonhole
+    bit-band blocking + exact bit_count verify, the shared
+    hamming_near_pairs scale path (8 bands x 8 bits at the default
+    threshold — any pair within 7 bits collides on >= 1 band)."""
+    from .dedup import hamming_near_pairs
+    return hamming_near_pairs(hashes.where(F.col("dhash").isNotNull()),
+                              "dhash", "media_id", 64, max_hamming)
+
+
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL C8-adjacent analytics: decode PNG pixels (stdlib zlib +
     scanline unfilter), emit dimensions, the first three per-channel
