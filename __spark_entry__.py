@@ -513,6 +513,8 @@ _GOLDEN_CHARSET = os.path.join(_REPO, "fixtures",
                                "golden_charset_seed42_n120.parquet")
 _GOLDEN_MICRODATA = os.path.join(_REPO, "fixtures",
                                  "golden_microdata_seed42_n120.parquet")
+_GOLDEN_DATES = os.path.join(_REPO, "fixtures",
+                             "golden_dates_seed42_n120.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
                               "golden_jsonld_seed42_n120.parquet")
 _GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
@@ -1081,6 +1083,7 @@ _EXTRA_ORDER = [
     "encoding_profile", "charset_stats", "encoding_gate",
     "extract_microdata", "microdata_records",
     "image_dhash", "dhash_near_pairs",
+    "extract_dates", "publish_date",
     # demoted in the round-4 late rotation (multi-round driver-green)
     "event_sessions", "bbox_overlap_pairs", "hypertable_rollup",
     "gopher_rules", "c4_line_filter", "exact_dedup",
@@ -1819,6 +1822,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url", "item_idx", "prop_idx"))
     q["microdata_records"] = q_microdata_records
 
+    # --- publication-date candidates (htmldate analog: meta/JSON-LD/
+    # time/url/text precedence) — hash-checked against the committed
+    # golden dates parquet
+    def q_dates(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.date_pages_df(spark, 120)
+        return pagemeta.extract_dates_df(docs).orderBy("url", "pos")
+    q["extract_dates"] = q_dates
+
+    # --- per-page winning date — reads the GOLDEN on both sides
+    # (candidates==golden is proven by extract_dates; this isolates the
+    # min_by precedence resolution, one map-side-combinable groupBy)
+    def q_publish_date(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        cands = spark.read.parquet(_GOLDEN_DATES)
+        return pagemeta.publish_date(cands).orderBy("url")
+    q["publish_date"] = q_publish_date
+
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
     # pass: thead/soup/nested/colspan cases in the fixture pages)
@@ -1911,6 +1934,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("cells").cast("long").alias("n_table_cells"),
             F.size("jsonld").cast("long").alias("n_jsonld"),
             F.size("microdata").cast("long").alias("n_microdata"),
+            F.size("dates").cast("long").alias("n_date_candidates"),
             "n_tags", "max_depth", "truncated")
     q["page_artifacts_stats"] = q_artifacts
 
@@ -3815,6 +3839,21 @@ def oracle_sql() -> dict[str, str]:
              AND c.item_idx = TRY_CAST(p.value AS INTEGER)
             WHERE p.kind <> 'item'
             ORDER BY url, item_idx, prop_idx""",
+        # date candidates: committed golden parquet pinned by
+        # tests/test_dates.py against the pure re-derivation
+        "extract_dates": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_DATES}')
+            ORDER BY url, pos""",
+        # winning date: golden both sides; arg_min == Spark min_by
+        # (pos is unique per url, so the pick is deterministic)
+        "publish_date": f"""
+            SELECT url,
+                   arg_min(date_iso, pos) AS published,
+                   arg_min(source, pos) AS source,
+                   count(*)::bigint AS n_candidates
+            FROM read_parquet('{_GOLDEN_DATES}')
+            GROUP BY url
+            ORDER BY url""",
         # table cells: committed golden parquet pinned by
         # tests/test_pagemeta.py against the pure re-derivation
         "extract_tables": f"""
@@ -3867,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
                    0::bigint AS n_table_cells,
                    0::bigint AS n_jsonld,
                    0::bigint AS n_microdata,
+                   0::bigint AS n_date_candidates,
                    s.n_tags, s.max_depth, s.truncated
             FROM read_parquet('{_GOLDEN_SHAPES}') s
             LEFT JOIN (SELECT url, count(*)::bigint AS c

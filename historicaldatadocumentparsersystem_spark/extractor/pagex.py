@@ -15,6 +15,7 @@ explodes only the families it consumes.
 """
 from __future__ import annotations
 
+from .datex import dates_from_root
 from .htmlx import decode_payload, parse_dom
 from .jsonldx import jsonld_from_root
 from .linkx import links_from_root
@@ -27,8 +28,8 @@ from .tablex import tables_from_root
 def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
-    {meta, hreflang, links, cells, jsonld, microdata, skeleton,
-    n_tags, max_depth, truncated}."""
+    {meta, hreflang, links, cells, jsonld, microdata, dates,
+    skeleton, n_tags, max_depth, truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
     else:
@@ -43,6 +44,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "cells": tables_from_root(root, src),
         "jsonld": jsonld_from_root(root, src),
         "microdata": microdata_from_root(root, src, base_url),
+        "dates": dates_from_root(root, src, base_url),
         "skeleton": skeleton,
         "n_tags": n_tags,
         "max_depth": max_depth,

@@ -935,6 +935,73 @@ def microdata_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, microdata_pages(n, seed), num_partitions)
 
 
+def date_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the publication-date
+    extractor (extractor/datex.py): meta/JSON-LD/time/url/text sources
+    in every precedence combination, invalid calendar dates, datetime
+    tails, multi-candidate conflicts, dateless pages and empty
+    payloads. Feeds fixtures/golden_dates_seed42_n*.parquet, same
+    isolation rationale as meta_pages."""
+    import json as _json
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 49979687, i)
+        host = _HOSTS[(i * 40014) % len(_HOSTS)]
+        kind = i % 8
+        y, mo, d = 2015 + i % 9, 1 + i % 12, 1 + i % 28
+        iso = f"{y:04d}-{mo:02d}-{d:02d}"
+        url = f"https://{host}/dates/page-{i}"
+        body = f"<p>{_paragraph(rng, 1, 3)}</p>"
+        if kind == 0:       # meta beats a later conflicting <time>
+            page = (
+                f'<html><head><meta property="article:published_time" '
+                f'content="{iso}T08:30:00+00:00"></head><body>{body}'
+                f'<time datetime="{y + 1}-01-02">later</time>'
+                f'</body></html>')
+        elif kind == 1:     # JSON-LD datePublished only (list root too)
+            blk = _json.dumps([{"@type": "Article",
+                                "datePublished": iso,
+                                "author": rng.choice(_WORDS)}])
+            page = (f'<html><head><script type="application/ld+json">'
+                    f'{blk}</script></head><body>{body}</body></html>')
+        elif kind == 2:     # several <time> elements + a text date
+            page = (
+                f'<html><body>{body}'
+                f'<time datetime="{iso} 12:00">noon</time>'
+                f'<time datetime="{y}/{mo}/{d}">slashed</time>'
+                f'<time>no attr</time>'
+                f'<p>updated {y}-{mo:02d}-{min(d + 1, 28):02d}</p>'
+                f'</body></html>')
+        elif kind == 3:     # URL path date only
+            url = f"https://{host}/blog/{y}/{mo}/{d}/post-{i}"
+            page = f'<html><body>{body}</body></html>'
+        elif kind == 4:     # text ISO date only (first match wins)
+            page = (f'<html><body><p>posted {iso} and revised '
+                    f'{y}-{mo:02d}-{min(d + 2, 28):02d}</p>{body}'
+                    f'</body></html>')
+        elif kind == 5:     # invalid candidates die; a valid one wins
+            page = (
+                f'<html><head>'
+                f'<meta name="date" content="{y}-13-40">'
+                f'<meta name="publish-date" content="not a date">'
+                f'<meta itemprop="datePublished" content="{y}-02-30">'
+                f'</head><body>{body}'
+                f'<time datetime="{iso}">valid</time></body></html>')
+        elif kind == 6:     # no date anywhere -> zero rows
+            page = f'<html><body>{body}</body></html>'
+        else:               # kind == 7: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url, "html": page.encode("utf-8")})
+    return pages
+
+
+def date_pages_df(spark, n: int, seed: int = 42,
+                  num_partitions: int = 8):
+    """Spark DataFrame of the date_pages fixture set (url, html)."""
+    return _pages_df(spark, date_pages(n, seed), num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

@@ -255,6 +255,52 @@ def microdata_records(md: DataFrame) -> DataFrame:
                     "value", "kind", "ref_itemtype"))
 
 
+DATES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("pos", IntegerType(), False),
+    StructField("source", StringType(), False),
+    StructField("raw", StringType(), False),
+    StructField("date_iso", StringType(), False),
+])
+
+
+def extract_dates_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per publication-date
+    CANDIDATE (url, pos, source, raw, date_iso) — the htmldate-analog
+    temporal pass (extractor/datex.py is the Spark-free oracle; see
+    its precedence contract). Map-only 1->N over (url, html); the
+    winner pick is a downstream aggregation (``publish_date``), so
+    policy changes never touch the payload pass."""
+    import pandas as pd
+    from ..extractor import datex
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "pos", "source", "raw", "date_iso"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                for r in datex.extract_date_candidates(payload, u):
+                    rows.append((u, *r))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("url", "html").mapInPandas(batch, DATES_SCHEMA)
+
+
+def publish_date(cands: DataFrame) -> DataFrame:
+    """Winner per page from extract_dates_df output: the lowest-``pos``
+    candidate (datex emits candidates pre-sorted by source precedence,
+    so min(pos) IS the precedence policy). ONE map-side-combinable
+    min_by groupBy on url — no join, no window shuffle beyond the url
+    exchange; at 100 TB this is the cheapest possible resolution over
+    a candidates table a fraction of the corpus size."""
+    return (cands.groupBy("url")
+            .agg(F.expr("min_by(date_iso, pos)").alias("published"),
+                 F.expr("min_by(source, pos)").alias("source"),
+                 F.count("*").cast("long").alias("n_candidates")))
+
+
 SHAPES_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("skeleton", StringType(), False),
@@ -370,6 +416,11 @@ def _artifacts_schema() -> StructType:
         StructField("prop", StringType(), True),
         StructField("value", StringType(), True),
         StructField("kind", StringType(), False)])
+    date_struct = StructType([
+        StructField("pos", IntegerType(), False),
+        StructField("source", StringType(), False),
+        StructField("raw", StringType(), False),
+        StructField("date_iso", StringType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -378,6 +429,7 @@ def _artifacts_schema() -> StructType:
         StructField("cells", ArrayType(cell_struct), False),
         StructField("jsonld", ArrayType(jsonld_struct), False),
         StructField("microdata", ArrayType(microdata_struct), False),
+        StructField("dates", ArrayType(date_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
         StructField("max_depth", IntegerType(), False),
@@ -401,7 +453,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
 
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
-                "microdata", "skeleton", "n_tags", "max_depth",
+                "microdata", "dates", "skeleton", "n_tags", "max_depth",
                 "truncated"]
         for pdf in it:
             rows = []
@@ -413,7 +465,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     u,
                     tuple(a["meta"][f] for f in metax.META_FIELDS),
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
-                    a["microdata"],
+                    a["microdata"], a["dates"],
                     a["skeleton"], a["n_tags"], a["max_depth"],
                     a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)
