@@ -1028,14 +1028,10 @@ _DRIVER_ORDER = [
     # a SURVEY §2 family (extraction, dedup/ANN, quality gates, link
     # graph, chunking, time-series joins)
     "extract_corpus", "asof_join",
-    "lang_id_trigram", "image_resize_stats",
-    "dup_span_removal", "quality_classifier",
-    "extract_links", "host_pagerank",
-    "text_profile", "repetition_profile",
-    "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "dedup_clusters", "line_dedup",
-    "tfidf_top_terms", "host_stats_salted",
-    "chunk_token_budget", "embedding_near_dup", "lsh_topk", "ivf_topk",
+    "lang_id_trigram", "dup_span_removal", "quality_classifier",
+    "extract_links", "host_pagerank", "text_profile",
+    "minhash_lsh_pairs", "dedup_clusters",
+    "chunk_token_budget", "lsh_topk",
     # round-4 late rotation: first-ever driver rows for the new
     # page-structure family + dedup/gate additions (each swapped-out
     # row is multi-round driver-green and its family keeps a witness)
@@ -1043,6 +1039,16 @@ _DRIVER_ORDER = [
     "extract_jsonld", "page_shapes", "template_clusters",
     "canonical_dedup", "winnow_near_pairs", "soft404_gate",
     "page_artifacts_stats",
+    # round-4 resumed-session rotation: first-ever driver rows for the
+    # charset, microdata, image-dedup and publish-date families (each
+    # swapped-out row is multi-round driver-green and its family keeps
+    # a witness: minhash/dup_span for fuzzy+sub-doc dedup, lsh_topk +
+    # quantized_topk for ANN, image_dhash for the image codecs+resize
+    # path, bm25_scores for retrieval scoring)
+    "encoding_profile", "charset_stats",
+    "extract_microdata", "microdata_records",
+    "image_dhash", "dhash_near_pairs",
+    "extract_dates", "publish_date",
 ]
 _EXTRA_ORDER = [
     # driver-green in earlier rounds; demoted so never-driver-checked
@@ -1080,10 +1086,12 @@ _EXTRA_ORDER = [
     # round-4 late additions
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "table_shape_stats", "extract_hreflang",
-    "encoding_profile", "charset_stats", "encoding_gate",
-    "extract_microdata", "microdata_records",
-    "image_dhash", "dhash_near_pairs",
-    "extract_dates", "publish_date",
+    "encoding_gate",
+    # demoted in the round-4 resumed-session rotation (multi-round
+    # driver-green; families keep witnesses in the window)
+    "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
+    "embedding_near_dup", "ivf_topk", "image_resize_stats",
+    "repetition_profile", "host_stats_salted",
     # demoted in the round-4 late rotation (multi-round driver-green)
     "event_sessions", "bbox_overlap_pairs", "hypertable_rollup",
     "gopher_rules", "c4_line_filter", "exact_dedup",
