@@ -515,6 +515,10 @@ _GOLDEN_MICRODATA = os.path.join(_REPO, "fixtures",
                                  "golden_microdata_seed42_n120.parquet")
 _GOLDEN_DATES = os.path.join(_REPO, "fixtures",
                              "golden_dates_seed42_n120.parquet")
+_GOLDEN_RDFA = os.path.join(_REPO, "fixtures",
+                            "golden_rdfa_seed42_n120.parquet")
+_GOLDEN_MF2 = os.path.join(_REPO, "fixtures",
+                           "golden_mf2_seed42_n120.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
                               "golden_jsonld_seed42_n120.parquet")
 _GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
@@ -1086,7 +1090,8 @@ _EXTRA_ORDER = [
     # round-4 late additions
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "table_shape_stats", "extract_hreflang",
-    "encoding_gate",
+    "encoding_gate", "extract_rdfa", "rdfa_records",
+    "extract_mf2", "mf2_records",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -1830,6 +1835,47 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url", "item_idx", "prop_idx"))
     q["microdata_records"] = q_microdata_records
 
+    # --- RDFa Lite (vocab/typeof/property — the fourth structured-
+    # data syntax; completes the extruct surface with meta/JSON-LD/
+    # microdata) — hash-checked against the committed golden parquet
+    def q_rdfa(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.rdfa_pages_df(spark, 120)
+        return (pagemeta.extract_rdfa_df(docs)
+                .orderBy("url", "item_idx", "prop_idx"))
+    q["extract_rdfa"] = q_rdfa
+
+    # --- typed RDFa records — golden on both sides (the shared
+    # _typed_records self-join path, (typeof, vocab) typing)
+    def q_rdfa_records(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        md = spark.read.parquet(_GOLDEN_RDFA)
+        return (pagemeta.rdfa_records(md)
+                .orderBy("url", "item_idx", "prop_idx"))
+    q["rdfa_records"] = q_rdfa_records
+
+    # --- microformats2 (h-entry/h-card class markup — the fifth and
+    # last extruct syntax) — hash-checked against the committed golden
+    def q_mf2(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.mf2_pages_df(spark, 120)
+        return (pagemeta.extract_mf2_df(docs)
+                .orderBy("url", "item_idx", "prop_idx"))
+    q["extract_mf2"] = q_mf2
+
+    # --- typed mf2 records — golden on both sides (shared
+    # _typed_records self-join path, mf_type typing)
+    def q_mf2_records(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        md = spark.read.parquet(_GOLDEN_MF2)
+        return (pagemeta.mf2_records(md)
+                .orderBy("url", "item_idx", "prop_idx"))
+    q["mf2_records"] = q_mf2_records
+
     # --- publication-date candidates (htmldate analog: meta/JSON-LD/
     # time/url/text precedence) — hash-checked against the committed
     # golden dates parquet
@@ -1942,6 +1988,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("cells").cast("long").alias("n_table_cells"),
             F.size("jsonld").cast("long").alias("n_jsonld"),
             F.size("microdata").cast("long").alias("n_microdata"),
+            F.size("rdfa").cast("long").alias("n_rdfa"),
+            F.size("mf2").cast("long").alias("n_mf2"),
             F.size("dates").cast("long").alias("n_date_candidates"),
             "n_tags", "max_depth", "truncated")
     q["page_artifacts_stats"] = q_artifacts
@@ -3847,6 +3895,50 @@ def oracle_sql() -> dict[str, str]:
              AND c.item_idx = TRY_CAST(p.value AS INTEGER)
             WHERE p.kind <> 'item'
             ORDER BY url, item_idx, prop_idx""",
+        # RDFa: committed golden parquet pinned by tests/test_rdfa.py
+        # against the pure re-derivation
+        "extract_rdfa": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_RDFA}')
+            ORDER BY url, item_idx, prop_idx""",
+        # typed RDFa records: golden both sides, same self-join shape
+        # as microdata_records with (typeof, vocab) typing
+        "rdfa_records": f"""
+            WITH g AS (
+              SELECT * FROM read_parquet('{_GOLDEN_RDFA}')
+            ), decl AS (
+              SELECT url, item_idx, typeof, vocab FROM g
+              WHERE kind = 'item'
+            )
+            SELECT p.url, p.item_idx, d.typeof, d.vocab, p.prop_idx,
+                   p.prop, p.value, p.kind, c.typeof AS ref_typeof
+            FROM g p
+            JOIN decl d USING (url, item_idx)
+            LEFT JOIN decl c
+              ON p.kind = 'ref' AND c.url = p.url
+             AND c.item_idx = TRY_CAST(p.value AS INTEGER)
+            WHERE p.kind <> 'item'
+            ORDER BY url, item_idx, prop_idx""",
+        # mf2: committed golden parquet pinned by tests/test_mf2.py
+        # against the pure re-derivation
+        "extract_mf2": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_MF2}')
+            ORDER BY url, item_idx, prop_idx""",
+        # typed mf2 records: golden both sides, the shared self-join
+        "mf2_records": f"""
+            WITH g AS (
+              SELECT * FROM read_parquet('{_GOLDEN_MF2}')
+            ), decl AS (
+              SELECT url, item_idx, mf_type FROM g WHERE kind = 'item'
+            )
+            SELECT p.url, p.item_idx, d.mf_type, p.prop_idx, p.prop,
+                   p.value, p.kind, c.mf_type AS ref_mf_type
+            FROM g p
+            JOIN decl d USING (url, item_idx)
+            LEFT JOIN decl c
+              ON p.kind = 'ref' AND c.url = p.url
+             AND c.item_idx = TRY_CAST(p.value AS INTEGER)
+            WHERE p.kind <> 'item'
+            ORDER BY url, item_idx, prop_idx""",
         # date candidates: committed golden parquet pinned by
         # tests/test_dates.py against the pure re-derivation
         "extract_dates": f"""
@@ -3914,6 +4006,8 @@ def oracle_sql() -> dict[str, str]:
                    0::bigint AS n_table_cells,
                    0::bigint AS n_jsonld,
                    0::bigint AS n_microdata,
+                   0::bigint AS n_rdfa,
+                   0::bigint AS n_mf2,
                    0::bigint AS n_date_candidates,
                    s.n_tags, s.max_depth, s.truncated
             FROM read_parquet('{_GOLDEN_SHAPES}') s

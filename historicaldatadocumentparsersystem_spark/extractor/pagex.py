@@ -20,7 +20,9 @@ from .htmlx import decode_payload, parse_dom
 from .jsonldx import jsonld_from_root
 from .linkx import links_from_root
 from .metax import hreflang_from_root, meta_from_root
+from .mf2x import mf2_from_root
 from .microdatax import microdata_from_root
+from .rdfax import rdfa_from_root
 from .shapex import skeleton_from_root
 from .tablex import tables_from_root
 
@@ -28,8 +30,8 @@ from .tablex import tables_from_root
 def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
-    {meta, hreflang, links, cells, jsonld, microdata, dates,
-    skeleton, n_tags, max_depth, truncated}."""
+    {meta, hreflang, links, cells, jsonld, microdata, rdfa, mf2,
+    dates, skeleton, n_tags, max_depth, truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
     else:
@@ -44,6 +46,8 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "cells": tables_from_root(root, src),
         "jsonld": jsonld_from_root(root, src),
         "microdata": microdata_from_root(root, src, base_url),
+        "rdfa": rdfa_from_root(root, src, base_url),
+        "mf2": mf2_from_root(root, src, base_url),
         "dates": dates_from_root(root, src, base_url),
         "skeleton": skeleton,
         "n_tags": n_tags,

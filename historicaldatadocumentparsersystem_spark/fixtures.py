@@ -935,6 +935,182 @@ def microdata_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, microdata_pages(n, seed), num_partitions)
 
 
+def rdfa_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the RDFa Lite
+    extractor (extractor/rdfax.py): vocab scoping and overrides,
+    typeof items with about/resource ids, CURIE-prefixed types,
+    nested item values, content-attribute override on arbitrary tags,
+    multi-token properties, orphan properties, tag soup, RDFa-free
+    pages and empty payloads. Feeds
+    fixtures/golden_rdfa_seed42_n*.parquet, same isolation rationale
+    as meta_pages."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 86028121, i)
+        host = _HOSTS[(i * 30011) % len(_HOSTS)]
+        url = f"https://{host}/rdfa/page-{i}"
+        kind = i % 8
+        name = _sentence(rng, 2, 5)
+        body = f"<p>{_paragraph(rng, 1, 3)}</p>"
+        if kind == 0:       # vocab on <html>, flat Article
+            page = (
+                f'<html vocab="https://schema.org/"><body>'
+                f'<article typeof="Article">'
+                f'<h1 property="headline">{name}</h1>'
+                f'<time property="datePublished" '
+                f'datetime="2023-0{1 + i % 9}-15">then</time>'
+                f'<a property="url" href="story-{i}.html">read</a>'
+                f'</article>{body}</body></html>')
+        elif kind == 1:     # nested Offer + a vocab OVERRIDE subtree
+            page = (
+                f'<html vocab="https://schema.org/"><body>'
+                f'<div typeof="Product" about="/products/{i}">'
+                f'<span property="name">{name}</span>'
+                f'<div property="offers" typeof="Offer">'
+                f'<span property="price">{rng.randint(1, 999)}.00</span>'
+                f'<meta property="priceCurrency" content="EUR">'
+                f'</div>'
+                f'<div vocab="https://example.org/custom#" '
+                f'typeof="Widget"><span property="w">{rng.choice(_WORDS)}'
+                f'</span></div>'
+                f'</div></body></html>')
+        elif kind == 2:     # two top-level items; CURIE typeof, no vocab
+            page = (
+                f'<html><body>'
+                f'<section vocab="https://schema.org/" typeof="Person" '
+                f'resource="#me-{i}">'
+                f'<b property="name">{name}</b></section>{body}'
+                f'<section typeof="schema:Person dc:Agent">'
+                f'<b property="schema:name">{_sentence(rng, 2, 4)}</b>'
+                f'</section></body></html>')
+        elif kind == 3:     # content override + multi-token property
+            page = (
+                f'<html vocab="https://schema.org/"><body>'
+                f'<div typeof="Article">'
+                f'<span property="name headline" content="exact {i}">'
+                f'visible text loses</span>'
+                f'<img property="image" src="/img/{i}.png">'
+                f'<data property="wordCount" '
+                f'value="{rng.randint(100, 900)}">n</data>'
+                f'</div></body></html>')
+        elif kind == 4:     # orphan property + stray typeof in item
+            page = (
+                f'<html><body>'
+                f'<span property="orphan">{rng.choice(_WORDS)}</span>'
+                f'<div vocab="https://schema.org/" typeof="Thing">'
+                f'<span property="label">{name}</span>'
+                f'<div typeof="Brand"><span property="name">stray {i}'
+                f'</span></div>'
+                f'<span property="note">{rng.choice(_WORDS)}</span>'
+                f'</div></body></html>')
+        elif kind == 5:     # tag soup, case-mixed attrs, entities
+            page = (
+                f'<html><body>'
+                f'<div VOCAB="https://schema.org/" TypeOf="Event">'
+                f'<span PROPERTY="name">{name} &amp; co</span>'
+                f'<p property="description">{_sentence(rng, 4, 8)}'
+                f'<meta property="startDate">'
+                f'</body></html>')
+        elif kind == 6:     # no RDFa at all -> zero rows
+            page = (f'<html><body>{body}'
+                    f'<div class="x" data-vocab="nope">{name}</div>'
+                    f'</body></html>')
+        else:               # kind == 7: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url, "html": page.encode("utf-8")})
+    return pages
+
+
+def rdfa_pages_df(spark, n: int, seed: int = 42,
+                  num_partitions: int = 8):
+    """Spark DataFrame of the rdfa_pages fixture set (url, html)."""
+    return _pages_df(spark, rdfa_pages(n, seed), num_partitions)
+
+
+def mf2_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the microformats2
+    extractor (extractor/mf2x.py): h-entry/h-card roots, nested
+    p-author h-card values, p/u/dt/e value rules (img alt, abbr
+    title, data value, datetime fallbacks), property classes outside
+    any root, case-sensitive root tokens, tag soup, mf2-free pages
+    and empty payloads. Feeds fixtures/golden_mf2_seed42_n*.parquet,
+    same isolation rationale as meta_pages."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 67867967, i)
+        host = _HOSTS[(i * 20021) % len(_HOSTS)]
+        url = f"https://{host}/mf2/page-{i}"
+        kind = i % 8
+        name = _sentence(rng, 2, 5)
+        body = f"<p>{_paragraph(rng, 1, 3)}</p>"
+        if kind == 0:       # canonical h-entry
+            page = (
+                f'<html><body><article class="h-entry">'
+                f'<h1 class="p-name">{name}</h1>'
+                f'<time class="dt-published" '
+                f'datetime="2022-0{1 + i % 9}-03">a while ago</time>'
+                f'<a class="u-url" href="/entries/{i}">permalink</a>'
+                f'<div class="e-content">{_paragraph(rng, 1, 2)}</div>'
+                f'</article>{body}</body></html>')
+        elif kind == 1:     # nested p-author h-card
+            page = (
+                f'<html><body><article class="h-entry">'
+                f'<span class="p-name">{name}</span>'
+                f'<div class="p-author h-card">'
+                f'<b class="p-name">{rng.choice(_WORDS)} author</b>'
+                f'<img class="u-photo" src="/avatars/{i}.png">'
+                f'</div>'
+                f'<a class="u-in-reply-to" '
+                f'href="https://{_HOSTS[0]}/entries/{i - 1}">reply</a>'
+                f'</article></body></html>')
+        elif kind == 2:     # standalone h-card with abbr/org
+            page = (
+                f'<html><body><div class="vcard h-card">'
+                f'<span class="p-name">{name}</span>'
+                f'<abbr class="p-nickname" title="nick-{i}">N</abbr>'
+                f'<span class="p-org">{rng.choice(_WORDS)} corp</span>'
+                f'<a class="u-url" href="about-{i}.html">me</a>'
+                f'</div>{body}</body></html>')
+        elif kind == 3:     # value-rule edge cases
+            page = (
+                f'<html><body><div class="h-review">'
+                f'<img class="p-name" src="/x.png" alt="alt {i} wins">'
+                f'<data class="p-rating" value="{1 + i % 5}">stars</data>'
+                f'<time class="dt-updated">june {i}</time>'
+                f'<del class="dt-removed" datetime="2021-02-0{1 + i % 9}">'
+                f'gone</del>'
+                f'</div></body></html>')
+        elif kind == 4:     # orphan props + root-with-props at top
+            page = (
+                f'<html><body>'
+                f'<span class="p-name">orphan {i}</span>'
+                f'<div class="p-author h-card wide">'
+                f'<span class="p-name">{name}</span></div>'
+                f'</body></html>')
+        elif kind == 5:     # tag soup, dupes, case-sensitive roots
+            page = (
+                f'<html><body><div class="h-entry h-entry">'
+                f'<span class="p-name p-name">{name} &amp; co'
+                f'<div class="H-Card">not a root {i}</div>'
+                f'<span class="p-summary">{_sentence(rng, 4, 8)}'
+                f'</body></html>')
+        elif kind == 6:     # no mf2 -> zero rows
+            page = (f'<html><body>{body}<div class="hero card-h">'
+                    f'{name}</div></body></html>')
+        else:               # kind == 7: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url, "html": page.encode("utf-8")})
+    return pages
+
+
+def mf2_pages_df(spark, n: int, seed: int = 42,
+                 num_partitions: int = 8):
+    """Spark DataFrame of the mf2_pages fixture set (url, html)."""
+    return _pages_df(spark, mf2_pages(n, seed), num_partitions)
+
+
 def date_pages(n: int, seed: int = 42) -> list[dict]:
     """Deterministic (url, html) pages exercising the publication-date
     extractor (extractor/datex.py): meta/JSON-LD/time/url/text sources

@@ -228,31 +228,137 @@ def extract_microdata_df(docs: DataFrame) -> DataFrame:
     return docs.select("url", "html").mapInPandas(batch, MICRODATA_SCHEMA)
 
 
-def microdata_records(md: DataFrame) -> DataFrame:
-    """Typed property records from extract_microdata_df output: each
-    property row gains its item's ``itemtype`` and, for nested-item
-    refs, the referenced child's ``itemtype`` — the flat
-    (type, prop, value) table a schema.org mining pass feeds to
-    per-type parsers. Plan: two self-joins of the prop stream against
-    the tiny declaration slice, both plain hash joins on
-    (url, item_idx) — declarations are ~1% of rows, so both build
-    sides broadcast at any scale."""
+def _typed_records(md: DataFrame, type_cols: list[str],
+                   ref_out: str) -> DataFrame:
+    """Shared records builder for the microdata and RDFa flat row
+    streams: each property row gains its item's type columns and, for
+    nested-item refs, the referenced child's primary type. Plan: two
+    self-joins of the prop stream against the tiny declaration slice,
+    both plain hash joins on (url, item_idx) — declarations are ~1%
+    of rows, so both build sides broadcast at any scale."""
     decl = (md.where(F.col("kind") == "item")
-            .select("url", "item_idx", "itemtype"))
+            .select("url", "item_idx", *type_cols))
     props = (md.where(F.col("kind") != "item")
              .select("url", "item_idx", "prop_idx", "prop", "value",
                      "kind"))
-    child = decl.select(F.col("url").alias("c_url"),
-                        F.col("item_idx").alias("c_idx"),
-                        F.col("itemtype").alias("ref_itemtype"))
+    child = (md.where(F.col("kind") == "item")
+             .select(F.col("url").alias("c_url"),
+                     F.col("item_idx").alias("c_idx"),
+                     F.col(type_cols[0]).alias(ref_out)))
     return (props.join(decl, ["url", "item_idx"])
             .join(child,
                   (F.col("url") == F.col("c_url"))
                   & (F.col("kind") == F.lit("ref"))
                   & (F.col("value").try_cast("int") == F.col("c_idx")),
                   "left")
-            .select("url", "item_idx", "itemtype", "prop_idx", "prop",
-                    "value", "kind", "ref_itemtype"))
+            .select("url", "item_idx", *type_cols, "prop_idx", "prop",
+                    "value", "kind", ref_out))
+
+
+def microdata_records(md: DataFrame) -> DataFrame:
+    """Typed property records from extract_microdata_df output — the
+    flat (itemtype, prop, value) table a schema.org mining pass feeds
+    to per-type parsers, with nested refs resolved to the child's
+    ``itemtype`` (see _typed_records for the plan)."""
+    return _typed_records(md, ["itemtype"], "ref_itemtype")
+
+
+def rdfa_records(md: DataFrame) -> DataFrame:
+    """Typed property records from extract_rdfa_df output — same
+    shape as microdata_records with (typeof, vocab) typing and nested
+    refs resolved to the child's ``typeof``."""
+    return _typed_records(md, ["typeof", "vocab"], "ref_typeof")
+
+
+RDFA_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("item_idx", IntegerType(), False),
+    StructField("parent_idx", IntegerType(), True),
+    StructField("typeof", StringType(), True),
+    StructField("vocab", StringType(), True),
+    StructField("resource", StringType(), True),
+    StructField("prop_idx", IntegerType(), False),
+    StructField("prop", StringType(), True),
+    StructField("value", StringType(), True),
+    StructField("kind", StringType(), False),
+])
+
+
+def extract_rdfa_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per RDFa Lite item
+    declaration / property (url, item_idx, parent_idx, typeof, vocab,
+    resource, prop_idx, prop, value, kind) — the vocab/typeof/property
+    structured-data pass over the same DOM (extractor/rdfax.py is the
+    Spark-free oracle; see its module contract). Map-only 1->N like
+    extract_microdata_df; (url, item_idx, prop_idx) is the unique
+    downstream key and per-vocabulary mining filters on the tiny
+    ``vocab``/``typeof`` columns before touching values."""
+    import pandas as pd
+    from ..extractor import rdfax
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "item_idx", "parent_idx", "typeof", "vocab",
+                "resource", "prop_idx", "prop", "value", "kind"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                for r in rdfax.extract_rdfa(payload, u):
+                    rows.append((u, *r))
+            out = pd.DataFrame(rows, columns=cols)
+            out["parent_idx"] = out["parent_idx"].astype("Int32")
+            yield out
+
+    return docs.select("url", "html").mapInPandas(batch, RDFA_SCHEMA)
+
+
+MF2_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("item_idx", IntegerType(), False),
+    StructField("parent_idx", IntegerType(), True),
+    StructField("mf_type", StringType(), True),
+    StructField("prop_idx", IntegerType(), False),
+    StructField("prop", StringType(), True),
+    StructField("value", StringType(), True),
+    StructField("kind", StringType(), False),
+])
+
+
+def extract_mf2_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per microformats2 item
+    declaration / property (url, item_idx, parent_idx, mf_type,
+    prop_idx, prop, value, kind) — the class-token structured-data
+    pass over the same DOM (extractor/mf2x.py is the Spark-free
+    oracle; see its module contract). Map-only 1->N like the other
+    satellite families; (url, item_idx, prop_idx) is the unique
+    downstream key."""
+    import pandas as pd
+    from ..extractor import mf2x
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "item_idx", "parent_idx", "mf_type",
+                "prop_idx", "prop", "value", "kind"]
+        for pdf in it:
+            rows = []
+            for u, payload in zip(pdf["url"], pdf["html"]):
+                if not payload:
+                    continue
+                for r in mf2x.extract_mf2(payload, u):
+                    rows.append((u, *r))
+            out = pd.DataFrame(rows, columns=cols)
+            out["parent_idx"] = out["parent_idx"].astype("Int32")
+            yield out
+
+    return docs.select("url", "html").mapInPandas(batch, MF2_SCHEMA)
+
+
+def mf2_records(md: DataFrame) -> DataFrame:
+    """Typed property records from extract_mf2_df output — same shape
+    as microdata_records/rdfa_records via the shared _typed_records
+    self-join path, with ``mf_type`` typing and nested refs resolved
+    to the child's ``mf_type``."""
+    return _typed_records(md, ["mf_type"], "ref_mf_type")
 
 
 DATES_SCHEMA = StructType([
@@ -421,6 +527,24 @@ def _artifacts_schema() -> StructType:
         StructField("source", StringType(), False),
         StructField("raw", StringType(), False),
         StructField("date_iso", StringType(), False)])
+    rdfa_struct = StructType([
+        StructField("item_idx", IntegerType(), False),
+        StructField("parent_idx", IntegerType(), True),
+        StructField("typeof", StringType(), True),
+        StructField("vocab", StringType(), True),
+        StructField("resource", StringType(), True),
+        StructField("prop_idx", IntegerType(), False),
+        StructField("prop", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField("kind", StringType(), False)])
+    mf2_struct = StructType([
+        StructField("item_idx", IntegerType(), False),
+        StructField("parent_idx", IntegerType(), True),
+        StructField("mf_type", StringType(), True),
+        StructField("prop_idx", IntegerType(), False),
+        StructField("prop", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField("kind", StringType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -429,6 +553,8 @@ def _artifacts_schema() -> StructType:
         StructField("cells", ArrayType(cell_struct), False),
         StructField("jsonld", ArrayType(jsonld_struct), False),
         StructField("microdata", ArrayType(microdata_struct), False),
+        StructField("rdfa", ArrayType(rdfa_struct), False),
+        StructField("mf2", ArrayType(mf2_struct), False),
         StructField("dates", ArrayType(date_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
@@ -453,8 +579,8 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
 
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
-                "microdata", "dates", "skeleton", "n_tags", "max_depth",
-                "truncated"]
+                "microdata", "rdfa", "mf2", "dates", "skeleton",
+                "n_tags", "max_depth", "truncated"]
         for pdf in it:
             rows = []
             for u, payload in zip(pdf["url"], pdf["html"]):
@@ -465,7 +591,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     u,
                     tuple(a["meta"][f] for f in metax.META_FIELDS),
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
-                    a["microdata"], a["dates"],
+                    a["microdata"], a["rdfa"], a["mf2"], a["dates"],
                     a["skeleton"], a["n_tags"], a["max_depth"],
                     a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)
