@@ -1091,7 +1091,7 @@ _EXTRA_ORDER = [
     "image_resize_lanczos", "winnow_fingerprints", "readability_scores",
     "table_shape_stats", "extract_hreflang",
     "encoding_gate", "extract_rdfa", "rdfa_records",
-    "extract_mf2", "mf2_records",
+    "extract_mf2", "mf2_records", "temporal_split",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -1895,6 +1895,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cands = spark.read.parquet(_GOLDEN_DATES)
         return pagemeta.publish_date(cands).orderBy("url")
     q["publish_date"] = q_publish_date
+
+    # --- temporal holdout split (time-based decontamination) — the
+    # composition the date family feeds: golden-derived per-page dates
+    # left-joined onto the page set, codegen CASE on the ISO string
+    def q_temporal_split(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta, webtext)
+        docs = fixtures.date_pages_df(spark, 120)
+        dates = pagemeta.publish_date(spark.read.parquet(_GOLDEN_DATES))
+        return (webtext.temporal_split(docs, dates, "2019-12-31")
+                .orderBy("url"))
+    q["temporal_split"] = q_temporal_split
 
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
@@ -3944,6 +3956,23 @@ def oracle_sql() -> dict[str, str]:
         "extract_dates": f"""
             SELECT * FROM read_parquet('{_GOLDEN_DATES}')
             ORDER BY url, pos""",
+        # temporal split: url universe GENERATED from the fixture
+        # constant (the soft404/_W_SQL precedent — never hand-retyped);
+        # per-page dates re-derived from the golden by arg_min
+        "temporal_split": f"""
+            WITH docs(url) AS (VALUES {", ".join(
+                "('" + p["url"] + "')" for p in fixtures.date_pages(120))}),
+            pd AS (
+              SELECT url, arg_min(date_iso, pos) AS published
+              FROM read_parquet('{_GOLDEN_DATES}')
+              GROUP BY url
+            )
+            SELECT d.url, pd.published,
+                   CASE WHEN pd.published IS NULL THEN 'train'
+                        WHEN pd.published > '2019-12-31' THEN 'holdout'
+                        ELSE 'train' END AS split
+            FROM docs d LEFT JOIN pd ON pd.url = d.url
+            ORDER BY d.url""",
         # winning date: golden both sides; arg_min == Spark min_by
         # (pos is unique per url, so the pick is deterministic)
         "publish_date": f"""

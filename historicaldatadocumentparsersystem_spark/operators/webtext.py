@@ -806,6 +806,33 @@ def domain_split(df: DataFrame, url_col: str = "url",
         hash_split(url_domain(url_col), weights, seed).alias("split"))
 
 
+def temporal_split(docs: DataFrame, published: DataFrame,
+                   cutoff: str, unknown: str = "train",
+                   url_col: str = "url") -> DataFrame:
+    """Time-based holdout split: documents whose extracted publication
+    date (``pagemeta.publish_date`` output: url, published, ...) is
+    AFTER ``cutoff`` go to ``holdout``, the rest to ``train`` — the
+    temporal decontamination control (an eval set drawn from
+    post-cutoff documents cannot have leaked into training, whatever
+    near-dup pages slipped past content dedup). Documents with no
+    extracted date take the ``unknown`` policy split ('train' keeps
+    recall, 'holdout'/'drop' keeps the boundary conservative).
+
+    Plan: ONE left hash join on url against the (tiny) per-page date
+    table, then a codegen CASE — ISO-8601 strings compare
+    lexicographically, so the cutoff is a plain string comparison and
+    no date parsing reaches the plan. At 100 TB the date table is one
+    short row per dated page and broadcasts.
+    """
+    dated = published.select(F.col("url").alias("__u"), "published")
+    split = (F.when(F.col("published").isNull(), F.lit(unknown))
+             .when(F.col("published") > F.lit(cutoff), F.lit("holdout"))
+             .otherwise(F.lit("train")))
+    return (docs.select(F.col(url_col).alias("url"))
+            .join(dated, F.col("url") == F.col("__u"), "left")
+            .select("url", "published", split.alias("split")))
+
+
 def snapshot_latest(df: DataFrame, url_col: str = "url",
                     ts_col: str = "fetch_ts",
                     text_col: str = "text") -> DataFrame:

@@ -107,6 +107,25 @@ def test_operator_matches_golden(spark):
     assert "Exchange" not in plan
 
 
+def test_temporal_split_policies_and_boundary(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    docs = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",), ("u4",)], "url string")
+    dates = spark.createDataFrame(
+        [("u1", "2019-12-31"),     # == cutoff -> train (inclusive)
+         ("u2", "2020-01-01"),     # after -> holdout
+         ("u3", "2001-05-05")],    # before -> train
+        "url string, published string")
+    for unknown in ("train", "holdout", "drop"):
+        got = {r["url"]: (r["published"], r["split"])
+               for r in webtext.temporal_split(
+                   docs, dates, "2019-12-31", unknown=unknown).collect()}
+        assert got == {"u1": ("2019-12-31", "train"),
+                       "u2": ("2020-01-01", "holdout"),
+                       "u3": ("2001-05-05", "train"),
+                       "u4": (None, unknown)}
+
+
 def test_publish_date_picks_lowest_pos(spark):
     cands = spark.read.parquet(GOLDEN_DATES)
     got = {r["url"]: (r["published"], r["source"], r["n_candidates"])
