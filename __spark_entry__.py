@@ -519,6 +519,8 @@ _GOLDEN_RDFA = os.path.join(_REPO, "fixtures",
                             "golden_rdfa_seed42_n120.parquet")
 _GOLDEN_MF2 = os.path.join(_REPO, "fixtures",
                            "golden_mf2_seed42_n120.parquet")
+_GOLDEN_MEDIAMETA = os.path.join(_REPO, "fixtures",
+                                 "golden_mediameta_seed42.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
                               "golden_jsonld_seed42_n120.parquet")
 _GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
@@ -1092,6 +1094,7 @@ _EXTRA_ORDER = [
     "table_shape_stats", "extract_hreflang",
     "encoding_gate", "extract_rdfa", "rdfa_records",
     "extract_mf2", "mf2_records", "temporal_split",
+    "media_metadata", "media_provenance",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2492,6 +2495,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (multimodal.dhash_near_pairs(hashes, max_hamming=7)
                 .orderBy("id_a", "id_b"))
     q["dhash_near_pairs"] = q_dhash_pairs
+
+    # --- embedded media metadata (from-scratch EXIF TIFF-IFD reader
+    # + PNG tEXt + GIF comments) — hash-checked against the committed
+    # golden parquet (pinned by tests/test_exif.py)
+    def q_media_metadata(spark, sf_dir):
+        return (multimodal.media_metadata(
+            fixtures.metadata_media_df(spark))
+            .orderBy("media_id", "fmt", "idx"))
+    q["media_metadata"] = q_media_metadata
+
+    # --- per-image provenance pivot — golden on both sides
+    # (extraction==golden proven above; this isolates the conditional-
+    # aggregation pivot a rotation/capture-window gate keys on)
+    def q_media_provenance(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_MEDIAMETA)
+        first = lambda key: F.max(
+            F.when(F.col("key") == key, F.col("value")))
+        return (g.groupBy("media_id")
+                .agg(first("Make").alias("make"),
+                     F.coalesce(first("DateTimeOriginal"),
+                                first("DateTime")).alias("captured"),
+                     F.coalesce(first("Orientation"), F.lit("1"))
+                     .alias("orientation"),
+                     (F.coalesce(first("Orientation"), F.lit("1"))
+                      != "1").alias("needs_rotate"),
+                     F.count("*").cast("long").alias("n_tags"))
+                .orderBy("media_id"))
+    q["media_provenance"] = q_media_provenance
 
     # --- REAL WAV audio stats (stdlib wave reader) — SQL-checked
     # against pinned literals
@@ -4597,6 +4628,29 @@ def oracle_sql() -> dict[str, str]:
               ('i4', NULL, NULL, NULL, NULL, NULL, NULL, NULL)
             ) AS t(media_id, width, height, channels,
                    mean_c0, mean_c1, mean_c2, px_md5)""",
+        # embedded media metadata: committed golden parquet pinned by
+        # tests/test_exif.py against the pure re-derivation
+        "media_metadata": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_MEDIAMETA}')
+            ORDER BY media_id, fmt, idx""",
+        # provenance pivot: golden both sides (conditional-agg pivot)
+        "media_provenance": f"""
+            SELECT media_id,
+                   max(CASE WHEN key = 'Make' THEN value END) AS make,
+                   coalesce(
+                     max(CASE WHEN key = 'DateTimeOriginal'
+                         THEN value END),
+                     max(CASE WHEN key = 'DateTime' THEN value END))
+                     AS captured,
+                   coalesce(max(CASE WHEN key = 'Orientation'
+                                THEN value END), '1') AS orientation,
+                   coalesce(max(CASE WHEN key = 'Orientation'
+                                THEN value END), '1') <> '1'
+                     AS needs_rotate,
+                   count(*)::bigint AS n_tags
+            FROM read_parquet('{_GOLDEN_MEDIAMETA}')
+            GROUP BY media_id
+            ORDER BY media_id""",
         # dHash fingerprints pinned as literals from the committed
         # pure-Python kernel (grayscale + exact-integer 9x8 area
         # resample + difference bits); planted near-twins: imgKa/imgKb

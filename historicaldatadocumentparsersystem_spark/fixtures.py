@@ -1218,6 +1218,71 @@ def _dhash_patch(px: bytes, w: int, h: int, seed: int,
     return bytes(b)
 
 
+def metadata_media_rows(seed: int = 42) -> list[tuple[str, bytes]]:
+    """Deterministic media payloads with PLANTED embedded metadata for
+    the exifx family: JPEGs with little- and big-endian EXIF
+    (Exif/GPS sub-IFDs, rationals, unknown and UNDEFINED tags), PNGs
+    with 0-2 tEXt chunks, GIFs with short and multi-block comments,
+    and metadata-free / undecodable payloads (zero rows)."""
+    from .extractor import exifx, imagex, jpegx
+    rng = _rng(seed, 777)
+
+    def jpeg_base(w: int, h: int) -> bytes:
+        px = bytes((5 * x + 3 * y + c) % 256 for y in range(h)
+                   for x in range(w) for c in range(3))
+        return jpegx.encode_jpeg(px, w, h, 3)
+
+    rows: list[tuple[str, bytes]] = []
+    tiff_le = exifx.build_exif(
+        [(0x010F, 2, "ACME"), (0x0110, 2, f"Cam {seed}"),
+         (0x0112, 3, 6), (0x011A, 5, (72, 1)),
+         (0x0132, 2, "2023:05:12 08:30:00")], "<",
+        gps=[(0x0001, 2, "N"),
+             (0x0002, 5, [(48, 1), (51, 1), (2922, 100)]),
+             (0x0003, 2, "E"),
+             (0x0004, 5, [(2, 1), (21, 1), (75, 10)])],
+        exif_sub=[(0x9003, 2, "2023:05:11 23:59:59"),
+                  (0xA002, 4, 4000), (0xA003, 4, 3000),
+                  (0x9286, 7, bytes([1, 2, 255, 0, 7]))])
+    rows.append(("m-jpg-le", exifx.splice_jpeg_exif(jpeg_base(24, 16),
+                                                    tiff_le)))
+    tiff_be = exifx.build_exif(
+        [(0x010F, 2, "Bigendian Works"), (0x0112, 3, 1),
+         (0x0128, 3, 2), (0x013B, 2, "bob"),
+         (0x4747, 4, [7, 8, 9])], ">")
+    rows.append(("m-jpg-be", exifx.splice_jpeg_exif(jpeg_base(16, 24),
+                                                    tiff_be)))
+    rows.append(("m-jpg-none", jpeg_base(8, 8)))
+
+    png = imagex.make_test_png(12, 10, 3, seed=seed % 251)
+    p2 = exifx.splice_png_text(png, "Author", "alice example")
+    p2 = exifx.splice_png_text(p2, "Title", f"sunset {seed}")
+    rows.append(("m-png-2", p2))
+    rows.append(("m-png-1", exifx.splice_png_text(
+        png, "Software", "hddps-spark")))
+    rows.append(("m-png-none", png))
+
+    gif = imagex.encode_gif(bytes((x + y) % 4 for y in range(9)
+                                  for x in range(11)), 11, 9,
+                            [(0, 0, 0), (80, 80, 80),
+                             (160, 160, 160), (255, 255, 255)])
+    rows.append(("m-gif-short", exifx.splice_gif_comment(
+        gif, f"frame {seed} of the crawl")))
+    long_comment = " ".join(rng.choice(_WORDS) for _ in range(90))
+    rows.append(("m-gif-long", exifx.splice_gif_comment(
+        gif, long_comment)))
+    rows.append(("m-gif-none", gif))
+    rows.append(("m-bad", b"not a media payload"))
+    return rows
+
+
+def metadata_media_df(spark, seed: int = 42, num_partitions: int = 4):
+    """Spark DataFrame of metadata_media_rows (media_id, payload)."""
+    return (spark.createDataFrame(metadata_media_rows(seed),
+                                  "media_id string, payload binary")
+            .repartition(num_partitions))
+
+
 def dhash_media_rows(seed: int = 42) -> list[tuple[str, bytes]]:
     """Deterministic image set with PLANTED visual near-dups for the
     dHash family: six structurally-distinct patterns (pairwise >= 16

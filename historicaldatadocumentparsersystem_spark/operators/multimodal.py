@@ -313,6 +313,31 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 7
                               "dhash", "media_id", 64, max_hamming)
 
 
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Embedded metadata rows per media payload (media_id, fmt, idx,
+    key, value): JPEG EXIF tags (from-scratch TIFF IFD reader, both
+    byte orders, Exif/GPS sub-IFDs), PNG tEXt chunks, GIF comments —
+    extractor/exifx.py is the Spark-free oracle. Map-only 1->N; the
+    metadata table is tiny next to payload bytes, and provenance
+    gates (orientation != 1 -> rotate, capture-date windows,
+    camera-make mixes) run over IT without a second payload read."""
+    import pandas as pd
+    from ..extractor import exifx
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "fmt", "idx", "key", "value"]
+        for b in it:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                for r in exifx.extract_media_metadata(payload):
+                    rows.append((mid, *r))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        batch, "media_id string, fmt string, idx int, "
+               "key string, value string")
+
+
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL C8-adjacent analytics: decode PNG pixels (stdlib zlib +
     scanline unfilter), emit dimensions, the first three per-channel

@@ -1,0 +1,119 @@
+"""Embedded media metadata: extractor/exifx.py (from-scratch EXIF
+TIFF-IFD reader + PNG tEXt + GIF comments, golden-pinned) and the
+media_metadata operator."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from historicaldatadocumentparsersystem_spark import fixtures
+from historicaldatadocumentparsersystem_spark.extractor import (exifx,
+                                                                imagex,
+                                                                jpegx)
+from historicaldatadocumentparsersystem_spark.operators import multimodal
+
+GOLDEN_META = "fixtures/golden_mediameta_seed42.parquet"
+
+
+def _pure_rows() -> list[tuple]:
+    out = []
+    for mid, payload in fixtures.metadata_media_rows():
+        for r in exifx.extract_media_metadata(payload):
+            out.append((mid, *r))
+    return out
+
+
+def test_metadata_matches_committed_golden():
+    golden = [(r["media_id"], r["fmt"], r["idx"], r["key"], r["value"])
+              for r in pq.read_table(GOLDEN_META).to_pylist()]
+    assert golden == _pure_rows()
+
+
+def test_exif_roundtrip_both_byte_orders():
+    entries = [(0x010F, 2, "ACME"), (0x0112, 3, 6),
+               (0x011A, 5, (72, 1)), (0x8827, 3, [100, 200])]
+    for order in ("<", ">"):
+        rows = exifx.parse_exif(exifx.build_exif(entries, order))
+        assert rows == [("Make", "ACME"), ("Orientation", "6"),
+                        ("XResolution", "72/1"),
+                        ("ISOSpeed", "100 200")], order
+
+
+def test_exif_sub_ifds_and_unknown_tags():
+    tiff = exifx.build_exif(
+        [(0x0110, 2, "M"), (0x1234, 4, 99)], "<",
+        gps=[(0x0002, 5, [(10, 1), (30, 1), (0, 1)])],
+        exif_sub=[(0x9003, 2, "2020:01:01 00:00:00"),
+                  (0x9286, 7, bytes(range(40)))])
+    rows = exifx.parse_exif(tiff)
+    d = dict(rows)
+    assert d["Model"] == "M" and d["0x1234"] == "99"
+    assert d["DateTimeOriginal"] == "2020:01:01 00:00:00"
+    assert d["GPSLatitude"] == "10/1 30/1 0/1"
+    # UNDEFINED capped at 32 bytes of hex; pointer tags not emitted
+    assert len(d["0x9286"]) == 64
+    assert not any(k in ("0x8769", "0x8825") for k, _ in rows)
+    # GPS ids only resolve inside the GPS IFD: a low tag in IFD0
+    # stays hex (0x0001 would otherwise read as GPSLatitudeRef)
+    rows2 = exifx.parse_exif(exifx.build_exif([(0x0001, 3, 5)], "<"))
+    assert rows2 == [("0x0001", "5")]
+
+
+def test_spliced_payloads_still_decode():
+    tiff = exifx.build_exif([(0x0112, 3, 8)], "<")
+    jpg = exifx.splice_jpeg_exif(
+        jpegx.encode_jpeg(bytes(24 * 16 * 3), 24, 16, 3), tiff)
+    assert jpegx.decode_jpeg(jpg)[:3] == (24, 16, 3)
+    png = exifx.splice_png_text(imagex.make_test_png(8, 8), "k", "v")
+    assert imagex.decode_png(png)[:2] == (8, 8)
+    gif = exifx.splice_gif_comment(
+        imagex.encode_gif(bytes(64), 8, 8, [(0, 0, 0)]), "hi")
+    assert imagex.decode_gif(gif)[:2] == (8, 8)
+
+
+def test_multiblock_gif_comment_reassembles():
+    text = "x" * 700
+    gif = exifx.splice_gif_comment(
+        imagex.encode_gif(bytes(64), 8, 8, [(0, 0, 0)]), text)
+    rows = exifx.extract_media_metadata(gif)
+    assert rows == [("gif-comment", 0, "comment", text)]
+
+
+def test_metadata_free_and_garbage_yield_no_rows():
+    assert exifx.extract_media_metadata(b"junk") == []
+    assert exifx.extract_media_metadata(None) == []
+    assert exifx.extract_media_metadata(
+        imagex.make_test_png(4, 4)) == []
+
+
+def test_never_raises_on_fuzz():
+    import random
+    rng = random.Random("exifx-fuzz")
+    blobs = []
+    for magic in (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+                  b""):
+        for _ in range(80):
+            blobs.append(magic + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(200))))
+    # truncations of a VALID payload — the nastier class
+    good = exifx.splice_jpeg_exif(
+        jpegx.encode_jpeg(bytes(8 * 8 * 3), 8, 8, 3),
+        exifx.build_exif([(0x010F, 2, "A"), (0x011A, 5, (72, 1))], "<"))
+    blobs += [good[:i] for i in range(0, len(good), 7)]
+    for blob in blobs:
+        for row in exifx.extract_media_metadata(blob):
+            assert len(row) == 4
+
+
+def test_operator_matches_golden(spark):
+    got = sorted(tuple(r) for r in multimodal.media_metadata(
+        fixtures.metadata_media_df(spark)).collect())
+    golden = sorted((r["media_id"], r["fmt"], r["idx"], r["key"],
+                     r["value"])
+                    for r in pq.read_table(GOLDEN_META).to_pylist())
+    assert got == golden
+
+    docs = spark.createDataFrame(fixtures.metadata_media_rows(),
+                                 "media_id string, payload binary")
+    plan = (multimodal.media_metadata(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
