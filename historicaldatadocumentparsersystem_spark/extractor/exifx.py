@@ -238,6 +238,67 @@ def _gif_comments(payload: bytes) -> list[tuple[str, str]]:
     return out
 
 
+def _wav_info(payload: bytes) -> list[tuple[str, str]]:
+    """(key, text) rows from RIFF LIST/INFO sub-chunks (IART, INAM,
+    ICMT, ...), file order; chunks pad to even length per RIFF."""
+    out = []
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        ckid = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if ckid == b"LIST" and body[:4] == b"INFO":
+            j = 4
+            while j + 8 <= len(body):
+                key = body[j:j + 4]
+                (sz,) = struct.unpack("<I", body[j + 4:j + 8])
+                text = body[j + 8:j + 8 + sz].split(b"\x00")[0]
+                out.append((key.decode("latin-1"),
+                            text.decode("latin-1")))
+                j += 8 + sz + (sz & 1)
+        i += 8 + size + (size & 1)
+    return out
+
+
+def _mp4_meta(payload: bytes) -> list[tuple[str, str]]:
+    """(key, value) rows from the ISO-BMFF box tree: ftyp brand,
+    mvhd timescale/duration, trak count — the header facts a video
+    pipeline partitions on before any (external) frame decode."""
+    out = []
+    n = len(payload)
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", payload[i:i + 4])
+            btype = payload[i + 4:i + 8]
+            if size == 1 or size < 8 or i + size > end:
+                break                       # 64-bit sizes out of scope
+            yield btype, i + 8, i + size
+            i += size
+
+    n_tracks = 0
+    for btype, body, bend in boxes(0, n):
+        if btype == b"ftyp" and bend - body >= 4:
+            out.append(("brand",
+                        payload[body:body + 4].decode("latin-1")))
+        elif btype == b"moov":
+            for ib, ibody, ibend in boxes(body, bend):
+                if ib == b"mvhd" and ibend - ibody >= 20:
+                    ver = payload[ibody]
+                    if ver == 0:
+                        ts, dur = struct.unpack(
+                            ">II", payload[ibody + 12:ibody + 20])
+                        out.append(("timescale", str(ts)))
+                        out.append(("duration", str(dur)))
+                elif ib == b"trak":
+                    n_tracks += 1
+    if n_tracks:
+        out.append(("n_tracks", str(n_tracks)))
+    return out
+
+
 def extract_media_metadata(payload) -> list[tuple[str, int, str, str]]:
     """(fmt, idx, key, value) embedded-metadata rows for one media
     payload (see module contract); container sniffed by magic."""
@@ -251,6 +312,10 @@ def extract_media_metadata(payload) -> list[tuple[str, int, str, str]]:
             rows, fmt = _png_text(payload), "png-text"
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             rows, fmt = _gif_comments(payload), "gif-comment"
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            rows, fmt = _wav_info(payload), "wav-info"
+        elif payload[4:8] == b"ftyp":
+            rows, fmt = _mp4_meta(payload), "mp4-meta"
         else:
             return []
     except Exception:
@@ -354,6 +419,36 @@ def splice_png_text(png: bytes, key: str, text: str) -> bytes:
              + struct.pack(">I", zlib.crc32(b"tEXt" + body)))
     ihdr_end = 8 + 8 + 13 + 4
     return png[:ihdr_end] + chunk + png[ihdr_end:]
+
+
+def splice_wav_info(wav: bytes, entries: list[tuple[str, str]]) -> bytes:
+    """Append a LIST/INFO chunk to a RIFF WAV and fix the RIFF size."""
+    body = bytearray(b"INFO")
+    for key, text in entries:
+        data = text.encode("latin-1") + b"\x00"
+        body += key.encode("latin-1") + struct.pack("<I", len(data))
+        body += data + (b"\x00" if len(data) & 1 else b"")
+    chunk = b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+    out = bytearray(wav + chunk)
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    return bytes(out)
+
+
+def build_mp4(brand: str = "isom", timescale: int = 1000,
+              duration: int = 0, n_tracks: int = 1) -> bytes:
+    """Minimal deterministic ISO-BMFF file: ftyp + moov(mvhd v0 +
+    trak stubs) + empty mdat — the fixture writer for _mp4_meta."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", brand.encode("latin-1")
+               + struct.pack(">I", 0) + b"isom")
+    mvhd = box(b"mvhd", bytes(4)               # version 0 + flags
+               + struct.pack(">II", 0, 0)      # ctime, mtime
+               + struct.pack(">II", timescale, duration)
+               + bytes(80))                    # rate..next_track_id
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"")
 
 
 def splice_gif_comment(gif: bytes, text: str) -> bytes:

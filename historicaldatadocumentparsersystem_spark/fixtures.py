@@ -1272,6 +1272,14 @@ def metadata_media_rows(seed: int = 42) -> list[tuple[str, bytes]]:
     rows.append(("m-gif-long", exifx.splice_gif_comment(
         gif, long_comment)))
     rows.append(("m-gif-none", gif))
+    wav = imagex.make_wav(400, sample_rate=8000)
+    rows.append(("m-wav-info", exifx.splice_wav_info(
+        wav, [("IART", "alice example"), ("INAM", f"take {seed}"),
+              ("ICMT", "field recording")])))
+    rows.append(("m-wav-none", wav))
+    rows.append(("m-mp4", exifx.build_mp4(
+        "mp42", timescale=90000, duration=90000 * (30 + seed % 60),
+        n_tracks=2)))
     rows.append(("m-bad", b"not a media payload"))
     return rows
 

@@ -78,6 +78,24 @@ def test_multiblock_gif_comment_reassembles():
     assert rows == [("gif-comment", 0, "comment", text)]
 
 
+def test_wav_info_and_mp4_meta():
+    wav = exifx.splice_wav_info(
+        imagex.make_wav(200),
+        [("IART", "bob"), ("ICMT", "odd len")])   # odd-length padding
+    assert exifx.extract_media_metadata(wav) == [
+        ("wav-info", 0, "IART", "bob"),
+        ("wav-info", 1, "ICMT", "odd len")]
+    assert imagex.wav_stats(wav)["n_frames"] == 200   # still plays
+
+    mp4 = exifx.build_mp4("avc1", timescale=600, duration=1800,
+                          n_tracks=3)
+    assert exifx.extract_media_metadata(mp4) == [
+        ("mp4-meta", 0, "brand", "avc1"),
+        ("mp4-meta", 1, "timescale", "600"),
+        ("mp4-meta", 2, "duration", "1800"),
+        ("mp4-meta", 3, "n_tracks", "3")]
+
+
 def test_metadata_free_and_garbage_yield_no_rows():
     assert exifx.extract_media_metadata(b"junk") == []
     assert exifx.extract_media_metadata(None) == []
@@ -90,7 +108,7 @@ def test_never_raises_on_fuzz():
     rng = random.Random("exifx-fuzz")
     blobs = []
     for magic in (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF89a",
-                  b""):
+                  b"RIFFxxxxWAVE", b"\x00\x00\x00\x14ftyp", b""):
         for _ in range(80):
             blobs.append(magic + bytes(
                 rng.randrange(256) for _ in range(rng.randrange(200))))
