@@ -28,25 +28,43 @@ META_SCHEMA = StructType(
     + [StructField(f, StringType(), True) for f in metax.META_FIELDS])
 
 
-def extract_meta_df(docs: DataFrame) -> DataFrame:
-    """documents (url, html, ...) -> (url, title, description,
-    keywords, robots, canonical, og_*, lang). Empty payloads yield no
-    row (the extract_links contract); malformed pages degrade to null
-    fields, never fail the task (F5)."""
+def _flat_map_operator(docs: DataFrame, extract, schema: StructType,
+                       nullable_int_cols: tuple[str, ...] = ()
+                       ) -> DataFrame:
+    """Shared mapInPandas wrapper for every satellite family whose
+    pure extractor yields ROW TUPLES per page: map-only 1->N over a
+    pruned (url, html) projection, empty payloads yield no row (the
+    extract_links contract), malformed pages degrade inside the
+    extractor (F5). ``nullable_int_cols`` stay pandas nullable-int so
+    a batch mixing null and non-null never upcasts to float."""
     import pandas as pd
+    cols = [f.name for f in schema.fields]
 
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", *metax.META_FIELDS]
         for pdf in it:
             rows = []
             for u, payload in zip(pdf["url"], pdf["html"]):
                 if not payload:
                     continue
-                m = metax.extract_meta(payload, u)
-                rows.append((u, *(m[f] for f in metax.META_FIELDS)))
-            yield pd.DataFrame(rows, columns=cols)
+                for r in extract(payload, u):
+                    rows.append((u, *r))
+            out = pd.DataFrame(rows, columns=cols)
+            for c in nullable_int_cols:
+                out[c] = out[c].astype("Int32")
+            yield out
 
-    return docs.select("url", "html").mapInPandas(batch, META_SCHEMA)
+    return docs.select("url", "html").mapInPandas(batch, schema)
+
+
+def extract_meta_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> (url, title, description,
+    keywords, robots, canonical, og_*, lang). Empty payloads yield no
+    row (the extract_links contract); malformed pages degrade to null
+    fields, never fail the task (F5)."""
+    def one_row(payload, u):
+        m = metax.extract_meta(payload, u)
+        yield tuple(m[f] for f in metax.META_FIELDS)
+    return _flat_map_operator(docs, one_row, META_SCHEMA)
 
 
 TABLES_SCHEMA = StructType([
@@ -68,21 +86,9 @@ def extract_tables_df(docs: DataFrame) -> DataFrame:
     (extractor/tablex.py is the Spark-free oracle). Map-only 1->N,
     same scale shape as extract_links: one pass over payload bytes,
     no shuffle; downstream pivots/joins key on (url, table_idx)."""
-    import pandas as pd
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "table_idx", "row_idx", "col_idx",
-                "is_header", "colspan", "rowspan", "cell_text"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                for cell in tablex.extract_tables(payload):
-                    rows.append((u, *cell))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return docs.select("url", "html").mapInPandas(batch, TABLES_SCHEMA)
+    return _flat_map_operator(
+        docs, lambda payload, u: tablex.extract_tables(payload),
+        TABLES_SCHEMA)
 
 
 def table_records(cells: DataFrame) -> DataFrame:
@@ -164,22 +170,10 @@ def extract_jsonld_df(docs: DataFrame) -> DataFrame:
     'Recipe', ...) are codegen'd string equality over a tiny column,
     and json_text feeds from_json with a per-type schema only for the
     rows that survive."""
-    import pandas as pd
     from ..extractor import jsonldx
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "block_idx", "json_text", "valid", "root_type",
-                "schema_context"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                for blk in jsonldx.extract_jsonld(payload):
-                    rows.append((u, *blk))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return docs.select("url", "html").mapInPandas(batch, JSONLD_SCHEMA)
+    return _flat_map_operator(
+        docs, lambda payload, u: jsonldx.extract_jsonld(payload),
+        JSONLD_SCHEMA)
 
 
 MICRODATA_SCHEMA = StructType([
@@ -206,26 +200,9 @@ def extract_microdata_df(docs: DataFrame) -> DataFrame:
     per-type mining filters on the tiny ``itemtype`` column before
     touching values. A production swap for full itemref support would
     drop in an extruct-style resolver behind the same schema."""
-    import pandas as pd
     from ..extractor import microdatax
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "item_idx", "parent_idx", "itemtype", "itemid",
-                "prop_idx", "prop", "value", "kind"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                for r in microdatax.extract_microdata(payload, u):
-                    rows.append((u, *r))
-            out = pd.DataFrame(rows, columns=cols)
-            # ints stay nullable-int, not float, when a batch mixes
-            # null and non-null parent_idx
-            out["parent_idx"] = out["parent_idx"].astype("Int32")
-            yield out
-
-    return docs.select("url", "html").mapInPandas(batch, MICRODATA_SCHEMA)
+    return _flat_map_operator(docs, microdatax.extract_microdata,
+                              MICRODATA_SCHEMA, ("parent_idx",))
 
 
 def _typed_records(md: DataFrame, type_cols: list[str],
@@ -293,24 +270,9 @@ def extract_rdfa_df(docs: DataFrame) -> DataFrame:
     extract_microdata_df; (url, item_idx, prop_idx) is the unique
     downstream key and per-vocabulary mining filters on the tiny
     ``vocab``/``typeof`` columns before touching values."""
-    import pandas as pd
     from ..extractor import rdfax
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "item_idx", "parent_idx", "typeof", "vocab",
-                "resource", "prop_idx", "prop", "value", "kind"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                for r in rdfax.extract_rdfa(payload, u):
-                    rows.append((u, *r))
-            out = pd.DataFrame(rows, columns=cols)
-            out["parent_idx"] = out["parent_idx"].astype("Int32")
-            yield out
-
-    return docs.select("url", "html").mapInPandas(batch, RDFA_SCHEMA)
+    return _flat_map_operator(docs, rdfax.extract_rdfa,
+                              RDFA_SCHEMA, ("parent_idx",))
 
 
 MF2_SCHEMA = StructType([
@@ -333,24 +295,9 @@ def extract_mf2_df(docs: DataFrame) -> DataFrame:
     oracle; see its module contract). Map-only 1->N like the other
     satellite families; (url, item_idx, prop_idx) is the unique
     downstream key."""
-    import pandas as pd
     from ..extractor import mf2x
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "item_idx", "parent_idx", "mf_type",
-                "prop_idx", "prop", "value", "kind"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                for r in mf2x.extract_mf2(payload, u):
-                    rows.append((u, *r))
-            out = pd.DataFrame(rows, columns=cols)
-            out["parent_idx"] = out["parent_idx"].astype("Int32")
-            yield out
-
-    return docs.select("url", "html").mapInPandas(batch, MF2_SCHEMA)
+    return _flat_map_operator(docs, mf2x.extract_mf2,
+                              MF2_SCHEMA, ("parent_idx",))
 
 
 def mf2_records(md: DataFrame) -> DataFrame:
@@ -377,21 +324,9 @@ def extract_dates_df(docs: DataFrame) -> DataFrame:
     its precedence contract). Map-only 1->N over (url, html); the
     winner pick is a downstream aggregation (``publish_date``), so
     policy changes never touch the payload pass."""
-    import pandas as pd
     from ..extractor import datex
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "pos", "source", "raw", "date_iso"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                for r in datex.extract_date_candidates(payload, u):
-                    rows.append((u, *r))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return docs.select("url", "html").mapInPandas(batch, DATES_SCHEMA)
+    return _flat_map_operator(docs, datex.extract_date_candidates,
+                              DATES_SCHEMA)
 
 
 def publish_date(cands: DataFrame) -> DataFrame:
@@ -422,20 +357,11 @@ def page_shapes(docs: DataFrame, max_tags: int = 500) -> DataFrame:
     the skeleton is bounded (<= max_tags short tokens) so the output
     row is KBs regardless of page size — the cheap layout fingerprint
     feeding template discovery."""
-    import pandas as pd
     from ..extractor import shapex
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "skeleton", "n_tags", "max_depth", "truncated"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                rows.append((u, *shapex.dom_skeleton(payload, max_tags)))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return docs.select("url", "html").mapInPandas(batch, SHAPES_SCHEMA)
+    return _flat_map_operator(
+        docs,
+        lambda payload, u: [shapex.dom_skeleton(payload, max_tags)],
+        SHAPES_SCHEMA)
 
 
 def template_clusters(shapes: DataFrame) -> DataFrame:
@@ -469,21 +395,8 @@ def extract_hreflang_df(docs: DataFrame) -> DataFrame:
     alternate (url, pos, hreflang, href). Map-only 1->N; downstream,
     grouping by href yields language-mirror clusters so per-language
     corpora keep one member instead of 30 near-identical locales."""
-    import pandas as pd
-    from ..extractor import metax
-
-    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = ["url", "pos", "hreflang", "href"]
-        for pdf in it:
-            rows = []
-            for u, payload in zip(pdf["url"], pdf["html"]):
-                if not payload:
-                    continue
-                for entry in metax.extract_hreflang(payload, u):
-                    rows.append((u, *entry))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return docs.select("url", "html").mapInPandas(batch, HREFLANG_SCHEMA)
+    return _flat_map_operator(docs, metax.extract_hreflang,
+                              HREFLANG_SCHEMA)
 
 
 def _artifacts_schema() -> StructType:
