@@ -1094,7 +1094,7 @@ _EXTRA_ORDER = [
     "table_shape_stats", "extract_hreflang",
     "encoding_gate", "extract_rdfa", "rdfa_records",
     "extract_mf2", "mf2_records", "temporal_split",
-    "media_metadata", "media_provenance",
+    "media_metadata", "media_provenance", "normalize_orientation",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2523,6 +2523,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count("*").cast("long").alias("n_tags"))
                 .orderBy("media_id"))
     q["media_provenance"] = q_media_provenance
+
+    # --- EXIF-orientation normalization (detect -> act: rotate
+    # upright via the exact 90-degree pixel permutation) — SQL-checked
+    # against stats pinned from the committed pure-Python path
+    def q_normalize_orientation(spark, sf_dir):
+        return (multimodal.normalize_orientation(
+            fixtures.metadata_media_df(spark))
+            .orderBy("media_id"))
+    q["normalize_orientation"] = q_normalize_orientation
 
     # --- REAL WAV audio stats (stdlib wave reader) — SQL-checked
     # against pinned literals
@@ -4650,6 +4659,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_tags
             FROM read_parquet('{_GOLDEN_MEDIAMETA}')
             GROUP BY media_id
+            ORDER BY media_id""",
+        # orientation normalization: decoded+uprighted pixel md5s
+        # pinned from the committed pure path (orientation-6 jpeg
+        # swaps dims 24x16 -> 16x24; EXIF-free images pass through)
+        "normalize_orientation": """
+            SELECT * FROM (VALUES
+              ('m-jpg-le', 6, 16, 24,
+               '5dd0cc6c7a1a6f8044cd8f66db8ff849'),
+              ('m-jpg-be', 1, 16, 24,
+               '1d8f8176a44d014469478b50ea82cac3'),
+              ('m-jpg-none', 1, 8, 8,
+               '2e3dfd9d54292d9d174511b79ee8b3a9'),
+              ('m-png-2', 1, 12, 10,
+               '918c9882ae1719504f36c29e48b5544d'),
+              ('m-png-1', 1, 12, 10,
+               '918c9882ae1719504f36c29e48b5544d'),
+              ('m-png-none', 1, 12, 10,
+               '918c9882ae1719504f36c29e48b5544d'),
+              ('m-gif-short', 1, 11, 9,
+               '0be8f3a3fdde02d4c6ce04203d2a273d'),
+              ('m-gif-long', 1, 11, 9,
+               '0be8f3a3fdde02d4c6ce04203d2a273d'),
+              ('m-gif-none', 1, 11, 9,
+               '0be8f3a3fdde02d4c6ce04203d2a273d'),
+              ('m-wav-info', NULL, NULL, NULL, NULL),
+              ('m-wav-none', NULL, NULL, NULL, NULL),
+              ('m-mp4', NULL, NULL, NULL, NULL),
+              ('m-bad', NULL, NULL, NULL, NULL)
+            ) AS t(media_id, orientation, width, height, px_md5)
             ORDER BY media_id""",
         # dHash fingerprints pinned as literals from the committed
         # pure-Python kernel (grayscale + exact-integer 9x8 area

@@ -379,6 +379,37 @@ def dhash64(pixels: bytes, w: int, h: int, ch: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def rotate(pixels: bytes, w: int, h: int, ch: int,
+           quarter_turns: int) -> tuple[bytes, int, int]:
+    """Rotate clockwise by ``quarter_turns`` x 90 degrees — exact
+    pixel permutation, no resampling. Returns (pixels, w, h). The
+    EXIF-orientation normalization step: orientation 6 -> 1 turn,
+    3 -> 2, 8 -> 3 (mirrored orientations 2/4/5/7 are vanishingly
+    rare in crawl data and map to their rotation here)."""
+    q = quarter_turns % 4
+    if q == 0:
+        return bytes(pixels), w, h
+    out = bytearray(len(pixels))
+    if q == 2:
+        for y in range(h):
+            for x in range(w):
+                s = (y * w + x) * ch
+                d = ((h - 1 - y) * w + (w - 1 - x)) * ch
+                out[d:d + ch] = pixels[s:s + ch]
+        return bytes(out), w, h
+    # 90 cw: dest(x, y) = src(y, h-1-x) with dest dims (h, w)
+    w2, h2 = h, w
+    for y in range(h):
+        for x in range(w):
+            s = (y * w + x) * ch
+            if q == 1:
+                d = (x * w2 + (h - 1 - y)) * ch
+            else:                           # 270 cw == 90 ccw
+                d = ((w - 1 - x) * w2 + y) * ch
+            out[d:d + ch] = pixels[s:s + ch]
+    return bytes(out), w2, h2
+
+
 def channel_means(pixels: bytes, ch: int) -> list[float]:
     """Per-channel mean sample value (exact rational -> float)."""
     n = len(pixels) // ch

@@ -338,6 +338,69 @@ def media_metadata(df: DataFrame) -> DataFrame:
                "key string, value string")
 
 
+# EXIF orientation -> clockwise quarter turns to upright (mirrored
+# orientations 2/4/5/7 map to their rotation; see imagex.rotate)
+_ORIENT_TURNS = {1: 0, 2: 0, 3: 2, 4: 2, 5: 1, 6: 1, 7: 3, 8: 3}
+
+
+def normalize_orientation(df: DataFrame) -> DataFrame:
+    """Upright every image per its EXIF Orientation tag — the act
+    step of the provenance pass (media_metadata detects, this
+    rotates): decode via the committed codecs, exact 90-degree pixel
+    permutation (imagex.rotate), emit post-rotation dimensions and a
+    pixel-buffer md5. Map-only 1->1; images without EXIF (or
+    orientation 1) pass through unrotated, undecodable payloads
+    yield null stats (F5)."""
+    import hashlib
+    import pandas as pd
+    from ..extractor import exifx, imagex
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = {"media_id": [], "orientation": [], "width": [],
+                    "height": [], "px_md5": []}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    try:
+                        w, h, ch, px = imagex.decode_png(payload)
+                    except Exception:
+                        try:
+                            w, h, ch, px = imagex.decode_gif(payload)
+                        except Exception:
+                            from ..extractor import jpegx
+                            w, h, ch, px = jpegx.decode_jpeg(payload)
+                    orient = 1
+                    for _f, _i, key, value in \
+                            exifx.extract_media_metadata(payload):
+                        if key == "Orientation":
+                            orient = int(value.split()[0])
+                            break
+                    px, w, h = imagex.rotate(
+                        px, w, h, ch, _ORIENT_TURNS.get(orient, 0))
+                    digest = hashlib.md5(px).hexdigest()
+                except Exception:
+                    orient = w = h = None
+                    digest = None
+                rows["media_id"].append(mid)
+                rows["orientation"].append(orient)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["px_md5"].append(digest)
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "orientation": pd.array(rows["orientation"],
+                                        dtype="Int32"),
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "px_md5": rows["px_md5"],
+            })
+
+    return df.select("media_id", "payload").mapInPandas(
+        batch, "media_id string, orientation int, width int, "
+               "height int, px_md5 string")
+
+
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL C8-adjacent analytics: decode PNG pixels (stdlib zlib +
     scanline unfilter), emit dimensions, the first three per-channel

@@ -122,6 +122,35 @@ def test_never_raises_on_fuzz():
             assert len(row) == 4
 
 
+def test_rotate_kernel():
+    px = bytes([0, 1, 2, 3, 4, 5])          # 2x3, rows [0,1][2,3][4,5]
+    assert imagex.rotate(px, 2, 3, 1, 1) == (
+        bytes([4, 2, 0, 5, 3, 1]), 3, 2)
+    assert imagex.rotate(px, 2, 3, 1, 2) == (
+        bytes([5, 4, 3, 2, 1, 0]), 2, 3)
+    assert imagex.rotate(px, 2, 3, 1, 3) == (
+        bytes([1, 3, 5, 0, 2, 4]), 3, 2)
+    # composition: 4 quarter turns = identity; 1+1 = 2
+    cur, w, h = px, 2, 3
+    for _ in range(4):
+        cur, w, h = imagex.rotate(cur, w, h, 1, 1)
+    assert (cur, w, h) == (px, 2, 3)
+    rgb = bytes(range(12))                  # 2x2x3: channels travel
+    assert imagex.rotate(rgb, 2, 2, 3, 1)[0] == bytes(
+        [6, 7, 8, 0, 1, 2, 9, 10, 11, 3, 4, 5])
+
+
+def test_normalize_orientation_uprights(spark):
+    got = {r["media_id"]: (r["orientation"], r["width"], r["height"])
+           for r in multimodal.normalize_orientation(
+               fixtures.metadata_media_df(spark)).collect()}
+    # orientation-6 jpeg swaps dims; EXIF-free images keep theirs
+    assert got["m-jpg-le"] == (6, 16, 24)
+    assert got["m-jpg-be"] == (1, 16, 24)
+    assert got["m-png-2"] == (1, 12, 10)
+    assert got["m-mp4"] == (None, None, None)
+
+
 def test_operator_matches_golden(spark):
     got = sorted(tuple(r) for r in multimodal.media_metadata(
         fixtures.metadata_media_df(spark)).collect())
