@@ -1095,6 +1095,7 @@ _EXTRA_ORDER = [
     "encoding_gate", "extract_rdfa", "rdfa_records",
     "extract_mf2", "mf2_records", "temporal_split",
     "media_metadata", "media_provenance", "normalize_orientation",
+    "media_artifacts",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2532,6 +2533,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.metadata_media_df(spark))
             .orderBy("media_id"))
     q["normalize_orientation"] = q_normalize_orientation
+
+    # --- one-decode combined media pass (the media-side analog of
+    # page_artifacts: stats + dHash + metadata + orientation from ONE
+    # pixel decode) — SQL-checked against pinned literals; operator
+    # equivalence to the individual passes is pytest-pinned
+    def q_media_artifacts(spark, sf_dir):
+        return (multimodal.media_artifacts(
+            fixtures.metadata_media_df(spark))
+            .orderBy("media_id"))
+    q["media_artifacts"] = q_media_artifacts
 
     # --- REAL WAV audio stats (stdlib wave reader) — SQL-checked
     # against pinned literals
@@ -4659,6 +4670,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_tags
             FROM read_parquet('{_GOLDEN_MEDIAMETA}')
             GROUP BY media_id
+            ORDER BY media_id""",
+        # combined one-decode media pass: pinned like the individual
+        # passes whose outputs it must equal (equivalence in pytest)
+        "media_artifacts": """
+            SELECT * FROM (VALUES
+              ('m-jpg-le', 'jpeg', 24, 16, 3,
+               '4ba5cb3161c5156dfe6a6533464f18f3', 80.0e0, 0::bigint,
+               6, '5dd0cc6c7a1a6f8044cd8f66db8ff849', 13),
+              ('m-jpg-be', 'jpeg', 16, 24, 3,
+               '1d8f8176a44d014469478b50ea82cac3', 72.0e0, 0::bigint,
+               1, '1d8f8176a44d014469478b50ea82cac3', 5),
+              ('m-jpg-none', 'jpeg', 8, 8, 3,
+               '2e3dfd9d54292d9d174511b79ee8b3a9', 28.0e0, 0::bigint,
+               1, '2e3dfd9d54292d9d174511b79ee8b3a9', 0),
+              ('m-png-2', 'png', 12, 10, 3,
+               '918c9882ae1719504f36c29e48b5544d', 90.0e0, 0::bigint,
+               1, '918c9882ae1719504f36c29e48b5544d', 2),
+              ('m-png-1', 'png', 12, 10, 3,
+               '918c9882ae1719504f36c29e48b5544d', 90.0e0, 0::bigint,
+               1, '918c9882ae1719504f36c29e48b5544d', 1),
+              ('m-png-none', 'png', 12, 10, 3,
+               '918c9882ae1719504f36c29e48b5544d', 90.0e0, 0::bigint,
+               1, '918c9882ae1719504f36c29e48b5544d', 0),
+              ('m-gif-short', 'gif', 11, 9, 3,
+               '0be8f3a3fdde02d4c6ce04203d2a273d', 122.424242e0,
+               2768827230062220086::bigint, 1,
+               '0be8f3a3fdde02d4c6ce04203d2a273d', 1),
+              ('m-gif-long', 'gif', 11, 9, 3,
+               '0be8f3a3fdde02d4c6ce04203d2a273d', 122.424242e0,
+               2768827230062220086::bigint, 1,
+               '0be8f3a3fdde02d4c6ce04203d2a273d', 1),
+              ('m-gif-none', 'gif', 11, 9, 3,
+               '0be8f3a3fdde02d4c6ce04203d2a273d', 122.424242e0,
+               2768827230062220086::bigint, 1,
+               '0be8f3a3fdde02d4c6ce04203d2a273d', 0),
+              ('m-wav-info', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 3),
+              ('m-wav-none', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 0),
+              ('m-mp4', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 4),
+              ('m-bad', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 0)
+            ) AS t(media_id, media_kind, width, height, channels,
+                   px_md5, mean_c0, dhash, orientation, upright_md5,
+                   n_meta)
             ORDER BY media_id""",
         # orientation normalization: decoded+uprighted pixel md5s
         # pinned from the committed pure path (orientation-6 jpeg

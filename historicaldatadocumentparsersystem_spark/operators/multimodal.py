@@ -338,6 +338,89 @@ def media_metadata(df: DataFrame) -> DataFrame:
                "key string, value string")
 
 
+def media_artifacts(df: DataFrame) -> DataFrame:
+    """ALL image artifact families from ONE decode per payload — the
+    media-side analog of pagemeta.page_artifacts: at 100 TB the pixel
+    decode dominates, so running image_pixel_stats + image_dhash +
+    media_metadata + normalize_orientation as four passes pays ~4x
+    this cost. One row per payload: dimensions/channels, raw-pixel
+    md5, per-channel means, the dHash fingerprint, EXIF orientation +
+    uprighted-pixel md5, and the embedded-metadata row count
+    (media_metadata itself stays the detail table — it parses headers
+    only, no pixel decode). Outputs are definitionally identical to
+    the individual operators (same pure functions; equivalence
+    pytest-pinned)."""
+    import hashlib
+    import pandas as pd
+    from ..extractor import exifx, imagex
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractor import jpegx
+        for b in it:
+            out = {k: [] for k in
+                   ("media_id", "media_kind", "width", "height",
+                    "channels", "px_md5", "mean_c0", "dhash",
+                    "orientation", "upright_md5", "n_meta")}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = exifx.extract_media_metadata(payload)
+                kind = w = h = ch = dh = orient = None
+                digest = up_digest = mean0 = None
+                try:
+                    try:
+                        w, h, ch, px = imagex.decode_png(payload)
+                        kind = "png"
+                    except Exception:
+                        try:
+                            w, h, ch, px = imagex.decode_gif(payload)
+                            kind = "gif"
+                        except Exception:
+                            w, h, ch, px = jpegx.decode_jpeg(payload)
+                            kind = "jpeg"
+                    digest = hashlib.md5(px).hexdigest()
+                    mean0 = round(imagex.channel_means(px, ch)[0], 6)
+                    dh = imagex.dhash64(px, w, h, ch)
+                    orient = 1
+                    for _f, _i, key, value in meta:
+                        if key == "Orientation":
+                            orient = int(value.split()[0])
+                            break
+                    upx, _w2, _h2 = imagex.rotate(
+                        px, w, h, ch, _ORIENT_TURNS.get(orient, 0))
+                    up_digest = hashlib.md5(upx).hexdigest()
+                except Exception:
+                    kind = w = h = ch = dh = orient = None
+                    digest = up_digest = mean0 = None
+                for k, v in (("media_id", mid), ("media_kind", kind),
+                             ("width", w), ("height", h),
+                             ("channels", ch), ("px_md5", digest),
+                             ("mean_c0", mean0), ("dhash", dh),
+                             ("orientation", orient),
+                             ("upright_md5", up_digest),
+                             ("n_meta", len(meta))):
+                    out[k].append(v)
+            yield pd.DataFrame({
+                "media_id": out["media_id"],
+                "media_kind": out["media_kind"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "channels": pd.array(out["channels"], dtype="Int32"),
+                "px_md5": out["px_md5"],
+                "mean_c0": out["mean_c0"],
+                "dhash": pd.array(out["dhash"], dtype="Int64"),
+                "orientation": pd.array(out["orientation"],
+                                        dtype="Int32"),
+                "upright_md5": out["upright_md5"],
+                "n_meta": pd.array(out["n_meta"], dtype="Int32"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(
+        batch, "media_id string, media_kind string, width int, "
+               "height int, channels int, px_md5 string, "
+               "mean_c0 double, dhash long, orientation int, "
+               "upright_md5 string, n_meta int")
+
+
 # EXIF orientation -> clockwise quarter turns to upright (mirrored
 # orientations 2/4/5/7 map to their rotation; see imagex.rotate)
 _ORIENT_TURNS = {1: 0, 2: 0, 3: 2, 4: 2, 5: 1, 6: 1, 7: 3, 8: 3}

@@ -151,6 +151,40 @@ def test_normalize_orientation_uprights(spark):
     assert got["m-mp4"] == (None, None, None)
 
 
+def test_media_artifacts_equals_individual_passes(spark):
+    """The one-decode combined pass is definitionally identical to
+    image_pixel_stats + image_dhash + normalize_orientation +
+    media_metadata counts on the union of both media fixture sets."""
+    rows = fixtures.metadata_media_rows() + fixtures.dhash_media_rows()
+    docs = spark.createDataFrame(rows, "media_id string, payload binary")
+    combined = {r["media_id"]: r for r in
+                multimodal.media_artifacts(docs).collect()}
+    stats = {r["media_id"]: r for r in
+             multimodal.image_pixel_stats(docs).collect()}
+    dhash = {r["media_id"]: r for r in
+             multimodal.image_dhash(docs).collect()}
+    upright = {r["media_id"]: r for r in
+               multimodal.normalize_orientation(docs).collect()}
+    meta_counts: dict[str, int] = {}
+    for r in multimodal.media_metadata(docs).collect():
+        meta_counts[r["media_id"]] = meta_counts.get(r["media_id"], 0) + 1
+    assert len(combined) == len(rows)
+    for mid, c in combined.items():
+        s, d, u = stats[mid], dhash[mid], upright[mid]
+        assert (c["width"], c["height"], c["channels"], c["px_md5"]) \
+            == (s["width"], s["height"], s["channels"], s["px_md5"]), mid
+        if c["mean_c0"] is not None:
+            assert abs(c["mean_c0"] - s["mean_c0"]) < 1e-9, mid
+        assert c["dhash"] == d["dhash"], mid
+        assert (c["orientation"], c["upright_md5"]) \
+            == (u["orientation"], u["px_md5"]), mid
+        assert c["n_meta"] == meta_counts.get(mid, 0), mid
+
+    plan = (multimodal.media_artifacts(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_operator_matches_golden(spark):
     got = sorted(tuple(r) for r in multimodal.media_metadata(
         fixtures.metadata_media_df(spark)).collect())
