@@ -59,11 +59,16 @@ def _best_cluster(cents: list[list[float]],
     """(cid, squared_dist) of the nearest centroid: per-centroid
     squared L2 via the element-order fold; argmin = array_min + FIRST
     array_position, so exact-distance ties go to the lowest cid (the
-    oracle's ``row_number() ORDER BY dist, cid`` rule)."""
+    oracle's ``row_number() ORDER BY dist, cid`` rule).
+
+    Each centroid rides as ONE array Literal (``F.lit(list)``), not an
+    ``array(lit, lit, ...)`` tree of k x dim leaf nodes — same values,
+    bit-identical fold (A/B-verified), but the plan stays compact as k
+    grows (Catalyst re-analyzes these trees on every action)."""
     e = _to_double(vec_col)
     dists = F.array(*[
         F.aggregate(
-            F.zip_with(e, F.array(*[F.lit(float(c)) for c in v]),
+            F.zip_with(e, F.lit([float(c) for c in v]),
                        lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
         for v in cents])
@@ -74,7 +79,8 @@ def _best_cluster(cents: list[list[float]],
 
 def kmeans_assign(df: DataFrame, k: int = 8, n_iter: int = 2,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  carry_vec: bool = False) -> DataFrame:
     """Lloyd k-means over an embedding column; returns one row per
     vector: (id_col, cluster, l2_dist) with l2_dist = round(sqrt of
     the squared distance to the final centroid, 6).
@@ -83,6 +89,11 @@ def kmeans_assign(df: DataFrame, k: int = 8, n_iter: int = 2,
     the unrolled-CTE DuckDB oracle is finite; production callers pick
     n_iter high enough for their corpus and the result is still
     deterministic.
+
+    ``carry_vec=True`` appends the raw ``vec_col`` to the output — the
+    assignment is a pure projection, so carrying the vector is free
+    and lets downstream consumers (``semantic_dedup``) skip an N-row
+    join back to the source table.
     """
     cents = _init_centroids(df, k, id_col, vec_col)
     kk = len(cents)
@@ -104,9 +115,11 @@ def kmeans_assign(df: DataFrame, k: int = 8, n_iter: int = 2,
         new = {r["cluster"]: list(r["c"]) for r in means}
         cents = [new.get(i, cents[i]) for i in range(kk)]
     cid, dist = _best_cluster(cents, vec_col)
-    return df.select(F.col(id_col),
-                     cid.alias("cluster"),
-                     F.round(F.sqrt(dist), 6).alias("l2_dist"))
+    cols = [F.col(id_col), cid.alias("cluster"),
+            F.round(F.sqrt(dist), 6).alias("l2_dist")]
+    if carry_vec:
+        cols.append(F.col(vec_col))
+    return df.select(*cols)
 
 
 def semantic_dedup(df: DataFrame, k: int = 8, n_iter: int = 2,
@@ -128,19 +141,20 @@ def semantic_dedup(df: DataFrame, k: int = 8, n_iter: int = 2,
     # and its plan embeds the k x dim literal-centroid projection —
     # left lazy, Catalyst re-analyzes that huge literal tree per
     # reference and the executors recompute the k-fold distance math
-    # 3x over the corpus (measured 37 s -> ~8 s at sf0.1). The
-    # checkpoint is an |N|-row x 2-narrow-column table — cheap.
-    assign = kmeans_assign(df, k, n_iter, id_col, vec_col).localCheckpoint()
-    # factor the cosine: norms are per-ROW quantities, so compute them
-    # once on each side before the quadratic join (N folds) instead of
-    # inside the pair predicate (N^2 x 2 folds). dot/(na*nb) is the
-    # same expression tree as cosine() — bit-identical doubles, the
-    # oracle contract — but the higher-order folds (interpreted, not
-    # codegen) drop from 3 to 1 per pair (measured ~11 s -> ~4 s join
-    # phase at sf0.1).
-    m = (assign.select(F.col(id_col), "cluster")
-         .join(df.select(F.col(id_col), F.col(vec_col)), id_col)
-         .withColumn("__norm", norm(vec_col)))
+    # 3x over the corpus (measured 37 s -> ~8 s at sf0.1).
+    # carry_vec rides the vector THROUGH the assignment projection so
+    # the checkpoint already holds (id, cluster, vec, norm) — the old
+    # assign-join-df shuffle (run once per self-join side) is gone
+    # entirely (measured ~7.0 -> ~6.0 s at sf0.1; at corpus scale it
+    # removes a full N-row shuffle join). norms are per-ROW
+    # quantities, computed once before the quadratic join (N folds)
+    # instead of inside the pair predicate (N^2 x 2 folds); dot/
+    # (na*nb) is the same expression tree as cosine() — bit-identical
+    # doubles, the oracle contract.
+    m = (kmeans_assign(df, k, n_iter, id_col, vec_col, carry_vec=True)
+         .select(F.col(id_col), "cluster", F.col(vec_col))
+         .withColumn("__norm", norm(vec_col))
+         .localCheckpoint())
     a, b = m.alias("a"), m.alias("b")
     dups = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -150,7 +164,7 @@ def semantic_dedup(df: DataFrame, k: int = 8, n_iter: int = 2,
                    >= threshold)
             .select(F.col(f"b.{id_col}").alias(id_col)).distinct()
             .withColumn("__dup", F.lit(True)))
-    return (assign.select(F.col(id_col), "cluster")
+    return (m.select(F.col(id_col), "cluster")
             .join(dups, id_col, "left")
             .select(F.col(id_col), "cluster",
                     F.col("__dup").isNull().alias("kept")))
