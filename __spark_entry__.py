@@ -527,6 +527,8 @@ _GOLDEN_SHAPES = os.path.join(_REPO, "fixtures",
                               "golden_shapes_seed42_n300.parquet")
 _GOLDEN_HREFLANG = os.path.join(_REPO, "fixtures",
                                 "golden_hreflang_seed42_n120.parquet")
+_GOLDEN_MARKDOWN = os.path.join(_REPO, "fixtures",
+                                "golden_markdown_seed42_n120.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1095,7 +1097,7 @@ _EXTRA_ORDER = [
     "encoding_gate", "extract_rdfa", "rdfa_records",
     "extract_mf2", "mf2_records", "temporal_split",
     "media_metadata", "media_provenance", "normalize_orientation",
-    "media_artifacts",
+    "media_artifacts", "extract_markdown", "markdown_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -1773,6 +1775,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = fixtures.meta_pages_df(spark, 120)
         return pagemeta.extract_meta_df(docs).orderBy("url")
     q["extract_meta"] = q_meta
+
+    # --- HTML -> Markdown serialization (the structure-preserving
+    # emission format) — hash-checked against the committed golden
+    # markdown parquet (same oracle pattern as extract_links: the
+    # Spark UDF calls the Spark-free extractor/mdx.py)
+    def q_markdown(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.md_pages_df(spark, 120)
+        return pagemeta.extract_markdown_df(docs).orderBy("url")
+    q["extract_markdown"] = q_markdown
+
+    # --- markdown structural census — reads the GOLDEN on both sides
+    # (serialization==golden is proven by extract_markdown; this
+    # isolates the line/substring arithmetic of the layout profile)
+    def q_markdown_stats(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        g = spark.read.parquet(_GOLDEN_MARKDOWN)
+        return pagemeta.markdown_stats(g).orderBy("url")
+    q["markdown_stats"] = q_markdown_stats
 
     # --- charset diagnostics + mojibake repair (the byte-level decode
     # explanation layer) — hash-checked against the committed golden
@@ -3909,6 +3932,42 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta": f"""
             SELECT * FROM read_parquet('{_GOLDEN_META}')
             ORDER BY url""",
+        # markdown serialization: committed golden parquet pinned by
+        # tests/test_mdx.py against the pure re-derivation
+        "extract_markdown": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_MARKDOWN}')
+            ORDER BY url""",
+        # markdown structural census: golden on both sides (the
+        # serialization itself is proven by extract_markdown; this
+        # checks the line/substring arithmetic alone). Integer div and
+        # list_filter+regexp mirror the Spark projection exactly.
+        "markdown_stats": f"""
+            WITH lines AS (
+                SELECT url, markdown,
+                       string_split(markdown, chr(10)) AS ls
+                FROM read_parquet('{_GOLDEN_MARKDOWN}'))
+            SELECT url,
+                   length(markdown)::bigint AS n_chars,
+                   len(list_filter(ls,
+                       ln -> regexp_matches(ln, '^#{{1,6}} ')))::bigint
+                       AS n_headings,
+                   len(list_filter(ls,
+                       ln -> regexp_matches(ln, '^ *(- |[0-9]+\\. )')))
+                       ::bigint AS n_list_items,
+                   (len(list_filter(ls,
+                        ln -> regexp_matches(ln, '^\\| ')))
+                    - len(list_filter(ls,
+                        ln -> regexp_matches(ln, '^\\|( --- \\|)+$'))))
+                       ::bigint AS n_table_rows,
+                   (len(list_filter(ls,
+                        ln -> regexp_matches(ln, '^`{{3}}')))::bigint
+                    // 2) AS n_code_blocks,
+                   len(list_filter(ls,
+                       ln -> regexp_matches(ln, '^>')))::bigint
+                       AS n_quote_lines,
+                   (len(string_split(markdown, '](')) - 1)::bigint
+                       AS n_links
+            FROM lines ORDER BY url""",
         # charset diagnostics: committed golden parquet pinned by
         # tests/test_charset.py against the pure re-derivation
         "encoding_profile": f"""

@@ -1178,6 +1178,104 @@ def date_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, date_pages(n, seed), num_partitions)
 
 
+def md_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the markdown
+    serializer (extractor/mdx.py): heading ladders, nested ordered/
+    unordered lists, pipe tables (ragged rows, ``|`` in cells, nested
+    tables), fenced code with backticks + entities, nested
+    blockquotes, inline emphasis/links/images, markdown-structural
+    characters needing escapes, hard breaks, tag soup, a beyond-cap
+    deep nest (degrade pin), headless text and empty payloads. Feeds
+    fixtures/golden_markdown_seed42_n*.parquet, same isolation
+    rationale as meta_pages."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 87178291199, i)
+        host = _HOSTS[(i * 40177) % len(_HOSTS)]
+        url = f"https://{host}/md/page-{i}"
+        kind = i % 10
+        title = _sentence(rng, 3, 7)
+        para = _paragraph(rng, 2, 4)
+        if kind == 0:       # article: heading ladder + emphasized prose
+            page = (
+                f'<html><head><title>{title}</title>'
+                f'<style>p {{color: red}}</style></head><body>'
+                f'<h1>{title}</h1><p>{para}</p>'
+                f'<h2>Part {i}</h2><p>Read <b>bold {i}</b>, '
+                f'<i>italic</i> and <a href="/deep/page-{i}">a link</a> '
+                f'then <a href="https://{host}/x?a={i}&amp;b=2">another'
+                f'</a>.</p><h3>Sub</h3><p>{_sentence(rng)}</p>'
+                f'<h6>fine print {i}</h6></body></html>')
+        elif kind == 1:     # nested lists + a stray non-li child
+            page = (
+                f'<html><body><ol><li>first {i}</li>'
+                f'<li>second with <ul><li>inner a</li>'
+                f'<li>inner <b>b</b></li></ul></li>'
+                f'<p>stray paragraph in list</p>'
+                f'<li>third</li></ol>'
+                f'<ul><li><p>para item</p><p>second para</p></li>'
+                f'<li>plain</li></ul></body></html>')
+        elif kind == 2:     # tables: headers, ragged, pipes, nesting
+            page = (
+                f'<html><body><table><thead><tr><th>Name</th>'
+                f'<th>A|B</th><th>N</th></tr></thead><tbody>'
+                f'<tr><td>{rng.choice(_WORDS)}</td><td><i>v{i}</i></td>'
+                f'<td>{i * 7}</td></tr>'
+                f'<tr><td>short row</td></tr>'
+                f'<tr><td>outer<table><tr><td>nested {i}</td></tr>'
+                f'</table></td><td>tail</td><td>{i}</td></tr>'
+                f'</tbody></table><p>{_sentence(rng)}</p></body></html>')
+        elif kind == 3:     # fenced code: language, backticks, entities
+            page = (
+                f'<html><body><p>before</p>'
+                f'<pre><code class="language-python">def f_{i}():\n'
+                f'    return "`tick`" &lt;= {i}  # ```\n\n'
+                f'    # blank line above kept</code></pre>'
+                f'<p>inline <code>a``b</code> and <kbd>Ctrl-C</kbd>.</p>'
+                f'</body></html>')
+        elif kind == 4:     # blockquotes: nested + multi-paragraph; hr
+            page = (
+                f'<html><body><blockquote><p>level one {i}</p>'
+                f'<blockquote><p>level two</p></blockquote>'
+                f'<p>back to one</p></blockquote><hr>'
+                f'<p>after the rule</p></body></html>')
+        elif kind == 5:     # escape torture + hard breaks + images
+            page = (
+                f'<html><body><p>stars *{i}* under_score [brack]et '
+                f'back\\slash `tick`<br>line two after break</p>'
+                f'<p><img src="/img/{i} (v2).png" alt="alt [{i}]"> and '
+                f'<a href="/go?x={i} (y)">spaced link</a></p>'
+                f'<p><del>gone</del> <strike>old</strike></p>'
+                f'</body></html>')
+        elif kind == 6:     # tag soup: unclosed/stray tags, bare &
+            page = (
+                f'<html><body><p>open <b>bold never closes'
+                f'<p>second para & raw amp <i>ital</p>'
+                f'</div></span><h2>heading after soup {i}'
+                f'<p>trailing{"" if i % 3 else "<br>"}text'
+                f'<ul><li>one<li>two</body>')
+        elif kind == 7:     # beyond-cap nesting: flatten degrade pin
+            depth = 140
+            page = ('<html><body>' + '<div>' * depth
+                    + f'deep *text* {i}' + '</div>' * depth
+                    + '</body></html>')
+        elif kind == 8:     # headless text + definition list
+            page = (f'plain leading text {i} '
+                    f'<dl><dt>term {i}</dt><dd>definition '
+                    f'{_sentence(rng, 4, 8)}</dd></dl> trailing tail')
+        else:               # kind == 9: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url, "html": page.encode("utf-8")})
+    return pages
+
+
+def md_pages_df(spark, n: int, seed: int = 42,
+                num_partitions: int = 8):
+    """Spark DataFrame of the md_pages fixture set (url, html)."""
+    return _pages_df(spark, md_pages(n, seed), num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

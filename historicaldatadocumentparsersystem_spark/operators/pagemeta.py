@@ -342,6 +342,58 @@ def publish_date(cands: DataFrame) -> DataFrame:
                  F.count("*").cast("long").alias("n_candidates")))
 
 
+MARKDOWN_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("markdown", StringType(), False),
+])
+
+
+def extract_markdown_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> (url, markdown): the whole page
+    serialized to the GFM subset (extractor/mdx.py is the Spark-free
+    oracle — see its determinism contract). Map-only 1->1 over the
+    pruned (url, html) projection; the structured emission format a
+    training pipeline hands to the tokenizer when it wants headings/
+    lists/tables/code preserved instead of flat text. Reference
+    analog: doc_processor.py hands flat Document text to the splitter;
+    this is the structure-preserving upgrade."""
+    from ..extractor import mdx
+    return _flat_map_operator(
+        docs, lambda payload, u: [(mdx.to_markdown(payload),)],
+        MARKDOWN_SCHEMA)
+
+
+def markdown_stats(md: DataFrame) -> DataFrame:
+    """Structural profile per serialized page: heading/link/image/
+    fence/table-row/list-item counts plus char length — the cheap
+    layout census over extract_markdown_df output (the markdown IS
+    the structure, so this is pure line/substring arithmetic: one
+    codegen projection, no shuffle, no second payload read)."""
+    lines = F.split(F.col("markdown"), "\n")
+    def n_match(rx: str):
+        return F.size(F.filter(lines, lambda ln: ln.rlike(rx)))
+    return md.select(
+        "url",
+        F.length("markdown").cast("long").alias("n_chars"),
+        n_match(r"^#{1,6} ").cast("long").alias("n_headings"),
+        # indent is always plain spaces — '^ *' avoids the Java-vs-RE2
+        # \s divergence entirely
+        n_match(r"^ *(- |[0-9]+\. )").cast("long").alias("n_list_items"),
+        # data rows = pipe lines minus the header-separator lines
+        # (no lookahead: the oracle's RE2 doesn't support it)
+        (n_match(r"^\| ") - n_match(r"^\|( --- \|)+$"))
+        .cast("long").alias("n_table_rows"),
+        # fences come in open/close pairs; integer div (== DuckDB //
+        # on non-negatives) keeps floats out of the driver hash
+        F.expr("cast(size(filter(split(markdown, '\\n'), "
+               "ln -> ln rlike '^`{3}')) as long) div 2")
+        .alias("n_code_blocks"),
+        n_match(r"^>").cast("long").alias("n_quote_lines"),
+        (F.size(F.split(F.col("markdown"), r"\]\(", -1)) - F.lit(1))
+        .cast("long").alias("n_links"),
+    )
+
+
 SHAPES_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("skeleton", StringType(), False),
