@@ -529,6 +529,8 @@ _GOLDEN_HREFLANG = os.path.join(_REPO, "fixtures",
                                 "golden_hreflang_seed42_n120.parquet")
 _GOLDEN_MARKDOWN = os.path.join(_REPO, "fixtures",
                                 "golden_markdown_seed42_n120.parquet")
+_GOLDEN_EPUB = os.path.join(_REPO, "fixtures",
+                            "golden_epub_chapters_seed42_n30.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1098,6 +1100,7 @@ _EXTRA_ORDER = [
     "extract_mf2", "mf2_records", "temporal_split",
     "media_metadata", "media_provenance", "normalize_orientation",
     "media_artifacts", "extract_markdown", "markdown_stats",
+    "epub_chapters",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2390,6 +2393,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_docx(spark, sf_dir):
         return sources.read_docx_elements(_docx_df(spark))
     q["docx_elements"] = q_docx
+
+    # --- EPUB source (the e-book member of the per-format loader
+    # family) — hash-checked against the committed golden chapters
+    # parquet (pinned by tests/test_epub.py against the pure
+    # re-derivation; non-epub payload rows must yield zero rows)
+    def q_epub(spark, sf_dir):
+        return (sources.read_epub_chapters(
+                    fixtures.epub_rows_df(spark, 30))
+                .orderBy("url", "chapter"))
+    q["epub_chapters"] = q_epub
 
     # S6 routed through A4 (the reference's docx shape: extract
     # paragraphs -> token-budget chunking, unstructured_chunker.py:79-91)
@@ -4846,6 +4859,12 @@ def oracle_sql() -> dict[str, str]:
         "docx_elements": f"""
             SELECT url, para, kind, text
             FROM read_parquet('{_GOLDEN_DOCX}')""",
+        # epub chapters: committed golden parquet pinned by
+        # tests/test_epub.py against the pure re-derivation
+        "epub_chapters": f"""
+            SELECT url, chapter, href, title, text
+            FROM read_parquet('{_GOLDEN_EPUB}')
+            ORDER BY url, chapter""",
         # same linear recursive-CTE fold as chunk_token_budget, over the
         # golden docx paragraphs (single page, so only the budget rule
         # closes chunks; fixture paragraphs are < max_tokens by

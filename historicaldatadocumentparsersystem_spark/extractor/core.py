@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .docx import extract_docx_text, is_docx
+from .epubx import extract_epub_text, is_epub
 from .htmlx import decode_payload, extract_html
 from .pdfx import extract_pdf
 from .pptx import extract_pptx_text, is_pptx
@@ -23,6 +24,7 @@ from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_ZIP, sniff_kind
 
 KIND_PPTX = "pptx"
 KIND_DOCX = "docx"
+KIND_EPUB = "epub"
 
 # span struct field order used everywhere (Spark schema + oracle tuples)
 SPAN_FIELDS = ("start", "end", "kind")
@@ -80,6 +82,13 @@ def extract_document(payload: bytes | None, fallback_text: str | None
                 if not spans:
                     return _fallback(fallback_text, failed=True)
                 return ExtractResult(KIND_DOCX, text, spans, len(spans), 0.0)
+            # e-book container (extractor/epubx.py, spine-ordered
+            # chapters through the same DOM pipeline)
+            if is_epub(payload):
+                text, spans = extract_epub_text(payload)  # type: ignore[arg-type]
+                if not spans:
+                    return _fallback(fallback_text, failed=True)
+                return ExtractResult(KIND_EPUB, text, spans, len(spans), 0.0)
             # non-OOXML zip: fallback, not a fail
             return _fallback(fallback_text, failed=False)
     except Exception:

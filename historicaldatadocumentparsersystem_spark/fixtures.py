@@ -464,6 +464,51 @@ def docx_file_rows(n: int, seed: int = 42) -> list[dict]:
     return out
 
 
+def epub_file_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic .epub books: (url, payload). Books
+    cycle chapter counts 1-4, include heading-less chapters (the
+    <title> fallback), entity-bearing titles/paras, and every 6th row
+    is a NON-epub payload (plain zip / garbage bytes) that must yield
+    zero rows. Feeds fixtures/golden_epub_chapters_seed42_n*.parquet."""
+    from .extractor.epubx import make_epub
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 15485863, i)
+        url = f"epub://book-{i}"
+        if i % 6 == 5:
+            # degrade class: not an epub at all
+            payload = (b"PK\x03\x04 not really a zip"
+                       if i % 2 else bytes([i % 256] * 64))
+            out.append({"url": url, "payload": payload})
+            continue
+        chapters = []
+        for c in range(1 + i % 4):
+            head = (None if (i + c) % 3 == 2
+                    else f"Chapter {c + 1}: {_sentence(rng, 2, 5)}"
+                    + (" & more" if c % 2 else ""))
+            paras = [_sentence(rng, 5, 12) for _ in range(2 + (i + c) % 3)]
+            if (i + c) % 4 == 0:
+                paras[0] = "A <tag> & amp " + paras[0]
+            chapters.append((head, paras))
+        payload = make_epub(
+            chapters, title=f"Book {i} & Co", creator=f"Author {i % 7}",
+            lang=["en", "fr", "de"][i % 3], ident=f"urn:uuid:{i}")
+        out.append({"url": url, "payload": payload})
+    return out
+
+
+def epub_rows_df(spark, n: int, seed: int = 42, num_partitions: int = 4):
+    """Spark DataFrame of the epub fixture set (url, payload)."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ])
+    rows = [(r["url"], r["payload"]) for r in epub_file_rows(n, seed)]
+    return spark.createDataFrame(rows, schema).repartition(num_partitions)
+
+
 def corpus_schema():
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType, TimestampType)

@@ -148,6 +148,48 @@ def read_docx_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, DOCX_ELEMENTS_DDL))
 
 
+EPUB_CHAPTERS_DDL = ("url string, chapter int, href string, "
+                     "title string, text string")
+
+
+def read_epub_chapters(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, epub payload) rows -> spine-ordered chapter rows.
+
+    Same shape as :func:`read_docx_elements`; the per-row parse is the
+    pure-Python ``extractor.epubx.extract_epub`` (the e-book member of
+    the per-format loader family, reference
+    ``unstructured_chunker.py:79-91``). Non-zip payloads are skipped
+    (F5); malformed inner layers degrade inside the extractor.
+    """
+    import pandas as pd
+
+    from ..extractor.epubx import extract_epub
+
+    def parse(batches):
+        for b in batches:
+            urls, chapters, hrefs, titles, texts = [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    chs = extract_epub(bytes(payload))
+                except Exception:
+                    continue
+                for ch in chs:
+                    urls.append(url)
+                    chapters.append(ch.idx)
+                    hrefs.append(ch.href)
+                    titles.append(ch.title)
+                    texts.append(ch.text)
+            yield pd.DataFrame({
+                "url": urls,
+                "chapter": pd.array(chapters, dtype="int32"),
+                "href": hrefs, "title": titles, "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, EPUB_CHAPTERS_DDL))
+
+
 def read_warc_documents(spark: SparkSession, path: str) -> DataFrame:
     """WARC shards -> the documents table (url, warc_ts, html, text,
     lang): binaryFile scan (one row per shard) + Arrow batch over the
