@@ -34,9 +34,9 @@ if _REPO not in os.environ.get("PYTHONPATH", ""):
 
 from historicaldatadocumentparsersystem_spark import fixtures, pipeline, sources
 from historicaldatadocumentparsersystem_spark.operators import (
-    asof, chunking, dedup, keywords, linkgraph, membership, multimodal,
-    quality, records, robots, rollup, routing, similarity, sketches, skew,
-    spans, textstats, webtext)
+    asof, bpetrain, chunking, dedup, keywords, linkgraph, membership,
+    multimodal, quality, records, robots, rollup, routing, similarity,
+    sketches, skew, spans, textstats, webtext)
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
 from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
 
@@ -114,6 +114,50 @@ def _near_dup_oracle() -> str:
 # k-means / SemDeDup config (query + oracle share these)
 _KMEANS_K, _KMEANS_ITER, _KMEANS_DIM = 8, 2, 64
 _SEMDEDUP_THR = 0.35
+_BPE_TRAIN_N = 12
+
+
+def _bpe_train_sql(n: int) -> str:
+    """DuckDB twin of operators/bpetrain.learn_bpe_merges: the same
+    delimited-string vocab encoding, one (pairs → argmax → replace)
+    CTE triple per merge. CTEs MUST be MATERIALIZED — each vocab step
+    is referenced twice and DuckDB inlines plain CTEs, which re-nests
+    the whole prior chain per reference (exponential plan, the same
+    lesson as Spark's localCheckpoint on iterative carriers). The
+    pre-tokenizer regex is GENERATED from bpetrain.PRETOK_RE (shared
+    constant, never retyped)."""
+    rep = ("replace(enc, chr(31)||a||chr(30)||chr(31)||b||chr(30), "
+           "chr(31)||a||b||chr(30))")
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, count(*)::bigint AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text),
+                  '{bpetrain.PRETOK_RE}', 0)) AS word
+    FROM documents) sub
+  WHERE regexp_matches(word, '^[ -~]+$')
+  GROUP BY word)""",
+        """v0 AS MATERIALIZED (
+  SELECT concat(
+    array_to_string(list_transform(generate_series(1, length(word)),
+      i -> chr(31) || substring(word, i, 1) || chr(30)), ''),
+    chr(31) || '</w>' || chr(30)) AS enc, freq
+  FROM w0)"""]
+    for k in range(n):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT ls[i] AS a, ls[i+1] AS b, sum(freq)::bigint AS cnt
+  FROM (SELECT string_split(substring(enc, 2, length(enc) - 2),
+                            chr(30) || chr(31)) AS ls, freq
+        FROM v{k}) t, unnest(generate_series(1, len(ls) - 1)) AS u(i)
+  GROUP BY 1, 2)""")
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT a, b FROM p{k} "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)")
+        ctes.append(f"v{k + 1} AS MATERIALIZED "
+                    f"(SELECT {rep} AS enc, freq FROM v{k}, b{k})")
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym FROM b{k}"
+        for k in range(n))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
 def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
@@ -1100,7 +1144,7 @@ _EXTRA_ORDER = [
     "extract_mf2", "mf2_records", "temporal_split",
     "media_metadata", "media_provenance", "normalize_orientation",
     "media_artifacts", "extract_markdown", "markdown_stats",
-    "epub_chapters",
+    "epub_chapters", "bpe_learn_merges",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2302,6 +2346,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bpe_count(spark, sf_dir):
         return textstats.bpe_token_stats(_t(spark, sf_dir, "documents"))
     q["bpe_token_count"] = q_bpe_count
+
+    # --- distributed BPE TRAINING (Sennrich Alg. 1; the tokenizer
+    # story's other half — reference ships a pre-trained HF vocab,
+    # doc_processor.py:89-137; at 100 TB you train your own). One
+    # corpus-sized pass, then the loop runs over the vocab table; the
+    # DuckDB twin is the same loop as chained MATERIALIZED CTEs.
+    def q_bpe_train(spark, sf_dir):
+        return bpetrain.learn_bpe_merges(
+            _t(spark, sf_dir, "documents"), n_merges=_BPE_TRAIN_N)
+    q["bpe_learn_merges"] = q_bpe_train
 
     # --- F6 rename + F7 defaulting — SQL-checked
     def q_colmap(spark, sf_dir):
@@ -5016,4 +5070,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
+        # distributed BPE training: the SAME merge loop as chained
+        # MATERIALIZED CTEs (pairs → deterministic argmax → literal
+        # string replace per rank); see _bpe_train_sql for why
+        # MATERIALIZED is load-bearing
+        "bpe_learn_merges": _bpe_train_sql(_BPE_TRAIN_N),
     }

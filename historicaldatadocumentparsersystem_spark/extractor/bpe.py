@@ -196,6 +196,67 @@ class BPETokenizer:
         self.__init__(state["merges"])
 
 
+def _apply_merge(symbols: tuple[str, ...], pair: tuple[str, str]
+                 ) -> tuple[str, ...]:
+    """One training pass: greedy left-to-right non-overlapping
+    replacement of an adjacent ``pair`` (a merge result is never the
+    LEFT element of another match in the same pass — the Sennrich
+    training semantics, and exactly what string ``replace()`` does on
+    the delimited encoding the Spark/DuckDB twins use)."""
+    a, b = pair
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if (i + 1 < len(symbols) and symbols[i] == a
+                and symbols[i + 1] == b):
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_merges_from_freqs(word_freqs, n_merges: int
+                            ) -> tuple[tuple[str, str], ...]:
+    """BPE TRAINING (Sennrich et al. 2016 Alg. 1) over aggregated
+    (word, freq) pairs: repeatedly take the highest-total-frequency
+    adjacent symbol pair (ties: lexicographic smallest (left, right) —
+    fully deterministic), merge it everywhere, emit rank = iteration.
+    Stops early when no adjacent pair remains. This is the oracle for
+    the distributed trainer (operators/bpetrain.py); inference with
+    the learned table is ``BPETokenizer(merges)``."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in word_freqs:
+        if word:
+            key = tuple(word) + (_W,)
+            vocab[key] = vocab.get(key, 0) + int(freq)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_apply_merge(syms, best): f for syms, f in vocab.items()}
+    return tuple(merges)
+
+
+def learn_merges(texts, n_merges: int) -> tuple[tuple[str, str], ...]:
+    """BPE training over raw documents (pre-tokenized with the same
+    ``_PRETOK`` split inference uses, so learned merges plug straight
+    into ``BPETokenizer``)."""
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in _PRETOK.findall((t or "").lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+    return learn_merges_from_freqs(freqs.items(), n_merges)
+
+
 def tokenize(text: str) -> list[str]:
     """Full BPE tokenization of a document (lowercased)."""
     out: list[str] = []
