@@ -117,6 +117,27 @@ _SEMDEDUP_THR = 0.35
 _BPE_TRAIN_N = 12
 
 
+def _zorder_sql() -> str:
+    """DuckDB twin of layout.zorder_events: identical integer math,
+    expression strings generated by the shared builders."""
+    from historicaldatadocumentparsersystem_spark.operators import layout
+    b = layout.ZORDER_BITS
+    qx = layout.quantize_expr("user_id", "xmin", "xmax", b, div="//")
+    qy = layout.quantize_expr("epoch_us(ts)", "ymin", "ymax", b,
+                              div="//")
+    z = layout.interleave_expr("qx", "qy", b, div="//")
+    return f"""
+        WITH mm AS (
+          SELECT min(user_id)::bigint AS xmin,
+                 max(user_id)::bigint AS xmax,
+                 min(epoch_us(ts))::bigint AS ymin,
+                 max(epoch_us(ts))::bigint AS ymax
+          FROM events)
+        SELECT event_id, qx, qy, ({z})::bigint AS zkey
+        FROM (SELECT event_id, ({qx})::bigint AS qx, ({qy})::bigint AS qy
+              FROM events, mm) q"""
+
+
 def _bpe_train_sql(n: int) -> str:
     """DuckDB twin of operators/bpetrain.learn_bpe_merges: the same
     delimited-string vocab encoding, one (pairs → argmax → replace)
@@ -1144,7 +1165,7 @@ _EXTRA_ORDER = [
     "extract_mf2", "mf2_records", "temporal_split",
     "media_metadata", "media_provenance", "normalize_orientation",
     "media_artifacts", "extract_markdown", "markdown_stats",
-    "epub_chapters", "bpe_learn_merges",
+    "epub_chapters", "bpe_learn_merges", "zorder_layout",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2739,6 +2760,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("vmin", 2).cast("double").alias("vmin"),
             F.round("vmax", 2).cast("double").alias("vmax"))
     q["hypertable_rollup"] = q_rollup
+
+    # --- Z-order layout clustering (Delta OPTIMIZE ZORDER analog):
+    # Morton key over the (user, time) plane so a range-partitioned
+    # write prunes BOTH dimensions via footer stats; key math is
+    # engine-exact integer arithmetic generated by the same Python
+    # code as the DuckDB twin (operators/layout.py)
+    def q_zorder(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import layout
+        return layout.zorder_events(_t(spark, sf_dir, "events"))
+    q["zorder_layout"] = q_zorder
 
     # --- TPC-H-style relational coverage — SQL-checked
     def q_tpch1(spark, sf_dir):
@@ -5075,4 +5106,11 @@ def oracle_sql() -> dict[str, str]:
         # string replace per rank); see _bpe_train_sql for why
         # MATERIALIZED is load-bearing
         "bpe_learn_merges": _bpe_train_sql(_BPE_TRAIN_N),
+        # Z-order Morton keys: quantize + interleave strings GENERATED
+        # by the same operators/layout.py builders the Spark side
+        # runs (div='//' is DuckDB's truncating division on the
+        # non-negative operands used here); time as epoch MICROseconds
+        # (exact int64 both engines — second-granularity casts round
+        # vs truncate differently)
+        "zorder_layout": _zorder_sql(),
     }

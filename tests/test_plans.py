@@ -161,6 +161,22 @@ def test_tfidf_broadcasts_document_frequency(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_zorder_key_is_map_only_over_scan(spark):
+    """The Morton key is a projection: the corpus-sized events side
+    must NOT shuffle — the only exchange under the key computation is
+    the 1-row min/max aggregate riding in as a broadcast (the tfidf
+    totals pattern), and the key math stays in codegen."""
+    df = _q("zorder_layout")(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row stats ride
+    # exactly ONE shuffle exchange: the 1-row min/max reduction. The
+    # corpus side itself must never shuffle for a key that is pure
+    # row-local arithmetic.
+    assert count_exchanges(df) == 1, plan
+    # key math must not fall back to Python: no Arrow/Python eval node
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_chunking_single_exchange(spark):
     """A4 fold (both counters): ONE url repartition exchange feeding
     the sorted mapInPandas fold — no hidden second shuffle."""
