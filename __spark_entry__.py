@@ -596,6 +596,8 @@ _GOLDEN_MARKDOWN = os.path.join(_REPO, "fixtures",
                                 "golden_markdown_seed42_n120.parquet")
 _GOLDEN_EPUB = os.path.join(_REPO, "fixtures",
                             "golden_epub_chapters_seed42_n30.parquet")
+_GOLDEN_ODT = os.path.join(_REPO, "fixtures",
+                           "golden_odt_elements_seed42_n40.parquet")
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1166,6 +1168,7 @@ _EXTRA_ORDER = [
     "media_metadata", "media_provenance", "normalize_orientation",
     "media_artifacts", "extract_markdown", "markdown_stats",
     "epub_chapters", "bpe_learn_merges", "zorder_layout",
+    "odt_elements",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2468,6 +2471,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_docx(spark, sf_dir):
         return sources.read_docx_elements(_docx_df(spark))
     q["docx_elements"] = q_docx
+
+    # --- ODT source (the ODF member of the per-format loader family)
+    # — hash-checked against the committed golden elements parquet
+    # (pinned by tests/test_odt.py against the pure re-derivation)
+    def q_odt(spark, sf_dir):
+        files = fixtures.odt_file_rows(40)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_odt_elements(df)
+    q["odt_elements"] = q_odt
 
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
@@ -4944,6 +4958,11 @@ def oracle_sql() -> dict[str, str]:
         "docx_elements": f"""
             SELECT url, para, kind, text
             FROM read_parquet('{_GOLDEN_DOCX}')""",
+        # odt elements: committed golden parquet pinned by
+        # tests/test_odt.py against the pure re-derivation
+        "odt_elements": f"""
+            SELECT url, para, kind, level, text
+            FROM read_parquet('{_GOLDEN_ODT}')""",
         # epub chapters: committed golden parquet pinned by
         # tests/test_epub.py against the pure re-derivation
         "epub_chapters": f"""

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from .docx import extract_docx_text, is_docx
 from .epubx import extract_epub_text, is_epub
 from .htmlx import decode_payload, extract_html
+from .odtx import extract_odt_text, is_odt
 from .pdfx import extract_pdf
 from .pptx import extract_pptx_text, is_pptx
 from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_ZIP, sniff_kind
@@ -25,6 +26,7 @@ from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_ZIP, sniff_kind
 KIND_PPTX = "pptx"
 KIND_DOCX = "docx"
 KIND_EPUB = "epub"
+KIND_ODT = "odt"
 
 # span struct field order used everywhere (Spark schema + oracle tuples)
 SPAN_FIELDS = ("start", "end", "kind")
@@ -82,6 +84,13 @@ def extract_document(payload: bytes | None, fallback_text: str | None
                 if not spans:
                     return _fallback(fallback_text, failed=True)
                 return ExtractResult(KIND_DOCX, text, spans, len(spans), 0.0)
+            # ODF text (extractor/odtx.py — the OASIS sibling of the
+            # docx subset; mimetype-gated so no overlap with OOXML)
+            if is_odt(payload):
+                text, spans = extract_odt_text(payload)  # type: ignore[arg-type]
+                if not spans:
+                    return _fallback(fallback_text, failed=True)
+                return ExtractResult(KIND_ODT, text, spans, len(spans), 0.0)
             # e-book container (extractor/epubx.py, spine-ordered
             # chapters through the same DOM pipeline)
             if is_epub(payload):

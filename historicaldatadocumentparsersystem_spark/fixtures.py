@@ -464,6 +464,30 @@ def docx_file_rows(n: int, seed: int = 42) -> list[dict]:
     return out
 
 
+def odt_file_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic .odt files (ODF fixture): (url, payload).
+
+    Cycles heading / nested-list / plain paragraphs like the docx set,
+    plus the ODF-specific encodings a real writer emits: space runs as
+    ``text:s``, tabs, line-breaks, and nested ``text:span`` runs
+    (every 3rd document carries one of each)."""
+    from .extractor.odtx import make_odt
+    kinds = ["heading", "list_item", "text", "text", "list_item"]
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 130363, i)
+        paras = []
+        for p in range(3 + i % 5):
+            txt = _sentence(rng, 4, 9)
+            if (i + p) % 4 == 0:
+                txt = f"{['merge', 'window', 'stream'][(i + p) % 3]} {txt}"
+            if i % 3 == 0 and p == 1:
+                txt = f"span:{txt}\tcol  end"  # span + tab + space run
+            paras.append((kinds[(i + p) % len(kinds)], txt))
+        out.append({"url": f"odt://file-{i}", "payload": make_odt(paras)})
+    return out
+
+
 def epub_file_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic .epub books: (url, payload). Books
     cycle chapter counts 1-4, include heading-less chapters (the

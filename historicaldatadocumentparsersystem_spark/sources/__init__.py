@@ -148,6 +148,50 @@ def read_docx_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, DOCX_ELEMENTS_DDL))
 
 
+ODT_ELEMENTS_DDL = ("url string, para int, kind string, level int, "
+                    "text string")
+
+
+def read_odt_elements(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, odt payload) rows -> ordered paragraph elements.
+
+    Same shape as :func:`read_docx_elements`; the per-row parse is the
+    pure-Python ``extractor.odtx.extract_odt`` (the ODF member of the
+    per-format loader family, reference
+    ``unstructured_chunker.py:79-91``). Non-zip payloads are skipped
+    (F5); a malformed content part yields no rows for that document.
+    """
+    import pandas as pd
+
+    from ..extractor.odtx import extract_odt
+
+    def parse(batches):
+        for b in batches:
+            urls, paras, kinds, levels, texts = [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    els = extract_odt(bytes(payload))
+                except Exception:
+                    continue
+                for el in els:
+                    urls.append(url)
+                    paras.append(el.para)
+                    kinds.append(el.kind)
+                    levels.append(el.level)
+                    texts.append(el.text)
+            yield pd.DataFrame({
+                "url": urls,
+                "para": pd.array(paras, dtype="int32"),
+                "kind": kinds,
+                "level": pd.array(levels, dtype="int32"),
+                "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ODT_ELEMENTS_DDL))
+
+
 EPUB_CHAPTERS_DDL = ("url string, chapter int, href string, "
                      "title string, text string")
 
