@@ -598,6 +598,9 @@ _GOLDEN_EPUB = os.path.join(_REPO, "fixtures",
                             "golden_epub_chapters_seed42_n30.parquet")
 _GOLDEN_ODT = os.path.join(_REPO, "fixtures",
                            "golden_odt_elements_seed42_n40.parquet")
+_GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
+                              "golden_paging_seed42.parquet")
+_PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
 _W_SQL = "[" + ", ".join(str(w) for w in _qmodel.W_MICRO) + "]"
@@ -1168,7 +1171,7 @@ _EXTRA_ORDER = [
     "media_metadata", "media_provenance", "normalize_orientation",
     "media_artifacts", "extract_markdown", "markdown_stats",
     "epub_chapters", "bpe_learn_merges", "zorder_layout",
-    "odt_elements",
+    "odt_elements", "stitch_pagination",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2471,6 +2474,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_docx(spark, sf_dir):
         return sources.read_docx_elements(_docx_df(spark))
     q["docx_elements"] = q_docx
+
+    # --- pagination-chain stitching (rel=next de-pagination): reads
+    # the GOLDEN paging parquet on BOTH sides (extraction==golden is
+    # pinned by tests/test_paging.py re-derivation; this row isolates
+    # the chain-walk composition, the quality-gate pattern)
+    def q_stitch(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            pagemeta as _pm
+        return _pm.stitch_pagination(
+            spark.read.parquet(_GOLDEN_PAGING), max_pages=_PAGING_CAP)
+    q["stitch_pagination"] = q_stitch
 
     # --- ODT source (the ODF member of the per-format loader family)
     # — hash-checked against the committed golden elements parquet
@@ -4963,6 +4977,36 @@ def oracle_sql() -> dict[str, str]:
         "odt_elements": f"""
             SELECT url, para, kind, level, text
             FROM read_parquet('{_GOLDEN_ODT}')""",
+        # pagination stitching: the SAME head/walk/first-visit/stitch
+        # semantics as pagemeta.stitch_pagination — heads = pages with
+        # no in-edge, depth-capped recursive walk (a cycle would
+        # otherwise recurse forever), QUALIFY keeps each page's first
+        # visit (min pos, chain_id), string_agg ORDER BY pos is the
+        # blank-line join. NOT IN is null-safe here because the
+        # subquery filters rel_next IS NOT NULL.
+        "stitch_pagination": f"""
+            WITH RECURSIVE pages AS (
+              SELECT url, rel_next, body_text
+              FROM read_parquet('{_GOLDEN_PAGING}')),
+            walk AS (
+              SELECT p.url AS chain_id, p.url AS url, 0 AS pos,
+                     p.rel_next, p.body_text
+              FROM pages p
+              WHERE p.url NOT IN (SELECT rel_next FROM pages
+                                  WHERE rel_next IS NOT NULL)
+              UNION ALL
+              SELECT w.chain_id, p.url, w.pos + 1, p.rel_next,
+                     p.body_text
+              FROM walk w JOIN pages p ON p.url = w.rel_next
+              WHERE w.pos + 1 < {_PAGING_CAP}),
+            dedup AS (
+              SELECT chain_id, url, pos, body_text FROM walk
+              QUALIFY row_number() OVER (PARTITION BY url
+                                         ORDER BY pos, chain_id) = 1)
+            SELECT chain_id, count(*)::bigint AS n_pages,
+                   string_agg(body_text, chr(10) || chr(10)
+                              ORDER BY pos) AS full_text
+            FROM dedup GROUP BY chain_id""",
         # epub chapters: committed golden parquet pinned by
         # tests/test_epub.py against the pure re-derivation
         "epub_chapters": f"""

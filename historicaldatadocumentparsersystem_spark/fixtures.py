@@ -692,6 +692,64 @@ def meta_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, meta_pages(n, seed), num_partitions)
 
 
+def paging_pages(n_articles: int = 24, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising pagination-chain
+    stitching (rel=next/prev link chains -> multi-page articles):
+    articles of 1-4 parts with absolute next/prev links, every 9th
+    article's chain BROKEN (next points to a never-emitted url — the
+    walk must stop, not fail), plus a head feeding into a 2-cycle
+    (the stitcher's depth cap + first-visit dedup path) and a pure
+    2-cycle with no head (unreachable, dropped entirely). Feeds its
+    own golden (fixtures/golden_paging_seed42_*.parquet), same
+    rationale as meta_pages."""
+    pages: list[dict] = []
+
+    def page(url: str, title: str, body: str, nxt: str | None,
+             prv: str | None) -> dict:
+        links = ""
+        if nxt:
+            links += f'<link rel="next" href="{nxt}">'
+        if prv:
+            links += f'<link rel="prev" href="{prv}">'
+        html = (f"<html><head><title>{title}</title>{links}</head>"
+                f"<body>{body}</body></html>")
+        return {"url": url, "html": html.encode("utf-8")}
+
+    for a in range(n_articles):
+        rng = _rng(seed * 75403, a)
+        host = _HOSTS[(a * 40503) % len(_HOSTS)]
+        k = 1 + a % 4
+        urls = [f"https://{host}/paging/a{a}/part-{p}" for p in range(k)]
+        broken = a % 9 == 4
+        for p in range(k):
+            nxt = urls[p + 1] if p + 1 < k else None
+            if broken and p == 0 and k > 1:
+                nxt = f"https://{host}/paging/a{a}/gone"
+            prv = urls[p - 1] if p > 0 else None
+            body = "".join(f"<p>{_paragraph(rng, 1, 3)}</p>"
+                           for _ in range(2))
+            pages.append(page(urls[p], f"Article {a} part {p}", body,
+                              nxt, prv))
+    rng = _rng(seed * 75403, n_articles)
+    host = _HOSTS[0]
+    c = [f"https://{host}/paging/cycle/{x}" for x in ("head", "c1", "c2",
+                                                     "d1", "d2")]
+    body = f"<p>{_paragraph(rng, 1, 2)}</p>"
+    pages.append(page(c[0], "cycle head", body, c[1], None))
+    pages.append(page(c[1], "cycle one", body, c[2], c[0]))
+    pages.append(page(c[2], "cycle two", body, c[1], c[1]))
+    pages.append(page(c[3], "orphan cycle a", body, c[4], c[4]))
+    pages.append(page(c[4], "orphan cycle b", body, c[3], c[3]))
+    return pages
+
+
+def paging_pages_df(spark, n_articles: int = 24, seed: int = 42,
+                    num_partitions: int = 8):
+    """Spark DataFrame of the paging_pages fixture set (url, html)."""
+    return _pages_df(spark, paging_pages(n_articles, seed),
+                     num_partitions)
+
+
 def table_pages(n: int, seed: int = 42) -> list[dict]:
     """Deterministic (url, html) pages exercising the table extractor
     (extractor/tablex.py): thead/tbody with th headers, multiple

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (BooleanType, IntegerType, StringType,
                                StructField, StructType)
@@ -137,6 +137,67 @@ def canonical_dedup(meta: DataFrame) -> DataFrame:
                      .alias("canonical_key"))
             .agg(F.min("url").alias("kept_url"),
                  F.count("*").cast("long").alias("n_copies")))
+
+
+def stitch_pagination(pages: DataFrame, url_col: str = "url",
+                      next_col: str = "rel_next",
+                      text_col: str = "body_text",
+                      max_pages: int = 16) -> DataFrame:
+    """Reassemble multi-page articles from ``rel=next`` chains:
+    (chain_id, n_pages, full_text) per article, pages joined with
+    blank lines in link order — the de-pagination pass a training
+    corpus wants BEFORE dedup/chunking (page 2 of an article is
+    neither a duplicate nor a document of its own).
+
+    Semantics (mirrored exactly by the DuckDB twin):
+    - a HEAD is a page no other page points to via rel_next; every
+      head starts a chain (single pages are 1-page chains);
+    - the walk follows rel_next up to ``max_pages`` hops; a broken
+      link (target not in the corpus) simply ends the chain;
+    - a page reached by several chains (or revisited through a cycle)
+      counts once: first visit wins — min (pos, chain_id);
+    - cycle members no head reaches are dropped entirely (every node
+      has an in-edge, so none is a head).
+
+    Scale: chains are bounded short (``max_pages``); each round is a
+    hash equi-join of the shrinking frontier (#chains rows, only
+    pages that HAVE a next link survive a round) against the pruned
+    (url, next, text) projection, with the frontier localCheckpointed
+    per round — plan size stays linear in rounds, never nested (the
+    host_hits lesson). The final stitch is ONE groupBy(chain_id)."""
+    base = (pages.select(F.col(url_col).alias("url"),
+                         F.col(next_col).alias("rel_next"),
+                         F.col(text_col).alias("body_text"))
+            .localCheckpoint(eager=False))
+    in_edges = (base.where(F.col("rel_next").isNotNull())
+                .select(F.col("rel_next").alias("url")).distinct())
+    heads = base.join(in_edges, "url", "left_anti")
+    frontier = heads.select(
+        F.col("url").alias("chain_id"), "url",
+        F.lit(0).alias("pos"), "rel_next", "body_text").localCheckpoint()
+    parts = [frontier]
+    for pos in range(1, max_pages):
+        hop = (frontier.where(F.col("rel_next").isNotNull())
+               .select("chain_id", F.col("rel_next").alias("url"))
+               .join(base, "url")
+               .select("chain_id", "url", F.lit(pos).alias("pos"),
+                       "rel_next", "body_text"))
+        frontier = hop.localCheckpoint()  # eager: bounds the plan AND
+        if frontier.rdd.isEmpty():        # makes the emptiness probe
+            break                         # reuse the materialized rows
+        parts.append(frontier)
+    walk = parts[0]
+    for p in parts[1:]:
+        walk = walk.unionByName(p)
+    first_visit = Window.partitionBy("url").orderBy("pos", "chain_id")
+    dedup = (walk.withColumn("__rk", F.row_number().over(first_visit))
+             .where(F.col("__rk") == 1))
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "body_text")))
+    return (dedup.groupBy("chain_id")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.array_join(
+                     F.transform(ordered, lambda s: s["body_text"]),
+                     "\n\n").alias("full_text")))
 
 
 def table_shapes(cells: DataFrame) -> DataFrame:
