@@ -117,6 +117,51 @@ _SEMDEDUP_THR = 0.35
 _BPE_TRAIN_N = 12
 
 
+def _script_sql() -> str:
+    """DuckDB twin of textstats.script_profile over documents + the
+    committed multilingual sample: char-class patterns and the
+    dominant-script CASE are GENERATED from the same constants the
+    Spark side uses (literal unicode chars — Java and RE2 escape
+    syntaxes differ, literals do not). DuckDB regexp_replace needs
+    the explicit 'g' flag (first-match-only by default; Spark
+    replaces all)."""
+    vals = ",\n".join(f"({i}, '{t}')"
+                      for i, t in textstats.SCRIPT_SAMPLE_ROWS)
+    counts = ",\n".join(
+        f"(length(text) - length(regexp_replace(text, "
+        f"'{textstats.script_class_pattern(r)}', '', 'g')))::bigint "
+        f"AS n_{n}"
+        for n, r in textstats.SCRIPT_RANGES)
+    return f"""
+        WITH sample(doc_id, text) AS (VALUES {vals}),
+        corpus AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents
+          UNION ALL SELECT doc_id, text FROM sample),
+        counts AS (
+          SELECT doc_id, length(text)::bigint AS n_chars,
+                 {counts}
+          FROM corpus)
+        SELECT *, {textstats.dominant_script_case()} AS dominant_script
+        FROM counts"""
+
+
+def _nfc_sql() -> str:
+    """DuckDB twin of encoding.nfc_normalize_df: VALUES generated from
+    the same committed sample constant (texts carry the decomposed
+    forms verbatim — both engines read UTF-8 literals identically)."""
+    from historicaldatadocumentparsersystem_spark.operators.encoding import \
+        NFC_SAMPLE_ROWS
+    vals = ",\n".join(f"({i}, '{t}')" for i, t in NFC_SAMPLE_ROWS)
+    return f"""
+        WITH sample(doc_id, text) AS (VALUES {vals}),
+        corpus AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents
+          UNION ALL SELECT doc_id, text FROM sample)
+        SELECT doc_id, nfc_normalize(text) AS text_nfc,
+               nfc_normalize(text) != text AS changed
+        FROM corpus"""
+
+
 def _zorder_sql() -> str:
     """DuckDB twin of layout.zorder_events: identical integer math,
     expression strings generated by the shared builders."""
@@ -1171,7 +1216,8 @@ _EXTRA_ORDER = [
     "media_metadata", "media_provenance", "normalize_orientation",
     "media_artifacts", "extract_markdown", "markdown_stats",
     "epub_chapters", "bpe_learn_merges", "zorder_layout",
-    "odt_elements", "stitch_pagination",
+    "odt_elements", "stitch_pagination", "script_profile",
+    "nfc_normalize",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2485,6 +2531,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _pm.stitch_pagination(
             spark.read.parquet(_GOLDEN_PAGING), max_pages=_PAGING_CAP)
     q["stitch_pagination"] = q_stitch
+
+    # --- Unicode script profile (pre-lang-ID routing): documents is
+    # ASCII-only, so the committed multilingual sample rows ride along
+    # to exercise every range cross-engine
+    def q_scripts(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        sample = spark.createDataFrame(
+            list(textstats.SCRIPT_SAMPLE_ROWS), "doc_id long, text string")
+        return textstats.script_profile(docs.unionByName(sample))
+    q["script_profile"] = q_scripts
+
+    # --- Unicode NFC normalization (pre-dedup canonicalization):
+    # ASCII documents + the committed decomposed/jamo/singleton
+    # sample rows; oracle = DuckDB's utf8proc nfc_normalize vs the
+    # stdlib unicodedata UDF (same stable canonical composition)
+    def q_nfc(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            encoding as _enc
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        sample = spark.createDataFrame(
+            list(_enc.NFC_SAMPLE_ROWS), "doc_id long, text string")
+        return _enc.nfc_normalize_df(docs.unionByName(sample))
+    q["nfc_normalize"] = q_nfc
 
     # --- ODT source (the ODF member of the per-format loader family)
     # — hash-checked against the committed golden elements parquet
@@ -5169,6 +5238,10 @@ def oracle_sql() -> dict[str, str]:
         # string replace per rank); see _bpe_train_sql for why
         # MATERIALIZED is load-bearing
         "bpe_learn_merges": _bpe_train_sql(_BPE_TRAIN_N),
+        # Unicode script profile: generated char classes + shared CASE
+        "script_profile": _script_sql(),
+        # NFC canonicalization: utf8proc twin of the unicodedata UDF
+        "nfc_normalize": _nfc_sql(),
         # Z-order Morton keys: quantize + interleave strings GENERATED
         # by the same operators/layout.py builders the Spark side
         # runs (div='//' is DuckDB's truncating division on the

@@ -62,3 +62,64 @@ def encoding_profile_df(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=_COLS)
 
     return docs.select("url", "html").mapInPandas(batch, ENCODING_SCHEMA)
+
+
+# committed parity sample (id, text): decomposed combining marks,
+# canonical reordering, Hangul jamo, singleton composition (Angstrom),
+# and NFKC-only forms that NFC must LEAVE ALONE — unioned with the
+# (ASCII-only) documents table by the registered query so the
+# normalizer is exercised cross-engine. \u escapes keep the source
+# file ASCII and the decomposed forms visible.
+NFC_SAMPLE_ROWS: tuple[tuple[int, str], ...] = (
+    (2000000001, "e\u0301clair decomposed"),   # e + combining acute
+    (2000000002, "cafe\u0301 au lait"),
+    (2000000003, "\u1100\u1161\u11a8 jamo"),  # -> precomposed GAG
+    (2000000004, "\u212b angstrom sign"),       # singleton -> U+00C5
+    (2000000005, "x\u0301\u0328 reorder"),     # marks canonically swap
+    (2000000006, "\ufb01le ligature stays"),    # NFKC-only: fi kept
+    (2000000007, "\u00e9 already composed"),
+    (2000000008, "plain ascii unchanged"),
+)
+
+
+def nfc_normalize_df(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization: (id, text_nfc, changed) — the
+    canonicalization pass dedup REQUIRES before any text hashing
+    (U+00E9 and e+U+0301 render identically but hash differently;
+    un-normalized corpora leak visually-exact duplicates through
+    every exact-dedup key).
+
+    Scale: Arrow-batched map-only pandas UDF over stdlib
+    ``unicodedata.normalize`` — justified Python: the Unicode
+    composition table IS the model, and there is no JVM builtin.
+    Verified char-for-char against DuckDB's utf8proc
+    ``nfc_normalize`` (both implement the same stable Unicode
+    canonical composition; pinned by the oracle twin).
+    """
+    import pandas as pd  # noqa: F401  (module-level for pandas_udf)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
+    schema = StructType([
+        StructField("id", StringType(), True),
+        StructField("text_nfc", StringType(), True),
+        StructField("changed", BooleanType(), False),
+    ])
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import unicodedata
+        for pdf in it:
+            src = pdf[text_col].fillna("")
+            nfc = src.map(lambda t: unicodedata.normalize("NFC", t))
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype(str),
+                "text_nfc": nfc,
+                "changed": nfc.ne(src),
+            })
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batch, schema)
+    return out.select(F.col("id").cast("long").alias(id_col),
+                      "text_nfc", "changed")

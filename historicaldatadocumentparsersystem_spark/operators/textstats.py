@@ -611,3 +611,80 @@ def lang_id_margin(df: DataFrame, text_col: str = "text",
             .withColumn("confident",
                         (F.col("n_hits") > 0)
                         & (F.col("margin_bp") >= min_margin_bp)))
+
+
+# --- Unicode script detection ------------------------------------------------
+
+# Major-script BMP ranges (codepoint intervals, public Unicode block
+# data). Pattern strings are GENERATED from this table for BOTH
+# engines (script_class_pattern) — never retyped.
+SCRIPT_RANGES: tuple[tuple[str, tuple[tuple[int, int], ...]], ...] = (
+    ("latin", ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F))),
+    ("cyrillic", ((0x400, 0x4FF), (0x500, 0x52F))),
+    ("greek", ((0x370, 0x3FF),)),
+    ("arabic", ((0x600, 0x6FF), (0x750, 0x77F))),
+    ("hebrew", ((0x590, 0x5FF),)),
+    ("devanagari", ((0x900, 0x97F),)),
+    ("han", ((0x3400, 0x4DBF), (0x4E00, 0x9FFF))),
+    ("kana", ((0x3040, 0x309F), (0x30A0, 0x30FF))),
+    ("hangul", ((0x1100, 0x11FF), (0xAC00, 0xD7AF))),
+)
+
+# committed multilingual sample rows (id, text) — the engine-parity
+# fixture the registered query unions with the (ASCII-only) documents
+# table so every range is actually exercised
+SCRIPT_SAMPLE_ROWS: tuple[tuple[int, str], ...] = (
+    (1000000001, "Привет мир, это кириллица."),
+    (1000000002, "Γειά σου κόσμε, ελληνικά εδώ."),
+    (1000000003, "مرحبا بالعالم بالعربية"),
+    (1000000004, "שלום עולם בעברית"),
+    (1000000005, "नमस्ते दुनिया देवनागरी में"),
+    (1000000006, "你好世界这是汉字文本"),
+    (1000000007, "こんにちは世界 カタカナとひらがな"),
+    (1000000008, "안녕하세요 세계 한글입니다"),
+    (1000000009, "mixed script: кирилл and latin words"),
+    (1000000010, "12345 !!! ??? ... 67890"),
+    (1000000011, "Çà et là, déjà vu — naïve façade (Latin-1 range)"),
+)
+
+
+def script_class_pattern(ranges: tuple[tuple[int, int], ...]) -> str:
+    """Regex char class for codepoint intervals as LITERAL characters
+    — identical semantics in Java regex (Spark) and RE2 (DuckDB),
+    where escape syntaxes differ but literals do not."""
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
+
+
+def dominant_script_case() -> str:
+    """Shared CASE chain (valid SQL in both engines): first declared
+    script holding the max count wins; all-zero -> 'none'."""
+    cols = [f"n_{name}" for name, _ in SCRIPT_RANGES]
+    best = "greatest(" + ", ".join(cols) + ")"
+    whens = "".join(
+        f" WHEN n_{name} = {best} THEN '{name}'"
+        for name, _ in SCRIPT_RANGES)
+    return f"CASE WHEN {best} = 0 THEN 'none'{whens} END"
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode script profile: codepoint counts per major
+    script plus the dominant script — the routing signal multilingual
+    curation applies BEFORE trigram/classifier language ID (script
+    partitions the language space for free, and a script/lang
+    mismatch is itself a spam signal).
+
+    Scale: map-only codegen projection — each count is
+    length(t) - length(regexp_replace(t, class, '')), no explode, no
+    shuffle, no Python. Counts are code points (Spark UTF8String and
+    DuckDB agree; all ranges are BMP).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.select(F.col(id_col),
+                    F.length(t).cast("long").alias("n_chars"),
+                    *[(F.length(t) - F.length(F.regexp_replace(
+                        t, script_class_pattern(ranges), F.lit(""))))
+                      .cast("long").alias(f"n_{name}")
+                      for name, ranges in SCRIPT_RANGES])
+    return out.withColumn("dominant_script",
+                          F.expr(dominant_script_case()))
