@@ -645,6 +645,8 @@ _GOLDEN_ODT = os.path.join(_REPO, "fixtures",
                            "golden_odt_elements_seed42_n40.parquet")
 _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
+_GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
+                               "golden_pdfinfo_seed42_n300.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1217,7 +1219,7 @@ _EXTRA_ORDER = [
     "media_artifacts", "extract_markdown", "markdown_stats",
     "epub_chapters", "bpe_learn_merges", "zorder_layout",
     "odt_elements", "stitch_pagination", "script_profile",
-    "nfc_normalize",
+    "nfc_normalize", "pdf_info",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2554,6 +2556,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             list(_enc.NFC_SAMPLE_ROWS), "doc_id long, text string")
         return _enc.nfc_normalize_df(docs.unionByName(sample))
     q["nfc_normalize"] = q_nfc
+
+    # --- PDF document-information dictionary (provenance metadata;
+    # /Info object + trailer refs, incremental-update aware, UTF-16BE
+    # strings, D: dates -> ISO). Golden pinned by tests/test_pdfinfo.py
+    def q_pdf_info(spark, sf_dir):
+        docs = fixtures.corpus_df(spark, 300, num_partitions=8)
+        return sources.read_pdf_info(
+            docs.select("url", F.col("html").alias("payload")))
+    q["pdf_info"] = q_pdf_info
 
     # --- ODT source (the ODF member of the per-format loader family)
     # — hash-checked against the committed golden elements parquet
@@ -5046,6 +5057,12 @@ def oracle_sql() -> dict[str, str]:
         "odt_elements": f"""
             SELECT url, para, kind, level, text
             FROM read_parquet('{_GOLDEN_ODT}')""",
+        # pdf /Info dictionaries: committed golden parquet pinned by
+        # tests/test_pdfinfo.py against the pure re-derivation
+        "pdf_info": f"""
+            SELECT url, title, author, subject, keywords, creator,
+                   producer, creation_date, mod_date
+            FROM read_parquet('{_GOLDEN_PDFINFO}')""",
         # pagination stitching: the SAME head/walk/first-visit/stitch
         # semantics as pagemeta.stitch_pagination — heads = pages with
         # no in-edge, depth-capped recursive walk (a cycle would

@@ -298,3 +298,117 @@ def extract_pdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]], float]
     text = "\n".join(texts)
     score = float(page)
     return text, segments, score
+
+
+# --- document information dictionary (PDF 14.3.3) ----------------------------
+
+INFO_FIELDS = ("title", "author", "subject", "keywords", "creator",
+               "producer", "creation_date", "mod_date")
+
+_INFO_KEYS = {b"Title": "title", b"Author": "author",
+              b"Subject": "subject", b"Keywords": "keywords",
+              b"Creator": "creator", b"Producer": "producer",
+              b"CreationDate": "creation_date", b"ModDate": "mod_date"}
+
+_BLIT = rb"\((?:[^()\\]|\\.)*\)"
+_BHEX = rb"<[0-9A-Fa-f\s]*>"
+_TRAILER_RE = re.compile(rb"trailer\s*<<(?P<d>(?:[^<>]|<[^<])*)>>", re.S)
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+(\d+)\s+R")
+_BESC_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.S)
+_BESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+             b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
+_PDF_DATE_RE = re.compile(
+    r"^D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+    r"(?:(Z)|([+\-])(\d{2})(?:'(\d{2})'?)?)?")
+
+
+def _pdf_string_bytes(tok: bytes) -> bytes:
+    """Raw bytes of a PDF string token (literal or hex form)."""
+    if tok.startswith(b"("):
+        body = tok[1:-1]
+
+        def sub(m: "re.Match[bytes]") -> bytes:
+            g = m.group(1)
+            if g in (b"\r\n", b"\r", b"\n"):
+                return b""          # line continuation
+            if g.isdigit():
+                return bytes([int(g, 8) & 0xFF])
+            return _BESCAPES.get(g, g)
+        return _BESC_RE.sub(sub, body)
+    hexs = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexs) % 2:
+        hexs += b"0"                # PDF: odd final digit pads with 0
+    try:
+        return binascii.unhexlify(hexs)
+    except binascii.Error:
+        return b""
+
+
+def _pdf_text(tok: bytes) -> str:
+    """Decode a PDF text string: UTF-16BE when BOM-prefixed, else the
+    latin-1 superset of PDFDocEncoding (exact for the printable ASCII
+    range every real producer emits there)."""
+    raw = _pdf_string_bytes(tok)
+    if raw.startswith(b"\xfe\xff"):
+        try:
+            return raw[2:].decode("utf-16-be", errors="replace")
+        except Exception:
+            return ""
+    return raw.decode("latin-1")
+
+
+def pdf_date_to_iso(value: str | None) -> str | None:
+    """``D:YYYYMMDDHHmmSS(O HH'mm')`` -> ISO-8601 (spec defaults for
+    missing parts: Jan 1, midnight); None when the prefix is absent."""
+    if not value:
+        return None
+    m = _PDF_DATE_RE.match(value.strip())
+    if not m:
+        return None
+    y = m.group(1)
+    mo, d, h, mi, s = (m.group(k) or dflt for k, dflt in
+                       ((2, "01"), (3, "01"), (4, "00"), (5, "00"),
+                        (6, "00")))
+    iso = f"{y}-{mo}-{d}T{h}:{mi}:{s}"
+    if m.group(7):                  # Z
+        return iso + "+00:00"
+    if m.group(8):
+        return iso + f"{m.group(8)}{m.group(9)}:{m.group(10) or '00'}"
+    return iso
+
+
+def extract_pdf_info(payload: bytes) -> dict | None:
+    """The document information dictionary as
+    ``{field: str | None for INFO_FIELDS}`` (dates ISO-8601), or None
+    when the PDF carries no /Info. Incremental-update aware: the LAST
+    trailer's reference and the LAST generation of the object win
+    (appended updates supersede, PDF 7.5.6). Malformed structures
+    degrade to None — never raise (F5)."""
+    if not payload or not payload.startswith(b"%PDF-"):
+        return None
+    ref = None
+    for t in _TRAILER_RE.finditer(payload):
+        m = _INFO_REF_RE.search(t.group("d"))
+        if m:
+            ref = (int(m.group(1)), int(m.group(2)))
+    if ref is None:
+        return None
+    obj_re = re.compile(
+        rb"(?:^|[^0-9])%d\s+%d\s+obj\s*<<(?P<d>.*?)>>\s*endobj"
+        % ref, re.S)
+    body = None
+    for m in obj_re.finditer(payload):
+        body = m.group("d")
+    if body is None:
+        return None
+    out: dict = {f: None for f in INFO_FIELDS}
+    for key, field in _INFO_KEYS.items():
+        vm = re.search(rb"/" + key + rb"\s*(?P<v>" + _BLIT + rb"|"
+                       + _BHEX + rb")", body)
+        if not vm:
+            continue
+        text = _pdf_text(vm.group("v")).strip()
+        out[field] = text or None
+    out["creation_date"] = pdf_date_to_iso(out["creation_date"])
+    out["mod_date"] = pdf_date_to_iso(out["mod_date"])
+    return out

@@ -216,11 +216,17 @@ def _pdf_encode(stream: bytes, filters: list[str]) -> tuple[bytes, bytes]:
 
 
 def _make_pdf(pages: list[list[str]], compress: bool = False,
-              filters: list[str] | None = None) -> bytes:
+              filters: list[str] | None = None,
+              info: dict | None = None) -> bytes:
     """Minimal valid-enough PDF: catalog/pages/page objs + content
     streams — raw, ``compress`` (/FlateDecode, the near-universal
     real-world encoding), or an explicit ``filters`` chain in decode
-    order (the controlled subset extractor/pdfx.py targets)."""
+    order (the controlled subset extractor/pdfx.py targets).
+    ``info`` adds a document information dictionary (PDF 14.3.3) as
+    the LAST object + a trailer /Info ref — appended after every
+    content stream, so raw-stream span offsets (and the committed
+    goldens that pin them) are untouched. Non-ASCII values emit the
+    UTF-16BE hex-string form real producers use."""
     if filters is None and compress:
         filters = ["FlateDecode"]
     objs: list[bytes] = []
@@ -248,6 +254,23 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
         else:
             objs.append(b"<< /Length " + str(len(stream)).encode()
                         + b" >>\nstream\n" + stream + b"\nendstream")
+    info_ref = b""
+    if info:
+        fields = []
+        for key, val in info.items():
+            if val is None:
+                continue
+            if not val.isascii():
+                hx = b"FEFF" + val.encode("utf-16-be").hex().upper() \
+                    .encode()
+                fields.append(b"/" + key.encode() + b" <" + hx + b">")
+            else:
+                esc = (val.replace("\\", r"\\").replace("(", r"\(")
+                       .replace(")", r"\)"))
+                fields.append(b"/" + key.encode() + b" ("
+                              + esc.encode("latin-1") + b")")
+        objs.append(b"<< " + b" ".join(fields) + b" >>")
+        info_ref = f" /Info {len(objs)} 0 R".encode()
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for idx, body in enumerate(objs, start=1):
@@ -257,8 +280,9 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
     out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
     for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+            .encode() + info_ref + b" >>\n"
+            + f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
 
 
@@ -278,7 +302,31 @@ def _pdf_payload(rng: random.Random, i: int, scale: int = 1) -> bytes:
            3: ["LZWDecode"],
            5: ["ASCII85Decode", "FlateDecode"],
            7: ["RunLengthDecode", "FlateDecode"]}
-    return _make_pdf(pages, filters=mix.get(i % 8))
+    return _make_pdf(pages, filters=mix.get(i % 8),
+                     info=_pdf_info_fields(i))
+
+
+def _pdf_info_fields(i: int) -> dict | None:
+    """Deterministic /Info dict per pdf row (round 4, late): drawn
+    from a FRESH rng stream so every pre-existing content draw — and
+    therefore every committed golden — is untouched; the info object
+    itself appends after the content streams (see _make_pdf). Cycles
+    cover: no-Info rows, partial dicts, UTF-16BE titles, tz-carrying
+    and date-only D: timestamps."""
+    if i % 4 == 3:
+        return None
+    rng = _rng(314159, i)
+    info = {"Title": _sentence(rng, 3, 6),
+            "Producer": f"sparkextract {1 + i % 3}.0"}
+    if i % 4 == 0:
+        info["Author"] = f"Author {i % 7}"
+        info["CreationDate"] = (f"D:20{20 + i % 6:02d}0{1 + i % 9}"
+                                f"15083000+0{1 + i % 3}'00'")
+    if i % 8 == 1:
+        info["Title"] = f"Résumé {_sentence(rng, 2, 4)}"
+    if i % 8 == 5:
+        info["ModDate"] = "D:20240229"
+    return info
 
 
 def _garbage(rng: random.Random, i: int) -> bytes:

@@ -90,6 +90,12 @@ def nfc_normalize_df(df: DataFrame, text_col: str = "text",
     un-normalized corpora leak visually-exact duplicates through
     every exact-dedup key).
 
+    PURE canonical composition with a ``changed`` observability flag
+    — deliberately narrower than ``functions.nfc_clean`` (which also
+    collapses whitespace and trims: a matching-key transform, not a
+    content-preserving one; dedup keys want this pass, display/join
+    keys want that one).
+
     Scale: Arrow-batched map-only pandas UDF over stdlib
     ``unicodedata.normalize`` — justified Python: the Unicode
     composition table IS the model, and there is no JVM builtin.

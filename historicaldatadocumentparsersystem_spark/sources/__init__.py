@@ -192,6 +192,49 @@ def read_odt_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, ODT_ELEMENTS_DDL))
 
 
+PDF_INFO_DDL = ("url string, title string, author string, "
+                "subject string, keywords string, creator string, "
+                "producer string, creation_date string, "
+                "mod_date string")
+
+
+def read_pdf_info(df: DataFrame, url_col: str = "url",
+                  payload_col: str = "payload") -> DataFrame:
+    """(url, pdf payload) rows -> document-information-dictionary rows
+    (PDF 14.3.3; dates ISO-8601). Per-row parse is the pure-Python
+    ``extractor.pdfx.extract_pdf_info`` — the provenance metadata a
+    curation pipeline joins against capture timestamps (reference
+    reads documents via docling, ``docling_chunker.py:38-58``, which
+    surfaces the same dictionary). PDFs without /Info yield no row
+    (the extract_links zero-row contract); malformed structures
+    degrade inside the extractor."""
+    import pandas as pd
+
+    from ..extractor.pdfx import INFO_FIELDS, extract_pdf_info
+
+    def parse(batches):
+        for b in batches:
+            out: dict[str, list] = {"url": []}
+            out.update({f: [] for f in INFO_FIELDS})
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    info = extract_pdf_info(bytes(payload)
+                                            if payload is not None
+                                            else b"")
+                except Exception:
+                    continue
+                if info is None:
+                    continue
+                out["url"].append(url)
+                for f in INFO_FIELDS:
+                    out[f].append(info[f])
+            yield pd.DataFrame(out)
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PDF_INFO_DDL))
+
+
 EPUB_CHAPTERS_DDL = ("url string, chapter int, href string, "
                      "title string, text string")
 

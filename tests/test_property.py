@@ -352,3 +352,24 @@ def test_media_truncated_real_png_never_raises(tail, cut):
     out = list(multimodal._image_stats_batch(
         _media_batch([mangled]).__iter__()))
     assert sum(len(o) for o in out) == 1
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=150, deadline=None)
+def test_pdf_info_never_raises(payload):
+    from historicaldatadocumentparsersystem_spark.extractor.pdfx import \
+        extract_pdf_info
+    info = extract_pdf_info(payload)
+    assert info is None or isinstance(info, dict)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=150, deadline=None)
+def test_pdf_info_never_raises_with_pdf_magic(payload):
+    from historicaldatadocumentparsersystem_spark.extractor.pdfx import \
+        extract_pdf_info
+    # force the parser past the magic gate into trailer/object scanning
+    info = extract_pdf_info(
+        b"%PDF-1.4\n" + payload
+        + b"\ntrailer\n<< /Info 1 0 R >>\n%%EOF")
+    assert info is None or isinstance(info, dict)
