@@ -145,6 +145,44 @@ def _script_sql() -> str:
         FROM counts"""
 
 
+# served-vs-sniffed gate fixture: (url, raw Content-Type, sniffed
+# kind). Covers params/case noise, lying headers both directions,
+# out-of-scope types (never flagged) and a missing header.
+_CT_ROWS = (
+    ("https://ct.example/ok-html", "text/html; charset=utf-8", "html"),
+    ("https://ct.example/ok-pdf", "application/pdf", "pdf"),
+    ("https://ct.example/lying-html", "text/html", "pdf"),
+    ("https://ct.example/lying-pdf", "APPLICATION/PDF ; x=1", "html"),
+    ("https://ct.example/octet", "application/octet-stream", "pdf"),
+    ("https://ct.example/missing", None, "html"),
+    ("https://ct.example/docx",
+     "application/vnd.openxmlformats-officedocument."
+     "wordprocessingml.document", "zip"),
+    ("https://ct.example/epub-lie", "application/epub+zip", "empty"),
+    ("https://ct.example/xml", "text/xml", "html"),
+)
+
+
+def _ct_gate_sql() -> str:
+    """DuckDB twin of webtext.content_type_mismatch over the same
+    VALUES rows: the normalization and CASE exprs are the SAME
+    strings the Spark side compiles (split_part/CASE are syntax-
+    identical across the engines)."""
+    vals = ",\n".join(
+        "({}, {}, '{}')".format(
+            f"'{u}'", "NULL" if ct is None else f"'{ct}'", k)
+        for u, ct, k in _CT_ROWS)
+    norm = webtext.mime_norm_expr("content_type")
+    case = webtext.expected_kind_case("mime_norm")
+    return f"""
+        WITH caps(url, content_type, sniffed_kind) AS (VALUES {vals}),
+        n AS (SELECT url, {norm} AS mime_norm, sniffed_kind FROM caps)
+        SELECT url, mime_norm, {case} AS expected_kind, sniffed_kind,
+               ({case} != 'unknown'
+                AND {case} != sniffed_kind) AS mismatch
+        FROM n"""
+
+
 def _nfc_sql() -> str:
     """DuckDB twin of encoding.nfc_normalize_df: VALUES generated from
     the same committed sample constant (texts carry the decomposed
@@ -1219,7 +1257,7 @@ _EXTRA_ORDER = [
     "media_artifacts", "extract_markdown", "markdown_stats",
     "epub_chapters", "bpe_learn_merges", "zorder_layout",
     "odt_elements", "stitch_pagination", "script_profile",
-    "nfc_normalize", "pdf_info",
+    "nfc_normalize", "pdf_info", "content_type_mismatch",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2565,6 +2603,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sources.read_pdf_info(
             docs.select("url", F.col("html").alias("payload")))
     q["pdf_info"] = q_pdf_info
+
+    # --- served-vs-sniffed content-type gate (VALUES fixture both
+    # sides — the reader half is pinned by the WARC round-trip pytest;
+    # this row isolates the gate logic, the quality-gate pattern)
+    def q_ct_gate(spark, sf_dir):
+        caps = spark.createDataFrame(
+            [(u, ct, k) for u, ct, k in _CT_ROWS],
+            "url string, content_type string, sniffed_kind string")
+        return webtext.content_type_mismatch(caps)
+    q["content_type_mismatch"] = q_ct_gate
 
     # --- ODT source (the ODF member of the per-format loader family)
     # — hash-checked against the committed golden elements parquet
@@ -5259,6 +5307,8 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_sql(),
         # NFC canonicalization: utf8proc twin of the unicodedata UDF
         "nfc_normalize": _nfc_sql(),
+        # served-vs-sniffed content-type gate (shared exprs, VALUES)
+        "content_type_mismatch": _ct_gate_sql(),
         # Z-order Morton keys: quantize + interleave strings GENERATED
         # by the same operators/layout.py builders the Spark side
         # runs (div='//' is DuckDB's truncating division on the

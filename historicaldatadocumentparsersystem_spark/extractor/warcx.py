@@ -54,19 +54,22 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def _http_body(payload: bytes) -> tuple[int | None, bytes]:
-    """(status, body) from an HTTP response payload; non-HTTP payloads
-    come back unsplit with status None."""
+def _http_body(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, body) from an HTTP response payload;
+    non-HTTP payloads come back unsplit with status/type None. The
+    content type is the raw header value (parameters included —
+    normalization is the downstream gate's job)."""
     if not payload.startswith(b"HTTP/"):
-        return None, payload
+        return None, None, payload
     head, sep, body = payload.partition(_CRLF2)
     if not sep:
-        return None, payload
+        return None, None, payload
     try:
         status = int(head.split(b"\r\n", 1)[0].split()[1])
     except (IndexError, ValueError):
         status = None
-    return status, body
+    ctype = _parse_headers(head).get("content-type")
+    return status, ctype, body
 
 
 def _iter_records(data: bytes):
@@ -108,7 +111,7 @@ def _warc_ts(headers: dict[str, str]) -> datetime | None:
 
 def parse_warc(data: bytes) -> list[dict]:
     """All response records of one WARC shard, in order:
-    {url, warc_ts (datetime, UTC), status, body (bytes)}.
+    {url, warc_ts (datetime, UTC), status, content_type, body (bytes)}.
 
     Truncated/corrupt trailing records are dropped (never raise);
     non-response records (warcinfo, request, metadata) are skipped.
@@ -117,11 +120,12 @@ def parse_warc(data: bytes) -> list[dict]:
     for headers, payload in _iter_records(data):
         if headers.get("warc-type") != "response":
             continue
-        status, body = _http_body(payload)
+        status, ctype, body = _http_body(payload)
         records.append({
             "url": headers.get("warc-target-uri", ""),
             "warc_ts": _warc_ts(headers),
             "status": status,
+            "content_type": ctype,
             "body": body,
         })
     return records
@@ -156,8 +160,10 @@ def build_warc(records: list[dict], gzip_records: bool = False) -> bytes:
     for r in records:
         status = r.get("status", 200) or 200
         body = r["body"]
+        ctype = r.get("content_type") or "text/html"
         payload = (b"HTTP/1.1 " + str(status).encode() +
-                   b" OK\r\nContent-Type: text/html\r\n\r\n" + body)
+                   b" OK\r\nContent-Type: " + ctype.encode("latin-1") +
+                   b"\r\n\r\n" + body)
         ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
         head = (b"WARC/1.0\r\n"
                 b"WARC-Type: response\r\n"

@@ -1338,3 +1338,67 @@ def soft404_gate(df: DataFrame, text_col: str = "text",
         soft404.alias("soft404"),
         (~soft404).alias("keep"),
     )
+
+
+# --- served-vs-sniffed content-type gate -------------------------------------
+
+# registered MIME -> extractor kind (extractor/sniff.py's vocabulary).
+# The CASE chain both engines run is GENERATED from this table.
+MIME_KIND_MAP: tuple[tuple[str, str], ...] = (
+    ("text/html", "html"),
+    ("application/xhtml+xml", "html"),
+    ("text/xml", "html"),
+    ("application/xml", "html"),
+    ("application/pdf", "pdf"),
+    ("application/zip", "zip"),
+    ("application/epub+zip", "zip"),
+    ("application/vnd.oasis.opendocument.text", "zip"),
+    ("application/vnd.openxmlformats-officedocument."
+     "wordprocessingml.document", "zip"),
+    ("application/vnd.openxmlformats-officedocument."
+     "presentationml.presentation", "zip"),
+)
+
+
+def mime_norm_expr(ct_col: str) -> str:
+    """Normalize a Content-Type header to its bare lowercase MIME
+    (parameters stripped). split_part exists with identical semantics
+    in Spark >= 3.5 and DuckDB — the expr string is shared verbatim."""
+    return f"lower(trim(split_part(coalesce({ct_col}, ''), ';', 1)))"
+
+
+def expected_kind_case(norm: str) -> str:
+    """Shared CASE chain mapping a normalized MIME to the sniffer's
+    kind vocabulary; unregistered (or absent) types -> 'unknown',
+    which the gate never flags (text/plain, images, fonts... are not
+    lies, just out of extraction scope)."""
+    whens = " ".join(f"WHEN '{m}' THEN '{k}'" for m, k in MIME_KIND_MAP)
+    return f"CASE {norm} {whens} ELSE 'unknown' END"
+
+
+def content_type_mismatch(df: DataFrame, url_col: str = "url",
+                          ct_col: str = "content_type",
+                          kind_col: str = "sniffed_kind") -> DataFrame:
+    """Served-vs-actual format gate over a capture view (e.g.
+    ``sources.read_warc_captures``): a server that says text/html but
+    ships PDF bytes (or vice versa) is mislabeling — a classic spam /
+    cloaking / misconfiguration signal, and a row the extraction
+    dispatcher must route by SNIFF, never by header (which this
+    engine already does; the gate makes the discrepancy observable).
+
+    Output: (url, mime_norm, expected_kind, sniffed_kind, mismatch).
+    Scale: map-only codegen projection — one CASE chain, no Python,
+    no shuffle.
+    """
+    norm = mime_norm_expr(ct_col)
+    expected = expected_kind_case("mime_norm")
+    return (df.select(F.col(url_col).alias("url"),
+                      F.expr(norm).alias("mime_norm"),
+                      F.col(kind_col).alias("sniffed_kind"))
+            .withColumn("expected_kind", F.expr(expected))
+            .withColumn("mismatch",
+                        (F.col("expected_kind") != F.lit("unknown"))
+                        & (F.col("expected_kind")
+                           != F.col("sniffed_kind")))
+            .select("url", "mime_norm", "expected_kind",
+                    "sniffed_kind", "mismatch"))

@@ -314,6 +314,51 @@ def read_warc_documents(spark: SparkSession, path: str) -> DataFrame:
             .mapInPandas(parse, DOCUMENTS_DDL))
 
 
+WARC_CAPTURES_DDL = ("url string, warc_ts timestamp, status int, "
+                     "content_type string, sniffed_kind string, "
+                     "n_bytes long")
+
+
+def read_warc_captures(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards -> a metadata-only capture view: (url, warc_ts,
+    status, content_type, sniffed_kind, n_bytes). The payload is
+    magic-byte-sniffed (``extractor.sniff.sniff_kind``) IN the same
+    Arrow pass and then dropped — the served-vs-actual comparison
+    input for ``webtext.content_type_mismatch`` without ever
+    shuffling body bytes (output rows are ~100 B regardless of
+    capture size).
+
+    Scale: identical shape to ``read_warc_documents`` — per-shard
+    binaryFile parallelism, bodies die in the task that read them.
+    """
+    import pandas as pd
+
+    from ..extractor.sniff import sniff_kind
+    from ..extractor.warcx import parse_warc
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for blob in b["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    rows.append((rec["url"], rec["warc_ts"],
+                                 rec["status"], rec["content_type"],
+                                 sniff_kind(rec["body"]),
+                                 len(rec["body"])))
+            df = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "status",
+                               "content_type", "sniffed_kind",
+                               "n_bytes"])
+            df["status"] = pd.array(df["status"], dtype="Int32")
+            df["n_bytes"] = pd.array(df["n_bytes"], dtype="Int64")
+            yield df
+
+    return (spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(parse, WARC_CAPTURES_DDL))
+
+
 def read_wet_documents(spark: SparkSession, path: str) -> DataFrame:
     """WET shards (Common Crawl's pre-extracted plain text) -> the
     documents table: ``text`` carries the conversion-record payload,

@@ -297,3 +297,69 @@ def test_resolve_revisits_serves_content_from_canonical(spark, tmp_path):
     assert got[0]["canonical_url"] == recs[1]["url"]
     fetched = read_warc_members(res).collect()
     assert bytes(fetched[0]["body"]) == recs[1]["body"]
+
+
+def test_content_type_round_trips():
+    from datetime import datetime, timezone
+
+    from historicaldatadocumentparsersystem_spark.extractor.warcx import (
+        build_warc, parse_warc)
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    recs = [
+        {"url": "https://a/pdf", "warc_ts": ts, "status": 200,
+         "content_type": "application/pdf", "body": b"%PDF-1.4 x"},
+        {"url": "https://a/h", "warc_ts": ts, "status": 200,
+         "body": b"<html>x</html>"},  # default text/html
+        {"url": "https://a/params", "warc_ts": ts, "status": 200,
+         "content_type": "text/html; charset=ISO-8859-1",
+         "body": b"<p>y</p>"},
+    ]
+    back = parse_warc(build_warc(recs))
+    assert [r["content_type"] for r in back] == [
+        "application/pdf", "text/html", "text/html; charset=ISO-8859-1"]
+    assert [r["body"] for r in back] == [r["body"] for r in recs]
+
+
+def test_read_warc_captures_sniffs_without_bodies(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from historicaldatadocumentparsersystem_spark.extractor.warcx import \
+        build_warc
+    from historicaldatadocumentparsersystem_spark.sources import \
+        read_warc_captures
+    ts = datetime(2024, 3, 5, 12, 0, tzinfo=timezone.utc)
+    shard = build_warc([
+        {"url": "https://c/1", "warc_ts": ts, "status": 200,
+         "content_type": "text/html", "body": b"<html>hello</html>"},
+        {"url": "https://c/2", "warc_ts": ts, "status": 404,
+         "content_type": "text/html", "body": b"%PDF-1.7 lying"},
+        {"url": "https://c/3", "warc_ts": ts, "status": 200,
+         "content_type": "application/pdf", "body": b""},
+    ])
+    (tmp_path / "s.warc").write_bytes(shard)
+    rows = {r.url: r for r in
+            read_warc_captures(spark, str(tmp_path) + "/*").collect()}
+    assert rows["https://c/1"].sniffed_kind == "html"
+    assert rows["https://c/2"].sniffed_kind == "pdf"
+    assert rows["https://c/2"].status == 404
+    assert rows["https://c/3"].sniffed_kind == "empty"
+    assert rows["https://c/1"].n_bytes == len(b"<html>hello</html>")
+    assert "body" not in rows["https://c/1"].asDict()
+
+
+def test_content_type_mismatch_gate(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    rows = [("u1", "text/html; charset=utf-8", "html"),
+            ("u2", "TEXT/HTML", "pdf"),
+            ("u3", "application/octet-stream", "pdf"),
+            ("u4", None, "html"),
+            ("u5", "application/pdf", "empty")]
+    df = spark.createDataFrame(
+        rows, "url string, content_type string, sniffed_kind string")
+    got = {r.url: (r.mime_norm, r.expected_kind, r.mismatch)
+           for r in webtext.content_type_mismatch(df).collect()}
+    assert got["u1"] == ("text/html", "html", False)
+    assert got["u2"] == ("text/html", "html", True)
+    assert got["u3"] == ("application/octet-stream", "unknown", False)
+    assert got["u4"] == ("", "unknown", False)
+    assert got["u5"] == ("application/pdf", "pdf", True)
