@@ -117,21 +117,25 @@ _SEMDEDUP_THR = 0.35
 _BPE_TRAIN_N = 12
 
 
-def _script_sql() -> str:
-    """DuckDB twin of textstats.script_profile over documents + the
-    committed multilingual sample: char-class patterns and the
-    dominant-script CASE are GENERATED from the same constants the
-    Spark side uses (literal unicode chars — Java and RE2 escape
-    syntaxes differ, literals do not). DuckDB regexp_replace needs
-    the explicit 'g' flag (first-match-only by default; Spark
-    replaces all)."""
-    vals = ",\n".join(f"({i}, '{t}')"
-                      for i, t in textstats.SCRIPT_SAMPLE_ROWS)
-    counts = ",\n".join(
+def _script_count_exprs() -> str:
+    """Per-script count columns for DuckDB, generated from the same
+    SCRIPT_RANGES constants the Spark side compiles (literal unicode
+    chars — Java and RE2 escape syntaxes differ, literals do not).
+    DuckDB regexp_replace needs the explicit 'g' flag
+    (first-match-only by default; Spark replaces all)."""
+    return ",\n".join(
         f"(length(text) - length(regexp_replace(text, "
         f"'{textstats.script_class_pattern(r)}', '', 'g')))::bigint "
         f"AS n_{n}"
         for n, r in textstats.SCRIPT_RANGES)
+
+
+def _script_sql() -> str:
+    """DuckDB twin of textstats.script_profile over documents + the
+    committed multilingual sample."""
+    vals = ",\n".join(f"({i}, '{t}')"
+                      for i, t in textstats.SCRIPT_SAMPLE_ROWS)
+    counts = _script_count_exprs()
     return f"""
         WITH sample(doc_id, text) AS (VALUES {vals}),
         corpus AS (
@@ -181,6 +185,47 @@ def _ct_gate_sql() -> str:
                ({case} != 'unknown'
                 AND {case} != sniffed_kind) AS mismatch
         FROM n"""
+
+
+# declared-lang-vs-script sample rows (doc_id, lang, text): a correct
+# cyrillic ru page, a transliterated (latin) ru page, han zh, a
+# too-short page (never judged), and an unmapped lang (never flagged)
+_LS_ROWS = (
+    (3000000001, "ru", "Это настоящий русский текст кириллицей здесь"),
+    (3000000002, "ru", "Eto transliterirovannyj russkij tekst latinicej"),
+    (3000000003, "zh", "这是一段真正的中文文本内容这里还有更多汉字"),
+    (3000000004, "el", "short"),
+    (3000000005, "xx", "some unmapped language row that never flags"),
+)
+
+
+def _script_lang_sql() -> str:
+    """DuckDB twin of textstats.script_lang_consistency over
+    documents + the _LS_ROWS sample: same generated count exprs, the
+    SAME dominant/expected CASE strings the Spark side compiles."""
+    vals = ",\n".join(f"({i}, '{lg}', '{t}')" for i, lg, t in _LS_ROWS)
+    return f"""
+        WITH sample(doc_id, lang, text) AS (VALUES {vals}),
+        corpus AS (
+          SELECT doc_id, lang, coalesce(text, '') AS text
+          FROM documents
+          UNION ALL SELECT doc_id, lang, text FROM sample),
+        counts AS (
+          SELECT doc_id, lang, length(text)::bigint AS n_chars,
+                 {_script_count_exprs()}
+          FROM corpus),
+        dom AS (
+          SELECT *, {textstats.dominant_script_case()}
+                    AS dominant_script
+          FROM counts)
+        SELECT doc_id, lang, n_chars, dominant_script,
+               {textstats.expected_script_case('lang')}
+                 AS expected_script,
+               ({textstats.expected_script_case('lang')} != 'any'
+                AND dominant_script
+                    != {textstats.expected_script_case('lang')}
+                AND n_chars >= 20) AS mismatch
+        FROM dom"""
 
 
 def _nfc_sql() -> str:
@@ -1258,6 +1303,7 @@ _EXTRA_ORDER = [
     "epub_chapters", "bpe_learn_merges", "zorder_layout",
     "odt_elements", "stitch_pagination", "script_profile",
     "nfc_normalize", "pdf_info", "content_type_mismatch",
+    "script_lang_consistency",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2613,6 +2659,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, content_type string, sniffed_kind string")
         return webtext.content_type_mismatch(caps)
     q["content_type_mismatch"] = q_ct_gate
+
+    # --- declared-language vs dominant-script gate: the testdata's
+    # romanized zh rows flag (ASCII text under a zh label — exactly
+    # the mislabel this catches); sample rows cover the pass/flag/
+    # short/unmapped quadrants
+    def q_ls_gate(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                     "text")
+        sample = spark.createDataFrame(
+            list(_LS_ROWS), "doc_id long, lang string, text string")
+        return textstats.script_lang_consistency(docs.unionByName(sample))
+    q["script_lang_consistency"] = q_ls_gate
 
     # --- ODT source (the ODF member of the per-format loader family)
     # — hash-checked against the committed golden elements parquet
@@ -5309,6 +5367,8 @@ def oracle_sql() -> dict[str, str]:
         "nfc_normalize": _nfc_sql(),
         # served-vs-sniffed content-type gate (shared exprs, VALUES)
         "content_type_mismatch": _ct_gate_sql(),
+        # declared-lang vs dominant-script gate (shared CASE chains)
+        "script_lang_consistency": _script_lang_sql(),
         # Z-order Morton keys: quantize + interleave strings GENERATED
         # by the same operators/layout.py builders the Spark side
         # runs (div='//' is DuckDB's truncating division on the

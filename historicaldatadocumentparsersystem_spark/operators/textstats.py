@@ -667,7 +667,8 @@ def dominant_script_case() -> str:
 
 
 def script_profile(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-document Unicode script profile: codepoint counts per major
     script plus the dominant script — the routing signal multilingual
     curation applies BEFORE trigram/classifier language ID (script
@@ -681,6 +682,7 @@ def script_profile(df: DataFrame, text_col: str = "text",
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     out = df.select(F.col(id_col),
+                    *[F.col(c) for c in keep_cols],
                     F.length(t).cast("long").alias("n_chars"),
                     *[(F.length(t) - F.length(F.regexp_replace(
                         t, script_class_pattern(ranges), F.lit(""))))
@@ -688,3 +690,54 @@ def script_profile(df: DataFrame, text_col: str = "text",
                       for name, ranges in SCRIPT_RANGES])
     return out.withColumn("dominant_script",
                           F.expr(dominant_script_case()))
+
+
+# language -> the script its text should dominate in (shared by both
+# engines; CASE generated from this table). Languages with multiple
+# native scripts or out-of-table languages are never flagged.
+LANG_SCRIPT_MAP: tuple[tuple[str, str], ...] = (
+    ("en", "latin"), ("fr", "latin"), ("es", "latin"), ("de", "latin"),
+    ("it", "latin"), ("pt", "latin"), ("nl", "latin"),
+    ("ru", "cyrillic"), ("uk", "cyrillic"), ("bg", "cyrillic"),
+    ("el", "greek"), ("ar", "arabic"), ("he", "hebrew"),
+    ("hi", "devanagari"), ("zh", "han"), ("ko", "hangul"),
+)
+
+
+def expected_script_case(lang_col: str) -> str:
+    """Shared CASE chain (identical SQL both engines)."""
+    whens = " ".join(f"WHEN '{lg}' THEN '{sc}'"
+                     for lg, sc in LANG_SCRIPT_MAP)
+    return f"CASE lower(coalesce({lang_col}, '')) {whens} " \
+           f"ELSE 'any' END"
+
+
+def script_lang_consistency(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            lang_col: str = "lang") -> DataFrame:
+    """Cross-check the DECLARED language against the script the text
+    is actually written in: a corpus labeled ``zh`` whose pages are
+    pure Latin is transliterated, mislabeled, or boilerplate — every
+    multilingual pipeline gates on this before trusting upstream
+    language tags (CommonCrawl's own language column is
+    crawler-supplied, not verified).
+
+    mismatch = the declared language maps to a specific script AND
+    the dominant script differs AND the text is long enough to judge
+    (>= 20 codepoints — the same reason lang-ID samples a prefix).
+    Composition of ``script_profile`` (map-only, lang rides through
+    ``keep_cols``) with one generated CASE — still a single codegen
+    projection, no join, no shuffle.
+    """
+    prof = script_profile(df, text_col=text_col, id_col=id_col,
+                          keep_cols=(lang_col,))
+    return (prof
+            .withColumn("expected_script",
+                        F.expr(expected_script_case(lang_col)))
+            .withColumn("mismatch",
+                        (F.col("expected_script") != F.lit("any"))
+                        & (F.col("dominant_script")
+                           != F.col("expected_script"))
+                        & (F.col("n_chars") >= 20))
+            .select(id_col, lang_col, "n_chars", "dominant_script",
+                    "expected_script", "mismatch"))

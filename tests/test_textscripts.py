@@ -80,3 +80,26 @@ def test_nfc_sample_exercises_both_outcomes():
     changed = [t != unicodedata.normalize("NFC", t)
                for _, t in encoding.NFC_SAMPLE_ROWS]
     assert any(changed) and not all(changed)
+
+
+@pytest.mark.usefixtures("spark")
+def test_script_lang_consistency_quadrants(spark):
+    rows = [
+        (1, "ru", "Это настоящий русский текст кириллицей здесь"),
+        (2, "ru", "Eto transliterirovannyj russkij tekst latinicej"),
+        (3, "zh", "这是一段真正的中文文本内容这里还有更多汉字"),
+        (4, "el", "short"),                       # < 20 chars: never judged
+        (5, "xx", "unmapped language never flags even in latin"),
+        (6, "zh", "romanized chinese content long enough to judge"),
+        (7, None, "null lang maps to any and never flags here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: (r.dominant_script, r.expected_script, r.mismatch)
+           for r in textstats.script_lang_consistency(df).collect()}
+    assert got[1] == ("cyrillic", "cyrillic", False)
+    assert got[2] == ("latin", "cyrillic", True)
+    assert got[3] == ("han", "han", False)
+    assert got[4][2] is False
+    assert got[5] == ("latin", "any", False)
+    assert got[6] == ("latin", "han", True)
+    assert got[7][1] == "any" and got[7][2] is False
