@@ -187,6 +187,20 @@ def _ct_gate_sql() -> str:
         FROM n"""
 
 
+# (host, robots.txt payload) pairs for the Crawl-delay schedule: the
+# hosts are frontier SURT host prefixes; payloads cover a plain
+# delay, a fractional one, an agent-specific group shadowing '*', an
+# invalid value (ignored), and a delay-less file
+_ROBOTS_DELAY_SET = (
+    ("src19,h4", "User-agent: *\nCrawl-delay: 2\nDisallow: /tmp\n"),
+    ("src5,h0", "User-agent: *\nCrawl-delay: 0.5\n"),
+    ("src13,h3", "User-agent: sparkbot\nCrawl-delay: 7\n"
+                 "User-agent: *\nCrawl-delay: 60\n"),
+    ("src11,h1", "User-agent: *\nCrawl-delay: soon\n"),
+    ("src9,h4", "User-agent: *\nDisallow: /private\n"),
+)
+
+
 # declared-lang-vs-script sample rows (doc_id, lang, text): a correct
 # cyrillic ru page, a transliterated (latin) ru page, han zh, a
 # too-short page (never judged), and an unmapped lang (never flagged)
@@ -226,6 +240,40 @@ def _script_lang_sql() -> str:
                     != {textstats.expected_script_case('lang')}
                 AND n_chars >= 20) AS mismatch
         FROM dom"""
+
+
+def _schedule_delay_sql() -> str:
+    """DuckDB twin of fetch_schedule_delayed: the fetch_schedule
+    window twin + a LEFT JOIN against the delays VALUES — generated
+    from the SAME robots payload constants through the SAME Python
+    parser the Spark query uses (one parser, two engines fed
+    identical integers; only the schedule composition is
+    cross-engine-checked, delay parsing is pinned by pure pytest)."""
+    from historicaldatadocumentparsersystem_spark.operators.robots import \
+        parse_crawl_delay
+    rows = [(h, parse_crawl_delay(p, agent="sparkbot"))
+            for h, p in _ROBOTS_DELAY_SET]
+    vals = ", ".join(f"('{h}', {d})" for h, d in rows if d is not None)
+    return f"""
+        WITH fc AS ({_frontier_sql()}),
+        r AS (
+          SELECT url, str_split(urlkey, ')')[1] AS host,
+                 CASE priority WHEN 'high' THEN 0
+                      WHEN 'normal' THEN 1 ELSE 2 END AS pr
+          FROM fc),
+        k2 AS (
+          SELECT url, host, row_number() OVER (
+            PARTITION BY host ORDER BY pr, url) - 1 AS rk
+          FROM r),
+        d(host, crawl_delay_ms) AS (VALUES {vals}),
+        s AS (
+          SELECT k2.url, k2.host, (rk // 3)::bigint AS batch,
+                 (rk % 3)::bigint AS slot,
+                 coalesce(d.crawl_delay_ms, 1000)::bigint AS delay_ms
+          FROM k2 LEFT JOIN d ON k2.host = d.host)
+        SELECT url, host, batch, slot, delay_ms,
+               (batch * delay_ms)::bigint AS not_before_ms
+        FROM s"""
 
 
 def _nfc_sql() -> str:
@@ -1303,7 +1351,7 @@ _EXTRA_ORDER = [
     "epub_chapters", "bpe_learn_merges", "zorder_layout",
     "odt_elements", "stitch_pagination", "script_profile",
     "nfc_normalize", "pdf_info", "content_type_mismatch",
-    "script_lang_consistency",
+    "script_lang_consistency", "fetch_schedule_delayed",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -1733,6 +1781,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.fetch_schedule(
             _synth_frontier(spark, sf_dir), per_host_budget=3)
     q["fetch_schedule"] = q_schedule
+
+    # --- Crawl-delay-paced scheduling: delays parsed from robots
+    # payloads HOST-SIDE (robots.parse_crawl_delay -> integer ms), so
+    # both engines receive identical integers and the schedule math
+    # is pure int64. Covers: plain/fractional/agent-specific delays,
+    # an invalid value (ignored -> default), absent hosts (-> default)
+    def q_schedule_delayed(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators.robots import \
+            parse_crawl_delay
+        delays = [(h, parse_crawl_delay(p, agent="sparkbot"))
+                  for h, p in _ROBOTS_DELAY_SET]
+        ddf = spark.createDataFrame(
+            [(h, d) for h, d in delays if d is not None],
+            "host string, crawl_delay_ms long")
+        return webtext.fetch_schedule_delayed(
+            _synth_frontier(spark, sf_dir), ddf, per_host_budget=3,
+            default_delay_ms=1000)
+    q["fetch_schedule_delayed"] = q_schedule_delayed
 
     # --- content-defined (FastCDC) block dedup over binary payloads —
     # rows-only here (a sequential gear-hash fold over bytes is not
@@ -5369,6 +5435,9 @@ def oracle_sql() -> dict[str, str]:
         "content_type_mismatch": _ct_gate_sql(),
         # declared-lang vs dominant-script gate (shared CASE chains)
         "script_lang_consistency": _script_lang_sql(),
+        # Crawl-delay-paced politeness schedule (single Python parser
+        # feeds both engines; int64 pacing math)
+        "fetch_schedule_delayed": _schedule_delay_sql(),
         # Z-order Morton keys: quantize + interleave strings GENERATED
         # by the same operators/layout.py builders the Spark side
         # runs (div='//' is DuckDB's truncating division on the

@@ -39,11 +39,22 @@ def parse_robots(payload: bytes | str, agent: str = "*"
     the '*' group. Allow/Disallow lines keep file order; empty
     Disallow ("allow all") is dropped. Never raises.
     """
+    groups, delays = _parse_groups(payload)
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def _parse_groups(payload: bytes | str) -> tuple[
+        dict[str, list[tuple[str, str]]], dict[str, int]]:
+    """Shared robots.txt group walk: per-agent (rule, prefix) lists
+    plus per-agent Crawl-delay in MILLISECONDS (parsed host-side in
+    Python — no cross-engine float math ever touches it; last
+    directive in a group wins, invalid values ignored)."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         text = bytes(payload).decode("utf-8", errors="replace")
     else:
         text = payload or ""
     groups: dict[str, list[tuple[str, str]]] = {}
+    delays: dict[str, int] = {}
     current: list[str] = []
     seen_rule = False
     for raw in text.splitlines():
@@ -69,7 +80,28 @@ def parse_robots(payload: bytes | str, agent: str = "*"
             if val:
                 for a in current:
                     groups.setdefault(a, []).append((key, val))
-    return groups.get(agent.lower(), groups.get("*", []))
+        elif key == "crawl-delay":
+            seen_rule = True
+            try:
+                ms = int(float(val) * 1000)
+            except ValueError:
+                continue
+            if ms >= 0:
+                for a in current:
+                    delays[a] = ms
+    return groups, delays
+
+
+def parse_crawl_delay(payload: bytes | str, agent: str = "*"
+                      ) -> int | None:
+    """The selected group's Crawl-delay in milliseconds (same
+    most-specific-agent-else-'*' group selection as ``parse_robots``),
+    or None when the group declares none. Non-standard but widely
+    published; a polite recrawler honors it when present."""
+    groups, delays = _parse_groups(payload)
+    a = agent.lower()
+    chosen = a if a in groups else "*"
+    return delays.get(chosen)
 
 
 def robots_filter(docs: DataFrame, rules: DataFrame,

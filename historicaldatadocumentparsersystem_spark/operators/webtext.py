@@ -1402,3 +1402,40 @@ def content_type_mismatch(df: DataFrame, url_col: str = "url",
                            != F.col("sniffed_kind")))
             .select("url", "mime_norm", "expected_kind",
                     "sniffed_kind", "mismatch"))
+
+
+def fetch_schedule_delayed(candidates: DataFrame, delays: DataFrame,
+                           per_host_budget: int = 4,
+                           default_delay_ms: int = 1000,
+                           url_col: str = "url",
+                           urlkey_col: str = "urlkey",
+                           priority_col: str = "priority") -> DataFrame:
+    """``fetch_schedule`` + Crawl-delay pacing: alongside (batch,
+    slot), every URL gets ``not_before_ms`` — the earliest offset
+    from the host's crawl start at which its batch may fire:
+    ``batch * coalesce(declared_delay_ms, default)``. ``delays`` is
+    a (host, crawl_delay_ms) table from ``robots.parse_crawl_delay``
+    over fetched robots.txt payloads (parsed host-side in Python, so
+    the milliseconds are integers BEFORE any engine arithmetic — the
+    schedule math is pure int64, engine-exact). A declared delay
+    SMALLER than the default is honored as declared (the host
+    explicitly allows the faster pace).
+
+    Scale: the delays table is |hosts| rows — broadcast; one window
+    (inherited from fetch_schedule) + one broadcast hash join.
+    """
+    sched = fetch_schedule(candidates, per_host_budget,
+                           url_col=url_col, urlkey_col=urlkey_col,
+                           priority_col=priority_col)
+    d = delays.select(F.col("host"),
+                      F.col("crawl_delay_ms").cast("long"))
+    return (sched.join(F.broadcast(d), "host", "left")
+            .withColumn("delay_ms",
+                        F.coalesce(F.col("crawl_delay_ms"),
+                                   F.lit(default_delay_ms))
+                        .cast("long"))
+            .withColumn("not_before_ms",
+                        (F.col("batch") * F.col("delay_ms"))
+                        .cast("long"))
+            .select("url", "host", "batch", "slot", "delay_ms",
+                    "not_before_ms"))
