@@ -778,6 +778,8 @@ _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
 _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
                                "golden_pdfinfo_seed42_n300.parquet")
+_GOLDEN_OFFICEMETA = os.path.join(_REPO, "fixtures",
+                                  "golden_officemeta_seed42.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1352,6 +1354,7 @@ _EXTRA_ORDER = [
     "odt_elements", "stitch_pagination", "script_profile",
     "nfc_normalize", "pdf_info", "content_type_mismatch",
     "script_lang_consistency", "fetch_schedule_delayed",
+    "office_metadata",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2737,6 +2740,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             list(_LS_ROWS), "doc_id long, lang string, text string")
         return textstats.script_lang_consistency(docs.unionByName(sample))
     q["script_lang_consistency"] = q_ls_gate
+
+    # --- office-container metadata (docProps/core.xml, ODF meta.xml,
+    # EPUB OPF — the zip sibling of pdf_info); golden pinned by
+    # tests/test_officemeta.py against the pure re-derivation
+    def q_office_meta(spark, sf_dir):
+        rows = (fixtures.docx_file_rows(40) + fixtures.pptx_deck_rows(40)
+                + fixtures.odt_file_rows(40)
+                + fixtures.epub_file_rows(30))
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in rows],
+            "url string, payload binary").repartition(8)
+        return sources.read_office_meta(df)
+    q["office_metadata"] = q_office_meta
 
     # --- ODT source (the ODF member of the per-format loader family)
     # — hash-checked against the committed golden elements parquet
@@ -5235,6 +5251,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, title, author, subject, keywords, creator,
                    producer, creation_date, mod_date
             FROM read_parquet('{_GOLDEN_PDFINFO}')""",
+        # office-container metadata: committed golden parquet pinned
+        # by tests/test_officemeta.py against the pure re-derivation
+        "office_metadata": f"""
+            SELECT url, format, title, creator, subject, description,
+                   keywords, created, modified
+            FROM read_parquet('{_GOLDEN_OFFICEMETA}')""",
         # pagination stitching: the SAME head/walk/first-visit/stitch
         # semantics as pagemeta.stitch_pagination — heads = pages with
         # no in-edge, depth-capped recursive walk (a cycle would

@@ -130,9 +130,13 @@ def _esc(s: str) -> str:
             .replace(">", "&gt;").replace('"', "&quot;"))
 
 
-def make_docx(paras: list[tuple[str, str]]) -> bytes:
+def make_docx(paras: list[tuple[str, str]],
+              extra_parts: dict[str, str] | None = None) -> bytes:
     """Build a document. ``paras``: [(kind, text)] with kind in
-    {"heading", "list_item", "text"}."""
+    {"heading", "list_item", "text"}. ``extra_parts`` appends
+    additional zip members (e.g. docProps/core.xml from
+    ``officemeta.build_core_properties``) AFTER the body part —
+    existing goldens never depend on them."""
     tmpl = {KIND_HEADING: _HEADING_PARA, KIND_LIST_ITEM: _LIST_PARA,
             KIND_TEXT: _PLAIN_PARA}
     body = "".join(tmpl[k].format(text=_esc(t)) for k, t in paras)
@@ -140,4 +144,6 @@ def make_docx(paras: list[tuple[str, str]]) -> bytes:
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr(_DOC_PART, _DOC_TMPL.format(paras=body))
+        for name, content in (extra_parts or {}).items():
+            zf.writestr(name, content)
     return buf.getvalue()

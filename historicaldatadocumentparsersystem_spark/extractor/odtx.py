@@ -192,10 +192,13 @@ def _encode_text(t: str) -> str:
     return "".join(out)
 
 
-def make_odt(paras: list[tuple[str, str]]) -> bytes:
+def make_odt(paras: list[tuple[str, str]],
+             extra_parts: dict[str, str] | None = None) -> bytes:
     """Build a document. ``paras``: [(kind, text)] with kind in
     {"heading", "list_item", "text"}; a "span:" text prefix wraps the
-    remainder in a nested text:span (inline-container coverage)."""
+    remainder in a nested text:span (inline-container coverage).
+    ``extra_parts`` appends additional zip members (e.g. meta.xml
+    from ``officemeta.build_odf_meta``)."""
     body: list[str] = []
     open_list = False
     for kind, text in paras:
@@ -227,4 +230,6 @@ def make_odt(paras: list[tuple[str, str]]) -> bytes:
         zf.writestr(_CONTENT_PART,
                     _CONTENT_TMPL.format(body="".join(body)),
                     zipfile.ZIP_DEFLATED)
+        for name, content in (extra_parts or {}).items():
+            zf.writestr(name, content, zipfile.ZIP_DEFLATED)
     return buf.getvalue()

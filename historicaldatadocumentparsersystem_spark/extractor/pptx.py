@@ -181,9 +181,11 @@ def _esc(s: str) -> str:
             .replace(">", "&gt;").replace('"', "&quot;"))
 
 
-def make_pptx(slides: list[dict]) -> bytes:
+def make_pptx(slides: list[dict],
+              extra_parts: dict[str, str] | None = None) -> bytes:
     """Build a deck. Each slide dict: ``{"title": str | None,
-    "paras": [(text, bulleted: bool), ...]}``."""
+    "paras": [(text, bulleted: bool), ...]}``. ``extra_parts``
+    appends additional zip members (e.g. docProps/core.xml)."""
     overrides = "".join(_SLIDE_OVERRIDE.format(n=i + 1)
                         for i in range(len(slides)))
     buf = io.BytesIO()
@@ -203,4 +205,6 @@ def make_pptx(slides: list[dict]) -> bytes:
                 shapes.append(_BODY_SHAPE.format(paras=paras))
             zf.writestr(f"ppt/slides/slide{i + 1}.xml",
                         _SLIDE_TMPL.format(shapes="".join(shapes)))
+        for name, content in (extra_parts or {}).items():
+            zf.writestr(name, content)
     return buf.getvalue()

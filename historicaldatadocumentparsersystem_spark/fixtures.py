@@ -485,9 +485,29 @@ def pptx_deck_rows(n: int, seed: int = 42) -> list[dict]:
             slides.append({"title": f"Deck {i} slide {s + 1}"
                            if s % 2 == 0 else None,
                            "paras": paras})
+        from .extractor.officemeta import build_core_properties
+        props = _office_props(i, "pptx")
+        extra = ({"docProps/core.xml": build_core_properties(props)}
+                 if props else None)
         out.append({"url": f"pptx://deck-{i}",
-                    "payload": make_pptx(slides)})
+                    "payload": make_pptx(slides, extra_parts=extra)})
     return out
+
+
+def _office_props(i: int, fmt: str) -> dict | None:
+    """Deterministic office-metadata fields per fixture row (fresh
+    index-derived values, no rng draws disturbed): every 5th row has
+    NO metadata part, keyword/date/entity coverage cycles."""
+    if i % 5 == 4:
+        return None
+    props: dict = {"title": f"{fmt.upper()} Document {i}",
+                   "creator": f"Author {i % 7}"}
+    if i % 3 == 0:
+        props["keywords"] = f"alpha, beta{i % 4}"
+        props["created"] = f"202{i % 4}-0{1 + i % 9}-15T08:30:00Z"
+    if i % 5 == 2:
+        props["subject"] = f"Entities & <tests> {i}"
+    return props
 
 
 def docx_file_rows(n: int, seed: int = 42) -> list[dict]:
@@ -508,7 +528,12 @@ def docx_file_rows(n: int, seed: int = 42) -> list[dict]:
             if (i + p) % 4 == 0:
                 txt = f"{['merge', 'window', 'stream'][(i + p) % 3]} {txt}"
             paras.append((kinds[(i + p) % len(kinds)], txt))
-        out.append({"url": f"docx://file-{i}", "payload": make_docx(paras)})
+        from .extractor.officemeta import build_core_properties
+        props = _office_props(i, "docx")
+        extra = ({"docProps/core.xml": build_core_properties(props)}
+                 if props else None)
+        out.append({"url": f"docx://file-{i}",
+                    "payload": make_docx(paras, extra_parts=extra)})
     return out
 
 
@@ -532,7 +557,14 @@ def odt_file_rows(n: int, seed: int = 42) -> list[dict]:
             if i % 3 == 0 and p == 1:
                 txt = f"span:{txt}\tcol  end"  # span + tab + space run
             paras.append((kinds[(i + p) % len(kinds)], txt))
-        out.append({"url": f"odt://file-{i}", "payload": make_odt(paras)})
+        from .extractor.officemeta import build_odf_meta
+        props = _office_props(i, "odt")
+        if props and "keywords" in props:
+            props["keywords"] = [k.strip() for k in
+                                 props["keywords"].split(",")]
+        extra = {"meta.xml": build_odf_meta(props)} if props else None
+        out.append({"url": f"odt://file-{i}",
+                    "payload": make_odt(paras, extra_parts=extra)})
     return out
 
 

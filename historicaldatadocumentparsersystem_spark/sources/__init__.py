@@ -235,6 +235,45 @@ def read_pdf_info(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, PDF_INFO_DDL))
 
 
+OFFICE_META_DDL = ("url string, format string, title string, "
+                   "creator string, subject string, "
+                   "description string, keywords string, "
+                   "created string, modified string")
+
+
+def read_office_meta(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, zip-container payload) rows -> office-document metadata
+    (docProps/core.xml, ODF meta.xml, EPUB OPF dc block — the
+    container sibling of ``read_pdf_info``). Documents without a
+    metadata part yield no row; malformed containers degrade inside
+    the extractor."""
+    import pandas as pd
+
+    from ..extractor.officemeta import META_FIELDS, extract_office_meta
+
+    cols = ["url", "format", *META_FIELDS]
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    meta = extract_office_meta(
+                        bytes(payload) if payload is not None else b"")
+                except Exception:
+                    continue
+                if meta is None:
+                    continue
+                rows.append((url, meta["format"],
+                             *(meta[f] for f in META_FIELDS)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, OFFICE_META_DDL))
+
+
 EPUB_CHAPTERS_DDL = ("url string, chapter int, href string, "
                      "title string, text string")
 

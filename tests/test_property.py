@@ -373,3 +373,21 @@ def test_pdf_info_never_raises_with_pdf_magic(payload):
         b"%PDF-1.4\n" + payload
         + b"\ntrailer\n<< /Info 1 0 R >>\n%%EOF")
     assert info is None or isinstance(info, dict)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=100, deadline=None)
+def test_office_meta_never_raises(payload):
+    from historicaldatadocumentparsersystem_spark.extractor.officemeta import \
+        extract_office_meta
+    meta = extract_office_meta(payload)
+    assert meta is None or isinstance(meta, dict)
+
+
+@given(st.binary(max_size=1024))
+@settings(max_examples=100, deadline=None)
+def test_office_meta_never_raises_zip_magic(payload):
+    from historicaldatadocumentparsersystem_spark.extractor.officemeta import \
+        extract_office_meta
+    meta = extract_office_meta(b"PK\x03\x04" + payload)
+    assert meta is None or isinstance(meta, dict)
