@@ -267,6 +267,27 @@ def test_iterative_plans_stay_bounded(spark):
     # the k x dim literal-centroid assignment must appear as the
     # checkpointed scan, not be re-inlined per reference
     assert len(plan) < 100_000, len(plan)
+    # round-4 iterative additions hold the same discipline:
+    # pagination stitching (frontier carrier) and BPE training
+    # (vocab carrier) checkpoint per round
+    from historicaldatadocumentparsersystem_spark.operators import (
+        bpetrain, pagemeta)
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"u{i + 1}" if i % 3 != 2 else None, f"t{i}")
+         for i in range(9)],
+        "url string, rel_next string, body_text string")
+    small = len(physical_plan(
+        pagemeta.stitch_pagination(pages, max_pages=2)))
+    big = len(physical_plan(
+        pagemeta.stitch_pagination(pages, max_pages=8)))
+    assert big < 3 * small + 10_000, ("stitch", small, big)
+    docs = spark.createDataFrame(
+        [("aa ab the the cat",), ("the cat sat on ab",)], "text string")
+    small = len(physical_plan(
+        bpetrain.learn_bpe_merges(docs, n_merges=1)))
+    big = len(physical_plan(
+        bpetrain.learn_bpe_merges(docs, n_merges=6)))
+    assert big < 3 * small + 10_000, ("bpetrain", small, big)
 
 
 def test_host_boilerplate_joins_are_keyed(spark):
