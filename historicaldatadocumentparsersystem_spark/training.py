@@ -61,8 +61,14 @@ def repetition_gate(extracted: DataFrame, max_dup_word: float = 0.9,
 
 def dedup_extracted(extracted: DataFrame) -> DataFrame:
     """Exact dedup on extracted text: canonical row = smallest url per
-    md5(extracted_text) (deterministic on any cluster size)."""
-    w = Window.partitionBy(F.md5("extracted_text")).orderBy("url")
+    md5 of the NFC-CANONICAL text (deterministic on any cluster
+    size). Key-side canonicalization only — document bytes are left
+    untouched, but U+00E9 and e+U+0301 copies collapse to one row
+    (un-normalized corpora leak visually-exact duplicates through a
+    raw byte hash; see operators/encoding.nfc_key)."""
+    from .operators.encoding import nfc_key
+    w = Window.partitionBy(
+        F.md5(nfc_key("extracted_text"))).orderBy("url")
     return (extracted.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
 

@@ -94,3 +94,19 @@ def test_export_training_data_handoff(spark, tmp_path):
     back = spark.read.json(f"{out}/export/data")
     assert back.count() == stats["n_unique"]
     assert json.load(open(f"{out}/export/dataset_card.json")) == res["card"]
+
+
+def test_dedup_key_is_nfc_canonical(spark):
+    # composed vs decomposed e-acute: identical rendering, different
+    # bytes (C3A9 vs 65 CC81) — the NFC dedup key must collapse them
+    # (smallest url wins) while the survivor's bytes stay EXACTLY as
+    # extracted (key-side canonicalization only)
+    rows = [("https://a.example/1", "café menu", 0),
+            ("https://a.example/2", "café menu", 0),
+            ("https://a.example/3", "other text", 0)]
+    df = spark.createDataFrame(
+        rows, "url string, extracted_text string, failed int")
+    got = {r.url: r.extracted_text
+           for r in training.dedup_extracted(df).collect()}
+    assert set(got) == {"https://a.example/1", "https://a.example/3"}
+    assert got["https://a.example/1"] == "caf\u00e9 menu"  # untouched bytes
