@@ -331,7 +331,7 @@ def _bpe_train_sql(n: int) -> str:
     SELECT unnest(regexp_extract_all(lower(text),
                   '{bpetrain.PRETOK_RE}', 0)) AS word
     FROM documents) sub
-  WHERE regexp_matches(word, '^[ -~]+$')
+  WHERE regexp_matches(word, '{bpetrain.PRINTABLE_RE}')
   GROUP BY word)""",
         """v0 AS MATERIALIZED (
   SELECT concat(

@@ -247,13 +247,19 @@ def learn_merges_from_freqs(word_freqs, n_merges: int
 
 
 def learn_merges(texts, n_merges: int) -> tuple[tuple[str, str], ...]:
-    """BPE training over raw documents (pre-tokenized with the same
-    ``_PRETOK`` split inference uses, so learned merges plug straight
-    into ``BPETokenizer``)."""
+    """BPE training over raw documents: the EXACT pure oracle of the
+    distributed trainer (operators/bpetrain.learn_bpe_merges) — same
+    ``_PRETOK`` split, same printable-ASCII word gate (the trainer's
+    delimited encoding reserves control bytes, so the gate is part of
+    the algorithm's contract, not a Spark-side detail). Learned
+    merges plug straight into ``BPETokenizer``;
+    ``learn_merges_from_freqs`` stays gate-free for callers bringing
+    their own word policy."""
     freqs: dict[str, int] = {}
     for t in texts:
         for w in _PRETOK.findall((t or "").lower()):
-            freqs[w] = freqs.get(w, 0) + 1
+            if all(" " <= c <= "~" for c in w):
+                freqs[w] = freqs.get(w, 0) + 1
     return learn_merges_from_freqs(freqs.items(), n_merges)
 
 

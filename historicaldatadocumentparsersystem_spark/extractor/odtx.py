@@ -76,7 +76,10 @@ def _run_text(el: ET.Element) -> str:
         if tag == f"{{{_TEXT}}}s":
             n = child.get(f"{{{_TEXT}}}c", "1")
             try:
-                parts.append(" " * max(int(n), 0))
+                # clamp hostile counts: an attribute-fed allocation
+                # must never OOM an executor (the
+                # parse_image_dimensions precedent)
+                parts.append(" " * min(max(int(n), 0), 10_000))
             except ValueError:
                 parts.append(" ")
         elif tag == f"{{{_TEXT}}}tab":

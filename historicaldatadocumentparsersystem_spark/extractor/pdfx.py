@@ -312,7 +312,11 @@ _INFO_KEYS = {b"Title": "title", b"Author": "author",
 
 _BLIT = rb"\((?:[^()\\]|\\.)*\)"
 _BHEX = rb"<[0-9A-Fa-f\s]*>"
-_TRAILER_RE = re.compile(rb"trailer\s*<<(?P<d>(?:[^<>]|<[^<])*)>>", re.S)
+# trailer dict content: consume anything up to the FIRST '>>' — a
+# lone '>' (the close of a hex string, e.g. the /ID [<...> <...>]
+# nearly every real producer writes) must NOT stop the scan
+_TRAILER_RE = re.compile(rb"trailer\s*<<(?P<d>(?:[^>]|>(?!>))*)>>",
+                         re.S)
 _INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+(\d+)\s+R")
 _BESC_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.S)
 _BESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
@@ -331,7 +335,10 @@ def _pdf_string_bytes(tok: bytes) -> bytes:
             g = m.group(1)
             if g in (b"\r\n", b"\r", b"\n"):
                 return b""          # line continuation
-            if g.isdigit():
+            # octal escape: digits must all be octal — PDF's \8 is
+            # just '8' (the regex's [0-7]{1,3} branch guarantees it,
+            # but a lone \8 arrives via the '.' branch as a digit)
+            if g.isdigit() and not any(c in b"89" for c in g):
                 return bytes([int(g, 8) & 0xFF])
             return _BESCAPES.get(g, g)
         return _BESC_RE.sub(sub, body)

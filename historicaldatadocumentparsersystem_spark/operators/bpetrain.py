@@ -41,7 +41,9 @@ _EOW = "</w>"
 # lowercase word / digit run / single punct — extractor/bpe._PRETOK
 # with the whitespace class spelled out (RE2-safe, Java-identical)
 PRETOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0b]"
-_PRINTABLE_RE = "^[ -~]+$"
+# public: the oracle SQL generator interpolates this (never retyped)
+PRINTABLE_RE = "^[ -~]+$"
+_PRINTABLE_RE = PRINTABLE_RE
 
 
 def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:

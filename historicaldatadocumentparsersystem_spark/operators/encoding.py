@@ -105,13 +105,14 @@ def nfc_normalize_df(df: DataFrame, text_col: str = "text",
     ``nfc_normalize`` (both implement the same stable Unicode
     canonical composition; pinned by the oracle twin).
     """
-    import pandas as pd  # noqa: F401  (module-level for pandas_udf)
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField
 
+    # carry the id through AT ITS OWN TYPE — a string/url key must
+    # not round-trip through cast('long') (it would silently null)
+    id_type = df.schema[id_col].dataType
     schema = StructType([
-        StructField("id", StringType(), True),
+        StructField(id_col, id_type, True),
         StructField("text_nfc", StringType(), True),
         StructField("changed", BooleanType(), False),
     ])
@@ -122,15 +123,13 @@ def nfc_normalize_df(df: DataFrame, text_col: str = "text",
             src = pdf[text_col].fillna("")
             nfc = src.map(lambda t: unicodedata.normalize("NFC", t))
             yield pd.DataFrame({
-                "id": pdf[id_col].astype(str),
+                id_col: pdf[id_col],
                 "text_nfc": nfc,
                 "changed": nfc.ne(src),
             })
 
-    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         batch, schema)
-    return out.select(F.col("id").cast("long").alias(id_col),
-                      "text_nfc", "changed")
 
 
 def nfc_key(col) -> "Column":  # noqa: F821 — pyspark Column

@@ -17,14 +17,11 @@ from historicaldatadocumentparsersystem_spark.operators import bpetrain  # noqa:
 
 
 def _pure_merges(texts, n):
-    """Pure twin of the Spark trainer's corpus pass: same pre-token
-    split, same printable-ASCII word gate, then Alg. 1."""
-    freqs = {}
-    for t in texts:
-        for w in bpe._PRETOK.findall((t or "").lower()):
-            if all(" " <= c <= "~" for c in w):
-                freqs[w] = freqs.get(w, 0) + 1
-    return bpe.learn_merges_from_freqs(freqs.items(), n)
+    """The advertised oracle IS the oracle: ``bpe.learn_merges``
+    carries the trainer's printable-ASCII word gate itself (a
+    review finding fixed in round 4 — the gate is part of the
+    algorithm's contract, not a Spark-side detail)."""
+    return bpe.learn_merges(texts, n)
 
 
 def test_learn_merges_known_vector():

@@ -36,7 +36,7 @@ def _pure_stitch(rows, max_pages=16):
     chains = {}
     for url, (pos, chain, text) in first.items():
         chains.setdefault(chain, []).append((pos, text))
-    return {c: "\n\n".join(t for _, t in sorted(ps))
+    return {c: (len(ps), "\n\n".join(t for _, t in sorted(ps)))
             for c, ps in chains.items()}
 
 
@@ -67,9 +67,8 @@ def test_stitch_matches_pure_walk(spark):
            for r in pagemeta.stitch_pagination(df, max_pages=8).collect()}
     want = _pure_stitch(rows, max_pages=8)
     assert set(got) == set(want)
-    for c, text in want.items():
-        assert got[c][1] == text, c
-        assert got[c][0] == text.count("\n\n") + 1 or got[c][0] >= 1
+    for c, (n_pages, text) in want.items():
+        assert got[c] == (n_pages, text), c
 
 
 @pytest.mark.usefixtures("spark")

@@ -96,3 +96,26 @@ def test_spark_source_matches_pure(spark):
         if info is not None:
             want.append((r["url"], info["title"], info["creation_date"]))
     assert got == sorted(want)
+
+
+def test_nonoctal_digit_escape_is_literal():
+    # PDF: a backslash before a non-octal digit just drops the
+    # backslash — \8 is '8', never an int('8', 8) crash (review fix).
+    # The fixture builder escapes backslashes correctly, so the raw
+    # token decoder is exercised directly.
+    assert pdfx._pdf_text(rb"(a\8b \9 \123 \77)") == "a8b 9 S ?"
+    # and a malicious /Info literal with \8 must not raise end-to-end
+    base = _make_pdf([["x"]], info={"Title": "placeholder"})
+    spliced = base.replace(b"(placeholder)", rb"(bad\8esc)")
+    assert pdfx.extract_pdf_info(spliced)["title"] == "bad8esc"
+
+
+def test_trailer_with_id_hex_strings_still_resolves_info():
+    # nearly every real producer writes /ID [<hex> <hex>] in the
+    # trailer; the lone '>' closers must not stop the trailer scan
+    base = _make_pdf([["x"]], info={"Title": "has id"})
+    spliced = base.replace(
+        b"trailer\n<< /Size",
+        b"trailer\n<< /ID [<31415926535897> <31415926535897>] /Size")
+    assert b"/ID [<" in spliced
+    assert pdfx.extract_pdf_info(spliced)["title"] == "has id"
