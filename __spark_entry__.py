@@ -758,6 +758,8 @@ _GOLDEN_DATES = os.path.join(_REPO, "fixtures",
                              "golden_dates_seed42_n120.parquet")
 _GOLDEN_RDFA = os.path.join(_REPO, "fixtures",
                             "golden_rdfa_seed42_n120.parquet")
+_GOLDEN_CODE = os.path.join(_REPO, "fixtures",
+                            "golden_code_seed42_n120.parquet")
 _GOLDEN_MF2 = os.path.join(_REPO, "fixtures",
                            "golden_mf2_seed42_n120.parquet")
 _GOLDEN_MEDIAMETA = os.path.join(_REPO, "fixtures",
@@ -1355,6 +1357,8 @@ _EXTRA_ORDER = [
     "nfc_normalize", "pdf_info", "content_type_mismatch",
     "script_lang_consistency", "fetch_schedule_delayed",
     "office_metadata",
+    # round-4 resumed-session-3 additions
+    "extract_code", "code_lang_stats", "code_block_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2210,6 +2214,46 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url"))
     q["temporal_split"] = q_temporal_split
 
+    # --- code-block extraction + language ID (the code-routing pass
+    # splitting source code out of the prose stream) — hash-checked
+    # against the committed golden code parquet
+    def q_code(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.code_pages_df(spark, 120)
+        return pagemeta.extract_code_df(docs).orderBy("url", "pos")
+    q["extract_code"] = q_code
+
+    # --- per-language corpus mixture — reads the GOLDEN on both sides
+    # (blocks==golden is proven by extract_code; this isolates the
+    # mixture aggregation, one map-side-combinable groupBy)
+    def q_code_lang_stats(spark, sf_dir):
+        blocks = spark.read.parquet(_GOLDEN_CODE)
+        return (blocks.groupBy("lang")
+                .agg(F.count("*").cast("long").alias("n_blocks"),
+                     F.sum("n_lines").cast("long").alias("total_lines"),
+                     F.sum("n_chars").cast("long").alias("total_chars"),
+                     F.sum(F.when(F.col("lang_hint").isNotNull(), 1)
+                           .otherwise(0)).cast("long").alias("n_hinted"))
+                .orderBy("lang"))
+    q["code_lang_stats"] = q_code_lang_stats
+
+    # --- per-page code profile (the code-vs-prose routing signal) —
+    # golden on both sides; integer cross-multiply keeps floats out
+    def q_code_profile(spark, sf_dir):
+        blocks = spark.read.parquet(_GOLDEN_CODE)
+        return (blocks.groupBy("url")
+                .agg(F.count("*").cast("long").alias("n_blocks"),
+                     F.countDistinct("lang").cast("long")
+                     .alias("n_langs"),
+                     F.max("n_lines").cast("long").alias("max_lines"),
+                     F.sum("n_chars").cast("long").alias("code_chars"))
+                .withColumn(
+                    "code_heavy",
+                    (F.col("n_blocks") >= 2) | (F.col("code_chars") >= 60))
+                .orderBy("url"))
+    q["code_block_profile"] = q_code_profile
+
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
     # pass: thead/soup/nested/colspan cases in the fixture pages)
@@ -2305,6 +2349,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("rdfa").cast("long").alias("n_rdfa"),
             F.size("mf2").cast("long").alias("n_mf2"),
             F.size("dates").cast("long").alias("n_date_candidates"),
+            F.size("code").cast("long").alias("n_code_blocks"),
             "n_tags", "max_depth", "truncated")
     q["page_artifacts_stats"] = q_artifacts
 
@@ -4487,6 +4532,33 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_DATES}')
             GROUP BY url
             ORDER BY url""",
+        # code blocks: committed golden parquet pinned by
+        # tests/test_codex.py against the pure re-derivation
+        "extract_code": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_CODE}')
+            ORDER BY url, pos""",
+        # per-language mixture: golden both sides (blocks==golden is
+        # proven by extract_code; this isolates the aggregation)
+        "code_lang_stats": f"""
+            SELECT lang,
+                   count(*)::bigint AS n_blocks,
+                   sum(n_lines)::bigint AS total_lines,
+                   sum(n_chars)::bigint AS total_chars,
+                   sum(CASE WHEN lang_hint IS NOT NULL THEN 1
+                            ELSE 0 END)::bigint AS n_hinted
+            FROM read_parquet('{_GOLDEN_CODE}')
+            GROUP BY lang ORDER BY lang""",
+        # per-page code profile: golden both sides; the gate is pure
+        # integer comparisons (no floats in the hash)
+        "code_block_profile": f"""
+            SELECT url,
+                   count(*)::bigint AS n_blocks,
+                   count(DISTINCT lang)::bigint AS n_langs,
+                   max(n_lines)::bigint AS max_lines,
+                   sum(n_chars)::bigint AS code_chars,
+                   (count(*) >= 2 OR sum(n_chars) >= 60) AS code_heavy
+            FROM read_parquet('{_GOLDEN_CODE}')
+            GROUP BY url ORDER BY url""",
         # table cells: committed golden parquet pinned by
         # tests/test_pagemeta.py against the pure re-derivation
         "extract_tables": f"""
@@ -4542,6 +4614,7 @@ def oracle_sql() -> dict[str, str]:
                    0::bigint AS n_rdfa,
                    0::bigint AS n_mf2,
                    0::bigint AS n_date_candidates,
+                   0::bigint AS n_code_blocks,
                    s.n_tags, s.max_depth, s.truncated
             FROM read_parquet('{_GOLDEN_SHAPES}') s
             LEFT JOIN (SELECT url, count(*)::bigint AS c

@@ -15,6 +15,7 @@ explodes only the families it consumes.
 """
 from __future__ import annotations
 
+from .codex import code_from_root
 from .datex import dates_from_root
 from .htmlx import decode_payload, parse_dom
 from .jsonldx import jsonld_from_root
@@ -31,7 +32,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
     {meta, hreflang, links, cells, jsonld, microdata, rdfa, mf2,
-    dates, skeleton, n_tags, max_depth, truncated}."""
+    dates, code, skeleton, n_tags, max_depth, truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
     else:
@@ -49,6 +50,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "rdfa": rdfa_from_root(root, src, base_url),
         "mf2": mf2_from_root(root, src, base_url),
         "dates": dates_from_root(root, src, base_url),
+        "code": code_from_root(root, src),
         "skeleton": skeleton,
         "n_tags": n_tags,
         "max_depth": max_depth,

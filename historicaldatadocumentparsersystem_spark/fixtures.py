@@ -1483,6 +1483,91 @@ def md_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, md_pages(n, seed), num_partitions)
 
 
+_CODE_ALIAS_HINTS = ("js", "py", "c++", "sh", "golang", "yml",
+                     "plaintext", "cs", "tsx", "console", "cxx", "zsh")
+
+
+def code_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the code-block
+    extractor (extractor/codex.py): hinted and unhinted <pre> blocks
+    across the heuristic's language table, alias hints, entities and
+    nested markup inside pre, whitespace-only and prose blocks,
+    nested pre-in-pre, inline-code-only pages and empty payloads.
+    Feeds fixtures/golden_code_seed42_n*.parquet, same isolation
+    rationale as meta_pages."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 15485863, i)
+        host = _HOSTS[(i * 40087) % len(_HOSTS)]
+        kind = i % 10
+        url = f"https://{host}/code/page-{i}"
+        prose = f"<p>{_paragraph(rng, 1, 2)}</p>"
+        a, b = rng.randrange(100), rng.randrange(100)
+        name = rng.choice(_WORDS)
+        if kind == 0:       # python, hinted on the <code> child
+            page = (
+                f'{prose}<pre><code class="language-python">'
+                f'import os\n\ndef {name}(x):\n'
+                f'    return x + {a}</code></pre>')
+        elif kind == 1:     # javascript, unhinted -> heuristic
+            page = (
+                f'{prose}<pre>const {name} = (x) =&gt; x * {a};\n'
+                f'console.log({name}({b}));</pre>')
+        elif kind == 2:     # c, hinted on the <pre>, entity-heavy
+            page = (
+                f'<pre class="lang-c">#include &lt;stdio.h&gt;\n'
+                f'int main(void) {{\n  printf("%d", {a});\n'
+                f'  return 0;\n}}</pre>{prose}')
+        elif kind == 3:     # sql, unhinted
+            page = (
+                f'{prose}<pre>SELECT {name}, count(*)\n'
+                f'FROM events\nWHERE ts &gt; {a}\n'
+                f'GROUP BY {name} ORDER BY 2 DESC</pre>')
+        elif kind == 4:     # two blocks: rust hinted, go unhinted
+            page = (
+                f'<pre><code class="language-rust">fn {name}() {{\n'
+                f'    let mut v = {a};\n    println!("{{}}", v);\n'
+                f'}}</code></pre>{prose}'
+                f'<pre>package main\n\nfunc {name}(n int) int {{\n'
+                f'\tm := n + {b}\n\tfmt.Println(m)\n\treturn m\n}}</pre>')
+        elif kind == 5:     # inline code only -> zero blocks
+            page = (f'{prose}<p>Set <code>x = {a}</code> and '
+                    f'<kbd>ctrl-c</kbd> to stop.</p>')
+        elif kind == 6:     # css + html blocks, unhinted
+            page = (
+                f'<pre>.{name} {{ color: #00{a:02x}00; '
+                f'margin: {b}px; }}</pre>{prose}'
+                f'<pre>&lt;div class="{name}"&gt;\n'
+                f'  &lt;p&gt;hello {a}&lt;/p&gt;\n&lt;/div&gt;</pre>')
+        elif kind == 7:     # whitespace-only (dropped), prose block,
+            # nested pre-in-pre (ONE block), json block
+            page = (
+                f'<pre>   \n\t</pre>'
+                f'<pre>just {name} prose without signals {a}</pre>'
+                f'<pre>outer {a}\n<pre>inner {b}</pre>\ntail</pre>'
+                f'<pre>{{"{name}": [{a}, {b}], "ok": true}}</pre>'
+                f'{prose}')
+        elif kind == 8:     # alias hint cycle; <br> and markup inside
+            hint = _CODE_ALIAS_HINTS[(i // 10) % len(_CODE_ALIAS_HINTS)]
+            page = (
+                f'{prose}<pre class="language-{hint}">'
+                f'<span>line one {a}</span><br>'
+                f'<b>line two {b}</b></pre>')
+        else:               # kind == 9: empty payload -> no output row
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url,
+                      "html": f"<html><body>{page}</body></html>"
+                              .encode("utf-8")})
+    return pages
+
+
+def code_pages_df(spark, n: int, seed: int = 42,
+                  num_partitions: int = 8):
+    """Spark DataFrame of the code_pages fixture set (url, html)."""
+    return _pages_df(spark, code_pages(n, seed), num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

@@ -403,6 +403,32 @@ def publish_date(cands: DataFrame) -> DataFrame:
                  F.count("*").cast("long").alias("n_candidates")))
 
 
+CODE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("pos", IntegerType(), False),
+    StructField("lang_hint", StringType(), True),
+    StructField("lang", StringType(), False),
+    StructField("n_lines", IntegerType(), False),
+    StructField("n_chars", IntegerType(), False),
+    StructField("text", StringType(), False),
+])
+
+
+def extract_code_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per <pre> code block
+    (url, pos, lang_hint, lang, n_lines, n_chars, text) — the
+    code-routing pass a training pipeline runs to split source code
+    out of the prose stream (extractor/codex.py is the Spark-free
+    oracle; see its block/hint/heuristic contract). Map-only 1->N
+    over a pruned (url, html) projection; language mixtures are
+    downstream aggregations over this table, never a payload re-read."""
+    from ..extractor import codex
+
+    def rows(payload, u):
+        return codex.extract_code(payload)
+    return _flat_map_operator(docs, rows, CODE_SCHEMA)
+
+
 MARKDOWN_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("markdown", StringType(), False),
@@ -571,6 +597,13 @@ def _artifacts_schema() -> StructType:
         StructField("prop", StringType(), True),
         StructField("value", StringType(), True),
         StructField("kind", StringType(), False)])
+    code_struct = StructType([
+        StructField("pos", IntegerType(), False),
+        StructField("lang_hint", StringType(), True),
+        StructField("lang", StringType(), False),
+        StructField("n_lines", IntegerType(), False),
+        StructField("n_chars", IntegerType(), False),
+        StructField("text", StringType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -582,6 +615,7 @@ def _artifacts_schema() -> StructType:
         StructField("rdfa", ArrayType(rdfa_struct), False),
         StructField("mf2", ArrayType(mf2_struct), False),
         StructField("dates", ArrayType(date_struct), False),
+        StructField("code", ArrayType(code_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
         StructField("max_depth", IntegerType(), False),
@@ -605,8 +639,8 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
 
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
-                "microdata", "rdfa", "mf2", "dates", "skeleton",
-                "n_tags", "max_depth", "truncated"]
+                "microdata", "rdfa", "mf2", "dates", "code",
+                "skeleton", "n_tags", "max_depth", "truncated"]
         for pdf in it:
             rows = []
             for u, payload in zip(pdf["url"], pdf["html"]):
@@ -618,8 +652,8 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     tuple(a["meta"][f] for f in metax.META_FIELDS),
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
                     a["microdata"], a["rdfa"], a["mf2"], a["dates"],
-                    a["skeleton"], a["n_tags"], a["max_depth"],
-                    a["truncated"]))
+                    a["code"], a["skeleton"], a["n_tags"],
+                    a["max_depth"], a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select("url", "html").mapInPandas(
