@@ -776,6 +776,8 @@ _GOLDEN_EPUB = os.path.join(_REPO, "fixtures",
                             "golden_epub_chapters_seed42_n30.parquet")
 _GOLDEN_ODT = os.path.join(_REPO, "fixtures",
                            "golden_odt_elements_seed42_n40.parquet")
+_GOLDEN_RTF = os.path.join(_REPO, "fixtures",
+                           "golden_rtf_elements_seed42_n40.parquet")
 _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
 _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
@@ -1359,6 +1361,7 @@ _EXTRA_ORDER = [
     "office_metadata",
     # round-4 resumed-session-3 additions
     "extract_code", "code_lang_stats", "code_block_profile",
+    "rtf_elements",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2809,6 +2812,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_odt_elements(df)
     q["odt_elements"] = q_odt
+
+    # --- RTF source (the legacy-office member of the per-format
+    # loader family) — hash-checked against the committed golden
+    # elements parquet (pinned by tests/test_rtf.py against the pure
+    # re-derivation; codepage rotation + \uN escapes + garbage rows)
+    def q_rtf(spark, sf_dir):
+        files = fixtures.rtf_file_rows(40)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_rtf_elements(df)
+    q["rtf_elements"] = q_rtf
 
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
@@ -5318,6 +5333,11 @@ def oracle_sql() -> dict[str, str]:
         "odt_elements": f"""
             SELECT url, para, kind, level, text
             FROM read_parquet('{_GOLDEN_ODT}')""",
+        # rtf paragraph elements: committed golden parquet pinned by
+        # tests/test_rtf.py against the pure re-derivation
+        "rtf_elements": f"""
+            SELECT url, para, kind, level, text
+            FROM read_parquet('{_GOLDEN_RTF}')""",
         # pdf /Info dictionaries: committed golden parquet pinned by
         # tests/test_pdfinfo.py against the pure re-derivation
         "pdf_info": f"""

@@ -21,7 +21,9 @@ from .htmlx import decode_payload, extract_html
 from .odtx import extract_odt_text, is_odt
 from .pdfx import extract_pdf
 from .pptx import extract_pptx_text, is_pptx
-from .sniff import KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_ZIP, sniff_kind
+from .rtfx import extract_rtf_text
+from .sniff import (KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_RTF, KIND_ZIP,
+                    sniff_kind)
 
 KIND_PPTX = "pptx"
 KIND_DOCX = "docx"
@@ -71,6 +73,13 @@ def extract_document(payload: bytes | None, fallback_text: str | None
                 # fallback row, counted in lineage failed_rows
                 return _fallback(fallback_text, failed=True)
             return ExtractResult(KIND_PDF, text, spans, len(spans), score)
+        if kind == KIND_RTF:
+            # legacy-office text (extractor/rtfx.py — from-scratch
+            # tokenizer; decades of .rtf sit in web archives)
+            text, spans = extract_rtf_text(payload)  # type: ignore[arg-type]
+            if not spans:
+                return _fallback(fallback_text, failed=True)
+            return ExtractResult(KIND_RTF, text, spans, len(spans), 0.0)
         if kind == KIND_ZIP:
             # S7 pptx subset (reference loaders.py:30-37 -> partition_pptx)
             if is_pptx(payload):

@@ -21,11 +21,13 @@ _BOMS = (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")
 KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_ZIP = "zip"  # OOXML container candidate (pptx subset, S7)
+KIND_RTF = "rtf"
 KIND_EMPTY = "empty"
 
 
 def sniff_kind(payload: bytes | None) -> str:
-    """Classify a raw payload as 'pdf' | 'html' | 'empty'."""
+    """Classify a raw payload as 'pdf' | 'html' | 'zip' | 'rtf' |
+    'empty'."""
     if not payload:
         return KIND_EMPTY
     head = payload[:256]
@@ -41,6 +43,8 @@ def sniff_kind(payload: bytes | None) -> str:
         return KIND_HTML
     if stripped.startswith(b"<"):
         return KIND_HTML
+    if stripped.startswith(b"{\\rtf"):
+        return KIND_RTF
     if payload.startswith(b"PK\x03\x04"):
         # zip container: the dispatcher confirms which OOXML type (a
         # pptx has ppt/slides/ parts); non-OOXML zips fall back

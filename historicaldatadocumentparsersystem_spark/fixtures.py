@@ -568,6 +568,43 @@ def odt_file_rows(n: int, seed: int = 42) -> list[dict]:
     return out
 
 
+_RTF_UNICODE_SAMPLES = ("café déjà-vu", "über größe", "русский текст",
+                        "日本語の文書", "euro € dash —", "naïve façade")
+
+
+def rtf_file_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic .rtf files: (url, payload). Cycles
+    heading / list / plain paragraphs like the odt set, rotates the
+    declared codepage (cp1252 / utf-8-page / cp932 / cp1251) with
+    matching non-ASCII text (codepage \\'xx bytes AND \\uN escapes),
+    and every 7th row is a NON-rtf payload (garbage bytes) that must
+    yield zero element rows (F5)."""
+    from .extractor.rtfx import make_rtf
+    kinds = ["heading", "list_item", "text", "text", "list_item"]
+    pages = [1252, 1252, 65001, 932, 1252, 1251]
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 190031, i)
+        if i % 7 == 6:
+            out.append({"url": f"rtf://file-{i}",
+                        "payload": _garbage(rng, i)})
+            continue
+        paras = []
+        for p in range(3 + i % 5):
+            txt = _sentence(rng, 4, 9)
+            if (i + p) % 4 == 0:
+                txt = f"{_RTF_UNICODE_SAMPLES[(i + p) % 6]} {txt}"
+            if i % 3 == 0 and p == 1:
+                txt = f"tab\tcol {{br}}\nnext \\ done"
+            kind = kinds[(i + p) % len(kinds)]
+            level = 1 + (i + p) % 3 if kind != "text" else 0
+            paras.append((kind, level, txt))
+        out.append({"url": f"rtf://file-{i}",
+                    "payload": make_rtf(paras,
+                                        codepage=pages[i % len(pages)])})
+    return out
+
+
 def epub_file_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic .epub books: (url, payload). Books
     cycle chapter counts 1-4, include heading-less chapters (the

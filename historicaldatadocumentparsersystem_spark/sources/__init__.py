@@ -192,6 +192,45 @@ def read_odt_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, ODT_ELEMENTS_DDL))
 
 
+def read_rtf_elements(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, rtf payload) rows -> ordered paragraph elements.
+
+    Same shape (and DDL) as :func:`read_odt_elements`; the per-row
+    parse is the pure-Python ``extractor.rtfx.extract_rtf`` (the
+    legacy-office member of the per-format loader family). Non-RTF
+    payloads are skipped (F5); malformed bodies degrade to fewer
+    elements inside the tokenizer."""
+    import pandas as pd
+
+    from ..extractor.rtfx import extract_rtf
+
+    def parse(batches):
+        for b in batches:
+            urls, paras, kinds, levels, texts = [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    els = extract_rtf(bytes(payload))
+                except Exception:
+                    continue
+                for el in els:
+                    urls.append(url)
+                    paras.append(el.para)
+                    kinds.append(el.kind)
+                    levels.append(el.level)
+                    texts.append(el.text)
+            yield pd.DataFrame({
+                "url": urls,
+                "para": pd.array(paras, dtype="int32"),
+                "kind": kinds,
+                "level": pd.array(levels, dtype="int32"),
+                "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ODT_ELEMENTS_DDL))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
