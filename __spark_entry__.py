@@ -778,6 +778,8 @@ _GOLDEN_ODT = os.path.join(_REPO, "fixtures",
                            "golden_odt_elements_seed42_n40.parquet")
 _GOLDEN_RTF = os.path.join(_REPO, "fixtures",
                            "golden_rtf_elements_seed42_n40.parquet")
+_GOLDEN_SUBS = os.path.join(_REPO, "fixtures",
+                            "golden_subtitles_seed42_n36.parquet")
 _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
 _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
@@ -1361,7 +1363,7 @@ _EXTRA_ORDER = [
     "office_metadata",
     # round-4 resumed-session-3 additions
     "extract_code", "code_lang_stats", "code_block_profile",
-    "rtf_elements",
+    "rtf_elements", "subtitle_cues", "subtitle_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2824,6 +2826,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_rtf_elements(df)
     q["rtf_elements"] = q_rtf
+
+    # --- subtitle source (the timed-text member of the loader family:
+    # SRT/WebVTT detection, BOM/legacy decode, tag strip) — hash-checked
+    # against the committed golden cues parquet
+    def q_subs(spark, sf_dir):
+        files = fixtures.subtitle_file_rows(36)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_subtitle_cues(df)
+    q["subtitle_cues"] = q_subs
+
+    # --- per-file transcript profile (cue density + reading speed —
+    # the caption-quality gate a video-text pairing pipeline applies)
+    # — golden both sides; the speed flag is an integer cross-multiply
+    def q_sub_stats(spark, sf_dir):
+        cues = spark.read.parquet(_GOLDEN_SUBS)
+        return (cues.groupBy("url")
+                .agg(F.count("*").cast("long").alias("n_cues"),
+                     F.sum(F.col("end_ms") - F.col("start_ms"))
+                     .cast("long").alias("total_cue_ms"),
+                     F.sum(F.length("text")).cast("long")
+                     .alias("n_chars"),
+                     F.max("end_ms").cast("long").alias("last_end_ms"))
+                .withColumn(
+                    "fast_speech",
+                    F.col("n_chars") * 1000 > F.col("total_cue_ms") * 17)
+                .orderBy("url"))
+    q["subtitle_stats"] = q_sub_stats
 
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
@@ -5338,6 +5369,22 @@ def oracle_sql() -> dict[str, str]:
         "rtf_elements": f"""
             SELECT url, para, kind, level, text
             FROM read_parquet('{_GOLDEN_RTF}')""",
+        # subtitle cues: committed golden parquet pinned by
+        # tests/test_subtitles.py against the pure re-derivation
+        "subtitle_cues": f"""
+            SELECT url, pos, start_ms, end_ms, text
+            FROM read_parquet('{_GOLDEN_SUBS}')""",
+        # transcript profile: golden both sides; integer-only speed gate
+        "subtitle_stats": f"""
+            SELECT url,
+                   count(*)::bigint AS n_cues,
+                   sum(end_ms - start_ms)::bigint AS total_cue_ms,
+                   sum(length(text))::bigint AS n_chars,
+                   max(end_ms)::bigint AS last_end_ms,
+                   sum(length(text)) * 1000
+                     > sum(end_ms - start_ms) * 17 AS fast_speech
+            FROM read_parquet('{_GOLDEN_SUBS}')
+            GROUP BY url ORDER BY url""",
         # pdf /Info dictionaries: committed golden parquet pinned by
         # tests/test_pdfinfo.py against the pure re-derivation
         "pdf_info": f"""

@@ -605,6 +605,74 @@ def rtf_file_rows(n: int, seed: int = 42) -> list[dict]:
     return out
 
 
+def subtitle_file_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic subtitle files: (url, payload). Cycles
+    SRT and WebVTT shapes — tags/entities, index-less and dot-milli
+    SRT blocks, VTT header metadata + NOTE/STYLE blocks + cue
+    settings + hour-less stamps — across utf-8, cp1252 and utf-16le
+    encodings; every 6th row is a cue-less payload that must yield
+    zero rows (F5)."""
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 122949823, i)
+        kind = i % 6
+        url = f"sub://file-{i}"
+
+        def stamp(ms: int, sep: str = ",") -> str:
+            h, rem = divmod(ms, 3600000)
+            m, rem = divmod(rem, 60000)
+            s, mmm = divmod(rem, 1000)
+            return f"{h:02d}:{m:02d}:{s:02d}{sep}{mmm:03d}"
+
+        t0 = 500 + (i % 7) * 950
+        cues = []
+        for c in range(2 + i % 4):
+            dur = 1200 + ((i + c) % 5) * 700
+            cues.append((t0, t0 + dur, _sentence(rng, 3, 8)))
+            t0 += dur + 300
+        if kind == 0:           # SRT with tags + entities, cp1252 half
+            blocks = [f"{c + 1}\n{stamp(a)} --> {stamp(b)}\n"
+                      f"<i>{t}</i> &amp; fin"
+                      for c, (a, b, t) in enumerate(cues)]
+            enc = "cp1252" if i % 2 else "utf-8"
+            payload = ("\n\n".join(blocks) + "\n").encode(enc)
+        elif kind == 1:         # VTT: metadata header, NOTE, settings
+            blocks = ["WEBVTT - fixture\nKind: captions",
+                      "NOTE synthetic\ncomment lines"]
+            blocks += [f"cue-{c}\n{stamp(a, '.')} --> {stamp(b, '.')} "
+                       f"align:start\n<v Spk>{t}</v>"
+                       for c, (a, b, t) in enumerate(cues)]
+            payload = ("\n\n".join(blocks) + "\n").encode("utf-8")
+        elif kind == 2:         # SRT index-less, dot millis, overlaps
+            blocks = [f"{stamp(a, '.')} --> {stamp(max(b - 800, a), '.')}"
+                      f"\n{t}\nsecond line"
+                      for (a, b, t) in cues]
+            payload = ("\n\n".join(blocks) + "\n").encode("utf-8")
+        elif kind == 3:         # VTT hour-less + STYLE, utf-16le half
+            def short(ms: int) -> str:
+                m, rem = divmod(ms, 60000)
+                s, mmm = divmod(rem, 1000)
+                return f"{m:02d}:{s:02d}.{mmm:03d}"
+            blocks = ["WEBVTT", "STYLE\n::cue { color: red }"]
+            blocks += [f"{short(a)} --> {short(b)}\n<c.y>{t}</c>"
+                       for (a, b, t) in cues]
+            raw = "\n\n".join(blocks) + "\n"
+            payload = (b"\xff\xfe" + raw.encode("utf-16-le")
+                       if i % 2 else raw.encode("utf-8"))
+        elif kind == 4:         # SRT + garbage blocks + empty cues
+            blocks = []
+            for c, (a, b, t) in enumerate(cues):
+                blocks.append(f"{c + 1}\n{stamp(a)} --> {stamp(b)}\n{t}")
+                blocks.append("not a cue\nstill not one")
+                blocks.append(f"{c + 90}\n{stamp(b)} --> "
+                              f"{stamp(b + 100)}\n<i></i>")
+            payload = ("\n\n".join(blocks) + "\n").encode("utf-8")
+        else:                   # kind == 5: no cues -> zero rows
+            payload = _garbage(rng, i)
+        out.append({"url": url, "payload": payload})
+    return out
+
+
 def epub_file_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic .epub books: (url, payload). Books
     cycle chapter counts 1-4, include heading-less chapters (the

@@ -192,6 +192,49 @@ def read_odt_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, ODT_ELEMENTS_DDL))
 
 
+SUBTITLE_CUES_DDL = ("url string, pos int, start_ms bigint, "
+                     "end_ms bigint, text string")
+
+
+def read_subtitle_cues(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, subtitle payload) rows -> one row per timed cue
+    (url, pos, start_ms, end_ms, text).
+
+    The timed-text member of the per-format loader family
+    (``extractor/subx.py`` is the Spark-free oracle: SRT/WebVTT
+    detection, BOM/legacy-cp1252 decoding, tag stripping). Map-only
+    1->N; payloads without a parseable cue yield no rows (F5). At
+    100 TB the downstream joins (cue windows x sampled video frames)
+    key on (url, time) — this source shuffles nothing itself."""
+    import pandas as pd
+
+    from ..extractor.subx import parse_subtitles
+
+    def parse(batches):
+        for b in batches:
+            urls, poss, starts, ends, texts = [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                if payload is None:
+                    continue
+                for pos, a, z, t in parse_subtitles(bytes(payload)):
+                    urls.append(url)
+                    poss.append(pos)
+                    starts.append(a)
+                    ends.append(z)
+                    texts.append(t)
+            yield pd.DataFrame({
+                "url": urls,
+                "pos": pd.array(poss, dtype="int32"),
+                "start_ms": pd.array(starts, dtype="int64"),
+                "end_ms": pd.array(ends, dtype="int64"),
+                "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, SUBTITLE_CUES_DDL))
+
+
 def read_rtf_elements(df: DataFrame, url_col: str = "url",
                       payload_col: str = "payload") -> DataFrame:
     """(url, rtf payload) rows -> ordered paragraph elements.
