@@ -1364,6 +1364,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-3 additions
     "extract_code", "code_lang_stats", "code_block_profile",
     "rtf_elements", "subtitle_cues", "subtitle_stats",
+    "interstitial_gate",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -1519,6 +1520,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .otherwise(F.lit(""))))
         return webtext.soft404_gate(marked)
     q["soft404_gate"] = q_soft404
+
+    # --- consent-banner / paywall interstitial gate — SQL-checked
+    # (the soft404 shape: arithmetically marked text, phrase chains
+    # GENERATED from the shared Python constants on both sides)
+    def q_interstitial(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        marked = docs.withColumn("text", F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" We use cookies: accept all cookies or "
+                         "manage preferences."))
+             .when(F.col("doc_id") % 11 == 3,
+                   F.lit(" Subscribe to continue reading."))
+             .when(F.col("doc_id") % 11 == 7, F.lit(" Cookie Policy"))
+             .otherwise(F.lit(""))))
+        return webtext.interstitial_gate(marked)
+    q["interstitial_gate"] = q_interstitial
 
     # --- dedup clustering: connected components over near-dup pairs —
     # SQL-checked (oracle: recursive-CTE transitive closure + min)
@@ -4728,6 +4746,45 @@ def oracle_sql() -> dict[str, str]:
                      OR (has_error_phrase AND n_words <= 30) AS soft404,
                    NOT ((has_404 AND has_error_phrase)
                      OR (has_error_phrase AND n_words <= 30)) AS keep
+            FROM sig""",
+        # consent/paywall interstitial gate: phrase-hit counts +
+        # brevity over the arithmetically marked text (hit chains
+        # generated from webtext.CONSENT_PHRASES/PAYWALL_PHRASES so
+        # the two engines can never drift)
+        "interstitial_gate": rf"""
+            WITH marked AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 11 = 0
+                         THEN ' We use cookies: accept all cookies or manage preferences.'
+                       WHEN doc_id % 11 = 3
+                         THEN ' Subscribe to continue reading.'
+                       WHEN doc_id % 11 = 7 THEN ' Cookie Policy'
+                       ELSE '' END AS text
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text),
+                         '\s+'), x -> x != ''))::bigint AS n_words,
+                     ({" + ".join(
+                         f"CASE WHEN contains(lower(text), '{p}') "
+                         "THEN 1 ELSE 0 END"
+                         for p in webtext.CONSENT_PHRASES)})::bigint
+                       AS consent_hits,
+                     ({" + ".join(
+                         f"CASE WHEN contains(lower(text), '{p}') "
+                         "THEN 1 ELSE 0 END"
+                         for p in webtext.PAYWALL_PHRASES)})::bigint
+                       AS paywall_hits
+              FROM marked
+            )
+            SELECT doc_id, n_words, consent_hits, paywall_hits,
+                   n_words <= 80 AS is_short,
+                   consent_hits >= 2 AND n_words <= 80 AS consent_shell,
+                   paywall_hits >= 1 AS paywalled,
+                   NOT (consent_hits >= 2 AND n_words <= 80)
+                     AND NOT (paywall_hits >= 1 AND n_words <= 80)
+                     AS keep
             FROM sig""",
         # host PageRank: same derived ring edges, 3 iterations unrolled
         # as chained CTEs, all int64 floor division — bit-exact twin

@@ -1307,6 +1307,68 @@ def soft404_keep(text_col: str = "text",
     return ~_soft404_exprs(text_col, max_error_words)[4]
 
 
+CONSENT_PHRASES = ("we use cookies", "uses cookies", "accept all cookies",
+                   "cookie policy", "cookie settings",
+                   "consent to the use of cookies", "manage preferences",
+                   "accept cookies")
+PAYWALL_PHRASES = ("subscribe to continue", "to continue reading",
+                   "already a subscriber", "sign in to read",
+                   "subscribers only", "become a member",
+                   "free articles remaining", "start your free trial")
+
+
+def _phrase_hits(low, phrases) -> Column:
+    """Integer count of DISTINCT phrases present (0/1 per phrase,
+    summed column-wise — stays a codegen projection, no UDF)."""
+    hits = None
+    for p in phrases:
+        h = F.when(low.contains(p), 1).otherwise(0)
+        hits = h if hits is None else (hits + h)
+    return hits
+
+
+def interstitial_gate(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_shell_words: int = 80) -> DataFrame:
+    """Consent-banner / paywall interstitial detection: extraction on
+    a blocked page yields the BANNER, not the article ("we use
+    cookies... accept all"), and paywalled pages yield a teaser plus
+    the subscribe prompt — both pollute a training corpus and cluster
+    together in dedup. Heuristic (phrase pile-up + brevity, the
+    soft404 shape):
+
+      consent_hits  how many DISTINCT CONSENT_PHRASES appear
+      paywall_hits  how many DISTINCT PAYWALL_PHRASES appear
+      is_short      word count <= ``max_shell_words``
+      consent_shell = consent_hits >= 2 AND is_short (an article that
+                      merely CARRIES a banner is long; a consent SHELL
+                      is mostly banner)
+      paywalled     = paywall_hits >= 1 (flagged even when long — the
+                      teaser is real text but TRUNCATED content)
+      keep          = NOT consent_shell AND NOT (paywalled AND is_short)
+
+    All signals are contains/size comparisons — map-only codegen
+    projection, no shuffle, scan-bound at 100 TB like the other gates.
+    """
+    low = F.lower(F.col(text_col))
+    consent_hits = _phrase_hits(low, CONSENT_PHRASES)
+    paywall_hits = _phrase_hits(low, PAYWALL_PHRASES)
+    n_words = F.size(tokens(text_col))
+    is_short = n_words <= F.lit(max_shell_words)
+    consent_shell = (consent_hits >= 2) & is_short
+    paywalled = paywall_hits >= 1
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        consent_hits.cast("long").alias("consent_hits"),
+        paywall_hits.cast("long").alias("paywall_hits"),
+        is_short.alias("is_short"),
+        consent_shell.alias("consent_shell"),
+        paywalled.alias("paywalled"),
+        (~consent_shell & ~(paywalled & is_short)).alias("keep"),
+    )
+
+
 def soft404_gate(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  max_error_words: int = 30) -> DataFrame:

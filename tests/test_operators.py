@@ -1595,3 +1595,40 @@ def test_soft404_gate_plan_is_map_only(spark):
     plan = webtext.soft404_gate(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_interstitial_gate_branches_and_plan(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    long_pad = " ".join(f"word{i}" for i in range(100))
+    rows = [
+        # consent SHELL: short, phrase pile-up -> dropped
+        (0, "We use cookies. Accept all cookies or see our cookie "
+            "policy and cookie settings."),
+        # article CARRYING a banner: long + pile-up -> kept, no shell
+        (1, f"we use cookies notice. accept all cookies. {long_pad}"),
+        # single consent phrase, short -> kept (no pile-up)
+        (2, "this site uses cookies, enjoy"),
+        # short paywall stub -> dropped, paywalled
+        (3, "Subscribe to continue reading."),
+        # long paywalled teaser -> kept but flagged
+        (4, f"great article teaser {long_pad} subscribers only"),
+        (5, "perfectly ordinary text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in webtext.interstitial_gate(df).collect()}
+    assert got[0]["consent_shell"] and not got[0]["keep"]
+    assert got[0]["consent_hits"] >= 3
+    assert not got[1]["consent_shell"] and got[1]["keep"]
+    assert not got[2]["consent_shell"] and got[2]["keep"]
+    assert got[2]["consent_hits"] == 1
+    assert got[3]["paywalled"] and not got[3]["keep"]
+    assert got[3]["paywall_hits"] == 2     # both phrases overlap
+    assert got[4]["paywalled"] and got[4]["keep"]
+    assert got[5]["keep"] and got[5]["consent_hits"] == 0 \
+        and got[5]["paywall_hits"] == 0
+
+    sf_df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = webtext.interstitial_gate(sf_df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
