@@ -780,6 +780,8 @@ _GOLDEN_RTF = os.path.join(_REPO, "fixtures",
                            "golden_rtf_elements_seed42_n40.parquet")
 _GOLDEN_SUBS = os.path.join(_REPO, "fixtures",
                             "golden_subtitles_seed42_n36.parquet")
+_GOLDEN_OPML = os.path.join(_REPO, "fixtures",
+                            "golden_opml_seed42_n30.parquet")
 _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
 _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
@@ -1364,7 +1366,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-3 additions
     "extract_code", "code_lang_stats", "code_block_profile",
     "rtf_elements", "subtitle_cues", "subtitle_stats",
-    "interstitial_gate",
+    "interstitial_gate", "opml_feeds",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2873,6 +2875,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("n_chars") * 1000 > F.col("total_cue_ms") * 17)
                 .orderBy("url"))
     q["subtitle_stats"] = q_sub_stats
+
+    # --- OPML feed lists (the discovery bridge's third leg: one
+    # blogroll fans out into hundreds of feeds; category = curator's
+    # topic label) — hash-checked against the committed golden parquet
+    def q_opml(spark, sf_dir):
+        files = fixtures.opml_file_rows(30)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_opml_feeds(df)
+    q["opml_feeds"] = q_opml
 
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
@@ -5431,6 +5444,11 @@ def oracle_sql() -> dict[str, str]:
         "subtitle_cues": f"""
             SELECT url, pos, start_ms, end_ms, text
             FROM read_parquet('{_GOLDEN_SUBS}')""",
+        # opml feed rows: committed golden parquet pinned by
+        # tests/test_feeds.py against the pure re-derivation
+        "opml_feeds": f"""
+            SELECT url, pos, category, title, xml_url, html_url
+            FROM read_parquet('{_GOLDEN_OPML}')""",
         # transcript profile: golden both sides; integer-only speed gate
         "subtitle_stats": f"""
             SELECT url,

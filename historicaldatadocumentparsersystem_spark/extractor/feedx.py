@@ -245,3 +245,98 @@ def build_feed(entries: list[dict], gzip_file: bool = False) -> bytes:
         c = zlib.compressobj(wbits=31)
         out = c.compress(out) + c.flush()
     return out
+
+
+# --- OPML (feed subscription lists) ------------------------------------------
+# The discovery bridge's third leg: robots.txt points at sitemaps,
+# feeds surface fresh urls, and OPML files enumerate whole feed
+# COLLECTIONS (blogrolls, podcast subscriptions, "awesome feeds"
+# lists) — one OPML seed fans out into hundreds of feeds for
+# read_feed_entries to poll.
+
+_OPML_TAG_RE = re.compile(rb"<(/?)outline\b([^>]*?)(/?)\s*>", re.I | re.S)
+_ATTR_RE = re.compile(
+    rb"""([A-Za-z][\w:-]*)\s*=\s*("([^"]*)"|'([^']*)')""")
+
+
+def _attrs(raw: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        out[m.group(1).decode("ascii", errors="replace").lower()] = \
+            unescape(val.decode("utf-8", errors="replace")).strip()
+    return out
+
+
+def parse_opml(data: bytes) -> list[dict]:
+    """All feed rows of an OPML subscription list, in document order:
+    {pos, category, title, xml_url, html_url}.
+
+    ``category`` is the "/"-joined text of the enclosing folder
+    outlines (an outline WITHOUT an xmlUrl is a folder; one WITH an
+    xmlUrl is a feed — the de-facto OPML 2.0 convention). Attributes
+    accept single or double quotes, entities unescape, ``text`` falls
+    back to ``title``; feeds without an xmlUrl never emit; malformed
+    documents degrade to fewer rows, never raise (F5). Plain or
+    whole-file gzip, like the sitemap reader.
+    """
+    data = _maybe_gunzip(data)
+    out: list[dict] = []
+    stack: list[str] = []
+    for m in _OPML_TAG_RE.finditer(data):
+        closing, raw, selfclose = m.group(1), m.group(2), m.group(3)
+        if closing:
+            if stack:
+                stack.pop()
+            continue
+        a = _attrs(raw)
+        title = a.get("text") or a.get("title") or ""
+        xml_url = a.get("xmlurl")
+        if xml_url:
+            out.append({
+                "pos": len(out),
+                "category": "/".join(s for s in stack if s),
+                "title": title or None,
+                "xml_url": xml_url,
+                "html_url": a.get("htmlurl"),
+            })
+        if not selfclose:
+            stack.append(title)
+    return out
+
+
+def build_opml(tree: list, title: str = "subscriptions",
+               gzip_file: bool = False) -> bytes:
+    """Serialize a nested outline tree into an OPML 2.0 document —
+    fixture generator + exactness witness (build_opml -> parse_opml
+    round-trips every feed row). ``tree`` items are either
+    ("folder-title", [children...]) folders or
+    {"title", "xml_url", "html_url"} feed dicts."""
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<opml version="2.0">',
+             "<head><title>%s</title></head>" % _xml_escape(title),
+             "<body>"]
+
+    def walk(items: list) -> None:
+        for it in items:
+            if isinstance(it, tuple):
+                name, children = it
+                lines.append('<outline text="%s">' % _xml_escape(name))
+                walk(children)
+                lines.append("</outline>")
+            else:
+                attrs = ['text="%s"' % _xml_escape(it.get("title") or "")]
+                attrs.append('type="rss"')
+                attrs.append('xmlUrl="%s"' % _xml_escape(it["xml_url"]))
+                if it.get("html_url"):
+                    attrs.append('htmlUrl="%s"'
+                                 % _xml_escape(it["html_url"]))
+                lines.append("<outline %s/>" % " ".join(attrs))
+
+    walk(tree)
+    lines += ["</body>", "</opml>"]
+    out = "\n".join(lines).encode("utf-8")
+    if gzip_file:
+        c = zlib.compressobj(wbits=31)
+        out = c.compress(out) + c.flush()
+    return out

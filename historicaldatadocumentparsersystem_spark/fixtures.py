@@ -605,6 +605,53 @@ def rtf_file_rows(n: int, seed: int = 42) -> list[dict]:
     return out
 
 
+def opml_file_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic OPML subscription lists: (url, payload).
+    Cycles flat lists, nested category folders (entities in titles),
+    single-quoted attributes, feeds-with-children, gzip-compressed
+    files, and every 5th row is a feed-less payload (folders only or
+    garbage) that must yield zero rows (F5)."""
+    from .extractor.feedx import build_opml
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 179424673, i)
+        kind = i % 5
+        url = f"opml://list-{i}"
+
+        def feed(tag: str) -> dict:
+            host = _HOSTS[rng.randrange(len(_HOSTS))]
+            return {"title": f"{tag} {rng.choice(_WORDS)}",
+                    "xml_url": f"https://{host}/{tag}/feed-{i}.xml",
+                    "html_url": (f"https://{host}/{tag}/"
+                                 if rng.random() < 0.5 else None)}
+        if kind == 0:           # flat list
+            payload = build_opml([feed("flat") for _ in range(3 + i % 3)])
+        elif kind == 1:         # nested folders + entity titles
+            payload = build_opml([
+                ("News & <Politics>", [feed("news"), feed("politics")]),
+                ("Tech", [("Data \"Eng\"", [feed("data")]),
+                          feed("tech")]),
+                feed("root")])
+        elif kind == 2:         # single-quoted attrs, hand-built
+            raw = ("<opml version='1.0'><body>"
+                   f"<outline text='Hand &amp; Made'>"
+                   f"<outline title='only-title' type='rss' "
+                   f"xmlUrl='https://h{i}.example.org/a.rss'/>"
+                   "</outline>"
+                   f"<outline text='' xmlUrl='https://h{i}.example.org/"
+                   "b.rss'></outline></body></opml>")
+            payload = raw.encode("utf-8")
+        elif kind == 3:         # gzip whole file
+            payload = build_opml(
+                [("Podcasts", [feed("pod") for _ in range(2 + i % 2)])],
+                gzip_file=True)
+        else:                   # kind == 4: zero feed rows
+            payload = (build_opml([("Empty Folder", [])])
+                       if i % 2 else _garbage(rng, i))
+        out.append({"url": url, "payload": payload})
+    return out
+
+
 def subtitle_file_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic subtitle files: (url, payload). Cycles
     SRT and WebVTT shapes — tags/entities, index-less and dot-milli

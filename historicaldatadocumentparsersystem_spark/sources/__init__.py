@@ -192,6 +192,45 @@ def read_odt_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, ODT_ELEMENTS_DDL))
 
 
+OPML_FEEDS_DDL = ("url string, pos int, category string, "
+                  "title string, xml_url string, html_url string")
+
+
+def read_opml_feeds(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, opml payload) rows -> one row per subscribed feed
+    (url, pos, category, title, xml_url, html_url).
+
+    The discovery bridge's third leg (robots -> sitemaps, feeds ->
+    fresh urls, OPML -> feed COLLECTIONS): one blogroll/podcast list
+    fans out into hundreds of feed urls for ``read_feed_entries`` to
+    poll, and ``category`` carries the curator's topic label — a free
+    domain-mixture signal. Map-only 1->N over the Spark-free
+    ``extractor.feedx.parse_opml``; malformed documents degrade to
+    fewer rows (F5)."""
+    import pandas as pd
+
+    from ..extractor.feedx import parse_opml
+
+    def parse(batches):
+        cols = ("pos", "category", "title", "xml_url", "html_url")
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                if payload is None:
+                    continue
+                for rec in parse_opml(bytes(payload)):
+                    rows.append((url, *(rec[c] for c in cols)))
+            out = pd.DataFrame(
+                rows, columns=("url",) + cols)
+            out["pos"] = out["pos"].astype("Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, OPML_FEEDS_DDL))
+
+
 SUBTITLE_CUES_DDL = ("url string, pos int, start_ms bigint, "
                      "end_ms bigint, text string")
 

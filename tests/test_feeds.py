@@ -7,6 +7,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from historicaldatadocumentparsersystem_spark import fixtures
 from historicaldatadocumentparsersystem_spark.extractor import cdxx, feedx
 from historicaldatadocumentparsersystem_spark.operators import webtext
 from historicaldatadocumentparsersystem_spark.sources import (
@@ -152,3 +153,95 @@ def test_frontier_candidates_defaults_without_hint_columns(spark):
         disc, captured, url_col="url").collect()
     assert (row["priority"], row["changefreq"], row["priority_bp"]) == \
         ("low", None, None)
+
+
+# --- OPML subscription lists --------------------------------------------------
+
+GOLDEN_OPML = "fixtures/golden_opml_seed42_n30.parquet"
+
+
+def test_opml_matches_committed_golden():
+    import pyarrow.parquet as pq
+    got = []
+    for r in fixtures.opml_file_rows(30):
+        for rec in feedx.parse_opml(r["payload"]):
+            got.append((r["url"], rec["pos"], rec["category"],
+                        rec["title"], rec["xml_url"], rec["html_url"]))
+    golden = [(r["url"], r["pos"], r["category"], r["title"],
+               r["xml_url"], r["html_url"])
+              for r in pq.read_table(GOLDEN_OPML).to_pylist()]
+    assert got == golden
+    assert len(golden) == 81
+
+
+def test_opml_nesting_quotes_and_fallbacks():
+    raw = (b"<opml><body>"
+           b"<outline text='A &amp; B'>"
+           b"<outline title='fallback' xmlUrl='https://x/f.rss'/>"
+           b"<outline text='C'>"
+           b"<outline text='leaf' xmlUrl=\"https://x/g.rss\" "
+           b"htmlUrl=\"https://x/\"/>"
+           b"</outline></outline>"
+           b"<outline xmlUrl='https://x/untitled.rss'/>"
+           b"<outline text='folder only'/>"
+           b"</body></opml>")
+    rows = feedx.parse_opml(raw)
+    assert [(r["category"], r["title"], r["xml_url"], r["html_url"])
+            for r in rows] == [
+        ("A & B", "fallback", "https://x/f.rss", None),
+        ("A & B/C", "leaf", "https://x/g.rss", "https://x/"),
+        ("", None, "https://x/untitled.rss", None)]
+    assert [r["pos"] for r in rows] == [0, 1, 2]
+    # a FEED outline with children contributes its title to theirs
+    raw = (b"<opml><body><outline text='parent' xmlUrl='https://p/r'>"
+           b"<outline text='kid' xmlUrl='https://k/r'/>"
+           b"</outline></body></opml>")
+    rows = feedx.parse_opml(raw)
+    assert rows[1]["category"] == "parent"
+
+
+def test_opml_roundtrip_and_gzip():
+    tree = [("Tech & Data", [
+                {"title": "A", "xml_url": "https://a/feed",
+                 "html_url": "https://a/"},
+                ("Nested", [{"title": "B <x>",
+                             "xml_url": "https://b/feed"}])]),
+            {"title": "Flat", "xml_url": "https://c/feed"}]
+    want = [("Tech & Data", "A"), ("Tech & Data/Nested", "B <x>"),
+            ("", "Flat")]
+    for gz in (False, True):
+        rows = feedx.parse_opml(feedx.build_opml(tree, gzip_file=gz))
+        assert [(r["category"], r["title"]) for r in rows] == want
+
+
+def test_opml_malformed_never_raises():
+    import random
+    rng = random.Random("opml-fuzz")
+    for _ in range(150):
+        payload = bytes(rng.randrange(256)
+                        for _ in range(rng.randrange(300)))
+        for r in feedx.parse_opml(payload):
+            assert r["xml_url"]
+    for p in (b"", b"<opml>", b"<outline xmlUrl=>", b"</outline>" * 40):
+        feedx.parse_opml(p)
+
+
+def test_opml_reader_matches_golden(spark):
+    import pyarrow.parquet as pq
+    from historicaldatadocumentparsersystem_spark import sources
+    files = fixtures.opml_file_rows(30)
+    df = spark.createDataFrame(
+        [(r["url"], r["payload"]) for r in files],
+        "url string, payload binary").repartition(8)
+    got = sorted(tuple(r)
+                 for r in sources.read_opml_feeds(df).collect())
+    golden = sorted((r["url"], r["pos"], r["category"], r["title"],
+                     r["xml_url"], r["html_url"])
+                    for r in pq.read_table(GOLDEN_OPML).to_pylist())
+    assert got == golden
+    flat = spark.createDataFrame(
+        [(r["url"], r["payload"]) for r in files[:5]],
+        "url string, payload binary")
+    plan = (sources.read_opml_feeds(flat)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
