@@ -1366,7 +1366,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-3 additions
     "extract_code", "code_lang_stats", "code_block_profile",
     "rtf_elements", "subtitle_cues", "subtitle_stats",
-    "interstitial_gate", "opml_feeds",
+    "interstitial_gate", "opml_feeds", "section_chunks",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2886,6 +2886,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_opml_feeds(df)
     q["opml_feeds"] = q_opml
+
+    # --- heading-hierarchy section chunking over the SHARED per-format
+    # element schema (docx/odt/rtf all emit it) — SQL-checked: window
+    # cumulative-sum sectioning + ordered string_agg twin, over the
+    # UNION of two format goldens to prove cross-format reuse
+    def q_sections(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            chunking)
+        els = (spark.read.parquet(_GOLDEN_ODT)
+               .unionByName(spark.read.parquet(_GOLDEN_RTF)))
+        return chunking.section_chunks(els).orderBy("url", "section_idx")
+    q["section_chunks"] = q_sections
 
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
@@ -5449,6 +5461,37 @@ def oracle_sql() -> dict[str, str]:
         "opml_feeds": f"""
             SELECT url, pos, category, title, xml_url, html_url
             FROM read_parquet('{_GOLDEN_OPML}')""",
+        # section chunking: same cumulative-sum sectioning; DuckDB
+        # string_agg(ORDER BY) == Spark sort_array(collect_list) join;
+        # empty-body sections need the coalesce (string_agg over zero
+        # rows is NULL — the array_to_string lesson)
+        "section_chunks": f"""
+            WITH els AS (
+              SELECT * FROM read_parquet('{_GOLDEN_ODT}')
+              UNION ALL
+              SELECT * FROM read_parquet('{_GOLDEN_RTF}')
+            ), marked AS (
+              SELECT url, para, text,
+                     (kind = 'heading' AND level <= 3) AS is_title,
+                     sum(CASE WHEN kind = 'heading' AND level <= 3
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY url ORDER BY para
+                             ROWS UNBOUNDED PRECEDING)::int
+                       AS section_idx
+              FROM els
+            )
+            SELECT url, section_idx,
+                   max(CASE WHEN is_title THEN text END) AS title,
+                   count(*) FILTER (WHERE NOT is_title)::bigint
+                     AS n_paras,
+                   length(coalesce(string_agg(text, chr(10)
+                       ORDER BY para) FILTER (WHERE NOT is_title),
+                     ''))::bigint AS n_chars,
+                   coalesce(string_agg(text, chr(10) ORDER BY para)
+                       FILTER (WHERE NOT is_title), '') AS text
+            FROM marked
+            GROUP BY url, section_idx
+            ORDER BY url, section_idx""",
         # transcript profile: golden both sides; integer-only speed gate
         "subtitle_stats": f"""
             SELECT url,

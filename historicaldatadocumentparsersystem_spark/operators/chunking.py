@@ -181,3 +181,53 @@ def chunk_by_token_budget(df: DataFrame, max_tokens: int = 64,
                                           counter))
 
     return prepared.mapInPandas(fold_partition, CHUNK_SCHEMA)
+
+
+def section_chunks(els: DataFrame, split_level: int = 3) -> DataFrame:
+    """Heading-hierarchy chunking over the shared per-format element
+    schema (url, para, kind, level, text) — the docx/odt/rtf loaders
+    all emit it, so ONE operator sections every office format (the
+    reference's chunkers split on structural element boundaries the
+    same way; LangChain's header splitter is the same policy).
+
+    A heading with level <= ``split_level`` starts a new section;
+    deeper headings stay inside the running section (they are
+    sub-headings, body lines of the section). Output one row per
+    section: (url, section_idx, title, n_paras, n_chars, text) where
+    ``title`` is the opening heading's text (NULL for front-matter
+    before the first heading), ``text`` joins the section's NON-title
+    element texts with "\\n" in para order, and n_paras counts them.
+
+    Scale: ONE url-hash exchange total — the running section index is
+    a window cumulative sum and the reassembly a groupBy on the same
+    key, so Catalyst reuses the partitioning; text joining is
+    sort_array(collect_list(struct)) -> array_join, all JVM-side. At
+    100 TB sections are ~page-sized strings, never whole-corpus
+    buffers.
+    """
+    from pyspark.sql import Window
+    is_split = ((F.col("kind") == "heading")
+                & (F.col("level") <= F.lit(split_level)))
+    w = (Window.partitionBy("url").orderBy("para")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = els.withColumn(
+        "section_idx",
+        F.sum(F.when(is_split, 1).otherwise(0)).over(w).cast("int"))
+    body = F.filter("parts", lambda p: ~p["is_title"])
+    return (marked
+            .withColumn("is_title", is_split)
+            .groupBy("url", "section_idx")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                    "para", "text", "is_title"))).alias("parts"))
+            .select(
+                "url", "section_idx",
+                F.try_element_at(
+                    F.filter("parts", lambda p: p["is_title"]), F.lit(1)
+                )["text"].alias("title"),
+                F.size(body).cast("long").alias("n_paras"),
+                F.length(F.array_join(
+                    F.transform(body, lambda p: p["text"]), "\n"))
+                .cast("long").alias("n_chars"),
+                F.array_join(
+                    F.transform(body, lambda p: p["text"]), "\n")
+                .alias("text")))

@@ -1632,3 +1632,36 @@ def test_interstitial_gate_branches_and_plan(spark):
     plan = webtext.interstitial_gate(sf_df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_section_chunks_semantics_and_plan(spark):
+    from historicaldatadocumentparsersystem_spark.operators import chunking
+    rows = [
+        # front matter before any heading -> section 0, NULL title
+        ("d1", 0, "text", 0, "preamble"),
+        ("d1", 1, "heading", 1, "Intro"),
+        ("d1", 2, "text", 0, "a"),
+        ("d1", 3, "heading", 4, "deep sub"),     # > split_level: body
+        ("d1", 4, "list_item", 1, "b"),
+        ("d1", 5, "heading", 2, "Next"),
+        # heading directly followed by another heading: empty body
+        ("d1", 6, "heading", 1, "Last"),
+        ("d1", 7, "text", 0, "tail"),
+        ("d2", 0, "heading", 1, "Only"),         # empty-body section
+    ]
+    els = spark.createDataFrame(
+        rows, "url string, para int, kind string, level int, text string")
+    got = {(r["url"], r["section_idx"]):
+           (r["title"], r["n_paras"], r["text"])
+           for r in chunking.section_chunks(els).collect()}
+    assert got == {
+        ("d1", 0): (None, 1, "preamble"),
+        ("d1", 1): ("Intro", 3, "a\ndeep sub\nb"),
+        ("d1", 2): ("Next", 0, ""),
+        ("d1", 3): ("Last", 1, "tail"),
+        ("d2", 1): ("Only", 0, ""),
+    }
+    # ONE url exchange total: the window and the groupBy share the key
+    plan = (chunking.section_chunks(els)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
