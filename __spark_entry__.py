@@ -782,6 +782,8 @@ _GOLDEN_SUBS = os.path.join(_REPO, "fixtures",
                             "golden_subtitles_seed42_n36.parquet")
 _GOLDEN_OPML = os.path.join(_REPO, "fixtures",
                             "golden_opml_seed42_n30.parquet")
+_GOLDEN_OUTLINE = os.path.join(_REPO, "fixtures",
+                               "golden_outline_seed42_n120.parquet")
 _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
 _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
@@ -1367,6 +1369,7 @@ _EXTRA_ORDER = [
     "extract_code", "code_lang_stats", "code_block_profile",
     "rtf_elements", "subtitle_cues", "subtitle_stats",
     "interstitial_gate", "opml_feeds", "section_chunks",
+    "extract_outline", "html_section_chunks",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2899,6 +2902,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunking.section_chunks(els).orderBy("url", "section_idx")
     q["section_chunks"] = q_sections
 
+    # --- HTML structural element stream (the HTML member of the
+    # shared element schema) — hash-checked against the committed
+    # golden outline parquet
+    def q_outline(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.md_pages_df(spark, 120)
+        return pagemeta.extract_outline_df(docs).orderBy("url", "para")
+    q["extract_outline"] = q_outline
+
+    # --- the SAME section operator over the HTML outline golden —
+    # a web page sections exactly like an office document
+    def q_html_sections(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            chunking)
+        els = spark.read.parquet(_GOLDEN_OUTLINE)
+        return chunking.section_chunks(els).orderBy("url", "section_idx")
+    q["html_section_chunks"] = q_html_sections
+
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
     # parquet (pinned by tests/test_epub.py against the pure
@@ -3351,6 +3373,36 @@ def _gopher_sql(src: str, min_words: int = 50,
                     AND 5 * n_alpha_words >= 4 * n_words
                     AND n_stop_hits >= 2) AS keep
             FROM m"""
+
+
+def _section_sql(src: str, split_level: int = 3) -> str:
+    """section_chunks twin over any (url, para, kind, level, text)
+    source — the same cumulative-sum sectioning; DuckDB
+    string_agg(ORDER BY) == Spark sort_array(collect_list) join;
+    empty-body sections need the coalesce (string_agg over zero rows
+    is NULL — the array_to_string lesson)."""
+    return f"""
+        WITH els AS ({src}), marked AS (
+          SELECT url, para, text,
+                 (kind = 'heading' AND level <= {split_level})
+                   AS is_title,
+                 sum(CASE WHEN kind = 'heading'
+                          AND level <= {split_level}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY url ORDER BY para
+                         ROWS UNBOUNDED PRECEDING)::int AS section_idx
+          FROM els
+        )
+        SELECT url, section_idx,
+               max(CASE WHEN is_title THEN text END) AS title,
+               count(*) FILTER (WHERE NOT is_title)::bigint AS n_paras,
+               length(coalesce(string_agg(text, chr(10) ORDER BY para)
+                   FILTER (WHERE NOT is_title), ''))::bigint AS n_chars,
+               coalesce(string_agg(text, chr(10) ORDER BY para)
+                   FILTER (WHERE NOT is_title), '') AS text
+        FROM marked
+        GROUP BY url, section_idx
+        ORDER BY url, section_idx"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5461,37 +5513,22 @@ def oracle_sql() -> dict[str, str]:
         "opml_feeds": f"""
             SELECT url, pos, category, title, xml_url, html_url
             FROM read_parquet('{_GOLDEN_OPML}')""",
-        # section chunking: same cumulative-sum sectioning; DuckDB
-        # string_agg(ORDER BY) == Spark sort_array(collect_list) join;
-        # empty-body sections need the coalesce (string_agg over zero
-        # rows is NULL — the array_to_string lesson)
-        "section_chunks": f"""
-            WITH els AS (
+        # section chunking: shared _section_sql twin over the union of
+        # two office-format goldens (cross-format reuse proof)
+        "section_chunks": _section_sql(f"""
               SELECT * FROM read_parquet('{_GOLDEN_ODT}')
               UNION ALL
-              SELECT * FROM read_parquet('{_GOLDEN_RTF}')
-            ), marked AS (
-              SELECT url, para, text,
-                     (kind = 'heading' AND level <= 3) AS is_title,
-                     sum(CASE WHEN kind = 'heading' AND level <= 3
-                              THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY url ORDER BY para
-                             ROWS UNBOUNDED PRECEDING)::int
-                       AS section_idx
-              FROM els
-            )
-            SELECT url, section_idx,
-                   max(CASE WHEN is_title THEN text END) AS title,
-                   count(*) FILTER (WHERE NOT is_title)::bigint
-                     AS n_paras,
-                   length(coalesce(string_agg(text, chr(10)
-                       ORDER BY para) FILTER (WHERE NOT is_title),
-                     ''))::bigint AS n_chars,
-                   coalesce(string_agg(text, chr(10) ORDER BY para)
-                       FILTER (WHERE NOT is_title), '') AS text
-            FROM marked
-            GROUP BY url, section_idx
-            ORDER BY url, section_idx""",
+              SELECT * FROM read_parquet('{_GOLDEN_RTF}')"""),
+        # html outline elements: committed golden parquet pinned by
+        # tests/test_outline.py against the pure re-derivation
+        "extract_outline": f"""
+            SELECT url, para, kind, level, text
+            FROM read_parquet('{_GOLDEN_OUTLINE}')
+            ORDER BY url, para""",
+        # the SAME section operator over the HTML outline golden —
+        # web pages section exactly like office documents
+        "html_section_chunks": _section_sql(
+            f"SELECT * FROM read_parquet('{_GOLDEN_OUTLINE}')"),
         # transcript profile: golden both sides; integer-only speed gate
         "subtitle_stats": f"""
             SELECT url,

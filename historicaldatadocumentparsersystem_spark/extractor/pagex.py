@@ -23,6 +23,7 @@ from .linkx import links_from_root
 from .metax import hreflang_from_root, meta_from_root
 from .mf2x import mf2_from_root
 from .microdatax import microdata_from_root
+from .outlinex import outline_from_root
 from .rdfax import rdfa_from_root
 from .shapex import skeleton_from_root
 from .tablex import tables_from_root
@@ -32,7 +33,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
     {meta, hreflang, links, cells, jsonld, microdata, rdfa, mf2,
-    dates, code, skeleton, n_tags, max_depth, truncated}."""
+    dates, code, outline, skeleton, n_tags, max_depth, truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
     else:
@@ -51,6 +52,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "mf2": mf2_from_root(root, src, base_url),
         "dates": dates_from_root(root, src, base_url),
         "code": code_from_root(root, src),
+        "outline": outline_from_root(root, src),
         "skeleton": skeleton,
         "n_tags": n_tags,
         "max_depth": max_depth,

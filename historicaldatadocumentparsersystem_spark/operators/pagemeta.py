@@ -429,6 +429,29 @@ def extract_code_df(docs: DataFrame) -> DataFrame:
     return _flat_map_operator(docs, rows, CODE_SCHEMA)
 
 
+OUTLINE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("para", IntegerType(), False),
+    StructField("kind", StringType(), False),
+    StructField("level", IntegerType(), False),
+    StructField("text", StringType(), False),
+])
+
+
+def extract_outline_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per structural element
+    (url, para, kind, level, text) — the HTML member of the SHARED
+    per-format element schema the docx/odt/rtf loaders emit, so
+    ``chunking.section_chunks`` sections a web page exactly like an
+    office document (extractor/outlinex.py is the Spark-free oracle;
+    see its one-owner contract). Map-only 1->N."""
+    from ..extractor import outlinex
+
+    def rows(payload, u):
+        return outlinex.extract_outline(payload)
+    return _flat_map_operator(docs, rows, OUTLINE_SCHEMA)
+
+
 MARKDOWN_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("markdown", StringType(), False),
@@ -604,6 +627,11 @@ def _artifacts_schema() -> StructType:
         StructField("n_lines", IntegerType(), False),
         StructField("n_chars", IntegerType(), False),
         StructField("text", StringType(), False)])
+    outline_struct = StructType([
+        StructField("para", IntegerType(), False),
+        StructField("kind", StringType(), False),
+        StructField("level", IntegerType(), False),
+        StructField("text", StringType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -616,6 +644,7 @@ def _artifacts_schema() -> StructType:
         StructField("mf2", ArrayType(mf2_struct), False),
         StructField("dates", ArrayType(date_struct), False),
         StructField("code", ArrayType(code_struct), False),
+        StructField("outline", ArrayType(outline_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
         StructField("max_depth", IntegerType(), False),
@@ -639,7 +668,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
 
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
-                "microdata", "rdfa", "mf2", "dates", "code",
+                "microdata", "rdfa", "mf2", "dates", "code", "outline",
                 "skeleton", "n_tags", "max_depth", "truncated"]
         for pdf in it:
             rows = []
@@ -652,7 +681,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     tuple(a["meta"][f] for f in metax.META_FIELDS),
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
                     a["microdata"], a["rdfa"], a["mf2"], a["dates"],
-                    a["code"], a["skeleton"], a["n_tags"],
+                    a["code"], a["outline"], a["skeleton"], a["n_tags"],
                     a["max_depth"], a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)
 

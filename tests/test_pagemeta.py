@@ -373,8 +373,8 @@ def test_page_artifacts_equals_individual_extractors():
     """The one-parse combined pass is definitionally identical to the
     six individual extractors on every fixture family."""
     from historicaldatadocumentparsersystem_spark.extractor import (
-        codex, datex, jsonldx, linkx, mf2x, microdatax, pagex, rdfax,
-        shapex, tablex)
+        codex, datex, jsonldx, linkx, mf2x, microdatax, outlinex,
+        pagex, rdfax, shapex, tablex)
     pages = ([(r["url"], r["html"]) for r in fixtures.generate_rows(80)]
              + [(p["url"], p["html"]) for p in fixtures.meta_pages(40)]
              + [(p["url"], p["html"]) for p in fixtures.table_pages(40)]
@@ -398,6 +398,7 @@ def test_page_artifacts_equals_individual_extractors():
         assert a["mf2"] == mf2x.extract_mf2(html, url), url
         assert a["dates"] == datex.extract_date_candidates(html, url), url
         assert a["code"] == codex.extract_code(html), url
+        assert a["outline"] == outlinex.extract_outline(html), url
         sk = shapex.dom_skeleton(html)
         assert (a["skeleton"], a["n_tags"], a["max_depth"],
                 a["truncated"]) == sk, url
