@@ -784,6 +784,8 @@ _GOLDEN_OPML = os.path.join(_REPO, "fixtures",
                             "golden_opml_seed42_n30.parquet")
 _GOLDEN_OUTLINE = os.path.join(_REPO, "fixtures",
                                "golden_outline_seed42_n120.parquet")
+_GOLDEN_SENTS = os.path.join(_REPO, "fixtures",
+                             "golden_sentences_seed42.parquet")
 _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
 _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
@@ -1370,6 +1372,7 @@ _EXTRA_ORDER = [
     "rtf_elements", "subtitle_cues", "subtitle_stats",
     "interstitial_gate", "opml_feeds", "section_chunks",
     "extract_outline", "html_section_chunks",
+    "sentence_split", "sentence_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2920,6 +2923,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         els = spark.read.parquet(_GOLDEN_OUTLINE)
         return chunking.section_chunks(els).orderBy("url", "section_idx")
     q["html_section_chunks"] = q_html_sections
+
+    # --- rule-based sentence segmentation (the C4/bitext sub-element
+    # unit) over the EXTRACTION golden's text — hash-checked against
+    # the committed golden sentences parquet
+    def q_sentences(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            textstats)
+        docs = (spark.read.parquet(_GOLDEN)
+                .select("url", F.col("extracted_text").alias("text"))
+                .where(F.length("text") > 0))
+        return (textstats.sentence_split_df(docs)
+                .orderBy("url", "idx"))
+    q["sentence_split"] = q_sentences
+
+    # --- per-document sentence profile — golden both sides (the
+    # terminal-punctuation ratio is a Gopher-style quality signal)
+    def q_sentence_stats(spark, sf_dir):
+        sents = spark.read.parquet(_GOLDEN_SENTS)
+        return (sents.groupBy("url")
+                .agg(F.count("*").cast("long").alias("n_sents"),
+                     F.sum(F.length("sentence")).cast("long")
+                     .alias("total_chars"),
+                     F.max(F.length("sentence")).cast("long")
+                     .alias("max_chars"),
+                     F.sum(F.when(F.expr("right(sentence, 1)")
+                                  .isin(".", "!", "?", "…"), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_terminal"))
+                .orderBy("url"))
+    q["sentence_stats"] = q_sentence_stats
 
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
@@ -5529,6 +5562,23 @@ def oracle_sql() -> dict[str, str]:
         # web pages section exactly like office documents
         "html_section_chunks": _section_sql(
             f"SELECT * FROM read_parquet('{_GOLDEN_OUTLINE}')"),
+        # sentence rows: committed golden parquet pinned by
+        # tests/test_sentences.py against the pure re-derivation
+        "sentence_split": f"""
+            SELECT url, idx, start, "end", sentence
+            FROM read_parquet('{_GOLDEN_SENTS}')
+            ORDER BY url, idx""",
+        # sentence profile: golden both sides; terminal-punct counts
+        "sentence_stats": f"""
+            SELECT url,
+                   count(*)::bigint AS n_sents,
+                   sum(length(sentence))::bigint AS total_chars,
+                   max(length(sentence))::bigint AS max_chars,
+                   sum(CASE WHEN right(sentence, 1)
+                            IN ('.', '!', '?', '…') THEN 1
+                            ELSE 0 END)::bigint AS n_terminal
+            FROM read_parquet('{_GOLDEN_SENTS}')
+            GROUP BY url ORDER BY url""",
         # transcript profile: golden both sides; integer-only speed gate
         "subtitle_stats": f"""
             SELECT url,

@@ -741,3 +741,38 @@ def script_lang_consistency(df: DataFrame, text_col: str = "text",
                         & (F.col("n_chars") >= 20))
             .select(id_col, lang_col, "n_chars", "dominant_script",
                     "expected_script", "mismatch"))
+
+
+def sentence_split_df(df: DataFrame, text_col: str = "text",
+                      id_col: str = "url") -> DataFrame:
+    """(id, text) rows -> one row per sentence (id, idx, start, end,
+    sentence) via the Spark-free rule-based splitter
+    (``extractor/sentx.py`` — the C4/bitext sub-element unit; offsets
+    index the input text so span ops compose downstream).
+
+    Arrow-batched mapInPandas 1->N over a pruned two-column
+    projection: abbreviation-guarded boundary rules are Python by
+    nature, and the batch transfer is the same hot path as the
+    extraction UDF. No shuffle; sentence rows are small."""
+    import pandas as pd
+
+    from ..extractor.sentx import split_sentences
+
+    def batch(it):
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not t:
+                    continue
+                for idx, a, b, s in split_sentences(t):
+                    rows.append((i, idx, a, b, s))
+            out = pd.DataFrame(
+                rows, columns=[id_col, "idx", "start", "end",
+                               "sentence"])
+            for c in ("idx", "start", "end"):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    ddl = (f"{id_col} string, idx bigint, start bigint, end bigint, "
+           "sentence string")
+    return df.select(id_col, text_col).mapInPandas(batch, ddl)
