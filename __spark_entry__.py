@@ -1372,7 +1372,7 @@ _EXTRA_ORDER = [
     "rtf_elements", "subtitle_cues", "subtitle_stats",
     "interstitial_gate", "opml_feeds", "section_chunks",
     "extract_outline", "html_section_chunks",
-    "sentence_split", "sentence_stats",
+    "sentence_split", "sentence_stats", "bitext_candidates",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2953,6 +2953,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_terminal"))
                 .orderBy("url"))
     q["sentence_stats"] = q_sentence_stats
+
+    # --- bitext candidate pairs (CCMatrix-style candidate generation
+    # from declared language mirrors) — golden both sides: per page,
+    # every unordered pair of non-default alternates becomes one
+    # (lang_a, lang_b) mirror-pair row for downstream alignment.
+    # Equi-join on url (page-sized groups), never cross-corpus.
+    def q_bitext(spark, sf_dir):
+        h = (spark.read.parquet(_GOLDEN_HREFLANG)
+             .where(F.col("hreflang") != "x-default"))
+        a = h.select("url", F.col("pos").alias("pos_a"),
+                     F.col("hreflang").alias("lang_a"),
+                     F.col("href").alias("href_a"))
+        b = h.select("url", F.col("pos").alias("pos_b"),
+                     F.col("hreflang").alias("lang_b"),
+                     F.col("href").alias("href_b"))
+        return (a.join(b, "url")
+                .where(F.col("pos_a") < F.col("pos_b"))
+                .select("url", "lang_a", "href_a", "lang_b", "href_b")
+                .orderBy("url", "lang_a", "lang_b"))
+    q["bitext_candidates"] = q_bitext
 
     # --- EPUB source (the e-book member of the per-format loader
     # family) — hash-checked against the committed golden chapters
@@ -5568,6 +5588,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, idx, start, "end", sentence
             FROM read_parquet('{_GOLDEN_SENTS}')
             ORDER BY url, idx""",
+        # bitext mirror pairs: golden both sides, unordered pairs by
+        # declaration position within a page
+        "bitext_candidates": f"""
+            WITH h AS (
+              SELECT * FROM read_parquet('{_GOLDEN_HREFLANG}')
+              WHERE hreflang != 'x-default'
+            )
+            SELECT a.url AS url,
+                   a.hreflang AS lang_a, a.href AS href_a,
+                   b.hreflang AS lang_b, b.href AS href_b
+            FROM h a JOIN h b
+              ON a.url = b.url AND a.pos < b.pos
+            ORDER BY a.url, lang_a, lang_b""",
         # sentence profile: golden both sides; terminal-punct counts
         "sentence_stats": f"""
             SELECT url,
