@@ -166,6 +166,21 @@ _CT_ROWS = (
     ("https://ct.example/xml", "text/xml", "html"),
 )
 
+# X-Robots-Tag gate sample (VALUES fixture both sides — the reader
+# half is pinned by the WARC round-trip pytest): plain/none/agent-
+# scoped/case/substring-trap/absent quadrants
+_XR_ROWS = (
+    ("https://xr.example/plain", "noindex"),
+    ("https://xr.example/multi", "noindex, nofollow"),
+    ("https://xr.example/none", "none"),
+    ("https://xr.example/agent", "googlebot: noindex"),
+    ("https://xr.example/case", " NOARCHIVE , NoSnippet "),
+    ("https://xr.example/trap", "nonessential, nofollowup"),
+    ("https://xr.example/ok", "index, follow"),
+    ("https://xr.example/after", "unavailable_after: 25 Jun 2030"),
+    ("https://xr.example/absent", None),
+)
+
 
 def _ct_gate_sql() -> str:
     """DuckDB twin of webtext.content_type_mismatch over the same
@@ -1373,6 +1388,7 @@ _EXTRA_ORDER = [
     "interstitial_gate", "opml_feeds", "section_chunks",
     "extract_outline", "html_section_chunks",
     "sentence_split", "sentence_stats", "bitext_candidates",
+    "header_robots_gate",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2805,6 +2821,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.content_type_mismatch(caps)
     q["content_type_mismatch"] = q_ct_gate
 
+    # --- X-Robots-Tag gate (header-side noindex — the only channel
+    # for non-HTML payloads); VALUES fixture both sides, token-level
+    # matching so 'nonessential' never reads as 'none'
+    def q_xr_gate(spark, sf_dir):
+        caps = spark.createDataFrame(
+            list(_XR_ROWS), "url string, x_robots string")
+        return webtext.header_robots_gate(caps)
+    q["header_robots_gate"] = q_xr_gate
+
     # --- declared-language vs dominant-script gate: the testdata's
     # romanized zh rows flag (ASCII text under a zh label — exactly
     # the mislabel this catches); sample rows cover the pass/flag/
@@ -3426,6 +3451,32 @@ def _gopher_sql(src: str, min_words: int = 50,
                     AND 5 * n_alpha_words >= 4 * n_words
                     AND n_stop_hits >= 2) AS keep
             FROM m"""
+
+
+def _xr_gate_sql() -> str:
+    """DuckDB twin of webtext.header_robots_gate over the same VALUES
+    rows: comma split -> strip agent prefix (greedy '^.*:' matches to
+    the LAST colon in both regex engines) -> trim -> exact token
+    compare, so substrings ('nonessential') never match."""
+    vals = ",\n".join(
+        "({}, {})".format(
+            f"'{u}'", "NULL" if xr is None else f"'{xr}'")
+        for u, xr in _XR_ROWS)
+    toks = ("list_transform(string_split(lower(coalesce(x_robots, "
+            "'')), ','), x -> trim(regexp_replace(x, '^.*:', '')))")
+    return f"""
+        WITH caps(url, x_robots) AS (VALUES {vals}),
+        t AS (SELECT url, x_robots, {toks} AS toks FROM caps)
+        SELECT url, x_robots,
+               list_contains(toks, 'noindex')
+                 OR list_contains(toks, 'none') AS noindex,
+               list_contains(toks, 'nofollow')
+                 OR list_contains(toks, 'none') AS nofollow,
+               list_contains(toks, 'noarchive') AS noarchive,
+               list_contains(toks, 'nosnippet') AS nosnippet,
+               NOT (list_contains(toks, 'noindex')
+                 OR list_contains(toks, 'none')) AS keep
+        FROM t"""
 
 
 def _section_sql(src: str, split_level: int = 3) -> str:
@@ -5833,6 +5884,8 @@ def oracle_sql() -> dict[str, str]:
         "nfc_normalize": _nfc_sql(),
         # served-vs-sniffed content-type gate (shared exprs, VALUES)
         "content_type_mismatch": _ct_gate_sql(),
+        # X-Robots-Tag gate: token-level twin over the same VALUES
+        "header_robots_gate": _xr_gate_sql(),
         # declared-lang vs dominant-script gate (shared CASE chains)
         "script_lang_consistency": _script_lang_sql(),
         # Crawl-delay-paced politeness schedule (single Python parser

@@ -54,22 +54,26 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def _http_body(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content_type, body) from an HTTP response payload;
-    non-HTTP payloads come back unsplit with status/type None. The
-    content type is the raw header value (parameters included —
-    normalization is the downstream gate's job)."""
+def _http_body(payload: bytes) -> tuple[int | None, str | None,
+                                         str | None, bytes]:
+    """(status, content_type, x_robots, body) from an HTTP response
+    payload; non-HTTP payloads come back unsplit with the metadata
+    None. Header values are raw (parameters included — normalization
+    is the downstream gate's job); ``x_robots`` is the X-Robots-Tag
+    header, the HTTP-side twin of the meta robots directive (it is
+    the ONLY noindex channel for non-HTML payloads like PDFs)."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, payload
+        return None, None, None, payload
     head, sep, body = payload.partition(_CRLF2)
     if not sep:
-        return None, None, payload
+        return None, None, None, payload
     try:
         status = int(head.split(b"\r\n", 1)[0].split()[1])
     except (IndexError, ValueError):
         status = None
-    ctype = _parse_headers(head).get("content-type")
-    return status, ctype, body
+    headers = _parse_headers(head)
+    return (status, headers.get("content-type"),
+            headers.get("x-robots-tag"), body)
 
 
 def _iter_records(data: bytes):
@@ -111,7 +115,8 @@ def _warc_ts(headers: dict[str, str]) -> datetime | None:
 
 def parse_warc(data: bytes) -> list[dict]:
     """All response records of one WARC shard, in order:
-    {url, warc_ts (datetime, UTC), status, content_type, body (bytes)}.
+    {url, warc_ts (datetime, UTC), status, content_type, x_robots,
+    body (bytes)}.
 
     Truncated/corrupt trailing records are dropped (never raise);
     non-response records (warcinfo, request, metadata) are skipped.
@@ -120,12 +125,13 @@ def parse_warc(data: bytes) -> list[dict]:
     for headers, payload in _iter_records(data):
         if headers.get("warc-type") != "response":
             continue
-        status, ctype, body = _http_body(payload)
+        status, ctype, xrobots, body = _http_body(payload)
         records.append({
             "url": headers.get("warc-target-uri", ""),
             "warc_ts": _warc_ts(headers),
             "status": status,
             "content_type": ctype,
+            "x_robots": xrobots,
             "body": body,
         })
     return records
@@ -161,9 +167,12 @@ def build_warc(records: list[dict], gzip_records: bool = False) -> bytes:
         status = r.get("status", 200) or 200
         body = r["body"]
         ctype = r.get("content_type") or "text/html"
+        xrobots = r.get("x_robots")
+        extra = (b"\r\nX-Robots-Tag: " + xrobots.encode("latin-1")
+                 if xrobots else b"")
         payload = (b"HTTP/1.1 " + str(status).encode() +
                    b" OK\r\nContent-Type: " + ctype.encode("latin-1") +
-                   b"\r\n\r\n" + body)
+                   extra + b"\r\n\r\n" + body)
         ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
         head = (b"WARC/1.0\r\n"
                 b"WARC-Type: response\r\n"

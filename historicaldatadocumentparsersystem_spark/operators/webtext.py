@@ -1307,6 +1307,39 @@ def soft404_keep(text_col: str = "text",
     return ~_soft404_exprs(text_col, max_error_words)[4]
 
 
+def header_robots_gate(df: DataFrame, xr_col: str = "x_robots",
+                       id_col: str = "url") -> DataFrame:
+    """X-Robots-Tag gate — the HTTP-header twin of the meta-robots
+    noindex gate, and the ONLY noindex channel for non-HTML payloads
+    (PDFs, images). Directive grammar (RFC 9309 appendix / Google
+    spec): comma-separated tokens, each optionally agent-scoped
+    (``googlebot: noindex``); ``none`` = noindex + nofollow. Agent
+    scoping is ignored on purpose (conservative: ANY-agent noindex
+    drops the capture — a training pipeline has no agent identity to
+    match). Token-level matching, never substring (``nonessential``
+    must not read as ``none``): split on commas, strip the agent
+    prefix, trim, exact compare — all codegen array expressions,
+    map-only, no Python."""
+    low = F.lower(F.coalesce(F.col(xr_col), F.lit("")))
+    toks = F.transform(
+        F.split(low, ","),
+        lambda x: F.trim(F.regexp_replace(x, "^.*:", "")))
+
+    def has(t: str):
+        return F.array_contains(toks, F.lit(t))
+    noindex = has("noindex") | has("none")
+    nofollow = has("nofollow") | has("none")
+    return df.select(
+        F.col(id_col),
+        F.col(xr_col),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        has("noarchive").alias("noarchive"),
+        has("nosnippet").alias("nosnippet"),
+        (~noindex).alias("keep"),
+    )
+
+
 CONSENT_PHRASES = ("we use cookies", "uses cookies", "accept all cookies",
                    "cookie policy", "cookie settings",
                    "consent to the use of cookies", "manage preferences",

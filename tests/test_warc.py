@@ -363,3 +363,33 @@ def test_content_type_mismatch_gate(spark):
     assert got["u3"] == ("application/octet-stream", "unknown", False)
     assert got["u4"] == ("", "unknown", False)
     assert got["u5"] == ("application/pdf", "pdf", True)
+
+
+def test_x_robots_header_roundtrip_and_gate(spark):
+    from datetime import datetime, timezone
+    from historicaldatadocumentparsersystem_spark.extractor import warcx
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    ts = datetime(2024, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+    shard = warcx.build_warc([
+        {"url": "https://x/1", "warc_ts": ts, "body": b"<html>a",
+         "x_robots": "noindex, nofollow"},
+        {"url": "https://x/2", "warc_ts": ts, "body": b"<html>b"},
+        {"url": "https://x/3", "warc_ts": ts, "body": b"%PDF-1.4",
+         "content_type": "application/pdf",
+         "x_robots": "googlebot: none"},
+    ])
+    recs = warcx.parse_warc(shard)
+    assert [r["x_robots"] for r in recs] == [
+        "noindex, nofollow", None, "googlebot: none"]
+
+    caps = spark.createDataFrame(
+        [(r["url"], r["x_robots"]) for r in recs],
+        "url string, x_robots string")
+    got = {r["url"]: (r["noindex"], r["nofollow"], r["keep"])
+           for r in webtext.header_robots_gate(caps).collect()}
+    assert got == {"https://x/1": (True, True, False),
+                   "https://x/2": (False, False, True),
+                   "https://x/3": (True, True, False)}
+    plan = (webtext.header_robots_gate(caps)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
