@@ -1105,6 +1105,58 @@ def _pagerank_sql(iters: int) -> str:
               f" FROM {prev}")
 
 
+def _trustrank_sql(iters: int, n_seeds: int = 4) -> str:
+    """DuckDB twin of the host_trustrank query: the _pagerank_sql
+    unroll with teleport + dangling redistribution restricted to the
+    seed set (lexicographically-smallest ``n_seeds`` hosts), mirroring
+    linkgraph.trustrank_hosts term-for-term in int64 floor division."""
+    scale, d = linkgraph.PAGERANK_SCALE, linkgraph.DAMPING_PCT
+    ctes = [f"""
+        WITH {_HOSTGRAPH_SQL},
+        od AS (SELECT src_host, count(*)::bigint AS out_deg
+               FROM e GROUP BY src_host),
+        sd AS (SELECT host FROM hosts ORDER BY host LIMIT {n_seeds}),
+        ns AS (SELECT count(*)::bigint AS n FROM sd),
+        hs AS (SELECT hosts.host,
+                      hosts.host IN (SELECT host FROM sd) AS is_seed
+               FROM hosts),
+        r0 AS (SELECT host, is_seed,
+                      CASE WHEN is_seed THEN {scale} // ns.n
+                           ELSE 0 END AS rank_micro
+               FROM hs CROSS JOIN ns)"""]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        i{k} AS (
+          SELECT e.dst_host AS host,
+                 sum({prev}.rank_micro // od.out_deg)::bigint AS in_sum
+          FROM e JOIN {prev} ON e.src_host = {prev}.host
+                 JOIN od ON e.src_host = od.src_host
+          GROUP BY e.dst_host
+        ),
+        g{k} AS (
+          SELECT coalesce(sum(rank_micro), 0)::bigint AS dang
+          FROM {prev}
+          WHERE {prev}.host NOT IN (SELECT src_host FROM od)
+        ),
+        r{k} AS (
+          SELECT hs.host, hs.is_seed,
+                 CASE WHEN hs.is_seed
+                      THEN ({scale} * {100 - d}) // (100 * ns.n)
+                      ELSE 0 END
+                 + ({d} * (coalesce(i{k}.in_sum, 0)
+                           + CASE WHEN hs.is_seed
+                                  THEN g{k}.dang // ns.n
+                                  ELSE 0 END)) // 100 AS rank_micro
+          FROM hs CROSS JOIN ns CROSS JOIN g{k}
+          LEFT JOIN i{k} ON hs.host = i{k}.host
+        )""")
+        prev = f"r{k}"
+    return (",".join(ctes)
+            + f"\n        SELECT host, is_seed,"
+              f" rank_micro::bigint AS trust_micro FROM {prev}")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1388,7 +1440,7 @@ _EXTRA_ORDER = [
     "interstitial_gate", "opml_feeds", "section_chunks",
     "extract_outline", "html_section_chunks",
     "sentence_split", "sentence_stats", "bitext_candidates",
-    "header_robots_gate",
+    "header_robots_gate", "host_trustrank",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2438,6 +2490,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return linkgraph.hits_hosts(
             _synth_host_edges(spark, sf_dir), iters=3)
     q["host_hits"] = q_hits
+
+    # --- TrustRank (seed-biased teleport: the spam-demotion signal)
+    # over the same derived host graph — SQL-checked bit-for-bit like
+    # PageRank; seeds = 4 lexicographically-smallest hosts (a
+    # deterministic stand-in for a curated trust list)
+    def q_trustrank(spark, sf_dir):
+        edges = _synth_host_edges(spark, sf_dir)
+        hosts = (edges.select(F.col("src_host").alias("host"))
+                 .union(edges.select(F.col("dst_host").alias("host")))
+                 .distinct())
+        seeds = hosts.orderBy("host").limit(4)
+        return linkgraph.trustrank_hosts(edges, seeds, iters=3)
+    q["host_trustrank"] = q_trustrank
 
     # --- int8-quantized ANN: integer-score ranking (bit-exact) +
     # float-cosine rerank of the winners — SQL-checked
@@ -4973,6 +5038,8 @@ def oracle_sql() -> dict[str, str]:
         # HITS hubs/authorities: same derived graph, unrolled rounds,
         # int64 L1 rescale — bit-exact twin like PageRank
         "host_hits": _hits_sql(3),
+        # TrustRank: seed-restricted teleport, unrolled like PageRank
+        "host_trustrank": _trustrank_sql(3),
         # portable Bloom filter: same md5 hash family / 63-bit words;
         # bit_or build over the even half, 4-probe AND membership —
         # bit-for-bit identical to Spark including false positives

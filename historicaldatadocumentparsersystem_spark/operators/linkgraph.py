@@ -164,6 +164,78 @@ def pagerank_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
                         .alias("rank_micro"))
 
 
+def trustrank_hosts(edges: DataFrame, seeds: DataFrame,
+                    iters: int = 3) -> DataFrame:
+    """Fixed-point integer TrustRank (Gyongyi et al. 2004): PageRank
+    with the teleport vector restricted to a TRUSTED seed set — trust
+    flows out of curated hosts along links, so link-spam farms (which
+    good hosts don't link to) score near zero even when their own
+    interlinking would inflate plain PageRank. The crawl-side spam
+    demotion signal.
+
+    Same int64 floor-division machinery as ``pagerank_hosts`` (bit-
+    exact across engines), same dangling handling — except both the
+    teleport base and the dangling redistribution go ONLY to seeds:
+
+        rank_0(host)  = seed ? SCALE div n_seeds : 0
+        rank'(host)   = (seed ? (SCALE*(100-d)) div (100*n_seeds) : 0)
+                      + (d * (in_sum
+                              + (seed ? dang div n_seeds : 0))) div 100
+
+    ``seeds`` is a (host) DataFrame (tiny — curated lists are
+    thousands of rows at web scale: broadcast). Scale notes of
+    pagerank_hosts apply: invariant tables persisted, rank carrier
+    localCheckpointed per iteration (bounded plans).
+    """
+    e = edges.select("src_host", "dst_host").distinct().persist()
+    hosts = (e.select(F.col("src_host").alias("host"))
+             .union(e.select(F.col("dst_host").alias("host")))
+             .distinct())
+    hs = (hosts.join(F.broadcast(seeds.select("host").distinct()
+                                 .withColumn("__seed", F.lit(True))),
+                     "host", "left")
+          .select("host", F.coalesce("__seed", F.lit(False))
+                  .alias("is_seed"))
+          .persist())
+    ns = hs.where("is_seed").agg(F.count("*").alias("__n_seeds"))
+    out_deg = e.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("out_deg")).persist()
+    base = F.expr(
+        f"CASE WHEN is_seed THEN ({PAGERANK_SCALE}::long * "
+        f"{100 - DAMPING_PCT}) div (100 * __n_seeds) ELSE 0::long END")
+    ranks = (hs.crossJoin(F.broadcast(ns))
+             .select("host", "is_seed", "__n_seeds",
+                     F.expr(f"CASE WHEN is_seed THEN "
+                            f"{PAGERANK_SCALE}::long div __n_seeds "
+                            f"ELSE 0::long END").alias("rank_micro")))
+    for _ in range(iters):
+        ranks = ranks.localCheckpoint()
+        contrib = (e.join(ranks.select(F.col("host").alias("src_host"),
+                                       "rank_micro"), "src_host")
+                   .join(out_deg, "src_host")
+                   .select(F.col("dst_host").alias("host"),
+                           F.expr("rank_micro div out_deg")
+                           .alias("contrib")))
+        incoming = contrib.groupBy("host").agg(
+            F.sum("contrib").cast("long").alias("in_sum"))
+        dang = (ranks.join(out_deg.withColumnRenamed("src_host", "host"),
+                           "host", "left_anti")
+                .agg(F.coalesce(F.sum("rank_micro"), F.lit(0))
+                     .cast("long").alias("__dang")))
+        ranks = (hs.crossJoin(F.broadcast(ns))
+                 .crossJoin(F.broadcast(dang))
+                 .join(incoming, "host", "left")
+                 .select("host", "is_seed", "__n_seeds",
+                         (base + F.expr(
+                             f"({DAMPING_PCT} * (coalesce(in_sum, "
+                             f"0::long) + CASE WHEN is_seed THEN "
+                             f"__dang div __n_seeds ELSE 0::long END))"
+                             f" div 100")).alias("rank_micro")))
+    return ranks.select("host", "is_seed",
+                        F.col("rank_micro").cast("long")
+                        .alias("trust_micro"))
+
+
 def anchor_text_terms(links: DataFrame, k: int = 3,
                       by_host: bool = True) -> DataFrame:
     """Top-k anchor-text terms per link target — the classic IR signal

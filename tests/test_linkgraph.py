@@ -237,3 +237,28 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert got[2]["contaminated"] == 1 and got[2]["n_hits"] == 2
     assert got[3]["contaminated"] == 1 and got[3]["n_hits"] == 2
     assert got[4]["contaminated"] == 0 and got[4]["n_grams"] == 0
+
+
+def test_trustrank_demotes_unreachable_spam_cluster(spark):
+    from historicaldatadocumentparsersystem_spark.operators import linkgraph
+    # good: seed s links a <-> b; spam farm x <-> y interlinks itself
+    # and links INTO the good side but receives no trusted link
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "s"),
+         ("x", "y"), ("y", "x"), ("x", "a"), ("y", "a")],
+        "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("s",)], "host string")
+    got = {r["host"]: (r["is_seed"], r["trust_micro"])
+           for r in linkgraph.trustrank_hosts(edges, seeds,
+                                              iters=3).collect()}
+    assert got["s"][0] and not got["x"][0]
+    # spam farm: zero trust (no inlink path from the seed set)
+    assert got["x"][1] == 0 and got["y"][1] == 0
+    # trust flows along the good cycle; total mass bounded by SCALE
+    assert got["a"][1] > 0 and got["b"][1] > 0 and got["s"][1] > 0
+    assert sum(v for _, v in got.values()) <= linkgraph.PAGERANK_SCALE
+    # plain PageRank would NOT zero the farm (its interlinks + the
+    # uniform teleport give it mass) — the demotion is the point
+    pr = {r["host"]: r["rank_micro"]
+          for r in linkgraph.pagerank_hosts(edges, iters=3).collect()}
+    assert pr["x"] > 0 and pr["y"] > 0

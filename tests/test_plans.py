@@ -255,13 +255,16 @@ def test_iterative_plans_stay_bounded(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
         "src_host string, dst_host string")
-    for fn in (linkgraph.pagerank_hosts, linkgraph.hits_hosts):
+    seeds = spark.createDataFrame([("a",)], "host string")
+    for fn in (linkgraph.pagerank_hosts, linkgraph.hits_hosts,
+               lambda e, iters: linkgraph.trustrank_hosts(
+                   e, seeds, iters=iters)):
         small = len(physical_plan(fn(edges, iters=1)))
         big = len(physical_plan(fn(edges, iters=4)))
         # exponential nesting gives big/small in the thousands; the
         # checkpointed form keeps the last iteration's constant shape
-        assert big < 3 * small + 10_000, (fn.__name__, small, big)
-        assert big < 100_000, (fn.__name__, big)
+        assert big < 3 * small + 10_000, (fn, small, big)
+        assert big < 100_000, (fn, big)
     emb = spark.read.parquet(SF + "/embeddings.parquet")
     plan = physical_plan(clustering.semantic_dedup(emb, k=4, n_iter=2))
     # the k x dim literal-centroid assignment must appear as the
