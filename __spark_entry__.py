@@ -1440,7 +1440,7 @@ _EXTRA_ORDER = [
     "interstitial_gate", "opml_feeds", "section_chunks",
     "extract_outline", "html_section_chunks",
     "sentence_split", "sentence_stats", "bitext_candidates",
-    "header_robots_gate", "host_trustrank",
+    "header_robots_gate", "host_trustrank", "frame_cue_alignment",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2982,6 +2982,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_opml_feeds(df)
     q["opml_feeds"] = q_opml
+
+    # --- frame-cue alignment (the text half of a video-text pairing
+    # pipeline): deterministic frame timestamps every 2 s per file,
+    # interval-joined to the transcript cues — golden both sides. The
+    # join is equi on url + a between filter: groups are file-sized,
+    # never cross-corpus.
+    def q_frame_cues(spark, sf_dir):
+        cues = spark.read.parquet(_GOLDEN_SUBS)
+        frames = (cues.groupBy("url")
+                  .agg(F.max("end_ms").alias("max_ms"))
+                  .select("url", F.explode(F.expr(
+                      "sequence(0::long, max_ms, 2000::long)"))
+                      .alias("frame_ms")))
+        return (frames.join(cues, "url")
+                .where((F.col("frame_ms") >= F.col("start_ms"))
+                       & (F.col("frame_ms") < F.col("end_ms")))
+                .select("url", "frame_ms", "pos",
+                        F.col("text").alias("cue_text"))
+                .orderBy("url", "frame_ms", "pos"))
+    q["frame_cue_alignment"] = q_frame_cues
 
     # --- heading-hierarchy section chunking over the SHARED per-format
     # element schema (docx/odt/rtf all emit it) — SQL-checked: window
@@ -5730,6 +5750,23 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END)::bigint AS n_terminal
             FROM read_parquet('{_GOLDEN_SENTS}')
             GROUP BY url ORDER BY url""",
+        # frame-cue alignment: unnest(generate_series) == Spark
+        # sequence+explode on int64 ms; half-open interval containment
+        "frame_cue_alignment": f"""
+            WITH cues AS (
+              SELECT * FROM read_parquet('{_GOLDEN_SUBS}')
+            ), frames AS (
+              SELECT url, unnest(generate_series(0, max_ms, 2000))
+                       AS frame_ms
+              FROM (SELECT url, max(end_ms) AS max_ms
+                    FROM cues GROUP BY url)
+            )
+            SELECT f.url AS url, f.frame_ms, c.pos,
+                   c.text AS cue_text
+            FROM frames f JOIN cues c
+              ON f.url = c.url
+             AND f.frame_ms >= c.start_ms AND f.frame_ms < c.end_ms
+            ORDER BY f.url, f.frame_ms, c.pos""",
         # transcript profile: golden both sides; integer-only speed gate
         "subtitle_stats": f"""
             SELECT url,
