@@ -1441,6 +1441,7 @@ _EXTRA_ORDER = [
     "extract_outline", "html_section_chunks",
     "sentence_split", "sentence_stats", "bitext_candidates",
     "header_robots_gate", "host_trustrank", "frame_cue_alignment",
+    "sentence_boilerplate",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3063,6 +3064,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_terminal"))
                 .orderBy("url"))
     q["sentence_stats"] = q_sentence_stats
+
+    # --- cross-document boilerplate sentences (sentence-granularity
+    # line-dedup: a sentence shared by many documents is template
+    # text, not content) — golden both sides; one combinable shuffle
+    # on the md5 key, counts stay integers
+    def q_sentence_boilerplate(spark, sf_dir):
+        sents = spark.read.parquet(_GOLDEN_SENTS)
+        return (sents
+                .groupBy(F.md5(F.col("sentence")).alias("sent_key"))
+                .agg(F.countDistinct("url").cast("long")
+                     .alias("n_docs"),
+                     F.count("*").cast("long").alias("n_occurrences"),
+                     F.min("sentence").alias("sample"))
+                .where(F.col("n_docs") >= 2)
+                .withColumn("boilerplate", F.col("n_docs") >= 3)
+                .orderBy("sent_key"))
+    q["sentence_boilerplate"] = q_sentence_boilerplate
 
     # --- bitext candidate pairs (CCMatrix-style candidate generation
     # from declared language mirrors) — golden both sides: per page,
@@ -5739,6 +5757,17 @@ def oracle_sql() -> dict[str, str]:
             FROM h a JOIN h b
               ON a.url = b.url AND a.pos < b.pos
             ORDER BY a.url, lang_a, lang_b""",
+        # boilerplate sentences: md5 == Spark md5 on identical UTF-8
+        "sentence_boilerplate": f"""
+            SELECT md5(sentence) AS sent_key,
+                   count(DISTINCT url)::bigint AS n_docs,
+                   count(*)::bigint AS n_occurrences,
+                   min(sentence) AS sample,
+                   count(DISTINCT url) >= 3 AS boilerplate
+            FROM read_parquet('{_GOLDEN_SENTS}')
+            GROUP BY sentence
+            HAVING count(DISTINCT url) >= 2
+            ORDER BY sent_key""",
         # sentence profile: golden both sides; terminal-punct counts
         "sentence_stats": f"""
             SELECT url,
