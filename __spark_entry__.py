@@ -801,6 +801,8 @@ _GOLDEN_OUTLINE = os.path.join(_REPO, "fixtures",
                                "golden_outline_seed42_n120.parquet")
 _GOLDEN_SENTS = os.path.join(_REPO, "fixtures",
                              "golden_sentences_seed42.parquet")
+_GOLDEN_PDF_OUTLINE = os.path.join(
+    _REPO, "fixtures", "golden_pdf_outline_seed42_n30.parquet")
 _GOLDEN_PAGING = os.path.join(_REPO, "fixtures",
                               "golden_paging_seed42.parquet")
 _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
@@ -1441,7 +1443,7 @@ _EXTRA_ORDER = [
     "extract_outline", "html_section_chunks",
     "sentence_split", "sentence_stats", "bitext_candidates",
     "header_robots_gate", "host_trustrank", "frame_cue_alignment",
-    "sentence_boilerplate",
+    "sentence_boilerplate", "pdf_outline",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2876,6 +2878,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sources.read_pdf_info(
             docs.select("url", F.col("html").alias("payload")))
     q["pdf_info"] = q_pdf_info
+
+    # --- PDF document outline (bookmarks, 12.3.3 — the docling-analog
+    # heading surface for PDFs): preorder tree walk over the /Outlines
+    # linked list; golden pinned by tests/test_pdf_outline.py
+    def q_pdf_outline(spark, sf_dir):
+        files = fixtures.pdf_outline_rows(30)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_pdf_outline(df)
+    q["pdf_outline"] = q_pdf_outline
 
     # --- served-vs-sniffed content-type gate (VALUES fixture both
     # sides — the reader half is pinned by the WARC round-trip pytest;
@@ -5757,6 +5770,11 @@ def oracle_sql() -> dict[str, str]:
             FROM h a JOIN h b
               ON a.url = b.url AND a.pos < b.pos
             ORDER BY a.url, lang_a, lang_b""",
+        # pdf bookmarks: committed golden parquet pinned by
+        # tests/test_pdf_outline.py against the pure re-derivation
+        "pdf_outline": f"""
+            SELECT url, pos, depth, title
+            FROM read_parquet('{_GOLDEN_PDF_OUTLINE}')""",
         # boilerplate sentences: md5 == Spark md5 on identical UTF-8
         "sentence_boilerplate": f"""
             SELECT md5(sentence) AS sent_key,

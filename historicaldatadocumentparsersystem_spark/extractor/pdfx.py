@@ -419,3 +419,85 @@ def extract_pdf_info(payload: bytes) -> dict | None:
     out["creation_date"] = pdf_date_to_iso(out["creation_date"])
     out["mod_date"] = pdf_date_to_iso(out["mod_date"])
     return out
+
+
+# --- document outline (bookmarks) --------------------------------------------
+# The PDF table of contents (12.3.3): /Root catalog -> /Outlines ->
+# a doubly-linked tree of items (/First//Next children-siblings,
+# /Title strings). The docling-analog heading surface for PDFs — the
+# section titles a layout pass can't always recover from body text.
+
+_ROOT_REF_RE = re.compile(rb"/Root\s+(\d+)\s+(\d+)\s+R")
+
+
+def _ref_of(body: bytes, key: bytes) -> tuple[int, int] | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+(\d+)\s+R(?![\w])", body)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _object_body(payload: bytes, ref: tuple[int, int]) -> bytes | None:
+    """Dict body of object ``num gen`` — the LAST occurrence wins
+    (appended incremental updates supersede, PDF 7.5.6). Production
+    would binary-search the xref; the fixture-scale full scan keeps
+    the reader dependency-free."""
+    obj_re = re.compile(
+        rb"(?:^|[^0-9])%d\s+%d\s+obj\s*<<(?P<d>.*?)>>\s*"
+        rb"(?:stream|endobj)" % ref, re.S)
+    body = None
+    for m in obj_re.finditer(payload):
+        body = m.group("d")
+    return body
+
+
+def extract_pdf_outline(payload: bytes) -> list[tuple[int, int, str]]:
+    """(pos, depth, title) per outline item in preorder — depth 1 for
+    top-level bookmarks. PDFs without an /Outlines tree (or with an
+    empty one) yield []; cycles and runaway trees are cut at 10 000
+    items; malformed structures degrade to fewer rows, never raise
+    (F5)."""
+    if not payload or not payload.startswith(b"%PDF-"):
+        return []
+    root_ref = None
+    for t in _TRAILER_RE.finditer(payload):
+        m = _ROOT_REF_RE.search(t.group("d"))
+        if m:
+            root_ref = (int(m.group(1)), int(m.group(2)))
+    if root_ref is None:
+        return []
+    catalog = _object_body(payload, root_ref)
+    if catalog is None:
+        return []
+    outlines_ref = _ref_of(catalog, b"Outlines")
+    if outlines_ref is None:
+        return []
+    outlines = _object_body(payload, outlines_ref)
+    if outlines is None:
+        return []
+    out: list[tuple[int, int, str]] = []
+    seen: set[tuple[int, int]] = set()
+    stack: list[tuple[tuple[int, int], int]] = []
+    first = _ref_of(outlines, b"First")
+    if first:
+        stack.append((first, 1))
+    while stack and len(out) < 10_000:
+        ref, depth = stack.pop()
+        if ref in seen:
+            continue                    # cycle guard
+        seen.add(ref)
+        body = _object_body(payload, ref)
+        if body is None:
+            continue
+        tm = re.search(rb"/Title\s*(?P<v>" + _BLIT + rb"|" + _BHEX
+                       + rb")", body)
+        title = _pdf_text(tm.group("v")).strip() if tm else ""
+        # push the sibling BEFORE the child: LIFO pops child first,
+        # then the sibling — preorder
+        nxt = _ref_of(body, b"Next")
+        if nxt:
+            stack.append((nxt, depth))
+        child = _ref_of(body, b"First")
+        if child:
+            stack.append((child, depth + 1))
+        if title:
+            out.append((len(out), depth, title))
+    return out

@@ -215,9 +215,21 @@ def _pdf_encode(stream: bytes, filters: list[str]) -> tuple[bytes, bytes]:
     return stream, frag
 
 
+def _pdf_str(val: str) -> bytes:
+    """PDF string token: UTF-16BE hex form for non-ASCII (the real-
+    producer convention), escaped literal otherwise."""
+    if not val.isascii():
+        return (b"<FEFF"
+                + val.encode("utf-16-be").hex().upper().encode() + b">")
+    esc = (val.replace("\\", r"\\").replace("(", r"\(")
+           .replace(")", r"\)"))
+    return b"(" + esc.encode("latin-1") + b")"
+
+
 def _make_pdf(pages: list[list[str]], compress: bool = False,
               filters: list[str] | None = None,
-              info: dict | None = None) -> bytes:
+              info: dict | None = None,
+              outline: list[tuple[int, str]] | None = None) -> bytes:
     """Minimal valid-enough PDF: catalog/pages/page objs + content
     streams — raw, ``compress`` (/FlateDecode, the near-universal
     real-world encoding), or an explicit ``filters`` chain in decode
@@ -232,7 +244,16 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
     objs: list[bytes] = []
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    # outline objects land AFTER content + info; their numbers are
+    # known up front so the catalog can reference the tree root.
+    # outline=None leaves the catalog byte-identical to the pre-
+    # outline form (the committed corpus goldens depend on that).
+    outlines_num = (2 + 2 * n_pages + (1 if info else 0) + 1
+                    if outline is not None else None)
+    cat = b"<< /Type /Catalog /Pages 2 0 R"
+    if outlines_num is not None:
+        cat += f" /Outlines {outlines_num} 0 R".encode()
+    objs.append(cat + b" >>")
     objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                 .encode())
     for k, lines in enumerate(pages):
@@ -271,6 +292,47 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
                               + esc.encode("latin-1") + b")")
         objs.append(b"<< " + b" ".join(fields) + b" >>")
         info_ref = f" /Info {len(objs)} 0 R".encode()
+    if outline is not None:
+        root = len(objs) + 1        # == outlines_num
+        item0 = root + 1
+        children: dict[int, list[int]] = {-1: []}
+        parents: dict[int, int] = {}
+        stack: list[tuple[int, int]] = []
+        for i, (depth, _title) in enumerate(outline):
+            while stack and stack[-1][0] >= depth:
+                stack.pop()
+            parent = stack[-1][1] if stack else -1
+            children.setdefault(parent, []).append(i)
+            parents[i] = parent
+            stack.append((depth, i))
+
+        def num(i: int) -> int:
+            return item0 + i
+        top = children[-1]
+        if top:
+            objs.append(
+                f"<< /Type /Outlines /First {num(top[0])} 0 R "
+                f"/Last {num(top[-1])} 0 R /Count {len(outline)} >>"
+                .encode())
+        else:
+            objs.append(b"<< /Type /Outlines /Count 0 >>")
+        for i, (_depth, title) in enumerate(outline):
+            parent = parents[i]
+            sibs = children[parent if parent != -1 else -1]
+            at = sibs.index(i)
+            parts = [b"<< /Title " + _pdf_str(title),
+                     f"/Parent {root if parent == -1 else num(parent)}"
+                     f" 0 R".encode()]
+            if at > 0:
+                parts.append(f"/Prev {num(sibs[at - 1])} 0 R".encode())
+            if at + 1 < len(sibs):
+                parts.append(f"/Next {num(sibs[at + 1])} 0 R".encode())
+            kids_i = children.get(i, [])
+            if kids_i:
+                parts.append(f"/First {num(kids_i[0])} 0 R "
+                             f"/Last {num(kids_i[-1])} 0 R "
+                             f"/Count {len(kids_i)}".encode())
+            objs.append(b" ".join(parts) + b" >>")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for idx, body in enumerate(objs, start=1):
@@ -327,6 +389,46 @@ def _pdf_info_fields(i: int) -> dict | None:
     if i % 8 == 5:
         info["ModDate"] = "D:20240229"
     return info
+
+
+def pdf_outline_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic PDFs with document outlines: (url, payload).
+    Cycles flat bookmark lists, 3-deep nested trees, unicode titles
+    (UTF-16BE hex strings), escape-heavy titles, filtered content
+    streams (the outline walk must not care), and rows that yield
+    zero items (no outline / empty outline / garbage payload)."""
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 217645177, i)
+        kind = i % 6
+        url = f"pdf://outline-{i}"
+        pages = [[_sentence(rng, 4, 8) for _ in range(3)]]
+        if kind == 0:           # flat top-level bookmarks
+            ol = [(1, f"Chapter {c}: {rng.choice(_WORDS)}")
+                  for c in range(2 + i % 3)]
+            payload = _make_pdf(pages, outline=ol)
+        elif kind == 1:         # nested 3 levels, siblings after pops
+            ol = [(1, "Intro"), (2, f"Background {i}"),
+                  (3, f"History {rng.choice(_WORDS)}"),
+                  (2, "Scope"), (1, "Results"), (2, f"Table {i % 7}")]
+            payload = _make_pdf(pages, outline=ol)
+        elif kind == 2:         # unicode + escape-heavy titles
+            ol = [(1, f"Résumé §{i} — ünï"),
+                  (2, "Paren (x) \\ backslash"),
+                  (1, "日本語の章")]
+            payload = _make_pdf(pages, outline=ol)
+        elif kind == 3:         # outline over FILTERED content streams
+            ol = [(1, f"Compressed {rng.choice(_WORDS)}"),
+                  (2, f"Inner {i}")]
+            payload = _make_pdf(pages, filters=["FlateDecode"],
+                                outline=ol, info=_pdf_info_fields(1))
+        elif kind == 4:         # no outline at all -> zero rows
+            payload = _make_pdf(pages)
+        else:                   # empty outline tree / garbage
+            payload = (_make_pdf(pages, outline=[])
+                       if i % 2 else _garbage(rng, i))
+        out.append({"url": url, "payload": payload})
+    return out
 
 
 def _garbage(rng: random.Random, i: int) -> bytes:

@@ -319,6 +319,47 @@ PDF_INFO_DDL = ("url string, title string, author string, "
                 "mod_date string")
 
 
+PDF_OUTLINE_DDL = "url string, pos int, depth int, title string"
+
+
+def read_pdf_outline(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, pdf payload) rows -> one row per bookmark (url, pos,
+    depth, title) in preorder — the PDF table of contents (12.3.3),
+    the docling-analog heading surface for PDFs and the natural input
+    to ``chunking.section_chunks`` after a kind='heading' relabel.
+    Per-row parse is the pure-Python ``extractor.pdfx.
+    extract_pdf_outline``; outline-less PDFs yield no rows (F5).
+    Map-only 1->N."""
+    import pandas as pd
+
+    from ..extractor.pdfx import extract_pdf_outline
+
+    def parse(batches):
+        for b in batches:
+            urls, poss, depths, titles = [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    items = extract_pdf_outline(
+                        bytes(payload) if payload is not None else b"")
+                except Exception:
+                    continue
+                for pos, depth, title in items:
+                    urls.append(url)
+                    poss.append(pos)
+                    depths.append(depth)
+                    titles.append(title)
+            yield pd.DataFrame({
+                "url": urls,
+                "pos": pd.array(poss, dtype="Int32"),
+                "depth": pd.array(depths, dtype="Int32"),
+                "title": titles})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PDF_OUTLINE_DDL))
+
+
 def read_pdf_info(df: DataFrame, url_col: str = "url",
                   payload_col: str = "payload") -> DataFrame:
     """(url, pdf payload) rows -> document-information-dictionary rows
