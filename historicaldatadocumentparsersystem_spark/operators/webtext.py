@@ -1360,6 +1360,28 @@ def _phrase_hits(low, phrases) -> Column:
     return hits
 
 
+def _interstitial_exprs(text_col: str, max_shell_words: int):
+    """(consent_hits, paywall_hits, n_words, is_short, consent_shell,
+    paywalled) column expressions shared by the gate operator and
+    interstitial_keep."""
+    low = F.lower(F.col(text_col))
+    consent_hits = _phrase_hits(low, CONSENT_PHRASES)
+    paywall_hits = _phrase_hits(low, PAYWALL_PHRASES)
+    n_words = F.size(tokens(text_col))
+    is_short = n_words <= F.lit(max_shell_words)
+    return (consent_hits, paywall_hits, n_words, is_short,
+            (consent_hits >= 2) & is_short, paywall_hits >= 1)
+
+
+def interstitial_keep(text_col: str = "text",
+                      max_shell_words: int = 80) -> Column:
+    """Join-free keep predicate (the composition form): push straight
+    into a ``.where`` so the pipeline pays zero extra exchanges."""
+    _, _, _, is_short, consent_shell, paywalled = _interstitial_exprs(
+        text_col, max_shell_words)
+    return ~consent_shell & ~(paywalled & is_short)
+
+
 def interstitial_gate(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       max_shell_words: int = 80) -> DataFrame:
@@ -1383,13 +1405,8 @@ def interstitial_gate(df: DataFrame, text_col: str = "text",
     All signals are contains/size comparisons — map-only codegen
     projection, no shuffle, scan-bound at 100 TB like the other gates.
     """
-    low = F.lower(F.col(text_col))
-    consent_hits = _phrase_hits(low, CONSENT_PHRASES)
-    paywall_hits = _phrase_hits(low, PAYWALL_PHRASES)
-    n_words = F.size(tokens(text_col))
-    is_short = n_words <= F.lit(max_shell_words)
-    consent_shell = (consent_hits >= 2) & is_short
-    paywalled = paywall_hits >= 1
+    (consent_hits, paywall_hits, n_words, is_short, consent_shell,
+     paywalled) = _interstitial_exprs(text_col, max_shell_words)
     return df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

@@ -33,12 +33,14 @@ from .operators import chunking, skew, textstats
 def quality_gate(extracted: DataFrame, min_quality: float = 0.5,
                  min_chars: int = 80) -> DataFrame:
     """Heuristic quality filter over extracted rows (gopher-style),
-    fused with the soft-404 error-shell gate — all pure column
-    predicates on one codegen stage, no extra exchange."""
-    from .operators.webtext import soft404_keep
+    fused with the soft-404 error-shell AND the consent/paywall
+    interstitial gates — all pure column predicates on one codegen
+    stage, no extra exchange."""
+    from .operators.webtext import interstitial_keep, soft404_keep
     return (extracted
             .where(F.col("failed") == 0)
             .where(soft404_keep("extracted_text"))
+            .where(interstitial_keep("extracted_text"))
             .where(F.length("extracted_text") >= min_chars)
             .where(textstats.quality_score("extracted_text")
                    >= min_quality))

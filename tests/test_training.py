@@ -76,6 +76,38 @@ def test_quality_gate_drops_soft404_shells(spark):
     assert "https://ok.example.com/essay" in urls
 
 
+def test_quality_gate_drops_interstitial_shells(spark):
+    """A consent-banner shell and a short paywall stub never reach
+    the kept set; a long article merely carrying a banner survives."""
+    from historicaldatadocumentparsersystem_spark import pipeline
+    docs = fixtures.corpus_df(spark, 40, num_partitions=2)
+    extracted = pipeline.extract_df(docs, num_buckets=4)
+
+    def fake(url, text):
+        return (extracted.limit(1)
+                .withColumn("url", F.lit(url))
+                .withColumn("extracted_text", F.lit(text)))
+    consent = fake("https://c.example/shell",
+                   "We use cookies on this site. Accept all cookies "
+                   "or review our cookie policy and cookie settings "
+                   "before you continue browsing today, thanks a lot.")
+    paywall = fake("https://p.example/stub",
+                   "Subscribe to continue reading. Already a "
+                   "subscriber? Sign in to read the full story here "
+                   "with our premium membership plans available now.")
+    carrier = fake("https://ok.example/article",
+                   "We use cookies, accept all cookies to dismiss. "
+                   + "A long and genuinely informative article body "
+                     "about servers and archives. " * 20)
+    kept = training.quality_gate(
+        extracted.unionByName(consent).unionByName(paywall)
+        .unionByName(carrier))
+    urls = {r.url for r in kept.select("url").collect()}
+    assert "https://c.example/shell" not in urls
+    assert "https://p.example/stub" not in urls
+    assert "https://ok.example/article" in urls
+
+
 def test_export_training_data_handoff(spark, tmp_path):
     import json
     from historicaldatadocumentparsersystem_spark import fixtures, training
