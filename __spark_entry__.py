@@ -37,6 +37,7 @@ from historicaldatadocumentparsersystem_spark.operators import (
     asof, bpetrain, chunking, dedup, keywords, linkgraph, membership,
     multimodal, quality, records, robots, rollup, routing, similarity,
     sketches, skew, spans, textstats, webtext)
+from historicaldatadocumentparsersystem_spark.extractor import piix as _piix
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
 from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
 
@@ -651,9 +652,103 @@ def _text_norm_oracle() -> str:
             FROM c"""
 
 
+def _pii_luhn_sql(ds: str) -> str:
+    """Luhn mod-10 as a DuckDB integer fold over a digits-only column
+    NAME — the RE2-side twin of operators/pii._luhn_ok (Spark
+    ``aggregate`` fold) and extractor/piix.luhn_ok."""
+    d = f"({ds}[i]::int)"
+    return (f"list_sum(list_transform(generate_series(1, length({ds})), "
+            f"i -> CASE WHEN (length({ds}) - i) % 2 = 1 THEN "
+            f"CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END "
+            f"ELSE {d} END)) % 10 = 0")
+
+
+def _pii_fix_sql() -> str:
+    return f"SELECT url, text FROM read_parquet('{_PII_FIX}')"
+
+
+def _pii_spans_sql() -> str:
+    """Candidates by kind (UNION ALL of regexp_extract_all unnests),
+    then the per-kind validity post-filter — structurally the same
+    explode-then-filter plan the Spark side builds.  Patterns are
+    GENERATED from extractor/piix.PATTERNS (the _W_SQL precedent)."""
+    p = _piix.PATTERNS
+    return f"""
+            WITH t AS ({_pii_fix_sql()}),
+            cand AS (
+              SELECT url, 'card' AS kind,
+                     unnest(regexp_extract_all(text, '{p["card"]}')) AS value
+              FROM t
+              UNION ALL SELECT url, 'email',
+                     unnest(regexp_extract_all(text, '{p["email"]}')) FROM t
+              UNION ALL SELECT url, 'ipv4',
+                     unnest(regexp_extract_all(text, '{p["ipv4"]}')) FROM t
+              UNION ALL SELECT url, 'phone',
+                     unnest(regexp_extract_all(text, '{p["phone"]}')) FROM t
+            ), v AS (
+              SELECT url, kind, value,
+                     regexp_replace(value, '[^0-9]', '', 'g') AS ds
+              FROM cand
+            )
+            SELECT url, kind, value FROM v
+            WHERE CASE kind
+              WHEN 'email' THEN true
+              WHEN 'ipv4' THEN len(list_filter(string_split(value, '.'),
+                                   o -> o::int > 255)) = 0
+              WHEN 'phone' THEN length(ds) BETWEEN 7 AND 15
+              ELSE {_pii_luhn_sql('ds')}
+            END
+            ORDER BY url, kind, value"""
+
+
+def _pii_profile_sql() -> str:
+    """Per-document valid-instance counts by kind — zero-PII documents
+    keep their row with zero counts, like the Spark projection."""
+    p = _piix.PATTERNS
+    n_email = f"len(regexp_extract_all(text, '{p['email']}'))"
+    n_phone = (f"len(list_filter(regexp_extract_all(text, '{p['phone']}'), "
+               f"v -> length(regexp_replace(v, '[^0-9]', '', 'g')) "
+               f"BETWEEN 7 AND 15))")
+    n_ipv4 = (f"len(list_filter(regexp_extract_all(text, '{p['ipv4']}'), "
+              f"v -> len(list_filter(string_split(v, '.'), "
+              f"o -> o::int > 255)) = 0))")
+    n_card = (f"len(list_filter(list_transform("
+              f"regexp_extract_all(text, '{p['card']}'), "
+              f"v -> regexp_replace(v, '[^0-9]', '', 'g')), "
+              f"ds -> {_pii_luhn_sql('ds')}))")
+    return f"""
+            SELECT url,
+                   {n_email}::bigint AS n_emails,
+                   {n_phone}::bigint AS n_phones,
+                   {n_ipv4}::bigint AS n_ipv4,
+                   {n_card}::bigint AS n_cards,
+                   ({n_email} + {n_phone} + {n_ipv4} + {n_card})::bigint
+                     AS n_pii
+            FROM ({_pii_fix_sql()})
+            ORDER BY url"""
+
+
+def _pii_redact_sql() -> str:
+    """Recall-oriented masking twin: nested global regexp_replace in
+    piix.REDACT_ORDER (masks carry no digits/'@', so later patterns
+    never match inside earlier masks)."""
+    expr = "text"
+    for kind in _piix.REDACT_ORDER:
+        expr = (f"regexp_replace({expr}, '{_piix.PATTERNS[kind]}', "
+                f"'{_piix.MASKS[kind]}', 'g')")
+    return f"""
+            SELECT url, md5(redacted) AS redacted_md5,
+                   length(redacted)::bigint AS redacted_len
+            FROM (SELECT url, {expr} AS redacted
+                  FROM ({_pii_fix_sql()}))
+            ORDER BY url"""
+
+
 def _pii_oracle() -> str:
     """DuckDB twin of functions.redact_pii: identical RE2/Java-common
-    patterns applied globally in the same order."""
+    patterns applied globally in the same order.  (The corpus-scale
+    PII family with validity post-filters lives in operators/pii.py;
+    its twins are _pii_spans_sql/_pii_profile_sql/_pii_redact_sql.)"""
     from historicaldatadocumentparsersystem_spark import functions as fn
     vals = ", ".join(f"('{r}', '{t}')" for r, t in _PII_ROWS)
     expr = "text"
@@ -809,6 +904,8 @@ _GOLDEN_PDFINFO = os.path.join(_REPO, "fixtures",
                                "golden_pdfinfo_seed42_n300.parquet")
 _GOLDEN_OFFICEMETA = os.path.join(_REPO, "fixtures",
                                   "golden_officemeta_seed42.parquet")
+_PII_FIX = os.path.join(_REPO, "fixtures",
+                        "pii_texts_seed42_n160.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1444,6 +1541,8 @@ _EXTRA_ORDER = [
     "sentence_split", "sentence_stats", "bitext_candidates",
     "header_robots_gate", "host_trustrank", "frame_cue_alignment",
     "sentence_boilerplate", "pdf_outline",
+    # round-4 resumed-session-4 additions
+    "pii_spans", "pii_profile", "pii_redact_corpus",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -1700,6 +1799,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame(_PII_ROWS, "row_id string, text string")
         return df.select("row_id", fn.redact_pii("text").alias("clean"))
     q["pii_redaction"] = q_pii
+
+    # --- corpus-scale PII family (operators/pii.py over the committed
+    # fixture corpus): validity-filtered detection spans, zero-shuffle
+    # per-document profile, recall-oriented masking.  Triple-checked:
+    # Spark Java regex vs DuckDB RE2 here, vs pure-Python re in
+    # tests/test_pii.py — all three generated from piix.PATTERNS.
+    def q_pii_spans(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import pii
+        docs = spark.read.parquet(_PII_FIX)
+        return pii.pii_spans(docs).orderBy("url", "kind", "value")
+    q["pii_spans"] = q_pii_spans
+
+    def q_pii_profile(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import pii
+        docs = spark.read.parquet(_PII_FIX)
+        return pii.pii_profile(docs).orderBy("url")
+    q["pii_profile"] = q_pii_profile
+
+    def q_pii_redact(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import pii
+        docs = spark.read.parquet(_PII_FIX)
+        return (pii.redact_pii(docs)
+                .select("url",
+                        F.md5(F.col("redacted")).alias("redacted_md5"),
+                        F.length("redacted").cast("long")
+                        .alias("redacted_len"))
+                .orderBy("url"))
+    q["pii_redact_corpus"] = q_pii_redact
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -6049,4 +6176,10 @@ def oracle_sql() -> dict[str, str]:
         # (exact int64 both engines — second-granularity casts round
         # vs truncate differently)
         "zorder_layout": _zorder_sql(),
+        # corpus-scale PII family: patterns GENERATED from
+        # extractor/piix.PATTERNS into RE2 (Java-regex/RE2/Python-re
+        # common subset; Luhn as an integer fold both sides)
+        "pii_spans": _pii_spans_sql(),
+        "pii_profile": _pii_profile_sql(),
+        "pii_redact_corpus": _pii_redact_sql(),
     }

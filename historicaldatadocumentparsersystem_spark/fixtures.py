@@ -1976,3 +1976,98 @@ def dhash_media_df(spark, seed: int = 42, num_partitions: int = 4):
     return (spark.createDataFrame(dhash_media_rows(seed),
                                   "media_id string, payload binary")
             .repartition(num_partitions))
+
+
+# --- PII fixture texts --------------------------------------------------------
+
+def _luhn_complete(prefix: str) -> str:
+    """Append the Luhn check digit to a digits-only prefix."""
+    total = 0
+    n = len(prefix) + 1
+    for i, ch in enumerate(prefix):
+        d = ord(ch) - 48
+        if (n - i - 1) % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return prefix + str((10 - total % 10) % 10)
+
+
+def pii_texts(n: int = 160, seed: int = 42) -> list[dict]:
+    """Deterministic (url, text) rows exercising the PII family
+    (extractor/piix.py + operators/pii.py): valid and Luhn-failing
+    cards (formatted and bare), in-range and out-of-range IPv4,
+    international and US phones, tagged/uppercase emails, plus the
+    negatives every engine must agree on (version strings, dates,
+    obfuscated emails, over-long digit runs, clean and empty docs).
+
+    ASCII-adjacency invariant: no non-ASCII character ever touches a
+    digit run — Python's \\b is Unicode-aware while Java's and RE2's
+    are ASCII, so fixtures stay inside the common subset (non-ASCII
+    words appear only space-separated from PII).  Committed as
+    fixtures/pii_texts_seed42_n160.parquet so the DuckDB oracle reads
+    the same input table."""
+    rows: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 2000003, i)
+        host = _HOSTS[(i * 40503) % len(_HOSTS)]
+        url = f"https://{host}/pii/doc-{i}"
+        parts = [_sentence(rng, 4, 9)]
+        k = i % 10
+        if k == 0:
+            user = f"{rng.choice(_WORDS)}.{rng.choice(_WORDS)}{i}"
+            parts.append(f"Contact {user}@{host} or café staff "
+                         f"by phone +44 20 7946 {1000 + i % 9000} today.")
+        elif k == 1:
+            g = _luhn_complete(f"411111{i % 10}{(i * 7) % 10}"
+                               f"{(i * 3) % 10}000000")
+            card = f"{g[:4]}-{g[4:8]}-{g[8:12]}-{g[12:16]}"
+            parts.append(f"Invoice paid with card {card} on file.")
+        elif k == 2:
+            good = _luhn_complete(f"540000{i % 10}00000000{(i * 7) % 10}"[:15])
+            bad16 = good[:-1] + str((int(good[-1]) + 1) % 10)
+            parts.append(f"Primary {good} listed; typo copy "
+                         f"{bad16[:4]} {bad16[4:8]} {bad16[8:12]} "
+                         f"{bad16[12:16]} rejected.")
+        elif k == 3:
+            parts.append(f"Origin server 10.{i % 200}.{(i * 3) % 256}."
+                         f"{(i * 7) % 256} replaced the bogus probe "
+                         f"10.0.{300 + i % 600}.1 in the log.")
+        elif k == 4:
+            parts.append(f"Support line {200 + i % 700}-"
+                         f"{100 + i % 800}-{1000 + i % 9000}; short code "
+                         f"+12 34 ignored; release v1.2.3.4 shipped.")
+        elif k == 5:
+            parts.append(f"Mail {rng.choice(_WORDS)}+tag{i}@"
+                         f"{host.upper()} or reach admin at "
+                         f"{rng.choice(_WORDS)} dot example dot com.")
+        elif k == 6:
+            addr = f"{rng.choice(_WORDS)}{i}@{host}"
+            c13 = _luhn_complete(f"4{i % 10}0000000000"[:12])
+            parts.append(f"Both {addr} and {addr} route to billing; "
+                         f"legacy card {c13} retired.")
+        elif k == 7:
+            parts.append(f"Batch id {10 ** 19 + i} ran on 2026-08-"
+                         f"{10 + i % 19} under build 1.2.{i % 9}.")
+        elif k == 8:
+            parts.append(_paragraph(rng, 2, 4))
+        else:
+            rows.append({"url": url, "text": ""})
+            continue
+        parts.append(_sentence(rng, 3, 8))
+        rows.append({"url": url, "text": " ".join(parts)})
+    return rows
+
+
+def pii_texts_df(spark, n: int = 160, seed: int = 42,
+                 num_partitions: int = 8):
+    """Spark DataFrame of the pii_texts fixture set (url, text)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("text", StringType(), False),
+    ])
+    return (spark.createDataFrame(
+        [(r["url"], r["text"]) for r in pii_texts(n, seed)], schema)
+        .repartition(num_partitions))
