@@ -906,6 +906,8 @@ _GOLDEN_OFFICEMETA = os.path.join(_REPO, "fixtures",
                                   "golden_officemeta_seed42.parquet")
 _PII_FIX = os.path.join(_REPO, "fixtures",
                         "pii_texts_seed42_n160.parquet")
+_GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
+                             "golden_ipynb_cells_seed42_n30.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1543,6 +1545,7 @@ _EXTRA_ORDER = [
     "sentence_boilerplate", "pdf_outline",
     # round-4 resumed-session-4 additions
     "pii_spans", "pii_profile", "pii_redact_corpus",
+    "ipynb_cells", "notebook_lang_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3071,6 +3074,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_odt_elements(df)
     q["odt_elements"] = q_odt
+
+    # --- Jupyter notebook source (the JSON member of the per-format
+    # loader family) — hash-checked against the committed golden cells
+    # parquet (pinned by tests/test_ipynb.py against the pure
+    # re-derivation; v4 list/string sources, v3 worksheets, outputs,
+    # non-notebook JSON + garbage rows)
+    def q_ipynb(spark, sf_dir):
+        files = fixtures.ipynb_file_rows(30)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_ipynb_cells(df).orderBy("url", "cell_idx")
+    q["ipynb_cells"] = q_ipynb
+
+    # --- notebook corpus profile — golden both sides (cells==golden
+    # is proven by ipynb_cells; this isolates the aggregation)
+    def q_ipynb_stats(spark, sf_dir):
+        cells = spark.read.parquet(_GOLDEN_IPYNB)
+        return (cells.groupBy("lang", "cell_type")
+                .agg(F.count("*").cast("long").alias("n_cells"),
+                     F.sum(F.length("source")).cast("long")
+                     .alias("src_chars"),
+                     F.sum("n_outputs").cast("long")
+                     .alias("total_outputs"),
+                     F.count("exec_count").cast("long")
+                     .alias("n_executed"))
+                .orderBy("lang", "cell_type"))
+    q["notebook_lang_stats"] = q_ipynb_stats
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6182,4 +6213,20 @@ def oracle_sql() -> dict[str, str]:
         "pii_spans": _pii_spans_sql(),
         "pii_profile": _pii_profile_sql(),
         "pii_redact_corpus": _pii_redact_sql(),
+        # notebook cells: committed golden parquet pinned by
+        # tests/test_ipynb.py against the pure re-derivation
+        "ipynb_cells": f"""
+            SELECT url, cell_idx, cell_type, lang, source,
+                   exec_count, n_outputs, output_text
+            FROM read_parquet('{_GOLDEN_IPYNB}')
+            ORDER BY url, cell_idx""",
+        # notebook profile: golden both sides
+        "notebook_lang_stats": f"""
+            SELECT lang, cell_type, count(*)::bigint AS n_cells,
+                   sum(length(source))::bigint AS src_chars,
+                   sum(n_outputs)::bigint AS total_outputs,
+                   count(exec_count)::bigint AS n_executed
+            FROM read_parquet('{_GOLDEN_IPYNB}')
+            GROUP BY lang, cell_type
+            ORDER BY lang, cell_type""",
     }

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from .docx import extract_docx_text, is_docx
 from .epubx import extract_epub_text, is_epub
 from .htmlx import decode_payload, extract_html
+from .ipynbx import extract_ipynb_text, is_ipynb
 from .odtx import extract_odt_text, is_odt
 from .pdfx import extract_pdf
 from .pptx import extract_pptx_text, is_pptx
@@ -29,6 +30,7 @@ KIND_PPTX = "pptx"
 KIND_DOCX = "docx"
 KIND_EPUB = "epub"
 KIND_ODT = "odt"
+KIND_IPYNB = "ipynb"
 
 # span struct field order used everywhere (Spark schema + oracle tuples)
 SPAN_FIELDS = ("start", "end", "kind")
@@ -109,6 +111,14 @@ def extract_document(payload: bytes | None, fallback_text: str | None
                 return ExtractResult(KIND_EPUB, text, spans, len(spans), 0.0)
             # non-OOXML zip: fallback, not a fail
             return _fallback(fallback_text, failed=False)
+        # Jupyter notebook (extractor/ipynbx.py — the JSON member of
+        # the loader family; sniff has no JSON kind, so the cheap
+        # is_ipynb probe gates here on otherwise-empty payloads)
+        if kind == KIND_EMPTY and is_ipynb(payload):
+            text, spans = extract_ipynb_text(payload)
+            if not spans:
+                return _fallback(fallback_text, failed=True)
+            return ExtractResult(KIND_IPYNB, text, spans, len(spans), 0.0)
     except Exception:
         # degrade to fallback, mark failed (lineage failed_rows)
         return _fallback(fallback_text, failed=True)

@@ -2071,3 +2071,79 @@ def pii_texts_df(spark, n: int = 160, seed: int = 42,
     return (spark.createDataFrame(
         [(r["url"], r["text"]) for r in pii_texts(n, seed)], schema)
         .repartition(num_partitions))
+
+
+# --- Jupyter notebook fixture files -------------------------------------------
+
+def ipynb_file_rows(n: int = 30, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic .ipynb files: (url, payload). Rotates
+    the serializations a crawl meets: v4 python with list sources and
+    stream/execute_result outputs, v4 julia with string sources, a raw
+    cell and an error output, v4 r declared via language_info only,
+    v3 worksheets with prompt_number and per-cell language, a JSON
+    payload that is NOT a notebook, an empty-cells notebook (parses,
+    zero rows), and garbage/None payloads (F5)."""
+    from .extractor.ipynbx import make_ipynb
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 141650963, i)
+        url = f"nb://notebook-{i}.ipynb"
+        k = i % 6
+        if k == 0:
+            cells = [
+                {"cell_type": "markdown",
+                 "source": [f"# {_sentence(rng, 3, 6)}\n",
+                            _sentence(rng, 5, 9)]},
+                {"cell_type": "code",
+                 "source": [f"x = {i}\n", "print(x * 2)\n"],
+                 "execution_count": 1 + i % 5,
+                 "outputs": [
+                     {"output_type": "stream", "name": "stdout",
+                      "text": [f"{i * 2}\n"]},
+                     {"output_type": "execute_result",
+                      "execution_count": 1 + i % 5,
+                      "data": {"text/plain": [f"{i * 2}"]},
+                      "metadata": {}}]},
+                {"cell_type": "code", "source": "y = x + 1"},
+            ]
+            payload = make_ipynb(cells, lang="python")
+        elif k == 1:
+            cells = [
+                {"cell_type": "raw", "source": f"raw block {i}"},
+                {"cell_type": "code",
+                 "source": f"f(x) = x^{2 + i % 3}",
+                 "execution_count": 2,
+                 "outputs": [
+                     {"output_type": "error", "ename": "DomainError",
+                      "evalue": f"bad input {i}", "traceback": ["..."]},
+                     {"output_type": "display_data",
+                      "data": {"image/png": "aWdub3JlZA=="},
+                      "metadata": {}}]},
+                {"cell_type": "markdown", "source": _sentence(rng, 6, 10)},
+            ]
+            payload = make_ipynb(cells, lang="julia")
+        elif k == 2:
+            cells = [
+                {"cell_type": "markdown",
+                 "source": [f"## {_sentence(rng, 2, 5)}\n",
+                            _paragraph(rng, 1, 2)]},
+                {"cell_type": "markdown", "source": ""},
+            ]
+            payload = make_ipynb(cells, lang="r", kernelspec=False)
+        elif k == 3:
+            cells = [
+                {"cell_type": "markdown", "source": [f"v3 doc {i}\n"]},
+                {"cell_type": "code", "source": [f"a = {i}\n", "a"],
+                 "execution_count": 3 + i % 4, "language": "python",
+                 "outputs": [{"output_type": "pyout",
+                              "text": [f"{i}"], "prompt_number": 3}]},
+            ]
+            payload = make_ipynb(cells, nbformat=3)
+        elif k == 4:
+            payload = (b'{"nbformat": 4, "note": "no cell list here"}'
+                       if i % 2 else
+                       b'{"cells": [], "metadata": {}, "nbformat": 4}')
+        else:
+            payload = b"\x00\x01 not json at all" if i % 2 else None
+        out.append({"url": url, "payload": payload})
+    return out

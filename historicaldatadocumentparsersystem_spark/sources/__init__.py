@@ -192,6 +192,57 @@ def read_odt_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, ODT_ELEMENTS_DDL))
 
 
+IPYNB_CELLS_DDL = ("url string, cell_idx int, cell_type string, "
+                   "lang string, source string, exec_count int, "
+                   "n_outputs int, output_text string")
+
+
+def read_ipynb_cells(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, ipynb payload) rows -> ordered notebook cells.
+
+    The JSON member of the per-format loader family; the per-row
+    parse is the pure-Python ``extractor.ipynbx.parse_notebook``
+    (v4 cells and v3 worksheets).  Non-notebook payloads yield no
+    rows (F5)."""
+    import pandas as pd
+
+    from ..extractor.ipynbx import parse_notebook
+
+    def parse(batches):
+        for b in batches:
+            urls, idxs, types, langs = [], [], [], []
+            srcs, execs, nouts, otexts = [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    cells = parse_notebook(
+                        bytes(payload) if payload is not None else None)
+                except Exception:
+                    continue
+                for c in cells:
+                    urls.append(url)
+                    idxs.append(c.idx)
+                    types.append(c.cell_type)
+                    langs.append(c.lang)
+                    srcs.append(c.source)
+                    execs.append(c.exec_count)
+                    nouts.append(c.n_outputs)
+                    otexts.append(c.output_text)
+            yield pd.DataFrame({
+                "url": urls,
+                "cell_idx": pd.array(idxs, dtype="int32"),
+                "cell_type": types,
+                "lang": langs,
+                "source": srcs,
+                "exec_count": pd.array(execs, dtype="Int32"),
+                "n_outputs": pd.array(nouts, dtype="int32"),
+                "output_text": otexts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, IPYNB_CELLS_DDL))
+
+
 OPML_FEEDS_DDL = ("url string, pos int, category string, "
                   "title string, xml_url string, html_url string")
 
