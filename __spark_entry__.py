@@ -908,6 +908,8 @@ _PII_FIX = os.path.join(_REPO, "fixtures",
                         "pii_texts_seed42_n160.parquet")
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
                              "golden_ipynb_cells_seed42_n30.parquet")
+_GOLDEN_MBOX = os.path.join(_REPO, "fixtures",
+                            "golden_mbox_seed42_n24.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1546,6 +1548,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-4 additions
     "pii_spans", "pii_profile", "pii_redact_corpus",
     "ipynb_cells", "notebook_lang_stats",
+    "mbox_messages", "mail_thread_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3102,6 +3105,39 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_executed"))
                 .orderBy("lang", "cell_type"))
     q["notebook_lang_stats"] = q_ipynb_stats
+
+    # --- mbox mail-archive source (message-container member of the
+    # loader family) — hash-checked against the committed golden
+    # messages parquet (pinned by tests/test_mail.py against the pure
+    # re-derivation; RFC 2047 subjects, MIME trees, charset fallbacks,
+    # mboxrd escaping, bare-message and garbage rows)
+    def q_mbox(spark, sf_dir):
+        files = fixtures.mbox_file_rows(24)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_mbox_messages(df).orderBy("url", "msg_idx")
+    q["mbox_messages"] = q_mbox
+
+    # --- reply-thread profile — golden both sides (messages==golden
+    # is proven by mbox_messages; this isolates the thread self-join)
+    def q_mail_threads(spark, sf_dir):
+        msgs = spark.read.parquet(_GOLDEN_MBOX)
+        roots = msgs.where((F.col("in_reply_to") == "")
+                           & (F.col("message_id") != ""))
+        replies = msgs.where(F.col("in_reply_to") != "")
+        return (roots.alias("r")
+                .join(replies.alias("p"),
+                      F.col("p.in_reply_to") == F.col("r.message_id"),
+                      "left")
+                .groupBy(F.col("r.message_id").alias("thread_id"),
+                         F.col("r.subject").alias("subject"))
+                .agg(F.count("p.message_id").cast("long")
+                     .alias("n_replies"),
+                     F.countDistinct("p.from_addr").cast("long")
+                     .alias("n_participants"))
+                .orderBy("thread_id"))
+    q["mail_thread_stats"] = q_mail_threads
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6229,4 +6265,25 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_IPYNB}')
             GROUP BY lang, cell_type
             ORDER BY lang, cell_type""",
+        # mbox messages: committed golden parquet pinned by
+        # tests/test_mail.py against the pure re-derivation
+        "mbox_messages": f"""
+            SELECT url, msg_idx, message_id, from_addr, to_addrs,
+                   subject, date_ts, in_reply_to, text, n_parts,
+                   has_html, n_attachments
+            FROM read_parquet('{_GOLDEN_MBOX}')
+            ORDER BY url, msg_idx""",
+        # reply threads: golden both sides (left join keeps
+        # reply-less roots with zero counts)
+        "mail_thread_stats": f"""
+            WITH m AS (SELECT * FROM read_parquet('{_GOLDEN_MBOX}'))
+            SELECT r.message_id AS thread_id, r.subject AS subject,
+                   count(p.message_id)::bigint AS n_replies,
+                   count(DISTINCT p.from_addr)::bigint
+                     AS n_participants
+            FROM m r LEFT JOIN m p
+              ON p.in_reply_to = r.message_id AND p.in_reply_to != ''
+            WHERE r.in_reply_to = '' AND r.message_id != ''
+            GROUP BY r.message_id, r.subject
+            ORDER BY thread_id""",
     }

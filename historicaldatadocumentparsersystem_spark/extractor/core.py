@@ -19,6 +19,7 @@ from .docx import extract_docx_text, is_docx
 from .epubx import extract_epub_text, is_epub
 from .htmlx import decode_payload, extract_html
 from .ipynbx import extract_ipynb_text, is_ipynb
+from .mailx import extract_mbox_text, is_mbox
 from .odtx import extract_odt_text, is_odt
 from .pdfx import extract_pdf
 from .pptx import extract_pptx_text, is_pptx
@@ -31,6 +32,7 @@ KIND_DOCX = "docx"
 KIND_EPUB = "epub"
 KIND_ODT = "odt"
 KIND_IPYNB = "ipynb"
+KIND_MBOX = "mbox"
 
 # span struct field order used everywhere (Spark schema + oracle tuples)
 SPAN_FIELDS = ("start", "end", "kind")
@@ -119,6 +121,14 @@ def extract_document(payload: bytes | None, fallback_text: str | None
             if not spans:
                 return _fallback(fallback_text, failed=True)
             return ExtractResult(KIND_IPYNB, text, spans, len(spans), 0.0)
+        # mbox mail archive (extractor/mailx.py — per-message
+        # subject+body blocks; html-only bodies route through the
+        # same DOM pipeline)
+        if kind == KIND_EMPTY and is_mbox(payload):
+            text, spans = extract_mbox_text(payload)
+            if not spans:
+                return _fallback(fallback_text, failed=True)
+            return ExtractResult(KIND_MBOX, text, spans, len(spans), 0.0)
     except Exception:
         # degrade to fallback, mark failed (lineage failed_rows)
         return _fallback(fallback_text, failed=True)

@@ -2147,3 +2147,124 @@ def ipynb_file_rows(n: int = 30, seed: int = 42) -> list[dict]:
             payload = b"\x00\x01 not json at all" if i % 2 else None
         out.append({"url": url, "payload": payload})
     return out
+
+
+# --- mbox / email fixture files ------------------------------------------------
+
+def mbox_file_rows(n: int = 24, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic mbox files: (url, payload). Rotates the
+    serializations mailing-list archives carry: 7bit utf-8 plain,
+    quoted-printable with body ``From `` lines (mboxrd escaping must
+    round-trip), base64 cp1252 inside multipart/alternative with an
+    html twin, html-only messages (body falls back through the htmlx
+    DOM pipeline) with a binary attachment, declared-latin-1 and
+    unknown-charset fallbacks, folded To headers, duplicate Subject
+    (first wins), encoded-word subjects (B and Q), a bare RFC 5322
+    message with no envelope, and garbage/None payloads (F5)."""
+    import base64
+    from .extractor.mailx import make_mbox, make_message
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 179424673, i)
+        url = f"mbox://archive-{i}.mbox"
+        k = i % 8
+        host = _HOSTS[(i * 40503) % len(_HOSTS)]
+        date = (f"Mon, {4 + i % 20:02d} Aug 2025 "
+                f"{8 + i % 12:02d}:{i % 60:02d}:00 +0{i % 3}00")
+        subj_text = _sentence(rng, 3, 6).rstrip(".,!")
+        if k == 0:
+            msgs = [make_message(
+                [("From", f"Dev {j} <dev{j}@{host}>"),
+                 ("To", f"list@{host}"),
+                 ("Subject", f"{subj_text} part {j}"),
+                 ("Date", date),
+                 ("Message-ID", f"<t{i}.m{j}@{host}>")]
+                + ([("In-Reply-To", f"<t{i}.m0@{host}>")] if j else []),
+                [{"content_type": "text/plain", "charset": "utf-8",
+                  "text": _paragraph(rng, 1, 2)}])
+                for j in range(2 + i % 3)]
+            payload = make_mbox(msgs)
+        elif k == 1:
+            body = (f"{_sentence(rng, 4, 8)}\n"
+                    f"From the café — naïve test.\n"
+                    f">From an already-quoted line.\n"
+                    f"{_sentence(rng, 3, 6)}")
+            b64subj = base64.b64encode(
+                f"café {subj_text}".encode()).decode()
+            payload = make_mbox([make_message(
+                [("From", f"alice@{host}"), ("To", f"list@{host}"),
+                 ("Subject", f"=?utf-8?B?{b64subj}?="),
+                 ("Date", date), ("Message-ID", f"<qp{i}@{host}>")],
+                [{"content_type": "text/plain", "charset": "utf-8",
+                  "cte": "quoted-printable", "text": body}])])
+        elif k == 2:
+            text = f"Sounds good — {_sentence(rng, 3, 6)}"
+            payload = make_mbox([make_message(
+                [("From", f"Bob <bob@{host}>"), ("To", f"list@{host}"),
+                 ("Subject", "=?utf-8?Q?caf=C3=A9_q=2Dword?="),
+                 ("Date", date), ("Message-ID", f"<alt{i}@{host}>")],
+                [{"content_type": "text/plain", "charset": "cp1252",
+                  "cte": "base64", "text": text, "alternative": True},
+                 {"content_type": "text/html", "charset": "utf-8",
+                  "text": f"<html><body><p>{text}</p></body></html>"}])])
+        elif k == 3:
+            payload = make_mbox([make_message(
+                [("From", f"Carol <carol@{host}>"),
+                 ("To", f"a@{host},\n\tB Team <b@{host}>"),
+                 ("Subject", f"report {i}"),
+                 ("Subject", "second subject loses"),
+                 ("Date", date), ("Message-ID", f"<html{i}@{host}>")],
+                [{"content_type": "text/html", "charset": "utf-8",
+                  "text": (f"<html><body><h1>Report {i}</h1>"
+                           f"<p>{_paragraph(rng, 1, 2)}</p>"
+                           f"</body></html>")},
+                 {"content_type": "application/octet-stream",
+                  "cte": "base64", "data": bytes(range(i % 7, 40)),
+                  "filename": f"data{i}.bin", "attachment": True}])])
+        elif k == 4:
+            payload = make_mbox([make_message(
+                [("From", f"dora@{host}"), ("Subject", f"latin {i}"),
+                 ("Date", date), ("Message-ID", f"<l1{i}@{host}>")],
+                [{"content_type": "text/plain", "charset": "iso-8859-1",
+                  "text": f"déjà vu {_sentence(rng, 3, 5)}"}]),
+                make_message(
+                [("From", f"erik@{host}"), ("Subject", f"odd {i}"),
+                 ("Date", "not a date"),
+                 ("Message-ID", f"<l2{i}@{host}>")],
+                [{"content_type": "text/plain", "charset": "utf-8",
+                  "declared": "x-weird-charset",
+                  "text": _sentence(rng, 4, 7)}])])
+        elif k == 5:
+            # bare RFC 5322 message, no mbox envelope
+            payload = make_message(
+                [("From", f"Frank <frank@{host}>"),
+                 ("To", f"list@{host}"), ("Subject", f"bare {i}"),
+                 ("Date", date)],
+                [{"content_type": "text/plain", "charset": "utf-8",
+                  "text": _paragraph(rng, 1, 2)}])
+        elif k == 6:
+            # nested multipart: mixed( alternative(plain, html), bin )
+            inner = make_message(
+                [],
+                [{"content_type": "text/plain", "charset": "utf-8",
+                  "text": f"nested {_sentence(rng, 3, 6)}",
+                  "alternative": True},
+                 {"content_type": "text/html", "charset": "utf-8",
+                  "text": "<p>nested html</p>"}])
+            # strip the empty header block ("\n" prefix) to reuse the
+            # serialized multipart entity as a sub-part
+            entity = inner.split(b"\n", 1)[1]
+            payload = make_mbox([
+                b"From: gina@" + host.encode() + b"\n"
+                b"Subject: nested " + str(i).encode() + b"\n"
+                b"Date: " + date.encode() + b"\n"
+                b"Message-ID: <nest" + str(i).encode() + b"@x>\n"
+                b"Content-Type: multipart/mixed; boundary=\"outer-b\"\n"
+                b"\n--outer-b\n" + entity +
+                b"\n--outer-b\nContent-Type: text/plain; charset=\"utf-8\""
+                b"\n\ntrailing plain part\n--outer-b--\n"])
+        else:
+            payload = (None if i % 2 else
+                       b"\x00\x01 binary junk, not mail at all")
+        out.append({"url": url, "payload": payload})
+    return out

@@ -243,6 +243,63 @@ def read_ipynb_cells(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, IPYNB_CELLS_DDL))
 
 
+MBOX_MESSAGES_DDL = ("url string, msg_idx int, message_id string, "
+                     "from_addr string, to_addrs string, subject string, "
+                     "date_ts timestamp, in_reply_to string, text string, "
+                     "n_parts int, has_html boolean, n_attachments int")
+
+
+def read_mbox_messages(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, mbox payload) rows -> one row per message.
+
+    The message-container member of the loader family; the per-row
+    parse is the pure-Python ``extractor.mailx.parse_mbox`` (RFC 5322
+    headers, RFC 2047 encoded words, nested MIME, mboxrd escaping).
+    Junk payloads yield no rows (F5)."""
+    import pandas as pd
+
+    from ..extractor.mailx import parse_mbox
+
+    def parse(batches):
+        for b in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "url", "msg_idx", "message_id", "from_addr", "to_addrs",
+                "subject", "date_ts", "in_reply_to", "text", "n_parts",
+                "has_html", "n_attachments")}
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    msgs = parse_mbox(
+                        bytes(payload) if payload is not None else None)
+                except Exception:
+                    continue
+                for m in msgs:
+                    cols["url"].append(url)
+                    cols["msg_idx"].append(m.idx)
+                    cols["message_id"].append(m.message_id)
+                    cols["from_addr"].append(m.from_addr)
+                    cols["to_addrs"].append(m.to_addrs)
+                    cols["subject"].append(m.subject)
+                    cols["date_ts"].append(
+                        m.date_ts.replace(tzinfo=None)
+                        if m.date_ts is not None else None)
+                    cols["in_reply_to"].append(m.in_reply_to)
+                    cols["text"].append(m.text)
+                    cols["n_parts"].append(len(m.parts))
+                    cols["has_html"].append(m.has_html)
+                    cols["n_attachments"].append(m.n_attachments)
+            out = pd.DataFrame(cols)
+            out["msg_idx"] = pd.array(cols["msg_idx"], dtype="int32")
+            out["n_parts"] = pd.array(cols["n_parts"], dtype="int32")
+            out["n_attachments"] = pd.array(cols["n_attachments"],
+                                            dtype="int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MBOX_MESSAGES_DDL))
+
+
 OPML_FEEDS_DDL = ("url string, pos int, category string, "
                   "title string, xml_url string, html_url string")
 
