@@ -910,6 +910,10 @@ _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
                              "golden_ipynb_cells_seed42_n30.parquet")
 _GOLDEN_MBOX = os.path.join(_REPO, "fixtures",
                             "golden_mbox_seed42_n24.parquet")
+_GOLDEN_WIKITEXT = os.path.join(
+    _REPO, "fixtures", "golden_wikitext_elements_seed42_n40.parquet")
+_GOLDEN_WIKILINKS = os.path.join(
+    _REPO, "fixtures", "golden_wiki_links_seed42_n40.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1549,6 +1553,7 @@ _EXTRA_ORDER = [
     "pii_spans", "pii_profile", "pii_redact_corpus",
     "ipynb_cells", "notebook_lang_stats",
     "mbox_messages", "mail_thread_stats",
+    "wikitext_elements", "wiki_page_links", "wikitext_sections",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3138,6 +3143,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_participants"))
                 .orderBy("thread_id"))
     q["mail_thread_stats"] = q_mail_threads
+
+    # --- MediaWiki wikitext source — elements in the SHARED
+    # office/outline schema (hash-checked against the committed golden,
+    # pinned by tests/test_wikitext.py against the pure re-derivation)
+    def q_wikitext(spark, sf_dir):
+        pages = fixtures.wikitext_rows(40)
+        df = spark.createDataFrame(
+            [(r["url"], r["wikitext"]) for r in pages],
+            "url string, wikitext string").repartition(8)
+        return (sources.read_wikitext_elements(df)
+                .orderBy("url", "para"))
+    q["wikitext_elements"] = q_wikitext
+
+    # --- internal wiki links (File:/Category:/table/template/ref
+    # positions excluded — they do not render as article links)
+    def q_wiki_links(spark, sf_dir):
+        pages = fixtures.wikitext_rows(40)
+        df = spark.createDataFrame(
+            [(r["url"], r["wikitext"]) for r in pages],
+            "url string, wikitext string").repartition(8)
+        return sources.read_wiki_links(df).orderBy("url", "pos")
+    q["wiki_page_links"] = q_wiki_links
+
+    # --- the SAME section operator over the wikitext elements golden
+    # — wiki pages section exactly like office documents and web pages
+    def q_wiki_sections(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            chunking)
+        els = spark.read.parquet(_GOLDEN_WIKITEXT)
+        return chunking.section_chunks(els).orderBy("url", "section_idx")
+    q["wikitext_sections"] = q_wiki_sections
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6286,4 +6322,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.in_reply_to = '' AND r.message_id != ''
             GROUP BY r.message_id, r.subject
             ORDER BY thread_id""",
+        # wikitext elements/links: committed goldens pinned by
+        # tests/test_wikitext.py against the pure re-derivation
+        "wikitext_elements": f"""
+            SELECT url, para, kind, level, text
+            FROM read_parquet('{_GOLDEN_WIKITEXT}')
+            ORDER BY url, para""",
+        "wiki_page_links": f"""
+            SELECT url, pos, target, label
+            FROM read_parquet('{_GOLDEN_WIKILINKS}')
+            ORDER BY url, pos""",
+        # the shared section operator over the wikitext golden
+        "wikitext_sections": _section_sql(
+            f"SELECT * FROM read_parquet('{_GOLDEN_WIKITEXT}')"),
     }

@@ -2268,3 +2268,86 @@ def mbox_file_rows(n: int = 24, seed: int = 42) -> list[dict]:
                        b"\x00\x01 binary junk, not mail at all")
         out.append({"url": url, "payload": payload})
     return out
+
+
+# --- wikitext fixture pages ----------------------------------------------------
+
+def wikitext_rows(n: int = 40, seed: int = 42) -> list[dict]:
+    """Deterministic (url, wikitext) pages exercising the wikix
+    subset: infobox templates (nested), heading hierarchies with the
+    lenient unbalanced-equals rule, pipe/pipe-trick links, File links
+    with caption links, external links (labeled and numbered), nested
+    lists of every marker, tables with links that must NOT register,
+    refs (paired, self-closing, unterminated), nowiki protection,
+    magic words, emphasis runs, multi-line templates, and junk/empty
+    rows (F5)."""
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 198491317, i)
+        host = _HOSTS[(i * 40503) % len(_HOSTS)]
+        url = f"wiki://{host}/wiki/Article_{i}"
+        k = i % 8
+        title = _sentence(rng, 2, 4).rstrip(".,!")
+        if k == 0:
+            src = (
+                f"{{{{Infobox topic\n| name = {title}\n"
+                f"| site = [https://{host}/ home]\n"
+                f"| uses = {{{{nested|{i}}}}}\n}}}}\n"
+                f"'''{title}''' is a [[{_sentence(rng, 1, 2).rstrip('.,!')}"
+                f"|topic]] covering [[Article {(i + 3) % n}]].\n"
+                f"It spans two source lines.\n\n"
+                f"== Overview ==\n{_paragraph(rng, 1, 2)}\n\n"
+                f"=== Details ===\n"
+                f"* point about [[Article {(i + 5) % n}]]\n"
+                f"* second point\n** nested [[Deep link {i}]]\n"
+                f"# ordered one\n"
+                f"== See also ==\n"
+                f"* [[Article {(i + 1) % n}|next article]]\n")
+        elif k == 1:
+            src = (
+                f"{title} began<ref name=\"r{i}\">{{{{cite web"
+                f"|url=https://{host}/cite}}}}</ref> early.<ref "
+                f"name=\"r{i}\" />\n"
+                f"A [[File:Pic {i}.png|thumb|Caption with a "
+                f"[[Caption target {i}|caption link]] inside]] image.\n"
+                f"[[Category:Fixtures]]\n\n"
+                f"==Lenient {i}====\n"
+                f"Some ''italic'' and '''bold''' plus "
+                f"[https://{host}/x ext label] and bare "
+                f"[https://{host}/y].\n__NOTOC__\n")
+        elif k == 2:
+            src = (
+                f"Before the table.\n"
+                f"{{| class=\"wikitable\"\n|-\n! H1 !! H2\n|-\n"
+                f"| [[TableLink {i}]] || cell\n"
+                f"{{| nested inner\n| x\n|}}\n"
+                f"| more\n|}}\n"
+                f"After the table with [[Kept link {i}]].\n")
+        elif k == 3:
+            src = (
+                f"<nowiki>[[not a link {i}]] and {{{{not a "
+                f"template}}}}</nowiki> stays literal, then "
+                f"[[Real {i}|]] pipe-trick.\n\n"
+                f"= Top =\n; term\n: definition body {i}\n")
+        elif k == 4:
+            src = (
+                f"{{{{unterminated template {i}\nswallows the rest\n"
+                if i % 2 else
+                f"plain only {_paragraph(rng, 1, 2)}\n"
+                f"<!-- comment\nspanning -->tail {i}.\n")
+        elif k == 5:
+            src = (
+                f"== {title} ==\n"
+                + "\n".join(f"* [[Article {(i + j) % n}]] row {j}"
+                            for j in range(3))
+                + f"\n\nClosing paragraph {_sentence(rng, 4, 8)}\n")
+        elif k == 6:
+            # deep heading ladder for the section composition
+            src = "\n\n".join(
+                f"{'=' * lv} L{lv} head {i} {'=' * lv}\n"
+                f"body at level {lv}: {_sentence(rng, 3, 6)}"
+                for lv in range(1, 5))
+        else:
+            src = "" if i % 2 else f"<ref>unterminated ref {i}\ngone"
+        out.append({"url": url, "wikitext": src})
+    return out

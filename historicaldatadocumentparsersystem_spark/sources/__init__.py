@@ -243,6 +243,79 @@ def read_ipynb_cells(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, IPYNB_CELLS_DDL))
 
 
+WIKI_LINKS_DDL = "url string, pos int, target string, label string"
+
+
+def read_wikitext_elements(df: DataFrame, url_col: str = "url",
+                           text_col: str = "wikitext") -> DataFrame:
+    """(url, wikitext) rows -> ordered elements in the SHARED
+    (url, para, kind, level, text) office/outline schema — wiki pages
+    section exactly like office documents (``chunking.section_chunks``
+    composes directly).  The per-row parse is the pure-Python
+    ``extractor.wikix.parse_wikitext``."""
+    import pandas as pd
+
+    from ..extractor.wikix import parse_wikitext
+
+    def parse(batches):
+        for b in batches:
+            urls, paras, kinds, levels, texts = [], [], [], [], []
+            for url, src in zip(b[url_col], b[text_col]):
+                try:
+                    els = parse_wikitext(src if src is not None else "")
+                except Exception:
+                    continue
+                for el in els:
+                    urls.append(url)
+                    paras.append(el.para)
+                    kinds.append(el.kind)
+                    levels.append(el.level)
+                    texts.append(el.text)
+            yield pd.DataFrame({
+                "url": urls,
+                "para": pd.array(paras, dtype="int32"),
+                "kind": kinds,
+                "level": pd.array(levels, dtype="int32"),
+                "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(parse, ODT_ELEMENTS_DDL))
+
+
+def read_wiki_links(df: DataFrame, url_col: str = "url",
+                    text_col: str = "wikitext") -> DataFrame:
+    """(url, wikitext) rows -> internal links in document order
+    (File:/Image:/Category: and template/table/ref positions
+    excluded — they do not render as article links)."""
+    import pandas as pd
+
+    from ..extractor.wikix import wiki_links
+
+    def parse(batches):
+        for b in batches:
+            urls, poss, targets, labels = [], [], [], []
+            for url, src in zip(b[url_col], b[text_col]):
+                try:
+                    links = wiki_links(src if src is not None else "")
+                except Exception:
+                    continue
+                for lk in links:
+                    urls.append(url)
+                    poss.append(lk.pos)
+                    targets.append(lk.target)
+                    labels.append(lk.label)
+            yield pd.DataFrame({
+                "url": urls,
+                "pos": pd.array(poss, dtype="int32"),
+                "target": targets,
+                "label": labels})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(parse, WIKI_LINKS_DDL))
+
+
 MBOX_MESSAGES_DDL = ("url string, msg_idx int, message_id string, "
                      "from_addr string, to_addrs string, subject string, "
                      "date_ts timestamp, in_reply_to string, text string, "
