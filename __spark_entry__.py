@@ -914,6 +914,8 @@ _GOLDEN_WIKITEXT = os.path.join(
     _REPO, "fixtures", "golden_wikitext_elements_seed42_n40.parquet")
 _GOLDEN_WIKILINKS = os.path.join(
     _REPO, "fixtures", "golden_wiki_links_seed42_n40.parquet")
+_GOLDEN_MP4 = os.path.join(_REPO, "fixtures",
+                           "golden_mp4_seed42_n20.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1554,6 +1556,7 @@ _EXTRA_ORDER = [
     "ipynb_cells", "notebook_lang_stats",
     "mbox_messages", "mail_thread_stats",
     "wikitext_elements", "wiki_page_links", "wikitext_sections",
+    "mp4_metadata", "video_track_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3174,6 +3177,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         els = spark.read.parquet(_GOLDEN_WIKITEXT)
         return chunking.section_chunks(els).orderBy("url", "section_idx")
     q["wikitext_sections"] = q_wiki_sections
+
+    # --- MP4 container metadata (real ISO-BMFF box walk; sample data
+    # never decoded) — hash-checked against the committed golden,
+    # pinned by tests/test_mp4.py against the pure re-derivation
+    def q_mp4(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            multimodal)
+        files = fixtures.mp4_media_rows(20)
+        df = spark.createDataFrame(
+            [(r["media_id"], r["payload"]) for r in files],
+            "media_id string, payload binary").repartition(8)
+        return (multimodal.video_metadata(df)
+                .orderBy("media_id", "track_id"))
+    q["mp4_metadata"] = q_mp4
+
+    # --- per-codec track profile — golden both sides (the
+    # frame-budget / resolution-bucket accounting a video corpus runs)
+    def q_video_stats(spark, sf_dir):
+        t = spark.read.parquet(_GOLDEN_MP4).where(
+            F.col("track_id").isNotNull())
+        return (t.groupBy("handler", "codec")
+                .agg(F.count("*").cast("long").alias("n_tracks"),
+                     F.sum("track_ms").cast("long").alias("total_ms"),
+                     F.max(F.col("width") * F.col("height"))
+                     .cast("long").alias("max_pixels"),
+                     F.countDistinct("lang").cast("long")
+                     .alias("n_langs"))
+                .orderBy("handler", "codec"))
+    q["video_track_stats"] = q_video_stats
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6335,4 +6367,21 @@ def oracle_sql() -> dict[str, str]:
         # the shared section operator over the wikitext golden
         "wikitext_sections": _section_sql(
             f"SELECT * FROM read_parquet('{_GOLDEN_WIKITEXT}')"),
+        # mp4 tracks: committed golden parquet pinned by
+        # tests/test_mp4.py against the pure re-derivation
+        "mp4_metadata": f"""
+            SELECT media_id, brand, duration_ms, n_boxes, track_id,
+                   handler, codec, width, height, track_ms, lang
+            FROM read_parquet('{_GOLDEN_MP4}')
+            ORDER BY media_id, track_id""",
+        # per-codec track profile: golden both sides
+        "video_track_stats": f"""
+            SELECT handler, codec, count(*)::bigint AS n_tracks,
+                   sum(track_ms)::bigint AS total_ms,
+                   max(width * height)::bigint AS max_pixels,
+                   count(DISTINCT lang)::bigint AS n_langs
+            FROM read_parquet('{_GOLDEN_MP4}')
+            WHERE track_id IS NOT NULL
+            GROUP BY handler, codec
+            ORDER BY handler, codec""",
     }

@@ -2351,3 +2351,64 @@ def wikitext_rows(n: int = 40, seed: int = 42) -> list[dict]:
             src = "" if i % 2 else f"<ref>unterminated ref {i}\ngone"
         out.append({"url": url, "wikitext": src})
     return out
+
+
+# --- mp4 fixture files ----------------------------------------------------------
+
+def mp4_media_rows(n: int = 20, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic MP4 containers: (media_id, payload).
+    Rotates v0/v1 box layouts, largesize mdat, video+audio and
+    audio-only tracks, a text track, 4K/SD resolutions, language
+    rotation, a track-less moov, and garbage/None payloads (F5)."""
+    from .extractor.mp4x import make_mp4
+    langs = ["eng", "fra", "deu", "jpn", "und", "spa"]
+    codecs = [("avc1", "mp4a"), ("hvc1", "mp4a"), ("vp09", "opus")]
+    out = []
+    for i in range(n):
+        k = i % 6
+        mid = f"vid{i}"
+        ts = 600 + (i % 3) * 400
+        if k == 0:
+            vcodec, acodec = codecs[i % 3]
+            payload = make_mp4(
+                brand="mp42", timescale=ts, duration=ts * (10 + i),
+                tracks=[
+                    {"track_id": 1, "handler": "vide", "codec": vcodec,
+                     "width": 640 + (i % 4) * 320,
+                     "height": 360 + (i % 4) * 180,
+                     "duration": ts * (10 + i), "timescale": ts,
+                     "lang": langs[i % 6]},
+                    {"track_id": 2, "handler": "soun", "codec": acodec,
+                     "duration": 44100 * (10 + i), "timescale": 44100,
+                     "lang": langs[(i + 1) % 6]}])
+        elif k == 1:
+            payload = make_mp4(
+                brand="isom", version=1, timescale=1000,
+                duration=90000 + i, large_mdat=True,
+                tracks=[{"track_id": 1, "handler": "vide",
+                         "codec": "av01", "width": 3840, "height": 2160,
+                         "duration": 90000 + i, "lang": "jpn"}])
+        elif k == 2:
+            payload = make_mp4(
+                brand="M4A ", timescale=44100, duration=44100 * 30,
+                tracks=[{"track_id": 1, "handler": "soun",
+                         "codec": "mp4a", "duration": 44100 * 30,
+                         "timescale": 44100, "lang": langs[i % 6]}])
+        elif k == 3:
+            payload = make_mp4(
+                brand="mp41", timescale=600, duration=600 * 5,
+                tracks=[
+                    {"track_id": 1, "handler": "vide", "codec": "avc1",
+                     "width": 1920, "height": 1080,
+                     "duration": 600 * 5, "lang": "eng"},
+                    {"track_id": 3, "handler": "text", "codec": "tx3g",
+                     "duration": 600 * 5, "lang": langs[i % 6]}])
+        elif k == 4:
+            # track-less but valid container
+            payload = make_mp4(brand="isom", timescale=90000,
+                               duration=90000 * 2, tracks=[])
+        else:
+            payload = (None if i % 2 else
+                       b"\x00\x00\x00\x08free not a real mp4")
+        out.append({"media_id": mid, "payload": payload})
+    return out

@@ -338,6 +338,56 @@ def media_metadata(df: DataFrame) -> DataFrame:
                "key string, value string")
 
 
+def video_metadata(df: DataFrame) -> DataFrame:
+    """Per-track MP4 container metadata (media_id, brand, duration_ms,
+    n_boxes, track_id, handler, codec, width, height, track_ms,
+    lang) — extractor/mp4x.py is the Spark-free oracle (real
+    ISO-BMFF box walk: ftyp/mvhd/tkhd/mdhd/hdlr/stsd, v0+v1 layouts,
+    largesize).  Map-only 1->N; the track table is what a training
+    pipeline filters on (handler routing, resolution buckets,
+    duration-weighted frame budgets, mdhd language) without ever
+    decoding sample data.  Track-less but valid containers emit one
+    row with null track fields so corpus accounting keeps the
+    payload.  Non-MP4 payloads yield no rows (F5)."""
+    import pandas as pd
+    from ..extractor import mp4x
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "brand", "duration_ms", "n_boxes",
+                "track_id", "handler", "codec", "width", "height",
+                "track_ms", "lang"]
+        for b in it:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    info = mp4x.parse_mp4(
+                        bytes(payload) if payload is not None else None)
+                except Exception:
+                    continue
+                if info is None:
+                    continue
+                if not info.tracks:
+                    rows.append((mid, info.brand, info.duration_ms,
+                                 info.n_boxes, None, None, None, None,
+                                 None, None, None))
+                for t in info.tracks:
+                    rows.append((mid, info.brand, info.duration_ms,
+                                 info.n_boxes, t.track_id, t.handler,
+                                 t.codec, t.width, t.height,
+                                 t.duration_ms, t.lang))
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("duration_ms", "n_boxes", "track_id", "width",
+                      "height", "track_ms"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(
+        batch, "media_id string, brand string, duration_ms long, "
+               "n_boxes long, track_id long, handler string, "
+               "codec string, width long, height long, track_ms long, "
+               "lang string")
+
+
 def media_artifacts(df: DataFrame) -> DataFrame:
     """ALL image artifact families from ONE decode per payload — the
     media-side analog of pagemeta.page_artifacts: at 100 TB the pixel
