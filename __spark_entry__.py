@@ -916,6 +916,8 @@ _GOLDEN_WIKILINKS = os.path.join(
     _REPO, "fixtures", "golden_wiki_links_seed42_n40.parquet")
 _GOLDEN_MP4 = os.path.join(_REPO, "fixtures",
                            "golden_mp4_seed42_n20.parquet")
+_GOLDEN_LATEX = os.path.join(
+    _REPO, "fixtures", "golden_latex_elements_seed42_n32.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1557,6 +1559,7 @@ _EXTRA_ORDER = [
     "mbox_messages", "mail_thread_stats",
     "wikitext_elements", "wiki_page_links", "wikitext_sections",
     "mp4_metadata", "video_track_stats",
+    "latex_elements", "latex_sections",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3206,6 +3209,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("handler", "codec"))
     q["video_track_stats"] = q_video_stats
+
+    # --- LaTeX source (detex analog; arXiv corpora) — elements in the
+    # SHARED office/outline schema, hash-checked against the committed
+    # golden (pinned by tests/test_latex.py against the pure
+    # re-derivation)
+    def q_latex(spark, sf_dir):
+        pages = fixtures.latex_rows(32)
+        df = spark.createDataFrame(
+            [(r["url"], r["tex"]) for r in pages],
+            "url string, tex string").repartition(8)
+        return sources.read_latex_elements(df).orderBy("url", "para")
+    q["latex_elements"] = q_latex
+
+    # --- the SAME section operator over the LaTeX elements golden
+    def q_latex_sections(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            chunking)
+        els = spark.read.parquet(_GOLDEN_LATEX)
+        return chunking.section_chunks(els).orderBy("url", "section_idx")
+    q["latex_sections"] = q_latex_sections
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6374,6 +6397,15 @@ def oracle_sql() -> dict[str, str]:
                    handler, codec, width, height, track_ms, lang
             FROM read_parquet('{_GOLDEN_MP4}')
             ORDER BY media_id, track_id""",
+        # latex elements: committed golden parquet pinned by
+        # tests/test_latex.py against the pure re-derivation
+        "latex_elements": f"""
+            SELECT url, para, kind, level, text
+            FROM read_parquet('{_GOLDEN_LATEX}')
+            ORDER BY url, para""",
+        # the shared section operator over the latex golden
+        "latex_sections": _section_sql(
+            f"SELECT * FROM read_parquet('{_GOLDEN_LATEX}')"),
         # per-codec track profile: golden both sides
         "video_track_stats": f"""
             SELECT handler, codec, count(*)::bigint AS n_tracks,

@@ -2412,3 +2412,78 @@ def mp4_media_rows(n: int = 20, seed: int = 42) -> list[dict]:
                        b"\x00\x00\x00\x08free not a real mp4")
         out.append({"media_id": mid, "payload": payload})
     return out
+
+
+# --- LaTeX fixture sources ------------------------------------------------------
+
+def latex_rows(n: int = 32, seed: int = 42) -> list[dict]:
+    """Deterministic (url, tex) sources exercising the texx subset:
+    full documents with preamble/title carry-over, sectioning ladders,
+    nested lists, math removal (inline, display, environments),
+    figure/table wrappers whose captions survive, verbatim protection,
+    accent macros vs letter-named commands, href/url unwrapping,
+    comments, bare fragments without a document env, and junk/empty
+    rows (F5)."""
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 217645199, i)
+        host = _HOSTS[(i * 40503) % len(_HOSTS)]
+        url = f"tex://{host}/papers/{i}.tex"
+        k = i % 6
+        title = _sentence(rng, 3, 6).rstrip(".,!")
+        if k == 0:
+            tex = (
+                f"\\documentclass{{article}}\n"
+                f"\\usepackage{{amsmath}}\n"
+                f"\\title{{{title} \\textbf{{Results}}}}\n"
+                f"\\author{{Fixture Author {i}}}\n"
+                f"\\begin{{document}}\n\\maketitle\n"
+                f"\\begin{{abstract}}\nWe prove $x_{i} > 0$ and "
+                f"cite~\\cite{{ref{i}}}.\n\\end{{abstract}}\n\n"
+                f"\\section{{Introduction}}\n"
+                f"Caf\\'e fa\\c{{c}}ade --- the \\emph{{key}} "
+                f"{i}0\\% case.\nSecond source line.\n\n"
+                f"\\subsection{{Method}}\n{_sentence(rng, 6, 10)}\n"
+                f"\\begin{{equation}}\ne=mc^2_{i}\n\\end{{equation}}\n"
+                f"After the equation.\n\\end{{document}}\n")
+        elif k == 1:
+            tex = (
+                f"\\begin{{document}}\n"
+                f"\\section{{Lists {i}}}\n"
+                f"\\begin{{itemize}}\n"
+                f"\\item first \\texttt{{tok{i}}}\n"
+                f"\\item see \\href{{https://{host}/x}}{{site {i}}}"
+                f" and \\url{{https://{host}/y}}\n"
+                f"\\begin{{enumerate}}\n\\item[*] nested {i}\n"
+                f"\\end{{enumerate}}\n"
+                f"\\end{{itemize}}\nTail paragraph {i}.\n"
+                f"\\end{{document}}")
+        elif k == 2:
+            tex = (
+                f"\\section{{Floats {i}}}\n"
+                f"\\begin{{figure}}\n"
+                f"\\includegraphics[width=2in]{{fig{i}.pdf}}\n"
+                f"\\caption{{Figure caption {i} survives.}}\n"
+                f"\\label{{fig:{i}}}\n\\end{{figure}}\n\n"
+                f"\\begin{{table}}\n\\caption{{Table caption {i}.}}\n"
+                f"\\begin{{tikzpicture}}\ndrawn {i}\\end{{tikzpicture}}\n"
+                f"\\end{{table}}\nBody after floats.\n")
+        elif k == 3:
+            tex = (
+                f"Plain fragment {_sentence(rng, 4, 8)}\n\n"
+                f"\\begin{{verbatim}}\nkept $m{i}$ \\cmd {{b}}\n"
+                f"\\end{{verbatim}}\n\n"
+                f"Inline \\verb|$v{i}$| and \\(a+b\\) gone, "
+                f"$$d{i}$$ too. % comment {i}\n"
+                f"A 50\\% escape \\& more~here.\n")
+        elif k == 4:
+            tex = (
+                f"\\chapter{{Book {i}}}\n\\section{{S1}}\n"
+                + "\n\n".join(
+                    f"\\subsection{{Sub {j}}}\npara {j}: "
+                    f"{_sentence(rng, 3, 6)}" for j in range(3))
+                + f"\n\\paragraph{{Deep {i}}}\ndeep body {i}.\n")
+        else:
+            tex = "" if i % 2 else f"% only a comment {i}\n$only math$\n"
+        out.append({"url": url, "tex": tex})
+    return out

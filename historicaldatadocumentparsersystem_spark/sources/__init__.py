@@ -243,6 +243,42 @@ def read_ipynb_cells(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, IPYNB_CELLS_DDL))
 
 
+def read_latex_elements(df: DataFrame, url_col: str = "url",
+                        text_col: str = "tex") -> DataFrame:
+    """(url, latex source) rows -> ordered elements in the SHARED
+    (url, para, kind, level, text) office/outline schema (the detex
+    analog; ``chunking.section_chunks`` composes directly).  The
+    per-row parse is the pure-Python ``extractor.texx.parse_latex``."""
+    import pandas as pd
+
+    from ..extractor.texx import parse_latex
+
+    def parse(batches):
+        for b in batches:
+            urls, paras, kinds, levels, texts = [], [], [], [], []
+            for url, src in zip(b[url_col], b[text_col]):
+                try:
+                    els = parse_latex(src if src is not None else "")
+                except Exception:
+                    continue
+                for el in els:
+                    urls.append(url)
+                    paras.append(el.para)
+                    kinds.append(el.kind)
+                    levels.append(el.level)
+                    texts.append(el.text)
+            yield pd.DataFrame({
+                "url": urls,
+                "para": pd.array(paras, dtype="int32"),
+                "kind": kinds,
+                "level": pd.array(levels, dtype="int32"),
+                "text": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(parse, ODT_ELEMENTS_DDL))
+
+
 WIKI_LINKS_DDL = "url string, pos int, target string, label string"
 
 
