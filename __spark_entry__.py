@@ -918,6 +918,12 @@ _GOLDEN_MP4 = os.path.join(_REPO, "fixtures",
                            "golden_mp4_seed42_n20.parquet")
 _GOLDEN_LATEX = os.path.join(
     _REPO, "fixtures", "golden_latex_elements_seed42_n32.parquet")
+_GOLDEN_WIKIDUMP = os.path.join(
+    _REPO, "fixtures", "golden_wiki_dump_seed42_n12.parquet")
+_GOLDEN_TARMEM = os.path.join(
+    _REPO, "fixtures", "golden_tar_members_seed42_n12.parquet")
+_GOLDEN_TARLATEX = os.path.join(
+    _REPO, "fixtures", "golden_tar_latex_seed42_n12.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1560,6 +1566,7 @@ _EXTRA_ORDER = [
     "wikitext_elements", "wiki_page_links", "wikitext_sections",
     "mp4_metadata", "video_track_stats",
     "latex_elements", "latex_sections",
+    "wiki_dump_pages", "tar_members", "tar_latex_elements",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3229,6 +3236,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         els = spark.read.parquet(_GOLDEN_LATEX)
         return chunking.section_chunks(els).orderBy("url", "section_idx")
     q["latex_sections"] = q_latex_sections
+
+    # --- MediaWiki export-dump container (the shape Wikipedia ships)
+    # — hash-checked against the committed golden (pinned by
+    # tests/test_wikitext.py against the pure re-derivation)
+    def q_wiki_dump(spark, sf_dir):
+        files = fixtures.wiki_dump_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_wiki_dump(df).orderBy("url", "page_idx")
+    q["wiki_dump_pages"] = q_wiki_dump
+
+    # --- tar archive members (arXiv-bulk shape; payloads stay binary
+    # so per-format readers chain) — payload identity via md5
+    def q_tar_members(spark, sf_dir):
+        files = fixtures.tar_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return (sources.read_tar_members(df)
+                .select("url", "member_idx", "name", "size", "mtime",
+                        "typeflag",
+                        F.md5(F.coalesce(F.col("payload"),
+                                         F.lit(b"")))
+                        .alias("payload_md5"))
+                .orderBy("url", "member_idx"))
+    q["tar_members"] = q_tar_members
+
+    # --- container x content composition: .tex members of the tar
+    # fixture archives through the LaTeX element reader
+    def q_tar_latex(spark, sf_dir):
+        files = fixtures.tar_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        members = sources.read_tar_members(df).where(
+            (F.col("typeflag") == "0")
+            & F.col("name").endswith(".tex"))
+        texes = members.select(
+            F.concat_ws("#", "url", "name").alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias("tex"))
+        return (sources.read_latex_elements(texes)
+                .orderBy("url", "para"))
+    q["tar_latex_elements"] = q_tar_latex
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6406,6 +6457,23 @@ def oracle_sql() -> dict[str, str]:
         # the shared section operator over the latex golden
         "latex_sections": _section_sql(
             f"SELECT * FROM read_parquet('{_GOLDEN_LATEX}')"),
+        # wiki dump pages / tar members / tar->latex composition:
+        # committed goldens pinned by tests against the pure
+        # re-derivations
+        "wiki_dump_pages": f"""
+            SELECT url, page_idx, title, ns, page_id, redirect,
+                   wikitext
+            FROM read_parquet('{_GOLDEN_WIKIDUMP}')
+            ORDER BY url, page_idx""",
+        "tar_members": f"""
+            SELECT url, member_idx, name, size, mtime, typeflag,
+                   payload_md5
+            FROM read_parquet('{_GOLDEN_TARMEM}')
+            ORDER BY url, member_idx""",
+        "tar_latex_elements": f"""
+            SELECT url, para, kind, level, text
+            FROM read_parquet('{_GOLDEN_TARLATEX}')
+            ORDER BY url, para""",
         # per-codec track profile: golden both sides
         "video_track_stats": f"""
             SELECT handler, codec, count(*)::bigint AS n_tracks,

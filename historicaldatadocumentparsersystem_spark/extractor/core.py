@@ -20,6 +20,8 @@ from .epubx import extract_epub_text, is_epub
 from .htmlx import decode_payload, extract_html
 from .ipynbx import extract_ipynb_text, is_ipynb
 from .mailx import extract_mbox_text, is_mbox
+from .tarx import extract_tar_text, is_tar
+from .texx import extract_latex, is_latex
 from .odtx import extract_odt_text, is_odt
 from .pdfx import extract_pdf
 from .pptx import extract_pptx_text, is_pptx
@@ -33,6 +35,8 @@ KIND_EPUB = "epub"
 KIND_ODT = "odt"
 KIND_IPYNB = "ipynb"
 KIND_MBOX = "mbox"
+KIND_TAR = "tar"
+KIND_LATEX = "latex"
 
 # span struct field order used everywhere (Spark schema + oracle tuples)
 SPAN_FIELDS = ("start", "end", "kind")
@@ -129,6 +133,22 @@ def extract_document(payload: bytes | None, fallback_text: str | None
             if not spans:
                 return _fallback(fallback_text, failed=True)
             return ExtractResult(KIND_MBOX, text, spans, len(spans), 0.0)
+        # tar archive (extractor/tarx.py — each regular member routes
+        # back through THIS dispatcher, one level deep)
+        if kind == KIND_EMPTY and is_tar(payload):
+            text, spans = extract_tar_text(payload)
+            if not spans:
+                return _fallback(fallback_text, failed=True)
+            return ExtractResult(KIND_TAR, text, spans, len(spans), 0.0)
+        # raw LaTeX source (extractor/texx.py — the loosest probe,
+        # so it runs last among the empty-kind sniffs)
+        if kind == KIND_EMPTY and is_latex(payload):
+            text, spans = extract_latex(
+                payload.decode("utf-8", errors="replace"))
+            if not spans:
+                return _fallback(fallback_text, failed=True)
+            return ExtractResult(KIND_LATEX, text, spans,
+                                 len(spans), 0.0)
     except Exception:
         # degrade to fallback, mark failed (lineage failed_rows)
         return _fallback(fallback_text, failed=True)

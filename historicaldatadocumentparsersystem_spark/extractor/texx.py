@@ -323,3 +323,17 @@ def extract_latex(src: str) -> tuple[str, list[tuple[int, int, str]]]:
         parts.append(el.text)
         pos += len(el.text)
     return "\n".join(parts), spans
+
+
+def is_latex(payload: bytes | None) -> bool:
+    """Cheap probe for raw .tex payloads (the tar-member case):
+    a backslash-led command head plus a structural macro in the
+    first KB."""
+    if not payload:
+        return False
+    head = payload[:1024].lstrip(b" \t\r\n\x0c")
+    if not head.startswith((b"\\", b"%")):
+        return False
+    return any(tok in head for tok in (
+        b"\\documentclass", b"\\begin{document}", b"\\section{",
+        b"\\chapter{", b"\\usepackage"))

@@ -235,3 +235,76 @@ def extract_wikitext(src: str) -> tuple[str, list[tuple[int, int, str]]]:
         parts.append(el.text)
         pos += len(el.text)
     return "\n".join(parts), spans
+
+
+# --- MediaWiki XML dump container ----------------------------------------------
+
+@dataclass
+class WikiPage:
+    idx: int        # 0-based page index in dump order
+    title: str
+    ns: int         # namespace (0 = articles)
+    page_id: int    # -1 when absent
+    redirect: str   # redirect target ('' when not a redirect)
+    wikitext: str   # latest-revision text
+
+
+def is_wiki_dump(payload: bytes | None) -> bool:
+    """Cheap probe: XML prefix plus the mediawiki export root element
+    within the first KB."""
+    if not payload:
+        return False
+    head = payload[:1024].lstrip(b" \t\r\n\x0c\xef\xbb\xbf")
+    return head.startswith(b"<") and b"<mediawiki" in head
+
+
+def parse_wiki_dump(payload: bytes | None) -> list[WikiPage]:
+    """Pages from a MediaWiki export dump (the format Wikipedia ships
+    as pages-articles.xml): per <page>, the title, namespace, id,
+    redirect target and the FIRST <revision>'s <text> (articles dumps
+    carry exactly one).  Degrades to [] on junk (F5); parsing is
+    stdlib ElementTree with namespace-agnostic tag matching, the
+    feedx convention."""
+    if not is_wiki_dump(payload):
+        return []
+    from xml.etree import ElementTree as ET
+    try:
+        root = ET.fromstring(payload.decode("utf-8", errors="replace"))
+    except ET.ParseError:
+        return []
+
+    def local(tag: str) -> str:
+        return tag.rpartition("}")[2]
+
+    out: list[WikiPage] = []
+    for el in root.iter():
+        if local(el.tag) != "page":
+            continue
+        title, ns, pid, redirect, text = "", 0, -1, "", ""
+        seen_rev = False
+        for child in el.iter():
+            t = local(child.tag)
+            if t == "title" and not title:
+                title = (child.text or "").strip()
+            elif t == "ns":
+                try:
+                    ns = int((child.text or "0").strip())
+                except ValueError:
+                    ns = 0
+            elif t == "id" and pid < 0:
+                # first <id> under <page> in document order is the
+                # page id (revision ids come later)
+                try:
+                    pid = int((child.text or "-1").strip())
+                except ValueError:
+                    pid = -1
+            elif t == "redirect" and not redirect:
+                redirect = (child.get("title") or "").strip()
+            elif t == "revision" and not seen_rev:
+                seen_rev = True
+                for sub in child.iter():
+                    if local(sub.tag) == "text":
+                        text = sub.text or ""
+                        break
+        out.append(WikiPage(len(out), title, ns, pid, redirect, text))
+    return out

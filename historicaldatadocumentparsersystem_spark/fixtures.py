@@ -2487,3 +2487,92 @@ def latex_rows(n: int = 32, seed: int = 42) -> list[dict]:
             tex = "" if i % 2 else f"% only a comment {i}\n$only math$\n"
         out.append({"url": url, "tex": tex})
     return out
+
+
+# --- MediaWiki dump + tar fixture files ------------------------------------------
+
+def _xml_esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def wiki_dump_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic MediaWiki export XML dumps: (url, payload).
+    Pages reuse the wikitext_rows sources (the dump is the CONTAINER;
+    wikix parses the content) plus redirects, a talk-namespace page,
+    a title with XML entities, and junk/None payloads (F5)."""
+    pages = wikitext_rows(40, seed)
+    out = []
+    for i in range(n):
+        url = f"dump://export-{i}.xml"
+        k = i % 4
+        if k == 3:
+            out.append({"url": url,
+                        "payload": (None if i % 2 else
+                                    b"<html>not a dump</html>")})
+            continue
+        body = []
+        for j in range(2 + i % 3):
+            src = pages[(i * 3 + j) % len(pages)]["wikitext"]
+            body.append(
+                f"  <page>\n    <title>Article {i}-{j} &amp; more"
+                f"</title>\n    <ns>0</ns>\n    <id>{100 + i * 10 + j}"
+                f"</id>\n    <revision>\n      <id>{900 + j}</id>\n"
+                f"      <text xml:space=\"preserve\">{_xml_esc(src)}"
+                f"</text>\n    </revision>\n  </page>\n")
+        if k == 1:
+            body.append(
+                f"  <page>\n    <title>Old {i}</title>\n    <ns>0</ns>"
+                f"\n    <id>{990 + i}</id>\n"
+                f"    <redirect title=\"Article {i}-0 &amp; more\"/>\n"
+                f"    <revision><text>#REDIRECT [[Article {i}-0]]"
+                f"</text></revision>\n  </page>\n")
+        if k == 2:
+            body.append(
+                f"  <page>\n    <title>Talk:Article {i}-0</title>\n"
+                f"    <ns>1</ns>\n    <id>{980 + i}</id>\n"
+                f"    <revision><text>first chatter</text></revision>\n"
+                f"    <revision><text>second rev ignored</text>"
+                f"</revision>\n  </page>\n")
+        xml = ("<mediawiki xmlns=\"http://www.mediawiki.org/xml/"
+               "export-0.10/\" version=\"0.10\">\n"
+               "  <siteinfo><sitename>Fixture</sitename></siteinfo>\n"
+               + "".join(body) + "</mediawiki>\n")
+        out.append({"url": url, "payload": xml.encode("utf-8")})
+    return out
+
+
+def tar_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic ustar archives: (url, payload). Members mix .tex
+    sources (latex_rows content), html pages, plain text, directories,
+    GNU long names, and every 4th row is junk/None (F5)."""
+    from .extractor.tarx import make_tar
+    texes = latex_rows(32, seed)
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 275604541, i)
+        url = f"tar://bundle-{i}.tar"
+        if i % 4 == 3:
+            out.append({"url": url,
+                        "payload": (None if i % 2 else
+                                    b"not a tar archive at all" * 30)})
+            continue
+        members = [{"name": f"bundle{i}/", "typeflag": "5"}]
+        for j in range(2 + i % 2):
+            tex = texes[(i * 2 + j) % len(texes)]["tex"]
+            if tex:
+                members.append({
+                    "name": f"bundle{i}/papers/p{j}.tex",
+                    "data": tex.encode("utf-8"),
+                    "mtime": 1700000000 + i * 1000 + j})
+        members.append({
+            "name": f"bundle{i}/pages/deep-" + "d" * 110 + ".html",
+            "data": (f"<html><body><p>{_paragraph(rng, 2, 3)}</p>"
+                     f"</body></html>").encode("utf-8"),
+            "mtime": 1700000000 + i,
+            "gnu_longname": True})
+        members.append({"name": f"bundle{i}/notes.txt",
+                        "data": f"plain note {i}".encode(),
+                        "mtime": 1700000500 + i})
+        out.append({"url": url, "payload": make_tar(members)})
+    return out

@@ -281,6 +281,51 @@ def read_latex_elements(df: DataFrame, url_col: str = "url",
 
 WIKI_LINKS_DDL = "url string, pos int, target string, label string"
 
+WIKI_PAGES_DDL = ("url string, page_idx int, title string, ns int, "
+                  "page_id long, redirect string, wikitext string")
+
+
+def read_wiki_dump(df: DataFrame, url_col: str = "url",
+                   payload_col: str = "payload") -> DataFrame:
+    """(url, MediaWiki export XML payload) rows -> one row per page
+    (the pages-articles.xml shape Wikipedia actually ships).  Chains
+    into read_wikitext_elements / read_wiki_links on the wikitext
+    column.  Junk payloads yield no rows (F5)."""
+    import pandas as pd
+
+    from ..extractor.wikix import parse_wiki_dump
+
+    def parse(batches):
+        for b in batches:
+            urls, idxs, titles, nss, pids, reds, texts = \
+                [], [], [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    pages = parse_wiki_dump(
+                        bytes(payload) if payload is not None else None)
+                except Exception:
+                    continue
+                for p in pages:
+                    urls.append(url)
+                    idxs.append(p.idx)
+                    titles.append(p.title)
+                    nss.append(p.ns)
+                    pids.append(p.page_id)
+                    reds.append(p.redirect)
+                    texts.append(p.wikitext)
+            yield pd.DataFrame({
+                "url": urls,
+                "page_idx": pd.array(idxs, dtype="int32"),
+                "title": titles,
+                "ns": pd.array(nss, dtype="int32"),
+                "page_id": pd.array(pids, dtype="int64"),
+                "redirect": reds,
+                "wikitext": texts})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, WIKI_PAGES_DDL))
+
 
 def read_wikitext_elements(df: DataFrame, url_col: str = "url",
                            text_col: str = "wikitext") -> DataFrame:
@@ -350,6 +395,53 @@ def read_wiki_links(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(text_col).alias(text_col))
             .mapInPandas(parse, WIKI_LINKS_DDL))
+
+
+TAR_MEMBERS_DDL = ("url string, member_idx int, name string, "
+                   "size long, mtime long, typeflag string, "
+                   "payload binary")
+
+
+def read_tar_members(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, tar payload) rows -> one row per archive member (the
+    arXiv-bulk shape: tars of .tex/.html sources).  Member payloads
+    stay binary so any per-format reader chains on them.  Junk
+    payloads yield no rows (F5)."""
+    import pandas as pd
+
+    from ..extractor.tarx import list_tar
+
+    def parse(batches):
+        for b in batches:
+            urls, idxs, names, sizes = [], [], [], []
+            mtimes, flags, payloads = [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    members = list_tar(
+                        bytes(payload) if payload is not None else None)
+                except Exception:
+                    continue
+                for m in members:
+                    urls.append(url)
+                    idxs.append(m.idx)
+                    names.append(m.name)
+                    sizes.append(m.size)
+                    mtimes.append(m.mtime)
+                    flags.append(m.typeflag)
+                    payloads.append(m.payload)
+            yield pd.DataFrame({
+                "url": urls,
+                "member_idx": pd.array(idxs, dtype="int32"),
+                "name": names,
+                "size": pd.array(sizes, dtype="int64"),
+                "mtime": pd.array(mtimes, dtype="int64"),
+                "typeflag": flags,
+                "payload": payloads})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, TAR_MEMBERS_DDL))
 
 
 MBOX_MESSAGES_DDL = ("url string, msg_idx int, message_id string, "

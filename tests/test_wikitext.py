@@ -119,3 +119,55 @@ def test_spark_readers_match_golden(spark):
     got_l = sorted(tuple(r) for r in sources.read_wiki_links(df).collect())
     assert got_e == sorted(els)
     assert got_l == sorted(lks)
+
+
+def test_wiki_dump_matches_committed_golden():
+    GOLDEN_DUMP = "fixtures/golden_wiki_dump_seed42_n12.parquet"
+    pure = []
+    for r in fixtures.wiki_dump_rows(12):
+        for p in wikix.parse_wiki_dump(r["payload"]):
+            pure.append((r["url"], p.idx, p.title, p.ns, p.page_id,
+                         p.redirect, p.wikitext))
+    golden = [(r["url"], r["page_idx"], r["title"], r["ns"],
+               r["page_id"], r["redirect"], r["wikitext"])
+              for r in pq.read_table(GOLDEN_DUMP).to_pylist()]
+    assert golden == pure
+    assert len(golden) == 33
+
+
+def test_wiki_dump_semantics():
+    dump = (b'<mediawiki xmlns="http://www.mediawiki.org/xml/'
+            b'export-0.10/"><page><title>T &amp; U</title><ns>0</ns>'
+            b'<id>7</id><redirect title="V"/><revision><id>99</id>'
+            b'<text>first</text></revision><revision><text>second'
+            b'</text></revision></page></mediawiki>')
+    pages = wikix.parse_wiki_dump(dump)
+    assert len(pages) == 1
+    p = pages[0]
+    # entities unescape, page id wins over revision id, first
+    # revision's text wins, redirect target captured
+    assert (p.title, p.page_id, p.redirect, p.wikitext) == \
+        ("T & U", 7, "V", "first")
+    assert wikix.parse_wiki_dump(b"<html>no</html>") == []
+    assert wikix.parse_wiki_dump(b"<mediawiki><page><title>x") == []
+    assert wikix.parse_wiki_dump(None) == []
+
+
+def test_wiki_dump_chains_into_element_reader(spark):
+    from historicaldatadocumentparsersystem_spark import sources
+    files = fixtures.wiki_dump_rows(12)
+    df = spark.createDataFrame(
+        [(r["url"], r["payload"]) for r in files],
+        "url string, payload binary").repartition(4)
+    pages = sources.read_wiki_dump(df)
+    # the dump is the container; wikix parses the content column
+    els = sources.read_wikitext_elements(
+        pages.selectExpr("concat(url, '#', title) AS url", "wikitext"))
+    got = sorted(tuple(r) for r in els.collect())
+    pure = []
+    for r in files:
+        for p in wikix.parse_wiki_dump(r["payload"]):
+            for e in wikix.parse_wikitext(p.wikitext):
+                pure.append((f"{r['url']}#{p.title}", e.para, e.kind,
+                             e.level, e.text))
+    assert got == sorted(pure) and got
