@@ -1567,6 +1567,7 @@ _EXTRA_ORDER = [
     "mp4_metadata", "video_track_stats",
     "latex_elements", "latex_sections",
     "wiki_dump_pages", "tar_members", "tar_latex_elements",
+    "mail_reply_clean", "wiki_redirects",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3280,6 +3281,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sources.read_latex_elements(texes)
                 .orderBy("url", "para"))
     q["tar_latex_elements"] = q_tar_latex
+
+    # --- mailing-list reply hygiene — TRUE dual-engine check (golden
+    # messages in, list pipelines re-expressed per engine; no golden
+    # in the middle)
+    def q_mail_clean(spark, sf_dir):
+        msgs = spark.read.parquet(_GOLDEN_MBOX)
+        return (webtext.strip_quoted_reply(msgs)
+                .orderBy("url", "msg_idx"))
+    q["mail_reply_clean"] = q_mail_clean
+
+    # --- redirect resolution within a dump — golden in, real joins
+    # per engine
+    def q_wiki_redirects(spark, sf_dir):
+        pages = spark.read.parquet(_GOLDEN_WIKIDUMP)
+        reds = pages.where(F.col("redirect") != "")
+        return (reds.alias("r")
+                .join(pages.alias("t"),
+                      (F.col("t.url") == F.col("r.url"))
+                      & (F.col("t.title") == F.col("r.redirect")),
+                      "left")
+                .select(F.col("r.url").alias("url"),
+                        F.col("r.title").alias("from_title"),
+                        F.col("r.redirect").alias("to_title"),
+                        F.col("t.page_id").alias("to_page_id"),
+                        F.col("t.page_id").isNotNull()
+                        .alias("resolved"))
+                .orderBy("url", "from_title"))
+    q["wiki_redirects"] = q_wiki_redirects
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6474,6 +6503,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, para, kind, level, text
             FROM read_parquet('{_GOLDEN_TARLATEX}')
             ORDER BY url, para""",
+        # mailing-list reply hygiene: the SAME list pipeline
+        # re-expressed in DuckDB — string_split == Spark split,
+        # list_position(…, true) == array_position (coalesce: DuckDB
+        # yields NULL where Spark yields 0), 1-based inclusive slice
+        # l[1:p-1] == Spark slice(l, 1, p-1)
+        "mail_reply_clean": f"""
+            WITH t AS (
+              SELECT url, msg_idx,
+                     string_split(text, chr(10)) AS lines
+              FROM read_parquet('{_GOLDEN_MBOX}')
+            ), s AS (
+              SELECT url, msg_idx, lines,
+                     coalesce(list_position(list_transform(lines,
+                         x -> x = '--' OR x = '-- '), true), 0) AS sig
+              FROM t
+            ), b AS (
+              SELECT url, msg_idx, lines, sig,
+                     CASE WHEN sig > 0 THEN lines[1:sig - 1]
+                          ELSE lines END AS body
+              FROM s
+            )
+            SELECT url, msg_idx,
+                   coalesce(array_to_string(list_filter(body,
+                       x -> NOT (starts_with(x, '>')
+                                 OR regexp_matches(x,
+                                    '^On .* wrote:$'))),
+                       chr(10)), '') AS clean_text,
+                   len(lines)::bigint AS n_lines,
+                   len(list_filter(lines,
+                       x -> starts_with(x, '>')))::bigint AS n_quoted,
+                   len(list_filter(body,
+                       x -> NOT (starts_with(x, '>')
+                                 OR regexp_matches(x,
+                                    '^On .* wrote:$'))))::bigint
+                     AS kept_lines,
+                   sig > 0 AS has_signature
+            FROM b
+            ORDER BY url, msg_idx""",
+        # redirect resolution: golden in, real joins per engine
+        "wiki_redirects": f"""
+            WITH p AS (SELECT * FROM read_parquet('{_GOLDEN_WIKIDUMP}'))
+            SELECT r.url AS url, r.title AS from_title,
+                   r.redirect AS to_title, t.page_id AS to_page_id,
+                   t.page_id IS NOT NULL AS resolved
+            FROM p r LEFT JOIN p t
+              ON t.url = r.url AND t.title = r.redirect
+            WHERE r.redirect != ''
+            ORDER BY url, from_title""",
         # per-codec track profile: golden both sides
         "video_track_stats": f"""
             SELECT handler, codec, count(*)::bigint AS n_tracks,

@@ -2173,16 +2173,29 @@ def mbox_file_rows(n: int = 24, seed: int = 42) -> list[dict]:
                 f"{8 + i % 12:02d}:{i % 60:02d}:00 +0{i % 3}00")
         subj_text = _sentence(rng, 3, 6).rstrip(".,!")
         if k == 0:
-            msgs = [make_message(
-                [("From", f"Dev {j} <dev{j}@{host}>"),
-                 ("To", f"list@{host}"),
-                 ("Subject", f"{subj_text} part {j}"),
-                 ("Date", date),
-                 ("Message-ID", f"<t{i}.m{j}@{host}>")]
-                + ([("In-Reply-To", f"<t{i}.m0@{host}>")] if j else []),
-                [{"content_type": "text/plain", "charset": "utf-8",
-                  "text": _paragraph(rng, 1, 2)}])
-                for j in range(2 + i % 3)]
+            msgs = []
+            for j in range(2 + i % 3):
+                if j == 0:
+                    body = _paragraph(rng, 1, 2)
+                else:
+                    # reply shape: attribution line + quoted block +
+                    # fresh text + RFC 3676 signature (the
+                    # strip_quoted_reply fixture surface)
+                    body = (f"On Mon, Dev 0 <dev0@{host}> wrote:\n"
+                            f"> {_sentence(rng, 4, 7)}\n"
+                            f"> {_sentence(rng, 3, 6)}\n"
+                            f"{_paragraph(rng, 1, 2)}\n"
+                            f"-- \nDev {j} of {host}")
+                msgs.append(make_message(
+                    [("From", f"Dev {j} <dev{j}@{host}>"),
+                     ("To", f"list@{host}"),
+                     ("Subject", f"{subj_text} part {j}"),
+                     ("Date", date),
+                     ("Message-ID", f"<t{i}.m{j}@{host}>")]
+                    + ([("In-Reply-To", f"<t{i}.m0@{host}>")]
+                       if j else []),
+                    [{"content_type": "text/plain", "charset": "utf-8",
+                      "text": body}]))
             payload = make_mbox(msgs)
         elif k == 1:
             body = (f"{_sentence(rng, 4, 8)}\n"

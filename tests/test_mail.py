@@ -138,3 +138,27 @@ def test_spark_reader_matches_golden(spark):
     got = sorted(tuple(r)
                  for r in sources.read_mbox_messages(df).collect())
     assert got == sorted(_pure_rows())
+
+
+def test_strip_quoted_reply_semantics(spark):
+    from historicaldatadocumentparsersystem_spark.operators import (
+        webtext)
+    df = spark.createDataFrame(
+        [("u", 0, "keep one\n> quoted\nOn Mon, X <x@y> wrote:\n"
+                  "keep two\n-- \nsig line\n> post-sig quoted"),
+         ("u", 1, "no noise at all"),
+         ("u", 2, ""),
+         ("u", 3, "--\nonly a signature")],
+        "url string, msg_idx int, text string")
+    rows = {r.msg_idx: r for r in
+            webtext.strip_quoted_reply(df).collect()}
+    assert rows[0].clean_text == "keep one\nkeep two"
+    assert (rows[0].n_lines, rows[0].n_quoted, rows[0].kept_lines,
+            rows[0].has_signature) == (7, 2, 2, True)
+    assert rows[1].clean_text == "no noise at all"
+    assert not rows[1].has_signature
+    assert rows[2].clean_text == "" and rows[2].n_lines == 1
+    assert rows[3].clean_text == "" and rows[3].has_signature
+    plan = (webtext.strip_quoted_reply(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
