@@ -924,6 +924,8 @@ _GOLDEN_TARMEM = os.path.join(
     _REPO, "fixtures", "golden_tar_members_seed42_n12.parquet")
 _GOLDEN_TARLATEX = os.path.join(
     _REPO, "fixtures", "golden_tar_latex_seed42_n12.parquet")
+_GOLDEN_SVG = os.path.join(_REPO, "fixtures",
+                           "golden_svg_seed42_n16.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -1567,7 +1569,8 @@ _EXTRA_ORDER = [
     "mp4_metadata", "video_track_stats",
     "latex_elements", "latex_sections",
     "wiki_dump_pages", "tar_members", "tar_latex_elements",
-    "mail_reply_clean", "wiki_redirects",
+    "mail_reply_clean", "wiki_redirects", "meta_robots_gate",
+    "svg_metadata",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3309,6 +3312,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("resolved"))
                 .orderBy("url", "from_title"))
     q["wiki_redirects"] = q_wiki_redirects
+
+    # --- in-page meta robots gate (third leg of the robots trio) —
+    # TRUE dual-engine token pipeline over the meta golden
+    def q_meta_robots(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        m = spark.read.parquet(_GOLDEN_META)
+        return pagemeta.meta_robots_gate(m).orderBy("url")
+    q["meta_robots_gate"] = q_meta_robots
+
+    # --- SVG metadata/text (markup image: parsed, not decoded) —
+    # hash-checked against the committed golden, pinned by
+    # tests/test_svg.py against the pure re-derivation
+    def q_svg(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            multimodal)
+        files = fixtures.svg_media_rows(16)
+        df = spark.createDataFrame(
+            [(r["media_id"], r["payload"]) for r in files],
+            "media_id string, payload binary").repartition(4)
+        return multimodal.svg_metadata(df).orderBy("media_id")
+    q["svg_metadata"] = q_svg
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6541,6 +6566,27 @@ def oracle_sql() -> dict[str, str]:
                    sig > 0 AS has_signature
             FROM b
             ORDER BY url, msg_idx""",
+        # svg metadata: committed golden parquet pinned by
+        # tests/test_svg.py against the pure re-derivation
+        "svg_metadata": f"""
+            SELECT media_id, width, height, view_box, vb_width,
+                   vb_height, title, "desc", text, n_elements, n_paths
+            FROM read_parquet('{_GOLDEN_SVG}')
+            ORDER BY media_id""",
+        # meta robots gate: the same token pipeline per engine
+        "meta_robots_gate": f"""
+            WITH m AS (
+              SELECT url, robots,
+                     list_transform(
+                         string_split(coalesce(robots, ''), ','),
+                         x -> lower(trim(x))) AS toks
+              FROM read_parquet('{_GOLDEN_META}'))
+            SELECT url, robots,
+                   NOT (list_contains(toks, 'noindex')
+                        OR list_contains(toks, 'none')) AS indexable,
+                   NOT (list_contains(toks, 'nofollow')
+                        OR list_contains(toks, 'none')) AS followable
+            FROM m ORDER BY url""",
         # redirect resolution: golden in, real joins per engine
         "wiki_redirects": f"""
             WITH p AS (SELECT * FROM read_parquet('{_GOLDEN_WIKIDUMP}'))

@@ -2589,3 +2589,39 @@ def tar_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
                         "mtime": 1700000500 + i})
         out.append({"url": url, "payload": make_tar(members)})
     return out
+
+
+def svg_media_rows(n: int = 16, seed: int = 42) -> list[dict]:
+    """Deterministic SVG payloads: (media_id, payload). Rotates px
+    and unit-suffixed dims, viewBox-only sizing, percentage (relative)
+    dims, title/desc accessibility text, nested tspan text, paths,
+    an un-namespaced root, and junk/None rows (F5)."""
+    from .extractor.svgx import make_svg
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 318611987, i)
+        mid = f"svg{i}"
+        k = i % 5
+        if k == 0:
+            payload = make_svg(width=str(100 + i * 10),
+                               height=f"{60 + i * 5}px",
+                               title=_sentence(rng, 2, 4),
+                               texts=[_sentence(rng, 3, 5)],
+                               n_paths=i % 4)
+        elif k == 1:
+            payload = make_svg(view_box=f"0 0 {320 + i}.5 {200 + i}",
+                               desc=_sentence(rng, 4, 7),
+                               texts=[_sentence(rng, 2, 4),
+                                      _sentence(rng, 2, 4)],
+                               n_paths=2)
+        elif k == 2:
+            payload = make_svg(width="100%", height="4em",
+                               title=f"relative {i}",
+                               namespaced=False)
+        elif k == 3:
+            payload = make_svg(width=str(24 + i), height=str(24 + i),
+                               n_paths=5 + i % 3)
+        else:
+            payload = (None if i % 2 else b"<html><body>nope</body></html>")
+        out.append({"media_id": mid, "payload": payload})
+    return out

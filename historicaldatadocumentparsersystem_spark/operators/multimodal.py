@@ -701,3 +701,44 @@ def frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
         _frame_sample_batch_fn(every),
         "media_id string, frame_no int, payload binary, "
         "width int, height int")
+
+
+def svg_metadata(df: DataFrame) -> DataFrame:
+    """Per-payload SVG metadata (declared px dims, viewBox + its
+    rounded extent fallback, accessible title/desc, rendered text,
+    element/path counts) — extractor/svgx.py is the Spark-free
+    oracle.  SVG is the one image format whose metadata comes from
+    markup, not pixels, so this is a text parse, not a decode.
+    Map-only; non-SVG payloads yield no rows (F5)."""
+    import pandas as pd
+    from ..extractor import svgx
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "view_box", "vb_width",
+                "vb_height", "title", "desc", "text", "n_elements",
+                "n_paths"]
+        for b in it:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    info = svgx.parse_svg(
+                        bytes(payload) if payload is not None else None)
+                except Exception:
+                    continue
+                if info is None:
+                    continue
+                rows.append((mid, info.width, info.height,
+                             info.view_box, info.vb_width,
+                             info.vb_height, info.title, info.desc,
+                             info.text, info.n_elements, info.n_paths))
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("width", "height", "vb_width", "vb_height",
+                      "n_elements", "n_paths"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(
+        batch, "media_id string, width int, height int, "
+               "view_box string, vb_width int, vb_height int, "
+               "title string, desc string, text string, "
+               "n_elements int, n_paths int")

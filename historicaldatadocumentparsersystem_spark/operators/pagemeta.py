@@ -687,3 +687,27 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
 
     return docs.select("url", "html").mapInPandas(
         batch, ARTIFACTS_SCHEMA)
+
+
+def meta_robots_gate(meta: DataFrame) -> DataFrame:
+    """In-page ``<meta name=robots>`` directive gate — the third leg
+    of the robots trio (robots.txt rules: operators/robots.py;
+    X-Robots-Tag header: webtext.header_robots_gate).  Token-level:
+    comma-split, trim, lowercase; ``noindex``/``nofollow`` flip their
+    flag, ``none`` flips both, an absent/empty directive defaults to
+    index,follow (the spec's rule).
+
+    Map-only JVM built-ins; the DuckDB twin re-expresses the same
+    token pipeline — a true dual-engine check.
+    """
+    toks = F.transform(
+        F.split(F.coalesce(F.col("robots"), F.lit("")), ","),
+        lambda x: F.lower(F.trim(x)))
+
+    def has(t: str):
+        return F.exists(toks, lambda x: x == t)
+
+    return meta.select(
+        "url", "robots",
+        (~(has("noindex") | has("none"))).alias("indexable"),
+        (~(has("nofollow") | has("none"))).alias("followable"))
