@@ -167,6 +167,74 @@ _CT_ROWS = (
     ("https://ct.example/xml", "text/xml", "html"),
 )
 
+# redirect-chain capture sample (VALUES fixture both sides — the
+# Location-parsing reader half is pinned by the WARC round-trip
+# pytest): a 3-hop chain to 200, a single hop to 404 (resolved: a
+# terminal is a terminal), a dangling Location, a 2-cycle fed by a
+# head (cap exhaustion), converging heads, a redirect-shaped row
+# with no Location (not a redirect), and plain 200 pages
+_REDIR_ROWS = (
+    ("https://r.example/a", 301, "https://r.example/b"),
+    ("https://r.example/b", 302, "https://r.example/c"),
+    ("https://r.example/c", 307, "https://r.example/final"),
+    ("https://r.example/final", 200, None),
+    ("https://r.example/gone", 301, "https://r.example/404"),
+    ("https://r.example/404", 404, None),
+    ("https://r.example/dang", 308, "https://r.example/nowhere"),
+    ("https://r.example/cyc", 301, "https://r.example/loop1"),
+    ("https://r.example/loop1", 302, "https://r.example/loop2"),
+    ("https://r.example/loop2", 302, "https://r.example/loop1"),
+    ("https://r.example/x1", 301, "https://r.example/b"),
+    ("https://r.example/noloc", 301, None),
+    ("https://r.example/plain", 200, None),
+)
+
+
+def _redir_sql() -> str:
+    """DuckDB twin of webtext.redirect_chains over the same VALUES
+    rows: depth-capped recursive CTE (the stitch_pagination twin
+    pattern), deepest row per chain = terminal state."""
+    vals = ",\n".join(
+        "('{}', {}, {})".format(
+            u, s, "NULL" if l is None else f"'{l}'")
+        for u, s, l in _REDIR_ROWS)
+    return f"""
+        WITH RECURSIVE caps(url, status, location) AS (VALUES {vals}),
+        r AS (
+          SELECT * FROM caps
+          WHERE status BETWEEN 300 AND 399 AND location IS NOT NULL
+        ),
+        heads AS (
+          SELECT r.* FROM r LEFT JOIN r p ON r.url = p.location
+          WHERE p.url IS NULL
+        ),
+        walk AS (
+          SELECT url AS start_url, location AS nxt, 0 AS hops
+          FROM heads
+          UNION ALL
+          SELECT w.start_url, c.location, w.hops + 1
+          FROM walk w JOIN r c ON c.url = w.nxt
+          WHERE w.hops < 7
+        ),
+        tail AS (
+          SELECT start_url, nxt, hops
+          FROM walk
+          QUALIFY row_number() OVER (PARTITION BY start_url
+                                     ORDER BY hops DESC) = 1
+        )
+        SELECT start_url, nxt AS final_url,
+               (hops + 1)::bigint AS n_hops,
+               CASE WHEN t.url IS NOT NULL
+                         AND NOT (t.status BETWEEN 300 AND 399
+                                  AND t.location IS NOT NULL)
+                    THEN t.status END::int AS final_status,
+               (t.url IS NOT NULL
+                AND NOT (t.status BETWEEN 300 AND 399
+                         AND t.location IS NOT NULL)) AS resolved
+        FROM tail LEFT JOIN caps t ON t.url = tail.nxt
+        ORDER BY start_url"""
+
+
 # X-Robots-Tag gate sample (VALUES fixture both sides — the reader
 # half is pinned by the WARC round-trip pytest): plain/none/agent-
 # scoped/case/substring-trap/absent quadrants
@@ -1570,7 +1638,7 @@ _EXTRA_ORDER = [
     "latex_elements", "latex_sections",
     "wiki_dump_pages", "tar_members", "tar_latex_elements",
     "mail_reply_clean", "wiki_redirects", "meta_robots_gate",
-    "svg_metadata",
+    "svg_metadata", "redirect_chains",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3334,6 +3402,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id string, payload binary").repartition(4)
         return multimodal.svg_metadata(df).orderBy("media_id")
     q["svg_metadata"] = q_svg
+
+    # --- HTTP redirect-chain resolution (VALUES fixture both sides —
+    # the Location-parsing reader half is pinned by the WARC
+    # round-trip pytest; this row isolates the walk, the
+    # content_type_mismatch pattern)
+    def q_redirects(spark, sf_dir):
+        caps = spark.createDataFrame(
+            list(_REDIR_ROWS), "url string, status int, location string")
+        return (webtext.redirect_chains(caps, max_hops=8)
+                .orderBy("start_url"))
+    q["redirect_chains"] = q_redirects
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6566,6 +6645,8 @@ def oracle_sql() -> dict[str, str]:
                    sig > 0 AS has_signature
             FROM b
             ORDER BY url, msg_idx""",
+        # redirect chains: depth-capped recursive CTE twin
+        "redirect_chains": _redir_sql(),
         # svg metadata: committed golden parquet pinned by
         # tests/test_svg.py against the pure re-derivation
         "svg_metadata": f"""

@@ -55,25 +55,29 @@ def _parse_headers(block: bytes) -> dict[str, str]:
 
 
 def _http_body(payload: bytes) -> tuple[int | None, str | None,
-                                         str | None, bytes]:
-    """(status, content_type, x_robots, body) from an HTTP response
-    payload; non-HTTP payloads come back unsplit with the metadata
-    None. Header values are raw (parameters included — normalization
-    is the downstream gate's job); ``x_robots`` is the X-Robots-Tag
-    header, the HTTP-side twin of the meta robots directive (it is
-    the ONLY noindex channel for non-HTML payloads like PDFs)."""
+                                         str | None, str | None,
+                                         bytes]:
+    """(status, content_type, x_robots, location, body) from an HTTP
+    response payload; non-HTTP payloads come back unsplit with the
+    metadata None. Header values are raw (parameters included —
+    normalization is the downstream gate's job); ``x_robots`` is the
+    X-Robots-Tag header, the HTTP-side twin of the meta robots
+    directive (it is the ONLY noindex channel for non-HTML payloads
+    like PDFs); ``location`` is the redirect target 3xx captures
+    carry (webtext.redirect_chains walks it)."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, None, payload
+        return None, None, None, None, payload
     head, sep, body = payload.partition(_CRLF2)
     if not sep:
-        return None, None, None, payload
+        return None, None, None, None, payload
     try:
         status = int(head.split(b"\r\n", 1)[0].split()[1])
     except (IndexError, ValueError):
         status = None
     headers = _parse_headers(head)
     return (status, headers.get("content-type"),
-            headers.get("x-robots-tag"), body)
+            headers.get("x-robots-tag"), headers.get("location"),
+            body)
 
 
 def _iter_records(data: bytes):
@@ -125,13 +129,14 @@ def parse_warc(data: bytes) -> list[dict]:
     for headers, payload in _iter_records(data):
         if headers.get("warc-type") != "response":
             continue
-        status, ctype, xrobots, body = _http_body(payload)
+        status, ctype, xrobots, location, body = _http_body(payload)
         records.append({
             "url": headers.get("warc-target-uri", ""),
             "warc_ts": _warc_ts(headers),
             "status": status,
             "content_type": ctype,
             "x_robots": xrobots,
+            "location": location,
             "body": body,
         })
     return records
@@ -170,6 +175,9 @@ def build_warc(records: list[dict], gzip_records: bool = False) -> bytes:
         xrobots = r.get("x_robots")
         extra = (b"\r\nX-Robots-Tag: " + xrobots.encode("latin-1")
                  if xrobots else b"")
+        if r.get("location"):
+            extra += (b"\r\nLocation: "
+                      + r["location"].encode("latin-1"))
         payload = (b"HTTP/1.1 " + str(status).encode() +
                    b" OK\r\nContent-Type: " + ctype.encode("latin-1") +
                    extra + b"\r\n\r\n" + body)

@@ -1590,3 +1590,66 @@ def strip_quoted_reply(df: DataFrame, text_col: str = "text",
         F.size(quoted).cast("long").alias("n_quoted"),
         F.size(kept).cast("long").alias("kept_lines"),
         (sig_pos > 0).alias("has_signature"))
+
+
+def redirect_chains(captures: DataFrame, max_hops: int = 8
+                    ) -> DataFrame:
+    """Resolve HTTP redirect chains within a capture view (e.g.
+    ``sources.read_warc_captures``): per chain HEAD (a 3xx capture no
+    other 3xx points at), follow ``Location`` through further 3xx
+    captures to the terminal target.
+
+    Output: (start_url, final_url, n_hops, final_status, resolved) —
+    ``final_url`` is the last Location reached; ``resolved`` is true
+    iff a capture exists there and is not itself a redirect (dangling
+    targets and cap/cycle exhaustion come back unresolved with a null
+    final_status).  ``n_hops`` counts redirect captures traversed
+    (head included).
+
+    Semantics and shape mirror ``pagemeta.stitch_pagination`` (and
+    its depth-capped recursive-CTE twin): bounded hops, each round a
+    hash equi-join of the shrinking frontier against the pruned
+    redirect projection, localCheckpoint per round so the plan stays
+    linear in rounds (the host_hits lesson).
+    """
+    caps = (captures.select("url", "status", "location")
+            .where(F.col("status").isNotNull())
+            .localCheckpoint(eager=False))
+    red = caps.where(F.col("status").between(300, 399)
+                     & F.col("location").isNotNull())
+    in_edges = red.select(F.col("location").alias("url")).distinct()
+    heads = red.join(in_edges, "url", "left_anti")
+    frontier = heads.select(
+        F.col("url").alias("start_url"),
+        F.col("location").alias("nxt"),
+        F.lit(0).alias("hops")).localCheckpoint()
+    last = frontier
+    terminals = [frontier]
+    for hops in range(1, max_hops):
+        hop = (last.join(red.alias("c"),
+                         F.col("nxt") == F.col("c.url"))
+               .select("start_url",
+                       F.col("c.location").alias("nxt"),
+                       F.lit(hops).alias("hops")))
+        last = hop.localCheckpoint()
+        if last.rdd.isEmpty():
+            break
+        terminals.append(last)
+    walk = terminals[0]
+    for t in terminals[1:]:
+        walk = walk.unionByName(t)
+    # the deepest row per chain is the terminal state
+    deepest = Window.partitionBy("start_url").orderBy(F.desc("hops"))
+    tail = (walk.withColumn("__rk", F.row_number().over(deepest))
+            .where(F.col("__rk") == 1))
+    is_redir = (F.col("t.status").between(300, 399)
+                & F.col("t.location").isNotNull())
+    resolved = F.col("t.url").isNotNull() & ~is_redir
+    return (tail.join(caps.alias("t"),
+                      F.col("nxt") == F.col("t.url"), "left")
+            .select(F.col("start_url"),
+                    F.col("nxt").alias("final_url"),
+                    (F.col("hops") + 1).cast("long").alias("n_hops"),
+                    F.when(resolved, F.col("t.status"))
+                    .cast("int").alias("final_status"),
+                    resolved.alias("resolved")))

@@ -826,7 +826,8 @@ def read_warc_documents(spark: SparkSession, path: str) -> DataFrame:
 
 WARC_CAPTURES_DDL = ("url string, warc_ts timestamp, status int, "
                      "content_type string, x_robots string, "
-                     "sniffed_kind string, n_bytes long")
+                     "location string, sniffed_kind string, "
+                     "n_bytes long")
 
 
 def read_warc_captures(spark: SparkSession, path: str) -> DataFrame:
@@ -853,13 +854,13 @@ def read_warc_captures(spark: SparkSession, path: str) -> DataFrame:
                 for rec in parse_warc(bytes(blob)):
                     rows.append((rec["url"], rec["warc_ts"],
                                  rec["status"], rec["content_type"],
-                                 rec["x_robots"],
+                                 rec["x_robots"], rec["location"],
                                  sniff_kind(rec["body"]),
                                  len(rec["body"])))
             df = pd.DataFrame(
                 rows, columns=["url", "warc_ts", "status",
                                "content_type", "x_robots",
-                               "sniffed_kind", "n_bytes"])
+                               "location", "sniffed_kind", "n_bytes"])
             df["status"] = pd.array(df["status"], dtype="Int32")
             df["n_bytes"] = pd.array(df["n_bytes"], dtype="Int64")
             yield df

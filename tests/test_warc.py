@@ -393,3 +393,52 @@ def test_x_robots_header_roundtrip_and_gate(spark):
     plan = (webtext.header_robots_gate(caps)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_location_roundtrip_and_redirect_chains(spark, tmp_path):
+    """Location header round-trips through build_warc -> parse_warc,
+    surfaces in read_warc_captures, and redirect_chains resolves the
+    multi-hop / dangling / cycle / terminal-404 cases end-to-end."""
+    from datetime import datetime, timezone
+
+    from historicaldatadocumentparsersystem_spark.extractor import warcx
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    from historicaldatadocumentparsersystem_spark.sources import \
+        read_warc_captures
+    ts = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    recs = [
+        {"url": "https://r/a", "warc_ts": ts, "status": 301,
+         "location": "https://r/b", "body": b"moved"},
+        {"url": "https://r/b", "warc_ts": ts, "status": 302,
+         "location": "https://r/ok", "body": b"found"},
+        {"url": "https://r/ok", "warc_ts": ts, "status": 200,
+         "body": b"<html>final</html>"},
+        {"url": "https://r/gone", "warc_ts": ts, "status": 301,
+         "location": "https://r/404", "body": b""},
+        {"url": "https://r/404", "warc_ts": ts, "status": 404,
+         "body": b"nope"},
+        {"url": "https://r/dang", "warc_ts": ts, "status": 308,
+         "location": "https://r/offsite", "body": b""},
+        {"url": "https://r/c1", "warc_ts": ts, "status": 301,
+         "location": "https://r/c2", "body": b""},
+        {"url": "https://r/c2", "warc_ts": ts, "status": 302,
+         "location": "https://r/c1", "body": b""},
+    ]
+    back = warcx.parse_warc(warcx.build_warc(recs))
+    assert [r["location"] for r in back] == [
+        "https://r/b", "https://r/ok", None, "https://r/404", None,
+        "https://r/offsite", "https://r/c2", "https://r/c1"]
+
+    (tmp_path / "r.warc").write_bytes(warcx.build_warc(recs))
+    caps = read_warc_captures(spark, str(tmp_path) + "/*")
+    assert caps.where("location IS NOT NULL").count() == 6
+    got = {r["start_url"]: (r["final_url"], r["n_hops"],
+                            r["final_status"], r["resolved"])
+           for r in webtext.redirect_chains(caps, max_hops=4).collect()}
+    assert got["https://r/a"] == ("https://r/ok", 2, 200, True)
+    assert got["https://r/gone"] == ("https://r/404", 1, 404, True)
+    assert got["https://r/dang"] == ("https://r/offsite", 1, None, False)
+    # c1/c2 form a 2-cycle with no head feeding it: neither is a
+    # chain head (each is pointed at), so the walk never starts there
+    assert set(got) == {"https://r/a", "https://r/gone",
+                        "https://r/dang"}
