@@ -235,6 +235,82 @@ def _redir_sql() -> str:
         ORDER BY start_url"""
 
 
+def _enc_shard() -> bytes:
+    """Deterministic WARC shard with encoded HTTP bodies — the
+    http_decode_captures fixture. Supported codings go through
+    build_warc's encode half (gzip/x-gzip/deflate content codings,
+    chunked transfer framing, a chunked+gzip stack, a gzipped PDF, an
+    empty gzipped body); a br row and a malformed-chunked row are
+    spliced as raw records (unsupported/broken codings keep the bytes
+    as stored with decoded=False)."""
+    import datetime as _dt
+
+    from historicaldatadocumentparsersystem_spark.extractor import warcx
+    ts = _dt.datetime(2024, 7, 1, tzinfo=_dt.timezone.utc)
+    html = (b"<html><body>" + b"<p>decoded entity</p>" * 12 +
+            b"</body></html>")
+    pdf = b"%PDF-1.4 " + b"stream bytes " * 8
+    recs = [
+        {"url": "https://enc.example/plain", "warc_ts": ts,
+         "body": html},
+        {"url": "https://enc.example/gz", "warc_ts": ts,
+         "body": html, "content_encoding": "gzip"},
+        {"url": "https://enc.example/xgz", "warc_ts": ts,
+         "body": html, "content_encoding": "x-gzip"},
+        {"url": "https://enc.example/defl", "warc_ts": ts,
+         "body": html, "content_encoding": "deflate"},
+        {"url": "https://enc.example/chunk", "warc_ts": ts,
+         "body": html, "transfer_encoding": "chunked"},
+        {"url": "https://enc.example/both", "warc_ts": ts,
+         "body": html, "transfer_encoding": "chunked",
+         "content_encoding": "gzip"},
+        {"url": "https://enc.example/pdfgz", "warc_ts": ts,
+         "body": pdf, "content_type": "application/pdf",
+         "content_encoding": "gzip"},
+        {"url": "https://enc.example/empty", "warc_ts": ts,
+         "body": b"", "content_encoding": "gzip"},
+    ]
+
+    def _raw(url: str, payload: bytes) -> bytes:
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                b"WARC-Date: 2024-07-01T00:00:00Z\r\n"
+                b"Content-Length: " + str(len(payload)).encode() +
+                b"\r\n\r\n" + payload + b"\r\n\r\n")
+
+    br = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+          b"Content-Encoding: br\r\n\r\n\x0b\x02\x80brbytes")
+    badchunk = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\nzz\r\nnot chunked")
+    return (warcx.build_warc(recs) +
+            _raw("https://enc.example/br", br) +
+            _raw("https://enc.example/badchunk", badchunk))
+
+
+def _httpdec_sql() -> str:
+    """Oracle for http_decode_captures: the PURE extractor feeds the
+    VALUES rows (the fetch_schedule_delayed precedent — decode
+    semantics themselves are pinned by tests/test_warc.py's chunked/
+    gzip/deflate vectors and the encode-decode round-trip); this row
+    isolates the distributed Arrow plumbing of the capture view."""
+    from historicaldatadocumentparsersystem_spark.extractor.sniff import \
+        sniff_kind
+    from historicaldatadocumentparsersystem_spark.extractor.warcx import \
+        parse_warc
+    rows = []
+    for r in parse_warc(_enc_shard()):
+        ce = ("NULL" if r["content_encoding"] is None
+              else "'{}'".format(r["content_encoding"]))
+        rows.append("('{}', {}, {}, '{}', {}::bigint)".format(
+            r["url"], ce, str(r["decoded"]).lower(),
+            sniff_kind(r["body"]), len(r["body"])))
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, content_encoding, decoded, sniffed_kind, n_bytes)
+        ORDER BY url"""
+
+
 # X-Robots-Tag gate sample (VALUES fixture both sides — the reader
 # half is pinned by the WARC round-trip pytest): plain/none/agent-
 # scoped/case/substring-trap/absent quadrants
@@ -1638,7 +1714,7 @@ _EXTRA_ORDER = [
     "latex_elements", "latex_sections",
     "wiki_dump_pages", "tar_members", "tar_latex_elements",
     "mail_reply_clean", "wiki_redirects", "meta_robots_gate",
-    "svg_metadata", "redirect_chains",
+    "svg_metadata", "redirect_chains", "http_decode_captures",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3413,6 +3489,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (webtext.redirect_chains(caps, max_hops=8)
                 .orderBy("start_url"))
     q["redirect_chains"] = q_redirects
+
+    # --- HTTP body decoding (chunked TE + gzip/deflate CE) surfaced
+    # through the capture view: the fixture shard is deterministic
+    # bytes, the pure extractor feeds the oracle rows, and the decode
+    # vectors are pinned in tests/test_warc.py
+    def q_httpdec(spark, sf_dir):
+        blobs = spark.createDataFrame([(_enc_shard(),)],
+                                      "content binary")
+        return (sources.warc_captures_from_blobs(blobs)
+                .select("url", "content_encoding", "decoded",
+                        "sniffed_kind", "n_bytes")
+                .orderBy("url"))
+    q["http_decode_captures"] = q_httpdec
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -6647,6 +6736,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url, msg_idx""",
         # redirect chains: depth-capped recursive CTE twin
         "redirect_chains": _redir_sql(),
+        # http body decoding: pure-extractor-fed VALUES twin
+        "http_decode_captures": _httpdec_sql(),
         # svg metadata: committed golden parquet pinned by
         # tests/test_svg.py against the pure re-derivation
         "svg_metadata": f"""

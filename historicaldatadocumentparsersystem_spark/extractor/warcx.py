@@ -54,30 +54,107 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def _http_body(payload: bytes) -> tuple[int | None, str | None,
-                                         str | None, str | None,
-                                         bytes]:
-    """(status, content_type, x_robots, location, body) from an HTTP
-    response payload; non-HTTP payloads come back unsplit with the
-    metadata None. Header values are raw (parameters included —
-    normalization is the downstream gate's job); ``x_robots`` is the
-    X-Robots-Tag header, the HTTP-side twin of the meta robots
-    directive (it is the ONLY noindex channel for non-HTML payloads
-    like PDFs); ``location`` is the redirect target 3xx captures
-    carry (webtext.redirect_chains walks it)."""
+def _http_body(payload: bytes) -> tuple[int | None,
+                                         dict[str, str], bytes]:
+    """(status, headers, body) from an HTTP response payload;
+    non-HTTP payloads come back unsplit with status None and empty
+    headers. Header values are raw (parameters included —
+    normalization is the downstream gate's job)."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, None, None, payload
+        return None, {}, payload
     head, sep, body = payload.partition(_CRLF2)
     if not sep:
-        return None, None, None, None, payload
+        return None, {}, payload
     try:
         status = int(head.split(b"\r\n", 1)[0].split()[1])
     except (IndexError, ValueError):
         status = None
-    headers = _parse_headers(head)
-    return (status, headers.get("content-type"),
-            headers.get("x-robots-tag"), headers.get("location"),
-            body)
+    return status, _parse_headers(head), body
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode a ``Transfer-Encoding: chunked`` body (RFC 9112 §7.1):
+    hex chunk-size line (extensions after ';' ignored), CRLF, chunk
+    bytes, CRLF, repeated; a 0-size chunk ends the body (the optional
+    trailer section is ignored). Returns None on any malformation —
+    the caller keeps the raw bytes (F5: degrade, never raise)."""
+    out = []
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        if not size_tok:
+            return None
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size < 0:
+            return None
+        if size == 0:
+            return b"".join(out)
+        start = eol + 2
+        end = start + size
+        if end + 2 > n or body[end:end + 2] != b"\r\n":
+            return None
+        out.append(body[start:end])
+        pos = end + 2
+
+
+def _inflate(body: bytes, wbits: int) -> bytes | None:
+    d = zlib.decompressobj(wbits=wbits)
+    try:
+        out = d.decompress(body)
+    except zlib.error:
+        return None
+    return out if d.eof else None
+
+
+def decode_http_payload(transfer_encoding: str | None,
+                        content_encoding: str | None,
+                        body: bytes) -> tuple[bytes, bool]:
+    """Apply Transfer-Encoding (chunked) then Content-Encoding
+    (gzip/x-gzip/deflate/identity) to an HTTP body — archived WARC
+    captures store the exact wire bytes, so both layers routinely
+    survive into the payload and extraction needs the real entity
+    bytes underneath.
+
+    Returns (body, fully_decoded). Any unsupported coding (br, zstd,
+    compress) or malformed data stops decoding at that stage with the
+    bytes-so-far kept and fully_decoded False (F5: fewer/degraded
+    rows, never raise). ``deflate`` accepts both the spec's
+    zlib-wrapped form and the raw-deflate form broken servers ship.
+    """
+    if transfer_encoding:
+        tok = transfer_encoding.split(",")[-1].strip().lower()
+        if tok == "chunked":
+            d = _dechunk(body)
+            if d is None:
+                return body, False
+            body = d
+        elif tok not in ("", "identity"):
+            return body, False
+    if content_encoding:
+        codings = [t.strip().lower()
+                   for t in content_encoding.split(",")]
+        for tok in reversed(codings):       # applied outermost-first
+            if tok in ("", "identity"):
+                continue
+            if tok in ("gzip", "x-gzip"):
+                d = _inflate(body, wbits=31)
+            elif tok == "deflate":
+                d = _inflate(body, wbits=15)
+                if d is None:
+                    d = _inflate(body, wbits=-15)
+            else:                           # br / zstd / compress
+                return body, False
+            if d is None:
+                return body, False
+            body = d
+    return body, True
 
 
 def _iter_records(data: bytes):
@@ -120,23 +197,36 @@ def _warc_ts(headers: dict[str, str]) -> datetime | None:
 def parse_warc(data: bytes) -> list[dict]:
     """All response records of one WARC shard, in order:
     {url, warc_ts (datetime, UTC), status, content_type, x_robots,
+    location, transfer_encoding, content_encoding, decoded,
     body (bytes)}.
 
-    Truncated/corrupt trailing records are dropped (never raise);
-    non-response records (warcinfo, request, metadata) are skipped.
+    ``body`` is the ENTITY bytes: chunked transfer framing and
+    gzip/deflate content codings are undone (archived captures store
+    exact wire bytes, so both layers survive into WARC payloads);
+    ``decoded`` is False when a coding was unsupported or malformed,
+    in which case ``body`` keeps the bytes as stored and downstream
+    sniffing classifies them honestly. Truncated/corrupt trailing
+    records are dropped (never raise); non-response records
+    (warcinfo, request, metadata) are skipped.
     """
     records: list[dict] = []
     for headers, payload in _iter_records(data):
         if headers.get("warc-type") != "response":
             continue
-        status, ctype, xrobots, location, body = _http_body(payload)
+        status, http, body = _http_body(payload)
+        te = http.get("transfer-encoding")
+        ce = http.get("content-encoding")
+        body, decoded = decode_http_payload(te, ce, body)
         records.append({
             "url": headers.get("warc-target-uri", ""),
             "warc_ts": _warc_ts(headers),
             "status": status,
-            "content_type": ctype,
-            "x_robots": xrobots,
-            "location": location,
+            "content_type": http.get("content-type"),
+            "x_robots": http.get("x-robots-tag"),
+            "location": http.get("location"),
+            "transfer_encoding": te,
+            "content_encoding": ce,
+            "decoded": decoded,
             "body": body,
         })
     return records
@@ -178,6 +268,23 @@ def build_warc(records: list[dict], gzip_records: bool = False) -> bytes:
         if r.get("location"):
             extra += (b"\r\nLocation: "
                       + r["location"].encode("latin-1"))
+        # encode half of decode_http_payload: CE first, TE framing
+        # outermost — build(x) must parse back to x's entity bytes
+        ce = r.get("content_encoding")
+        if ce in ("gzip", "x-gzip"):
+            c = zlib.compressobj(wbits=31)      # mtime-free, exact
+            body = c.compress(body) + c.flush()
+            extra += b"\r\nContent-Encoding: " + ce.encode()
+        elif ce == "deflate":
+            body = zlib.compress(body)
+            extra += b"\r\nContent-Encoding: deflate"
+        elif ce:
+            raise ValueError(f"unsupported content_encoding {ce!r}")
+        if r.get("transfer_encoding") == "chunked":
+            body = b"".join(
+                b"%x\r\n%s\r\n" % (len(body[i:i + 48]), body[i:i + 48])
+                for i in range(0, len(body), 48)) + b"0\r\n\r\n"
+            extra += b"\r\nTransfer-Encoding: chunked"
         payload = (b"HTTP/1.1 " + str(status).encode() +
                    b" OK\r\nContent-Type: " + ctype.encode("latin-1") +
                    extra + b"\r\n\r\n" + body)

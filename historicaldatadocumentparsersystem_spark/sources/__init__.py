@@ -826,13 +826,17 @@ def read_warc_documents(spark: SparkSession, path: str) -> DataFrame:
 
 WARC_CAPTURES_DDL = ("url string, warc_ts timestamp, status int, "
                      "content_type string, x_robots string, "
-                     "location string, sniffed_kind string, "
+                     "location string, content_encoding string, "
+                     "decoded boolean, sniffed_kind string, "
                      "n_bytes long")
 
 
 def read_warc_captures(spark: SparkSession, path: str) -> DataFrame:
     """WARC shards -> a metadata-only capture view: (url, warc_ts,
-    status, content_type, sniffed_kind, n_bytes). The payload is
+    status, content_type, x_robots, location, content_encoding,
+    decoded, sniffed_kind, n_bytes) — bodies are entity bytes
+    (chunked framing and gzip/deflate codings undone by parse_warc;
+    ``decoded`` False marks captures left as stored). The payload is
     magic-byte-sniffed (``extractor.sniff.sniff_kind``) IN the same
     Arrow pass and then dropped — the served-vs-actual comparison
     input for ``webtext.content_type_mismatch`` without ever
@@ -842,6 +846,15 @@ def read_warc_captures(spark: SparkSession, path: str) -> DataFrame:
     Scale: identical shape to ``read_warc_documents`` — per-shard
     binaryFile parallelism, bodies die in the task that read them.
     """
+    return warc_captures_from_blobs(
+        spark.read.format("binaryFile").load(path).select("content"))
+
+
+def warc_captures_from_blobs(blobs: DataFrame) -> DataFrame:
+    """The capture view over an in-hand shard column — same Arrow
+    pass as ``read_warc_captures`` minus the binaryFile scan (for
+    shards that arrive via another source, e.g. ranged reads or
+    fixtures). ``blobs`` needs a ``content binary`` column."""
     import pandas as pd
 
     from ..extractor.sniff import sniff_kind
@@ -855,20 +868,21 @@ def read_warc_captures(spark: SparkSession, path: str) -> DataFrame:
                     rows.append((rec["url"], rec["warc_ts"],
                                  rec["status"], rec["content_type"],
                                  rec["x_robots"], rec["location"],
+                                 rec["content_encoding"],
+                                 rec["decoded"],
                                  sniff_kind(rec["body"]),
                                  len(rec["body"])))
             df = pd.DataFrame(
                 rows, columns=["url", "warc_ts", "status",
                                "content_type", "x_robots",
-                               "location", "sniffed_kind", "n_bytes"])
+                               "location", "content_encoding",
+                               "decoded", "sniffed_kind", "n_bytes"])
             df["status"] = pd.array(df["status"], dtype="Int32")
             df["n_bytes"] = pd.array(df["n_bytes"], dtype="Int64")
             yield df
 
-    return (spark.read.format("binaryFile")
-            .load(path)
-            .select("content")
-            .mapInPandas(parse, WARC_CAPTURES_DDL))
+    return blobs.select("content").mapInPandas(
+        parse, WARC_CAPTURES_DDL)
 
 
 def read_wet_documents(spark: SparkSession, path: str) -> DataFrame:

@@ -442,3 +442,107 @@ def test_location_roundtrip_and_redirect_chains(spark, tmp_path):
     # chain head (each is pointed at), so the walk never starts there
     assert set(got) == {"https://r/a", "https://r/gone",
                         "https://r/dang"}
+
+
+def test_dechunk_vectors():
+    from historicaldatadocumentparsersystem_spark.extractor.warcx import \
+        _dechunk
+    # RFC 9112 example shape: sizes in hex, extension ignored,
+    # trailer section after the 0-chunk ignored
+    assert _dechunk(b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n") == \
+        b"Wikipedia"
+    assert _dechunk(b"4;ext=1\r\nWiki\r\n0\r\n"
+                    b"X-Trailer: v\r\n\r\n") == b"Wiki"
+    assert _dechunk(b"A\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"
+    assert _dechunk(b"0\r\n\r\n") == b""
+    # chunk data may itself contain CRLF
+    assert _dechunk(b"6\r\na\r\nb\r\n\r\n0\r\n\r\n") == b"a\r\nb\r\n"
+    # malformations -> None (caller keeps raw bytes)
+    assert _dechunk(b"") is None
+    assert _dechunk(b"zz\r\nWiki\r\n0\r\n\r\n") is None      # bad hex
+    assert _dechunk(b"5\r\nWiki\r\n0\r\n\r\n") is None       # short data
+    assert _dechunk(b"4\r\nWikipedia\r\n0\r\n\r\n") is None  # no CRLF
+    assert _dechunk(b"4\r\nWiki\r\n5\r\npedia") is None      # truncated
+
+
+def test_decode_http_payload_vectors():
+    import zlib
+
+    from historicaldatadocumentparsersystem_spark.extractor.warcx import \
+        decode_http_payload as dec
+    body = b"<html>entity bytes</html>"
+    gz = zlib.compressobj(wbits=31)
+    gzipped = gz.compress(body) + gz.flush()
+    assert dec(None, None, body) == (body, True)
+    assert dec("identity", "identity", body) == (body, True)
+    assert dec(None, "gzip", gzipped) == (body, True)
+    assert dec(None, "x-gzip", gzipped) == (body, True)
+    # deflate: zlib-wrapped (spec) and raw (broken servers) both work
+    assert dec(None, "deflate", zlib.compress(body)) == (body, True)
+    raw = zlib.compressobj(wbits=-15)
+    assert dec(None, "deflate",
+               raw.compress(body) + raw.flush()) == (body, True)
+    # chained codings apply outermost-first
+    g2 = zlib.compressobj(wbits=31)
+    layered = g2.compress(zlib.compress(body)) + g2.flush()
+    assert dec(None, "deflate, gzip", layered) == (body, True)
+    # chunked framing then content coding
+    chunked = (b"%x\r\n" % len(gzipped)) + gzipped + b"\r\n0\r\n\r\n"
+    assert dec("chunked", "gzip", chunked) == (body, True)
+    # unsupported / malformed -> original bytes, False
+    assert dec(None, "br", body) == (body, False)
+    assert dec(None, "zstd", body) == (body, False)
+    assert dec(None, "gzip", b"not gzip") == (b"not gzip", False)
+    assert dec(None, "gzip", gzipped[:-4]) == (gzipped[:-4], False)
+    assert dec("chunked", None, b"zz\r\nbad") == (b"zz\r\nbad", False)
+    assert dec("gzip, chunked", None, b"x") == (b"x", False)
+
+
+def test_encoded_warc_roundtrip_and_captures(spark, tmp_path):
+    """build_warc's encode half (CE + chunked TE) parses back to the
+    entity bytes with decoded=True; the captures view sniffs the
+    DECODED body and carries the coding metadata."""
+    from datetime import datetime, timezone
+
+    from historicaldatadocumentparsersystem_spark.extractor import warcx
+    from historicaldatadocumentparsersystem_spark.sources import \
+        read_warc_captures
+    ts = datetime(2024, 7, 1, tzinfo=timezone.utc)
+    html = b"<html><body>" + b"paragraph " * 20 + b"</body></html>"
+    recs = [
+        {"url": "https://e/plain", "warc_ts": ts, "body": html},
+        {"url": "https://e/gz", "warc_ts": ts, "body": html,
+         "content_encoding": "gzip"},
+        {"url": "https://e/defl", "warc_ts": ts, "body": html,
+         "content_encoding": "deflate"},
+        {"url": "https://e/chunk", "warc_ts": ts, "body": html,
+         "transfer_encoding": "chunked"},
+        {"url": "https://e/both", "warc_ts": ts, "body": html,
+         "transfer_encoding": "chunked", "content_encoding": "gzip"},
+    ]
+    shard = warcx.build_warc(recs)
+    back = warcx.parse_warc(shard)
+    assert [r["body"] for r in back] == [html] * 5
+    assert all(r["decoded"] for r in back)
+    assert [r["content_encoding"] for r in back] == [
+        None, "gzip", "deflate", None, "gzip"]
+    assert back[3]["transfer_encoding"] == "chunked"
+
+    # a br capture is kept as stored and flagged undecoded
+    br = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+          b"Content-Encoding: br\r\n\r\n\x0b\x02\x80brbytes")
+    manual = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+              b"WARC-Target-URI: https://e/br\r\n"
+              b"WARC-Date: 2024-07-01T00:00:00Z\r\n"
+              b"Content-Length: " + str(len(br)).encode() +
+              b"\r\n\r\n" + br + b"\r\n\r\n")
+    (tmp_path / "e.warc").write_bytes(shard + manual)
+    caps = {r["url"]: r for r in
+            read_warc_captures(spark, str(tmp_path) + "/*").collect()}
+    assert len(caps) == 6
+    for u in ("https://e/gz", "https://e/chunk", "https://e/both"):
+        assert caps[u]["sniffed_kind"] == "html"
+        assert caps[u]["decoded"] is True
+        assert caps[u]["n_bytes"] == len(html)
+    assert caps["https://e/br"]["decoded"] is False
+    assert caps["https://e/br"]["content_encoding"] == "br"
