@@ -906,64 +906,151 @@ def _pii_oracle() -> str:
             SELECT row_id, {expr} AS clean FROM t"""
 
 
+def _hxu(off, nbytes: int, little: bool, col: str = "x") -> str:
+    """Integer read from a hex() string: byte b (0-based) lives at
+    1-based substr position 2b+1. ``off`` may be an int or a SQL
+    expression; try_cast degrades truncated reads to NULL."""
+    if isinstance(off, int):
+        pos = [str((off + i) * 2 + 1) for i in range(nbytes)]
+    else:
+        pos = [f"({off} + {i}) * 2 + 1" for i in range(nbytes)]
+    order = reversed(range(nbytes)) if little else range(nbytes)
+    parts = " || ".join(f"substr({col}, {pos[i]}, 2)" for i in order)
+    return f"try_cast('0x' || {parts} AS bigint)"
+
+
+def _sniff_kind_case_sql(col: str = "x") -> str:
+    """Kind CASE generated from multimodal's magic tables (never
+    hand-retyped): RIFF dispatches on the fourcc at byte 8 first,
+    then the prefix list in declaration order."""
+    from historicaldatadocumentparsersystem_spark.operators import \
+        multimodal as mm
+    riff = " ".join(
+        f"WHEN substr({col}, 17, 8) = '{fcc.hex().upper()}' THEN '{k}'"
+        for fcc, k in mm._RIFF_KINDS)
+    whens = "\n                   ".join(
+        f"WHEN starts_with({col}, '{m.hex().upper()}') THEN '{k}'"
+        for m, k in mm._MAGIC)
+    return f"""CASE WHEN starts_with({col}, '52494646')
+                     THEN CASE {riff} ELSE 'unknown' END
+                   {whens}
+                   ELSE 'unknown' END"""
+
+
 def _media_dims_oracle() -> str:
     """DuckDB twin of multimodal.decode_media over the header fixture:
     dimensions re-derived from the SAME bytes via hex arithmetic (PNG
-    IHDR BE-u32 at bytes 16/20; GIF LE-u16 at 6/8; the fixture JPEGs
-    place SOF0 at byte 2 — SOI + frame header, the minimal real
-    layout — so height/width sit at bytes 7/9). Unknown payloads get
-    the stub's deterministic fake dims, also re-derived."""
+    IHDR BE-u32 at 16/20; GIF LE-u16 at 6/8; fixture JPEGs place SOF0
+    at byte 2 so h/w sit at bytes 7/9; WebP VP8/VP8L/VP8X bit fields;
+    BMP core/info headers; ICO first entry; TIFF via a generic IFD
+    walk with endian-dispatched reads). Payloads that fail their
+    container's validity guard get the stub's deterministic fake dims,
+    also re-derived. The ok() range clamp (1..2^31-1) is not
+    re-encoded — every fixture dim is in range."""
     vals = ", ".join(f"('{m}', {_blob_lit(p)})" for m, p in
                      _media_dim_rows())
     fake = "cast('0x' || substr(x, 1, 8) AS bigint)"
+    webp = "starts_with(x, '52494646') AND substr(x, 17, 8) = '57454250'"
+    vp8 = (f"{webp} AND substr(x, 25, 8) = '56503820'"
+           " AND substr(x, 47, 6) = '9D012A' AND length(x) >= 60")
+    vp8l = (f"{webp} AND substr(x, 25, 8) = '5650384C'"
+            " AND substr(x, 41, 2) = '2F' AND length(x) >= 50")
+    vp8x = (f"{webp} AND substr(x, 25, 8) = '56503858'"
+            " AND length(x) >= 60")
+    vp8l_v = _hxu(21, 4, little=True)
+    bmp_hsz = _hxu(14, 4, little=True)
+    bmp_w32 = _hxu(18, 4, little=True)
+    bmp_h32 = _hxu(22, 4, little=True)
+    signed = "CASE WHEN {v} > 2147483647 THEN {v} - 4294967296 " \
+             "ELSE {v} END"
+    ico = "starts_with(x, '00000100') AND length(x) >= 16 AND " \
+          f"{_hxu(4, 2, little=True)} >= 1"
+    ico_b = "CASE WHEN {b} = 0 THEN 256 ELSE {b} END"
+    tiff = "(starts_with(x, '49492A00') OR starts_with(x, '4D4D002A'))"
+    # endian-dispatched read: `le` column = little-endian TIFF
+    ed = lambda off, n: (f"CASE WHEN le THEN {_hxu(off, n, True)} "
+                         f"ELSE {_hxu(off, n, False)} END")
+    e0 = "ifd + 2 + 12 * i"
     return f"""
             WITH m(media_id, payload) AS (VALUES {vals}),
-            hx AS (SELECT media_id, hex(payload) AS x FROM m)
+            hx AS (SELECT media_id, hex(payload) AS x FROM m),
+            tb AS (SELECT media_id, x, starts_with(x, '4949') AS le,
+                          {ed(4, 4)} AS ifd
+                   FROM hx WHERE {tiff}),
+            tc AS (SELECT *, CASE WHEN (ifd + 2) * 2 <= length(x)
+                               THEN {ed('ifd', 2)} END AS cnt FROM tb),
+            te AS (SELECT media_id, x, le, ifd,
+                          unnest(generate_series(0, cnt - 1)) AS i
+                   FROM tc WHERE cnt IS NOT NULL),
+            tv AS (SELECT media_id,
+                          {ed(e0, 2)} AS tag, {ed(f"{e0} + 2", 2)} AS typ,
+                          {ed(f"{e0} + 8", 2)} AS v16,
+                          {ed(f"{e0} + 8", 4)} AS v32
+                   FROM te WHERE ({e0} + 12) * 2 <= length(x)),
+            tf AS (SELECT media_id,
+                     max(CASE WHEN tag = 256 THEN CASE typ WHEN 3 THEN v16
+                         WHEN 4 THEN v32 END END) AS tw,
+                     max(CASE WHEN tag = 257 THEN CASE typ WHEN 3 THEN v16
+                         WHEN 4 THEN v32 END END) AS th
+                   FROM tv GROUP BY media_id),
+            d AS (SELECT hx.media_id, x, tw, th
+                  FROM hx LEFT JOIN tf ON hx.media_id = tf.media_id)
             SELECT media_id,
-              CASE WHEN starts_with(x, 'FFD8FF') THEN 'jpeg'
-                   WHEN starts_with(x, '89504E470D0A1A0A') THEN 'png'
-                   WHEN starts_with(x, '474946383761')
-                     OR starts_with(x, '474946383961') THEN 'gif'
-                   ELSE 'unknown' END AS media_kind,
+              {_sniff_kind_case_sql('x')} AS media_kind,
               (CASE
                  WHEN starts_with(x, '89504E470D0A1A0A')
                    THEN cast('0x' || substr(x, 33, 8) AS bigint)
                  WHEN starts_with(x, '47494638')
-                   THEN cast('0x' || substr(x, 15, 2)
-                             || substr(x, 13, 2) AS bigint)
+                   THEN {_hxu(6, 2, little=True)}
                  WHEN starts_with(x, 'FFD8FFC0')
                    THEN cast('0x' || substr(x, 19, 4) AS bigint)
+                 WHEN {vp8} THEN {_hxu(26, 2, little=True)} & 16383
+                 WHEN {vp8l} THEN ({vp8l_v} & 16383) + 1
+                 WHEN {vp8x} THEN {_hxu(24, 3, little=True)} + 1
+                 WHEN starts_with(x, '424D') AND length(x) >= 52
+                   THEN CASE WHEN {bmp_hsz} = 12
+                     THEN {_hxu(18, 2, little=True)}
+                     ELSE {signed.format(v=bmp_w32)} END
+                 WHEN {ico}
+                   THEN {ico_b.format(b=_hxu(6, 1, little=True))}
+                 WHEN {tiff} AND tw IS NOT NULL AND th IS NOT NULL
+                   THEN tw
                  ELSE 64 + {fake} % 1920 END)::int AS width,
               (CASE
                  WHEN starts_with(x, '89504E470D0A1A0A')
                    THEN cast('0x' || substr(x, 41, 8) AS bigint)
                  WHEN starts_with(x, '47494638')
-                   THEN cast('0x' || substr(x, 19, 2)
-                             || substr(x, 17, 2) AS bigint)
+                   THEN {_hxu(8, 2, little=True)}
                  WHEN starts_with(x, 'FFD8FFC0')
                    THEN cast('0x' || substr(x, 15, 4) AS bigint)
+                 WHEN {vp8} THEN {_hxu(28, 2, little=True)} & 16383
+                 WHEN {vp8l} THEN (({vp8l_v} >> 14) & 16383) + 1
+                 WHEN {vp8x} THEN {_hxu(27, 3, little=True)} + 1
+                 WHEN starts_with(x, '424D') AND length(x) >= 52
+                   THEN CASE WHEN {bmp_hsz} = 12
+                     THEN {_hxu(20, 2, little=True)}
+                     ELSE abs({signed.format(v=bmp_h32)}) END
+                 WHEN {ico}
+                   THEN {ico_b.format(b=_hxu(7, 1, little=True))}
+                 WHEN {tiff} AND tw IS NOT NULL AND th IS NOT NULL
+                   THEN th
                  ELSE 64 + ({fake} // 256) % 1080 END)::int AS height
-            FROM hx"""
+            FROM d"""
 
 
 def _media_sniff_oracle() -> str:
-    """DuckDB twin of multimodal.sniff_media_kind_col: same magic
-    prefixes, same first-match priority, over the same BLOB fixture."""
+    """DuckDB twin of multimodal.sniff_media_kind_col: magic tables
+    GENERATED from the module constants (same prefixes, same
+    first-match priority, RIFF fourcc dispatch), over the same BLOB
+    fixture."""
     vals = ", ".join(f"('{m}', {_blob_lit(p)})"
                      for m, p in _MEDIA_SNIFF_ROWS)
-    magics = [(b"\xff\xd8\xff", "jpeg"), (b"\x89PNG\r\n\x1a\n", "png"),
-              (b"GIF87a", "gif"), (b"GIF89a", "gif"),
-              (b"RIFF", "webp_or_wav"), (b"ID3", "mp3"),
-              (b"\x1a\x45\xdf\xa3", "webm")]
-    whens = "\n              ".join(
-        f"WHEN starts_with(hex(payload), '{m.hex().upper()}') "
-        f"THEN '{k}'" for m, k in magics)
     return f"""
-            WITH m(media_id, payload) AS (VALUES {vals})
-            SELECT media_id, CASE
-              {whens}
-              ELSE 'unknown' END AS media_kind
-            FROM m"""
+            WITH m(media_id, payload) AS (VALUES {vals}),
+            hx AS (SELECT media_id, hex(payload) AS x FROM m)
+            SELECT media_id,
+                   {_sniff_kind_case_sql('x')} AS media_kind
+            FROM hx"""
 
 
 def _lsh_topk_oracle() -> str:
@@ -1535,8 +1622,16 @@ _PII_ROWS = [
 # C8/C14 header-decode fixture: real container headers (synthesized by
 # the same byte layout real files use), one per format + a garbage row
 def _media_dim_rows():
+    import struct
+
     from historicaldatadocumentparsersystem_spark.operators import \
         multimodal as mm
+    bad_sync = bytearray(mm.make_webp_vp8(800, 600))
+    bad_sync[23] = 0x00          # broken VP8 sync code -> fake dims
+    bmp_core = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+                + struct.pack("<HHHH", 10, 20, 1, 24))  # BITMAPCOREHEADER
+    ico_empty = b"\x00\x00\x01\x00\x00\x00" + b"\x00" * 16
+    tiff_far = b"II*\x00" + struct.pack("<I", 9999)  # IFD past payload
     return [
         ("png1", mm.make_png(640, 480)),
         ("png2", mm.make_png(16384, 9)),
@@ -1544,6 +1639,22 @@ def _media_dim_rows():
         ("gif2", mm.make_gif(1, 65535)),
         ("jpg1", mm.make_jpeg(1024, 768)),
         ("jpg2", mm.make_jpeg(33, 7)),
+        ("webp1", mm.make_webp_vp8(800, 600)),
+        ("webp2", mm.make_webp_vp8l(1, 16383)),
+        ("webp3", mm.make_webp_vp8x(16384, 2)),
+        ("webp4", bytes(bad_sync)),
+        ("bmp1", mm.make_bmp(1920, 1080)),
+        ("bmp2", mm.make_bmp(64, -48)),       # top-down -> |height|
+        ("bmp3", bmp_core),
+        ("ico1", mm.make_ico(32, 32)),
+        ("ico2", mm.make_ico(0, 0)),          # stored 0 means 256
+        ("ico3", ico_empty),                  # zero entries -> fake
+        ("tif1", mm.make_tiff(4000, 3000)),
+        ("tif2", mm.make_tiff(17, 9, big_endian=True)),
+        ("tif3", mm.make_tiff(5, 6, ifd_offset=40)),
+        ("tif4", tiff_far),
+        ("wav1", b"RIFF1234WAVEfmt "),        # RIFF fourcc -> wav
+        ("riff1", b"RIFF1234JUNKxxxx"),       # unknown fourcc
         ("bad1", b"not an image at all"),
     ]
 
@@ -1561,8 +1672,12 @@ _ROBOTS_RULES = [
 _MEDIA_SNIFF_ROWS = [
     ("j1", b"\xff\xd8\xff\xe0rest"), ("p1", b"\x89PNG\r\n\x1a\nrest"),
     ("g1", b"GIF87athing"), ("g2", b"GIF89athing"),
-    ("r1", b"RIFF1234WAVE"), ("m1", b"ID3\x04tag"),
-    ("w1", b"\x1a\x45\xdf\xa3webm"), ("u1", b"plain bytes"), ("u2", b""),
+    ("r1", b"RIFF1234WAVE"), ("r2", b"RIFF1234WEBPVP8 "),
+    ("r3", b"RIFF1234JUNKxxxx"), ("r4", b"RIFF1234"),
+    ("m1", b"ID3\x04tag"), ("w1", b"\x1a\x45\xdf\xa3webm"),
+    ("b1", b"BM\x36\x00\x00\x00rest"), ("i1", b"\x00\x00\x01\x00\x01\x00"),
+    ("t1", b"II*\x00\x08\x00\x00\x00"), ("t2", b"MM\x00*\x00\x00\x00\x08"),
+    ("u1", b"plain bytes"), ("u2", b""),
 ]
 
 

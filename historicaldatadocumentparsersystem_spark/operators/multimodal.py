@@ -38,22 +38,49 @@ _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
-    (b"RIFF", "webp_or_wav"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
+    (b"\x00\x00\x01\x00", "ico"),
     (b"ID3", "mp3"),
     (b"\x1a\x45\xdf\xa3", "webm"),
+    (b"BM", "bmp"),
 ]
+
+# RIFF containers disambiguate on the fourcc at byte 8 (WebP and WAV
+# share the 'RIFF' prefix); an unrecognized fourcc stays 'unknown'.
+_RIFF_KINDS = [(b"WEBP", "webp"), (b"WAVE", "wav")]
 
 
 def sniff_media_kind_col(payload_col: str = "payload"):
     """F10 magic-byte sniff as a pure column expression (JVM-side)."""
     c = F.col(payload_col)
+    hx = F.hex(c)
     expr = F.lit("unknown")
     for magic, kind in reversed(_MAGIC):
         hexs = magic.hex()
         expr = F.when(
-            F.startswith(F.hex(c), F.lit(hexs.upper())), F.lit(kind)
+            F.startswith(hx, F.lit(hexs.upper())), F.lit(kind)
         ).otherwise(expr)
+    for fourcc, kind in _RIFF_KINDS:
+        expr = F.when(
+            F.startswith(hx, F.lit(b"RIFF".hex().upper()))
+            & (F.substring(hx, 17, 8) == F.lit(fourcc.hex().upper())),
+            F.lit(kind)).otherwise(expr)
     return expr
+
+
+def _sniff_media_kind_py(payload: bytes) -> str:
+    """Pure-Python twin of ``sniff_media_kind_col`` (same tables, same
+    priority) — the per-row sniff inside ``decode_media_batch``."""
+    if payload[:4] == b"RIFF":
+        for fourcc, kind in _RIFF_KINDS:
+            if payload[8:12] == fourcc:
+                return kind
+        return "unknown"
+    for magic, kind in _MAGIC:
+        if payload.startswith(magic):
+            return kind
+    return "unknown"
 
 
 def make_png(width: int, height: int) -> bytes:
@@ -78,6 +105,72 @@ def make_jpeg(width: int, height: int) -> bytes:
             + struct.pack(">HH", height, width) + b"\x01\x11\x00")
 
 
+def make_webp_vp8(width: int, height: int) -> bytes:
+    """RIFF/WEBP container with a lossy VP8 chunk: 3-byte frame tag,
+    0x9D012A sync code, then 14-bit LE width/height."""
+    import struct
+    data = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF))
+    chunk = b"VP8 " + struct.pack("<I", len(data)) + data
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+
+
+def make_webp_vp8l(width: int, height: int) -> bytes:
+    """RIFF/WEBP lossless: 0x2F signature then width-1 (14 bits) and
+    height-1 (14 bits) packed little-endian into the next 4 bytes."""
+    import struct
+    v = (width - 1) | ((height - 1) << 14)
+    data = b"\x2f" + struct.pack("<I", v)
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+
+
+def make_webp_vp8x(width: int, height: int) -> bytes:
+    """RIFF/WEBP extended: 4 flag/reserved bytes then 24-bit LE
+    canvas width-1 / height-1."""
+    import struct
+    data = (b"\x00\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little"))
+    chunk = b"VP8X" + struct.pack("<I", len(data)) + data
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """BMP file header + BITMAPINFOHEADER (signed i32 dims; pass a
+    negative height for a top-down bitmap)."""
+    import struct
+    info = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
+    return (b"BM" + struct.pack("<IHHI", 14 + len(info), 0, 0,
+                                14 + len(info)) + info)
+
+
+def make_ico(width: int, height: int, count: int = 1) -> bytes:
+    """ICONDIR + one ICONDIRENTRY; a stored 0 byte means 256."""
+    import struct
+    entry = bytes([width % 256, height % 256, 0, 0]) \
+        + struct.pack("<HHII", 1, 32, 0, 22)
+    return b"\x00\x00\x01\x00" + struct.pack("<H", count) + entry
+
+
+def make_tiff(width: int, height: int, big_endian: bool = False,
+              ifd_offset: int = 8) -> bytes:
+    """TIFF header + one IFD carrying ImageWidth(256)/ImageLength(257).
+    Width is written as LONG(4), height as SHORT(3) so both value
+    encodings are exercised; the IFD can sit past padding bytes."""
+    import struct
+    bo = ">" if big_endian else "<"
+    head = (b"MM\x00*" if big_endian else b"II*\x00") \
+        + struct.pack(bo + "I", ifd_offset)
+    pad = b"\x00" * (ifd_offset - 8)
+    # SHORT values are left-justified in the 4-byte value field
+    e_w = struct.pack(bo + "HHI", 256, 4, 1) + struct.pack(bo + "I", width)
+    e_h = struct.pack(bo + "HHI", 257, 3, 1) \
+        + struct.pack(bo + "H", height) + b"\x00\x00"
+    return head + pad + struct.pack(bo + "H", 2) + e_w + e_h \
+        + struct.pack(bo + "I", 0)
+
+
 def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
     """REAL (codec-free) dimension extraction from container headers —
     pure byte parsing, no PIL/cv2 required:
@@ -86,6 +179,14 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
     - GIF : logical screen w/h, little-endian u16 at offsets 6/8
     - JPEG: scan segment markers for a SOFn frame header (C0-CF except
       C4/C8/CC), height/width big-endian u16 at +5/+7
+    - WebP: RIFF/WEBP with VP8 (lossy: 14-bit LE w/h after the
+      0x9D012A sync code), VP8L (lossless: packed 14-bit w-1/h-1
+      after the 0x2F signature), or VP8X (24-bit LE canvas-1)
+    - BMP : BITMAPINFOHEADER signed i32 at 18/22 (|height| for
+      top-down bitmaps) or BITMAPCOREHEADER u16 at 18/20
+    - ICO : first ICONDIRENTRY's w/h bytes (a stored 0 means 256)
+    - TIFF: walk IFD0 (either byte order) for tags 256/257, SHORT
+      (left-justified in the value field) or LONG
 
     Returns None when the payload is not one of these containers, is
     truncated before its header fields, or declares absurd dimensions
@@ -122,6 +223,62 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
                     h, w = struct.unpack(">HH", payload[i + 5:i + 9])
                     return ok(w, h)
                 i += 2 + seg_len
+            return None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            cc = payload[12:16]
+            if cc == b"VP8 " and len(payload) >= 30 \
+                    and payload[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+                h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+                return ok(w, h)
+            if cc == b"VP8L" and len(payload) >= 25 \
+                    and payload[20] == 0x2F:
+                v = int.from_bytes(payload[21:25], "little")
+                return ok((v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1)
+            if cc == b"VP8X" and len(payload) >= 30:
+                return ok(int.from_bytes(payload[24:27], "little") + 1,
+                          int.from_bytes(payload[27:30], "little") + 1)
+            return None
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            hsz = int.from_bytes(payload[14:18], "little")
+            if hsz == 12:
+                w, h = struct.unpack("<HH", payload[18:22])
+                return ok(w, h)
+            if hsz >= 40:
+                w, h = struct.unpack("<ii", payload[18:26])
+                return ok(w, abs(h))
+            return None
+        if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 8:
+            count = int.from_bytes(payload[4:6], "little")
+            if count < 1:
+                return None
+            return ok(payload[6] or 256, payload[7] or 256)
+        if payload[:4] in (b"II*\x00", b"MM\x00*") and len(payload) >= 8:
+            bo = "little" if payload[:2] == b"II" else "big"
+            off = int.from_bytes(payload[4:8], bo)
+            if off + 2 > len(payload):
+                return None
+            n = int.from_bytes(payload[off:off + 2], bo)
+            w = h = None
+            for i in range(n):
+                e = off + 2 + 12 * i
+                if e + 12 > len(payload):
+                    break
+                tag = int.from_bytes(payload[e:e + 2], bo)
+                typ = int.from_bytes(payload[e + 2:e + 4], bo)
+                if tag in (256, 257):
+                    if typ == 3:
+                        v = int.from_bytes(payload[e + 8:e + 10], bo)
+                    elif typ == 4:
+                        v = int.from_bytes(payload[e + 8:e + 12], bo)
+                    else:
+                        continue
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            if w is not None and h is not None:
+                return ok(w, h)
     except (struct.error, IndexError):
         return None
     return None
@@ -156,11 +313,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]
         kinds, ws, hs = [], [], []
         for payload in b["payload"]:
             payload = bytes(payload) if payload is not None else b""
-            kind = "unknown"
-            for magic, k in _MAGIC:
-                if payload.startswith(magic):
-                    kind = k
-                    break
+            kind = _sniff_media_kind_py(payload)
             try:
                 w, h = _decode_image_stub(payload)
             except NotImplementedError:

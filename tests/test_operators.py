@@ -254,6 +254,53 @@ def test_image_header_dimensions_roundtrip():
     assert multimodal.parse_image_dimensions(b"\xff\xd8\xff") is None
 
 
+def test_image_header_dimensions_webp_bmp_ico_tiff():
+    """Header-only dims for the wider container set: WebP's three
+    bitstream layouts, BMP info/core headers (top-down abs), ICO's
+    0-means-256 bytes, TIFF IFD walk in both byte orders and at a
+    displaced IFD offset."""
+    import struct
+    pid = multimodal.parse_image_dimensions
+    for maker, w, h in [(multimodal.make_webp_vp8, 800, 600),
+                        (multimodal.make_webp_vp8l, 1, 16383),
+                        (multimodal.make_webp_vp8x, 16384, 2),
+                        (multimodal.make_bmp, 1920, 1080),
+                        (multimodal.make_ico, 32, 32),
+                        (multimodal.make_tiff, 4000, 3000)]:
+        assert pid(maker(w, h)) == (w, h)
+    assert pid(multimodal.make_bmp(64, -48)) == (64, 48)  # top-down
+    assert pid(multimodal.make_ico(0, 0)) == (256, 256)
+    assert pid(multimodal.make_tiff(17, 9, big_endian=True)) == (17, 9)
+    assert pid(multimodal.make_tiff(5, 6, ifd_offset=40)) == (5, 6)
+    # validity guards -> None (fake-dims path downstream)
+    bad_sync = bytearray(multimodal.make_webp_vp8(800, 600))
+    bad_sync[23] = 0x00
+    assert pid(bytes(bad_sync)) is None
+    assert pid(multimodal.make_webp_vp8(800, 600)[:24]) is None
+    assert pid(b"\x00\x00\x01\x00\x00\x00" + b"\x00" * 16) is None
+    assert pid(b"II*\x00" + struct.pack("<I", 9999)) is None
+    assert pid(b"RIFF1234WAVEfmt ") is None
+
+
+def test_media_sniff_riff_fourcc_dispatch(spark):
+    """RIFF payloads dispatch on the byte-8 fourcc in BOTH the column
+    expression and the Python batch sniff; unknown fourcc stays
+    unknown; the new magic families sniff to their kinds."""
+    rows = [("a", b"RIFF1234WEBPVP8 "), ("b", b"RIFF1234WAVEfmt "),
+            ("c", b"RIFF1234JUNKxxxx"), ("d", b"BM\x36\x00\x00\x00xx"),
+            ("e", b"\x00\x00\x01\x00\x01\x00"), ("f", b"II*\x00xxxx"),
+            ("g", b"MM\x00*xxxx"), ("h", b"")]
+    want = {"a": "webp", "b": "wav", "c": "unknown", "d": "bmp",
+            "e": "ico", "f": "tiff", "g": "tiff", "h": "unknown"}
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r.k for r in df.select(
+        "media_id",
+        multimodal.sniff_media_kind_col().alias("k")).collect()}
+    assert got == want
+    for mid, payload in rows:
+        assert multimodal._sniff_media_kind_py(payload) == want[mid]
+
+
 def test_picture_class_filter_f3(spark):
     rows = [
         (1, [("bar_chart", 0.9), ("other", 0.1)]),          # keep
