@@ -1101,6 +1101,8 @@ _GOLDEN_RDFA = os.path.join(_REPO, "fixtures",
                             "golden_rdfa_seed42_n120.parquet")
 _GOLDEN_CODE = os.path.join(_REPO, "fixtures",
                             "golden_code_seed42_n120.parquet")
+_GOLDEN_IMAGES = os.path.join(_REPO, "fixtures",
+                              "golden_images_seed42_n120.parquet")
 _GOLDEN_MF2 = os.path.join(_REPO, "fixtures",
                            "golden_mf2_seed42_n120.parquet")
 _GOLDEN_MEDIAMETA = os.path.join(_REPO, "fixtures",
@@ -1830,6 +1832,7 @@ _EXTRA_ORDER = [
     "wiki_dump_pages", "tar_members", "tar_latex_elements",
     "mail_reply_clean", "wiki_redirects", "meta_robots_gate",
     "svg_metadata", "redirect_chains", "http_decode_captures",
+    "extract_images", "image_text_pairs",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2770,6 +2773,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url"))
     q["code_block_profile"] = q_code_profile
 
+    # --- image/figure extraction (one row per <img>) — hash-checked
+    # against the committed golden images parquet (figcaption
+    # association, lazy data-src, dimension attrs, nested figures)
+    def q_images(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.image_pages_df(spark, 120)
+        return pagemeta.extract_images_df(docs).orderBy("url", "pos")
+    q["extract_images"] = q_images
+
+    # --- CLIP-candidate pair selection — reads the GOLDEN on both
+    # sides (rows==golden is proven by extract_images; this isolates
+    # the precedence/threshold/first-occurrence logic)
+    def q_image_pairs(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.image_text_pairs(
+            spark.read.parquet(_GOLDEN_IMAGES))
+    q["image_text_pairs"] = q_image_pairs
+
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
     # pass: thead/soup/nested/colspan cases in the fixture pages)
@@ -2866,6 +2889,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("mf2").cast("long").alias("n_mf2"),
             F.size("dates").cast("long").alias("n_date_candidates"),
             F.size("code").cast("long").alias("n_code_blocks"),
+            F.size("images").cast("long").alias("n_images"),
             "n_tags", "max_depth", "truncated")
     q["page_artifacts_stats"] = q_artifacts
 
@@ -5598,6 +5622,34 @@ def oracle_sql() -> dict[str, str]:
         "extract_tables": f"""
             SELECT * FROM read_parquet('{_GOLDEN_TABLES}')
             ORDER BY url, table_idx, row_idx, col_idx""",
+        # image rows: committed golden parquet pinned by
+        # tests/test_figx.py against the pure re-derivation
+        "extract_images": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_IMAGES}')
+            ORDER BY url, pos""",
+        # CLIP-pair selection over the golden (caption > alt > title
+        # precedence, declared-dimension and text-length thresholds,
+        # first occurrence per image URL corpus-wide)
+        "image_text_pairs": f"""
+            WITH cand AS (
+              SELECT url, pos, src_url,
+                CASE WHEN coalesce(caption, '') <> '' THEN caption
+                     WHEN coalesce(alt, '') <> '' THEN alt
+                     WHEN coalesce(title, '') <> '' THEN title
+                END AS text,
+                CASE WHEN coalesce(caption, '') <> '' THEN 'caption'
+                     WHEN coalesce(alt, '') <> '' THEN 'alt'
+                     WHEN coalesce(title, '') <> '' THEN 'title'
+                END AS text_source
+              FROM read_parquet('{_GOLDEN_IMAGES}')
+              WHERE src_url IS NOT NULL
+                AND coalesce(width >= 64, TRUE)
+                AND coalesce(height >= 64, TRUE))
+            SELECT url, pos, src_url, text, text_source
+            FROM cand
+            WHERE text IS NOT NULL AND length(text) >= 8
+            QUALIFY row_number() OVER (PARTITION BY src_url
+                      ORDER BY url, pos) = 1""",
         # canonical pre-dedup: noindex gate + group on declared
         # canonical (fallback: own url), first member kept
         "canonical_dedup": f"""
@@ -5649,6 +5701,7 @@ def oracle_sql() -> dict[str, str]:
                    0::bigint AS n_mf2,
                    0::bigint AS n_date_candidates,
                    0::bigint AS n_code_blocks,
+                   0::bigint AS n_images,
                    s.n_tags, s.max_depth, s.truncated
             FROM read_parquet('{_GOLDEN_SHAPES}') s
             LEFT JOIN (SELECT url, count(*)::bigint AS c

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from .codex import code_from_root
 from .datex import dates_from_root
+from .figx import images_from_root
 from .htmlx import decode_payload, parse_dom
 from .jsonldx import jsonld_from_root
 from .linkx import links_from_root
@@ -33,7 +34,8 @@ def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
     {meta, hreflang, links, cells, jsonld, microdata, rdfa, mf2,
-    dates, code, outline, skeleton, n_tags, max_depth, truncated}."""
+    dates, code, outline, images, skeleton, n_tags, max_depth,
+    truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
     else:
@@ -53,6 +55,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "dates": dates_from_root(root, src, base_url),
         "code": code_from_root(root, src),
         "outline": outline_from_root(root, src),
+        "images": images_from_root(root, src, base_url),
         "skeleton": skeleton,
         "n_tags": n_tags,
         "max_depth": max_depth,

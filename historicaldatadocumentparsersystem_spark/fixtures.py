@@ -1822,6 +1822,93 @@ def code_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, code_pages(n, seed), num_partitions)
 
 
+def image_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the image/figure
+    extractor (extractor/figx.py): figure+figcaption pairs, bare imgs
+    with/without alt (absent vs empty-decorative), lazy-load
+    data-src, linked thumbnails, dimension attributes (valid, px
+    suffix, zero, garbage), relative/protocol-relative URL
+    resolution, nested figures, entity-bearing captions and alts,
+    srcless imgs, imageless pages and empty payloads. Feeds
+    fixtures/golden_images_seed42_n*.parquet, same isolation
+    rationale as meta_pages."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 32452843, i)
+        host = _HOSTS[(i * 48611) % len(_HOSTS)]
+        kind = i % 12
+        url = f"https://{host}/gallery/page-{i}"
+        prose = f"<p>{_paragraph(rng, 1, 2)}</p>"
+        a, b = rng.randrange(100), rng.randrange(2000)
+        w1, w2 = rng.choice(_WORDS), rng.choice(_WORDS)
+        if kind == 0:       # canonical figure + figcaption pair
+            page = (
+                f'{prose}<figure><img src="/img/{w1}-{a}.jpg" '
+                f'alt="A {w1} near the {w2}">'
+                f'<figcaption>Figure {a}: the {w1} &amp; the {w2}.'
+                f'</figcaption></figure>')
+        elif kind == 1:     # bare img, alt only, absolute URL
+            page = (
+                f'{prose}<img src="https://cdn.{host}/full/{a}.png" '
+                f'alt="{w1} {w2} photo" width="{640 + b}" '
+                f'height="{480 + a}">')
+        elif kind == 2:     # lazy-load: empty src, data-src fallback
+            page = (
+                f'<img src="" data-src="//images.{host}/lazy/{a}.webp" '
+                f'alt="lazy {w1}">{prose}')
+        elif kind == 3:     # linked thumbnail (in_link), tiny dims
+            page = (
+                f'{prose}<a href="/post/{a}">'
+                f'<img src="/thumb/{a}.jpg" alt="{w1}" width="48" '
+                f'height="48"></a>')
+        elif kind == 4:     # decorative alt="" vs absent alt
+            page = (
+                f'<img src="/decor/{a}.svg" alt="">'
+                f'{prose}<img src="/plain/{b}.gif">')
+        elif kind == 5:     # figure whose caption wraps markup +
+            # a second img in the SAME figure shares the caption
+            page = (
+                f'<figure><img src="/pair/{a}-1.jpg">'
+                f'<img src="/pair/{a}-2.jpg">'
+                f'<figcaption><b>{w1}</b> meets <i>{w2}</i> '
+                f'({a})</figcaption></figure>{prose}')
+        elif kind == 6:     # nested figure: captions stay local
+            page = (
+                f'<figure><img src="/outer/{a}.jpg">'
+                f'<figure><img src="/inner/{b}.jpg">'
+                f'<figcaption>inner {w1}</figcaption></figure>'
+                f'<figcaption>outer {w2}</figcaption></figure>')
+        elif kind == 7:     # dimension-attr parsing rules
+            page = (
+                f'{prose}<img src="r-{a}.jpg" width="100px" '
+                f'height="abc">'
+                f'<img src="r-{b}.jpg" width="0" height=" 75 ">')
+        elif kind == 8:     # title attr + entity-bearing alt
+            page = (
+                f'<img src="/t/{a}.jpeg" title="The &quot;{w1}&quot;" '
+                f'alt="{w1} &amp; {w2}">{prose}')
+        elif kind == 9:     # srcless img + img inside a table cell
+            page = (
+                f'{prose}<img alt="no source {a}">'
+                f'<table><tr><td><img src="/cell/{b}.png" '
+                f'alt="{w2} in cell"></td></tr></table>')
+        elif kind == 10:    # no images at all
+            page = prose
+        else:               # kind == 11: empty payload -> no rows
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url,
+                      "html": f"<html><body>{page}</body></html>"
+                              .encode("utf-8")})
+    return pages
+
+
+def image_pages_df(spark, n: int, seed: int = 42,
+                   num_partitions: int = 8):
+    """Spark DataFrame of the image_pages fixture set (url, html)."""
+    return _pages_df(spark, image_pages(n, seed), num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

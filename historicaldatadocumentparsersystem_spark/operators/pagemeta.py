@@ -429,6 +429,74 @@ def extract_code_df(docs: DataFrame) -> DataFrame:
     return _flat_map_operator(docs, rows, CODE_SCHEMA)
 
 
+IMAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("pos", IntegerType(), False),
+    StructField("src_url", StringType(), True),
+    StructField("alt", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("caption", StringType(), True),
+    StructField("in_link", BooleanType(), False),
+])
+
+
+def extract_images_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per <img>
+    (url, pos, src_url, alt, title, width, height, caption, in_link)
+    — the image-text pair mining pass (LAION/CLIP recipe): every
+    image with its text candidates attached, pairs selected
+    downstream in SQL (extractor/figx.py is the Spark-free oracle;
+    see its src/caption/dimension contract). Map-only 1->N over a
+    pruned (url, html) projection; the reference consumes images
+    alongside text in its multimodal stage
+    (``utils/multimodal_RAG_methods.py:313-352``)."""
+    from ..extractor import figx
+
+    def rows(payload, u):
+        return figx.extract_images(payload, u)
+    return _flat_map_operator(docs, rows, IMAGES_SCHEMA,
+                              nullable_int_cols=("width", "height"))
+
+
+def image_text_pairs(images: DataFrame, min_text_chars: int = 8,
+                     min_dim: int = 64) -> DataFrame:
+    """extract_images rows -> (url, pos, src_url, text, text_source)
+    CLIP-candidate pairs (the LAION selection recipe):
+
+    - text precedence caption > alt > title, first NON-EMPTY wins
+      (a decorative ``alt=""`` never beats a present title);
+    - images without a resolvable src, with text shorter than
+      ``min_text_chars``, or DECLARED smaller than ``min_dim`` on
+      either axis (trackers/thumbnails) are dropped — an absent
+      dimension attribute passes (unknown is not small);
+    - one pair per image URL corpus-wide: the first occurrence by
+      (url, pos) wins, so repeated logos/avatars collapse to one row.
+
+    Plan: a codegen'd filter+projection, then ONE exchange on
+    src_url for the first-occurrence window — at 100 TB the dedup
+    shuffle carries only the selected pair rows, never the corpus."""
+    nonempty = lambda c: F.coalesce(F.col(c), F.lit("")) != ""
+    text = (F.when(nonempty("caption"), F.col("caption"))
+             .when(nonempty("alt"), F.col("alt"))
+             .when(nonempty("title"), F.col("title")))
+    source = (F.when(nonempty("caption"), F.lit("caption"))
+               .when(nonempty("alt"), F.lit("alt"))
+               .when(nonempty("title"), F.lit("title")))
+    ok_dim = lambda c: F.col(c).isNull() | (F.col(c) >= min_dim)
+    cand = (images
+            .where(F.col("src_url").isNotNull()
+                   & ok_dim("width") & ok_dim("height"))
+            .select("url", "pos", "src_url", text.alias("text"),
+                    source.alias("text_source"))
+            .where(F.col("text").isNotNull()
+                   & (F.length("text") >= min_text_chars)))
+    first = Window.partitionBy("src_url").orderBy("url", "pos")
+    return (cand.withColumn("rn", F.row_number().over(first))
+            .where(F.col("rn") == 1).drop("rn"))
+
+
 OUTLINE_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("para", IntegerType(), False),
@@ -632,6 +700,15 @@ def _artifacts_schema() -> StructType:
         StructField("kind", StringType(), False),
         StructField("level", IntegerType(), False),
         StructField("text", StringType(), False)])
+    image_struct = StructType([
+        StructField("pos", IntegerType(), False),
+        StructField("src_url", StringType(), True),
+        StructField("alt", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("caption", StringType(), True),
+        StructField("in_link", BooleanType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -645,6 +722,7 @@ def _artifacts_schema() -> StructType:
         StructField("dates", ArrayType(date_struct), False),
         StructField("code", ArrayType(code_struct), False),
         StructField("outline", ArrayType(outline_struct), False),
+        StructField("images", ArrayType(image_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
         StructField("max_depth", IntegerType(), False),
@@ -669,7 +747,8 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
                 "microdata", "rdfa", "mf2", "dates", "code", "outline",
-                "skeleton", "n_tags", "max_depth", "truncated"]
+                "images", "skeleton", "n_tags", "max_depth",
+                "truncated"]
         for pdf in it:
             rows = []
             for u, payload in zip(pdf["url"], pdf["html"]):
@@ -681,7 +760,8 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     tuple(a["meta"][f] for f in metax.META_FIELDS),
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
                     a["microdata"], a["rdfa"], a["mf2"], a["dates"],
-                    a["code"], a["outline"], a["skeleton"], a["n_tags"],
+                    a["code"], a["outline"], a["images"],
+                    a["skeleton"], a["n_tags"],
                     a["max_depth"], a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)
 

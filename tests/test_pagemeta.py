@@ -373,15 +373,16 @@ def test_page_artifacts_equals_individual_extractors():
     """The one-parse combined pass is definitionally identical to the
     six individual extractors on every fixture family."""
     from historicaldatadocumentparsersystem_spark.extractor import (
-        codex, datex, jsonldx, linkx, mf2x, microdatax, outlinex,
-        pagex, rdfax, shapex, tablex)
+        codex, datex, figx, jsonldx, linkx, mf2x, microdatax,
+        outlinex, pagex, rdfax, shapex, tablex)
     pages = ([(r["url"], r["html"]) for r in fixtures.generate_rows(80)]
              + [(p["url"], p["html"]) for p in fixtures.meta_pages(40)]
              + [(p["url"], p["html"]) for p in fixtures.table_pages(40)]
              + [(p["url"], p["html"]) for p in fixtures.jsonld_pages(40)]
              + [(p["url"], p["html"])
                 for p in fixtures.microdata_pages(40)]
-             + [(p["url"], p["html"]) for p in fixtures.code_pages(40)])
+             + [(p["url"], p["html"]) for p in fixtures.code_pages(40)]
+             + [(p["url"], p["html"]) for p in fixtures.image_pages(40)])
     n_checked = 0
     for url, html in pages:
         if not html:
@@ -399,6 +400,7 @@ def test_page_artifacts_equals_individual_extractors():
         assert a["dates"] == datex.extract_date_candidates(html, url), url
         assert a["code"] == codex.extract_code(html), url
         assert a["outline"] == outlinex.extract_outline(html), url
+        assert a["images"] == figx.extract_images(html, url), url
         sk = shapex.dom_skeleton(html)
         assert (a["skeleton"], a["n_tags"], a["max_depth"],
                 a["truncated"]) == sk, url
@@ -441,6 +443,13 @@ def test_composition_plans(spark):
         "fixtures/golden_shapes_seed42_n300.parquet")
     plan = pagemeta.template_clusters(shapes)._jdf.queryExecution() \
         .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    images = spark.read.parquet(
+        "fixtures/golden_images_seed42_n120.parquet")
+    plan = pagemeta.image_text_pairs(images)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # filter+projection, then ONE exchange for the per-src_url window
     assert plan.count("Exchange") == 1, plan
 
 
