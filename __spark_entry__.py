@@ -6365,6 +6365,16 @@ def oracle_sql() -> dict[str, str]:
                NULL::bigint, NULL, NULL, 0),
               ('m-mp4', NULL, NULL, NULL, NULL, NULL, NULL,
                NULL::bigint, NULL, NULL, 4),
+              ('m-mp3-tagged', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 11),
+              ('m-mp3-bare', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 7),
+              ('m-flac', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 8),
+              ('m-ogg-vorbis', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 3),
+              ('m-ogg-opus', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL::bigint, NULL, NULL, 4),
               ('m-bad', NULL, NULL, NULL, NULL, NULL, NULL,
                NULL::bigint, NULL, NULL, 0)
             ) AS t(media_id, media_kind, width, height, channels,
@@ -6397,6 +6407,11 @@ def oracle_sql() -> dict[str, str]:
               ('m-wav-info', NULL, NULL, NULL, NULL),
               ('m-wav-none', NULL, NULL, NULL, NULL),
               ('m-mp4', NULL, NULL, NULL, NULL),
+              ('m-mp3-tagged', NULL, NULL, NULL, NULL),
+              ('m-mp3-bare', NULL, NULL, NULL, NULL),
+              ('m-flac', NULL, NULL, NULL, NULL),
+              ('m-ogg-vorbis', NULL, NULL, NULL, NULL),
+              ('m-ogg-opus', NULL, NULL, NULL, NULL),
               ('m-bad', NULL, NULL, NULL, NULL)
             ) AS t(media_id, orientation, width, height, px_md5)
             ORDER BY media_id""",

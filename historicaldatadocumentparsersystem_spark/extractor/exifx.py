@@ -316,6 +316,17 @@ def extract_media_metadata(payload) -> list[tuple[str, int, str, str]]:
             rows, fmt = _wav_info(payload), "wav-info"
         elif payload[4:8] == b"ftyp":
             rows, fmt = _mp4_meta(payload), "mp4-meta"
+        elif payload[:4] == b"fLaC":
+            from . import soundx
+            rows, fmt = soundx.flac_info(payload), "flac-meta"
+        elif payload[:4] == b"OggS":
+            from . import soundx
+            rows, fmt = soundx.ogg_info(payload), "ogg-meta"
+        elif payload[:3] == b"ID3" or (
+                len(payload) > 1 and payload[0] == 0xFF
+                and (payload[1] & 0xE0) == 0xE0):
+            from . import soundx
+            rows, fmt = soundx.mp3_info(payload), "mp3-meta"
         else:
             return []
     except Exception:

@@ -2011,6 +2011,19 @@ def metadata_media_rows(seed: int = 42) -> list[tuple[str, bytes]]:
     rows.append(("m-mp4", exifx.build_mp4(
         "mp42", timescale=90000, duration=90000 * (30 + seed % 60),
         n_tracks=2)))
+    from .extractor import soundx
+    rows.append(("m-mp3-tagged", soundx.make_mp3(
+        [("TIT2", f"Take {seed}"), ("TPE1", "Ana Béla"),
+         ("TALB", "Field Recordings"), ("TYER", "2023")],
+        n_frames=38, bitrate_kbps=128, sample_rate=44100)))
+    rows.append(("m-mp3-bare", soundx.make_mp3(
+        [], n_frames=11, bitrate_kbps=64, sample_rate=22050,
+        mode=3, v2=True)))
+    rows.append(("m-flac", soundx.make_flac(
+        48000, 2, 24, 48000 * (7 + seed % 5),
+        [("TITLE", f"song {seed}"), ("Artist", "bob example")])))
+    rows.append(("m-ogg-vorbis", soundx.make_ogg_vorbis(2, 44100)))
+    rows.append(("m-ogg-opus", soundx.make_ogg_opus(1, 312, 16000)))
     rows.append(("m-bad", b"not a media payload"))
     return rows
 
