@@ -796,6 +796,36 @@ def _text_norm_oracle() -> str:
             FROM c"""
 
 
+def _embed_hosts_in(hosts) -> str:
+    return "host IN (%s)" % ", ".join(f"'{h}'" for h in hosts)
+
+
+def _embed_provider_case() -> str:
+    """WHEN arms of the provider CASE — GENERATED from
+    operators/pagemeta.EMBED_PROVIDERS (never retyped)."""
+    from historicaldatadocumentparsersystem_spark.operators import (
+        pagemeta)
+    return " ".join(
+        f"WHEN {_embed_hosts_in(hosts)} THEN '{name}'"
+        for name, hosts, _marker in pagemeta.EMBED_PROVIDERS)
+
+
+def _embed_id_case() -> str:
+    """WHEN arms of the video-id CASE: the path segment after the
+    provider's marker, cut at '?' or '/', NULL when absent/empty —
+    split_part(x, m, 2) == Spark try_element_at(split(x, m), 2) on
+    marker-bearing urls. GENERATED from pagemeta.EMBED_PROVIDERS."""
+    from historicaldatadocumentparsersystem_spark.operators import (
+        pagemeta)
+    arms = []
+    for name, hosts, marker in pagemeta.EMBED_PROVIDERS:
+        seg = (f"nullif(split_part(split_part(split_part(src_url, "
+               f"'{marker}', 2), '?', 1), '/', 1), '')")
+        arms.append(f"WHEN {_embed_hosts_in(hosts)} "
+                    f"AND src_url LIKE '%{marker}%' THEN {seg}")
+    return " ".join(arms)
+
+
 def _pii_luhn_sql(ds: str) -> str:
     """Luhn mod-10 as a DuckDB integer fold over a digits-only column
     NAME — the RE2-side twin of operators/pii._luhn_ok (Spark
@@ -1105,6 +1135,8 @@ _GOLDEN_IMAGES = os.path.join(_REPO, "fixtures",
                               "golden_images_seed42_n120.parquet")
 _GOLDEN_MF2 = os.path.join(_REPO, "fixtures",
                            "golden_mf2_seed42_n120.parquet")
+_GOLDEN_AV = os.path.join(_REPO, "fixtures",
+                          "golden_av_seed42_n120.parquet")
 _GOLDEN_MEDIAMETA = os.path.join(_REPO, "fixtures",
                                  "golden_mediameta_seed42.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
@@ -1833,6 +1865,8 @@ _EXTRA_ORDER = [
     "mail_reply_clean", "wiki_redirects", "meta_robots_gate",
     "svg_metadata", "redirect_chains", "http_decode_captures",
     "extract_images", "image_text_pairs",
+    # round-4 resumed-session-6 additions
+    "extract_av", "av_text_pairs", "embed_providers",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2793,6 +2827,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(_GOLDEN_IMAGES))
     q["image_text_pairs"] = q_image_pairs
 
+    # --- audio/video/embed extraction (one row per media element) —
+    # hash-checked against the committed golden av parquet (source
+    # lists, subtitle tracks, posters, player iframes, figcaptions)
+    def q_av(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.av_pages_df(spark, 120)
+        return pagemeta.extract_av_df(docs).orderBy("url", "pos")
+    q["extract_av"] = q_av
+
+    # --- video/audio-text pair selection — reads the GOLDEN on both
+    # sides (rows==golden is proven by extract_av; this isolates the
+    # caption>title precedence / threshold / first-occurrence logic)
+    def q_av_pairs(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.av_text_pairs(spark.read.parquet(_GOLDEN_AV))
+    q["av_text_pairs"] = q_av_pairs
+
+    # --- third-party embed resolution — golden both sides; host and
+    # id extraction are pure string ops, the provider/marker tables
+    # are GENERATED into the SQL from pagemeta.EMBED_PROVIDERS
+    def q_embed_providers(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.embed_providers(
+            spark.read.parquet(_GOLDEN_AV)).orderBy("url", "pos")
+    q["embed_providers"] = q_embed_providers
+
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
     # pass: thead/soup/nested/colspan cases in the fixture pages)
@@ -2890,6 +2953,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("dates").cast("long").alias("n_date_candidates"),
             F.size("code").cast("long").alias("n_code_blocks"),
             F.size("images").cast("long").alias("n_images"),
+            F.size("av").cast("long").alias("n_av"),
             "n_tags", "max_depth", "truncated")
     q["page_artifacts_stats"] = q_artifacts
 
@@ -5650,6 +5714,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL AND length(text) >= 8
             QUALIFY row_number() OVER (PARTITION BY src_url
                       ORDER BY url, pos) = 1""",
+        # av rows: committed golden parquet pinned by
+        # tests/test_avx.py against the pure re-derivation
+        "extract_av": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_AV}')
+            ORDER BY url, pos""",
+        # video/audio-text pair selection over the golden (caption >
+        # title precedence, text-length threshold, first occurrence
+        # per asset URL corpus-wide)
+        "av_text_pairs": f"""
+            WITH cand AS (
+              SELECT url, pos, kind, src_url,
+                CASE WHEN coalesce(caption, '') <> '' THEN caption
+                     WHEN coalesce(title, '') <> '' THEN title
+                END AS text,
+                CASE WHEN coalesce(caption, '') <> '' THEN 'caption'
+                     WHEN coalesce(title, '') <> '' THEN 'title'
+                END AS text_source
+              FROM read_parquet('{_GOLDEN_AV}')
+              WHERE src_url IS NOT NULL)
+            SELECT url, pos, kind, src_url, text, text_source
+            FROM cand
+            WHERE text IS NOT NULL AND length(text) >= 8
+            QUALIFY row_number() OVER (PARTITION BY src_url
+                      ORDER BY url, pos) = 1""",
+        # third-party embed resolution over the golden: host between
+        # '://' and the next '/' (port stripped), provider/id via the
+        # GENERATED host/marker tables (pagemeta.EMBED_PROVIDERS)
+        "embed_providers": f"""
+            WITH base AS (
+              SELECT url, pos, src_url, title,
+                     lower(split_part(split_part(split_part(
+                       src_url, '://', 2), '/', 1), ':', 1)) AS host
+              FROM read_parquet('{_GOLDEN_AV}')
+              WHERE kind = 'iframe' AND src_url IS NOT NULL)
+            SELECT url, pos, src_url, host,
+                   CASE {_embed_provider_case()} ELSE 'other' END
+                     AS provider,
+                   CASE {_embed_id_case()} END AS video_id,
+                   title
+            FROM base ORDER BY url, pos""",
         # canonical pre-dedup: noindex gate + group on declared
         # canonical (fallback: own url), first member kept
         "canonical_dedup": f"""
@@ -5702,6 +5806,7 @@ def oracle_sql() -> dict[str, str]:
                    0::bigint AS n_date_candidates,
                    0::bigint AS n_code_blocks,
                    0::bigint AS n_images,
+                   0::bigint AS n_av,
                    s.n_tags, s.max_depth, s.truncated
             FROM read_parquet('{_GOLDEN_SHAPES}') s
             LEFT JOIN (SELECT url, count(*)::bigint AS c

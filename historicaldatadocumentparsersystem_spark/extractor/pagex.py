@@ -15,6 +15,7 @@ explodes only the families it consumes.
 """
 from __future__ import annotations
 
+from .avx import av_from_root
 from .codex import code_from_root
 from .datex import dates_from_root
 from .figx import images_from_root
@@ -34,7 +35,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
     {meta, hreflang, links, cells, jsonld, microdata, rdfa, mf2,
-    dates, code, outline, images, skeleton, n_tags, max_depth,
+    dates, code, outline, images, av, skeleton, n_tags, max_depth,
     truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
@@ -56,6 +57,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "code": code_from_root(root, src),
         "outline": outline_from_root(root, src),
         "images": images_from_root(root, src, base_url),
+        "av": av_from_root(root, src, base_url),
         "skeleton": skeleton,
         "n_tags": n_tags,
         "max_depth": max_depth,

@@ -1909,6 +1909,103 @@ def image_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, image_pages(n, seed), num_partitions)
 
 
+def av_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the audio/video/
+    embed extractor (extractor/avx.py): figured videos with captions,
+    source-list fallbacks with MIME types, subtitle/caption tracks
+    (kind defaulting, non-text kinds skipped), posters, YouTube/
+    Vimeo/Dailymotion/self-hosted iframes with accessibility titles,
+    nested figures, linked thumbnails, dimension edge cases, srcless
+    elements, av-free pages and empty payloads. Feeds
+    fixtures/golden_av_seed42_n*.parquet."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 49979687, i)
+        host = _HOSTS[(i * 37199) % len(_HOSTS)]
+        kind = i % 12
+        url = f"https://{host}/watch/page-{i}"
+        prose = f"<p>{_paragraph(rng, 1, 2)}</p>"
+        a, b = rng.randrange(100), rng.randrange(2000)
+        w1, w2 = rng.choice(_WORDS), rng.choice(_WORDS)
+        vid = f"{w1[:3]}{a:02d}{w2[:3]}{b:03d}"
+        if kind == 0:       # figured video + caption + track
+            page = (
+                f'{prose}<figure><video src="/media/{w1}-{a}.mp4" '
+                f'poster="/thumbs/{a}.jpg">'
+                f'<track kind="subtitles" src="/subs/{a}.vtt" '
+                f'srclang="EN"></video>'
+                f'<figcaption>Clip {a}: the {w1} &amp; the {w2}.'
+                f'</figcaption></figure>')
+        elif kind == 1:     # bare video, absolute URL, dims
+            page = (
+                f'{prose}<video src="https://cdn.{host}/v/{a}.webm" '
+                f'poster="https://cdn.{host}/p/{a}.png" '
+                f'width="{640 + b}" height="{360 + a}" '
+                f'title="{w1} {w2} recording"></video>')
+        elif kind == 2:     # srcless video, source-list fallback
+            page = (
+                f'<video><source src="/v/{a}.webm" '
+                f'type="video/WebM"><source src="/v/{a}.mp4" '
+                f'type="video/mp4"></video>{prose}')
+        elif kind == 3:     # audio with own src
+            page = (
+                f'{prose}<audio src="//media.{host}/pod/{a}.mp3" '
+                f'title="Episode {a}: {w1}"></audio>')
+        elif kind == 4:     # audio via sources, empty title
+            page = (
+                f'<audio title=""><source src="/a/{a}.ogg" '
+                f'type="audio/ogg"><source src="/a/{a}.m4a">'
+                f'</audio>{prose}')
+        elif kind == 5:     # youtube embed, titled, dims
+            page = (
+                f'{prose}<iframe '
+                f'src="https://www.youtube.com/embed/{vid}?start={b}" '
+                f'title="How the {w1} met the {w2}" width="560" '
+                f'height="315"></iframe>')
+        elif kind == 6:     # vimeo + dailymotion + self-hosted
+            page = (
+                f'<iframe src="https://player.vimeo.com/video/{a}{b}">'
+                f'</iframe>{prose}'
+                f'<iframe src="https://www.dailymotion.com/embed/'
+                f'video/x{vid}" title="{w2} live"></iframe>'
+                f'<iframe src="/widgets/map-{a}.html"></iframe>')
+        elif kind == 7:     # nested figure: captions stay local
+            page = (
+                f'<figure><video src="/outer/{a}.mp4"></video>'
+                f'<figure><video src="/inner/{b}.mp4"></video>'
+                f'<figcaption>inner {w1}</figcaption></figure>'
+                f'<figcaption>outer {w2}</figcaption></figure>')
+        elif kind == 8:     # track selection rules
+            page = (
+                f'{prose}<video src="/t/{a}.mp4">'
+                f'<track kind="chapters" src="/ch/{a}.vtt" '
+                f'srclang="en">'
+                f'<track kind="captions" srclang="de">'
+                f'<track src="/subs/{a}-default.vtt">'
+                f'<track kind="subtitles" src="/subs/{a}-fr.vtt" '
+                f'srclang="fr"></video>')
+        elif kind == 9:     # linked thumbnail + srcless video
+            page = (
+                f'{prose}<a href="/post/{a}"><video '
+                f'src="/clip/{a}.mp4" width="120px" height="0">'
+                f'</video></a><video title="coming soon"></video>')
+        elif kind == 10:    # no av at all
+            page = prose
+        else:               # kind == 11: empty payload -> no rows
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url,
+                      "html": f"<html><body>{page}</body></html>"
+                              .encode("utf-8")})
+    return pages
+
+
+def av_pages_df(spark, n: int, seed: int = 42,
+                num_partitions: int = 8):
+    """Spark DataFrame of the av_pages fixture set (url, html)."""
+    return _pages_df(spark, av_pages(n, seed), num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

@@ -497,6 +497,115 @@ def image_text_pairs(images: DataFrame, min_text_chars: int = 8,
             .where(F.col("rn") == 1).drop("rn"))
 
 
+AV_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("pos", IntegerType(), False),
+    StructField("kind", StringType(), False),
+    StructField("src_url", StringType(), True),
+    StructField("src_type", StringType(), True),
+    StructField("poster_url", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("caption", StringType(), True),
+    StructField("track_url", StringType(), True),
+    StructField("track_lang", StringType(), True),
+    StructField("n_sources", IntegerType(), False),
+    StructField("in_link", BooleanType(), False),
+])
+
+
+def extract_av_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per <video>/<audio>/
+    <iframe> (url, pos, kind, src_url, src_type, poster_url, title,
+    width, height, caption, track_url, track_lang, n_sources,
+    in_link) — the video-side analog of extract_images: every media
+    asset with its text candidates (caption/title), transcript handle
+    (subtitle/caption track) and source list attached
+    (extractor/avx.py is the Spark-free oracle; see its src/track
+    precedence contract). Map-only 1->N over a pruned (url, html)
+    projection."""
+    from ..extractor import avx
+
+    def rows(payload, u):
+        return avx.extract_av(payload, u)
+    return _flat_map_operator(docs, rows, AV_SCHEMA,
+                              nullable_int_cols=("width", "height"))
+
+
+def av_text_pairs(av: DataFrame, min_text_chars: int = 8) -> DataFrame:
+    """extract_av rows -> (url, pos, kind, src_url, text, text_source)
+    video/audio-text candidate pairs (the image_text_pairs recipe for
+    time-based media): text precedence caption > title with the first
+    NON-EMPTY winning, pairs shorter than ``min_text_chars`` dropped,
+    one pair per asset URL corpus-wide (first occurrence by url, pos).
+    No dimension gate — tracker iframes are filtered by the provider
+    pass, not by declared size. Plan: codegen filter+projection, then
+    ONE exchange on src_url for the first-occurrence window."""
+    nonempty = lambda c: F.coalesce(F.col(c), F.lit("")) != ""
+    text = (F.when(nonempty("caption"), F.col("caption"))
+             .when(nonempty("title"), F.col("title")))
+    source = (F.when(nonempty("caption"), F.lit("caption"))
+               .when(nonempty("title"), F.lit("title")))
+    cand = (av
+            .where(F.col("src_url").isNotNull())
+            .select("url", "pos", "kind", "src_url",
+                    text.alias("text"), source.alias("text_source"))
+            .where(F.col("text").isNotNull()
+                   & (F.length("text") >= min_text_chars)))
+    first = Window.partitionBy("src_url").orderBy("url", "pos")
+    return (cand.withColumn("rn", F.row_number().over(first))
+            .where(F.col("rn") == 1).drop("rn"))
+
+
+# Known third-party player hosts and the path marker whose next
+# segment is the asset id. The oracle SQL is GENERATED from these
+# constants (the _W_SQL precedent) — never retyped.
+EMBED_PROVIDERS = (
+    ("youtube", ("www.youtube.com", "youtube.com",
+                 "www.youtube-nocookie.com", "youtube-nocookie.com"),
+     "/embed/"),
+    ("vimeo", ("player.vimeo.com",), "/video/"),
+    ("dailymotion", ("www.dailymotion.com", "dailymotion.com"),
+     "/embed/video/"),
+)
+
+
+def embed_providers(av: DataFrame) -> DataFrame:
+    """extract_av iframe rows with a src -> (url, pos, src_url, host,
+    provider, video_id, title): third-party embed resolution. Host =
+    the authority between '://' and the next '/', port stripped,
+    lowercased; provider by exact host membership in EMBED_PROVIDERS
+    (unknown hosts keep provider='other'); video_id = the path
+    segment after the provider's marker, cut at '?' or '/', NULL when
+    the marker is absent/empty. Map-only string ops — the fetch plan
+    for the video corpus joins on (provider, video_id)."""
+    def seg_after(marker: str):
+        tail = F.try_element_at(F.split(F.col("src_url"), marker),
+                                F.lit(2))
+        seg = F.substring_index(F.substring_index(tail, "?", 1),
+                                "/", 1)
+        return F.when(F.col("src_url").contains(marker)
+                      & (seg != ""), seg)
+
+    host = F.lower(F.substring_index(F.substring_index(
+        F.try_element_at(F.split(F.col("src_url"), "://"), F.lit(2)),
+        "/", 1), ":", 1))
+    provider = F.lit("other")
+    video_id = F.lit(None).cast("string")
+    for name, hosts, marker in reversed(EMBED_PROVIDERS):
+        is_p = F.col("host").isin(*hosts)
+        provider = F.when(is_p, F.lit(name)).otherwise(provider)
+        video_id = F.when(is_p, seg_after(marker)).otherwise(video_id)
+    return (av
+            .where((F.col("kind") == "iframe")
+                   & F.col("src_url").isNotNull())
+            .withColumn("host", host)
+            .select("url", "pos", "src_url", "host",
+                    provider.alias("provider"),
+                    video_id.alias("video_id"), "title"))
+
+
 OUTLINE_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("para", IntegerType(), False),
@@ -709,6 +818,20 @@ def _artifacts_schema() -> StructType:
         StructField("height", IntegerType(), True),
         StructField("caption", StringType(), True),
         StructField("in_link", BooleanType(), False)])
+    av_struct = StructType([
+        StructField("pos", IntegerType(), False),
+        StructField("kind", StringType(), False),
+        StructField("src_url", StringType(), True),
+        StructField("src_type", StringType(), True),
+        StructField("poster_url", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("caption", StringType(), True),
+        StructField("track_url", StringType(), True),
+        StructField("track_lang", StringType(), True),
+        StructField("n_sources", IntegerType(), False),
+        StructField("in_link", BooleanType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -723,6 +846,7 @@ def _artifacts_schema() -> StructType:
         StructField("code", ArrayType(code_struct), False),
         StructField("outline", ArrayType(outline_struct), False),
         StructField("images", ArrayType(image_struct), False),
+        StructField("av", ArrayType(av_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
         StructField("max_depth", IntegerType(), False),
@@ -747,7 +871,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
                 "microdata", "rdfa", "mf2", "dates", "code", "outline",
-                "images", "skeleton", "n_tags", "max_depth",
+                "images", "av", "skeleton", "n_tags", "max_depth",
                 "truncated"]
         for pdf in it:
             rows = []
@@ -760,7 +884,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     tuple(a["meta"][f] for f in metax.META_FIELDS),
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
                     a["microdata"], a["rdfa"], a["mf2"], a["dates"],
-                    a["code"], a["outline"], a["images"],
+                    a["code"], a["outline"], a["images"], a["av"],
                     a["skeleton"], a["n_tags"],
                     a["max_depth"], a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)
