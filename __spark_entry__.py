@@ -1137,6 +1137,8 @@ _GOLDEN_MF2 = os.path.join(_REPO, "fixtures",
                            "golden_mf2_seed42_n120.parquet")
 _GOLDEN_AV = os.path.join(_REPO, "fixtures",
                           "golden_av_seed42_n120.parquet")
+_GOLDEN_FORMS = os.path.join(_REPO, "fixtures",
+                             "golden_forms_seed42_n120.parquet")
 _GOLDEN_MEDIAMETA = os.path.join(_REPO, "fixtures",
                                  "golden_mediameta_seed42.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
@@ -1867,6 +1869,7 @@ _EXTRA_ORDER = [
     "extract_images", "image_text_pairs",
     # round-4 resumed-session-6 additions
     "extract_av", "av_text_pairs", "embed_providers",
+    "extract_forms", "form_page_flags",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2856,6 +2859,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(_GOLDEN_AV)).orderBy("url", "pos")
     q["embed_providers"] = q_embed_providers
 
+    # --- form extraction (one row per <form>) — hash-checked against
+    # the committed golden forms parquet (control census, spec
+    # defaults, nested-form isolation, search-name conventions)
+    def q_forms(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        docs = fixtures.form_pages_df(spark, 120)
+        return pagemeta.extract_forms_df(docs).orderBy("url", "pos")
+    q["extract_forms"] = q_forms
+
+    # --- page-function flags (login wall / signup / search / upload)
+    # — reads the GOLDEN on both sides (rows==golden is proven by
+    # extract_forms; this isolates the flag aggregation)
+    def q_form_flags(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            pagemeta)
+        return pagemeta.form_page_flags(
+            spark.read.parquet(_GOLDEN_FORMS))
+    q["form_page_flags"] = q_form_flags
+
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
     # pass: thead/soup/nested/colspan cases in the fixture pages)
@@ -2954,6 +2977,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("code").cast("long").alias("n_code_blocks"),
             F.size("images").cast("long").alias("n_images"),
             F.size("av").cast("long").alias("n_av"),
+            F.size("forms").cast("long").alias("n_forms"),
             "n_tags", "max_depth", "truncated")
     q["page_artifacts_stats"] = q_artifacts
 
@@ -5754,6 +5778,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE {_embed_id_case()} END AS video_id,
                    title
             FROM base ORDER BY url, pos""",
+        # form rows: committed golden parquet pinned by
+        # tests/test_formx.py against the pure re-derivation
+        "extract_forms": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_FORMS}')
+            ORDER BY url, pos""",
+        # page-function flags over the golden: integer census ->
+        # booleans, one group per url
+        "form_page_flags": f"""
+            SELECT url, count(*)::bigint AS n_forms,
+                   bool_or(n_password = 1) AS has_login,
+                   bool_or(n_password >= 2) AS has_signup,
+                   bool_or(has_search) AS has_search_form,
+                   bool_or(n_file >= 1) AS has_upload
+            FROM read_parquet('{_GOLDEN_FORMS}')
+            GROUP BY url""",
         # canonical pre-dedup: noindex gate + group on declared
         # canonical (fallback: own url), first member kept
         "canonical_dedup": f"""
@@ -5807,6 +5846,7 @@ def oracle_sql() -> dict[str, str]:
                    0::bigint AS n_code_blocks,
                    0::bigint AS n_images,
                    0::bigint AS n_av,
+                   0::bigint AS n_forms,
                    s.n_tags, s.max_depth, s.truncated
             FROM read_parquet('{_GOLDEN_SHAPES}') s
             LEFT JOIN (SELECT url, count(*)::bigint AS c

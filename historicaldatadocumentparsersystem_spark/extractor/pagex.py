@@ -19,6 +19,7 @@ from .avx import av_from_root
 from .codex import code_from_root
 from .datex import dates_from_root
 from .figx import images_from_root
+from .formx import forms_from_root
 from .htmlx import decode_payload, parse_dom
 from .jsonldx import jsonld_from_root
 from .linkx import links_from_root
@@ -35,8 +36,8 @@ def extract_page_artifacts(payload, base_url: str | None = None,
                            max_tags: int = 500) -> dict:
     """All artifact families from ONE decode + ONE DOM parse:
     {meta, hreflang, links, cells, jsonld, microdata, rdfa, mf2,
-    dates, code, outline, images, av, skeleton, n_tags, max_depth,
-    truncated}."""
+    dates, code, outline, images, av, forms, skeleton, n_tags,
+    max_depth, truncated}."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = decode_payload(bytes(payload))
     else:
@@ -58,6 +59,7 @@ def extract_page_artifacts(payload, base_url: str | None = None,
         "outline": outline_from_root(root, src),
         "images": images_from_root(root, src, base_url),
         "av": av_from_root(root, src, base_url),
+        "forms": forms_from_root(root, src, base_url),
         "skeleton": skeleton,
         "n_tags": n_tags,
         "max_depth": max_depth,

@@ -2006,6 +2006,104 @@ def av_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, av_pages(n, seed), num_partitions)
 
 
+def form_pages(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic (url, html) pages exercising the form extractor
+    (extractor/formx.py): login/signup/search/contact/upload forms,
+    method and type normalization, spec defaults (absent type ->
+    text, typeless button -> submit), nested-form isolation,
+    name-convention search boxes, checkbox/radio census, action URL
+    resolution, formless pages and empty payloads. Feeds
+    fixtures/golden_forms_seed42_n*.parquet."""
+    pages: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 57885161, i)
+        host = _HOSTS[(i * 28657) % len(_HOSTS)]
+        kind = i % 12
+        url = f"https://{host}/app/page-{i}"
+        prose = f"<p>{_paragraph(rng, 1, 2)}</p>"
+        a = rng.randrange(1000)
+        w1 = rng.choice(_WORDS)
+        if kind == 0:       # classic login
+            page = (
+                f'{prose}<form action="/login" method="post">'
+                f'<input type="text" name="user{a}">'
+                f'<input type="password" name="pw">'
+                f'<button>Sign in</button></form>')
+        elif kind == 1:     # signup: two passwords + email
+            page = (
+                f'<form action="/signup" method="POST">'
+                f'<input type="email" name="mail">'
+                f'<input type="password" name="pw1">'
+                f'<input type="password" name="pw2">'
+                f'<input type="submit" value="Join"></form>{prose}')
+        elif kind == 2:     # search + newsletter
+            page = (
+                f'{prose}<form action="/find">'
+                f'<input type="search" name="terms{a}"></form>'
+                f'<form action="https://news.{host}/sub" '
+                f'method="post"><input type="email" name="nl">'
+                f'<button type="submit">Go</button></form>')
+        elif kind == 3:     # contact: textarea + hidden + select
+            page = (
+                f'<form action="/contact" method="post">'
+                f'<input type="hidden" name="csrf" value="{a}">'
+                f'<input name="subject"><textarea name="msg">'
+                f'{w1}</textarea><select name="dept"><option>x'
+                f'</option></select><button type="submit">Send'
+                f'</button></form>{prose}')
+        elif kind == 4:     # upload, shouting attribute values
+            page = (
+                f'{prose}<form action="/upload" method="POST" '
+                f'enctype="multipart/form-data">'
+                f'<input type="FILE" name="doc">'
+                f'<input type="submit"></form>')
+        elif kind == 5:     # nested soup: inner controls stay inner
+            page = (
+                f'<form action="/outer"><input type="text" name="o">'
+                f'<form action="/inner" method="post">'
+                f'<input type="password" name="p"></form>'
+                f'<input type="hidden" name="h{a}"></form>{prose}')
+        elif kind == 6:     # name-convention search, absolute action
+            page = (
+                f'{prose}<form action="//cdn.{host}/s">'
+                f'<input name="q"><button type="button">UI</button>'
+                f'</form>')
+        elif kind == 7:     # formless prose
+            page = prose * 2
+        elif kind == 8:     # button/method defaulting rules
+            page = (
+                f'<form method="WEIRD" action="/b-{a}">'
+                f'<button type="BUTTON">nope</button>'
+                f'<button type="submit">yes</button><button>also'
+                f'</button></form>{prose}')
+        elif kind == 9:     # checkbox/radio census, typeless input
+            page = (
+                f'{prose}<form action="/poll" method="dialog">'
+                f'<input type="checkbox" name="c1">'
+                f'<input type="radio" name="r">'
+                f'<input type="radio" name="r">'
+                f'<input name="other{a}"></form>')
+        elif kind == 10:    # relative + empty action
+            page = (
+                f'<form action="submit.php" method="post">'
+                f'<input type="text" name="t"></form>'
+                f'<form action=""><input type="search" name="x">'
+                f'</form>{prose}')
+        else:               # kind == 11: empty payload -> no rows
+            pages.append({"url": url, "html": None})
+            continue
+        pages.append({"url": url,
+                      "html": f"<html><body>{page}</body></html>"
+                              .encode("utf-8")})
+    return pages
+
+
+def form_pages_df(spark, n: int, seed: int = 42,
+                  num_partitions: int = 8):
+    """Spark DataFrame of the form_pages fixture set (url, html)."""
+    return _pages_df(spark, form_pages(n, seed), num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

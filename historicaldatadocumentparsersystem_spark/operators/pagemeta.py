@@ -606,6 +606,52 @@ def embed_providers(av: DataFrame) -> DataFrame:
                     video_id.alias("video_id"), "title"))
 
 
+FORMS_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("pos", IntegerType(), False),
+    StructField("action_url", StringType(), True),
+    StructField("method", StringType(), False),
+    StructField("n_controls", IntegerType(), False),
+    StructField("n_password", IntegerType(), False),
+    StructField("n_email", IntegerType(), False),
+    StructField("n_hidden", IntegerType(), False),
+    StructField("n_file", IntegerType(), False),
+    StructField("n_text", IntegerType(), False),
+    StructField("n_submit", IntegerType(), False),
+    StructField("has_search", BooleanType(), False),
+])
+
+
+def extract_forms_df(docs: DataFrame) -> DataFrame:
+    """documents (url, html, ...) -> one row per <form>
+    (url, pos, action_url, method, control census, has_search) — the
+    interactive-page profile whose downstream gates are pure integer
+    SQL (extractor/formx.py is the Spark-free oracle; see its
+    census/default contract). Map-only 1->N over a pruned (url, html)
+    projection."""
+    from ..extractor import formx
+
+    def rows(payload, u):
+        return formx.extract_forms(payload, u)
+    return _flat_map_operator(docs, rows, FORMS_SCHEMA)
+
+
+def form_page_flags(forms: DataFrame) -> DataFrame:
+    """extract_forms rows -> one row per url with the page-function
+    flags a quality gate consumes: n_forms, has_login (some form
+    carries exactly one password control — the login-wall shape),
+    has_signup (some form carries two or more — confirm-password),
+    has_search_form, has_upload. ONE shuffle on url (map-side
+    combinable aggregates); the gate that drops login walls and
+    template chrome is then a codegen filter on this tiny table."""
+    return (forms.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_forms"),
+        F.bool_or(F.col("n_password") == 1).alias("has_login"),
+        F.bool_or(F.col("n_password") >= 2).alias("has_signup"),
+        F.bool_or(F.col("has_search")).alias("has_search_form"),
+        F.bool_or(F.col("n_file") >= 1).alias("has_upload")))
+
+
 OUTLINE_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("para", IntegerType(), False),
@@ -832,6 +878,18 @@ def _artifacts_schema() -> StructType:
         StructField("track_lang", StringType(), True),
         StructField("n_sources", IntegerType(), False),
         StructField("in_link", BooleanType(), False)])
+    form_struct = StructType([
+        StructField("pos", IntegerType(), False),
+        StructField("action_url", StringType(), True),
+        StructField("method", StringType(), False),
+        StructField("n_controls", IntegerType(), False),
+        StructField("n_password", IntegerType(), False),
+        StructField("n_email", IntegerType(), False),
+        StructField("n_hidden", IntegerType(), False),
+        StructField("n_file", IntegerType(), False),
+        StructField("n_text", IntegerType(), False),
+        StructField("n_submit", IntegerType(), False),
+        StructField("has_search", BooleanType(), False)])
     return StructType([
         StructField("url", StringType(), False),
         StructField("meta", meta_struct, False),
@@ -847,6 +905,7 @@ def _artifacts_schema() -> StructType:
         StructField("outline", ArrayType(outline_struct), False),
         StructField("images", ArrayType(image_struct), False),
         StructField("av", ArrayType(av_struct), False),
+        StructField("forms", ArrayType(form_struct), False),
         StructField("skeleton", StringType(), False),
         StructField("n_tags", IntegerType(), False),
         StructField("max_depth", IntegerType(), False),
@@ -871,8 +930,8 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
     def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["url", "meta", "hreflang", "links", "cells", "jsonld",
                 "microdata", "rdfa", "mf2", "dates", "code", "outline",
-                "images", "av", "skeleton", "n_tags", "max_depth",
-                "truncated"]
+                "images", "av", "forms", "skeleton", "n_tags",
+                "max_depth", "truncated"]
         for pdf in it:
             rows = []
             for u, payload in zip(pdf["url"], pdf["html"]):
@@ -885,7 +944,7 @@ def page_artifacts(docs: DataFrame, max_tags: int = 500) -> DataFrame:
                     a["hreflang"], a["links"], a["cells"], a["jsonld"],
                     a["microdata"], a["rdfa"], a["mf2"], a["dates"],
                     a["code"], a["outline"], a["images"], a["av"],
-                    a["skeleton"], a["n_tags"],
+                    a["forms"], a["skeleton"], a["n_tags"],
                     a["max_depth"], a["truncated"]))
             yield pd.DataFrame(rows, columns=cols)
 
