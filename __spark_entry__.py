@@ -1139,6 +1139,8 @@ _GOLDEN_AV = os.path.join(_REPO, "fixtures",
                           "golden_av_seed42_n120.parquet")
 _GOLDEN_FORMS = os.path.join(_REPO, "fixtures",
                              "golden_forms_seed42_n120.parquet")
+_GOLDEN_IDN = os.path.join(_REPO, "fixtures",
+                           "golden_idn_seed42_n96.parquet")
 _GOLDEN_MEDIAMETA = os.path.join(_REPO, "fixtures",
                                  "golden_mediameta_seed42.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
@@ -1870,6 +1872,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-6 additions
     "extract_av", "av_text_pairs", "embed_providers",
     "extract_forms", "form_page_flags",
+    "idn_hosts", "idn_homograph_gate",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2878,6 +2881,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagemeta.form_page_flags(
             spark.read.parquet(_GOLDEN_FORMS))
     q["form_page_flags"] = q_form_flags
+
+    # --- IDN host profile (from-scratch RFC 3492 punycode + UTS #39
+    # script mixing) — hash-checked against the committed golden
+    # (the codec itself is pinned vs the stdlib punycode codec)
+    def q_idn_hosts(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            webtext)
+        return (webtext.idn_host_profile(
+            fixtures.idn_hosts_df(spark, 96)).orderBy("host"))
+    q["idn_hosts"] = q_idn_hosts
+
+    # --- homograph gate — reads the GOLDEN on both sides (profile ==
+    # golden is proven by idn_hosts; this isolates the flag logic)
+    def q_idn_gate(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import (
+            webtext)
+        return (webtext.idn_homograph_gate(
+            spark.read.parquet(_GOLDEN_IDN)).orderBy("host"))
+    q["idn_homograph_gate"] = q_idn_gate
 
     # --- HTML table extraction (one row per table cell) — hash-checked
     # against the committed golden tables parquet (structured-data
@@ -5793,6 +5815,22 @@ def oracle_sql() -> dict[str, str]:
                    bool_or(n_file >= 1) AS has_upload
             FROM read_parquet('{_GOLDEN_FORMS}')
             GROUP BY url""",
+        # IDN profile: committed golden parquet pinned by
+        # tests/test_idnx.py against the pure re-derivation (and the
+        # codec against the stdlib punycode codec)
+        "idn_hosts": f"""
+            SELECT * FROM read_parquet('{_GOLDEN_IDN}')
+            ORDER BY host""",
+        # homograph gate over the golden: single-label script mixing
+        # first, then malformed punycode
+        "idn_homograph_gate": f"""
+            SELECT host, unicode_host,
+                   CASE WHEN mixed_label THEN 'mixed-script'
+                        WHEN is_idn AND NOT decode_ok
+                        THEN 'bad-punycode' END AS reason
+            FROM read_parquet('{_GOLDEN_IDN}')
+            WHERE mixed_label OR (is_idn AND NOT decode_ok)
+            ORDER BY host""",
         # canonical pre-dedup: noindex gate + group on declared
         # canonical (fallback: own url), first member kept
         "canonical_dedup": f"""

@@ -2104,6 +2104,66 @@ def form_pages_df(spark, n: int, seed: int = 42,
     return _pages_df(spark, form_pages(n, seed), num_partitions)
 
 
+def idn_hosts(n: int, seed: int = 42) -> list[str]:
+    """Deterministic host list exercising the IDN profile
+    (extractor/idnx.py): plain ASCII, single- and multi-label
+    punycode (Cyrillic/Greek/Han/Arabic/Hebrew words built with the
+    encode half), mixed-script homographs (Latin brands with
+    confusable Cyrillic letters), uppercase XN-- forms, invalid
+    punycode, digit-only labels. Feeds
+    fixtures/golden_idn_seed42_n*.parquet."""
+    from .extractor.idnx import punycode_encode
+    confus = {"a": "а", "e": "е", "o": "о",
+              "p": "р", "c": "с"}
+    pools = ((0x430, 0x44F), (0x3B1, 0x3C9), (0x4E00, 0x4E40),
+             (0x627, 0x64A), (0x5D0, 0x5EA))
+    hosts: list[str] = []
+    for i in range(n):
+        rng = _rng(seed * 86028121, i)
+        w = rng.choice(_WORDS)
+        kind = i % 8
+        if kind == 0:           # plain ascii
+            hosts.append(f"www.{w}{i}.example.com")
+        elif kind == 1:         # single foreign-script label
+            lo, hi = pools[i % len(pools)]
+            label = "".join(chr(rng.randrange(lo, hi))
+                            for _ in range(3 + rng.randrange(6)))
+            hosts.append(f"xn--{punycode_encode(label)}.example")
+        elif kind == 2:         # homograph: brand with confusables
+            label = "".join(confus.get(c, c) if rng.random() < 0.6
+                            else c for c in w)
+            if label == w:      # force at least one substitution
+                label = "а" + w[1:]
+            hosts.append(f"xn--{punycode_encode(label)}.com")
+        elif kind == 3:         # multi-label IDN
+            lo, hi = pools[(i + 1) % len(pools)]
+            a = "".join(chr(rng.randrange(lo, hi)) for _ in range(4))
+            b = "".join(chr(rng.randrange(lo, hi)) for _ in range(3))
+            hosts.append(f"xn--{punycode_encode(a)}."
+                         f"xn--{punycode_encode(b)}.org")
+        elif kind == 4:         # uppercase form (case-insensitivity)
+            lo, hi = pools[i % len(pools)]
+            label = "".join(chr(rng.randrange(lo, hi))
+                            for _ in range(4))
+            hosts.append(f"XN--{punycode_encode(label).upper()}"
+                         f".{w}.NET")
+        elif kind == 5:         # invalid punycode
+            hosts.append(f"xn--{w}!!{i}.example")
+        elif kind == 6:         # digit-only + hyphenated ascii
+            hosts.append(f"{i}00.{w}-{w}.example.org")
+        else:                   # ascii label that merely LOOKS idn-ish
+            hosts.append(f"xn{w}.example")
+    return hosts
+
+
+def idn_hosts_df(spark, n: int, seed: int = 42,
+                 num_partitions: int = 4):
+    """Spark DataFrame (host string) of the idn_hosts fixture set."""
+    return spark.createDataFrame(
+        [(h,) for h in idn_hosts(n, seed)],
+        "host string").repartition(num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

@@ -1653,3 +1653,58 @@ def redirect_chains(captures: DataFrame, max_hops: int = 8
                     F.when(resolved, F.col("t.status"))
                     .cast("int").alias("final_status"),
                     resolved.alias("resolved")))
+
+
+def idn_host_profile(hosts: DataFrame, host_col: str = "host"
+                     ) -> DataFrame:
+    """host rows -> (host, unicode_host, is_idn, decode_ok,
+    n_idn_labels, scripts, mixed_label): the RFC 3492 punycode decode
+    + UTS #39 single-label script-mixing profile
+    (extractor/idnx.py is the Spark-free oracle; the codec is pinned
+    bidirectionally against Python's stdlib punycode codec).
+
+    Scale: run this over the DISTINCT-host table (~10^8 rows at
+    100 TB — trivial next to a payload pass); map-only 1->1, and the
+    homograph gate joins the flagged slice back to the link graph on
+    the host key (broadcast — flagged hosts are a sliver)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (BooleanType, IntegerType,
+                                   StringType, StructField, StructType)
+
+    from ..extractor import idnx
+
+    schema = StructType([
+        StructField("host", StringType(), False),
+        StructField("unicode_host", StringType(), False),
+        StructField("is_idn", BooleanType(), False),
+        StructField("decode_ok", BooleanType(), False),
+        StructField("n_idn_labels", IntegerType(), False),
+        StructField("scripts", StringType(), False),
+        StructField("mixed_label", BooleanType(), False),
+    ])
+
+    def batch(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = [idnx.host_profile(h) for h in pdf[host_col]
+                    if h is not None]
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in schema.fields])
+
+    return hosts.select(host_col).mapInPandas(batch, schema)
+
+
+def idn_homograph_gate(profile: DataFrame) -> DataFrame:
+    """idn_host_profile rows -> the flagged slice (host, unicode_host,
+    reason): 'mixed-script' when one label mixes two or more major
+    scripts (the classic confusable homograph), else 'bad-punycode'
+    when an xn-- label fails RFC 3492 decoding (malformed IDNs are a
+    spam signal of their own). Codegen filter + projection — no
+    shuffle; the output joins back to the link/fetch tables."""
+    reason = (F.when(F.col("mixed_label"), F.lit("mixed-script"))
+               .when(F.col("is_idn") & ~F.col("decode_ok"),
+                     F.lit("bad-punycode")))
+    return (profile.select("host", "unicode_host",
+                           reason.alias("reason"))
+            .where(F.col("reason").isNotNull()))
