@@ -287,6 +287,68 @@ def _enc_shard() -> bytes:
             _raw("https://enc.example/badchunk", badchunk))
 
 
+def _arc_shards() -> list[bytes]:
+    """Two deterministic ARC v1 shards (one plain, one
+    per-record-gzipped) — the legacy Common Crawl fixture. Rows mix
+    html/pdf payloads, a dns: record (reader skips non-http), and a
+    newline-rich body (ARC framing is length-based, not
+    line-based)."""
+    import datetime as _dt
+
+    from historicaldatadocumentparsersystem_spark.extractor import warcx
+
+    def recs(base: int):
+        ts = _dt.datetime(2009, 5, 4, 12, 30, base,
+                          tzinfo=_dt.timezone.utc)
+        out = []
+        for i in range(6):
+            body = ("<html><body>" +
+                    f"<p>legacy capture {base}-{i} " * (3 + i) +
+                    "</p></body></html>").encode()
+            out.append({"url": f"http://arc{base}.example/p{i}",
+                        "warc_ts": ts, "body": body,
+                        "ip": f"10.0.{base}.{i}"})
+        out.append({"url": f"http://arc{base}.example/doc.pdf",
+                    "warc_ts": ts, "body": b"%PDF-1.2 " + b"x" * 64,
+                    "content_type": "application/pdf"})
+        out.append({"url": f"dns:arc{base}.example", "warc_ts": ts,
+                    "body": b"10.0.0.1", "mime": "text/dns"})
+        out.append({"url": f"https://arc{base}.example/nl",
+                    "warc_ts": ts,
+                    "body": b"line one\n\nline two\nhttp://not.a/rec "
+                            b"0.0.0.0 20090101000000 text/html 5\n"})
+        return out
+
+    return [warcx.build_arc(recs(1)),
+            warcx.build_arc(recs(2), gzip_records=True)]
+
+
+def _arc_sql() -> str:
+    """Oracle for arc_documents: the PURE extractor feeds the VALUES
+    rows (the http_decode_captures precedent — ARC framing itself is
+    pinned by tests/test_warc.py round-trips); this row isolates the
+    distributed Arrow plumbing of the legacy-crawl source."""
+    import hashlib
+
+    from historicaldatadocumentparsersystem_spark.extractor.warcx import \
+        parse_arc
+    rows = []
+    for blob in _arc_shards():
+        for r in parse_arc(blob):
+            if not r["url"].startswith(("http://", "https://")):
+                continue
+            ts = r["warc_ts"].strftime("%Y-%m-%d %H:%M:%S")
+            rows.append(
+                "('{}', TIMESTAMP '{}', {}::bigint, '{}')".format(
+                    r["url"], ts, len(r["body"]),
+                    hashlib.md5(r["body"]).hexdigest()))
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, warc_ts, n_bytes, body_md5)
+        ORDER BY url"""
+
+
 def _httpdec_sql() -> str:
     """Oracle for http_decode_captures: the PURE extractor feeds the
     VALUES rows (the fetch_schedule_delayed precedent — decode
@@ -1872,7 +1934,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-6 additions
     "extract_av", "av_text_pairs", "embed_providers",
     "extract_forms", "form_page_flags",
-    "idn_hosts", "idn_homograph_gate",
+    "idn_hosts", "idn_homograph_gate", "arc_documents",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3751,6 +3813,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "sniffed_kind", "n_bytes")
                 .orderBy("url"))
     q["http_decode_captures"] = q_httpdec
+
+    # --- ARC v1 source (pre-2013 Common Crawl) — the pure extractor
+    # feeds the oracle VALUES; framing + round-trip pinned in
+    # tests/test_warc.py; this row isolates the Arrow plumbing
+    def q_arc(spark, sf_dir):
+        blobs = spark.createDataFrame(
+            [(b,) for b in _arc_shards()], "content binary")
+        return (sources.arc_documents_from_blobs(blobs)
+                .select("url", "warc_ts",
+                        F.length("html").cast("long").alias("n_bytes"),
+                        F.md5("html").alias("body_md5"))
+                .orderBy("url"))
+    q["arc_documents"] = q_arc
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7104,6 +7179,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_chains": _redir_sql(),
         # http body decoding: pure-extractor-fed VALUES twin
         "http_decode_captures": _httpdec_sql(),
+        "arc_documents": _arc_sql(),
         # svg metadata: committed golden parquet pinned by
         # tests/test_svg.py against the pure re-derivation
         "svg_metadata": f"""

@@ -326,6 +326,108 @@ def build_wet(records: list[dict], gzip_records: bool = False) -> bytes:
     return b"".join(out)
 
 
+def parse_arc(data: bytes) -> list[dict]:
+    """All document records of an ARC v1 shard (the Internet Archive
+    format every pre-2013 Common Crawl snapshot ships in), in order:
+    {url, warc_ts (datetime, UTC), ip, mime, status, content_type,
+    body (bytes), decoded}.
+
+    ARC v1 records are a single space-separated header line —
+    ``<url> <ip> <YYYYMMDDhhmmss> <content-type> <length>`` —
+    followed by ``length`` payload bytes and a blank separator line;
+    the leading ``filedesc://`` version record is consumed and
+    skipped. Whole-shard or per-record gzip is undone (same member
+    walk as WARC). http(s) payloads carry the full HTTP response, so
+    the same entity decoding as parse_warc applies (chunked framing +
+    gzip/deflate codings; ``decoded`` False keeps stored bytes);
+    other schemes (dns:, filedesc:) keep the raw payload. Header
+    lines that don't parse (wrong field count, non-integer length,
+    bad date) or truncated payloads stop the walk (never raise).
+    """
+    if data[:2] == _GZIP_MAGIC:
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip blank separator lines between records
+        while pos < n and data[pos:pos + 1] in (b"\n", b"\r"):
+            pos += 1
+        if pos >= n:
+            break
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            break
+        try:
+            line = data[pos:eol].decode("utf-8", "replace").rstrip("\r")
+            fields = line.split(" ")
+            if len(fields) != 5:
+                break
+            url, ip, date14, mime, length_s = fields
+            length = int(length_s)
+            ts = datetime.strptime(date14, "%Y%m%d%H%M%S") \
+                .replace(tzinfo=timezone.utc)
+        except ValueError:
+            break
+        body_start = eol + 1
+        if length < 0 or body_start + length > n:
+            break                               # truncated record
+        payload = data[body_start:body_start + length]
+        pos = body_start + length
+        if url.startswith("filedesc://"):
+            continue                            # version block
+        status = content_type = None
+        decoded = True
+        body = payload
+        if url.startswith(("http://", "https://")):
+            status, http, body = _http_body(payload)
+            body, decoded = decode_http_payload(
+                http.get("transfer-encoding"),
+                http.get("content-encoding"), body)
+            content_type = http.get("content-type")
+        records.append({
+            "url": url, "warc_ts": ts, "ip": ip, "mime": mime,
+            "status": status, "content_type": content_type,
+            "body": body, "decoded": decoded,
+        })
+    return records
+
+
+def build_arc(records: list[dict], gzip_records: bool = False,
+              shard_name: str = "fixture.arc") -> bytes:
+    """Serialize {url, warc_ts, body, ip?, content_type?, status?}
+    records into a valid ARC v1 shard (version block included) — the
+    fixture generator + exactness witness: build_arc -> parse_arc
+    round-trips body bytes identically."""
+    vblock = (b"1 0 InternetArchive\n"
+              b"URL IP-address Archive-date Content-type "
+              b"Archive-length\n")
+    head = ("filedesc://%s 0.0.0.0 20000101000000 text/plain %d\n"
+            % (shard_name, len(vblock))).encode()
+    first = head + vblock + b"\n"
+    if gzip_records:
+        c = zlib.compressobj(wbits=31)
+        first = c.compress(first) + c.flush()
+    out = [first]
+    for r in records:
+        body = r["body"]
+        if r["url"].startswith(("http://", "https://")):
+            ctype = r.get("content_type") or "text/html"
+            status = r.get("status", 200) or 200
+            body = (b"HTTP/1.1 " + str(status).encode() +
+                    b" OK\r\nContent-Type: " +
+                    ctype.encode("latin-1") + b"\r\n\r\n" + body)
+        mime = r.get("mime") or r.get("content_type") or "text/html"
+        line = "%s %s %s %s %d\n" % (
+            r["url"], r.get("ip", "0.0.0.0"),
+            r["warc_ts"].strftime("%Y%m%d%H%M%S"), mime, len(body))
+        rec = line.encode() + body + b"\n"
+        if gzip_records:
+            c = zlib.compressobj(wbits=31)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    return b"".join(out)
+
+
 def parse_wat(data: bytes) -> list[dict]:
     """All metadata records of a WAT shard (Common Crawl's per-page
     metadata sibling: JSON envelopes describing each WARC response),

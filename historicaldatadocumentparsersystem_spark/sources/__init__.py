@@ -1143,3 +1143,43 @@ def read_feed_entries(spark: SparkSession, path: str) -> DataFrame:
             .load(path)
             .select("content")
             .mapInPandas(_feed_parse_batches, FEED_DDL))
+
+
+def arc_documents_from_blobs(blobs: DataFrame) -> DataFrame:
+    """ARC v1 shards (a ``content binary`` column) -> the documents
+    table (url, warc_ts, html, text, lang) — the pre-2013 Common
+    Crawl path into the same extraction pipeline as WARC. http(s)
+    response bodies land in ``html`` (entity bytes — chunked/gzip
+    codings undone by ``extractor.warcx.parse_arc``); non-http
+    records (dns:, filedesc:) are skipped; ``text``/``lang`` stay
+    null. Same scale shape as read_warc_documents: shard bytes never
+    leave the task that scanned them."""
+    import pandas as pd
+
+    from ..extractor.warcx import parse_arc
+
+    def parse(batches):
+        for b in batches:
+            urls, tss, bodies = [], [], []
+            for blob in b["content"]:
+                for rec in parse_arc(bytes(blob)):
+                    if not rec["url"].startswith(("http://",
+                                                  "https://")):
+                        continue
+                    urls.append(rec["url"])
+                    tss.append(rec["warc_ts"])
+                    bodies.append(rec["body"])
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss, "html": bodies,
+                "text": pd.array([None] * len(urls), dtype=object),
+                "lang": pd.array([None] * len(urls), dtype=object)})
+
+    return blobs.select("content").mapInPandas(parse, DOCUMENTS_DDL)
+
+
+def read_arc_documents(spark: SparkSession, path: str) -> DataFrame:
+    """ARC shards on disk -> the documents table; binaryFile scan
+    (one row per shard, per-FILE parallelism — the archive's own unit
+    of work) + the Arrow pass of ``arc_documents_from_blobs``."""
+    return arc_documents_from_blobs(
+        spark.read.format("binaryFile").load(path).select("content"))

@@ -546,3 +546,67 @@ def test_encoded_warc_roundtrip_and_captures(spark, tmp_path):
         assert caps[u]["n_bytes"] == len(html)
     assert caps["https://e/br"]["decoded"] is False
     assert caps["https://e/br"]["content_encoding"] == "br"
+
+
+# --- ARC v1 (the pre-2013 Common Crawl format) -------------------------------
+
+def _arc_records(n=8):
+    ts = datetime(2009, 5, 4, 12, 30, 1, tzinfo=timezone.utc)
+    recs = []
+    for i in range(n):
+        recs.append({"url": f"http://old.example/p{i}", "warc_ts": ts,
+                     "body": f"<html>doc {i} body</html>".encode(),
+                     "ip": f"10.1.2.{i}"})
+    recs.append({"url": "dns:old.example", "warc_ts": ts,
+                 "body": b"10.1.2.3", "mime": "text/dns"})
+    recs.append({"url": "https://old.example/nl", "warc_ts": ts,
+                 "body": b"a\n\nb\nhttp://fake 1.1.1.1 "
+                         b"20090101000000 text/html 3\n"})
+    return recs
+
+
+def test_arc_roundtrip_plain_and_gzip():
+    recs = _arc_records()
+    for gz in (False, True):
+        out = warcx.parse_arc(warcx.build_arc(recs, gzip_records=gz))
+        assert [(o["url"], o["body"], o["warc_ts"], o["ip"])
+                for o in out] \
+            == [(r["url"], r["body"], r["warc_ts"],
+                 r.get("ip", "0.0.0.0")) for r in recs], gz
+        # http records carry HTTP envelope fields; dns does not
+        assert out[0]["status"] == 200
+        assert out[len(recs) - 2]["status"] is None
+
+
+def test_arc_filedesc_skip_and_malformed_stop():
+    blob = warcx.build_arc(_arc_records(3))
+    assert all(not r["url"].startswith("filedesc")
+               for r in warcx.parse_arc(blob))
+    # malformed header line (wrong field count) stops the walk
+    broken = blob + b"only three fields\nxxx"
+    assert len(warcx.parse_arc(broken)) == len(warcx.parse_arc(blob))
+    # truncated payload drops the trailing record only
+    for cut in range(1, 40):
+        assert len(warcx.parse_arc(blob[:-cut])) \
+            <= len(warcx.parse_arc(blob))
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=120, deadline=None)
+def test_arc_parse_arbitrary_bytes_never_raises(data):
+    for rec in warcx.parse_arc(data):
+        assert isinstance(rec["body"], bytes)
+
+
+def test_spark_arc_source_matches_direct(spark, tmp_path):
+    from historicaldatadocumentparsersystem_spark.sources import (
+        read_arc_documents)
+    recs = _arc_records()
+    p = tmp_path / "shard-0.arc.gz"
+    p.write_bytes(warcx.build_arc(recs, gzip_records=True))
+    got = {r["url"]: (r["warc_ts"], bytes(r["html"]))
+           for r in read_arc_documents(spark, str(p)).collect()}
+    want = {r["url"]: (r["warc_ts"].replace(tzinfo=None), r["body"])
+            for r in recs if r["url"].startswith("http")}
+    assert {u: (ts, b) for u, (ts, b) in got.items()} \
+        == {u: (ts, b) for u, (ts, b) in want.items()}
