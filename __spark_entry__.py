@@ -1710,6 +1710,26 @@ _DHASH_VALUES = """(VALUES
   ('bad0', NULL, NULL, NULL::bigint)
   ) AS t(media_id, width, height, dhash)"""
 
+# audio fingerprints of fixtures.audio_fp_rows(), pinned as literals
+# from the committed pure kernel (soundx.afp64) — the dhash pattern:
+# touching the kernel or fixture shifts a hash and fails loudly
+_AFP_VALUES = """(VALUES
+  ('au0a', 8000::int, 6240::bigint, -1::bigint),
+  ('au0b', 8000::int, 6240::bigint, -2147483649::bigint),
+  ('au1a', 8000::int, 6240::bigint, 0::bigint),
+  ('au1b', 8000::int, 6240::bigint, 2147483648::bigint),
+  ('au2a', 8000::int, 6240::bigint, 6148914691236517205::bigint),
+  ('au2b', 8000::int, 6240::bigint, 6148914688015291733::bigint),
+  ('au3a', 8000::int, 6240::bigint, 1229782938247303441::bigint),
+  ('au3b', 8000::int, 6240::bigint, 1229782939321045265::bigint),
+  ('au4a', 8000::int, 6240::bigint, -2677716848204206675::bigint),
+  ('au4b', 8000::int, 6240::bigint, -2677716850351690323::bigint),
+  ('au5a', 8000::int, 6240::bigint, 4294967295::bigint),
+  ('au5b', 8000::int, 6240::bigint, 2147483647::bigint),
+  ('au2x', 16000::int, 12480::bigint, 6148914691236517205::bigint),
+  ('aubad', NULL::int, NULL::bigint, NULL::bigint)
+  ) AS t(media_id, sample_rate, n_frames, afp)"""
+
 # PII-redaction fixture (deterministic VALUES both sides)
 _PII_ROWS = [
     ("t1", "contact john.doe+x@example.com or jane@sub.domain.org now"),
@@ -1935,6 +1955,7 @@ _EXTRA_ORDER = [
     "extract_av", "av_text_pairs", "embed_providers",
     "extract_forms", "form_page_flags",
     "idn_hosts", "idn_homograph_gate", "arc_documents",
+    "audio_fingerprint", "afp_near_pairs",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4135,6 +4156,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (multimodal.dhash_near_pairs(hashes, max_hamming=7)
                 .orderBy("id_a", "id_b"))
     q["dhash_near_pairs"] = q_dhash_pairs
+
+    # --- acoustic fingerprint: 64-bit energy-delta hash over REAL
+    # 16-bit PCM WAV (the dHash recipe in the time domain;
+    # rate-relative windows) — SQL-checked against hashes pinned as
+    # literals from the committed pure kernel; the fixture plants
+    # adjacent-window-swap near-twins and a cross-rate exact dup
+    def q_audio_fp(spark, sf_dir):
+        return (multimodal.audio_fingerprint(
+            fixtures.audio_fp_df(spark)).orderBy("media_id"))
+    q["audio_fingerprint"] = q_audio_fp
+
+    # --- acoustic near-dup pairs: the same pigeonhole bit-band path
+    # as dhash_near_pairs; brute-force oracle over the pinned hashes
+    def q_afp_pairs(spark, sf_dir):
+        hashes = multimodal.audio_fingerprint(
+            fixtures.audio_fp_df(spark))
+        return (multimodal.afp_near_pairs(hashes, max_hamming=7)
+                .orderBy("id_a", "id_b"))
+    q["afp_near_pairs"] = q_afp_pairs
 
     # --- embedded media metadata (from-scratch EXIF TIFF-IFD reader
     # + PNG tEXt + GIF comments) — hash-checked against the committed
@@ -6692,6 +6732,24 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.dhash, b.dhash))::int AS hamming
             FROM h a JOIN h b ON a.media_id < b.media_id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+            ORDER BY id_a, id_b""",
+        # acoustic fingerprints pinned as literals from the committed
+        # pure kernel (soundx.afp64 — energy-delta bits over window-
+        # aligned fixtures; cross-rate dup included)
+        "audio_fingerprint": f"""
+            SELECT * FROM {_AFP_VALUES}
+            ORDER BY media_id""",
+        # acoustic near-dup pairs: brute force over the pinned hashes
+        # == the banded join exactly (pigeonhole is lossless within
+        # the threshold)
+        "afp_near_pairs": f"""
+            WITH h AS (
+              SELECT * FROM {_AFP_VALUES} WHERE afp IS NOT NULL
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   bit_count(xor(a.afp, b.afp))::int AS hamming
+            FROM h a JOIN h b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.afp, b.afp)) <= 7
             ORDER BY id_a, id_b""",
         # REAL WAV stats pinned the same way (square wave: rms == amp)
         "audio_wav_stats": """

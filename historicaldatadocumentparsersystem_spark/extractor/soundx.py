@@ -299,3 +299,52 @@ def make_ogg_opus(channels: int = 2, pre_skip: int = 312,
            + pre_skip.to_bytes(2, "little")
            + input_rate.to_bytes(4, "little") + b"\x00\x00\x00")
     return _ogg_page(pkt)
+
+
+def afp64(payload: bytes) -> tuple[int, int, int] | None:
+    """64-bit audio energy-delta fingerprint over 16-bit PCM WAV —
+    the dHash recipe in the time domain: decode (stdlib wave),
+    mix channels by exact integer per-frame sum, split the sample
+    sequence into 65 equal windows (integer boundaries k*n//65),
+    energy per window = exact sum of squares, one bit per adjacent
+    comparison (set when the LATER window is louder), MSB-first.
+    Returns (sample_rate, n_frames, fingerprint as SIGNED int64) or
+    None for non-WAV / non-16-bit / shorter than 65 frames.
+
+    Window boundaries are RELATIVE, so the same envelope rendered at
+    a different sample rate fingerprints identically (the cross-rate
+    near-dup the fixture plants). Robust in the dHash sense — it sees
+    only loudness-ordering structure; production swap for content ID
+    is a chromaprint-class spectral method, stated honestly like the
+    ffmpeg note on video frame sampling."""
+    import io
+    import struct as _struct
+    import wave
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, width, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(),
+                w.getframerate(), w.getnframes())
+            raw = w.readframes(nframes)
+    except Exception:
+        return None
+    if width != 2 or nch < 1:
+        return None
+    raw = raw[:len(raw) - (len(raw) % 2)]   # truncated odd tail
+    samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
+    if nch > 1:                      # exact integer channel mix
+        n = len(samples) // nch
+        samples = tuple(sum(samples[i * nch:(i + 1) * nch])
+                        for i in range(n))
+    n = len(samples)
+    if n < 65:
+        return None
+    energies = []
+    for k in range(65):
+        lo, hi = k * n // 65, (k + 1) * n // 65
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    v = 0
+    for k in range(64):
+        v = (v << 1) | (1 if energies[k + 1] > energies[k] else 0)
+    return (rate, nframes,
+            v - (1 << 64) if v >= (1 << 63) else v)

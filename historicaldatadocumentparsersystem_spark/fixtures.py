@@ -2164,6 +2164,81 @@ def idn_hosts_df(spark, n: int, seed: int = 42,
         "host string").repartition(num_partitions)
 
 
+def _afp_envelope(kind: int) -> list[int]:
+    """65-window amplitude envelope with a DISTINCT adjacent-delta
+    sign structure per kind (afp64 only sees loudness-ordering, so
+    distinctness needs direction/frequency variety — the
+    _dhash_pattern rationale in the time domain)."""
+    env = []
+    for k in range(65):
+        if kind == 0:                               # ramp up
+            v = 200 + k * 180
+        elif kind == 1:                             # ramp down
+            v = 200 + (64 - k) * 180
+        elif kind == 2:                             # strict alternation
+            v = 3000 if k % 2 == 0 else 800
+        elif kind == 3:                             # period-4 checker
+            v = 2600 if (k // 2) % 2 == 0 else 700
+        elif kind == 4:                             # mod-13 sawtooth
+            v = 300 + (k * 5 % 13) * 900
+        else:                                       # triangle
+            v = 300 + abs(32 - k) * 250
+        env.append(v)
+    return env
+
+
+def _afp_wave(env: list[int], m: int = 96,
+              sample_rate: int = 8000) -> bytes:
+    """Window-ALIGNED 16-bit mono WAV: 65 windows x m samples, every
+    sample alternating +-env[k] (period 2), so window k's energy is
+    exactly m*env[k]^2 — afp64 bit signs equal the envelope's
+    adjacent-delta signs, and re-rendering at (2m, 2*rate) yields the
+    IDENTICAL fingerprint (boundaries are relative)."""
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for k, amp in enumerate(env):
+            for i in range(m):
+                v = amp if i % 2 == 0 else -amp
+                frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def audio_fp_rows(seed: int = 42) -> list[tuple[str, bytes]]:
+    """Deterministic WAV set with PLANTED acoustic near-dups for the
+    audio-fingerprint family: six envelope kinds (pairwise well
+    separated), each with an adjacent-window-swap near-twin (<= 4
+    bits), the kind-2 checker re-rendered at double rate AND double
+    window length (cross-rate EXACT dup — afp64 is rate-relative),
+    and an undecodable payload (null fingerprint)."""
+    rows: list[tuple[str, bytes]] = []
+    for k in range(6):
+        env = _afp_envelope(k)
+        twin = list(env)
+        j = next(j for j in range(32, 64) if env[j] != env[j + 1])
+        twin[j], twin[j + 1] = twin[j + 1], twin[j]
+        rows.append((f"au{k}a", _afp_wave(env)))
+        rows.append((f"au{k}b", _afp_wave(twin)))
+    rows.append(("au2x", _afp_wave(_afp_envelope(2), m=192,
+                                   sample_rate=16000)))
+    rows.append(("aubad", b"RIFFnot-really-a-wav" + bytes(seed % 7)))
+    return rows
+
+
+def audio_fp_df(spark, seed: int = 42, num_partitions: int = 4):
+    """Spark DataFrame (media_id, payload) of the audio_fp fixture."""
+    return spark.createDataFrame(
+        audio_fp_rows(seed), "media_id string, payload binary"
+    ).repartition(num_partitions)
+
+
 def _dhash_pattern(kind: int, w: int, h: int, seed: int) -> bytes:
     """Grayscale test pattern with a DISTINCT adjacent-difference sign
     structure per kind (dHash only sees those signs: any monotone ramp

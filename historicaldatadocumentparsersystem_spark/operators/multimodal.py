@@ -466,6 +466,53 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 7
                               "dhash", "media_id", 64, max_hamming)
 
 
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """64-bit audio energy-delta fingerprint per payload (media_id,
+    sample_rate, n_frames, afp) — the dHash recipe in the time domain
+    over 16-bit PCM WAV (extractor/soundx.afp64 is the Spark-free
+    oracle; window boundaries are relative, so re-rendered rates
+    fingerprint identically). Map-only 1->1; at 100 TB the hash table
+    is 16 bytes/asset and pairing runs over IT via the shared
+    pigeonhole hamming path, never over audio bytes. Undecodable /
+    too-short payloads yield null rows (F5)."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]
+              ) -> Iterator[pd.DataFrame]:
+        from ..extractor import soundx
+        for b in batches:
+            ids, rates, frames, fps = [], [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                r = soundx.afp64(bytes(payload)
+                                 if payload is not None else b"")
+                ids.append(mid)
+                rates.append(r[0] if r else None)
+                frames.append(r[1] if r else None)
+                fps.append(r[2] if r else None)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "n_frames": pd.array(frames, dtype="Int64"),
+                # nullable Int64, NEVER float64 — a None in the batch
+                # would otherwise upcast and shred low hash bits
+                "afp": pd.array(fps, dtype="Int64")})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batch,
+        "media_id string, sample_rate int, n_frames long, afp long")
+
+
+def afp_near_pairs(hashes: DataFrame, max_hamming: int = 7
+                   ) -> DataFrame:
+    """Acoustically-near pairs from audio_fingerprint output — the
+    same pigeonhole bit-band blocking + exact bit_count verify as
+    dhash_near_pairs (dedup.hamming_near_pairs is the ONE pair
+    engine)."""
+    from .dedup import hamming_near_pairs
+    return hamming_near_pairs(hashes.where(F.col("afp").isNotNull()),
+                              "afp", "media_id", 64, max_hamming)
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """Embedded metadata rows per media payload (media_id, fmt, idx,
     key, value): JPEG EXIF tags (from-scratch TIFF IFD reader, both

@@ -138,3 +138,74 @@ def test_audio_never_raises_on_fuzz():
     for blob in blobs:
         for row in exifx.extract_media_metadata(blob):
             assert len(row) == 4
+
+
+# --- audio energy-delta fingerprint (the dHash recipe, time domain) ----------
+
+def _ham(a, b):
+    return bin(((a % (1 << 64)) ^ (b % (1 << 64)))).count("1")
+
+
+def test_afp_kernel_contract():
+    from historicaldatadocumentparsersystem_spark import fixtures
+    env = fixtures._afp_envelope(0)                 # strict ramp up
+    rate, n, fp = soundx.afp64(fixtures._afp_wave(env))
+    assert (rate, n) == (8000, 65 * 96)
+    assert fp == -1                                 # all 64 bits set
+    # rate-relative: double rate + double window length -> same hash
+    assert soundx.afp64(fixtures._afp_wave(env, m=192,
+                                           sample_rate=16000))[2] == fp
+    # too short / non-wav / wrong width -> None
+    assert soundx.afp64(b"\x00" * 40) is None
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        imagex
+    assert soundx.afp64(imagex.make_wav(64)) is None   # < 65 samples
+    assert soundx.afp64(imagex.make_wav(65)) is not None
+
+
+def test_afp_fixture_separation():
+    from historicaldatadocumentparsersystem_spark import fixtures
+    fps = {mid: soundx.afp64(p)
+           for mid, p in fixtures.audio_fp_rows()}
+    assert fps["aubad"] is None
+    for k in range(6):                              # planted twins
+        assert _ham(fps[f"au{k}a"][2], fps[f"au{k}b"][2]) <= 4, k
+    assert fps["au2x"][2] == fps["au2a"][2]         # cross-rate dup
+    import itertools
+    for a, b in itertools.combinations(range(6), 2):
+        assert _ham(fps[f"au{a}a"][2], fps[f"au{b}a"][2]) >= 16, (a, b)
+
+
+def test_afp_never_raises_on_fuzz():
+    import random
+    rng = random.Random("afp-fuzz")
+    blobs = [b"RIFF" + bytes(rng.randrange(256) for _ in range(
+        rng.randrange(120))) for _ in range(150)]
+    from historicaldatadocumentparsersystem_spark import fixtures
+    good = fixtures._afp_wave(fixtures._afp_envelope(3))
+    blobs += [good[:i] for i in range(0, len(good), 257)]
+    for blob in blobs:
+        r = soundx.afp64(blob)
+        assert r is None or len(r) == 3
+
+
+def test_afp_operator_and_pairs(spark):
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.operators import \
+        multimodal
+    df = fixtures.audio_fp_df(spark)
+    got = {r["media_id"]: (r["sample_rate"], r["n_frames"], r["afp"])
+           for r in multimodal.audio_fingerprint(df).collect()}
+    for mid, payload in fixtures.audio_fp_rows():
+        pure = soundx.afp64(payload)
+        assert got[mid] == (pure if pure else (None, None, None)), mid
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in multimodal.afp_near_pairs(
+                 multimodal.audio_fingerprint(df)).collect()}
+    for k in range(6):                    # every twin found
+        assert (f"au{k}a", f"au{k}b") in pairs, k
+    assert pairs[("au2a", "au2x")] == 0   # cross-rate exact dup
+    # no cross-kind leakage at the threshold
+    for (a, b), d in pairs.items():
+        assert a[:3] == b[:3] and d <= 7, (a, b, d)
