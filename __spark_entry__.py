@@ -287,6 +287,84 @@ def _enc_shard() -> bytes:
             _raw("https://enc.example/badchunk", badchunk))
 
 
+def _media_sitemap_shards() -> list[bytes]:
+    """Two deterministic media-extension sitemap shards (one plain,
+    one gzipped): video entries with full/partial fields (player_loc
+    fallback, out-of-range duration -> NULL), image entries, mixed
+    pages, media-free pages, locless blocks dropped."""
+    from historicaldatadocumentparsersystem_spark.extractor import feedx
+
+    def pages(base: int):
+        out = []
+        for i in range(5):
+            media = []
+            if i % 3 != 2:
+                media.append({
+                    "kind": "video",
+                    "loc": f"https://cdn{base}.example/v{i}.mp4",
+                    "thumbnail_loc":
+                        f"https://cdn{base}.example/t{i}.jpg",
+                    "title": f"Clip {base}-{i}",
+                    "description": f"A {'long ' * i}description.",
+                    "duration_s": 60 * (i + 1)})
+            if i % 2 == 0:
+                media.append({
+                    "kind": "image",
+                    "loc": f"https://cdn{base}.example/i{i}.png",
+                    "title": None,
+                    "description": f"caption {base}-{i} & more"})
+            out.append({"page_loc":
+                        f"https://site{base}.example/page/{i}",
+                        "media": media})
+        return out
+
+    raw = feedx.build_sitemap_media(pages(1))
+    # splice spec-violating blocks into the plain shard: duration out
+    # of range (kept row, NULL duration) and locless blocks (dropped)
+    raw = raw.replace(
+        b"</urlset>",
+        b"<url><loc>https://site1.example/weird</loc>"
+        b"<video:video><video:player_loc>https://cdn1.example/pl.swf"
+        b"</video:player_loc><video:duration>999999</video:duration>"
+        b"</video:video>"
+        b"<video:video><video:title>locless</video:title>"
+        b"</video:video>"
+        b"<image:image><image:caption>locless too</image:caption>"
+        b"</image:image></url></urlset>")
+    return [raw, feedx.build_sitemap_media(pages(2), gzip_file=True)]
+
+
+def _media_sitemap_sql() -> str:
+    """Oracle for sitemap_media: the PURE extractor feeds the VALUES
+    rows (the arc_documents precedent — the parser itself is pinned
+    by tests/test_feeds.py round-trips)."""
+    from historicaldatadocumentparsersystem_spark.extractor.feedx import \
+        parse_sitemap_media
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for blob in _media_sitemap_shards():
+        for r in parse_sitemap_media(blob):
+            rows.append("({}, {}::int, {}, {}, {}, {}, {}, {}::int)"
+                        .format(lit(r["page_loc"]), r["pos"],
+                                lit(r["kind"]), lit(r["loc"]),
+                                lit(r["thumbnail_loc"]),
+                                lit(r["title"]), lit(r["description"]),
+                                lit(r["duration_s"])))
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(page_loc, pos, kind, loc, thumbnail_loc, title,
+             description, duration_s)
+        ORDER BY page_loc, pos"""
+
+
 def _arc_shards() -> list[bytes]:
     """Two deterministic ARC v1 shards (one plain, one
     per-record-gzipped) — the legacy Common Crawl fixture. Rows mix
@@ -1955,7 +2033,7 @@ _EXTRA_ORDER = [
     "extract_av", "av_text_pairs", "embed_providers",
     "extract_forms", "form_page_flags",
     "idn_hosts", "idn_homograph_gate", "arc_documents",
-    "audio_fingerprint", "afp_near_pairs",
+    "audio_fingerprint", "afp_near_pairs", "sitemap_media",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3847,6 +3925,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.md5("html").alias("body_md5"))
                 .orderBy("url"))
     q["arc_documents"] = q_arc
+
+    # --- media-extension sitemaps (video/image discovery channel) —
+    # pure-extractor-fed VALUES oracle; parser round-trips pinned in
+    # tests/test_feeds.py
+    def q_sitemap_media(spark, sf_dir):
+        blobs = spark.createDataFrame(
+            [(b,) for b in _media_sitemap_shards()], "content binary")
+        return (sources.sitemap_media_from_blobs(blobs)
+                .orderBy("page_loc", "pos"))
+    q["sitemap_media"] = q_sitemap_media
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7238,6 +7326,7 @@ def oracle_sql() -> dict[str, str]:
         # http body decoding: pure-extractor-fed VALUES twin
         "http_decode_captures": _httpdec_sql(),
         "arc_documents": _arc_sql(),
+        "sitemap_media": _media_sitemap_sql(),
         # svg metadata: committed golden parquet pinned by
         # tests/test_svg.py against the pure re-derivation
         "svg_metadata": f"""

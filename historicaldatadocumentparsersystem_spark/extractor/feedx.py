@@ -137,6 +137,128 @@ def parse_sitemap(data: bytes) -> list[dict]:
     return out
 
 
+_MEDIA_BLOCK_RE = re.compile(
+    rb"<(video:video|image:image)\s*>(.*?)</\1\s*>", re.S | re.I)
+
+
+def parse_sitemap_media(data: bytes) -> list[dict]:
+    """All media-extension entries of a sitemap (the Google
+    video/image sitemap extensions — the crawl-side DISCOVERY channel
+    for multimodal pair mining, complementing the in-page
+    extract_images/extract_av passes), in order:
+    {page_loc, pos, kind ('video' | 'image'), loc, thumbnail_loc,
+    title, description, duration_s}.
+
+    Per ``<url>`` block with a ``<loc>``, each ``<video:video>`` /
+    ``<image:image>`` sub-block becomes a row (``pos`` dense from 0
+    per page across both kinds, document order). Video rows take
+    ``video:content_loc`` (falling back to ``video:player_loc``),
+    ``video:thumbnail_loc``, ``video:title``, ``video:description``
+    and ``video:duration`` (seconds, kept only in the spec's
+    0..28800 range); image rows take ``image:loc``, ``image:title``
+    and ``image:caption`` (as description). The canonical namespace
+    prefixes are part of the contract (Google's own examples); media
+    blocks without a usable loc are dropped; whole-file gzip undone;
+    malformed documents degrade to fewer rows (F5)."""
+    data = _maybe_gunzip(data)
+    out: list[dict] = []
+    for m in _BLOCK_RE.finditer(data):
+        if m.group(1).decode().lower() != "url":
+            continue
+        block = m.group(2)
+        page = _field(block, "loc")
+        if not page:
+            continue
+        pos = 0
+        for mm in _MEDIA_BLOCK_RE.finditer(block):
+            kind = mm.group(1).decode().lower().split(":")[0]
+            sub = mm.group(2)
+            if kind == "video":
+                loc = _field(sub, "video:content_loc") \
+                    or _field(sub, "video:player_loc")
+                thumb = _field(sub, "video:thumbnail_loc")
+                title = _field(sub, "video:title")
+                desc = _field(sub, "video:description")
+                dur = None
+                raw = _field(sub, "video:duration")
+                if raw:
+                    try:
+                        dur = int(raw)
+                    except ValueError:
+                        dur = None
+                    else:
+                        dur = dur if 0 <= dur <= 28800 else None
+            else:
+                loc = _field(sub, "image:loc")
+                thumb = None
+                title = _field(sub, "image:title")
+                desc = _field(sub, "image:caption")
+                dur = None
+            if not loc:
+                continue
+            out.append({"page_loc": page, "pos": pos, "kind": kind,
+                        "loc": loc, "thumbnail_loc": thumb,
+                        "title": title, "description": desc,
+                        "duration_s": dur})
+            pos += 1
+    return out
+
+
+def build_sitemap_media(pages: list[dict],
+                        gzip_file: bool = False) -> bytes:
+    """Serialize {page_loc, media: [row dicts]} pages into a valid
+    media-extension sitemap — fixture generator + exactness witness
+    (build -> parse_sitemap_media round-trips every field)."""
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<urlset xmlns="http://www.sitemaps.org/schemas/'
+             'sitemap/0.9" xmlns:video="http://www.google.com/'
+             'schemas/sitemap-video/1.1" xmlns:image="http://'
+             'www.google.com/schemas/sitemap-image/1.1">']
+    for p in pages:
+        lines.append("<url>")
+        lines.append("<loc>%s</loc>" % _xml_escape(p["page_loc"]))
+        for r in p.get("media", ()):
+            if r["kind"] == "video":
+                lines.append("<video:video>")
+                if r.get("loc"):
+                    lines.append("<video:content_loc>%s"
+                                 "</video:content_loc>"
+                                 % _xml_escape(r["loc"]))
+                if r.get("thumbnail_loc"):
+                    lines.append("<video:thumbnail_loc>%s"
+                                 "</video:thumbnail_loc>"
+                                 % _xml_escape(r["thumbnail_loc"]))
+                if r.get("title") is not None:
+                    lines.append("<video:title>%s</video:title>"
+                                 % _xml_escape(r["title"]))
+                if r.get("description") is not None:
+                    lines.append("<video:description>%s"
+                                 "</video:description>"
+                                 % _xml_escape(r["description"]))
+                if r.get("duration_s") is not None:
+                    lines.append("<video:duration>%d</video:duration>"
+                                 % r["duration_s"])
+                lines.append("</video:video>")
+            else:
+                lines.append("<image:image>")
+                lines.append("<image:loc>%s</image:loc>"
+                             % _xml_escape(r["loc"]))
+                if r.get("title") is not None:
+                    lines.append("<image:title>%s</image:title>"
+                                 % _xml_escape(r["title"]))
+                if r.get("description") is not None:
+                    lines.append("<image:caption>%s</image:caption>"
+                                 % _xml_escape(r["description"]))
+                lines.append("</image:image>")
+        lines.append("</url>")
+    lines.append("</urlset>")
+    out = "\n".join(lines).encode("utf-8")
+    if gzip_file:
+        c = zlib.compressobj(wbits=31)
+        out = c.compress(out) + c.flush()
+    return out
+
+
 def parse_feed(data: bytes) -> list[dict]:
     """All entries of an RSS 2.0 or Atom feed, in order:
     {feed_kind ('rss' | 'atom'), url, title (str | None),

@@ -1183,3 +1183,40 @@ def read_arc_documents(spark: SparkSession, path: str) -> DataFrame:
     of work) + the Arrow pass of ``arc_documents_from_blobs``."""
     return arc_documents_from_blobs(
         spark.read.format("binaryFile").load(path).select("content"))
+
+
+def sitemap_media_from_blobs(blobs: DataFrame) -> DataFrame:
+    """Media-extension sitemap shards (a ``content binary`` column)
+    -> one row per declared video/image (page_loc, pos, kind, loc,
+    thumbnail_loc, title, description, duration_s) — the crawl-side
+    DISCOVERY channel for multimodal pair mining
+    (extractor.feedx.parse_sitemap_media is the Spark-free oracle).
+    Map-only; shard bytes never leave the scanning task; the output
+    joins the fetch frontier on loc."""
+    import pandas as pd
+
+    from ..extractor.feedx import parse_sitemap_media
+
+    def parse(batches):
+        cols = ("page_loc", "pos", "kind", "loc", "thumbnail_loc",
+                "title", "description", "duration_s")
+        for b in batches:
+            rows = []
+            for blob in b["content"]:
+                for r in parse_sitemap_media(bytes(blob)):
+                    rows.append(tuple(r[c] for c in cols))
+            out = pd.DataFrame(rows, columns=cols)
+            out["duration_s"] = out["duration_s"].astype("Int32")
+            yield out
+
+    return blobs.select("content").mapInPandas(
+        parse, "page_loc string, pos int, kind string, loc string, "
+               "thumbnail_loc string, title string, "
+               "description string, duration_s int")
+
+
+def read_sitemap_media(spark: SparkSession, path: str) -> DataFrame:
+    """Media-extension sitemaps on disk -> the discovery rows
+    (binaryFile scan + the Arrow pass of sitemap_media_from_blobs)."""
+    return sitemap_media_from_blobs(
+        spark.read.format("binaryFile").load(path).select("content"))

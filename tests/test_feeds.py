@@ -245,3 +245,81 @@ def test_opml_reader_matches_golden(spark):
     plan = (sources.read_opml_feeds(flat)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# --- media-extension sitemaps (video/image discovery) -------------------------
+
+def _media_pages():
+    return [
+        {"page_loc": "https://v.example/watch/1", "media": [
+            {"kind": "video", "loc": "https://cdn.v/1.mp4",
+             "thumbnail_loc": "https://cdn.v/1.jpg",
+             "title": "A first clip",
+             "description": "Long & <descriptive>.",
+             "duration_s": 312},
+            {"kind": "image", "loc": "https://cdn.v/1p.png",
+             "title": "poster", "description": None},
+        ]},
+        {"page_loc": "https://v.example/gallery", "media": [
+            {"kind": "image", "loc": "https://cdn.v/g1.png",
+             "title": None, "description": "caption <here>"},
+        ]},
+        {"page_loc": "https://v.example/empty", "media": []},
+    ]
+
+
+def test_sitemap_media_roundtrip_plain_and_gzip():
+    pages = _media_pages()
+    want = []
+    for p in pages:
+        for i, r in enumerate(p["media"]):
+            row = {"page_loc": p["page_loc"], "pos": i, **r}
+            row.setdefault("thumbnail_loc", None)
+            row.setdefault("duration_s", None)
+            want.append(row)
+    for gz in (False, True):
+        got = feedx.parse_sitemap_media(
+            feedx.build_sitemap_media(pages, gzip_file=gz))
+        assert got == want, gz
+
+
+def test_sitemap_media_spec_rules():
+    blob = (b"<urlset><url><loc>https://x/p</loc>"
+            b"<video:video><video:player_loc>https://x/pl"
+            b"</video:player_loc><video:duration>99999"
+            b"</video:duration></video:video>"
+            b"<video:video><video:title>locless</video:title>"
+            b"</video:video>"
+            b"<image:image><image:caption>locless</image:caption>"
+            b"</image:image></url>"
+            b"<url><video:video><video:content_loc>https://x/nopage"
+            b"</video:content_loc></video:video></url></urlset>")
+    rows = feedx.parse_sitemap_media(blob)
+    # player_loc fallback; out-of-range duration nulled; locless
+    # media and pageless url blocks dropped
+    assert rows == [{"page_loc": "https://x/p", "pos": 0,
+                     "kind": "video", "loc": "https://x/pl",
+                     "thumbnail_loc": None, "title": None,
+                     "description": None, "duration_s": None}]
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_sitemap_media_arbitrary_bytes_never_raises(data):
+    for r in feedx.parse_sitemap_media(data):
+        assert r["loc"]
+
+
+def test_spark_sitemap_media_source_matches_direct(spark, tmp_path):
+    from historicaldatadocumentparsersystem_spark.sources import (
+        read_sitemap_media)
+    blob = feedx.build_sitemap_media(_media_pages(), gzip_file=True)
+    (tmp_path / "media-sitemap.xml.gz").write_bytes(blob)
+    got = sorted((r["page_loc"], r["pos"], r["kind"], r["loc"],
+                  r["duration_s"])
+                 for r in read_sitemap_media(spark,
+                                             str(tmp_path)).collect())
+    want = sorted((r["page_loc"], r["pos"], r["kind"], r["loc"],
+                   r["duration_s"])
+                  for r in feedx.parse_sitemap_media(blob))
+    assert got == want and got
