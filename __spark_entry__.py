@@ -287,6 +287,80 @@ def _enc_shard() -> bytes:
             _raw("https://enc.example/badchunk", badchunk))
 
 
+def _hls_playlists() -> list[tuple[str, bytes]]:
+    """Deterministic HLS fixtures: a full master (ladder + audio/
+    subtitle renditions), a bare master, two media playlists (exact
+    fractional durations; one with a malformed EXTINF row), junk."""
+    from historicaldatadocumentparsersystem_spark.extractor import hlsx
+    full = hlsx.build_master(
+        [{"uri": "v0/prog.m3u8", "bandwidth": 5000000, "width": 1920,
+          "height": 1080, "codecs": "avc1.64002a,mp4a.40.2"},
+         {"uri": "v1/prog.m3u8", "bandwidth": 2000000, "width": 1280,
+          "height": 720, "codecs": "avc1.4d401f,mp4a.40.2"},
+         {"uri": "https://cdn.hls.example/v2.m3u8",
+          "bandwidth": 500000}],
+        media=[{"uri": "aud/en.m3u8", "type_": "audio",
+                "language": "en", "name": "English"},
+               {"uri": "sub/de.m3u8", "type_": "subtitles",
+                "language": "de", "name": "Deutsch"}])
+    bare = hlsx.build_master(
+        [{"uri": "only.m3u8", "bandwidth": 64000}])
+    seg1 = hlsx.build_media(
+        [{"uri": f"seg{i}.ts", "duration_ms": 6006 if i % 2 == 0
+          else 5994, "title": f"part {i}" if i == 0 else None}
+         for i in range(7)])
+    seg2 = hlsx.build_media(
+        [{"uri": "a.ts", "duration_ms": 4000},
+         {"uri": "b.ts", "duration_ms": 4500}], endlist=False)
+    seg2 += b"\n#EXTINF:notanumber,bad\nc.ts\n"
+    return [("https://hls.example/v/master.m3u8", full),
+            ("https://hls.example/v/bare.m3u8", bare),
+            ("https://hls.example/v/v0/prog.m3u8", seg1),
+            ("https://hls.example/live/now.m3u8", seg2),
+            ("https://hls.example/junk", b"<html>not hls</html>")]
+
+
+def _hls_sql() -> str:
+    """Oracle for hls_rows: the PURE extractor feeds the VALUES rows
+    (the arc_documents precedent), with the op's urljoin resolution
+    replicated here from the same stdlib call."""
+    from urllib.parse import urljoin
+
+    from historicaldatadocumentparsersystem_spark.extractor.hlsx import \
+        parse_m3u8
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for url, blob in _hls_playlists():
+        kind, rs = parse_m3u8(blob)
+        for r in rs:
+            uri = urljoin(url, r[2])
+            if r[0] == "variant":
+                vals = (url, kind, r[1], "variant", uri, r[3], r[4],
+                        r[5], r[6], None, None, None, None, None)
+            elif r[0] == "media":
+                vals = (url, kind, r[1], "media", uri, None, None,
+                        None, None, None, r[3], r[4], r[5], None)
+            else:
+                vals = (url, kind, r[1], "segment", uri, None, None,
+                        None, None, r[3], None, None, None, r[4])
+            rows.append("(%s, %s, %s::int, %s, %s, %s::bigint, "
+                        "%s::int, %s::int, %s, %s::bigint, %s, %s, "
+                        "%s, %s)" % tuple(lit(v) for v in vals))
+    return """
+        SELECT * FROM (VALUES %s)
+        AS t(playlist_url, playlist_kind, pos, row_kind, uri,
+             bandwidth, width, height, codecs, duration_ms,
+             media_type, language, name, title)
+        ORDER BY playlist_url, pos""" % ",\n".join(rows)
+
+
 def _media_sitemap_shards() -> list[bytes]:
     """Two deterministic media-extension sitemap shards (one plain,
     one gzipped): video entries with full/partial fields (player_loc
@@ -2034,6 +2108,7 @@ _EXTRA_ORDER = [
     "extract_forms", "form_page_flags",
     "idn_hosts", "idn_homograph_gate", "arc_documents",
     "audio_fingerprint", "afp_near_pairs", "sitemap_media",
+    "hls_rows", "hls_summary",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3935,6 +4010,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sources.sitemap_media_from_blobs(blobs)
                 .orderBy("page_loc", "pos"))
     q["sitemap_media"] = q_sitemap_media
+
+    # --- HLS playlists (video fetch planning) — pure-extractor-fed
+    # VALUES oracle; parser round-trips pinned in tests/test_hls.py
+    def q_hls_rows(spark, sf_dir):
+        blobs = spark.createDataFrame(_hls_playlists(),
+                                      "url string, content binary")
+        return (sources.hls_rows_from_blobs(blobs)
+                .orderBy("playlist_url", "pos"))
+    q["hls_rows"] = q_hls_rows
+
+    # --- per-playlist fetch-planning summary — aggregation isolated
+    # over the same pinned rows (rows==VALUES proven by hls_rows)
+    def q_hls_summary(spark, sf_dir):
+        blobs = spark.createDataFrame(_hls_playlists(),
+                                      "url string, content binary")
+        return (sources.hls_summary(sources.hls_rows_from_blobs(blobs))
+                .orderBy("playlist_url"))
+    q["hls_summary"] = q_hls_summary
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7327,6 +7420,21 @@ def oracle_sql() -> dict[str, str]:
         "http_decode_captures": _httpdec_sql(),
         "arc_documents": _arc_sql(),
         "sitemap_media": _media_sitemap_sql(),
+        "hls_rows": _hls_sql(),
+        "hls_summary": f"""
+            SELECT playlist_url, playlist_kind,
+                   sum((row_kind = 'variant')::int)::bigint
+                     AS n_variants,
+                   max(bandwidth) AS max_bandwidth,
+                   min(bandwidth) AS min_bandwidth,
+                   sum((row_kind = 'media')::int)::bigint
+                     AS n_renditions,
+                   sum((row_kind = 'segment')::int)::bigint
+                     AS n_segments,
+                   sum(duration_ms)::bigint AS total_duration_ms
+            FROM ({_hls_sql()})
+            GROUP BY playlist_url, playlist_kind
+            ORDER BY playlist_url""",
         # svg metadata: committed golden parquet pinned by
         # tests/test_svg.py against the pure re-derivation
         "svg_metadata": f"""

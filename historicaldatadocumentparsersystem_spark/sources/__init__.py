@@ -1220,3 +1220,77 @@ def read_sitemap_media(spark: SparkSession, path: str) -> DataFrame:
     (binaryFile scan + the Arrow pass of sitemap_media_from_blobs)."""
     return sitemap_media_from_blobs(
         spark.read.format("binaryFile").load(path).select("content"))
+
+
+HLS_ROWS_DDL = ("playlist_url string, playlist_kind string, pos int, "
+                "row_kind string, uri string, bandwidth long, "
+                "width int, height int, codecs string, "
+                "duration_ms long, media_type string, language string, "
+                "name string, title string")
+
+
+def hls_rows_from_blobs(blobs: DataFrame) -> DataFrame:
+    """HLS playlists (columns url, content) -> one row per declared
+    variant / rendition / segment (HLS_ROWS_DDL; unused fields null
+    per row kind) — the video fetch planner's input
+    (extractor.hlsx.parse_m3u8 is the Spark-free oracle; URIs are
+    resolved against the playlist url here, the linkx convention).
+    Map-only; at scale playlists are kilobytes and the output joins
+    the fetch frontier on uri."""
+    from urllib.parse import urljoin
+
+    import pandas as pd
+
+    from ..extractor.hlsx import parse_m3u8
+
+    cols = [f.split()[0] for f in HLS_ROWS_DDL.split(", ")]
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, blob in zip(b["url"], b["content"]):
+                kind, rs = parse_m3u8(bytes(blob)
+                                      if blob is not None else b"")
+                for r in rs:
+                    uri = urljoin(url, r[2]) if url else r[2]
+                    if r[0] == "variant":
+                        rows.append((url, kind, r[1], "variant", uri,
+                                     r[3], r[4], r[5], r[6],
+                                     None, None, None, None, None))
+                    elif r[0] == "media":
+                        rows.append((url, kind, r[1], "media", uri,
+                                     None, None, None, None, None,
+                                     r[3], r[4], r[5], None))
+                    else:
+                        rows.append((url, kind, r[1], "segment", uri,
+                                     None, None, None, None, r[3],
+                                     None, None, None, r[4]))
+            out = pd.DataFrame(rows, columns=cols)
+            for c, t in (("pos", "Int32"), ("bandwidth", "Int64"),
+                         ("width", "Int32"), ("height", "Int32"),
+                         ("duration_ms", "Int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    return blobs.select("url", "content").mapInPandas(
+        parse, HLS_ROWS_DDL)
+
+
+def hls_summary(rows: DataFrame) -> DataFrame:
+    """hls_rows -> one row per playlist: the fetch-planning summary
+    (n_variants, max/min bandwidth of the ladder, n_renditions,
+    n_segments, total_duration_ms — exact integer sum). ONE
+    map-side-combinable shuffle on playlist_url; rung selection /
+    byte budgeting downstream is a filter + join on this tiny
+    table."""
+    from pyspark.sql import functions as F
+    return (rows.groupBy("playlist_url", "playlist_kind").agg(
+        F.sum((F.col("row_kind") == "variant").cast("long"))
+         .alias("n_variants"),
+        F.max("bandwidth").alias("max_bandwidth"),
+        F.min("bandwidth").alias("min_bandwidth"),
+        F.sum((F.col("row_kind") == "media").cast("long"))
+         .alias("n_renditions"),
+        F.sum((F.col("row_kind") == "segment").cast("long"))
+         .alias("n_segments"),
+        F.sum("duration_ms").alias("total_duration_ms")))
