@@ -1355,6 +1355,8 @@ _GOLDEN_FORMS = os.path.join(_REPO, "fixtures",
                              "golden_forms_seed42_n120.parquet")
 _GOLDEN_IDN = os.path.join(_REPO, "fixtures",
                            "golden_idn_seed42_n96.parquet")
+_GOLDEN_PDF_MODERN = os.path.join(
+    _REPO, "fixtures", "golden_pdf_modern_seed42_n40.parquet")
 _GOLDEN_MEDIAMETA = os.path.join(_REPO, "fixtures",
                                  "golden_mediameta_seed42.parquet")
 _GOLDEN_JSONLD = os.path.join(_REPO, "fixtures",
@@ -2108,7 +2110,7 @@ _EXTRA_ORDER = [
     "extract_forms", "form_page_flags",
     "idn_hosts", "idn_homograph_gate", "arc_documents",
     "audio_fingerprint", "afp_near_pairs", "sitemap_media",
-    "hls_rows", "hls_summary",
+    "hls_rows", "hls_summary", "pdf_modern_info",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -3662,6 +3664,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sources.read_pdf_info(
             docs.select("url", F.col("html").alias("payload")))
     q["pdf_info"] = q_pdf_info
+
+    # --- MODERN PDFs (object streams + xref streams, PDF 1.5+):
+    # the same /Info surface read through ObjStm expansion —
+    # classic==modern parity pinned by tests/test_pdf_modern.py
+    def q_pdf_modern_info(spark, sf_dir):
+        files = fixtures.pdf_modern_rows(40)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_pdf_info(df).orderBy("url")
+    q["pdf_modern_info"] = q_pdf_modern_info
 
     # --- PDF document outline (bookmarks, 12.3.3 — the docling-analog
     # heading surface for PDFs): preorder tree walk over the /Outlines
@@ -7069,6 +7082,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, title, author, subject, keywords, creator,
                    producer, creation_date, mod_date
             FROM read_parquet('{_GOLDEN_PDFINFO}')""",
+        # modern-PDF info: committed golden pinned by
+        # tests/test_pdf_modern.py against the pure re-derivation
+        "pdf_modern_info": f"""
+            SELECT url, title, author, subject, keywords, creator,
+                   producer, creation_date, mod_date
+            FROM read_parquet('{_GOLDEN_PDF_MODERN}')
+            ORDER BY url""",
         # office-container metadata: committed golden parquet pinned
         # by tests/test_officemeta.py against the pure re-derivation
         "office_metadata": f"""

@@ -249,6 +249,92 @@ def iter_content_streams(payload: bytes):
         yield body_start, body, bool(filters)
 
 
+# --- modern PDFs: object streams + cross-reference streams --------------------
+# PDF 1.5+ packs non-stream objects into /Type/ObjStm streams and
+# replaces the classic trailer with a /Type/XRef stream whose DICT
+# carries /Root and /Info (7.5.7-7.5.8). The readers below stay
+# xref-free: embedded objects are EXPANDED into synthetic classic
+# "N 0 obj ... endobj" blocks appended after the payload (document
+# order, so last-wins incremental semantics are preserved), and the
+# trailer scan walks classic trailer blocks AND XRef stream dicts in
+# position order.
+
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm(?![\w])")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef(?![\w])")
+_INT_RE = re.compile(rb"\d+")
+
+
+def _objstm_field(sdict: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", sdict)
+    return int(m.group(1)) if m else None
+
+
+def expand_object_streams(payload: bytes) -> bytes:
+    """payload + synthetic ``num 0 obj ... endobj`` blocks for every
+    object embedded in a /Type/ObjStm stream (decoded via the shared
+    filter chain; embedded objects have generation 0 by spec).
+    ObjStm-free payloads return UNCHANGED, so the classic path is
+    byte-identical. Malformed streams are skipped (F5)."""
+    extra: list[bytes] = []
+    pos = 0
+    while True:
+        sm = _STREAM_HDR_RE.search(payload, pos)
+        if sm is None:
+            break
+        sdict = sm.group("dict")
+        body_start = sm.end()
+        mlen = _LEN_RE.search(sdict)
+        if mlen is not None:
+            body = payload[body_start:body_start + int(mlen.group(1))]
+        else:
+            end = payload.find(b"endstream", body_start)
+            if end < 0:
+                break
+            body = payload[body_start:end]
+        pos = body_start + len(body)
+        if not _OBJSTM_TYPE_RE.search(sdict):
+            continue
+        n = _objstm_field(sdict, b"N")
+        first = _objstm_field(sdict, b"First")
+        filters = _stream_filters(sdict)
+        if n is None or first is None or filters is None:
+            continue
+        try:
+            for name in filters:
+                body = _DECODERS[name](body)
+        except Exception:
+            continue
+        ints = [int(x) for x in _INT_RE.findall(body[:first])]
+        if len(ints) < 2 * n:
+            continue
+        pairs = [(ints[2 * i], ints[2 * i + 1]) for i in range(n)]
+        for i, (num, off) in enumerate(pairs):
+            lo = first + off
+            hi = first + pairs[i + 1][1] if i + 1 < n else len(body)
+            if not 0 <= lo <= hi <= len(body):
+                continue
+            extra.append(b"%d 0 obj %s endobj"
+                         % (num, body[lo:hi].strip()))
+    if not extra:
+        return payload
+    return payload + b"\n" + b"\n".join(extra)
+
+
+def _iter_trailer_dicts(payload: bytes):
+    """Dict bodies that can carry /Root and /Info, in DOCUMENT order:
+    classic ``trailer << ... >>`` blocks and /Type/XRef stream dicts
+    (the modern trailer equivalent). Last occurrence wins at the
+    callers (incremental updates supersede, PDF 7.5.6)."""
+    items = [(m.start(), m.group("d"))
+             for m in _TRAILER_RE.finditer(payload)]
+    for m in _STREAM_HDR_RE.finditer(payload):
+        if _XREF_TYPE_RE.search(m.group("dict")):
+            items.append((m.start(), m.group("dict")))
+    items.sort(key=lambda kv: kv[0])
+    for _pos, d in items:
+        yield d
+
+
 def extract_pdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]], float]:
     """(extracted_text, spans, score) for a PDF-subset payload.
 
@@ -394,8 +480,8 @@ def extract_pdf_info(payload: bytes) -> dict | None:
     if not payload or not payload.startswith(b"%PDF-"):
         return None
     ref = None
-    for t in _TRAILER_RE.finditer(payload):
-        m = _INFO_REF_RE.search(t.group("d"))
+    for d in _iter_trailer_dicts(payload):
+        m = _INFO_REF_RE.search(d)
         if m:
             ref = (int(m.group(1)), int(m.group(2)))
     if ref is None:
@@ -404,7 +490,7 @@ def extract_pdf_info(payload: bytes) -> dict | None:
         rb"(?:^|[^0-9])%d\s+%d\s+obj\s*<<(?P<d>.*?)>>\s*endobj"
         % ref, re.S)
     body = None
-    for m in obj_re.finditer(payload):
+    for m in obj_re.finditer(expand_object_streams(payload)):
         body = m.group("d")
     if body is None:
         return None
@@ -458,12 +544,13 @@ def extract_pdf_outline(payload: bytes) -> list[tuple[int, int, str]]:
     if not payload or not payload.startswith(b"%PDF-"):
         return []
     root_ref = None
-    for t in _TRAILER_RE.finditer(payload):
-        m = _ROOT_REF_RE.search(t.group("d"))
+    for d in _iter_trailer_dicts(payload):
+        m = _ROOT_REF_RE.search(d)
         if m:
             root_ref = (int(m.group(1)), int(m.group(2)))
     if root_ref is None:
         return []
+    payload = expand_object_streams(payload)
     catalog = _object_body(payload, root_ref)
     if catalog is None:
         return []

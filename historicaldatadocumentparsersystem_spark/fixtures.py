@@ -239,6 +239,97 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
     content stream, so raw-stream span offsets (and the committed
     goldens that pin them) are untouched. Non-ASCII values emit the
     UTF-16BE hex-string form real producers use."""
+    objs, info_num = _pdf_objects(pages, compress, filters, info,
+                                  outline)
+    info_ref = (f" /Info {info_num} 0 R".encode()
+                if info_num is not None else b"")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{idx} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+            .encode() + info_ref + b" >>\n"
+            + f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def _make_pdf_modern(pages: list[list[str]],
+                     info: dict | None = None,
+                     outline: list[tuple[int, str]] | None = None
+                     ) -> bytes:
+    """The PDF 1.5+ form of ``_make_pdf``: the SAME objects (same
+    numbering, so every cross-reference is identical), but every
+    non-stream object (catalog, pages, page dicts, info, outline
+    tree) is packed into a Flate-compressed /Type/ObjStm, and the
+    classic trailer is replaced by a /Type/XRef cross-reference
+    STREAM whose dict carries /Root and /Info — how every modern
+    producer writes PDFs. Content streams stay top-level (the spec
+    forbids streams inside object streams)."""
+    import zlib as _zlib
+    objs, info_num = _pdf_objects(pages, False, None, info, outline)
+    objstm_num = len(objs) + 1
+    xref_num = len(objs) + 2
+    embedded = [(i + 1, body) for i, body in enumerate(objs)
+                if b"stream" not in body]
+    toplevel = {i + 1: body for i, body in enumerate(objs)
+                if b"stream" in body}
+    # ObjStm: "num off num off ..." header, then the bodies
+    segs, offs, pos = [], [], 0
+    for _num, body in embedded:
+        offs.append(pos)
+        segs.append(body)
+        pos += len(body) + 1
+    header = " ".join(f"{num} {off}" for (num, _b), off
+                      in zip(embedded, offs)).encode() + b"\n"
+    data = header + b"\n".join(segs)
+    first = len(header)
+    packed = _zlib.compress(data)
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, body in sorted(toplevel.items()):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm "
+            f"/N {len(embedded)} /First {first} "
+            f"/Filter /FlateDecode /Length {len(packed)} >>\n"
+            .encode() + b"stream\n" + packed + b"\nendstream\nendobj\n")
+    # XRef stream: /W [1 2 1]; entries for objects 0..xref_num
+    xref_at = len(out)
+    entries = bytearray()
+    emb_index = {num: i for i, (num, _b) in enumerate(embedded)}
+    for num in range(xref_num + 1):
+        if num == 0:
+            t, a, b = 0, 0, 255
+        elif num in emb_index:
+            t, a, b = 2, objstm_num, emb_index[num]
+        elif num in offsets:
+            t, a, b = 1, offsets[num], 0
+        elif num == xref_num:
+            t, a, b = 1, xref_at, 0
+        else:
+            t, a, b = 0, 0, 255
+        entries += bytes([t]) + a.to_bytes(2, "big") + bytes([b])
+    xdata = _zlib.compress(bytes(entries))
+    info_ref = (f" /Info {info_num} 0 R" if info_num else "")
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+            f"/W [1 2 1] /Root 1 0 R{info_ref} "
+            f"/Filter /FlateDecode /Length {len(xdata)} >>\n"
+            .encode() + b"stream\n" + xdata + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def _pdf_objects(pages, compress, filters, info, outline
+                 ) -> tuple[list[bytes], int | None]:
+    """Object bodies 1..N shared by the classic and modern writers
+    (catalog, pages, page+content pairs, optional info, optional
+    outline tree) + the info object NUMBER (None without info)."""
     if filters is None and compress:
         filters = ["FlateDecode"]
     objs: list[bytes] = []
@@ -275,7 +366,7 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
         else:
             objs.append(b"<< /Length " + str(len(stream)).encode()
                         + b" >>\nstream\n" + stream + b"\nendstream")
-    info_ref = b""
+    info_num = None
     if info:
         fields = []
         for key, val in info.items():
@@ -291,7 +382,7 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
                 fields.append(b"/" + key.encode() + b" ("
                               + esc.encode("latin-1") + b")")
         objs.append(b"<< " + b" ".join(fields) + b" >>")
-        info_ref = f" /Info {len(objs)} 0 R".encode()
+        info_num = len(objs)
     if outline is not None:
         root = len(objs) + 1        # == outlines_num
         item0 = root + 1
@@ -333,19 +424,7 @@ def _make_pdf(pages: list[list[str]], compress: bool = False,
                              f"/Last {num(kids_i[-1])} 0 R "
                              f"/Count {len(kids_i)}".encode())
             objs.append(b" ".join(parts) + b" >>")
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for idx, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{idx} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
-            .encode() + info_ref + b" >>\n"
-            + f"startxref\n{xref_at}\n%%EOF\n".encode())
-    return bytes(out)
+    return objs, info_num
 
 
 def _pdf_payload(rng: random.Random, i: int, scale: int = 1) -> bytes:
@@ -389,6 +468,40 @@ def _pdf_info_fields(i: int) -> dict | None:
     if i % 8 == 5:
         info["ModDate"] = "D:20240229"
     return info
+
+
+def pdf_modern_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic PDF 1.5+ files (object streams + xref streams —
+    how every modern producer writes): (url, payload). Info cycles
+    through _pdf_info_fields (incl. no-Info rows -> zero info rows),
+    every third row carries an outline tree, and every seventh row is
+    a garbage payload. The classic==modern extraction parity is
+    pinned in tests/test_pdf_modern.py; these rows feed
+    fixtures/golden_pdf_modern_seed42_n*.parquet."""
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 275604541, i)
+        url = f"pdf://modern-{i}"
+        if i % 7 == 6:
+            out.append({"url": url,
+                        "payload": b"%PDF-1.5 truncated junk " +
+                        bytes(rng.randrange(256) for _ in range(60))})
+            continue
+        n_pages = rng.randint(1, 3)
+        pages = [[_sentence(rng, 4, 9)
+                  for _ in range(rng.randint(2, 5))]
+                 for _ in range(n_pages)]
+        outline = None
+        if i % 3 == 0:
+            outline = [(1, f"Part {c}: {rng.choice(_WORDS)}")
+                       for c in range(1 + i % 4)]
+            if i % 6 == 3:
+                outline.insert(1, (2, f"Sub {rng.choice(_WORDS)}"))
+        out.append({"url": url,
+                    "payload": _make_pdf_modern(
+                        pages, info=_pdf_info_fields(i),
+                        outline=outline)})
+    return out
 
 
 def pdf_outline_rows(n: int, seed: int = 42) -> list[dict]:
