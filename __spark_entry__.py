@@ -2010,10 +2010,10 @@ _DRIVER_ORDER = [
     # crawl-index planning) — each was pytest-oracle-green through r3
     # but the driver is the independent signal and had never seen them
     "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
-    "cms_term_counts", "robots_gate", "decontaminate", "bm25_scores",
+    "robots_gate", "decontaminate", "bm25_scores",
     "kmeans_clusters", "semantic_dedup", "dsir_weights",
-    "pack_offsets", "pack_greedy", "snapshot_latest",
-    "frontier_candidates", "surt_urlkey", "cdx_fetch_plan",
+    "pack_offsets", "snapshot_latest",
+    "frontier_candidates", "cdx_fetch_plan",
     "host_hits", "quantized_topk", "host_boilerplate", "crawl_delta",
     # kept: the flagship + every row that is the sole driver witness for
     # a SURVEY §2 family (extraction, dedup/ANN, quality gates, link
@@ -2026,7 +2026,7 @@ _DRIVER_ORDER = [
     # round-4 late rotation: first-ever driver rows for the new
     # page-structure family + dedup/gate additions (each swapped-out
     # row is multi-round driver-green and its family keeps a witness)
-    "extract_meta", "extract_tables", "table_records",
+    "extract_meta", "extract_tables",
     "extract_jsonld", "page_shapes", "template_clusters",
     "canonical_dedup", "winnow_near_pairs", "soft404_gate",
     "page_artifacts_stats",
@@ -2036,12 +2036,29 @@ _DRIVER_ORDER = [
     # a witness: minhash/dup_span for fuzzy+sub-doc dedup, lsh_topk +
     # quantized_topk for ANN, image_dhash for the image codecs+resize
     # path, bm25_scores for retrieval scoring)
-    "encoding_profile", "charset_stats",
-    "extract_microdata", "microdata_records",
-    "image_dhash", "dhash_near_pairs",
-    "extract_dates", "publish_date",
+    "encoding_profile", "extract_microdata", "image_dhash",
+    "extract_dates",
+    # round-4 resumed-session-6 rotation: first-ever driver rows for
+    # the EIGHT new families of this session (A/V elements, forms,
+    # IDN, ARC source, acoustic fingerprint, media sitemaps, HLS,
+    # modern PDFs). Each swapped-out row is a composition or sibling
+    # whose family keeps its driver witness in the window
+    # (charset_stats -> encoding_profile; microdata_records ->
+    # extract_microdata; dhash_near_pairs -> image_dhash +
+    # winnow_near_pairs for the pigeonhole engine; publish_date ->
+    # extract_dates; pack_greedy -> pack_offsets; cms_term_counts ->
+    # bloom/hll; table_records -> extract_tables; surt_urlkey ->
+    # cdx_fetch_plan + frontier_candidates).
+    "extract_av", "extract_forms", "idn_hosts", "arc_documents",
+    "audio_fingerprint", "sitemap_media", "hls_rows",
+    "pdf_modern_info",
 ]
 _EXTRA_ORDER = [
+    # demoted in the resumed-session-6 rotation (pytest-oracle-green;
+    # their families keep driver witnesses — see _DRIVER_ORDER note):
+    "charset_stats", "microdata_records", "dhash_near_pairs",
+    "publish_date", "pack_greedy", "cms_term_counts",
+    "table_records", "surt_urlkey",
     # driver-green in earlier rounds; demoted so never-driver-checked
     # ops could earn their first CORRECTNESS rows. r1/r2 green:
     "cosine_topk_filtered", "l2_topk",
@@ -2106,11 +2123,8 @@ _EXTRA_ORDER = [
     "svg_metadata", "redirect_chains", "http_decode_captures",
     "extract_images", "image_text_pairs",
     # round-4 resumed-session-6 additions
-    "extract_av", "av_text_pairs", "embed_providers",
-    "extract_forms", "form_page_flags",
-    "idn_hosts", "idn_homograph_gate", "arc_documents",
-    "audio_fingerprint", "afp_near_pairs", "sitemap_media",
-    "hls_rows", "hls_summary", "pdf_modern_info",
+    "av_text_pairs", "embed_providers", "form_page_flags",
+    "idn_homograph_gate", "afp_near_pairs", "hls_summary",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
