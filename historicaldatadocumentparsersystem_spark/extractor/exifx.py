@@ -322,10 +322,17 @@ def extract_media_metadata(payload) -> list[tuple[str, int, str, str]]:
         elif payload[:4] == b"OggS":
             from . import soundx
             rows, fmt = soundx.ogg_info(payload), "ogg-meta"
-        elif payload[:3] == b"ID3" or (
-                len(payload) > 1 and payload[0] == 0xFF
-                and (payload[1] & 0xE0) == 0xE0):
+        elif payload[:3] == b"ID3":
             from . import soundx
+            rows, fmt = soundx.mp3_info(payload), "mp3-meta"
+        elif (len(payload) > 3 and payload[0] == 0xFF
+                and (payload[1] & 0xE0) == 0xE0):
+            # bare frame sync: require a VALID Layer-III header at 0
+            # (0xFF 0xFE is also a UTF-16LE BOM — the loose mask
+            # misfiled such payloads as mp3)
+            from . import soundx
+            if soundx._frame_header(payload, 0) is None:
+                return []
             rows, fmt = soundx.mp3_info(payload), "mp3-meta"
         else:
             return []

@@ -50,10 +50,8 @@ def _attrs(s: str) -> dict[str, str]:
             if end < 0:
                 break
             val = s[j + 1:end]
-            i = end + 1
-            i = s.find(",", i) + 1 or n
-            if i == 0:
-                i = n
+            nxt = s.find(",", end + 1)
+            i = n if nxt < 0 else nxt + 1
         else:
             end = s.find(",", j)
             if end < 0:
@@ -79,7 +77,10 @@ def _duration_ms(s: str) -> int | None:
         return None
     ms = int(whole or "0") * 1000
     frac = (frac + "000")[:3]
-    return ms + int(frac or "0")
+    ms += int(frac or "0")
+    # crawled manifests are adversarial: absurd durations stay None
+    # rather than overflowing a BIGINT downstream
+    return ms if ms < (1 << 62) else None
 
 
 def parse_m3u8(payload) -> tuple[str, list[tuple]]:
@@ -105,12 +106,17 @@ def parse_m3u8(payload) -> tuple[str, list[tuple]]:
                 bw = int(a["BANDWIDTH"])
             except (KeyError, ValueError):
                 bw = None
+            if bw is not None and not 0 <= bw < (1 << 62):
+                bw = None               # adversarial-value clamp
             w = h = None
             res = a.get("RESOLUTION", "")
             if "x" in res.lower():
                 xs = res.lower().split("x")
                 if len(xs) == 2 and xs[0].isdigit() and xs[1].isdigit():
                     w, h = int(xs[0]), int(xs[1])
+                    if not (0 < w < (1 << 31)
+                            and 0 < h < (1 << 31)):
+                        w = h = None
             pending = ("variant", bw, w, h, a.get("CODECS"))
         elif ln.startswith("#EXT-X-MEDIA:"):
             a = _attrs(ln.split(":", 1)[1])

@@ -24,14 +24,15 @@ Determinism contract:
   form and flips ``decode_ok`` to False;
 - ``label_scripts`` returns the DISTINCT major scripts present in a
   label in SCRIPT_RANGES declaration order (the shared public
-  Unicode block table in operators/textstats.py);
+  Unicode block table in extractor/scriptranges.py);
 - ``host_profile`` emits (host, unicode_host, is_idn, decode_ok,
   n_idn_labels, scripts, mixed_label): ``scripts`` is the
-  ','-joined union across labels (declaration order), and
+  ','-joined union across labels (declaration order; '' when no
+  letter-bearing script is present — all-digit hosts), and
   ``mixed_label`` is True when ANY SINGLE label carries two or more
   scripts — the UTS #39 single-label mixing signal that defines the
-  classic homograph. Pure-ASCII hosts profile as latin (or 'none'
-  for all-digit labels) with every flag False.
+  classic homograph. Pure-ASCII hosts profile as latin (or '' for
+  all-digit labels) with every flag False.
 """
 from __future__ import annotations
 
@@ -156,7 +157,7 @@ def idn_to_unicode(host: str) -> tuple[str, bool, bool]:
 
 def label_scripts(label: str) -> list[str]:
     """Distinct major scripts present, SCRIPT_RANGES order."""
-    from ..operators.textstats import SCRIPT_RANGES
+    from .scriptranges import SCRIPT_RANGES
     found = []
     for name, ranges in SCRIPT_RANGES:
         if any(any(lo <= ord(c) <= hi for lo, hi in ranges)
@@ -181,7 +182,7 @@ def host_profile(host: str) -> tuple:
         for s in scripts:
             if s not in seen:
                 seen.append(s)
-    from ..operators.textstats import SCRIPT_RANGES
+    from .scriptranges import SCRIPT_RANGES
     order = [name for name, _ in SCRIPT_RANGES]
     seen.sort(key=order.index)
     return (lower, uni, is_idn, decode_ok, n_idn,

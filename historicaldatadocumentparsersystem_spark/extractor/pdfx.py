@@ -262,6 +262,7 @@ def iter_content_streams(payload: bytes):
 _OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm(?![\w])")
 _XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef(?![\w])")
 _INT_RE = re.compile(rb"\d+")
+_STREAM_KW_RE = re.compile(rb"\s*stream\r?\n")
 
 
 def _objstm_field(sdict: bytes, key: bytes) -> int | None:
@@ -269,67 +270,132 @@ def _objstm_field(sdict: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def expand_object_streams(payload: bytes) -> bytes:
-    """payload + synthetic ``num 0 obj ... endobj`` blocks for every
-    object embedded in a /Type/ObjStm stream (decoded via the shared
-    filter chain; embedded objects have generation 0 by spec).
-    ObjStm-free payloads return UNCHANGED, so the classic path is
-    byte-identical. Malformed streams are skipped (F5)."""
-    extra: list[bytes] = []
+def _scan_dict(payload: bytes, start: int) -> int | None:
+    """``start`` at a ``<<``; return the index just past the matching
+    ``>>``, honoring nested dicts, hex strings (``<...>``) and
+    escape-aware literal strings — real xref/ObjStm dicts carry
+    ``/ID [<hex> <hex>]`` and ``/DecodeParms << ... >>``, which the
+    simple content-stream regex cannot (the r4 trailer lesson)."""
+    i, depth, n = start, 0, len(payload)
+    while i < n:
+        two = payload[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        elif payload[i:i + 1] == b"<":
+            j = payload.find(b">", i + 1)
+            if j < 0:
+                return None
+            i = j + 1
+        elif payload[i:i + 1] == b"(":
+            i += 1
+            while i < n:
+                c = payload[i:i + 1]
+                i += 2 if c == b"\\" else 1
+                if c == b")":
+                    break
+        else:
+            i += 1
+    return None
+
+
+def _iter_streams_tolerant(payload: bytes):
+    """Yield ``(sdict, body, body_end)`` per stream object with FULL
+    dict syntax tolerated (nested dicts, /ID hex strings) — the
+    modern-PDF walk; the classic content-stream path keeps its
+    committed simple-regex behavior."""
     pos = 0
-    while True:
-        sm = _STREAM_HDR_RE.search(payload, pos)
-        if sm is None:
-            break
-        sdict = sm.group("dict")
-        body_start = sm.end()
+    n = len(payload)
+    while pos < n:
+        d0 = payload.find(b"<<", pos)
+        if d0 < 0:
+            return
+        dend = _scan_dict(payload, d0)
+        if dend is None:
+            return
+        m = _STREAM_KW_RE.match(payload, dend)
+        if m is None:
+            pos = d0 + 2        # also re-enters nested dicts — fine
+            continue
+        sdict = payload[d0 + 2:dend - 2]
+        body_start = m.end()
         mlen = _LEN_RE.search(sdict)
         if mlen is not None:
-            body = payload[body_start:body_start + int(mlen.group(1))]
+            body_end = min(body_start + int(mlen.group(1)), n)
         else:
-            end = payload.find(b"endstream", body_start)
-            if end < 0:
-                break
-            body = payload[body_start:end]
-        pos = body_start + len(body)
+            body_end = payload.find(b"endstream", body_start)
+            if body_end < 0:
+                return
+        yield sdict, payload[body_start:body_end], body_end
+        pos = body_end
+
+
+def expand_object_streams(payload: bytes) -> bytes:
+    """Synthetic ``num 0 obj ... endobj`` blocks for every object
+    embedded in a /Type/ObjStm stream (decoded via the shared filter
+    chain; embedded objects have generation 0 by spec), inserted
+    IN PLACE right after their ObjStm — so a later classic
+    redefinition from an incremental update still wins at the
+    last-match-wins readers. ObjStm-free payloads return the SAME
+    object unchanged. Malformed streams are skipped (F5)."""
+    inserts: list[tuple[int, bytes]] = []
+    for sdict, body, body_end in _iter_streams_tolerant(payload):
         if not _OBJSTM_TYPE_RE.search(sdict):
             continue
         n = _objstm_field(sdict, b"N")
         first = _objstm_field(sdict, b"First")
         filters = _stream_filters(sdict)
         if n is None or first is None or filters is None:
-            continue
+            continue            # unknown filter: skip (F5)
         try:
             for name in filters:
                 body = _DECODERS[name](body)
         except Exception:
             continue
+        if n > 100_000 or first > len(body):
+            continue            # attribute-fed allocation clamp
         ints = [int(x) for x in _INT_RE.findall(body[:first])]
         if len(ints) < 2 * n:
             continue
         pairs = [(ints[2 * i], ints[2 * i + 1]) for i in range(n)]
+        blocks = []
         for i, (num, off) in enumerate(pairs):
             lo = first + off
             hi = first + pairs[i + 1][1] if i + 1 < n else len(body)
             if not 0 <= lo <= hi <= len(body):
                 continue
-            extra.append(b"%d 0 obj %s endobj"
-                         % (num, body[lo:hi].strip()))
-    if not extra:
+            blocks.append(b"%d 0 obj %s endobj"
+                          % (num, body[lo:hi].strip()))
+        if blocks:
+            inserts.append((body_end,
+                            b"\n" + b"\n".join(blocks) + b"\n"))
+    if not inserts:
         return payload
-    return payload + b"\n" + b"\n".join(extra)
+    out, prev = [], 0
+    for at, synth in inserts:
+        out.append(payload[prev:at])
+        out.append(synth)
+        prev = at
+    out.append(payload[prev:])
+    return b"".join(out)
 
 
 def _iter_trailer_dicts(payload: bytes):
     """Dict bodies that can carry /Root and /Info, in DOCUMENT order:
     classic ``trailer << ... >>`` blocks and /Type/XRef stream dicts
-    (the modern trailer equivalent). Last occurrence wins at the
-    callers (incremental updates supersede, PDF 7.5.6)."""
+    (the modern trailer equivalent; full dict syntax tolerated —
+    real xref dicts carry /ID and /DecodeParms). Last occurrence
+    wins at the callers (incremental updates supersede, 7.5.6)."""
     items = [(m.start(), m.group("d"))
              for m in _TRAILER_RE.finditer(payload)]
-    for m in _STREAM_HDR_RE.finditer(payload):
-        if _XREF_TYPE_RE.search(m.group("dict")):
-            items.append((m.start(), m.group("dict")))
+    for sdict, _body, body_end in _iter_streams_tolerant(payload):
+        if _XREF_TYPE_RE.search(sdict):
+            items.append((body_end, sdict))
     items.sort(key=lambda kv: kv[0])
     for _pos, d in items:
         yield d

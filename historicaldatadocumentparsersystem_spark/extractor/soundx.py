@@ -328,8 +328,8 @@ def afp64(payload: bytes) -> tuple[int, int, int] | None:
             raw = w.readframes(nframes)
     except Exception:
         return None
-    if width != 2 or nch < 1:
-        return None
+    if width != 2 or nch < 1 or not 0 < rate < (1 << 31):
+        return None              # header-fed value clamp (Int32 col)
     raw = raw[:len(raw) - (len(raw) % 2)]   # truncated odd tail
     samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
     if nch > 1:                      # exact integer channel mix
@@ -346,5 +346,8 @@ def afp64(payload: bytes) -> tuple[int, int, int] | None:
     v = 0
     for k in range(64):
         v = (v << 1) | (1 if energies[k + 1] > energies[k] else 0)
-    return (rate, nframes,
+    # report the ACTUAL decoded frame count (n is the post-mix
+    # per-frame sample count, bounded by real data) — a lying header
+    # claim cannot overflow the row
+    return (rate, n,
             v - (1 << 64) if v >= (1 << 63) else v)

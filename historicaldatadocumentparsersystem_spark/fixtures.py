@@ -270,6 +270,7 @@ def _make_pdf_modern(pages: list[list[str]],
     STREAM whose dict carries /Root and /Info — how every modern
     producer writes PDFs. Content streams stay top-level (the spec
     forbids streams inside object streams)."""
+    import hashlib as _hashlib
     import zlib as _zlib
     objs, info_num = _pdf_objects(pages, False, None, info, outline)
     objstm_num = len(objs) + 1
@@ -299,8 +300,12 @@ def _make_pdf_modern(pages: list[list[str]],
             f"/N {len(embedded)} /First {first} "
             f"/Filter /FlateDecode /Length {len(packed)} >>\n"
             .encode() + b"stream\n" + packed + b"\nendstream\nendobj\n")
-    # XRef stream: /W [1 2 1]; entries for objects 0..xref_num
+    # XRef stream: /W [1 w 1] with the offset field sized to the
+    # file (real producers widen past 64 KB); dict carries the /ID
+    # hex pair and a /DecodeParms sub-dict like real xref streams —
+    # the reader must tolerate full dict syntax here
     xref_at = len(out)
+    wid = max(2, (xref_at.bit_length() + 7) // 8)
     entries = bytearray()
     emb_index = {num: i for i, (num, _b) in enumerate(embedded)}
     for num in range(xref_num + 1):
@@ -314,12 +319,15 @@ def _make_pdf_modern(pages: list[list[str]],
             t, a, b = 1, xref_at, 0
         else:
             t, a, b = 0, 0, 255
-        entries += bytes([t]) + a.to_bytes(2, "big") + bytes([b])
+        entries += bytes([t]) + a.to_bytes(wid, "big") + bytes([b])
     xdata = _zlib.compress(bytes(entries))
     info_ref = (f" /Info {info_num} 0 R" if info_num else "")
+    fid = _hashlib.md5(out).hexdigest().upper().encode()
     out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
-            f"/W [1 2 1] /Root 1 0 R{info_ref} "
-            f"/Filter /FlateDecode /Length {len(xdata)} >>\n"
+            f"/W [1 {wid} 1] /Root 1 0 R{info_ref} "
+            f"/DecodeParms << /Columns {wid + 2} /Predictor 1 >> "
+            .encode() + b"/ID [<" + fid + b"> <" + fid + b">] "
+            + f"/Filter /FlateDecode /Length {len(xdata)} >>\n"
             .encode() + b"stream\n" + xdata + b"\nendstream\nendobj\n")
     out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)

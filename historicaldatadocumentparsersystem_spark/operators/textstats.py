@@ -615,20 +615,11 @@ def lang_id_margin(df: DataFrame, text_col: str = "text",
 
 # --- Unicode script detection ------------------------------------------------
 
-# Major-script BMP ranges (codepoint intervals, public Unicode block
-# data). Pattern strings are GENERATED from this table for BOTH
-# engines (script_class_pattern) — never retyped.
-SCRIPT_RANGES: tuple[tuple[str, tuple[tuple[int, int], ...]], ...] = (
-    ("latin", ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F))),
-    ("cyrillic", ((0x400, 0x4FF), (0x500, 0x52F))),
-    ("greek", ((0x370, 0x3FF),)),
-    ("arabic", ((0x600, 0x6FF), (0x750, 0x77F))),
-    ("hebrew", ((0x590, 0x5FF),)),
-    ("devanagari", ((0x900, 0x97F),)),
-    ("han", ((0x3400, 0x4DBF), (0x4E00, 0x9FFF))),
-    ("kana", ((0x3040, 0x309F), (0x30A0, 0x30FF))),
-    ("hangul", ((0x1100, 0x11FF), (0xAC00, 0xD7AF))),
-)
+# Major-script BMP ranges: canonical table lives Spark-free in
+# extractor/scriptranges.py (idnx is an extractor-side consumer);
+# re-exported here for the established import path. Pattern strings
+# are GENERATED from it for BOTH engines (script_class_pattern).
+from ..extractor.scriptranges import SCRIPT_RANGES  # noqa: F401
 
 # committed multilingual sample rows (id, text) — the engine-parity
 # fixture the registered query unions with the (ASCII-only) documents

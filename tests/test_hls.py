@@ -108,3 +108,16 @@ def test_spark_rows_and_summary(spark):
     plan = (sources.hls_rows_from_blobs(blobs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_adversarial_values_clamped():
+    """Crawled manifests are adversarial: absurd ints become NULL in
+    the extractor, so the Int32/Int64 op columns can never overflow."""
+    k, rows = hlsx.parse_m3u8(
+        b"#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH=99999999999999999999,"
+        b"RESOLUTION=4294967296x10\nu.m3u8\n"
+        b"#EXT-X-STREAM-INF:BANDWIDTH=5,RESOLUTION=0x5\nv.m3u8\n")
+    assert rows == [
+        ("variant", 0, "u.m3u8", None, None, None, None),
+        ("variant", 1, "v.m3u8", 5, None, None, None)]
+    assert hlsx._duration_ms("99999999999999999999.9") is None

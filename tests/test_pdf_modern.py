@@ -74,3 +74,37 @@ def test_spark_source_reads_modern(spark):
     golden = sorted(tuple(r[c] for c in ("url", *pdfx.INFO_FIELDS))
                     for r in pq.read_table(GOLDEN).to_pylist())
     assert got == golden
+
+
+def test_real_world_xref_dict_syntax():
+    """The fixture xref dict carries /ID [<hex> <hex>] and a nested
+    /DecodeParms << ... >> — the forms every real producer emits and
+    the simple content-stream regex cannot parse."""
+    modern = fixtures._make_pdf_modern([["x y"]], info={"Title": "t"})
+    assert b"/ID [<" in modern and b"/DecodeParms <<" in modern
+    assert pdfx.extract_pdf_info(modern)["title"] == "t"
+
+
+def test_incremental_update_beats_objstm_copy():
+    """expand_object_streams inserts IN PLACE: a classic
+    redefinition APPENDED after the ObjStm (an incremental update)
+    must win at the last-match readers."""
+    modern = fixtures._make_pdf_modern([["x y"]],
+                                       info={"Title": "old"})
+    # find the info object number from the xref dict
+    import re
+    m = re.search(rb"/Info (\d+) 0 R", modern)
+    num = int(m.group(1))
+    updated = modern + (b"\n%d 0 obj << /Title (new) >> endobj\n"
+                        % num)
+    assert pdfx.extract_pdf_info(updated)["title"] == "new"
+
+
+def test_wide_xref_offsets_past_64k():
+    """/W offset field widens with file size (a 2-byte field would
+    overflow past 65535 bytes)."""
+    pages = [[f"line {i} with some filler words here"
+              for i in range(60)] for _ in range(40)]
+    big = fixtures._make_pdf_modern(pages, info={"Title": "big"})
+    assert len(big) > 65536
+    assert pdfx.extract_pdf_info(big)["title"] == "big"

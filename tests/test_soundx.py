@@ -209,3 +209,22 @@ def test_afp_operator_and_pairs(spark):
     # no cross-kind leakage at the threshold
     for (a, b), d in pairs.items():
         assert a[:3] == b[:3] and d <= 7, (a, b, d)
+
+
+def test_afp_header_value_clamps():
+    """Header-fed values cannot overflow the op's Int32/Int64 columns
+    (the parse_image_dimensions lesson): absurd declared rates return
+    None, and n_frames is the ACTUAL decoded count."""
+    import struct
+    data = struct.pack("<100h", *range(100))
+    fmt = struct.pack("<HHIIHH", 1, 1, 0xFFFFFFFF,   # absurd rate
+                      0xFFFFFFFF, 2, 16)
+    blob = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    assert soundx.afp64(blob) is None
+
+
+def test_utf16_bom_not_misfiled_as_mp3():
+    assert exifx.extract_media_metadata(b"\xff\xfeH\x00i\x00" * 40) \
+        == []
