@@ -287,6 +287,87 @@ def _enc_shard() -> bytes:
             _raw("https://enc.example/badchunk", badchunk))
 
 
+def _mpd_manifests() -> list[tuple[str, bytes]]:
+    """Deterministic DASH fixtures: a full two-period MPD (video
+    ladder with inherited AdaptationSet template + a rep-level
+    override, audio rendition, subtitle period), a minimal MPD, and
+    junk."""
+    from historicaldatadocumentparsersystem_spark.extractor import dashx
+    full = dashx.build_mpd(
+        [[{"content_type": "video", "mime_type": "video/mp4",
+           "codecs": "avc1.4d401f", "base_url": "video/",
+           "template": {"initialization": "init-$RepresentationID$.mp4",
+                        "media": "seg-$RepresentationID$-$Number$.m4s",
+                        "duration": 4004, "timescale": 1000,
+                        "start_number": 1},
+           "representations": [
+               {"id": "v0", "bandwidth": 5000000, "width": 1920,
+                "height": 1080, "codecs": "avc1.64002a"},
+               {"id": "v1", "bandwidth": 1200000, "width": 854,
+                "height": 480},
+               {"id": "v2", "bandwidth": 300000, "width": 426,
+                "height": 240,
+                "template": {"media": "lo-$Number$.m4s",
+                             "duration": 2002, "timescale": 500}}]},
+          {"content_type": "audio", "mime_type": "audio/mp4",
+           "lang": "EN", "base_url": "audio/",
+           "representations": [
+               {"id": "a0", "bandwidth": 128000,
+                "template": {"media": "a-$Number$.m4s",
+                             "duration": 191, "timescale": 48,
+                             "start_number": 0}}]}],
+         [{"mime_type": "text/vtt", "lang": "de",
+           "representations": [{"id": "s0", "bandwidth": 2000,
+                                "base_url": "subs/de.vtt"}]}]],
+        duration_ms=3_723_500)
+    tiny = dashx.build_mpd(
+        [[{"mime_type": "video/webm",
+           "representations": [{"id": "only", "bandwidth": 64000}]}]],
+        mpd_type="dynamic", duration_ms=None, min_buffer_ms=None)
+    return [("https://dash.example/v/manifest.mpd", full),
+            ("https://dash.example/live/now.mpd", tiny),
+            ("https://dash.example/junk.mpd", b"<html>nope</html>")]
+
+
+def _mpd_sql() -> str:
+    """Oracle for dash_rows: the PURE extractor feeds the VALUES rows
+    (the hls_rows precedent), with the op's urljoin chain replicated
+    from the same stdlib call."""
+    from urllib.parse import urljoin
+
+    from historicaldatadocumentparsersystem_spark.extractor.dashx import \
+        parse_mpd
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for url, blob in _mpd_manifests():
+        meta, rs = parse_mpd(blob)
+        for r in rs:
+            base = urljoin(url, r[11] or "")
+            init = urljoin(base, r[12]) if r[12] else None
+            media = urljoin(base, r[13]) if r[13] else None
+            vals = (url, meta["type"], *r[:11], base, init, media,
+                    r[14], r[15])
+            casts = ("%s, %s, %s::int, %s::int, %s::int, %s, %s, %s, "
+                     "%s::bigint, %s::int, %s::int, %s, %s, %s, %s, "
+                     "%s, %s::bigint, %s::bigint")
+            rows.append("(" + casts % tuple(lit(v) for v in vals)
+                        + ")")
+    return """
+        SELECT * FROM (VALUES %s)
+        AS t(mpd_url, mpd_type, pos, period, adaptation,
+             content_type, lang, rep_id, bandwidth, width, height,
+             codecs, mime_type, base_url, init_uri, media_template,
+             seg_duration_ms, start_number)
+        ORDER BY mpd_url, pos""" % ",\n".join(rows)
+
+
 def _hls_playlists() -> list[tuple[str, bytes]]:
     """Deterministic HLS fixtures: a full master (ladder + audio/
     subtitle renditions), a bare master, two media playlists (exact
@@ -2125,6 +2206,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-6 additions
     "av_text_pairs", "embed_providers", "form_page_flags",
     "idn_homograph_gate", "afp_near_pairs", "hls_summary",
+    "dash_rows",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4055,6 +4137,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sources.hls_summary(sources.hls_rows_from_blobs(blobs))
                 .orderBy("playlist_url"))
     q["hls_summary"] = q_hls_summary
+
+    # --- DASH MPD manifests (the other half of video fetch planning)
+    # — pure-extractor-fed VALUES oracle; parser round-trips pinned
+    # in tests/test_dash.py
+    def q_dash_rows(spark, sf_dir):
+        blobs = spark.createDataFrame(_mpd_manifests(),
+                                      "url string, content binary")
+        return (sources.mpd_rows_from_blobs(blobs)
+                .orderBy("mpd_url", "pos"))
+    q["dash_rows"] = q_dash_rows
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7455,6 +7547,7 @@ def oracle_sql() -> dict[str, str]:
         "arc_documents": _arc_sql(),
         "sitemap_media": _media_sitemap_sql(),
         "hls_rows": _hls_sql(),
+        "dash_rows": _mpd_sql(),
         "hls_summary": f"""
             SELECT playlist_url, playlist_kind,
                    sum((row_kind = 'variant')::int)::bigint

@@ -1294,3 +1294,54 @@ def hls_summary(rows: DataFrame) -> DataFrame:
         F.sum((F.col("row_kind") == "segment").cast("long"))
          .alias("n_segments"),
         F.sum("duration_ms").alias("total_duration_ms")))
+
+
+MPD_ROWS_DDL = ("mpd_url string, mpd_type string, pos int, "
+                "period int, adaptation int, content_type string, "
+                "lang string, rep_id string, bandwidth long, "
+                "width int, height int, codecs string, "
+                "mime_type string, base_url string, "
+                "init_uri string, media_template string, "
+                "seg_duration_ms long, start_number long")
+
+
+def mpd_rows_from_blobs(blobs: DataFrame) -> DataFrame:
+    """DASH MPD manifests (columns url, content) -> one row per
+    Representation (MPD_ROWS_DDL) — the DASH half of video fetch
+    planning (extractor.dashx.parse_mpd is the Spark-free oracle).
+    base_url resolves against the manifest url, and init/media
+    template paths resolve against that base ($Number$ etc. kept
+    verbatim — the fetch planner substitutes). Map-only over
+    KB-scale manifests."""
+    from urllib.parse import urljoin
+
+    import pandas as pd
+
+    from ..extractor.dashx import parse_mpd
+
+    cols = [f.split()[0] for f in MPD_ROWS_DDL.split(", ")]
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, blob in zip(b["url"], b["content"]):
+                meta, rs = parse_mpd(bytes(blob)
+                                     if blob is not None else b"")
+                for r in rs:
+                    base = urljoin(url or "", r[11] or "")
+                    init = urljoin(base, r[12]) if r[12] else None
+                    media = urljoin(base, r[13]) if r[13] else None
+                    rows.append((url, meta["type"], *r[:11], base,
+                                 init, media, r[14], r[15]))
+            out = pd.DataFrame(rows, columns=cols)
+            for c, t in (("pos", "Int32"), ("period", "Int32"),
+                         ("adaptation", "Int32"),
+                         ("bandwidth", "Int64"), ("width", "Int32"),
+                         ("height", "Int32"),
+                         ("seg_duration_ms", "Int64"),
+                         ("start_number", "Int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    return blobs.select("url", "content").mapInPandas(
+        parse, MPD_ROWS_DDL)
