@@ -352,19 +352,19 @@ def _mpd_sql() -> str:
             base = urljoin(url, r[11] or "")
             init = urljoin(base, r[12]) if r[12] else None
             media = urljoin(base, r[13]) if r[13] else None
-            vals = (url, meta["type"], *r[:11], base, init, media,
-                    r[14], r[15])
-            casts = ("%s, %s, %s::int, %s::int, %s::int, %s, %s, %s, "
-                     "%s::bigint, %s::int, %s::int, %s, %s, %s, %s, "
-                     "%s, %s::bigint, %s::bigint")
+            vals = (url, meta["type"], meta["duration_ms"],
+                    *r[:11], base, init, media, r[14], r[15])
+            casts = ("%s, %s, %s::bigint, %s::int, %s::int, %s::int, "
+                     "%s, %s, %s, %s::bigint, %s::int, %s::int, %s, "
+                     "%s, %s, %s, %s, %s::bigint, %s::bigint")
             rows.append("(" + casts % tuple(lit(v) for v in vals)
                         + ")")
     return """
         SELECT * FROM (VALUES %s)
-        AS t(mpd_url, mpd_type, pos, period, adaptation,
-             content_type, lang, rep_id, bandwidth, width, height,
-             codecs, mime_type, base_url, init_uri, media_template,
-             seg_duration_ms, start_number)
+        AS t(mpd_url, mpd_type, mpd_duration_ms, pos, period,
+             adaptation, content_type, lang, rep_id, bandwidth,
+             width, height, codecs, mime_type, base_url, init_uri,
+             media_template, seg_duration_ms, start_number)
         ORDER BY mpd_url, pos""" % ",\n".join(rows)
 
 
@@ -2206,7 +2206,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-6 additions
     "av_text_pairs", "embed_providers", "form_page_flags",
     "idn_homograph_gate", "afp_near_pairs", "hls_summary",
-    "dash_rows",
+    "dash_rows", "dash_segment_plan",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4147,6 +4147,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sources.mpd_rows_from_blobs(blobs)
                 .orderBy("mpd_url", "pos"))
     q["dash_rows"] = q_dash_rows
+
+    # --- segment-plan fan-out: sequence() + explode + codegen
+    # substitution, zero Python in the expansion — the twin unrolls
+    # the same arithmetic with unnest(generate_series)
+    def q_dash_segments(spark, sf_dir):
+        blobs = spark.createDataFrame(_mpd_manifests(),
+                                      "url string, content binary")
+        return (sources.dash_segment_plan(
+            sources.mpd_rows_from_blobs(blobs))
+            .orderBy("mpd_url", "rep_id", "seg_number"))
+    q["dash_segment_plan"] = q_dash_segments
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7548,6 +7559,25 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_media": _media_sitemap_sql(),
         "hls_rows": _hls_sql(),
         "dash_rows": _mpd_sql(),
+        "dash_segment_plan": f"""
+            WITH rows AS ({_mpd_sql()}),
+            elig AS (
+              SELECT *, coalesce(start_number, 1) AS st,
+                     (mpd_duration_ms + seg_duration_ms - 1)
+                       // seg_duration_ms AS n_segs
+              FROM rows
+              WHERE media_template IS NOT NULL
+                AND seg_duration_ms IS NOT NULL
+                AND seg_duration_ms > 0
+                AND mpd_duration_ms IS NOT NULL)
+            SELECT mpd_url, rep_id, seg_number,
+                   replace(media_template, '$Number$',
+                           seg_number::varchar) AS seg_uri
+            FROM (SELECT mpd_url, rep_id, media_template,
+                         unnest(generate_series(st, st + n_segs - 1))
+                           AS seg_number
+                  FROM elig)
+            ORDER BY mpd_url, rep_id, seg_number""",
         "hls_summary": f"""
             SELECT playlist_url, playlist_kind,
                    sum((row_kind = 'variant')::int)::bigint

@@ -1296,7 +1296,8 @@ def hls_summary(rows: DataFrame) -> DataFrame:
         F.sum("duration_ms").alias("total_duration_ms")))
 
 
-MPD_ROWS_DDL = ("mpd_url string, mpd_type string, pos int, "
+MPD_ROWS_DDL = ("mpd_url string, mpd_type string, "
+                "mpd_duration_ms long, pos int, "
                 "period int, adaptation int, content_type string, "
                 "lang string, rep_id string, bandwidth long, "
                 "width int, height int, codecs string, "
@@ -1331,11 +1332,13 @@ def mpd_rows_from_blobs(blobs: DataFrame) -> DataFrame:
                     base = urljoin(url or "", r[11] or "")
                     init = urljoin(base, r[12]) if r[12] else None
                     media = urljoin(base, r[13]) if r[13] else None
-                    rows.append((url, meta["type"], *r[:11], base,
+                    rows.append((url, meta["type"],
+                                 meta["duration_ms"], *r[:11], base,
                                  init, media, r[14], r[15]))
             out = pd.DataFrame(rows, columns=cols)
             for c, t in (("pos", "Int32"), ("period", "Int32"),
                          ("adaptation", "Int32"),
+                         ("mpd_duration_ms", "Int64"),
                          ("bandwidth", "Int64"), ("width", "Int32"),
                          ("height", "Int32"),
                          ("seg_duration_ms", "Int64"),
@@ -1345,3 +1348,35 @@ def mpd_rows_from_blobs(blobs: DataFrame) -> DataFrame:
 
     return blobs.select("url", "content").mapInPandas(
         parse, MPD_ROWS_DDL)
+
+
+def dash_segment_plan(rows: DataFrame) -> DataFrame:
+    """mpd_rows -> one row per fetchable media segment (mpd_url,
+    rep_id, seg_number, seg_uri): JVM-side expansion — sequence() +
+    explode + codegen string substitution, NO Python in the hot path.
+    Representations need a media template, a segment duration and the
+    manifest duration; n_segments = ceil(duration / seg_duration),
+    numbering starts at startNumber (spec default 1). At 100 TB of
+    video this is the fan-out that turns ladder picks into a fetch
+    frontier — the blow-up happens inside whole-stage codegen and
+    shuffles only if the consumer joins."""
+    from pyspark.sql import functions as F
+    start = F.coalesce(F.col("start_number"), F.lit(1))
+    # integer `div` (truncating == DuckDB // on non-negatives): a
+    # double-precision floor would wobble past 2^52
+    n_segs = F.expr("(mpd_duration_ms + seg_duration_ms - 1) "
+                    "div seg_duration_ms")
+    eligible = rows.where(F.col("media_template").isNotNull()
+                          & F.col("seg_duration_ms").isNotNull()
+                          & (F.col("seg_duration_ms") > 0)
+                          & F.col("mpd_duration_ms").isNotNull())
+    return (eligible
+            .select("mpd_url", "rep_id", "media_template",
+                    F.explode(F.sequence(
+                        start, start + n_segs - F.lit(1)))
+                    .alias("seg_number"))
+            .select("mpd_url", "rep_id", "seg_number",
+                    F.replace(F.col("media_template"),
+                              F.lit("$Number$"),
+                              F.col("seg_number").cast("string"))
+                    .alias("seg_uri")))

@@ -99,3 +99,30 @@ def test_spark_rows_resolution(spark):
     plan = (sources.mpd_rows_from_blobs(blobs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_segment_plan_fanout(spark):
+    import __spark_entry__ as entry
+    from historicaldatadocumentparsersystem_spark import sources
+    blobs = spark.createDataFrame(entry._mpd_manifests(),
+                                  "url string, content binary")
+    plan_df = sources.dash_segment_plan(
+        sources.mpd_rows_from_blobs(blobs))
+    got = [r for r in plan_df.collect()]
+    by_rep = {}
+    for r in got:
+        by_rep.setdefault(r["rep_id"], []).append(r)
+    # v0: 3_723_500 ms / 4004 ms -> ceil = 930 segments from 1
+    assert len(by_rep["v0"]) == -(-3_723_500 // 4004)
+    nums = sorted(r["seg_number"] for r in by_rep["v0"])
+    assert nums[0] == 1 and nums[-1] == len(nums)
+    first = min(by_rep["v0"], key=lambda r: r["seg_number"])
+    assert first["seg_uri"] \
+        == "https://dash.example/v/video/seg-$RepresentationID$-1.m4s"
+    # a0 starts at 0 (declared startNumber)
+    assert min(r["seg_number"] for r in by_rep["a0"]) == 0
+    # template-less / duration-less reps are excluded
+    assert "s0" not in by_rep and "only" not in by_rep
+    # the fan-out stays whole-stage codegen — no exchange, no UDF
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
