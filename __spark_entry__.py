@@ -287,6 +287,72 @@ def _enc_shard() -> bytes:
             _raw("https://enc.example/badchunk", badchunk))
 
 
+def _enclosure_feeds() -> list[bytes]:
+    """Deterministic RSS/Atom fixtures with media attachments: a
+    podcast feed (itunes durations in all three forms, a no-enclosure
+    episode, an absurd declared length -> NULL), an Atom feed with a
+    rel=enclosure link, and junk."""
+    import datetime as _dt
+
+    from historicaldatadocumentparsersystem_spark.extractor import feedx
+    ts = _dt.datetime(2024, 5, 1, tzinfo=_dt.timezone.utc)
+    rss = feedx.build_feed([
+        {"feed_kind": "rss", "url": "https://pod.example/ep1",
+         "title": "Episode one", "pub_ts": ts,
+         "enclosure": {"url": "https://cdn.pod.example/ep1.mp3",
+                       "length": 31457280, "mime": "audio/mpeg"},
+         "itunes_duration": "1:02:03"},
+        {"feed_kind": "rss", "url": "https://pod.example/ep2",
+         "title": "Episode two", "pub_ts": ts,
+         "enclosure": {"url": "https://cdn.pod.example/ep2.mp3",
+                       "length": 99999999999999999999,
+                       "mime": "audio/mpeg"},
+         "itunes_duration": "44:10"},
+        {"feed_kind": "rss", "url": "https://pod.example/ep3",
+         "title": "No audio", "pub_ts": ts},
+        {"feed_kind": "rss", "url": "https://pod.example/ep4",
+         "title": "Bare seconds", "pub_ts": ts,
+         "enclosure": {"url": "https://cdn.pod.example/ep4.m4a",
+                       "length": 1024, "mime": "audio/mp4"},
+         "itunes_duration": "95"},
+    ])
+    atom = feedx.build_feed([
+        {"feed_kind": "atom", "url": "https://v.example/post",
+         "title": "With clip", "pub_ts": ts,
+         "enclosure": {"url": "https://cdn.v.example/clip.m4a",
+                       "length": 999, "mime": "audio/mp4"}},
+    ])
+    return [rss, atom, b"<html>not a feed</html>"]
+
+
+def _enclosure_sql() -> str:
+    """Oracle for feed_enclosures: the PURE extractor feeds the
+    VALUES rows (the sitemap_media precedent)."""
+    from historicaldatadocumentparsersystem_spark.extractor.feedx import \
+        parse_feed_enclosures
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for blob in _enclosure_feeds():
+        for r in parse_feed_enclosures(blob):
+            rows.append(
+                "({}, {}, {}::int, {}, {}, {}::bigint, {}::bigint)"
+                .format(lit(r["feed_kind"]), lit(r["page_url"]),
+                        r["pos"], lit(r["url"]), lit(r["mime"]),
+                        lit(r["length_bytes"]), lit(r["duration_ms"])))
+    return """
+        SELECT * FROM (VALUES %s)
+        AS t(feed_kind, page_url, pos, url, mime, length_bytes,
+             duration_ms)
+        ORDER BY page_url, pos""" % ",\n".join(rows)
+
+
 def _mpd_manifests() -> list[tuple[str, bytes]]:
     """Deterministic DASH fixtures: a full two-period MPD (video
     ladder with inherited AdaptationSet template + a rep-level
@@ -2206,7 +2272,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-6 additions
     "av_text_pairs", "embed_providers", "form_page_flags",
     "idn_homograph_gate", "afp_near_pairs", "hls_summary",
-    "dash_rows", "dash_segment_plan",
+    "dash_rows", "dash_segment_plan", "feed_enclosures",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4158,6 +4224,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sources.mpd_rows_from_blobs(blobs))
             .orderBy("mpd_url", "rep_id", "seg_number"))
     q["dash_segment_plan"] = q_dash_segments
+
+    # --- RSS/Atom media attachments (podcast/audio discovery, the
+    # feed sibling of sitemap_media) — pure-extractor-fed VALUES
+    # oracle; round-trips pinned in tests/test_feeds.py
+    def q_enclosures(spark, sf_dir):
+        blobs = spark.createDataFrame(
+            [(b,) for b in _enclosure_feeds()], "content binary")
+        return (sources.feed_enclosures_from_blobs(blobs)
+                .orderBy("page_url", "pos"))
+    q["feed_enclosures"] = q_enclosures
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7559,6 +7635,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_media": _media_sitemap_sql(),
         "hls_rows": _hls_sql(),
         "dash_rows": _mpd_sql(),
+        "feed_enclosures": _enclosure_sql(),
         "dash_segment_plan": f"""
             WITH rows AS ({_mpd_sql()}),
             elig AS (

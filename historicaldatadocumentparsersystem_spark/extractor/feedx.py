@@ -294,6 +294,82 @@ def parse_feed(data: bytes) -> list[dict]:
     return out
 
 
+_ENC_RE = re.compile(
+    rb"<enclosure\b[^>]*>", re.I)
+_ENC_ATTR_RE = re.compile(
+    rb"([a-zA-Z:]+)\s*=\s*[\"']([^\"']*)[\"']")
+_ATOM_ENC_RE = re.compile(
+    rb"<link\b[^>]*\brel\s*=\s*[\"']enclosure[\"'][^>]*>", re.I)
+
+
+def _itunes_ms(s: str | None) -> int | None:
+    """<itunes:duration>: 'HH:MM:SS' / 'MM:SS' / bare seconds ->
+    exact integer ms; None on junk/absurd."""
+    if not s:
+        return None
+    parts = s.strip().split(":")
+    if not 1 <= len(parts) <= 3 or not all(p.isdigit() for p in parts):
+        return None
+    secs = 0
+    for p in parts:
+        secs = secs * 60 + int(p)
+    ms = secs * 1000
+    return ms if ms < (1 << 62) else None
+
+
+def parse_feed_enclosures(data: bytes) -> list[dict]:
+    """One row per media attachment — the podcast/audio discovery
+    channel (the RSS sibling of sitemap_media): RSS ``<enclosure>``
+    and Atom ``<link rel=enclosure>``, in order:
+    {feed_kind, page_url, pos, url, mime, length_bytes, duration_ms}.
+
+    ``page_url`` is the owning item/entry link (rows without one are
+    dropped, the parse_feed rule); ``length_bytes`` is the declared
+    size clamped to [0, 2^62) -> None outside; ``duration_ms`` comes
+    from the item's ``<itunes:duration>`` (exact HH:MM:SS / MM:SS /
+    seconds arithmetic, RSS only); attachment tags without a url are
+    dropped; malformed documents degrade to fewer rows (F5)."""
+    data = _maybe_gunzip(data)
+    out: list[dict] = []
+    for m in _BLOCK_RE.finditer(data):
+        kind = m.group(1).decode().lower()
+        block = m.group(2)
+        if kind == "item":
+            page = _field(block, "link")
+            feed_kind, encs = "rss", _ENC_RE.finditer(block)
+            dur = _itunes_ms(_field(block, "itunes:duration"))
+        elif kind == "entry":
+            lm = _ATOM_LINK_RE.search(block)
+            page = (unescape(lm.group(1).decode("utf-8", "replace"))
+                    .strip() if lm else None)
+            feed_kind, encs = "atom", _ATOM_ENC_RE.finditer(block)
+            dur = None
+        else:
+            continue
+        if not page:
+            continue
+        pos = 0
+        for em in encs:
+            attrs = {k.decode("ascii", "replace").lower():
+                     unescape(v.decode("utf-8", "replace")).strip()
+                     for k, v in _ENC_ATTR_RE.findall(em.group(0))}
+            url = attrs.get("url") or attrs.get("href")
+            if not url:
+                continue
+            try:
+                length = int(attrs["length"])
+            except (KeyError, ValueError):
+                length = None
+            if length is not None and not 0 <= length < (1 << 62):
+                length = None
+            out.append({"feed_kind": feed_kind, "page_url": page,
+                        "pos": pos, "url": url,
+                        "mime": attrs.get("type") or None,
+                        "length_bytes": length, "duration_ms": dur})
+            pos += 1
+    return out
+
+
 def _xml_escape(s: str) -> str:
     return (s.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;").replace('"', "&quot;"))
@@ -346,6 +422,13 @@ def build_feed(entries: list[dict], gzip_file: bool = False) -> bytes:
                 lines.append("<updated>%s</updated>" %
                              e["pub_ts"].strftime(
                                  "%Y-%m-%dT%H:%M:%S+00:00"))
+            enc = e.get("enclosure")
+            if enc:
+                lines.append(
+                    '<link rel="enclosure" href="%s" length="%s" '
+                    'type="%s"/>' % (_xml_escape(enc["url"]),
+                                     enc.get("length", ""),
+                                     enc.get("mime", "")))
             lines.append("</entry>")
         lines.append("</feed>")
     else:
@@ -360,6 +443,16 @@ def build_feed(entries: list[dict], gzip_file: bool = False) -> bytes:
                 lines.append("<pubDate>%s</pubDate>" %
                              e["pub_ts"].strftime(
                                  "%a, %d %b %Y %H:%M:%S +0000"))
+            enc = e.get("enclosure")
+            if enc:
+                lines.append(
+                    '<enclosure url="%s" length="%s" type="%s"/>'
+                    % (_xml_escape(enc["url"]),
+                       enc.get("length", ""),
+                       enc.get("mime", "")))
+            if e.get("itunes_duration"):
+                lines.append("<itunes:duration>%s</itunes:duration>"
+                             % e["itunes_duration"])
             lines.append("</item>")
         lines.append("</channel></rss>")
     out = "\n".join(lines).encode("utf-8")

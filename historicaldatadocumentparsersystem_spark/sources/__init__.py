@@ -1380,3 +1380,44 @@ def dash_segment_plan(rows: DataFrame) -> DataFrame:
                               F.lit("$Number$"),
                               F.col("seg_number").cast("string"))
                     .alias("seg_uri")))
+
+
+ENCLOSURE_DDL = ("feed_kind string, page_url string, pos int, "
+                 "url string, mime string, length_bytes long, "
+                 "duration_ms long")
+
+
+def feed_enclosures_from_blobs(blobs: DataFrame) -> DataFrame:
+    """RSS/Atom feed shards (a ``content binary`` column) -> one row
+    per media attachment (ENCLOSURE_DDL) — the podcast/audio
+    discovery channel, the RSS sibling of sitemap_media
+    (extractor.feedx.parse_feed_enclosures is the Spark-free oracle).
+    Map-only; the rows join the fetch frontier on url and the
+    audio-budget planner on duration_ms/length_bytes."""
+    import pandas as pd
+
+    from ..extractor.feedx import parse_feed_enclosures
+
+    cols = [f.split()[0] for f in ENCLOSURE_DDL.split(", ")]
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for blob in b["content"]:
+                for r in parse_feed_enclosures(
+                        bytes(blob) if blob is not None else b""):
+                    rows.append(tuple(r[c] for c in cols))
+            out = pd.DataFrame(rows, columns=cols)
+            out["pos"] = out["pos"].astype("Int32")
+            out["length_bytes"] = out["length_bytes"].astype("Int64")
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            yield out
+
+    return blobs.select("content").mapInPandas(parse, ENCLOSURE_DDL)
+
+
+def read_feed_enclosures(spark: SparkSession, path: str) -> DataFrame:
+    """Feed files on disk -> attachment rows (binaryFile scan + the
+    Arrow pass of feed_enclosures_from_blobs)."""
+    return feed_enclosures_from_blobs(
+        spark.read.format("binaryFile").load(path).select("content"))

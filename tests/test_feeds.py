@@ -323,3 +323,64 @@ def test_spark_sitemap_media_source_matches_direct(spark, tmp_path):
                    r["duration_s"])
                   for r in feedx.parse_sitemap_media(blob))
     assert got == want and got
+
+
+# --- media attachments (podcast/audio discovery) ------------------------------
+
+def test_enclosure_roundtrip_and_itunes_durations():
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    rss = feedx.build_feed([
+        {"feed_kind": "rss", "url": "https://p.ex/e1", "title": "a",
+         "pub_ts": ts,
+         "enclosure": {"url": "https://c.ex/e1.mp3",
+                       "length": 123, "mime": "audio/mpeg"},
+         "itunes_duration": "1:02:03"},
+        {"feed_kind": "rss", "url": "https://p.ex/e2", "title": "b",
+         "pub_ts": ts},
+    ])
+    rows = feedx.parse_feed_enclosures(rss)
+    assert rows == [{"feed_kind": "rss", "page_url": "https://p.ex/e1",
+                     "pos": 0, "url": "https://c.ex/e1.mp3",
+                     "mime": "audio/mpeg", "length_bytes": 123,
+                     "duration_ms": 3_723_000}]
+    # parse_feed is untouched by attachment markup
+    assert [e["url"] for e in feedx.parse_feed(rss)] \
+        == ["https://p.ex/e1", "https://p.ex/e2"]
+    atom = feedx.build_feed([
+        {"feed_kind": "atom", "url": "https://v.ex/p", "title": "t",
+         "pub_ts": ts,
+         "enclosure": {"url": "https://c.ex/c.m4a", "length": 9,
+                       "mime": "audio/mp4"}}])
+    (row,) = feedx.parse_feed_enclosures(atom)
+    assert (row["feed_kind"], row["url"], row["page_url"]) \
+        == ("atom", "https://c.ex/c.m4a", "https://v.ex/p")
+    # itunes duration forms; absurd declared length -> None
+    assert feedx._itunes_ms("95") == 95_000
+    assert feedx._itunes_ms("44:10") == 2_650_000
+    assert feedx._itunes_ms("1:2:x") is None
+    big = rss.replace(b'length="123"',
+                      b'length="99999999999999999999"')
+    assert feedx.parse_feed_enclosures(big)[0]["length_bytes"] is None
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_enclosures_arbitrary_bytes_never_raises(data):
+    for r in feedx.parse_feed_enclosures(data):
+        assert r["url"] and r["page_url"]
+
+
+def test_spark_enclosure_source(spark):
+    import __spark_entry__ as entry
+    from historicaldatadocumentparsersystem_spark import sources
+    blobs = spark.createDataFrame(
+        [(b,) for b in entry._enclosure_feeds()], "content binary")
+    got = sorted((r["page_url"], r["url"], r["length_bytes"],
+                  r["duration_ms"])
+                 for r in sources.feed_enclosures_from_blobs(
+                     blobs).collect())
+    want = sorted((r["page_url"], r["url"], r["length_bytes"],
+                   r["duration_ms"])
+                  for b in entry._enclosure_feeds()
+                  for r in feedx.parse_feed_enclosures(b))
+    assert got == want and got
