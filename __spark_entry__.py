@@ -287,6 +287,52 @@ def _enc_shard() -> bytes:
             _raw("https://enc.example/badchunk", badchunk))
 
 
+def _podcast_rows() -> list[tuple[str, bytes]]:
+    """Deterministic chaptered-podcast fixtures: full chapter lists
+    (unicode titles, open-ended last chapter), the end<=start
+    degrade, a chapterless episode, junk."""
+    from historicaldatadocumentparsersystem_spark.extractor import soundx
+    return [
+        ("pod-ep1", soundx.make_mp3(
+            [("TIT2", "Show 12")], n_frames=6,
+            chapters=[("ch0", 0, 95000, "Intro"),
+                      ("ch1", 95000, 1680000, "M\u00e4in topic \u2014 deep dive"),
+                      ("ch2", 1680000, None, "Outro")])),
+        ("pod-ep2", soundx.make_mp3(
+            [("TIT2", "Show 13")], n_frames=4,
+            chapters=[("a", 1000, 500, None),
+                      ("b", 500, 2500, "Only titled")])),
+        ("pod-plain", soundx.make_mp3([("TIT2", "No chapters")],
+                                      n_frames=3)),
+        ("pod-junk", b"ID3junk not a tag"),
+    ]
+
+
+def _podcast_sql() -> str:
+    """Oracle for podcast_chapters: the PURE extractor feeds the
+    VALUES rows (round-trips pinned in tests/test_soundx.py)."""
+    from historicaldatadocumentparsersystem_spark.extractor.soundx import \
+        mp3_chapters
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for mid, blob in _podcast_rows():
+        for r in mp3_chapters(blob):
+            rows.append("('{}', {}::int, {}, {}::bigint, {}::bigint, "
+                        "{})".format(mid, r[0], lit(r[1]), r[2],
+                                     lit(r[3]), lit(r[4])))
+    return """
+        SELECT * FROM (VALUES %s)
+        AS t(media_id, pos, element_id, start_ms, end_ms, title)
+        ORDER BY media_id, pos""" % ",\n".join(rows)
+
+
 def _enclosure_feeds() -> list[bytes]:
     """Deterministic RSS/Atom fixtures with media attachments: a
     podcast feed (itunes durations in all three forms, a no-enclosure
@@ -2273,6 +2319,7 @@ _EXTRA_ORDER = [
     "av_text_pairs", "embed_providers", "form_page_flags",
     "idn_homograph_gate", "afp_near_pairs", "hls_summary",
     "dash_rows", "dash_segment_plan", "feed_enclosures",
+    "podcast_chapters",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4234,6 +4281,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sources.feed_enclosures_from_blobs(blobs)
                 .orderBy("page_url", "pos"))
     q["feed_enclosures"] = q_enclosures
+
+    # --- podcast chapters (ID3v2 CHAP) — pure-extractor-fed VALUES
+    # oracle; the (audio-span, text) alignment rows for enclosures
+    def q_podcast_chapters(spark, sf_dir):
+        df = spark.createDataFrame(_podcast_rows(),
+                                   "media_id string, payload binary")
+        return (multimodal.podcast_chapters(df)
+                .orderBy("media_id", "pos"))
+    q["podcast_chapters"] = q_podcast_chapters
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7636,6 +7692,7 @@ def oracle_sql() -> dict[str, str]:
         "hls_rows": _hls_sql(),
         "dash_rows": _mpd_sql(),
         "feed_enclosures": _enclosure_sql(),
+        "podcast_chapters": _podcast_sql(),
         "dash_segment_plan": f"""
             WITH rows AS ({_mpd_sql()}),
             elig AS (

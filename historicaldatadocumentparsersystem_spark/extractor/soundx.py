@@ -60,37 +60,98 @@ def _syncsafe(b: bytes) -> int:
 _ID3_ENC = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
 
 
-def _id3_frames(payload: bytes) -> tuple[list[tuple[str, str]], int]:
-    """(text-frame rows, offset past the tag). No tag -> ([], 0)."""
+def _iter_id3_raw(payload: bytes):
+    """Yield (frame_id bytes, frame data bytes) for every ID3v2
+    frame; stops at zero padding. Yields nothing without a tag."""
     if payload[:3] != b"ID3" or len(payload) < 10:
-        return [], 0
+        return
     major = payload[3]
     tag_size = _syncsafe(payload[6:10])
     end = min(10 + tag_size, len(payload))
-    rows: list[tuple[str, str]] = []
     i = 10
     while i + 10 <= end:
         fid = payload[i:i + 4]
         if not fid.strip(b"\x00"):          # zero padding reached
-            break
+            return
         size = _syncsafe(payload[i + 4:i + 8]) if major >= 4 \
             else int.from_bytes(payload[i + 4:i + 8], "big")
         data = payload[i + 10:i + 10 + size]
         i += 10 + size
-        if len(data) < 1 or fid[:1] != b"T":
+        yield fid, data
+
+
+def _id3_text(data: bytes) -> str | None:
+    """Decode one text-frame body (encoding byte + payload)."""
+    if len(data) < 1:
+        return None
+    enc = _ID3_ENC.get(data[0])
+    if enc is None:
+        return None
+    try:
+        return data[1:].decode(enc).rstrip("\x00")
+    except (UnicodeDecodeError, LookupError):
+        return None
+
+
+def _id3_frames(payload: bytes) -> tuple[list[tuple[str, str]], int]:
+    """(text-frame rows, offset past the tag). No tag -> ([], 0)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return [], 0
+    rows: list[tuple[str, str]] = []
+    for fid, data in _iter_id3_raw(payload):
+        if fid[:1] != b"T":
             continue
-        enc = _ID3_ENC.get(data[0])
-        if enc is None:
-            continue
-        try:
-            text = data[1:].decode(enc).rstrip("\x00")
-        except (UnicodeDecodeError, LookupError):
+        text = _id3_text(data)
+        if text is None:
             continue
         try:
             rows.append((f"id3:{fid.decode('ascii')}", text))
         except UnicodeDecodeError:
             continue
-    return rows, 10 + tag_size
+    return rows, 10 + _syncsafe(payload[6:10])
+
+
+def mp3_chapters(payload: bytes) -> list[tuple]:
+    """Podcast chapter markers (the ID3v2 Chapter Frame Addendum):
+    (pos, element_id, start_ms, end_ms, title) per CHAP frame in tag
+    order. element_id is the null-terminated latin-1 id; start/end
+    are the 32-bit big-endian millisecond offsets (the spec's
+    0xFFFFFFFF 'not set' sentinel and end <= start degrade end to
+    None); title is the first embedded TIT2 sub-frame's text or
+    None. Chapters turn a podcast enclosure into (audio-span, text)
+    alignment rows. Malformed frames are skipped (F5)."""
+    out: list[tuple] = []
+    for fid, data in _iter_id3_raw(payload):
+        if fid != b"CHAP" or len(data) < 17:
+            continue
+        nul = data.find(b"\x00")
+        if nul < 0 or nul + 17 > len(data):
+            continue
+        element_id = data[:nul].decode("latin-1")
+        start = int.from_bytes(data[nul + 1:nul + 5], "big")
+        end = int.from_bytes(data[nul + 5:nul + 9], "big")
+        if start == 0xFFFFFFFF:
+            continue
+        if end == 0xFFFFFFFF or end <= start:
+            end_val = None
+        else:
+            end_val = end
+        # embedded sub-frames follow the two offset pairs
+        title = None
+        sub = data[nul + 17:]
+        j = 0
+        while j + 10 <= len(sub):
+            sid = sub[j:j + 4]
+            ssize = int.from_bytes(sub[j + 4:j + 8], "big")
+            if not sid.strip(b"\x00") or ssize <= 0 \
+                    or j + 10 + ssize > len(sub):
+                break
+            if sid == b"TIT2":
+                title = _id3_text(sub[j + 10:j + 10 + ssize])
+                break
+            j += 10 + ssize
+        out.append((len(out), element_id, start, end_val, title))
+    return out
 
 
 def _frame_header(b: bytes, i: int):
@@ -222,9 +283,13 @@ def ogg_info(payload: bytes) -> list[tuple[str, str]]:
 
 def make_mp3(text_frames: list[tuple[str, str]], n_frames: int = 20,
              bitrate_kbps: int = 128, sample_rate: int = 44100,
-             mode: int = 1, v2: bool = False) -> bytes:
+             mode: int = 1, v2: bool = False,
+             chapters: list[tuple] | None = None) -> bytes:
     """ID3v2.3 tag (latin-1 falls back to UTF-16 per frame) + CBR
-    MPEG1 (or MPEG2 when ``v2``) Layer III frames of silence."""
+    MPEG1 (or MPEG2 when ``v2``) Layer III frames of silence.
+    ``chapters`` = (element_id, start_ms, end_ms | None, title |
+    None) tuples -> CHAP frames with embedded TIT2 sub-frames (the
+    encode half of mp3_chapters)."""
     frames = b""
     for fid, text in text_frames:
         try:
@@ -233,6 +298,21 @@ def make_mp3(text_frames: list[tuple[str, str]], n_frames: int = 20,
             body = b"\x01" + text.encode("utf-16")
         frames += fid.encode("ascii") \
             + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+    for eid, start_ms, end_ms, title in chapters or []:
+        body = eid.encode("latin-1") + b"\x00"
+        body += start_ms.to_bytes(4, "big")
+        body += (end_ms if end_ms is not None
+                 else 0xFFFFFFFF).to_bytes(4, "big")
+        body += (0xFFFFFFFF).to_bytes(4, "big") * 2   # byte offsets
+        if title is not None:
+            try:
+                tbody = b"\x00" + title.encode("latin-1")
+            except UnicodeEncodeError:
+                tbody = b"\x01" + title.encode("utf-16")
+            body += (b"TIT2" + len(tbody).to_bytes(4, "big")
+                     + b"\x00\x00" + tbody)
+        frames += (b"CHAP" + len(body).to_bytes(4, "big")
+                   + b"\x00\x00" + body)
     tag_size = len(frames)
     ss = bytes([(tag_size >> 21) & 0x7F, (tag_size >> 14) & 0x7F,
                 (tag_size >> 7) & 0x7F, tag_size & 0x7F])

@@ -513,6 +513,42 @@ def afp_near_pairs(hashes: DataFrame, max_hamming: int = 7
                               "afp", "media_id", 64, max_hamming)
 
 
+def podcast_chapters(df: DataFrame) -> DataFrame:
+    """ID3v2 CHAP chapter markers per mp3 payload (media_id, pos,
+    element_id, start_ms, end_ms, title) — turns a podcast enclosure
+    into (audio-span, text) alignment rows, joining subtitle_cues /
+    frame_cue_alignment downstream (extractor/soundx.mp3_chapters is
+    the Spark-free oracle). Map-only 1->N; chapterless or non-mp3
+    payloads yield no row."""
+    import pandas as pd
+
+    def batch(batches: Iterator[pd.DataFrame]
+              ) -> Iterator[pd.DataFrame]:
+        from ..extractor import soundx
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    chaps = soundx.mp3_chapters(
+                        bytes(payload) if payload is not None
+                        else b"")
+                except Exception:            # F5
+                    continue
+                for r in chaps:
+                    rows.append((mid, *r))
+            out = pd.DataFrame(rows, columns=[
+                "media_id", "pos", "element_id", "start_ms",
+                "end_ms", "title"])
+            out["pos"] = out["pos"].astype("Int32")
+            out["start_ms"] = out["start_ms"].astype("Int64")
+            out["end_ms"] = out["end_ms"].astype("Int64")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(
+        batch, "media_id string, pos int, element_id string, "
+               "start_ms long, end_ms long, title string")
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """Embedded metadata rows per media payload (media_id, fmt, idx,
     key, value): JPEG EXIF tags (from-scratch TIFF IFD reader, both

@@ -228,3 +228,37 @@ def test_afp_header_value_clamps():
 def test_utf16_bom_not_misfiled_as_mp3():
     assert exifx.extract_media_metadata(b"\xff\xfeH\x00i\x00" * 40) \
         == []
+
+
+def test_mp3_chapters_roundtrip_and_rules():
+    blob = soundx.make_mp3(
+        [("TIT2", "Show 12")],
+        chapters=[("ch0", 0, 95000, "Intro"),
+                  ("ch1", 95000, None, "Mäin — topic"),
+                  ("ch2", 1800000, 1700000, None)],
+        n_frames=4)
+    assert soundx.mp3_chapters(blob) == [
+        (0, "ch0", 0, 95000, "Intro"),
+        (1, "ch1", 95000, None, "Mäin — topic"),   # open-ended
+        (2, "ch2", 1800000, None, None),           # end<=start -> None
+    ]
+    # text frames and the audio walk are untouched by CHAP frames
+    info = dict(soundx.mp3_info(blob))
+    assert info["id3:TIT2"] == "Show 12" and info["n_frames"] == "4"
+    assert soundx.mp3_chapters(soundx.make_mp3([("TIT2", "x")])) == []
+    # chapter fuzz: truncations never raise
+    for i in range(0, len(blob), 13):
+        soundx.mp3_chapters(blob[:i])
+
+
+def test_podcast_chapters_operator(spark):
+    import __spark_entry__ as entry
+    from historicaldatadocumentparsersystem_spark.operators import \
+        multimodal
+    df = spark.createDataFrame(entry._podcast_rows(),
+                               "media_id string, payload binary")
+    got = sorted(tuple(r) for r in
+                 multimodal.podcast_chapters(df).collect())
+    want = sorted((mid, *r) for mid, blob in entry._podcast_rows()
+                  for r in soundx.mp3_chapters(blob))
+    assert got == want and got
