@@ -124,14 +124,90 @@ def parse_vtt(src: str) -> list[tuple[int, int, int, str]]:
     return out
 
 
+_TTML_CLOCK_RE = re.compile(
+    r"^(\d+):(\d{2}):(\d{2})(?:\.(\d+))?$")
+_TTML_OFFSET_RE = re.compile(r"^(\d+)(?:\.(\d+))?(h|m|s|ms)$")
+
+
+def _ttml_ms(expr: str | None) -> int | None:
+    """TTML time expression -> exact integer ms (float-free):
+    clock-time ``H+:MM:SS(.fff)`` (frame-based ``:FF`` forms are
+    unsupported -> None) or offset-time ``N(.f)(h|m|s|ms)``."""
+    if not expr:
+        return None
+    expr = expr.strip()
+    m = _TTML_CLOCK_RE.match(expr)
+    if m:
+        h, mi, sec, frac = m.groups()
+        ms = (int(h) * 3_600_000 + int(mi) * 60_000
+              + int(sec) * 1000 + int(((frac or "") + "000")[:3]))
+        return ms if ms < (1 << 62) else None
+    m = _TTML_OFFSET_RE.match(expr)
+    if not m:
+        return None
+    whole, frac, unit = m.groups()
+    scale = {"h": 3_600_000, "m": 60_000, "s": 1000, "ms": 1}[unit]
+    ms = int(whole) * scale
+    if frac:
+        # exact: fraction digits scaled without floats
+        ms += int(frac) * scale // (10 ** len(frac))
+    return ms if ms < (1 << 62) else None
+
+
+def parse_ttml(src: str) -> list[tuple[int, int, int, str]]:
+    """(pos, start_ms, end_ms, text) per TTML ``<p>`` cue — the
+    broadcast/IMSC timed-text format (W3C TTML1 subset). ``end``
+    comes from @end or @begin + @dur; cues without a resolvable
+    begin AND end are dropped; ``<br/>`` becomes a newline and
+    per-line whitespace collapses (the SRT/VTT _clean rule); nested
+    spans keep their text; malformed XML yields no rows (F5)."""
+    from xml.etree import ElementTree as ET
+    try:
+        root = ET.fromstring(src)
+    except ET.ParseError:
+        return []
+    if root.tag.split("}")[-1] != "tt":
+        return []
+    out: list[tuple[int, int, int, str]] = []
+    for el in root.iter():
+        if el.tag.split("}")[-1] != "p":
+            continue
+        begin = _ttml_ms(el.get("begin"))
+        if begin is None:
+            continue
+        end = _ttml_ms(el.get("end"))
+        if end is None:
+            dur = _ttml_ms(el.get("dur"))
+            if dur is None:
+                continue
+            end = begin + dur
+        parts: list[str] = [el.text or ""]
+        for child in el:
+            if child.tag.split("}")[-1] == "br":
+                parts.append("\n")
+            elif child.text:
+                parts.append(child.text)
+            if child.tail:
+                parts.append(child.tail)
+        text = _clean("".join(parts).split("\n"))
+        if not text:
+            continue
+        out.append((len(out), begin, end, text))
+    return out
+
+
 def parse_subtitles(payload) -> list[tuple[int, int, int, str]]:
     """Decode + detect + parse: (pos, start_ms, end_ms, text) rows.
-    Bytes without a parseable cue yield an empty list, never raise."""
+    A ``WEBVTT`` magic -> VTT; an XML document with a ``tt`` root ->
+    TTML; anything else -> SRT. Bytes without a parseable cue yield
+    an empty list, never raise."""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         src = _decode(bytes(payload))
     else:
         src = payload or ""
-    head = src.lstrip("﻿")[:32].lstrip()
+    head = src.lstrip("﻿")[:64].lstrip()
     if head.startswith("WEBVTT"):
         return parse_vtt(src)
+    if head.startswith("<"):
+        return parse_ttml(src.lstrip("﻿"))
     return parse_srt(src)

@@ -96,3 +96,43 @@ def test_reader_matches_golden(spark):
     plan = (sources.read_subtitle_cues(flat)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# --- TTML (broadcast/IMSC timed text) -----------------------------------------
+
+def test_ttml_cues_and_time_expressions():
+    ttml = ('<?xml version="1.0"?>'
+            '<tt xmlns="http://www.w3.org/ns/ttml"><body><div>'
+            '<p begin="00:00:01.500" end="00:00:04.000">First'
+            '<br/>second</p>'
+            '<p begin="5.2s" dur="2s"><span>Styled</span> tail</p>'
+            '<p end="10s">no begin dropped</p>'
+            '<p begin="1s">no end or dur dropped</p>'
+            '</div></body></tt>')
+    assert subx.parse_ttml(ttml) == [
+        (0, 1500, 4000, "First\nsecond"),
+        (1, 5200, 7200, "Styled tail")]
+    # detection: XML payloads route to TTML, non-tt XML yields none
+    assert subx.parse_subtitles(ttml.encode()) \
+        == subx.parse_ttml(ttml)
+    assert subx.parse_subtitles(b"<html><p>x</p></html>") == []
+    # exact time arithmetic; frame-based clock times unsupported
+    assert subx._ttml_ms("00:01:02.25") == 62_250
+    assert subx._ttml_ms("300ms") == 300
+    assert subx._ttml_ms("2.5h") == 9_000_000
+    assert subx._ttml_ms("1.25m") == 75_000
+    assert subx._ttml_ms("00:00:05:12") is None
+    assert subx._ttml_ms("junk") is None
+
+
+def test_ttml_never_raises_on_fuzz():
+    import random
+    rng = random.Random("ttml-fuzz")
+    blobs = [b"<" + bytes(rng.randrange(256) for _ in range(
+        rng.randrange(200))) for _ in range(100)]
+    good = ('<tt xmlns="x"><body><p begin="1s" end="2s">t</p>'
+            '</body></tt>').encode()
+    blobs += [good[:i] for i in range(0, len(good), 7)]
+    for blob in blobs:
+        for r in subx.parse_subtitles(blob):
+            assert len(r) == 4
