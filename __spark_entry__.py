@@ -2319,7 +2319,7 @@ _EXTRA_ORDER = [
     "av_text_pairs", "embed_providers", "form_page_flags",
     "idn_homograph_gate", "afp_near_pairs", "hls_summary",
     "dash_rows", "dash_segment_plan", "feed_enclosures",
-    "podcast_chapters",
+    "podcast_chapters", "media_fetch_frontier",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4290,6 +4290,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (multimodal.podcast_chapters(df)
                 .orderBy("media_id", "pos"))
     q["podcast_chapters"] = q_podcast_chapters
+
+    # --- capstone: the media DISCOVERY channels (video/image
+    # sitemaps, feed enclosures, in-page A/V scrapes) union into ONE
+    # deduplicated fetch frontier — fixed channel precedence, one
+    # map-side-combinable shuffle; twin = UNION ALL of the same
+    # pinned sources + the same min-priority aggregation
+    def q_media_frontier(spark, sf_dir):
+        sm_blobs = spark.createDataFrame(
+            [(b,) for b in _media_sitemap_shards()], "content binary")
+        fe_blobs = spark.createDataFrame(
+            [(b,) for b in _enclosure_feeds()], "content binary")
+        sm = (sources.sitemap_media_from_blobs(sm_blobs)
+              .select(F.col("loc").alias("url")))
+        fe = (sources.feed_enclosures_from_blobs(fe_blobs)
+              .select("url"))
+        av = (spark.read.parquet(_GOLDEN_AV)
+              .where(F.col("src_url").isNotNull())
+              .select(F.col("src_url").alias("url")))
+        return sources.media_fetch_frontier(
+            [("sitemap", sm), ("feed", fe), ("page", av)])
+    q["media_fetch_frontier"] = q_media_frontier
 
     # --- RTF source (the legacy-office member of the per-format
     # loader family) — hash-checked against the committed golden
@@ -7693,6 +7714,20 @@ def oracle_sql() -> dict[str, str]:
         "dash_rows": _mpd_sql(),
         "feed_enclosures": _enclosure_sql(),
         "podcast_chapters": _podcast_sql(),
+        "media_fetch_frontier": f"""
+            WITH parts AS (
+              SELECT loc AS url, 0 AS prio, 'sitemap' AS channel
+              FROM ({_media_sitemap_sql()}) s
+              UNION ALL
+              SELECT url, 1, 'feed' FROM ({_enclosure_sql()}) f
+              UNION ALL
+              SELECT src_url, 2, 'page'
+              FROM read_parquet('{_GOLDEN_AV}')
+              WHERE src_url IS NOT NULL)
+            SELECT url,
+                   arg_min(channel, prio) AS channel,
+                   count(*)::bigint AS n_refs
+            FROM parts GROUP BY url""",
         "dash_segment_plan": f"""
             WITH rows AS ({_mpd_sql()}),
             elig AS (

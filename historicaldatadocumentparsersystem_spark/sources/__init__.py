@@ -1421,3 +1421,28 @@ def read_feed_enclosures(spark: SparkSession, path: str) -> DataFrame:
     Arrow pass of feed_enclosures_from_blobs)."""
     return feed_enclosures_from_blobs(
         spark.read.format("binaryFile").load(path).select("content"))
+
+
+def media_fetch_frontier(parts: list[tuple[str, DataFrame]]
+                         ) -> DataFrame:
+    """Union the media DISCOVERY channels into ONE deduplicated fetch
+    frontier: each part is (channel_name, df with a ``url`` column).
+    Output (url, channel, n_refs): the winning channel is the
+    EARLIEST in the argument order (fixed precedence — e.g. sitemap
+    declarations over in-page scrapes), n_refs counts every mention
+    across channels. ONE shuffle on url (map-side combinable min/
+    count); at 100 TB the frontier rows are tiny next to payloads and
+    the fetcher partitions this table by host downstream."""
+    from pyspark.sql import functions as F
+    tagged = None
+    for prio, (name, df) in enumerate(parts):
+        t = df.select(F.col("url"),
+                      F.lit(prio).alias("_prio"),
+                      F.lit(name).alias("_channel"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    won = F.min(F.struct("_prio", "_channel")).alias("_w")
+    return (tagged.where(F.col("url").isNotNull())
+            .groupBy("url")
+            .agg(won, F.count("*").cast("long").alias("n_refs"))
+            .select("url", F.col("_w._channel").alias("channel"),
+                    "n_refs"))

@@ -384,3 +384,20 @@ def test_spark_enclosure_source(spark):
                   for b in entry._enclosure_feeds()
                   for r in feedx.parse_feed_enclosures(b))
     assert got == want and got
+
+
+def test_media_fetch_frontier_precedence(spark):
+    """The capstone union: channel precedence is argument order, and
+    a url referenced by several channels keeps its total n_refs."""
+    from historicaldatadocumentparsersystem_spark import sources
+    a = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    b = spark.createDataFrame([("u2",), ("u3",), ("u3",), (None,)],
+                              "url string")
+    got = {r["url"]: (r["channel"], r["n_refs"])
+           for r in sources.media_fetch_frontier(
+               [("first", a), ("second", b)]).collect()}
+    assert got == {"u1": ("first", 1), "u2": ("first", 2),
+                   "u3": ("second", 2)}
+    plan = (sources.media_fetch_frontier([("first", a), ("second", b)])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") <= 2   # ONE logical shuffle (+AQE)
