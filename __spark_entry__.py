@@ -1598,6 +1598,8 @@ _GOLDEN_LATEX = os.path.join(
     _REPO, "fixtures", "golden_latex_elements_seed42_n32.parquet")
 _GOLDEN_WIKIDUMP = os.path.join(
     _REPO, "fixtures", "golden_wiki_dump_seed42_n12.parquet")
+_GOLDEN_ICS = os.path.join(_REPO, "fixtures",
+                           "golden_ics_seed42_n30.parquet")
 _GOLDEN_TARMEM = os.path.join(
     _REPO, "fixtures", "golden_tar_members_seed42_n12.parquet")
 _GOLDEN_TARLATEX = os.path.join(
@@ -2320,6 +2322,8 @@ _EXTRA_ORDER = [
     "idn_homograph_gate", "afp_near_pairs", "hls_summary",
     "dash_rows", "dash_segment_plan", "feed_enclosures",
     "podcast_chapters", "media_fetch_frontier",
+    # round-4 resumed-session-7 additions
+    "ics_events", "event_expansion",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4352,6 +4356,55 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("n_chars") * 1000 > F.col("total_cue_ms") * 17)
                 .orderBy("url"))
     q["subtitle_stats"] = q_sub_stats
+
+    # --- iCalendar source (the calendar member of the loader family:
+    # RFC 5545 unfolding, quoted-param content lines, TEXT unescape,
+    # VALARM isolation, DURATION folding, RRULE harvest) —
+    # hash-checked against the committed golden events parquet
+    def q_ics(spark, sf_dir):
+        files = fixtures.ics_file_rows(30)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_ics_events(df)
+    q["ics_events"] = q_ics
+
+    # --- RRULE occurrence expansion (the time-window fan-out a
+    # calendar join needs: DAILY/WEEKLY rules expand to concrete
+    # occurrences, capped at 100; COUNT wins, then UNTIL, else the
+    # base occurrence only) — golden BOTH sides to isolate the
+    # expansion arithmetic; Spark sequence+explode == DuckDB
+    # unnest(generate_series) on pure int64 ms math (no calendar
+    # arithmetic: MONTHLY/YEARLY emit only their base occurrence)
+    def q_ics_expand(spark, sf_dir):
+        ev = spark.read.parquet(_GOLDEN_ICS)
+        step = (F.col("rrule_interval").cast("long") * F.lit(86400000)
+                * F.when(F.col("freq") == "WEEKLY", F.lit(7))
+                .otherwise(F.lit(1)))
+        n_by_until = F.lit(1) + F.expr(
+            "greatest(0L, until_ms - start_ms) div step_ms")
+        n_occ = (F.when(F.col("freq").isNull()
+                        | ~F.col("freq").isin("DAILY", "WEEKLY"),
+                        F.lit(1))
+                 .when(F.col("rrule_count").isNotNull(),
+                       F.least(F.col("rrule_count").cast("long"),
+                               F.lit(100)))
+                 .when(F.col("until_ms").isNotNull(),
+                       F.least(n_by_until, F.lit(100)))
+                 .otherwise(F.lit(1)))
+        return (ev.withColumn("step_ms", step)
+                .withColumn("n_occ", F.coalesce(n_occ, F.lit(1)))
+                .select("url", "uid", "pos", "start_ms", "end_ms",
+                        "step_ms",
+                        F.explode(F.expr("sequence(0L, n_occ - 1)"))
+                        .alias("k"))
+                .select("url", "uid", "pos", "k",
+                        (F.col("start_ms") + F.col("k")
+                         * F.col("step_ms")).alias("occ_start_ms"),
+                        (F.col("end_ms") + F.col("k")
+                         * F.col("step_ms")).alias("occ_end_ms"))
+                .orderBy("url", "pos", "k"))
+    q["event_expansion"] = q_ics_expand
 
     # --- OPML feed lists (the discovery bridge's third leg: one
     # blogroll fans out into hundreds of feeds; category = curator's
@@ -7336,6 +7389,40 @@ def oracle_sql() -> dict[str, str]:
              AND f.frame_ms >= c.start_ms AND f.frame_ms < c.end_ms
             ORDER BY f.url, f.frame_ms, c.pos""",
         # transcript profile: golden both sides; integer-only speed gate
+        # iCalendar events: committed golden parquet pinned by
+        # tests/test_ics.py against the pure re-derivation
+        "ics_events": f"""
+            SELECT url, pos, uid, summary, location, start_ms, end_ms,
+                   all_day, tzid, freq, rrule_interval, rrule_count,
+                   until_ms, status
+            FROM read_parquet('{_GOLDEN_ICS}')""",
+        # RRULE occurrence expansion: golden both sides; Spark
+        # sequence+explode == unnest(generate_series) on int64 ms;
+        # `div`/`//` agree (the dividend is clamped non-negative)
+        "event_expansion": f"""
+            WITH ev AS (
+              SELECT *,
+                     rrule_interval::bigint * 86400000
+                       * (CASE WHEN freq = 'WEEKLY' THEN 7 ELSE 1 END)
+                       AS step_ms,
+                     CASE
+                       WHEN freq IS NULL
+                            OR freq NOT IN ('DAILY', 'WEEKLY') THEN 1
+                       WHEN rrule_count IS NOT NULL
+                         THEN least(rrule_count::bigint, 100)
+                       WHEN until_ms IS NOT NULL
+                         THEN least(1 + greatest(0, until_ms - start_ms)
+                                      // step_ms, 100)
+                       ELSE 1
+                     END AS n_occ
+              FROM read_parquet('{_GOLDEN_ICS}')
+            )
+            SELECT url, uid, pos,
+                   unnest(generate_series(0, n_occ - 1, 1)) AS k,
+                   start_ms + k * step_ms AS occ_start_ms,
+                   end_ms + k * step_ms AS occ_end_ms
+            FROM ev
+            ORDER BY url, pos, k""",
         "subtitle_stats": f"""
             SELECT url,
                    count(*)::bigint AS n_cues,

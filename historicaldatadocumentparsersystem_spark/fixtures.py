@@ -3176,3 +3176,98 @@ def svg_media_rows(n: int = 16, seed: int = 42) -> list[dict]:
             payload = (None if i % 2 else b"<html><body>nope</body></html>")
         out.append({"media_id": mid, "payload": payload})
     return out
+
+
+def ics_file_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic iCalendar files: (url, payload). Cycles
+    the RFC 5545 shapes the parser must survive — folded long lines,
+    escaped TEXT (\\n \\, \;), quoted TZID params, all-day DATE
+    values, DURATION instead of DTEND, nested VALARM blocks whose
+    properties must NOT bleed into the event, RRULEs with COUNT /
+    INTERVAL / UNTIL, CRLF endings and BOM — and every 6th row is a
+    payload with no parseable VEVENT (F5). Feeds
+    fixtures/golden_ics_seed42_n*.parquet."""
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 198491317, i)
+        url = f"ics://cal-{i}"
+        kind = i % 6
+        day = 1 + (i * 7) % 27
+        base = f"202{i % 4}0{1 + i % 9}{day:02d}"
+        lines = ["BEGIN:VCALENDAR", "VERSION:2.0",
+                 f"PRODID:-//fixture//cal {i}//EN"]
+        if kind == 0:
+            # folded summary + escaped text + UTC stamps
+            summary = _sentence(rng, 8, 14) + r"\, part two\; end"
+            fold_at = 30 + i % 20
+            lines += [
+                "BEGIN:VEVENT", f"UID:ev-{i}-0@fixture",
+                "SUMMARY:" + summary[:fold_at],
+                " " + summary[fold_at:],
+                f"DTSTART:{base}T0{i % 9}3000Z",
+                f"DTEND:{base}T1{i % 9}0000Z",
+                f"LOCATION:Room {i}\\nFloor {i % 5}",
+                "END:VEVENT"]
+        elif kind == 1:
+            # all-day DATE + daily RRULE with COUNT
+            lines += [
+                "BEGIN:VEVENT", f"UID:ev-{i}-allday@fixture",
+                f"SUMMARY:All day {_sentence(rng, 2, 4)}",
+                f"DTSTART;VALUE=DATE:{base}",
+                f"RRULE:FREQ=DAILY;COUNT={2 + i % 6}",
+                "STATUS:CONFIRMED", "END:VEVENT"]
+        elif kind == 2:
+            # quoted TZID param + DURATION + biweekly RRULE
+            lines += [
+                "BEGIN:VEVENT", f"UID:ev-{i}-tz@fixture",
+                f"SUMMARY:{_sentence(rng, 3, 6)}",
+                f'DTSTART;TZID="America/New_York":{base}T09{i % 6}000',
+                f"DURATION:PT{1 + i % 3}H30M",
+                f"RRULE:FREQ=WEEKLY;INTERVAL=2;COUNT={2 + i % 4}",
+                "END:VEVENT"]
+        elif kind == 3:
+            # two events; first carries a VALARM that must not bleed
+            lines += [
+                "BEGIN:VEVENT", f"UID:ev-{i}-a@fixture",
+                f"SUMMARY:{_sentence(rng, 3, 6)}",
+                f"DTSTART:{base}T120000Z",
+                "BEGIN:VALARM", "ACTION:DISPLAY",
+                "SUMMARY:ALARM MUST NOT BLEED",
+                "TRIGGER:-PT15M", "END:VALARM",
+                f"LOCATION:{_sentence(rng, 1, 2)}",
+                "END:VEVENT",
+                "BEGIN:VEVENT", f"UID:ev-{i}-b@fixture",
+                f"SUMMARY:{_sentence(rng, 2, 4)}",
+                f"DTSTART:{base}T160000Z",
+                f"DTEND:{base}T169900Z",      # invalid -> end=start
+                "STATUS:tentative", "END:VEVENT"]
+        elif kind == 4:
+            # RRULE UNTIL + an event with an unparseable DTSTART
+            lines += [
+                "BEGIN:VEVENT", f"UID:ev-{i}-until@fixture",
+                f"SUMMARY:{_sentence(rng, 2, 5)}",
+                f"DTSTART:{base}T08{i % 6}500Z",
+                f"RRULE:FREQ=DAILY;INTERVAL={1 + i % 3};"
+                f"UNTIL:{base}",  # '=' typo form -> UNTIL unharvested
+                "END:VEVENT",
+                "BEGIN:VEVENT", f"UID:ev-{i}-bad@fixture",
+                "SUMMARY:dropped event", "DTSTART:20FEB2024",
+                "END:VEVENT",
+                "BEGIN:VEVENT", f"UID:ev-{i}-u2@fixture",
+                f"SUMMARY:{_sentence(rng, 2, 4)}",
+                f"DTSTART;VALUE=DATE:{base}",
+                f"RRULE:FREQ=WEEKLY;UNTIL={base}T235959Z",
+                "END:VEVENT"]
+        else:
+            # no parseable VEVENT at all
+            payload = _garbage(rng, i) if i % 2 else (
+                b"BEGIN:VCALENDAR\r\nVERSION:2.0\r\nEND:VCALENDAR\r\n")
+            out.append({"url": url, "payload": payload})
+            continue
+        lines.append("END:VCALENDAR")
+        sep = "\r\n" if i % 2 else "\n"
+        raw = sep.join(lines) + sep
+        payload = (b"\xef\xbb\xbf" if i % 4 == 3 else b"") \
+            + raw.encode("utf-8")
+        out.append({"url": url, "payload": payload})
+    return out

@@ -583,6 +583,70 @@ def read_subtitle_cues(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, SUBTITLE_CUES_DDL))
 
 
+ICS_EVENTS_DDL = (
+    "url string, pos int, uid string, summary string, "
+    "location string, start_ms bigint, end_ms bigint, "
+    "all_day boolean, tzid string, freq string, rrule_interval int, "
+    "rrule_count int, until_ms bigint, status string")
+
+
+def read_ics_events(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, iCalendar payload) rows -> one row per VEVENT
+    (url, pos, uid, summary, location, start_ms, end_ms, all_day,
+    tzid, freq, rrule_interval, rrule_count, until_ms, status).
+
+    The calendar member of the per-format loader family
+    (``extractor/icsx.py`` is the Spark-free oracle: RFC 5545
+    unfolding, quoted-param content lines, TEXT unescaping, VALARM
+    isolation, DURATION folding, RRULE harvest). Map-only 1->N;
+    payloads without a parseable VEVENT yield no rows (F5). The
+    parser clamps every attribute-fed integer (RRULE interval/count,
+    duration seconds) so the typed pd.array columns can't overflow.
+    At 100 TB the downstream joins (occurrence expansion, time
+    windows) key on (url, time) — this source shuffles nothing."""
+    import pandas as pd
+
+    from ..extractor.icsx import parse_ics
+
+    def parse(batches):
+        for b in batches:
+            cols: dict[str, list] = {
+                "url": [], "pos": [], "uid": [], "summary": [],
+                "location": [], "start_ms": [], "end_ms": [],
+                "all_day": [], "tzid": [], "freq": [],
+                "rrule_interval": [], "rrule_count": [],
+                "until_ms": [], "status": []}
+            for url, payload in zip(b[url_col], b[payload_col]):
+                if payload is None:
+                    continue
+                for ev in parse_ics(bytes(payload)):
+                    cols["url"].append(url)
+                    for k, v in ev.items():
+                        cols[k].append(v)
+            yield pd.DataFrame({
+                "url": cols["url"],
+                "pos": pd.array(cols["pos"], dtype="int32"),
+                "uid": cols["uid"],
+                "summary": cols["summary"],
+                "location": cols["location"],
+                "start_ms": pd.array(cols["start_ms"], dtype="int64"),
+                "end_ms": pd.array(cols["end_ms"], dtype="int64"),
+                "all_day": pd.array(cols["all_day"], dtype="boolean"),
+                "tzid": cols["tzid"],
+                "freq": cols["freq"],
+                "rrule_interval": pd.array(cols["rrule_interval"],
+                                           dtype="Int32"),
+                "rrule_count": pd.array(cols["rrule_count"],
+                                        dtype="Int32"),
+                "until_ms": pd.array(cols["until_ms"], dtype="Int64"),
+                "status": cols["status"]})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ICS_EVENTS_DDL))
+
+
 def read_rtf_elements(df: DataFrame, url_col: str = "url",
                       payload_col: str = "payload") -> DataFrame:
     """(url, rtf payload) rows -> ordered paragraph elements.
