@@ -37,6 +37,7 @@ from historicaldatadocumentparsersystem_spark.operators import (
     asof, bpetrain, chunking, dedup, keywords, linkgraph, membership,
     multimodal, quality, records, robots, rollup, routing, similarity,
     sketches, skew, spans, textstats, webtext)
+from historicaldatadocumentparsersystem_spark.extractor import idsx as _idsx
 from historicaldatadocumentparsersystem_spark.extractor import piix as _piix
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
 from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
@@ -1248,6 +1249,116 @@ def _pii_fix_sql() -> str:
     return f"SELECT url, text FROM read_parquet('{_PII_FIX}')"
 
 
+def _ids_fix_sql() -> str:
+    return f"SELECT url, text FROM read_parquet('{_IDS_FIX}')"
+
+
+def _isbn10_sql(ds: str) -> str:
+    """ISBN-10 mod-11 as a DuckDB integer fold over a normalized-id
+    column NAME — the RE2-side twin of operators/idents._isbn10_ok
+    (Spark ``aggregate`` fold) and extractor/idsx.isbn10_ok. X (=10)
+    is only legal in the last position."""
+    d = (f"(CASE WHEN {ds}[i] = 'X' THEN 10 "
+         f"ELSE TRY_CAST({ds}[i] AS int) END)")
+    return (f"(NOT contains(substr({ds}, 1, 9), 'X') AND "
+            f"list_sum(list_transform(generate_series(1, 10), "
+            f"i -> (11 - i) * {d})) % 11 = 0)")
+
+
+def _isbn13_sql(ds: str) -> str:
+    """EAN-13 mod-10 fold; bookland 978/979 prefix required."""
+    d = f"TRY_CAST({ds}[i] AS int)"
+    return (f"(NOT contains({ds}, 'X') AND "
+            f"substr({ds}, 1, 3) IN ('978', '979') AND "
+            f"list_sum(list_transform(generate_series(1, 13), "
+            f"i -> (CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END) * {d})) "
+            f"% 10 = 0)")
+
+
+def _ident_norm_sql(kind: str, v: str) -> str:
+    """Per-kind normalization over an expression — generated from the
+    idsx constants (the _W_SQL precedent). DuckDB regexp_replace is
+    first-match-only, so the hyphen strip needs 'g' (Spark's is
+    global by default)."""
+    if kind == "doi":
+        return f"lower(regexp_replace({v}, '{_idsx.DOI_TRAIL_RE}', ''))"
+    if kind == "arxiv_new":
+        return (f"lower(regexp_replace({v}, "
+                f"'{_idsx.ARXIV_PREFIX_RE}', ''))")
+    if kind == "isbn":
+        return (f"upper(regexp_replace(regexp_replace({v}, "
+                f"'{_idsx.ISBN_PREFIX_RE}', ''), '-', '', 'g'))")
+    return v
+
+
+def _ident_valid_sql(kind: str, d: str) -> str:
+    """Per-kind validity over the NORMALIZED id expression — the
+    RE2-side twin of idsx.is_valid."""
+    if kind == "doi":
+        return "true"
+    if kind == "arxiv_new":
+        return f"substr({d}, 3, 2) BETWEEN '01' AND '12'"
+    if kind == "arxiv_old":
+        return (f"substr(split_part({d}, '/', 2), 3, 2) "
+                f"BETWEEN '01' AND '12'")
+    return (f"((length({d}) = 10 AND {_isbn10_sql(d)}) OR "
+            f"(length({d}) = 13 AND {_isbn13_sql(d)}))")
+
+
+def _ident_spans_sql() -> str:
+    """Candidates by kind (UNION ALL of regexp_extract_all unnests),
+    normalization, then the per-kind validity post-filter —
+    structurally the same explode-then-filter plan the Spark side
+    builds."""
+    p = _idsx.PATTERNS
+    unions = "\n              UNION ALL ".join(
+        f"SELECT url, '{kind}' AS kind, unnest(regexp_extract_all("
+        f"text, '{p[kind]}')) AS value FROM t"
+        for kind in sorted(p))
+    norm = " ".join(
+        f"WHEN '{kind}' THEN {_ident_norm_sql(kind, 'value')}"
+        for kind in sorted(p))
+    valid = " ".join(
+        f"WHEN '{kind}' THEN {_ident_valid_sql(kind, 'ident')}"
+        for kind in sorted(p))
+    return f"""
+            WITH t AS ({_ids_fix_sql()}),
+            cand AS (
+              {unions}
+            ), n AS (
+              SELECT url, kind, value,
+                     CASE kind {norm} ELSE value END AS ident
+              FROM cand
+            )
+            SELECT url, kind, value, ident FROM n
+            WHERE length(ident) > 0
+              AND CASE kind {valid} ELSE false END
+            ORDER BY url, kind, value, ident"""
+
+
+def _ident_profile_sql() -> str:
+    """Per-document valid-instance counts by kind — zero-id documents
+    keep their row with zero counts, like the Spark projection."""
+    p = _idsx.PATTERNS
+
+    def n(kind: str) -> str:
+        return (f"len(list_filter(list_transform(regexp_extract_all("
+                f"text, '{p[kind]}'), v -> "
+                f"{_ident_norm_sql(kind, 'v')}), d -> length(d) > 0 "
+                f"AND {_ident_valid_sql(kind, 'd')}))")
+
+    return f"""
+            SELECT url,
+                   {n('doi')}::bigint AS n_doi,
+                   {n('arxiv_new')}::bigint AS n_arxiv_new,
+                   {n('arxiv_old')}::bigint AS n_arxiv_old,
+                   {n('isbn')}::bigint AS n_isbn,
+                   ({n('doi')} + {n('arxiv_new')} + {n('arxiv_old')}
+                    + {n('isbn')})::bigint AS n_ids
+            FROM ({_ids_fix_sql()})
+            ORDER BY url"""
+
+
 def _pii_spans_sql() -> str:
     """Candidates by kind (UNION ALL of regexp_extract_all unnests),
     then the per-kind validity post-filter — structurally the same
@@ -1584,6 +1695,8 @@ _GOLDEN_OFFICEMETA = os.path.join(_REPO, "fixtures",
                                   "golden_officemeta_seed42.parquet")
 _PII_FIX = os.path.join(_REPO, "fixtures",
                         "pii_texts_seed42_n160.parquet")
+_IDS_FIX = os.path.join(_REPO, "fixtures",
+                        "ids_texts_seed42_n120.parquet")
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
                              "golden_ipynb_cells_seed42_n30.parquet")
 _GOLDEN_MBOX = os.path.join(_REPO, "fixtures",
@@ -2324,6 +2437,7 @@ _EXTRA_ORDER = [
     "podcast_chapters", "media_fetch_frontier",
     # round-4 resumed-session-7 additions
     "ics_events", "event_expansion",
+    "extract_identifiers", "identifier_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2608,6 +2722,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("redacted_len"))
                 .orderBy("url"))
     q["pii_redact_corpus"] = q_pii_redact
+
+    # --- scholarly identifiers (DOI / arXiv old+new / ISBN with real
+    # mod-11 and EAN mod-10 checksums) — the citation-mining sibling
+    # of the PII family: same map-only explode-then-filter plan,
+    # same triple cross-engine check (Python re / Java regex / RE2)
+    def q_ident_spans(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            idents
+        docs = spark.read.parquet(_IDS_FIX)
+        return (idents.ident_spans(docs)
+                .orderBy("url", "kind", "value", "ident"))
+    q["extract_identifiers"] = q_ident_spans
+
+    def q_ident_profile(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            idents
+        docs = spark.read.parquet(_IDS_FIX)
+        return idents.ident_profile(docs).orderBy("url")
+    q["identifier_profile"] = q_ident_profile
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -7670,6 +7803,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_spans": _pii_spans_sql(),
         "pii_profile": _pii_profile_sql(),
         "pii_redact_corpus": _pii_redact_sql(),
+        "extract_identifiers": _ident_spans_sql(),
+        "identifier_profile": _ident_profile_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

@@ -3271,3 +3271,120 @@ def ics_file_rows(n: int, seed: int = 42) -> list[dict]:
             + raw.encode("utf-8")
         out.append({"url": url, "payload": payload})
     return out
+
+
+def _isbn10_complete(d9: str) -> str:
+    """9 digits -> full ISBN-10 (check digit may be X)."""
+    total = sum((10 - i) * int(ch) for i, ch in enumerate(d9))
+    check = (11 - total % 11) % 11
+    return d9 + ("X" if check == 10 else str(check))
+
+
+def _isbn13_complete(d12: str) -> str:
+    """12 digits -> full EAN-13 ISBN."""
+    total = sum(int(ch) * (3 if i % 2 else 1) for i, ch in enumerate(d12))
+    return d12 + str((10 - total % 10) % 10)
+
+
+def ids_texts(n: int = 120, seed: int = 42) -> list[dict]:
+    """Deterministic (url, text) rows exercising the scholarly-
+    identifier family (extractor/idsx.py + operators/idents.py):
+    DOIs with trailing sentence punctuation and parens, arXiv new
+    style (prefix case variants, optional space, vN suffixes, bad
+    months), arXiv old style (archive classes, bad months), ISBN-10
+    (incl. X check digits) and ISBN-13 in every prefix form, checksum
+    -failing copies, plus the negatives all three engines must agree
+    on (naked YYMM.NNNNN digits, plain paths, clean/empty docs).
+
+    Same ASCII-adjacency invariant as pii_texts (\\b stays in the
+    Java/RE2 common subset). Committed as
+    fixtures/ids_texts_seed42_n120.parquet so the DuckDB oracle
+    reads the same input table."""
+    archives = ["hep-th", "math", "cond-mat", "astro-ph", "cs"]
+    classes = ["GT", "CO", "AG", "NT"]
+    rows: list[dict] = []
+    for i in range(n):
+        rng = _rng(seed * 7368787, i)
+        host = _HOSTS[(i * 40503) % len(_HOSTS)]
+        url = f"https://{host}/ids/doc-{i}"
+        parts = [_sentence(rng, 4, 9)]
+        k = i % 10
+        if k == 0:
+            parts.append(f"See doi:10.{1000 + i}/nature{10000 + i}. "
+                         f"and (10.1145/{3292500 + i}.{333000 + i}), "
+                         f"both cited.")
+        elif k == 1:
+            v = f"v{1 + i % 4}" if i % 2 else ""
+            parts.append(f"Preprint arXiv:{1700 + i % 30:04d}."
+                         f"{3762 + i:05d}{v} updated; naked "
+                         f"{1700 + i % 30:04d}.{3762 + i:05d} ignored.")
+        elif k == 2:
+            pre = ["arXiv: ", "ARXIV:", "arxiv:"][i % 3]
+            mm = 13 + i % 80     # bad month -> invalid
+            parts.append(f"Bad month {pre}{17:02d}{mm:02d}."
+                         f"{10000 + i} dropped; good {pre}"
+                         f"{2300 + 1 + i % 12:04d}.{10000 + i} kept.")
+        elif k == 3:
+            arch = archives[i % len(archives)]
+            cls = f".{classes[i % len(classes)]}" if i % 2 else ""
+            yymm = f"{i % 100:02d}{1 + i % 12:02d}"
+            parts.append(f"Old id {arch}{cls}/{yymm}{100 + i % 900:03d} "
+                         f"cited; bogus {arch}/{i % 100:02d}"
+                         f"{13 + i % 86:02d}{100 + i % 900:03d} not.")
+        elif k == 4:
+            d9 = f"{200000000 + i * 9973}"[:9]
+            good = _isbn10_complete(d9)
+            hy = f"{good[0]}-{good[1:4]}-{good[4:9]}-{good[9]}"
+            parts.append(f"ISBN {hy} in print; ISBN "
+                         f"{good[:9]}{'X' if good[9] != 'X' else '0'} "
+                         f"is a typo.")
+        elif k == 5:
+            d12 = "978" + f"{100000000 + i * 7919}"[:9]
+            good = _isbn13_complete(d12)
+            hy = (f"{good[:3]}-{good[3]}-{good[4:7]}-"
+                  f"{good[7:12]}-{good[12]}")
+            pre = ["ISBN-13: ", "ISBN:", "ISBN "][i % 3]
+            parts.append(f"Listed as {pre}{hy} everywhere.")
+        elif k == 6:
+            # an ISBN-10 whose check digit is exactly X
+            base = 957 + i
+            d9 = None
+            for probe in range(base, base + 5000):
+                cand = f"{probe:09d}"
+                if _isbn10_complete(cand)[9] == "X":
+                    d9 = cand
+                    break
+            full = _isbn10_complete(d9)
+            parts.append(f"Rare copy ISBN-10: {full[:1]}-{full[1:5]}-"
+                         f"{full[5:9]}-{full[9]} archived; "
+                         f"979 prefix fake ISBN 971"
+                         f"{d9[:9]}0 rejected.")
+        elif k == 7:
+            parts.append(f"Mixed bag: doi 10.5281/zenodo.{400000 + i}; "
+                         f"arXiv:{2000 + 1 + i % 12:04d}.{20000 + i}v2 "
+                         f"and hep-th/{92 + i % 8:02d}"
+                         f"{1 + i % 12:02d}{100 + i:03d} together.")
+        elif k == 8:
+            parts.append(f"No ids: path src/utils/{i:07d} and build "
+                         f"{1000 + i}.{2000 + i} plus 10.{i % 1000}/x "
+                         f"short-registrant ignored.")
+        else:
+            rows.append({"url": url, "text": "" if i % 2 else
+                         _paragraph(rng, 2, 4)})
+            continue
+        parts.append(_sentence(rng, 3, 8))
+        rows.append({"url": url, "text": " ".join(parts)})
+    return rows
+
+
+def ids_texts_df(spark, n: int = 120, seed: int = 42,
+                 num_partitions: int = 8):
+    """Spark DataFrame of the ids_texts fixture set (url, text)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("text", StringType(), False),
+    ])
+    return (spark.createDataFrame(
+        [(r["url"], r["text"]) for r in ids_texts(n, seed)], schema)
+        .repartition(num_partitions))
