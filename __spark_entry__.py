@@ -669,6 +669,65 @@ def _arc_shards() -> list[bytes]:
             warcx.build_arc(recs(2), gzip_records=True)]
 
 
+def _wacz_rows() -> list[dict]:
+    from historicaldatadocumentparsersystem_spark import fixtures
+    return fixtures.wacz_file_rows(12)
+
+
+def _wacz_captures_sql() -> str:
+    """Oracle for wacz_captures: the PURE extractor feeds the VALUES
+    rows (the arc_documents precedent — the container composition
+    itself is pinned by tests/test_wacz.py round-trips); this row
+    isolates the distributed Arrow plumbing of the WACZ source."""
+    from historicaldatadocumentparsersystem_spark.extractor.waczx \
+        import parse_wacz
+    rows = []
+    for r in _wacz_rows():
+        for c in parse_wacz(r["payload"])["captures"]:
+            ts = c["ts"].strftime("%Y-%m-%d %H:%M:%S")
+            rows.append(
+                "('{}', '{}', '{}', TIMESTAMP '{}', '{}', '{}', "
+                "{}::int, '{}', {}::bigint, {}::bigint, '{}')".format(
+                    r["url"], c["index_path"], c["urlkey"], ts,
+                    c["url"], c["mime"], c["status"], c["digest"],
+                    c["length"], c["offset"], c["filename"]))
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(wacz, index_path, urlkey, ts, url, mime, status,
+             digest, length, "offset", filename)
+        ORDER BY wacz, urlkey, ts, "offset\""""
+
+
+def _wacz_audit_sql() -> str:
+    """Oracle for wacz_audit: pure-fed VALUES over the manifest
+    integrity rows (NULL-typed casts keep the tri-state audit
+    columns exact)."""
+    from historicaldatadocumentparsersystem_spark.extractor.waczx \
+        import parse_wacz
+
+    def b(v):
+        return "NULL::boolean" if v is None else str(v).lower()
+
+    def i(v):
+        return "NULL::bigint" if v is None else f"{v}::bigint"
+
+    rows = []
+    for r in _wacz_rows():
+        for res in parse_wacz(r["payload"])["resources"]:
+            rows.append(
+                "('{}', '{}', {}, {}, {}, {})".format(
+                    r["url"], res["path"], i(res["declared_bytes"]),
+                    i(res["actual_bytes"]), b(res["size_ok"]),
+                    b(res["hash_ok"])))
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(wacz, path, declared_bytes, actual_bytes,
+             size_ok, hash_ok)
+        ORDER BY wacz, path"""
+
+
 def _arc_sql() -> str:
     """Oracle for arc_documents: the PURE extractor feeds the VALUES
     rows (the http_decode_captures precedent — ARC framing itself is
@@ -2438,6 +2497,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-7 additions
     "ics_events", "event_expansion",
     "extract_identifiers", "identifier_profile",
+    "wacz_captures", "wacz_audit",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4359,6 +4419,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.md5("html").alias("body_md5"))
                 .orderBy("url"))
     q["arc_documents"] = q_arc
+
+    # --- WACZ containers (webrecorder packaging: WARC shards + CDXJ
+    # locators + frictionless manifest) — index-only capture view +
+    # the manifest integrity audit; pure-fed VALUES oracles
+    def q_wacz_caps(spark, sf_dir):
+        files = _wacz_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return (sources.read_wacz_captures(df)
+                .orderBy("wacz", "urlkey", "ts", "offset"))
+    q["wacz_captures"] = q_wacz_caps
+
+    def q_wacz_audit(spark, sf_dir):
+        files = _wacz_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return (sources.read_wacz_resources(df)
+                .orderBy("wacz", "path"))
+    q["wacz_audit"] = q_wacz_audit
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -7931,6 +8012,8 @@ def oracle_sql() -> dict[str, str]:
         # http body decoding: pure-extractor-fed VALUES twin
         "http_decode_captures": _httpdec_sql(),
         "arc_documents": _arc_sql(),
+        "wacz_captures": _wacz_captures_sql(),
+        "wacz_audit": _wacz_audit_sql(),
         "sitemap_media": _media_sitemap_sql(),
         "hls_rows": _hls_sql(),
         "dash_rows": _mpd_sql(),

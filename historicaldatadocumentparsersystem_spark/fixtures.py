@@ -3388,3 +3388,56 @@ def ids_texts_df(spark, n: int = 120, seed: int = 42,
     return (spark.createDataFrame(
         [(r["url"], r["text"]) for r in ids_texts(n, seed)], schema)
         .repartition(num_partitions))
+
+
+def wacz_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic WACZ containers: (url, payload).
+    Cycles shard counts 1-3, manifests with/without title/mainPage,
+    the three tamper modes the audit must flag (declared-bytes
+    mismatch, sha256 mismatch, missing member), a zip WITHOUT
+    indexes (zero captures, empty manifest view) and raw garbage
+    (F5). Byte-deterministic builds (fixed DOS timestamps)."""
+    import datetime as _dt
+    import io
+    import zipfile
+
+    from .extractor.waczx import make_wacz
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 275604541, i)
+        url = f"wacz://crawl-{i}"
+        k = i % 6
+        if k == 5:
+            if i % 2:
+                payload = _garbage(rng, i)
+            else:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    info = zipfile.ZipInfo("readme.txt",
+                                           date_time=(1980, 1, 1,
+                                                      0, 0, 0))
+                    zf.writestr(info, "no indexes here")
+                payload = buf.getvalue()
+            out.append({"url": url, "payload": payload})
+            continue
+        recs = []
+        for j in range(3 + i % 5):
+            ts = _dt.datetime(2024, 1 + (i + j) % 12, 1 + j,
+                              8 + j % 12, i % 60, j % 60,
+                              tzinfo=_dt.timezone.utc)
+            body = (f"<html><body><p>{_sentence(rng, 4, 9)}</p>"
+                    f"<p>capture {i}-{j}</p></body></html>").encode()
+            recs.append({"url": f"https://w{i}.example.com/p{j}",
+                         "warc_ts": ts, "body": body,
+                         "status": 200 if j % 4 else 301})
+        tamper = {2: "bytes", 3: "hash", 4: "missing"}.get(k)
+        payload = make_wacz(
+            recs,
+            title=None if k == 1 else f"Crawl {i}",
+            main_url=(f"https://w{i}.example.com/p0"
+                      if k == 0 else None),
+            created=f"2024-0{1 + i % 9}-01T00:00:00Z",
+            shards=1 + i % 3,
+            tamper=tamper)
+        out.append({"url": url, "payload": payload})
+    return out

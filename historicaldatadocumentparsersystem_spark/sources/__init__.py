@@ -583,6 +583,92 @@ def read_subtitle_cues(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, SUBTITLE_CUES_DDL))
 
 
+WACZ_CAPTURES_DDL = (
+    "wacz string, index_path string, urlkey string, ts timestamp, "
+    "url string, mime string, status int, digest string, "
+    "length long, offset long, filename string")
+WACZ_RESOURCES_DDL = (
+    "wacz string, path string, declared_bytes long, "
+    "actual_bytes long, size_ok boolean, hash_ok boolean")
+
+
+def read_wacz_captures(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(wacz url, WACZ payload) rows -> one row per capture from the
+    container's ``indexes/*.cdx(.gz)`` members.
+
+    The container member of the crawl-ecosystem family: a WACZ is the
+    webrecorder packaging of WARC shards + CDXJ locators + a manifest
+    (``extractor/waczx.py`` composes the existing cdxx/warcx
+    parsers). This reader surfaces the INDEX view only — at 100 TB
+    the CDX rows are ~1/200 the archive bytes, so planning queries
+    (dedup, fetch gating) never decompress a WARC member; the fetch
+    path resolves individual locators via ``waczx.fetch_capture``.
+    Map-only 1->N; non-zip payloads yield no rows (F5)."""
+    import pandas as pd
+
+    from ..extractor.waczx import parse_wacz
+
+    cols = ("index_path", "urlkey", "ts", "url", "mime", "status",
+            "digest", "length", "offset", "filename")
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for wacz, payload in zip(b[url_col], b[payload_col]):
+                if payload is None:
+                    continue
+                for cap in parse_wacz(bytes(payload))["captures"]:
+                    rows.append((wacz,)
+                                + tuple(cap[c] for c in cols))
+            out = pd.DataFrame(rows, columns=("wacz",) + cols)
+            out["status"] = out["status"].astype("Int32")
+            out["length"] = out["length"].astype("Int64")
+            out["offset"] = out["offset"].astype("Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, WACZ_CAPTURES_DDL))
+
+
+def read_wacz_resources(df: DataFrame, url_col: str = "url",
+                        payload_col: str = "payload") -> DataFrame:
+    """(wacz url, WACZ payload) rows -> one row per DECLARED
+    datapackage resource with the integrity audit against the actual
+    zip members (size_ok / sha256 hash_ok; NULL when the manifest
+    declares nothing to check, false when the member is missing) —
+    the hand-off acceptance gate a pipeline runs before ingesting a
+    delivered archive. Map-only 1->N (F5 on junk)."""
+    import pandas as pd
+
+    from ..extractor.waczx import parse_wacz
+
+    cols = ("path", "declared_bytes", "actual_bytes", "size_ok",
+            "hash_ok")
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for wacz, payload in zip(b[url_col], b[payload_col]):
+                if payload is None:
+                    continue
+                for res in parse_wacz(bytes(payload))["resources"]:
+                    rows.append((wacz,)
+                                + tuple(res[c] for c in cols))
+            out = pd.DataFrame(rows, columns=("wacz",) + cols)
+            out["declared_bytes"] = \
+                out["declared_bytes"].astype("Int64")
+            out["actual_bytes"] = out["actual_bytes"].astype("Int64")
+            out["size_ok"] = out["size_ok"].astype("boolean")
+            out["hash_ok"] = out["hash_ok"].astype("boolean")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, WACZ_RESOURCES_DDL))
+
+
 ICS_EVENTS_DDL = (
     "url string, pos int, uid string, summary string, "
     "location string, start_ms bigint, end_ms bigint, "
