@@ -1364,6 +1364,96 @@ def _ident_valid_sql(kind: str, d: str) -> str:
             f"(length({d}) = 13 AND {_isbn13_sql(d)}))")
 
 
+def _ads_lines_sql() -> str:
+    """Shared line fan-out for the ads.txt twins: 1-based physical
+    line numbers via unnest(generate_series) (the posexplode twin),
+    comment strip + trim GENERATED from the adsx constants. The trim
+    replace needs 'g' in DuckDB (two anchors; Spark's regexp_replace
+    is global by default)."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        adsx
+    return f"""
+            t AS (SELECT url, text FROM read_parquet('{_ADS_FIX}')),
+            ln AS (
+              SELECT url,
+                     unnest(generate_series(1, len(ls)))::int
+                       AS line_no, ls
+              FROM (SELECT url, string_split(
+                             replace(text, chr(13), ''), chr(10))
+                             AS ls FROM t)
+            ), l2 AS (
+              SELECT url, line_no,
+                     regexp_replace(regexp_replace(ls[line_no],
+                       '{adsx.COMMENT_RE}', ''),
+                       '{adsx.TRIM_RE}', '', 'g') AS line
+              FROM ln
+            )"""
+
+
+def _ads_records_sql() -> str:
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        adsx
+    rels = ", ".join(f"'{r}'" for r in adsx.RELATIONSHIPS)
+    return f"""
+            WITH {_ads_lines_sql()},
+            recs AS (
+              SELECT url, line_no,
+                     list_transform(string_split(line, ','),
+                       f -> regexp_replace(f, '{adsx.TRIM_RE}',
+                                           '', 'g')) AS f
+              FROM l2
+              WHERE line != ''
+                AND NOT (NOT contains(line, ',')
+                         AND contains(line, '='))
+            )
+            SELECT url, line_no, lower(f[1]) AS ad_domain,
+                   f[2] AS publisher_id,
+                   upper(f[3]) AS relationship,
+                   CASE WHEN len(f) > 3 AND f[4] != ''
+                        THEN f[4] END AS cert_id
+            FROM recs
+            WHERE len(f) >= 3 AND f[1] != '' AND f[2] != ''
+              AND upper(f[3]) IN ({rels})
+            ORDER BY url, line_no"""
+
+
+def _ads_variables_sql() -> str:
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        adsx
+    return f"""
+            WITH {_ads_lines_sql()},
+            v AS (
+              SELECT url, line_no,
+                     upper(regexp_replace(split_part(line, '=', 1),
+                       '{adsx.TRIM_RE}', '', 'g')) AS name,
+                     regexp_replace(substr(line,
+                       instr(line, '=') + 1),
+                       '{adsx.TRIM_RE}', '', 'g') AS value
+              FROM l2
+              WHERE line != '' AND NOT contains(line, ',')
+                AND contains(line, '=')
+            )
+            SELECT url, line_no, name, value FROM v
+            WHERE name != '' AND value != ''
+            ORDER BY url, line_no"""
+
+
+def _ads_profile_sql() -> str:
+    return f"""
+            SELECT url,
+                   count(*)::bigint AS n_records,
+                   sum(CASE WHEN relationship = 'DIRECT'
+                            THEN 1 ELSE 0 END)::bigint AS n_direct,
+                   sum(CASE WHEN relationship = 'RESELLER'
+                            THEN 1 ELSE 0 END)::bigint AS n_reseller,
+                   count(DISTINCT ad_domain)::bigint AS n_ad_systems,
+                   sum(CASE WHEN cert_id IS NOT NULL
+                            THEN 1 ELSE 0 END)::bigint AS n_certified
+            FROM ({_ads_records_sql().replace(
+                'ORDER BY url, line_no', '')})
+            GROUP BY url ORDER BY url"""
+
+
 def _ident_spans_sql() -> str:
     """Candidates by kind (UNION ALL of regexp_extract_all unnests),
     normalization, then the per-kind validity post-filter —
@@ -1756,6 +1846,8 @@ _PII_FIX = os.path.join(_REPO, "fixtures",
                         "pii_texts_seed42_n160.parquet")
 _IDS_FIX = os.path.join(_REPO, "fixtures",
                         "ids_texts_seed42_n120.parquet")
+_ADS_FIX = os.path.join(_REPO, "fixtures",
+                        "ads_texts_seed42_n60.parquet")
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
                              "golden_ipynb_cells_seed42_n30.parquet")
 _GOLDEN_MBOX = os.path.join(_REPO, "fixtures",
@@ -2498,6 +2590,7 @@ _EXTRA_ORDER = [
     "ics_events", "event_expansion",
     "extract_identifiers", "identifier_profile",
     "wacz_captures", "wacz_audit",
+    "adstxt_records", "adstxt_variables", "adstxt_host_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -2801,6 +2894,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(_IDS_FIX)
         return idents.ident_profile(docs).orderBy("url")
     q["identifier_profile"] = q_ident_profile
+
+    # --- ads.txt well-known family (IAB seller authorizations — a
+    # host-reputation / commercial-affiliation signal): JVM
+    # split/transform plans over the committed fixture corpus, DuckDB
+    # twins generated from the same adsx constants
+    def q_ads_records(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            adstxt
+        docs = spark.read.parquet(_ADS_FIX)
+        return (adstxt.adstxt_records(docs)
+                .orderBy("url", "line_no"))
+    q["adstxt_records"] = q_ads_records
+
+    def q_ads_vars(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            adstxt
+        docs = spark.read.parquet(_ADS_FIX)
+        return (adstxt.adstxt_variables(docs)
+                .orderBy("url", "line_no"))
+    q["adstxt_variables"] = q_ads_vars
+
+    def q_ads_profile(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            adstxt
+        docs = spark.read.parquet(_ADS_FIX)
+        return adstxt.adstxt_host_profile(docs).orderBy("url")
+    q["adstxt_host_profile"] = q_ads_profile
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -7886,6 +8006,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_corpus": _pii_redact_sql(),
         "extract_identifiers": _ident_spans_sql(),
         "identifier_profile": _ident_profile_sql(),
+        "adstxt_records": _ads_records_sql(),
+        "adstxt_variables": _ads_variables_sql(),
+        "adstxt_host_profile": _ads_profile_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

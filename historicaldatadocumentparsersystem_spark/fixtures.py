@@ -3441,3 +3441,63 @@ def wacz_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
             tamper=tamper)
         out.append({"url": url, "payload": payload})
     return out
+
+
+def ads_texts(n: int = 60, seed: int = 42) -> list[dict]:
+    """Deterministic (url, text) ads.txt bodies exercising the IAB
+    grammar subset (extractor/adsx.py + operators/adstxt.py):
+    DIRECT/RESELLER rows with and without cert ids, inline comments,
+    tab/space padding, CRLF endings, variable records (CONTACT,
+    SUBDOMAIN, mixed-case names), and the malformed lines every
+    engine must drop identically (two fields, unknown relationship,
+    empty domain/publisher, bare '=' lines). Committed as
+    fixtures/ads_texts_seed42_n60.parquet so the DuckDB oracle reads
+    the same input table."""
+    systems = ["google.com", "appnexus.com", "rubiconproject.com",
+               "openx.com", "pubmatic.com", "indexexchange.com"]
+    rows: list[dict] = []
+    for i in range(n):
+        host = _HOSTS[(i * 31) % len(_HOSTS)]
+        url = f"https://{host}/ads-{i}.txt"
+        k = i % 6
+        lines: list[str] = [f"# ads.txt for {host}"]
+        if k == 0:
+            for j in range(2 + i % 4):
+                sysd = systems[(i + j) % len(systems)]
+                lines.append(f"{sysd}, pub-{i:04d}{j}, DIRECT, "
+                             f"f{(i * 7 + j) % 100:02d}abc")
+            lines.append(f"CONTACT=ads@{host}")
+        elif k == 1:
+            for j in range(3 + i % 3):
+                sysd = systems[(i * 3 + j) % len(systems)]
+                rel = "RESELLER" if j % 2 else "direct"
+                lines.append(f"  {sysd.upper()} ,\tpub{i}-{j} , {rel}")
+            lines.append(f"subdomain=shop.{host}")
+        elif k == 2:
+            lines += [
+                f"{systems[i % 6]}, pub-a{i}, DIRECT # inline note",
+                "tooshort.com, only2fields",
+                f"{systems[(i + 1) % 6]}, pub-b{i}, SPONSOR",
+                f", pub-c{i}, DIRECT",
+                f"{systems[(i + 2) % 6]}, , RESELLER",
+                f"{systems[(i + 3) % 6]}, pub-d{i}, RESELLER, "
+                f"cert{i % 50}"]
+        elif k == 3:
+            lines += [
+                f"OwnerDomain = {host}",
+                "=",
+                "name=",
+                f"{systems[i % 6]},pub{i},reseller,",
+                f"inventorypartnerdomain={host}.partner.example"]
+        elif k == 4:
+            for j in range(2):
+                lines.append(f"{systems[(i + j) % 6]}, pub-{i}-{j}, "
+                             + ("DIRECT" if j else "RESELLER"))
+            lines.append("# trailing comment only")
+        else:
+            rows.append({"url": url, "text": "" if i % 2 else
+                         "# comments only\n\n   \n"})
+            continue
+        sep = "\r\n" if i % 2 else "\n"
+        rows.append({"url": url, "text": sep.join(lines) + sep})
+    return rows
