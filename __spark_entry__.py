@@ -794,6 +794,70 @@ _XR_ROWS = (
 )
 
 
+_LINK_ROWS = (
+    ("https://lh.example/page2",
+     '<https://lh.example/page3>; rel="next", '
+     '<https://lh.example/page1>; rel="prev"'),
+    ("https://lh.example/doc.pdf",
+     '</doc.pdf?page=2>; REL=next; type="application/pdf"'),
+    ("https://lh.example/multi",
+     '<https://lh.example/c>; title="a, b, c"; '
+     'rel="canonical alternate"'),
+    ("https://lh.example/unquoted",
+     "<https://lh.example/n>; rel=next; anchor=\"#s\""),
+    ("https://lh.example/norel",
+     '<https://lh.example/x>; hreflang="de"; type="text/html"'),
+    ("https://lh.example/guard", "<u>; barrel=next, <v>; rel=prev"),
+    ("https://lh.example/emptyq",
+     '<https://lh.example/e>; rel=""; rel=fallback'),
+    ("https://lh.example/case",
+     '<https://lh.example/UP>; Rel="NEXT Preload"'),
+    ("https://lh.example/feed",
+     '</atom.xml>; rel="alternate"; type="application/atom+xml", '
+     '</style.css>; rel=stylesheet'),
+    ("https://lh.example/malformed", 'rel="next" no entity here'),
+    ("https://lh.example/absent", None),
+)
+
+
+def _link_header_sql() -> str:
+    """DuckDB twin of webtext.link_header_relations over the same
+    VALUES rows: entity scan / rel extraction / token split patterns
+    are GENERATED from the extractor/warcx.py constants (the _W_SQL
+    precedent), group-indexed regexp_extract both engines."""
+    from historicaldatadocumentparsersystem_spark.extractor.warcx \
+        import (LINK_ENTITY_RE, LINK_REL_Q_RE, LINK_REL_U_RE,
+                LINK_TOKEN_SPLIT_RE)
+    vals = ", ".join(
+        "('{}', {})".format(
+            u, "NULL" if v is None else "'" + v.replace("'", "''") + "'")
+        for u, v in _LINK_ROWS)
+    return f"""
+        WITH t AS (SELECT * FROM (VALUES {vals})
+                   AS t(url, link_header)),
+        e AS (
+          SELECT url, unnest(regexp_extract_all(link_header,
+                 '{LINK_ENTITY_RE}')) AS ent
+          FROM t
+        ), r AS (
+          SELECT url,
+                 regexp_extract(ent, '^<([^>]*)>', 1) AS href,
+                 CASE WHEN regexp_extract(ent, '{LINK_REL_Q_RE}', 2)
+                           != ''
+                      THEN regexp_extract(ent, '{LINK_REL_Q_RE}', 2)
+                      ELSE regexp_extract(ent, '{LINK_REL_U_RE}', 2)
+                 END AS rel
+          FROM e
+        )
+        SELECT url, href, lower(tok) AS rel
+        FROM (SELECT url, href,
+                     unnest(string_split_regex(rel,
+                            '{LINK_TOKEN_SPLIT_RE}')) AS tok
+              FROM r WHERE href != '' AND rel != '')
+        WHERE tok != ''
+        ORDER BY url, href, rel"""
+
+
 def _ct_gate_sql() -> str:
     """DuckDB twin of webtext.content_type_mismatch over the same
     VALUES rows: the normalization and CASE exprs are the SAME
@@ -2591,6 +2655,7 @@ _EXTRA_ORDER = [
     "extract_identifiers", "identifier_profile",
     "wacz_captures", "wacz_audit",
     "adstxt_records", "adstxt_variables", "adstxt_host_profile",
+    "link_header_relations",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4231,6 +4296,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             list(_XR_ROWS), "url string, x_robots string")
         return webtext.header_robots_gate(caps)
     q["header_robots_gate"] = q_xr_gate
+
+    # --- HTTP Link header relations (RFC 8288 — protocol-layer
+    # rel=next/canonical/alternate discovery for payloads with no
+    # HTML head) — patterns shared with extractor/warcx.py; twin
+    # generated from the same constants
+    def q_link_header(spark, sf_dir):
+        caps = spark.createDataFrame(
+            list(_LINK_ROWS), "url string, link_header string")
+        return (webtext.link_header_relations(caps)
+                .orderBy("url", "href", "rel"))
+    q["link_header_relations"] = q_link_header
 
     # --- declared-language vs dominant-script gate: the testdata's
     # romanized zh rows flag (ASCII text under a zh label — exactly
@@ -7986,6 +8062,9 @@ def oracle_sql() -> dict[str, str]:
         "content_type_mismatch": _ct_gate_sql(),
         # X-Robots-Tag gate: token-level twin over the same VALUES
         "header_robots_gate": _xr_gate_sql(),
+        # Link header relations (RFC 8288): entity/rel/token patterns
+        # generated from extractor/warcx.py constants
+        "link_header_relations": _link_header_sql(),
         # declared-lang vs dominant-script gate (shared CASE chains)
         "script_lang_consistency": _script_lang_sql(),
         # Crawl-delay-paced politeness schedule (single Python parser

@@ -551,3 +551,49 @@ def build_revisits(records: list[dict],
             rec = c.compress(rec) + c.flush()
         out.append(rec)
     return b"".join(out)
+
+
+# --- HTTP Link header (RFC 8288) --------------------------------------------
+# The protocol-layer discovery channel: rel=next/prev pagination,
+# rel=canonical, rel=alternate (feeds, hreflang mirrors) arrive in
+# HTTP headers for payloads that cannot carry <link> elements (PDFs,
+# images, APIs). Deterministic subset, shared by all three engines
+# (constants are GENERATED into the Spark plan and DuckDB SQL):
+# - entities are `<URI>` followed by everything up to the next `<`
+#   (commas inside quoted params never split an entity because the
+#   scan only restarts at an angle bracket);
+# - rel: the first `rel="a b"` (quoted, space-separated multi-rel)
+#   wins, else the first unquoted `rel=token`; param names are
+#   case-insensitive, matched behind a `^|[;, ]` boundary so
+#   `barrel=` never reads as `rel=`; rel VALUES lowercase (they are
+#   case-insensitive per RFC 8288 §2.1.1); hrefs stay verbatim;
+# - one row per (href, rel-token); entities without a rel are
+#   dropped (a link with no relation type is unusable — F5).
+
+LINK_ENTITY_RE = r"<[^>]*>[^<]*"
+LINK_REL_Q_RE = r'(^|[;, ])[rR][eE][lL]="([^"]*)"'
+LINK_REL_U_RE = r"(^|[;, ])[rR][eE][lL]=([A-Za-z0-9_.-]+)"
+LINK_TOKEN_SPLIT_RE = r"[ \t]+"
+
+
+def parse_link_header(value) -> list[tuple[str, str]]:
+    """Link header value -> [(href, rel_token)] in header order,
+    quoted-rel preferred over unquoted (the shared tri-engine rule).
+    None/empty/malformed values yield no rows, never raise."""
+    import re as _re
+    out: list[tuple[str, str]] = []
+    for ent in _re.findall(LINK_ENTITY_RE, value or ""):
+        href = ent[1:ent.index(">")]
+        if not href:
+            continue
+        m = _re.search(LINK_REL_Q_RE, ent)
+        rel = m.group(2) if m else ""
+        if not rel:      # empty-quoted falls through, like the twins
+            m = _re.search(LINK_REL_U_RE, ent)
+            rel = m.group(2) if m else ""
+        if not rel:
+            continue
+        for tok in _re.split(LINK_TOKEN_SPLIT_RE, rel):
+            if tok:
+                out.append((href, tok.lower()))
+    return out

@@ -1340,6 +1340,41 @@ def header_robots_gate(df: DataFrame, xr_col: str = "x_robots",
     )
 
 
+def link_header_relations(df: DataFrame, link_col: str = "link_header",
+                          id_col: str = "url") -> DataFrame:
+    """HTTP Link header (RFC 8288) -> one row per (href, rel-token)
+    — the protocol-layer discovery channel (rel=next pagination for
+    PDFs/APIs, rel=canonical, rel=alternate feeds) that the HTML
+    <link> satellites can never see.
+
+    The grammar constants live Spark-free in ``extractor/warcx.py``
+    (parse_link_header is the pure oracle; the DuckDB twin is
+    generated from the same constants): entities scanned as
+    ``<URI>[^<]*`` so quoted commas never split, quoted multi-rel
+    preferred over unquoted, boundary-guarded case-insensitive
+    param match, rel tokens lowercased. Map-only: one
+    regexp_extract_all + two posexplode-free explodes in the scan
+    stage — at 100 TB header strings are tiny and this never
+    shuffles."""
+    from ..extractor.warcx import (LINK_ENTITY_RE, LINK_REL_Q_RE,
+                                   LINK_REL_U_RE, LINK_TOKEN_SPLIT_RE)
+    ents = F.regexp_extract_all(
+        F.col(link_col), F.lit(LINK_ENTITY_RE), F.lit(0))
+    base = df.select(F.col(id_col).alias("url"),
+                     F.explode(ents).alias("ent"))
+    href = F.regexp_extract("ent", "^<([^>]*)>", 1)
+    rel_q = F.regexp_extract("ent", LINK_REL_Q_RE, 2)
+    rel_u = F.regexp_extract("ent", LINK_REL_U_RE, 2)
+    rel = F.when(rel_q != "", rel_q).otherwise(rel_u)
+    return (base.select("url", href.alias("href"), rel.alias("rel"))
+            .where((F.col("href") != "") & (F.col("rel") != ""))
+            .select("url", "href",
+                    F.explode(F.split("rel", LINK_TOKEN_SPLIT_RE))
+                    .alias("tok"))
+            .where(F.col("tok") != "")
+            .select("url", "href", F.lower("tok").alias("rel")))
+
+
 CONSENT_PHRASES = ("we use cookies", "uses cookies", "accept all cookies",
                    "cookie policy", "cookie settings",
                    "consent to the use of cookies", "manage preferences",

@@ -610,3 +610,37 @@ def test_spark_arc_source_matches_direct(spark, tmp_path):
             for r in recs if r["url"].startswith("http")}
     assert {u: (ts, b) for u, (ts, b) in got.items()} \
         == {u: (ts, b) for u, (ts, b) in want.items()}
+
+
+def test_link_header_parse_vectors():
+    from historicaldatadocumentparsersystem_spark.extractor.warcx \
+        import parse_link_header as plh
+    assert plh('<https://e/p2>; rel="next", <https://e/p0>; '
+               'rel="prev"') == [("https://e/p2", "next"),
+                                 ("https://e/p0", "prev")]
+    # quoted commas never split; multi-rel fans out; rel lowercases
+    assert plh('<https://e/c>; title="a, b"; Rel="NEXT Preload"') \
+        == [("https://e/c", "next"), ("https://e/c", "preload")]
+    # boundary guard, empty-quoted fallthrough, no-rel drop
+    assert plh("<u>; barrel=next, <v>; rel=prev") == [("v", "prev")]
+    assert plh('<https://e/e>; rel=""; rel=fallback') \
+        == [("https://e/e", "fallback")]
+    assert plh('<https://e/x>; hreflang="de"') == []
+    for bad in (None, "", 'rel="next"', "<>; rel=next"):
+        assert plh(bad) == []
+
+
+def test_link_header_spark_matches_pure(spark):
+    import __spark_entry__ as entrymod
+    from historicaldatadocumentparsersystem_spark.extractor.warcx \
+        import parse_link_header
+    from historicaldatadocumentparsersystem_spark.operators import \
+        webtext
+    rows = list(entrymod._LINK_ROWS)
+    df = spark.createDataFrame(rows, "url string, link_header string")
+    got = sorted((r.url, r.href, r.rel)
+                 for r in webtext.link_header_relations(df).collect())
+    want = sorted((u, h, rel)
+                  for u, v in rows
+                  for h, rel in parse_link_header(v))
+    assert got == want and len(got) == 12
