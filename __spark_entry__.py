@@ -372,9 +372,78 @@ def _enclosure_feeds() -> list[bytes]:
     return [rss, atom, b"<html>not a feed</html>"]
 
 
-def _enclosure_sql() -> str:
-    """Oracle for feed_enclosures: the PURE extractor feeds the
-    VALUES rows (the sitemap_media precedent)."""
+def _json_feed_blobs() -> list[bytes]:
+    """Deterministic JSON Feed fixtures + an RSS shard in the SAME
+    set (the dispatch proof: one channel, three wire formats): a
+    v1.1 feed with attachments (audio durations, an absurd declared
+    size -> NULL, an attachment-less item, an external_url item),
+    a gzipped v1 feed, a versionless JSON object (rejected), and
+    junk."""
+    import datetime as _dt
+
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        feedx
+    ts = _dt.datetime(2024, 6, 1, tzinfo=_dt.timezone.utc)
+    jf = feedx.build_json_feed("Casts & notes", [
+        {"url": "https://jf.example/ep1", "title": "First & last",
+         "date_published": "2024-06-02T08:30:00Z",
+         "attachments": [
+             {"url": "https://cdn.jf.example/ep1.mp3",
+              "mime_type": "audio/mpeg", "size_in_bytes": 8388608,
+              "duration_in_seconds": 1903},
+             {"url": "https://cdn.jf.example/ep1.vtt",
+              "mime_type": "text/vtt"}]},
+        {"url": "https://jf.example/ep2", "title": "Oversize",
+         "date_published": "2024-06-03T09:00:00+02:00",
+         "attachments": [
+             {"url": "https://cdn.jf.example/ep2.m4a",
+              "size_in_bytes": 1 << 63,
+              "duration_in_seconds": -4}]},
+        {"external_url": "https://elsewhere.example/read",
+         "title": "Linkblog entry", "date_published": "not a date"},
+        {"title": "no url, dropped"},
+    ], home_page_url="https://jf.example/")
+    jf_gz = feedx.build_json_feed("Old style", [
+        {"url": "https://jf.example/v1", "title": None,
+         "date_published": "2024-06-04"},
+    ], version="https://jsonfeed.org/version/1", gzip_file=True)
+    rss = feedx.build_feed([
+        {"feed_kind": "rss", "url": "https://rss.example/a",
+         "title": "XML sibling", "pub_ts": ts},
+    ])
+    not_feed = b'{"version": "1.0", "items": []}'
+    return [jf, jf_gz, rss, not_feed, b"total junk"]
+
+
+def _json_feed_items_sql() -> str:
+    """Oracle for json_feed_items: the PURE extractor feeds the
+    VALUES rows (the arc_documents precedent — the dispatch branch
+    itself is pinned by tests/test_feeds.py)."""
+    from historicaldatadocumentparsersystem_spark.extractor.feedx \
+        import parse_feed
+
+    def lit(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for blob in _json_feed_blobs():
+        for r in parse_feed(blob):
+            ts = ("NULL::timestamp" if r["pub_ts"] is None else
+                  "TIMESTAMP '{}'".format(
+                      r["pub_ts"].strftime("%Y-%m-%d %H:%M:%S")))
+            rows.append("({}, {}, {}, {})".format(
+                lit(r["feed_kind"]), lit(r["url"]), lit(r["title"]),
+                ts))
+    return """
+        SELECT * FROM (VALUES %s)
+        AS t(feed_kind, url, title, pub_ts)
+        ORDER BY url, feed_kind""" % ",\n".join(rows)
+
+
+def _enclosure_sql(blobs: list[bytes] | None = None) -> str:
+    """Oracle for feed_enclosures / json_feed_attachments: the PURE
+    extractor feeds the VALUES rows (the sitemap_media precedent);
+    source-parameterized for reuse across wire formats."""
     from historicaldatadocumentparsersystem_spark.extractor.feedx import \
         parse_feed_enclosures
 
@@ -386,7 +455,7 @@ def _enclosure_sql() -> str:
         return "'" + v.replace("'", "''") + "'"
 
     rows = []
-    for blob in _enclosure_feeds():
+    for blob in (blobs if blobs is not None else _enclosure_feeds()):
         for r in parse_feed_enclosures(blob):
             rows.append(
                 "({}, {}, {}::int, {}, {}, {}::bigint, {}::bigint)"
@@ -2656,6 +2725,7 @@ _EXTRA_ORDER = [
     "wacz_captures", "wacz_audit",
     "adstxt_records", "adstxt_variables", "adstxt_host_profile",
     "link_header_relations",
+    "json_feed_items", "json_feed_attachments",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4695,6 +4765,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sources.feed_enclosures_from_blobs(blobs)
                 .orderBy("page_url", "pos"))
     q["feed_enclosures"] = q_enclosures
+
+    # --- JSON Feed (jsonfeed.org): the third wire format of the ONE
+    # discovery channel — parse_feed dispatches on the first
+    # non-space byte, so the same blob readers serve RSS/Atom/JSON;
+    # pure-fed VALUES oracles
+    def q_json_feed(spark, sf_dir):
+        blobs = spark.createDataFrame(
+            [(b,) for b in _json_feed_blobs()], "content binary")
+        return (sources.feed_entries_from_blobs(blobs)
+                .orderBy("url", "feed_kind"))
+    q["json_feed_items"] = q_json_feed
+
+    def q_json_feed_attach(spark, sf_dir):
+        blobs = spark.createDataFrame(
+            [(b,) for b in _json_feed_blobs()], "content binary")
+        return (sources.feed_enclosures_from_blobs(blobs)
+                .orderBy("page_url", "pos"))
+    q["json_feed_attachments"] = q_json_feed_attach
 
     # --- podcast chapters (ID3v2 CHAP) — pure-extractor-fed VALUES
     # oracle; the (audio-span, text) alignment rows for enclosures
@@ -8220,6 +8308,10 @@ def oracle_sql() -> dict[str, str]:
         "hls_rows": _hls_sql(),
         "dash_rows": _mpd_sql(),
         "feed_enclosures": _enclosure_sql(),
+        # JSON Feed dispatch: pure-fed VALUES; the attachments twin
+        # reuses the source-parameterized enclosure helper
+        "json_feed_items": _json_feed_items_sql(),
+        "json_feed_attachments": _enclosure_sql(_json_feed_blobs()),
         "podcast_chapters": _podcast_sql(),
         "media_fetch_frontier": f"""
             WITH parts AS (

@@ -260,15 +260,21 @@ def build_sitemap_media(pages: list[dict],
 
 
 def parse_feed(data: bytes) -> list[dict]:
-    """All entries of an RSS 2.0 or Atom feed, in order:
-    {feed_kind ('rss' | 'atom'), url, title (str | None),
+    """All entries of an RSS 2.0, Atom or JSON Feed, in order:
+    {feed_kind ('rss' | 'atom' | 'json'), url, title (str | None),
     pub_ts (datetime | None)}.
 
     RSS items use <link> text + <pubDate> (RFC 822); Atom entries use
-    <link href=...> + <updated> (W3C). Entries without a resolvable
-    url are dropped; bad dates degrade to None (F5).
+    <link href=...> + <updated> (W3C); a payload whose first
+    non-space byte is ``{`` dispatches to the JSON Feed parser (every
+    discovery channel — batch reader, streaming discovery, enclosure
+    miner — becomes JSON-Feed-capable through this one branch).
+    Entries without a resolvable url are dropped; bad dates degrade
+    to None (F5).
     """
     data = _maybe_gunzip(data)
+    if data.lstrip()[:1] == b"{":
+        return parse_json_feed(data)
     out: list[dict] = []
     for m in _BLOCK_RE.finditer(data):
         kind = m.group(1).decode().lower()
@@ -328,8 +334,12 @@ def parse_feed_enclosures(data: bytes) -> list[dict]:
     size clamped to [0, 2^62) -> None outside; ``duration_ms`` comes
     from the item's ``<itunes:duration>`` (exact HH:MM:SS / MM:SS /
     seconds arithmetic, RSS only); attachment tags without a url are
-    dropped; malformed documents degrade to fewer rows (F5)."""
+    dropped; malformed documents degrade to fewer rows (F5). A JSON
+    Feed payload (first non-space byte ``{``) dispatches to
+    ``parse_json_feed_attachments`` — same row shape."""
     data = _maybe_gunzip(data)
+    if data.lstrip()[:1] == b"{":
+        return parse_json_feed_attachments(data)
     out: list[dict] = []
     for m in _BLOCK_RE.finditer(data):
         kind = m.group(1).decode().lower()
@@ -552,6 +562,120 @@ def build_opml(tree: list, title: str = "subscriptions",
     lines += ["</body>", "</opml>"]
     out = "\n".join(lines).encode("utf-8")
     if gzip_file:
+        c = zlib.compressobj(wbits=31)
+        out = c.compress(out) + c.flush()
+    return out
+
+
+# --- JSON Feed (jsonfeed.org v1 / v1.1) --------------------------------------
+
+def _json_feed_doc(data: bytes):
+    """Decode + validate the JSON Feed envelope: a JSON object whose
+    ``version`` starts with the jsonfeed.org URI and whose ``items``
+    is a list. Anything else -> None (F5)."""
+    import json
+    try:
+        doc = json.loads(_maybe_gunzip(data))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(doc, dict):
+        return None
+    version = doc.get("version")
+    if not (isinstance(version, str)
+            and version.startswith("https://jsonfeed.org/version/")):
+        return None
+    if not isinstance(doc.get("items"), list):
+        return None
+    return doc
+
+
+def parse_json_feed(data: bytes) -> list[dict]:
+    """All items of a JSON Feed, in order, in the ``parse_feed`` row
+    shape ({feed_kind 'json', url, title, pub_ts}) so the discovery
+    union merges channels without adapters. The item url is ``url``
+    with ``external_url`` as fallback (the spec's two permalink
+    fields); items without one drop; ``date_published`` is RFC 3339
+    (the _w3c_ts grammar), bad dates degrade to None (F5)."""
+    doc = _json_feed_doc(data)
+    if doc is None:
+        return []
+    out: list[dict] = []
+    for item in doc["items"]:
+        if not isinstance(item, dict):
+            continue
+        url = item.get("url") or item.get("external_url")
+        if not isinstance(url, str) or not url.strip():
+            continue
+        title = item.get("title")
+        pub = item.get("date_published")
+        out.append({
+            "feed_kind": "json", "url": url.strip(),
+            "title": title if isinstance(title, str) and title
+            else None,
+            "pub_ts": _w3c_ts(pub if isinstance(pub, str) else None)})
+    return out
+
+
+def parse_json_feed_attachments(data: bytes) -> list[dict]:
+    """One row per item attachment, in the ``parse_feed_enclosures``
+    row shape ({feed_kind 'json', page_url, pos, url, mime,
+    length_bytes, duration_ms}): ``size_in_bytes`` clamps to
+    [0, 2^62) -> None outside (the attribute-fed-allocation rule),
+    ``duration_in_seconds`` folds to exact integer ms; attachments
+    without a url drop; items without a page url drop (the
+    parse_feed rule)."""
+    doc = _json_feed_doc(data)
+    if doc is None:
+        return []
+    out: list[dict] = []
+    for item in doc["items"]:
+        if not isinstance(item, dict):
+            continue
+        page = item.get("url") or item.get("external_url")
+        if not isinstance(page, str) or not page.strip():
+            continue
+        pos = 0
+        for att in (item.get("attachments") or []) \
+                if isinstance(item.get("attachments"), list) else []:
+            if not isinstance(att, dict):
+                continue
+            url = att.get("url")
+            if not isinstance(url, str) or not url.strip():
+                continue
+            length = att.get("size_in_bytes")
+            if not isinstance(length, int) or isinstance(length, bool) \
+                    or not 0 <= length < (1 << 62):
+                length = None
+            dur = att.get("duration_in_seconds")
+            dur_ms = (dur * 1000 if isinstance(dur, int)
+                      and not isinstance(dur, bool)
+                      and 0 <= dur < (1 << 42) else None)
+            mime = att.get("mime_type")
+            out.append({"feed_kind": "json", "page_url": page.strip(),
+                        "pos": pos, "url": url.strip(),
+                        "mime": mime if isinstance(mime, str) and mime
+                        else None,
+                        "length_bytes": length,
+                        "duration_ms": dur_ms})
+            pos += 1
+    return out
+
+
+def build_json_feed(title: str, items: list[dict],
+                    home_page_url: str | None = None,
+                    version: str = "https://jsonfeed.org/version/1.1",
+                    gzip_file: bool = False) -> bytes:
+    """Fixture generator: items are dicts with optional url /
+    external_url / title / date_published / attachments (dicts with
+    url / mime_type / size_in_bytes / duration_in_seconds). Sorted
+    keys -> byte-deterministic."""
+    import json
+    doc: dict = {"version": version, "title": title, "items": items}
+    if home_page_url is not None:
+        doc["home_page_url"] = home_page_url
+    out = json.dumps(doc, sort_keys=True).encode()
+    if gzip_file:
+        import zlib
         c = zlib.compressobj(wbits=31)
         out = c.compress(out) + c.flush()
     return out

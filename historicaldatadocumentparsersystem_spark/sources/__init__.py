@@ -1280,6 +1280,15 @@ def _feed_parse_batches(batches):
         yield pd.DataFrame(rows, columns=cols)
 
 
+def feed_entries_from_blobs(blobs: DataFrame) -> DataFrame:
+    """Feed shards already in a DataFrame (a ``content binary``
+    column) -> frontier rows (FEED_DDL) — the blob variant of
+    ``read_feed_entries`` (same Arrow pass; RSS/Atom/JSON Feed
+    dispatch lives in ``extractor.feedx.parse_feed``)."""
+    return (blobs.select("content")
+            .mapInPandas(_feed_parse_batches, FEED_DDL))
+
+
 def read_feed_entries(spark: SparkSession, path: str) -> DataFrame:
     """RSS 2.0 / Atom feeds -> frontier rows (feed_kind, url, title,
     pub_ts) via the Spark-free ``extractor.feedx.parse_feed`` — the

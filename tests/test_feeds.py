@@ -401,3 +401,31 @@ def test_media_fetch_frontier_precedence(spark):
     plan = (sources.media_fetch_frontier([("first", a), ("second", b)])
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") <= 2   # ONE logical shuffle (+AQE)
+
+
+def test_json_feed_parse_and_dispatch():
+    import __spark_entry__ as entrymod
+    from historicaldatadocumentparsersystem_spark.extractor import feedx
+    blobs = entrymod._json_feed_blobs()
+    # dispatch: JSON / gzipped-JSON / XML through the ONE entry point
+    kinds = [r["feed_kind"] for b in blobs for r in feedx.parse_feed(b)]
+    assert kinds == ["json", "json", "json", "json", "rss"]
+    items = feedx.parse_json_feed(blobs[0])
+    assert [r["url"] for r in items] == [
+        "https://jf.example/ep1", "https://jf.example/ep2",
+        "https://elsewhere.example/read"]
+    assert items[0]["pub_ts"].hour == 8
+    assert items[1]["pub_ts"].hour == 7      # +02:00 -> UTC
+    assert items[2]["pub_ts"] is None        # bad date degrades
+    atts = feedx.parse_feed_enclosures(blobs[0])
+    assert [(a["pos"], a["url"], a["length_bytes"], a["duration_ms"])
+            for a in atts] == [
+        (0, "https://cdn.jf.example/ep1.mp3", 8388608, 1903000),
+        (1, "https://cdn.jf.example/ep1.vtt", None, None),
+        (0, "https://cdn.jf.example/ep2.m4a", None, None)]
+    # versionless JSON and junk are rejected (F5)
+    assert feedx.parse_feed(blobs[3]) == []
+    assert feedx.parse_feed(blobs[4]) == []
+    assert feedx.parse_json_feed(b'{"version": '
+                                 b'"https://jsonfeed.org/version/1"}') \
+        == []
