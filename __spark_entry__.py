@@ -1997,6 +1997,8 @@ _GOLDEN_WIKIDUMP = os.path.join(
     _REPO, "fixtures", "golden_wiki_dump_seed42_n12.parquet")
 _GOLDEN_ICS = os.path.join(_REPO, "fixtures",
                            "golden_ics_seed42_n30.parquet")
+_GOLDEN_DIFF = os.path.join(_REPO, "fixtures",
+                            "golden_diff_hunks_seed42_n40.parquet")
 _GOLDEN_TARMEM = os.path.join(
     _REPO, "fixtures", "golden_tar_members_seed42_n12.parquet")
 _GOLDEN_TARLATEX = os.path.join(
@@ -2726,6 +2728,7 @@ _EXTRA_ORDER = [
     "adstxt_records", "adstxt_variables", "adstxt_host_profile",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
+    "diff_hunks", "diff_file_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4706,6 +4709,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sources.read_wacz_resources(df)
                 .orderBy("wacz", "path"))
     q["wacz_audit"] = q_wacz_audit
+
+    # --- unified-diff / git-patch source (code-corpus modality:
+    # commit data, review datasets, patch-tuning pairs) —
+    # hash-checked against the committed golden hunks parquet
+    def q_diff_hunks(spark, sf_dir):
+        files = fixtures.diff_file_rows(40)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_diff_hunks(df)
+    q["diff_hunks"] = q_diff_hunks
+
+    # --- per-file churn profile (the commit-analytics reduction) —
+    # golden BOTH sides to isolate the aggregation; one groupBy on
+    # the (url, file) key
+    def q_diff_stats(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_DIFF)
+        return (g.groupBy("url", "file_idx", "old_path", "new_path",
+                          "kind", "is_binary")
+                .agg(F.count("hunk_idx").cast("long")
+                     .alias("n_hunks"),
+                     F.coalesce(F.sum("n_added"), F.lit(0))
+                     .cast("long").alias("n_added"),
+                     F.coalesce(F.sum("n_removed"), F.lit(0))
+                     .cast("long").alias("n_removed"))
+                .orderBy("url", "file_idx"))
+    q["diff_file_stats"] = q_diff_stats
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -8304,6 +8334,26 @@ def oracle_sql() -> dict[str, str]:
         "arc_documents": _arc_sql(),
         "wacz_captures": _wacz_captures_sql(),
         "wacz_audit": _wacz_audit_sql(),
+        # patch hunks: committed golden parquet pinned by
+        # tests/test_diff.py against the pure re-derivation
+        "diff_hunks": f"""
+            SELECT url, file_idx, old_path, new_path, kind,
+                   is_binary, similarity, hunk_idx, old_start,
+                   old_len, new_start, new_len, section, n_added,
+                   n_removed
+            FROM read_parquet('{_GOLDEN_DIFF}')""",
+        # per-file churn: golden both sides; count(hunk_idx) skips
+        # the NULL hunk rows identically in both engines
+        "diff_file_stats": f"""
+            SELECT url, file_idx, old_path, new_path, kind,
+                   is_binary,
+                   count(hunk_idx)::bigint AS n_hunks,
+                   coalesce(sum(n_added), 0)::bigint AS n_added,
+                   coalesce(sum(n_removed), 0)::bigint AS n_removed
+            FROM read_parquet('{_GOLDEN_DIFF}')
+            GROUP BY url, file_idx, old_path, new_path, kind,
+                     is_binary
+            ORDER BY url, file_idx""",
         "sitemap_media": _media_sitemap_sql(),
         "hls_rows": _hls_sql(),
         "dash_rows": _mpd_sql(),

@@ -3501,3 +3501,72 @@ def ads_texts(n: int = 60, seed: int = 42) -> list[dict]:
         sep = "\r\n" if i % 2 else "\n"
         rows.append({"url": url, "text": sep.join(lines) + sep})
     return rows
+
+
+def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic patch files: (url, payload). Cycles
+    git-style multi-file patches (multi-hunk modify with section
+    headers, rename + similarity, new/deleted file via /dev/null,
+    binary markers, quoted paths with escapes), plain unified diffs
+    with TAB+timestamp headers, format-patch mail framing around the
+    diff, and junk payloads with no sections (F5). Feeds
+    fixtures/golden_diff_hunks_seed42_n*.parquet."""
+    out = []
+    for i in range(n):
+        rng = _rng(seed * 479001599, i)
+        url = f"patch://change-{i}"
+        k = i % 6
+        if k == 5:
+            out.append({"url": url, "payload": _garbage(rng, i)
+                        if i % 2 else b"just words\nno diff here\n"})
+            continue
+        chunks: list[str] = []
+        if k == 4:
+            # format-patch mail framing: headers + commit message
+            chunks += [f"From {i:040x} Mon Sep 17 00:00:00 2001",
+                       f"From: Dev {i % 7} <dev{i % 7}@example.com>",
+                       f"Subject: [PATCH] change {i}",
+                       "", f"{_sentence(rng, 4, 9)}", "---", ""]
+        path = f"src/mod_{i % 9}/file_{i}.py"
+        chunks += [f"diff --git a/{path} b/{path}",
+                   f"index {i:07x}..{i + 1:07x} 100644",
+                   f"--- a/{path}", f"+++ b/{path}"]
+        for h in range(1 + i % 3):
+            old_start = 10 + h * 30 + i % 7
+            n_ctx, n_add, n_rem = 2, 1 + (i + h) % 3, (i + h) % 2
+            old_len = n_ctx * 2 + n_rem
+            new_len = n_ctx * 2 + n_add
+            sec = f"def fn_{h}():" if h % 2 else None
+            chunks.append(
+                f"@@ -{old_start},{old_len} "
+                f"+{old_start + h},{new_len} @@"
+                + (f" {sec}" if sec else ""))
+            chunks += [f" ctx {h} a", f" ctx {h} b"]
+            chunks += [f"-removed {i}-{h}-{r}" for r in range(n_rem)]
+            chunks += [f"+added {_sentence(rng, 2, 4)}"
+                       for _ in range(n_add)]
+            chunks += [f" ctx {h} c", f" ctx {h} d"]
+        if k == 1:
+            old = f"docs/old {i}.md"
+            chunks += [f'diff --git "a/{old}" "b/docs/new\\t{i}.md"',
+                       f"similarity index {80 + i % 20}%",
+                       f"rename from {old}",
+                       f"rename to docs/new\\t{i}.md"]
+            chunks += [f"diff --git a/img_{i}.png b/img_{i}.png",
+                       f"Binary files a/img_{i}.png and "
+                       f"b/img_{i}.png differ"]
+        elif k == 2:
+            chunks += [f"diff --git a/new_{i}.cfg b/new_{i}.cfg",
+                       "new file mode 100644",
+                       "--- /dev/null", f"+++ b/new_{i}.cfg",
+                       f"@@ -0,0 +1,{2 + i % 3} @@"]
+            chunks += [f"+cfg line {j}" for j in range(2 + i % 3)]
+            chunks += ["\\ No newline at end of file"]
+        elif k == 3:
+            chunks += [f"--- lib/gone_{i}.c\t2024-01-01 00:00:00",
+                       "+++ /dev/null",
+                       "@@ -1,2 +0,0 @@", f"-line one {i}",
+                       "-line two"]
+        payload = ("\n".join(chunks) + "\n").encode()
+        out.append({"url": url, "payload": payload})
+    return out

@@ -583,6 +583,61 @@ def read_subtitle_cues(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, SUBTITLE_CUES_DDL))
 
 
+DIFF_HUNKS_DDL = (
+    "url string, file_idx int, old_path string, new_path string, "
+    "kind string, is_binary boolean, similarity int, hunk_idx int, "
+    "old_start int, old_len int, new_start int, new_len int, "
+    "section string, n_added int, n_removed int")
+
+
+def read_diff_hunks(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, patch payload) rows -> one row per hunk, denormalized
+    with its file section's columns; hunkless sections (renames,
+    binary files) emit ONE row with NULL hunk columns so file-level
+    facts survive in the same table.
+
+    The code-corpus member of the per-format loader family
+    (``extractor/diffx.py`` is the Spark-free oracle: git + plain
+    unified grammar, quoted-path unquoting, header harvest, clamped
+    Int32 hunk coordinates). Map-only 1->N; payloads with no
+    sections yield no rows (F5). At 100 TB churn aggregations key on
+    (url, new_path) — this source shuffles nothing itself."""
+    import pandas as pd
+
+    from ..extractor.diffx import parse_unified_diff
+
+    fcols = ("file_idx", "old_path", "new_path", "kind", "is_binary",
+             "similarity")
+    hcols = ("hunk_idx", "old_start", "old_len", "new_start",
+             "new_len", "section", "n_added", "n_removed")
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                if payload is None:
+                    continue
+                for f in parse_unified_diff(bytes(payload)):
+                    head = (url,) + tuple(f[c] for c in fcols)
+                    if not f["hunks"]:
+                        rows.append(head + (None,) * len(hcols))
+                    for h in f["hunks"]:
+                        rows.append(head
+                                    + tuple(h[c] for c in hcols))
+            out = pd.DataFrame(rows, columns=("url",) + fcols + hcols)
+            for c in ("file_idx", "similarity", "hunk_idx",
+                      "old_start", "old_len", "new_start", "new_len",
+                      "n_added", "n_removed"):
+                out[c] = out[c].astype("Int32")
+            out["is_binary"] = out["is_binary"].astype("boolean")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, DIFF_HUNKS_DDL))
+
+
 WACZ_CAPTURES_DDL = (
     "wacz string, index_path string, urlkey string, ts timestamp, "
     "url string, mime string, status int, digest string, "
