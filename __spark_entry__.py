@@ -927,6 +927,52 @@ def _link_header_sql() -> str:
         ORDER BY url, href, rel"""
 
 
+_SRCSET_ROWS = (
+    ("https://ss.example/hero",
+     "hero-480.jpg 480w, hero-960.jpg 960w, hero-2x.jpg 2x"),
+    ("https://ss.example/density", "small.png, big.png 1.5x"),
+    ("https://ss.example/commas", "u,v.png 2x, plain.png"),
+    ("https://ss.example/errors",
+     "bad.png 3q, ok.png 100w, zero.png 0w"),
+    ("https://ss.example/spacing",
+     "  spaced.png   2.25x  ,tight.png 640w"),
+    ("https://ss.example/clamp", "huge.png 99999999999w"),
+    ("https://ss.example/empty", " , ,, "),
+    ("https://ss.example/absent", None),
+)
+
+
+def _srcset_candidates_sql() -> str:
+    """Oracle for srcset_candidates: the PURE parser feeds the VALUES
+    rows (spec microsyntax pinned by tests/test_figx.py vectors)."""
+    from historicaldatadocumentparsersystem_spark.extractor.figx \
+        import parse_srcset
+    rows = []
+    for url, raw in _SRCSET_ROWS:
+        for pos, img, kind, val in parse_srcset(raw):
+            rows.append(f"('{url}', {pos}::int, '{img}', '{kind}', "
+                        f"{val}::bigint)")
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, pos, img_url, kind, val)
+        ORDER BY url, pos"""
+
+
+def _srcset_best_sql() -> str:
+    """QUALIFY twin of pagemeta.srcset_best over the same candidate
+    rows: largest width wins, else largest density, first-declared
+    on ties."""
+    return f"""
+        WITH c AS ({_srcset_candidates_sql().replace(
+            'ORDER BY url, pos', '')})
+        SELECT url, img_url, kind, val FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY url
+            ORDER BY (kind = 'w') DESC, val DESC, pos) = 1
+        ORDER BY url"""
+
+
 def _ct_gate_sql() -> str:
     """DuckDB twin of webtext.content_type_mismatch over the same
     VALUES rows: the normalization and CASE exprs are the SAME
@@ -2729,6 +2775,7 @@ _EXTRA_ORDER = [
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
+    "srcset_candidates", "srcset_best",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -4736,6 +4783,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .cast("long").alias("n_removed"))
                 .orderBy("url", "file_idx"))
     q["diff_file_stats"] = q_diff_stats
+
+    # --- srcset microsyntax (responsive-image fetch planning) —
+    # pure-parser-fed VALUES oracle + a QUALIFY/window twin for the
+    # best-candidate pick
+    def q_srcset(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            pagemeta
+        df = spark.createDataFrame(
+            list(_SRCSET_ROWS), "url string, srcset string")
+        return (pagemeta.srcset_candidates(df)
+                .orderBy("url", "pos"))
+    q["srcset_candidates"] = q_srcset
+
+    def q_srcset_best(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            pagemeta
+        df = spark.createDataFrame(
+            list(_SRCSET_ROWS), "url string, srcset string")
+        return (pagemeta.srcset_best(pagemeta.srcset_candidates(df))
+                .orderBy("url"))
+    q["srcset_best"] = q_srcset_best
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -8342,6 +8410,10 @@ def oracle_sql() -> dict[str, str]:
                    old_len, new_start, new_len, section, n_added,
                    n_removed
             FROM read_parquet('{_GOLDEN_DIFF}')""",
+        # srcset microsyntax: pure-parser-fed VALUES; best pick via
+        # QUALIFY == Spark row_number window
+        "srcset_candidates": _srcset_candidates_sql(),
+        "srcset_best": _srcset_best_sql(),
         # per-file churn: golden both sides; count(hunk_idx) skips
         # the NULL hunk rows identically in both engines
         "diff_file_stats": f"""

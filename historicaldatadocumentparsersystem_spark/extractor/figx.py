@@ -119,3 +119,69 @@ def extract_images(payload, base_url: str | None = None) -> list[tuple]:
         src = payload or ""
     return images_from_root(parse_dom(src, full_attrs=True), src,
                             base_url)
+
+
+# --- srcset microsyntax (HTML spec: image candidate strings) -----------------
+# The responsive-image fetch planner needs candidates, not the raw
+# attribute: each candidate is a URL plus a width (`640w`) or
+# density (`2x`, `1.5x`) descriptor. Deterministic subset of the
+# spec algorithm, float-free (densities are exact milli-units):
+# - candidates split on whitespace/comma runs; a URL's TRAILING
+#   commas terminate its candidate (the spec's comma rule — a URL
+#   containing commas mid-string survives);
+# - descriptor `Nw` -> ('w', N); `N(.F)x` -> ('x', N*1000 + frac
+#   scaled to milli, exact); missing descriptor -> ('x', 1000);
+#   any other descriptor drops the candidate (spec parse error);
+# - values clamp to [0, 2^31) (attribute-fed-allocation rule);
+#   zero-width candidates drop (spec requires positive).
+
+_SRCSET_W_RE = re.compile(r"^([0-9]+)w$")
+_SRCSET_X_RE = re.compile(r"^([0-9]+)(?:\.([0-9]+))?x$")
+_SRCSET_CLAMP = (1 << 31) - 1
+
+
+def parse_srcset(value) -> list[tuple[int, str, str, int]]:
+    """srcset attribute value -> [(pos, url, kind 'w'|'x', val)]
+    where val is the width in pixels or the density in exact
+    milli-x. None/empty/whitespace yield no rows, never raise."""
+    out: list[tuple[int, str, str, int]] = []
+    s = value or ""
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and s[i] in " \t\n\r\f,":
+            i += 1
+        if i >= n:
+            break
+        start = i
+        while i < n and s[i] not in " \t\n\r\f":
+            i += 1
+        url = s[start:i]
+        terminated = url.endswith(",")
+        url = url.rstrip(",")
+        if not url:
+            continue
+        desc = ""
+        if not terminated:
+            while i < n and s[i] in " \t\n\r\f":
+                i += 1
+            start = i
+            while i < n and s[i] != ",":
+                i += 1
+            desc = s[start:i].strip(" \t\n\r\f")
+            i += 1               # past the comma
+        if not desc:
+            out.append((len(out), url, "x", 1000))
+            continue
+        m = _SRCSET_W_RE.match(desc)
+        if m:
+            w = min(int(m.group(1)), _SRCSET_CLAMP)
+            if w > 0:
+                out.append((len(out), url, "w", w))
+            continue
+        m = _SRCSET_X_RE.match(desc)
+        if m:
+            whole, frac = m.groups()
+            val = int(whole) * 1000 + int(((frac or "") + "000")[:3])
+            if 0 < val <= _SRCSET_CLAMP:
+                out.append((len(out), url, "x", val))
+    return out

@@ -974,3 +974,51 @@ def meta_robots_gate(meta: DataFrame) -> DataFrame:
         "url", "robots",
         (~(has("noindex") | has("none"))).alias("indexable"),
         (~(has("nofollow") | has("none"))).alias("followable"))
+
+
+def srcset_candidates(df: DataFrame, srcset_col: str = "srcset",
+                      url_col: str = "url") -> DataFrame:
+    """(url, srcset attribute) rows -> one row per image candidate
+    (url, pos, img_url, kind 'w'|'x', val) via the spec microsyntax
+    in ``extractor/figx.parse_srcset`` (exact milli-density integers,
+    clamped widths). Map-only 1->N Arrow pass; malformed candidates
+    drop (F5)."""
+    import pandas as pd
+
+    from ..extractor.figx import parse_srcset
+
+    def run(batches: Iterator) -> Iterator:
+        for b in batches:
+            urls, poss, imgs, kinds, vals = [], [], [], [], []
+            for url, raw in zip(b[url_col], b[srcset_col]):
+                for pos, img, kind, val in parse_srcset(raw):
+                    urls.append(url)
+                    poss.append(pos)
+                    imgs.append(img)
+                    kinds.append(kind)
+                    vals.append(val)
+            yield pd.DataFrame({
+                "url": urls,
+                "pos": pd.array(poss, dtype="int32"),
+                "img_url": imgs, "kind": kinds,
+                "val": pd.array(vals, dtype="int64")})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(srcset_col).alias(srcset_col))
+            .mapInPandas(
+                run, "url string, pos int, img_url string, "
+                     "kind string, val bigint"))
+
+
+def srcset_best(cands: DataFrame) -> DataFrame:
+    """Per page, the candidate a fetch planner should take: the
+    largest width if any ``w`` candidate exists, else the largest
+    density, first-declared on ties — one window over the url key
+    (== the DuckDB QUALIFY twin)."""
+    w = Window.partitionBy("url").orderBy(
+        (F.col("kind") == "w").desc(), F.col("val").desc(),
+        F.col("pos").asc())
+    return (cands
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("url", "img_url", "kind", "val"))

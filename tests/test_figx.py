@@ -146,3 +146,26 @@ def test_image_text_pairs_selection(spark):
         "https://c/i2.jpg": ("u1", "alt text here", "alt"),
         "https://c/i3.jpg": ("u1", "the title text", "title"),
     }
+
+
+def test_srcset_microsyntax_vectors():
+    from historicaldatadocumentparsersystem_spark.extractor.figx \
+        import parse_srcset
+    assert parse_srcset("a.jpg 480w, b.jpg 800w, c.jpg 2x") == [
+        (0, "a.jpg", "w", 480), (1, "b.jpg", "w", 800),
+        (2, "c.jpg", "x", 2000)]
+    # missing descriptor defaults 1x; fractional densities exact
+    assert parse_srcset("small.png, big.png 1.5x") == [
+        (0, "small.png", "x", 1000), (1, "big.png", "x", 1500)]
+    # commas inside urls survive; trailing commas terminate
+    assert parse_srcset("u,v.png 2x, plain.png") == [
+        (0, "u,v.png", "x", 2000), (1, "plain.png", "x", 1000)]
+    assert parse_srcset("one.png, two.png") == [
+        (0, "one.png", "x", 1000), (1, "two.png", "x", 1000)]
+    # spec parse errors drop the candidate; zero width drops; clamp
+    assert parse_srcset("bad.png 3q, ok.png 100w, z.png 0w") == [
+        (0, "ok.png", "w", 100)]
+    assert parse_srcset("huge.png 99999999999w") == [
+        (0, "huge.png", "w", (1 << 31) - 1)]
+    for empty in ("", None, " , ,, ", "   "):
+        assert parse_srcset(empty) == []
