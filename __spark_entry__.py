@@ -1633,6 +1633,78 @@ def _ads_profile_sql() -> str:
             GROUP BY url ORDER BY url"""
 
 
+def _sectxt_fields_sql() -> str:
+    """DuckDB twin of sectxt.securitytxt_fields — the RFC 9116
+    subset GENERATED from extractor/sectxtx.py constants (ads.txt
+    triple-check pattern): posexplode == unnest(generate_series),
+    the pure parser's stateful PGP-signature break == min marker
+    line per url (window), registry membership from FIELDS."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        sectxtx
+    fields = ", ".join(f"'{f}'" for f in sectxtx.FIELDS)
+    return f"""
+        WITH t AS (SELECT url, text
+                   FROM read_parquet('{_SECTXT_FIX}')),
+        ln AS (
+          SELECT url,
+                 unnest(generate_series(1, len(ls)))::int AS line_no,
+                 ls
+          FROM (SELECT url, string_split(
+                         replace(text, chr(13), ''), chr(10)) AS ls
+                FROM t)
+        ), sig AS (
+          SELECT url, line_no, ls[line_no] AS line,
+                 min(CASE WHEN ls[line_no] = '{sectxtx.SIG_MARKER}'
+                          THEN line_no END)
+                   OVER (PARTITION BY url) AS _sig
+          FROM ln
+        ), f AS (
+          SELECT url, line_no,
+                 lower(regexp_extract(line,
+                       '{sectxtx.FIELD_RE}', 1)) AS field,
+                 regexp_extract(line, '{sectxtx.FIELD_RE}', 2)
+                   AS value
+          FROM sig WHERE _sig IS NULL OR line_no < _sig
+        )
+        SELECT url, line_no, field, value FROM f
+        WHERE field IN ({fields}) AND value != ''
+        ORDER BY url, line_no"""
+
+
+def _sectxt_gate_sql() -> str:
+    """Gate twin: first expiry by min_by(line_no); the expired flag
+    only trusts Z-form RFC 3339 (lexicographic compare against the
+    shared now literal), NULL otherwise."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        sectxtx
+    return f"""
+        WITH f AS ({_sectxt_fields_sql().replace(
+            'ORDER BY url, line_no', '')}),
+        agg AS (
+          SELECT url,
+                 sum(CASE WHEN field = 'contact'
+                          THEN 1 ELSE 0 END)::bigint AS n_contact,
+                 count(*)::bigint AS n_fields,
+                 min_by(value, line_no)
+                   FILTER (field = 'expires') AS expires
+          FROM f GROUP BY url
+        )
+        SELECT u.url,
+               coalesce(n_contact, 0)::bigint AS n_contact,
+               coalesce(n_fields, 0)::bigint AS n_fields,
+               expires,
+               (coalesce(n_contact, 0) > 0
+                AND expires IS NOT NULL) AS well_formed,
+               CASE WHEN expires IS NOT NULL
+                         AND regexp_matches(expires,
+                                            '{sectxtx.ZTS_RE}')
+                    THEN expires <= '{_SECTXT_NOW_Z}' END AS expired
+        FROM (SELECT DISTINCT url
+              FROM read_parquet('{_SECTXT_FIX}')) u
+        LEFT JOIN agg USING (url)
+        ORDER BY url"""
+
+
 def _ident_spans_sql() -> str:
     """Candidates by kind (UNION ALL of regexp_extract_all unnests),
     normalization, then the per-kind validity post-filter —
@@ -2027,6 +2099,10 @@ _IDS_FIX = os.path.join(_REPO, "fixtures",
                         "ids_texts_seed42_n120.parquet")
 _ADS_FIX = os.path.join(_REPO, "fixtures",
                         "ads_texts_seed42_n60.parquet")
+_SECTXT_FIX = os.path.join(_REPO, "fixtures",
+                           "sectxt_texts_seed42_n48.parquet")
+# fixed "now" for the security.txt expiry gate (all three engines)
+_SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
                              "golden_ipynb_cells_seed42_n30.parquet")
 _GOLDEN_MBOX = os.path.join(_REPO, "fixtures",
@@ -2772,6 +2848,7 @@ _EXTRA_ORDER = [
     "extract_identifiers", "identifier_profile",
     "wacz_captures", "wacz_audit",
     "adstxt_records", "adstxt_variables", "adstxt_host_profile",
+    "securitytxt_fields", "securitytxt_gate",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -3106,6 +3183,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(_ADS_FIX)
         return adstxt.adstxt_host_profile(docs).orderBy("url")
     q["adstxt_host_profile"] = q_ads_profile
+
+    # --- security.txt (RFC 9116 well-known host hygiene) — DuckDB
+    # twin GENERATED from the sectxtx constants (ads.txt pattern)
+    def q_sectxt_fields(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            sectxt
+        docs = spark.read.parquet(_SECTXT_FIX)
+        return (sectxt.securitytxt_fields(docs)
+                .orderBy("url", "line_no"))
+    q["securitytxt_fields"] = q_sectxt_fields
+
+    def q_sectxt_gate(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            sectxt
+        docs = spark.read.parquet(_SECTXT_FIX)
+        return (sectxt.securitytxt_gate(docs, _SECTXT_NOW_Z)
+                .orderBy("url"))
+    q["securitytxt_gate"] = q_sectxt_gate
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -8274,6 +8369,8 @@ def oracle_sql() -> dict[str, str]:
         "adstxt_records": _ads_records_sql(),
         "adstxt_variables": _ads_variables_sql(),
         "adstxt_host_profile": _ads_profile_sql(),
+        "securitytxt_fields": _sectxt_fields_sql(),
+        "securitytxt_gate": _sectxt_gate_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

@@ -3503,6 +3503,79 @@ def ads_texts(n: int = 60, seed: int = 42) -> list[dict]:
     return rows
 
 
+def security_texts(n: int = 48, seed: int = 42) -> list[dict]:
+    """Deterministic (url, text) security.txt bodies exercising the
+    RFC 9116 subset (extractor/sectxtx.py + operators/sectxt.py):
+    canonical well-formed files, OpenPGP clearsigned files whose
+    signature block hides field-looking trap lines, case-variant
+    names with unknown-field noise, contact-only files (not
+    well-formed), non-Z-form expiries (trust gate -> NULL), and
+    empty/comment-only bodies. Committed as
+    fixtures/sectxt_texts_seed42_n48.parquet so the DuckDB oracle
+    reads the same input table."""
+    rows: list[dict] = []
+    for i in range(n):
+        host = _HOSTS[(i * 29) % len(_HOSTS)]
+        url = f"https://{host}/.well-known/security-{i}.txt"
+        k = i % 6
+        if k == 0:
+            lines = [
+                f"# security.txt for {host}",
+                f"Contact: mailto:security@{host}",
+                f"Expires: 2027-0{1 + i % 9}-01T00:00:00Z",
+                f"Encryption: https://{host}/pgp-key.asc",
+                "Preferred-Languages: en, fr",
+                f"Canonical: https://{host}/.well-known/security.txt",
+            ]
+        elif k == 1:
+            lines = [
+                "-----BEGIN PGP SIGNED MESSAGE-----",
+                "Hash: SHA256",
+                "",
+                f"Contact: https://{host}/report",
+                f"Expires: 2025-0{1 + i % 9}-15T12:00:00Z",
+                "-----BEGIN PGP SIGNATURE-----",
+                "Version: GnuPG v2",
+                "",
+                "iQEzBAEBCAAdFiEE" + "A" * (20 + i % 7),
+                "Contact: mailto:trap@evil.example",
+                "Expires: 2099-01-01T00:00:00Z",
+                "-----END PGP SIGNATURE-----",
+            ]
+        elif k == 2:
+            lines = [
+                f"CONTACT:  tel:+1-201-555-0{i % 10}23",
+                f"expires:2026-12-31T23:59:5{i % 10}Z",
+                "X-Unknown: ignored",
+                f"Acknowledgments: https://{host}/hall-of-fame",
+                f"HIRING: https://{host}/jobs  ",
+                "# comment line",
+                "not a field line at all",
+            ]
+        elif k == 3:
+            lines = [
+                f"Contact: mailto:sec@{host}",
+                f"Contact: https://{host}/contact-form",
+                "Policy:",
+                "Policy:   ",
+                "bad-name!: value",
+            ]
+        elif k == 4:
+            lines = [
+                f"Contact: mailto:cert@{host}",
+                f"Expires: 2026-06-30T12:00:00+0{1 + i % 3}:00",
+                f"Expires: 2025-01-01T00:00:00Z",
+                f"Policy: https://{host}/disclosure-policy",
+            ]
+        else:
+            rows.append({"url": url, "text": "" if i % 2 else
+                         "# placeholder\n\n   \n"})
+            continue
+        sep = "\r\n" if i % 2 else "\n"
+        rows.append({"url": url, "text": sep.join(lines) + sep})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section
