@@ -1705,6 +1705,207 @@ def _sectxt_gate_sql() -> str:
         ORDER BY url"""
 
 
+def _cache_dirs_cte() -> str:
+    """Shared Cache-Control item fan-out for the cachex twins —
+    every regex GENERATED from extractor/cachex.py (ads.txt
+    pattern). regexp_extract_all == the pure parser's finditer on
+    ITEM_RE; an unmatched capture group and an empty one both come
+    back '' in DuckDB, which is exactly why the pure parser
+    normalizes empty args to None."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        cachex
+    dre = cachex.DIRECTIVE_RE.replace("'", "''")
+    return f"""
+        t AS (SELECT * FROM read_parquet('{_CACHE_FIX}')),
+        it AS (
+          SELECT url,
+                 unnest(generate_series(1, len(items)))::int AS idx,
+                 items
+          FROM (SELECT url, regexp_extract_all(
+                         coalesce(cache_control, ''),
+                         '{cachex.ITEM_RE}') AS items FROM t)
+        ), d AS (
+          SELECT url, idx,
+                 lower(regexp_extract(items[idx], '{dre}', 1))
+                   AS directive,
+                 coalesce(
+                   nullif(regexp_extract(items[idx], '{dre}', 2), ''),
+                   nullif(regexp_extract(items[idx], '{dre}', 3), ''))
+                   AS arg,
+                 regexp_matches(items[idx], '{dre}') AS ok
+          FROM it
+        )"""
+
+
+def _cache_directives_sql() -> str:
+    return f"""
+        WITH {_cache_dirs_cte()}
+        SELECT url,
+               (row_number() OVER (PARTITION BY url ORDER BY idx)
+                - 1)::int AS pos,
+               directive, arg
+        FROM d WHERE ok
+        ORDER BY url, pos"""
+
+
+def _httpdate_stages() -> str:
+    """Strict IMF-fixdate -> epoch seconds for the three date
+    headers, as a chained-CTE integer pipeline: the days-from-civil
+    formula from cachex.httpdate_to_epoch with DuckDB ``//`` ==
+    Python ``//`` (all intermediates non-negative for 4-digit
+    years). Unparseable headers become NULL via try_cast('') and
+    the month CASE, then propagate."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        cachex
+    hre = cachex.HTTP_DATE_RE
+    ps = (("dt", "hdr_date"), ("ex", "hdr_expires"),
+          ("lm", "hdr_last_modified"))
+
+    def mon(col: str) -> str:
+        whens = " ".join(f"WHEN '{m}' THEN {i + 1}"
+                         for i, m in enumerate(cachex.MONTHS))
+        return f"CASE regexp_extract({col}, '{hre}', 2) {whens} END"
+
+    def cast(col: str, g: int) -> str:
+        return (f"try_cast(regexp_extract({col}, '{hre}', {g}) "
+                f"AS bigint)")
+
+    x1 = ", ".join(
+        f"{cast(c, 1)} AS {p}_dd, {mon(c)} AS {p}_mo, "
+        f"{cast(c, 3)} AS {p}_y, {cast(c, 4)} AS {p}_h, "
+        f"{cast(c, 5)} AS {p}_mi, {cast(c, 6)} AS {p}_s"
+        for p, c in ps)
+    x2 = ", ".join(f"{p}_y - CASE WHEN {p}_mo <= 2 THEN 1 ELSE 0 END"
+                   f" AS {p}_yy" for p, _ in ps)
+    x3 = ", ".join(
+        f"{p}_yy // 400 AS {p}_era, "
+        f"(153 * ({p}_mo + CASE WHEN {p}_mo > 2 THEN -3 ELSE 9 END)"
+        f" + 2) // 5 + {p}_dd - 1 AS {p}_doy" for p, _ in ps)
+    x4 = ", ".join(f"{p}_yy - {p}_era * 400 AS {p}_yoe"
+                   for p, _ in ps)
+    x5 = ", ".join(f"{p}_yoe * 365 + {p}_yoe // 4 - {p}_yoe // 100 "
+                   f"+ {p}_doy AS {p}_doe" for p, _ in ps)
+    x6 = ", ".join(
+        f"({p}_era * 146097 + {p}_doe - 719468) * 86400 "
+        f"+ {p}_h * 3600 + {p}_mi * 60 + {p}_s AS {p}_e"
+        for p, _ in ps)
+    return f"""
+        x1 AS (SELECT *, {x1} FROM t),
+        x2 AS (SELECT *, {x2} FROM x1),
+        x3 AS (SELECT *, {x3} FROM x2),
+        x4 AS (SELECT *, {x4} FROM x3),
+        x5 AS (SELECT *, {x5} FROM x4),
+        x6 AS (SELECT *, {x6} FROM x5)"""
+
+
+def _cache_policy_cte() -> str:
+    """Policy CTE (ends in ``pol2``): flags + first-wins
+    delta-seconds via NULL-safe min_by (the '' sentinel round-trips
+    the pure parser's None args), then the RFC 9111 freshness
+    precedence CASE."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        cachex
+    dre = cachex.DELTA_RE
+    flags = ", ".join(
+        f"coalesce(f_{n}, false) AS {n}" for n in
+        ("no_store", "no_cache", "private", "immutable",
+         "must_revalidate"))
+    return f"""
+        {_cache_dirs_cte()},
+        {_httpdate_stages()},
+        agg AS (
+          SELECT url,
+                 bool_or(directive = 'no-store') AS f_no_store,
+                 bool_or(directive = 'no-cache') AS f_no_cache,
+                 bool_or(directive = 'private') AS f_private,
+                 bool_or(directive = 'immutable') AS f_immutable,
+                 bool_or(directive IN ('must-revalidate',
+                                       'proxy-revalidate'))
+                   AS f_must_revalidate,
+                 nullif(min_by(coalesce(arg, ''), idx)
+                        FILTER (directive = 's-maxage'), '')
+                   AS smax_arg,
+                 nullif(min_by(coalesce(arg, ''), idx)
+                        FILTER (directive = 'max-age'), '')
+                   AS maxage_arg
+          FROM d WHERE ok GROUP BY url
+        ), pol AS (
+          SELECT x.url, {flags},
+                 CASE WHEN hdr_age IS NOT NULL AND
+                           regexp_matches(hdr_age, '{dre}')
+                      THEN hdr_age::bigint ELSE 0 END AS age_s,
+                 CASE WHEN smax_arg IS NOT NULL AND
+                           regexp_matches(smax_arg, '{dre}')
+                      THEN smax_arg::bigint END AS smax,
+                 CASE WHEN maxage_arg IS NOT NULL AND
+                           regexp_matches(maxage_arg, '{dre}')
+                      THEN maxage_arg::bigint END AS maxage,
+                 dt_e, ex_e, lm_e, hdr_expires, hdr_etag
+          FROM x6 x LEFT JOIN agg USING (url)
+        ), pol2 AS (
+          SELECT url, no_store, no_cache, private, immutable,
+                 must_revalidate, age_s,
+                 CASE WHEN smax IS NOT NULL THEN smax
+                      WHEN maxage IS NOT NULL THEN maxage
+                      WHEN hdr_expires IS NOT NULL
+                           AND dt_e IS NOT NULL THEN
+                        CASE WHEN ex_e IS NOT NULL
+                             THEN greatest(ex_e - dt_e, 0)
+                             ELSE 0 END
+                      WHEN dt_e IS NOT NULL AND lm_e IS NOT NULL
+                           AND dt_e >= lm_e
+                      THEN (dt_e - lm_e) // 10 END AS ttl_s,
+                 CASE WHEN smax IS NOT NULL THEN 's-maxage'
+                      WHEN maxage IS NOT NULL THEN 'max-age'
+                      WHEN hdr_expires IS NOT NULL
+                           AND dt_e IS NOT NULL THEN 'expires'
+                      WHEN dt_e IS NOT NULL AND lm_e IS NOT NULL
+                           AND dt_e >= lm_e THEN 'heuristic'
+                 END AS ttl_source,
+                 coalesce(hdr_etag, '') != '' AS has_etag,
+                 starts_with(coalesce(hdr_etag, ''), 'W/')
+                   AS etag_weak,
+                 lm_e IS NOT NULL AS has_last_modified
+          FROM pol
+        )"""
+
+
+def _cache_policy_sql() -> str:
+    return f"""
+        WITH {_cache_policy_cte()}
+        SELECT url, no_store, no_cache, private, immutable,
+               must_revalidate, age_s::bigint AS age_s,
+               ttl_s::bigint AS ttl_s, ttl_source,
+               (CASE WHEN ttl_s IS NOT NULL
+                     THEN greatest(ttl_s - age_s, 0) END)::bigint
+                 AS fresh_for_s,
+               has_etag, etag_weak, has_last_modified
+        FROM pol2 ORDER BY url"""
+
+
+def _revisit_buckets_sql() -> str:
+    return f"""
+        WITH {_cache_policy_cte()},
+        p AS (
+          SELECT *, CASE WHEN ttl_s IS NOT NULL
+                         THEN greatest(ttl_s - age_s, 0)
+                    END AS fresh_for_s
+          FROM pol2
+        )
+        SELECT CASE WHEN no_store OR no_cache THEN 'revalidate'
+                    WHEN fresh_for_s IS NULL THEN 'unknown'
+                    WHEN fresh_for_s < 3600 THEN 'hour'
+                    WHEN fresh_for_s < 86400 THEN 'day'
+                    WHEN fresh_for_s < 604800 THEN 'week'
+                    ELSE 'long' END AS bucket,
+               count(*)::bigint AS n,
+               sum(CASE WHEN has_etag THEN 1 ELSE 0 END)::bigint
+                 AS n_etag,
+               sum(CASE WHEN must_revalidate THEN 1 ELSE 0
+                   END)::bigint AS n_must_reval
+        FROM p GROUP BY bucket ORDER BY bucket"""
+
+
 def _ident_spans_sql() -> str:
     """Candidates by kind (UNION ALL of regexp_extract_all unnests),
     normalization, then the per-kind validity post-filter —
@@ -2101,6 +2302,8 @@ _ADS_FIX = os.path.join(_REPO, "fixtures",
                         "ads_texts_seed42_n60.parquet")
 _SECTXT_FIX = os.path.join(_REPO, "fixtures",
                            "sectxt_texts_seed42_n48.parquet")
+_CACHE_FIX = os.path.join(_REPO, "fixtures",
+                          "cache_headers_seed42_n64.parquet")
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -2849,6 +3052,7 @@ _EXTRA_ORDER = [
     "wacz_captures", "wacz_audit",
     "adstxt_records", "adstxt_variables", "adstxt_host_profile",
     "securitytxt_fields", "securitytxt_gate",
+    "cache_directives", "cache_policy", "revisit_buckets",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -3201,6 +3405,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sectxt.securitytxt_gate(docs, _SECTXT_NOW_Z)
                 .orderBy("url"))
     q["securitytxt_gate"] = q_sectxt_gate
+
+    # --- HTTP cache policy (RFC 9111 recrawl economics) — grammar,
+    # freshness lifetime via from-scratch integer date math, and the
+    # scheduler bucket rollup; DuckDB twins GENERATED from cachex
+    def q_cache_dirs(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        docs = spark.read.parquet(_CACHE_FIX)
+        return (cachepolicy.cache_directives(docs)
+                .orderBy("url", "pos"))
+    q["cache_directives"] = q_cache_dirs
+
+    def q_cache_policy(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        docs = spark.read.parquet(_CACHE_FIX)
+        return cachepolicy.cache_policy_table(docs).orderBy("url")
+    q["cache_policy"] = q_cache_policy
+
+    def q_revisit(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        docs = spark.read.parquet(_CACHE_FIX)
+        return (cachepolicy.revisit_buckets(
+                    cachepolicy.cache_policy_table(docs))
+                .orderBy("bucket"))
+    q["revisit_buckets"] = q_revisit
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -8371,6 +8602,9 @@ def oracle_sql() -> dict[str, str]:
         "adstxt_host_profile": _ads_profile_sql(),
         "securitytxt_fields": _sectxt_fields_sql(),
         "securitytxt_gate": _sectxt_gate_sql(),
+        "cache_directives": _cache_directives_sql(),
+        "cache_policy": _cache_policy_sql(),
+        "revisit_buckets": _revisit_buckets_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

@@ -3576,6 +3576,94 @@ def security_texts(n: int = 48, seed: int = 42) -> list[dict]:
     return rows
 
 
+_IMF_DAYS = ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+_IMF_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def _imf_date(dt: _dt.datetime) -> str:
+    """Hand-formatted IMF-fixdate (locale-free — strftime %a/%b
+    would silently track the host locale)."""
+    return (f"{_IMF_DAYS[dt.weekday()]}, {dt.day:02d} "
+            f"{_IMF_MONTHS[dt.month - 1]} {dt.year} "
+            f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d} GMT")
+
+
+def cache_header_rows(n: int = 64, seed: int = 42) -> list[dict]:
+    """Deterministic response-header rows (url, cache_control,
+    hdr_age, hdr_date, hdr_expires, hdr_last_modified, hdr_etag)
+    exercising the RFC 9111 subset in extractor/cachex.py: CDN-style
+    max-age/s-maxage stacks, no-store/no-cache, Expires deltas (past,
+    future, and the invalid-means-stale '0'), heuristic
+    Date/Last-Modified pairs, grammar torture (quoted args holding
+    commas, unterminated quotes, bad delta tokens, first-wins
+    duplicates, case-variant names), rfc850 dates the strict parser
+    rejects, and header-free rows. Committed as
+    fixtures/cache_headers_seed42_n64.parquet."""
+    base = _dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows: list[dict] = []
+    for i in range(n):
+        host = _HOSTS[(i * 37) % len(_HOSTS)]
+        r = {"url": f"https://{host}/res-{i}", "cache_control": None,
+             "hdr_age": None, "hdr_date": None, "hdr_expires": None,
+             "hdr_last_modified": None, "hdr_etag": None}
+        k = i % 8
+        d = base + _dt.timedelta(hours=i * 7, seconds=i * 11)
+        if k == 0:
+            r["cache_control"] = (f"public, max-age={300 * (1 + i % 5)}, "
+                                  f"s-maxage={600 * (1 + i % 5)}, "
+                                  "stale-while-revalidate=60")
+            r["hdr_date"] = _imf_date(d)
+            r["hdr_age"] = str(i % 120)
+            r["hdr_etag"] = f'"v{i}"'
+        elif k == 1:
+            r["cache_control"] = ("no-store, no-cache, must-revalidate"
+                                  if i % 2 else "No-Cache, PRIVATE")
+            r["hdr_date"] = _imf_date(d)
+            r["hdr_etag"] = f'W/"weak{i}"' if i % 4 == 1 else None
+        elif k == 2:
+            r["hdr_date"] = _imf_date(d)
+            r["hdr_expires"] = _imf_date(
+                d + _dt.timedelta(days=1 + i % 9, minutes=i))
+            r["hdr_last_modified"] = _imf_date(
+                d - _dt.timedelta(days=30 + i))
+            r["hdr_etag"] = f'W/"rev-{i}"'
+        elif k == 3:
+            r["hdr_date"] = _imf_date(d)
+            r["hdr_expires"] = ("0" if i % 2 else
+                                _imf_date(d - _dt.timedelta(hours=i + 1)))
+            r["hdr_age"] = "abc" if i % 4 == 3 else None
+        elif k == 4:
+            r["hdr_date"] = _imf_date(d)
+            r["hdr_last_modified"] = _imf_date(
+                d - _dt.timedelta(days=(i % 9) * 3 + 1, hours=i))
+            r["hdr_age"] = str(3600 * (i % 3))
+        elif k == 5:
+            r["cache_control"] = [
+                'private="set-cookie, x-y", MAX-AGE=300, '
+                'community="uci", max-age=100',
+                f'max-age={60 * (i % 7)}, private="a',
+                "max-age=abc, , =, immutable",
+                "max-age=99999999999999999999, public",
+            ][i % 4]
+            r["hdr_date"] = _imf_date(d)
+        elif k == 6:
+            r["cache_control"] = ('s-maxage="120", proxy-revalidate, '
+                                  "private")
+            r["hdr_expires"] = _imf_date(d + _dt.timedelta(days=2))
+        else:
+            if i % 2:
+                r["hdr_date"] = "yesterday"
+                r["hdr_last_modified"] = \
+                    "Sunday, 06-Nov-94 08:49:37 GMT"
+            else:
+                # Expires without a Date: no freshness basis
+                r["hdr_expires"] = _imf_date(d + _dt.timedelta(days=1))
+            r["hdr_etag"] = '""' if i % 4 == 3 else None
+        rows.append(r)
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

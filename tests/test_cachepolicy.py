@@ -1,0 +1,140 @@
+"""HTTP cache-policy family: extractor/cachex.py grammar + date-math
+vectors and Spark == pure parity on the committed fixture corpus."""
+
+import calendar
+import datetime
+
+import pyarrow.parquet as pq
+
+from historicaldatadocumentparsersystem_spark import fixtures
+from historicaldatadocumentparsersystem_spark.extractor import cachex
+
+CACHE_FIX = "fixtures/cache_headers_seed42_n64.parquet"
+HDRS = ("cache_control", "hdr_age", "hdr_date", "hdr_expires",
+        "hdr_last_modified", "hdr_etag")
+
+
+def test_fixture_parquet_matches_builder():
+    regen = [tuple(r[c] for c in ("url",) + HDRS)
+             for r in fixtures.cache_header_rows()]
+    disk = [tuple(r[c] for c in ("url",) + HDRS)
+            for r in pq.read_table(CACHE_FIX).to_pylist()]
+    assert disk == regen
+    assert len(disk) == 64
+
+
+def test_cache_control_grammar_vectors():
+    p = cachex.parse_cache_control
+    assert p("public, max-age=3600, s-maxage=7200") == [
+        (0, "public", None), (1, "max-age", "3600"),
+        (2, "s-maxage", "7200")]
+    # quoted args keep commas; names lowercase; OWS tolerated
+    assert p('private="set-cookie, x-y" ,\tMAX-AGE=300') == [
+        (0, "private", "set-cookie, x-y"), (1, "max-age", "300")]
+    # quoted empty arg == bare directive (both None)
+    assert p('foo="", bar') == [(0, "foo", None), (1, "bar", None)]
+    # unterminated quote: the item stops at the quote; the tail
+    # becomes its own (bogus but deterministic) directive
+    assert p('max-age=60, private="a') == [
+        (0, "max-age", "60"), (1, "private", None), (2, "a", None)]
+    # malformed items drop, valid neighbours survive
+    assert p("max-age=abc, , =, immutable") == [
+        (0, "max-age", "abc"), (1, "immutable", None)]
+    for empty in ("", None, " , ,, "):
+        assert p(empty) == []
+
+
+def test_httpdate_vectors_and_sweep():
+    f = cachex.httpdate_to_epoch
+    assert f("Thu, 01 Jan 1970 00:00:00 GMT") == 0
+    assert f("Sat, 01 Mar 2025 12:00:00 GMT") == 1740830400
+    # strict IMF-fixdate only: rfc850 / asctime / junk reject
+    assert f("Sunday, 06-Nov-94 08:49:37 GMT") is None
+    assert f("Sun Nov  6 08:49:37 1994") is None
+    assert f("Thu, 01 Jen 1970 00:00:00 GMT") is None
+    assert f("") is None and f(None) is None
+    for days in range(0, 40000, 61):
+        dt = (datetime.datetime(1970, 1, 1)
+              + datetime.timedelta(days=days, hours=days % 24,
+                                   minutes=days % 60))
+        got = f(fixtures._imf_date(dt))
+        assert got == calendar.timegm(dt.timetuple())
+
+
+def test_policy_precedence_vectors():
+    date = "Sat, 01 Mar 2025 12:00:00 GMT"
+    lastmod = "Wed, 19 Feb 2025 12:00:00 GMT"   # 10 days earlier
+    expires = "Sun, 02 Mar 2025 12:00:00 GMT"   # +1 day
+    pol = cachex.cache_policy
+    # s-maxage beats max-age beats expires beats heuristic
+    p = pol("max-age=100, s-maxage=200", None, date, expires,
+            lastmod, None)
+    assert (p["ttl_s"], p["ttl_source"]) == (200, "s-maxage")
+    p = pol("max-age=100", None, date, expires, lastmod, None)
+    assert (p["ttl_s"], p["ttl_source"]) == (100, "max-age")
+    p = pol(None, None, date, expires, lastmod, None)
+    assert (p["ttl_s"], p["ttl_source"]) == (86400, "expires")
+    p = pol(None, None, date, None, lastmod, 'W/"x"')
+    assert (p["ttl_s"], p["ttl_source"]) == (86400, "heuristic")
+    assert p["etag_weak"] and p["has_etag"] and p["has_last_modified"]
+    # invalid-but-present Expires means already stale (ttl 0)
+    p = pol(None, None, date, "0", None, None)
+    assert (p["ttl_s"], p["ttl_source"]) == (0, "expires")
+    # Age subtracts, floored at 0; bad delta tokens are ignored
+    p = pol("max-age=100", "40", date, None, None, None)
+    assert (p["age_s"], p["fresh_for_s"]) == (40, 60)
+    p = pol("max-age=100", "999", None, None, None, None)
+    assert p["fresh_for_s"] == 0
+    p = pol("max-age=99999999999999999999", None, None, None,
+            None, None)
+    assert p["ttl_s"] is None and p["ttl_source"] is None
+    # no basis at all
+    p = pol(None, None, None, expires, None, None)
+    assert p["ttl_s"] is None and p["fresh_for_s"] is None
+    # first occurrence wins for duplicate delta directives
+    p = pol("max-age=300, max-age=100", None, None, None, None, None)
+    assert p["ttl_s"] == 300
+
+
+def test_spark_matches_pure(spark):
+    from historicaldatadocumentparsersystem_spark.operators import \
+        cachepolicy
+    rows = fixtures.cache_header_rows()
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in ("url",) + HDRS) for r in rows],
+        "url string, cache_control string, hdr_age string, "
+        "hdr_date string, hdr_expires string, "
+        "hdr_last_modified string, hdr_etag string")
+    got_d = [(r.url, r.pos, r.directive, r.arg)
+             for r in cachepolicy.cache_directives(df)
+             .orderBy("url", "pos").collect()]
+    want_d = []
+    for r in rows:
+        want_d += [(r["url"],) + t
+                   for t in cachex.parse_cache_control(
+                       r["cache_control"])]
+    assert got_d == sorted(want_d)
+    assert len(got_d) == 104
+
+    got_p = {r.url: (r.no_store, r.no_cache, r.private, r.immutable,
+                     r.must_revalidate, r.age_s, r.ttl_s,
+                     r.ttl_source, r.fresh_for_s, r.has_etag,
+                     r.etag_weak, r.has_last_modified)
+             for r in cachepolicy.cache_policy_table(df).collect()}
+    want_p = {}
+    for r in rows:
+        p = cachex.cache_policy(*(r[c] for c in HDRS))
+        want_p[r["url"]] = (
+            p["no_store"], p["no_cache"], p["private"],
+            p["immutable"], p["must_revalidate"], p["age_s"],
+            p["ttl_s"], p["ttl_source"], p["fresh_for_s"],
+            p["has_etag"], p["etag_weak"], p["has_last_modified"])
+    assert got_p == want_p
+    # every ttl source and every scheduler bucket is exercised
+    assert {v[7] for v in want_p.values()} == {
+        "s-maxage", "max-age", "expires", "heuristic", None}
+    buckets = {r.bucket: r.n for r in cachepolicy.revisit_buckets(
+        cachepolicy.cache_policy_table(df)).collect()}
+    assert set(buckets) == {"revalidate", "unknown", "hour", "day",
+                            "week", "long"}
+    assert sum(buckets.values()) == 64
