@@ -1883,6 +1883,43 @@ def _cache_policy_sql() -> str:
         FROM pol2 ORDER BY url"""
 
 
+def _recrawl_plan_sql(default_ttl: int = 86400,
+                      batch: int = 4) -> str:
+    """Capstone twin: policy CTE + fetched_epoch (same row, no
+    join-back on the Spark side — the twin's equi-join on the unique
+    url key is value-identical), pure int64 next-due arithmetic,
+    split_part host == Spark split/getItem, and the per-host wave
+    window with `//` == Spark `div` (non-negative)."""
+    return f"""
+        WITH {_cache_policy_cte()},
+        p AS (
+          SELECT pol2.*, t.fetched_epoch,
+                 CASE WHEN ttl_s IS NOT NULL
+                      THEN greatest(ttl_s - age_s, 0)
+                 END AS fresh_for_s
+          FROM pol2 JOIN t USING (url)
+        ), pl AS (
+          SELECT url,
+                 split_part(split_part(url, '://', 2), '/', 1)
+                   AS host,
+                 (CASE WHEN no_store OR no_cache THEN fetched_epoch
+                       ELSE fetched_epoch
+                            + coalesce(fresh_for_s, {default_ttl})
+                  END)::bigint AS next_due_epoch,
+                 CASE WHEN has_etag THEN 'etag'
+                      WHEN has_last_modified THEN 'last-modified'
+                      ELSE 'full' END AS revalidate_mode
+          FROM p
+        )
+        SELECT url, host, next_due_epoch,
+               next_due_epoch <= {_CACHE_NOW_E} AS due_now,
+               revalidate_mode,
+               ((row_number() OVER (PARTITION BY host
+                 ORDER BY next_due_epoch, url) - 1)
+                // {batch})::int AS wave
+        FROM pl ORDER BY url"""
+
+
 def _revisit_buckets_sql() -> str:
     return f"""
         WITH {_cache_policy_cte()},
@@ -2304,6 +2341,9 @@ _SECTXT_FIX = os.path.join(_REPO, "fixtures",
                            "sectxt_texts_seed42_n48.parquet")
 _CACHE_FIX = os.path.join(_REPO, "fixtures",
                           "cache_headers_seed42_n64.parquet")
+# fixed "now" for the recrawl planner (mid-range of the fixture's
+# fetched_epoch values so both due and not-yet-due rows exist)
+_CACHE_NOW_E = 1741600000
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -3053,6 +3093,7 @@ _EXTRA_ORDER = [
     "adstxt_records", "adstxt_variables", "adstxt_host_profile",
     "securitytxt_fields", "securitytxt_gate",
     "cache_directives", "cache_policy", "revisit_buckets",
+    "recrawl_plan",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -3432,6 +3473,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     cachepolicy.cache_policy_table(docs))
                 .orderBy("bucket"))
     q["revisit_buckets"] = q_revisit
+
+    def q_recrawl(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        docs = spark.read.parquet(_CACHE_FIX)
+        return (cachepolicy.recrawl_plan(docs, _CACHE_NOW_E)
+                .orderBy("url"))
+    q["recrawl_plan"] = q_recrawl
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -8605,6 +8654,7 @@ def oracle_sql() -> dict[str, str]:
         "cache_directives": _cache_directives_sql(),
         "cache_policy": _cache_policy_sql(),
         "revisit_buckets": _revisit_buckets_sql(),
+        "recrawl_plan": _recrawl_plan_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

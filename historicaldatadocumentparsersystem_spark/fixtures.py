@@ -3609,6 +3609,8 @@ def cache_header_rows(n: int = 64, seed: int = 42) -> list[dict]:
              "hdr_last_modified": None, "hdr_etag": None}
         k = i % 8
         d = base + _dt.timedelta(hours=i * 7, seconds=i * 11)
+        r["fetched_epoch"] = int(
+            (d - _dt.datetime(1970, 1, 1)).total_seconds())
         if k == 0:
             r["cache_control"] = (f"public, max-age={300 * (1 + i % 5)}, "
                                   f"s-maxage={600 * (1 + i % 5)}, "

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..extractor import cachex
@@ -57,33 +57,46 @@ def cache_directives(df: DataFrame, cc_col: str = "cache_control",
                               "directive string, arg string"))
 
 
-def cache_policy_table(df: DataFrame,
-                       url_col: str = "url") -> DataFrame:
+def cache_policy_table(df: DataFrame, url_col: str = "url",
+                       keep_cols: dict | None = None) -> DataFrame:
     """Header columns (``HEADER_COLS``) -> one freshness-policy row
     per capture: flags, age, ttl + its source, fresh_for_s, and the
     validator surface (ETag / Last-Modified) a conditional-GET
-    scheduler needs."""
+    scheduler needs. ``keep_cols`` ({name: spark_type}) ride through
+    the same Arrow pass — no join-back (the script_lang_consistency
+    precedent)."""
+    keeps = dict(keep_cols or {})
 
     def run(batches: Iterator) -> Iterator:
         for b in batches:
             rows = []
-            for t in zip(b[url_col], *(b[c] for c in HEADER_COLS)):
-                url, hdrs = t[0], t[1:]
+            for t in zip(b[url_col], *(b[c] for c in keeps),
+                         *(b[c] for c in HEADER_COLS)):
+                url, kv, hdrs = t[0], t[1:1 + len(keeps)], \
+                    t[1 + len(keeps):]
                 p = cachex.cache_policy(*(None if v is None else v
                                           for v in hdrs))
                 p["url"] = url
+                for c, v in zip(keeps, kv):
+                    p[c] = v
                 rows.append(p)
             out = pd.DataFrame(rows, columns=[
-                "url", "no_store", "no_cache", "private",
+                "url", *keeps, "no_store", "no_cache", "private",
                 "immutable", "must_revalidate", "age_s", "ttl_s",
                 "ttl_source", "fresh_for_s", "has_etag",
                 "etag_weak", "has_last_modified"])
             for c in ("age_s", "ttl_s", "fresh_for_s"):
                 out[c] = pd.array(out[c], dtype="Int64")
+            for c, typ in keeps.items():
+                if "int" in typ:
+                    out[c] = pd.array(out[c], dtype="Int64")
             yield out
 
-    return (df.select(url_col, *HEADER_COLS)
-            .mapInPandas(run, _POLICY_SCHEMA))
+    keep_schema = "".join(f"{c} {t}, " for c, t in keeps.items())
+    schema = _POLICY_SCHEMA.replace("url string, ",
+                                    f"url string, {keep_schema}")
+    return (df.select(url_col, *keeps, *HEADER_COLS)
+            .mapInPandas(run, schema))
 
 
 def revisit_buckets(policy: DataFrame) -> DataFrame:
@@ -103,3 +116,42 @@ def revisit_buckets(policy: DataFrame) -> DataFrame:
                  .alias("n_etag"),
                  F.sum(F.col("must_revalidate").cast("long"))
                  .alias("n_must_reval")))
+
+
+def recrawl_plan(df: DataFrame, now_epoch: int,
+                 default_ttl_s: int = 86400,
+                 batch: int = 4) -> DataFrame:
+    """The recrawl capstone: captures (header columns +
+    ``fetched_epoch``) -> per-url fetch schedule. next_due =
+    fetched_epoch + freshness (no-store/no-cache mean due at once;
+    unknown freshness takes ``default_ttl_s``); ``revalidate_mode``
+    picks the cheapest refetch (If-None-Match > If-Modified-Since >
+    full GET); per-host ``wave`` batches due fetches ``batch`` at a
+    time (politeness pacing composes via fetch_schedule_delayed).
+    Shape: ONE Arrow pass (policy + fetched_epoch ride together, no
+    join-back) + ONE host-window exchange. Integer epoch math only —
+    no cross-engine timestamp semantics anywhere."""
+    pol = cache_policy_table(df,
+                             keep_cols={"fetched_epoch": "bigint"})
+    next_due = (F.when(F.col("no_store") | F.col("no_cache"),
+                       F.col("fetched_epoch"))
+                .otherwise(F.col("fetched_epoch")
+                           + F.coalesce(F.col("fresh_for_s"),
+                                        F.lit(default_ttl_s))))
+    host = F.split(F.split(F.col("url"), "://")
+                   .getItem(1), "/").getItem(0)
+    mode = (F.when(F.col("has_etag"), "etag")
+            .when(F.col("has_last_modified"), "last-modified")
+            .otherwise("full"))
+    w = Window.partitionBy("host").orderBy("next_due_epoch", "url")
+    return (pol.select("url", host.alias("host"),
+                       next_due.cast("long").alias("next_due_epoch"),
+                       mode.alias("revalidate_mode"))
+            .withColumn("due_now",
+                        F.col("next_due_epoch") <= F.lit(now_epoch))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("wave",
+                        F.expr(f"(_rn - 1) div {int(batch)}")
+                        .cast("int"))
+            .select("url", "host", "next_due_epoch", "due_now",
+                    "revalidate_mode", "wave"))

@@ -15,9 +15,10 @@ HDRS = ("cache_control", "hdr_age", "hdr_date", "hdr_expires",
 
 
 def test_fixture_parquet_matches_builder():
-    regen = [tuple(r[c] for c in ("url",) + HDRS)
+    cols = ("url",) + HDRS + ("fetched_epoch",)
+    regen = [tuple(r[c] for c in cols)
              for r in fixtures.cache_header_rows()]
-    disk = [tuple(r[c] for c in ("url",) + HDRS)
+    disk = [tuple(r[c] for c in cols)
             for r in pq.read_table(CACHE_FIX).to_pylist()]
     assert disk == regen
     assert len(disk) == 64
@@ -138,3 +139,44 @@ def test_spark_matches_pure(spark):
     assert set(buckets) == {"revalidate", "unknown", "hour", "day",
                             "week", "long"}
     assert sum(buckets.values()) == 64
+
+
+def test_recrawl_plan_semantics(spark):
+    from historicaldatadocumentparsersystem_spark.operators import \
+        cachepolicy
+    now_e = 1741600000
+    df = spark.read.parquet(CACHE_FIX)
+    got = {r.url: r for r in
+           cachepolicy.recrawl_plan(df, now_e, default_ttl_s=86400,
+                                    batch=4).collect()}
+    rows = {r["url"]: r for r in fixtures.cache_header_rows()}
+    assert set(got) == set(rows)
+    n_due = 0
+    for url, r in got.items():
+        fx = rows[url]
+        p = cachex.cache_policy(*(fx[c] for c in HDRS))
+        if p["no_store"] or p["no_cache"]:
+            want_due = fx["fetched_epoch"]
+        else:
+            f = p["fresh_for_s"]
+            want_due = fx["fetched_epoch"] + (86400 if f is None
+                                              else f)
+        assert r.next_due_epoch == want_due, url
+        assert r.due_now == (want_due <= now_e)
+        n_due += r.due_now
+        want_mode = ("etag" if p["has_etag"] else
+                     "last-modified" if p["has_last_modified"]
+                     else "full")
+        assert r.revalidate_mode == want_mode
+        assert r.host == url.split("://")[1].split("/")[0]
+    # the fixed now splits the corpus both ways
+    assert 0 < n_due < 64
+    # waves: per host, contiguous 0..ceil(n/4)-1 with <=4 per wave
+    import collections
+    per_host = collections.Counter(
+        (r.host, r.wave) for r in got.values())
+    assert all(v <= 4 for v in per_host.values())
+    hosts = collections.Counter(r.host for r in got.values())
+    for h, n in hosts.items():
+        waves = sorted(w for (hh, w) in per_host if hh == h)
+        assert waves == list(range((n + 3) // 4))

@@ -485,3 +485,10 @@ def test_cache_policy_plans(spark):
         cachepolicy.cache_policy_table(df)))
     assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1, \
         plan
+    # recrawl capstone: policy + fetched_epoch ride ONE Arrow pass
+    # (no join-back), then exactly the host-window exchange
+    df2 = df.withColumn("fetched_epoch", F.lit(1741000000).cast("long"))
+    plan = physical_plan(cachepolicy.recrawl_plan(df2, 1741600000))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1, \
+        plan
