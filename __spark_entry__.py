@@ -1705,6 +1705,63 @@ def _sectxt_gate_sql() -> str:
         ORDER BY url"""
 
 
+_REFRESH_ROWS = (
+    ("https://r.example/a", "5; url=https://r.example/b"),
+    ("https://r.example/doorway", "0;URL='https://spam.example/x'"),
+    ("https://r.example/frac", '  3.7 , url = "https://r.example/c"'),
+    ("https://r.example/self", "10"),
+    ("https://r.example/self2", "30; url=https://r.example/self2"),
+    ("https://r.example/rel", "0; promo/landing.html"),
+    ("https://r.example/slow", "600; url=https://r.example/later"),
+    ("https://r.example/bad", "abc"),
+    ("https://r.example/bad2", "5x; url=https://r.example/never"),
+    ("https://r.example/empty", None),
+    ("https://r.example/quoted", "1; url='https://other.example/p' tail"),
+    ("https://r.example/spacesep", "2 https://r.example/d"),
+)
+
+
+def _refresh_targets_sql() -> str:
+    """Oracle for refresh_targets: the PURE parser feeds the VALUES
+    rows (microsyntax pinned by tests/test_pagemeta.py vectors)."""
+    from historicaldatadocumentparsersystem_spark.extractor.metax \
+        import parse_refresh
+    rows = []
+    for url, raw in _REFRESH_ROWS:
+        parsed = parse_refresh(raw)
+        if parsed is None:
+            continue
+        delay, target = parsed
+        t = "NULL" if target is None else f"'{target}'"
+        rows.append(f"('{url}', {delay}::int, {t})")
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, delay_s, target)
+        ORDER BY url"""
+
+
+def _refresh_redirects_sql(max_delay: int = 5) -> str:
+    """TRUE dual-engine twin of pagemeta.refresh_redirects over the
+    parsed rows: host extracted only for absolute http(s) targets
+    (relative targets resolve against the page -> same-host by
+    definition), so split_part never diverges from Spark getItem."""
+    th = ("CASE WHEN target LIKE 'http://%' OR "
+          "target LIKE 'https://%' THEN "
+          "split_part(split_part(target, '://', 2), '/', 1) END")
+    return f"""
+        WITH t AS ({_refresh_targets_sql().replace(
+            'ORDER BY url', '')})
+        SELECT url, target, delay_s,
+               ({th} IS NULL OR {th} =
+                split_part(split_part(url, '://', 2), '/', 1))
+                 AS same_host
+        FROM t
+        WHERE target IS NOT NULL AND delay_s <= {max_delay}
+              AND target != url
+        ORDER BY url"""
+
+
 def _cache_dirs_cte() -> str:
     """Shared Cache-Control item fan-out for the cachex twins —
     every regex GENERATED from extractor/cachex.py (ads.txt
@@ -3093,7 +3150,7 @@ _EXTRA_ORDER = [
     "adstxt_records", "adstxt_variables", "adstxt_host_profile",
     "securitytxt_fields", "securitytxt_gate",
     "cache_directives", "cache_policy", "revisit_buckets",
-    "recrawl_plan",
+    "recrawl_plan", "refresh_targets", "refresh_redirects",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -3481,6 +3538,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (cachepolicy.recrawl_plan(docs, _CACHE_NOW_E)
                 .orderBy("url"))
     q["recrawl_plan"] = q_recrawl
+
+    # --- meta-refresh soft redirects (the redirect channel HTTP
+    # chains miss; cross-host instant refresh = doorway signal)
+    def q_refresh_targets(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            pagemeta
+        df = spark.createDataFrame(
+            list(_REFRESH_ROWS), "url string, refresh string")
+        return pagemeta.refresh_targets(df).orderBy("url")
+    q["refresh_targets"] = q_refresh_targets
+
+    def q_refresh_redirects(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            pagemeta
+        df = spark.createDataFrame(
+            list(_REFRESH_ROWS), "url string, refresh string")
+        return (pagemeta.refresh_redirects(
+                    pagemeta.refresh_targets(df))
+                .orderBy("url"))
+    q["refresh_redirects"] = q_refresh_redirects
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -8655,6 +8732,8 @@ def oracle_sql() -> dict[str, str]:
         "cache_policy": _cache_policy_sql(),
         "revisit_buckets": _revisit_buckets_sql(),
         "recrawl_plan": _recrawl_plan_sql(),
+        "refresh_targets": _refresh_targets_sql(),
+        "refresh_redirects": _refresh_redirects_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""
