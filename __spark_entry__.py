@@ -1805,18 +1805,17 @@ def _cache_directives_sql() -> str:
         ORDER BY url, pos"""
 
 
-def _httpdate_stages() -> str:
-    """Strict IMF-fixdate -> epoch seconds for the three date
-    headers, as a chained-CTE integer pipeline: the days-from-civil
-    formula from cachex.httpdate_to_epoch with DuckDB ``//`` ==
-    Python ``//`` (all intermediates non-negative for 4-digit
-    years). Unparseable headers become NULL via try_cast('') and
-    the month CASE, then propagate."""
+def _httpdate_stages(ps=(("dt", "hdr_date"), ("ex", "hdr_expires"),
+                         ("lm", "hdr_last_modified"))) -> str:
+    """Strict IMF-fixdate -> epoch seconds for the given
+    (prefix, column) pairs, as a chained-CTE integer pipeline: the
+    days-from-civil formula from cachex.httpdate_to_epoch with
+    DuckDB ``//`` == Python ``//`` (all intermediates non-negative
+    for 4-digit years). Unparseable headers become NULL via
+    try_cast('') and the month CASE, then propagate."""
     from historicaldatadocumentparsersystem_spark.extractor import \
         cachex
     hre = cachex.HTTP_DATE_RE
-    ps = (("dt", "hdr_date"), ("ex", "hdr_expires"),
-          ("lm", "hdr_last_modified"))
 
     def mon(col: str) -> str:
         whens = " ".join(f"WHEN '{m}' THEN {i + 1}"
@@ -1975,6 +1974,79 @@ def _recrawl_plan_sql(default_ttl: int = 86400,
                  ORDER BY next_due_epoch, url) - 1)
                 // {batch})::int AS wave
         FROM pl ORDER BY url"""
+
+
+_VARY_ROWS = (
+    ("https://v.example/a", "Accept-Encoding"),
+    ("https://v.example/b", " User-Agent , Accept-Encoding "),
+    ("https://v.example/c", "Cookie,User-Agent"),
+    ("https://v.example/d", "*"),
+    ("https://v.example/e", " , ,, "),
+    ("https://v.example/f", None),
+    ("https://v.example/g", "accept-language,\tACCEPT"),
+)
+
+_RETRY_ROWS = (
+    ("https://t.example/a", 429, "120", 1741600000),
+    ("https://t.example/b", 503, " 30 ", 1741600000),
+    ("https://t.example/c", 503,
+     "Wed, 12 Mar 2025 12:00:00 GMT", 1741600000),
+    ("https://t.example/d", 429, "soon", 1741600000),
+    ("https://t.example/e", 503, None, 1741600000),
+    ("https://t.example/f", 200, "120", 1741600000),
+    ("https://t.example/g", 429, "999999999999999999", 1741600000),
+)
+
+
+def _vary_profile_sql() -> str:
+    """TRUE dual-engine twin of cachepolicy.vary_profile: the token
+    pipeline (split -> trim via the shared TOKEN_TRIM_RE -> lower ->
+    drop empties) re-expressed with DuckDB list functions."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        cachex
+    toks = (f"list_filter(list_transform(string_split("
+            f"coalesce(vary, ''), ','), x -> lower(regexp_replace("
+            f"x, '{cachex.TOKEN_TRIM_RE}', '', 'g'))), x -> x != '')")
+    def lit(v):
+        # repr() would turn a real tab into backslash-t, which a
+        # standard DuckDB string keeps as two characters
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+    vals = ",\n".join(f"('{u}', {lit(v)})" for u, v in _VARY_ROWS)
+    return f"""
+        WITH t AS (SELECT * FROM (VALUES {vals}) AS t(url, vary))
+        SELECT url, len({toks})::int AS n_tokens,
+               list_contains({toks}, 'user-agent') AS varies_ua,
+               list_contains({toks}, 'cookie') AS varies_cookie,
+               list_contains({toks}, '*') AS uncacheable
+        FROM t ORDER BY url"""
+
+
+def _retry_backoff_sql() -> str:
+    """Twin of cachepolicy.retry_backoff: trimmed delta-seconds add
+    to fetched_epoch, IMF dates go through the shared date-math CTE
+    chain, 429/503 gate the output."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        cachex
+    vals = ",\n".join(
+        f"('{u}', {s}, "
+        f"{'NULL' if v is None else chr(39) + v + chr(39)}, {f})"
+        for u, s, v, f in _RETRY_ROWS)
+    trimmed = (f"regexp_replace(retry_after, "
+               f"'{cachex.TOKEN_TRIM_RE}', '', 'g')")
+    return f"""
+        WITH t AS (SELECT * FROM (VALUES {vals})
+                   AS t(url, status, retry_after, fetched_epoch)),
+        {_httpdate_stages(ps=(("ra", trimmed),))}
+        SELECT url, status::int AS status,
+               status IN (429, 503) AS throttled,
+               (CASE WHEN status IN (429, 503) THEN
+                 CASE WHEN retry_after IS NOT NULL AND
+                           regexp_matches({trimmed},
+                                          '{cachex.DELTA_RE}')
+                      THEN fetched_epoch + {trimmed}::bigint
+                      ELSE ra_e END
+               END)::bigint AS next_attempt_epoch
+        FROM x6 ORDER BY url"""
 
 
 def _revisit_buckets_sql() -> str:
@@ -3151,6 +3223,7 @@ _EXTRA_ORDER = [
     "securitytxt_fields", "securitytxt_gate",
     "cache_directives", "cache_policy", "revisit_buckets",
     "recrawl_plan", "refresh_targets", "refresh_redirects",
+    "vary_profile", "retry_backoff",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -3558,6 +3631,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     pagemeta.refresh_targets(df))
                 .orderBy("url"))
     q["refresh_redirects"] = q_refresh_redirects
+
+    # --- Vary fragmentation + Retry-After throttle backoff (the
+    # cache family's remaining headers)
+    def q_vary(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        df = spark.createDataFrame(
+            list(_VARY_ROWS), "url string, vary string")
+        return cachepolicy.vary_profile(df).orderBy("url")
+    q["vary_profile"] = q_vary
+
+    def q_retry(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        df = spark.createDataFrame(
+            list(_RETRY_ROWS),
+            "url string, status int, retry_after string, "
+            "fetched_epoch long")
+        return cachepolicy.retry_backoff(df).orderBy("url")
+    q["retry_backoff"] = q_retry
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -8734,6 +8827,8 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_plan": _recrawl_plan_sql(),
         "refresh_targets": _refresh_targets_sql(),
         "refresh_redirects": _refresh_redirects_sql(),
+        "vary_profile": _vary_profile_sql(),
+        "retry_backoff": _retry_backoff_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

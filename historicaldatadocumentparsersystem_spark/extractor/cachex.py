@@ -139,3 +139,37 @@ def cache_policy(cache_control, hdr_age, hdr_date, hdr_expires,
         "etag_weak": etag.startswith("W/"),
         "has_last_modified": lastmod_e is not None,
     }
+
+
+# --- Vary / Retry-After (the cache family's other two headers) ---------------
+# Vary fragments the cache key: Vary: User-Agent on a corpus capture
+# means the stored body is ONE of many variants (cloaking risk and a
+# dedup caveat); Vary: * is uncacheable outright. Retry-After drives
+# throttle backoff (429/503) as either delta-seconds or an IMF date.
+
+TOKEN_TRIM_RE = r"^[ \t]+|[ \t]+$"
+_TOKEN_TRIM = re.compile(TOKEN_TRIM_RE)
+
+
+def parse_vary(value) -> list[str]:
+    """Vary header -> lowercased token list (comma split, OWS
+    trimmed, empties dropped). None/empty yield []."""
+    out = []
+    for tok in (value or "").split(","):
+        t = _TOKEN_TRIM.sub("", tok).lower()
+        if t:
+            out.append(t)
+    return out
+
+
+def retry_after_epoch(value, fetched_epoch) -> int | None:
+    """Retry-After header -> epoch seconds of the earliest next
+    attempt: delta-seconds add to ``fetched_epoch``; an IMF-fixdate
+    stands alone (a past date means retry-at-once, which compares
+    correctly without clamping); anything else is None."""
+    if value is None:
+        return None
+    v = _TOKEN_TRIM.sub("", value)
+    if _DELTA.match(v):
+        return fetched_epoch + int(v)
+    return httpdate_to_epoch(v)

@@ -155,3 +155,50 @@ def recrawl_plan(df: DataFrame, now_epoch: int,
                         .cast("int"))
             .select("url", "host", "next_due_epoch", "due_now",
                     "revalidate_mode", "wave"))
+
+
+def vary_profile(df: DataFrame, vary_col: str = "vary",
+                 url_col: str = "url") -> DataFrame:
+    """Vary header -> cache-key fragmentation profile per capture:
+    token count, the cloaking-risk flags (varies on User-Agent /
+    Cookie), and Vary:* uncacheability. ALL JVM built-ins (the
+    ads.txt triple-check pattern — the token pipeline re-expresses
+    cachex.parse_vary verbatim); pure codegen, no shuffle."""
+    toks = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(vary_col), F.lit("")), ","),
+            lambda x: F.lower(
+                F.regexp_replace(x, cachex.TOKEN_TRIM_RE, ""))),
+        lambda x: x != "")
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.array_contains(toks, "user-agent").alias("varies_ua"),
+        F.array_contains(toks, "cookie").alias("varies_cookie"),
+        F.array_contains(toks, "*").alias("uncacheable"))
+
+
+def retry_backoff(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, status, retry_after, fetched_epoch) -> throttle backoff:
+    ``throttled`` for 429/503, ``next_attempt_epoch`` from the
+    Retry-After header (delta-seconds or IMF date via
+    cachex.retry_after_epoch; NULL when absent/unparseable or the
+    status is not a throttle). Map-only Arrow pass."""
+
+    def run(batches: Iterator) -> Iterator:
+        for b in batches:
+            nxt = [cachex.retry_after_epoch(v, f)
+                   for v, f in zip(b["retry_after"],
+                                   b["fetched_epoch"])]
+            yield pd.DataFrame({
+                "url": b[url_col],
+                "status": pd.array(b["status"], dtype="Int32"),
+                "_ra": pd.array(nxt, dtype="Int64")})
+
+    out = (df.select(url_col, "status", "retry_after",
+                     "fetched_epoch")
+           .mapInPandas(run, "url string, status int, _ra bigint"))
+    throttled = F.col("status").isin(429, 503)
+    return out.select(
+        "url", "status", throttled.alias("throttled"),
+        F.when(throttled, F.col("_ra")).alias("next_attempt_epoch"))

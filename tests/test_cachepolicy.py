@@ -180,3 +180,47 @@ def test_recrawl_plan_semantics(spark):
     for h, n in hosts.items():
         waves = sorted(w for (hh, w) in per_host if hh == h)
         assert waves == list(range((n + 3) // 4))
+
+
+def test_vary_and_retry_after_vectors():
+    assert cachex.parse_vary(" User-Agent , Accept-Encoding ") == \
+        ["user-agent", "accept-encoding"]
+    assert cachex.parse_vary("*") == ["*"]
+    assert cachex.parse_vary(" , ,, ") == []
+    assert cachex.parse_vary(None) == []
+    assert cachex.retry_after_epoch("120", 1000) == 1120
+    assert cachex.retry_after_epoch(" 30 ", 1000) == 1030
+    assert cachex.retry_after_epoch(
+        "Thu, 01 Jan 1970 00:01:00 GMT", 5) == 60
+    assert cachex.retry_after_epoch("soon", 5) is None
+    # delta cap: >15 digits is not trusted (and is not a date)
+    assert cachex.retry_after_epoch("9" * 18, 5) is None
+    assert cachex.retry_after_epoch(None, 5) is None
+
+
+def test_vary_retry_spark_matches_pure(spark):
+    from historicaldatadocumentparsersystem_spark.operators import \
+        cachepolicy
+    from __spark_entry__ import _RETRY_ROWS, _VARY_ROWS
+    vdf = spark.createDataFrame(list(_VARY_ROWS),
+                                "url string, vary string")
+    got = {r.url: (r.n_tokens, r.varies_ua, r.varies_cookie,
+                   r.uncacheable)
+           for r in cachepolicy.vary_profile(vdf).collect()}
+    for url, raw in _VARY_ROWS:
+        toks = cachex.parse_vary(raw)
+        assert got[url] == (len(toks), "user-agent" in toks,
+                            "cookie" in toks, "*" in toks), url
+    rdf = spark.createDataFrame(
+        list(_RETRY_ROWS),
+        "url string, status int, retry_after string, "
+        "fetched_epoch long")
+    got = {r.url: (r.throttled, r.next_attempt_epoch)
+           for r in cachepolicy.retry_backoff(rdf).collect()}
+    for url, status, ra, fe in _RETRY_ROWS:
+        throttled = status in (429, 503)
+        want = (cachex.retry_after_epoch(ra, fe)
+                if throttled else None)
+        assert got[url] == (throttled, want), url
+    # non-throttle statuses never schedule a backoff
+    assert got["https://t.example/f"] == (False, None)
