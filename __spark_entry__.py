@@ -2049,6 +2049,73 @@ def _retry_backoff_sql() -> str:
         FROM x6 ORDER BY url"""
 
 
+def _hist_lag_cte() -> str:
+    """Shared lag CTE for the fetch-history twins."""
+    return f"""
+        t AS (SELECT * FROM read_parquet('{_HIST_FIX}')),
+        l AS (
+          SELECT url, etag, content_md5, fetched_epoch,
+                 lag(etag) OVER (PARTITION BY url ORDER BY seq)
+                   AS petag,
+                 lag(content_md5)
+                   OVER (PARTITION BY url ORDER BY seq) AS pmd5
+          FROM t
+        )"""
+
+
+def _cond_get_savings_sql() -> str:
+    """TRUE dual-engine twin of conditional_get_savings — the weak
+    etag comparison shares ETAG_WEAK_RE verbatim."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        cachex
+    s = lambda c: f"regexp_replace({c}, '{cachex.ETAG_WEAK_RE}', '')"
+    return f"""
+        WITH {_hist_lag_cte()}
+        SELECT url, count(*)::bigint AS n_fetches,
+               sum(CASE WHEN petag IS NOT NULL
+                             AND etag IS NOT NULL
+                             AND {s('etag')} = {s('petag')}
+                             AND {s('etag')} != ''
+                        THEN 1 ELSE 0 END)::bigint
+                 AS n_not_modified,
+               sum(CASE WHEN pmd5 IS NOT NULL
+                             AND content_md5 != pmd5
+                        THEN 1 ELSE 0 END)::bigint AS n_changed
+        FROM l GROUP BY url ORDER BY url"""
+
+
+def _change_rate_sql() -> str:
+    """Twin of change_rate_classes: integer cross-multiplied class
+    thresholds + `//` == Spark `div` on non-negative gaps."""
+    return f"""
+        WITH {_hist_lag_cte()},
+        a AS (
+          SELECT url, (count(*) - 1)::bigint AS n_revisits,
+                 sum(CASE WHEN pmd5 IS NOT NULL
+                               AND content_md5 != pmd5
+                          THEN 1 ELSE 0 END)::bigint AS n_changes,
+                 (max(fetched_epoch) - min(fetched_epoch))::bigint
+                   AS span_s
+          FROM l GROUP BY url
+        ), b AS (
+          SELECT *,
+                 CASE WHEN n_changes = 0 THEN 'stable'
+                      WHEN n_changes * 2 >= n_revisits
+                           THEN 'volatile'
+                      ELSE 'slow' END AS revisit_class,
+                 span_s // n_revisits AS mean_gap_s
+          FROM a
+        )
+        SELECT url, n_revisits, n_changes, revisit_class,
+               mean_gap_s::bigint AS mean_gap_s,
+               (CASE revisit_class
+                     WHEN 'stable' THEN mean_gap_s * 4
+                     WHEN 'volatile' THEN mean_gap_s // 2
+                     ELSE mean_gap_s END)::bigint
+                 AS suggested_interval_s
+        FROM b ORDER BY url"""
+
+
 def _revisit_buckets_sql() -> str:
     return f"""
         WITH {_cache_policy_cte()},
@@ -2473,6 +2540,8 @@ _CACHE_FIX = os.path.join(_REPO, "fixtures",
 # fixed "now" for the recrawl planner (mid-range of the fixture's
 # fetched_epoch values so both due and not-yet-due rows exist)
 _CACHE_NOW_E = 1741600000
+_HIST_FIX = os.path.join(_REPO, "fixtures",
+                         "fetch_history_seed42.parquet")
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -3224,6 +3293,7 @@ _EXTRA_ORDER = [
     "cache_directives", "cache_policy", "revisit_buckets",
     "recrawl_plan", "refresh_targets", "refresh_redirects",
     "vary_profile", "retry_backoff",
+    "conditional_get_savings", "change_rate_classes",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -3651,6 +3721,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fetched_epoch long")
         return cachepolicy.retry_backoff(df).orderBy("url")
     q["retry_backoff"] = q_retry
+
+    # --- fetch-history economics: what conditional GETs would have
+    # saved + adaptive revisit classes (Cho & Garcia-Molina, in
+    # exact integer math)
+    def q_cond_savings(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        hist = spark.read.parquet(_HIST_FIX)
+        return (cachepolicy.conditional_get_savings(hist)
+                .orderBy("url"))
+    q["conditional_get_savings"] = q_cond_savings
+
+    def q_change_rate(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cachepolicy
+        hist = spark.read.parquet(_HIST_FIX)
+        return (cachepolicy.change_rate_classes(hist)
+                .orderBy("url"))
+    q["change_rate_classes"] = q_change_rate
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -8829,6 +8918,8 @@ def oracle_sql() -> dict[str, str]:
         "refresh_redirects": _refresh_redirects_sql(),
         "vary_profile": _vary_profile_sql(),
         "retry_backoff": _retry_backoff_sql(),
+        "conditional_get_savings": _cond_get_savings_sql(),
+        "change_rate_classes": _change_rate_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

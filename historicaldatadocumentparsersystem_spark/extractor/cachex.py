@@ -173,3 +173,17 @@ def retry_after_epoch(value, fetched_epoch) -> int | None:
     if _DELTA.match(v):
         return fetched_epoch + int(v)
     return httpdate_to_epoch(v)
+
+
+ETAG_WEAK_RE = r"^W/"
+_ETAG_WEAK = re.compile(ETAG_WEAK_RE)
+
+
+def etag_match(a, b) -> bool:
+    """If-None-Match WEAK comparison (RFC 9110 §8.8.3.2): the W/
+    prefix is ignored on both sides; empty/absent never matches."""
+    if a is None or b is None:
+        return False
+    sa = _ETAG_WEAK.sub("", a)
+    sb = _ETAG_WEAK.sub("", b)
+    return sa == sb and sa != ""

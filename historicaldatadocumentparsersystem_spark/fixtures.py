@@ -3666,6 +3666,45 @@ def cache_header_rows(n: int = 64, seed: int = 42) -> list[dict]:
     return rows
 
 
+def fetch_history_rows(n_urls: int = 24, seed: int = 42) -> list[dict]:
+    """Deterministic multi-fetch histories (url, seq, fetched_epoch,
+    etag, content_md5) for the revisit-economics ops: static pages
+    (every revalidation saved), fast-changing, periodic (every 3rd
+    fetch), etag-less, weak-validator (W/ prefixes — If-None-Match
+    uses WEAK comparison per RFC 9110), and A/B flapping content.
+    Committed as fixtures/fetch_history_seed42.parquet."""
+    rows: list[dict] = []
+    base = 1740000000
+    for i in range(n_urls):
+        host = _HOSTS[(i * 41) % len(_HOSTS)]
+        url = f"https://{host}/hist-{i}"
+        k = i % 6
+        n_fetches = 2 + (i * 5) % 7
+        gap = 3600 * (1 + i % 5) + 60 * i
+        ver = 0
+        for seq in range(n_fetches):
+            if k == 0:
+                pass                       # static: ver stays 0
+            elif k == 1:
+                ver = seq                  # changes every fetch
+            elif k == 2:
+                ver = seq // 3             # changes every 3rd
+            elif k == 3:
+                ver = seq // 2             # etag-less, some change
+            elif k == 4:
+                ver = seq // 2             # weak etags
+            else:
+                ver = seq % 2              # A/B flapping
+            etag = None if k == 3 else (
+                f'W/"h{i}-{ver}"' if k == 4 else f'"h{i}-{ver}"')
+            rows.append({"url": url, "seq": seq,
+                         "fetched_epoch": base + i * 997
+                         + seq * gap,
+                         "etag": etag,
+                         "content_md5": f"md5-{i}-{ver}"})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

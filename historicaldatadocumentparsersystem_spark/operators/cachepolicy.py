@@ -202,3 +202,69 @@ def retry_backoff(df: DataFrame, url_col: str = "url") -> DataFrame:
     return out.select(
         "url", "status", throttled.alias("throttled"),
         F.when(throttled, F.col("_ra")).alias("next_attempt_epoch"))
+
+
+def conditional_get_savings(hist: DataFrame) -> DataFrame:
+    """Fetch history (url, seq, etag, content_md5) -> what a
+    conditional-GET crawler would have saved: ``n_not_modified``
+    counts revisits whose validator matched the previous fetch
+    (If-None-Match weak comparison — W/ ignored both sides, RFC 9110
+    §8.8.3.2 via the shared ETAG_WEAK_RE), ``n_changed`` counts
+    actual content changes. ONE url exchange (the lag window and the
+    groupBy share the key); all JVM built-ins."""
+    def strip(c):
+        return F.regexp_replace(c, cachex.ETAG_WEAK_RE, "")
+
+    w = Window.partitionBy("url").orderBy("seq")
+    petag = F.lag("etag").over(w)
+    pmd5 = F.lag("content_md5").over(w)
+    not_mod = (petag.isNotNull() & F.col("etag").isNotNull()
+               & (strip(F.col("etag")) == strip(petag))
+               & (strip(F.col("etag")) != ""))
+    changed = pmd5.isNotNull() & (F.col("content_md5") != pmd5)
+    return (hist
+            .select("url", not_mod.cast("long").alias("_nm"),
+                    changed.cast("long").alias("_ch"))
+            .groupBy("url")
+            .agg(F.count("*").cast("long").alias("n_fetches"),
+                 F.sum("_nm").alias("n_not_modified"),
+                 F.sum("_ch").alias("n_changed")))
+
+
+def change_rate_classes(hist: DataFrame) -> DataFrame:
+    """Fetch history -> adaptive revisit classes (the integer-math
+    reading of Cho & Garcia-Molina's change-frequency estimation):
+    'stable' (no observed change -> back off 4x the observed mean
+    gap), 'volatile' (changed on at least half the revisits -> halve
+    the gap), 'slow' otherwise (keep the gap). Pure integer
+    arithmetic — cross-multiplied ratios and truncating division on
+    non-negatives, so every engine agrees bit-for-bit. Same
+    one-exchange shape as conditional_get_savings."""
+    w = Window.partitionBy("url").orderBy("seq")
+    pmd5 = F.lag("content_md5").over(w)
+    changed = pmd5.isNotNull() & (F.col("content_md5") != pmd5)
+    agg = (hist
+           .select("url", "fetched_epoch",
+                   changed.cast("long").alias("_ch"))
+           .groupBy("url")
+           .agg((F.count("*") - 1).cast("long").alias("n_revisits"),
+                F.sum("_ch").alias("n_changes"),
+                (F.max("fetched_epoch") - F.min("fetched_epoch"))
+                .cast("long").alias("span_s")))
+    cls = (F.when(F.col("n_changes") == 0, "stable")
+           .when(F.col("n_changes") * 2 >= F.col("n_revisits"),
+                 "volatile")
+           .otherwise("slow"))
+    mean_gap = F.expr("span_s div n_revisits")
+    suggested = (F.when(F.col("cls") == "stable",
+                        F.col("_gap") * 4)
+                 .when(F.col("cls") == "volatile",
+                       F.expr("_gap div 2"))
+                 .otherwise(F.col("_gap")))
+    return (agg.withColumn("cls", cls)
+            .withColumn("_gap", mean_gap)
+            .select("url", "n_revisits", "n_changes",
+                    F.col("cls").alias("revisit_class"),
+                    F.col("_gap").cast("long").alias("mean_gap_s"),
+                    suggested.cast("long")
+                    .alias("suggested_interval_s")))

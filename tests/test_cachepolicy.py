@@ -198,6 +198,72 @@ def test_vary_and_retry_after_vectors():
     assert cachex.retry_after_epoch(None, 5) is None
 
 
+HIST_FIX = "fixtures/fetch_history_seed42.parquet"
+
+
+def test_fetch_history_fixture_matches_builder():
+    cols = ("url", "seq", "fetched_epoch", "etag", "content_md5")
+    regen = [tuple(r[c] for c in cols)
+             for r in fixtures.fetch_history_rows()]
+    disk = [tuple(r[c] for c in cols)
+            for r in pq.read_table(HIST_FIX).to_pylist()]
+    assert disk == regen
+    assert len(disk) == 119
+
+
+def test_etag_match_vectors():
+    m = cachex.etag_match
+    # weak comparison: W/ ignored on both sides (RFC 9110 §8.8.3.2)
+    assert m('"a"', '"a"') and m('W/"a"', '"a"') and m('"a"', 'W/"a"')
+    assert m('W/"a"', 'W/"a"')
+    assert not m('"a"', '"b"')
+    # absent / empty never matches (even empty == empty)
+    assert not m(None, '"a"') and not m('"a"', None)
+    assert not m("W/", "W/") and not m("", "")
+    # W/ only strips as a prefix
+    assert m('"xW/"', '"xW/"') and not m('"xW/"', '"x"')
+
+
+def test_fetch_history_spark_matches_pure(spark):
+    from historicaldatadocumentparsersystem_spark.operators import \
+        cachepolicy
+    import collections
+    hist = spark.read.parquet(HIST_FIX)
+    by_url = collections.defaultdict(list)
+    for r in fixtures.fetch_history_rows():
+        by_url[r["url"]].append(r)
+    # pure reference: lag over seq order via cachex.etag_match
+    want_sav, want_cls = {}, {}
+    for url, rows in by_url.items():
+        rows.sort(key=lambda r: r["seq"])
+        nm = sum(cachex.etag_match(b["etag"], a["etag"])
+                 for a, b in zip(rows, rows[1:]))
+        ch = sum(b["content_md5"] != a["content_md5"]
+                 for a, b in zip(rows, rows[1:]))
+        want_sav[url] = (len(rows), nm, ch)
+        n_rev = len(rows) - 1
+        span = rows[-1]["fetched_epoch"] - rows[0]["fetched_epoch"]
+        cls = ("stable" if ch == 0 else
+               "volatile" if ch * 2 >= n_rev else "slow")
+        gap = span // n_rev
+        sug = gap * 4 if cls == "stable" else (
+            gap // 2 if cls == "volatile" else gap)
+        want_cls[url] = (n_rev, ch, cls, gap, sug)
+    got = {r.url: (r.n_fetches, r.n_not_modified, r.n_changed)
+           for r in cachepolicy.conditional_get_savings(hist)
+           .collect()}
+    assert got == want_sav
+    got = {r.url: (r.n_revisits, r.n_changes, r.revisit_class,
+                   r.mean_gap_s, r.suggested_interval_s)
+           for r in cachepolicy.change_rate_classes(hist).collect()}
+    assert got == want_cls
+    # fixture design: every class and the etag-less k=3 urls appear
+    assert {v[2] for v in want_cls.values()} == {
+        "stable", "volatile", "slow"}
+    assert any(v[1] == 0 for v in want_sav.values())      # static
+    assert any(v[1] > 0 and v[2] > 0 for v in want_sav.values())
+
+
 def test_vary_retry_spark_matches_pure(spark):
     from historicaldatadocumentparsersystem_spark.operators import \
         cachepolicy
