@@ -2116,6 +2116,126 @@ def _change_rate_sql() -> str:
         FROM b ORDER BY url"""
 
 
+def _cookie_table_cte() -> str:
+    """Set-Cookie grammar re-derivation (ends in ``ck``): segment
+    split, first-pair validity gate, last-wins attribute picks via
+    list_filter[-1], Domain/Path/SameSite normalization, MAXAGE_RE
+    trust gate, and Max-Age-over-Expires persistence through the
+    shared IMF date-math CTE. Regex/threshold constants are
+    GENERATED from extractor/cookiex.py."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        cookiex
+    ws = "' ' || chr(9)"           # OWS: space + literal tab
+    name = f"trim(substr(nv, 1, e - 1), {ws})"
+
+    def pick(attr: str) -> str:
+        return (f"(list_filter(attrs, a -> a.k = '{attr}'))[-1].v "
+                f"AS {attr.replace('-', '_')}_raw")
+
+    def flag(attr: str) -> str:
+        return (f"len(list_filter(attrs, a -> a.k = '{attr}')) > 0 "
+                f"AS {attr}")
+
+    return f"""
+        c0 AS (SELECT url, seq, fetched_epoch,
+                      string_split(set_cookie, ';') AS segs
+               FROM raw),
+        c1 AS (SELECT *, segs[1] AS nv, strpos(segs[1], '=') AS e
+               FROM c0),
+        c2 AS (
+          SELECT url, seq, fetched_epoch, {name} AS name,
+                 trim(substr(nv, e + 1), {ws}) AS value,
+                 list_transform(segs[2:], s ->
+                   CASE WHEN strpos(s, '=') > 0
+                        THEN {{'k': lower(trim(substr(s, 1,
+                                 strpos(s, '=') - 1), {ws})),
+                              'v': trim(substr(s,
+                                 strpos(s, '=') + 1), {ws})}}
+                        ELSE {{'k': lower(trim(s, {ws})),
+                              'v': CAST(NULL AS VARCHAR)}}
+                   END) AS attrs
+          FROM c1 WHERE e > 0 AND {name} != ''
+        ),
+        c3 AS (
+          SELECT url, seq, fetched_epoch, name, value,
+                 {pick('domain')}, {pick('path')},
+                 {pick('samesite')}, {pick('max-age')},
+                 {pick('expires')},
+                 {flag('secure')}, {flag('httponly')}
+          FROM c2
+        ),
+        t AS (SELECT * FROM c3),
+        {_httpdate_stages(ps=(("cx", "expires_raw"),))},
+        c4 AS (
+          SELECT url, seq, fetched_epoch, name, value,
+                 nullif(CASE WHEN lower(domain_raw) LIKE '.%'
+                             THEN substr(lower(domain_raw), 2)
+                             ELSE lower(domain_raw) END, '')
+                   AS domain,
+                 CASE WHEN path_raw LIKE '/%' THEN path_raw END
+                   AS path,
+                 secure, httponly, lower(samesite_raw) AS samesite,
+                 CASE WHEN regexp_matches(max_age_raw,
+                                          '{cookiex.MAXAGE_RE}')
+                      THEN max_age_raw::bigint END AS max_age,
+                 cx_e
+          FROM x6
+        ),
+        ck AS (
+          SELECT url, seq, name, value, domain, path, secure,
+                 httponly, samesite,
+                 (max_age IS NOT NULL OR cx_e IS NOT NULL)
+                   AS persistent,
+                 (CASE WHEN max_age IS NOT NULL
+                       THEN fetched_epoch + max_age
+                       ELSE cx_e END)::bigint AS expires_epoch,
+                 (CASE WHEN max_age IS NOT NULL
+                       THEN fetched_epoch + max_age
+                       ELSE cx_e END
+                  - fetched_epoch)::bigint AS ttl_s,
+                 fetched_epoch
+          FROM c4
+        )"""
+
+
+def _cookie_table_sql() -> str:
+    return f"""
+        WITH raw AS (SELECT * FROM read_parquet('{_COOKIE_FIX}')),
+        {_cookie_table_cte()}
+        SELECT url, seq::bigint AS seq, name, value, domain, path,
+               secure, httponly, samesite, persistent,
+               expires_epoch, ttl_s
+        FROM ck ORDER BY url, seq"""
+
+
+def _cookie_profile_sql() -> str:
+    from historicaldatadocumentparsersystem_spark.operators import \
+        cookies
+    return f"""
+        WITH raw AS (SELECT * FROM read_parquet('{_COOKIE_FIX}')),
+        {_cookie_table_cte()}
+        SELECT split_part(split_part(url, '://', 2), '/', 1)
+                 AS host,
+               count(*)::bigint AS n_cookies,
+               sum(CASE WHEN persistent THEN 1 ELSE 0 END)::bigint
+                 AS n_persistent,
+               sum(CASE WHEN secure THEN 1 ELSE 0 END)::bigint
+                 AS n_secure,
+               sum(CASE WHEN httponly THEN 1 ELSE 0 END)::bigint
+                 AS n_httponly,
+               sum(CASE WHEN samesite = 'none' THEN 1 ELSE 0
+                   END)::bigint AS n_samesite_none,
+               sum(CASE WHEN persistent
+                             AND ttl_s >= {cookies.LONG_LIVED_S}
+                        THEN 1 ELSE 0 END)::bigint AS n_long_lived,
+               max(CASE WHEN persistent THEN ttl_s END)::bigint
+                 AS max_ttl_s,
+               bool_or(coalesce(persistent AND samesite = 'none'
+                                AND ttl_s >= {cookies.TRACKER_MIN_S},
+                                false)) AS tracker_like
+        FROM ck GROUP BY host ORDER BY host"""
+
+
 def _revisit_buckets_sql() -> str:
     return f"""
         WITH {_cache_policy_cte()},
@@ -2542,6 +2662,8 @@ _CACHE_FIX = os.path.join(_REPO, "fixtures",
 _CACHE_NOW_E = 1741600000
 _HIST_FIX = os.path.join(_REPO, "fixtures",
                          "fetch_history_seed42.parquet")
+_COOKIE_FIX = os.path.join(_REPO, "fixtures",
+                           "set_cookie_seed42_n72.parquet")
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -3294,6 +3416,7 @@ _EXTRA_ORDER = [
     "recrawl_plan", "refresh_targets", "refresh_redirects",
     "vary_profile", "retry_backoff",
     "conditional_get_savings", "change_rate_classes",
+    "cookie_table", "cookie_privacy_profile",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -3740,6 +3863,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (cachepolicy.change_rate_classes(hist)
                 .orderBy("url"))
     q["change_rate_classes"] = q_change_rate
+
+    # --- Set-Cookie privacy family: RFC 6265 storage model + the
+    # per-host tracker-shape rollup (cookiex grammar shared with the
+    # DuckDB re-derivation)
+    def q_cookie_table(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cookies
+        hdrs = spark.read.parquet(_COOKIE_FIX)
+        return cookies.cookie_table(hdrs).orderBy("url", "seq")
+    q["cookie_table"] = q_cookie_table
+
+    def q_cookie_profile(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            cookies
+        hdrs = spark.read.parquet(_COOKIE_FIX)
+        return (cookies.cookie_privacy_profile(
+            cookies.cookie_table(hdrs)).orderBy("host"))
+    q["cookie_privacy_profile"] = q_cookie_profile
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -8920,6 +9061,8 @@ def oracle_sql() -> dict[str, str]:
         "retry_backoff": _retry_backoff_sql(),
         "conditional_get_savings": _cond_get_savings_sql(),
         "change_rate_classes": _change_rate_sql(),
+        "cookie_table": _cookie_table_sql(),
+        "cookie_privacy_profile": _cookie_profile_sql(),
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

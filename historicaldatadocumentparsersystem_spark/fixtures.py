@@ -3705,6 +3705,69 @@ def fetch_history_rows(n_urls: int = 24, seed: int = 42) -> list[dict]:
     return rows
 
 
+def set_cookie_rows(n: int = 72, seed: int = 42) -> list[dict]:
+    """Deterministic Set-Cookie headers (url, seq, fetched_epoch,
+    set_cookie) for the cookie privacy family: session cookies,
+    Max-Age / Expires persistence (and Max-Age-wins conflicts),
+    deletions (negative Max-Age), untrusted Max-Age shapes, ignored
+    headers (no '=' / empty name), duplicate attributes (last wins),
+    OWS-heavy segments, rejected rfc850 Expires, Domain/Path
+    normalization, SameSite variants, and the tracker shape
+    (persistent SameSite=None >= 30 days). ~3 headers per url.
+    Committed as fixtures/set_cookie_seed42_n72.parquet."""
+    base = _dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows: list[dict] = []
+    for i in range(n):
+        host = _HOSTS[((i // 3) * 43) % len(_HOSTS)]
+        d = base + _dt.timedelta(hours=(i // 3) * 13, minutes=i)
+        k = i % 12
+        if k == 0:
+            sc = f"sid=abc{i}; Path=/; HttpOnly"
+        elif k == 1:
+            sc = (f"pref=p{i}; Max-Age={3600 * (1 + i % 50)}; "
+                  "Secure; SameSite=Lax")
+        elif k == 2:
+            # persistent via Expires, NO SameSite (NULL must read
+            # "not a tracker" in the host rollup)
+            sc = (f'uid="u-{i}"; Expires='
+                  f"{_imf_date(d + _dt.timedelta(days=200 + i))}; "
+                  f"Domain=.{host}; Path=/app")
+        elif k == 3:
+            # Max-Age wins over the (stale) Expires; tracker shape
+            sc = (f"tk=t{i}; Max-Age={86400 * 400}; Expires="
+                  f"{_imf_date(d - _dt.timedelta(days=1))}; "
+                  "SameSite=None; Secure")
+        elif k == 4:
+            sc = "old=; Max-Age=-1; Path=/"
+        elif k == 5:
+            sc = (f"x=v{i}; Max-Age=abc; Secure" if (i // 12) % 2 else
+                  f"x=v{i}; Max-Age=9999999999999999")
+        elif k == 6:
+            sc = "=oops; Path=/" if (i // 12) % 2 else "bareword"
+        elif k == 7:
+            sc = (f" a{i} = 1 ;  Path=/one ; path=/two ; "
+                  "SAMESITE=STRICT ;;")
+        elif k == 8:
+            sc = f"s=1; Expires=Sunday, 06-Nov-94 08:49:37 GMT"
+        elif k == 9:
+            sc = (f"d=1; Domain=.WWW.{host}; path=nope" if (i // 12) % 2
+                  else "d=2; Domain; Path=/")
+        elif k == 10:
+            sc = ("v=1; SameSite=NoNe; Max-Age=100" if (i // 12) % 2 else
+                  "v=2; SameSite=Weird; HttpOnly")
+        else:
+            # 30-day SameSite=None boundary: exactly TRACKER_MIN_S
+            sc = ('q="quoted value"; Secure; HttpOnly; '
+                  "Max-Age=2592000; SameSite=none")
+        rows.append({
+            "url": f"https://{host}/page-{i // 3}",
+            "seq": i % 3,
+            "fetched_epoch": int(
+                (d - _dt.datetime(1970, 1, 1)).total_seconds()),
+            "set_cookie": sc})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section
