@@ -3768,6 +3768,83 @@ def set_cookie_rows(n: int = 72, seed: int = 42) -> list[dict]:
     return rows
 
 
+def sec_header_rows(n: int = 60, seed: int = 42) -> list[dict]:
+    """Deterministic security-header captures (url, hsts, csp,
+    referrer_policy, x_frame_options) for the posture family:
+    full-strict hosts, invalid HSTS (duplicate directive / missing
+    or 16-digit max-age / empty name), quoted max-age, CSP with
+    unsafe-inline/eval, duplicate CSP directives (first wins), empty
+    segments, bare directives, case/OWS variants, obsolete
+    ALLOW-FROM, invalid tokens, and all-absent rows. Committed as
+    fixtures/sec_headers_seed42_n60.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        # dedicated two-capture hosts: the posture grade of each
+        # shape pair stays isolated (no cross-shape pollution)
+        host = f"sec{i // 2}.example.net"
+        r = {"url": f"https://{host}/cap-{i}", "hsts": None,
+             "csp": None, "referrer_policy": None,
+             "x_frame_options": None}
+        k = i % 10
+        if k == 0:
+            r["hsts"] = ("max-age=63072000; includeSubDomains; "
+                         "preload")
+            r["csp"] = ("default-src 'self'; script-src 'self' "
+                        "cdn.example.com; frame-ancestors 'none'")
+            r["referrer_policy"] = "strict-origin-when-cross-origin"
+            r["x_frame_options"] = "DENY"
+        elif k == 1:
+            r["hsts"] = "max-age=300; max-age=600"      # dup: invalid
+            r["x_frame_options"] = "SAMEORIGIN"
+        elif k == 2:
+            r["hsts"] = 'max-age="86400"'
+            r["csp"] = ("default-src *; script-src 'unsafe-inline' "
+                        "'unsafe-eval'")
+            r["referrer_policy"] = "origin"
+            r["x_frame_options"] = "sameorigin"
+        elif k == 3:
+            r["hsts"] = "includeSubDomains"             # no max-age
+            r["csp"] = ("default-src 'self'; default-src *; "
+                        "img-src data:")
+            r["referrer_policy"] = "no-referrer, unsafe-url"
+            r["x_frame_options"] = "ALLOW-FROM https://x.example"
+        elif k == 4:
+            pass                                        # all absent
+        elif k == 5:
+            # paired with the all-absent k=4 capture on the same
+            # host: the three variants max the host at score 0 / 2 /
+            # 3 — grades F, D and C all reachable
+            v = (i // 10) % 3
+            if v == 0:
+                r["hsts"] = "max-age=" + "9" * 16
+            elif v == 1:
+                r["hsts"] = "=x; max-age=60"
+                r["csp"] = "; ; script-src 'unsafe-inline' ;"
+            else:
+                r["csp"] = "; ; default-src 'self' ;"
+            r["referrer_policy"] = "not-a-policy"
+            r["x_frame_options"] = "weird"
+        elif k == 6:
+            r["hsts"] = "max-age=0"                     # kill switch
+            r["csp"] = "upgrade-insecure-requests"
+            r["referrer_policy"] = ",same-origin,"
+        elif k == 7:
+            r["hsts"] = " max-age = 60 ; preload "
+            r["csp"] = "default-src\t'self'"
+            r["referrer_policy"] = "ORIGIN"
+            r["x_frame_options"] = " deny "
+        elif k == 8:
+            r["hsts"] = "preload; max-age=31536000"
+            r["csp"] = "script-src 'UNSAFE-INLINE'"
+            r["referrer_policy"] = "no-referrer-when-downgrade"
+            r["x_frame_options"] = "DENY"
+        else:
+            r["csp"] = "frame-ancestors 'self'"
+            r["referrer_policy"] = "same-origin"
+        rows.append(r)
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section
