@@ -2865,6 +2865,8 @@ _COOKIE_FIX = os.path.join(_REPO, "fixtures",
                            "set_cookie_seed42_n72.parquet")
 _SEC_FIX = os.path.join(_REPO, "fixtures",
                         "sec_headers_seed42_n60.parquet")
+_GOLDEN_BIB = os.path.join(_REPO, "fixtures",
+                           "golden_bibtex_seed42_n24.parquet")
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -3619,6 +3621,7 @@ _EXTRA_ORDER = [
     "conditional_get_savings", "change_rate_classes",
     "cookie_table", "cookie_privacy_profile",
     "security_headers", "csp_directives", "host_security_posture",
+    "bibtex_fields", "bib_entry_stats",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -4108,6 +4111,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sechdr.host_security_posture(
             sechdr.security_headers(caps)).orderBy("host"))
     q["host_security_posture"] = q_host_posture
+
+    # --- BibTeX source (citation-database member of the per-format
+    # loader family) — hash-checked against the committed golden
+    # fields parquet (pinned by tests/test_bibtex.py against the
+    # pure re-derivation; macros, concat, paren entries, cp1252)
+    def q_bib(spark, sf_dir):
+        files = fixtures.bib_file_rows(24)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_bib_fields(df)
+    q["bibtex_fields"] = q_bib
+
+    def q_bib_stats(spark, sf_dir):
+        # composition over the GOLDEN on both sides (fields==golden
+        # is proven by bibtex_fields; this isolates the rollup)
+        g = spark.read.parquet(_GOLDEN_BIB)
+        return (g.groupBy("entry_type")
+                .agg(F.countDistinct("url", "pos").cast("long")
+                     .alias("n_entries"),
+                     F.sum(F.col("field").isNotNull().cast("long"))
+                     .alias("n_fields"),
+                     F.countDistinct("key").cast("long")
+                     .alias("n_keys"))
+                .orderBy("entry_type"))
+    q["bib_entry_stats"] = q_bib_stats
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -9293,6 +9322,19 @@ def oracle_sql() -> dict[str, str]:
         "security_headers": _security_headers_sql(),
         "csp_directives": _csp_directives_sql(),
         "host_security_posture": _host_posture_sql(),
+        # bibtex fields: committed golden parquet pinned by
+        # tests/test_bibtex.py against the pure re-derivation
+        "bibtex_fields": f"""
+            SELECT url, pos, entry_type, key, field, value
+            FROM read_parquet('{_GOLDEN_BIB}')""",
+        "bib_entry_stats": f"""
+            SELECT entry_type,
+                   count(DISTINCT (url, pos))::bigint AS n_entries,
+                   sum(CASE WHEN field IS NOT NULL THEN 1 ELSE 0
+                       END)::bigint AS n_fields,
+                   count(DISTINCT key)::bigint AS n_keys
+            FROM read_parquet('{_GOLDEN_BIB}')
+            GROUP BY entry_type ORDER BY entry_type""",
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

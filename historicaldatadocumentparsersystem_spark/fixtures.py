@@ -3845,6 +3845,79 @@ def sec_header_rows(n: int = 60, seed: int = 42) -> list[dict]:
     return rows
 
 
+def bib_file_rows(n: int = 24, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic BibTeX files: (url, payload). Cycles
+    macro definitions + # concatenation, paren-delimited entries,
+    trailing commas, quoted values with protective braces, @comment
+    blocks with nested braces (and a decoy entry inside), duplicate/
+    case-variant fields, @preamble, undefined macros, an
+    unterminated final entry after good ones, UTF-8 vs cp1252
+    accents (decode fallback), fieldless keys, and '@'-free junk.
+    Golden: fixtures/golden_bibtex_seed42_n24.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://bib{i % 7}.example.edu/ref-{i}.bib"
+        k = i % 8
+        if k == 0:
+            body = (
+                f'@string{{venue{i} = "Conf.~on Data"}}\n'
+                f'@string{{pp = "pages " # {1 + i}}}\n'
+                f"@article{{art{i},\n"
+                f"  title = {{Study {i} of {{DNA}} Motifs\n"
+                f"      across lines}},\n"
+                f'  author = "Doe, A. and Roe, B.",\n'
+                f"  year = {1990 + i},\n"
+                f"  journal = venue{i},\n"
+                f"  note = pp\n"
+                f"}}\n"
+                f"@book{{bk{i}, title = {{Vol {i}}}, year = 2001}}\n")
+        elif k == 1:
+            body = (
+                f"@inproceedings(conf{i},\n"
+                f"  title = {{Paren Entry {i}}},\n"
+                f"  booktitle = {{Proc {i}}},\n"
+                f"  pages = {10 * i},\n"
+                f")\n")
+        elif k == 2:
+            body = (
+                f"@article{{q{i},\n"
+                f'  title = "A {{"}}quoted{{"}} brace trick {i}",\n'
+                f'  month = "jan" # "--" # "feb",\n'
+                f"}}\n")
+        elif k == 3:
+            body = (
+                "leading junk, not entries: a@b.c\n"
+                f"@comment{{ skip {{nested {{deep}}}} "
+                f"@article{{decoy{i}, x=1}} }}\n"
+                f"@misc{{only{i}}}\n"
+                f"@techreport{{tr{i}, institution = {{Lab {i}}}}}\n")
+        elif k == 4:
+            body = (
+                f"@PREAMBLE{{ \"\\\\def\\\\x{{{i}}}\" }}\n"
+                f"@Article{{dup{i},\n"
+                f"  Year = {2000 + i},\n"
+                f"  YEAR = 1111,\n"
+                f"  title = {{First Wins {i}}}\n"
+                f"}}\n")
+        elif k == 5:
+            body = (
+                f"@misc{{ok{i}, note = undefined{i} # \" tail\"}}\n"
+                f"@article{{bad{i}, title = {{never closed {i}\n")
+        elif k == 6:
+            txt = (f"@article{{u{i},\n"
+                   f"  author = {{Émile Müller {i}}},\n"
+                   f"  title = {{Café {i}}}\n}}\n")
+            rows.append({"url": url,
+                         "payload": txt.encode(
+                             "utf-8" if (i // 8) % 2 else "cp1252")})
+            continue
+        else:
+            body = ("no at-signs here at all\n" if (i // 8) % 2
+                    else "")
+        rows.append({"url": url, "payload": body.encode("utf-8")})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

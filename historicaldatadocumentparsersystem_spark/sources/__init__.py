@@ -827,6 +827,58 @@ def read_rtf_elements(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, ODT_ELEMENTS_DDL))
 
 
+BIB_FIELDS_DDL = ("url string, pos int, entry_type string, "
+                  "key string, field string, value string")
+
+
+def read_bib_fields(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, .bib payload) rows -> one row per FIELD of each parsed
+    BibTeX entry (fieldless entries emit a single row with NULL
+    field/value, so every entry survives the flatten).
+
+    Per-row parse is the pure ``extractor.bibx.extract_bib_entries``
+    (golden-pinned, rtfx pattern). No sniff/core-dispatch branch:
+    a bare ``@`` is not an unambiguous magic, so .bib payloads are
+    routed by the caller, not guessed."""
+    import pandas as pd
+
+    from ..extractor.bibx import extract_bib_entries
+
+    def parse(batches):
+        for b in batches:
+            urls, poss, kinds, keys, fs, vs = [], [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    entries = extract_bib_entries(bytes(payload))
+                except Exception:
+                    continue
+                for e in entries:
+                    if not e["fields"]:
+                        urls.append(url)
+                        poss.append(e["pos"])
+                        kinds.append(e["entry_type"])
+                        keys.append(e["key"])
+                        fs.append(None)
+                        vs.append(None)
+                    for fname, val in e["fields"]:
+                        urls.append(url)
+                        poss.append(e["pos"])
+                        kinds.append(e["entry_type"])
+                        keys.append(e["key"])
+                        fs.append(fname)
+                        vs.append(val)
+            yield pd.DataFrame({
+                "url": urls,
+                "pos": pd.array(poss, dtype="int32"),
+                "entry_type": kinds, "key": keys,
+                "field": fs, "value": vs})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, BIB_FIELDS_DDL))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
