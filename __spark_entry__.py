@@ -2867,6 +2867,8 @@ _SEC_FIX = os.path.join(_REPO, "fixtures",
                         "sec_headers_seed42_n60.parquet")
 _GOLDEN_BIB = os.path.join(_REPO, "fixtures",
                            "golden_bibtex_seed42_n24.parquet")
+_GOLDEN_FM = os.path.join(_REPO, "fixtures",
+                          "golden_frontmatter_seed42_n20.parquet")
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -3622,6 +3624,7 @@ _EXTRA_ORDER = [
     "cookie_table", "cookie_privacy_profile",
     "security_headers", "csp_directives", "host_security_posture",
     "bibtex_fields", "bib_entry_stats",
+    "front_matter", "front_matter_meta",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -4137,6 +4140,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_keys"))
                 .orderBy("entry_type"))
     q["bib_entry_stats"] = q_bib_stats
+
+    # --- markdown front matter (Jekyll/Hugo YAML micro-subset) —
+    # hash-checked against the committed golden parquet (pinned by
+    # tests/test_frontmatter.py against the pure re-derivation)
+    def q_front_matter(spark, sf_dir):
+        files = fixtures.md_doc_rows(20)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_front_matter(df)
+    q["front_matter"] = q_front_matter
+
+    def q_fm_meta(spark, sf_dir):
+        # composition over the GOLDEN on both sides (rows==golden is
+        # proven by front_matter; this isolates the pivot)
+        g = spark.read.parquet(_GOLDEN_FM)
+        return (g.groupBy("url")
+                .agg(F.max(F.when(F.col("key") == "title",
+                                  F.col("value"))).alias("title"),
+                     F.max(F.when(F.col("key") == "date",
+                                  F.col("value"))).alias("pub_date"),
+                     F.sum(((F.col("key") == "tags")
+                            & F.col("idx").isNotNull())
+                           .cast("long")).alias("n_tags"),
+                     F.bool_or(F.coalesce(
+                         (F.col("key") == "draft")
+                         & (F.col("value") == "true"),
+                         F.lit(False))).alias("draft"))
+                .orderBy("url"))
+    q["front_matter_meta"] = q_fm_meta
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -9335,6 +9368,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT key)::bigint AS n_keys
             FROM read_parquet('{_GOLDEN_BIB}')
             GROUP BY entry_type ORDER BY entry_type""",
+        # front matter: committed golden parquet pinned by
+        # tests/test_frontmatter.py against the pure re-derivation
+        "front_matter": f"""
+            SELECT url, pos, key, idx, value
+            FROM read_parquet('{_GOLDEN_FM}')""",
+        "front_matter_meta": f"""
+            SELECT url,
+                   max(CASE WHEN key = 'title' THEN value END)
+                     AS title,
+                   max(CASE WHEN key = 'date' THEN value END)
+                     AS pub_date,
+                   sum(CASE WHEN key = 'tags' AND idx IS NOT NULL
+                       THEN 1 ELSE 0 END)::bigint AS n_tags,
+                   bool_or(coalesce(key = 'draft'
+                                    AND value = 'true', false))
+                     AS draft
+            FROM read_parquet('{_GOLDEN_FM}')
+            GROUP BY url ORDER BY url""",
         # notebook cells: committed golden parquet pinned by
         # tests/test_ipynb.py against the pure re-derivation
         "ipynb_cells": f"""

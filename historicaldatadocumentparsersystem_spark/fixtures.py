@@ -3918,6 +3918,61 @@ def bib_file_rows(n: int = 24, seed: int = 42) -> list[dict]:
     return rows
 
 
+def md_doc_rows(n: int = 20, seed: int = 42) -> list[dict]:
+    """Deterministic markdown documents (url, payload) for the
+    front-matter family: full Jekyll-style blocks (scalars, quoted
+    values, block + inline lists, comments, duplicate keys),
+    BOM/CRLF variants, '...' terminators, empty blocks, nested maps
+    (ignored per subset), documents without front matter, and
+    unterminated blocks. Golden:
+    fixtures/golden_frontmatter_seed42_n20.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://md{i % 5}.example.dev/post-{i}.md"
+        k = i % 8
+        if k == 0:
+            body = (f"---\n"
+                    f'title: "Post {i}: a study"\n'
+                    f"date: 2024-0{1 + i % 9}-15\n"
+                    f"tags:\n  - nlp\n  - 'web {i}'\n"
+                    f"draft: {'true' if i % 3 else 'false'}\n"
+                    f"---\n# Heading\nBody {i}.\n")
+        elif k == 1:
+            body = (f"---\r\n"
+                    f"title: CRLF Doc {i}\r\n"
+                    f"categories: [a, b , \"c {i}\"]\r\n"
+                    f"...\r\n"
+                    f"Body.\r\n")
+        elif k == 2:
+            body = (f"---\n"
+                    f"# build metadata\n"
+                    f"title: First {i}\n"
+                    f"title: Last Wins {i}\n"
+                    f"weight_2: -3\n"
+                    f"empty-list: []\n"
+                    f"nullish:\n"
+                    f"nested:\n  sub: ignored\n"
+                    f"---\nBody\n")
+        elif k == 3:
+            body = f"# No Front Matter {i}\n\nJust prose.\n"
+        elif k == 4:
+            body = f"---\ntitle: Unterminated {i}\nNo end marker.\n"
+        elif k == 5:
+            body = ("\ufeff---\n"
+                    f"author: 'O''Brien {i}'\n"
+                    f"summary: \"quotes \\\" stay\"\n"
+                    "---\nBody after BOM.\n")
+        elif k == 6:
+            body = "---\n---\nEmpty block body.\n"
+        else:
+            body = (f"---\n"
+                    f"series:\n- one\n- two {i}\n"
+                    f"rating: 4.5\n"
+                    f"---\nBody.\n")
+        rows.append({"url": url, "payload": body.encode("utf-8")})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

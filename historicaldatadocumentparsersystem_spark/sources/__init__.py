@@ -879,6 +879,51 @@ def read_bib_fields(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, BIB_FIELDS_DDL))
 
 
+FRONT_MATTER_DDL = ("url string, pos int, key string, idx int, "
+                    "value string")
+
+
+def read_front_matter(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, markdown payload) rows -> one row per front-matter
+    scalar / list item (Jekyll/Hugo YAML micro-subset). Documents
+    without a front-matter block emit nothing (F5).
+
+    Per-row parse is the pure ``extractor.frontmx.parse_front_matter``
+    (golden-pinned); payloads decode strict-UTF-8 then cp1252 (the
+    bibx fallback)."""
+    import pandas as pd
+
+    from ..extractor.bibx import _decode
+    from ..extractor.frontmx import parse_front_matter
+
+    def parse(batches):
+        for b in batches:
+            urls, poss, keys, idxs, vals = [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    rows, _ = parse_front_matter(
+                        _decode(bytes(payload)))
+                except Exception:
+                    continue
+                for pos, key, idx, val in rows:
+                    urls.append(url)
+                    poss.append(pos)
+                    keys.append(key)
+                    idxs.append(idx)
+                    vals.append(val)
+            yield pd.DataFrame({
+                "url": urls,
+                "pos": pd.array(poss, dtype="int32"),
+                "key": keys,
+                "idx": pd.array(idxs, dtype="Int32"),
+                "value": vals})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, FRONT_MATTER_DDL))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
