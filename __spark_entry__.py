@@ -2435,6 +2435,33 @@ def _host_posture_sql() -> str:
         FROM sc GROUP BY host ORDER BY host"""
 
 
+def _llms_files_sql() -> str:
+    """Oracle for llms_txt_files: the PURE parser feeds the VALUES
+    rows (subset pinned by tests/test_llmstxt.py vectors)."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        bibx, llmstxtx
+
+    def s(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") \
+            + "'"
+
+    rows = []
+    for r in fixtures.llms_txt_rows(16):
+        d = llmstxtx.parse_llms_txt(bibx._decode(r["payload"]))
+        opt = "true" if "optional" in [x.lower() for x in
+                                       d["sections"]] else "false"
+        rows.append(f"({s(r['url'])}, {s(d['title'])}, "
+                    f"{s(d['summary'])}, "
+                    f"{len(d['sections'])}::bigint, "
+                    f"{len(d['links'])}::bigint, {opt})")
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, title, summary, n_sections, n_links, has_optional)
+        ORDER BY url"""
+
+
 def _revisit_buckets_sql() -> str:
     return f"""
         WITH {_cache_policy_cte()},
@@ -2869,6 +2896,8 @@ _GOLDEN_BIB = os.path.join(_REPO, "fixtures",
                            "golden_bibtex_seed42_n24.parquet")
 _GOLDEN_FM = os.path.join(_REPO, "fixtures",
                           "golden_frontmatter_seed42_n20.parquet")
+_GOLDEN_LLMS = os.path.join(_REPO, "fixtures",
+                            "golden_llms_seed42_n16.parquet")
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -3625,6 +3654,7 @@ _EXTRA_ORDER = [
     "security_headers", "csp_directives", "host_security_posture",
     "bibtex_fields", "bib_entry_stats",
     "front_matter", "front_matter_meta",
+    "llms_txt_links", "llms_txt_files",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -4170,6 +4200,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.lit(False))).alias("draft"))
                 .orderBy("url"))
     q["front_matter_meta"] = q_fm_meta
+
+    # --- llms.txt discovery surface (llmstxt.org) — curated-link
+    # rows hash-checked against the committed golden; file-level
+    # rollup against the pure-parser-fed VALUES twin
+    def q_llms_links(spark, sf_dir):
+        files = fixtures.llms_txt_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_llms_links(df)
+    q["llms_txt_links"] = q_llms_links
+
+    def q_llms_files(spark, sf_dir):
+        files = fixtures.llms_txt_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_llms_files(df).orderBy("url")
+    q["llms_txt_files"] = q_llms_files
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -9368,6 +9417,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT key)::bigint AS n_keys
             FROM read_parquet('{_GOLDEN_BIB}')
             GROUP BY entry_type ORDER BY entry_type""",
+        # llms.txt links: committed golden parquet pinned by
+        # tests/test_llmstxt.py against the pure re-derivation
+        "llms_txt_links": f"""
+            SELECT url, pos, section, name, href, description
+            FROM read_parquet('{_GOLDEN_LLMS}')""",
+        "llms_txt_files": _llms_files_sql(),
         # front matter: committed golden parquet pinned by
         # tests/test_frontmatter.py against the pure re-derivation
         "front_matter": f"""

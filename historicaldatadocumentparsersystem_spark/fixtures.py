@@ -3973,6 +3973,56 @@ def md_doc_rows(n: int = 20, seed: int = 42) -> list[dict]:
     return rows
 
 
+def llms_txt_rows(n: int = 16, seed: int = 42) -> list[dict]:
+    """Deterministic llms.txt files (url, payload): canonical
+    title+summary+sections shape, an Optional section, preamble
+    links before any H2, * bullets, desc-less links, malformed
+    items (ignored), multi-line blockquotes, prose noise, missing
+    H1, CRLF, and empty files. Golden:
+    fixtures/golden_llms_seed42_n16.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://llms{i}.example.org/llms.txt"
+        k = i % 6
+        if k == 0:
+            body = (f"# Site {i} Docs\n\n"
+                    f"> Curated docs for site {i},\n"
+                    f"> ranked by usefulness.\n\n"
+                    f"Some prose the parser ignores.\n\n"
+                    f"## Docs\n"
+                    f"- [Intro](https://s{i}.example.org/intro.md):"
+                    f" Start here\n"
+                    f"- [API](https://s{i}.example.org/api.md): "
+                    f"Reference\n\n"
+                    f"## Optional\n"
+                    f"- [Changelog](https://s{i}.example.org/"
+                    f"log.md)\n")
+        elif k == 1:
+            body = (f"# Minimal {i}\n"
+                    f"- [Pre](https://p{i}.example.org/a): before "
+                    f"any section\n"
+                    f"## Guides\n"
+                    f"* [Star bullet](https://p{i}.example.org/b)\n"
+                    f"-[no space](https://bad.example.org)\n"
+                    f"- [unclosed](https://bad.example.org\n")
+        elif k == 2:
+            body = (f"## Sectionless Title {i}\r\n"
+                    f"- [CRLF](https://c{i}.example.org/x): desc "
+                    f"with: colon\r\n")
+        elif k == 3:
+            body = (f"> Quote without title {i}\n\n"
+                    f"# Late Title {i}\n"
+                    f"# Second H1 ignored\n"
+                    f"## S\n"
+                    f"- [L](https://l{i}.example.org/)\n")
+        elif k == 4:
+            body = f"Just prose {i}, no structure at all.\n"
+        else:
+            body = ""
+        rows.append({"url": url, "payload": body.encode("utf-8")})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

@@ -924,6 +924,84 @@ def read_front_matter(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, FRONT_MATTER_DDL))
 
 
+LLMS_LINKS_DDL = ("url string, pos int, section string, "
+                  "name string, href string, description string")
+
+
+def read_llms_links(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, llms.txt payload) rows -> one row per curated link
+    (pos, section, name, href, desc). Pure parse:
+    ``extractor.llmstxtx.parse_llms_txt`` (golden-pinned)."""
+    import pandas as pd
+
+    from ..extractor.bibx import _decode
+    from ..extractor.llmstxtx import parse_llms_txt
+
+    def parse(batches):
+        for b in batches:
+            urls, poss, secs, names, hrefs, descs = \
+                [], [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    d = parse_llms_txt(_decode(bytes(payload)))
+                except Exception:
+                    continue
+                for pos, sec, name, href, desc in d["links"]:
+                    urls.append(url)
+                    poss.append(pos)
+                    secs.append(sec)
+                    names.append(name)
+                    hrefs.append(href)
+                    descs.append(desc)
+            yield pd.DataFrame({
+                "url": urls, "pos": pd.array(poss, dtype="int32"),
+                "section": secs, "name": names, "href": hrefs,
+                "description": descs})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, LLMS_LINKS_DDL))
+
+
+def read_llms_files(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, llms.txt payload) rows -> one file-level row each:
+    title, summary, n_sections, n_links, has_optional (an
+    'Optional' section marks crawl-skippable links per the
+    proposal)."""
+    import pandas as pd
+
+    from ..extractor.bibx import _decode
+    from ..extractor.llmstxtx import parse_llms_txt
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    d = parse_llms_txt(_decode(bytes(payload)))
+                except Exception:
+                    continue
+                rows.append((url, d["title"], d["summary"],
+                             len(d["sections"]), len(d["links"]),
+                             "optional" in [s.lower() for s in
+                                            d["sections"]]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "title", "summary", "n_sections", "n_links",
+                "has_optional"])
+            for c in ("n_sections", "n_links"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, "url string, title string, "
+                                "summary string, n_sections bigint, "
+                                "n_links bigint, "
+                                "has_optional boolean"))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
