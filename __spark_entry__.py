@@ -2435,6 +2435,61 @@ def _host_posture_sql() -> str:
         FROM sc GROUP BY host ORDER BY host"""
 
 
+def _license_sig_cte() -> str:
+    """Three-channel license signals (ends in ``sig``) — regexes
+    and the phrase table GENERATED from extractor/licensex.py (the
+    soft404 precedent)."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        licensex
+    cc = licensex.CC_HREF_RE
+    phrase_sel = "\n          UNION ALL\n          ".join(
+        f"SELECT url, 'phrase' AS source, '{lic}' AS license_id "
+        f"FROM raw WHERE text IS NOT NULL "
+        f"AND contains(lower(text), '{needle}')"
+        for needle, lic in licensex.PHRASES)
+    return f"""
+        raw AS (SELECT * FROM read_parquet('{_LIC_FIX}')),
+        sig0 AS (
+          SELECT url, 'link' AS source,
+                 CASE WHEN regexp_extract(href, '{cc}', 1) != ''
+                      THEN 'CC-' ||
+                           upper(regexp_extract(href, '{cc}', 1))
+                           || '-' ||
+                           regexp_extract(href, '{cc}', 2)
+                      WHEN regexp_matches(href,
+                               '{licensex.CC0_HREF_RE}')
+                      THEN 'CC0-1.0' END AS license_id
+          FROM raw WHERE href IS NOT NULL
+          UNION ALL
+          SELECT url, 'spdx',
+                 regexp_extract(text, '{licensex.SPDX_RE}', 1)
+          FROM raw WHERE text IS NOT NULL
+          UNION ALL
+          {phrase_sel}
+        ),
+        sig AS (
+          SELECT * FROM sig0
+          WHERE license_id IS NOT NULL AND license_id != ''
+        )"""
+
+
+def _license_signals_sql() -> str:
+    return f"""
+        WITH {_license_sig_cte()}
+        SELECT url, source, license_id FROM sig
+        ORDER BY url, source, license_id"""
+
+
+def _license_resolve_sql() -> str:
+    return f"""
+        WITH {_license_sig_cte()}
+        SELECT url, license_id, source FROM sig
+        QUALIFY row_number() OVER (PARTITION BY url ORDER BY
+          CASE source WHEN 'link' THEN 0 WHEN 'spdx' THEN 1
+               ELSE 2 END, license_id, source) = 1
+        ORDER BY url"""
+
+
 def _llms_files_sql() -> str:
     """Oracle for llms_txt_files: the PURE parser feeds the VALUES
     rows (subset pinned by tests/test_llmstxt.py vectors)."""
@@ -2898,6 +2953,8 @@ _GOLDEN_FM = os.path.join(_REPO, "fixtures",
                           "golden_frontmatter_seed42_n20.parquet")
 _GOLDEN_LLMS = os.path.join(_REPO, "fixtures",
                             "golden_llms_seed42_n16.parquet")
+_LIC_FIX = os.path.join(_REPO, "fixtures",
+                        "license_pages_seed42_n40.parquet")
 # fixed "now" for the security.txt expiry gate (all three engines)
 _SECTXT_NOW_Z = "2026-08-19T00:00:00Z"
 _GOLDEN_IPYNB = os.path.join(_REPO, "fixtures",
@@ -3655,6 +3712,7 @@ _EXTRA_ORDER = [
     "bibtex_fields", "bib_entry_stats",
     "front_matter", "front_matter_meta",
     "llms_txt_links", "llms_txt_files",
+    "license_signals", "license_resolve",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -4219,6 +4277,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(4)
         return sources.read_llms_files(df).orderBy("url")
     q["llms_txt_files"] = q_llms_files
+
+    # --- content-license detection (training-data gate): CC link /
+    # SPDX / phrase channels, resolved by precedence — TRUE
+    # dual-engine (JVM built-ins vs generated SQL, shared constants)
+    def q_license_signals(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            licensing
+        raw = spark.read.parquet(_LIC_FIX)
+        return (licensing.license_signals(
+            raw.where(F.col("href").isNotNull()),
+            raw.where(F.col("text").isNotNull()))
+            .orderBy("url", "source", "license_id"))
+    q["license_signals"] = q_license_signals
+
+    def q_license_resolve(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators import \
+            licensing
+        raw = spark.read.parquet(_LIC_FIX)
+        sig = licensing.license_signals(
+            raw.where(F.col("href").isNotNull()),
+            raw.where(F.col("text").isNotNull()))
+        return licensing.license_resolve(sig).orderBy("url")
+    q["license_resolve"] = q_license_resolve
 
     # --- unicode NFC clean + ascii fold (web-corpus hygiene) —
     # SQL-checked (DuckDB nfc_normalize/strip_accents twins; shared
@@ -9423,6 +9504,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, pos, section, name, href, description
             FROM read_parquet('{_GOLDEN_LLMS}')""",
         "llms_txt_files": _llms_files_sql(),
+        "license_signals": _license_signals_sql(),
+        "license_resolve": _license_resolve_sql(),
         # front matter: committed golden parquet pinned by
         # tests/test_frontmatter.py against the pure re-derivation
         "front_matter": f"""

@@ -4023,6 +4023,67 @@ def llms_txt_rows(n: int = 16, seed: int = 42) -> list[dict]:
     return rows
 
 
+def license_page_rows(n: int = 40, seed: int = 42) -> list[dict]:
+    """Deterministic license-signal rows (url, href, text) — href
+    rows are outgoing links (text NULL), text rows are page bodies
+    (href NULL). Cycles CC license/CC0 links (with deed suffixes and
+    query strings), SPDX tags, phrase boilerplate, channel conflicts
+    (link must win), multi-phrase pages, and signal-free pages.
+    Committed as fixtures/license_pages_seed42_n40.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://lic{i}.example.org/page"
+        k = i % 10
+        if k == 0:
+            rows.append({"url": url, "href":
+                         "https://creativecommons.org/licenses/"
+                         "by/4.0/", "text": None})
+            rows.append({"url": url, "href": None, "text":
+                         f"Footer {i}. All Rights Reserved."})
+        elif k == 1:
+            rows.append({"url": url, "href":
+                         "http://creativecommons.org/licenses/"
+                         "by-sa/3.0/deed.en", "text": None})
+        elif k == 2:
+            rows.append({"url": url, "href":
+                         "https://creativecommons.org/publicdomain/"
+                         "zero/1.0/?ref=chooser", "text": None})
+        elif k == 3:
+            rows.append({"url": url, "href": None, "text":
+                         f"// SPDX-License-Identifier: MIT\n"
+                         f"code body {i}"})
+        elif k == 4:
+            rows.append({"url": url, "href": None, "text":
+                         f"Para {i}. Licensed under the Apache "
+                         'License, Version 2.0 (the "License").'})
+        elif k == 5:
+            rows.append({"url": url, "href": None, "text":
+                         f"Dual {i}: the MIT License or the GNU "
+                         "General Public License."})
+        elif k == 6:
+            rows.append({"url": url, "href":
+                         f"https://other{i}.example.com/about",
+                         "text": None})
+            rows.append({"url": url, "href": None, "text":
+                         f"No license words here {i}."})
+        elif k == 7:
+            rows.append({"url": url, "href":
+                         "https://creativecommons.org/licenses/"
+                         "by-nc-nd/2.5/", "text": None})
+        elif k == 8:
+            rows.append({"url": url, "href": None, "text":
+                         f"SPDX-License-Identifier: GPL-3.0-only\n"
+                         f"see COPYING {i}"})
+            rows.append({"url": url, "href":
+                         "https://creativecommons.org/licenses/"
+                         "by-nd/4.0/legalcode", "text": None})
+        else:
+            rows.append({"url": url, "href": None, "text":
+                         f"Copyright {1990 + i}. all rights "
+                         "reserved. Contact us."})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section
