@@ -4084,6 +4084,49 @@ def license_page_rows(n: int = 40, seed: int = 42) -> list[dict]:
     return rows
 
 
+def infra_header_rows(n: int = 48, seed: int = 42) -> list[dict]:
+    """Deterministic infrastructure headers (url, alt_svc, server):
+    h3/h2 alternatives with ma/persist params, `clear`, dropped
+    shapes (no '=', portless authority, bad port), last-VALID-wins
+    duplicate ma, quoted commas inside authorities, untrusted
+    16-digit ma (falls back to the spec default), and Server values
+    with nested comments / bare products / IIS-style versions.
+    Committed as fixtures/infra_headers_seed42_n48.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        host = f"infra{i // 2}.example.net"
+        r = {"url": f"https://{host}/cap-{i}", "alt_svc": None,
+             "server": None}
+        k = i % 8
+        if k == 0:
+            r["alt_svc"] = (f'h3=":443"; ma={3600 * (1 + i % 9)}, '
+                            'h2=":443"')
+            r["server"] = f"nginx/1.25.{i % 4}"
+        elif k == 1:
+            r["alt_svc"] = (f'h3-29="alt{i}.example.com:8443"; '
+                            "persist=1")
+            r["server"] = ("Apache/2.4.57 (Ubuntu) "
+                           "OpenSSL/3.0.2")
+        elif k == 2:
+            r["alt_svc"] = "clear"
+            r["server"] = "cloudflare"
+        elif k == 3:
+            r["server"] = "Microsoft-IIS/10.0"
+        elif k == 4:
+            r["alt_svc"] = ('h2=":443"; ma=abc; ma=60, bogus, '
+                            '=x, h3=":99999"')
+            r["server"] = "gws (comment (nested) more) Product/1.2"
+        elif k == 5:
+            r["alt_svc"] = (f'h3="noport.example", h3=":443"; '
+                            f'ma={"9" * 16}')
+        elif k == 6:
+            r["alt_svc"] = 'h3=":443"; x="a,b", h2=":443"; ma=300'
+            r["server"] = "Varnish"
+        # k == 7: both absent
+        rows.append(r)
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section
