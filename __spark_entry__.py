@@ -3835,7 +3835,7 @@ _EXTRA_ORDER = [
     "conditional_get_savings", "change_rate_classes",
     "cookie_table", "cookie_privacy_profile",
     "security_headers", "csp_directives", "host_security_posture",
-    "bibtex_fields", "bib_entry_stats",
+    "bibtex_fields", "bib_entry_stats", "bib_crossref_resolve",
     "front_matter", "front_matter_meta",
     "llms_txt_links", "llms_txt_files",
     "license_signals", "license_resolve",
@@ -4356,6 +4356,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_keys"))
                 .orderBy("entry_type"))
     q["bib_entry_stats"] = q_bib_stats
+
+    def q_bib_xref(spark, sf_dir):
+        # golden on both sides: isolates the inheritance joins
+        from historicaldatadocumentparsersystem_spark.operators import \
+            bibops
+        g = spark.read.parquet(_GOLDEN_BIB)
+        return (bibops.bib_crossref_resolve(g)
+                .orderBy("url", "pos", "inherited", "field"))
+    q["bib_crossref_resolve"] = q_bib_xref
 
     # --- markdown front matter (Jekyll/Hugo YAML micro-subset) —
     # hash-checked against the committed golden parquet (pinned by
@@ -9663,6 +9672,46 @@ def oracle_sql() -> dict[str, str]:
         "alt_svc_alternatives": _alt_svc_sql(),
         "host_transport_profile": _transport_profile_sql(),
         "server_products": _server_products_sql(),
+        # crossref inheritance: the same joins in SQL over the
+        # golden (first-in-file parent wins a duplicated key;
+        # chains not followed — bibtex's single pass)
+        "bib_crossref_resolve": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_BIB}')),
+            own AS (
+              SELECT url, pos, entry_type, key, field, value,
+                     false AS inherited
+              FROM g
+            ),
+            xref AS (
+              SELECT url, pos, entry_type, key,
+                     lower(value) AS target
+              FROM g WHERE field = 'crossref'
+            ),
+            pf AS (
+              SELECT url, lower(key) AS target, pos, field, value
+              FROM g WHERE key IS NOT NULL AND field IS NOT NULL
+                        AND field != 'crossref'
+            ),
+            parents AS (
+              SELECT * FROM pf
+              QUALIFY pos = min(pos)
+                OVER (PARTITION BY url, target)
+            ),
+            cand AS (
+              SELECT x.url, x.pos, x.entry_type, x.key,
+                     p.field, p.value, true AS inherited
+              FROM xref x JOIN parents p
+                ON x.url = p.url AND x.target = p.target
+            )
+            SELECT * FROM own
+            UNION ALL
+            SELECT * FROM cand c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM g
+              WHERE g.url = c.url AND g.pos = c.pos
+                AND g.field = c.field)
+            ORDER BY url, pos, inherited, field""",
         # front matter: committed golden parquet pinned by
         # tests/test_frontmatter.py against the pure re-derivation
         "front_matter": f"""

@@ -3872,12 +3872,19 @@ def bib_file_rows(n: int = 24, seed: int = 42) -> list[dict]:
                 f"}}\n"
                 f"@book{{bk{i}, title = {{Vol {i}}}, year = 2001}}\n")
         elif k == 1:
+            # crossref target key matches case-INsensitively
             body = (
                 f"@inproceedings(conf{i},\n"
                 f"  title = {{Paren Entry {i}}},\n"
                 f"  booktitle = {{Proc {i}}},\n"
                 f"  pages = {10 * i},\n"
-                f")\n")
+                f"  crossref = {{PROC{i}}},\n"
+                f")\n"
+                f"@proceedings{{proc{i},\n"
+                f"  booktitle = {{Shared Proc {i}}},\n"
+                f"  year = {2015 + i % 5},\n"
+                f"  publisher = {{Pub {i}}}\n"
+                f"}}\n")
         elif k == 2:
             body = (
                 f"@article{{q{i},\n"

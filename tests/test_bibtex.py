@@ -27,7 +27,7 @@ def test_bibtex_matches_committed_golden():
                r["field"], r["value"])
               for r in pq.read_table(GOLDEN_BIB).to_pylist()]
     assert golden == _pure_rows(24)
-    assert len(golden) == 60
+    assert len(golden) == 72
 
 
 def test_grammar_vectors():
@@ -76,6 +76,31 @@ def test_grammar_vectors():
     es = bibx.extract_bib_entries("@a{k, t = {Caf\xe9}}"
                                   .encode("cp1252"))
     assert es[0]["fields"] == [("t", "Café")]
+
+
+def test_crossref_resolve_semantics(spark):
+    from historicaldatadocumentparsersystem_spark.operators import \
+        bibops
+    df = spark.createDataFrame(
+        [("u", 0, "inproceedings", "c1", "title", "Own"),
+         ("u", 0, "inproceedings", "c1", "crossref", "P1"),
+         ("u", 1, "proceedings", "p1", "title", "ParentTitle"),
+         ("u", 1, "proceedings", "p1", "year", "1999"),
+         ("u", 1, "proceedings", "p1", "crossref", "GP"),
+         # duplicate parent key: first in file order wins
+         ("u", 2, "proceedings", "P1", "year", "2222"),
+         ("u", 3, "misc", "gp", "note", "grandparent")],
+        "url string, pos int, entry_type string, key string, "
+        "field string, value string")
+    got = {(r.pos, r.field): (r.value, r.inherited)
+           for r in bibops.bib_crossref_resolve(df).collect()
+           if r.pos == 0}
+    # own title kept; parent title NOT inherited (child defines it);
+    # year inherited from the FIRST p1; the parent's crossref (a
+    # chain to gp) is NOT inherited, and gp's note doesn't leak
+    assert got == {(0, "title"): ("Own", False),
+                   (0, "crossref"): ("P1", False),
+                   (0, "year"): ("1999", True)}
 
 
 def test_spark_reader_matches_golden(spark):
