@@ -3840,7 +3840,7 @@ _EXTRA_ORDER = [
     "llms_txt_links", "llms_txt_files",
     "license_signals", "license_resolve",
     "alt_svc_alternatives", "host_transport_profile",
-    "server_products",
+    "server_products", "parked_gate",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -4017,6 +4017,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .otherwise(F.lit(""))))
         return webtext.interstitial_gate(marked)
     q["interstitial_gate"] = q_interstitial
+
+    # --- parked-domain gate — same soft404 shape (arithmetic
+    # marking, generated phrase chains)
+    def q_parked(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        marked = docs.withColumn("text", F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" This domain is for sale. Interested in "
+                         "this domain? Contact the registrar."))
+             .when(F.col("doc_id") % 13 == 4,
+                   F.lit(" The domain is parked free, courtesy of "
+                         "the registrar."))
+             .when(F.col("doc_id") % 13 == 8,
+                   F.lit(" domain name registration"))
+             .otherwise(F.lit(""))))
+        return webtext.parked_gate(marked)
+    q["parked_gate"] = q_parked
 
     # --- dedup clustering: connected components over near-dup pairs —
     # SQL-checked (oracle: recursive-CTE transitive closure + min)
@@ -8576,6 +8594,36 @@ def oracle_sql() -> dict[str, str]:
                    NOT (consent_hits >= 2 AND n_words <= 80)
                      AND NOT (paywall_hits >= 1 AND n_words <= 80)
                      AS keep
+            FROM sig""",
+        "parked_gate": rf"""
+            WITH marked AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 13 = 0
+                         THEN ' This domain is for sale. Interested in this domain? Contact the registrar.'
+                       WHEN doc_id % 13 = 4
+                         THEN ' The domain is parked free, courtesy of the registrar.'
+                       WHEN doc_id % 13 = 8
+                         THEN ' domain name registration'
+                       ELSE '' END AS text
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text),
+                         '\s+'), x -> x != ''))::bigint AS n_words,
+                     ({" + ".join(
+                         f"CASE WHEN contains(lower(text), '{p}') "
+                         "THEN 1 ELSE 0 END"
+                         for p in webtext.PARKED_PHRASES)})::bigint
+                       AS parked_hits
+              FROM marked
+            )
+            SELECT doc_id, n_words, parked_hits,
+                   n_words <= 120 AS is_thin,
+                   parked_hits >= 2 OR (parked_hits >= 1
+                     AND n_words <= 120) AS parked,
+                   NOT (parked_hits >= 2 OR (parked_hits >= 1
+                     AND n_words <= 120)) AS keep
             FROM sig""",
         # host PageRank: same derived ring edges, 3 iterations unrolled
         # as chained CTEs, all int64 floor division — bit-exact twin

@@ -1487,6 +1487,46 @@ def soft404_gate(df: DataFrame, text_col: str = "text",
     )
 
 
+PARKED_PHRASES = ("this domain is for sale", "buy this domain",
+                  "domain is parked", "the domain owner is",
+                  "interested in this domain",
+                  "domain name registration")
+
+
+def parked_gate(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                max_thin_words: int = 120) -> DataFrame:
+    """Parked-domain detection: registrar placeholder pages ("this
+    domain is for sale") are crawl noise that survives soft-404
+    gates (they return 200 with real-looking prose). Heuristic (the
+    soft404 shape):
+
+      parked_hits  how many DISTINCT PARKED_PHRASES appear
+      is_thin      word count <= ``max_thin_words``
+      parked       = parked_hits >= 2 OR (parked_hits >= 1 AND
+                     is_thin) — an article DISCUSSING domain sales
+                     is long and rarely stacks two registrar phrases
+      keep         = NOT parked
+
+    Map-only codegen projection, no shuffle, scan-bound at 100 TB
+    like the other gates. Phrase table GENERATED into the DuckDB
+    twin (the soft404 precedent).
+    """
+    low = F.lower(F.col(text_col))
+    parked_hits = _phrase_hits(low, PARKED_PHRASES)
+    n_words = F.size(tokens(text_col))
+    is_thin = n_words <= F.lit(max_thin_words)
+    parked = (parked_hits >= 2) | ((parked_hits >= 1) & is_thin)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        parked_hits.cast("long").alias("parked_hits"),
+        is_thin.alias("is_thin"),
+        parked.alias("parked"),
+        (~parked).alias("keep"),
+    )
+
+
 # --- served-vs-sniffed content-type gate -------------------------------------
 
 # registered MIME -> extractor kind (extractor/sniff.py's vocabulary).

@@ -1644,6 +1644,30 @@ def test_soft404_gate_plan_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_parked_gate_branches(spark):
+    from historicaldatadocumentparsersystem_spark.operators import webtext
+    long_pad = " ".join(f"word{i}" for i in range(140))
+    rows = [
+        # classic parked shell: short + one phrase -> dropped
+        (0, "This domain is for sale. Contact us."),
+        # registrar pile-up: dropped even when long
+        (1, f"buy this domain now! the domain owner is waiting. "
+            f"{long_pad}"),
+        # long article merely DISCUSSING domain sales -> kept
+        (2, f"A history of domain name registration markets. "
+            f"{long_pad}"),
+        (3, "perfectly ordinary text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in webtext.parked_gate(df).collect()}
+    assert got[0]["parked"] and not got[0]["keep"]
+    assert got[0]["parked_hits"] == 1 and got[0]["is_thin"]
+    assert got[1]["parked"] and got[1]["parked_hits"] == 2
+    assert not got[2]["parked"] and got[2]["keep"]
+    assert got[2]["parked_hits"] == 1 and not got[2]["is_thin"]
+    assert got[3]["keep"] and got[3]["parked_hits"] == 0
+
+
 def test_interstitial_gate_branches_and_plan(spark):
     from historicaldatadocumentparsersystem_spark.operators import webtext
     long_pad = " ".join(f"word{i}" for i in range(100))
