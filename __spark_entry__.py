@@ -3841,6 +3841,7 @@ _EXTRA_ORDER = [
     "license_signals", "license_resolve",
     "alt_svc_alternatives", "host_transport_profile",
     "server_products", "parked_gate",
+    "sample_mix_report",
     "link_header_relations",
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
@@ -4035,6 +4036,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .otherwise(F.lit(""))))
         return webtext.parked_gate(marked)
     q["parked_gate"] = q_parked
+
+    # --- sampler mix report (one-pass rollup for the existing
+    # stratified_sample: realized per-10k rates in integer math)
+    def q_sample_mix(spark, sf_dir):
+        return webtext.sample_mix_report(
+            _t(spark, sf_dir, "documents"), "lang",
+            _SAMPLE_RATES).orderBy("stratum")
+    q["sample_mix_report"] = q_sample_mix
 
     # --- dedup clustering: connected components over near-dup pairs —
     # SQL-checked (oracle: recursive-CTE transitive closure + min)
@@ -8845,6 +8854,25 @@ def oracle_sql() -> dict[str, str]:
                       {" ".join(f"WHEN '{s}' THEN {_flit(r)}"
                                 for s, r in _SAMPLE_RATES.items())}
                       ELSE 0.0e0 END""",
+        # sampler mix report: the same md5-unit hash + rate CASE,
+        # grouped; per_10k by integer cross-multiply (// == div)
+        "sample_mix_report": f"""
+            WITH sb AS (
+              SELECT lang AS stratum,
+                     (cast('0x' || substr(md5('42:' || doc_id), 1, 8)
+                           AS bigint) / 4294967296.0e0)
+                     < CASE lang
+                         {" ".join(f"WHEN '{x}' THEN {_flit(r)}"
+                                   for x, r in _SAMPLE_RATES.items())}
+                         ELSE 0.0e0 END AS kept
+              FROM documents
+            )
+            SELECT stratum, count(*)::bigint AS n_total,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END)::bigint
+                     AS n_kept,
+                   (sum(CASE WHEN kept THEN 1 ELSE 0 END)::bigint
+                    * 10000) // count(*)::bigint AS per_10k
+            FROM sb GROUP BY stratum ORDER BY stratum""",
         # unigram LM cross-entropy: per-token -ln p rounded to 9 and
         # summed as DECIMAL (associative, order-free) on both engines
         "unigram_logppl": f"""

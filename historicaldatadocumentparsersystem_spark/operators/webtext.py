@@ -162,6 +162,30 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.where(u < rate)
 
 
+def sample_mix_report(df: DataFrame, strata_col: str,
+                      rates: dict[str, float],
+                      id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """One-pass mix report for :func:`stratified_sample`: per
+    stratum, total rows, rows the sampler keeps, and the realized
+    rate as an integer per-10k (kept * 10000 div total — no float
+    reaches the output). ONE stratum exchange, no join with the
+    sampled set."""
+    from ..functions import hash_unit
+    u = hash_unit(id_col, seed=seed)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        rate = F.when(cond, F.lit(float(r))) if rate is None \
+            else rate.when(cond, F.lit(float(r)))
+    rate = rate.otherwise(F.lit(0.0))
+    return (df.groupBy(F.col(strata_col).alias("stratum"))
+            .agg(F.count("*").cast("long").alias("n_total"),
+                 F.sum((u < rate).cast("long")).alias("n_kept"))
+            .withColumn("per_10k",
+                        F.expr("n_kept * 10000 div n_total")))
+
+
 # --- length histogram ---------------------------------------------------------
 
 def length_histogram(df: DataFrame, col: str = "n_chars",
