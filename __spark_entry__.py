@@ -2641,6 +2641,45 @@ def _llms_files_sql() -> str:
         ORDER BY url"""
 
 
+def _csvx_num_re() -> str:
+    """NUM_RE from the pure parser — generated into the SQL, never
+    hand-retyped (no quotes/backslash-escapes to worry about: the
+    pattern is plain class syntax valid in both Java and RE2)."""
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        csvx
+    return csvx.NUM_RE
+
+
+def _csv_meta_sql() -> str:
+    """Oracle for csv_dialect_meta: the PURE parser
+    (extractor.csvx, golden-pinned by tests/test_csvx.py) feeds the
+    VALUES rows — proves the Spark reader's dialect sniff equals
+    the Spark-free re-derivation."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        csvx
+
+    def s(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") \
+            + "'"
+
+    rows = []
+    for r in fixtures.csv_file_rows(18):
+        d = csvx.extract_csv(r["payload"])
+        recs = d["records"]
+        n_rows = max((x for x, _, _, _ in recs), default=-1) + 1
+        n_cols = max((c for _, c, _, _ in recs), default=-1) + 1
+        delim = "\\t" if d["delimiter"] == "\t" else d["delimiter"]
+        hdr = "true" if d["has_header"] else "false"
+        rows.append(f"({s(r['url'])}, {s(delim)}, {hdr}, "
+                    f"{n_rows}::bigint, {n_cols}::bigint)")
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, delimiter, has_header, n_rows, n_cols)
+        ORDER BY url"""
+
+
 def _revisit_buckets_sql() -> str:
     return f"""
         WITH {_cache_policy_cte()},
@@ -3107,6 +3146,8 @@ _GOLDEN_TARLATEX = os.path.join(
     _REPO, "fixtures", "golden_tar_latex_seed42_n12.parquet")
 _GOLDEN_SVG = os.path.join(_REPO, "fixtures",
                            "golden_svg_seed42_n16.parquet")
+_GOLDEN_CSV = os.path.join(_REPO, "fixtures",
+                           "golden_csv_seed42_n18.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -3846,6 +3887,8 @@ _EXTRA_ORDER = [
     "json_feed_items", "json_feed_attachments",
     "diff_hunks", "diff_file_stats",
     "srcset_candidates", "srcset_best",
+    # round-4 resumed-session-8 additions
+    "csv_records", "csv_dialect_meta", "csv_column_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6188,6 +6231,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pagemeta.srcset_best(pagemeta.srcset_candidates(df))
                 .orderBy("url"))
     q["srcset_best"] = q_srcset_best
+
+    # --- CSV/DSV source (SURVEY §2 S5 widened: RFC 4180 grammar +
+    # dialect sniffing over web data exports) — cell rows
+    # hash-checked against the committed golden; dialect metadata
+    # against the pure-parser-fed VALUES twin
+    def q_csv_records(spark, sf_dir):
+        files = fixtures.csv_file_rows(18)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_csv_records(df)
+    q["csv_records"] = q_csv_records
+
+    def q_csv_meta(spark, sf_dir):
+        files = fixtures.csv_file_rows(18)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_csv_meta(df).orderBy("url")
+    q["csv_dialect_meta"] = q_csv_meta
+
+    def q_csv_profile(spark, sf_dir):
+        # composition over the GOLDEN on both sides (cells==golden
+        # is proven by csv_records; this isolates the per-column
+        # typing profile) — NUM_RE shared with the header detector
+        from historicaldatadocumentparsersystem_spark.extractor \
+            import csvx
+        g = spark.read.parquet(_GOLDEN_CSV)
+        return (g.groupBy("url", "col")
+                .agg(F.max("header").alias("header"),
+                     F.count("*").cast("long").alias("n_values"),
+                     F.sum((F.col("value") != "").cast("long"))
+                     .alias("n_nonempty"),
+                     F.sum(F.col("value").rlike(csvx.NUM_RE)
+                           .cast("long")).alias("n_numeric"))
+                .orderBy("url", "col"))
+    q["csv_column_profile"] = q_csv_profile
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -9946,6 +10026,25 @@ def oracle_sql() -> dict[str, str]:
         # QUALIFY == Spark row_number window
         "srcset_candidates": _srcset_candidates_sql(),
         "srcset_best": _srcset_best_sql(),
+        # CSV/DSV cells: committed golden parquet pinned by
+        # tests/test_csvx.py against the pure re-derivation
+        "csv_records": f"""
+            SELECT url, row, col, header, value
+            FROM read_parquet('{_GOLDEN_CSV}')""",
+        "csv_dialect_meta": _csv_meta_sql(),
+        # per-column typing profile: golden both sides; NUM_RE is
+        # the shared header-detector constant (anchored, so Java
+        # find == RE2 regexp_matches)
+        "csv_column_profile": f"""
+            SELECT url, col, max(header) AS header,
+                   count(*)::bigint AS n_values,
+                   sum(CASE WHEN value != '' THEN 1 ELSE 0
+                       END)::bigint AS n_nonempty,
+                   sum(CASE WHEN regexp_matches(value,
+                       '{_csvx_num_re()}') THEN 1 ELSE 0
+                       END)::bigint AS n_numeric
+            FROM read_parquet('{_GOLDEN_CSV}')
+            GROUP BY url, col ORDER BY url, col""",
         # per-file churn: golden both sides; count(hunk_idx) skips
         # the NULL hunk rows identically in both engines
         "diff_file_stats": f"""

@@ -4134,6 +4134,39 @@ def infra_header_rows(n: int = 48, seed: int = 42) -> list[dict]:
     return rows
 
 
+def csv_file_rows(n: int = 18, seed: int = 42) -> list[dict]:
+    """Deterministic CSV/DSV files (url, payload): comma files with
+    quoted escapes + headers, semicolon files without headers
+    (numeric first row), ragged TSVs (rows wider than the header),
+    pipe files with CRLF + empty physical rows, quoted embedded
+    newlines with utf-8/cp1252 variants, single-column files and
+    empty payloads. Golden:
+    fixtures/golden_csv_seed42_n18.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://data{i}.example.org/t-{i}.csv"
+        k = i % 6
+        if k == 0:
+            body = (f'id,name,note\n{i},"Smith, J.","say ""hi"""\n'
+                    f'{i + 1},Plain,last\n')
+        elif k == 1:
+            body = f"{i};2;3\n4;5;6\n7;8;9\n"
+        elif k == 2:
+            body = (f"a\tb\nv{i}\tw\tEXTRA\nx\t\n")
+        elif k == 3:
+            body = (f"h1|h2\r\n\r\np{i}|q\r\nr|s\r\n")
+        elif k == 4:
+            txt = (f'k,v\n"multi\nline {i}","Caf\xe9"\n')
+            rows.append({"url": url, "payload": txt.encode(
+                "utf-8" if (i // 6) % 2 else "cp1252")})
+            continue
+        else:
+            body = (f"single column only {i}\nsecond line\n"
+                    if (i // 6) % 2 else "")
+        rows.append({"url": url, "payload": body.encode("utf-8")})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

@@ -1002,6 +1002,86 @@ def read_llms_files(df: DataFrame, url_col: str = "url",
                                 "has_optional boolean"))
 
 
+CSV_RECORDS_DDL = ("url string, row int, col int, header string, "
+                   "value string")
+
+
+def read_csv_records(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, CSV/DSV payload) rows -> one row per CELL with the
+    sniffed dialect applied (SURVEY §2 S5). Pure parse:
+    ``extractor.csvx.extract_csv`` (golden-pinned); header cells
+    become the ``header`` column (NULL for headerless files or
+    ragged overflow columns)."""
+    import pandas as pd
+
+    from ..extractor.csvx import extract_csv
+
+    def parse(batches):
+        for b in batches:
+            urls, rws, cls, hds, vals = [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    d = extract_csv(bytes(payload))
+                except Exception:
+                    continue
+                for row, col, header, value in d["records"]:
+                    urls.append(url)
+                    rws.append(row)
+                    cls.append(col)
+                    hds.append(header)
+                    vals.append(value)
+            yield pd.DataFrame({
+                "url": urls,
+                "row": pd.array(rws, dtype="int32"),
+                "col": pd.array(cls, dtype="int32"),
+                "header": hds, "value": vals})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, CSV_RECORDS_DDL))
+
+
+def read_csv_meta(df: DataFrame, url_col: str = "url",
+                  payload_col: str = "payload") -> DataFrame:
+    """(url, payload) -> one dialect row per file: sniffed
+    delimiter (tab rendered as '\\t'), header flag, data-row count
+    and widest row."""
+    import pandas as pd
+
+    from ..extractor.csvx import extract_csv
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    d = extract_csv(bytes(payload))
+                except Exception:
+                    continue
+                recs = d["records"]
+                n_rows = (max(r for r, _, _, _ in recs) + 1
+                          if recs else 0)
+                n_cols = (max(c for _, c, _, _ in recs) + 1
+                          if recs else 0)
+                rows.append((url,
+                             "\\t" if d["delimiter"] == "\t"
+                             else d["delimiter"],
+                             d["has_header"], n_rows, n_cols))
+            out = pd.DataFrame(rows, columns=[
+                "url", "delimiter", "has_header", "n_rows",
+                "n_cols"])
+            for c in ("n_rows", "n_cols"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, "url string, delimiter string, "
+                                "has_header boolean, n_rows bigint, "
+                                "n_cols bigint"))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
