@@ -2680,6 +2680,42 @@ def _csv_meta_sql() -> str:
         ORDER BY url"""
 
 
+def _xlsx_sheets_sql() -> str:
+    """Oracle for xlsx_sheet_stats: the PURE parser feeds the
+    VALUES rows (covers empty sheets, which have no golden cells)."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        xlsxx
+
+    def s(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") \
+            + "'"
+
+    rows = []
+    for r in fixtures.xlsx_file_rows(16):
+        try:
+            d = xlsxx.extract_xlsx(r["payload"])
+        except Exception:
+            continue
+        per: dict[int, list[tuple[int, int]]] = {}
+        for si, row, col, _, _ in d["cells"]:
+            per.setdefault(si, []).append((row, col))
+        for si, name in enumerate(d["sheets"]):
+            rcs = per.get(si, [])
+            rows.append(
+                f"({s(r['url'])}, {si}::int, {s(name)}, "
+                f"{len(rcs)}::bigint, "
+                f"{max((x for x, _ in rcs), default=-1) + 1}"
+                "::bigint, "
+                f"{max((c for _, c in rcs), default=-1) + 1}"
+                "::bigint)")
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, sheet, sheet_name, n_cells, n_rows, n_cols)
+        ORDER BY url, sheet"""
+
+
 def _revisit_buckets_sql() -> str:
     return f"""
         WITH {_cache_policy_cte()},
@@ -3148,6 +3184,8 @@ _GOLDEN_SVG = os.path.join(_REPO, "fixtures",
                            "golden_svg_seed42_n16.parquet")
 _GOLDEN_CSV = os.path.join(_REPO, "fixtures",
                            "golden_csv_seed42_n18.parquet")
+_GOLDEN_XLSX = os.path.join(_REPO, "fixtures",
+                            "golden_xlsx_seed42_n16.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -3889,6 +3927,7 @@ _EXTRA_ORDER = [
     "srcset_candidates", "srcset_best",
     # round-4 resumed-session-8 additions
     "csv_records", "csv_dialect_meta", "csv_column_profile",
+    "xlsx_cells", "xlsx_sheet_stats", "spreadsheet_header_records",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6268,6 +6307,60 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            .cast("long")).alias("n_numeric"))
                 .orderBy("url", "col"))
     q["csv_column_profile"] = q_csv_profile
+
+    # --- XLSX source (tabular OOXML sibling: completes the office
+    # loader family next to CSV) — cell rows hash-checked against
+    # the committed golden; per-sheet extent against the
+    # pure-parser-fed VALUES twin
+    def q_xlsx_cells(spark, sf_dir):
+        files = fixtures.xlsx_file_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_xlsx_cells(df)
+    q["xlsx_cells"] = q_xlsx_cells
+
+    def q_xlsx_sheets(spark, sf_dir):
+        files = fixtures.xlsx_file_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return (sources.read_xlsx_sheets(df)
+                .orderBy("url", "sheet"))
+    q["xlsx_sheet_stats"] = q_xlsx_sheets
+
+    def q_sheet_headers(spark, sf_dir):
+        # composition over the GOLDEN on both sides (cells==golden
+        # is proven by xlsx_cells): per-sheet header detection with
+        # the CSV family's rules (csvx.NUM_RE shared), then header
+        # names joined onto the data cells
+        from historicaldatadocumentparsersystem_spark.extractor \
+            import csvx
+        g = spark.read.parquet(_GOLDEN_XLSX)
+        first = g.where(F.col("row") == 0)
+        hdr = (first.groupBy("url", "sheet")
+               .agg(((F.sum((F.col("value").isNull()
+                             | (F.col("value") == "")
+                             | F.col("value").rlike(csvx.NUM_RE))
+                            .cast("long")) == 0)
+                     & (F.countDistinct(F.lower("value"))
+                        == F.count(F.lit(1))))
+                    .alias("has_header")))
+        names = first.select("url", "sheet",
+                             F.col("col").alias("hcol"),
+                             F.col("value").alias("header"))
+        data = (g.join(hdr, ["url", "sheet"])
+                .where((F.col("row") > 0) | ~F.col("has_header")))
+        return (data.join(
+            names,
+            (data["url"] == names["url"])
+            & (data["sheet"] == names["sheet"])
+            & (data["col"] == names["hcol"])
+            & data["has_header"], "left")
+            .select(data["url"], data["sheet"], data["row"],
+                    data["col"], names["header"], data["value"])
+            .orderBy("url", "sheet", "row", "col"))
+    q["spreadsheet_header_records"] = q_sheet_headers
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -10045,6 +10138,40 @@ def oracle_sql() -> dict[str, str]:
                        END)::bigint AS n_numeric
             FROM read_parquet('{_GOLDEN_CSV}')
             GROUP BY url, col ORDER BY url, col""",
+        # XLSX cells: committed golden parquet pinned by
+        # tests/test_xlsx.py against the pure re-derivation
+        "xlsx_cells": f"""
+            SELECT url, sheet, sheet_name, row, col, cell_type,
+                   value
+            FROM read_parquet('{_GOLDEN_XLSX}')""",
+        "xlsx_sheet_stats": _xlsx_sheets_sql(),
+        # per-sheet header detection (CSV-family rules, shared
+        # NUM_RE) + header names joined onto data cells: golden
+        # both sides
+        "spreadsheet_header_records": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_XLSX}')),
+            hdr AS (
+              SELECT url, sheet,
+                     (sum(CASE WHEN value IS NULL OR value = ''
+                               OR regexp_matches(value,
+                                  '{_csvx_num_re()}')
+                          THEN 1 ELSE 0 END) = 0
+                      AND count(DISTINCT lower(value)) = count(*))
+                       AS has_header
+              FROM g WHERE row = 0 GROUP BY url, sheet),
+            names AS (
+              SELECT url, sheet, col AS hcol, value AS header
+              FROM g WHERE row = 0),
+            data AS (
+              SELECT g.*, h.has_header
+              FROM g JOIN hdr h USING (url, sheet)
+              WHERE g.row > 0 OR NOT h.has_header)
+            SELECT d.url, d.sheet, d.row, d.col, n.header, d.value
+            FROM data d LEFT JOIN names n
+              ON d.url = n.url AND d.sheet = n.sheet
+             AND d.col = n.hcol AND d.has_header
+            ORDER BY d.url, d.sheet, d.row, d.col""",
         # per-file churn: golden both sides; count(hunk_idx) skips
         # the NULL hunk rows identically in both engines
         "diff_file_stats": f"""

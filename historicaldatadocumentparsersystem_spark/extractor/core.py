@@ -28,8 +28,10 @@ from .pptx import extract_pptx_text, is_pptx
 from .rtfx import extract_rtf_text
 from .sniff import (KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_RTF, KIND_ZIP,
                     sniff_kind)
+from .xlsxx import extract_xlsx_text, is_xlsx
 
 KIND_PPTX = "pptx"
+KIND_XLSX = "xlsx"
 KIND_DOCX = "docx"
 KIND_EPUB = "epub"
 KIND_ODT = "odt"
@@ -115,6 +117,14 @@ def extract_document(payload: bytes | None, fallback_text: str | None
                 if not spans:
                     return _fallback(fallback_text, failed=True)
                 return ExtractResult(KIND_EPUB, text, spans, len(spans), 0.0)
+            # spreadsheet workbook (extractor/xlsxx.py — the tabular
+            # OOXML sibling; one span per sheet, rows tab-joined)
+            if is_xlsx(payload):
+                text, spans = extract_xlsx_text(payload)  # type: ignore[arg-type]
+                if not spans:
+                    return _fallback(fallback_text, failed=True)
+                return ExtractResult(KIND_XLSX, text, spans,
+                                     len(spans), 0.0)
             # non-OOXML zip: fallback, not a fail
             return _fallback(fallback_text, failed=False)
         # Jupyter notebook (extractor/ipynbx.py — the JSON member of

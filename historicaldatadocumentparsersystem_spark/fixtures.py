@@ -4167,6 +4167,77 @@ def csv_file_rows(n: int = 18, seed: int = 42) -> list[dict]:
     return rows
 
 
+def xlsx_file_rows(n: int = 16, seed: int = 42) -> list[dict]:
+    """Deterministic XLSX workbooks (url, payload): shared-string
+    files with headers + mixed types, inline-string streaming shape
+    (no r= refs, gaps collapse), multi-sheet incl. an empty sheet,
+    headerless numeric sheets, a hand-built file with rich-text
+    shared strings + NO rels part + out-of-bounds refs (sequential
+    fallback), and non-workbook payloads (empty bytes / plain zip)
+    that the reader skips. Golden:
+    fixtures/golden_xlsx_seed42_n16.parquet."""
+    import io
+    import zipfile
+
+    from .extractor import xlsxx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://sheets{i}.example.org/wb-{i}.xlsx"
+        k = i % 6
+        if k == 0:
+            payload = xlsxx.make_xlsx([("Data", [
+                ["sku", "qty", "price", "active"],
+                [f"A-{i}", i, 1.5 + i, True],
+                [f"B-{i}", 2 * i, 0.25, False]])])
+        elif k == 1:
+            payload = xlsxx.make_xlsx(
+                [("Log", [["a", None, "c"], [1, 2],
+                          [None, None, f"tail {i}"]])],
+                shared_strings=False, write_refs=False)
+        elif k == 2:
+            payload = xlsxx.make_xlsx([
+                ("Q1", [["region", "rev"], ["north", 10 + i],
+                        ["south", 20 + i]]),
+                ("Notes", [[f"only cell {i}"]]),
+                ("Blank", [])])
+        elif k == 3:
+            payload = xlsxx.make_xlsx(
+                [("Nums", [[i, 2, 3], [4.5, 6, 7]])])
+        elif k == 4:
+            ws = (f'<worksheet xmlns="{xlsxx._M}"><sheetData>'
+                  '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+                  '<c r="B1" t="s"><v>1</v></c></row>'
+                  # out-of-bounds row ref -> sequential (row 1);
+                  # bad col ref + shared index miss -> NULL value
+                  '<row r="9999999"><c r="XFE1" t="s"><v>9</v></c>'
+                  '<c t="e"><v>#DIV/0!</v></c></row>'
+                  "</sheetData></worksheet>")
+            ss = (f'<sst xmlns="{xlsxx._M}"><si><r><t>Hello </t>'
+                  f"</r><r><t>World {i}</t></r></si>"
+                  "<si><t>Café</t></si></sst>")
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as zf:
+                zf.writestr("xl/workbook.xml", (
+                    f'<workbook xmlns="{xlsxx._M}" '
+                    f'xmlns:r="{xlsxx._R}"><sheets>'
+                    '<sheet name="Rich" sheetId="1" r:id="rId1"/>'
+                    "</sheets></workbook>"))
+                zf.writestr("xl/worksheets/sheet1.xml", ws)
+                zf.writestr("xl/sharedStrings.xml", ss)
+            payload = buf.getvalue()
+        else:
+            if (i // 6) % 2:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("readme.txt", "not a workbook")
+                payload = buf.getvalue()
+            else:
+                payload = b""
+        rows.append({"url": url, "payload": payload})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

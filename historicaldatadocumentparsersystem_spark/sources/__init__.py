@@ -1082,6 +1082,93 @@ def read_csv_meta(df: DataFrame, url_col: str = "url",
                                 "n_cols bigint"))
 
 
+XLSX_CELLS_DDL = ("url string, sheet int, sheet_name string, "
+                  "row int, col int, cell_type string, value string")
+
+
+def read_xlsx_cells(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, XLSX payload) rows -> one row per CELL across all
+    sheets (the tabular OOXML sibling of ``read_csv_records``; cell
+    schema matches so both feed the same typing profile). Pure
+    parse: ``extractor.xlsxx.extract_xlsx`` (golden-pinned);
+    non-workbook payloads are skipped."""
+    import pandas as pd
+
+    from ..extractor.xlsxx import extract_xlsx
+
+    def parse(batches):
+        for b in batches:
+            urls, shs, nms, rws, cls, tps, vals = \
+                [], [], [], [], [], [], []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    d = extract_xlsx(bytes(payload))
+                except Exception:
+                    continue
+                names = d["sheets"]
+                for si, row, col, ctype, value in d["cells"]:
+                    urls.append(url)
+                    shs.append(si)
+                    nms.append(names[si])
+                    rws.append(row)
+                    cls.append(col)
+                    tps.append(ctype)
+                    vals.append(value)
+            yield pd.DataFrame({
+                "url": urls,
+                "sheet": pd.array(shs, dtype="int32"),
+                "sheet_name": nms,
+                "row": pd.array(rws, dtype="int32"),
+                "col": pd.array(cls, dtype="int32"),
+                "cell_type": tps, "value": vals})
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, XLSX_CELLS_DDL))
+
+
+def read_xlsx_sheets(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, payload) -> one row per SHEET (workbook order):
+    cell count and the populated extent (max row/col + 1; 0 for an
+    empty sheet)."""
+    import pandas as pd
+
+    from ..extractor.xlsxx import extract_xlsx
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    d = extract_xlsx(bytes(payload))
+                except Exception:
+                    continue
+                per: dict[int, list[tuple[int, int]]] = {}
+                for si, row, col, _, _ in d["cells"]:
+                    per.setdefault(si, []).append((row, col))
+                for si, name in enumerate(d["sheets"]):
+                    rcs = per.get(si, [])
+                    rows.append((
+                        url, si, name, len(rcs),
+                        max((r for r, _ in rcs), default=-1) + 1,
+                        max((c for _, c in rcs), default=-1) + 1))
+            out = pd.DataFrame(rows, columns=[
+                "url", "sheet", "sheet_name", "n_cells", "n_rows",
+                "n_cols"])
+            out["sheet"] = pd.array(out["sheet"], dtype="Int32")
+            for c in ("n_cells", "n_rows", "n_cols"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, "url string, sheet int, "
+                                "sheet_name string, n_cells bigint, "
+                                "n_rows bigint, n_cols bigint"))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
