@@ -2641,6 +2641,21 @@ def _llms_files_sql() -> str:
         ORDER BY url"""
 
 
+def _po_langs_cte() -> str:
+    """Shared hdr CTE: per-catalog declared language (arg_min ==
+    Spark min_by over the NULL-filtered header rows; LANG_RE
+    generated from the operator constant, never hand-retyped)."""
+    from historicaldatadocumentparsersystem_spark.operators import \
+        bitext
+    return f"""hdr AS (
+              SELECT url, arg_min(lang, pos) AS lang FROM (
+                SELECT url, pos,
+                       nullif(trim(regexp_extract(msgstr,
+                         '{bitext.LANG_RE}', 2)), '') AS lang
+                FROM g WHERE msgid = '')
+              WHERE lang IS NOT NULL GROUP BY url)"""
+
+
 def _csvx_num_re() -> str:
     """NUM_RE from the pure parser — generated into the SQL, never
     hand-retyped (no quotes/backslash-escapes to worry about: the
@@ -3186,6 +3201,8 @@ _GOLDEN_CSV = os.path.join(_REPO, "fixtures",
                            "golden_csv_seed42_n18.parquet")
 _GOLDEN_XLSX = os.path.join(_REPO, "fixtures",
                             "golden_xlsx_seed42_n16.parquet")
+_GOLDEN_PO = os.path.join(_REPO, "fixtures",
+                          "golden_po_seed42_n20.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -3928,6 +3945,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-8 additions
     "csv_records", "csv_dialect_meta", "csv_column_profile",
     "xlsx_cells", "xlsx_sheet_stats", "spreadsheet_header_records",
+    "po_entries", "po_bitext_pairs", "po_catalog_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6361,6 +6379,49 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     data["col"], names["header"], data["value"])
             .orderBy("url", "sheet", "row", "col"))
     q["spreadsheet_header_records"] = q_sheet_headers
+
+    # --- gettext PO source (the bitext member of the loader
+    # family: l10n catalogs are the densest open MT-data channel) —
+    # entry rows hash-checked against the committed golden; pair
+    # mining + catalog rollup golden both sides
+    def q_po_entries(spark, sf_dir):
+        files = fixtures.po_file_rows(20)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_po_entries(df)
+    q["po_entries"] = q_po_entries
+
+    def q_po_bitext(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import bitext
+        g = spark.read.parquet(_GOLDEN_PO)
+        return (bitext.po_bitext_pairs(g)
+                .orderBy("url", "pos"))
+    q["po_bitext_pairs"] = q_po_bitext
+
+    def q_po_stats(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import bitext
+        g = spark.read.parquet(_GOLDEN_PO)
+        stats = (g.where(F.col("msgid") != "")
+                 .groupBy("url")
+                 .agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_entries"),
+                      F.sum((F.col("msgstr") != "").cast("long"))
+                      .alias("n_translated"),
+                      F.sum(F.col("fuzzy").cast("long"))
+                      .alias("n_fuzzy"),
+                      F.sum((F.col("n_plurals") > 0).cast("long"))
+                      .alias("n_plural"),
+                      F.sum(F.col("obsolete").cast("long"))
+                      .alias("n_obsolete")))
+        return (stats.join(bitext.po_catalog_langs(g), "url",
+                           "left")
+                .select("url", "lang", "n_entries", "n_translated",
+                        "n_fuzzy", "n_plural", "n_obsolete")
+                .orderBy("url"))
+    q["po_catalog_stats"] = q_po_stats
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -10145,6 +10206,46 @@ def oracle_sql() -> dict[str, str]:
                    value
             FROM read_parquet('{_GOLDEN_XLSX}')""",
         "xlsx_sheet_stats": _xlsx_sheets_sql(),
+        # PO entries: committed golden parquet pinned by
+        # tests/test_pox.py against the pure re-derivation
+        "po_entries": f"""
+            SELECT url, pos, ctxt, msgid, msgid_plural, msgstr,
+                   n_plurals, fuzzy, obsolete, refs
+            FROM read_parquet('{_GOLDEN_PO}')""",
+        # bitext mining: golden both sides; LANG_RE generated from
+        # the operator constant; integer cross-multiply length gate
+        "po_bitext_pairs": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_PO}')),
+            {_po_langs_cte()}
+            SELECT e.url, e.pos, h.lang, e.msgid AS src,
+                   e.msgstr AS tgt
+            FROM g e LEFT JOIN hdr h ON e.url = h.url
+            WHERE NOT e.fuzzy AND NOT e.obsolete
+              AND e.msgid != '' AND e.msgstr != ''
+              AND length(e.msgid) >= 2 AND length(e.msgstr) >= 2
+              AND length(e.msgid) <= 3 * length(e.msgstr)
+              AND length(e.msgstr) <= 3 * length(e.msgid)
+            ORDER BY e.url, e.pos""",
+        "po_catalog_stats": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_PO}')),
+            {_po_langs_cte()},
+            stats AS (
+              SELECT url, count(*)::bigint AS n_entries,
+                     sum(CASE WHEN msgstr != '' THEN 1 ELSE 0
+                         END)::bigint AS n_translated,
+                     sum(CASE WHEN fuzzy THEN 1 ELSE 0
+                         END)::bigint AS n_fuzzy,
+                     sum(CASE WHEN n_plurals > 0 THEN 1 ELSE 0
+                         END)::bigint AS n_plural,
+                     sum(CASE WHEN obsolete THEN 1 ELSE 0
+                         END)::bigint AS n_obsolete
+              FROM g WHERE msgid != '' GROUP BY url)
+            SELECT s.url, h.lang, s.n_entries, s.n_translated,
+                   s.n_fuzzy, s.n_plural, s.n_obsolete
+            FROM stats s LEFT JOIN hdr h ON s.url = h.url
+            ORDER BY s.url""",
         # per-sheet header detection (CSV-family rules, shared
         # NUM_RE) + header names joined onto data cells: golden
         # both sides

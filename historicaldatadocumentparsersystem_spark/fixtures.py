@@ -4238,6 +4238,76 @@ def xlsx_file_rows(n: int = 16, seed: int = 42) -> list[dict]:
     return rows
 
 
+def po_file_rows(n: int = 20, seed: int = 42) -> list[dict]:
+    """Deterministic gettext PO catalogs (url, payload): fr/de/ja
+    headers (Language + Plural-Forms), fuzzy and obsolete entries,
+    msgctxt, plural forms, width-wrapped literals, C escapes (incl.
+    an unknown one kept verbatim), untranslated + length-ratio
+    outlier entries for the bitext gate, a headerless file with a
+    malformed entry, a cp1252 payload, and empty payloads. Golden:
+    fixtures/golden_po_seed42_n20.parquet."""
+    from .extractor import pox
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://l10n{i}.example.org/app-{i}.po"
+        k = i % 5
+        if k == 0:
+            body = pox.build_po(
+                [{"msgid": f"Hello world {i}",
+                  "msgstr": f"Bonjour le monde {i}",
+                  "refs": ["src/main.c:10", "src/ui.c:42"]},
+                 {"msgid": "Save file", "msgstr": "Enregistrer",
+                  "fuzzy": True},
+                 {"msgid": "Quit", "msgstr": "Quitter"}],
+                header={"Project-Id-Version": f"app {i}",
+                        "Language": "fr",
+                        "Plural-Forms":
+                            "nplurals=2; plural=(n > 1);"})
+        elif k == 1:
+            body = pox.build_po(
+                [{"ctxt": "menu", "msgid": "Open",
+                  "msgstr": "Öffnen"},
+                 {"msgid": "%d file", "msgid_plural": "%d files",
+                  "msgstr": "%d Datei", "msgstr_1": "%d Dateien",
+                  "n_plurals": 2},
+                 {"msgid": "A long sentence about document "
+                           f"processing number {i}",
+                  "msgstr": "Ein langer Satz über die "
+                            f"Dokumentverarbeitung Nummer {i}"}],
+                header={"Language": "de"}, width=24)
+        elif k == 2:
+            body = pox.build_po(
+                [{"msgid": "Cancel", "msgstr": "キャンセル"},
+                 # untranslated: empty msgstr (gate drops)
+                 {"msgid": f"Pending string {i}", "msgstr": ""},
+                 # ratio outlier: target 4x the source (gate drops
+                 # at max_ratio=3)
+                 {"msgid": "Hi", "msgstr": "x" * 40}],
+                header={"Language": "ja",
+                        "Plural-Forms": "nplurals=1; plural=0;"})
+        elif k == 3:
+            body = (f'msgid "escaped\\tok {i}"\n'
+                    'msgstr "line1\\nline2 \\"q\\" \\q"\n'
+                    "\n"
+                    'msgid "broken\n'
+                    'msgstr "dropped"\n'
+                    "\n"
+                    '#~ msgid "old"\n'
+                    '#~ msgstr "alt"\n')
+        else:
+            if (i // 5) % 2:
+                body = pox.build_po(
+                    [{"msgid": "Coffee", "msgstr": "Caf\xe9"}],
+                    header={"Language": "fr"})
+                rows.append({"url": url,
+                             "payload": body.encode("cp1252")})
+                continue
+            body = ""
+        rows.append({"url": url, "payload": body.encode("utf-8")})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

@@ -1169,6 +1169,50 @@ def read_xlsx_sheets(df: DataFrame, url_col: str = "url",
                                 "n_rows bigint, n_cols bigint"))
 
 
+PO_ENTRIES_DDL = ("url string, pos int, ctxt string, msgid string, "
+                  "msgid_plural string, msgstr string, "
+                  "n_plurals int, fuzzy boolean, obsolete boolean, "
+                  "refs string")
+
+
+def read_po_entries(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, gettext PO payload) rows -> one row per catalog entry
+    (the bitext member of the per-format loader family). Pure
+    parse: ``extractor.pox.extract_po_entries`` (golden-pinned);
+    ``refs`` is the space-joined ``#:`` reference list ('' when
+    none) — arrays stay out of the golden so both engines hash the
+    same scalar."""
+    import pandas as pd
+
+    from ..extractor.pox import extract_po_entries
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    entries = extract_po_entries(bytes(payload))
+                except Exception:
+                    continue
+                for e in entries:
+                    rows.append((
+                        url, e["pos"], e["ctxt"], e["msgid"],
+                        e["msgid_plural"], e["msgstr"],
+                        e["n_plurals"], e["fuzzy"], e["obsolete"],
+                        " ".join(e["refs"])))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "ctxt", "msgid", "msgid_plural",
+                "msgstr", "n_plurals", "fuzzy", "obsolete", "refs"])
+            for c in ("pos", "n_plurals"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PO_ENTRIES_DDL))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
