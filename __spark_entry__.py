@@ -2641,6 +2641,17 @@ def _llms_files_sql() -> str:
         ORDER BY url"""
 
 
+def _bitext_gate_sql(a: str, b: str) -> str:
+    """The shared length-ratio gate predicate, generated from the
+    operator constants (integer cross-multiply)."""
+    from historicaldatadocumentparsersystem_spark.operators import \
+        bitext
+    r, m = bitext.MAX_RATIO, bitext.MIN_CHARS
+    return (f"length({a}) >= {m} AND length({b}) >= {m} "
+            f"AND length({a}) <= {r} * length({b}) "
+            f"AND length({b}) <= {r} * length({a})")
+
+
 def _po_langs_cte() -> str:
     """Shared hdr CTE: per-catalog declared language (arg_min ==
     Spark min_by over the NULL-filtered header rows; LANG_RE
@@ -3203,6 +3214,8 @@ _GOLDEN_XLSX = os.path.join(_REPO, "fixtures",
                             "golden_xlsx_seed42_n16.parquet")
 _GOLDEN_PO = os.path.join(_REPO, "fixtures",
                           "golden_po_seed42_n20.parquet")
+_GOLDEN_TMX = os.path.join(_REPO, "fixtures",
+                           "golden_tmx_seed42_n16.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -3946,6 +3959,7 @@ _EXTRA_ORDER = [
     "csv_records", "csv_dialect_meta", "csv_column_profile",
     "xlsx_cells", "xlsx_sheet_stats", "spreadsheet_header_records",
     "po_entries", "po_bitext_pairs", "po_catalog_stats",
+    "tmx_rows", "tmx_bitext_pairs", "tmx_memory_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6422,6 +6436,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n_fuzzy", "n_plural", "n_obsolete")
                 .orderBy("url"))
     q["po_catalog_stats"] = q_po_stats
+
+    # --- TMX source (CAT-tool / OPUS translation memories: the
+    # second bitext channel) — tuv rows hash-checked against the
+    # committed golden; tu pairing golden both sides with the
+    # shared length gate
+    def q_tmx_rows(spark, sf_dir):
+        files = fixtures.tmx_file_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_tmx_rows(df)
+    q["tmx_rows"] = q_tmx_rows
+
+    def q_tmx_pairs(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import bitext
+        g = spark.read.parquet(_GOLDEN_TMX)
+        return bitext.tmx_bitext_pairs(g)
+    q["tmx_bitext_pairs"] = q_tmx_pairs
+
+    def q_tmx_stats(spark, sf_dir):
+        # golden both sides: per-memory rollup
+        g = spark.read.parquet(_GOLDEN_TMX)
+        return (g.groupBy("url")
+                .agg(F.countDistinct("tu").cast("long")
+                     .alias("n_units"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_segments"),
+                     F.countDistinct("lang").cast("long")
+                     .alias("n_langs"))
+                .orderBy("url"))
+    q["tmx_memory_stats"] = q_tmx_stats
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -10227,6 +10273,39 @@ def oracle_sql() -> dict[str, str]:
               AND length(e.msgid) <= 3 * length(e.msgstr)
               AND length(e.msgstr) <= 3 * length(e.msgid)
             ORDER BY e.url, e.pos""",
+        # TMX tuv rows: committed golden parquet pinned by
+        # tests/test_tmx.py against the pure re-derivation
+        "tmx_rows": f"""
+            SELECT url, tu, tuid, pos, srclang, lang, seg
+            FROM read_parquet('{_GOLDEN_TMX}')""",
+        # tu pairing: golden both sides; source pick via arg_min ==
+        # Spark min_by; gate thresholds generated from the operator
+        # constants
+        "tmx_bitext_pairs": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_TMX}')),
+            src AS (
+              SELECT url, tu, min(pos) AS src_pos,
+                     arg_min(lang, pos) AS src_lang,
+                     arg_min(seg, pos) AS src
+              FROM g
+              WHERE CASE WHEN srclang IS NOT NULL
+                          AND lower(srclang) != '*all*'
+                         THEN lang = lower(srclang)
+                         ELSE pos = 0 END
+              GROUP BY url, tu)
+            SELECT t.url, t.tu, s.src_lang, s.src,
+                   t.lang AS tgt_lang, t.seg AS tgt
+            FROM g t JOIN src s
+              ON t.url = s.url AND t.tu = s.tu
+            WHERE t.pos != s.src_pos
+              AND {_bitext_gate_sql('s.src', 't.seg')}""",
+        "tmx_memory_stats": f"""
+            SELECT url, count(DISTINCT tu)::bigint AS n_units,
+                   count(*)::bigint AS n_segments,
+                   count(DISTINCT lang)::bigint AS n_langs
+            FROM read_parquet('{_GOLDEN_TMX}')
+            GROUP BY url ORDER BY url""",
         "po_catalog_stats": f"""
             WITH g AS (SELECT * FROM
                        read_parquet('{_GOLDEN_PO}')),

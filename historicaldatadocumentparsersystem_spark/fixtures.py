@@ -4308,6 +4308,65 @@ def po_file_rows(n: int = 20, seed: int = 42) -> list[dict]:
     return rows
 
 
+def tmx_file_rows(n: int = 16, seed: int = 42) -> list[dict]:
+    """Deterministic TMX memories (url, payload): en->fr/de pairs
+    with tuids, a 3-language tu, inline code tags (bpt/ept/ph
+    dropped, hi kept), srclang='*all*' (first tuv = source),
+    region-cased langs (EN-US lowercased), a tuv missing its lang
+    (skipped), ratio outliers for the gate, namespaced documents,
+    and malformed/non-tmx payloads. Golden:
+    fixtures/golden_tmx_seed42_n16.parquet."""
+    from .extractor import tmxx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://tm{i}.example.org/mem-{i}.tmx"
+        k = i % 5
+        if k == 0:
+            body = tmxx.build_tmx([
+                {"tuid": f"t{i}-1", "tuvs": [
+                    ("en", f"Click the button {i}"),
+                    ("fr", f"Cliquez sur le bouton {i}")]},
+                {"tuid": f"t{i}-2", "tuvs": [
+                    ("en", "Save <bpt i=\"1\">&lt;b&gt;</bpt>now"
+                           "<ept i=\"1\">&lt;/b&gt;</ept> please"),
+                    ("fr", "Enregistrez <hi>maintenant</hi> svp")]},
+            ], srclang="en")
+        elif k == 1:
+            body = tmxx.build_tmx([
+                {"tuid": None, "tuvs": [
+                    ("EN-US", f"Color {i}"),
+                    ("en-GB", f"Colour {i}"),
+                    ("de", f"Farbe {i}")]},
+            ], srclang="EN-US")
+        elif k == 2:
+            # *all*: first tuv is the source; one tuv lacks lang
+            body = tmxx.build_tmx([
+                {"tuid": f"a{i}", "tuvs": [
+                    ("ja", f"設定 {i}"), ("en", f"Settings {i}")]},
+                {"tuid": f"b{i}", "tuvs": [
+                    ("en", "Hi"), ("de", "x" * 40)]},
+            ], srclang="*all*").replace(
+                f'<tuv xml:lang="ja"><seg>設定 {i}</seg></tuv>',
+                f'<tuv xml:lang="ja"><seg>設定 {i}</seg></tuv>'
+                '<tuv><seg>no lang</seg></tuv>', 1)
+        elif k == 3:
+            # namespaced document, ph code dropped (tail kept)
+            body = (f'<x:tmx xmlns:x="urn:ex" version="1.4">'
+                    '<x:header srclang="en"/>'
+                    '<x:body><x:tu tuid="ns1">'
+                    '<x:tuv xml:lang="en"><x:seg>Print '
+                    '<x:ph x="1">%s</x:ph> pages</x:seg></x:tuv>'
+                    f'<x:tuv xml:lang="es"><x:seg>Imprimir {i} '
+                    "páginas</x:seg></x:tuv>"
+                    "</x:tu></x:body></x:tmx>")
+        else:
+            body = ("<notatmx/>" if (i // 5) % 2
+                    else "<tmx version='1.4'><body><tu>broken")
+        rows.append({"url": url, "payload": body.encode("utf-8")})
+    return rows
+
+
 def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
     """Deterministic synthetic patch files: (url, payload). Cycles
     git-style multi-file patches (multi-hunk modify with section

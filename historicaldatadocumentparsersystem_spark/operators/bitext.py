@@ -23,6 +23,26 @@ from pyspark.sql import DataFrame, functions as F
 # first-occurrence-wins read as extractor.pox.header_fields)
 LANG_RE = r"(^|\n)Language:[ \t]*([^\n]*)"
 
+# shared pair-quality gate constants (the SQL twins generate their
+# predicates from these — never hand-retyped)
+MAX_RATIO = 3
+MIN_CHARS = 2
+
+
+def length_ratio_gate(df: DataFrame, src_col: str = "src",
+                      tgt_col: str = "tgt",
+                      max_ratio: int = MAX_RATIO,
+                      min_chars: int = MIN_CHARS) -> DataFrame:
+    """Keep pairs where both sides are >= ``min_chars`` chars and
+    within ``max_ratio``x of each other's char length (integer
+    cross-multiply, no division — no float reaches a driver
+    hash)."""
+    sl = F.length(src_col)
+    tl = F.length(tgt_col)
+    return df.where((sl >= min_chars) & (tl >= min_chars)
+                    & (sl <= F.lit(max_ratio) * tl)
+                    & (tl <= F.lit(max_ratio) * sl))
+
 
 def po_catalog_langs(entries: DataFrame) -> DataFrame:
     """One row per catalog url: the declared header language
@@ -39,8 +59,9 @@ def po_catalog_langs(entries: DataFrame) -> DataFrame:
             .agg(F.min_by("lang", "pos").alias("lang")))
 
 
-def po_bitext_pairs(entries: DataFrame, max_ratio: int = 3,
-                    min_chars: int = 2) -> DataFrame:
+def po_bitext_pairs(entries: DataFrame,
+                    max_ratio: int = MAX_RATIO,
+                    min_chars: int = MIN_CHARS) -> DataFrame:
     """PO entries -> (url, pos, lang, src, tgt) candidate pairs:
     non-fuzzy, non-obsolete, both sides >= ``min_chars`` chars and
     within ``max_ratio``x of each other's char length (integer
@@ -48,13 +69,39 @@ def po_bitext_pairs(entries: DataFrame, max_ratio: int = 3,
     e = entries.where(
         (~F.col("fuzzy")) & (~F.col("obsolete"))
         & (F.col("msgid") != "") & (F.col("msgstr") != ""))
-    sl = F.length("msgid")
-    tl = F.length("msgstr")
-    e = e.where((sl >= min_chars) & (tl >= min_chars)
-                & (sl <= F.lit(max_ratio) * tl)
-                & (tl <= F.lit(max_ratio) * sl))
+    e = length_ratio_gate(e, "msgid", "msgstr", max_ratio,
+                          min_chars)
     langs = po_catalog_langs(entries)
     return (e.join(langs, "url", "left")
             .select("url", "pos", "lang",
                     F.col("msgid").alias("src"),
                     F.col("msgstr").alias("tgt")))
+
+
+def tmx_bitext_pairs(rows: DataFrame,
+                     max_ratio: int = MAX_RATIO,
+                     min_chars: int = MIN_CHARS) -> DataFrame:
+    """TMX tuv rows (url, tu, tuid, pos, srclang, lang, seg) ->
+    one (src, tgt) pair per non-source tuv of each translation
+    unit. The source tuv is the first one whose language equals
+    the header's lowercased srclang; when srclang is absent or
+    ``*all*``, the tu's first tuv is the source (the OPUS
+    convention). One equi-join on (url, tu) — tus are tiny groups,
+    never cross-corpus."""
+    is_src = F.when(
+        F.col("srclang").isNotNull()
+        & (F.lower(F.col("srclang")) != "*all*"),
+        F.col("lang") == F.lower(F.col("srclang"))
+    ).otherwise(F.col("pos") == 0)
+    src = (rows.where(is_src)
+           .groupBy("url", "tu")
+           .agg(F.min("pos").alias("src_pos"),
+                F.min_by("lang", "pos").alias("src_lang"),
+                F.min_by("seg", "pos").alias("src")))
+    pairs = (rows.join(src, ["url", "tu"])
+             .where(F.col("pos") != F.col("src_pos"))
+             .select("url", "tu", "src_lang", "src",
+                     F.col("lang").alias("tgt_lang"),
+                     F.col("seg").alias("tgt")))
+    return length_ratio_gate(pairs, "src", "tgt", max_ratio,
+                             min_chars)

@@ -1213,6 +1213,43 @@ def read_po_entries(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, PO_ENTRIES_DDL))
 
 
+TMX_ROWS_DDL = ("url string, tu int, tuid string, pos int, "
+                "srclang string, lang string, seg string")
+
+
+def read_tmx_rows(df: DataFrame, url_col: str = "url",
+                  payload_col: str = "payload") -> DataFrame:
+    """(url, TMX payload) rows -> one row per tuv segment with the
+    header srclang denormalized onto every row (the pairing
+    operator needs it and the golden stays one flat table). Pure
+    parse: ``extractor.tmxx.extract_tmx`` (golden-pinned)."""
+    import pandas as pd
+
+    from ..extractor.tmxx import extract_tmx
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                try:
+                    d = extract_tmx(bytes(payload))
+                except Exception:
+                    continue
+                for tu, tuid, pos, lang, seg in d["rows"]:
+                    rows.append((url, tu, tuid, pos, d["srclang"],
+                                 lang, seg))
+            out = pd.DataFrame(rows, columns=[
+                "url", "tu", "tuid", "pos", "srclang", "lang",
+                "seg"])
+            for c in ("tu", "pos"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, TMX_ROWS_DDL))
+
+
 PDF_INFO_DDL = ("url string, title string, author string, "
                 "subject string, keywords string, creator string, "
                 "producer string, creation_date string, "
