@@ -40,6 +40,7 @@ from historicaldatadocumentparsersystem_spark.operators import (
 from historicaldatadocumentparsersystem_spark.extractor import idsx as _idsx
 from historicaldatadocumentparsersystem_spark.extractor import piix as _piix
 from historicaldatadocumentparsersystem_spark.operators import psl as _psl
+from historicaldatadocumentparsersystem_spark.operators import certs as _certops
 from historicaldatadocumentparsersystem_spark.operators import qmodel as _qmodel
 
 # ---------------------------------------------------------------------------
@@ -3216,6 +3217,8 @@ _GOLDEN_PO = os.path.join(_REPO, "fixtures",
                           "golden_po_seed42_n20.parquet")
 _GOLDEN_TMX = os.path.join(_REPO, "fixtures",
                            "golden_tmx_seed42_n16.parquet")
+_GOLDEN_CERTS = os.path.join(_REPO, "fixtures",
+                             "golden_certs_seed42_n24.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -3960,6 +3963,8 @@ _EXTRA_ORDER = [
     "xlsx_cells", "xlsx_sheet_stats", "spreadsheet_header_records",
     "po_entries", "po_bitext_pairs", "po_catalog_stats",
     "tmx_rows", "tmx_bitext_pairs", "tmx_memory_stats",
+    "cert_rows", "cert_host_hygiene", "cert_chain_integrity",
+    "cert_crypto_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6468,6 +6473,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- X.509 certificate family (from-scratch DER; the transport
+    # sibling of the security-header posture family) — cert rows
+    # hash-checked against the committed golden; hygiene/chain/
+    # profile read the golden on BOTH sides to isolate the grading
+    def q_cert_rows(spark, sf_dir):
+        files = fixtures.cert_chain_rows(24)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_certificates(df)
+    q["cert_rows"] = q_cert_rows
+
+    def q_cert_hygiene(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import certs as _certs
+        return _certs.cert_hygiene(spark.read.parquet(_GOLDEN_CERTS))
+    q["cert_host_hygiene"] = q_cert_hygiene
+
+    def q_cert_chain(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import certs as _certs
+        return _certs.chain_integrity(
+            spark.read.parquet(_GOLDEN_CERTS))
+    q["cert_chain_integrity"] = q_cert_chain
+
+    def q_cert_profile(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import certs as _certs
+        return _certs.crypto_profile(spark.read.parquet(_GOLDEN_CERTS))
+    q["cert_crypto_profile"] = q_cert_profile
 
     # --- media-extension sitemaps (video/image discovery channel) —
     # pure-extractor-fed VALUES oracle; parser round-trips pinned in
@@ -10306,6 +10342,80 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # X.509 rows: committed golden pinned by tests/test_certx.py
+        # against the pure re-derivation
+        "cert_rows": f"""
+            SELECT url, chain_pos, version, serial, sig_alg,
+                   issuer_cn, issuer_dn, subject_cn, subject_dn,
+                   not_before, not_after, pubkey_alg, pubkey_bits,
+                   curve, san_dns, san_ip, is_ca, self_signed,
+                   key_usage, ext_key_usage, fingerprint_sha256
+            FROM read_parquet('{_GOLDEN_CERTS}')""",
+        # hygiene: golden both sides; the covered/weak predicates and
+        # the as-of instant are GENERATED from operators.certs
+        # constants (never retyped); ISO strings compare as strings
+        "cert_host_hygiene": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_CERTS}')
+                       WHERE chain_pos = 0),
+            h AS (SELECT *, split_part(split_part(url, '://', 2),
+                                       '/', 1) AS host FROM g),
+            flags AS (
+              SELECT url, host, subject_cn, sig_alg, pubkey_alg,
+                     pubkey_bits, not_after,
+                     not_after < '{_certops.CERT_AS_OF}' AS expired,
+                     not_before > '{_certops.CERT_AS_OF}'
+                       AS not_yet_valid,
+                     self_signed,
+                     (len(san_dns) = 0 AND len(san_ip) = 0)
+                       AS no_san,
+                     len(list_filter(san_dns, s ->
+                         {_certops.covered_sql('s', 'host')})) > 0
+                       AS host_covered,
+                     (len(san_dns) > 0) AS has_dns,
+                     {_certops.weak_sql()} AS weak_crypto
+              FROM h)
+            SELECT url, host, subject_cn, sig_alg, pubkey_alg,
+                   pubkey_bits, not_after, expired, not_yet_valid,
+                   self_signed, no_san, host_covered,
+                   (has_dns AND NOT host_covered) AS san_mismatch,
+                   weak_crypto,
+                   CASE WHEN expired OR not_yet_valid THEN 'F'
+                        WHEN self_signed
+                             OR (has_dns AND NOT host_covered)
+                          THEN 'D'
+                        WHEN weak_crypto THEN 'C'
+                        WHEN no_san THEN 'B'
+                        ELSE 'A' END AS grade
+            FROM flags""",
+        # chain audit: golden both sides; arg_max == Spark max_by
+        "cert_chain_integrity": f"""
+            WITH g AS (SELECT * FROM
+                       read_parquet('{_GOLDEN_CERTS}')),
+            per_url AS (
+              SELECT url, count(*)::bigint AS n_certs,
+                     arg_max(self_signed, chain_pos)
+                       AS top_self_signed
+              FROM g GROUP BY url),
+            pairs AS (
+              SELECT c.url, c.issuer_dn = p.subject_dn AS linked
+              FROM g c JOIN g p
+                ON p.url = c.url AND p.chain_pos = c.chain_pos + 1),
+            l AS (SELECT url, bool_and(linked) AS chain_linked
+                  FROM pairs GROUP BY url)
+            SELECT per_url.url, n_certs,
+                   coalesce(chain_linked, TRUE) AS chain_linked,
+                   top_self_signed
+            FROM per_url LEFT JOIN l USING (url)
+            ORDER BY per_url.url""",
+        "cert_crypto_profile": f"""
+            SELECT sig_alg, pubkey_alg, count(*)::bigint AS n_certs,
+                   sum(CASE WHEN {_certops.weak_sql()} THEN 1
+                       ELSE 0 END)::bigint AS n_weak,
+                   count(DISTINCT url)::bigint AS n_hosts
+            FROM read_parquet('{_GOLDEN_CERTS}')
+            GROUP BY sig_alg, pubkey_alg
+            ORDER BY sig_alg, pubkey_alg""",
         "po_catalog_stats": f"""
             WITH g AS (SELECT * FROM
                        read_parquet('{_GOLDEN_PO}')),

@@ -4434,3 +4434,157 @@ def diff_file_rows(n: int = 40, seed: int = 42) -> list[dict]:
         payload = ("\n".join(chunks) + "\n").encode()
         out.append({"url": url, "payload": payload})
     return out
+
+
+def cert_chain_rows(n: int = 24, seed: int = 42) -> list[dict]:
+    """Deterministic TLS certificate fixtures: (url, payload) where
+    payload is a PEM bundle (leaf first, then intermediates) built
+    by the certx DER encoders. Shapes cycle i % 8: healthy 2-cert
+    chain / expired leaf / self-signed EC / legacy weak (sha1 +
+    RSA-1024, no SAN) / wildcard-vs-apex mismatch / not-yet-valid
+    with an IP SAN / md5 + wrong-domain SAN / malformed payloads.
+    Hygiene grades are judged against operators.certs.CERT_AS_OF.
+    Golden: fixtures/golden_certs_seed42_n24.parquet."""
+    import random
+
+    from .extractor import certx
+
+    rng = random.Random(seed)
+
+    def mod(bits: int) -> bytes:
+        return bytes([0x80 | rng.randrange(128)]
+                     + [rng.randrange(256)
+                        for _ in range(bits // 8 - 1)])
+
+    rows: list[dict] = []
+    for i in range(n):
+        k = i % 8
+        host = f"site{i}.example.net"
+        url = f"https://{host}/"
+        if k == 0:
+            inter = [("CN", f"Example Issuing CA R{i}"),
+                     ("O", "Example Trust"), ("C", "US")]
+            leaf = certx.build_certificate(
+                serial=0x1000 + i, sig_oid="1.2.840.113549.1.1.11",
+                issuer=inter,
+                subject=[("CN", host), ("O", f"Site {i} Inc")],
+                not_before="2025-03-01T00:00:00Z",
+                not_after="2026-06-01T00:00:00Z",
+                spki=certx.build_spki("rsa", modulus=mod(2048)),
+                san_dns=[host, f"www.{host}", f"*.cdn.{host}"],
+                is_ca=False,
+                key_usage=["digitalSignature", "keyEncipherment"],
+                eku=["serverAuth", "clientAuth"])
+            ca = certx.build_certificate(
+                serial=0x20 + i, sig_oid="1.2.840.113549.1.1.11",
+                issuer=[("CN", "Example Root"), ("C", "US")],
+                subject=inter,
+                not_before="2020-01-01T00:00:00Z",
+                not_after="2035-01-01T00:00:00Z",
+                spki=certx.build_spki("rsa", modulus=mod(2048)),
+                is_ca=True, key_usage=["keyCertSign", "cRLSign"])
+            pem = certx.to_pem(leaf) + certx.to_pem(ca)
+        elif k == 1:
+            der = certx.build_certificate(
+                serial=0x2000 + i, sig_oid="1.2.840.113549.1.1.11",
+                issuer=[("CN", "Example Issuing CA R1"),
+                        ("O", "Example Trust"), ("C", "US")],
+                subject=[("CN", host)],
+                not_before="2023-01-15T08:30:00Z",
+                not_after="2024-01-15T08:30:00Z",
+                spki=certx.build_spki("rsa", modulus=mod(2048)),
+                san_dns=[host], is_ca=False, eku=["serverAuth"])
+            pem = certx.to_pem(der)
+        elif k == 2:
+            name = [("CN", host), ("O", "Self Hosted"),
+                    ("emailAddress", f"admin@{host}")]
+            der = certx.build_certificate(
+                serial=1 + i, sig_oid="1.2.840.10045.4.3.2",
+                issuer=name, subject=name,
+                not_before="2025-01-01T00:00:00Z",
+                not_after="2027-01-01T00:00:00Z",
+                spki=certx.build_spki("ec", curve="prime256v1"),
+                san_dns=[host, f"alt{i}.example.org"],
+                is_ca=True, eku=["serverAuth"])
+            pem = certx.to_pem(der)
+        elif k == 3:
+            # legacy CN-only: weak sha1+1024 (grade C) for even
+            # cycles, modern crypto but still SAN-less (grade B)
+            # for odd ones
+            legacy = (i // 8) % 2 == 0
+            der = certx.build_certificate(
+                serial=0x3000 + i,
+                sig_oid=("1.2.840.113549.1.1.5" if legacy
+                         else "1.2.840.113549.1.1.11"),
+                issuer=[("CN", "Legacy CA 2009"), ("C", "DE")],
+                subject=[("CN", host), ("OU", "Ops"),
+                         ("L", "Berlin"), ("ST", "BE")],
+                not_before="2024-07-01T12:00:00Z",
+                not_after="2027-07-01T12:00:00Z",
+                spki=certx.build_spki(
+                    "rsa", modulus=mod(1024 if legacy else 2048)))
+            pem = certx.to_pem(der)
+        elif k == 4:
+            # wildcard SAN: served at the apex (one label short —
+            # mismatch, grade D) on even cycles, at www. (covered,
+            # grade A) on odd ones
+            if (i // 8) % 2:
+                host = f"www.site{i}.example.net"
+                url = f"https://{host}/"
+            wild = f"*.site{i}.example.net"
+            der = certx.build_certificate(
+                serial=0x4000 + i, sig_oid="1.3.101.112",
+                issuer=[("CN", "Example Issuing CA R2"),
+                        ("O", "Example Trust"), ("C", "US")],
+                subject=[("CN", wild)],
+                not_before="2025-06-01T00:00:00Z",
+                not_after="2026-09-01T00:00:00Z",
+                spki=certx.build_spki("ed25519"),
+                san_dns=[wild], is_ca=False,
+                eku=["serverAuth"])
+            pem = certx.to_pem(der)
+        elif k == 5:
+            der = certx.build_certificate(
+                serial=0x5000 + i, sig_oid="1.2.840.10045.4.3.3",
+                issuer=[("CN", "Example Issuing CA R2"),
+                        ("O", "Example Trust"), ("C", "US")],
+                subject=[("CN", host)],
+                not_before="2050-02-03T04:05:06Z",
+                not_after="2051-02-03T04:05:06Z",
+                spki=certx.build_spki("ec", curve="secp384r1"),
+                san_dns=[host],
+                san_ip=[f"192.0.2.{(i * 7) % 250 + 1}"],
+                is_ca=False, gen_time=True,
+                key_usage=["digitalSignature"], eku=["serverAuth"])
+            pem = certx.to_pem(der)
+        elif k == 6:
+            der = certx.build_certificate(
+                serial=0x6000 + i,
+                sig_oid="1.2.840.113549.1.1.4",
+                issuer=[("CN", "Example Issuing CA R1"),
+                        ("O", "Example Trust"), ("C", "US")],
+                subject=[("CN", f"other{i}.example.com")],
+                not_before="2025-01-01T00:00:00Z",
+                not_after="2026-12-31T23:59:59Z",
+                spki=certx.build_spki("rsa", modulus=mod(2048)),
+                san_dns=[f"other{i}.example.com",
+                         f"www.other{i}.example.com"],
+                is_ca=False, eku=["serverAuth"])
+            pem = certx.to_pem(der)
+        else:
+            variant = (i // 8) % 3
+            if variant == 0:
+                good = certx.build_certificate(
+                    serial=9, sig_oid="1.2.840.113549.1.1.11",
+                    issuer=[("CN", "T")], subject=[("CN", host)],
+                    not_before="2025-01-01T00:00:00Z",
+                    not_after="2026-01-01T00:00:00Z",
+                    spki=certx.build_spki("rsa", modulus=mod(2048)))
+                pem = certx.to_pem(good)[:-80] + "zz\n-----END CERTIFICATE-----\n"
+            elif variant == 1:
+                pem = "-----BEGIN CERTIFICATE-----\nAAAA\n-----END CERTIFICATE-----\n"
+            else:
+                pem = ""
+        rows.append({"url": url,
+                     "payload": pem.encode("ascii")})
+    return rows

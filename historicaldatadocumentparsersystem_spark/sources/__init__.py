@@ -2083,3 +2083,59 @@ def media_fetch_frontier(parts: list[tuple[str, DataFrame]]
             .agg(won, F.count("*").cast("long").alias("n_refs"))
             .select("url", F.col("_w._channel").alias("channel"),
                     "n_refs"))
+
+
+CERT_ROWS_DDL = (
+    "url string, chain_pos int, version int, serial string, "
+    "sig_alg string, issuer_cn string, issuer_dn string, "
+    "subject_cn string, subject_dn string, not_before string, "
+    "not_after string, pubkey_alg string, pubkey_bits int, "
+    "curve string, san_dns array<string>, san_ip array<string>, "
+    "is_ca boolean, self_signed boolean, key_usage array<string>, "
+    "ext_key_usage array<string>, fingerprint_sha256 string")
+
+
+def read_certificates(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, PEM-or-DER payload) rows -> one row per certificate in
+    armor order (chain_pos 0 = leaf). Pure parse:
+    ``extractor.certx.extract_chain`` (golden-pinned); malformed
+    certs/payloads degrade to zero rows, never raise. Map-only —
+    no shuffle; downstream hygiene ops group by url themselves."""
+    import pandas as pd
+
+    from ..extractor.certx import extract_chain
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                certs = extract_chain(
+                    bytes(payload) if payload is not None else None)
+                for pos, c in enumerate(certs):
+                    bits = c["pubkey_bits"]
+                    if bits is not None and bits > 2**31 - 1:
+                        bits = None  # Int32 clamp (header-fed int)
+                    rows.append((
+                        url, pos, c["version"], c["serial"],
+                        c["sig_alg"], c["issuer_cn"], c["issuer_dn"],
+                        c["subject_cn"], c["subject_dn"],
+                        c["not_before"], c["not_after"],
+                        c["pubkey_alg"], bits, c["curve"],
+                        c["san_dns"], c["san_ip"], c["is_ca"],
+                        c["self_signed"], c["key_usage"],
+                        c["ext_key_usage"], c["fingerprint_sha256"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "chain_pos", "version", "serial", "sig_alg",
+                "issuer_cn", "issuer_dn", "subject_cn", "subject_dn",
+                "not_before", "not_after", "pubkey_alg",
+                "pubkey_bits", "curve", "san_dns", "san_ip",
+                "is_ca", "self_signed", "key_usage",
+                "ext_key_usage", "fingerprint_sha256"])
+            for c in ("chain_pos", "version", "pubkey_bits"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, CERT_ROWS_DDL))
