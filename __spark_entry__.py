@@ -2615,6 +2615,33 @@ def _server_products_sql() -> str:
         ORDER BY url, pos"""
 
 
+def _mhtml_pages_sql() -> str:
+    """Oracle for mhtml_pages: the PURE parser + htmlx pipeline feed
+    the VALUES rows (extraction itself is pinned elsewhere: golden
+    corpus byte-identity + the mhtmlx round-trip vectors)."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.extractor import (
+        htmlx, mhtmlx)
+
+    def s(v):
+        return ("NULL" if v is None
+                else "'" + v.replace("'", "''") + "'")
+
+    rows = []
+    for r in fixtures.mhtml_file_rows(16):
+        snap, html = mhtmlx.root_html(r["payload"])
+        if not html:
+            continue
+        text, _spans, _score, title = htmlx.extract_html(html)
+        rows.append(f"({s(r['url'])}, {s(snap)}, {s(title)}, "
+                    f"{s(text)})")
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, snapshot_url, title, text)
+        ORDER BY url"""
+
+
 def _llms_files_sql() -> str:
     """Oracle for llms_txt_files: the PURE parser feeds the VALUES
     rows (subset pinned by tests/test_llmstxt.py vectors)."""
@@ -3219,6 +3246,8 @@ _GOLDEN_TMX = os.path.join(_REPO, "fixtures",
                            "golden_tmx_seed42_n16.parquet")
 _GOLDEN_CERTS = os.path.join(_REPO, "fixtures",
                              "golden_certs_seed42_n24.parquet")
+_GOLDEN_MHTML = os.path.join(_REPO, "fixtures",
+                             "golden_mhtml_seed42_n16.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -3965,6 +3994,7 @@ _EXTRA_ORDER = [
     "tmx_rows", "tmx_bitext_pairs", "tmx_memory_stats",
     "cert_rows", "cert_host_hygiene", "cert_chain_integrity",
     "cert_crypto_profile",
+    "mhtml_resources", "mhtml_pages", "mhtml_asset_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6473,6 +6503,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- MHTML web-archive source (browser "Save as MHTML"
+    # snapshots; reuses the mailx MIME machinery) — resource census
+    # hash-checked against the committed golden; page text runs the
+    # ONE htmlx pipeline (pure-fed VALUES twin)
+    def q_mhtml_resources(spark, sf_dir):
+        files = fixtures.mhtml_file_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_mhtml_resources(df)
+    q["mhtml_resources"] = q_mhtml_resources
+
+    def q_mhtml_pages(spark, sf_dir):
+        files = fixtures.mhtml_file_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_mhtml_pages(df)
+    q["mhtml_pages"] = q_mhtml_pages
+
+    def q_mhtml_census(spark, sf_dir):
+        # golden both sides: what does a snapshot corpus carry?
+        g = spark.read.parquet(_GOLDEN_MHTML)
+        return (g.groupBy("content_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                     F.sum("size").cast("long").alias("total_bytes"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_archives"))
+                .orderBy("content_type"))
+    q["mhtml_asset_census"] = q_mhtml_census
 
     # --- X.509 certificate family (from-scratch DER; the transport
     # sibling of the security-header posture family) — cert rows
@@ -10342,6 +10403,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # MHTML resource census: committed golden pinned by
+        # tests/test_mhtml.py against the pure re-derivation
+        "mhtml_resources": f"""
+            SELECT url, snapshot_url, pos, content_type,
+                   content_location, content_id, is_root, size
+            FROM read_parquet('{_GOLDEN_MHTML}')""",
+        "mhtml_pages": _mhtml_pages_sql(),
+        "mhtml_asset_census": f"""
+            SELECT content_type, count(*)::bigint AS n_parts,
+                   sum(size)::bigint AS total_bytes,
+                   count(DISTINCT url)::bigint AS n_archives
+            FROM read_parquet('{_GOLDEN_MHTML}')
+            GROUP BY content_type ORDER BY content_type""",
         # X.509 rows: committed golden pinned by tests/test_certx.py
         # against the pure re-derivation
         "cert_rows": f"""

@@ -4588,3 +4588,84 @@ def cert_chain_rows(n: int = 24, seed: int = 42) -> list[dict]:
         rows.append({"url": url,
                      "payload": pem.encode("ascii")})
     return rows
+
+
+def mhtml_file_rows(n: int = 16, seed: int = 42) -> list[dict]:
+    """Deterministic MHTML snapshots: (url, payload). Shapes cycle
+    i % 5: Chrome-style snapshot (html root + png + css, Snapshot-
+    Content-Location) / start-param root selection with a subframe
+    and a font / no snapshot header + qp special chars (url from the
+    root's Content-Location) / non-HTML root + a cid-only part /
+    malformed payloads (wrong multipart class, truncation, garbage).
+    Golden: fixtures/golden_mhtml_seed42_n16.parquet."""
+    from .extractor import mhtmlx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://archive{i}.example.org/saved-{i}.mht"
+        k = i % 5
+        page = f"https://site{i}.example.com/article/{i}"
+        if k == 0:
+            html = (f"<html><head><title>Article {i}</title></head>"
+                    f"<body><div class='content'><p>Saved article "
+                    f"number {i} with several words of body text "
+                    f"for extraction.</p></div>"
+                    f"<img src='img/hero-{i}.png'></body></html>")
+            payload = mhtmlx.build_mhtml(
+                f"----MultipartBoundary--{i:04d}", [
+                    {"content_type": "text/html; charset=utf-8",
+                     "location": page, "cid": f"frame-{i}",
+                     "text": html},
+                    {"content_type": "image/png",
+                     "location": f"https://site{i}.example.com/"
+                                 f"img/hero-{i}.png",
+                     "body": b"\x89PNG\r\n\x1a\n" + bytes(24)},
+                    {"content_type": "text/css",
+                     "location": f"https://site{i}.example.com/s.css",
+                     "text": f".a{i}{{margin:0}}"},
+                ], snapshot_url=page, start=f"frame-{i}")
+        elif k == 1:
+            payload = mhtmlx.build_mhtml(f"bnd-{i}", [
+                {"content_type": "text/html",
+                 "location": f"{page}/iframe", "cid": f"sub-{i}",
+                 "text": f"<p>subframe {i}</p>"},
+                {"content_type": "text/html; charset=utf-8",
+                 "location": page, "cid": f"main-{i}",
+                 "text": f"<html><body><h1>Main {i}</h1><p>The "
+                         f"start parameter selects this part even "
+                         f"though it is second.</p></body></html>"},
+                {"content_type": "font/woff2",
+                 "location": f"https://cdn{i}.example.com/f.woff2",
+                 "body": b"wOF2" + bytes(16 + i)},
+            ], snapshot_url=page, start=f"main-{i}")
+        elif k == 2:
+            html = (f"<html><body><p>Café numéro {i} = "
+                    f"spécial</p></body></html>")
+            payload = mhtmlx.build_mhtml(f"b{i}", [
+                {"content_type": "text/html; charset=utf-8",
+                 "location": page, "text": html},
+            ])
+        elif k == 3:
+            payload = mhtmlx.build_mhtml(f"b{i}", [
+                {"content_type": "text/plain",
+                 "location": f"{page}.txt",
+                 "text": f"plain root {i}"},
+                {"content_type": "application/octet-stream",
+                 "cid": f"blob-{i}", "body": bytes(10 + i)},
+            ], snapshot_url=f"{page}.txt")
+        else:
+            variant = (i // 5) % 3
+            if variant == 0:
+                payload = (b"MIME-Version: 1.0\r\nContent-Type: "
+                           b"multipart/mixed; boundary=\"x\"\r\n"
+                           b"\r\n--x\r\nContent-Type: text/html\r\n"
+                           b"\r\n<p>not related</p>\r\n--x--\r\n")
+            elif variant == 1:
+                good = mhtmlx.build_mhtml(f"b{i}", [
+                    {"content_type": "text/html", "location": page,
+                     "text": "<p>cut</p>"}])
+                payload = good[:40]
+            else:
+                payload = b"\x00\x01garbage not mime\xff"
+        rows.append({"url": url, "payload": payload})
+    return rows

@@ -2139,3 +2139,77 @@ def read_certificates(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, CERT_ROWS_DDL))
+
+
+MHTML_RES_DDL = (
+    "url string, snapshot_url string, pos int, content_type string, "
+    "content_location string, content_id string, is_root boolean, "
+    "size int")
+
+MHTML_PAGE_DDL = ("url string, snapshot_url string, title string, "
+                  "text string")
+
+
+def read_mhtml_resources(df: DataFrame, url_col: str = "url",
+                         payload_col: str = "payload") -> DataFrame:
+    """(url, MHTML payload) rows -> one row per MIME part in tree
+    order (the index-only resource census — payload bytes stay in
+    the archive, the WACZ pattern). Pure parse:
+    ``extractor.mhtmlx.parse_mhtml`` (golden-pinned); non-MHTML
+    payloads yield zero rows. Map-only."""
+    import pandas as pd
+
+    from ..extractor.mhtmlx import parse_mhtml
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_mhtml(bytes(payload)
+                                if payload is not None else None)
+                for p in d["parts"]:
+                    size = min(p["size"], 2**31 - 1)  # Int32 clamp
+                    rows.append((url, d["url"], p["pos"],
+                                 p["content_type"],
+                                 p["content_location"],
+                                 p["content_id"],
+                                 p["pos"] == d["root_pos"], size))
+            out = pd.DataFrame(rows, columns=[
+                "url", "snapshot_url", "pos", "content_type",
+                "content_location", "content_id", "is_root", "size"])
+            for c in ("pos", "size"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MHTML_RES_DDL))
+
+
+def read_mhtml_pages(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, MHTML payload) -> at most one page row: the root HTML
+    part through the SAME htmlx main-content pipeline every other
+    format uses (mailx precedent). Non-MHTML or non-HTML-root
+    payloads yield zero rows. Map-only."""
+    import pandas as pd
+
+    from ..extractor.htmlx import extract_html
+    from ..extractor.mhtmlx import root_html
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                snap, html = root_html(
+                    bytes(payload) if payload is not None else None)
+                if not html:
+                    continue
+                text, _spans, _score, title = extract_html(html)
+                rows.append((url, snap, title, text))
+            yield pd.DataFrame(rows, columns=[
+                "url", "snapshot_url", "title", "text"])
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MHTML_PAGE_DDL))
