@@ -2615,6 +2615,38 @@ def _server_products_sql() -> str:
         ORDER BY url, pos"""
 
 
+def _har_pages_sql() -> str:
+    """Oracle for har_pages: the PURE parser feeds the VALUES rows
+    (HAR grammar pinned by tests/test_har.py vectors + the entries
+    golden). Timings are JSON-number doubles — _flit literals."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        harx
+
+    def s(v):
+        return ("NULL" if v is None
+                else "'" + v.replace("'", "''") + "'")
+
+    def d(v):
+        return ("CAST(NULL AS double)" if v is None
+                else _flit(v))
+
+    rows = []
+    for r in fixtures.har_file_rows(12):
+        for p in harx.parse_har(r["payload"])["pages"]:
+            rows.append(
+                f"({s(r['url'])}, {s(p['page_id'])}, "
+                f"{s(p['started'])}, {s(p['title'])}, "
+                f"{d(p['on_content_load_ms'])}, "
+                f"{d(p['on_load_ms'])})")
+    vals = ",\n".join(rows)
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, page_id, started, title, on_content_load_ms,
+             on_load_ms)
+        ORDER BY url, page_id"""
+
+
 def _mhtml_pages_sql() -> str:
     """Oracle for mhtml_pages: the PURE parser + htmlx pipeline feed
     the VALUES rows (extraction itself is pinned elsewhere: golden
@@ -3248,6 +3280,8 @@ _GOLDEN_CERTS = os.path.join(_REPO, "fixtures",
                              "golden_certs_seed42_n24.parquet")
 _GOLDEN_MHTML = os.path.join(_REPO, "fixtures",
                              "golden_mhtml_seed42_n16.parquet")
+_GOLDEN_HAR = os.path.join(_REPO, "fixtures",
+                           "golden_har_seed42_n12.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -3995,6 +4029,7 @@ _EXTRA_ORDER = [
     "cert_rows", "cert_host_hygiene", "cert_chain_integrity",
     "cert_crypto_profile",
     "mhtml_resources", "mhtml_pages", "mhtml_asset_census",
+    "har_entries", "har_pages", "har_page_weight",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6503,6 +6538,47 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- HAR capture source (devtools HTTP Archive JSON — the third
+    # capture container after WARC/WACZ; index-only view) — entries
+    # hash-checked against the committed golden; pages pure-fed
+    # VALUES; page weight reads the golden on BOTH sides
+    def q_har_entries(spark, sf_dir):
+        files = fixtures.har_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_har_entries(df)
+    q["har_entries"] = q_har_entries
+
+    def q_har_pages(spark, sf_dir):
+        files = fixtures.har_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_har_pages(df)
+    q["har_pages"] = q_har_pages
+
+    def q_har_page_weight(spark, sf_dir):
+        # golden both sides: per-page request census + third-party
+        # share (document host = host of the min-pos entry)
+        g = spark.read.parquet(_GOLDEN_HAR)
+        host = F.expr(
+            "split(split(request_url, '://')[1], '/')[0]")
+        w = (g.withColumn("req_host", host)
+             .groupBy("url", "pageref")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_requests"),
+                  F.sum(F.coalesce("content_size", F.lit(0)))
+                  .cast("long").alias("total_content_bytes"),
+                  F.min_by("req_host", "pos").alias("doc_host"),
+                  F.collect_list("req_host").alias("_hosts")))
+        return (w.select(
+            "url", "pageref", "n_requests", "total_content_bytes",
+            "doc_host",
+            F.expr("cast(size(filter(_hosts, h -> h != doc_host)) "
+                   "as bigint)").alias("n_third_party"))
+            .orderBy("url", "pageref"))
+    q["har_page_weight"] = q_har_page_weight
 
     # --- MHTML web-archive source (browser "Save as MHTML"
     # snapshots; reuses the mailx MIME machinery) — resource census
@@ -10403,6 +10479,32 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # HAR entries: committed golden pinned by tests/test_har.py
+        # against the pure re-derivation
+        "har_entries": f"""
+            SELECT url, pos, pageref, started, method, request_url,
+                   status, status_text, mime, body_size,
+                   content_size, time_ms, server_ip, http_version
+            FROM read_parquet('{_GOLDEN_HAR}')""",
+        "har_pages": _har_pages_sql(),
+        # page weight: golden both sides; arg_min == Spark min_by,
+        # ordered list + list_filter == collect_list + filter
+        "har_page_weight": f"""
+            WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_HAR}')),
+            h AS (SELECT *, split_part(split_part(request_url,
+                     '://', 2), '/', 1) AS req_host FROM g),
+            w AS (SELECT url, pageref,
+                    count(*)::bigint AS n_requests,
+                    sum(coalesce(content_size, 0))::bigint
+                      AS total_content_bytes,
+                    arg_min(req_host, pos) AS doc_host,
+                    list(req_host ORDER BY pos) AS hosts
+                  FROM h GROUP BY url, pageref)
+            SELECT url, pageref, n_requests, total_content_bytes,
+                   doc_host,
+                   len(list_filter(hosts, x -> x != doc_host))
+                     ::bigint AS n_third_party
+            FROM w ORDER BY url, pageref""",
         # MHTML resource census: committed golden pinned by
         # tests/test_mhtml.py against the pure re-derivation
         "mhtml_resources": f"""

@@ -4669,3 +4669,144 @@ def mhtml_file_rows(n: int = 16, seed: int = 42) -> list[dict]:
                 payload = b"\x00\x01garbage not mime\xff"
         rows.append({"url": url, "payload": payload})
     return rows
+
+
+def har_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic HAR exports: (url, payload). Shapes cycle
+    i % 4: single-page load (document + css + js + img + xhr, a
+    third-party CDN, h2, exact .5ms timings) / two pages with a
+    redirect hop and -1 unknown sizes / edge fields (no pageref,
+    charset-parameterized mime, status 0 abort, missing timings) /
+    malformed payloads (non-JSON, no log, entries not a list).
+    Golden: fixtures/golden_har_seed42_n12.parquet."""
+    from .extractor import harx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://qa{i}.example.org/capture-{i}.har"
+        k = i % 4
+        site = f"https://www.shop{i}.example.com"
+        if k == 0:
+            pages = [{"id": f"page_{i}_1",
+                      "startedDateTime": f"2026-03-0{i % 9 + 1}"
+                                         "T10:00:00.000Z",
+                      "title": f"Shop {i} — home",
+                      "pageTimings": {"onContentLoad": 240.5 + i,
+                                      "onLoad": 900.25 + i}}]
+            entries = [
+                {"pageref": f"page_{i}_1",
+                 "startedDateTime": f"2026-03-0{i % 9 + 1}"
+                                    "T10:00:00.100Z",
+                 "request": {"method": "GET", "url": f"{site}/"},
+                 "response": {"status": 200, "statusText": "OK",
+                              "httpVersion": "h2",
+                              "bodySize": 14200 + i,
+                              "content": {"size": 50100 + i,
+                                          "mimeType":
+                                          "text/html; charset=utf-8"}},
+                 "time": 120.5, "serverIPAddress": "203.0.113.7"},
+                {"pageref": f"page_{i}_1",
+                 "request": {"method": "GET",
+                             "url": f"{site}/assets/app.css"},
+                 "response": {"status": 200, "statusText": "OK",
+                              "httpVersion": "h2", "bodySize": 8000,
+                              "content": {"size": 31000,
+                                          "mimeType": "text/css"}},
+                 "time": 45.25},
+                {"pageref": f"page_{i}_1",
+                 "request": {"method": "GET",
+                             "url": f"https://cdn{i}.example.net/"
+                                    f"lib/app.js"},
+                 "response": {"status": 200, "statusText": "OK",
+                              "httpVersion": "h2",
+                              "bodySize": 52000 + i,
+                              "content": {"size": 160000,
+                                          "mimeType":
+                                          "application/javascript"}},
+                 "time": 88.5, "serverIPAddress": "198.51.100.9"},
+                {"pageref": f"page_{i}_1",
+                 "request": {"method": "GET",
+                             "url": f"{site}/img/hero.webp"},
+                 "response": {"status": 200, "statusText": "OK",
+                              "httpVersion": "h2", "bodySize": 91000,
+                              "content": {"size": 91000,
+                                          "mimeType": "image/webp"}},
+                 "time": 160.75},
+                {"pageref": f"page_{i}_1",
+                 "request": {"method": "POST",
+                             "url": f"{site}/api/cart"},
+                 "response": {"status": 201, "statusText": "Created",
+                              "httpVersion": "h2", "bodySize": 310,
+                              "content": {"size": 310,
+                                          "mimeType":
+                                          "application/json"}},
+                 "time": 65.0},
+            ]
+        elif k == 1:
+            pages = [{"id": f"p{i}a",
+                      "startedDateTime": "2026-04-01T08:00:00.000Z",
+                      "title": f"Landing {i}",
+                      "pageTimings": {"onLoad": 500.5}},
+                     {"id": f"p{i}b",
+                      "startedDateTime": "2026-04-01T08:00:05.000Z",
+                      "title": f"Checkout {i}",
+                      "pageTimings": {"onContentLoad": 220.0}}]
+            entries = [
+                {"pageref": f"p{i}a",
+                 "request": {"method": "GET",
+                             "url": f"http://shop{i}.example.com/"},
+                 "response": {"status": 301,
+                              "statusText": "Moved Permanently",
+                              "httpVersion": "HTTP/1.1",
+                              "bodySize": -1,
+                              "content": {"size": -1,
+                                          "mimeType": ""}},
+                 "time": 30.5},
+                {"pageref": f"p{i}a",
+                 "request": {"method": "GET", "url": f"{site}/"},
+                 "response": {"status": 200, "statusText": "OK",
+                              "httpVersion": "h2", "bodySize": 12000,
+                              "content": {"size": 40000 + i,
+                                          "mimeType": "text/html"}},
+                 "time": 110.25},
+                {"pageref": f"p{i}b",
+                 "request": {"method": "GET",
+                             "url": f"{site}/checkout"},
+                 "response": {"status": 200, "statusText": "OK",
+                              "httpVersion": "h2", "bodySize": 9000,
+                              "content": {"size": 22000,
+                                          "mimeType": "text/html"}},
+                 "time": 95.0},
+            ]
+        elif k == 2:
+            pages = []
+            entries = [
+                {"request": {"method": "GET",
+                             "url": f"{site}/orphan.json"},
+                 "response": {"status": 200,
+                              "content": {"size": 512,
+                                          "mimeType":
+                                          "APPLICATION/JSON; "
+                                          "charset=UTF-8"}}},
+                {"request": {"method": "GET",
+                             "url": f"{site}/aborted.png"},
+                 "response": {"status": 0, "statusText": "",
+                              "content": {}},
+                 "time": -1},
+                "not-an-entry",
+            ]
+        else:
+            variant = (i // 4) % 3
+            if variant == 0:
+                rows.append({"url": url, "payload": b"not json {"})
+                continue
+            if variant == 1:
+                rows.append({"url": url,
+                             "payload": b'{"version": "1.2"}'})
+                continue
+            rows.append({"url": url,
+                         "payload": b'{"log": {"entries": 42}}'})
+            continue
+        rows.append({"url": url,
+                     "payload": harx.build_har(pages, entries)})
+    return rows

@@ -2213,3 +2213,84 @@ def read_mhtml_pages(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, MHTML_PAGE_DDL))
+
+
+HAR_ENTRY_DDL = (
+    "url string, pos int, pageref string, started string, "
+    "method string, request_url string, status int, "
+    "status_text string, mime string, body_size int, "
+    "content_size int, time_ms double, server_ip string, "
+    "http_version string")
+
+HAR_PAGE_DDL = (
+    "url string, page_id string, started string, title string, "
+    "on_content_load_ms double, on_load_ms double")
+
+
+def read_har_entries(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, HAR payload) -> one row per log entry (index-only
+    capture view, the WACZ pattern). Pure parse:
+    ``extractor.harx.parse_har`` (golden-pinned). Map-only."""
+    import pandas as pd
+
+    from ..extractor.harx import parse_har
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_har(bytes(payload)
+                              if payload is not None else None)
+                for e in d["entries"]:
+                    rows.append((url, e["pos"], e["pageref"],
+                                 e["started"], e["method"],
+                                 e["request_url"], e["status"],
+                                 e["status_text"], e["mime"],
+                                 e["body_size"], e["content_size"],
+                                 e["time_ms"], e["server_ip"],
+                                 e["http_version"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "pageref", "started", "method",
+                "request_url", "status", "status_text", "mime",
+                "body_size", "content_size", "time_ms", "server_ip",
+                "http_version"])
+            for c in ("pos", "status", "body_size", "content_size"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["time_ms"] = pd.array(out["time_ms"],
+                                      dtype="float64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, HAR_ENTRY_DDL))
+
+
+def read_har_pages(df: DataFrame, url_col: str = "url",
+                   payload_col: str = "payload") -> DataFrame:
+    """(url, HAR payload) -> one row per log page. Map-only."""
+    import pandas as pd
+
+    from ..extractor.harx import parse_har
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_har(bytes(payload)
+                              if payload is not None else None)
+                for p in d["pages"]:
+                    rows.append((url, p["page_id"], p["started"],
+                                 p["title"],
+                                 p["on_content_load_ms"],
+                                 p["on_load_ms"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "page_id", "started", "title",
+                "on_content_load_ms", "on_load_ms"])
+            for c in ("on_content_load_ms", "on_load_ms"):
+                out[c] = pd.array(out[c], dtype="float64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, HAR_PAGE_DDL))
