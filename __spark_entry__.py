@@ -3282,6 +3282,8 @@ _GOLDEN_MHTML = os.path.join(_REPO, "fixtures",
                              "golden_mhtml_seed42_n16.parquet")
 _GOLDEN_HAR = os.path.join(_REPO, "fixtures",
                            "golden_har_seed42_n12.parquet")
+_GOLDEN_VCARDS = os.path.join(_REPO, "fixtures",
+                              "golden_vcards_seed42_n16.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -4030,6 +4032,7 @@ _EXTRA_ORDER = [
     "cert_crypto_profile",
     "mhtml_resources", "mhtml_pages", "mhtml_asset_census",
     "har_entries", "har_pages", "har_page_weight",
+    "vcard_props", "contact_cards",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6538,6 +6541,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- vCard contact source (the icsx grammar sibling) — flat
+    # property rows hash-checked against the committed golden;
+    # card rollup reads the golden on BOTH sides
+    def q_vcard_props(spark, sf_dir):
+        files = fixtures.vcf_file_rows(16)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_vcard_props(df)
+    q["vcard_props"] = q_vcard_props
+
+    def q_contact_cards(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_VCARDS)
+        return (g.groupBy("url", "card")
+                .agg(F.max(F.when(F.col("name") == "VERSION",
+                                  F.col("value"))).alias("version"),
+                     F.max(F.when(F.col("name") == "FN",
+                                  F.col("value"))).alias("fn"),
+                     F.sum(F.when(F.col("name") == "EMAIL", 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_emails"),
+                     F.sum(F.when(F.col("name") == "TEL", 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_tels"),
+                     F.bool_or(F.col("name") == "ORG")
+                     .alias("has_org"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_props"))
+                .orderBy("url", "card"))
+    q["contact_cards"] = q_contact_cards
 
     # --- HAR capture source (devtools HTTP Archive JSON — the third
     # capture container after WARC/WACZ; index-only view) — entries
@@ -10479,6 +10513,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # vCard flat rows: committed golden pinned by
+        # tests/test_vcard.py against the pure re-derivation
+        "vcard_props": f"""
+            SELECT url, card, pos, grp, name, types, value
+            FROM read_parquet('{_GOLDEN_VCARDS}')""",
+        "contact_cards": f"""
+            SELECT url, card,
+                   max(CASE WHEN name = 'VERSION' THEN value END)
+                     AS version,
+                   max(CASE WHEN name = 'FN' THEN value END) AS fn,
+                   sum(CASE WHEN name = 'EMAIL' THEN 1 ELSE 0
+                       END)::bigint AS n_emails,
+                   sum(CASE WHEN name = 'TEL' THEN 1 ELSE 0
+                       END)::bigint AS n_tels,
+                   bool_or(name = 'ORG') AS has_org,
+                   count(*)::bigint AS n_props
+            FROM read_parquet('{_GOLDEN_VCARDS}')
+            GROUP BY url, card ORDER BY url, card""",
         # HAR entries: committed golden pinned by tests/test_har.py
         # against the pure re-derivation
         "har_entries": f"""

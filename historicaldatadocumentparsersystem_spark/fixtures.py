@@ -4810,3 +4810,58 @@ def har_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
         rows.append({"url": url,
                      "payload": harx.build_har(pages, entries)})
     return rows
+
+
+def vcf_file_rows(n: int = 16, seed: int = 42) -> list[dict]:
+    """Deterministic vCard files: (url, payload). Shapes cycle
+    i % 4: v4.0 full card (groups, TYPE lists, escaped NOTE, long
+    folded URL) / multi-card v3.0 directory export (3 cards,
+    repeated TYPE= params) / v2.1 bare-param legacy + an
+    unterminated trailing card (dropped) / junk payloads.
+    Golden: fixtures/golden_vcards_seed42_n16.parquet."""
+    from .extractor import vcardx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://contacts{i}.example.org/export-{i}.vcf"
+        k = i % 4
+        if k == 0:
+            payload = vcardx.build_vcard([[
+                "VERSION:4.0",
+                f"FN:Person {i} Longname",
+                f"N:Longname;Person {i};;;",
+                f"ORG:Org {i} GmbH;Research",
+                f"EMAIL;TYPE=work:p{i}@org{i}.example",
+                f"EMAIL;TYPE=home:p{i}@mail.example",
+                f'TEL;TYPE="cell,voice":+49 30 {1000 + i}',
+                f"item1.URL:https://org{i}.example/people/"
+                f"person-{i}/profile-page-with-long-slug",
+                "NOTE:First line\\nSecond\\, escaped; tail",
+                f"CATEGORIES:staff,team{i % 3}",
+                f"UID:urn:uuid:0000-{i:04d}",
+            ]])
+        elif k == 1:
+            cards = []
+            for j in range(3):
+                cards.append([
+                    "VERSION:3.0",
+                    f"FN:Member {i}-{j}",
+                    f"EMAIL;TYPE=INTERNET;TYPE=WORK:m{j}@"
+                    f"club{i}.example",
+                    f"TEL;TYPE=HOME;TYPE=VOICE:555-0{i}{j}",
+                ] + ([f"ORG:Club {i}"] if j == 0 else []))
+            payload = vcardx.build_vcard(cards)
+        elif k == 2:
+            payload = vcardx.build_vcard([[
+                "VERSION:2.1",
+                f"FN:Legacy {i}",
+                f"TEL;HOME;VOICE:555-1{i:03d}",
+                f"EMAIL;INTERNET:l{i}@old.example",
+                f"ADR;WORK:;;Main St {i};Town;;12345;DE",
+            ]]) + b"BEGIN:VCARD\r\nFN:Truncated\r\n"
+        else:
+            variant = (i // 4) % 2
+            payload = (b"not a vcard at all"
+                       if variant == 0 else b"\xff\xfe\x00junk")
+        rows.append({"url": url, "payload": payload})
+    return rows

@@ -2294,3 +2294,39 @@ def read_har_pages(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, HAR_PAGE_DDL))
+
+
+VCARD_PROPS_DDL = ("url string, card int, pos int, grp string, "
+                   "name string, types string, value string")
+
+
+def read_vcard_props(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, vCard payload) -> one row per property per card in
+    source order (flat model, the bibtex_fields pattern). Pure
+    parse: ``extractor.vcardx.parse_vcards`` (golden-pinned).
+    Map-only."""
+    import pandas as pd
+
+    from ..extractor.vcardx import parse_vcards
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                cards = parse_vcards(
+                    bytes(payload) if payload is not None else None)
+                for c in cards:
+                    for pos, grp, name, types, value in c["props"]:
+                        rows.append((url, c["idx"], pos, grp, name,
+                                     types, value))
+            out = pd.DataFrame(rows, columns=[
+                "url", "card", "pos", "grp", "name", "types",
+                "value"])
+            for c in ("card", "pos"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, VCARD_PROPS_DDL))
