@@ -3284,6 +3284,8 @@ _GOLDEN_HAR = os.path.join(_REPO, "fixtures",
                            "golden_har_seed42_n12.parquet")
 _GOLDEN_VCARDS = os.path.join(_REPO, "fixtures",
                               "golden_vcards_seed42_n16.parquet")
+_GOLDEN_TORRENTS = os.path.join(
+    _REPO, "fixtures", "golden_torrents_seed42_n12.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -4033,6 +4035,7 @@ _EXTRA_ORDER = [
     "mhtml_resources", "mhtml_pages", "mhtml_asset_census",
     "har_entries", "har_pages", "har_page_weight",
     "vcard_props", "contact_cards",
+    "torrent_files", "torrent_summary",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6541,6 +6544,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- BitTorrent metainfo source (open-data discovery channel;
+    # from-scratch bencode with span-aware infohash) — file rows
+    # hash-checked against the committed golden; the piece-count
+    # integrity audit reads the golden on BOTH sides
+    def q_torrent_files(spark, sf_dir):
+        files = fixtures.torrent_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_torrent_files(df)
+    q["torrent_files"] = q_torrent_files
+
+    def q_torrent_summary(spark, sf_dir):
+        # pieces_ok: ceil(total/piece_length) must equal the piece
+        # count the metainfo declares — integer div on non-negatives
+        # (the cross-engine-safe form)
+        g = spark.read.parquet(_GOLDEN_TORRENTS)
+        return (g.groupBy("url")
+                .agg(F.max("name").alias("name"),
+                     F.max("infohash").alias("infohash"),
+                     F.count(F.lit(1)).cast("long").alias("n_files"),
+                     F.sum("length").cast("long")
+                     .alias("total_bytes"),
+                     F.max("piece_length").alias("piece_length"),
+                     F.max("n_pieces").alias("n_pieces"),
+                     F.max("private").alias("private"))
+                .withColumn(
+                    "pieces_ok",
+                    F.expr("cast(n_pieces as bigint) = "
+                           "(total_bytes + piece_length - 1) div "
+                           "piece_length"))
+                .orderBy("url"))
+    q["torrent_summary"] = q_torrent_summary
 
     # --- vCard contact source (the icsx grammar sibling) — flat
     # property rows hash-checked against the committed golden;
@@ -10513,6 +10550,32 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # torrent file rows: committed golden pinned by
+        # tests/test_torrent.py against the pure re-derivation
+        "torrent_files": f"""
+            SELECT url, file_idx, path, length, name, infohash,
+                   piece_length, n_pieces, private, announce,
+                   n_trackers, creation_date, created_by
+            FROM read_parquet('{_GOLDEN_TORRENTS}')""",
+        # integrity audit: golden both sides; `//` == Spark `div`
+        # on non-negatives
+        "torrent_summary": f"""
+            WITH s AS (
+              SELECT url, max(name) AS name,
+                     max(infohash) AS infohash,
+                     count(*)::bigint AS n_files,
+                     sum(length)::bigint AS total_bytes,
+                     max(piece_length) AS piece_length,
+                     max(n_pieces) AS n_pieces,
+                     max(private) AS private
+              FROM read_parquet('{_GOLDEN_TORRENTS}')
+              GROUP BY url)
+            SELECT url, name, infohash, n_files, total_bytes,
+                   piece_length, n_pieces, private,
+                   (n_pieces::bigint =
+                    (total_bytes + piece_length - 1) // piece_length)
+                     AS pieces_ok
+            FROM s ORDER BY url""",
         # vCard flat rows: committed golden pinned by
         # tests/test_vcard.py against the pure re-derivation
         "vcard_props": f"""

@@ -4865,3 +4865,68 @@ def vcf_file_rows(n: int = 16, seed: int = 42) -> list[dict]:
                        if variant == 0 else b"\xff\xfe\x00junk")
         rows.append({"url": url, "payload": payload})
     return rows
+
+
+def torrent_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic .torrent metainfo files: (url, payload).
+    Shapes cycle i % 4: multi-file dataset with tracker tiers and
+    piece count consistent with sizes / single-file private with an
+    inconsistent piece count (integrity audit must flag it) /
+    unicode names + nested dirs + no announce (DHT-only) /
+    malformed payloads. Golden:
+    fixtures/golden_torrents_seed42_n12.parquet."""
+    from .extractor import torrentx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://mirror{i}.example.org/pub/item-{i}.torrent"
+        k = i % 4
+        if k == 0:
+            plen = 16384
+            sizes = [12000 + 1000 * i, 50000, 777]
+            total = sum(sizes)
+            npieces = (total + plen - 1) // plen
+            payload = torrentx.encode_bencode({
+                "announce": f"http://tracker{i}.example/announce",
+                "announce-list": [
+                    [f"http://tracker{i}.example/announce"],
+                    [f"udp://backup{i}.example:6969",
+                     f"udp://backup{i}b.example:6969"]],
+                "creation date": 1700000000 + i * 86400,
+                "created by": "fixture-mk/2.0",
+                "comment": f"open dataset {i}",
+                "info": {
+                    "name": f"dataset-{i}",
+                    "piece length": plen,
+                    "pieces": bytes(20 * npieces),
+                    "files": [
+                        {"path": ["data", f"part-{j}.bin"],
+                         "length": s}
+                        for j, s in enumerate(sizes)]}})
+        elif k == 1:
+            payload = torrentx.encode_bencode({
+                "announce": f"https://closed{i}.example/ann",
+                "info": {
+                    "name": f"image-{i}.iso",
+                    "piece length": 32768,
+                    # WRONG piece count on purpose (one short)
+                    "pieces": bytes(20 * ((100000 // 32768 + 1) - 1)),
+                    "length": 100000 + i,
+                    "private": 1}})
+        elif k == 2:
+            payload = torrentx.encode_bencode({
+                "creation date": 1690000000,
+                "info": {
+                    "name": f"аrchive-{i} データ",
+                    "piece length": 65536,
+                    "pieces": bytes(20),
+                    "files": [
+                        {"path": ["docs", "läng", f"f{i}.txt"],
+                         "length": 64000 + i}]}})
+        else:
+            variant = (i // 4) % 3
+            payload = (b"not bencode" if variant == 0
+                       else b"i42e" if variant == 1
+                       else b"d4:infoi1ee")
+        rows.append({"url": url, "payload": payload})
+    return rows

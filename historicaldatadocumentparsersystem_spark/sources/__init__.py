@@ -2330,3 +2330,53 @@ def read_vcard_props(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, VCARD_PROPS_DDL))
+
+
+TORRENT_FILES_DDL = (
+    "url string, file_idx int, path string, length bigint, "
+    "name string, infohash string, piece_length bigint, "
+    "n_pieces int, private boolean, announce string, "
+    "n_trackers int, creation_date bigint, created_by string")
+
+
+def read_torrent_files(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, .torrent payload) -> one row per file in metainfo
+    order, torrent-level fields denormalized onto every row (the
+    tmx srclang convention — downstream rollups never re-join the
+    payload). Pure parse: ``extractor.torrentx.parse_torrent``
+    (golden-pinned; infohash = sha1 over the RAW info span, so
+    non-canonical encoders keep their identity). Map-only."""
+    import pandas as pd
+
+    from ..extractor.torrentx import parse_torrent
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_torrent(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                for idx, (path, length) in enumerate(d["files"]):
+                    rows.append((
+                        url, idx, path, length, d["name"],
+                        d["infohash"], d["piece_length"],
+                        d["n_pieces"], d["private"], d["announce"],
+                        len(d["trackers"]), d["creation_date"],
+                        d["created_by"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "file_idx", "path", "length", "name",
+                "infohash", "piece_length", "n_pieces", "private",
+                "announce", "n_trackers", "creation_date",
+                "created_by"])
+            for c in ("file_idx", "n_pieces", "n_trackers"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("length", "piece_length", "creation_date"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, TORRENT_FILES_DDL))
