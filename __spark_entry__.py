@@ -3286,6 +3286,8 @@ _GOLDEN_VCARDS = os.path.join(_REPO, "fixtures",
                               "golden_vcards_seed42_n16.parquet")
 _GOLDEN_TORRENTS = os.path.join(
     _REPO, "fixtures", "golden_torrents_seed42_n12.parquet")
+_GOLDEN_STEMS = os.path.join(_REPO, "fixtures",
+                             "golden_stems_seed42.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -4036,6 +4038,7 @@ _EXTRA_ORDER = [
     "har_entries", "har_pages", "har_page_weight",
     "vcard_props", "contact_cards",
     "torrent_files", "torrent_summary",
+    "stem_vocab", "stem_collisions",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6544,6 +6547,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- Porter stemmer (retrieval-side normalization; the paper's
+    # rule set, vector-pinned) — Spark re-derives the vocabulary
+    # with the SAME pure functions that generated the committed
+    # golden; collisions read the golden on BOTH sides
+    def q_stem_vocab(spark, sf_dir):
+        rows = fixtures.stem_texts(40)
+        df = spark.createDataFrame(
+            [(r["url"], r["text"]) for r in rows],
+            "url string, text string").repartition(8)
+        return textstats.stem_vocab(df)
+    q["stem_vocab"] = q_stem_vocab
+
+    def q_stem_collisions(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_STEMS)
+        return (g.groupBy("stem")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                     F.sort_array(F.collect_list("word"))
+                     .alias("words"))
+                .where(F.col("n_words") > 1)
+                .orderBy("stem"))
+    q["stem_collisions"] = q_stem_collisions
 
     # --- BitTorrent metainfo source (open-data discovery channel;
     # from-scratch bencode with span-aware infohash) — file rows
@@ -10550,6 +10575,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # Porter vocabulary: committed golden pinned by
+        # tests/test_stem.py against the pure re-derivation (and
+        # the paper's step vectors); Spark re-derives it live
+        "stem_vocab": f"""
+            SELECT word, stem
+            FROM read_parquet('{_GOLDEN_STEMS}')""",
+        "stem_collisions": f"""
+            SELECT stem, count(*)::bigint AS n_words,
+                   list(word ORDER BY word) AS words
+            FROM read_parquet('{_GOLDEN_STEMS}')
+            GROUP BY stem HAVING count(*) > 1
+            ORDER BY stem""",
         # torrent file rows: committed golden pinned by
         # tests/test_torrent.py against the pure re-derivation
         "torrent_files": f"""

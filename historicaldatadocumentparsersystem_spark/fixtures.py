@@ -4930,3 +4930,62 @@ def torrent_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
                        else b"d4:infoi1ee")
         rows.append({"url": url, "payload": payload})
     return rows
+
+
+_STEM_WORDS = [
+    # step 1 plurals / participles
+    "caresses", "ponies", "ties", "cats", "feed", "agreed",
+    "plastered", "bled", "motoring", "sing", "conflated",
+    "troubled", "sized", "hopping", "tanned", "falling", "hissing",
+    "fizzed", "failing", "filing", "happy", "sky", "crying",
+    "flies", "dies", "abilities",
+    # step 2 derivational
+    "relational", "conditional", "rational", "valenci",
+    "hesitanci", "digitizer", "conformabli", "radicalli",
+    "differentli", "vileli", "analogousli", "vietnamization",
+    "predication", "operator", "feudalism", "decisiveness",
+    "hopefulness", "callousness", "formaliti", "sensitiviti",
+    "sensibiliti", "organization", "generalization",
+    # step 3
+    "triplicate", "formative", "formalize", "electriciti",
+    "electrical", "hopeful", "goodness", "duplicate",
+    # step 4
+    "revival", "allowance", "inference", "airliner", "gyroscopic",
+    "adjustable", "defensible", "irritant", "replacement",
+    "adjustment", "dependent", "adoption", "homologou",
+    "communism", "activate", "angulariti", "effective",
+    "bowdlerize", "probate", "rate", "cease", "controll", "roll",
+    # longer pipelines
+    "characterization", "traditionally", "computational",
+    "responsibilities", "internationalization", "misunderstanding",
+    "troubleshooting", "redistributed", "preprocessing",
+    "tokenization", "deduplication", "normalizing", "extracted",
+    "extraction", "crawling", "crawled", "parsers", "parsing",
+]
+
+
+def stem_texts(n: int = 40, seed: int = 42) -> list[dict]:
+    """Deterministic paragraphs over a morphologically rich word
+    list (each Porter step exercised several times), mixed with
+    punctuation/case/digit noise the tokenizer must strip. Golden:
+    fixtures/golden_stems_seed42.parquet (distinct word -> stem)."""
+    import random
+
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for i in range(n):
+        k = 6 + i % 7
+        words = [_STEM_WORDS[(i * 13 + j * 7) % len(_STEM_WORDS)]
+                 for j in range(k)]
+        deco = []
+        for j, w in enumerate(words):
+            if j % 5 == 1:
+                w = w.capitalize()
+            if j % 4 == 3:
+                w = w + ","
+            if j % 6 == 2:
+                w = f"{w}-{rng.randrange(100)}"
+            deco.append(w)
+        rows.append({"url": f"https://text{i}.example.org/p{i}",
+                     "text": " ".join(deco) + "."})
+    return rows

@@ -767,3 +767,33 @@ def sentence_split_df(df: DataFrame, text_col: str = "text",
     ddl = (f"{id_col} string, idx bigint, start bigint, end bigint, "
            "sentence string")
     return df.select(id_col, text_col).mapInPandas(batch, ddl)
+
+
+def stem_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct (word, stem) vocabulary of a corpus under the
+    from-scratch Porter stemmer (extractor/stemx.py — the paper's
+    rule set, vector-pinned). Tokenization and stemming run in the
+    SAME pure functions the golden generator uses (byte-identity
+    structural). One Arrow pass emitting per-partition-deduped
+    pairs + ONE distinct exchange; stems are deterministic per
+    word, so global distinct is exact."""
+    from ..extractor.stemx import porter_stem, tokens as _toks
+
+    def emit(batches):
+        seen: set[str] = set()  # cross-batch partition dedup
+        for b in batches:
+            words: list[str] = []
+            for text in b[text_col]:
+                if text is None:
+                    continue
+                for w in _toks(str(text)):
+                    if w not in seen:
+                        seen.add(w)
+                        words.append(w)
+            yield pd.DataFrame(
+                {"word": words,
+                 "stem": [porter_stem(w) for w in words]})
+
+    return (df.select(F.col(text_col).alias(text_col))
+            .mapInPandas(emit, "word string, stem string")
+            .distinct())
