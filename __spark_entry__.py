@@ -2615,6 +2615,42 @@ def _server_products_sql() -> str:
         ORDER BY url, pos"""
 
 
+def _thread_walk_cte() -> str:
+    """Shared CTE chain for the thread oracles: fixture reply rows
+    as VALUES (generated, never retyped) -> resolved-parent base ->
+    linear recursive root walk (the declarative twin of the
+    pointer-doubling iteration; same fixed point, O(depth) steps
+    instead of O(log depth) rounds)."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+
+    vals = ",\n".join(
+        f"('{r['url']}', '{r['message_id']}', '{r['in_reply_to']}')"
+        for r in fixtures.thread_msg_rows())
+    return f"""
+        msgs(url, id, parent) AS (VALUES {vals}),
+        m AS (SELECT * FROM msgs WHERE id != ''),
+        base AS (
+          SELECT m.url, m.id,
+                 CASE WHEN i.id IS NOT NULL AND i.id != m.id
+                      THEN m.parent ELSE m.id END AS anc,
+                 CASE WHEN i.id IS NOT NULL AND i.id != m.id
+                      THEN 1 ELSE 0 END AS depth
+          FROM m LEFT JOIN m i
+            ON i.url = m.url AND i.id = m.parent),
+        walk AS (
+          SELECT url, id, anc, depth FROM base
+          UNION ALL
+          SELECT w.url, w.id, b.anc, w.depth + 1
+          FROM walk w JOIN base b
+            ON b.url = w.url AND b.id = w.anc
+          WHERE b.depth = 1),
+        roots AS (
+          SELECT url, id, anc AS root_id, depth
+          FROM walk
+          QUALIFY row_number() OVER (PARTITION BY url, id
+                                     ORDER BY depth DESC) = 1)"""
+
+
 def _har_pages_sql() -> str:
     """Oracle for har_pages: the PURE parser feeds the VALUES rows
     (HAR grammar pinned by tests/test_har.py vectors + the entries
@@ -4039,6 +4075,7 @@ _EXTRA_ORDER = [
     "vcard_props", "contact_cards",
     "torrent_files", "torrent_summary",
     "stem_vocab", "stem_collisions",
+    "mail_thread_roots", "mail_thread_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6547,6 +6584,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- thread reconstruction by pointer doubling (JWZ core as a
+    # log-rounds distributed primitive) — TRUE dual-engine check:
+    # Spark iterates, DuckDB walks a recursive CTE over the SAME
+    # generated VALUES
+    def q_thread_roots(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import threads
+        rows = fixtures.thread_msg_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["message_id"], r["in_reply_to"])
+             for r in rows],
+            "url string, message_id string, in_reply_to string"
+        ).repartition(8)
+        return (threads.thread_roots(df)
+                .select(F.col("part").alias("url"), "id",
+                        "root_id", "depth"))
+    q["mail_thread_roots"] = q_thread_roots
+
+    def q_thread_profile(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import threads
+        rows = fixtures.thread_msg_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["message_id"], r["in_reply_to"])
+             for r in rows],
+            "url string, message_id string, in_reply_to string"
+        ).repartition(8)
+        return (threads.thread_profile(df)
+                .select(F.col("part").alias("url"), "root_id",
+                        "n_messages", "max_depth"))
+    q["mail_thread_profile"] = q_thread_profile
 
     # --- Porter stemmer (retrieval-side normalization; the paper's
     # rule set, vector-pinned) — Spark re-derives the vocabulary
@@ -10575,6 +10644,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # thread roots: TRUE dual-engine — recursive CTE walk vs
+        # the pointer-doubling iteration, same generated input
+        "mail_thread_roots": f"""
+            WITH RECURSIVE {_thread_walk_cte()}
+            SELECT url, id, root_id, depth FROM roots
+            ORDER BY url, id""",
+        "mail_thread_profile": f"""
+            WITH RECURSIVE {_thread_walk_cte()}
+            SELECT url, root_id, count(*)::bigint AS n_messages,
+                   max(depth) AS max_depth
+            FROM roots GROUP BY url, root_id
+            ORDER BY url, root_id""",
         # Porter vocabulary: committed golden pinned by
         # tests/test_stem.py against the pure re-derivation (and
         # the paper's step vectors); Spark re-derives it live

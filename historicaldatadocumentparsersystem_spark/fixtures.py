@@ -4989,3 +4989,41 @@ def stem_texts(n: int = 40, seed: int = 42) -> list[dict]:
         rows.append({"url": f"https://text{i}.example.org/p{i}",
                      "text": " ".join(deco) + "."})
     return rows
+
+
+def thread_msg_rows() -> list[dict]:
+    """Deterministic reply-forest fixture for thread_roots: archive
+    A = linear chain depth 9 (forces >3 doubling rounds), B =
+    forked tree + a second root, C = dangling parent (archive
+    truncated), D = REUSES archive A's message ids with different
+    links (partition isolation), plus an empty-id row (ignored)."""
+    rows: list[dict] = []
+    a = "https://lists.example.org/a"
+    rows.append({"url": a, "message_id": "m0", "in_reply_to": ""})
+    for j in range(1, 10):
+        rows.append({"url": a, "message_id": f"m{j}",
+                     "in_reply_to": f"m{j - 1}"})
+    b = "https://lists.example.org/b"
+    rows += [
+        {"url": b, "message_id": "r", "in_reply_to": ""},
+        {"url": b, "message_id": "c1", "in_reply_to": "r"},
+        {"url": b, "message_id": "c2", "in_reply_to": "r"},
+        {"url": b, "message_id": "g1", "in_reply_to": "c1"},
+        {"url": b, "message_id": "g2", "in_reply_to": "c1"},
+        {"url": b, "message_id": "g3", "in_reply_to": "c2"},
+        {"url": b, "message_id": "r2", "in_reply_to": ""},
+        {"url": b, "message_id": "r2c", "in_reply_to": "r2"},
+        {"url": b, "message_id": "", "in_reply_to": "r"},
+    ]
+    c = "https://lists.example.org/c"
+    rows += [
+        {"url": c, "message_id": "x1", "in_reply_to": "lost-head"},
+        {"url": c, "message_id": "x2", "in_reply_to": "x1"},
+    ]
+    d = "https://lists.example.org/d"
+    rows += [
+        {"url": d, "message_id": "m2", "in_reply_to": ""},
+        {"url": d, "message_id": "m0", "in_reply_to": "m2"},
+        {"url": d, "message_id": "m1", "in_reply_to": "m0"},
+    ]
+    return rows
