@@ -3324,6 +3324,8 @@ _GOLDEN_TORRENTS = os.path.join(
     _REPO, "fixtures", "golden_torrents_seed42_n12.parquet")
 _GOLDEN_STEMS = os.path.join(_REPO, "fixtures",
                              "golden_stems_seed42.parquet")
+_GOLDEN_GPX = os.path.join(_REPO, "fixtures",
+                           "golden_gpx_seed42_n12.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -4076,6 +4078,7 @@ _EXTRA_ORDER = [
     "torrent_files", "torrent_summary",
     "stem_vocab", "stem_collisions",
     "mail_thread_roots", "mail_thread_profile",
+    "gpx_points", "gpx_track_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6584,6 +6587,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- GPX geotrack source (the geodata modality) — point rows
+    # hash-checked against the committed golden; track stats read
+    # the golden on BOTH sides (bbox/count/duration only — exact
+    # math, no transcendentals near the driver hash)
+    def q_gpx_points(spark, sf_dir):
+        files = fixtures.gpx_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_gpx_points(df)
+    q["gpx_points"] = q_gpx_points
+
+    def q_gpx_track_stats(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_GPX)
+        return (g.where(F.col("kind") == "trkpt")
+                .groupBy("url", "trk")
+                .agg(F.max("trk_name").alias("trk_name"),
+                     F.count(F.lit(1)).cast("long").alias("n_points"),
+                     F.countDistinct("seg").cast("long")
+                     .alias("n_segments"),
+                     F.min("lat").alias("lat_min"),
+                     F.max("lat").alias("lat_max"),
+                     F.min("lon").alias("lon_min"),
+                     F.max("lon").alias("lon_max"),
+                     (F.max("epoch") - F.min("epoch"))
+                     .alias("duration_s"),
+                     F.sum(F.col("epoch").isNotNull().cast("long"))
+                     .cast("long").alias("n_timed"))
+                .orderBy("url", "trk"))
+    q["gpx_track_stats"] = q_gpx_track_stats
 
     # --- thread reconstruction by pointer doubling (JWZ core as a
     # log-rounds distributed primitive) — TRUE dual-engine check:
@@ -10644,6 +10678,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # GPX point rows: committed golden pinned by
+        # tests/test_gpx.py against the pure re-derivation
+        "gpx_points": f"""
+            SELECT url, kind, trk, trk_name, seg, pt, name, lat,
+                   lon, ele, time, epoch
+            FROM read_parquet('{_GOLDEN_GPX}')""",
+        # track stats: golden both sides; min/max on doubles and
+        # bigint epoch diffs are exact in both engines
+        "gpx_track_stats": f"""
+            SELECT url, trk, max(trk_name) AS trk_name,
+                   count(*)::bigint AS n_points,
+                   count(DISTINCT seg)::bigint AS n_segments,
+                   min(lat) AS lat_min, max(lat) AS lat_max,
+                   min(lon) AS lon_min, max(lon) AS lon_max,
+                   max(epoch) - min(epoch) AS duration_s,
+                   sum(CASE WHEN epoch IS NOT NULL THEN 1 ELSE 0
+                       END)::bigint AS n_timed
+            FROM read_parquet('{_GOLDEN_GPX}')
+            WHERE kind = 'trkpt'
+            GROUP BY url, trk ORDER BY url, trk""",
         # thread roots: TRUE dual-engine — recursive CTE walk vs
         # the pointer-doubling iteration, same generated input
         "mail_thread_roots": f"""

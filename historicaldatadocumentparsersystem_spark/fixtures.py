@@ -5027,3 +5027,55 @@ def thread_msg_rows() -> list[dict]:
         {"url": d, "message_id": "m1", "in_reply_to": "m0"},
     ]
     return rows
+
+
+def gpx_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic GPX files: (url, payload). Shapes cycle i % 4:
+    namespaced 2-track run with waypoints + an out-of-range point
+    (dropped) / multi-segment hike with sparse timestamps /
+    waypoints-only POI file with fractional-second times / junk
+    payloads. Golden: fixtures/golden_gpx_seed42_n12.parquet."""
+    from .extractor import gpxx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://tracks{i}.example.org/activity-{i}.gpx"
+        k = i % 4
+        base_lat, base_lon = 52.0 + i * 0.25, 13.0 + i * 0.125
+        t0 = f"2026-05-{i % 28 + 1:02d}T08:00:"
+        if k == 0:
+            segs = [[(base_lat + j * 0.001, base_lon + j * 0.002,
+                      30.0 + j, f"{t0}{j * 15:02d}Z")
+                     for j in range(4)]]
+            payload = gpxx.build_gpx(
+                [{"name": f"Run {i}", "segments": segs},
+                 {"name": f"Cooldown {i}", "segments": [
+                     [(base_lat, base_lon, None, None),
+                      (91.5, base_lon, None, None),
+                      (base_lat + 0.01, base_lon + 0.01, 31.0,
+                       None)]]}],
+                waypoints=[{"name": f"Start {i}", "lat": base_lat,
+                            "lon": base_lon, "ele": 30.0,
+                            "time": f"{t0}00Z"}],
+                ns=True)
+        elif k == 1:
+            segs = [[(base_lat + j * 0.01, base_lon, 100.0 + 10 * j,
+                      f"{t0}{j * 20:02d}Z" if j % 2 == 0 else None)
+                     for j in range(3)],
+                    [(base_lat + 0.1, base_lon + 0.1, 140.0,
+                      f"2026-05-{i % 28 + 1:02d}T09:30:00Z")]]
+            payload = gpxx.build_gpx(
+                [{"name": f"Hike {i}", "segments": segs}])
+        elif k == 2:
+            payload = gpxx.build_gpx([], waypoints=[
+                {"name": f"POI {i}-{j}", "lat": base_lat + j,
+                 "lon": base_lon - j, "ele": None,
+                 "time": f"{t0}{10 + j:02d}.500Z"}
+                for j in range(3)])
+        else:
+            variant = (i // 4) % 3
+            payload = (b"<html><body>nope</body></html>"
+                       if variant == 0 else b"<gpx><trk>"
+                       if variant == 1 else b"\x00\x01binary")
+        rows.append({"url": url, "payload": payload})
+    return rows

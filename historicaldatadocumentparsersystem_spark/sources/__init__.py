@@ -2380,3 +2380,44 @@ def read_torrent_files(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, TORRENT_FILES_DDL))
+
+
+GPX_POINTS_DDL = (
+    "url string, kind string, trk int, trk_name string, seg int, "
+    "pt int, name string, lat double, lon double, ele double, "
+    "time string, epoch bigint")
+
+
+def read_gpx_points(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, GPX payload) -> one row per trackpoint/waypoint in
+    document order. Pure parse: ``extractor.gpxx.parse_gpx``
+    (golden-pinned; coordinates range-gated, epochs integer
+    days-from-civil). Map-only."""
+    import pandas as pd
+
+    from ..extractor.gpxx import parse_gpx
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                for r in parse_gpx(bytes(payload)
+                                   if payload is not None else None):
+                    rows.append((url, r["kind"], r["trk"],
+                                 r["trk_name"], r["seg"], r["pt"],
+                                 r["name"], r["lat"], r["lon"],
+                                 r["ele"], r["time"], r["epoch"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "kind", "trk", "trk_name", "seg", "pt",
+                "name", "lat", "lon", "ele", "time", "epoch"])
+            for c in ("trk", "seg", "pt"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["epoch"] = pd.array(out["epoch"], dtype="Int64")
+            for c in ("lat", "lon", "ele"):
+                out[c] = pd.array(out[c], dtype="float64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, GPX_POINTS_DDL))
