@@ -2615,6 +2615,48 @@ def _server_products_sql() -> str:
         ORDER BY url, pos"""
 
 
+def _webmanifest_sql(icons: bool) -> str:
+    """Oracles for webmanifest_rows / webmanifest_icons: the PURE
+    parser feeds the VALUES rows (subset pinned by
+    tests/test_bookmarks.py vectors)."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.extractor import \
+        manifestx
+
+    def s(v):
+        return ("NULL" if v is None
+                else "'" + v.replace("'", "''") + "'")
+
+    rows = []
+    for r in fixtures.manifest_file_rows(12):
+        d = manifestx.parse_manifest(r["payload"])
+        if d is None:
+            continue
+        if icons:
+            for pos, src, sizes, typ, purpose in d["icons"]:
+                rows.append(f"({s(r['url'])}, {pos}::int, {s(src)}, "
+                            f"{s(sizes)}, {s(typ)}, {s(purpose)})")
+        else:
+            rows.append(
+                f"({s(r['url'])}, {s(d['name'])}, "
+                f"{s(d['short_name'])}, {s(d['start_url'])}, "
+                f"{s(d['scope'])}, {s(d['display'])}, "
+                f"{s(d['theme_color'])}, "
+                f"{s(d['background_color'])}, {s(d['lang'])}, "
+                f"{len(d['icons'])}::int)")
+    vals = ",\n".join(rows)
+    if icons:
+        return f"""
+            SELECT * FROM (VALUES {vals})
+            AS t(url, pos, src, sizes, type, purpose)
+            ORDER BY url, pos"""
+    return f"""
+        SELECT * FROM (VALUES {vals})
+        AS t(url, name, short_name, start_url, scope, display,
+             theme_color, background_color, lang, n_icons)
+        ORDER BY url"""
+
+
 def _thread_walk_cte() -> str:
     """Shared CTE chain for the thread oracles: fixture reply rows
     as VALUES (generated, never retyped) -> resolved-parent base ->
@@ -3326,6 +3368,8 @@ _GOLDEN_STEMS = os.path.join(_REPO, "fixtures",
                              "golden_stems_seed42.parquet")
 _GOLDEN_GPX = os.path.join(_REPO, "fixtures",
                            "golden_gpx_seed42_n12.parquet")
+_GOLDEN_BOOKMARKS = os.path.join(
+    _REPO, "fixtures", "golden_bookmarks_seed42_n12.parquet")
 _PAGING_CAP = 8  # stitch depth cap shared by query and oracle
 
 # committed quality-classifier weights as a DuckDB list literal
@@ -4079,6 +4123,8 @@ _EXTRA_ORDER = [
     "stem_vocab", "stem_collisions",
     "mail_thread_roots", "mail_thread_profile",
     "gpx_points", "gpx_track_stats",
+    "bookmark_rows", "bookmark_folder_stats",
+    "webmanifest_rows", "webmanifest_icons",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6587,6 +6633,46 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- Netscape bookmarks + Web App Manifest (curated-link and
+    # site-identity discovery channels) — bookmark rows golden-
+    # pinned; folder stats golden both sides; manifests pure-fed
+    # VALUES (spec display gate + icon ladder)
+    def q_bookmark_rows(spark, sf_dir):
+        files = fixtures.bookmark_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_bookmarks(df)
+    q["bookmark_rows"] = q_bookmark_rows
+
+    def q_bookmark_folders(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_BOOKMARKS)
+        return (g.groupBy("folder")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_links"),
+                     F.sum(F.col("tags").isNotNull().cast("long"))
+                     .cast("long").alias("n_tagged"),
+                     F.min("add_date").alias("first_added"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_exports"))
+                .orderBy("folder"))
+    q["bookmark_folder_stats"] = q_bookmark_folders
+
+    def q_webmanifests(spark, sf_dir):
+        files = fixtures.manifest_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_webmanifests(df)
+    q["webmanifest_rows"] = q_webmanifests
+
+    def q_manifest_icons(spark, sf_dir):
+        files = fixtures.manifest_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_manifest_icons(df)
+    q["webmanifest_icons"] = q_manifest_icons
 
     # --- GPX geotrack source (the geodata modality) — point rows
     # hash-checked against the committed golden; track stats read
@@ -10678,6 +10764,22 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # bookmark rows: committed golden pinned by
+        # tests/test_bookmarks.py against the pure re-derivation
+        "bookmark_rows": f"""
+            SELECT url, pos, folder, href, title, add_date,
+                   last_modified, tags
+            FROM read_parquet('{_GOLDEN_BOOKMARKS}')""",
+        "bookmark_folder_stats": f"""
+            SELECT folder, count(*)::bigint AS n_links,
+                   sum(CASE WHEN tags IS NOT NULL THEN 1 ELSE 0
+                       END)::bigint AS n_tagged,
+                   min(add_date) AS first_added,
+                   count(DISTINCT url)::bigint AS n_exports
+            FROM read_parquet('{_GOLDEN_BOOKMARKS}')
+            GROUP BY folder ORDER BY folder""",
+        "webmanifest_rows": _webmanifest_sql(icons=False),
+        "webmanifest_icons": _webmanifest_sql(icons=True),
         # GPX point rows: committed golden pinned by
         # tests/test_gpx.py against the pure re-derivation
         "gpx_points": f"""

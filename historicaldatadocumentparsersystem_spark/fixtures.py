@@ -5079,3 +5079,108 @@ def gpx_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
                        if variant == 1 else b"\x00\x01binary")
         rows.append({"url": url, "payload": payload})
     return rows
+
+
+def bookmark_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic Netscape bookmark exports: (url, payload).
+    Shapes cycle i % 4: nested folders with tags + timestamps /
+    flat list with entity titles / legacy quirks (stray close tags,
+    attribute-less anchors skipped, single-quoted attrs) / junk.
+    Golden: fixtures/golden_bookmarks_seed42_n12.parquet."""
+    from .extractor import bookmarkx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://user{i}.example.org/bookmarks-{i}.html"
+        k = i % 4
+        t0 = 1700000000 + i * 1000
+        if k == 0:
+            payload = bookmarkx.build_bookmarks([
+                {"href": f"https://start{i}.example/", "title":
+                 f"Start page {i}", "add_date": t0},
+                {"folder": f"Work {i}", "add_date": t0 + 1,
+                 "children": [
+                     {"href": f"https://tool{i}.example/app",
+                      "title": f"Tool {i}", "add_date": t0 + 2,
+                      "tags": f"dev,team{i % 3}"},
+                     {"folder": "Deep", "children": [
+                         {"href": f"https://deep{i}.example/doc",
+                          "title": "Spec", "add_date": t0 + 3,
+                          "last_modified": t0 + 50}]},
+                 ]},
+                {"folder": "News", "children": [
+                    {"href": f"https://news{i}.example/",
+                     "title": f"Daily {i}"}]},
+            ])
+        elif k == 1:
+            payload = bookmarkx.build_bookmarks([
+                {"href": f"https://a{i}.example/x?y={i}",
+                 "title": f"A &amp; B {i}", "add_date": t0},
+                {"href": f"https://b{i}.example/",
+                 "title": "Caf&eacute; list", "tags": "food"},
+            ])
+        elif k == 2:
+            payload = (
+                b"</DL><p>\n<DT><A HREF='https://sq" +
+                str(i).encode() + b".example/one' ADD_DATE='" +
+                str(t0).encode() + b"'>Single quoted</A>\n"
+                b"<DT><A NAME=noref>no href here</A>\n"
+                b"<DT><A HREF=https://bare" + str(i).encode() +
+                b".example/two LAST_MODIFIED=\"99999999999999999999"
+                b"\">bare attr</A>")
+        else:
+            payload = (b"\xff\xfeII*\x00junk" if (i // 4) % 2
+                       else b"<html><body><p>plain</p></body>"
+                            b"</html>")
+        rows.append({"url": url, "payload": payload})
+    return rows
+
+
+def manifest_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic Web App Manifests: (url, payload). Shapes
+    cycle i % 4: full PWA manifest with icon ladder / minimal with
+    INVALID display (gated to None) + non-dict icon entries
+    skipped / unicode names + maskable icons / junk payloads."""
+    from .extractor import manifestx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://app{i}.example.org/manifest.json"
+        k = i % 4
+        if k == 0:
+            payload = manifestx.build_manifest(
+                name=f"Example App {i}",
+                short_name=f"App{i}",
+                start_url="/",
+                scope="/",
+                display="standalone",
+                theme_color="#0d47a1",
+                background_color="#ffffff",
+                lang="en-US",
+                icons=[{"src": f"/icons/app-{i}-{s}.png",
+                        "sizes": f"{s}x{s}",
+                        "type": "image/png"}
+                       for s in (192, 512)])
+        elif k == 1:
+            payload = manifestx.build_manifest(
+                name=f"Minimal {i}",
+                display="popup-window",          # invalid -> None
+                start_url=f"/home?v={i}",
+                icons=["not-a-dict",
+                       {"sizes": "64x64"},       # no src -> skipped
+                       {"src": "/i.svg", "type": "image/svg+xml"}])
+        elif k == 2:
+            payload = manifestx.build_manifest(
+                name=f"アプリ {i}",
+                short_name=f"ア{i}",
+                display="MINIMAL-UI",            # case-normalized
+                lang="ja",
+                icons=[{"src": "/maskable.png", "sizes": "512x512",
+                        "purpose": "maskable any"}])
+        else:
+            variant = (i // 4) % 3
+            payload = (b"not json" if variant == 0
+                       else b"[1, 2, 3]" if variant == 1
+                       else b"\xff\xfe")
+        rows.append({"url": url, "payload": payload})
+    return rows

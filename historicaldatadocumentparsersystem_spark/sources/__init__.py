@@ -2421,3 +2421,114 @@ def read_gpx_points(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, GPX_POINTS_DDL))
+
+
+BOOKMARK_ROWS_DDL = (
+    "url string, pos int, folder string, href string, "
+    "title string, add_date bigint, last_modified bigint, "
+    "tags string")
+
+
+def read_bookmarks(df: DataFrame, url_col: str = "url",
+                   payload_col: str = "payload") -> DataFrame:
+    """(url, Netscape bookmark export) -> one row per <A> entry in
+    document order with its "/"-joined folder path. Pure parse:
+    ``extractor.bookmarkx.parse_bookmarks`` (golden-pinned).
+    Map-only."""
+    import pandas as pd
+
+    from ..extractor.bookmarkx import parse_bookmarks
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                for r in parse_bookmarks(
+                        bytes(payload)
+                        if payload is not None else None):
+                    rows.append((url, r["pos"], r["folder"],
+                                 r["href"], r["title"],
+                                 r["add_date"], r["last_modified"],
+                                 r["tags"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "folder", "href", "title", "add_date",
+                "last_modified", "tags"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            for c in ("add_date", "last_modified"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, BOOKMARK_ROWS_DDL))
+
+
+WEBMANIFEST_DDL = (
+    "url string, name string, short_name string, start_url string, "
+    "scope string, display string, theme_color string, "
+    "background_color string, lang string, n_icons int")
+
+MANIFEST_ICONS_DDL = ("url string, pos int, src string, "
+                      "sizes string, type string, purpose string")
+
+
+def read_webmanifests(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, manifest.json payload) -> one row per valid manifest.
+    Pure parse: ``extractor.manifestx.parse_manifest``. Map-only."""
+    import pandas as pd
+
+    from ..extractor.manifestx import parse_manifest
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_manifest(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url, d["name"], d["short_name"],
+                             d["start_url"], d["scope"],
+                             d["display"], d["theme_color"],
+                             d["background_color"], d["lang"],
+                             len(d["icons"])))
+            out = pd.DataFrame(rows, columns=[
+                "url", "name", "short_name", "start_url", "scope",
+                "display", "theme_color", "background_color",
+                "lang", "n_icons"])
+            out["n_icons"] = pd.array(out["n_icons"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, WEBMANIFEST_DDL))
+
+
+def read_manifest_icons(df: DataFrame, url_col: str = "url",
+                        payload_col: str = "payload") -> DataFrame:
+    """(url, manifest.json payload) -> one row per icon entry with
+    a string src. Map-only."""
+    import pandas as pd
+
+    from ..extractor.manifestx import parse_manifest
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_manifest(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                for pos, src, sizes, typ, purpose in d["icons"]:
+                    rows.append((url, pos, src, sizes, typ,
+                                 purpose))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "src", "sizes", "type", "purpose"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MANIFEST_ICONS_DDL))
