@@ -2532,3 +2532,62 @@ def read_manifest_icons(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, MANIFEST_ICONS_DDL))
+
+
+PARQUET_CHUNKS_DDL = (
+    "file string, row_group_id bigint, row_group_num_rows bigint, "
+    "column_id bigint, file_offset bigint, num_values bigint, "
+    "path_in_schema string, type string, compression string, "
+    "encodings string, data_page_offset bigint, "
+    "dictionary_page_offset bigint, total_compressed_size bigint, "
+    "total_uncompressed_size bigint")
+
+
+def read_parquet_footers(df: DataFrame, file_col: str = "file",
+                         payload_col: str = "payload") -> DataFrame:
+    """(file, parquet bytes) -> one row per column chunk from the
+    footer, WITHOUT any parquet library (extractor/parquetx.py —
+    from-scratch Thrift compact). At 100 TB this is the layout
+    auditor: only footers travel, never data pages (pair with
+    ranged reads of the last N KB). Map-only."""
+    import pandas as pd
+
+    from ..extractor.parquetx import parse_footer
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for fname, payload in zip(b[file_col], b[payload_col]):
+                d = parse_footer(bytes(payload)
+                                 if payload is not None else None)
+                if d is None:
+                    continue
+                for c in d["chunks"]:
+                    rows.append((
+                        fname, c["row_group_id"],
+                        c["row_group_num_rows"], c["column_id"],
+                        c["file_offset"], c["num_values"],
+                        c["path_in_schema"], c["type"],
+                        c["compression"], c["encodings"],
+                        c["data_page_offset"],
+                        c["dictionary_page_offset"],
+                        c["total_compressed_size"],
+                        c["total_uncompressed_size"]))
+            out = pd.DataFrame(rows, columns=[
+                "file", "row_group_id", "row_group_num_rows",
+                "column_id", "file_offset", "num_values",
+                "path_in_schema", "type", "compression",
+                "encodings", "data_page_offset",
+                "dictionary_page_offset", "total_compressed_size",
+                "total_uncompressed_size"])
+            for c in ("row_group_id", "row_group_num_rows",
+                      "column_id", "file_offset", "num_values",
+                      "data_page_offset", "dictionary_page_offset",
+                      "total_compressed_size",
+                      "total_uncompressed_size"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(file_col).alias(file_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PARQUET_CHUNKS_DDL))
