@@ -3370,6 +3370,10 @@ _GOLDEN_GPX = os.path.join(_REPO, "fixtures",
                            "golden_gpx_seed42_n12.parquet")
 _GOLDEN_BOOKMARKS = os.path.join(
     _REPO, "fixtures", "golden_bookmarks_seed42_n12.parquet")
+_GOLDEN_CSS = os.path.join(_REPO, "fixtures",
+                           "golden_css_seed42_n12.parquet")
+_GOLDEN_SOURCEMAPS = os.path.join(
+    _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
 # engines read the SAME files, so golden regens keep parity)
 _PARQUET_PROBE_FILES = [
@@ -4134,6 +4138,8 @@ _EXTRA_ORDER = [
     "bookmark_rows", "bookmark_folder_stats",
     "webmanifest_rows", "webmanifest_icons",
     "parquet_footer_chunks", "parquet_layout_audit",
+    "css_refs", "css_ref_profile",
+    "sourcemap_sources", "sourcemap_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6642,6 +6648,48 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- CSS reference miner + JS source maps (the asset-side
+    # discovery channels: fonts/images via stylesheets, original
+    # file inventories via VLQ source maps)
+    def q_css_refs(spark, sf_dir):
+        files = fixtures.css_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_css_refs(df)
+    q["css_refs"] = q_css_refs
+
+    def q_css_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_CSS)
+        return (g.groupBy("kind")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_refs"),
+                     F.sum(F.col("is_data").cast("long"))
+                     .cast("long").alias("n_data_uris"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_sheets"))
+                .orderBy("kind"))
+    q["css_ref_profile"] = q_css_profile
+
+    def q_sourcemap_sources(spark, sf_dir):
+        files = fixtures.sourcemap_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_sourcemap_sources(df)
+    q["sourcemap_sources"] = q_sourcemap_sources
+
+    def q_sourcemap_stats(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_SOURCEMAPS)
+        return (g.groupBy("url", "file")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_sources"),
+                     F.sum(F.col("has_content").cast("long"))
+                     .cast("long").alias("n_with_content"),
+                     F.sum("n_segments").cast("long")
+                     .alias("n_segments"))
+                .orderBy("url"))
+    q["sourcemap_stats"] = q_sourcemap_stats
 
     # --- parquet footer reader (from-scratch Thrift compact; the
     # 100 TB table-layout auditor) — TRUE dual-engine: Spark runs
@@ -10808,6 +10856,31 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
             GROUP BY url ORDER BY url""",
+        # CSS references: committed golden pinned by
+        # tests/test_css_srcmap.py against the pure re-derivation
+        "css_refs": f"""
+            SELECT url, pos, kind, ref, is_data
+            FROM read_parquet('{_GOLDEN_CSS}')""",
+        "css_ref_profile": f"""
+            SELECT kind, count(*)::bigint AS n_refs,
+                   sum(CASE WHEN is_data THEN 1 ELSE 0
+                       END)::bigint AS n_data_uris,
+                   count(DISTINCT url)::bigint AS n_sheets
+            FROM read_parquet('{_GOLDEN_CSS}')
+            GROUP BY kind ORDER BY kind""",
+        # source maps: committed golden pinned by
+        # tests/test_css_srcmap.py (incl. the VLQ codec round trip)
+        "sourcemap_sources": f"""
+            SELECT url, file, source_root, pos, source,
+                   has_content, n_segments
+            FROM read_parquet('{_GOLDEN_SOURCEMAPS}')""",
+        "sourcemap_stats": f"""
+            SELECT url, file, count(*)::bigint AS n_sources,
+                   sum(CASE WHEN has_content THEN 1 ELSE 0
+                       END)::bigint AS n_with_content,
+                   sum(n_segments)::bigint AS n_segments
+            FROM read_parquet('{_GOLDEN_SOURCEMAPS}')
+            GROUP BY url, file ORDER BY url""",
         # parquet footers: TRUE dual-engine — the from-scratch
         # Thrift-compact decoder vs DuckDB's NATIVE parquet reader
         # over the same probe files

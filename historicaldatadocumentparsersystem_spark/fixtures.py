@@ -5184,3 +5184,99 @@ def manifest_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
                        else b"\xff\xfe")
         rows.append({"url": url, "payload": payload})
     return rows
+
+
+def css_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic stylesheets: (url, payload). Shapes cycle
+    i % 4: imports + font-face ladder + assets / comment and
+    string traps (url() in comments/content strings must NOT
+    count) + data URIs + escaped urls / minified one-liner /
+    junk payloads. Golden: fixtures/golden_css_seed42_n12.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://cdn{i}.example.org/styles/site-{i}.css"
+        k = i % 4
+        if k == 0:
+            body = (
+                f'@import url("base-{i}.css");\n'
+                f"@import 'print-{i}.css' print;\n"
+                "@font-face {\n"
+                f'  font-family: "Brand{i}";\n'
+                f"  src: url(/fonts/brand-{i}.woff2) "
+                'format("woff2"),\n'
+                f'       url("/fonts/brand-{i}.woff") '
+                'format("woff");\n'
+                "}\n"
+                f".hero {{ background: url('../img/hero-{i}.jpg'); "
+                "}\n"
+                f".logo {{ background-image: url(/img/logo-{i}.svg)"
+                "; }\n")
+        elif k == 1:
+            body = (
+                "/* url(commented-out.png) */\n"
+                f".icon{i} {{ background: url(data:image/gif;"
+                "base64,R0lGOD); }\n"
+                ".q::before { content: \"see url(fake.png) and "
+                "@import 'no.css'\"; }\n"
+                f".esc {{ cursor: url(weird\\ name-{i}.cur); }}\n")
+        elif k == 2:
+            body = (f"@import url(reset.css);.a{{background:url("
+                    f"'s{i}.png')}}.b{{color:red}}"
+                    f"@font-face{{src:url(f{i}.woff2)}}")
+        else:
+            body = ("\x00\x01\xff binary-ish" if (i // 4) % 2
+                    else "p { color: blue }")
+        rows.append({"url": url,
+                     "payload": body.encode("utf-8", "replace")})
+    return rows
+
+
+def sourcemap_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic source maps: (url, payload). Shapes cycle
+    i % 4: 2-source bundle with sourcesContent / many-source
+    vendor bundle with sourceRoot / map with a malformed VLQ line
+    (rest of line drops, later lines keep) / junk payloads.
+    Golden: fixtures/golden_sourcemaps_seed42_n12.parquet."""
+    import json as _json
+
+    from .extractor import srcmapx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://static{i}.example.org/js/app-{i}.min.js.map"
+        k = i % 4
+        if k == 0:
+            payload = srcmapx.build_sourcemap(
+                file=f"app-{i}.min.js",
+                sources=[f"src/index-{i}.js", f"src/util-{i}.js"],
+                names=["init", "render", f"hook{i}"],
+                lines=[
+                    [[0, 0, 0, 0], [6 + i % 3, 0, 0, 12],
+                     [20, 1, 4, 0, 1]],
+                    [[0, 1, 7, 2], [9, 0, 9, 4, 2]],
+                ],
+                content_for={0})
+        elif k == 1:
+            m = 4 + i % 3
+            payload = srcmapx.build_sourcemap(
+                file=f"vendor-{i}.js",
+                sources=[f"node_modules/lib{j}/idx.js"
+                         for j in range(m)],
+                names=[],
+                lines=[[[j * 3, j, j, 0] for j in range(m)]],
+                source_root=f"webpack://bundle{i}/")
+        elif k == 2:
+            base = srcmapx.build_sourcemap(
+                file=f"broken-{i}.js",
+                sources=[f"src/only-{i}.js"], names=[],
+                lines=[[[0, 0, 0, 0]], [[0, 0, 1, 0]]])
+            doc = _json.loads(base)
+            doc["mappings"] = "AAAA,??junk,AAAA;AACA"
+            payload = _json.dumps(doc, sort_keys=True).encode()
+        else:
+            variant = (i // 4) % 3
+            payload = (b'{"version": 2, "mappings": ""}'
+                       if variant == 0 else b"not json"
+                       if variant == 1 else b"\xff\xfe")
+        rows.append({"url": url, "payload": payload})
+    return rows

@@ -2591,3 +2591,74 @@ def read_parquet_footers(df: DataFrame, file_col: str = "file",
     return (df.select(F.col(file_col).alias(file_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, PARQUET_CHUNKS_DDL))
+
+
+CSS_REFS_DDL = ("url string, pos int, kind string, ref string, "
+                "is_data boolean")
+
+
+def read_css_refs(df: DataFrame, url_col: str = "url",
+                  payload_col: str = "payload") -> DataFrame:
+    """(url, stylesheet payload) -> one row per @import/url()
+    reference with its syntactic kind. Pure parse:
+    ``extractor.cssx.parse_css_refs`` (golden-pinned). Map-only."""
+    import pandas as pd
+
+    from ..extractor.cssx import parse_css_refs
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                for r in parse_css_refs(
+                        bytes(payload)
+                        if payload is not None else None):
+                    rows.append((url, r["pos"], r["kind"],
+                                 r["url"], r["is_data"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "kind", "ref", "is_data"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, CSS_REFS_DDL))
+
+
+SOURCEMAP_SOURCES_DDL = (
+    "url string, file string, source_root string, pos int, "
+    "source string, has_content boolean, n_segments int")
+
+
+def read_sourcemap_sources(df: DataFrame, url_col: str = "url",
+                           payload_col: str = "payload"
+                           ) -> DataFrame:
+    """(url, .map payload) -> one row per original source with its
+    VLQ-decoded segment count. Pure parse:
+    ``extractor.srcmapx.parse_sourcemap`` (golden-pinned).
+    Map-only."""
+    import pandas as pd
+
+    from ..extractor.srcmapx import parse_sourcemap
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_sourcemap(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                for pos, src, has_c, nseg in d["sources"]:
+                    rows.append((url, d["file"], d["source_root"],
+                                 pos, src, has_c, nseg))
+            out = pd.DataFrame(rows, columns=[
+                "url", "file", "source_root", "pos", "source",
+                "has_content", "n_segments"])
+            for c in ("pos", "n_segments"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, SOURCEMAP_SOURCES_DDL))
