@@ -3372,6 +3372,8 @@ _GOLDEN_BOOKMARKS = os.path.join(
     _REPO, "fixtures", "golden_bookmarks_seed42_n12.parquet")
 _GOLDEN_CSS = os.path.join(_REPO, "fixtures",
                            "golden_css_seed42_n12.parquet")
+_GOLDEN_ZIPDIR = os.path.join(_REPO, "fixtures",
+                              "golden_zipdir_seed42.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4140,6 +4142,7 @@ _EXTRA_ORDER = [
     "parquet_footer_chunks", "parquet_layout_audit",
     "css_refs", "css_ref_profile",
     "sourcemap_sources", "sourcemap_stats",
+    "zip_directory", "zip_container_audit",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6648,6 +6651,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- zip central-directory auditor (container sibling of the
+    # parquet footer reader; stdlib zipfile is the pytest oracle)
+    def q_zip_directory(spark, sf_dir):
+        files = fixtures.zip_probe_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_zip_directory(df)
+    q["zip_directory"] = q_zip_directory
+
+    def q_zip_audit(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_ZIPDIR)
+        return (g.groupBy("url")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_entries"),
+                     F.sum(F.when(F.col("method") == "stored", 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_stored"),
+                     F.sum("compressed_size").cast("long")
+                     .alias("compressed_bytes"),
+                     F.sum("uncompressed_size").cast("long")
+                     .alias("uncompressed_bytes"),
+                     F.bool_or("utf8_name").alias("any_utf8"))
+                .withColumn(
+                    "ratio_permille",
+                    F.expr("CASE WHEN uncompressed_bytes > 0 THEN "
+                           "compressed_bytes * 1000 div "
+                           "uncompressed_bytes END"))
+                .orderBy("url"))
+    q["zip_container_audit"] = q_zip_audit
 
     # --- CSS reference miner + JS source maps (the asset-side
     # discovery channels: fonts/images via stylesheets, original
@@ -10855,6 +10889,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_segments,
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
+            GROUP BY url ORDER BY url""",
+        # zip central directory: committed golden pinned by
+        # tests/test_zipx.py against stdlib zipfile AND the pure
+        # re-derivation
+        "zip_directory": f"""
+            SELECT url, pos, name, method, crc32,
+                   compressed_size, uncompressed_size,
+                   local_offset, is_dir, utf8_name
+            FROM read_parquet('{_GOLDEN_ZIPDIR}')""",
+        "zip_container_audit": f"""
+            SELECT url, count(*)::bigint AS n_entries,
+                   sum(CASE WHEN method = 'stored' THEN 1 ELSE 0
+                       END)::bigint AS n_stored,
+                   sum(compressed_size)::bigint
+                     AS compressed_bytes,
+                   sum(uncompressed_size)::bigint
+                     AS uncompressed_bytes,
+                   bool_or(utf8_name) AS any_utf8,
+                   CASE WHEN sum(uncompressed_size) > 0 THEN
+                     sum(compressed_size)::bigint * 1000
+                     // sum(uncompressed_size)::bigint END
+                     AS ratio_permille
+            FROM read_parquet('{_GOLDEN_ZIPDIR}')
             GROUP BY url ORDER BY url""",
         # CSS references: committed golden pinned by
         # tests/test_css_srcmap.py against the pure re-derivation

@@ -5280,3 +5280,20 @@ def sourcemap_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
                        if variant == 1 else b"\xff\xfe")
         rows.append({"url": url, "payload": payload})
     return rows
+
+
+def zip_probe_rows() -> list[dict]:
+    """The zip-container probe corpus for zipx: every zip-family
+    fixture payload this engine already builds (OOXML docx/pptx,
+    ODF, EPUB) plus junk rows. Golden:
+    fixtures/golden_zipdir_seed42.parquet."""
+    rows: list[dict] = []
+    for fn, n in (("docx_file_rows", 6), ("pptx_deck_rows", 6),
+                  ("odt_file_rows", 6), ("epub_file_rows", 6)):
+        for r in globals()[fn](n):
+            rows.append({"url": r["url"], "payload": r["payload"]})
+    rows.append({"url": "https://junk.example.org/not-a.zip",
+                 "payload": b"PK\x03\x04 local header only"})
+    rows.append({"url": "https://junk.example.org/empty.bin",
+                 "payload": b""})
+    return rows

@@ -2662,3 +2662,53 @@ def read_sourcemap_sources(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, SOURCEMAP_SOURCES_DDL))
+
+
+# mtime deliberately NOT exposed: office fixture builders stamp
+# wall-clock DOS times, so it cannot ride a deterministic golden
+# (the extractor still reads it — pinned by test_zipx vectors)
+ZIP_DIR_DDL = (
+    "url string, pos int, name string, method string, "
+    "crc32 string, compressed_size bigint, "
+    "uncompressed_size bigint, local_offset bigint, "
+    "is_dir boolean, utf8_name boolean")
+
+
+def read_zip_directory(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, zip payload) -> one row per central-directory entry,
+    WITHOUT inflating anything (extractor/zipx.py — stdlib-parity
+    pinned). The container-layout auditor: at 100 TB only file
+    tails travel (the parquet-footer pattern). Map-only."""
+    import pandas as pd
+
+    from ..extractor.zipx import parse_zip_directory
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_zip_directory(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                for e in d["entries"]:
+                    rows.append((url, e["pos"], e["name"],
+                                 e["method"],
+                                 e["crc32"], e["compressed_size"],
+                                 e["uncompressed_size"],
+                                 e["local_offset"], e["is_dir"],
+                                 e["utf8_name"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "name", "method", "crc32",
+                "compressed_size", "uncompressed_size",
+                "local_offset", "is_dir", "utf8_name"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            for c in ("compressed_size", "uncompressed_size",
+                      "local_offset"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ZIP_DIR_DDL))
