@@ -3374,6 +3374,10 @@ _GOLDEN_CSS = os.path.join(_REPO, "fixtures",
                            "golden_css_seed42_n12.parquet")
 _GOLDEN_ZIPDIR = os.path.join(_REPO, "fixtures",
                               "golden_zipdir_seed42.parquet")
+_GOLDEN_NTRIPLES = os.path.join(
+    _REPO, "fixtures", "golden_ntriples_seed42_n12.parquet")
+_GOLDEN_ACCESSLOG = os.path.join(
+    _REPO, "fixtures", "golden_accesslog_seed42_n12.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4143,6 +4147,8 @@ _EXTRA_ORDER = [
     "css_refs", "css_ref_profile",
     "sourcemap_sources", "sourcemap_stats",
     "zip_directory", "zip_container_audit",
+    "nt_triples", "nt_predicate_census",
+    "access_log_rows", "access_log_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6651,6 +6657,61 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_langs"))
                 .orderBy("url"))
     q["tmx_memory_stats"] = q_tmx_stats
+
+    # --- N-Triples dumps + HTTP access logs (linked-data dumps and
+    # the server side of the crawl) — rows golden-pinned; censuses
+    # read the goldens on BOTH sides
+    def q_nt_triples(spark, sf_dir):
+        files = fixtures.ntriples_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_ntriples(df)
+    q["nt_triples"] = q_nt_triples
+
+    def q_nt_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_NTRIPLES)
+        return (g.groupBy("pred")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_triples"),
+                     F.sum(F.when(F.col("obj_kind") == "literal", 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_literals"),
+                     F.countDistinct("obj_lang").cast("long")
+                     .alias("n_langs"),
+                     F.countDistinct("subj").cast("long")
+                     .alias("n_subjects"))
+                .orderBy("pred"))
+    q["nt_predicate_census"] = q_nt_census
+
+    def q_access_log_rows(spark, sf_dir):
+        files = fixtures.accesslog_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_access_log(df)
+    q["access_log_rows"] = q_access_log_rows
+
+    def q_access_log_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_ACCESSLOG)
+        return (g.groupBy("url")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_requests"),
+                     F.sum(F.when(F.expr("status div 100") == 2, 1)
+                           .otherwise(0)).cast("long").alias("n_2xx"),
+                     F.sum(F.when(F.expr("status div 100") == 4, 1)
+                           .otherwise(0)).cast("long").alias("n_4xx"),
+                     F.sum(F.coalesce("bytes_sent", F.lit(0)))
+                     .cast("long").alias("bytes_total"),
+                     F.sum(F.when(F.lower(F.col("user_agent"))
+                                  .like("%bot%"), 1).otherwise(0))
+                     .cast("long").alias("n_bot"),
+                     F.sum(F.col("method").isNull().cast("long"))
+                     .cast("long").alias("n_garbage_requests"),
+                     (F.max("epoch") - F.min("epoch"))
+                     .alias("span_s"))
+                .orderBy("url"))
+    q["access_log_profile"] = q_access_log_profile
 
     # --- zip central-directory auditor (container sibling of the
     # parquet footer reader; stdlib zipfile is the pytest oracle)
@@ -10889,6 +10950,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_segments,
                    count(DISTINCT lang)::bigint AS n_langs
             FROM read_parquet('{_GOLDEN_TMX}')
+            GROUP BY url ORDER BY url""",
+        # N-Triples: committed golden pinned by tests/test_ntlog.py
+        # against the pure re-derivation
+        "nt_triples": f"""
+            SELECT url, pos, subj, subj_kind, pred, obj, obj_kind,
+                   obj_lang, obj_datatype
+            FROM read_parquet('{_GOLDEN_NTRIPLES}')""",
+        "nt_predicate_census": f"""
+            SELECT pred, count(*)::bigint AS n_triples,
+                   sum(CASE WHEN obj_kind = 'literal' THEN 1
+                       ELSE 0 END)::bigint AS n_literals,
+                   count(DISTINCT obj_lang)::bigint AS n_langs,
+                   count(DISTINCT subj)::bigint AS n_subjects
+            FROM read_parquet('{_GOLDEN_NTRIPLES}')
+            GROUP BY pred ORDER BY pred""",
+        # access logs: committed golden pinned by
+        # tests/test_ntlog.py against the pure re-derivation
+        "access_log_rows": f"""
+            SELECT url, pos, remote, ident, auth_user, epoch,
+                   method,
+                   path, protocol, request, status, bytes_sent,
+                   referer, user_agent
+            FROM read_parquet('{_GOLDEN_ACCESSLOG}')""",
+        "access_log_profile": f"""
+            SELECT url, count(*)::bigint AS n_requests,
+                   sum(CASE WHEN status // 100 = 2 THEN 1 ELSE 0
+                       END)::bigint AS n_2xx,
+                   sum(CASE WHEN status // 100 = 4 THEN 1 ELSE 0
+                       END)::bigint AS n_4xx,
+                   sum(coalesce(bytes_sent, 0))::bigint
+                     AS bytes_total,
+                   sum(CASE WHEN lower(user_agent) LIKE '%bot%'
+                       THEN 1 ELSE 0 END)::bigint AS n_bot,
+                   sum(CASE WHEN method IS NULL THEN 1 ELSE 0
+                       END)::bigint AS n_garbage_requests,
+                   max(epoch) - min(epoch) AS span_s
+            FROM read_parquet('{_GOLDEN_ACCESSLOG}')
             GROUP BY url ORDER BY url""",
         # zip central directory: committed golden pinned by
         # tests/test_zipx.py against stdlib zipfile AND the pure

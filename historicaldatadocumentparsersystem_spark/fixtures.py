@@ -5297,3 +5297,117 @@ def zip_probe_rows() -> list[dict]:
     rows.append({"url": "https://junk.example.org/empty.bin",
                  "payload": b""})
     return rows
+
+
+def ntriples_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic N-Triples dumps: (url, payload). Shapes cycle
+    i % 4: entity descriptions (lang-tagged labels, xsd-typed
+    values, bnode addresses) / escape workout (quotes, newlines,
+    unicode escapes) + comments / a dump with malformed lines
+    (counted, skipped) / junk payloads. Golden:
+    fixtures/golden_ntriples_seed42_n12.parquet."""
+    from .extractor import ntriplesx
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://data{i}.example.org/dump-{i}.nt"
+        k = i % 4
+        e = f"http://ex.org/entity/Q{i}"
+        if k == 0:
+            lines = [
+                f'<{e}> <http://www.w3.org/2000/01/rdf-schema#'
+                f'label> "Entity {i}"@en .',
+                f'<{e}> <http://www.w3.org/2000/01/rdf-schema#'
+                f'label> "Entität {i}"@de .',
+                f"<{e}> <http://ex.org/prop/population> "
+                f'"{10000 + i}"^^<http://www.w3.org/2001/'
+                "XMLSchema#integer> .",
+                f"<{e}> <http://ex.org/prop/address> _:addr{i} .",
+                f"_:addr{i} <http://ex.org/prop/city> "
+                f'"Town {i}" .',
+                f"<{e}> <http://www.w3.org/1999/02/22-rdf-syntax-"
+                f"ns#type> <http://schema.org/Place> .",
+            ]
+        elif k == 1:
+            esc = ntriplesx.escape_literal(
+                f'say "hi"\nline2\tand \\slash {i}')
+            lines = [
+                "# full-line comment",
+                f'<{e}> <http://ex.org/prop/note> "{esc}" .',
+                f'<{e}> <http://ex.org/prop/uni> '
+                f'"caf\\u00E9 \\U0001F600 {i}" .',
+                f'  <{e}> <http://ex.org/prop/pad> "ws ok" .  ',
+            ]
+        elif k == 2:
+            lines = [
+                f'<{e}> <http://ex.org/p> "good {i}" .',
+                "this is not a triple",
+                f'<{e}> <http://ex.org/p> "no final dot"',
+                f'"literal" <http://ex.org/p> <{e}> .',
+                f'<{e}> <http://ex.org/p> "bad \\q escape" .',
+                f'<{e}> <http://ex.org/p> "surrogate \\uD800" .',
+                f'<{e}> <http://ex.org/p2> <http://ex.org/o{i}> .',
+            ]
+        else:
+            rows.append({"url": url,
+                         "payload": b"\xff\xfe not utf8 \x9c"
+                         if (i // 4) % 2 else b""})
+            continue
+        rows.append({"url": url,
+                     "payload": ("\n".join(lines) + "\n")
+                     .encode("utf-8")})
+    return rows
+
+
+def accesslog_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic access logs: (url, payload). Shapes cycle
+    i % 4: combined format with mixed offsets and a bot sweep /
+    CLF without referer+UA, '-' bytes, escaped quotes in UA /
+    garbage request lines (kept raw, NULL parts) + malformed lines
+    (counted) / junk payloads. Golden:
+    fixtures/golden_accesslog_seed42_n12.parquet."""
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://ops{i}.example.org/logs/access-{i}.log"
+        k = i % 4
+        day = i % 27 + 1
+        if k == 0:
+            lines = [
+                f'203.0.113.{i} - - [{day:02d}/Mar/2026:10:00:0'
+                f'{j} +0000] "GET /page/{j} HTTP/1.1" 200 '
+                f'{5000 + 100 * j} "https://ref{i}.example/" '
+                f'"Mozilla/5.0 (X11; Linux) Crawler{i}/1.0"'
+                for j in range(4)
+            ] + [
+                f'198.51.100.{i} - - [{day:02d}/Mar/2026:02:30:00 '
+                f'-0700] "GET /robots.txt HTTP/1.1" 404 153 "-" '
+                f'"FetchBot/2.{i}"',
+            ]
+        elif k == 1:
+            lines = [
+                f'10.0.0.{i} user{i} alice [{day:02d}/Jun/2026:'
+                f'23:59:5{i % 10} +0530] "POST /api/v1/items '
+                f'HTTP/2.0" 201 -',
+                f'10.0.0.{i} - - [{day:02d}/Jun/2026:00:00:01 '
+                f'+0530] "HEAD /health HTTP/1.1" 204 0 "-" '
+                f'"probe \\"quoted\\" agent"',
+            ]
+        elif k == 2:
+            lines = [
+                f'192.0.2.{i} - - [{day:02d}/Jul/2026:12:00:00 '
+                f'+0000] "\\x16\\x03garbage" 400 0 "-" "-"',
+                f'192.0.2.{i} - - [{day:02d}/Jul/2026:12:00:01 '
+                f'+0000] "GET /ok HTTP/1.1" 301 99 "-" "-"',
+                "completely malformed line",
+                f'192.0.2.{i} - - [{day:02d}/Xxx/2026:12:00:02 '
+                f'+0000] "GET /badmonth HTTP/1.1" 200 1 "-" "-"',
+            ]
+        else:
+            rows.append({"url": url,
+                         "payload": b"\x00\x01\x02 binary junk"
+                         if (i // 4) % 2 else b"   \n\n"})
+            continue
+        rows.append({"url": url,
+                     "payload": ("\n".join(lines) + "\n")
+                     .encode("utf-8")})
+    return rows

@@ -2712,3 +2712,79 @@ def read_zip_directory(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, ZIP_DIR_DDL))
+
+
+NTRIPLES_DDL = (
+    "url string, pos int, subj string, subj_kind string, "
+    "pred string, obj string, obj_kind string, obj_lang string, "
+    "obj_datatype string")
+
+
+def read_ntriples(df: DataFrame, url_col: str = "url",
+                  payload_col: str = "payload") -> DataFrame:
+    """(url, .nt payload) -> one row per valid triple (malformed
+    lines skip — dumps at scale always carry a few). Pure parse:
+    ``extractor.ntriplesx.parse_ntriples`` (golden-pinned).
+    Map-only."""
+    import pandas as pd
+
+    from ..extractor.ntriplesx import parse_ntriples
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_ntriples(
+                    bytes(payload) if payload is not None else None)
+                for t in d["triples"]:
+                    rows.append((url,) + t)
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "subj", "subj_kind", "pred", "obj",
+                "obj_kind", "obj_lang", "obj_datatype"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, NTRIPLES_DDL))
+
+
+ACCESS_LOG_DDL = (
+    "url string, pos int, remote string, ident string, "
+    "auth_user string, epoch bigint, method string, path string, "
+    "protocol string, request string, status int, "
+    "bytes_sent bigint, referer string, user_agent string")
+
+
+def read_access_log(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, access-log payload) -> one row per parseable CLF/
+    combined line (epochs UTC via the shared integer date math).
+    Pure parse: ``extractor.accesslogx.parse_access_log``
+    (golden-pinned). Map-only."""
+    import pandas as pd
+
+    from ..extractor.accesslogx import parse_access_log
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_access_log(
+                    bytes(payload) if payload is not None else None)
+                for t in d["rows"]:
+                    rows.append((url,) + t)
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "remote", "ident", "auth_user",
+                "epoch",
+                "method", "path", "protocol", "request", "status",
+                "bytes_sent", "referer", "user_agent"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            out["status"] = pd.array(out["status"], dtype="Int32")
+            for c in ("epoch", "bytes_sent"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ACCESS_LOG_DDL))
