@@ -2491,6 +2491,85 @@ def _license_resolve_sql() -> str:
         ORDER BY url"""
 
 
+def _v4int_sql(e: str) -> str:
+    """Engine-portable strict dotted-quad -> bigint (NULL when the
+    grammar rejects) — IPV4_RE generated from extractor/ipx.py, the
+    same constant operators/netblocks.ipv4_int compiles to Spark
+    expressions."""
+    from historicaldatadocumentparsersystem_spark.extractor.ipx \
+        import IPV4_RE
+
+    def g(i: int) -> str:
+        return f"try_cast(regexp_extract({e}, '{IPV4_RE}', {i}) " \
+               f"AS bigint)"
+    return (f"(CASE WHEN regexp_extract({e}, '{IPV4_RE}', 1) != '' "
+            f"THEN {g(1)} * 16777216 + {g(2)} * 65536 "
+            f"+ {g(3)} * 256 + {g(4)} END)")
+
+
+def _netblocks_cte() -> str:
+    """CIDR LPM lookup twin (ends in ``lpm``: one row per distinct
+    probe address). Blocks VALUES + probe extras are GENERATED from
+    fixtures.NETBLOCKS / fixtures.EXTRA_IPS; the parse/floor/bucket
+    arithmetic mirrors operators/netblocks.py term for term
+    (integer div/% on non-negatives only)."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    blocks = ",\n            ".join(
+        f"('{c}', {a}, '{o}')" for c, a, o in fixtures.NETBLOCKS)
+    extras = " UNION ALL ".join(
+        f"SELECT '{ip}'" for ip in fixtures.EXTRA_IPS)
+    return f"""
+        blocks(cidr, asn, org) AS (VALUES
+            {blocks}),
+        nb0 AS (
+          SELECT cidr, asn, org, string_split(cidr, '/') AS parts
+          FROM blocks
+        ),
+        nb1 AS (
+          SELECT cidr, asn, org,
+                 {_v4int_sql("parts[1]")} AS ip0,
+                 try_cast(CASE WHEN len(parts) = 1 THEN '32'
+                               WHEN len(parts) = 2 THEN parts[2]
+                          END AS int) AS prefix
+          FROM nb0
+        ),
+        nb2 AS (
+          SELECT cidr, asn, org, prefix,
+                 ip0 - ip0 % (1::bigint << (32 - prefix))
+                   AS ip_start,
+                 ip0 - ip0 % (1::bigint << (32 - prefix))
+                   + (1::bigint << (32 - prefix)) - 1 AS ip_end
+          FROM nb1
+          WHERE ip0 IS NOT NULL AND prefix BETWEEN 0 AND 32
+        ),
+        nbx AS (
+          SELECT cidr, asn, org, prefix, ip_start, ip_end,
+                 unnest(generate_series(ip_start // 16777216,
+                                        ip_end // 16777216))
+                   AS bucket
+          FROM nb2
+        ),
+        probe AS (
+          SELECT DISTINCT remote AS ip FROM (
+            SELECT remote FROM read_parquet('{_GOLDEN_ACCESSLOG}')
+            UNION ALL {extras}
+          )
+        ),
+        ips AS (
+          SELECT ip, {_v4int_sql("ip")} AS ip_num FROM probe
+        ),
+        lpm AS (
+          SELECT i.ip, i.ip_num, b.prefix, b.cidr, b.asn, b.org
+          FROM ips i LEFT JOIN nbx b
+            ON i.ip_num // 16777216 = b.bucket
+           AND i.ip_num BETWEEN b.ip_start AND b.ip_end
+          QUALIFY row_number() OVER (
+            PARTITION BY i.ip
+            ORDER BY b.prefix DESC NULLS LAST,
+                     b.asn ASC NULLS LAST, b.cidr) = 1
+        )"""
+
+
 def _alt_svc_cte() -> str:
     """Alt-Svc alternative fan-out (ends in ``alts``) — quoted-
     aware comma split via the shared cachex ITEM_RE, last-VALID-
@@ -4149,6 +4228,7 @@ _EXTRA_ORDER = [
     "zip_directory", "zip_container_audit",
     "nt_triples", "nt_predicate_census",
     "access_log_rows", "access_log_profile",
+    "ip_cidr_lookup", "log_network_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6712,6 +6792,47 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("span_s"))
                 .orderBy("url"))
     q["access_log_profile"] = q_access_log_profile
+
+    # --- CIDR longest-prefix-match network lookup (the routing-
+    # table interval join, /8-bucketed + broadcast — never a BNLJ)
+    # over the access-log remotes; TRUE dual-engine (JVM builtins
+    # vs generated DuckDB SQL from the same ipx.py constants)
+    def _netblocks_inputs(spark):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import netblocks
+        g = spark.read.parquet(_GOLDEN_ACCESSLOG)
+        extra = spark.createDataFrame(
+            [(ip,) for ip in fixtures.EXTRA_IPS], "remote string")
+        blocks = spark.createDataFrame(
+            list(fixtures.NETBLOCKS), "cidr string, asn int, org string")
+        return netblocks, g, extra, blocks
+
+    def q_ip_cidr_lookup(spark, sf_dir):
+        netblocks, g, extra, blocks = _netblocks_inputs(spark)
+        probe = g.select("remote").union(extra)
+        return (netblocks.ip_lookup(probe, blocks)
+                .orderBy("ip"))
+    q["ip_cidr_lookup"] = q_ip_cidr_lookup
+
+    def q_log_network_profile(spark, sf_dir):
+        netblocks, g, extra, blocks = _netblocks_inputs(spark)
+        lk = (netblocks.ip_lookup(g, blocks)
+              .withColumnRenamed("ip", "remote")
+              .select("remote", "asn", "org"))
+        j = g.join(F.broadcast(lk), "remote", "left")
+        return (j.groupBy(F.coalesce("org", F.lit("(unrouted)"))
+                          .alias("org"))
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_requests"),
+                     F.countDistinct("remote").cast("long")
+                     .alias("n_remotes"),
+                     F.sum(F.coalesce("bytes_sent", F.lit(0)))
+                     .cast("long").alias("bytes_total"),
+                     F.sum(F.when(F.lower(F.col("user_agent"))
+                                  .like("%bot%"), 1).otherwise(0))
+                     .cast("long").alias("n_bot"))
+                .orderBy("org"))
+    q["log_network_profile"] = q_log_network_profile
 
     # --- zip central-directory auditor (container sibling of the
     # parquet footer reader; stdlib zipfile is the pytest oracle)
@@ -10988,6 +11109,29 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch) - min(epoch) AS span_s
             FROM read_parquet('{_GOLDEN_ACCESSLOG}')
             GROUP BY url ORDER BY url""",
+        # CIDR LPM: TRUE dual-engine — both sides derive start/end/
+        # bucket from the SAME raw (cidr, asn, org) strings
+        "ip_cidr_lookup": f"""
+            WITH {_netblocks_cte()}
+            SELECT ip, ip_num, prefix, cidr, asn, org FROM lpm
+            ORDER BY ip""",
+        "log_network_profile": f"""
+            WITH {_netblocks_cte()},
+            logs AS (
+              SELECT * FROM read_parquet('{_GOLDEN_ACCESSLOG}')
+            ),
+            j AS (
+              SELECT l.*, m.org AS blk_org
+              FROM logs l LEFT JOIN lpm m ON l.remote = m.ip
+            )
+            SELECT coalesce(blk_org, '(unrouted)') AS org,
+                   count(*)::bigint AS n_requests,
+                   count(DISTINCT remote)::bigint AS n_remotes,
+                   sum(coalesce(bytes_sent, 0))::bigint
+                     AS bytes_total,
+                   sum(CASE WHEN lower(user_agent) LIKE '%bot%'
+                       THEN 1 ELSE 0 END)::bigint AS n_bot
+            FROM j GROUP BY 1 ORDER BY org""",
         # zip central directory: committed golden pinned by
         # tests/test_zipx.py against stdlib zipfile AND the pure
         # re-derivation

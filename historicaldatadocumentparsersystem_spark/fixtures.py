@@ -5411,3 +5411,34 @@ def accesslog_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
                      "payload": ("\n".join(lines) + "\n")
                      .encode("utf-8")})
     return rows
+
+
+# Deterministic routing-table fixture for the CIDR LPM family
+# (operators/netblocks.py). Overlap by design: a /4 blanket under
+# /12 under /24 under /30 tests longest-prefix-match depth; the
+# duplicate 198.51.100.0/24 tests the (asn, cidr) tie-break; the
+# last four rows are malformed and must be DROPPED by the strict
+# validation gate in BOTH engines. Generated into the DuckDB twin
+# as a VALUES list — never hand-retyped.
+NETBLOCKS: tuple[tuple[str, int, str], ...] = (
+    ("192.0.0.0/4", 64599, "Legacy Blanket /4"),
+    ("203.0.0.0/12", 64501, "WideNet Transit"),
+    ("203.0.113.0/24", 64500, "Example Hosting"),
+    ("203.0.113.4/30", 64510, "Example Hosting VPS"),
+    ("198.51.100.0/24", 64502, "CrawlerCo"),
+    ("198.51.100.0/24", 64509, "CrawlerCo Alt"),
+    ("10.0.0.0/8", 64512, "Private-Use RFC1918"),
+    ("192.0.2.7/24", 64503, "TestNet (host bits floored)"),
+    ("192.0.2.2/32", 64504, "TestNet Pinhole"),
+    ("256.1.1.1/24", 64505, "Bad Octet"),
+    ("10.0.0.0/33", 64506, "Bad Prefix"),
+    ("banana", 64507, "Not an IP"),
+    ("198.51.100.0/", 64508, "Empty Prefix"),
+)
+
+# probe addresses unioned onto the access-log remotes by the lookup
+# query: an unrouted-but-valid v4, an IPv6 literal (the v4 lookup
+# must pass it through with NULL ip_num), junk, and a leading-zero
+# quad the STRICT grammar rejects.
+EXTRA_IPS: tuple[str, ...] = (
+    "8.8.8.8", "2001:db8::1", "not-an-ip", "10.00.0.1")
