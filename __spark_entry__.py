@@ -2570,6 +2570,29 @@ def _netblocks_cte() -> str:
         )"""
 
 
+def _ua_twin_cols(e: str) -> str:
+    """The five classification output expressions, generated from
+    operators/uaclass.ua_case_sql (which renders extractor/uax.py's
+    rule tables — one source of truth, three engines)."""
+    from historicaldatadocumentparsersystem_spark.operators.uaclass \
+        import ua_case_sql
+    c = ua_case_sql(e)
+    return (f"{c['family']} AS family,\n"
+            f"            {c['version_major']} AS version_major,\n"
+            f"            {c['os']} AS os,\n"
+            f"            {c['is_bot']} AS is_bot,\n"
+            f"            {c['bot_name']} AS bot_name")
+
+
+def _ua_values() -> str:
+    from historicaldatadocumentparsersystem_spark import fixtures
+    rows = ",\n            ".join(
+        f"({i}, " + ("CAST(NULL AS VARCHAR))" if ua is None
+                     else f"'{ua}')")
+        for i, ua in enumerate(fixtures.UA_SAMPLES))
+    return f"ua(pos, ua) AS (VALUES\n            {rows})"
+
+
 def _alt_svc_cte() -> str:
     """Alt-Svc alternative fan-out (ends in ``alts``) — quoted-
     aware comma split via the shared cachex ITEM_RE, last-VALID-
@@ -4229,6 +4252,7 @@ _EXTRA_ORDER = [
     "nt_triples", "nt_predicate_census",
     "access_log_rows", "access_log_profile",
     "ip_cidr_lookup", "log_network_profile",
+    "ua_classify", "ua_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6833,6 +6857,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .cast("long").alias("n_bot"))
                 .orderBy("org"))
     q["log_network_profile"] = q_log_network_profile
+
+    # --- user-agent classification (rule tables shared verbatim by
+    # the pure oracle, the Spark CASE compiler, and the generated
+    # DuckDB twin; map-only codegen — scan cost IS the cost)
+    def q_ua_classify(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import uaclass
+        rows = [(i, ua) for i, ua in enumerate(fixtures.UA_SAMPLES)]
+        df = spark.createDataFrame(
+            rows, "pos int, ua string").repartition(4)
+        return (uaclass.classify_ua(df, "ua")
+                .select("pos", "family", "version_major", "os",
+                        "is_bot", "bot_name")
+                .orderBy("pos"))
+    q["ua_classify"] = q_ua_classify
+
+    def q_ua_profile(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import uaclass
+        g = spark.read.parquet(_GOLDEN_ACCESSLOG)
+        c = uaclass.classify_ua(g)
+        return (c.groupBy("family", "os", "is_bot")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.countDistinct("remote").cast("long")
+                     .alias("n_remotes"),
+                     F.countDistinct("bot_name").cast("long")
+                     .alias("n_named_bots"))
+                .orderBy(F.col("family").asc_nulls_first(),
+                         F.col("os").asc_nulls_first(),
+                         F.col("is_bot").asc_nulls_first()))
+    q["ua_profile"] = q_ua_profile
 
     # --- zip central-directory auditor (container sibling of the
     # parquet footer reader; stdlib zipfile is the pytest oracle)
@@ -11132,6 +11187,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN lower(user_agent) LIKE '%bot%'
                        THEN 1 ELSE 0 END)::bigint AS n_bot
             FROM j GROUP BY 1 ORDER BY org""",
+        # UA classification: rule tables generated, never retyped
+        "ua_classify": f"""
+            WITH {_ua_values()}
+            SELECT pos, {_ua_twin_cols('ua')}
+            FROM ua ORDER BY pos""",
+        "ua_profile": f"""
+            WITH c AS (
+              SELECT remote, {_ua_twin_cols('user_agent')}
+              FROM read_parquet('{_GOLDEN_ACCESSLOG}')
+            )
+            SELECT family, os, is_bot,
+                   count(*)::bigint AS n,
+                   count(DISTINCT remote)::bigint AS n_remotes,
+                   count(DISTINCT bot_name)::bigint AS n_named_bots
+            FROM c GROUP BY family, os, is_bot
+            ORDER BY family ASC NULLS FIRST, os ASC NULLS FIRST,
+                     is_bot ASC NULLS FIRST""",
         # zip central directory: committed golden pinned by
         # tests/test_zipx.py against stdlib zipfile AND the pure
         # re-derivation

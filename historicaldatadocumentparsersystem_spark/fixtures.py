@@ -5442,3 +5442,85 @@ NETBLOCKS: tuple[tuple[str, int, str], ...] = (
 # quad the STRICT grammar rejects.
 EXTRA_IPS: tuple[str, ...] = (
     "8.8.8.8", "2001:db8::1", "not-an-ip", "10.00.0.1")
+
+
+# Deterministic UA corpus for the classification family
+# (extractor/uax.py): every browser rule, rule-ORDER traps (Edge/
+# Opera/Samsung carry Chrome/, Chrome carries Safari/, iOS carries
+# "like Mac OS X"), the Seamonkey exclusion, bots with and without
+# a name-bearing token, and junk. No single quotes (rows are
+# generated into a VALUES list for the DuckDB twin). None = SQL
+# NULL.
+UA_SAMPLES: tuple[str | None, ...] = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+    " (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"
+    " (KHTML, like Gecko) Chrome/109.0.5414.74 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36"
+    " (KHTML, like Gecko) Chrome/123.0.6312.40 Mobile"
+    " Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+    " (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"
+    " Edg/124.0.2478.51",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like"
+    " Gecko) Chrome/42.0.2311.135 Safari/537.36 Edge/12.246",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X)"
+    " AppleWebKit/605.1.15 (KHTML, like Gecko) EdgiOS/124.2478.50"
+    " Version/17.0 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+    " (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"
+    " OPR/109.0.0.0",
+    "Opera/9.80 (Windows NT 6.1; WOW64) Presto/2.12.388"
+    " Version/12.18",
+    "Mozilla/5.0 (Linux; Android 13; SM-S911B) AppleWebKit/537.36"
+    " (KHTML, like Gecko) SamsungBrowser/24.0 Chrome/117.0.0.0"
+    " Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:125.0)"
+    " Gecko/20100101 Firefox/125.0",
+    "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0)"
+    " Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X)"
+    " AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/125.0"
+    " Mobile/15E148 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:2.53) Gecko/20100101"
+    " Firefox/60.0 Seamonkey/2.53.18",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+    " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4.1"
+    " Safari/605.1.15",
+    "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X)"
+    " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6"
+    " Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X)"
+    " AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/124.0.6367.71"
+    " Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1;"
+    " Trident/5.0)",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0)"
+    " like Gecko",
+    "Mozilla/5.0 (compatible; Googlebot/2.1;"
+    " +http://www.google.com/bot.html)",
+    "Mozilla/5.0 (Linux; Android 6.0.1; Nexus 5X Build/MMB29P)"
+    " AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.6367.78"
+    " Mobile Safari/537.36 (compatible; Googlebot/2.1;"
+    " +http://www.google.com/bot.html)",
+    "Mozilla/5.0 (compatible; bingbot/2.0;"
+    " +http://www.bing.com/bingbot.htm)",
+    "Mozilla/5.0 (compatible; Baiduspider/2.0;"
+    " +http://www.baidu.com/search/spider.html)",
+    "Mozilla/5.0 (compatible; YandexBot/3.0;"
+    " +http://yandex.com/bots)",
+    "Mozilla/5.0 (compatible; Yahoo! Slurp;"
+    " http://help.yahoo.com/help/us/ysearch/slurp)",
+    "curl/8.5.0",
+    "Wget/1.21.4 (linux-gnu)",
+    "python-requests/2.31.0",
+    "Scrapy/2.11.1 (+https://scrapy.org)",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML,"
+    " like Gecko) HeadlessChrome/123.0.6312.86 Safari/537.36",
+    "facebookexternalhit/1.1"
+    " (+http://www.facebook.com/externalhit_uatext.php)",
+    "Mozilla/4.0 (compatible)",
+    "",
+    "totally unknown agent",
+    None,
+)
