@@ -2570,6 +2570,25 @@ def _netblocks_cte() -> str:
         )"""
 
 
+def _id_values() -> str:
+    from historicaldatadocumentparsersystem_spark import fixtures
+    rows = ",\n            ".join(
+        f"({i}, " + ("CAST(NULL AS VARCHAR))" if s is None
+                     else f"'{s}')")
+        for i, s in enumerate(fixtures.id_sample_rows()))
+    return f"ids(pos, id) AS (VALUES\n            {rows})"
+
+
+def _id_time_cols(e: str) -> str:
+    """kind/ts_ms twin expressions rendered by the SAME generator
+    the Spark side compiles (operators/idtime.id_time_exprs)."""
+    from historicaldatadocumentparsersystem_spark.operators.idtime \
+        import id_time_exprs
+    ex = id_time_exprs(e, "duckdb")
+    return (f"{ex['kind']} AS kind,\n"
+            f"            {ex['ts_ms']} AS ts_ms")
+
+
 def _ua_twin_cols(e: str) -> str:
     """The five classification output expressions, generated from
     operators/uaclass.ua_case_sql (which renders extractor/uax.py's
@@ -4253,6 +4272,7 @@ _EXTRA_ORDER = [
     "access_log_rows", "access_log_profile",
     "ip_cidr_lookup", "log_network_profile",
     "ua_classify", "ua_profile",
+    "id_time_classify", "id_minting_days",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6888,6 +6908,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("os").asc_nulls_first(),
                          F.col("is_bot").asc_nulls_first()))
     q["ua_profile"] = q_ua_profile
+
+    # --- ID-embedded timestamp mining (UUIDv1/v7, ULID, snowflake
+    # clocks recovered by integer arithmetic; one expression
+    # generator renders both engines — map-only codegen)
+    def q_id_time_classify(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import idtime
+        ids = fixtures.id_sample_rows()
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(ids)],
+            "pos int, id string").repartition(4)
+        return (idtime.classify_ids(df)
+                .select("pos", "id", "kind", "ts_ms")
+                .orderBy("pos"))
+    q["id_time_classify"] = q_id_time_classify
+
+    def q_id_minting_days(spark, sf_dir):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import idtime
+        ids = fixtures.id_sample_rows()
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(ids)],
+            "pos int, id string").repartition(4)
+        c = idtime.classify_ids(df).where(F.col("ts_ms").isNotNull())
+        return (c.withColumn("day", F.expr("ts_ms div 86400000"))
+                .groupBy("kind", "day")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.min("ts_ms").alias("first_ms"),
+                     F.max("ts_ms").alias("last_ms"))
+                .orderBy("kind", "day"))
+    q["id_minting_days"] = q_id_minting_days
 
     # --- zip central-directory auditor (container sibling of the
     # parquet footer reader; stdlib zipfile is the pytest oracle)
@@ -11204,6 +11255,21 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY family, os, is_bot
             ORDER BY family ASC NULLS FIRST, os ASC NULLS FIRST,
                      is_bot ASC NULLS FIRST""",
+        # id-time: both engines re-derive clocks from raw strings
+        "id_time_classify": f"""
+            WITH {_id_values()}
+            SELECT pos, id, {_id_time_cols('id')}
+            FROM ids ORDER BY pos""",
+        "id_minting_days": f"""
+            WITH {_id_values()},
+            c AS (
+              SELECT pos, id, {_id_time_cols('id')} FROM ids
+            )
+            SELECT kind, ts_ms // 86400000 AS day,
+                   count(*)::bigint AS n,
+                   min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
+            FROM c WHERE ts_ms IS NOT NULL
+            GROUP BY kind, day ORDER BY kind, day""",
         # zip central directory: committed golden pinned by
         # tests/test_zipx.py against stdlib zipfile AND the pure
         # re-derivation

@@ -5524,3 +5524,59 @@ UA_SAMPLES: tuple[str | None, ...] = (
     "totally unknown agent",
     None,
 )
+
+
+def id_sample_rows() -> list[str | None]:
+    """Deterministic identifier corpus for the id-time family
+    (extractor/idtimex.py): v1/v4/v5/v7 UUIDs (incl. a bogus
+    pre-1970 v1 and an uppercase variant), ULIDs (incl. the spec's
+    canonical example; lowercase and '8'-leading strings must fall
+    to 'unknown'), snowflakes (a real-shaped one, the int64 edge,
+    a borderline value just inside the plausibility window), plain
+    ints and junk. Generated into the DuckDB twin as VALUES."""
+    from .extractor import idtimex
+
+    c = idtimex.CROCKFORD
+
+    def ulid(ms: int, tail: str) -> str:
+        s = ""
+        v = ms
+        for _ in range(10):
+            s = c[v % 32] + s
+            v //= 32
+        assert v == 0 and len(tail) == 16
+        return s + tail
+
+    def uuid1(ms: int, frac100: int = 0) -> str:
+        ticks = idtimex.GREGORIAN_OFFSET_100NS + ms * 10000 + frac100
+        thi = ((ticks >> 48) & 0x0FFF) | 0x1000
+        return (f"{ticks & 0xFFFFFFFF:08x}-"
+                f"{(ticks >> 32) & 0xFFFF:04x}-{thi:04x}-"
+                f"9234-0123456789ab")
+
+    def uuid7(ms: int) -> str:
+        hx = f"{ms:012x}"
+        return f"{hx[:8]}-{hx[8:]}-7cc3-9b1d-0123456789ab"
+
+    return [
+        uuid1(1083827289123, 4567),        # 2004-05-06T07:08:09.123
+        uuid1(1700000000000).upper(),      # case-insensitive hex
+        "00000001-0001-1001-8abc-0123456789ab",  # pre-1970 v1
+        "f47ac10b-58cc-4372-a567-0e02b2c3d479",  # v4
+        uuid7(1709251200000),
+        uuid7(1709251200001),
+        "886313e1-3b8a-5372-9b90-0c9aee199e5d",  # v5 -> plain uuid
+        "01ARZ3NDEKTSV4RRFFQ69G5FAV",      # canonical spec ULID
+        ulid(1700000000000, "ABCDEFGHJKMNPQRS"),
+        "01arz3ndektsv4rrffq69g5fav",      # lowercase -> unknown
+        "8ZZZZZZZZZZZZZZZZZZZZZZZZZ",      # > 48-bit ms -> unknown
+        "1541815603606036480",             # real-shaped snowflake
+        "1234567890",                      # 10 digits, pre-window
+        str(131235425343 * 4194304),       # exactly 2015-01-01: in
+        str(131235425343 * 4194304 - 1),   # 1 tick below: out
+        "9223372036854775807",             # int64 max: beyond window
+        "18446744073709551615",            # 20 digits -> unknown
+        "hello-world",
+        "",
+        None,
+    ]
