@@ -2589,6 +2589,21 @@ def _id_time_cols(e: str) -> str:
             f"            {ex['ts_ms']} AS ts_ms")
 
 
+def _jwt_cte() -> str:
+    """VALUES + stage CTEs ending in ``jwt`` — stages generated by
+    operators/jwtops.jwt_stages, the same list the Spark side
+    compiles."""
+    from historicaldatadocumentparsersystem_spark import fixtures
+    from historicaldatadocumentparsersystem_spark.operators.jwtops \
+        import jwt_twin_cte
+    rows = ",\n            ".join(
+        f"({i}, " + ("CAST(NULL AS VARCHAR))" if t is None
+                     else f"'{t}')")
+        for i, t in enumerate(fixtures.jwt_sample_rows()))
+    return (f"toks(pos, token) AS (VALUES\n            {rows}),\n"
+            f"        {jwt_twin_cte('toks')}")
+
+
 def _ua_twin_cols(e: str) -> str:
     """The five classification output expressions, generated from
     operators/uaclass.ua_case_sql (which renders extractor/uax.py's
@@ -4273,6 +4288,7 @@ _EXTRA_ORDER = [
     "ip_cidr_lookup", "log_network_profile",
     "ua_classify", "ua_profile",
     "id_time_classify", "id_minting_days",
+    "jwt_rows", "jwt_security_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6939,6 +6955,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.max("ts_ms").alias("last_ms"))
                 .orderBy("kind", "day"))
     q["id_minting_days"] = q_id_minting_days
+
+    # --- JWT structure parsing (no verification — the token-leak
+    # analytics view; one stage generator renders both engines)
+    def _jwt_df(spark):
+        from historicaldatadocumentparsersystem_spark.operators \
+            import jwtops
+        toks = fixtures.jwt_sample_rows()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)],
+            "pos int, token string").repartition(4)
+        return jwtops.parse_jwt_df(df)
+
+    def q_jwt_rows(spark, sf_dir):
+        return (_jwt_df(spark)
+                .select("pos", "token", "well_formed", "alg", "typ",
+                        "kid", "iss", "sub", "exp", "iat", "expired",
+                        "n_claims", "sig_chars")
+                .orderBy("pos"))
+    q["jwt_rows"] = q_jwt_rows
+
+    def q_jwt_security_profile(spark, sf_dir):
+        j = _jwt_df(spark).where(F.col("well_formed"))
+        return (j.groupBy("alg")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum(F.coalesce(F.col("expired").cast("int"),
+                                      F.lit(0))).cast("long")
+                     .alias("n_expired"),
+                     F.sum(F.when(F.col("sig_chars") == 0, 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_unsigned"),
+                     F.countDistinct("iss").cast("long")
+                     .alias("n_issuers"))
+                .orderBy("alg"))
+    q["jwt_security_profile"] = q_jwt_security_profile
 
     # --- zip central-directory auditor (container sibling of the
     # parquet footer reader; stdlib zipfile is the pytest oracle)
@@ -11270,6 +11320,23 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
             FROM c WHERE ts_ms IS NOT NULL
             GROUP BY kind, day ORDER BY kind, day""",
+        # JWT: stage CTEs generated by the same stage list Spark runs
+        "jwt_rows": f"""
+            WITH {_jwt_cte()}
+            SELECT pos, token, well_formed, alg, typ, kid, iss, sub,
+                   exp, iat, expired, n_claims::int AS n_claims,
+                   sig_chars::int AS sig_chars
+            FROM jwt ORDER BY pos""",
+        "jwt_security_profile": f"""
+            WITH {_jwt_cte()}
+            SELECT alg, count(*)::bigint AS n,
+                   sum(coalesce(expired::int, 0))::bigint
+                     AS n_expired,
+                   sum(CASE WHEN sig_chars = 0 THEN 1 ELSE 0
+                       END)::bigint AS n_unsigned,
+                   count(DISTINCT iss)::bigint AS n_issuers
+            FROM jwt WHERE well_formed
+            GROUP BY alg ORDER BY alg""",
         # zip central directory: committed golden pinned by
         # tests/test_zipx.py against stdlib zipfile AND the pure
         # re-derivation

@@ -5580,3 +5580,54 @@ def id_sample_rows() -> list[str | None]:
         "",
         None,
     ]
+
+
+def jwt_sample_rows() -> list[str | None]:
+    """Deterministic JWT corpus (extractor/jwtx.py): live + expired
+    HS256, unsecured alg=none (trailing empty signature), kid'd
+    RS256 shape, float/negative/huge exp (the shared digits gate
+    nulls them in every engine), empty payload, junk structures.
+    Claims keep their spec types (string iss/sub, integer exp/iat)
+    — wrong-typed claims are undefined across engines and excluded
+    by design (jwtx docstring). No single quotes (rows feed a
+    VALUES twin)."""
+    from .extractor import jwtx
+
+    b = jwtx.build_jwt
+    hs = {"alg": "HS256", "typ": "JWT"}
+    live = jwtx.JWT_AS_OF + 86400 * 30
+    dead = jwtx.JWT_AS_OF - 86400 * 400
+    toks: list[str | None] = [
+        b(hs, {"iss": "https://auth.example.org", "sub": "user42",
+               "exp": live, "iat": dead}),
+        b(hs, {"iss": "https://auth.example.org", "sub": "user43",
+               "exp": dead, "iat": dead - 3600}),
+        b({"alg": "RS256", "typ": "JWT", "kid": "key-2026-01"},
+          {"iss": "https://idp.example.net", "sub": "svc-crawler",
+           "exp": live, "aud": "api"}),
+        # unsecured: alg none, empty signature (trailing '.')
+        b(hs, {"sub": "x"}).rsplit(".", 1)[0].replace(
+            b(hs, {"sub": "x"}).split(".")[0],
+            b({"alg": "none"}, {"sub": "x"}).split(".")[0]) + ".",
+        b(hs, {"sub": "no-clock-claims"}),
+        b(hs, {"exp": jwtx.JWT_AS_OF}),          # boundary: not <
+        b(hs, {"exp": jwtx.JWT_AS_OF - 1}),      # boundary: expired
+        b(hs, {}),                               # empty payload
+        # the digits gate: float / negative / bool / 19-digit exp
+        b(hs, {"exp": 1700000000.5}),
+        b(hs, {"exp": -5}),
+        b(hs, {"exp": True}),
+        b(hs, {"exp": 10 ** 19}),
+        # header decodes but is not JSON ('not json')
+        "bm90IGpzb24." + b(hs, {"sub": "x"}).split(".")[1] + ".sig",
+        # payload is a JSON array, not an object
+        b(hs, {"sub": "x"}).split(".")[0] + ".WzEsMl0.sig",
+        # structure failures: bad b64 chars, len%4==1, 2/4 parts
+        "abc+/.def.ghi",
+        "abcde.defg.hijk",
+        "onlytwo.parts",
+        "a.b.c.d",
+        "",
+        None,
+    ]
+    return toks
