@@ -3512,6 +3512,8 @@ _GOLDEN_ZIPDIR = os.path.join(_REPO, "fixtures",
                               "golden_zipdir_seed42.parquet")
 _GOLDEN_NTRIPLES = os.path.join(
     _REPO, "fixtures", "golden_ntriples_seed42_n12.parquet")
+_GOLDEN_GEOJSON = os.path.join(
+    _REPO, "fixtures", "golden_geojson_seed42_n12.parquet")
 _GOLDEN_ACCESSLOG = os.path.join(
     _REPO, "fixtures", "golden_accesslog_seed42_n12.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
@@ -4289,6 +4291,7 @@ _EXTRA_ORDER = [
     "ua_classify", "ua_profile",
     "id_time_classify", "id_minting_days",
     "jwt_rows", "jwt_security_profile",
+    "geojson_features", "geojson_geometry_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -6989,6 +6992,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_issuers"))
                 .orderBy("alg"))
     q["jwt_security_profile"] = q_jwt_security_profile
+
+    # --- GeoJSON feature index (rows golden-pinned; the stats
+    # census reads the golden on BOTH sides — bbox is min/max only,
+    # comparisons not arithmetic, so doubles are bit-stable)
+    def q_geojson_features(spark, sf_dir):
+        files = fixtures.geojson_file_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_geojson_features(df)
+    q["geojson_features"] = q_geojson_features
+
+    def q_geojson_geometry_stats(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_GEOJSON)
+        return (g.groupBy("gtype")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_features"),
+                     F.sum(F.coalesce("n_points", F.lit(0)))
+                     .cast("long").alias("points_total"),
+                     F.count("name").cast("long").alias("n_named"),
+                     F.min("minx").alias("west"),
+                     F.min("miny").alias("south"),
+                     F.max("maxx").alias("east"),
+                     F.max("maxy").alias("north"))
+                .orderBy("gtype"))
+    q["geojson_geometry_stats"] = q_geojson_geometry_stats
 
     # --- zip central-directory auditor (container sibling of the
     # parquet footer reader; stdlib zipfile is the pytest oracle)
@@ -11337,6 +11366,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT iss)::bigint AS n_issuers
             FROM jwt WHERE well_formed
             GROUP BY alg ORDER BY alg""",
+        # GeoJSON: committed golden pinned by tests/test_geojson.py
+        # against the pure re-derivation
+        "geojson_features": f"""
+            SELECT url, pos, gtype, n_geoms, n_points, minx, miny,
+                   maxx, maxy, name, n_props
+            FROM read_parquet('{_GOLDEN_GEOJSON}')""",
+        "geojson_geometry_stats": f"""
+            SELECT gtype, count(*)::bigint AS n_features,
+                   sum(coalesce(n_points, 0))::bigint
+                     AS points_total,
+                   count(name)::bigint AS n_named,
+                   min(minx) AS west, min(miny) AS south,
+                   max(maxx) AS east, max(maxy) AS north
+            FROM read_parquet('{_GOLDEN_GEOJSON}')
+            GROUP BY gtype ORDER BY gtype""",
         # zip central directory: committed golden pinned by
         # tests/test_zipx.py against stdlib zipfile AND the pure
         # re-derivation

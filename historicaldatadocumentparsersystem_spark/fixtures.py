@@ -5631,3 +5631,101 @@ def jwt_sample_rows() -> list[str | None]:
         None,
     ]
     return toks
+
+
+def geojson_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic GeoJSON files: (url, payload). Shapes cycle
+    i % 4: FeatureCollection of mixed geometries (point/linestring/
+    polygon-with-hole/multipolygon) / a single Feature (GeometryCollection
+    + foreign members + unnamed props) / bare geometry + invalid
+    geometries surfacing as 'invalid' / junk payloads. Golden:
+    fixtures/golden_geojson_seed42_n12.parquet."""
+    import json
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://geo{i}.example.org/data-{i}.geojson"
+        k = i % 4
+        x = float(i)
+        if k == 0:
+            doc = {"type": "FeatureCollection", "features": [
+                {"type": "Feature",
+                 "properties": {"name": f"poi-{i}", "amenity":
+                                "cafe"},
+                 "geometry": {"type": "Point",
+                              "coordinates": [x + 0.5, -x - 0.25]}},
+                {"type": "Feature", "properties": {"name":
+                                                   f"route-{i}"},
+                 "geometry": {"type": "LineString", "coordinates":
+                              [[x, 0.0], [x + 1.0, 1.5],
+                               [x + 2.0, -2.25]]}},
+                {"type": "Feature",
+                 "properties": {"name": f"zone-{i}", "level": 3},
+                 "geometry": {"type": "Polygon", "coordinates": [
+                     [[x, 0.0], [x + 4.0, 0.0], [x + 4.0, 4.0],
+                      [x, 4.0], [x, 0.0]],
+                     [[x + 1.0, 1.0], [x + 2.0, 1.0],
+                      [x + 1.5, 2.0], [x + 1.0, 1.0]]]}},
+                {"type": "Feature", "properties": {},
+                 "geometry": {"type": "MultiPolygon",
+                              "coordinates": [
+                                  [[[x, 0.0], [x + 1.0, 0.0],
+                                    [x, 1.0], [x, 0.0]]],
+                                  [[[x + 9.0, 9.0],
+                                    [x + 10.0, 9.0],
+                                    [x + 9.0, 10.0],
+                                    [x + 9.0, 9.0]]]]}},
+                "not a feature",
+                {"type": "Feature", "geometry": None},
+            ]}
+        elif k == 1:
+            doc = {"type": "Feature", "bbox": [x, x, x, x],
+                   "foreign": {"whatever": 1},
+                   "properties": {"height_m": 12 + i},
+                   "geometry": {"type": "GeometryCollection",
+                                "geometries": [
+                                    {"type": "Point",
+                                     "coordinates": [x, x + 0.5]},
+                                    {"type": "MultiPoint",
+                                     "coordinates": [[x - 1.0, 0.0],
+                                                     [x + 1.0,
+                                                      2.5]]}]}}
+        elif k == 2:
+            if (i // 4) % 2:
+                doc = {"type": "FeatureCollection", "features": [
+                    {"type": "Feature", "properties": {"name":
+                                                       "bad-pt"},
+                     "geometry": {"type": "Point",
+                                  "coordinates": [x]}},
+                    {"type": "Feature", "properties": {"name":
+                                                       "bool-pt"},
+                     "geometry": {"type": "Point",
+                                  "coordinates": [True, 1.0]}},
+                    {"type": "Feature", "properties": {"name":
+                                                       "empty-ls"},
+                     "geometry": {"type": "LineString",
+                                  "coordinates": []}},
+                    {"type": "Feature", "properties": {"name":
+                                                       "wrong-depth"},
+                     "geometry": {"type": "Polygon",
+                                  "coordinates": [[x, 0.0],
+                                                  [x + 1.0, 1.0]]}},
+                    {"type": "Feature", "properties": {"name":
+                                                       "ok"},
+                     "geometry": {"type": "Point",
+                                  "coordinates": [x, x, 99.5]}},
+                ]}
+            else:
+                doc = {"type": "MultiLineString", "coordinates":
+                       [[[x, 0.0], [x + 1.0, 1.0]],
+                        [[x + 5.0, 5.0], [x + 6.0, 6.0],
+                         [x + 7.0, 5.5]]]}
+        else:
+            rows.append({"url": url,
+                         "payload": b"{\"type\": \"Telemetry\"}"
+                         if (i // 4) % 2 else b"\xff not json"})
+            continue
+        rows.append({"url": url,
+                     "payload": json.dumps(
+                         doc, sort_keys=True).encode("utf-8")})
+    return rows

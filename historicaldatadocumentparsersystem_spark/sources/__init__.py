@@ -2788,3 +2788,41 @@ def read_access_log(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, ACCESS_LOG_DDL))
+
+
+GEOJSON_DDL = (
+    "url string, pos int, gtype string, n_geoms int, n_points int, "
+    "minx double, miny double, maxx double, maxy double, "
+    "name string, n_props int")
+
+
+def read_geojson_features(df: DataFrame, url_col: str = "url",
+                          payload_col: str = "payload") -> DataFrame:
+    """(url, GeoJSON payload) -> one row per feature (invalid
+    geometries surface as gtype 'invalid', junk payloads yield no
+    rows). Pure parse: ``extractor.geojsonx.parse_geojson``
+    (golden-pinned). Map-only."""
+    import pandas as pd
+
+    from ..extractor.geojsonx import parse_geojson
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_geojson(
+                    bytes(payload) if payload is not None else None)
+                for t in d["features"]:
+                    rows.append((url,) + t)
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "gtype", "n_geoms", "n_points",
+                "minx", "miny", "maxx", "maxy", "name", "n_props"])
+            for c in ("pos", "n_geoms", "n_points", "n_props"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("minx", "miny", "maxx", "maxy"):
+                out[c] = pd.array(out[c], dtype="float64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, GEOJSON_DDL))
