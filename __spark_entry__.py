@@ -3516,6 +3516,13 @@ _GOLDEN_GEOJSON = os.path.join(
     _REPO, "fixtures", "golden_geojson_seed42_n12.parquet")
 _GOLDEN_ACCESSLOG = os.path.join(
     _REPO, "fixtures", "golden_accesslog_seed42_n12.parquet")
+# SQLite fixture page images are build-version-dependent, so the
+# committed corpus parquet (not fixtures.build_sqlite_fixture_dbs)
+# is canonical — see fixtures.sqlite_db_rows
+_SQLITE_FIX = os.path.join(_REPO, "fixtures",
+                           "sqlite_dbs_seed42_n10.parquet")
+_GOLDEN_SQLITE = os.path.join(
+    _REPO, "fixtures", "golden_sqlite_seed42_n10.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4292,6 +4299,8 @@ _EXTRA_ORDER = [
     "id_time_classify", "id_minting_days",
     "jwt_rows", "jwt_security_profile",
     "geojson_features", "geojson_geometry_stats",
+    # round-4 resumed-session-11 additions
+    "sqlite_objects", "sqlite_db_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8095,6 +8104,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rev
     q["segment_revenue"] = q_revenue_join
 
+    # --- SQLite database files (container sibling of parquetx/zipx:
+    # from-scratch header + b-tree + record decoding, exact per-table
+    # row counts from the tree walk; stdlib sqlite3 is the
+    # independent pytest oracle over the SAME committed bytes)
+    def q_sqlite_objects(spark, sf_dir):
+        df = spark.read.parquet(_SQLITE_FIX).repartition(8)
+        return sources.read_sqlite_objects(df)
+    q["sqlite_objects"] = q_sqlite_objects
+
+    def q_sqlite_db_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_SQLITE)
+        aggs = [F.sum(F.when(F.col("otype") == t, 1).otherwise(0))
+                .cast("long").alias(alias)
+                for t, alias in (("table", "n_tables"),
+                                 ("index", "n_indexes"),
+                                 ("view", "n_views"),
+                                 ("trigger", "n_triggers"))]
+        return (g.groupBy("url")
+                .agg(*aggs,
+                     F.sum(F.coalesce("n_rows", F.lit(0)))
+                     .cast("long").alias("rows_total"),
+                     F.min("page_size").alias("page_size"),
+                     F.min("encoding").alias("encoding"),
+                     F.min("n_pages").alias("n_pages"),
+                     F.min("freelist_pages").alias("freelist_pages"))
+                .orderBy("url"))
+    q["sqlite_db_profile"] = q_sqlite_db_profile
+
     return q
 
 
@@ -11828,4 +11865,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE track_id IS NOT NULL
             GROUP BY handler, codec
             ORDER BY handler, codec""",
+        # SQLite catalog: committed golden pinned by
+        # tests/test_sqlitex.py against stdlib sqlite3 AND the pure
+        # re-derivation
+        "sqlite_objects": f"""
+            SELECT url, pos, otype, name, tbl_name, rootpage,
+                   n_rows, sql_chars, page_size, encoding, n_pages,
+                   freelist_pages
+            FROM read_parquet('{_GOLDEN_SQLITE}')""",
+        "sqlite_db_profile": f"""
+            SELECT url,
+                   sum(CASE WHEN otype = 'table' THEN 1 ELSE 0
+                       END)::bigint AS n_tables,
+                   sum(CASE WHEN otype = 'index' THEN 1 ELSE 0
+                       END)::bigint AS n_indexes,
+                   sum(CASE WHEN otype = 'view' THEN 1 ELSE 0
+                       END)::bigint AS n_views,
+                   sum(CASE WHEN otype = 'trigger' THEN 1 ELSE 0
+                       END)::bigint AS n_triggers,
+                   sum(coalesce(n_rows, 0))::bigint AS rows_total,
+                   min(page_size) AS page_size,
+                   min(encoding) AS encoding,
+                   min(n_pages) AS n_pages,
+                   min(freelist_pages) AS freelist_pages
+            FROM read_parquet('{_GOLDEN_SQLITE}')
+            GROUP BY url ORDER BY url""",
     }

@@ -5729,3 +5729,128 @@ def geojson_file_rows(n: int = 12, seed: int = 42) -> list[dict]:
                      "payload": json.dumps(
                          doc, sort_keys=True).encode("utf-8")})
     return rows
+
+
+def build_sqlite_fixture_dbs() -> list[dict]:
+    """Build the SQLite fixture databases with the LOCAL stdlib
+    sqlite3 — the ENCODE half of extractor/sqlitex.py. Page images
+    depend on the linked SQLite version, so the canonical corpus is
+    the COMMITTED fixtures/sqlite_dbs_seed42_n10.parquet (see
+    sqlite_db_rows); this builder regenerates it and feeds the
+    version-independent dual-engine test (our reader vs stdlib over
+    the same fresh bytes). Shapes: simple catalog / deep rowid
+    b-tree / overflowing CREATE sql / utf16le / WITHOUT ROWID /
+    freelist / empty / AUTOINCREMENT+view+trigger + 2 junk rows."""
+    import sqlite3
+
+    def make(setup, page_size=4096, pragmas=()):
+        con = sqlite3.connect(":memory:")
+        cur = con.cursor()
+        for p in pragmas:
+            cur.execute(p)
+        cur.execute(f"PRAGMA page_size={page_size}")
+        setup(cur)
+        con.commit()
+        blob = bytes(con.serialize())
+        con.close()
+        return blob
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://files{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    def s_simple(c):
+        c.execute("CREATE TABLE docs(id INTEGER PRIMARY KEY, "
+                  "url TEXT, score REAL, body BLOB)")
+        c.execute("CREATE TABLE hosts(host TEXT, hits INT)")
+        c.execute("CREATE INDEX idx_docs_url ON docs(url)")
+        c.execute("CREATE VIEW v_top AS SELECT url FROM docs "
+                  "WHERE score > 0.5")
+        for i in range(23):
+            c.execute("INSERT INTO docs VALUES(?,?,?,?)",
+                      (i + 1, f"https://h{i % 5}.example.org/p{i}",
+                       i * 0.125, bytes([i % 7]) * (i % 40)))
+        for i in range(6):
+            c.execute("INSERT INTO hosts VALUES(?,?)",
+                      (f"h{i}.example.org", i * 11))
+    add("catalog.db", make(s_simple))
+
+    def s_deep(c):
+        c.execute("CREATE TABLE fetches(id INTEGER PRIMARY KEY, "
+                  "u TEXT, n INT)")
+        for i in range(3000):
+            c.execute("INSERT INTO fetches VALUES(?,?,?)",
+                      (i + 1, f"u-{i:06d}", i % 97))
+    add("deep.db", make(s_deep, page_size=512))
+
+    def s_overflow(c):
+        cols = ", ".join(
+            f"very_long_descriptive_column_name_{i:03d} TEXT"
+            for i in range(40))
+        c.execute(f"CREATE TABLE wide({cols})")
+        c.execute("INSERT INTO wide (very_long_descriptive_column"
+                  "_name_000) VALUES (?)", ("x" * 2000,))
+    add("overflow.db", make(s_overflow, page_size=512))
+
+    def s_utf16(c):
+        c.execute("CREATE TABLE articles(title TEXT)")
+        for t in ("café", "中文标题",
+                  "naïve", "Ж"):
+            c.execute("INSERT INTO articles VALUES(?)", (t,))
+    add("utf16.db", make(
+        s_utf16, pragmas=("PRAGMA encoding='UTF-16le'",)))
+
+    def s_worowid(c):
+        c.execute("CREATE TABLE kv(k TEXT PRIMARY KEY, v TEXT) "
+                  "WITHOUT ROWID")
+        for i in range(400):
+            c.execute("INSERT INTO kv VALUES(?,?)",
+                      (f"key-{i:05d}", f"value-{i}" * 3))
+    add("worowid.db", make(s_worowid, page_size=512))
+
+    def s_freelist(c):
+        c.execute("CREATE TABLE churn(id INTEGER PRIMARY KEY, "
+                  "pad TEXT)")
+        for i in range(500):
+            c.execute("INSERT INTO churn VALUES(?,?)",
+                      (i + 1, "p" * 100))
+        c.execute("DELETE FROM churn WHERE id % 3 != 0")
+    add("freelist.db", make(s_freelist, page_size=512))
+
+    def s_empty(c):
+        # a never-written :memory: db has no pages to serialize;
+        # create-then-drop leaves an allocated, catalog-empty file
+        c.execute("CREATE TABLE gone(x INT)")
+        c.execute("DROP TABLE gone")
+    add("empty.db", make(s_empty))
+
+    def s_autoinc(c):
+        c.execute("CREATE TABLE log(id INTEGER PRIMARY KEY "
+                  "AUTOINCREMENT, msg TEXT)")
+        c.execute("CREATE TRIGGER trg AFTER INSERT ON log BEGIN "
+                  "UPDATE log SET msg = msg WHERE id = new.id; END")
+        for i in range(9):
+            c.execute("INSERT INTO log(msg) VALUES(?)",
+                      (f"event-{i}",))
+    add("autoinc.db", make(s_autoinc))
+
+    add("junk.bin", b"not a database at all, just bytes")
+    add("trunc.db", make(s_simple)[:90])
+    return rows
+
+
+def sqlite_db_rows() -> list[dict]:
+    """The COMMITTED SQLite fixture corpus (url, payload) — read
+    from fixtures/sqlite_dbs_seed42_n10.parquet (page images are
+    build-version-dependent, so the parquet, not the builder, is
+    canonical; golden: fixtures/golden_sqlite_seed42_n10.parquet)."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures",
+        "sqlite_dbs_seed42_n10.parquet")
+    return pq.read_table(path).to_pylist()

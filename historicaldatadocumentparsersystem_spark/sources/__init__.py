@@ -2826,3 +2826,54 @@ def read_geojson_features(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, GEOJSON_DDL))
+
+
+SQLITE_DDL = (
+    "url string, pos int, otype string, name string, "
+    "tbl_name string, rootpage int, n_rows long, sql_chars int, "
+    "page_size int, encoding string, n_pages int, "
+    "freelist_pages int")
+
+
+def read_sqlite_objects(df: DataFrame, url_col: str = "url",
+                        payload_col: str = "payload") -> DataFrame:
+    """(url, SQLite database bytes) -> one row per sqlite_master
+    object (type/name/tbl_name/rootpage + exact b-tree row counts
+    for tables), header fields denormalized per row. Pure parse:
+    ``extractor.sqlitex.parse_sqlite`` (golden-pinned; stdlib
+    sqlite3 is the independent pytest oracle). Map-only; n_rows
+    NULL for rootpage-0 objects and indexes. Non-database payloads
+    yield no rows."""
+    import pandas as pd
+
+    from ..extractor.sqlitex import parse_sqlite
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_sqlite(
+                    bytes(payload) if payload is not None else None)
+                h = d["header"]
+                if h is None:
+                    continue
+                for (pos, otype, name, tbl, root, sql,
+                     n_rows) in d["objects"]:
+                    rows.append((
+                        url, pos, otype, name, tbl, root, n_rows,
+                        len(sql) if sql is not None else None,
+                        h["page_size"], h["encoding"],
+                        h["n_pages"], h["freelist_pages"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "otype", "name", "tbl_name",
+                "rootpage", "n_rows", "sql_chars", "page_size",
+                "encoding", "n_pages", "freelist_pages"])
+            for c in ("pos", "rootpage", "sql_chars", "page_size",
+                      "n_pages", "freelist_pages"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["n_rows"] = pd.array(out["n_rows"], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, SQLITE_DDL))
