@@ -3523,6 +3523,8 @@ _SQLITE_FIX = os.path.join(_REPO, "fixtures",
                            "sqlite_dbs_seed42_n10.parquet")
 _GOLDEN_SQLITE = os.path.join(
     _REPO, "fixtures", "golden_sqlite_seed42_n10.parquet")
+_GOLDEN_WASM = os.path.join(
+    _REPO, "fixtures", "golden_wasm_seed42_n12.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4301,6 +4303,7 @@ _EXTRA_ORDER = [
     "geojson_features", "geojson_geometry_stats",
     # round-4 resumed-session-11 additions
     "sqlite_objects", "sqlite_db_profile",
+    "wasm_sections", "wasm_module_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8132,6 +8135,45 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url"))
     q["sqlite_db_profile"] = q_sqlite_db_profile
 
+    # --- WebAssembly modules (LEB128 section walk + import/export
+    # symbol census; custom sourceMappingURL/producers sections are
+    # the srcmapx-style discovery channels)
+    def q_wasm_sections(spark, sf_dir):
+        files = fixtures.wasm_module_rows(12)
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_wasm_modules(df)
+    q["wasm_sections"] = q_wasm_sections
+
+    def q_wasm_module_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_WASM)
+        sec = F.col("row_kind") == "section"
+        return (g.groupBy("url")
+                .agg(F.sum(sec.cast("long")).cast("long")
+                     .alias("n_sections"),
+                     F.sum((F.col("row_kind") == "import")
+                           .cast("long")).cast("long")
+                     .alias("n_imports"),
+                     F.sum((F.col("row_kind") == "export")
+                           .cast("long")).cast("long")
+                     .alias("n_exports"),
+                     F.sum(F.when(sec & (F.col("name") == "code"),
+                                  F.col("n_items")).otherwise(0))
+                     .cast("long").alias("code_fns"),
+                     F.sum(F.when(sec & (F.col("sec_id") == 0), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_custom"),
+                     F.bool_or(
+                         F.col("name") == "custom:sourceMappingURL")
+                     .alias("has_sourcemap"),
+                     F.sum(F.when((F.col("row_kind") == "export")
+                                  & (F.col("sym_kind") == "func"),
+                                  1).otherwise(0)).cast("long")
+                     .alias("exported_funcs"))
+                .orderBy("url"))
+    q["wasm_module_profile"] = q_wasm_module_profile
+
     return q
 
 
@@ -11889,5 +11931,32 @@ def oracle_sql() -> dict[str, str]:
                    min(n_pages) AS n_pages,
                    min(freelist_pages) AS freelist_pages
             FROM read_parquet('{_GOLDEN_SQLITE}')
+            GROUP BY url ORDER BY url""",
+        # WebAssembly: committed golden pinned by tests/test_wasmx.py
+        # against the pure re-derivation
+        "wasm_sections": f"""
+            SELECT url, pos, row_kind, sec_id, name, module,
+                   sym_kind, sym_index, size, n_items
+            FROM read_parquet('{_GOLDEN_WASM}')""",
+        "wasm_module_profile": f"""
+            SELECT url,
+                   sum(CASE WHEN row_kind = 'section' THEN 1
+                       ELSE 0 END)::bigint AS n_sections,
+                   sum(CASE WHEN row_kind = 'import' THEN 1
+                       ELSE 0 END)::bigint AS n_imports,
+                   sum(CASE WHEN row_kind = 'export' THEN 1
+                       ELSE 0 END)::bigint AS n_exports,
+                   sum(CASE WHEN row_kind = 'section'
+                            AND name = 'code' THEN n_items
+                       ELSE 0 END)::bigint AS code_fns,
+                   sum(CASE WHEN row_kind = 'section'
+                            AND sec_id = 0 THEN 1
+                       ELSE 0 END)::bigint AS n_custom,
+                   bool_or(name = 'custom:sourceMappingURL')
+                     AS has_sourcemap,
+                   sum(CASE WHEN row_kind = 'export'
+                            AND sym_kind = 'func' THEN 1
+                       ELSE 0 END)::bigint AS exported_funcs
+            FROM read_parquet('{_GOLDEN_WASM}')
             GROUP BY url ORDER BY url""",
     }

@@ -5854,3 +5854,99 @@ def sqlite_db_rows() -> list[dict]:
         os.path.abspath(__file__))), "fixtures",
         "sqlite_dbs_seed42_n10.parquet")
     return pq.read_table(path).to_pylist()
+
+
+def wasm_module_rows(n: int = 12, seed: int = 42) -> list[dict]:
+    """Deterministic hand-encoded WebAssembly modules (url,
+    payload) — the ENCODE half of extractor/wasmx.py (spliced
+    payloads must still decode, the exifx rule). Shapes cycle
+    i % 6: typical module (type/function/memory/export/code) /
+    imports of all four kinds / custom name+producers sections /
+    sourceMappingURL custom + start/element/datacount / truncated
+    mid-section (valid prefix survives) / junk. Golden:
+    fixtures/golden_wasm_seed42_n12.parquet."""
+
+    def u(v: int) -> bytes:          # unsigned LEB128
+        out = bytearray()
+        while True:
+            c = v & 0x7F
+            v >>= 7
+            out.append(c | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    def nm(s: str) -> bytes:
+        raw = s.encode("utf-8")
+        return u(len(raw)) + raw
+
+    def vec(items: list[bytes]) -> bytes:
+        return u(len(items)) + b"".join(items)
+
+    def sec(sid: int, body: bytes) -> bytes:
+        return bytes([sid]) + u(len(body)) + body
+
+    def custom(name: str, payload: bytes) -> bytes:
+        return sec(0, nm(name) + payload)
+
+    hdr = b"\x00asm" + (1).to_bytes(4, "little")
+    functype = b"\x60\x00\x00"            # () -> ()
+    empty_fn = u(2) + u(0) + b"\x0b"      # no locals, just end
+
+    rows: list[dict] = []
+    for i in range(n):
+        url = f"https://cdn{i}.example.org/mod-{i}.wasm"
+        k = i % 6
+        if k == 0:
+            nfn = 1 + (i // 6) * 50
+            blob = hdr \
+                + sec(1, vec([functype])) \
+                + sec(3, vec([u(0)] * nfn)) \
+                + sec(5, vec([b"\x00" + u(1)])) \
+                + sec(7, vec([nm(f"fn{j}") + b"\x00" + u(j)
+                              for j in range(min(nfn, 3))]
+                             + [nm("memory") + b"\x02" + u(0)])) \
+                + sec(10, vec([empty_fn] * nfn))
+        elif k == 1:
+            imports = [
+                nm("env") + nm("log") + b"\x00" + u(0),
+                nm("env") + nm("mem") + b"\x02\x01" + u(1) + u(4),
+                nm("env") + nm("tbl") + b"\x01\x70\x00" + u(2),
+                nm("wasi") + nm(f"clock_{i}") + b"\x00" + u(0),
+                nm("env") + nm("g") + b"\x03\x7f\x01",
+            ]
+            blob = hdr \
+                + sec(1, vec([functype])) \
+                + sec(2, vec(imports)) \
+                + sec(7, vec([nm("run") + b"\x00" + u(2)]))
+        elif k == 2:
+            names = custom("name", nm("mod") + bytes([i % 9]))
+            prod = custom(
+                "producers",
+                vec([nm("language") + vec([nm("Rust") + nm("1.70")]),
+                     nm("processed-by")
+                     + vec([nm("wasm-opt") + nm(f"11{i}")])]))
+            blob = hdr + sec(1, vec([functype])) \
+                + sec(3, vec([u(0)])) + sec(10, vec([empty_fn])) \
+                + names + prod
+        elif k == 3:
+            blob = hdr \
+                + sec(1, vec([functype])) \
+                + sec(3, vec([u(0), u(0)])) \
+                + sec(8, u(1)) \
+                + sec(12, u(1)) \
+                + sec(10, vec([empty_fn, empty_fn])) \
+                + sec(11, vec([b"\x00\x41\x00\x0b"
+                               + u(3) + b"abc"])) \
+                + custom("sourceMappingURL",
+                         nm(f"https://cdn{i}.example.org/"
+                            f"mod-{i}.wasm.map"))
+        elif k == 4:
+            whole = sec(1, vec([functype])) \
+                + sec(7, vec([nm("partial") + b"\x00" + u(0)])) \
+                + sec(10, vec([empty_fn]))
+            blob = hdr + whole[:len(whole) - 4]
+        else:
+            blob = (b"\x00asm" + b"\xff")[: 5 + i % 3] \
+                if (i // 6) % 2 else b"GIF89a not wasm"
+        rows.append({"url": url, "payload": blob})
+    return rows

@@ -2877,3 +2877,52 @@ def read_sqlite_objects(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, SQLITE_DDL))
+
+
+WASM_DDL = (
+    "url string, pos int, row_kind string, sec_id int, "
+    "name string, module string, sym_kind string, sym_index long, "
+    "size int, n_items int")
+
+
+def read_wasm_modules(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, wasm bytes) -> one row per section ('section': id,
+    name — custom sections as 'custom:<name>' — declared size,
+    leading vector count) plus one per import/export table entry
+    ('import': module+field+kind; 'export': name+kind+index). Pure
+    parse: ``extractor.wasmx.parse_wasm`` (golden-pinned).
+    Map-only; junk payloads yield no rows."""
+    import pandas as pd
+
+    from ..extractor.wasmx import parse_wasm
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_wasm(
+                    bytes(payload) if payload is not None else None)
+                for (pos, sid, sname, size, n_items) in \
+                        d["sections"]:
+                    rows.append((url, pos, "section", sid, sname,
+                                 None, None, None, size, n_items))
+                for (pos, mod, fld, kind) in d["imports"]:
+                    rows.append((url, pos, "import", None, fld,
+                                 mod, kind, None, None, None))
+                for (pos, nm_, kind, idx) in d["exports"]:
+                    rows.append((url, pos, "export", None, nm_,
+                                 None, kind, idx, None, None))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "sec_id", "name",
+                "module", "sym_kind", "sym_index", "size",
+                "n_items"])
+            for c in ("pos", "sec_id", "size", "n_items"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["sym_index"] = pd.array(out["sym_index"],
+                                        dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, WASM_DDL))
