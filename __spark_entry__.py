@@ -3525,6 +3525,8 @@ _GOLDEN_SQLITE = os.path.join(
     _REPO, "fixtures", "golden_sqlite_seed42_n10.parquet")
 _GOLDEN_WASM = os.path.join(
     _REPO, "fixtures", "golden_wasm_seed42_n12.parquet")
+_GOLDEN_PCAP = os.path.join(
+    _REPO, "fixtures", "golden_pcap_seed42_n10.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4304,6 +4306,7 @@ _EXTRA_ORDER = [
     # round-4 resumed-session-11 additions
     "sqlite_objects", "sqlite_db_profile",
     "wasm_sections", "wasm_module_profile",
+    "pcap_packets", "pcap_flows",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8174,6 +8177,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url"))
     q["wasm_module_profile"] = q_wasm_module_profile
 
+    # --- libpcap captures (wire-side complement of accesslogx/
+    # harx; exact integer epoch-ms, no float time). Flow summary
+    # canonicalizes direction with least/greatest over ip#port
+    # endpoint keys so both directions land in ONE group — the
+    # golden feeds BOTH engines, isolating the composition.
+    def q_pcap_packets(spark, sf_dir):
+        files = fixtures.pcap_capture_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_pcap_packets(df)
+    q["pcap_packets"] = q_pcap_packets
+
+    def q_pcap_flows(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_PCAP)
+        ks = F.concat_ws("#", "src_ip", "src_port")
+        kd = F.concat_ws("#", "dst_ip", "dst_port")
+        # src_port guard matters cross-engine: Spark concat_ws
+        # SKIPS nulls where DuckDB || propagates them
+        return (g.where(F.col("proto").isin("tcp", "udp")
+                        & F.col("src_ip").isNotNull()
+                        & F.col("src_port").isNotNull())
+                .withColumn("ep_a", F.least(ks, kd))
+                .withColumn("ep_b", F.greatest(ks, kd))
+                .groupBy("url", "proto", "ep_a", "ep_b")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_packets"),
+                     F.sum("orig_len").cast("long")
+                     .alias("bytes_total"),
+                     F.min("ts_ms").alias("first_ms"),
+                     F.max("ts_ms").alias("last_ms"),
+                     F.sum(F.when(F.col("tcp_flags") == "S", 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_syn"))
+                .orderBy("url", "proto", "ep_a", "ep_b"))
+    q["pcap_flows"] = q_pcap_flows
+
     return q
 
 
@@ -11959,4 +11999,32 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 0 END)::bigint AS exported_funcs
             FROM read_parquet('{_GOLDEN_WASM}')
             GROUP BY url ORDER BY url""",
+        # libpcap: committed golden pinned by tests/test_pcapx.py
+        # against the pure re-derivation; flows read the golden on
+        # BOTH sides (direction-canonical least/greatest keys)
+        "pcap_packets": f"""
+            SELECT url, pos, ts_ms, orig_len, incl_len, src_mac,
+                   dst_mac, ethertype, src_ip, dst_ip, proto,
+                   src_port, dst_port, tcp_flags
+            FROM read_parquet('{_GOLDEN_PCAP}')""",
+        "pcap_flows": f"""
+            WITH p AS (
+              SELECT *,
+                     src_ip || '#' || src_port AS ks,
+                     dst_ip || '#' || dst_port AS kd
+              FROM read_parquet('{_GOLDEN_PCAP}')
+              WHERE proto IN ('tcp', 'udp')
+                AND src_ip IS NOT NULL
+                AND src_port IS NOT NULL)
+            SELECT url, proto,
+                   least(ks, kd) AS ep_a,
+                   greatest(ks, kd) AS ep_b,
+                   count(*)::bigint AS n_packets,
+                   sum(orig_len)::bigint AS bytes_total,
+                   min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+                   sum(CASE WHEN tcp_flags = 'S' THEN 1 ELSE 0
+                       END)::bigint AS n_syn
+            FROM p
+            GROUP BY url, proto, least(ks, kd), greatest(ks, kd)
+            ORDER BY url, proto, ep_a, ep_b""",
     }

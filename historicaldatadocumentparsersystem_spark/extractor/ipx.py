@@ -61,6 +61,33 @@ def int_to_ipv4(v: int) -> str:
     return ".".join(str((v >> s) & 255) for s in (24, 16, 8, 0))
 
 
+def int_to_ipv6(v: int) -> str:
+    """int in [0, 2^128) -> RFC 5952 canonical text: lowercase,
+    no leading zeros, the LONGEST run of >=2 zero groups compressed
+    to ``::`` (leftmost on ties; a single zero group is never
+    compressed). Pinned vs stdlib ipaddress in tests/test_pcapx.py
+    (the idnx-vs-stdlib-codec pattern)."""
+    groups = [(v >> (16 * (7 - i))) & 0xFFFF for i in range(8)]
+    best_start = best_len = -1
+    i = 0
+    while i < 8:
+        if groups[i] == 0:
+            j = i
+            while j < 8 and groups[j] == 0:
+                j += 1
+            if j - i > best_len:
+                best_start, best_len = i, j - i
+            i = j
+        else:
+            i += 1
+    if best_len >= 2:
+        head = ":".join(f"{g:x}" for g in groups[:best_start])
+        tail = ":".join(f"{g:x}"
+                        for g in groups[best_start + best_len:])
+        return f"{head}::{tail}"
+    return ":".join(f"{g:x}" for g in groups)
+
+
 def ipv6_to_int(s) -> int | None:
     """RFC 4291 textual IPv6 -> int in [0, 2^128); None otherwise.
     Accepts ``::`` compression and a trailing embedded dotted-quad;

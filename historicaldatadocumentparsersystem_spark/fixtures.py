@@ -5950,3 +5950,147 @@ def wasm_module_rows(n: int = 12, seed: int = 42) -> list[dict]:
                 if (i // 6) % 2 else b"GIF89a not wasm"
         rows.append({"url": url, "payload": blob})
     return rows
+
+
+def pcap_capture_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built libpcap captures (url, payload) —
+    the ENCODE half of extractor/pcapx.py. Shapes: little-endian
+    TCP session / big-endian UDP+ICMP / nanosecond IPv6 / VLAN tag /
+    raw-IP linktype / ARP + trailing truncated record / junk /
+    snaplen-cut IP header / 60-packet multi-flow / header-only.
+    Golden: fixtures/golden_pcap_seed42_n10.parquet."""
+    import struct
+
+    def ip4(a: str) -> bytes:
+        return bytes(int(x) for x in a.split("."))
+
+    def ipv4(src, dst, proto, body):
+        hdr = struct.pack(">BBHHHBBH", 0x45, 0, 20 + len(body),
+                          1, 0, 64, proto, 0) + ip4(src) + ip4(dst)
+        return hdr + body
+
+    def ipv6(src: bytes, dst: bytes, proto, body):
+        return struct.pack(">IHBB", 0x60000000, len(body),
+                           proto, 64) + src + dst + body
+
+    def tcp(sp, dp, flags, body=b""):
+        return struct.pack(">HHIIBBHHH", sp, dp, 1000, 2000,
+                           0x50, flags, 8192, 0, 0) + body
+
+    def udp(sp, dp, body=b""):
+        return struct.pack(">HHHH", sp, dp, 8 + len(body), 0) + body
+
+    def eth(src, dst, ethertype, body, vlan=None):
+        hdr = bytes.fromhex(dst.replace(":", "")) \
+            + bytes.fromhex(src.replace(":", ""))
+        if vlan is not None:
+            hdr += struct.pack(">HH", 0x8100, vlan)
+        return hdr + struct.pack(">H", ethertype) + body
+
+    BASE = 1730000000  # 2024-10-27 epoch seconds
+
+    def pcap(pkts, endian="<", nano=False, linktype=1,
+             extra=b""):
+        magic = 0xA1B23C4D if nano else 0xA1B2C3D4
+        out = struct.pack(endian + "IHHiIII", magic, 2, 4, 0, 0,
+                          65535, linktype)
+        for i, (frac, pkt, *rest) in enumerate(pkts):
+            incl = len(pkt)
+            orig = rest[0] if rest else incl
+            out += struct.pack(endian + "IIII", BASE + i, frac,
+                               incl, orig) + pkt
+        return out + extra
+
+    M1, M2 = "02:42:ac:11:00:02", "02:42:ac:11:00:03"
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://sensor{len(rows)}.example.net/{name}",
+            "payload": blob})
+
+    # 0: little-endian microsecond TCP session (handshake + data)
+    sess = [
+        (1000, eth(M1, M2, 0x0800, ipv4(
+            "10.0.0.5", "93.184.216.34", 6, tcp(49152, 443, 0x02)))),
+        (2000, eth(M2, M1, 0x0800, ipv4(
+            "93.184.216.34", "10.0.0.5", 6, tcp(443, 49152, 0x12)))),
+        (3000, eth(M1, M2, 0x0800, ipv4(
+            "10.0.0.5", "93.184.216.34", 6, tcp(49152, 443, 0x10)))),
+        (4000, eth(M1, M2, 0x0800, ipv4(
+            "10.0.0.5", "93.184.216.34", 6,
+            tcp(49152, 443, 0x18, b"GET / HTTP/1.1")))),
+        (5000, eth(M2, M1, 0x0800, ipv4(
+            "93.184.216.34", "10.0.0.5", 6, tcp(443, 49152, 0x11)))),
+    ]
+    add("session.pcap", pcap(sess))
+
+    # 1: big-endian, UDP + ICMP
+    add("dns.pcap", pcap([
+        (10, eth(M1, M2, 0x0800, ipv4(
+            "10.0.0.5", "8.8.8.8", 17, udp(5353, 53, b"\x00" * 12)))),
+        (20, eth(M2, M1, 0x0800, ipv4(
+            "8.8.8.8", "10.0.0.5", 17, udp(53, 5353, b"\x00" * 24)))),
+        (30, eth(M1, M2, 0x0800, ipv4(
+            "10.0.0.5", "8.8.4.4", 1, b"\x08\x00\x00\x00"))),
+    ], endian=">"))
+
+    # 2: nanosecond magic, IPv6 TCP (:: compression exercised)
+    s6 = bytes.fromhex("20010db8000000000000000000000001")
+    d6 = bytes.fromhex("20010db8000085a300000000ac1f8001")
+    add("v6.pcap", pcap([
+        (500_000_000, eth(M1, M2, 0x86DD, ipv6(
+            s6, d6, 6, tcp(52000, 8443, 0x02)))),
+        (750_000_000, eth(M2, M1, 0x86DD, ipv6(
+            d6, s6, 6, tcp(8443, 52000, 0x12)))),
+    ], nano=True))
+
+    # 3: 802.1Q VLAN-tagged IPv4
+    add("vlan.pcap", pcap([
+        (100, eth(M1, M2, 0x0800, ipv4(
+            "192.168.7.9", "192.168.7.1", 17, udp(123, 123)),
+            vlan=42)),
+    ]))
+
+    # 4: raw-IP linktype 101, mixed v4/v6
+    add("rawip.pcap", pcap([
+        (1, ipv4("172.16.0.1", "172.16.0.2", 6,
+                 tcp(1234, 80, 0x02))),
+        (2, ipv6(s6, d6, 17, udp(7000, 7001))),
+    ], linktype=101))
+
+    # 5: ARP (no IP layer) + a truncated trailing record
+    add("arp.pcap", pcap([
+        (9, eth(M1, "ff:ff:ff:ff:ff:ff", 0x0806, b"\x00\x01" * 14)),
+    ], extra=struct.pack("<IIII", BASE, 0, 400, 400) + b"\xab" * 10))
+
+    # 6: junk
+    add("noise.bin", b"\x89PNG not a capture either")
+
+    # 7: snaplen cut mid-IP-header (incl < orig)
+    full = eth(M1, M2, 0x0800, ipv4(
+        "10.1.1.1", "10.1.1.2", 6, tcp(5555, 22, 0x02)))
+    add("snap.pcap", pcap([(77, full[:20], len(full))]))
+
+    # 8: 60 packets over 3 flows (both directions interleaved)
+    pkts = []
+    for i in range(60):
+        f = i % 3
+        src, dst, sp, dp = [
+            ("10.0.9.1", "203.0.113.7", 40000, 443),
+            ("10.0.9.2", "203.0.113.7", 40001, 443),
+            ("10.0.9.1", "198.51.100.3", 40002, 53),
+        ][f]
+        proto = 17 if f == 2 else 6
+        body = udp(sp, dp) if proto == 17 else \
+            tcp(sp, dp, 0x02 if i < 3 else 0x10)
+        pkt = ipv4(src, dst, proto, body) if i % 5 else \
+            ipv4(dst, src, proto,
+                 udp(dp, sp) if proto == 17 else
+                 tcp(dp, sp, 0x10))
+        pkts.append((i * 1000, eth(M1, M2, 0x0800, pkt)))
+    add("flows.pcap", pcap(pkts))
+
+    # 9: header-only capture
+    add("empty.pcap", pcap([]))
+    return rows

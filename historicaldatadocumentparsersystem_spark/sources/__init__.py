@@ -2926,3 +2926,46 @@ def read_wasm_modules(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, WASM_DDL))
+
+
+PCAP_DDL = (
+    "url string, pos int, ts_ms long, orig_len int, incl_len int, "
+    "src_mac string, dst_mac string, ethertype int, "
+    "src_ip string, dst_ip string, proto string, src_port int, "
+    "dst_port int, tcp_flags string")
+
+_PCAP_COLS = ["pos", "ts_ms", "orig_len", "incl_len", "src_mac",
+              "dst_mac", "ethertype", "src_ip", "dst_ip", "proto",
+              "src_port", "dst_port", "tcp_flags"]
+
+
+def read_pcap_packets(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, libpcap capture bytes) -> one row per packet: exact
+    integer epoch-ms timestamps, Ethernet/IP/transport header
+    fields, NULL from the first undecodable layer down. Pure
+    parse: ``extractor.pcapx.parse_pcap`` (golden-pinned).
+    Map-only; junk payloads yield no rows."""
+    import pandas as pd
+
+    from ..extractor.pcapx import parse_pcap
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_pcap(
+                    bytes(payload) if payload is not None else None)
+                for p in d["packets"]:
+                    rows.append((url,) + tuple(
+                        p[c] for c in _PCAP_COLS))
+            out = pd.DataFrame(rows, columns=["url"] + _PCAP_COLS)
+            for c in ("pos", "orig_len", "incl_len", "ethertype",
+                      "src_port", "dst_port"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["ts_ms"] = pd.array(out["ts_ms"], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PCAP_DDL))
