@@ -3527,6 +3527,8 @@ _GOLDEN_WASM = os.path.join(
     _REPO, "fixtures", "golden_wasm_seed42_n12.parquet")
 _GOLDEN_PCAP = os.path.join(
     _REPO, "fixtures", "golden_pcap_seed42_n10.parquet")
+_GOLDEN_DNS = os.path.join(
+    _REPO, "fixtures", "golden_dns_seed42_n10.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4307,6 +4309,7 @@ _EXTRA_ORDER = [
     "sqlite_objects", "sqlite_db_profile",
     "wasm_sections", "wasm_module_profile",
     "pcap_packets", "pcap_flows",
+    "dns_records", "dns_cname_resolution",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8214,6 +8217,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url", "proto", "ep_a", "ep_b"))
     q["pcap_flows"] = q_pcap_flows
 
+    # --- DNS wire messages (naming-side complement of pcapx/idnx;
+    # compression-pointer decode with the strictly-backwards guard).
+    # The resolution query joins CNAME aliases to address records
+    # within each message — golden on BOTH sides isolates the join.
+    def q_dns_records(spark, sf_dir):
+        files = fixtures.dns_message_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_dns_records(df)
+    q["dns_records"] = q_dns_records
+
+    def q_dns_cname_resolution(spark, sf_dir):
+        g = (spark.read.parquet(_GOLDEN_DNS)
+             .where(F.col("section") == "answer"))
+        cn = (g.where(F.col("rtype") == "CNAME")
+              .select("url", F.col("name").alias("alias_name"),
+                      F.col("rdata").alias("canonical")))
+        ad = (g.where(F.col("rtype").isin("A", "AAAA"))
+              .select(F.col("url").alias("u2"),
+                      F.col("name").alias("tname"),
+                      F.col("rtype").alias("addr_type"),
+                      F.col("rdata").alias("address")))
+        return (cn.join(F.broadcast(ad),
+                        (cn.url == ad.u2)
+                        & (cn.canonical == ad.tname))
+                .select("url", "alias_name", "canonical",
+                        "addr_type", "address")
+                .orderBy("url", "alias_name", "addr_type",
+                         "address"))
+    q["dns_cname_resolution"] = q_dns_cname_resolution
+
     return q
 
 
@@ -12027,4 +12062,23 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             GROUP BY url, proto, least(ks, kd), greatest(ks, kd)
             ORDER BY url, proto, ep_a, ep_b""",
+        # DNS: committed golden pinned by tests/test_dnsx.py
+        # against the pure re-derivation; resolution joins golden
+        # to golden on both sides
+        "dns_records": f"""
+            SELECT url, pos, section, name, rtype, ttl, rdata,
+                   msg_id, is_response, opcode, rcode, truncated
+            FROM read_parquet('{_GOLDEN_DNS}')""",
+        "dns_cname_resolution": f"""
+            WITH ans AS (
+              SELECT * FROM read_parquet('{_GOLDEN_DNS}')
+              WHERE section = 'answer')
+            SELECT c.url AS url, c.name AS alias_name,
+                   c.rdata AS canonical, a.rtype AS addr_type,
+                   a.rdata AS address
+            FROM ans c JOIN ans a
+              ON a.url = c.url AND a.name = c.rdata
+             AND a.rtype IN ('A', 'AAAA')
+            WHERE c.rtype = 'CNAME'
+            ORDER BY url, alias_name, addr_type, address""",
     }

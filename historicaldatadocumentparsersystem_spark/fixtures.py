@@ -6094,3 +6094,115 @@ def pcap_capture_rows(seed: int = 42) -> list[dict]:
     # 9: header-only capture
     add("empty.pcap", pcap([]))
     return rows
+
+
+def dns_message_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-encoded DNS wire messages (url, payload)
+    — the ENCODE half of extractor/dnsx.py, with a real
+    suffix-compressing name encoder so pointer decode is exercised
+    everywhere. Shapes: bare query / A+CNAME response / AAAA with
+    shared-suffix compression / MX+multi-string-TXT / NXDOMAIN with
+    SOA authority / truncated (TC bit + cut) / junk / punycode PTR /
+    20-answer rotation / EDNS OPT additional. Golden:
+    fixtures/golden_dns_seed42_n10.parquet."""
+    import struct
+
+    def build(msg_id, flags, questions=(), answers=(),
+              authority=(), additional=()):
+        out = bytearray(struct.pack(
+            ">HHHHHH", msg_id, flags, len(questions), len(answers),
+            len(authority), len(additional)))
+        seen: dict[str, int] = {}
+
+        def put_name(name: str):
+            labels = name.split(".") if name else []
+            for i in range(len(labels)):
+                suffix = ".".join(labels[i:])
+                if suffix in seen:
+                    out.extend(struct.pack(
+                        ">H", 0xC000 | seen[suffix]))
+                    return
+                if len(out) < 0x3FFF:
+                    seen[suffix] = len(out)
+                lab = labels[i].encode("ascii")
+                out.append(len(lab))
+                out.extend(lab)
+            out.append(0)
+
+        for name, qtype in questions:
+            put_name(name)
+            out.extend(struct.pack(">HH", qtype, 1))
+        for name, rtype, ttl, rd in (
+                list(answers) + list(authority) + list(additional)):
+            put_name(name)
+            out.extend(struct.pack(">HHI", rtype, 1, ttl))
+            at = len(out)
+            out.extend(b"\x00\x00")
+            if isinstance(rd, bytes):
+                out.extend(rd)
+            else:  # a name-valued rdata, compressed too
+                put_name(rd)
+            struct.pack_into(">H", out, at, len(out) - at - 2)
+        return bytes(out)
+
+    def a(ip: str) -> bytes:
+        return bytes(int(x) for x in ip.split("."))
+
+    def txt(*parts: str) -> bytes:
+        return b"".join(bytes([len(p)]) + p.encode("ascii")
+                        for p in parts)
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://resolver{len(rows)}.example.net/"
+                   f"{name}.bin",
+            "payload": blob})
+
+    add("query", build(0x1234, 0x0100,
+                       questions=[("www.example.org", 1)]))
+    add("a-cname", build(0x1235, 0x8180,
+        questions=[("www.example.org", 1)],
+        answers=[("www.example.org", 5, 300, "example.org"),
+                 ("example.org", 1, 60, a("93.184.216.34")),
+                 ("example.org", 1, 60, a("93.184.216.35"))]))
+    aaaa = bytes.fromhex("20010db8000000000000000000000001")
+    add("aaaa", build(0x1236, 0x8580,
+        questions=[("api.cdn.example.net", 28)],
+        answers=[("api.cdn.example.net", 28, 3600, aaaa),
+                 ("img.cdn.example.net", 28, 3600,
+                  aaaa[:15] + b"\x02")]))
+    add("mx-txt", build(0x1237, 0x8180,
+        questions=[("example.org", 15)],
+        answers=[("example.org", 15, 900,
+                  struct.pack(">H", 10)
+                  + b"\x04mail\x07example\x03org\x00"),
+                 ("example.org", 16, 900,
+                  txt("v=spf1 include:_spf.example.org", " ~all"))]))
+    add("nxdomain", build(0x1238, 0x8183,
+        questions=[("gone.example.org", 1)],
+        authority=[("example.org", 6, 1800,
+                    b"\x03ns1\x07example\x03org\x00"
+                    b"\x05admin\xc0\x0c"
+                    + struct.pack(">IIIII", 2024102701, 7200,
+                                  3600, 1209600, 300))]))
+    whole = build(0x1239, 0x8380,
+                  questions=[("big.example.org", 1)],
+                  answers=[("big.example.org", 1, 60,
+                            a("198.51.100.9"))])
+    add("truncated", whole[:len(whole) - 7])
+    add("junk", b"\x00\x01notdns")
+    add("punycode", build(0x123A, 0x8180,
+        questions=[("9.0.113.0.203.in-addr.arpa", 12)],
+        answers=[("9.0.113.0.203.in-addr.arpa", 12, 86400,
+                  "xn--bcher-kva.example")]))
+    add("rotation", build(0x123B, 0x8180,
+        questions=[("lb.example.com", 1)],
+        answers=[("lb.example.com", 1, 30,
+                  a(f"10.0.{i // 8}.{i % 8 + 1}"))
+                 for i in range(20)]))
+    add("edns", build(0x123C, 0x0110,
+        questions=[("dnssec.example.org", 48)],
+        additional=[("", 41, 0, b"\x00\x00\x10\x00")]))
+    return rows

@@ -2969,3 +2969,50 @@ def read_pcap_packets(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, PCAP_DDL))
+
+
+DNS_DDL = (
+    "url string, pos int, section string, name string, "
+    "rtype string, ttl long, rdata string, msg_id int, "
+    "is_response boolean, opcode string, rcode string, "
+    "truncated boolean")
+
+
+def read_dns_records(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, DNS wire message) -> one row per question/resource
+    record with rdata rendered to text (A/AAAA/CNAME/NS/PTR/MX/TXT/
+    SOA; everything else ``bytes:N``), header fields denormalized
+    per row. Pure parse: ``extractor.dnsx.parse_dns``
+    (golden-pinned). Map-only; sub-header payloads yield no rows."""
+    import pandas as pd
+
+    from ..extractor.dnsx import parse_dns
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_dns(
+                    bytes(payload) if payload is not None else None)
+                m = d["msg"]
+                if m is None:
+                    continue
+                for (pos, section, name, rtype, ttl, rdata) in \
+                        d["records"]:
+                    rows.append((url, pos, section, name, rtype,
+                                 ttl, rdata, m["msg_id"],
+                                 m["is_response"], m["opcode"],
+                                 m["rcode"], m["truncated"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "section", "name", "rtype", "ttl",
+                "rdata", "msg_id", "is_response", "opcode",
+                "rcode", "truncated"])
+            for c in ("pos", "msg_id"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["ttl"] = pd.array(out["ttl"], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, DNS_DDL))
