@@ -3529,6 +3529,8 @@ _GOLDEN_PCAP = os.path.join(
     _REPO, "fixtures", "golden_pcap_seed42_n10.parquet")
 _GOLDEN_DNS = os.path.join(
     _REPO, "fixtures", "golden_dns_seed42_n10.parquet")
+_GOLDEN_FONTS = os.path.join(
+    _REPO, "fixtures", "golden_fonts_seed42_n8.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4310,6 +4312,7 @@ _EXTRA_ORDER = [
     "wasm_sections", "wasm_module_profile",
     "pcap_packets", "pcap_flows",
     "dns_records", "dns_cname_resolution",
+    "font_metadata", "font_family_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8249,6 +8252,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          "address"))
     q["dns_cname_resolution"] = q_dns_cname_resolution
 
+    # --- web fonts (fetch-side complement of cssx's url() mining:
+    # sfnt/WOFF table directories + decoded name strings; WOFF2
+    # is header-indexed only — Brotli is gated, the multimodal rule)
+    def q_font_metadata(spark, sf_dir):
+        files = fixtures.font_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_font_metadata(df)
+    q["font_metadata"] = q_font_metadata
+
+    def q_font_family_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_FONTS)
+        return (g.groupBy("kind", "flavor")
+                .agg(F.sum((F.col("row_kind") == "font")
+                           .cast("long")).cast("long")
+                     .alias("n_fonts"),
+                     F.sum((F.col("row_kind") == "table")
+                           .cast("long")).cast("long")
+                     .alias("n_table_entries"),
+                     F.sum((F.col("row_kind") == "name")
+                           .cast("long")).cast("long")
+                     .alias("n_name_strings"),
+                     F.countDistinct(
+                         F.when(F.col("name_kind") == "family",
+                                F.col("value"))).cast("long")
+                     .alias("n_families"))
+                .orderBy("kind", "flavor"))
+    q["font_family_census"] = q_font_family_census
+
     return q
 
 
@@ -12081,4 +12114,23 @@ def oracle_sql() -> dict[str, str]:
              AND a.rtype IN ('A', 'AAAA')
             WHERE c.rtype = 'CNAME'
             ORDER BY url, alias_name, addr_type, address""",
+        # fonts: committed golden pinned by tests/test_fontx.py
+        # against the pure re-derivation
+        "font_metadata": f"""
+            SELECT url, pos, row_kind, kind, flavor, n_tables,
+                   tag, "offset", length, comp_length, name_id,
+                   name_kind, platform, value
+            FROM read_parquet('{_GOLDEN_FONTS}')""",
+        "font_family_census": f"""
+            SELECT kind, flavor,
+                   sum(CASE WHEN row_kind = 'font' THEN 1 ELSE 0
+                       END)::bigint AS n_fonts,
+                   sum(CASE WHEN row_kind = 'table' THEN 1 ELSE 0
+                       END)::bigint AS n_table_entries,
+                   sum(CASE WHEN row_kind = 'name' THEN 1 ELSE 0
+                       END)::bigint AS n_name_strings,
+                   count(DISTINCT CASE WHEN name_kind = 'family'
+                         THEN value END)::bigint AS n_families
+            FROM read_parquet('{_GOLDEN_FONTS}')
+            GROUP BY kind, flavor ORDER BY kind, flavor""",
     }

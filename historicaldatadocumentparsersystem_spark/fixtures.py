@@ -6206,3 +6206,104 @@ def dns_message_rows(seed: int = 42) -> list[dict]:
         questions=[("dnssec.example.org", 48)],
         additional=[("", 41, 0, b"\x00\x00\x10\x00")]))
     return rows
+
+
+def font_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built web fonts (url, payload) — the
+    ENCODE half of extractor/fontx.py. Shapes: TrueType sfnt with
+    Windows names / OTTO with Mac Roman names / WOFF with
+    zlib-compressed name table / WOFF with stored name table /
+    WOFF2 header / junk / truncated directory / Apple flavor with
+    both platforms. Golden: fixtures/golden_fonts_seed42_n8.parquet."""
+    import struct
+    import zlib as _z
+
+    def name_table(recs):
+        """recs: [(plat, enc, nid, text)] -> name table bytes."""
+        pool = bytearray()
+        entries = []
+        for plat, enc, nid, text in recs:
+            raw = text.encode(
+                "latin-1" if plat == 1 else "utf-16-be")
+            entries.append((plat, enc, 0 if plat == 1 else 0x409,
+                            nid, len(raw), len(pool)))
+            pool.extend(raw)
+        out = struct.pack(">HHH", 0, len(recs), 6 + 12 * len(recs))
+        for e in entries:
+            out += struct.pack(">HHHHHH", *e)
+        return out + bytes(pool)
+
+    def sfnt(flavor: bytes, tables: list[tuple[str, bytes]]):
+        n = len(tables)
+        out = bytearray(struct.pack(">4sHHHH", flavor, n, 16, 4, 0))
+        off = 12 + 16 * n
+        body = bytearray()
+        for tag, data in tables:
+            out += struct.pack(">4sIII", tag.encode("ascii"), 0,
+                               off, len(data))
+            body += data + b"\x00" * (-len(data) % 4)
+            off += len(data) + (-len(data) % 4)
+        return bytes(out + body)
+
+    def woff(flavor: bytes, tables, compress=()):
+        n = len(tables)
+        entries = []
+        body = bytearray()
+        off = 44 + 20 * n
+        for tag, data in tables:
+            blob = _z.compress(data, 9) if tag in compress else data
+            if len(blob) >= len(data):
+                blob = data
+            entries.append((tag.encode("ascii"), off, len(blob),
+                            len(data)))
+            body += blob + b"\x00" * (-len(blob) % 4)
+            off += len(blob) + (-len(blob) % 4)
+        total = 44 + 20 * n + len(body)
+        sfnt_size = 12 + 16 * n + sum(
+            len(d) + (-len(d) % 4) for _, d in tables)
+        out = struct.pack(">4s4sIHHIHHIIIII", b"wOFF", flavor,
+                          total, n, 0, sfnt_size,
+                          1, 0, 0, 0, 0, 0, 0)
+        for tag, o, c, orig in entries:
+            out += struct.pack(">4sIIII", tag, o, c, orig, 0)
+        return out + bytes(body)
+
+    head = struct.pack(">IIIIHH", 0x00010000, 0, 0x5F0F3CF5,
+                       0, 16, 0) + b"\x00" * 30
+    win = [(3, 1, 1, "Inter Display"), (3, 1, 2, "Bold"),
+           (3, 1, 4, "Inter Display Bold"),
+           (3, 1, 5, "Version 4.000"), (3, 1, 6, "Inter-Bold")]
+    mac = [(1, 0, 1, "Café Grande"), (1, 0, 2, "Regular"),
+           (1, 0, 6, "CafeGrande-Regular")]
+
+    tt = sfnt(b"\x00\x01\x00\x00",
+              [("head", head), ("name", name_table(win)),
+               ("glyf", b"\x00" * 64)])
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://fonts{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("inter.ttf", tt)
+    add("cafe.otf", sfnt(b"OTTO",
+                         [("CFF ", b"\x01\x00\x04\x04" * 8),
+                          ("name", name_table(mac))]))
+    add("inter.woff", woff(b"\x00\x01\x00\x00",
+                           [("head", head),
+                            ("name", name_table(win + [(3, 1, 16,
+                              "Inter")])),
+                            ("glyf", b"\x00" * 64)],
+                           compress=("name", "glyf")))
+    add("stored.woff", woff(b"OTTO",
+                            [("name", name_table(mac))]))
+    add("next.woff2", struct.pack(">4s4sIHH", b"wOF2", b"OTTO",
+                                  1234, 7, 0) + b"\x00" * 32)
+    add("junk.bin", b"GIF89a definitely not a font")
+    add("trunc.ttf", tt[:12 + 16 * 2 + 8])
+    add("apple.ttf", sfnt(b"true",
+                          [("name", name_table(
+                              win[:1] + mac
+                              + [(3, 1, 16, "Inter Var")]))]))
+    return rows

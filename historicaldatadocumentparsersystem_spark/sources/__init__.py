@@ -3016,3 +3016,56 @@ def read_dns_records(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, DNS_DDL))
+
+
+FONT_DDL = (
+    "url string, pos int, row_kind string, kind string, "
+    "flavor string, n_tables int, tag string, offset long, "
+    "length long, comp_length long, name_id int, name_kind string, "
+    "platform int, value string")
+
+
+def read_font_metadata(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, font bytes) -> one 'font' row per parsed font (kind/
+    flavor/table count) plus one 'table' row per directory entry
+    and one 'name' row per decoded name-table string. Pure parse:
+    ``extractor.fontx.parse_font`` (golden-pinned). Map-only; junk
+    yields no rows."""
+    import pandas as pd
+
+    from ..extractor.fontx import parse_font
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_font(
+                    bytes(payload) if payload is not None else None)
+                if d["kind"] is None:
+                    continue
+                base = (d["kind"], d["flavor"], d["n_tables"])
+                rows.append((url, 0, "font") + base
+                            + (None,) * 8)
+                for (pos, tag, off, ln, comp) in d["tables"]:
+                    rows.append((url, pos, "table") + base
+                                + (tag, off, ln, comp,
+                                   None, None, None, None))
+                for (pos, nid, nkind, plat, value) in d["names"]:
+                    rows.append((url, pos, "name") + base
+                                + (None, None, None, None,
+                                   nid, nkind, plat, value))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "kind", "flavor",
+                "n_tables", "tag", "offset", "length",
+                "comp_length", "name_id", "name_kind", "platform",
+                "value"])
+            for c in ("pos", "n_tables", "name_id", "platform"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("offset", "length", "comp_length"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, FONT_DDL))
