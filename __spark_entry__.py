@@ -3531,6 +3531,8 @@ _GOLDEN_DNS = os.path.join(
     _REPO, "fixtures", "golden_dns_seed42_n10.parquet")
 _GOLDEN_FONTS = os.path.join(
     _REPO, "fixtures", "golden_fonts_seed42_n8.parquet")
+_GOLDEN_AVRO = os.path.join(
+    _REPO, "fixtures", "golden_avro_seed42_n8.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4313,6 +4315,7 @@ _EXTRA_ORDER = [
     "pcap_packets", "pcap_flows",
     "dns_records", "dns_cname_resolution",
     "font_metadata", "font_family_census",
+    "avro_container", "avro_layout_audit",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8282,6 +8285,44 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("kind", "flavor"))
     q["font_family_census"] = q_font_family_census
 
+    # --- Avro object containers (row-oriented sibling of the
+    # parquet footer reader; real inflated sizes for deflate
+    # blocks; the audit mirrors zip_container_audit's ratio shape)
+    def q_avro_container(spark, sf_dir):
+        files = fixtures.avro_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_avro_containers(df)
+    q["avro_container"] = q_avro_container
+
+    def q_avro_layout_audit(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_AVRO)
+        blk = F.col("row_kind") == "block"
+        return (g.groupBy("url", "codec")
+                .agg(F.sum(blk.cast("long")).cast("long")
+                     .alias("n_blocks"),
+                     F.sum(F.when(blk, F.col("n_records"))
+                           .otherwise(0)).cast("long")
+                     .alias("records_total"),
+                     F.sum(F.when(blk, F.col("size")).otherwise(0))
+                     .cast("long").alias("bytes_ondisk"),
+                     F.sum(F.when(blk, F.col("raw_size"))
+                           .otherwise(0)).cast("long")
+                     .alias("bytes_raw"),
+                     F.sum((F.col("row_kind") == "field")
+                           .cast("long")).cast("long")
+                     .alias("n_fields"),
+                     F.bool_or(~F.col("sync_ok"))
+                     .alias("any_sync_break"))
+                .withColumn(
+                    "ratio_permille",
+                    F.expr("CASE WHEN bytes_raw > 0 THEN "
+                           "bytes_ondisk * 1000 div bytes_raw "
+                           "END"))
+                .orderBy("url"))
+    q["avro_layout_audit"] = q_avro_layout_audit
+
     return q
 
 
@@ -12133,4 +12174,36 @@ def oracle_sql() -> dict[str, str]:
                          THEN value END)::bigint AS n_families
             FROM read_parquet('{_GOLDEN_FONTS}')
             GROUP BY kind, flavor ORDER BY kind, flavor""",
+        # Avro: committed golden pinned by tests/test_avrox.py
+        # against the pure re-derivation
+        "avro_container": f"""
+            SELECT url, pos, row_kind, codec, schema_type,
+                   schema_name, sync_ok, field_name, field_type,
+                   n_records, size, raw_size
+            FROM read_parquet('{_GOLDEN_AVRO}')""",
+        "avro_layout_audit": f"""
+            SELECT url, codec,
+                   sum(CASE WHEN row_kind = 'block' THEN 1 ELSE 0
+                       END)::bigint AS n_blocks,
+                   sum(CASE WHEN row_kind = 'block'
+                       THEN n_records ELSE 0 END)::bigint
+                     AS records_total,
+                   sum(CASE WHEN row_kind = 'block' THEN size
+                       ELSE 0 END)::bigint AS bytes_ondisk,
+                   sum(CASE WHEN row_kind = 'block' THEN raw_size
+                       ELSE 0 END)::bigint AS bytes_raw,
+                   sum(CASE WHEN row_kind = 'field' THEN 1 ELSE 0
+                       END)::bigint AS n_fields,
+                   bool_or(NOT sync_ok) AS any_sync_break,
+                   CASE WHEN sum(CASE WHEN row_kind = 'block'
+                                 THEN raw_size ELSE 0 END) > 0
+                        THEN sum(CASE WHEN row_kind = 'block'
+                                 THEN size ELSE 0 END)::bigint
+                             * 1000
+                             // sum(CASE WHEN row_kind = 'block'
+                                    THEN raw_size ELSE 0
+                                    END)::bigint
+                   END AS ratio_permille
+            FROM read_parquet('{_GOLDEN_AVRO}')
+            GROUP BY url, codec ORDER BY url""",
     }

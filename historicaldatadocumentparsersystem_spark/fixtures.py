@@ -6307,3 +6307,103 @@ def font_file_rows(seed: int = 42) -> list[dict]:
                               win[:1] + mac
                               + [(3, 1, 16, "Inter Var")]))]))
     return rows
+
+
+def avro_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-encoded Avro object-container files (url,
+    payload) — the ENCODE half of extractor/avrox.py, with real
+    record payloads (zigzag longs + strings) so block sizes are
+    honest. Shapes: null codec / deflate codec / split metadata
+    map + extra keys / non-record schema / sync-mismatch mid-file /
+    truncated / junk / nested union-array-map schema. Golden:
+    fixtures/golden_avro_seed42_n8.parquet."""
+    import json as _json
+    import zlib as _z
+
+    def zz(v: int) -> bytes:          # zigzag long varint
+        u = (v << 1) ^ (v >> 63)
+        out = bytearray()
+        while True:
+            c = u & 0x7F
+            u >>= 7
+            out.append(c | (0x80 if u else 0))
+            if not u:
+                return bytes(out)
+
+    def s(x: str) -> bytes:
+        raw = x.encode("utf-8")
+        return zz(len(raw)) + raw
+
+    SYNC = bytes(range(16))
+
+    def header(schema, codec="null", extra=(), split=False):
+        items = [("avro.schema", _json.dumps(
+            schema, sort_keys=True).encode()),
+            ("avro.codec", codec.encode())] + list(extra)
+        out = b"Obj\x01"
+        if split:
+            out += zz(1) + s(items[0][0]) \
+                + zz(len(items[0][1])) + items[0][1]
+            rest = items[1:]
+            out += zz(len(rest))
+            for k, v in rest:
+                out += s(k) + zz(len(v)) + v
+        else:
+            out += zz(len(items))
+            for k, v in items:
+                out += s(k) + zz(len(v)) + v
+        return out + zz(0) + SYNC
+
+    def recs(start, n):
+        return b"".join(zz(start + i)
+                        + s(f"https://h{i % 3}.example.org/p"
+                            f"{start + i}")
+                        for i in range(n))
+
+    def block(n, data, codec="null", sync=SYNC):
+        if codec == "deflate":
+            co = _z.compressobj(9, _z.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
+        return zz(n) + zz(len(data)) + data + sync
+
+    SCHEMA = {"type": "record", "name": "Fetch",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "url", "type": "string"}]}
+    NESTED = {"type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array",
+                                  "items": "string"}},
+        {"name": "hdrs", "type": {"type": "map",
+                                  "values": "string"}},
+        {"name": "geo", "type": {"type": "record", "name": "Geo",
+                                 "fields": [{"name": "lat",
+                                             "type": "double"}]}}]}
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://lake{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("plain.avro", header(SCHEMA)
+        + block(10, recs(0, 10)) + block(5, recs(10, 5)))
+    add("deflate.avro", header(SCHEMA, codec="deflate")
+        + block(20, recs(0, 20), "deflate")
+        + block(20, recs(20, 20), "deflate")
+        + block(3, recs(40, 3), "deflate"))
+    add("split.avro", header(
+        SCHEMA, extra=[("writer", b"hddps 1.0")], split=True)
+        + block(2, recs(0, 2)))
+    add("strings.avro", header("string")
+        + block(4, b"".join(s(f"tok-{i}") for i in range(4))))
+    bad = header(SCHEMA) + block(6, recs(0, 6)) \
+        + block(6, recs(6, 6), sync=b"\xee" * 16)
+    add("badsync.avro", bad)
+    good = header(SCHEMA) + block(8, recs(0, 8))
+    add("trunc.avro", good[:len(good) - 11])
+    add("junk.bin", b"PAR1 not avro")
+    add("nested.avro", header(NESTED, codec="deflate")
+        + block(1, _z.compress(b"\x02", 9)[2:-4], "deflate"))
+    return rows

@@ -3069,3 +3069,54 @@ def read_font_metadata(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, FONT_DDL))
+
+
+AVRO_DDL = (
+    "url string, pos int, row_kind string, codec string, "
+    "schema_type string, schema_name string, sync_ok boolean, "
+    "field_name string, field_type string, n_records long, "
+    "size long, raw_size long")
+
+
+def read_avro_containers(df: DataFrame, url_col: str = "url",
+                         payload_col: str = "payload") -> DataFrame:
+    """(url, Avro object-container bytes) -> one 'file' row
+    (codec/schema shape/sync verdict) plus one 'field' row per
+    top-level record field and one 'block' row per data block
+    (record count, on-disk size, inflated size for deflate). Pure
+    parse: ``extractor.avrox.parse_avro`` (golden-pinned).
+    Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.avrox import parse_avro
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_avro(
+                    bytes(payload) if payload is not None else None)
+                if d["codec"] is None:
+                    continue
+                base = (d["codec"], d["schema_type"],
+                        d["schema_name"], d["sync_ok"])
+                rows.append((url, 0, "file") + base
+                            + (None,) * 5)
+                for (pos, fname, ftype) in d["fields"]:
+                    rows.append((url, pos, "field") + base
+                                + (fname, ftype, None, None, None))
+                for (pos, n_rec, size, raw) in d["blocks"]:
+                    rows.append((url, pos, "block") + base
+                                + (None, None, n_rec, size, raw))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "codec", "schema_type",
+                "schema_name", "sync_ok", "field_name",
+                "field_type", "n_records", "size", "raw_size"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            for c in ("n_records", "size", "raw_size"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, AVRO_DDL))
