@@ -3533,6 +3533,8 @@ _GOLDEN_FONTS = os.path.join(
     _REPO, "fixtures", "golden_fonts_seed42_n8.parquet")
 _GOLDEN_AVRO = os.path.join(
     _REPO, "fixtures", "golden_avro_seed42_n8.parquet")
+_GOLDEN_PROTOBUF = os.path.join(
+    _REPO, "fixtures", "golden_protobuf_seed42_n8.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4316,6 +4318,7 @@ _EXTRA_ORDER = [
     "dns_records", "dns_cname_resolution",
     "font_metadata", "font_family_census",
     "avro_container", "avro_layout_audit",
+    "protobuf_census", "protobuf_shape_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8323,6 +8326,38 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url"))
     q["avro_layout_audit"] = q_avro_layout_audit
 
+    # --- schema-free protobuf census (protoscope move: dotted
+    # field paths, deterministic len-value classification). Depth
+    # is derived arithmetically from the path — dot counting, not
+    # split() (split semantics diverge cross-engine on '').
+    def q_protobuf_census(spark, sf_dir):
+        files = fixtures.protobuf_blob_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_protobuf_census(df)
+    q["protobuf_census"] = q_protobuf_census
+
+    def q_protobuf_shape_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_PROTOBUF)
+        depth = F.expr(
+            "CASE WHEN path = '' THEN 0 ELSE length(path) "
+            "- length(replace(path, '.', '')) + 1 END")
+        return (g.withColumn("depth", depth)
+                .groupBy("url")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_field_slots"),
+                     F.sum("n").cast("long").alias("fields_total"),
+                     F.sum("bytes_total").cast("long")
+                     .alias("value_bytes"),
+                     F.max("depth").cast("int").alias("max_depth"),
+                     F.sum((F.col("kind") == "msg").cast("long"))
+                     .cast("long").alias("n_msg_slots"),
+                     F.sum((F.col("kind") == "str").cast("long"))
+                     .cast("long").alias("n_str_slots"))
+                .orderBy("url"))
+    q["protobuf_shape_profile"] = q_protobuf_shape_profile
+
     return q
 
 
@@ -12206,4 +12241,24 @@ def oracle_sql() -> dict[str, str]:
                    END AS ratio_permille
             FROM read_parquet('{_GOLDEN_AVRO}')
             GROUP BY url, codec ORDER BY url""",
+        # protobuf: committed golden pinned by tests/test_protox.py
+        # against the pure re-derivation
+        "protobuf_census": f"""
+            SELECT url, path, field_no, wire_type, kind, n,
+                   bytes_total
+            FROM read_parquet('{_GOLDEN_PROTOBUF}')""",
+        "protobuf_shape_profile": f"""
+            SELECT url, count(*)::bigint AS n_field_slots,
+                   sum(n)::bigint AS fields_total,
+                   sum(bytes_total)::bigint AS value_bytes,
+                   max(CASE WHEN path = '' THEN 0
+                       ELSE length(path)
+                            - length(replace(path, '.', '')) + 1
+                       END)::int AS max_depth,
+                   sum(CASE WHEN kind = 'msg' THEN 1 ELSE 0
+                       END)::bigint AS n_msg_slots,
+                   sum(CASE WHEN kind = 'str' THEN 1 ELSE 0
+                       END)::bigint AS n_str_slots
+            FROM read_parquet('{_GOLDEN_PROTOBUF}')
+            GROUP BY url ORDER BY url""",
     }

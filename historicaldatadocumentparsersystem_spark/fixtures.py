@@ -6407,3 +6407,70 @@ def avro_file_rows(seed: int = 42) -> list[dict]:
     add("nested.avro", header(NESTED, codec="deflate")
         + block(1, _z.compress(b"\x02", 9)[2:-4], "deflate"))
     return rows
+
+
+def protobuf_blob_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-encoded protobuf wire blobs (url,
+    payload) — the ENCODE half of extractor/protox.py. Shapes:
+    API-response-ish message (nested submessages, strings, varints,
+    fixed64/fixed32, repeated fields) / deep nesting at the depth
+    cap / length-prefixed string that is NOT a message (the
+    classifier's str path) / binary bytes field / empty + junk +
+    group-marker rejects. Golden:
+    fixtures/golden_protobuf_seed42_n8.parquet."""
+    import struct
+
+    def vi(v: int) -> bytes:          # unsigned varint
+        out = bytearray()
+        while True:
+            c = v & 0x7F
+            v >>= 7
+            out.append(c | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    def fld(no: int, wt: int, val: bytes) -> bytes:
+        return vi((no << 3) | wt) + val
+
+    def ln(no: int, val: bytes) -> bytes:
+        return fld(no, 2, vi(len(val)) + val)
+
+    def st(no: int, text: str) -> bytes:
+        return ln(no, text.encode("utf-8"))
+
+    geo = fld(1, 1, struct.pack("<d", 48.8566)) \
+        + fld(2, 1, struct.pack("<d", 2.3522))
+    page = fld(1, 0, vi(200)) \
+        + st(2, "https://example.org/doc-7") \
+        + st(3, "text/html") \
+        + ln(4, geo) \
+        + fld(5, 5, struct.pack("<f", 0.75)) \
+        + fld(6, 0, vi(1730000000))
+    resp = fld(1, 0, vi(1)) + ln(2, page) + ln(2, page[:-6]
+                                               + fld(6, 0, vi(99))) \
+        + st(3, "ok") + ln(9, b"\x00\xff\xfe\x01garbage")
+
+    deep = st(1, "leaf")
+    for no in (2, 3, 4, 5, 6, 7):
+        deep = ln(no, deep)
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://api{len(rows)}.example.com/{name}",
+            "payload": blob})
+
+    add("response.pb", resp)
+    add("deep.pb", deep)
+    add("strings.pb", st(1, "hello world")
+        + st(1, "second value") + st(7, "née naïve — utf8"))
+    add("scalars.pb", fld(1, 0, vi(0))
+        + fld(2, 0, vi(1 << 40))
+        + fld(3, 1, struct.pack("<q", -5))
+        + fld(4, 5, struct.pack("<I", 0xDEADBEEF)))
+    add("empty.pb", b"")
+    add("junk.pb", b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff")
+    add("group.pb", fld(1, 3, b"") + fld(1, 4, b""))
+    add("text.txt", b"just some plain ascii text, not protobuf")
+    return rows

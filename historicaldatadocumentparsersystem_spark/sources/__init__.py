@@ -3120,3 +3120,42 @@ def read_avro_containers(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, AVRO_DDL))
+
+
+PROTOBUF_DDL = (
+    "url string, path string, field_no int, wire_type string, "
+    "kind string, n long, bytes_total long")
+
+
+def read_protobuf_census(df: DataFrame, url_col: str = "url",
+                         payload_col: str = "payload") -> DataFrame:
+    """(url, protobuf wire bytes) -> one row per (dotted path,
+    field number, wire type, classified kind) with occurrence and
+    value-byte totals — the schema-free protoscope census. Pure
+    parse: ``extractor.protox.parse_protobuf`` (golden-pinned).
+    Map-only; blobs that fail the whole-buffer parse yield no
+    rows."""
+    import pandas as pd
+
+    from ..extractor.protox import parse_protobuf
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_protobuf(
+                    bytes(payload) if payload is not None else None)
+                for t in d["fields"]:
+                    rows.append((url,) + t)
+            out = pd.DataFrame(rows, columns=[
+                "url", "path", "field_no", "wire_type", "kind",
+                "n", "bytes_total"])
+            out["field_no"] = pd.array(out["field_no"],
+                                       dtype="Int32")
+            for c in ("n", "bytes_total"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PROTOBUF_DDL))
