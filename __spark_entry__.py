@@ -3535,6 +3535,14 @@ _GOLDEN_AVRO = os.path.join(
     _REPO, "fixtures", "golden_avro_seed42_n8.parquet")
 _GOLDEN_PROTOBUF = os.path.join(
     _REPO, "fixtures", "golden_protobuf_seed42_n8.parquet")
+_GOLDEN_ELF = os.path.join(
+    _REPO, "fixtures", "golden_elf_seed42_n6.parquet")
+_GOLDEN_TOML = os.path.join(
+    _REPO, "fixtures", "golden_toml_seed42_n10.parquet")
+_GOLDEN_CBOR = os.path.join(
+    _REPO, "fixtures", "golden_cbor_seed42_n10.parquet")
+_GOLDEN_COMP = os.path.join(
+    _REPO, "fixtures", "golden_comp_seed42_n10.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4319,6 +4327,10 @@ _EXTRA_ORDER = [
     "font_metadata", "font_family_census",
     "avro_container", "avro_layout_audit",
     "protobuf_census", "protobuf_shape_profile",
+    "elf_objects", "elf_dependency_census",
+    "toml_records", "toml_type_census",
+    "cbor_records", "cbor_tag_profile",
+    "compressed_frames", "compression_audit",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8358,6 +8370,119 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url"))
     q["protobuf_shape_profile"] = q_protobuf_shape_profile
 
+    # --- ELF objects (app bundles / firmware in crawls; names via
+    # .shstrtab, deps via DT_NEEDED through the sh_link strtab —
+    # the ldd-style surface without executing anything)
+    def q_elf_objects(spark, sf_dir):
+        files = fixtures.elf_object_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_elf_objects(df)
+    q["elf_objects"] = q_elf_objects
+
+    def q_elf_dependency_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_ELF)
+        return (g.groupBy("machine", "etype")
+                .agg(F.sum((F.col("row_kind") == "file")
+                           .cast("long")).cast("long")
+                     .alias("n_objects"),
+                     F.sum((F.col("row_kind") == "section")
+                           .cast("long")).cast("long")
+                     .alias("n_sections"),
+                     F.sum(F.when(F.col("row_kind") == "section",
+                                  F.col("size")).otherwise(0))
+                     .cast("long").alias("section_bytes"),
+                     F.sum(F.when(
+                         F.col("flags").contains("X"), 1)
+                         .otherwise(0)).cast("long")
+                     .alias("n_exec_sections"),
+                     F.countDistinct("lib").cast("long")
+                     .alias("n_distinct_deps"))
+                .orderBy("machine", "etype"))
+    q["elf_dependency_census"] = q_elf_dependency_census
+
+    # --- TOML configs (from-scratch grammar pinned value-for-value
+    # against stdlib tomllib; flattened dotted-key index)
+    def q_toml_records(spark, sf_dir):
+        files = fixtures.toml_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_toml_records(df)
+    q["toml_records"] = q_toml_records
+
+    def q_toml_type_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_TOML).where("ok")
+        return (g.groupBy("vtype")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_docs"),
+                     F.min("key_path").alias("first_key"),
+                     F.max("key_path").alias("last_key"))
+                .orderBy("vtype"))
+    q["toml_type_census"] = q_toml_type_census
+
+    # --- CBOR items (binary configs in the tomlx flattened shape;
+    # tag labels ride the vtype). Depth is dot+bracket arithmetic,
+    # the protobuf_shape_profile rule.
+    def q_cbor_records(spark, sf_dir):
+        files = fixtures.cbor_blob_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_cbor_records(df)
+    q["cbor_records"] = q_cbor_records
+
+    def q_cbor_tag_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_CBOR)
+        depth = F.expr(
+            "CASE WHEN path IS NULL OR path = '' THEN 0 ELSE "
+            "length(path) - length(replace(path, '.', '')) "
+            "+ length(path) - length(replace(path, '[', '')) + 1 "
+            "END")
+        return (g.groupBy("url")
+                .agg(F.bool_and("ok").alias("ok"),
+                     F.sum(F.col("ok").cast("long")).cast("long")
+                     .alias("n_leaves"),
+                     F.sum(F.when(F.col("vtype").contains("@tag"),
+                                  1).otherwise(0)).cast("long")
+                     .alias("n_tagged"),
+                     F.sum(F.when(F.col("vtype") == "bstr", 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_bstr"),
+                     F.max(depth).cast("int").alias("max_depth"))
+                .orderBy("url"))
+    q["cbor_tag_profile"] = q_cbor_tag_profile
+
+    # --- compressed-stream frame index (gzip/bzip2/xz via stdlib,
+    # zstd/lz4 walked structurally — the pre-pipeline layout audit)
+    def q_compressed_frames(spark, sf_dir):
+        files = fixtures.compressed_stream_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_compressed_frames(df)
+    q["compressed_frames"] = q_compressed_frames
+
+    def q_compression_audit(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_COMP)
+        return (g.groupBy("format")
+                .agg(F.countDistinct("url").cast("long")
+                     .alias("n_files"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_frames"),
+                     F.sum("comp_size").cast("long")
+                     .alias("bytes_comp"),
+                     F.sum(F.coalesce("raw_size", F.lit(0)))
+                     .cast("long").alias("bytes_raw"),
+                     F.sum(F.when(F.col("raw_size").isNull(), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_unsized"),
+                     F.bool_and("ok").alias("all_ok"))
+                .orderBy("format"))
+    q["compression_audit"] = q_compression_audit
+
     return q
 
 
@@ -12261,4 +12386,72 @@ def oracle_sql() -> dict[str, str]:
                        END)::bigint AS n_str_slots
             FROM read_parquet('{_GOLDEN_PROTOBUF}')
             GROUP BY url ORDER BY url""",
+        # ELF: committed golden pinned by tests/test_elfx.py
+        # against the pure re-derivation
+        "elf_objects": f"""
+            SELECT url, pos, row_kind, cls, endian, etype, machine,
+                   entry, name, stype, flags, "offset", size, lib
+            FROM read_parquet('{_GOLDEN_ELF}')""",
+        "elf_dependency_census": f"""
+            SELECT machine, etype,
+                   sum(CASE WHEN row_kind = 'file' THEN 1 ELSE 0
+                       END)::bigint AS n_objects,
+                   sum(CASE WHEN row_kind = 'section' THEN 1
+                       ELSE 0 END)::bigint AS n_sections,
+                   sum(CASE WHEN row_kind = 'section' THEN size
+                       ELSE 0 END)::bigint AS section_bytes,
+                   sum(CASE WHEN flags LIKE '%X%' THEN 1 ELSE 0
+                       END)::bigint AS n_exec_sections,
+                   count(DISTINCT lib)::bigint AS n_distinct_deps
+            FROM read_parquet('{_GOLDEN_ELF}')
+            GROUP BY machine, etype ORDER BY machine, etype""",
+        # TOML: committed golden pinned by tests/test_tomlx.py
+        # against stdlib tomllib AND the pure re-derivation
+        "toml_records": f"""
+            SELECT url, pos, ok, key_path, vtype, value_text
+            FROM read_parquet('{_GOLDEN_TOML}')""",
+        "toml_type_census": f"""
+            SELECT vtype, count(*)::bigint AS n,
+                   count(DISTINCT url)::bigint AS n_docs,
+                   min(key_path) AS first_key,
+                   max(key_path) AS last_key
+            FROM read_parquet('{_GOLDEN_TOML}') WHERE ok
+            GROUP BY vtype ORDER BY vtype""",
+        # CBOR: committed golden pinned by tests/test_cborx.py
+        # against the pure re-derivation
+        "cbor_records": f"""
+            SELECT url, pos, ok, path, vtype, value_text
+            FROM read_parquet('{_GOLDEN_CBOR}')""",
+        "cbor_tag_profile": f"""
+            SELECT url, bool_and(ok) AS ok,
+                   sum(ok::int)::bigint AS n_leaves,
+                   sum(CASE WHEN vtype LIKE '%@tag%' THEN 1
+                       ELSE 0 END)::bigint AS n_tagged,
+                   sum(CASE WHEN vtype = 'bstr' THEN 1 ELSE 0
+                       END)::bigint AS n_bstr,
+                   max(CASE WHEN path IS NULL OR path = ''
+                       THEN 0 ELSE
+                       length(path)
+                       - length(replace(path, '.', ''))
+                       + length(path)
+                       - length(replace(path, '[', '')) + 1
+                       END)::int AS max_depth
+            FROM read_parquet('{_GOLDEN_CBOR}')
+            GROUP BY url ORDER BY url""",
+        # compressed frames: committed golden pinned by
+        # tests/test_compx.py against the pure re-derivation
+        "compressed_frames": f"""
+            SELECT url, pos, format, kind, comp_size, raw_size,
+                   extra, ok
+            FROM read_parquet('{_GOLDEN_COMP}')""",
+        "compression_audit": f"""
+            SELECT format, count(DISTINCT url)::bigint AS n_files,
+                   count(*)::bigint AS n_frames,
+                   sum(comp_size)::bigint AS bytes_comp,
+                   sum(coalesce(raw_size, 0))::bigint AS bytes_raw,
+                   sum(CASE WHEN raw_size IS NULL THEN 1 ELSE 0
+                       END)::bigint AS n_unsized,
+                   bool_and(ok) AS all_ok
+            FROM read_parquet('{_GOLDEN_COMP}')
+            GROUP BY format ORDER BY format""",
     }

@@ -6474,3 +6474,379 @@ def protobuf_blob_rows(seed: int = 42) -> list[dict]:
     add("group.pb", fld(1, 3, b"") + fld(1, 4, b""))
     add("text.txt", b"just some plain ascii text, not protobuf")
     return rows
+
+
+def elf_object_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built ELF objects (url, payload) — the
+    ENCODE half of extractor/elfx.py, one parameterized builder for
+    both classes and byte orders. Shapes: x86_64 LE shared object
+    with DT_NEEDED deps / 32-bit big-endian ARM executable /
+    aarch64 relocatable / sectionless core / truncated section
+    table / junk. Golden: fixtures/golden_elf_seed42_n6.parquet."""
+    import struct
+
+    def build(cls, endian, etype, machine, sections, entry=0):
+        """sections: [(name, stype, flags, data, link)]; appends
+        .shstrtab automatically when any sections exist."""
+        is64 = cls == 64
+        bo = "<" if endian == "le" else ">"
+        w = "Q" if is64 else "I"
+        ehsize = 64 if is64 else 52
+        shentsize = 64 if is64 else 40
+        secs = list(sections)
+        if secs:
+            secs = [("", 0, 0, b"", 0)] + secs \
+                + [(".shstrtab", 3, 0, b"", 0)]
+        names = bytearray(b"\x00")
+        name_off = {}
+        for nm, *_ in secs:
+            if nm and nm not in name_off:
+                name_off[nm] = len(names)
+                names += nm.encode() + b"\x00"
+        # lay out: ehdr | data blobs | shstrtab | sh table
+        off = ehsize
+        offsets = []
+        blobs = bytearray()
+        for nm, st, fl, data, link in secs:
+            if nm == ".shstrtab":
+                data = bytes(names)
+            offsets.append((off + len(blobs), len(data)))
+            blobs += data
+        shoff = ehsize + len(blobs)
+        sh = bytearray()
+        for i, (nm, st, fl, data, link) in enumerate(secs):
+            o, sz = offsets[i]
+            if is64:
+                sh += struct.pack(bo + "IIQQQQIIQQ",
+                                  name_off.get(nm, 0), st, fl, 0,
+                                  o, sz, link, 0, 1, 0)
+            else:
+                sh += struct.pack(bo + "IIIIIIIIII",
+                                  name_off.get(nm, 0), st, fl, 0,
+                                  o, sz, link, 0, 1, 0)
+        ident = b"\x7fELF" + bytes([2 if is64 else 1,
+                                    1 if endian == "le" else 2,
+                                    1, 0]) + b"\x00" * 8
+        ehdr = ident + struct.pack(
+            bo + "HHI" + w * 3 + "IHHHHHH", etype, machine, 1,
+            entry, 0, shoff if secs else 0, 0, ehsize, 0, 0,
+            shentsize, len(secs), len(secs) - 1 if secs else 0)
+        return bytes(ehdr) + bytes(blobs) + bytes(sh)
+
+    def dyn(entries, is64=True, endian="le"):
+        import struct as _s
+        bo = "<" if endian == "le" else ">"
+        w = "QQ" if is64 else "II"
+        return b"".join(_s.pack(bo + w, t, v) for t, v in entries)
+
+    dynstr = b"\x00libc.so.6\x00libm.so.6\x00libssl.so.3\x00"
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://pkg{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    so = build(64, "le", 3, 62, [
+        (".text", 1, 6, b"\x90" * 48, 0),
+        (".data", 1, 3, b"\x01" * 16, 0),
+        (".bss", 8, 3, b"", 0),
+        (".dynstr", 3, 2, dynstr, 0),
+        (".dynamic", 6, 3,
+         dyn([(1, 1), (1, 11), (5, 0), (0, 0)]), 4),
+    ], entry=0x1040)
+    add("libdemo.so", so)
+    add("tool", build(32, "be", 2, 40, [
+        (".text", 1, 6, b"\x00" * 32, 0),
+        (".rodata", 1, 2, b"strings!", 0),
+        (".note", 7, 0, b"\x04\x00\x00\x00", 0),
+    ], entry=0x8000))
+    add("mod.o", build(64, "le", 1, 183, [
+        (".text", 1, 6, b"\x1f\x20\x03\xd5" * 4, 0),
+        (".symtab", 2, 0, b"\x00" * 24, 0),
+    ]))
+    add("crash.core", build(64, "le", 4, 62, []))
+    add("trunc.so", so[:len(so) - 100])
+    add("junk.bin", b"#!/bin/sh\necho not an elf\n")
+    return rows
+
+
+def toml_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic TOML config files (url, payload) for
+    extractor/tomlx.py: pyproject / Cargo manifest / site config
+    with array-of-tables + datetimes / number-format torture /
+    dotted keys + inline tables / invalid (dup key, bare junk,
+    multiline-string gap) / non-utf8. Golden:
+    fixtures/golden_toml_seed42_n10.parquet."""
+    docs = [
+        ("pyproject.toml", """\
+[project]
+name = "crawl-tools"
+version = "2.3.1"
+requires-python = ">=3.11"
+dependencies = ["pyspark>=4.0", "pyarrow>=15", "duckdb"]
+
+[project.optional-dependencies]
+dev = ["pytest", "hypothesis"]
+
+[tool.ruff]
+line-length = 79
+"""),
+        ("Cargo.toml", """\
+[package]
+name = "warc-tool"
+version = "0.9.0"
+edition = "2021"
+
+[dependencies]
+flate2 = "1.0"
+url = { version = "2.5", features = ["serde"] }
+
+[profile.release]
+lto = true
+opt-level = 3
+"""),
+        ("config.toml", """\
+base_url = "https://blog.example.org"
+build_ts = 2024-10-27T06:00:00Z
+launch_day = 2021-03-14
+
+[[menu.main]]
+name = "Home"
+weight = 1
+
+[[menu.main]]
+name = "Archive"
+weight = 2
+
+[params]
+tags = ["web", "data", "spark"]
+"""),
+        ("numbers.toml", """\
+dec = 1_000_000
+hex = 0xdead_beef
+oct = 0o644
+bin = 0b1101
+f_plain = 0.5
+f_exp = 6.022e23
+f_neg = -1.5e-3
+big = 9007199254740993
+neg = -17
+yes = true
+no = false
+"""),
+        ("dotted.toml", """\
+site.owner.name = "Ada"
+site.owner."e-mail" = "ada@example.org"
+point = { x = 1, y = -2 }
+times = [09:30:00, 17:45:00.25]
+"""),
+        ("dup.toml", "a = 1\na = 2\n"),
+        ("junk.toml", "this is ][ not toml at all\n"),
+        ("multiline.toml",
+         's = """the documented\ngap"""\n'),
+        ("redef.toml", "[t]\nx = 1\n[t]\ny = 2\n"),
+        ("latin1.toml", None),  # non-utf8 bytes below
+    ]
+    rows: list[dict] = []
+    for i, (name, text) in enumerate(docs):
+        payload = b"caf\xe9 = 1\n" if text is None \
+            else text.encode("utf-8")
+        rows.append({
+            "url": f"https://repo{i}.example.org/{name}",
+            "payload": payload})
+    return rows
+
+
+def cbor_blob_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-encoded CBOR items (url, payload) — the
+    ENCODE half of extractor/cborx.py. Shapes: WebAuthn-ish
+    attestation map / COSE key map (negative int keys) / tagged
+    datetimes+bignum / indefinite-length strings+arrays+maps /
+    half+single+double floats / mixed deep nesting / rejects
+    (trailing bytes, truncated, junk, bad utf8 tstr). Golden:
+    fixtures/golden_cbor_seed42_n10.parquet."""
+    import struct
+
+    def hd(mt, arg):
+        if arg < 24:
+            return bytes([(mt << 5) | arg])
+        for ai, n in ((24, 1), (25, 2), (26, 4), (27, 8)):
+            if arg < (1 << (8 * n)):
+                return bytes([(mt << 5) | ai]) \
+                    + arg.to_bytes(n, "big")
+        raise ValueError
+
+    def enc(v):
+        if isinstance(v, bool):
+            return b"\xf5" if v else b"\xf4"
+        if v is None:
+            return b"\xf6"
+        if isinstance(v, int):
+            return hd(0, v) if v >= 0 else hd(1, -1 - v)
+        if isinstance(v, bytes):
+            return hd(2, len(v)) + v
+        if isinstance(v, str):
+            raw = v.encode("utf-8")
+            return hd(3, len(raw)) + raw
+        if isinstance(v, float):
+            return b"\xfb" + struct.pack(">d", v)
+        if isinstance(v, list):
+            return hd(4, len(v)) + b"".join(enc(x) for x in v)
+        if isinstance(v, dict):
+            return hd(5, len(v)) + b"".join(
+                enc(k) + enc(x) for k, x in v.items())
+        if isinstance(v, tuple) and v[0] == "tag":
+            return hd(6, v[1]) + enc(v[2])
+        raise ValueError(type(v))
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://iot{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("webauthn.cbor", enc({
+        "fmt": "packed",
+        "attStmt": {"alg": -7, "sig": bytes(range(20))},
+        "authData": bytes(range(40)),
+    }))
+    add("cosekey.cbor", enc({
+        1: 2, 3: -7, -1: 1,
+        -2: bytes.fromhex("deadbeef" * 8),
+        -3: bytes.fromhex("cafef00d" * 8),
+    }))
+    add("tagged.cbor", enc({
+        "created": ("tag", 0, "2024-10-27T06:00:00Z"),
+        "epoch": ("tag", 1, 1730000000),
+        "big": ("tag", 2, b"\x01\x00\x00\x00\x00"),
+        "nested": ("tag", 42, ("tag", 1, 7)),
+    }))
+    # indefinite forms: 0x5f/0x7f chunks, 0x9f array, 0xbf map
+    indef = b"\xbf" + enc("parts") \
+        + b"\x7f" + enc("he")[0:]  # text chunks follow
+    indef = b"\xbf" + enc("parts") + b"\x7f" \
+        + hd(3, 2) + b"he" + hd(3, 3) + b"llo" + b"\xff" \
+        + enc("blob") + b"\x5f" + hd(2, 2) + b"\x00\x01" \
+        + hd(2, 1) + b"\x02" + b"\xff" \
+        + enc("seq") + b"\x9f" + enc(1) + enc("x") + b"\xff" \
+        + b"\xff"
+    add("indefinite.cbor", indef)
+    add("floats.cbor", enc([0.5, -1.25])[:1]
+        + b"\xf9\x3e\x00"          # half 1.5
+        + b"\xfa\x3f\x00\x00\x00")  # single 0.5
+    add("mixed.cbor", enc([1, "two", [3, {"four": 4}],
+                           {"empty_a": [], "empty_m": {}},
+                           None, True, 23.5]))
+    add("trailing.cbor", enc(5) + b"\x00")
+    add("trunc.cbor", enc({"a": "long string here"})[:6])
+    add("junk.bin", b"\xff\xff\xff")
+    add("badutf8.cbor", hd(3, 2) + b"\xc3\x28")
+    return rows
+
+
+def compressed_stream_rows(seed: int = 42) -> list[dict]:
+    """Deterministic compressed containers (url, payload) for
+    extractor/compx.py: multi-member gzip (one member carrying
+    FNAME, fixed mtime) / bzip2 members / xz streams (two check
+    types) / hand-built zstd frames (raw+RLE blocks, FCS, a
+    skippable frame) / hand-built lz4 frames (content size,
+    block checksums) / truncated + junk. Golden:
+    fixtures/golden_comp_seed42_n10.parquet."""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import struct
+    import zlib as _z
+
+    text1 = b"the quick brown fox jumps over the lazy dog\n" * 40
+    text2 = b"pack my box with five dozen liquor jugs\n" * 25
+
+    def gz_member(data, fname=None, mtime=0):
+        flg = 0x08 if fname else 0
+        hdr = b"\x1f\x8b\x08" + bytes([flg]) \
+            + struct.pack("<I", mtime) + b"\x00\x03"
+        if fname:
+            hdr += fname.encode("latin-1") + b"\x00"
+        co = _z.compressobj(9, _z.DEFLATED, -15)
+        body = co.compress(data) + co.flush()
+        return hdr + body + struct.pack(
+            "<II", _z.crc32(data), len(data) & 0xFFFFFFFF)
+
+    def zstd_frame(chunks, fcs=None, rle=None):
+        if fcs is None:
+            # no FCS => windowed frame (single-segment always
+            # carries a 1-byte FCS per RFC 8878)
+            fhd = 0x00
+            out = b"\x58"  # window descriptor
+        elif fcs < 256:
+            fhd = 0x20  # single-segment, fcs_flag 0 -> 1 byte
+            out = bytes([fcs])
+        else:
+            fhd = 0xA0  # single-segment, fcs_flag 2 -> 4 bytes
+            out = struct.pack("<I", fcs)
+        blocks = b""
+        items = list(chunks)
+        for i, ch in enumerate(items):
+            last = 1 if (i == len(items) - 1 and rle is None) \
+                else 0
+            bh = (len(ch) << 3) | (0 << 1) | last
+            blocks += bh.to_bytes(3, "little") + ch
+        if rle is not None:
+            byte, count = rle
+            bh = (count << 3) | (1 << 1) | 1
+            blocks += bh.to_bytes(3, "little") + bytes([byte])
+        return struct.pack("<I", 0xFD2FB528) + bytes([fhd]) \
+            + out + blocks
+
+    def zstd_skippable(data):
+        return struct.pack("<II", 0x184D2A50, len(data)) + data
+
+    def lz4_frame(chunks, content_size=None, block_crc=False):
+        flg = 0x40
+        if content_size is not None:
+            flg |= 0x08
+        if block_crc:
+            flg |= 0x10
+        hdr = struct.pack("<I", 0x184D2204) + bytes([flg, 0x40])
+        if content_size is not None:
+            hdr += struct.pack("<Q", content_size)
+        hdr += b"\x00"  # header checksum (not verified here)
+        body = b""
+        for ch in chunks:
+            body += struct.pack("<I", len(ch) | 0x80000000) + ch
+            if block_crc:
+                body += struct.pack("<I", _z.crc32(ch))
+        return hdr + body + struct.pack("<I", 0)
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://drop{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("pages.warc.gz", gz_member(text1)
+        + gz_member(text2, fname="page-2.warc",
+                    mtime=1730000000)
+        + gz_member(b""))
+    add("dump.bz2", _bz2.compress(text1, 5)
+        + _bz2.compress(text2, 1))
+    add("logs.xz", _lzma.compress(text1, format=_lzma.FORMAT_XZ,
+                                  check=_lzma.CHECK_CRC64)
+        + _lzma.compress(text2, format=_lzma.FORMAT_XZ,
+                         check=_lzma.CHECK_CRC32))
+    add("shard.zst", zstd_frame([text1[:100], text1[100:130]],
+                                fcs=130)
+        + zstd_skippable(b"meta" * 3)
+        + zstd_frame([b"xy"], fcs=1000, rle=(0x41, 970)))
+    add("batch.lz4", lz4_frame([text2[:64], text2[64:80]],
+                               content_size=80)
+        + lz4_frame([b"tail"], block_crc=True))
+    good = gz_member(text1)
+    add("cut.gz", good[:len(good) - 5])
+    add("cut.zst", zstd_frame([text1[:50]], fcs=50)[:-10])
+    add("plain.txt", b"not compressed at all, just text")
+    add("empty.gz", gz_member(b""))
+    add("nested.gz.zst", zstd_frame([gz_member(text2)[:60]]))
+    return rows

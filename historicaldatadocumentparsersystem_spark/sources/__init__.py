@@ -3159,3 +3159,178 @@ def read_protobuf_census(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, PROTOBUF_DDL))
+
+
+ELF_DDL = (
+    "url string, pos int, row_kind string, cls int, endian string, "
+    "etype string, machine string, entry long, name string, "
+    "stype string, flags string, offset long, size long, "
+    "lib string")
+
+
+def read_elf_objects(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, ELF bytes) -> one 'file' row (class/endian/type/
+    machine/entry) plus one 'section' row per section header
+    (names via .shstrtab) and one 'needed' row per DT_NEEDED
+    dependency. Pure parse: ``extractor.elfx.parse_elf``
+    (golden-pinned). Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.elfx import parse_elf
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_elf(
+                    bytes(payload) if payload is not None else None)
+                if d["cls"] is None:
+                    continue
+                base = (d["cls"], d["endian"], d["etype"],
+                        d["machine"], d["entry"])
+                rows.append((url, 0, "file") + base
+                            + (None,) * 6)
+                for (pos, name, stype, flags, off, size) in \
+                        d["sections"]:
+                    rows.append((url, pos, "section") + base
+                                + (name, stype, flags, off, size,
+                                   None))
+                for i, lib in enumerate(d["needed"]):
+                    rows.append((url, i, "needed") + base
+                                + (None, None, None, None, None,
+                                   lib))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "cls", "endian", "etype",
+                "machine", "entry", "name", "stype", "flags",
+                "offset", "size", "lib"])
+            for c in ("pos", "cls"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("entry", "offset", "size"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ELF_DDL))
+
+
+TOML_DDL = ("url string, pos int, ok boolean, key_path string, "
+            "vtype string, value_text string")
+
+
+def read_toml_records(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, TOML bytes) -> one row per leaf value with the dotted
+    key path (array elements as ``k[i]``), a type label, and a
+    canonical text rendering; a document that fails the grammar
+    yields ONE ok=false row (parse-rate audits need the rejects).
+    Pure parse: ``extractor.tomlx.parse_toml`` (tomllib-pinned,
+    golden-pinned). Map-only."""
+    import pandas as pd
+
+    from ..extractor.tomlx import flatten, parse_toml
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_toml(
+                    bytes(payload) if payload is not None else None)
+                if not d["ok"]:
+                    rows.append((url, 0, False, None, None, None))
+                    continue
+                for (pos, key_path, vtype, text) in \
+                        flatten(d["doc"]):
+                    rows.append((url, pos, True, key_path, vtype,
+                                 text))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "ok", "key_path", "vtype",
+                "value_text"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, TOML_DDL))
+
+
+CBOR_DDL = ("url string, pos int, ok boolean, path string, "
+            "vtype string, value_text string")
+
+
+def read_cbor_records(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, CBOR bytes) -> one row per leaf with the dotted/
+    bracketed path, a type label (tags appended: ``int@tag1``),
+    and a canonical text rendering — the tomlx shape for binary
+    configs. A blob that is not exactly one well-formed item
+    yields ONE ok=false row. Pure parse:
+    ``extractor.cborx.parse_cbor`` (golden-pinned). Map-only."""
+    import pandas as pd
+
+    from ..extractor.cborx import parse_cbor
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_cbor(
+                    bytes(payload) if payload is not None else None)
+                if not d["ok"]:
+                    rows.append((url, 0, False, None, None, None))
+                    continue
+                for (pos, path, vtype, text) in d["rows"]:
+                    rows.append((url, pos, True, path, vtype,
+                                 text))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "ok", "path", "vtype", "value_text"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, CBOR_DDL))
+
+
+COMP_DDL = ("url string, pos int, format string, kind string, "
+            "comp_size long, raw_size long, extra string, "
+            "ok boolean")
+
+
+def read_compressed_frames(df: DataFrame, url_col: str = "url",
+                           payload_col: str = "payload"
+                           ) -> DataFrame:
+    """(url, compressed container bytes) -> one row per member/
+    frame: gzip/bzip2/xz decoded via stdlib (real raw sizes,
+    ISIZE-verified), zstd/lz4 walked structurally from their block
+    headers. Pure parse: ``extractor.compx.parse_compressed``
+    (golden-pinned). Map-only; unrecognized payloads yield no
+    rows."""
+    import pandas as pd
+
+    from ..extractor.compx import parse_compressed
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_compressed(
+                    bytes(payload) if payload is not None else None)
+                if d["format"] is None:
+                    continue
+                for (pos, kind, comp, raw, extra, ok) in \
+                        d["frames"]:
+                    rows.append((url, pos, d["format"], kind,
+                                 comp, raw, extra, ok))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "format", "kind", "comp_size",
+                "raw_size", "extra", "ok"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            for c in ("comp_size", "raw_size"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, COMP_DDL))
