@@ -3543,6 +3543,10 @@ _GOLDEN_CBOR = os.path.join(
     _REPO, "fixtures", "golden_cbor_seed42_n10.parquet")
 _GOLDEN_COMP = os.path.join(
     _REPO, "fixtures", "golden_comp_seed42_n10.parquet")
+_GOLDEN_PE = os.path.join(
+    _REPO, "fixtures", "golden_pe_seed42_n5.parquet")
+_GOLDEN_MACHO = os.path.join(
+    _REPO, "fixtures", "golden_macho_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4331,6 +4335,7 @@ _EXTRA_ORDER = [
     "toml_records", "toml_type_census",
     "cbor_records", "cbor_tag_profile",
     "compressed_frames", "compression_audit",
+    "pe_objects", "macho_objects", "binary_dependency_graph",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8483,6 +8488,48 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("format"))
     q["compression_audit"] = q_compression_audit
 
+    # --- PE + Mach-O (the Windows and Apple thirds of the
+    # executable triad; elfx is the third). The dependency graph
+    # unions all three goldens into one (fmt, dep) census — the
+    # cross-platform "what does this bundle link against" view.
+    def q_pe_objects(spark, sf_dir):
+        files = fixtures.pe_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_pe_objects(df)
+    q["pe_objects"] = q_pe_objects
+
+    def q_macho_objects(spark, sf_dir):
+        files = fixtures.macho_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_macho_objects(df)
+    q["macho_objects"] = q_macho_objects
+
+    def q_binary_dependency_graph(spark, sf_dir):
+        elf = (spark.read.parquet(_GOLDEN_ELF)
+               .where(F.col("row_kind") == "needed")
+               .select(F.lit("elf").alias("fmt"), "url",
+                       F.col("lib").alias("dep")))
+        pe = (spark.read.parquet(_GOLDEN_PE)
+              .where(F.col("row_kind") == "import")
+              .select(F.lit("pe").alias("fmt"), "url",
+                      F.col("import_dll").alias("dep")))
+        macho = (spark.read.parquet(_GOLDEN_MACHO)
+                 .where(F.col("row_kind") == "dylib")
+                 .select(F.lit("macho").alias("fmt"), "url",
+                         F.col("name").alias("dep")))
+        return (elf.unionByName(pe).unionByName(macho)
+                .groupBy("fmt", "dep")
+                .agg(F.countDistinct("url").cast("long")
+                     .alias("n_objects"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_links"))
+                .orderBy("fmt", "dep"))
+    q["binary_dependency_graph"] = q_binary_dependency_graph
+
     return q
 
 
@@ -12454,4 +12501,33 @@ def oracle_sql() -> dict[str, str]:
                    bool_and(ok) AS all_ok
             FROM read_parquet('{_GOLDEN_COMP}')
             GROUP BY format ORDER BY format""",
+        # PE / Mach-O: committed goldens pinned by
+        # tests/test_pex_machox.py against the pure re-derivation;
+        # the dependency graph unions all three executable goldens
+        "pe_objects": f"""
+            SELECT url, pos, row_kind, machine, kind, is_dll,
+                   n_sections, pe_timestamp, name, vsize, rva,
+                   rawsize, flags, import_dll
+            FROM read_parquet('{_GOLDEN_PE}')""",
+        "macho_objects": f"""
+            SELECT url, pos, row_kind, fat, slice_no, arch, cpu,
+                   bits, endian, filetype, name, nsects, link_kind
+            FROM read_parquet('{_GOLDEN_MACHO}')""",
+        "binary_dependency_graph": f"""
+            WITH deps AS (
+              SELECT 'elf' AS fmt, url, lib AS dep
+              FROM read_parquet('{_GOLDEN_ELF}')
+              WHERE row_kind = 'needed'
+              UNION ALL
+              SELECT 'pe' AS fmt, url, import_dll AS dep
+              FROM read_parquet('{_GOLDEN_PE}')
+              WHERE row_kind = 'import'
+              UNION ALL
+              SELECT 'macho' AS fmt, url, name AS dep
+              FROM read_parquet('{_GOLDEN_MACHO}')
+              WHERE row_kind = 'dylib')
+            SELECT fmt, dep,
+                   count(DISTINCT url)::bigint AS n_objects,
+                   count(*)::bigint AS n_links
+            FROM deps GROUP BY fmt, dep ORDER BY fmt, dep""",
     }

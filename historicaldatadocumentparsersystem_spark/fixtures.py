@@ -6850,3 +6850,137 @@ def compressed_stream_rows(seed: int = 42) -> list[dict]:
     add("empty.gz", gz_member(b""))
     add("nested.gz.zst", zstd_frame([gz_member(text2)[:60]]))
     return rows
+
+
+def pe_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built PE files (url, payload) — the
+    ENCODE half of extractor/pex.py. Shapes: PE32+ DLL with a real
+    import directory (RVA-mapped .idata) / PE32 x86 exe / DOS-only
+    stub / truncated / junk. Golden:
+    fixtures/golden_pe_seed42_n5.parquet."""
+    import struct
+
+    def build(plus, machine, dll, imports, nsec_extra=0):
+        opt_size = 240 if plus else 224
+        nsec = 2
+        dos = b"MZ" + b"\x00" * 58 + struct.pack("<I", 64)
+        coff = b"PE\x00\x00" + struct.pack(
+            "<HHIIIHH", machine, nsec, 1730000000, 0, 0, opt_size,
+            0x2022 if dll else 0x0102)
+        opt = bytearray(opt_size)
+        struct.pack_into("<H", opt, 0, 0x20B if plus else 0x10B)
+        dd = 112 if plus else 96
+        struct.pack_into("<I", opt, dd - 4, 16)  # n dirs
+        idata_rva, idata_raw = 0x2000, 1024
+        # import directory = data dir entry 1
+        struct.pack_into("<II", opt, dd + 8, idata_rva, 512)
+        secs = b""
+        for name, vsize, rva, rsize, roff, fl in (
+                (b".text", 0x400, 0x1000, 512, 512, 0x60000020),
+                (b".idata", 0x200, idata_rva, 512, idata_raw,
+                 0x40000040)):
+            secs += struct.pack("<8sIIIIIIHHI",
+                                name.ljust(8, b"\x00"), vsize,
+                                rva, rsize, roff, 0, 0, 0, 0, fl)
+        hdr = dos + coff + bytes(opt) + secs
+        hdr = hdr.ljust(512, b"\x00") + b"\x90" * 512  # .text
+        # .idata: descriptors then names
+        names_off = 20 * (len(imports) + 1)
+        desc = b""
+        names = b""
+        for nm in imports:
+            desc += struct.pack(
+                "<IIIII", 0x2100, 0, 0,
+                idata_rva + names_off + len(names), 0x2200)
+            names += nm.encode("ascii") + b"\x00"
+        desc += b"\x00" * 20
+        idata = (desc + names).ljust(512, b"\x00")
+        return hdr + idata
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://win{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("helper.dll", build(True, 0x8664, True,
+                            ["KERNEL32.dll", "ws2_32.dll",
+                             "ADVAPI32.dll"]))
+    add("setup.exe", build(False, 0x014C, False, ["USER32.dll"]))
+    add("dosonly.exe", b"MZ" + b"\x00" * 62 + b"legacy stub")
+    add("trunc.dll", build(True, 0x8664, True,
+                           ["KERNEL32.dll"])[:600])
+    add("junk.bin", b"\x7fELF not a PE")
+    return rows
+
+
+def macho_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built Mach-O files (url, payload) — the
+    ENCODE half of extractor/machox.py. Shapes: arm64 LE dylib
+    (LC_ID_DYLIB + two LC_LOAD_DYLIBs, segments with section
+    counts) / 32-bit big-endian x86 executable / fat binary
+    wrapping both / Java class (shared magic, rejected) / junk.
+    Golden: fixtures/golden_macho_seed42_n5.parquet."""
+    import struct
+
+    def dylib_cmd(kind, name, bo):
+        raw = name.encode("ascii") + b"\x00"
+        csize = (24 + len(raw) + 7) // 8 * 8
+        return struct.pack(bo + "IIIIII", kind, csize, 24,
+                           1730000000, 0x10000, 0x10000) \
+            + raw.ljust(csize - 24, b"\x00")
+
+    def seg64(name, nsects, bo):
+        return struct.pack(bo + "II16s", 0x19, 72,
+                           name.encode().ljust(16, b"\x00")) \
+            + b"\x00" * 32 + struct.pack(bo + "IIII", 7, 5,
+                                         nsects, 0)
+
+    def seg32(name, nsects, bo):
+        return struct.pack(bo + "II16s", 0x01, 56,
+                           name.encode().ljust(16, b"\x00")) \
+            + b"\x00" * 16 + struct.pack(bo + "IIII", 7, 5,
+                                         nsects, 0)
+
+    def thin64(bo_c):
+        bo = "<" if bo_c == "le" else ">"
+        cmds = seg64("__TEXT", 2, bo) + seg64("__DATA", 1, bo) \
+            + dylib_cmd(0x0D, "@rpath/libdemo.dylib", bo) \
+            + dylib_cmd(0x0C, "/usr/lib/libSystem.B.dylib", bo) \
+            + dylib_cmd(0x0C,
+                        "/usr/lib/libc++.1.dylib", bo)
+        magic = b"\xcf\xfa\xed\xfe" if bo_c == "le" \
+            else b"\xfe\xed\xfa\xcf"
+        return magic + struct.pack(
+            bo + "IIIIII", 0x0100000C, 0, 6, 5,
+            len(cmds), 0) + b"\x00" * 4 + cmds
+
+    def thin32():
+        bo = ">"
+        cmds = seg32("__TEXT", 1, bo) \
+            + dylib_cmd(0x0C, "/usr/lib/libSystem.B.dylib", bo)
+        return b"\xfe\xed\xfa\xce" + struct.pack(
+            bo + "IIIIII", 7, 3, 2, 2, len(cmds), 0) + cmds
+
+    t64, t32 = thin64("le"), thin32()
+    fat = struct.pack(">II", 0xCAFEBABE, 2) \
+        + struct.pack(">IIIII", 0x0100000C, 0, 48 + 0,
+                      len(t64), 0) \
+        + struct.pack(">IIIII", 7, 3, 48 + len(t64), len(t32), 0)
+    fat = fat.ljust(48, b"\x00") + t64 + t32
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://mac{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("libdemo.dylib", t64)
+    add("tool32", t32)
+    add("universal", fat)
+    add("Hello.class", struct.pack(">IHH", 0xCAFEBABE, 0, 52)
+        + b"\x00" * 40)
+    add("junk.bin", b"MZ but actually nothing")
+    return rows

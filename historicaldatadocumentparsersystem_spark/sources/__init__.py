@@ -3334,3 +3334,110 @@ def read_compressed_frames(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, COMP_DDL))
+
+
+PE_DDL = (
+    "url string, pos int, row_kind string, machine string, "
+    "kind string, is_dll boolean, n_sections int, "
+    "pe_timestamp long, name string, vsize long, rva long, "
+    "rawsize long, flags string, import_dll string")
+
+
+def read_pe_objects(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, PE bytes) -> one 'file' row (machine/kind/dll bit/
+    COFF timestamp) plus 'section' rows and one 'import' row per
+    DLL from the RVA-walked import directory. Pure parse:
+    ``extractor.pex.parse_pe`` (golden-pinned). Map-only; non-PE
+    payloads yield no rows."""
+    import pandas as pd
+
+    from ..extractor.pex import parse_pe
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_pe(
+                    bytes(payload) if payload is not None else None)
+                if d["kind"] is None:
+                    continue
+                base = (d["machine"], d["kind"], d["is_dll"],
+                        d["n_sections"], d["timestamp"])
+                rows.append((url, 0, "file") + base
+                            + (None,) * 6)
+                for (pos, name, vsize, rva, rawsize, _rawoff,
+                     flags) in d["sections"]:
+                    rows.append((url, pos, "section") + base
+                                + (name, vsize, rva, rawsize,
+                                   flags, None))
+                for i, dll in enumerate(d["imports"]):
+                    rows.append((url, i, "import") + base
+                                + (None, None, None, None, None,
+                                   dll))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "machine", "kind",
+                "is_dll", "n_sections", "pe_timestamp", "name",
+                "vsize", "rva", "rawsize", "flags", "import_dll"])
+            for c in ("pos", "n_sections"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("pe_timestamp", "vsize", "rva", "rawsize"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PE_DDL))
+
+
+MACHO_DDL = (
+    "url string, pos int, row_kind string, fat boolean, "
+    "slice_no int, arch string, cpu string, bits int, "
+    "endian string, filetype string, name string, nsects int, "
+    "link_kind string")
+
+
+def read_macho_objects(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, Mach-O bytes) -> one 'slice' row per architecture
+    (thin files have one; fat headers enumerate), 'segment' rows
+    with section counts, and 'dylib' rows (the otool -L surface).
+    Pure parse: ``extractor.machox.parse_macho`` (golden-pinned).
+    Map-only; junk (incl. Java class files sharing the fat magic)
+    yields no rows."""
+    import pandas as pd
+
+    from ..extractor.machox import parse_macho
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_macho(
+                    bytes(payload) if payload is not None else None)
+                if d["fat"] is None:
+                    continue
+                for (pos, arch, cpu, bits, endian, ft, _nc) in \
+                        d["slices"]:
+                    rows.append((url, pos, "slice", d["fat"], pos,
+                                 arch, cpu, bits, endian, ft,
+                                 None, None, None))
+                for (pos, sl, name, nsects) in d["segments"]:
+                    rows.append((url, pos, "segment", d["fat"],
+                                 sl, None, None, None, None, None,
+                                 name, nsects, None))
+                for (pos, sl, kind, name) in d["dylibs"]:
+                    rows.append((url, pos, "dylib", d["fat"], sl,
+                                 None, None, None, None, None,
+                                 name, None, kind))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "fat", "slice_no",
+                "arch", "cpu", "bits", "endian", "filetype",
+                "name", "nsects", "link_kind"])
+            for c in ("pos", "slice_no", "bits", "nsects"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MACHO_DDL))
