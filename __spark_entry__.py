@@ -3547,6 +3547,8 @@ _GOLDEN_PE = os.path.join(
     _REPO, "fixtures", "golden_pe_seed42_n5.parquet")
 _GOLDEN_MACHO = os.path.join(
     _REPO, "fixtures", "golden_macho_seed42_n5.parquet")
+_GOLDEN_AR = os.path.join(
+    _REPO, "fixtures", "golden_ar_seed42_n6.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4336,6 +4338,7 @@ _EXTRA_ORDER = [
     "cbor_records", "cbor_tag_profile",
     "compressed_frames", "compression_audit",
     "pe_objects", "macho_objects", "binary_dependency_graph",
+    "ar_archives", "deb_dependency_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8530,6 +8533,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("fmt", "dep"))
     q["binary_dependency_graph"] = q_binary_dependency_graph
 
+    # --- ar archives + Debian packages (the apt-side dependency
+    # surface: control inflated via stdlib codecs, walked with
+    # tarx, Depends split into groups/alternatives/constraints)
+    def q_ar_archives(spark, sf_dir):
+        files = fixtures.ar_archive_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_ar_archives(df)
+    q["ar_archives"] = q_ar_archives
+
+    def q_deb_dependency_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_AR)
+        deps = g.where(F.col("row_kind") == "dep")
+        pkg = (g.where((F.col("row_kind") == "field")
+                       & (F.col("name") == "Package"))
+               .select(F.col("url").alias("u2"),
+                       F.col("value").alias("package")))
+        return (deps.join(F.broadcast(pkg),
+                          deps.url == F.col("u2"))
+                .groupBy("package", "name")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_refs"),
+                     F.max(F.coalesce("version_req", F.lit("")))
+                     .alias("tightest"),
+                     F.max("dep_alt").cast("int")
+                     .alias("max_alt"))
+                .orderBy("package", "name"))
+    q["deb_dependency_census"] = q_deb_dependency_census
+
     return q
 
 
@@ -12530,4 +12563,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::bigint AS n_objects,
                    count(*)::bigint AS n_links
             FROM deps GROUP BY fmt, dep ORDER BY fmt, dep""",
+        # ar/.deb: committed golden pinned by tests/test_arx.py
+        # against the pure re-derivation
+        "ar_archives": f"""
+            SELECT url, pos, row_kind, kind, name, mtime, mode,
+                   size, value, dep_group, dep_alt, version_req
+            FROM read_parquet('{_GOLDEN_AR}')""",
+        "deb_dependency_census": f"""
+            WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_AR}')),
+            pkg AS (
+              SELECT url, value AS package FROM g
+              WHERE row_kind = 'field' AND name = 'Package')
+            SELECT p.package AS package, d.name AS name,
+                   count(*)::bigint AS n_refs,
+                   max(coalesce(d.version_req, '')) AS tightest,
+                   max(d.dep_alt)::int AS max_alt
+            FROM g d JOIN pkg p ON p.url = d.url
+            WHERE d.row_kind = 'dep'
+            GROUP BY p.package, d.name
+            ORDER BY package, name""",
     }

@@ -6984,3 +6984,103 @@ def macho_file_rows(seed: int = 42) -> list[dict]:
         + b"\x00" * 40)
     add("junk.bin", b"MZ but actually nothing")
     return rows
+
+
+def ar_archive_rows(seed: int = 42) -> list[dict]:
+    """Deterministic ar/.deb archives (url, payload) — the ENCODE
+    half of extractor/arx.py over tarx.make_tar + stdlib codecs.
+    Shapes: static lib with a GNU '//' long-name table / .deb with
+    gzip control + xz data / .deb with xz control and an
+    alternatives-heavy Depends / plain ar (not a deb) / truncated /
+    junk. Golden: fixtures/golden_ar_seed42_n6.parquet."""
+    import lzma as _lzma
+    import zlib as _z
+
+    from .extractor.tarx import make_tar
+
+    def ar(members, longnames=None):
+        out = b"!<arch>\n"
+        if longnames:
+            table = b"".join(n.encode() + b"/\n"
+                             for n in longnames)
+            out += b"//" + b" " * 14 + b"0" + b" " * 11 \
+                + b"0     0     0       " \
+                + f"{len(table):<10}".encode() + b"`\n" + table
+            if len(table) & 1:
+                out += b"\n"
+        offs = {}
+        pos = 0
+        for n in (longnames or []):
+            offs[n] = pos
+            pos += len(n) + 2
+        for name, mtime, data in members:
+            nm = f"/{offs[name]}" if name in offs else name + "/"
+            out += f"{nm:<16}".encode() \
+                + f"{mtime:<12}".encode() + b"0     0     " \
+                + b"100644  " + f"{len(data):<10}".encode() \
+                + b"`\n" + data
+            if len(data) & 1:
+                out += b"\n"
+        return out
+
+    def gz(data):
+        co = _z.compressobj(9, _z.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+
+    CTRL = """\
+Package: warc-tools
+Version: 2.1.0-3
+Architecture: amd64
+Maintainer: Crawl Team <crawl@example.org>
+Installed-Size: 2048
+Depends: libc6 (>= 2.34), zlib1g (>= 1:1.2.11), python3:any
+Section: utils
+Priority: optional
+Description: WARC processing utilities
+ Long description continues here.
+"""
+    CTRL2 = """\
+Package: page-extractor
+Version: 0.9.1
+Architecture: all
+Depends: python3 | python3-minimal, libxml2 (>= 2.9) | libxml2-compat, curl
+Description: main-content extraction
+"""
+    ctrl_tar = make_tar([
+        {"name": "./", "typeflag": "5"},
+        {"name": "./control", "data": CTRL.encode()},
+        {"name": "./md5sums", "data": b"d41d8cd9  usr/bin/x\n"}])
+    ctrl_tar2 = make_tar([
+        {"name": "control", "data": CTRL2.encode()}])
+    data_tar = make_tar([
+        {"name": "./usr/bin/warc-tool", "data": b"\x7fELF stub"}])
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://mirror{len(rows)}.example.org/"
+                   f"{name}",
+            "payload": blob})
+
+    add("libcrawl.a", ar(
+        [("crawl_fetch_module.o", 1730000000, b"\x7fELF" + b"0" * 40),
+         ("crawl_parse_module.o", 1730000001, b"\x7fELF" + b"1" * 41)],
+        longnames=["crawl_fetch_module.o", "crawl_parse_module.o"]))
+    add("warc-tools.deb", ar([
+        ("debian-binary", 1730000000, b"2.0\n"),
+        ("control.tar.gz", 1730000000, gz(ctrl_tar)),
+        ("data.tar.xz", 1730000000,
+         _lzma.compress(data_tar, format=_lzma.FORMAT_XZ))]))
+    add("page-extractor.deb", ar([
+        ("debian-binary", 1730000010, b"2.0\n"),
+        ("control.tar.xz", 1730000010,
+         _lzma.compress(ctrl_tar2, format=_lzma.FORMAT_XZ)),
+        ("data.tar.xz", 1730000010,
+         _lzma.compress(data_tar, format=_lzma.FORMAT_XZ))]))
+    add("plain.ar", ar([("notes.txt", 1730000020,
+                         b"just a member\n")]))
+    deb = rows[1]["payload"]
+    add("cut.deb", deb[:len(deb) - 40])
+    add("junk.bin", b"!<arch>X wrong magic")
+    return rows

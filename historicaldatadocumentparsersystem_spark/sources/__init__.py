@@ -3441,3 +3441,61 @@ def read_macho_objects(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, MACHO_DDL))
+
+
+AR_DDL = (
+    "url string, pos int, row_kind string, kind string, "
+    "name string, mtime long, mode string, size long, "
+    "value string, dep_group int, dep_alt int, "
+    "version_req string")
+
+
+def read_ar_archives(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, ar/.deb bytes) -> 'member' rows (GNU long names
+    resolved) plus, for Debian packages, 'field' rows from the
+    inflated control file and 'dep' rows from the split Depends
+    list (comma groups / '|' alternatives / version constraints).
+    Pure parse: ``extractor.arx.parse_ar`` (golden-pinned).
+    Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.arx import parse_ar
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_ar(
+                    bytes(payload) if payload is not None else None)
+                if d["kind"] is None:
+                    continue
+                for (pos, name, mtime, mode, size) in \
+                        d["members"]:
+                    rows.append((url, pos, "member", d["kind"],
+                                 name, mtime, mode, size, None,
+                                 None, None, None))
+                if d["control"]:
+                    for i, (k, v) in enumerate(
+                            d["control"].items()):
+                        rows.append((url, i, "field", d["kind"],
+                                     k, None, None, None, v,
+                                     None, None, None))
+                for i, (g, a, nm, constraint) in enumerate(
+                        d["depends"]):
+                    rows.append((url, i, "dep", d["kind"], nm,
+                                 None, None, None, None, g, a,
+                                 constraint))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "kind", "name", "mtime",
+                "mode", "size", "value", "dep_group", "dep_alt",
+                "version_req"])
+            for c in ("pos", "dep_group", "dep_alt"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("mtime", "size"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, AR_DDL))
