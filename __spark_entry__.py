@@ -3549,6 +3549,8 @@ _GOLDEN_MACHO = os.path.join(
     _REPO, "fixtures", "golden_macho_seed42_n5.parquet")
 _GOLDEN_AR = os.path.join(
     _REPO, "fixtures", "golden_ar_seed42_n6.parquet")
+_GOLDEN_GIT = os.path.join(
+    _REPO, "fixtures", "golden_git_seed42_n6.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4339,6 +4341,7 @@ _EXTRA_ORDER = [
     "compressed_frames", "compression_audit",
     "pe_objects", "macho_objects", "binary_dependency_graph",
     "ar_archives", "deb_dependency_census",
+    "git_objects", "git_commit_history",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8563,6 +8566,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("package", "name"))
     q["deb_dependency_census"] = q_deb_dependency_census
 
+    # --- git object stores (exposed-.git corpus: packs with
+    # deltas APPLIED, real SHA-1 ids — git-binary cross-checked in
+    # pytest; history joins commit rows to their parents)
+    def q_git_objects(spark, sf_dir):
+        files = fixtures.git_object_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_git_objects(df)
+    q["git_objects"] = q_git_objects
+
+    def q_git_commit_history(spark, sf_dir):
+        g = (spark.read.parquet(_GOLDEN_GIT)
+             .where(F.col("row_kind") == "commit"))
+        child = g.select("oid", "parent", "title",
+                         "author_email", "author_ts")
+        par = (g.select(F.col("oid").alias("p_oid"),
+                        F.col("title").alias("parent_title"))
+               .distinct())
+        return (child.join(F.broadcast(par),
+                           child.parent == par.p_oid, "left")
+                .select("oid", "title", "author_email",
+                        "author_ts", "parent", "parent_title")
+                .distinct()
+                .orderBy("author_ts", "oid", "parent"))
+    q["git_commit_history"] = q_git_commit_history
+
     return q
 
 
@@ -12582,4 +12612,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.row_kind = 'dep'
             GROUP BY p.package, d.name
             ORDER BY package, name""",
+        # git: committed golden pinned by tests/test_gitx.py
+        # against the pure re-derivation + the git binary
+        "git_objects": f"""
+            SELECT url, pos, row_kind, container, otype, size,
+                   packed_size, oid, delta_of, tree, parent,
+                   author_email, author_ts, title, mode, name,
+                   entry_sha
+            FROM read_parquet('{_GOLDEN_GIT}')""",
+        "git_commit_history": f"""
+            WITH c AS (
+              SELECT * FROM read_parquet('{_GOLDEN_GIT}')
+              WHERE row_kind = 'commit'),
+            par AS (SELECT DISTINCT oid AS p_oid,
+                           title AS parent_title FROM c)
+            SELECT DISTINCT c.oid AS oid, c.title AS title,
+                   c.author_email AS author_email,
+                   c.author_ts AS author_ts,
+                   c.parent AS parent, par.parent_title
+                     AS parent_title
+            FROM c LEFT JOIN par ON par.p_oid = c.parent
+            ORDER BY author_ts, oid, parent""",
     }

@@ -7084,3 +7084,118 @@ Description: main-content extraction
     add("cut.deb", deb[:len(deb) - 40])
     add("junk.bin", b"!<arch>X wrong magic")
     return rows
+
+
+def git_object_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built git objects (url, payload) — the
+    ENCODE half of extractor/gitx.py: a two-commit history whose
+    pack carries an ofs-delta (copy+insert) and a ref-delta blob,
+    plus loose commit/blob/tag objects, a truncated pack, and
+    junk. Golden: fixtures/golden_git_seed42_n6.parquet."""
+    import hashlib
+    import struct
+    import zlib as _z
+
+    def oid(otype, content):
+        return hashlib.sha1(
+            f"{otype} {len(content)}".encode() + b"\x00"
+            + content).digest()
+
+    blob1 = b"# crawl notes\nfetch politely\n"
+    blob2 = blob1 + b"respect robots.txt\n"
+    tree1 = b"100644 notes.md\x00" + oid("blob", blob1)
+    tree2 = (b"100644 notes.md\x00" + oid("blob", blob2)
+             + b"40000 docs\x00" + oid("tree", tree1))
+    c1 = (b"tree " + oid("tree", tree1).hex().encode()
+          + b"\nauthor Ada L <ada@example.org> 1730000000 +0000"
+          b"\ncommitter Ada L <ada@example.org> 1730000000 +0000"
+          b"\n\ninitial import\n")
+    c2 = (b"tree " + oid("tree", tree2).hex().encode()
+          + b"\nparent " + oid("commit", c1).hex().encode()
+          + b"\nauthor Bo X <bo@example.org> 1730000600 +0000"
+          b"\ncommitter Bo X <bo@example.org> 1730000700 +0000"
+          b"\n\nadd robots guidance\n\nlonger body here\n")
+    tag = (b"object " + oid("commit", c2).hex().encode()
+           + b"\ntype commit\ntag v1.0\n"
+           b"tagger Bo X <bo@example.org> 1730000800 +0000"
+           b"\n\nrelease v1.0\n")
+
+    def size_varint(t, size):
+        c = (t << 4) | (size & 15)
+        size >>= 4
+        out = bytearray()
+        while size:
+            out.append(c | 0x80)
+            c = size & 0x7F
+            size >>= 7
+        out.append(c)
+        return bytes(out)
+
+    def ofs_varint(rel):
+        out = [rel & 0x7F]
+        rel >>= 7
+        while rel:
+            rel -= 1
+            out.insert(0, 0x80 | (rel & 0x7F))
+            rel >>= 7
+        return bytes(out)
+
+    def dsize(v):
+        out = bytearray()
+        while True:
+            c = v & 0x7F
+            v >>= 7
+            out.append(c | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    # delta blob1 -> blob2: copy all of blob1, insert the tail
+    tail = blob2[len(blob1):]
+    delta = (dsize(len(blob1)) + dsize(len(blob2))
+             + bytes([0x80 | 0x01 | 0x10, 0, len(blob1)])
+             + bytes([len(tail)]) + tail)
+    # ref-delta tag-as-blob: insert-only over blob1
+    note = b"see notes.md"
+    rdelta = (dsize(len(blob1)) + dsize(len(note))
+              + bytes([len(note)]) + note)
+
+    pack = bytearray(b"PACK" + struct.pack(">II", 2, 6))
+    offsets = {}
+    def emit(key, t, data):
+        offsets[key] = len(pack)
+        pack.extend(size_varint(t, len(data)))
+        pack.extend(_z.compress(data, 9))
+    emit("c2", 1, c2)
+    emit("c1", 1, c1)
+    emit("tree2", 2, tree2)
+    emit("blob1", 3, blob1)
+    # ofs-delta: rel must equal delta_start - blob1_start
+    offsets["d"] = len(pack)
+    pack.extend(size_varint(6, len(delta)))
+    pack.extend(ofs_varint(offsets["d"] - offsets["blob1"]))
+    pack.extend(_z.compress(delta, 9))
+    offsets["r"] = len(pack)
+    pack.extend(size_varint(7, len(rdelta)))
+    pack.extend(oid("blob", blob1))
+    pack.extend(_z.compress(rdelta, 9))
+    pack.extend(hashlib.sha1(bytes(pack)).digest())
+    pack = bytes(pack)
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://code{len(rows)}.example.org/.git/"
+                   f"{name}",
+            "payload": blob})
+
+    add("objects/pack/pack-1.pack", pack)
+    add("objects/aa/loose-commit", _z.compress(
+        b"commit " + str(len(c1)).encode() + b"\x00" + c1, 9))
+    add("objects/bb/loose-blob", _z.compress(
+        b"blob " + str(len(blob1)).encode() + b"\x00" + blob1, 9))
+    add("objects/cc/loose-tag", _z.compress(
+        b"tag " + str(len(tag)).encode() + b"\x00" + tag, 9))
+    add("objects/pack/cut.pack", pack[:90])
+    add("junk.bin", b"not git data in any way")
+    return rows

@@ -3499,3 +3499,85 @@ def read_ar_archives(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, AR_DDL))
+
+
+GIT_DDL = (
+    "url string, pos int, row_kind string, container string, "
+    "otype string, size long, packed_size long, oid string, "
+    "delta_of string, tree string, parent string, "
+    "author_email string, author_ts long, title string, "
+    "mode string, name string, entry_sha string")
+
+
+def read_git_objects(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, pack or loose-object bytes) -> 'object' rows (type/
+    size/packed extent/real SHA-1 id, deltas resolved), 'commit'
+    rows (one per parent, NULL parent for roots) and 'tree_entry'
+    rows. Pure parse: ``extractor.gitx`` (golden-pinned;
+    git-binary cross-checked in pytest). Map-only; junk yields no
+    rows."""
+    import pandas as pd
+
+    from ..extractor.gitx import (parse_commit, parse_loose,
+                                  parse_pack, parse_tree)
+
+    def expand(url, container, otype, size, packed, oid_,
+               delta_of, content, rows):
+        rows.append((url, len(rows), "object", container, otype,
+                     size, packed, oid_, delta_of)
+                    + (None,) * 8)
+        if otype == "commit" and content is not None:
+            c = parse_commit(content)
+            for parent in (c["parents"] or [None]):
+                rows.append((url, len(rows), "commit", container,
+                             otype, None, None, oid_, None,
+                             c["tree"], parent,
+                             c["author_email"], c["author_ts"],
+                             c["title"], None, None, None))
+        elif otype == "tree" and content is not None:
+            for (mode, name, sha) in parse_tree(content):
+                rows.append((url, len(rows), "tree_entry",
+                             container, otype, None, None, oid_,
+                             None, None, None, None, None, None,
+                             mode, name, sha))
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                pb = bytes(payload) if payload is not None \
+                    else None
+                if pb is None:
+                    continue
+                # pos is PER-URL (a batch-wide counter would make
+                # row ids partitioning-dependent)
+                mine: list = []
+                if pb[:4] == b"PACK":
+                    d = parse_pack(pb, with_content=True)
+                    for (pos, otype, size, packed, oid_,
+                         delta_of) in d["objects"]:
+                        expand(url, "pack", otype, size, packed,
+                               oid_, delta_of,
+                               d["contents"].get(oid_), mine)
+                else:
+                    lo = parse_loose(pb)
+                    if lo is None:
+                        continue
+                    expand(url, "loose", lo["otype"], lo["size"],
+                           len(pb), lo["oid"], None,
+                           lo["content"], mine)
+                rows.extend(mine)
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "container", "otype",
+                "size", "packed_size", "oid", "delta_of", "tree",
+                "parent", "author_email", "author_ts", "title",
+                "mode", "name", "entry_sha"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            for c in ("size", "packed_size", "author_ts"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, GIT_DDL))
