@@ -3551,6 +3551,8 @@ _GOLDEN_AR = os.path.join(
     _REPO, "fixtures", "golden_ar_seed42_n6.parquet")
 _GOLDEN_GIT = os.path.join(
     _REPO, "fixtures", "golden_git_seed42_n6.parquet")
+_GOLDEN_ICC = os.path.join(
+    _REPO, "fixtures", "golden_icc_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4342,6 +4344,7 @@ _EXTRA_ORDER = [
     "pe_objects", "macho_objects", "binary_dependency_graph",
     "ar_archives", "deb_dependency_census",
     "git_objects", "git_commit_history",
+    "icc_profiles", "icc_class_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8593,6 +8596,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("author_ts", "oid", "parent"))
     q["git_commit_history"] = q_git_commit_history
 
+    # --- ICC color profiles (joins the imagex/exifx world; desc
+    # text decoded from both spec encodings)
+    def q_icc_profiles(spark, sf_dir):
+        files = fixtures.icc_profile_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_icc_profiles(df)
+    q["icc_profiles"] = q_icc_profiles
+
+    def q_icc_class_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_ICC)
+        return (g.groupBy("profile_class", "color_space")
+                .agg(F.sum((F.col("row_kind") == "profile")
+                           .cast("long")).cast("long")
+                     .alias("n_profiles"),
+                     F.sum((F.col("row_kind") == "tag")
+                           .cast("long")).cast("long")
+                     .alias("n_tags"),
+                     F.count("text").cast("long")
+                     .alias("n_texts"),
+                     F.min("created").alias("oldest"),
+                     F.max("version").alias("max_version"))
+                .orderBy("profile_class", "color_space"))
+    q["icc_class_census"] = q_icc_class_census
+
     return q
 
 
@@ -12633,4 +12662,23 @@ def oracle_sql() -> dict[str, str]:
                      AS parent_title
             FROM c LEFT JOIN par ON par.p_oid = c.parent
             ORDER BY author_ts, oid, parent""",
+        # ICC: committed golden pinned by tests/test_iccx.py
+        # against the pure re-derivation
+        "icc_profiles": f"""
+            SELECT url, pos, row_kind, profile_class, color_space,
+                   pcs, version, intent, created, n_tags, sig,
+                   tag_offset, tag_size, text
+            FROM read_parquet('{_GOLDEN_ICC}')""",
+        "icc_class_census": f"""
+            SELECT profile_class, color_space,
+                   sum(CASE WHEN row_kind = 'profile' THEN 1
+                       ELSE 0 END)::bigint AS n_profiles,
+                   sum(CASE WHEN row_kind = 'tag' THEN 1 ELSE 0
+                       END)::bigint AS n_tags,
+                   count(text)::bigint AS n_texts,
+                   min(created) AS oldest,
+                   max(version) AS max_version
+            FROM read_parquet('{_GOLDEN_ICC}')
+            GROUP BY profile_class, color_space
+            ORDER BY profile_class, color_space""",
     }

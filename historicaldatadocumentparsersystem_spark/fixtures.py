@@ -7199,3 +7199,84 @@ def git_object_rows(seed: int = 42) -> list[dict]:
     add("objects/pack/cut.pack", pack[:90])
     add("junk.bin", b"not git data in any way")
     return rows
+
+
+def icc_profile_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built ICC profiles (url, payload) — the
+    ENCODE half of extractor/iccx.py. Shapes: sRGB-like display
+    profile ('desc' ASCII description) / wide-gamut display with
+    'mluc' UTF-16BE description / CMYK printer with 'text'
+    copyright / truncated tag table / junk. Golden:
+    fixtures/golden_icc_seed42_n5.parquet."""
+    import struct
+
+    def desc_tag(text):
+        raw = text.encode("latin-1") + b"\x00"
+        return b"desc" + b"\x00" * 4 \
+            + struct.pack(">I", len(raw)) + raw + b"\x00" * 78
+
+    def mluc_tag(text):
+        raw = text.encode("utf-16-be")
+        return b"mluc" + b"\x00" * 4 + struct.pack(">II", 1, 12) \
+            + b"enUS" + struct.pack(">II", len(raw), 28) + raw
+
+    def text_tag(text):
+        return b"text" + b"\x00" * 4 \
+            + text.encode("latin-1") + b"\x00"
+
+    def xyz_tag(x, y, z):
+        return b"XYZ " + b"\x00" * 4 \
+            + struct.pack(">iii", x, y, z)
+
+    def profile(cls, space, pcs, tags, version=(4, 0x30),
+                intent=0, date=(2024, 10, 27, 6, 0, 0)):
+        hdr = bytearray(128)
+        hdr[4:8] = b"none"
+        hdr[8] = version[0]
+        hdr[9] = version[1]
+        hdr[12:16] = cls.encode("latin-1").ljust(4)
+        hdr[16:20] = space.encode("latin-1").ljust(4)
+        hdr[20:24] = pcs.encode("latin-1").ljust(4)
+        hdr[24:36] = struct.pack(">6H", *date)
+        hdr[36:40] = b"acsp"
+        struct.pack_into(">I", hdr, 64, intent)
+        table = struct.pack(">I", len(tags))
+        off = 128 + 4 + 12 * len(tags)
+        body = b""
+        for sig, data in tags:
+            table += sig.encode("latin-1").ljust(4) \
+                + struct.pack(">II", off, len(data))
+            pad = (-len(data)) % 4
+            body += data + b"\x00" * pad
+            off += len(data) + pad
+        blob = bytes(hdr) + table + body
+        return struct.pack(">I", len(blob)) + blob[4:]
+
+    srgb = profile("mntr", "RGB", "XYZ", [
+        ("desc", desc_tag("sRGB IEC61966-2.1")),
+        ("wtpt", xyz_tag(63190, 65536, 54061)),
+        ("cprt", text_tag("public domain"))],
+        version=(2, 0x10))
+    p3 = profile("mntr", "RGB", "XYZ", [
+        ("desc", mluc_tag("Wide Gamut Display P3")),
+        ("wtpt", xyz_tag(63190, 65536, 54061))],
+        intent=1)
+    cmyk = profile("prtr", "CMYK", "Lab", [
+        ("desc", desc_tag("Coated FOGRA39-ish")),
+        ("cprt", text_tag("(c) example press"))],
+        intent=3, date=(2019, 3, 2, 12, 30, 45))
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://color{len(rows)}.example.org/"
+                   f"{name}",
+            "payload": blob})
+
+    add("srgb.icc", srgb)
+    add("p3.icc", p3)
+    add("fogra.icc", cmyk)
+    add("cut.icc", p3[:140])
+    add("junk.bin", b"not a profile at all, no acsp")
+    return rows

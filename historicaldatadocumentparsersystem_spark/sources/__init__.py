@@ -3581,3 +3581,53 @@ def read_git_objects(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, GIT_DDL))
+
+
+ICC_DDL = (
+    "url string, pos int, row_kind string, profile_class string, "
+    "color_space string, pcs string, version string, "
+    "intent string, created string, n_tags int, sig string, "
+    "tag_offset long, tag_size long, text string")
+
+
+def read_icc_profiles(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, ICC profile bytes) -> one 'profile' row (class/
+    spaces/version/intent/creation stamp) plus one 'tag' row per
+    tag-table entry with description text decoded for desc/mluc/
+    text types. Pure parse: ``extractor.iccx.parse_icc``
+    (golden-pinned). Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.iccx import parse_icc
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_icc(
+                    bytes(payload) if payload is not None else None)
+                if not d["ok"]:
+                    continue
+                base = (d["profile_class"], d["color_space"],
+                        d["pcs"], d["version"], d["intent"],
+                        d["created"], d["n_tags"])
+                rows.append((url, 0, "profile") + base
+                            + (None,) * 4)
+                for (pos, sig, off, sz, text) in d["tags"]:
+                    rows.append((url, pos, "tag") + base
+                                + (sig, off, sz, text))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "profile_class",
+                "color_space", "pcs", "version", "intent",
+                "created", "n_tags", "sig", "tag_offset",
+                "tag_size", "text"])
+            for c in ("pos", "n_tags"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("tag_offset", "tag_size"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ICC_DDL))
