@@ -61,15 +61,33 @@ def _members(b: bytes) -> list[tuple]:
     return out
 
 
+_MAX_CONTROL = 1 << 26  # 64 MB control.tar inflate cap
+
+
 def _inflate(name: str, data: bytes) -> bytes | None:
+    """Bounded: a lying .deb cannot bomb the worker — control
+    archives are tiny, 64 MB is generous."""
+    from .compx import inflate_bounded
     try:
         if name.endswith(".gz"):
-            return zlib.decompress(data, wbits=31)
+            return inflate_bounded(data, 0, _MAX_CONTROL,
+                                   wbits=31)[0]
         if name.endswith(".xz"):
-            return lzma.decompress(data, format=lzma.FORMAT_XZ)
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            out = bytearray(d.decompress(data, _MAX_CONTROL + 1))
+            while not d.eof:
+                if len(out) > _MAX_CONTROL:
+                    return None
+                chunk = d.decompress(
+                    b"", _MAX_CONTROL + 1 - len(out))
+                if not chunk and not d.eof:
+                    return None
+                out += chunk
+            return bytes(out) if len(out) <= _MAX_CONTROL \
+                else None
         if name.endswith(".tar"):
             return data
-    except (zlib.error, lzma.LZMAError):
+    except (zlib.error, lzma.LZMAError, ValueError):
         return None
     return None
 

@@ -35,7 +35,10 @@ def _zigzag(b: bytes, off: int) -> tuple[int, int]:
         v |= (c & 0x7F) << shift
         off += 1
         if not c & 0x80:
-            return (v >> 1) ^ -(v & 1), off
+            r = (v >> 1) ^ -(v & 1)
+            if not -(1 << 63) <= r < 1 << 63:
+                raise ValueError("varint range")  # Int64 clamp
+            return r, off
         shift += 7
 
 

@@ -34,6 +34,58 @@ import zlib
 _XZ_CHECKS = {0: "none", 1: "crc32", 4: "crc64", 10: "sha256"}
 
 
+def inflate_bounded(b: bytes, off: int, max_out: int,
+                    wbits: int = 15) -> tuple[bytes, int]:
+    """(data, consumed) for the zlib stream at off, inflated to at
+    most max_out bytes — more means a corrupt size or a
+    decompression bomb; raises ValueError rather than
+    materializing it. wbits as in zlib (31 = gzip wrapper)."""
+    d = zlib.decompressobj(wbits)
+    out = bytearray(d.decompress(b[off:], max_out + 1))
+    while not d.eof and d.unconsumed_tail:
+        budget = max_out + 1 - len(out)
+        if budget <= 0:
+            raise ValueError("inflate bound")
+        out += d.decompress(d.unconsumed_tail, budget)
+    if not d.eof or len(out) > max_out:
+        raise ValueError("inflate")
+    return bytes(out), len(b) - off - len(d.unused_data)
+
+
+_CHUNK = 1 << 20
+_MAX_COUNT_STEPS = 1 << 16  # 64 GB of output, counted not kept
+
+
+def _count_stream(d, data: bytes) -> int | None:
+    """Total decompressed LENGTH of one stream without ever
+    materializing it (bombs report their true size in O(chunk)
+    memory). Works for zlib decompressobj (unconsumed_tail) and
+    bz2/lzma decompressors (feed-once, then b''). None on
+    corrupt/truncated/absurd streams; d.eof/unused_data are the
+    caller's framing signal."""
+    total = 0
+    is_zlib = hasattr(d, "unconsumed_tail")
+    try:
+        chunk = d.decompress(data, _CHUNK)
+    except (OSError, lzma.LZMAError, zlib.error):
+        return None
+    total += len(chunk)
+    for _ in range(_MAX_COUNT_STEPS):
+        if d.eof:
+            return total
+        nxt = d.unconsumed_tail if is_zlib else b""
+        if is_zlib and not nxt:
+            return None  # truncated mid-stream
+        try:
+            chunk = d.decompress(nxt, _CHUNK)
+        except (OSError, lzma.LZMAError, zlib.error, EOFError):
+            return None
+        if not chunk and not d.eof:
+            return None  # no progress: truncated
+        total += len(chunk)
+    return None
+
+
 def _gzip(b: bytes) -> list[tuple]:
     frames = []
     off = 0
@@ -57,15 +109,17 @@ def _gzip(b: bytes) -> list[tuple]:
             if flg & 2:  # FHCRC
                 p += 2
             d = zlib.decompressobj(-15)
-            raw = d.decompress(b[p:])
-            consumed = len(b) - off - (p - off) - len(d.unused_data)
+            raw_len = _count_stream(d, b[p:])
+            if raw_len is None or not d.eof:
+                break
+            consumed = len(b) - p - len(d.unused_data)
             tail = p + consumed
             if tail + 8 > len(b):
                 break
             isize = int.from_bytes(b[tail + 4:tail + 8], "little")
-            ok = isize == (len(raw) & 0xFFFFFFFF)
+            ok = isize == (raw_len & 0xFFFFFFFF)
             frames.append((len(frames), "member",
-                           tail + 8 - off, len(raw),
+                           tail + 8 - off, raw_len,
                            fname if fname is not None
                            else (f"mtime:{mtime}" if mtime
                                  else None), ok))
@@ -82,14 +136,11 @@ def _bzip2(b: bytes) -> list[tuple]:
             and 0x31 <= b[off + 3] <= 0x39:
         level = b[off + 3] - 0x30
         d = bz2.BZ2Decompressor()
-        try:
-            raw = d.decompress(b[off:])
-        except OSError:
-            break
-        if not d.eof:
+        raw_len = _count_stream(d, b[off:])
+        if raw_len is None or not d.eof:
             break
         consumed = len(b) - off - len(d.unused_data)
-        frames.append((len(frames), "member", consumed, len(raw),
+        frames.append((len(frames), "member", consumed, raw_len,
                        f"level:{level}", True))
         off += consumed
     return frames
@@ -103,14 +154,11 @@ def _xz(b: bytes) -> list[tuple]:
         check = _XZ_CHECKS.get(b[off + 7] & 0x0F,
                                str(b[off + 7] & 0x0F))
         d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-        try:
-            raw = d.decompress(b[off:])
-        except lzma.LZMAError:
-            break
-        if not d.eof:
+        raw_len = _count_stream(d, b[off:])
+        if raw_len is None or not d.eof:
             break
         consumed = len(b) - off - len(d.unused_data)
-        frames.append((len(frames), "stream", consumed, len(raw),
+        frames.append((len(frames), "stream", consumed, raw_len,
                        f"check:{check}", True))
         off += consumed
     return frames

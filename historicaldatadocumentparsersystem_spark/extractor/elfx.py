@@ -50,9 +50,16 @@ def parse_elf(payload) -> dict:
         return int.from_bytes(b[off:off + n], bo)
 
     w = 8 if is64 else 4  # word size
+
+    def i64(v: int) -> int | None:
+        # Int64-column clamp rule: u64 header fields (kernel-space
+        # entry points are REAL at >= 2^63) surface NULL rather
+        # than crashing the Arrow batch
+        return v if v < 1 << 63 else None
+
     out["etype"] = _TYPES.get(u(16, 2), str(u(16, 2)))
     out["machine"] = _MACHINES.get(u(18, 2), str(u(18, 2)))
-    out["entry"] = u(24, w)
+    out["entry"] = i64(u(24, w))
     shoff = u(24 + w + w, w)
     # e_shentsize/e_shnum/e_shstrndx trail the fixed header
     tail = 24 + 3 * w + 4 + 2 + 2 + 2  # after e_phnum
@@ -95,7 +102,7 @@ def parse_elf(payload) -> dict:
                         (("W", 1), ("A", 2), ("X", 4)) if fl & bit)
         out["sections"].append(
             (i, name, _SEC_TYPES.get(r[1], str(r[1])), flags,
-             r[3], r[4]))
+             i64(r[3]), i64(r[4])))
     # DT_NEEDED through the dynamic section's own string table
     for i, r in enumerate(raws):
         if r[1] != 6:  # SHT_DYNAMIC

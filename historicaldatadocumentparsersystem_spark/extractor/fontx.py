@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import zlib
 
+from .compx import inflate_bounded
+
 _NAME_IDS = {0: "copyright", 1: "family", 2: "subfamily",
              3: "unique_id", 4: "full_name", 5: "version",
              6: "postscript", 8: "manufacturer", 11: "vendor_url",
@@ -102,12 +104,16 @@ def parse_font(payload) -> dict:
                 orig = int.from_bytes(b[p + 12:p + 16], "big")
                 out["tables"].append(
                     (len(out["tables"]), tag, off, orig, comp))
-                if tag == "name" and off + comp <= len(b):
+                if tag == "name" and off + comp <= len(b) \
+                        and orig <= 1 << 26:
                     raw = b[off:off + comp]
                     if comp < orig:
                         try:
-                            raw = zlib.decompress(raw)
-                        except zlib.error:
+                            # bounded by the declared origLength —
+                            # a lying header cannot bomb the worker
+                            raw, _ = inflate_bounded(
+                                raw, 0, orig)
+                        except (zlib.error, ValueError):
                             continue
                     out["names"] = _parse_names(raw)
             return out

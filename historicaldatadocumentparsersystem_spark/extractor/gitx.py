@@ -23,7 +23,11 @@ from __future__ import annotations
 import hashlib
 import zlib
 
+from .compx import inflate_bounded
+
 _TYPES = {1: "commit", 2: "tree", 3: "blob", 4: "tag"}
+_MAX_LOOSE = 1 << 26   # 64 MB loose-object inflate cap
+_MAX_PACKED = 1 << 31  # declared pack-object size sanity bound
 
 
 def _obj_id(otype: str, content: bytes) -> str:
@@ -50,8 +54,12 @@ def _apply_delta(base: bytes, delta: bytes) -> bytes | None:
         if src_size != len(base):
             return None
         out_size, p = size(p)
+        if out_size > _MAX_PACKED:
+            return None
         out = bytearray()
         while p < len(delta):
+            if len(out) > out_size:  # copy-op expansion bomb
+                return None
             op = delta[p]
             p += 1
             if op & 0x80:  # copy from base
@@ -100,7 +108,11 @@ def parse_commit(content: bytes) -> dict:
                 gt = line.index(b">", lt)
                 email = line[lt + 1:gt].decode("utf-8", "replace")
                 rest = line[gt + 1:].split()
-                ts = int(rest[0]) if rest else None
+                # 1-15-digit trust gate (the delta-seconds rule):
+                # unbounded int() would overflow the Int64 column
+                ts = int(rest[0]) if rest \
+                    and rest[0].lstrip(b"-").isdigit() \
+                    and len(rest[0]) <= 15 else None
             except (ValueError, IndexError):
                 email, ts = None, None
             out[f"{kind}_email"] = email
@@ -134,8 +146,8 @@ def parse_loose(payload) -> dict | None:
     if not isinstance(payload, (bytes, bytearray)):
         return None
     try:
-        raw = zlib.decompress(bytes(payload))
-    except zlib.error:
+        raw, _ = inflate_bounded(bytes(payload), 0, _MAX_LOOSE)
+    except (zlib.error, ValueError):
         return None
     nul = raw.find(b"\x00")
     if nul < 0:
@@ -172,6 +184,7 @@ def parse_pack(payload, with_content: bool = False) -> dict:
     out["n_declared"] = n
     off = 12
     by_off: dict[int, tuple] = {}  # obj_start -> (otype, content)
+    by_oid: dict[str, tuple] = {}  # oid -> same (O(1) ref-delta)
     for _ in range(min(n, 10_000)):
         start = off
         try:
@@ -185,6 +198,8 @@ def parse_pack(payload, with_content: bool = False) -> dict:
                 off += 1
                 size |= (c & 0x7F) << shift
                 shift += 7
+            if size > _MAX_PACKED:
+                break
             base_off = None
             base_oid = None
             if t == 6:  # ofs-delta: negative offset varint
@@ -199,22 +214,18 @@ def parse_pack(payload, with_content: bool = False) -> dict:
             elif t == 7:  # ref-delta
                 base_oid = b[off:off + 20].hex()
                 off += 20
-            d = zlib.decompressobj()
-            data = d.decompress(b[off:])
-            consumed = len(b) - off - len(d.unused_data)
-            if not d.eof:
+            # bound by the header's declared size — corrupt sizes
+            # and decompression bombs never materialize
+            data, consumed = inflate_bounded(b, off, size)
+            if len(data) != size:
                 break
             off += consumed
             if t in _TYPES:
                 otype = _TYPES[t]
                 content = data
             else:
-                base = by_off.get(base_off) if t == 6 else None
-                if base is None and base_oid is not None:
-                    base = next(
-                        ((ot, ct) for o, (ot, ct) in
-                         by_off.items()
-                         if _obj_id(ot, ct) == base_oid), None)
+                base = by_off.get(base_off) if t == 6 \
+                    else by_oid.get(base_oid)
                 if base is not None:
                     resolved = _apply_delta(base[1], data)
                 else:
@@ -229,6 +240,7 @@ def parse_pack(payload, with_content: bool = False) -> dict:
                 base_oid = _obj_id(*base)
             by_off[start] = (otype, content)
             oid = _obj_id(otype, content)
+            by_oid[oid] = by_off[start]
             if with_content:
                 out["contents"][oid] = content
             out["objects"].append(

@@ -86,8 +86,11 @@ def parse_icc(payload) -> dict:
                          f"{h:02d}:{mi:02d}:{s:02d}"
     out["intent"] = _INTENTS.get(_u32(b, 64), str(_u32(b, 64)))
     n = _u32(b, 128)
-    out["n_tags"] = n
-    for i in range(min(n, 200)):
+    # Int32-column clamp: raw u32 -> NULL past int32 (walk is
+    # capped separately)
+    out["n_tags"] = n if n <= 0x7FFFFFFF else None
+    for i in range(min(n, 200) if out["n_tags"] is not None
+                   else 0):
         p = 132 + 12 * i
         if p + 12 > len(b):
             break

@@ -63,7 +63,9 @@ def _slice(b: bytes, arch: str | None, out: dict) -> None:
                 "latin-1")
             nsects = u32(p + (64 if cmd == _LC_SEG64 else 48))
             out["segments"].append(
-                (len(out["segments"]), sl, nm, nsects))
+                (len(out["segments"]), sl, nm,
+                 # Int32-column clamp: raw u32 -> NULL past int32
+                 nsects if nsects <= 0x7FFFFFFF else None))
         elif (cmd & 0x7FFFFFFF) in _LC_DYLIBS:
             off = u32(p + 8)
             if 8 <= off < csize:

@@ -106,7 +106,11 @@ def parse_pcap(payload) -> dict:
         off += incl
         row: dict = {"pos": pos, "ts_ms": ts_sec * 1000
                      + ts_frac // div,
-                     "orig_len": orig, "incl_len": incl,
+                     # Int32-column clamp: orig_len is a raw u32
+                     # the framing never validates — NULL past int32
+                     "orig_len": orig if orig <= 0x7FFFFFFF
+                     else None,
+                     "incl_len": incl,
                      "src_mac": None, "dst_mac": None,
                      "ethertype": None, "src_ip": None,
                      "dst_ip": None, "proto": None,

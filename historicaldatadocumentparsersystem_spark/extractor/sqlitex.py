@@ -27,6 +27,8 @@ same "opaque container -> typed rows" move its CSV/PDF paths make.
 
 from __future__ import annotations
 
+import struct
+
 _MAGIC = b"SQLite format 3\x00"
 _ENC = {1: "utf8", 2: "utf16le", 3: "utf16be"}
 _CODEC = {"utf8": "utf-8", "utf16le": "utf-16-le",
@@ -74,11 +76,14 @@ def parse_header(payload: bytes) -> dict | None:
     n_pages = _u32(b, 28)
     if n_pages == 0 or _u32(b, 24) != _u32(b, 92):
         n_pages = len(b) // ps
+    fp = _u32(b, 36)
     return {
         "page_size": ps,
         "usable": usable,
         "n_pages": n_pages,
-        "freelist_pages": _u32(b, 36),
+        # Int32-column clamp rule: a u32 header field past int32
+        # range is garbage — surface NULL, never crash the batch
+        "freelist_pages": fp if fp <= 0x7FFFFFFF else None,
         "schema_cookie": _u32(b, 40),
         "encoding": _ENC.get(_u32(b, 56)),
         "user_version": _u32(b, 60),
@@ -157,7 +162,8 @@ class _Db:
                         rec[pos:pos + n], "big", signed=True))
                     pos += n
                 elif s == 7:
-                    import struct
+                    if pos + 8 > len(rec):
+                        return None
                     vals.append(struct.unpack(
                         ">d", rec[pos:pos + 8])[0])
                     pos += 8
@@ -179,7 +185,7 @@ class _Db:
                 if pos > len(rec):
                     return None
             return vals
-        except (IndexError, ValueError):
+        except (IndexError, ValueError, struct.error):
             return None
 
     # --- tree walks ----------------------------------------------
@@ -277,7 +283,8 @@ def parse_sqlite(payload) -> dict:
         otype, name, tbl_name, rootpage, sql = vals[:5]
         if not isinstance(otype, str) or not isinstance(name, str):
             continue
-        rootpage = rootpage if isinstance(rootpage, int) else None
+        rootpage = rootpage if isinstance(rootpage, int) \
+            and 0 <= rootpage <= 0x7FFFFFFF else None
         sql = sql if isinstance(sql, str) else None
         n_rows = None
         if otype == "table" and rootpage:

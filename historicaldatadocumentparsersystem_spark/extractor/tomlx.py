@@ -32,9 +32,13 @@ _DATETIME = re.compile(
     r"([Zz]|[+-]\d{2}:\d{2})?|\d{4}-\d{2}-\d{2}"
     r"|\d{2}:\d{2}:\d{2}(\.\d+)?")
 _NUM_START = re.compile(r"[+-]?(\d|inf|nan)")
-_RADIX = re.compile(r"[0-9A-Fa-f_]+")
+# underscores must be SURROUNDED by digits (TOML 1.0); leading /
+# trailing / doubled underscores fall out of the match and the
+# line-end check rejects the leftover
+_RADIX = re.compile(r"[0-9A-Fa-f]+(?:_[0-9A-Fa-f]+)*")
 _DECNUM = re.compile(
-    r"\d[\d_]*(?:\.\d[\d_]*)?(?:[eE][+-]?\d[\d_]*)?")
+    r"\d+(?:_\d+)*(?:\.\d+(?:_\d+)*)?(?:[eE][+-]?\d+(?:_\d+)*)?")
+_INTPART = re.compile(r"\d+")
 _ESC = {'"': '"', "\\": "\\", "b": "\b", "t": "\t", "n": "\n",
         "f": "\f", "r": "\r"}
 
@@ -82,14 +86,15 @@ class _P:
 
     # --- keys ---------------------------------------------------
     def key(self) -> list[str]:
-        parts = [self._simple_key()]
+        parts = [self._checked_key(self._simple_key())]
         while True:
             save = self.i
             self.ws()
             if self.peek() == ".":
                 self.i += 1
                 self.ws()
-                parts.append(self._simple_key())
+                parts.append(
+                    self._checked_key(self._simple_key()))
             else:
                 self.i = save
                 return parts
@@ -105,6 +110,11 @@ class _P:
             raise _Err(f"bad key at {self.i}")
         self.i = m.end()
         return m.group()
+
+    def _checked_key(self, k: str) -> str:
+        if "\x00" in k:  # would collide with the kind mark
+            raise _Err("NUL in key")
+        return k
 
     # --- strings ------------------------------------------------
     def _basic_string(self) -> str:
@@ -212,10 +222,13 @@ class _P:
             raise _Err("bad number")
         raw = m.group().replace("_", "")
         self.i = m.end()
+        # leading-zero rule applies to the INTEGER PART of floats
+        # too (01.5 is invalid; 0.5 and 1e01 are fine)
+        intpart = _INTPART.match(raw).group()
+        if len(intpart) > 1 and intpart[0] == "0":
+            raise _Err("leading zero")
         if "." in raw or "e" in raw or "E" in raw:
             return sign * float(raw)
-        if len(raw) > 1 and raw[0] == "0":
-            raise _Err("leading zero")
         return sign * int(raw)
 
     def _array(self) -> list:
@@ -235,7 +248,9 @@ class _P:
 
     def _inline_table(self) -> dict:
         self.expect("{")
-        out: dict = {}
+        # inline tables are frozen wherever they land, including
+        # top-level assignments — mark here, not at the call site
+        out: dict = {_KIND: "inline"}
         self.ws()
         if self.peek() == "}":
             self.i += 1
@@ -255,17 +270,31 @@ class _P:
             return out
 
 
+# table-creation kinds (the "\x00kind" mark, stripped on output):
+# 'header' = declared by [x]; 'implicit' = intermediate of a
+# deeper header (re-openable); 'dotted' = created/extended by a
+# dotted key (a later header on it is a redefinition); 'inline' =
+# frozen. These are tomllib's declaration rules, probe-verified.
+_KIND = "\x00kind"
+
+
 def _assign(root: dict, path: list[str], val, inline=False) -> None:
     cur = root
     for p in path[:-1]:
-        nxt = cur.setdefault(p, {})
-        if not isinstance(nxt, dict) or nxt.get("\x00frozen"):
+        nxt = cur.get(p)
+        if nxt is None:
+            nxt = cur[p] = {_KIND: "dotted"}
+        if not isinstance(nxt, dict) or \
+                nxt.get(_KIND) in ("inline", "header"):
             raise _Err(f"conflict at {p}")
+        # dotted traversal claims implicit nodes for dotted rules
+        if nxt.get(_KIND) == "implicit":
+            nxt[_KIND] = "dotted"
         cur = nxt
     if path[-1] in cur:
         raise _Err(f"duplicate {path[-1]}")
     if inline and isinstance(val, dict):
-        val["\x00frozen"] = True
+        val[_KIND] = "inline"
     cur[path[-1]] = val
 
 
@@ -273,7 +302,6 @@ def _parse_doc(src: str) -> dict:
     p = _P(src)
     root: dict = {}
     cur = root
-    defined: set[tuple] = set()
     while True:
         p.ws(newlines=True)
         if p.eof():
@@ -288,11 +316,13 @@ def _parse_doc(src: str) -> dict:
             p.line_end()
             cur = root
             for q in path[:-1]:
-                nxt = cur.setdefault(q, {})
+                nxt = cur.get(q)
+                if nxt is None:
+                    nxt = cur[q] = {_KIND: "implicit"}
                 if isinstance(nxt, list):
                     nxt = nxt[-1]
                 if not isinstance(nxt, dict) or \
-                        nxt.get("\x00frozen"):
+                        nxt.get(_KIND) == "inline":
                     raise _Err(f"conflict at {q}")
                 cur = nxt
             leaf = path[-1]
@@ -300,19 +330,22 @@ def _parse_doc(src: str) -> dict:
                 arr = cur.setdefault(leaf, [])
                 if not isinstance(arr, list):
                     raise _Err(f"conflict at {leaf}")
-                arr.append({})
+                arr.append({_KIND: "header"})
                 cur = arr[-1]
             else:
-                key = tuple(path)
-                if key in defined:
+                nxt = cur.get(leaf)
+                if nxt is None:
+                    fresh: dict = {_KIND: "header"}
+                    cur[leaf] = fresh
+                    cur = fresh
+                elif isinstance(nxt, dict) and \
+                        nxt.get(_KIND) == "implicit":
+                    nxt[_KIND] = "header"  # promote once
+                    cur = nxt
+                else:
+                    # header / dotted / inline / aot / scalar:
+                    # all are redefinitions
                     raise _Err(f"table redefined {path}")
-                defined.add(key)
-                nxt = cur.setdefault(leaf, {})
-                if isinstance(nxt, list) or not \
-                        isinstance(nxt, dict) or \
-                        nxt.get("\x00frozen"):
-                    raise _Err(f"conflict at {leaf}")
-                cur = nxt
             continue
         path = p.key()
         p.ws()
@@ -327,7 +360,7 @@ def _parse_doc(src: str) -> dict:
 def _strip_marks(obj):
     if isinstance(obj, dict):
         return {k: _strip_marks(v) for k, v in obj.items()
-                if k != "\x00frozen"}
+                if k != _KIND}
     if isinstance(obj, list):
         return [_strip_marks(v) for v in obj]
     return obj

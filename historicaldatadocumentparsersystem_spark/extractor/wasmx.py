@@ -86,10 +86,12 @@ def parse_wasm(payload) -> dict:
             if sec_id == 0:
                 cname, p = _name(b, p, end)
                 sec_name = f"custom:{cname}"
-            elif sec_id in _VEC:
+            elif sec_id in _VEC or sec_id == 12:
                 n_items, p = _uleb(b, p, end)
-            elif sec_id == 12:
-                n_items, p = _uleb(b, p, end)
+                if n_items > 0x7FFFFFFF:
+                    # Int32-column clamp rule: a declared count
+                    # past int32 is garbage — NULL, never crash
+                    n_items = None
             out["sections"].append(
                 (len(out["sections"]), sec_id, sec_name, size,
                  n_items))
@@ -121,7 +123,7 @@ def parse_wasm(payload) -> dict:
                         nm, p = _name(b, p, end)
                         kind = b[p]
                         idx, p = _uleb(b, p + 1, end)
-                        if kind not in _KINDS:
+                        if kind not in _KINDS or idx >= 1 << 63:
                             raise ValueError("kind")
                         out["exports"].append(
                             (len(out["exports"]), nm, _KINDS[kind],

@@ -121,3 +121,10 @@ def test_fuzz_never_raises():
         d = avrox.parse_avro(bytes(base[:rng.randrange(
             0, len(base) + 1)]))
         assert isinstance(d["blocks"], list)
+
+
+def test_zigzag_int64_range():
+    """a 10-byte varint decoding past int64 raises (Int64-column
+    clamp, review regression) instead of emitting an overflow."""
+    with pytest.raises(ValueError):
+        avrox._zigzag(b"\x80" * 9 + b"\x7f", 0)

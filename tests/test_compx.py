@@ -100,3 +100,15 @@ def test_fuzz_never_raises():
         d = compx.parse_compressed(bytes(base[:rng.randrange(
             0, len(base) + 1)]))
         assert isinstance(d["frames"], list)
+
+
+def test_bomb_counts_without_materializing():
+    """a gzip bomb's raw size is COUNTED, never materialized —
+    the member row reports the true inflated length in O(chunk)
+    memory (review regression)."""
+    import zlib
+    big = 64 * 1024 * 1024
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    blob = co.compress(b"\x00" * big) + co.flush()
+    fr = compx.parse_compressed(blob)["frames"]
+    assert fr and fr[0][3] == big and fr[0][5]

@@ -97,3 +97,13 @@ def test_fuzz_never_raises():
         d = elfx.parse_elf(bytes(base[:rng.randrange(
             0, len(base) + 1)]))
         assert isinstance(d["sections"], list)
+
+
+def test_kernel_space_entry_clamp():
+    """u64 entry/offset/size fields >= 2^63 (real in kernel
+    images) surface NULL instead of crashing the Int64 column
+    (review regression)."""
+    base = bytearray(fixtures.elf_object_rows()[0]["payload"])
+    base[24:32] = (0xFFFFFFFF80100000).to_bytes(8, "little")
+    d = elfx.parse_elf(bytes(base))
+    assert d["entry"] is None and d["sections"]  # rest parses

@@ -82,6 +82,25 @@ def test_oids_match_git_binary(tmp_path):
     assert r.returncode == 0, r.stderr
 
 
+def test_guards():
+    import zlib
+    # decompression bomb: a few-hundred-KB loose object claiming
+    # hundreds of MB never materializes — bounded inflate rejects
+    bomb = zlib.compress(b"\x00" * (200 * 1024 * 1024), 9)
+    assert gitx.parse_loose(bomb) is None
+    # author timestamp trust gate: unbounded digits -> NULL ts
+    c = gitx.parse_commit(
+        b"tree " + b"0" * 40
+        + b"\nauthor X <x@y> 99999999999999999999999 +0000\n\nm")
+    assert c["author_ts"] is None and c["author_email"] == "x@y"
+    # delta expansion bomb: repeated 64 KB copy ops into a 5-byte
+    # declared output bail at the in-loop bound, not after
+    # materializing  (src=70000 varint, out=5, 3x op 0x80)
+    base = b"0123456789" * 7000
+    delta = bytes([0xF0, 0xA2, 0x04, 0x05]) + bytes([0x80]) * 3
+    assert gitx._apply_delta(base, delta) is None
+
+
 def test_loose_objects():
     by = {r["url"].rsplit("/", 1)[1]:
           gitx.parse_loose(r["payload"])
@@ -163,9 +182,10 @@ def test_fuzz_never_raises():
                                for _ in range(rng.randrange(0,
                                                             200)))
         assert isinstance(gitx.parse_pack(blob)["objects"], list)
-        assert gitx.parse_loose(bytes(
+        lo = gitx.parse_loose(bytes(
             rng.randrange(256)
-            for _ in range(rng.randrange(0, 80)))) is None or True
+            for _ in range(rng.randrange(0, 80))))
+        assert lo is None or isinstance(lo, dict)
     for _ in range(80):
         base = bytearray(pack)
         for _ in range(rng.randrange(1, 12)):

@@ -114,3 +114,16 @@ def test_fuzz_never_raises():
         d = pcapx.parse_pcap(bytes(base[:rng.randrange(
             0, len(base) + 1)]))
         assert isinstance(d["packets"], list)
+
+
+def test_orig_len_clamp():
+    """orig_len is an unvalidated u32: past int32 -> NULL, never a
+    crashed Arrow batch (review regression)."""
+    import struct
+    base = fixtures.pcap_capture_rows()[0]["payload"]
+    hdr = base[:24]
+    rec = struct.pack("<IIII", 1730000000, 0, 4, 0xFFFFFFFF) \
+        + b"\x00" * 4
+    pkts = pcapx.parse_pcap(hdr + rec)["packets"]
+    assert pkts[0]["orig_len"] is None
+    assert pkts[0]["incl_len"] == 4

@@ -147,3 +147,17 @@ def test_fuzz_never_raises():
         cut = rng.randrange(0, len(base) + 1)
         d = sqlitex.parse_sqlite(bytes(base[:cut]))
         assert isinstance(d["objects"], list)
+
+
+def test_corrupt_record_degrades():
+    """serial-type-7 record truncated mid-float: struct must not
+    escape the never-raises contract (review regression)."""
+    r = fixtures.sqlite_db_rows()[0]
+    hdr = sqlitex.parse_header(r["payload"])
+    db = sqlitex._Db(bytes(r["payload"]), hdr)
+    assert db._decode_record(b"\x02\x07\x01\x02\x03") is None
+    # Int32 clamps: absurd u32 header/rootpage values -> NULL
+    bad = bytearray(r["payload"])
+    bad[36:40] = b"\xff\xff\xff\xff"  # freelist u32 past int32
+    h = sqlitex.parse_header(bytes(bad))
+    assert h["freelist_pages"] is None

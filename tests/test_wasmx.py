@@ -108,3 +108,15 @@ def test_fuzz_never_raises():
         d = wasmx.parse_wasm(bytes(base[:rng.randrange(
             0, len(base) + 1)]))
         assert isinstance(d["sections"], list)
+
+
+def test_vector_count_clamp():
+    """a declared vector count past int32 -> NULL n_items (review
+    regression); the section row itself survives."""
+    hdr = b"\x00asm" + (1).to_bytes(4, "little")
+    # type section claiming 2^31 entries (5-byte uleb, no backing)
+    count = b"\x80\x80\x80\x80\x08"
+    blob = hdr + bytes([1]) + bytes([len(count)]) + count
+    d = wasmx.parse_wasm(blob)
+    assert d["sections"][0][2] == "type"
+    assert d["sections"][0][4] is None
