@@ -3553,6 +3553,8 @@ _GOLDEN_GIT = os.path.join(
     _REPO, "fixtures", "golden_git_seed42_n6.parquet")
 _GOLDEN_ICC = os.path.join(
     _REPO, "fixtures", "golden_icc_seed42_n5.parquet")
+_GOLDEN_ISO = os.path.join(
+    _REPO, "fixtures", "golden_iso_seed42_n4.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4345,6 +4347,7 @@ _EXTRA_ORDER = [
     "ar_archives", "deb_dependency_census",
     "git_objects", "git_commit_history",
     "icc_profiles", "icc_class_census",
+    "iso_images", "iso_tree_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8622,6 +8625,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("profile_class", "color_space"))
     q["icc_class_census"] = q_icc_class_census
 
+    # --- ISO 9660 disc images (mirror/firmware downloads; Joliet
+    # names win; both-endian fields cross-checked)
+    def q_iso_images(spark, sf_dir):
+        files = fixtures.iso_image_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_iso_images(df)
+    q["iso_images"] = q_iso_images
+
+    def q_iso_tree_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_ISO)
+        depth = F.expr(
+            "CASE WHEN path IS NULL THEN NULL ELSE "
+            "length(path) - length(replace(path, '/', '')) + 1 "
+            "END")
+        return (g.groupBy("url", "volume_id", "has_joliet")
+                .agg(F.sum(F.when(F.col("row_kind") == "member",
+                                  1).otherwise(0)).cast("long")
+                     .alias("n_members"),
+                     F.sum(F.when(F.col("is_dir"), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_dirs"),
+                     F.sum(F.when(~F.col("is_dir"),
+                                  F.col("size")).otherwise(0))
+                     .cast("long").alias("file_bytes"),
+                     F.max(depth).cast("int").alias("max_depth"),
+                     F.min("recorded").alias("oldest"))
+                .orderBy("url"))
+    q["iso_tree_profile"] = q_iso_tree_profile
+
     return q
 
 
@@ -12681,4 +12715,26 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_ICC}')
             GROUP BY profile_class, color_space
             ORDER BY profile_class, color_space""",
+        # ISO 9660: committed golden pinned by tests/test_isox.py
+        # against the pure re-derivation
+        "iso_images": f"""
+            SELECT url, pos, row_kind, volume_id, system_id,
+                   n_sectors, block_size, has_joliet, path,
+                   is_dir, size, lba, recorded
+            FROM read_parquet('{_GOLDEN_ISO}')""",
+        "iso_tree_profile": f"""
+            SELECT url, volume_id, has_joliet,
+                   sum(CASE WHEN row_kind = 'member' THEN 1
+                       ELSE 0 END)::bigint AS n_members,
+                   sum(CASE WHEN is_dir THEN 1 ELSE 0
+                       END)::bigint AS n_dirs,
+                   sum(CASE WHEN NOT is_dir THEN size ELSE 0
+                       END)::bigint AS file_bytes,
+                   max(CASE WHEN path IS NULL THEN NULL ELSE
+                       length(path)
+                       - length(replace(path, '/', '')) + 1
+                       END)::int AS max_depth,
+                   min(recorded) AS oldest
+            FROM read_parquet('{_GOLDEN_ISO}')
+            GROUP BY url, volume_id, has_joliet ORDER BY url""",
     }

@@ -7280,3 +7280,113 @@ def icc_profile_rows(seed: int = 42) -> list[dict]:
     add("cut.icc", p3[:140])
     add("junk.bin", b"not a profile at all, no acsp")
     return rows
+
+
+def iso_image_rows(seed: int = 42) -> list[dict]:
+    """Deterministic hand-built ISO 9660 images (url, payload) —
+    the ENCODE half of extractor/isox.py. Shapes: PVD + Joliet SVD
+    (UCS-2 names win), nested directory, versioned identifiers,
+    fixed recording dates / PVD-only image / truncated / junk.
+    Golden: fixtures/golden_iso_seed42_n4.parquet."""
+    import struct
+
+    S = 2048
+
+    def u32b(v):
+        return struct.pack("<I", v) + struct.pack(">I", v)
+
+    def u16b(v):
+        return struct.pack("<H", v) + struct.pack(">H", v)
+
+    DATE = bytes([124, 10, 27, 6, 0, 0, 0])  # 2024-10-27T06:00:00
+
+    def rec(name, extent, size, is_dir=False, joliet=False):
+        if name in (".", ".."):
+            raw = b"\x00" if name == "." else b"\x01"
+        else:
+            raw = name.encode("utf-16-be" if joliet else "ascii")
+        ln = 33 + len(raw)
+        ln += ln & 1
+        out = bytearray(ln)
+        out[0] = ln
+        out[2:10] = u32b(extent)
+        out[10:18] = u32b(size)
+        out[18:25] = DATE
+        out[25] = 2 if is_dir else 0
+        out[28:32] = u16b(1)
+        out[32] = len(raw)
+        out[33:33 + len(raw)] = raw
+        return bytes(out)
+
+    def sector(payload):
+        return payload.ljust(S, b"\x00")
+
+    def vd(vtype, volume_id, root_extent, root_size, escape=b""):
+        d = bytearray(S)
+        d[0] = vtype
+        d[1:7] = b"CD001\x01"
+        d[8:40] = b"HDDPS-SPARK".ljust(32)
+        d[40:72] = volume_id.ljust(32).encode("ascii")
+        d[80:88] = u32b(26)
+        d[88:88 + len(escape)] = escape
+        d[120:124] = u16b(1)
+        d[124:128] = u16b(1)
+        d[128:132] = u16b(S)
+        d[156:190] = rec(".", root_extent, root_size, True)
+        return bytes(d)
+
+    readme = b"welcome to the crawl mirror image\n"
+    inner = bytes(range(100))
+
+    def dirsec(entries):
+        return sector(b"".join(entries))
+
+    pvd_root = dirsec([
+        rec(".", 19, S, True), rec("..", 19, S, True),
+        rec("README.TXT;1", 22, len(readme)),
+        rec("DATA", 20, S, True),
+    ])
+    pvd_data = dirsec([
+        rec(".", 20, S, True), rec("..", 19, S, True),
+        rec("INNER.BIN;1", 23, len(inner)),
+    ])
+    jol_root = dirsec([
+        rec(".", 21, S, True, True), rec("..", 21, S, True, True),
+        rec("Read Me.txt", 22, len(readme), joliet=True),
+        rec("Data Files", 24, S, True, True),
+    ])
+    jol_data = dirsec([
+        rec(".", 24, S, True, True), rec("..", 21, S, True, True),
+        rec("inner file.bin", 23, len(inner), joliet=True),
+    ])
+
+    full = (sector(b"") * 16
+            + vd(1, "CRAWL_MIRROR", 19, S)
+            + vd(2, "CRAWL_MIRROR", 21, S, escape=b"%/E")
+            + vd(255, "", 0, 0)
+            + pvd_root + pvd_data + jol_root
+            + sector(readme) + sector(inner) + jol_data
+            + sector(b""))
+    plain = (sector(b"") * 16
+             + vd(1, "FIRMWARE_V2", 18, S)
+             + vd(255, "", 0, 0)
+             + dirsec([
+                 rec(".", 18, S, True), rec("..", 18, S, True),
+                 rec("BOOT.IMG;1", 19, 512),
+                 rec("VERSION.TXT;1", 19, 12),
+             ])
+             + sector(b"\x90" * 512))
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://mirror{len(rows)}.example.org/"
+                   f"{name}",
+            "payload": blob})
+
+    add("mirror.iso", full)
+    add("firmware.iso", plain)
+    add("cut.iso", full[:18 * S + 100])
+    add("junk.iso", b"\x00" * (17 * S))
+    return rows

@@ -3631,3 +3631,56 @@ def read_icc_profiles(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, ICC_DDL))
+
+
+ISO_DDL = (
+    "url string, pos int, row_kind string, volume_id string, "
+    "system_id string, n_sectors int, block_size int, "
+    "has_joliet boolean, path string, is_dir boolean, size long, "
+    "lba long, recorded string")
+
+
+def read_iso_images(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, ISO 9660 image bytes) -> one 'volume' row (ids,
+    sector count, Joliet flag) plus one 'member' row per directory
+    entry from the walked tree (Joliet names when present). Pure
+    parse: ``extractor.isox.parse_iso`` (golden-pinned). Map-only;
+    junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.isox import parse_iso
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_iso(
+                    bytes(payload) if payload is not None else None)
+                if d["volume_id"] is None and \
+                        d["system_id"] is None and \
+                        d["n_sectors"] is None:
+                    continue
+                base = (d["volume_id"], d["system_id"],
+                        d["n_sectors"], d["block_size"],
+                        d["has_joliet"])
+                rows.append((url, 0, "volume") + base
+                            + (None,) * 5)
+                for (pos, path, is_dir, size, lba, recorded) in \
+                        d["members"]:
+                    rows.append((url, pos, "member") + base
+                                + (path, is_dir, size, lba,
+                                   recorded))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "volume_id", "system_id",
+                "n_sectors", "block_size", "has_joliet", "path",
+                "is_dir", "size", "lba", "recorded"])
+            for c in ("pos", "n_sectors", "block_size"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("size", "lba"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, ISO_DDL))
