@@ -9654,7 +9654,7 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
             )
             SELECT doc_id, count(*)::bigint AS n_terms,
-                   round(sum(s)::double, 6) AS bm25
+                   round(sum(s), 6)::double AS bm25
             FROM scored GROUP BY doc_id""",
         # sqrt-temperature domain mixture: Z folds sqrt(n_d) in domain-
         # name order (list_reduce seedless == 0.0-seeded F.aggregate:

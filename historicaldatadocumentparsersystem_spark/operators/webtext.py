@@ -540,8 +540,10 @@ def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
     Only documents matching >= 1 query term appear. Determinism across
     engines: the per-(doc, term) score is rounded to 9 places into
     DECIMAL(20,9) BEFORE the per-doc sum (associative — groupBy merge
-    order cannot change the result), then one double cast + round(6) —
-    the ``unigram_logppl`` fixed-point pipeline. ``b`` = 0.75 is
+    order cannot change the result), then round(6) IN DECIMAL SPACE
+    (HALF_UP is identical in both engines) before the one double cast —
+    rounding after the cast hit a cross-engine .5-tie at the 7th digit
+    (r4 driver: sf0.01 doc 336, 1.037825 vs 1.037824). ``b`` = 0.75 is
     binary-exact; k1 rides as the same nearest-double in both engines.
 
     Returns (doc_id, n_terms, bm25).
@@ -577,7 +579,7 @@ def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
               .select("id", part.alias("s")))
     return (scored.groupBy("id")
             .agg(F.count("*").cast("long").alias("n_terms"),
-                 F.round(F.sum("s").cast("double"), 6).alias("bm25"))
+                 F.round(F.sum("s"), 6).cast("double").alias("bm25"))
             .withColumnRenamed("id", "doc_id"))
 
 

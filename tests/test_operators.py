@@ -534,6 +534,43 @@ def test_bm25_scores_rank_and_coverage(spark):
     assert out[4]["bm25"] > out[2]["bm25"] > 0
 
 
+def test_bm25_final_round_tie_parity(spark):
+    """r4 driver red row regression: a per-doc DECIMAL(20,9) score sum
+    landing EXACTLY on a .5 tie at the 7th digit (sf0.01 doc 336:
+    1.037824500) must round identically in Spark and DuckDB. The fix
+    rounds IN DECIMAL SPACE (HALF_UP both engines) before the double
+    cast; the old cast-then-round pattern disagreed (Spark rounds the
+    shortest decimal repr "1.0378245" HALF_UP -> ...25 while DuckDB
+    rounds the binary double, slightly below the tie -> ...24)."""
+    import duckdb
+    # sum = 1.000002500 exactly: DuckDB's double round multiplies by
+    # 10^6 in binary and 1.0000025 * 1e6 = 1000002.4999999999 — below
+    # the half — so the old cast-then-round pattern gives 1.000002
+    # there while Spark rounds the shortest repr "1.0000025" HALF_UP
+    # to 1.000003: a verified-biting vector
+    vals = ["0.500001250", "0.500001250"]
+    from decimal import Decimal
+    df = spark.createDataFrame([(Decimal(v),) for v in vals],
+                               "s decimal(20,9)")
+    new = df.agg(F.round(F.sum("s"), 6).cast("double")
+                 .alias("bm25")).collect()[0]["bm25"]
+    sql_vals = ", ".join(f"('{v}'::decimal(20,9))" for v in vals)
+    con = duckdb.connect()
+    d_new = con.execute(
+        f"SELECT round(sum(s), 6)::double FROM (VALUES {sql_vals}) "
+        "t(s)").fetchone()[0]
+    assert new == d_new == 1.000003         # HALF_UP at the tie
+    # the tie is real: the old pattern's two engines disagree on it
+    old_spark = df.agg(
+        F.round(F.sum("s").cast("double"), 6).alias("b")
+    ).collect()[0]["b"]
+    old_duck = con.execute(
+        f"SELECT round(sum(s)::double, 6) FROM (VALUES {sql_vals}) "
+        "t(s)").fetchone()[0]
+    assert old_spark != old_duck            # proves the vector bites
+    con.close()
+
+
 def test_domain_mixture_flattens_head_domain(spark):
     """900/100 skew at target 0.5: sqrt shares are 0.75/0.25, so the
     tail domain's quota (0.5*1000*0.25 = 125 > 100) caps at rate 1
