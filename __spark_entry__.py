@@ -12176,8 +12176,9 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (SELECT * FROM
                        read_parquet('{_GOLDEN_CERTS}')
                        WHERE chain_pos = 0),
-            h AS (SELECT *, split_part(split_part(url, '://', 2),
-                                       '/', 1) AS host FROM g),
+            h AS (SELECT *, split_part(split_part(split_part(
+                       url, '://', 2), '/', 1), ':', 1) AS host
+                  FROM g),
             flags AS (
               SELECT url, host, subject_cn, sig_alg, pubkey_alg,
                      pubkey_bits, not_after,

@@ -22,6 +22,8 @@ from __future__ import annotations
 import json
 import zlib
 
+from .compx import _count_stream
+
 _MAGIC = b"Obj\x01"
 
 
@@ -53,18 +55,22 @@ def _schema_shape(schema) -> tuple:
     """parsed avro.schema JSON -> (stype, name, fields) where
     fields is [(name, type_label)]; non-record schemas get no
     fields. Type labels: primitives verbatim, records/enums/fixed
-    by name, unions joined with '|', arrays/maps as 'array<..>'."""
-    def label(t) -> str:
+    by name, unions joined with '|', arrays/maps as 'array<..>'.
+    Nesting labels stop at depth 6 (protox's cap) so a deeply
+    nested schema cannot recurse unboundedly."""
+    def label(t, depth: int = 0) -> str:
+        if depth > 6:
+            return "?"
         if isinstance(t, str):
             return t
         if isinstance(t, list):
-            return "|".join(label(x) for x in t)
+            return "|".join(label(x, depth + 1) for x in t)
         if isinstance(t, dict):
             tt = t.get("type")
             if tt == "array":
-                return f"array<{label(t.get('items'))}>"
+                return f"array<{label(t.get('items'), depth + 1)}>"
             if tt == "map":
-                return f"map<{label(t.get('values'))}>"
+                return f"map<{label(t.get('values'), depth + 1)}>"
             nm = t.get("name")
             return nm if isinstance(nm, str) else str(tt)
         return "?"
@@ -125,7 +131,7 @@ def parse_avro(payload) -> dict:
             out["schema_name"] = name
             out["fields"] = [(i,) + f for i, f in
                              enumerate(fields)]
-        except ValueError:
+        except (ValueError, RecursionError):
             pass
     out["sync_ok"] = True
     while off < len(b):
@@ -140,9 +146,14 @@ def parse_avro(payload) -> dict:
                 break
             raw = size
             if out["codec"] == "deflate":
+                # chunk-counted, never materialized: a deflate-bomb
+                # block (~1030x expansion) must report its true size
+                # in O(chunk) memory, not OOM the worker (compx's
+                # bounded-decompression contract)
                 try:
-                    raw = len(zlib.decompress(data, wbits=-15))
-                except zlib.error:
+                    raw = _count_stream(
+                        zlib.decompressobj(wbits=-15), data)
+                except (zlib.error, MemoryError):
                     raw = None
             out["blocks"].append(
                 (len(out["blocks"]), n_rec, size, raw))

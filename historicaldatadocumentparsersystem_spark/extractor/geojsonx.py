@@ -45,11 +45,13 @@ def _walk(coords, depth: int, acc: list) -> bool:
     return all(_walk(c, depth - 1, acc) for c in coords)
 
 
-def _geom_stats(geom) -> tuple:
+def _geom_stats(geom, depth: int = 0) -> tuple:
     """geometry dict -> (gtype, n_geoms, n_points, minx, miny,
-    maxx, maxy); gtype 'invalid' with NULL stats on any violation."""
+    maxx, maxy); gtype 'invalid' with NULL stats on any violation.
+    GeometryCollection nesting (spec: "should be avoided") is capped
+    at depth 32 — deeper is invalid, never a RecursionError."""
     bad = ("invalid", None, None, None, None, None, None)
-    if not isinstance(geom, dict):
+    if not isinstance(geom, dict) or depth > 32:
         return bad
     gtype = geom.get("type")
     if gtype == "GeometryCollection":
@@ -59,7 +61,7 @@ def _geom_stats(geom) -> tuple:
         pts: list[tuple[float, float]] = []
         n = total = 0
         for sub in subs:
-            st = _geom_stats(sub)
+            st = _geom_stats(sub, depth + 1)
             if st[0] == "invalid":
                 return bad
             n += 1
@@ -100,7 +102,7 @@ def parse_geojson(payload) -> dict:
         src = str(payload)
     try:
         doc = json.loads(src)
-    except ValueError:
+    except (ValueError, RecursionError):
         return out
     if not isinstance(doc, dict):
         return out

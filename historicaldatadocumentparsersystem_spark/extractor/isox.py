@@ -94,9 +94,12 @@ def parse_iso(payload) -> dict:
     """payload -> {"volume_id", "system_id", "n_sectors",
     "block_size", "has_joliet", "members": [(pos, path, is_dir,
     size, lba, recorded)]}; never raises; volume_id None for
-    junk. Members come from the Joliet tree when present (real
+    junk. "ok" is True iff a PVD was found — the parse-success
+    signal (a valid PVD may still have blank ids AND a clamped
+    sector count, so header fields can all be NULL on a good
+    parse). Members come from the Joliet tree when present (real
     names), else the PVD tree."""
-    out: dict = {"volume_id": None, "system_id": None,
+    out: dict = {"ok": False, "volume_id": None, "system_id": None,
                  "n_sectors": None, "block_size": None,
                  "has_joliet": False, "members": []}
     if not isinstance(payload, (bytes, bytearray)) or \
@@ -119,6 +122,7 @@ def parse_iso(payload) -> dict:
             break
     if pvd is None:
         return out
+    out["ok"] = True
     out["system_id"] = pvd[8:40].decode("latin-1").strip() or None
     out["volume_id"] = pvd[40:72].decode("latin-1").strip() or None
     ns = _u32_both(pvd, 80)

@@ -65,7 +65,7 @@ def _json_obj(raw: bytes | None) -> dict | None:
         # cast; the DuckDB twin's strict decode() only ever sees the
         # valid-UTF-8 fixture corpus behind its CASE guard
         obj = json.loads(raw.decode("utf-8", "replace"))
-    except ValueError:
+    except (ValueError, RecursionError):
         return None
     return obj if isinstance(obj, dict) else None
 

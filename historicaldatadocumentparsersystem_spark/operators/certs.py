@@ -61,7 +61,9 @@ def cert_hygiene(certs: DataFrame,
                  as_of: str = CERT_AS_OF) -> DataFrame:
     """Leaf-certificate grade per url. Input: read_certificates rows.
     Map-only (filter chain_pos = 0 + projection) — zero shuffles."""
-    host = "split(split(url, '://')[1], '/')[0]"
+    # strip an explicit :port — SAN coverage is host-only (a
+    # https://example.com:8443/ url must not auto-grade D)
+    host = "split(split(split(url, '://')[1], '/')[0], ':')[0]"
     covered = f"exists(san_dns, s -> {covered_sql('s', 'host')})"
     return (certs.where(F.col("chain_pos") == 0)
             .withColumn("host", F.expr(host))

@@ -3657,9 +3657,10 @@ def read_iso_images(df: DataFrame, url_col: str = "url",
             for url, payload in zip(b[url_col], b[payload_col]):
                 d = parse_iso(
                     bytes(payload) if payload is not None else None)
-                if d["volume_id"] is None and \
-                        d["system_id"] is None and \
-                        d["n_sectors"] is None:
+                if not d["ok"]:
+                    # parse-success gate, not header-field nullness:
+                    # a valid PVD with blank ids and a clamped
+                    # sector count must keep its walked members
                     continue
                 base = (d["volume_id"], d["system_id"],
                         d["n_sectors"], d["block_size"],

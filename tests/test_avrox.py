@@ -128,3 +128,84 @@ def test_zigzag_int64_range():
     clamp, review regression) instead of emitting an overflow."""
     with pytest.raises(ValueError):
         avrox._zigzag(b"\x80" * 9 + b"\x7f", 0)
+
+
+def test_deflate_bomb_counted_not_materialized():
+    """ADVICE r4: a deflate-bomb block must report its TRUE inflated
+    size in O(chunk) memory — chunk-counted via compx._count_stream,
+    never materialized (the old len(zlib.decompress(...)) allocated
+    the whole 64 MB)."""
+    import tracemalloc
+    import zlib as _z
+    rows = fixtures.avro_file_rows()
+    hdr = next(r["payload"] for r in rows
+               if r["url"].endswith("deflate.avro"))
+    # reuse the real deflate header; append one bomb block
+    sync = bytes(range(16))
+    bomb_raw_size = 64 << 20
+    co = _z.compressobj(9, _z.DEFLATED, -15)
+    comp = co.compress(b"\x00" * bomb_raw_size) + co.flush()
+    assert len(comp) < 100_000            # ~1000x expansion
+
+    def zz(v):
+        u = (v << 1) ^ (v >> 63)
+        out = bytearray()
+        while True:
+            c = u & 0x7F
+            u >>= 7
+            out.append(c | (0x80 if u else 0))
+            if not u:
+                return bytes(out)
+
+    # header() ends with zz(0) + SYNC; find that boundary
+    head_end = hdr.index(sync)
+    blob = hdr[:head_end + 16] + zz(1) + zz(len(comp)) + comp + sync
+    tracemalloc.start()
+    d = avrox.parse_avro(blob)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert d["blocks"][0][3] == bomb_raw_size
+    assert peak < 8 << 20                 # chunks, not the bomb
+
+
+def test_deep_schema_and_json_never_raise():
+    """ADVICE r4: RecursionError from json.loads (deep avro.schema
+    metadata) and unbounded label() recursion are both handled."""
+    import json as _json
+
+    def zz(v):
+        u = (v << 1) ^ (v >> 63)
+        out = bytearray()
+        while True:
+            c = u & 0x7F
+            u >>= 7
+            out.append(c | (0x80 if u else 0))
+            if not u:
+                return bytes(out)
+
+    def s(x: bytes) -> bytes:
+        return zz(len(x)) + x
+
+    sync = bytes(range(16))
+    deep_json = b"[" * 5000 + b"]" * 5000   # C scanner RecursionError
+    blob = (b"Obj\x01" + zz(2)
+            + s(b"avro.schema") + s(deep_json)
+            + s(b"avro.codec") + s(b"null")
+            + zz(0) + sync)
+    d = avrox.parse_avro(blob)              # must not raise
+    assert d["schema_type"] is None and d["codec"] == "null"
+    # deep nested array schema: label() caps at depth 6
+    sch = "long"
+    for _ in range(200):
+        sch = {"type": "array", "items": sch}
+    sch = {"type": "record", "name": "Deep",
+           "fields": [{"name": "f", "type": sch}]}
+    blob2 = (b"Obj\x01" + zz(2)
+             + s(b"avro.schema")
+             + s(_json.dumps(sch).encode())
+             + s(b"avro.codec") + s(b"null")
+             + zz(0) + sync)
+    d2 = avrox.parse_avro(blob2)
+    assert d2["schema_name"] == "Deep"
+    assert d2["fields"][0][2].startswith("array<")
+    assert "?" in d2["fields"][0][2]        # capped, not recursed

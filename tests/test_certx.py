@@ -187,3 +187,21 @@ def test_fuzz_never_raises():
         mut = bytearray(der)
         mut[i % len(der)] ^= 0xFF
         certx.extract_chain(bytes(mut))     # single-byte flips
+
+
+def test_hygiene_strips_explicit_port(spark):
+    """ADVICE r4: https://host:8443/ must grade on the host alone —
+    the :port previously defeated SAN coverage and forced D."""
+    import pyspark.sql.functions as F
+    from historicaldatadocumentparsersystem_spark.operators \
+        import certs as C
+    g = spark.read.parquet(GOLDEN_CERTS)
+    ported = g.withColumn(
+        "url", F.regexp_replace(
+            "url", "site0\\.example\\.net/",
+            "site0.example.net:8443/"))
+    row = {r.host: r for r in C.cert_hygiene(ported).collect()}[
+        "site0.example.net"]
+    assert row.url == "https://site0.example.net:8443/"
+    assert row.host_covered and not row.san_mismatch
+    assert row.grade == "A"

@@ -99,3 +99,25 @@ def test_fuzz_never_raises():
                      for _ in range(rng.randrange(0, 150)))
         assert isinstance(
             geojsonx.parse_geojson(blob)["features"], list)
+
+
+def test_deep_nesting_never_raises():
+    """ADVICE r4: deeply nested JSON (RecursionError from the C
+    scanner) and deeply nested GeometryCollections must both come
+    back as clean non-parses, never exceptions."""
+    deep = b"[" * 5000 + b"]" * 5000
+    assert geojsonx.parse_geojson(deep)["features"] == []
+    geom = {"type": "Point", "coordinates": [1.0, 2.0]}
+    for _ in range(64):
+        geom = {"type": "GeometryCollection", "geometries": [geom]}
+    doc = {"type": "Feature", "geometry": geom, "properties": {}}
+    import json as _json
+    d = geojsonx.parse_geojson(_json.dumps(doc).encode())
+    assert d["features"][0][1] == "invalid"   # capped at depth 32
+    # shallow nesting still walks
+    ok = {"type": "GeometryCollection", "geometries": [
+        {"type": "GeometryCollection", "geometries": [
+            {"type": "Point", "coordinates": [3.0, 4.0]}]}]}
+    doc2 = {"type": "Feature", "geometry": ok, "properties": {}}
+    d2 = geojsonx.parse_geojson(_json.dumps(doc2).encode())
+    assert d2["features"][0][1] == "GeometryCollection"

@@ -92,3 +92,60 @@ def test_fuzz_never_raises():
             b[16 * 2048 + rng.randrange(2048)] = rng.randrange(256)
         assert isinstance(
             isox.parse_iso(bytes(b))["members"], list)
+
+
+def test_blank_ids_keep_members(spark):
+    """ADVICE r4: a valid PVD with blank volume/system ids AND a
+    both-endian-mismatched sector count must still emit its volume
+    row and walked members (gate on parse success, not header
+    nullness)."""
+    import struct
+    S = 2048
+
+    def u32b(v):
+        return struct.pack("<I", v) + struct.pack(">I", v)
+
+    def u16b(v):
+        return struct.pack("<H", v) + struct.pack(">H", v)
+
+    def rec(name, extent, size, is_dir=False):
+        raw = (b"\x00" if name == "." else
+               b"\x01" if name == ".." else name.encode("ascii"))
+        ln = 33 + len(raw)
+        ln += ln & 1
+        out = bytearray(ln)
+        out[0] = ln
+        out[2:10] = u32b(extent)
+        out[10:18] = u32b(size)
+        out[18:25] = bytes([124, 10, 27, 6, 0, 0, 0])
+        out[25] = 2 if is_dir else 0
+        out[28:32] = u16b(1)
+        out[32] = len(raw)
+        out[33:33 + len(raw)] = raw
+        return bytes(out)
+
+    d = bytearray(S)
+    d[0] = 1
+    d[1:7] = b"CD001\x01"
+    d[8:40] = b" " * 32                    # blank system id
+    d[40:72] = b" " * 32                   # blank volume id
+    d[80:88] = struct.pack("<I", 26) + struct.pack(">I", 27)  # != !
+    d[120:124] = u16b(1)
+    d[124:128] = u16b(1)
+    d[128:132] = u16b(S)
+    d[156:190] = rec(".", 17, S, True)
+    root = (rec(".", 17, S, True) + rec("..", 17, S, True)
+            + rec("HELLO.TXT;1", 18, 5)).ljust(S, b"\x00")
+    img = b"\x00" * (16 * S) + bytes(d) + root \
+        + b"hello".ljust(S, b"\x00")
+    pure = isox.parse_iso(img)
+    assert pure["ok"] and pure["volume_id"] is None \
+        and pure["n_sectors"] is None
+    assert [m[1] for m in pure["members"]] == ["HELLO.TXT"]
+    from historicaldatadocumentparsersystem_spark import sources
+    df = spark.createDataFrame(
+        [("https://x.example.org/blank.iso", bytearray(img))],
+        "url string, payload binary")
+    rows = sources.read_iso_images(df).collect()
+    kinds = sorted(r.row_kind for r in rows)
+    assert kinds == ["member", "volume"]
