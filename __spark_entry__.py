@@ -4159,60 +4159,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked every pytest run (tests/test_entry_oracle.py parametrizes over
 # the union), just not spending driver slots.
 _DRIVER_ORDER = [
-    # round 4: first-ever driver rows for the 20 highest-value post-cap
-    # ops (sketches, retrieval scoring, clustering dedup, packing,
-    # crawl-index planning) — each was pytest-oracle-green through r3
-    # but the driver is the independent signal and had never seen them
-    "bigram_logppl", "bloom_url_membership", "hll_url_distinct",
-    "robots_gate", "decontaminate", "bm25_scores",
-    "kmeans_clusters", "semantic_dedup", "dsir_weights",
-    "pack_offsets", "snapshot_latest",
-    "frontier_candidates", "cdx_fetch_plan",
-    "host_hits", "quantized_topk", "host_boilerplate", "crawl_delta",
-    # kept: the flagship + every row that is the sole driver witness for
-    # a SURVEY §2 family (extraction, dedup/ANN, quality gates, link
-    # graph, chunking, time-series joins)
-    "extract_corpus", "asof_join",
-    "lang_id_trigram", "dup_span_removal", "quality_classifier",
-    "extract_links", "host_pagerank", "text_profile",
+    # round-5 rotation, risk-first. First block: the 8 rows demoted
+    # MID-round-4 before any round-end window could give them a
+    # CORRECTNESS row (the rotation lesson: only the round-end window
+    # earns rows) — they are owed their first driver check:
+    "charset_stats", "microdata_records", "dhash_near_pairs",
+    "publish_date", "pack_greedy", "cms_term_counts",
+    "table_records", "surt_urlkey",
+    # never-driver-checked reps of the round-4 resumed-session format
+    # families (VERDICT r4 task 2's named list + one witness per big
+    # binary/container family): parquet footers, sqlite b-trees, pcap
+    # flows, DNS, git packs, ELF, TOML, cookies, security headers,
+    # certs, BibTeX, wasm, avro, ISO 9660, compression frames, UA
+    # classification, JWTs
+    "parquet_layout_audit", "sqlite_objects", "pcap_flows",
+    "dns_records", "git_objects", "elf_objects", "toml_records",
+    "cookie_table", "security_headers", "cert_host_hygiene",
+    "bibtex_fields", "wasm_sections", "avro_container",
+    "iso_images", "compressed_frames", "ua_classify", "jwt_rows",
+    # kept: bm25_scores MUST re-earn a green row after the r4 rounding
+    # -tie fix (VERDICT task 1); kmeans/semantic_dedup cover the new
+    # broadcast-centroid path and the task-6 perf target; the rest are
+    # sole-witness or sentinel rows for bench comparability
+    "bm25_scores", "kmeans_clusters", "semantic_dedup",
+    "hll_url_distinct", "frontier_candidates", "pack_offsets",
+    # kept: the flagship + sentinel rows (multi-round driver-green,
+    # stable across r4/r5 windows so bench deltas stay comparable)
+    "extract_corpus",
+    "lang_id_trigram", "quality_classifier",
+    "host_pagerank", "text_profile",
     "minhash_lsh_pairs", "dedup_clusters",
     "chunk_token_budget", "lsh_topk",
-    # round-4 late rotation: first-ever driver rows for the new
-    # page-structure family + dedup/gate additions (each swapped-out
-    # row is multi-round driver-green and its family keeps a witness)
-    "extract_meta", "extract_tables",
-    "extract_jsonld", "page_shapes", "template_clusters",
-    "canonical_dedup", "winnow_near_pairs", "soft404_gate",
-    "page_artifacts_stats",
-    # round-4 resumed-session rotation: first-ever driver rows for the
-    # charset, microdata, image-dedup and publish-date families (each
-    # swapped-out row is multi-round driver-green and its family keeps
-    # a witness: minhash/dup_span for fuzzy+sub-doc dedup, lsh_topk +
-    # quantized_topk for ANN, image_dhash for the image codecs+resize
-    # path, bm25_scores for retrieval scoring)
-    "encoding_profile", "extract_microdata", "image_dhash",
-    "extract_dates",
-    # round-4 resumed-session-6 rotation: first-ever driver rows for
-    # the EIGHT new families of this session (A/V elements, forms,
-    # IDN, ARC source, acoustic fingerprint, media sitemaps, HLS,
-    # modern PDFs). Each swapped-out row is a composition or sibling
-    # whose family keeps its driver witness in the window
-    # (charset_stats -> encoding_profile; microdata_records ->
-    # extract_microdata; dhash_near_pairs -> image_dhash +
-    # winnow_near_pairs for the pigeonhole engine; publish_date ->
-    # extract_dates; pack_greedy -> pack_offsets; cms_term_counts ->
-    # bloom/hll; table_records -> extract_tables; surt_urlkey ->
-    # cdx_fetch_plan + frontier_candidates).
+    # kept: r4 first-timers that remain their family's only driver
+    # witness (page-structure cross-check, image codecs, A/V, forms,
+    # IDN, ARC, audio fp, media sitemaps, HLS, modern PDFs)
+    "page_artifacts_stats", "image_dhash",
     "extract_av", "extract_forms", "idn_hosts", "arc_documents",
     "audio_fingerprint", "sitemap_media", "hls_rows",
     "pdf_modern_info",
 ]
 _EXTRA_ORDER = [
-    # demoted in the resumed-session-6 rotation (pytest-oracle-green;
-    # their families keep driver witnesses — see _DRIVER_ORDER note):
-    "charset_stats", "microdata_records", "dhash_near_pairs",
-    "publish_date", "pack_greedy", "cms_term_counts",
-    "table_records", "surt_urlkey",
+    # demoted in the round-5 rotation (driver-green r4 or earlier;
+    # every family keeps a window witness: text stats ->
+    # text_profile/lang_id_trigram, sketches -> hll_url_distinct,
+    # curation scoring -> bm25_scores, crawl index ->
+    # frontier_candidates + surt_urlkey, link graph -> host_pagerank,
+    # ANN -> lsh_topk, page structure -> page_artifacts_stats +
+    # table_records/microdata_records, gates -> quality_classifier,
+    # charset -> charset_stats, dates -> publish_date, dedup ->
+    # minhash_lsh_pairs/dedup_clusters/dhash_near_pairs, extraction ->
+    # extract_corpus):
+    "bigram_logppl", "bloom_url_membership", "decontaminate",
+    "dsir_weights", "robots_gate", "snapshot_latest", "crawl_delta",
+    "host_boilerplate", "host_hits", "quantized_topk",
+    "cdx_fetch_plan", "extract_meta", "extract_tables",
+    "extract_jsonld", "page_shapes", "template_clusters",
+    "canonical_dedup", "winnow_near_pairs", "soft404_gate",
+    "encoding_profile", "extract_microdata", "extract_dates",
+    "asof_join", "extract_links", "dup_span_removal",
     # driver-green in earlier rounds; demoted so never-driver-checked
     # ops could earn their first CORRECTNESS rows. r1/r2 green:
     "cosine_topk_filtered", "l2_topk",
@@ -4291,9 +4295,9 @@ _EXTRA_ORDER = [
     "recrawl_plan", "refresh_targets", "refresh_redirects",
     "vary_profile", "retry_backoff",
     "conditional_get_savings", "change_rate_classes",
-    "cookie_table", "cookie_privacy_profile",
-    "security_headers", "csp_directives", "host_security_posture",
-    "bibtex_fields", "bib_entry_stats", "bib_crossref_resolve",
+    "cookie_privacy_profile",
+    "csp_directives", "host_security_posture",
+    "bib_entry_stats", "bib_crossref_resolve",
     "front_matter", "front_matter_meta",
     "llms_txt_links", "llms_txt_files",
     "license_signals", "license_resolve",
@@ -4309,7 +4313,7 @@ _EXTRA_ORDER = [
     "xlsx_cells", "xlsx_sheet_stats", "spreadsheet_header_records",
     "po_entries", "po_bitext_pairs", "po_catalog_stats",
     "tmx_rows", "tmx_bitext_pairs", "tmx_memory_stats",
-    "cert_rows", "cert_host_hygiene", "cert_chain_integrity",
+    "cert_rows", "cert_chain_integrity",
     "cert_crypto_profile",
     "mhtml_resources", "mhtml_pages", "mhtml_asset_census",
     "har_entries", "har_pages", "har_page_weight",
@@ -4320,34 +4324,32 @@ _EXTRA_ORDER = [
     "gpx_points", "gpx_track_stats",
     "bookmark_rows", "bookmark_folder_stats",
     "webmanifest_rows", "webmanifest_icons",
-    "parquet_footer_chunks", "parquet_layout_audit",
-    "css_refs", "css_ref_profile",
+    "parquet_footer_chunks", "css_refs", "css_ref_profile",
     "sourcemap_sources", "sourcemap_stats",
     "zip_directory", "zip_container_audit",
     "nt_triples", "nt_predicate_census",
     "access_log_rows", "access_log_profile",
     "ip_cidr_lookup", "log_network_profile",
-    "ua_classify", "ua_profile",
+    "ua_profile",
     "id_time_classify", "id_minting_days",
-    "jwt_rows", "jwt_security_profile",
+    "jwt_security_profile",
     "geojson_features", "geojson_geometry_stats",
     # round-4 resumed-session-11 additions
-    "sqlite_objects", "sqlite_db_profile",
-    "wasm_sections", "wasm_module_profile",
-    "pcap_packets", "pcap_flows",
-    "dns_records", "dns_cname_resolution",
+    "sqlite_db_profile",
+    "wasm_module_profile",
+    "pcap_packets", "dns_cname_resolution",
     "font_metadata", "font_family_census",
-    "avro_container", "avro_layout_audit",
+    "avro_layout_audit",
     "protobuf_census", "protobuf_shape_profile",
-    "elf_objects", "elf_dependency_census",
-    "toml_records", "toml_type_census",
+    "elf_dependency_census",
+    "toml_type_census",
     "cbor_records", "cbor_tag_profile",
-    "compressed_frames", "compression_audit",
+    "compression_audit",
     "pe_objects", "macho_objects", "binary_dependency_graph",
     "ar_archives", "deb_dependency_census",
-    "git_objects", "git_commit_history",
+    "git_commit_history",
     "icc_profiles", "icc_class_census",
-    "iso_images", "iso_tree_profile",
+    "iso_tree_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
