@@ -14,7 +14,12 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# sf0.01 default (fast); the driver checks sf0.1 — override with
+# SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 for the full-scale
+# replica pass (VERDICT r4 task 3; tools/oracle_replica.py runs the
+# stricter value-hash version and writes a CORRECTNESS-style JSON)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 

@@ -1773,3 +1773,46 @@ def test_section_chunks_semantics_and_plan(spark):
     plan = (chunking.section_chunks(els)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1, plan
+
+
+def test_kmeans_broadcast_path_bit_identical(spark):
+    """VERDICT r4 task 4: the broadcast-centroid path (k > LITERAL_K
+    _MAX scale strategy) must be BIT-identical to the literal
+    projection — same folds, same min(struct(dist, cid)) tie rule."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    lit = sorted(map(tuple, clustering.kmeans_assign(
+        emb, k=16, n_iter=2, centroid_strategy="literal").collect()))
+    bc = sorted(map(tuple, clustering.kmeans_assign(
+        emb, k=16, n_iter=2, centroid_strategy="broadcast").collect()))
+    assert lit == bc
+    # carry_vec parity too (semantic_dedup's input shape)
+    lv = sorted((r["vec_id"], r["cluster"], r["l2_dist"],
+                 tuple(r["embedding"]))
+                for r in clustering.kmeans_assign(
+        emb, k=16, n_iter=1, carry_vec=True,
+        centroid_strategy="literal").collect())
+    bv = sorted((r["vec_id"], r["cluster"], r["l2_dist"],
+                 tuple(float(x) for x in r["embedding"]))
+                for r in clustering.kmeans_assign(
+        emb, k=16, n_iter=1, carry_vec=True,
+        centroid_strategy="broadcast").collect())
+    assert [x[:3] for x in lv] == [x[:3] for x in bv]
+    # vectors match as doubles (broadcast carries the cast array)
+    assert all(tuple(float(v) for v in a[3]) == b[3]
+               for a, b in zip(lv, bv))
+
+
+def test_kmeans_k256_runs_on_sf001(spark):
+    """k=256 (the SemDeDup sqrt(N) regime the literal path cannot
+    execute): auto strategy flips to broadcast, assignment completes,
+    every vector lands in a valid cluster."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = clustering.kmeans_assign(emb, k=256, n_iter=1).collect()
+    assert len(out) == 500
+    assert all(0 <= r["cluster"] < 256 for r in out)
+    assert len({r["cluster"] for r in out}) > 64   # actually spread
+    sd = clustering.semantic_dedup(
+        emb, k=256, n_iter=1, threshold=0.999).collect()
+    assert len(sd) == 500 and all(r["kept"] is not None for r in sd)
