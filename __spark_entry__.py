@@ -3555,6 +3555,8 @@ _GOLDEN_ICC = os.path.join(
     _REPO, "fixtures", "golden_icc_seed42_n5.parquet")
 _GOLDEN_ISO = os.path.join(
     _REPO, "fixtures", "golden_iso_seed42_n4.parquet")
+_GOLDEN_CFB = os.path.join(
+    _REPO, "fixtures", "golden_cfb_seed42_n6.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4350,6 +4352,9 @@ _EXTRA_ORDER = [
     "git_commit_history",
     "icc_profiles", "icc_class_census",
     "iso_tree_profile",
+    # round-5 additions: the legacy OLE/CFB office family (the last
+    # reference source-format branch — VERDICT r4 task 5)
+    "cfb_documents", "ppt_elements", "doc_elements",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8637,6 +8642,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sources.read_iso_images(df)
     q["iso_images"] = q_iso_images
 
+    # --- legacy OLE2/CFB office (.ppt/.doc — the reference's
+    # loaders.py:18-37 partition_ppt branch; extractor/cfbx.py)
+    def q_cfb_documents(spark, sf_dir):
+        files = fixtures.cfb_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_legacy_office(df)
+    q["cfb_documents"] = q_cfb_documents
+
+    def q_ppt_elements(spark, sf_dir):
+        # golden both sides: container parse == golden is proven by
+        # cfb_documents; this isolates the ppt-text view
+        g = spark.read.parquet(_GOLDEN_CFB)
+        return (g.where(F.col("row_kind") == "ppt_text")
+                .select("url", "pos", "text_kind", "text")
+                .orderBy("url", "pos"))
+    q["ppt_elements"] = q_ppt_elements
+
+    def q_doc_elements(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_CFB)
+        return (g.where(F.col("row_kind") == "doc_piece")
+                .select("url", "pos", "text_kind", "cp_start",
+                        "cp_end", "text",
+                        (F.col("cp_end") - F.col("cp_start"))
+                        .alias("n_chars"))
+                .orderBy("url", "pos"))
+    q["doc_elements"] = q_doc_elements
+
     def q_iso_tree_profile(spark, sf_dir):
         g = spark.read.parquet(_GOLDEN_ISO)
         depth = F.expr(
@@ -12718,6 +12752,23 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_ICC}')
             GROUP BY profile_class, color_space
             ORDER BY profile_class, color_space""",
+        # legacy OLE2/CFB office: committed golden pinned by
+        # tests/test_cfbx.py against the pure re-derivation
+        "cfb_documents": f"""
+            SELECT url, pos, row_kind, path, entry_kind, size,
+                   text_kind, cp_start, cp_end, text
+            FROM read_parquet('{_GOLDEN_CFB}')""",
+        "ppt_elements": f"""
+            SELECT url, pos, text_kind, text
+            FROM read_parquet('{_GOLDEN_CFB}')
+            WHERE row_kind = 'ppt_text'
+            ORDER BY url, pos""",
+        "doc_elements": f"""
+            SELECT url, pos, text_kind, cp_start, cp_end, text,
+                   cp_end - cp_start AS n_chars
+            FROM read_parquet('{_GOLDEN_CFB}')
+            WHERE row_kind = 'doc_piece'
+            ORDER BY url, pos""",
         # ISO 9660: committed golden pinned by tests/test_isox.py
         # against the pure re-derivation
         "iso_images": f"""

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from .cfbx import (extract_doc_text, extract_ppt_text, is_cfb, is_doc,
+                   is_ppt)
 from .docx import extract_docx_text, is_docx
 from .epubx import extract_epub_text, is_epub
 from .htmlx import decode_payload, extract_html
@@ -31,6 +33,8 @@ from .sniff import (KIND_EMPTY, KIND_HTML, KIND_PDF, KIND_RTF, KIND_ZIP,
 from .xlsxx import extract_xlsx_text, is_xlsx
 
 KIND_PPTX = "pptx"
+KIND_PPT = "ppt"
+KIND_DOC = "doc"
 KIND_XLSX = "xlsx"
 KIND_DOCX = "docx"
 KIND_EPUB = "epub"
@@ -126,6 +130,25 @@ def extract_document(payload: bytes | None, fallback_text: str | None
                 return ExtractResult(KIND_XLSX, text, spans,
                                      len(spans), 0.0)
             # non-OOXML zip: fallback, not a fail
+            return _fallback(fallback_text, failed=False)
+        # legacy OLE2/CFB office (extractor/cfbx.py — the reference's
+        # .ppt branch, loaders.py:18-37 partition_ppt, plus Word 97;
+        # magic-byte probe so it runs first among the empty-kind
+        # sniffs)
+        if kind == KIND_EMPTY and is_cfb(payload):
+            if is_ppt(payload):
+                text, spans = extract_ppt_text(payload)
+                if not spans:
+                    return _fallback(fallback_text, failed=True)
+                return ExtractResult(KIND_PPT, text, spans,
+                                     len(spans), 0.0)
+            if is_doc(payload):
+                text, spans = extract_doc_text(payload)
+                if not spans:
+                    return _fallback(fallback_text, failed=True)
+                return ExtractResult(KIND_DOC, text, spans,
+                                     len(spans), 0.0)
+            # other OLE container: fallback, not a fail
             return _fallback(fallback_text, failed=False)
         # Jupyter notebook (extractor/ipynbx.py — the JSON member of
         # the loader family; sniff has no JSON kind, so the cheap

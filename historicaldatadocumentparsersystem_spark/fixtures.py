@@ -7390,3 +7390,261 @@ def iso_image_rows(seed: int = 42) -> list[dict]:
     add("cut.iso", full[:18 * S + 100])
     add("junk.iso", b"\x00" * (17 * S))
     return rows
+
+
+def build_cfb(entries: list[tuple[str, bytes]]) -> bytes:
+    """Minimal CFB (OLE2) container — the ENCODE half of
+    extractor/cfbx.py. ``entries``: (path, data) streams in
+    directory order; a path with one "/" nests the stream under a
+    storage (created on first use). Version 3, 512-byte sectors,
+    4096 mini cutoff: streams under the cutoff land in the
+    ministream (64-byte mini sectors + miniFAT), larger ones in
+    FAT sectors — both read paths exercised. Deterministic (all
+    FILETIMEs zero)."""
+    import struct
+
+    SSZ, MSZ, CUTOFF = 512, 64, 4096
+    FREE, EOC, FATS = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+
+    # --- directory tree (flat sibling chains; color constant) ----
+    # dir_entries: [name, kind, left, right, child, start, size]
+    dir_entries: list[list] = [["Root Entry", 5, FREE, FREE, FREE,
+                               EOC, 0]]
+    storages: dict[str, int] = {}
+    last_child_of: dict[int, int] = {}
+
+    def attach(parent_idx: int, idx: int) -> None:
+        if parent_idx in last_child_of:
+            dir_entries[last_child_of[parent_idx]][3] = idx
+        else:
+            dir_entries[parent_idx][4] = idx
+        last_child_of[parent_idx] = idx
+
+    stream_idx: list[tuple[int, bytes]] = []
+    for path, data in entries:
+        parent = 0
+        name = path
+        if "/" in path:
+            sname, name = path.split("/", 1)
+            if sname not in storages:
+                sidx = len(dir_entries)
+                dir_entries.append([sname, 1, FREE, FREE, FREE,
+                                    EOC, 0])
+                attach(0, sidx)
+                storages[sname] = sidx
+            parent = storages[sname]
+        idx = len(dir_entries)
+        dir_entries.append([name, 2, FREE, FREE, FREE, EOC,
+                            len(data)])
+        attach(parent, idx)
+        stream_idx.append((idx, data))
+
+    # --- mini stream + miniFAT ------------------------------------
+    mini_parts: list[bytes] = []
+    minifat: list[int] = []
+    for idx, data in stream_idx:
+        if not data or len(data) >= CUTOFF:
+            continue
+        n = (len(data) + MSZ - 1) // MSZ
+        start = len(minifat)
+        for i in range(n):
+            mini_parts.append(data[i * MSZ:(i + 1) * MSZ]
+                              .ljust(MSZ, b"\x00"))
+            minifat.append(start + i + 1 if i < n - 1 else EOC)
+        dir_entries[idx][5] = start
+    ministream = b"".join(mini_parts)
+    dir_entries[0][6] = len(ministream)
+
+    # --- sector layout: FAT | directory | miniFAT | ministream |
+    # big streams --------------------------------------------------
+    def nsec(nbytes: int) -> int:
+        return (nbytes + SSZ - 1) // SSZ
+
+    dirdata = b""  # built later; count entries now
+    n_dir = nsec(len(dir_entries) * 128)
+    mfat_bytes = b"".join(struct.pack("<I", x) for x in minifat)
+    n_mfat = nsec(len(mfat_bytes)) if minifat else 0
+    n_mini = nsec(len(ministream))
+    bigs = [(idx, data) for idx, data in stream_idx
+            if data and len(data) >= CUTOFF]
+    n_big = sum(nsec(len(d)) for _, d in bigs)
+    rest = n_dir + n_mfat + n_mini + n_big
+    n_fat = 1
+    while 128 * n_fat < n_fat + rest:
+        n_fat += 1
+    assert n_fat <= 109, "fixture container too large"
+
+    fat: list[int] = [FATS] * n_fat
+    pos = n_fat
+
+    def chain(n: int) -> int:
+        nonlocal pos
+        start = pos
+        for i in range(n):
+            fat.append(start + i + 1 if i < n - 1 else EOC)
+        pos += n
+        return start
+
+    first_dir = chain(n_dir)
+    first_mfat = chain(n_mfat) if n_mfat else EOC
+    mini_start = chain(n_mini) if n_mini else EOC
+    if n_mini:
+        dir_entries[0][5] = mini_start
+    for idx, data in bigs:
+        dir_entries[idx][5] = chain(nsec(len(data)))
+    fat += [FREE] * (128 * n_fat - len(fat))
+
+    # --- serialize ------------------------------------------------
+    def dirent(e) -> bytes:
+        name, kind, left, right, child, start, size = e
+        raw = name.encode("utf-16-le")[:62]
+        out = bytearray(128)
+        out[0:len(raw)] = raw
+        struct.pack_into("<H", out, 64, len(raw) + 2)
+        out[66] = kind
+        out[67] = 1  # black
+        struct.pack_into("<III", out, 68, left, right, child)
+        struct.pack_into("<I", out, 116,
+                         start if start != EOC else EOC)
+        struct.pack_into("<Q", out, 120, size)
+        return bytes(out)
+
+    dirdata = b"".join(dirent(e) for e in dir_entries)
+    body = (b"".join(struct.pack("<I", x) for x in fat)
+            + dirdata.ljust(n_dir * SSZ, b"\x00")
+            + mfat_bytes.ljust(n_mfat * SSZ, b"\x00")
+            + ministream.ljust(n_mini * SSZ, b"\x00")
+            + b"".join(d.ljust(nsec(len(d)) * SSZ, b"\x00")
+                       for _, d in bigs))
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 24, 0x003E)   # minor
+    struct.pack_into("<H", hdr, 26, 3)        # major
+    struct.pack_into("<H", hdr, 28, 0xFFFE)   # byte order
+    struct.pack_into("<H", hdr, 30, 9)        # sector shift
+    struct.pack_into("<H", hdr, 32, 6)        # mini shift
+    struct.pack_into("<I", hdr, 44, n_fat)
+    struct.pack_into("<I", hdr, 48, first_dir)
+    struct.pack_into("<I", hdr, 56, CUTOFF)
+    struct.pack_into("<I", hdr, 60, first_mfat)
+    struct.pack_into("<I", hdr, 64, n_mfat)
+    struct.pack_into("<I", hdr, 68, EOC)      # no DIFAT sectors
+    struct.pack_into("<I", hdr, 72, 0)
+    for i in range(109):
+        struct.pack_into("<I", hdr, 76 + 4 * i,
+                         i if i < n_fat else FREE)
+    return bytes(hdr) + body
+
+
+def _ppt_rec(rtype: int, payload: bytes, ver: int = 0,
+             inst: int = 0) -> bytes:
+    import struct
+    return struct.pack("<HHI", (inst << 4) | ver, rtype,
+                       len(payload)) + payload
+
+
+def _ppt_container(rtype: int, children: list[bytes],
+                   inst: int = 0) -> bytes:
+    return _ppt_rec(rtype, b"".join(children), ver=0xF, inst=inst)
+
+
+def cfb_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic legacy-office CFB files (url, payload) — the
+    ENCODE half of extractor/cfbx.py. Shapes: a .ppt (nested record
+    containers, TextCharsAtom UTF-16 + TextBytesAtom latin-1 +
+    CString, a >=4 KB padding stream exercising the FAT read path
+    and a nested storage), a .doc (FIB + piece table: cp1252 piece
+    + UTF-16 piece + a Prc to skip, 1Table), a 0Table .doc, a
+    truncated container, junk. Golden:
+    fixtures/golden_cfb_seed42_n6.parquet."""
+    import struct
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://archive{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    # --- .ppt ------------------------------------------------------
+    slide1 = _ppt_container(0x03EE, [   # SlideContainer-ish
+        _ppt_rec(0x0FA0, "Quarterly crawl report"
+                 .encode("utf-16-le")),
+        _ppt_rec(0x0FA8, b"Bullet one: coverage is up"),
+    ])
+    slide2 = _ppt_container(0x03EE, [
+        _ppt_rec(0x0FA8, b"Second slide text"),
+        _ppt_rec(0x0FBA, "https://example.org/link"
+                 .encode("utf-16-le")),
+        _ppt_rec(0x0FA0, "Résumé — unicode"
+                 .encode("utf-16-le")),
+    ])
+    doc_cont = _ppt_container(0x03E8, [slide1, slide2])
+    ppt = build_cfb([
+        ("PowerPoint Document", doc_cont),
+        ("Current User", b"\x00" * 24),
+        ("Pictures", b"\x89PNG" + b"\x00" * 5000),  # FAT-path stream
+        ("Macros/VBA_code", b"Sub Noop()\nEnd Sub\n"),
+    ])
+    add("deck.ppt", ppt)
+
+    # --- .doc (1Table, cp1252 + utf16 pieces, one Prc) -------------
+    text_a = "Legacy Word text, part one. "     # cp1252 piece
+    text_b = "Part two — unicode é."  # utf-16 piece
+    ccp = len(text_a) + len(text_b)
+    word = bytearray(0x600)
+    struct.pack_into("<H", word, 0, 0xA5EC)
+    struct.pack_into("<H", word, 2, 0x00C1)     # nFib Word97
+    struct.pack_into("<H", word, 0x0A, 0x0200)  # fWhichTblStm -> 1Table
+    struct.pack_into("<i", word, 0x4C, ccp)
+    a_off = 0x300
+    word[a_off:a_off + len(text_a)] = text_a.encode("cp1252")
+    b_off = 0x400
+    enc_b = text_b.encode("utf-16-le")
+    word[b_off:b_off + len(enc_b)] = enc_b
+    cps = [0, len(text_a), ccp]
+    pcd_a = struct.pack("<HIH", 0, (a_off * 2) | 0x40000000, 0)
+    pcd_b = struct.pack("<HIH", 0, b_off, 0)
+    plc = b"".join(struct.pack("<I", c) for c in cps) + pcd_a + pcd_b
+    clx = (b"\x01" + struct.pack("<h", 2) + b"\x00\x00"   # Prc skip
+           + b"\x02" + struct.pack("<I", len(plc)) + plc)
+    fc_clx = 0x80
+    struct.pack_into("<I", word, 0x01A2, fc_clx)
+    struct.pack_into("<I", word, 0x01A6, len(clx))
+    table = b"\x00" * fc_clx + clx
+    doc = build_cfb([
+        ("WordDocument", bytes(word)),
+        ("1Table", table),
+    ])
+    add("memo.doc", doc)
+
+    # --- .doc variant: 0Table (flag clear), single cp1252 piece ----
+    t0 = "Zero-table document body.\rSecond paragraph."
+    word0 = bytearray(0x600)
+    struct.pack_into("<H", word0, 0, 0xA5EC)
+    struct.pack_into("<H", word0, 2, 0x00C1)
+    struct.pack_into("<i", word0, 0x4C, len(t0))
+    off0 = 0x280
+    word0[off0:off0 + len(t0)] = t0.encode("cp1252")
+    plc0 = (struct.pack("<II", 0, len(t0))
+            + struct.pack("<HIH", 0, (off0 * 2) | 0x40000000, 0))
+    clx0 = b"\x02" + struct.pack("<I", len(plc0)) + plc0
+    table0 = b"\x00" * 0x40 + clx0
+    struct.pack_into("<I", word0, 0x01A2, 0x40)
+    struct.pack_into("<I", word0, 0x01A6, len(clx0))
+    doc0 = build_cfb([
+        ("WordDocument", bytes(word0)),
+        ("0Table", table0),
+    ])
+    add("note.doc", doc0)
+
+    # plain container, neither ppt nor doc (directory-only rows)
+    plain = build_cfb([
+        ("Contents", b"generic ole payload"),
+        ("\x05SummaryInformation", b"\xfe\xff" + b"\x00" * 40),
+    ])
+    add("thing.ole", plain)
+
+    add("cut.ppt", ppt[:700])           # truncated mid-directory
+    add("junk.bin", b"not a compound file at all")
+    return rows

@@ -3685,3 +3685,57 @@ def read_iso_images(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, ISO_DDL))
+
+
+CFB_DDL = (
+    "url string, pos int, row_kind string, path string, "
+    "entry_kind string, size long, text_kind string, "
+    "cp_start int, cp_end int, text string")
+
+
+def read_legacy_office(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, OLE2/CFB bytes) -> one 'entry' row per directory-tree
+    entry (path, kind, size) plus 'ppt_text' rows ([MS-PPT] text
+    atoms in record order) and 'doc_piece' rows ([MS-DOC] piece
+    table, CP-ordered). Pure parse: ``extractor.cfbx``
+    (golden-pinned). Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.cfbx import (extract_doc_pieces,
+                                  extract_ppt_elements, parse_cfb)
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                blob = bytes(payload) if payload is not None \
+                    else None
+                d = parse_cfb(blob)
+                if d is None:
+                    continue
+                for (pos, path, kind, size, _start) in d["entries"]:
+                    # Int64 clamp: declared sizes are u64 in the spec
+                    size = size if size < 1 << 62 else None
+                    rows.append((url, pos, "entry", path, kind,
+                                 size, None, None, None, None))
+                for (pos, kind, text) in extract_ppt_elements(blob):
+                    rows.append((url, pos, "ppt_text", None, None,
+                                 None, kind, None, None, text))
+                for (pos, compressed, cp0, cp1, text) in \
+                        extract_doc_pieces(blob):
+                    rows.append((url, pos, "doc_piece", None, None,
+                                 None,
+                                 "cp1252" if compressed else "utf16",
+                                 cp0, cp1, text))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "path", "entry_kind",
+                "size", "text_kind", "cp_start", "cp_end", "text"])
+            for c in ("pos", "cp_start", "cp_end"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["size"] = pd.array(out["size"], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, CFB_DDL))
