@@ -1235,6 +1235,49 @@ def _picture_filter_oracle() -> str:
             FROM keep JOIN cnt USING (media_id)"""
 
 
+def _picture_auto_gate_oracle() -> str:
+    """Twin of picture_auto_gate: the Spark-free classifier scores
+    the SAME fixture payloads at SQL-generation time (identical
+    Python, so confidences are the identical doubles), then the
+    window-sum fold mirrors filter_allowed_classes exactly like
+    _picture_filter_oracle."""
+    from historicaldatadocumentparsersystem_spark import fixtures as _fx
+    from historicaldatadocumentparsersystem_spark.extractor.picturex import (
+        classify_picture)
+    triples = []
+    for mid, payload in _fx.dhash_media_rows():
+        classes = classify_picture(payload)
+        if classes is None:
+            continue
+        for n, c in classes:
+            triples.append(f"('{mid}', '{n}', {_flit(c)})")
+    vals = ", ".join(triples)
+    return f"""
+            WITH cls(media_id, name, conf) AS (VALUES {vals}),
+            w AS (
+              SELECT media_id, name, conf,
+                     coalesce(sum(conf) OVER (PARTITION BY media_id
+                       ORDER BY conf DESC, name DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0.0e0) AS cum_before
+              FROM cls),
+            keep AS (
+              SELECT DISTINCT media_id FROM w
+              WHERE cum_before <= 0.8e0
+                AND name IN ('photo', 'graphic')),
+            top AS (
+              SELECT media_id, name AS top_class, conf AS top_conf
+              FROM cls
+              QUALIFY row_number() OVER (PARTITION BY media_id
+                ORDER BY conf DESC, name ASC) = 1),
+            cnt AS (SELECT media_id, count(*)::int AS n_classes
+                    FROM cls GROUP BY media_id)
+            SELECT keep.media_id, top_class, top_conf, n_classes
+            FROM keep JOIN top USING (media_id)
+            JOIN cnt USING (media_id)
+            ORDER BY keep.media_id"""
+
+
 def _hash_split_oracle() -> str:
     """DuckDB twin of functions.hash_split: same md5-derived unit
     hash, same cumulative thresholds (accumulated in the SAME Python
@@ -4353,8 +4396,10 @@ _EXTRA_ORDER = [
     "icc_profiles", "icc_class_census",
     "iso_tree_profile",
     # round-5 additions: the legacy OLE/CFB office family (the last
-    # reference source-format branch — VERDICT r4 task 5)
+    # reference source-format branch — VERDICT r4 task 5) + the
+    # score-producing picture classifier closing F3's input gap
     "cfb_documents", "ppt_elements", "doc_elements",
+    "picture_auto_gate",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -7842,6 +7887,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.size("classes").alias("n_classes"))
     q["picture_class_filter"] = q_picture_filter
 
+    # --- F3 end-to-end: the committed integer-weight classifier
+    # (extractor/picturex.py + pmodel.py) PRODUCES the (class, conf)
+    # scores over the real image fixture payloads, then the same
+    # cumulative-prefix gate consumes them — closes the r4 verdict's
+    # "nothing produces those scores" gap. Oracle: pure-classifier-fed
+    # VALUES + the window-sum fold twin.
+    def q_picture_auto_gate(spark, sf_dir):
+        scored = multimodal.picture_scores(
+            fixtures.dhash_media_df(spark))
+        kept = multimodal.filter_allowed_classes(
+            scored.where(F.col("classes").isNotNull()),
+            "classes", ["photo", "graphic"], conf_prefix=0.8)
+        return kept.select(
+            "media_id",
+            F.col("classes")[0].getField("name").alias("top_class"),
+            F.col("classes")[0].getField("conf").alias("top_conf"),
+            F.size("classes").alias("n_classes")).orderBy("media_id")
+    q["picture_auto_gate"] = q_picture_auto_gate
+
     # --- C8/C14 image header decode (REAL byte parsing, no codec) —
     # SQL-checked: the oracle re-derives dims from the same blob hex
     def q_media_dims(spark, sf_dir):
@@ -10924,6 +10988,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
         "picture_class_filter": _picture_filter_oracle(),
+        "picture_auto_gate": _picture_auto_gate_oracle(),
         "media_kind_sniff": _media_sniff_oracle(),
         "media_dimensions": _media_dims_oracle(),
         # REAL PNG pixel decode: expected rows pinned from the

