@@ -3600,6 +3600,8 @@ _GOLDEN_ISO = os.path.join(
     _REPO, "fixtures", "golden_iso_seed42_n4.parquet")
 _GOLDEN_CFB = os.path.join(
     _REPO, "fixtures", "golden_cfb_seed42_n6.parquet")
+_GOLDEN_OLEPS = os.path.join(
+    _REPO, "fixtures", "golden_oleps_seed42_n6.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4399,7 +4401,7 @@ _EXTRA_ORDER = [
     # reference source-format branch — VERDICT r4 task 5) + the
     # score-producing picture classifier closing F3's input gap
     "cfb_documents", "ppt_elements", "doc_elements",
-    "picture_auto_gate",
+    "picture_auto_gate", "oleps_properties", "legacy_office_metadata",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8735,6 +8737,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url", "pos"))
     q["doc_elements"] = q_doc_elements
 
+    # [MS-OLEPS] property sets — legacy-office metadata (the CFB
+    # sibling of office_metadata; extractor/olepsx.py)
+    def q_oleps_properties(spark, sf_dir):
+        files = fixtures.cfb_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_office_properties(df)
+    q["oleps_properties"] = q_oleps_properties
+
+    def q_legacy_office_metadata(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_OLEPS)
+        pick = (lambda n: F.max(F.when(
+            (F.col("stream") == "summary") & (F.col("name") == n),
+            F.col("value"))))
+        return (g.groupBy("url")
+                .agg(pick("title").alias("title"),
+                     pick("author").alias("author"),
+                     pick("created").alias("created"),
+                     pick("app_name").alias("app_name"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_props"))
+                .orderBy("url"))
+    q["legacy_office_metadata"] = q_legacy_office_metadata
+
     def q_iso_tree_profile(spark, sf_dir):
         g = spark.read.parquet(_GOLDEN_ISO)
         depth = F.expr(
@@ -12834,6 +12861,26 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_CFB}')
             WHERE row_kind = 'doc_piece'
             ORDER BY url, pos""",
+        # [MS-OLEPS]: committed golden pinned by tests/test_olepsx.py
+        "oleps_properties": f"""
+            SELECT url, pos, stream, prop_id, name, vtype, value
+            FROM read_parquet('{_GOLDEN_OLEPS}')""",
+        "legacy_office_metadata": f"""
+            SELECT url,
+                   max(CASE WHEN stream = 'summary'
+                       AND name = 'title' THEN value END) AS title,
+                   max(CASE WHEN stream = 'summary'
+                       AND name = 'author' THEN value END)
+                     AS author,
+                   max(CASE WHEN stream = 'summary'
+                       AND name = 'created' THEN value END)
+                     AS created,
+                   max(CASE WHEN stream = 'summary'
+                       AND name = 'app_name' THEN value END)
+                     AS app_name,
+                   count(*)::bigint AS n_props
+            FROM read_parquet('{_GOLDEN_OLEPS}')
+            GROUP BY url ORDER BY url""",
         # ISO 9660: committed golden pinned by tests/test_isox.py
         # against the pure re-derivation
         "iso_images": f"""

@@ -7580,11 +7580,26 @@ def cfb_file_rows(seed: int = 42) -> list[dict]:
                  .encode("utf-16-le")),
     ])
     doc_cont = _ppt_container(0x03E8, [slide1, slide2])
+    from .extractor.olepsx import build_property_set
+    ppt_summary = build_property_set([
+        (2, "lpstr", "Quarterly crawl report"),
+        (4, "lpwstr", "Ana Gómez"),
+        (12, "filetime", "2003-05-17T09:30:00Z"),
+        (7, "lpstr", "blank.pot"),
+        (18, "lpstr", "Microsoft PowerPoint"),
+    ])
+    ppt_docsummary = build_property_set([
+        (7, "i4", 2),                 # n_slides
+        (15, "lpstr", "Example Org"),
+    ], fmtid=b"\x02\xd5\xcd\xd5\x9c\x2e\x1b\x10"
+             b"\x93\x97\x08\x00\x2b\x2c\xf9\xae")
     ppt = build_cfb([
         ("PowerPoint Document", doc_cont),
         ("Current User", b"\x00" * 24),
         ("Pictures", b"\x89PNG" + b"\x00" * 5000),  # FAT-path stream
         ("Macros/VBA_code", b"Sub Noop()\nEnd Sub\n"),
+        ("\x05SummaryInformation", ppt_summary),
+        ("\x05DocumentSummaryInformation", ppt_docsummary),
     ])
     add("deck.ppt", ppt)
 
@@ -7612,9 +7627,19 @@ def cfb_file_rows(seed: int = 42) -> list[dict]:
     struct.pack_into("<I", word, 0x01A2, fc_clx)
     struct.pack_into("<I", word, 0x01A6, len(clx))
     table = b"\x00" * fc_clx + clx
+    doc_summary = build_property_set([
+        (2, "lpstr", "Internal memo"),
+        (4, "lpstr", "J. Archivist"),
+        (12, "filetime", "1999-11-03T14:05:09Z"),
+        (13, "filetime", "2001-02-28T23:59:58Z"),
+        (14, "i4", 1),
+        (15, "i4", 9),                # n_words
+        (18, "lpstr", "Microsoft Word 8.0"),
+    ])
     doc = build_cfb([
         ("WordDocument", bytes(word)),
         ("1Table", table),
+        ("\x05SummaryInformation", doc_summary),
     ])
     add("memo.doc", doc)
 

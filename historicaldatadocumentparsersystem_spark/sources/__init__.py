@@ -3739,3 +3739,43 @@ def read_legacy_office(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, CFB_DDL))
+
+
+OLEPS_DDL = ("url string, pos int, stream string, prop_id int, "
+             "name string, vtype string, value string")
+
+
+def read_office_properties(df: DataFrame, url_col: str = "url",
+                           payload_col: str = "payload"
+                           ) -> DataFrame:
+    """(url, CFB bytes) -> one row per [MS-OLEPS] property from the
+    summary / document-summary streams (the legacy-office sibling
+    of ``read_office_metadata``). Pure parse:
+    ``extractor.olepsx.extract_office_properties``. Map-only; CFB
+    without property streams (or junk) yields no rows."""
+    import pandas as pd
+
+    from ..extractor.olepsx import extract_office_properties
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                blob = bytes(payload) if payload is not None \
+                    else None
+                for (pos, stream, pid, name, vtype, val) in \
+                        extract_office_properties(blob):
+                    # Int32 clamp: property ids are u32 on disk
+                    pid = pid if pid <= 0x7FFFFFFF else None
+                    rows.append((url, pos, stream, pid, name,
+                                 vtype, val))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "stream", "prop_id", "name",
+                "vtype", "value"])
+            for c in ("pos", "prop_id"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, OLEPS_DDL))

@@ -25,7 +25,9 @@ def test_container_walk():
     assert d["version"] == 3 and d["sector_size"] == 512
     paths = [e[1] for e in d["entries"]]
     assert paths == ["PowerPoint Document", "Current User",
-                     "Pictures", "Macros", "Macros/VBA_code"]
+                     "Pictures", "Macros", "Macros/VBA_code",
+                     "\x05SummaryInformation",
+                     "\x05DocumentSummaryInformation"]
     # mini-stream member (< 4096) and FAT member (>= 4096) both read
     assert d["_streams"]["Macros/VBA_code"] == \
         b"Sub Noop()\nEnd Sub\n"
@@ -117,7 +119,7 @@ def _pure() -> list[tuple]:
 def test_match_committed_golden():
     got = [(r["url"],) + tuple(r[c] for c in COLS)
            for r in pq.read_table(GOLDEN).to_pylist()]
-    assert got == _pure() and len(got) == 19
+    assert got == _pure() and len(got) == 22
 
 
 def test_spark_reader_matches_pure(spark):
