@@ -3602,6 +3602,8 @@ _GOLDEN_CFB = os.path.join(
     _REPO, "fixtures", "golden_cfb_seed42_n6.parquet")
 _GOLDEN_OLEPS = os.path.join(
     _REPO, "fixtures", "golden_oleps_seed42_n6.parquet")
+_GOLDEN_MSGPACK = os.path.join(
+    _REPO, "fixtures", "golden_msgpack_seed42_n10.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4402,6 +4404,7 @@ _EXTRA_ORDER = [
     # score-producing picture classifier closing F3's input gap
     "cfb_documents", "ppt_elements", "doc_elements",
     "picture_auto_gate", "oleps_properties", "legacy_office_metadata",
+    "msgpack_records", "msgpack_type_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8523,6 +8526,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_cbor_records(df)
     q["cbor_records"] = q_cbor_records
+
+    # msgpack — the third binary-config dialect, same leaf shape
+    def q_msgpack_records(spark, sf_dir):
+        files = fixtures.msgpack_blob_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_msgpack_records(df)
+    q["msgpack_records"] = q_msgpack_records
+
+    def q_msgpack_type_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_MSGPACK)
+        return (g.groupBy("vtype")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_blobs"),
+                     F.max(F.length("path")).alias("max_path_len"))
+                .orderBy("vtype"))
+    q["msgpack_type_census"] = q_msgpack_type_census
 
     def q_cbor_tag_profile(spark, sf_dir):
         g = spark.read.parquet(_GOLDEN_CBOR)
@@ -12724,6 +12746,16 @@ def oracle_sql() -> dict[str, str]:
         "cbor_records": f"""
             SELECT url, pos, ok, path, vtype, value_text
             FROM read_parquet('{_GOLDEN_CBOR}')""",
+        # msgpack: committed golden pinned by tests/test_msgpackx.py
+        "msgpack_records": f"""
+            SELECT url, pos, ok, path, vtype, value_text
+            FROM read_parquet('{_GOLDEN_MSGPACK}')""",
+        "msgpack_type_census": f"""
+            SELECT vtype, count(*)::bigint AS n,
+                   count(DISTINCT url)::bigint AS n_blobs,
+                   max(length(path))::int AS max_path_len
+            FROM read_parquet('{_GOLDEN_MSGPACK}')
+            GROUP BY vtype ORDER BY vtype""",
         "cbor_tag_profile": f"""
             SELECT url, bool_and(ok) AS ok,
                    sum(ok::int)::bigint AS n_leaves,

@@ -7673,3 +7673,50 @@ def cfb_file_rows(seed: int = 42) -> list[dict]:
     add("cut.ppt", ppt[:700])           # truncated mid-directory
     add("junk.bin", b"not a compound file at all")
     return rows
+
+
+def msgpack_blob_rows(seed: int = 42) -> list[dict]:
+    """Deterministic msgpack blobs (url, payload) — the ENCODE half
+    of extractor/msgpackx.py. Shapes: API-response map (nested maps/
+    arrays, mixed ints, float64, bin, bool/nil), all three
+    timestamp-extension widths, a custom ext type, 16+-entry map
+    (map16 head), long str (str8), deep-nesting reject, 0xc1
+    reject, trailing-bytes reject, junk. Golden:
+    fixtures/golden_msgpack_seed42_n10.parquet."""
+    from .extractor.msgpackx import encode_msgpack as enc
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://api{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("fetch.msgpack", enc({
+        "url": "https://example.org/page",
+        "status": 200,
+        "elapsed_ms": 12.75,
+        "ok": True,
+        "retries": None,
+        "headers": {"content-type": "text/html",
+                    "content length": 48213},
+        "tags": ["crawl", "html", -3],
+        "digest": bytes(range(8)),
+    }))
+    add("ts32.msgpack", enc({"fetched": ("__ts__", 1700000000, 0)}))
+    add("ts64.msgpack", enc(
+        {"fetched": ("__ts__", 1700000000, 500_000_000)}))
+    add("ts96.msgpack", enc(
+        {"fetched": ("__ts__", -86400, 123_456_789)}))
+    add("ext.msgpack", enc({"blob": None})[:1]
+        + enc("blob") + b"\xd5\x2a\x01\x02")     # fixext2 type 42
+    add("wide.msgpack", enc(
+        {f"k{i:02d}": i for i in range(20)}))    # map16
+    add("longstr.msgpack", enc("x" * 64))        # str8
+    deep = [1]
+    for _ in range(30):
+        deep = [deep]
+    add("deep.msgpack", enc(deep))               # depth reject
+    add("never.msgpack", b"\xc1")                # 0xc1 reject
+    add("trail.msgpack", enc(1) + b"\x00")       # trailing reject
+    return rows

@@ -3779,3 +3779,39 @@ def read_office_properties(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, OLEPS_DDL))
+
+
+MSGPACK_DDL = CBOR_DDL  # same flattened-leaf shape
+
+
+def read_msgpack_records(df: DataFrame, url_col: str = "url",
+                         payload_col: str = "payload") -> DataFrame:
+    """(url, msgpack bytes) -> the cborx flattened-leaf shape (one
+    row per leaf; ok=false row for non-items) — binary configs from
+    Redis/Fluentd/API payloads land beside CBOR and TOML. Pure
+    parse: ``extractor.msgpackx.parse_msgpack`` (golden-pinned).
+    Map-only."""
+    import pandas as pd
+
+    from ..extractor.msgpackx import parse_msgpack
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_msgpack(
+                    bytes(payload) if payload is not None else None)
+                if not d["ok"]:
+                    rows.append((url, 0, False, None, None, None))
+                    continue
+                for (pos, path, vtype, text) in d["rows"]:
+                    rows.append((url, pos, True, path, vtype,
+                                 text))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "ok", "path", "vtype", "value_text"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MSGPACK_DDL))
