@@ -3604,6 +3604,8 @@ _GOLDEN_OLEPS = os.path.join(
     _REPO, "fixtures", "golden_oleps_seed42_n6.parquet")
 _GOLDEN_MSGPACK = os.path.join(
     _REPO, "fixtures", "golden_msgpack_seed42_n10.parquet")
+_GOLDEN_BPLIST = os.path.join(
+    _REPO, "fixtures", "golden_bplist_seed42_n8.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4405,6 +4407,7 @@ _EXTRA_ORDER = [
     "cfb_documents", "ppt_elements", "doc_elements",
     "picture_auto_gate", "oleps_properties", "legacy_office_metadata",
     "msgpack_records", "msgpack_type_census",
+    "bplist_records", "bplist_type_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8545,6 +8548,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.max(F.length("path")).alias("max_path_len"))
                 .orderBy("vtype"))
     q["msgpack_type_census"] = q_msgpack_type_census
+
+    # Apple binary plist — the fourth binary-config dialect
+    def q_bplist_records(spark, sf_dir):
+        files = fixtures.bplist_blob_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(8)
+        return sources.read_bplist_records(df)
+    q["bplist_records"] = q_bplist_records
+
+    def q_bplist_type_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_BPLIST)
+        return (g.groupBy("vtype")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_blobs"))
+                .orderBy("vtype"))
+    q["bplist_type_census"] = q_bplist_type_census
 
     def q_cbor_tag_profile(spark, sf_dir):
         g = spark.read.parquet(_GOLDEN_CBOR)
@@ -12755,6 +12776,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::bigint AS n_blobs,
                    max(length(path))::int AS max_path_len
             FROM read_parquet('{_GOLDEN_MSGPACK}')
+            GROUP BY vtype ORDER BY vtype""",
+        # bplist: committed golden pinned by tests/test_bplistx.py
+        # (plistlib is the independent parity oracle there)
+        "bplist_records": f"""
+            SELECT url, pos, ok, path, vtype, value_text
+            FROM read_parquet('{_GOLDEN_BPLIST}')""",
+        "bplist_type_census": f"""
+            SELECT vtype, count(*)::bigint AS n,
+                   count(DISTINCT url)::bigint AS n_blobs
+            FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
         "cbor_tag_profile": f"""
             SELECT url, bool_and(ok) AS ok,

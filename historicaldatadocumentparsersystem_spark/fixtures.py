@@ -7720,3 +7720,52 @@ def msgpack_blob_rows(seed: int = 42) -> list[dict]:
     add("never.msgpack", b"\xc1")                # 0xc1 reject
     add("trail.msgpack", enc(1) + b"\x00")       # trailing reject
     return rows
+
+
+def bplist_blob_rows(seed: int = 42) -> list[dict]:
+    """Deterministic Apple binary plists (url, payload) — encoded
+    with stdlib plistlib (FMT_BINARY), which doubles as the parity
+    oracle for extractor/bplistx.py (the tomlx-vs-tomllib
+    discipline). Shapes: app Info.plist-ish dict, fractional +
+    integral CFDates, 8-byte signed ints, UID, empty containers,
+    >14-element array (count-escape int object), long unicode
+    string, truncated, junk. Golden:
+    fixtures/golden_bplist_seed42_n8.parquet."""
+    import datetime as _dt
+    import plistlib as _pl
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://bundle{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    def enc(v):
+        return _pl.dumps(v, fmt=_pl.FMT_BINARY, sort_keys=True)
+
+    add("Info.plist", enc({
+        "CFBundleName": "CrawlViewer",
+        "CFBundleVersion": "2.1",
+        "count": 48213,
+        "big": -(1 << 40),
+        "ratio": 0.25,
+        "hidden": False,
+        "created": _dt.datetime(2015, 6, 1, 12, 30, 5),
+        "payload": bytes(range(6)),
+        "items": ["a", "long key with spaces", -7, 3.5],
+        "nested": {"x": {"y": [1, 2]}},
+    }))
+    add("dates.plist", enc({
+        "midnight": _dt.datetime(2001, 1, 1, 0, 0, 0),
+        "frac": _dt.datetime(2020, 2, 29, 6, 0, 0, 250000),
+    }))
+    add("uid.plist", enc({"ref": _pl.UID(7)}))
+    add("empty.plist", enc({"arr": [], "dct": {}, "s": ""}))
+    add("wide.plist", enc({"xs": list(range(20)),
+                           "u": "café — ünïcode"}))
+    good = enc({"k": [1, 2, 3]})
+    add("cut.plist", good[:len(good) - 9])
+    add("junk.plist", b"bplist99 not really")
+    add("noise.bin", b"\x00" * 48)
+    return rows

@@ -3815,3 +3815,35 @@ def read_msgpack_records(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, MSGPACK_DDL))
+
+
+def read_bplist_records(df: DataFrame, url_col: str = "url",
+                        payload_col: str = "payload") -> DataFrame:
+    """(url, bplist00 bytes) -> the flattened-leaf shape (cborx/
+    msgpackx DDL; ok=false row for junk). Pure parse:
+    ``extractor.bplistx.parse_bplist`` (plistlib-parity-pinned).
+    Map-only."""
+    import pandas as pd
+
+    from ..extractor.bplistx import parse_bplist
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_bplist(
+                    bytes(payload) if payload is not None else None)
+                if not d["ok"]:
+                    rows.append((url, 0, False, None, None, None))
+                    continue
+                for (pos, path, vtype, text) in d["rows"]:
+                    rows.append((url, pos, True, path, vtype,
+                                 text))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "ok", "path", "vtype", "value_text"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MSGPACK_DDL))
