@@ -3606,6 +3606,8 @@ _GOLDEN_MSGPACK = os.path.join(
     _REPO, "fixtures", "golden_msgpack_seed42_n10.parquet")
 _GOLDEN_BPLIST = os.path.join(
     _REPO, "fixtures", "golden_bplist_seed42_n8.parquet")
+_GOLDEN_KML = os.path.join(
+    _REPO, "fixtures", "golden_kml_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4408,6 +4410,7 @@ _EXTRA_ORDER = [
     "picture_auto_gate", "oleps_properties", "legacy_office_metadata",
     "msgpack_records", "msgpack_type_census",
     "bplist_records", "bplist_type_census",
+    "kml_placemarks", "kml_folder_stats",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8557,6 +8560,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # KML placemarks — the gpxx geodata sibling (lon,lat order)
+    def q_kml_placemarks(spark, sf_dir):
+        files = fixtures.kml_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_kml_placemarks(df)
+    q["kml_placemarks"] = q_kml_placemarks
+
+    def q_kml_folder_stats(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_KML)
+        return (g.groupBy("url", "folder")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_placemarks"),
+                     F.sum("n_points").cast("long")
+                     .alias("n_vertices"),
+                     F.min("min_lon").alias("bbox_min_lon"),
+                     F.min("min_lat").alias("bbox_min_lat"),
+                     F.max("max_lon").alias("bbox_max_lon"),
+                     F.max("max_lat").alias("bbox_max_lat"),
+                     F.min("t_begin").alias("earliest"),
+                     F.max("t_end").alias("latest"))
+                .orderBy("url", "folder"))
+    q["kml_folder_stats"] = q_kml_folder_stats
 
     def q_bplist_type_census(spark, sf_dir):
         g = spark.read.parquet(_GOLDEN_BPLIST)
@@ -12787,6 +12815,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::bigint AS n_blobs
             FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
+        # KML: committed golden pinned by tests/test_kmlx.py
+        "kml_placemarks": f"""
+            SELECT url, pos, folder, name, gtype, n_points,
+                   min_lon, min_lat, max_lon, max_lat,
+                   t_begin, t_end
+            FROM read_parquet('{_GOLDEN_KML}')""",
+        "kml_folder_stats": f"""
+            SELECT url, folder,
+                   count(*)::bigint AS n_placemarks,
+                   sum(n_points)::bigint AS n_vertices,
+                   min(min_lon) AS bbox_min_lon,
+                   min(min_lat) AS bbox_min_lat,
+                   max(max_lon) AS bbox_max_lon,
+                   max(max_lat) AS bbox_max_lat,
+                   min(t_begin) AS earliest,
+                   max(t_end) AS latest
+            FROM read_parquet('{_GOLDEN_KML}')
+            GROUP BY url, folder ORDER BY url, folder""",
         "cbor_tag_profile": f"""
             SELECT url, bool_and(ok) AS ok,
                    sum(ok::int)::bigint AS n_leaves,

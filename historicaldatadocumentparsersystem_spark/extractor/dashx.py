@@ -98,7 +98,7 @@ def parse_mpd(payload) -> tuple[dict, list[tuple]]:
     meta = {"type": None, "duration_ms": None, "min_buffer_ms": None}
     try:
         root = ET.fromstring(data)
-    except ET.ParseError:
+    except (ET.ParseError, ValueError, LookupError):
         return meta, []
     if _local(root.tag) != "MPD":
         return meta, []

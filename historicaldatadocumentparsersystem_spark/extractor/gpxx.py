@@ -85,7 +85,7 @@ def parse_gpx(payload) -> list[dict]:
         payload = payload.encode("utf-8", "replace")
     try:
         root = ET.fromstring(bytes(payload))
-    except ET.ParseError:
+    except (ET.ParseError, ValueError, LookupError):
         return []
     if _local(root.tag) != "gpx":
         return []

@@ -94,7 +94,7 @@ def extract_pptx(payload: bytes) -> list[PptxElement]:
         for slide_no, name in slides:
             try:
                 root = ET.fromstring(zf.read(name))
-            except ET.ParseError:
+            except (ET.ParseError, ValueError, LookupError):
                 continue
             tree = root.find(".//p:cSld/p:spTree", _NS)
             if tree is None:

@@ -164,7 +164,7 @@ def parse_ttml(src: str) -> list[tuple[int, int, int, str]]:
     from xml.etree import ElementTree as ET
     try:
         root = ET.fromstring(src)
-    except ET.ParseError:
+    except (ET.ParseError, ValueError, LookupError):
         return []
     if root.tag.split("}")[-1] != "tt":
         return []

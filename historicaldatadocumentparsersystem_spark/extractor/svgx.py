@@ -70,7 +70,7 @@ def parse_svg(payload: bytes | None) -> SvgInfo | None:
     from xml.etree import ElementTree as ET
     try:
         root = ET.fromstring(payload.decode("utf-8", errors="replace"))
-    except ET.ParseError:
+    except (ET.ParseError, ValueError, LookupError):
         return None
 
     def local(tag) -> str:

@@ -76,7 +76,7 @@ def extract_tmx(payload) -> dict:
         text = text[1:]
     try:
         root = ET.fromstring(text)
-    except ET.ParseError:
+    except (ET.ParseError, ValueError, LookupError):
         return {"srclang": None, "rows": []}
     if _local(root.tag) != "tmx":
         return {"srclang": None, "rows": []}

@@ -270,7 +270,7 @@ def parse_wiki_dump(payload: bytes | None) -> list[WikiPage]:
     from xml.etree import ElementTree as ET
     try:
         root = ET.fromstring(payload.decode("utf-8", errors="replace"))
-    except ET.ParseError:
+    except (ET.ParseError, ValueError, LookupError):
         return []
 
     def local(tag: str) -> str:

@@ -7769,3 +7769,61 @@ def bplist_blob_rows(seed: int = 42) -> list[dict]:
     add("junk.plist", b"bplist99 not really")
     add("noise.bin", b"\x00" * 48)
     return rows
+
+
+def kml_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic KML files (url, payload) — the ENCODE half of
+    extractor/kmlx.py. Shapes: nested folders with point/line/
+    polygon placemarks + TimeStamp/TimeSpan, MultiGeometry, out-of-
+    range coordinate dropping, junk/non-KML XML. Golden:
+    fixtures/golden_kml_seed42_n5.parquet."""
+    from .extractor.kmlx import build_kml
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://maps{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("city.kml", build_kml([
+        {"name": "Landmarks", "placemarks": [
+            {"name": "Fountain", "gtype": "Point",
+             "coords": [(2.3522, 48.8566)],
+             "when": "2019-07-14T12:00:00Z"},
+            {"name": "Old Walk", "gtype": "LineString",
+             "coords": [(2.35, 48.85), (2.36, 48.86),
+                        (2.37, 48.855)],
+             "span": ("2019-07-01T00:00:00Z",
+                      "2019-07-31T23:59:59Z")},
+        ], "folders": [
+            {"name": "Parks", "placemarks": [
+                {"name": "Green Park", "gtype": "Polygon",
+                 "coords": [(2.30, 48.84), (2.31, 48.84),
+                            (2.31, 48.85), (2.30, 48.84)]},
+            ]},
+        ]},
+    ]))
+    add("multi.kml", build_kml([
+        {"name": "Routes", "placemarks": [
+            {"name": "Ferry", "gtype": "MultiGeometry",
+             "members": [
+                 {"gtype": "Point", "coords": [(-3.7, 40.4)]},
+                 {"gtype": "LineString",
+                  "coords": [(-3.7, 40.4), (-3.6, 40.5)]},
+             ]},
+        ]},
+    ]))
+    # out-of-range tuples must drop, leaving one valid vertex
+    bad = build_kml([
+        {"name": "Bad", "placemarks": [
+            {"name": "Edge", "gtype": "LineString",
+             "coords": [(185.0, 10.0), (10.0, 95.0),
+                        (9.5, 51.3)]},
+            {"name": "NoGeom", "gtype": "Point", "coords": []},
+        ]},
+    ])
+    add("edge.kml", bad)
+    add("feed.xml", b"<?xml version='1.0'?><rss><channel/></rss>")
+    add("junk.kml", b"not xml at all <<<")
+    return rows

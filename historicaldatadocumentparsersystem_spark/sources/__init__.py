@@ -3847,3 +3847,44 @@ def read_bplist_records(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, MSGPACK_DDL))
+
+
+KML_DDL = ("url string, pos int, folder string, name string, "
+           "gtype string, n_points int, min_lon double, "
+           "min_lat double, max_lon double, max_lat double, "
+           "t_begin long, t_end long")
+
+
+def read_kml_placemarks(df: DataFrame, url_col: str = "url",
+                        payload_col: str = "payload") -> DataFrame:
+    """(url, KML bytes) -> one row per Placemark with folder path,
+    geometry census, exact bbox, and TimeStamp/TimeSpan epochs —
+    the gpxx sibling. Pure parse: ``extractor.kmlx.parse_kml``
+    (golden-pinned). Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.kmlx import parse_kml
+
+    _COLS = ["pos", "folder", "name", "gtype", "n_points",
+             "min_lon", "min_lat", "max_lon", "max_lat",
+             "t_begin", "t_end"]
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                for r in parse_kml(
+                        bytes(payload) if payload is not None
+                        else None):
+                    rows.append((url,) + tuple(r[c]
+                                               for c in _COLS))
+            out = pd.DataFrame(rows, columns=["url"] + _COLS)
+            for c in ("pos", "n_points"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("t_begin", "t_end"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, KML_DDL))
