@@ -171,18 +171,23 @@ def kmeans_assign(df: DataFrame, k: int = 8, n_iter: int = 2,
 
     for _ in range(n_iter):
         staged = assigned(cents).select("cluster", "__e")
+        # ONE (cluster, pos) aggregation, k x dim rows collected and
+        # assembled driver-side — the old second groupBy (collect_list
+        # + array_sort per cluster) was a full extra shuffle+agg round
+        # per iteration for pure array packaging (A/B: 0.6 -> 0.06 s
+        # warm at sf0.1, values bit-identical)
         means = (staged.select("cluster",
                                F.posexplode("__e").alias("pos", "v"))
                  .groupBy("cluster", "pos")
                  .agg(F.round(F.sum(F.round("v", 9).cast("decimal(20,9)"))
                               .cast("double") / F.count("*"), 9)
                       .cast("decimal(20,9)").cast("double").alias("m"))
-                 .groupBy("cluster")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                      .alias("pm"))
-                 .select("cluster", F.col("pm.m").alias("c"))
                  .collect())
-        new = {r["cluster"]: list(r["c"]) for r in means}
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        new = {c: [v[i] for i in range(len(v))]
+               for c, v in acc.items()}
         cents = [new.get(i, cents[i]) for i in range(kk)]
     if use_bcast:
         fin = _assign_broadcast(df, cents, id_col, vec_col)
