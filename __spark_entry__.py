@@ -1235,6 +1235,27 @@ def _picture_filter_oracle() -> str:
             FROM keep JOIN cnt USING (media_id)"""
 
 
+def _legacy_extract_oracle() -> str:
+    """Twin of legacy_office_extract: the SAME Spark-free dispatcher
+    (core.extract_document) runs at SQL-generation time over the CFB
+    fixture payloads — the extract_corpus byte-identity contract
+    applied to the ppt/doc branch."""
+    from historicaldatadocumentparsersystem_spark import fixtures as _fx
+    from historicaldatadocumentparsersystem_spark.extractor.core import (
+        extract_document)
+    vals = []
+    for r in _fx.cfb_file_rows():
+        res = extract_document(r["payload"], None)
+        vals.append(
+            f"('{r['url']}', '{res.doc_kind}', {res.n_blocks}, "
+            f"{len(res.extracted_text)}, "
+            f"{1 if res.failed else 0})")
+    return f"""
+            SELECT * FROM (VALUES {", ".join(vals)})
+            t(url, doc_kind, n_blocks, n_chars, failed)
+            ORDER BY url"""
+
+
 def _picture_auto_gate_oracle() -> str:
     """Twin of picture_auto_gate: the Spark-free classifier scores
     the SAME fixture payloads at SQL-generation time (identical
@@ -4408,6 +4429,7 @@ _EXTRA_ORDER = [
     # score-producing picture classifier closing F3's input gap
     "cfb_documents", "ppt_elements", "doc_elements",
     "picture_auto_gate", "oleps_properties", "legacy_office_metadata",
+    "legacy_office_extract",
     "msgpack_records", "msgpack_type_census",
     "bplist_records", "bplist_type_census",
     "kml_placemarks", "kml_folder_stats",
@@ -8808,6 +8830,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("url", "pos"))
     q["doc_elements"] = q_doc_elements
 
+    # legacy office THROUGH the flagship pipeline: the CFB payloads
+    # ride extract_df's real mapInPandas stage end-to-end (dispatch ->
+    # ppt/doc kinds -> reading-order text), pure-extractor-fed VALUES
+    # twin — proves the dispatcher branch in the distributed path,
+    # not just the pure function
+    def q_legacy_office_extract(spark, sf_dir):
+        files = fixtures.cfb_file_rows()
+        docs = spark.createDataFrame(
+            [(r["url"], None, None, r["payload"], None)
+             for r in files],
+            "url string, warc_ts timestamp, lang string, "
+            "html binary, text string").repartition(4)
+        return (pipeline.extract_df(docs, num_buckets=4)
+                .select("url", "doc_kind", "n_blocks",
+                        F.length("extracted_text").alias("n_chars"),
+                        "failed")
+                .orderBy("url"))
+    q["legacy_office_extract"] = q_legacy_office_extract
+
     # [MS-OLEPS] property sets — legacy-office metadata (the CFB
     # sibling of office_metadata; extractor/olepsx.py)
     def q_oleps_properties(spark, sf_dir):
@@ -12970,6 +13011,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_CFB}')
             WHERE row_kind = 'doc_piece'
             ORDER BY url, pos""",
+        "legacy_office_extract": _legacy_extract_oracle(),
         # [MS-OLEPS]: committed golden pinned by tests/test_olepsx.py
         "oleps_properties": f"""
             SELECT url, pos, stream, prop_id, name, vtype, value
