@@ -3629,6 +3629,8 @@ _GOLDEN_BPLIST = os.path.join(
     _REPO, "fixtures", "golden_bplist_seed42_n8.parquet")
 _GOLDEN_KML = os.path.join(
     _REPO, "fixtures", "golden_kml_seed42_n5.parquet")
+_GOLDEN_JAVACLASS = os.path.join(
+    _REPO, "fixtures", "golden_javaclass_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4433,6 +4435,7 @@ _EXTRA_ORDER = [
     "msgpack_records", "msgpack_type_census",
     "bplist_records", "bplist_type_census",
     "kml_placemarks", "kml_folder_stats",
+    "java_classes", "java_member_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8582,6 +8585,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # JVM class files — the fourth executable-format member
+    def q_java_classes(spark, sf_dir):
+        files = fixtures.java_class_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_java_classes(df)
+    q["java_classes"] = q_java_classes
+
+    def q_java_member_census(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_JAVACLASS)
+        m = g.where(F.col("row_kind") == "member")
+        return (m.groupBy("url", "member_kind")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum(F.when(F.col("member_access")
+                                  .contains("static"), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_static"),
+                     F.sort_array(F.collect_list("name"))
+                     .alias("names"))
+                .orderBy("url", "member_kind"))
+    q["java_member_census"] = q_java_member_census
 
     # KML placemarks — the gpxx geodata sibling (lon,lat order)
     def q_kml_placemarks(spark, sf_dir):
@@ -12856,6 +12882,22 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::bigint AS n_blobs
             FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
+        # JVM class files: committed golden pinned by
+        # tests/test_javaclassx.py (javac 17 is the independent
+        # parity oracle there)
+        "java_classes": f"""
+            SELECT url, pos, row_kind, class_name, super_name,
+                   java_version, access, n_cp, source_file,
+                   member_kind, name, descriptor, member_access
+            FROM read_parquet('{_GOLDEN_JAVACLASS}')""",
+        "java_member_census": f"""
+            SELECT url, member_kind, count(*)::bigint AS n,
+                   sum(CASE WHEN member_access LIKE '%static%'
+                       THEN 1 ELSE 0 END)::bigint AS n_static,
+                   list(name ORDER BY name) AS names
+            FROM read_parquet('{_GOLDEN_JAVACLASS}')
+            WHERE row_kind = 'member'
+            GROUP BY url, member_kind ORDER BY url, member_kind""",
         # KML: committed golden pinned by tests/test_kmlx.py
         "kml_placemarks": f"""
             SELECT url, pos, folder, name, gtype, n_points,

@@ -7827,3 +7827,40 @@ def kml_file_rows(seed: int = 42) -> list[dict]:
     add("feed.xml", b"<?xml version='1.0'?><rss><channel/></rss>")
     add("junk.kml", b"not xml at all <<<")
     return rows
+
+
+def java_class_rows(seed: int = 42) -> list[dict]:
+    """Deterministic JVM class files (url, payload) — the ENCODE
+    half of extractor/javaclassx.py. Shapes: service class with
+    interfaces/fields/methods + SourceFile + a two-slot
+    CONSTANT_Long, a Java-6-era interface, a module-info-ish class,
+    truncated, junk. Golden:
+    fixtures/golden_javaclass_seed42_n5.parquet."""
+    from .extractor.javaclassx import build_class
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://jars{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    full = build_class(
+        "com/example/crawl/Fetcher",
+        interfaces=["java/lang/Runnable", "java/io/Closeable"],
+        fields=[("timeout", "I", 0x0002),
+                ("UA", "Ljava/lang/String;", 0x0019)],
+        methods=[("<init>", "()V", 0x0001),
+                 ("run", "()V", 0x0001),
+                 ("fetch", "(Ljava/lang/String;)[B", 0x000A)],
+        source_file="Fetcher.java", long_const=True)
+    add("Fetcher.class", full)
+    add("Iface.class", build_class(
+        "org/example/Sink", major=50, access=0x0601,
+        methods=[("accept", "(Ljava/lang/Object;)V", 0x0401)]))
+    add("Old.class", build_class(
+        "Old", major=46, access=0x0020,
+        fields=[("x", "D", 0x0000)]))
+    add("cut.class", full[:40])
+    add("junk.bin", b"\x00\x01\x02 not a class")
+    return rows

@@ -3888,3 +3888,52 @@ def read_kml_placemarks(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, KML_DDL))
+
+
+JAVACLASS_DDL = (
+    "url string, pos int, row_kind string, class_name string, "
+    "super_name string, java_version string, access string, "
+    "n_cp int, source_file string, member_kind string, "
+    "name string, descriptor string, member_access string")
+
+
+def read_java_classes(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, .class bytes) -> one 'class' row (resolved names,
+    version, census) plus one 'member' row per field/method with
+    descriptor — the executable-triad index shape for JVM
+    artifacts. Pure parse: ``extractor.javaclassx.parse_class``
+    (javac-parity-pinned). Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.javaclassx import parse_class
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_class(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url, 0, "class", d["class_name"],
+                             d["super_name"], d["java_version"],
+                             d["access"], d["n_cp"],
+                             d["source_file"], None, None, None,
+                             None))
+                for (pos, kind, name, desc, acc) in d["members"]:
+                    rows.append((url, pos, "member", None, None,
+                                 None, None, None, None, kind,
+                                 name, desc, acc))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "class_name",
+                "super_name", "java_version", "access", "n_cp",
+                "source_file", "member_kind", "name",
+                "descriptor", "member_access"])
+            for c in ("pos", "n_cp"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, JAVACLASS_DDL))
