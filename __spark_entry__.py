@@ -3631,6 +3631,8 @@ _GOLDEN_KML = os.path.join(
     _REPO, "fixtures", "golden_kml_seed42_n5.parquet")
 _GOLDEN_JAVACLASS = os.path.join(
     _REPO, "fixtures", "golden_javaclass_seed42_n5.parquet")
+_GOLDEN_RPM = os.path.join(
+    _REPO, "fixtures", "golden_rpm_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4436,6 +4438,7 @@ _EXTRA_ORDER = [
     "bplist_records", "bplist_type_census",
     "kml_placemarks", "kml_folder_stats",
     "java_classes", "java_member_census",
+    "rpm_packages", "rpm_dependency_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8585,6 +8588,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # RPM packages — the yum-side sibling of the .deb census
+    def q_rpm_packages(spark, sf_dir):
+        files = fixtures.rpm_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_rpm_packages(df)
+    q["rpm_packages"] = q_rpm_packages
+
+    def q_rpm_dependency_census(spark, sf_dir):
+        # resolve requires -> providing package over the golden:
+        # the deb_dependency_census join shape for the rpm side
+        g = spark.read.parquet(_GOLDEN_RPM)
+        pkgs = (g.where(F.col("row_kind") == "package")
+                .select("url", "name"))
+        deps = (g.where((F.col("row_kind") == "dep")
+                        & (F.col("dep_kind") == "requires"))
+                .select("url", "dep_name"))
+        provs = (g.where((F.col("row_kind") == "dep")
+                         & (F.col("dep_kind") == "provides"))
+                 .select(F.col("url").alias("p_url"),
+                         F.col("dep_name").alias("p_name")))
+        j = (deps.join(pkgs, "url")
+             .join(F.broadcast(provs),
+                   F.col("dep_name") == F.col("p_name"), "left"))
+        prov_pkg = (pkgs.select(
+            F.col("url").alias("p_url"),
+            F.col("name").alias("provider")))
+        return (j.join(F.broadcast(prov_pkg), "p_url", "left")
+                .groupBy("name", "dep_name")
+                .agg(F.max("provider").alias("provider"))
+                .orderBy("name", "dep_name"))
+    q["rpm_dependency_census"] = q_rpm_dependency_census
 
     # JVM class files — the fourth executable-format member
     def q_java_classes(spark, sf_dir):
@@ -12882,6 +12919,30 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::bigint AS n_blobs
             FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
+        # RPM: committed golden pinned by tests/test_rpmx.py
+        "rpm_packages": f"""
+            SELECT url, pos, row_kind, name, version, release,
+                   arch, license, summary, payload_format,
+                   payload_compressor, dep_kind, dep_name,
+                   dep_version
+            FROM read_parquet('{_GOLDEN_RPM}')""",
+        "rpm_dependency_census": f"""
+            WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_RPM}')),
+            pkgs AS (SELECT url, name FROM g
+                     WHERE row_kind = 'package'),
+            deps AS (SELECT url, dep_name FROM g
+                     WHERE row_kind = 'dep'
+                       AND dep_kind = 'requires'),
+            provs AS (SELECT url AS p_url, dep_name AS p_name
+                      FROM g WHERE row_kind = 'dep'
+                        AND dep_kind = 'provides')
+            SELECT pkgs.name, deps.dep_name,
+                   max(pp.name) AS provider
+            FROM deps JOIN pkgs USING (url)
+            LEFT JOIN provs ON deps.dep_name = provs.p_name
+            LEFT JOIN pkgs pp ON pp.url = provs.p_url
+            GROUP BY pkgs.name, deps.dep_name
+            ORDER BY pkgs.name, deps.dep_name""",
         # JVM class files: committed golden pinned by
         # tests/test_javaclassx.py (javac 17 is the independent
         # parity oracle there)

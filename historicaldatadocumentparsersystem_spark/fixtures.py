@@ -7864,3 +7864,42 @@ def java_class_rows(seed: int = 42) -> list[dict]:
     add("cut.class", full[:40])
     add("junk.bin", b"\x00\x01\x02 not a class")
     return rows
+
+
+def rpm_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic RPM packages (url, payload) — the ENCODE half
+    of extractor/rpmx.py. Shapes: dependency-rich tool package,
+    library package with versioned provides, noarch doc package
+    with no requires, truncated, junk. Golden:
+    fixtures/golden_rpm_seed42_n5.parquet."""
+    from .extractor.rpmx import build_rpm
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://mirror{len(rows)}.example.org/"
+                   f"rpms/{name}",
+            "payload": blob})
+
+    full = build_rpm(
+        "crawl-tools", "2.4.1", "3.el9", "x86_64",
+        requires=[("libc.so.6", None), ("python3", "3.9"),
+                  ("libcrawl", "2.0")],
+        provides=[("crawl-tools", "2.4.1"),
+                  ("crawl-cli", None)],
+        license_="Apache-2.0",
+        summary="Crawl pipeline command-line tools")
+    add("crawl-tools-2.4.1-3.el9.x86_64.rpm", full)
+    add("libcrawl-2.0.7-1.el9.x86_64.rpm", build_rpm(
+        "libcrawl", "2.0.7", "1.el9", "x86_64",
+        requires=[("libc.so.6", None)],
+        provides=[("libcrawl", "2.0.7"),
+                  ("libcrawl.so.2", None)],
+        license_="MIT", summary="Crawl parsing library"))
+    add("crawl-docs-2.4.1-3.el9.noarch.rpm", build_rpm(
+        "crawl-docs", "2.4.1", "3.el9", "noarch",
+        license_="CC-BY-4.0", summary="Documentation"))
+    add("cut.rpm", full[:120])
+    add("junk.rpm", b"not an rpm at all, sorry")
+    return rows

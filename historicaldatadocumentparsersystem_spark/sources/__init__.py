@@ -3937,3 +3937,55 @@ def read_java_classes(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, JAVACLASS_DDL))
+
+
+RPM_DDL = ("url string, pos int, row_kind string, name string, "
+           "version string, release string, arch string, "
+           "license string, summary string, payload_format string, "
+           "payload_compressor string, dep_kind string, "
+           "dep_name string, dep_version string")
+
+
+def read_rpm_packages(df: DataFrame, url_col: str = "url",
+                      payload_col: str = "payload") -> DataFrame:
+    """(url, rpm bytes) -> one 'package' row (identity/license/
+    payload) plus one 'dep' row per requires/provides pair — the
+    yum-side sibling of the .deb census. Pure parse:
+    ``extractor.rpmx.parse_rpm`` (golden-pinned). Map-only; junk
+    yields no rows."""
+    import pandas as pd
+
+    from ..extractor.rpmx import parse_rpm
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_rpm(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url, 0, "package", d["name"],
+                             d["version"], d["release"], d["arch"],
+                             d["license"], d["summary"],
+                             d["payload_format"],
+                             d["payload_compressor"],
+                             None, None, None))
+                pos = 0
+                for kind in ("requires", "provides"):
+                    for (dn, dv) in d[kind]:
+                        rows.append((url, pos, "dep", None, None,
+                                     None, None, None, None, None,
+                                     None, kind, dn, dv))
+                        pos += 1
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "name", "version",
+                "release", "arch", "license", "summary",
+                "payload_format", "payload_compressor",
+                "dep_kind", "dep_name", "dep_version"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, RPM_DDL))
