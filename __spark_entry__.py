@@ -1235,6 +1235,41 @@ def _picture_filter_oracle() -> str:
             FROM keep JOIN cnt USING (media_id)"""
 
 
+def _jar_census_oracle() -> str:
+    """Twin of jar_class_census: the SAME zip walk + parse_class at
+    SQL-generation time — pure-fed VALUES."""
+    import io
+    import zipfile
+
+    from historicaldatadocumentparsersystem_spark import fixtures as _fx
+    from historicaldatadocumentparsersystem_spark.extractor.javaclassx import (
+        parse_class)
+    vals = []
+    for r in _fx.jar_file_rows():
+        try:
+            z = zipfile.ZipFile(io.BytesIO(r["payload"]))
+            names = [n for n in z.namelist()
+                     if n.endswith(".class")]
+        except zipfile.BadZipFile:
+            continue
+        for member in names:
+            d = parse_class(z.read(member))
+            if d is None:
+                continue
+            nm = sum(1 for m in d["members"] if m[1] == "method")
+            nf = sum(1 for m in d["members"] if m[1] == "field")
+            vals.append(
+                f"('{r['url']}', '{member}', "
+                f"'{d['class_name']}', '{d['super_name']}', "
+                f"'{d['java_version']}', '{d['access']}', "
+                f"{nm}, {nf})")
+    return f"""
+            SELECT * FROM (VALUES {", ".join(vals)})
+            t(url, member, class_name, super_name, java_version,
+              access, n_methods, n_fields)
+            ORDER BY url, member"""
+
+
 def _legacy_extract_oracle() -> str:
     """Twin of legacy_office_extract: the SAME Spark-free dispatcher
     (core.extract_document) runs at SQL-generation time over the CFB
@@ -4438,7 +4473,7 @@ _EXTRA_ORDER = [
     "bplist_records", "bplist_type_census",
     "kml_placemarks", "kml_folder_stats",
     "java_classes", "java_member_census",
-    "rpm_packages", "rpm_dependency_census",
+    "rpm_packages", "rpm_dependency_census", "jar_class_census",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8588,6 +8623,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # jar = zip container x class format composition (one decode
+    # per member; pure-fed VALUES twin)
+    def q_jar_class_census(spark, sf_dir):
+        files = fixtures.jar_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(2)
+        return (sources.read_jar_classes(df)
+                .orderBy("url", "member"))
+    q["jar_class_census"] = q_jar_class_census
 
     # RPM packages — the yum-side sibling of the .deb census
     def q_rpm_packages(spark, sf_dir):
@@ -12919,6 +12965,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::bigint AS n_blobs
             FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
+        "jar_class_census": _jar_census_oracle(),
         # RPM: committed golden pinned by tests/test_rpmx.py
         "rpm_packages": f"""
             SELECT url, pos, row_kind, name, version, release,

@@ -7903,3 +7903,51 @@ def rpm_file_rows(seed: int = 42) -> list[dict]:
     add("cut.rpm", full[:120])
     add("junk.rpm", b"not an rpm at all, sorry")
     return rows
+
+
+def jar_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic .jar archives (url, payload): the java_class
+    fixture classes zipped with FIXED ZipInfo dates (deterministic
+    bytes — office builders stamp wall-clock times, jars must not).
+    Shapes: app jar with manifest + nested packages, classless
+    resource jar, junk. Golden rides through jar_class_census's
+    pure-fed twin."""
+    import io
+    import zipfile
+
+    classes = {r["url"].rsplit("/", 1)[1]: r["payload"]
+               for r in java_class_rows(seed)}
+
+    def make_jar(members: list[tuple[str, bytes]]) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for name, data in members:
+                zi = zipfile.ZipInfo(name,
+                                     date_time=(2020, 1, 1,
+                                                0, 0, 0))
+                z.writestr(zi, data)
+        return buf.getvalue()
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://jars{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("crawl-tools.jar", make_jar([
+        ("META-INF/MANIFEST.MF",
+         b"Manifest-Version: 1.0\r\n"
+         b"Main-Class: com.example.crawl.Fetcher\r\n\r\n"),
+        ("com/example/crawl/Fetcher.class",
+         classes["Fetcher.class"]),
+        ("org/example/Sink.class", classes["Iface.class"]),
+        ("Old.class", classes["Old.class"]),
+        ("assets/banner.txt", b"hello"),
+        ("broken/Bad.class", b"\xca\xfe\xba\xbe truncated"),
+    ]))
+    add("resources.jar", make_jar([
+        ("data/terms.txt", b"a\nb\nc\n"),
+    ]))
+    add("junk.jar", b"PK\x03\x04 not a real zip")
+    return rows

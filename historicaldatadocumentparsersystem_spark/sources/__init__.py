@@ -3989,3 +3989,60 @@ def read_rpm_packages(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, RPM_DDL))
+
+
+def read_jar_classes(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, .jar bytes) -> the read_java_classes row shape with a
+    ``member`` column prepended: the zip walk (stdlib extraction,
+    zipx audits the directory) feeds every ``*.class`` member
+    through the SAME parse_class — container x format composition,
+    one decode per member. Unparseable members are skipped (F5)."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from ..extractor.javaclassx import parse_class
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    z = zipfile.ZipFile(io.BytesIO(bytes(payload)))
+                    names = [n for n in z.namelist()
+                             if n.endswith(".class")]
+                except zipfile.BadZipFile:
+                    continue
+                for member in names:
+                    try:
+                        d = parse_class(z.read(member))
+                    except Exception:
+                        continue
+                    if d is None:
+                        continue
+                    rows.append((url, member, d["class_name"],
+                                 d["super_name"],
+                                 d["java_version"], d["access"],
+                                 len([m for m in d["members"]
+                                      if m[1] == "method"]),
+                                 len([m for m in d["members"]
+                                      if m[1] == "field"])))
+            out = pd.DataFrame(rows, columns=[
+                "url", "member", "class_name", "super_name",
+                "java_version", "access", "n_methods",
+                "n_fields"])
+            for c in ("n_methods", "n_fields"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(
+                parse,
+                "url string, member string, class_name string, "
+                "super_name string, java_version string, "
+                "access string, n_methods int, n_fields int"))

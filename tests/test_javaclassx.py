@@ -117,3 +117,22 @@ def test_fuzz_never_raises():
             base[rng.randrange(len(base))] = rng.randrange(256)
         J.parse_class(bytes(base[:rng.randrange(
             0, len(base) + 1)]))
+
+
+def test_jar_composition(spark):
+    """zip container x class format: every parseable .class member
+    lands one census row; bad members and class-less jars are
+    skipped cleanly."""
+    from historicaldatadocumentparsersystem_spark import sources
+    df = spark.createDataFrame(
+        [(r["url"], r["payload"])
+         for r in fixtures.jar_file_rows()],
+        "url string, payload binary").repartition(2)
+    rows = sources.read_jar_classes(df).collect()
+    by = {r.member: r for r in rows}
+    assert set(by) == {"com/example/crawl/Fetcher.class",
+                       "org/example/Sink.class", "Old.class"}
+    f = by["com/example/crawl/Fetcher.class"]
+    assert f.class_name == "com.example.crawl.Fetcher"
+    assert (f.n_methods, f.n_fields) == (3, 2)
+    assert all(r.url.endswith("crawl-tools.jar") for r in rows)
