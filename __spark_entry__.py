@@ -3668,6 +3668,8 @@ _GOLDEN_JAVACLASS = os.path.join(
     _REPO, "fixtures", "golden_javaclass_seed42_n5.parquet")
 _GOLDEN_RPM = os.path.join(
     _REPO, "fixtures", "golden_rpm_seed42_n5.parquet")
+_GOLDEN_SWF = os.path.join(
+    _REPO, "fixtures", "golden_swf_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4474,6 +4476,7 @@ _EXTRA_ORDER = [
     "kml_placemarks", "kml_folder_stats",
     "java_classes", "java_member_census",
     "rpm_packages", "rpm_dependency_census", "jar_class_census",
+    "swf_files", "swf_tag_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8623,6 +8626,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # SWF (legacy Flash — two decades of archived web)
+    def q_swf_files(spark, sf_dir):
+        files = fixtures.swf_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_swf_files(df)
+    q["swf_files"] = q_swf_files
+
+    def q_swf_tag_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_SWF)
+        t = g.where(F.col("row_kind") == "tag")
+        return (t.groupBy("tag_code", "tag_name")
+                .agg(F.sum("n").cast("long").alias("n_tags"),
+                     F.sum("tag_bytes").cast("long")
+                     .alias("total_bytes"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_files"))
+                .orderBy("tag_code"))
+    q["swf_tag_profile"] = q_swf_tag_profile
 
     # jar = zip container x class format composition (one decode
     # per member; pure-fed VALUES twin)
@@ -12966,6 +12990,20 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
         "jar_class_census": _jar_census_oracle(),
+        # SWF: committed golden pinned by tests/test_swfx.py
+        "swf_files": f"""
+            SELECT url, pos, row_kind, compression, version,
+                   declared_len, width_px, height_px, frame_rate,
+                   frame_count, tag_code, tag_name, n, tag_bytes
+            FROM read_parquet('{_GOLDEN_SWF}')""",
+        "swf_tag_profile": f"""
+            SELECT tag_code, tag_name,
+                   sum(n)::bigint AS n_tags,
+                   sum(tag_bytes)::bigint AS total_bytes,
+                   count(DISTINCT url)::bigint AS n_files
+            FROM read_parquet('{_GOLDEN_SWF}')
+            WHERE row_kind = 'tag'
+            GROUP BY tag_code, tag_name ORDER BY tag_code""",
         # RPM: committed golden pinned by tests/test_rpmx.py
         "rpm_packages": f"""
             SELECT url, pos, row_kind, name, version, release,

@@ -7951,3 +7951,41 @@ def jar_file_rows(seed: int = 42) -> list[dict]:
     ]))
     add("junk.jar", b"PK\x03\x04 not a real zip")
     return rows
+
+
+def swf_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic SWF files (url, payload) — the ENCODE half of
+    extractor/swfx.py. Shapes: uncompressed banner with a long tag
+    (0x3F length escape), zlib movie, LZMA header-only, truncated,
+    junk. Golden: fixtures/golden_swf_seed42_n5.parquet."""
+    import struct as _s
+
+    from .extractor.swfx import build_swf
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://flash{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    banner = build_swf(468, 60, 18, [
+        (69, b"\x08\x00\x00\x00"),
+        (77, b"<rdf/>"),
+        (9, b"\xee\xee\xee"),
+        (2, b"s" * 80),                 # long escape (>= 0x3F)
+        (1, b""),
+        (12, b"\x00" * 10),
+        (1, b""),
+    ])
+    add("banner.swf", banner)
+    add("movie.swf", build_swf(550, 400, 24, [
+        (9, b"\x00\x00\x00"),
+        (39, b"\x01\x00" + b"\x00" * 20),
+        (1, b""), (1, b""), (1, b""),
+    ], version=11, compress=True))
+    add("modern.swf", b"ZWS\x0d"
+        + _s.pack("<I", 4096) + b"\x5d\x00\x00 body")
+    add("cut.swf", banner[:10])
+    add("junk.swf", b"GIF89a not a swf")
+    return rows

@@ -4046,3 +4046,55 @@ def read_jar_classes(df: DataFrame, url_col: str = "url",
                 "url string, member string, class_name string, "
                 "super_name string, java_version string, "
                 "access string, n_methods int, n_fields int"))
+
+
+SWF_DDL = ("url string, pos int, row_kind string, "
+           "compression string, version int, declared_len long, "
+           "width_px int, height_px int, frame_rate int, "
+           "frame_count int, tag_code int, tag_name string, "
+           "n int, tag_bytes long")
+
+
+def read_swf_files(df: DataFrame, url_col: str = "url",
+                   payload_col: str = "payload") -> DataFrame:
+    """(url, swf bytes) -> one 'file' row (header/stage/frames)
+    plus one 'tag' row per census entry. Pure parse:
+    ``extractor.swfx.parse_swf`` (golden-pinned). Map-only; junk
+    yields no rows."""
+    import pandas as pd
+
+    from ..extractor.swfx import parse_swf
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_swf(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url, 0, "file", d["compression"],
+                             d["version"], d["declared_len"],
+                             d["width_px"], d["height_px"],
+                             d["frame_rate"], d["frame_count"],
+                             None, None, None, None))
+                for i, (code, name, n, tb) in enumerate(d["tags"]):
+                    rows.append((url, i, "tag", None, None, None,
+                                 None, None, None, None, code,
+                                 name, n, tb))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "compression",
+                "version", "declared_len", "width_px",
+                "height_px", "frame_rate", "frame_count",
+                "tag_code", "tag_name", "n", "tag_bytes"])
+            for c in ("pos", "version", "width_px", "height_px",
+                      "frame_rate", "frame_count", "tag_code",
+                      "n"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("declared_len", "tag_bytes"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, SWF_DDL))
