@@ -3670,6 +3670,8 @@ _GOLDEN_RPM = os.path.join(
     _REPO, "fixtures", "golden_rpm_seed42_n5.parquet")
 _GOLDEN_SWF = os.path.join(
     _REPO, "fixtures", "golden_swf_seed42_n5.parquet")
+_GOLDEN_PGP = os.path.join(
+    _REPO, "fixtures", "golden_pgp_seed42_n6.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4477,6 +4479,7 @@ _EXTRA_ORDER = [
     "java_classes", "java_member_census",
     "rpm_packages", "rpm_dependency_census", "jar_class_census",
     "swf_files", "swf_tag_profile",
+    "pgp_blocks", "pgp_key_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8626,6 +8629,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # OpenPGP keys/signatures (security.txt Encryption targets,
+    # signed releases; gpg-parity-pinned fingerprints)
+    def q_pgp_blocks(spark, sf_dir):
+        files = fixtures.pgp_blob_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_pgp_blocks(df)
+    q["pgp_blocks"] = q_pgp_blocks
+
+    def q_pgp_key_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_PGP)
+        p = g.where(F.col("row_kind") == "packet")
+        return (p.groupBy("name", "algorithm")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.countDistinct("url").cast("long")
+                     .alias("n_blobs"),
+                     F.min("created").alias("earliest"),
+                     F.countDistinct("fingerprint").cast("long")
+                     .alias("n_keys"))
+                .orderBy("name", "algorithm"))
+    q["pgp_key_profile"] = q_pgp_key_profile
 
     # SWF (legacy Flash — two decades of archived web)
     def q_swf_files(spark, sf_dir):
@@ -12990,6 +13016,21 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
         "jar_class_census": _jar_census_oracle(),
+        # OpenPGP: committed golden pinned by tests/test_pgpx.py
+        # (real gpg output is the parity oracle there)
+        "pgp_blocks": f"""
+            SELECT url, pos, row_kind, kind, n_headers, crc_ok,
+                   tag, name, length, version, algorithm, created,
+                   user_id, fingerprint
+            FROM read_parquet('{_GOLDEN_PGP}')""",
+        "pgp_key_profile": f"""
+            SELECT name, algorithm, count(*)::bigint AS n,
+                   count(DISTINCT url)::bigint AS n_blobs,
+                   min(created) AS earliest,
+                   count(DISTINCT fingerprint)::bigint AS n_keys
+            FROM read_parquet('{_GOLDEN_PGP}')
+            WHERE row_kind = 'packet'
+            GROUP BY name, algorithm ORDER BY name, algorithm""",
         # SWF: committed golden pinned by tests/test_swfx.py
         "swf_files": f"""
             SELECT url, pos, row_kind, compression, version,

@@ -7989,3 +7989,44 @@ def swf_file_rows(seed: int = 42) -> list[dict]:
     add("cut.swf", banner[:10])
     add("junk.swf", b"GIF89a not a swf")
     return rows
+
+
+def pgp_blob_rows(seed: int = 42) -> list[dict]:
+    """Deterministic OpenPGP payloads (url, payload) — the ENCODE
+    half of extractor/pgpx.py. Shapes: armored public key block
+    (key + user id + subkey, good CRC), armored signature with a
+    WRONG CRC, binary old-format signature packet, two-byte
+    new-length user id, unterminated armor, junk. Golden:
+    fixtures/golden_pgp_seed42_n6.parquet."""
+    from .extractor import pgpx
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://keys{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    key = pgpx.build_key_packet(6, 4, 1600000000, 22,
+                                bytes(range(40)))
+    sub = pgpx.build_key_packet(14, 4, 1600001000, 18,
+                                bytes(range(40)))
+    uid = pgpx.build_user_id("Ana Archivist <ana@example.org>")
+    add("ana.asc", pgpx.armor(
+        "PUBLIC KEY BLOCK", key + uid + sub,
+        [("Version", "Repro 1.0"), ("Comment", "fixture")]))
+    sig = pgpx.build_old_format(
+        2, bytes([4, 0x00, 17, 8]) + b"\x00" * 24)
+    bad = bytearray(pgpx.armor("SIGNATURE", sig))
+    eq = bad.rfind(b"\n=")
+    bad[eq + 2:eq + 3] = b"A" if bad[eq + 2:eq + 3] != b"A" \
+        else b"B"                        # corrupt the CRC line
+    add("release.sig", bytes(bad))
+    add("binary.pgp", sig)
+    long_uid = pgpx.build_user_id("x" * 300)   # 2-byte new length
+    add("long.pgp", pgpx.build_key_packet(
+        6, 4, 1700000000, 19, bytes(range(32))) + long_uid)
+    cut = pgpx.armor("MESSAGE", b"\x01\x02\x03")
+    add("cut.asc", cut[:40])
+    add("junk.txt", b"BEGIN nothing of the sort")
+    return rows

@@ -4098,3 +4098,53 @@ def read_swf_files(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, SWF_DDL))
+
+
+PGP_DDL = ("url string, pos int, row_kind string, kind string, "
+           "n_headers int, crc_ok boolean, tag int, name string, "
+           "length int, version int, algorithm string, "
+           "created string, user_id string, fingerprint string")
+
+
+def read_pgp_blocks(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, armored-or-binary OpenPGP bytes) -> one 'block' row
+    (armor kind, header census, recomputed CRC24) plus one
+    'packet' row per packet (key versions/algorithms/creation,
+    user ids, v4 SHA-1 fingerprints). Pure parse:
+    ``extractor.pgpx.extract_pgp`` (gpg-parity-pinned). Map-only;
+    junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.pgpx import extract_pgp
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = extract_pgp(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url, 0, "block", d["kind"],
+                             d["n_headers"], d["crc_ok"],
+                             None, None, None, None, None, None,
+                             None, None))
+                for p in d["packets"]:
+                    rows.append((url, p["pos"], "packet", None,
+                                 None, None, p["tag"], p["name"],
+                                 p["length"], p["version"],
+                                 p["algorithm"], p["created"],
+                                 p["user_id"], p["fingerprint"]))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "kind", "n_headers",
+                "crc_ok", "tag", "name", "length", "version",
+                "algorithm", "created", "user_id", "fingerprint"])
+            for c in ("pos", "n_headers", "tag", "length",
+                      "version"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, PGP_DDL))
