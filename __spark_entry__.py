@@ -1235,6 +1235,32 @@ def _picture_filter_oracle() -> str:
             FROM keep JOIN cnt USING (media_id)"""
 
 
+def _desktop_entries_oracle() -> str:
+    """Twin of desktop_entries: the Spark-free parser feeds VALUES
+    (escaped values would need double-escaping in SQL otherwise —
+    the generated-literal rule)."""
+    from historicaldatadocumentparsersystem_spark import fixtures as _fx
+    from historicaldatadocumentparsersystem_spark.extractor.desktopx import (
+        parse_desktop)
+
+    def q(s):
+        if s is None:
+            return "NULL"
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = []
+    for r in _fx.desktop_file_rows():
+        for (pos, group, key, locale, value) in \
+                parse_desktop(r["payload"]):
+            vals.append(f"({q(r['url'])}, {pos}, {q(group)}, "
+                        f"{q(key)}, {q(locale)}, {q(value)})")
+    return f"""
+            SELECT url, pos::int AS pos, grp, key, locale, value
+            FROM (VALUES {", ".join(vals)})
+            t(url, pos, grp, key, locale, value)
+            ORDER BY url, pos"""
+
+
 def _jar_census_oracle() -> str:
     """Twin of jar_class_census: the SAME zip walk + parse_class at
     SQL-generation time — pure-fed VALUES."""
@@ -4479,7 +4505,7 @@ _EXTRA_ORDER = [
     "java_classes", "java_member_census",
     "rpm_packages", "rpm_dependency_census", "jar_class_census",
     "swf_files", "swf_tag_profile",
-    "pgp_blocks", "pgp_key_profile",
+    "pgp_blocks", "pgp_key_profile", "desktop_entries",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8629,6 +8655,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # freedesktop .desktop entries (pure-fed VALUES twin — values
+    # carry escapes, so the Python parser feeds both engines)
+    def q_desktop_entries(spark, sf_dir):
+        files = fixtures.desktop_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(2)
+        return (sources.read_desktop_entries(df)
+                .orderBy("url", "pos"))
+    q["desktop_entries"] = q_desktop_entries
 
     # OpenPGP keys/signatures (security.txt Encryption targets,
     # signed releases; gpg-parity-pinned fingerprints)
@@ -13016,6 +13053,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_BPLIST}')
             GROUP BY vtype ORDER BY vtype""",
         "jar_class_census": _jar_census_oracle(),
+        "desktop_entries": _desktop_entries_oracle(),
         # OpenPGP: committed golden pinned by tests/test_pgpx.py
         # (real gpg output is the parity oracle there)
         "pgp_blocks": f"""

@@ -8030,3 +8030,41 @@ def pgp_blob_rows(seed: int = 42) -> list[dict]:
     add("cut.asc", cut[:40])
     add("junk.txt", b"BEGIN nothing of the sort")
     return rows
+
+
+def desktop_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic .desktop files (url, payload) — the ENCODE
+    half of extractor/desktopx.py. Shapes: full app entry with
+    locales + escaped list, action group, duplicate-key violation
+    (first wins), pre-group junk, non-ini junk."""
+    from .extractor.desktopx import build_desktop
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://apps{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    add("crawlview.desktop", build_desktop([
+        ("Desktop Entry", [
+            ("Type", None, "Application"),
+            ("Name", None, "Crawl Viewer"),
+            ("Name", "fr", "Visionneuse de crawl"),
+            ("Name", "de", "Crawl-Betrachter"),
+            ("Comment", None, r"Line one\nline two"),
+            ("Exec", None, "crawlview %U"),
+            ("Categories", None, r"Network;Web\;Tools;Utility;"),
+            ("Terminal", None, "false"),
+        ]),
+        ("Desktop Action Refresh", [
+            ("Name", None, "Refresh index"),
+            ("Exec", None, "crawlview --refresh"),
+        ]),
+    ]))
+    dup = (b"[Desktop Entry]\nType=Application\nName=First\n"
+           b"Name=Second\nName[fr]=Premier\n")
+    add("dup.desktop", dup)
+    add("pre.desktop", b"Type=Application\n[Desktop Entry]\nName=X\n")
+    add("junk.desktop", b"\x00\x01 not ini at all")
+    return rows

@@ -4148,3 +4148,34 @@ def read_pgp_blocks(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, PGP_DDL))
+
+
+def read_desktop_entries(df: DataFrame, url_col: str = "url",
+                         payload_col: str = "payload") -> DataFrame:
+    """(url, .desktop bytes) -> one row per (group, key, locale,
+    value) — the bibtex_fields flat shape for freedesktop entries.
+    Pure parse: ``extractor.desktopx.parse_desktop``. Map-only."""
+    import pandas as pd
+
+    from ..extractor.desktopx import parse_desktop
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                for (pos, group, key, locale, value) in \
+                        parse_desktop(
+                            bytes(payload) if payload is not None
+                            else None):
+                    rows.append((url, pos, group, key, locale,
+                                 value))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "grp", "key", "locale", "value"])
+            out["pos"] = pd.array(out["pos"], dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, "url string, pos int, grp string, "
+                                "key string, locale string, "
+                                "value string"))
