@@ -676,3 +676,82 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     raise ValueError("no image frame")
+
+
+# --- netpbm (P4/P5/P6 raw) ---------------------------------------------------
+
+def decode_pnm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Raw netpbm -> (w, h, channels, pixels). P5 = 1-channel gray,
+    P6 = 3-channel RGB (maxval <= 255 only — 16-bit rejects), P4 =
+    1-bit bitmap expanded to gray (MSB first, rows byte-padded).
+    Header tokens separated by whitespace with '#' comments; raises
+    ValueError on junk (the decode-chain contract)."""
+    if not payload.startswith((b"P4", b"P5", b"P6")):
+        raise ValueError("not raw pnm")
+    kind = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    need = 2 if kind == b"P4" else 3
+    while len(tokens) < need:
+        while pos < len(payload) and payload[pos:pos + 1] \
+                .isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("header comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and \
+                not payload[pos:pos + 1].isspace():
+            pos += 1
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError("header token")
+        tokens.append(int(tok))
+    pos += 1                          # single whitespace after header
+    if kind == b"P4":
+        w, h = tokens
+        maxval = 1
+    else:
+        w, h, maxval = tokens
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError("dims")
+    if maxval > 255 or maxval <= 0:
+        raise ValueError("maxval")
+    if kind == b"P6":
+        n = w * h * 3
+        px = payload[pos:pos + n]
+        if len(px) < n:
+            raise ValueError("short data")
+        return w, h, 3, bytes(px)
+    if kind == b"P5":
+        n = w * h
+        px = payload[pos:pos + n]
+        if len(px) < n:
+            raise ValueError("short data")
+        return w, h, 1, bytes(px)
+    # P4: bits, rows padded to whole bytes; 1 = black per spec
+    rowbytes = (w + 7) // 8
+    n = rowbytes * h
+    raw = payload[pos:pos + n]
+    if len(raw) < n:
+        raise ValueError("short data")
+    out = bytearray(w * h)
+    for y in range(h):
+        base = y * rowbytes
+        for x in range(w):
+            bit = (raw[base + (x >> 3)] >> (7 - (x & 7))) & 1
+            out[y * w + x] = 0 if bit else 255
+    return w, h, 1, bytes(out)
+
+
+def encode_pnm(pixels: bytes, width: int, height: int,
+               channels: int) -> bytes:
+    """(the fixture half) gray -> P5, rgb -> P6."""
+    if channels == 3:
+        return (b"P6\n%d %d\n255\n" % (width, height)) + pixels
+    if channels == 1:
+        return (b"P5\n%d %d\n255\n" % (width, height)) + pixels
+    raise ValueError(channels)

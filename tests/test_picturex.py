@@ -69,3 +69,29 @@ def test_deterministic_and_never_raises():
         picturex.classify_picture(blob)
     for i in range(0, len(png), 7):
         picturex.classify_picture(png[:i])
+
+
+def test_pnm_codec_and_dispatch():
+    """netpbm joins the real-decoder set: round-trip P5/P6, P4 bit
+    expansion (MSB-first, row byte padding, 1 = black), header
+    comments, and the classifier dispatch path."""
+    import pytest
+    px = bytes([10, 200, 30] * 12)
+    p6 = imagex.encode_pnm(px, 4, 3, 3)
+    assert imagex.decode_pnm(p6) == (4, 3, 3, px)
+    g = bytes(range(12))
+    assert imagex.decode_pnm(imagex.encode_pnm(g, 4, 3, 1)) == \
+        (4, 3, 1, g)
+    p4 = b"P4\n# cmt\n10 2\n" + bytes([0b10101010, 0b10000000]) * 2
+    w, h, ch, out = imagex.decode_pnm(p4)
+    assert (w, h, ch) == (10, 2, 1)
+    assert list(out[:4]) == [0, 255, 0, 255]
+    for bad in (b"P6\n4 3\n65535\n" + px,       # 16-bit reject
+                b"P6\n4 3\n255\n" + px[:-1],     # short data
+                b"P7 junk", b""):
+        with pytest.raises(ValueError):
+            imagex.decode_pnm(bad)
+    # classifier consumes pnm payloads like any other codec
+    flat = imagex.encode_pnm(bytes([90]) * 900, 30, 30, 1)
+    out = picturex.classify_picture(flat)
+    assert out is not None and out[0][0] == "flat"
