@@ -3698,6 +3698,8 @@ _GOLDEN_SWF = os.path.join(
     _REPO, "fixtures", "golden_swf_seed42_n5.parquet")
 _GOLDEN_PGP = os.path.join(
     _REPO, "fixtures", "golden_pgp_seed42_n6.parquet")
+_GOLDEN_MIDI = os.path.join(
+    _REPO, "fixtures", "golden_midi_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4506,6 +4508,7 @@ _EXTRA_ORDER = [
     "rpm_packages", "rpm_dependency_census", "jar_class_census",
     "swf_files", "swf_tag_profile",
     "pgp_blocks", "pgp_key_profile", "desktop_entries",
+    "midi_tracks", "midi_profile",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8655,6 +8658,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # Standard MIDI files (symbolic-music modality)
+    def q_midi_tracks(spark, sf_dir):
+        files = fixtures.midi_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_midi_files(df)
+    q["midi_tracks"] = q_midi_tracks
+
+    def q_midi_profile(spark, sf_dir):
+        g = spark.read.parquet(_GOLDEN_MIDI)
+        f = (g.where(F.col("row_kind") == "file")
+             .select("url", "format", "division", "bpm",
+                     "time_sig"))
+        t = (g.where(F.col("row_kind") == "track")
+             .groupBy("url")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_tracks_present"),
+                  F.sum("n_notes").cast("long")
+                  .alias("total_notes"),
+                  F.max("ticks").alias("max_ticks")))
+        return (f.join(t, "url", "left")
+                .orderBy("url"))
+    q["midi_profile"] = q_midi_profile
 
     # freedesktop .desktop entries (pure-fed VALUES twin — values
     # carry escapes, so the Python parser feeds both engines)
@@ -13054,6 +13082,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY vtype ORDER BY vtype""",
         "jar_class_census": _jar_census_oracle(),
         "desktop_entries": _desktop_entries_oracle(),
+        # MIDI: committed golden pinned by tests/test_midix.py
+        "midi_tracks": f"""
+            SELECT url, pos, row_kind, format, n_tracks, division,
+                   smpte, tempo_us, bpm, time_sig, track_name,
+                   n_events, n_notes, ticks
+            FROM read_parquet('{_GOLDEN_MIDI}')""",
+        "midi_profile": f"""
+            WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_MIDI}')),
+            f AS (SELECT url, format, division, bpm, time_sig
+                  FROM g WHERE row_kind = 'file'),
+            t AS (SELECT url,
+                         count(*)::bigint AS n_tracks_present,
+                         sum(n_notes)::bigint AS total_notes,
+                         max(ticks) AS max_ticks
+                  FROM g WHERE row_kind = 'track' GROUP BY url)
+            SELECT f.*, t.n_tracks_present, t.total_notes,
+                   t.max_ticks
+            FROM f LEFT JOIN t USING (url) ORDER BY url""",
         # OpenPGP: committed golden pinned by tests/test_pgpx.py
         # (real gpg output is the parity oracle there)
         "pgp_blocks": f"""

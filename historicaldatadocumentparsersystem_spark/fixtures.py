@@ -8068,3 +8068,45 @@ def desktop_file_rows(seed: int = 42) -> list[dict]:
     add("pre.desktop", b"Type=Application\n[Desktop Entry]\nName=X\n")
     add("junk.desktop", b"\x00\x01 not ini at all")
     return rows
+
+
+def midi_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic SMF files (url, payload) — the ENCODE half of
+    extractor/midix.py. Shapes: format-1 song (tempo map + two
+    instrument tracks, running status, program changes), format-0
+    single track, SMPTE division, truncated, junk. Golden:
+    fixtures/golden_midi_seed42_n5.parquet."""
+    from .extractor.midix import build_midi
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://music{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    song = build_midi([
+        [(0, ("meta", 0x03, b"Tempo Map")),
+         (0, ("meta", 0x51, (500000).to_bytes(3, "big"))),
+         (0, ("meta", 0x58, bytes([4, 2, 24, 8])))],
+        [(0, ("meta", 0x03, b"Lead")),
+         (0, b"\x90\x3c\x64"), (240, b"\x3c\x00"),
+         (0, b"\x3e\x64"), (240, b"\x3e\x00"),
+         (0, b"\x40\x64"), (480, b"\x40\x00"),
+         (0, b"\xc0\x05")],
+        [(0, ("meta", 0x03, b"Bass")),
+         (0, b"\x91\x24\x50"), (960, b"\x81\x24\x00"),
+         (0, b"\xf0\x03\x01\x02\x03")],
+    ])
+    add("song.mid", song)
+    add("loop.mid", build_midi([
+        [(0, ("meta", 0x51, (400000).to_bytes(3, "big"))),
+         (0, b"\x99\x23\x7f"), (120, b"\x23\x00"),
+         (0, b"\x26\x7f"), (120, b"\x26\x00")],
+    ], fmt=0))
+    add("smpte.mid", build_midi([
+        [(0, b"\x90\x30\x40"), (50, b"\x30\x00")],
+    ], division=0xE728))      # -25 fps, 40 ticks/frame
+    add("cut.mid", song[:20])
+    add("junk.mid", b"RIFF not midi")
+    return rows

@@ -4179,3 +4179,54 @@ def read_desktop_entries(df: DataFrame, url_col: str = "url",
             .mapInPandas(parse, "url string, pos int, grp string, "
                                 "key string, locale string, "
                                 "value string"))
+
+
+MIDI_DDL = ("url string, pos int, row_kind string, format int, "
+            "n_tracks int, division int, smpte boolean, "
+            "tempo_us int, bpm int, time_sig string, "
+            "track_name string, n_events int, n_notes int, "
+            "ticks long")
+
+
+def read_midi_files(df: DataFrame, url_col: str = "url",
+                    payload_col: str = "payload") -> DataFrame:
+    """(url, SMF bytes) -> one 'file' row (header/tempo/signature)
+    plus one 'track' row per MTrk (name, event/note census, tick
+    length). Pure parse: ``extractor.midix.parse_midi``
+    (golden-pinned). Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.midix import parse_midi
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_midi(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url, 0, "file", d["format"],
+                             d["n_tracks_declared"], d["division"],
+                             d["smpte"], d["tempo_us"], d["bpm"],
+                             d["time_sig"], None, None, None,
+                             None))
+                for (pos, name, n_ev, n_notes, ticks) in \
+                        d["tracks"]:
+                    rows.append((url, pos, "track", None, None,
+                                 None, None, None, None, None,
+                                 name, n_ev, n_notes, ticks))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "format", "n_tracks",
+                "division", "smpte", "tempo_us", "bpm",
+                "time_sig", "track_name", "n_events", "n_notes",
+                "ticks"])
+            for c in ("pos", "format", "n_tracks", "division",
+                      "tempo_us", "bpm", "n_events", "n_notes"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["ticks"] = pd.array(out["ticks"], dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, MIDI_DDL))
