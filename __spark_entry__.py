@@ -3700,6 +3700,8 @@ _GOLDEN_PGP = os.path.join(
     _REPO, "fixtures", "golden_pgp_seed42_n6.parquet")
 _GOLDEN_MIDI = os.path.join(
     _REPO, "fixtures", "golden_midi_seed42_n5.parquet")
+_GOLDEN_LNK = os.path.join(
+    _REPO, "fixtures", "golden_lnk_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4508,7 +4510,7 @@ _EXTRA_ORDER = [
     "rpm_packages", "rpm_dependency_census", "jar_class_census",
     "swf_files", "swf_tag_profile",
     "pgp_blocks", "pgp_key_profile", "desktop_entries",
-    "midi_tracks", "midi_profile",
+    "midi_tracks", "midi_profile", "lnk_shortcuts",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8658,6 +8660,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # Windows .lnk shortcuts ([MS-SHLLINK] — disk-image artifact)
+    def q_lnk_shortcuts(spark, sf_dir):
+        files = fixtures.lnk_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return (sources.read_lnk_shortcuts(df).orderBy("url"))
+    q["lnk_shortcuts"] = q_lnk_shortcuts
 
     # Standard MIDI files (symbolic-music modality)
     def q_midi_tracks(spark, sf_dir):
@@ -13082,6 +13093,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY vtype ORDER BY vtype""",
         "jar_class_census": _jar_census_oracle(),
         "desktop_entries": _desktop_entries_oracle(),
+        # .lnk: committed golden pinned by tests/test_lnkx.py
+        "lnk_shortcuts": f"""
+            SELECT url, flags, attributes, created, accessed,
+                   modified, target_size, icon_index, show_cmd,
+                   volume_label, base_path, common_suffix, name,
+                   rel_path, workdir, arguments, icon_location
+            FROM read_parquet('{_GOLDEN_LNK}')
+            ORDER BY url""",
         # MIDI: committed golden pinned by tests/test_midix.py
         "midi_tracks": f"""
             SELECT url, pos, row_kind, format, n_tracks, division,

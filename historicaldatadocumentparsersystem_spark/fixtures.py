@@ -8110,3 +8110,36 @@ def midi_file_rows(seed: int = 42) -> list[dict]:
     add("cut.mid", song[:20])
     add("junk.mid", b"RIFF not midi")
     return rows
+
+
+def lnk_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic Windows shortcuts (url, payload) — the ENCODE
+    half of extractor/lnkx.py. Shapes: full unicode shortcut with
+    LinkInfo + idlist, codepage (non-unicode) strings, bare
+    minimal, truncated, junk."""
+    from .extractor.lnkx import build_lnk
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://disk{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    full = build_lnk(
+        target_size=48213, created="2012-03-04T10:20:30Z",
+        modified="2015-07-08T01:02:03Z",
+        base_path="C:\\Tools\\crawl.exe", volume_label="SYSTEM",
+        name="Crawl Tool", rel_path="..\\crawl.exe",
+        workdir="C:\\Tools", arguments="--fast --depth 3",
+        with_idlist=True)
+    add("crawl.lnk", full)
+    add("legacy.lnk", build_lnk(
+        target_size=1024, modified="2001-09-09T01:46:40Z",
+        attributes=0x01 | 0x20, show=3,
+        name="Ancien raccourci é",
+        rel_path="..\\vieux.exe", unicode_strings=False))
+    add("bare.lnk", build_lnk())
+    add("cut.lnk", full[:60])
+    add("junk.lnk", b"L\x00\x00\x00 but wrong clsid here....")
+    return rows

@@ -4230,3 +4230,48 @@ def read_midi_files(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, MIDI_DDL))
+
+
+LNK_DDL = ("url string, flags string, attributes string, "
+           "created string, accessed string, modified string, "
+           "target_size long, icon_index int, show_cmd string, "
+           "volume_label string, base_path string, "
+           "common_suffix string, name string, rel_path string, "
+           "workdir string, arguments string, "
+           "icon_location string")
+
+
+def read_lnk_shortcuts(df: DataFrame, url_col: str = "url",
+                       payload_col: str = "payload") -> DataFrame:
+    """(url, .lnk bytes) -> one row per shortcut with decoded
+    flags/attributes, FILETIMEs, LinkInfo paths, and StringData.
+    Pure parse: ``extractor.lnkx.parse_lnk`` (golden-pinned).
+    Map-only; junk yields no rows."""
+    import pandas as pd
+
+    from ..extractor.lnkx import parse_lnk
+
+    _COLS = ["flags", "attributes", "created", "accessed",
+             "modified", "target_size", "icon_index", "show_cmd",
+             "volume_label", "base_path", "common_suffix", "name",
+             "rel_path", "workdir", "arguments", "icon_location"]
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_lnk(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url,) + tuple(d[c] for c in _COLS))
+            out = pd.DataFrame(rows, columns=["url"] + _COLS)
+            out["target_size"] = pd.array(out["target_size"],
+                                          dtype="Int64")
+            out["icon_index"] = pd.array(out["icon_index"],
+                                         dtype="Int32")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, LNK_DDL))
