@@ -3702,6 +3702,8 @@ _GOLDEN_MIDI = os.path.join(
     _REPO, "fixtures", "golden_midi_seed42_n5.parquet")
 _GOLDEN_LNK = os.path.join(
     _REPO, "fixtures", "golden_lnk_seed42_n5.parquet")
+_GOLDEN_AVI = os.path.join(
+    _REPO, "fixtures", "golden_avi_seed42_n5.parquet")
 _GOLDEN_SOURCEMAPS = os.path.join(
     _REPO, "fixtures", "golden_sourcemaps_seed42_n12.parquet")
 # fixed probe set for the from-scratch parquet footer reader (both
@@ -4510,7 +4512,7 @@ _EXTRA_ORDER = [
     "rpm_packages", "rpm_dependency_census", "jar_class_census",
     "swf_files", "swf_tag_profile",
     "pgp_blocks", "pgp_key_profile", "desktop_entries",
-    "midi_tracks", "midi_profile", "lnk_shortcuts",
+    "midi_tracks", "midi_profile", "lnk_shortcuts", "avi_headers",
     # demoted in the round-4 resumed-session rotation (multi-round
     # driver-green; families keep witnesses in the window)
     "ngram_jaccard_pairs", "line_dedup", "tfidf_top_terms",
@@ -8660,6 +8662,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url string, payload binary").repartition(8)
         return sources.read_bplist_records(df)
     q["bplist_records"] = q_bplist_records
+
+    # AVI headers (legacy-video sibling of mp4_metadata)
+    def q_avi_headers(spark, sf_dir):
+        files = fixtures.avi_file_rows()
+        df = spark.createDataFrame(
+            [(r["url"], r["payload"]) for r in files],
+            "url string, payload binary").repartition(4)
+        return sources.read_avi_headers(df)
+    q["avi_headers"] = q_avi_headers
 
     # Windows .lnk shortcuts ([MS-SHLLINK] — disk-image artifact)
     def q_lnk_shortcuts(spark, sf_dir):
@@ -13093,6 +13104,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY vtype ORDER BY vtype""",
         "jar_class_census": _jar_census_oracle(),
         "desktop_entries": _desktop_entries_oracle(),
+        # AVI: committed golden pinned by tests/test_avix.py
+        "avi_headers": f"""
+            SELECT url, pos, row_kind, us_per_frame, fps_milli,
+                   width, height, total_frames, n_streams,
+                   stream_kind, handler, rate_milli, length
+            FROM read_parquet('{_GOLDEN_AVI}')""",
         # .lnk: committed golden pinned by tests/test_lnkx.py
         "lnk_shortcuts": f"""
             SELECT url, flags, attributes, created, accessed,

@@ -8143,3 +8143,33 @@ def lnk_file_rows(seed: int = 42) -> list[dict]:
     add("cut.lnk", full[:60])
     add("junk.lnk", b"L\x00\x00\x00 but wrong clsid here....")
     return rows
+
+
+def avi_file_rows(seed: int = 42) -> list[dict]:
+    """Deterministic AVI files (url, payload) — the ENCODE half of
+    extractor/avix.py. Shapes: NTSC-rate xvid + audio, PAL video-
+    only with an ODD-sized chunk exercising RIFF word alignment,
+    truncated, RIFF-but-WAVE, junk. Golden:
+    fixtures/golden_avi_seed42_n5.parquet."""
+    from .extractor.avix import build_avi
+
+    rows: list[dict] = []
+
+    def add(name, blob):
+        rows.append({
+            "url": f"https://video{len(rows)}.example.org/{name}",
+            "payload": blob})
+
+    ntsc = build_avi(33367, 640, 480, 900, [
+        ("vids", "xvid", 1001, 30000, 900),
+        ("auds", "", 1, 48000, 43200),
+    ])
+    add("clip.avi", ntsc)
+    add("pal.avi", build_avi(40000, 720, 576, 250, [
+        ("vids", "DIB ", 1, 25, 250),
+    ]))
+    add("cut.avi", ntsc[:40])
+    add("sound.wav", b"RIFF" + (20).to_bytes(4, "little")
+        + b"WAVEfmt " + b"\x00" * 12)
+    add("junk.avi", b"FORM not riff either")
+    return rows

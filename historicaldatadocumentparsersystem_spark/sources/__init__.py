@@ -4275,3 +4275,56 @@ def read_lnk_shortcuts(df: DataFrame, url_col: str = "url",
     return (df.select(F.col(url_col).alias(url_col),
                       F.col(payload_col).alias(payload_col))
             .mapInPandas(parse, LNK_DDL))
+
+
+AVI_DDL = ("url string, pos int, row_kind string, "
+           "us_per_frame int, fps_milli int, width int, "
+           "height int, total_frames int, n_streams int, "
+           "stream_kind string, handler string, rate_milli long, "
+           "length int")
+
+
+def read_avi_headers(df: DataFrame, url_col: str = "url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(url, AVI bytes) -> one 'file' row (fps/dims/frames) plus
+    one 'stream' row per strh — the legacy-video sibling of
+    mp4_metadata. Pure parse: ``extractor.avix.parse_avi``
+    (golden-pinned). Map-only; junk/non-AVI-RIFF yields no rows."""
+    import pandas as pd
+
+    from ..extractor.avix import parse_avi
+
+    def parse(batches):
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[payload_col]):
+                d = parse_avi(
+                    bytes(payload) if payload is not None else None)
+                if d is None:
+                    continue
+                rows.append((url, 0, "file", d["us_per_frame"],
+                             d["fps_milli"], d["width"],
+                             d["height"], d["total_frames"],
+                             d["n_streams_declared"], None, None,
+                             None, None))
+                for (pos, kind, handler, rate_milli, length) in \
+                        d["streams"]:
+                    rows.append((url, pos, "stream", None, None,
+                                 None, None, None, None, kind,
+                                 handler, rate_milli, length))
+            out = pd.DataFrame(rows, columns=[
+                "url", "pos", "row_kind", "us_per_frame",
+                "fps_milli", "width", "height", "total_frames",
+                "n_streams", "stream_kind", "handler",
+                "rate_milli", "length"])
+            for c in ("pos", "us_per_frame", "fps_milli", "width",
+                      "height", "total_frames", "n_streams",
+                      "length"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["rate_milli"] = pd.array(out["rate_milli"],
+                                         dtype="Int64")
+            yield out
+
+    return (df.select(F.col(url_col).alias(url_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(parse, AVI_DDL))
