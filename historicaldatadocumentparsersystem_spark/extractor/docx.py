@@ -18,6 +18,7 @@ synthesizes a minimal-but-real document for tests and fixtures.
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 from dataclasses import dataclass
 from xml.etree import ElementTree as ET
@@ -125,7 +126,15 @@ _LIST_PARA = ('<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/>'
 _PLAIN_PARA = "<w:p><w:r><w:t>{text}</w:t></w:r></w:p>"
 
 
+# XML 1.0 Char production complement: C0 controls except \t\n\r,
+# surrogates, U+FFFE/U+FFFF. The encode half must produce decodable
+# output — a raw noncharacter makes the part unparseable and the
+# decoder (correctly) skips it.
+_XML_BAD = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+
 def _esc(s: str) -> str:
+    s = _XML_BAD.sub("", s)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;").replace('"', "&quot;"))
 

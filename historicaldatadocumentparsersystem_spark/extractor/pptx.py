@@ -176,7 +176,14 @@ _PLAIN_PARA = ("<a:p><a:pPr><a:buNone/></a:pPr>"
                "<a:r><a:t>{text}</a:t></a:r></a:p>")
 
 
+# XML 1.0 Char production complement (see docx._XML_BAD): the encode
+# half must produce decodable output — a raw U+FFFE makes the slide
+# part unparseable and extract_pptx (correctly) skips it.
+_XML_BAD = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+
 def _esc(s: str) -> str:
+    s = _XML_BAD.sub("", s)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;").replace('"', "&quot;"))
 

@@ -234,12 +234,31 @@ def test_chunking_bpe_counter_properties(elements, max_tokens, overlap):
 
 # --- OOXML subset round-trips (S6/S7) ---------------------------------------
 
-# XML 1.0 cannot carry control chars (category Cc) — the builders would
-# emit invalid documents, which is out of contract for OOXML payloads
+# XML 1.0 cannot carry control chars (Cc), surrogates (Cs), or
+# noncharacters like U+FFFE (Cn) — the encoders strip them (see
+# docx._XML_BAD), so the roundtrip property quantifies over the
+# XML-representable domain; the strip itself is pinned by
+# test_ooxml_encoders_strip_non_xml_chars below.
 _para_text = st.text(
     alphabet=st.characters(codec="utf-8", exclude_characters="<>&\"",
-                           exclude_categories=("Cs", "Cc")),
+                           exclude_categories=("Cs", "Cc", "Cn")),
     min_size=0, max_size=40)
+
+
+def test_ooxml_encoders_strip_non_xml_chars():
+    """Regression (r6): make_pptx/make_docx emitted raw U+FFFE — a
+    noncharacter the XML 1.0 Char production forbids — so the decoder
+    correctly skipped the whole part and the roundtrip returned [].
+    The encode half must produce decodable output: forbidden code
+    points are stripped, everything else survives."""
+    from historicaldatadocumentparsersystem_spark.extractor import docx, pptx
+    payload = pptx.make_pptx([{"title": "a￾b",
+                               "paras": [("x\x0by￿z", True)]}])
+    got = [(e.slide, e.kind, e.text) for e in pptx.extract_pptx(payload)]
+    assert got == [(1, "title", "ab"), (1, "list_item", "xyz")]
+    payload = docx.make_docx([("text", "p￾q")])
+    assert [(e.kind, e.text) for e in docx.extract_docx(payload)] \
+        == [("text", "pq")]
 
 
 @given(st.lists(st.tuples(
