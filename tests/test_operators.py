@@ -1803,6 +1803,104 @@ def test_kmeans_broadcast_path_bit_identical(spark):
                for a, b in zip(lv, bv))
 
 
+def test_kmeans_arrow_path_bit_identical(spark):
+    """r6: the numpy-vectorized assignment + sufficient-statistics
+    means (the new default) must be BIT-identical to the r5 literal
+    and broadcast paths — _np_sqdists replays the exact fold order,
+    argmin keeps the lowest cid, _np_round9_nano/_iter_means replay
+    the decimal(20,9) fixed-point mean."""
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    for k in (3, 16):
+        ar = sorted(map(tuple, clustering.kmeans_assign(
+            emb, k=k, n_iter=2, centroid_strategy="arrow").collect()))
+        lit = sorted(map(tuple, clustering.kmeans_assign(
+            emb, k=k, n_iter=2, centroid_strategy="literal").collect()))
+        assert ar == lit, k
+    # carry_vec parity (semantic_dedup's input shape): vectors ride
+    # as doubles like the broadcast path
+    av = sorted((r["vec_id"], r["cluster"], r["l2_dist"],
+                 tuple(r["embedding"]))
+                for r in clustering.kmeans_assign(
+        emb, k=8, n_iter=1, carry_vec=True,
+        centroid_strategy="arrow").collect())
+    lv = sorted((r["vec_id"], r["cluster"], r["l2_dist"],
+                 tuple(float(x) for x in r["embedding"]))
+                for r in clustering.kmeans_assign(
+        emb, k=8, n_iter=1, carry_vec=True,
+        centroid_strategy="literal").collect())
+    assert av == lv
+
+
+def test_round9_nano_matches_spark(spark):
+    """_np_round9_nano (the arrow means' fixed-point element round)
+    == Spark round(v, 9)::decimal(20,9), exercised on exact half-up
+    boundaries, negatives, float32-origin values, and magnitudes that
+    force the Decimal fallback."""
+    import decimal
+    import numpy as np
+    from pyspark.sql import functions as F
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    vals = [0.0000000005, -0.0000000005, 0.0000000015, -0.0000000015,
+            1.0000000005, 2.5e-10, 1e7 + 0.123456789, -3.0000000025,
+            0.1, float(np.float32(0.1)), float(np.float32(1 / 3)),
+            123456.0000000005, 5e-10, -5e-10, 1.5e-9, 0.0, -0.0,
+            1e-12, 987654321.000000001,
+            # >=1e6 forces the Decimal fallback branch (nano >= 1e15)
+            2345678.000000123456, 8999999999.25, -8999999999.25]
+    vv = [float(x) for x in vals] \
+        + [float(np.float32(x)) for x in vals]
+    sdf = spark.createDataFrame([(v,) for v in vv], "v double")
+    got = [r[0] for r in sdf.select(
+        F.round("v", 9).cast("decimal(20,9)").alias("r")).collect()]
+    nano = clustering._np_round9_nano(np.array([vv]))[0]
+    want = [decimal.Decimal(int(n)).scaleb(-9) for n in nano]
+    assert got == want, [(v, g, w) for v, g, w in zip(vv, got, want)
+                         if g != w]
+    # beyond the int64 nano domain (|v| > ~9.2e9) the conversion must
+    # fail LOUDLY, never wrap silently
+    import pytest
+    with pytest.raises(OverflowError):
+        clustering._np_round9_nano(np.array([[1.0e12]]))
+
+
+def test_semantic_dedup_vectorized_matches_pairjoin(spark):
+    """r6: the one-exchange vectorized cell path must return the SAME
+    rows as the r5 JVM pair-join (kept as _semantic_dedup_pairjoin),
+    including on cosines engineered onto the round-to-6dp decision
+    boundary around the threshold."""
+    import numpy as np
+    from historicaldatadocumentparsersystem_spark.operators import clustering
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    new = sorted(map(tuple, clustering.semantic_dedup(
+        emb, k=8, n_iter=2).collect()))
+    old = sorted(map(tuple, clustering._semantic_dedup_pairjoin(
+        emb, k=8, n_iter=2).collect()))
+    assert new == old
+    # boundary corpus: unit-x vectors vs vectors at angles whose
+    # cosine rounds to exactly the threshold (0.3499995 is the
+    # smallest double that rounds up to 0.35), plus near-misses a
+    # few ulps either side and an exact-0.35 cosine
+    base = [1.0, 0.0]
+    rows = []
+    for i, c in enumerate([0.3499995, np.nextafter(0.3499995, 0),
+                           np.nextafter(0.3499995, 1), 0.35,
+                           0.3499994999999, 0.3500005,
+                           np.nextafter(0.3500005, 0), 0.349999]):
+        s = float(np.sqrt(1.0 - float(c) ** 2))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [float(c), s]))
+    # array<double> so the engineered cosines survive (array<float>
+    # would perturb them off the boundary)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=1 so every pair is in the same cell; n_iter=0 keeps the seed
+    nw = sorted(map(tuple, clustering.semantic_dedup(
+        df, k=1, n_iter=1, threshold=0.35).collect()))
+    od = sorted(map(tuple, clustering._semantic_dedup_pairjoin(
+        df, k=1, n_iter=1, threshold=0.35).collect()))
+    assert nw == od
+
+
 def test_kmeans_k256_runs_on_sf001(spark):
     """k=256 (the SemDeDup sqrt(N) regime the literal path cannot
     execute): auto strategy flips to broadcast, assignment completes,
