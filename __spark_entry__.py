@@ -5490,15 +5490,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from historicaldatadocumentparsersystem_spark.operators.textstats import \
             tokens as _tk
         docs = _t(spark, sf_dir, "documents")
-        terms = docs.select(F.explode(F.transform(
+        # ONE tokenize+explode+aggregate pass: the per-term counts
+        # (vocab-sized) feed the sketch as weights AND the true-count
+        # side; checkpointed so neither consumer re-runs the corpus
+        # scan (r6 — was two full tokenization passes + one md5 per
+        # token ROW instead of per distinct term)
+        term_counts = (docs.select(F.explode(F.transform(
             _tk("text"), lambda t: F.lower(t))).alias("term"))
-        sk = sketches.cms_table(terms, "term", d=4, w=256)
+            .groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+            .localCheckpoint())
+        sk = sketches.cms_table(term_counts, "term", d=4, w=256,
+                                weight_col="cnt")
         probes = spark.createDataFrame(
             [(t,) for t in _CMS_PROBES], "term string")
         est = sketches.cms_estimate(sk, probes, "term", d=4, w=256)
-        true = (terms.where(F.col("term").isin(*_CMS_PROBES))
-                .groupBy("term")
-                .agg(F.count("*").cast("long").alias("true_cnt")))
+        true = (term_counts.where(F.col("term").isin(*_CMS_PROBES))
+                .select("term", F.col("cnt").alias("true_cnt")))
         return (probes.join(est, "term").join(true, "term", "left")
                 .select("term", "est",
                         F.coalesce("true_cnt", F.lit(0)).cast("long")

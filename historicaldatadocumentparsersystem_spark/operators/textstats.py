@@ -133,37 +133,84 @@ def lang_id(col: str | Column = "text") -> Column:
     return expr
 
 
-def lang_id_trigram(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id",
-                    sample_chars: int = 256) -> DataFrame:
-    """Character-trigram language ID (C10 upgrade over the stopword
-    heuristic): returns (id, lang_pred, n_hits) where lang_pred is the
-    argmax over ``TRIGRAM_PROFILES`` of profile-trigram hits in the
-    first ``sample_chars`` characters, 'unknown' when nothing hits.
-
-    Plan shape for 100 TB: the per-document work is BOUNDED — only a
-    ``sample_chars`` prefix is exploded (<=254 trigram rows/doc however
-    large the page), the profile table is a few hundred rows broadcast
-    to the trigram stream, and the hit count is one map-side-combinable
-    groupBy + a bounded per-doc argmax window (<= n_langs rows/doc).
-    Deterministic ties: higher n_hits wins, then lang ascending.
-    """
-    spark = df.sparkSession
-    prof = spark.createDataFrame(
-        [(lg, t) for lg, tris in sorted(TRIGRAM_PROFILES.items())
-         for t in tris], "lang string, tri string")
-    txt = F.concat(
+def _trigram_norm(text_col: str, sample_chars: int):
+    """The normalized sample expression — stays in the JVM: lower()
+    and the Java-regex ``\\s`` are locale/dialect-sensitive and must
+    keep Spark's exact semantics (a Python replica of either would be
+    a silent divergence class)."""
+    return F.concat(
         F.lit(" "),
         F.regexp_replace(F.lower(F.substring(F.col(text_col), 1,
                                              sample_chars)),
                          r"\s+", " "),
         F.lit(" "))
-    # stage the normalized sample as a REAL column first: inlined, the
-    # lower+regexp_replace chain re-evaluates once per transform element
-    # (~254x per row — measured 15.6 s -> ~1 s at sf0.1). Multi-use
-    # non-cheap aliases survive CollapseProject (same move as
-    # text_profile).
-    staged = df.select(F.col(id_col).alias("id"), txt.alias("__s"))
+
+
+def _trigram_top2(df: DataFrame, text_col: str, id_col: str,
+                  sample_chars: int) -> DataFrame:
+    """(id, lang, n1, n2) — one row per input row: argmax language of
+    profile-trigram hits in the normalized sample, runner-up count,
+    ('unknown', 0, 0) when nothing hits. Ties: higher hits, then lang
+    ascending.
+
+    r6 shape: ONE mapInPandas stage, no explode/join/window/exchange.
+    The r5 pipeline exploded every sample position through
+    ``substr(i, 3)`` — UTF8String counts codepoints from the string
+    START per call, so a 256-char sample cost O(sample^2) byte-walks
+    per doc (~9 s of the 11.3 s at sf1.0) — then shuffled a corpus-
+    sized hit stream. Python slices are O(3) per position and the
+    trigram match is exact codepoint equality, so the counts are
+    bit-identical (pinned by test_lang_id_trigram_matches_r5_pipeline
+    against the kept ``_trigram_top2_r5``)."""
+    prof: dict[str, list[str]] = {}
+    for lg, tris in sorted(TRIGRAM_PROFILES.items()):
+        for t in tris:
+            prof.setdefault(t, []).append(lg)
+    staged = df.select(F.col(id_col).alias("id"),
+                       _trigram_norm(text_col, sample_chars).alias("__s"))
+    id_type = dict(staged.dtypes)["id"]
+    schema = f"id {id_type}, lang string, n1 long, n2 long"
+
+    def count_hits(batches):
+        import pandas as pd
+        for pdf in batches:
+            langs_out, n1_out, n2_out = [], [], []
+            for s in pdf["__s"]:
+                counts: dict[str, int] = {}
+                if isinstance(s, str) and len(s) >= 3:
+                    get = prof.get
+                    for i in range(len(s) - 2):
+                        hit = get(s[i:i + 3])
+                        if hit:
+                            for lg in hit:
+                                counts[lg] = counts.get(lg, 0) + 1
+                if counts:
+                    ranked = sorted(counts.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))
+                    langs_out.append(ranked[0][0])
+                    n1_out.append(ranked[0][1])
+                    n2_out.append(ranked[1][1] if len(ranked) > 1 else 0)
+                else:
+                    langs_out.append("unknown")
+                    n1_out.append(0)
+                    n2_out.append(0)
+            yield pd.DataFrame({"id": pdf["id"].values,
+                                "lang": langs_out,
+                                "n1": n1_out, "n2": n2_out})
+
+    return staged.mapInPandas(count_hits, schema)
+
+
+def _trigram_top2_r5(df: DataFrame, text_col: str, id_col: str,
+                     sample_chars: int) -> DataFrame:
+    """The r5 explode + broadcast-join + window pipeline, kept as the
+    A/B reference for test_lang_id_trigram_matches_r5_pipeline."""
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(lg, t) for lg, tris in sorted(TRIGRAM_PROFILES.items())
+         for t in tris], "lang string, tri string")
+    staged = df.select(F.col(id_col).alias("id"),
+                       _trigram_norm(text_col, sample_chars).alias("__s"))
     s = F.col("__s")
     n = F.length(s) - 2
     tri_arr = F.when(
@@ -176,14 +223,40 @@ def lang_id_trigram(df: DataFrame, text_col: str = "text",
             .groupBy("id", "lang")
             .agg(F.count("*").alias("n_hits")))
     w = Window.partitionBy("id").orderBy(F.desc("n_hits"), F.asc("lang"))
-    best = (hits.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") == 1).drop("__rk"))
+    top2 = (hits.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= 2))
+    best = (top2.groupBy("id")
+            .agg(F.max(F.when(F.col("__rk") == 1,
+                              F.col("lang"))).alias("lang"),
+                 F.max(F.when(F.col("__rk") == 1,
+                              F.col("n_hits"))).alias("n1"),
+                 F.max(F.when(F.col("__rk") == 2,
+                              F.col("n_hits"))).alias("n2")))
     return (df.select(F.col(id_col).alias("id"))
             .join(best, "id", "left")
+            .select("id",
+                    F.coalesce("lang", F.lit("unknown")).alias("lang"),
+                    F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+                    F.coalesce("n2", F.lit(0)).cast("long").alias("n2")))
+
+
+def lang_id_trigram(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sample_chars: int = 256) -> DataFrame:
+    """Character-trigram language ID (C10 upgrade over the stopword
+    heuristic): returns (id, lang_pred, n_hits) where lang_pred is the
+    argmax over ``TRIGRAM_PROFILES`` of profile-trigram hits in the
+    first ``sample_chars`` characters, 'unknown' when nothing hits.
+
+    Plan shape for 100 TB: the per-document work is BOUNDED (a
+    ``sample_chars`` prefix), computed in one map stage with zero
+    shuffles (``_trigram_top2``). Deterministic ties: higher n_hits
+    wins, then lang ascending.
+    """
+    return (_trigram_top2(df, text_col, id_col, sample_chars)
             .select(F.col("id").alias(id_col),
-                    F.coalesce("lang", F.lit("unknown")).alias("lang_pred"),
-                    F.coalesce("n_hits", F.lit(0).cast("long"))
-                    .alias("n_hits")))
+                    F.col("lang").alias("lang_pred"),
+                    F.col("n1").cast("long").alias("n_hits")))
 
 
 def bpe_token_stats(df: DataFrame, text_col: str = "text",
@@ -559,50 +632,14 @@ def lang_id_margin(df: DataFrame, text_col: str = "text",
     ``min_margin_bp`` (zero-hit docs are never confident).
 
     Output: (id, lang_pred, n_hits, n_hits_2nd, margin_bp,
-    confident). Same bounded plan as ``lang_id_trigram`` (sampled
-    prefix explode, broadcast profiles, per-doc window bounded by
-    n_langs) — the window just keeps rank 2 as well.
+    confident). Same zero-shuffle map-stage plan as
+    ``lang_id_trigram`` (``_trigram_top2`` keeps rank 2 as well).
     """
-    spark = df.sparkSession
-    prof = spark.createDataFrame(
-        [(lg, t) for lg, tris in sorted(TRIGRAM_PROFILES.items())
-         for t in tris], "lang string, tri string")
-    txt = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.lower(F.substring(F.col(text_col), 1,
-                                             sample_chars)),
-                         r"\s+", " "),
-        F.lit(" "))
-    staged = df.select(F.col(id_col).alias("id"), txt.alias("__s"))
-    s = F.col("__s")
-    n = F.length(s) - 2
-    tri_arr = F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n),
-                    lambda i: s.substr(i, F.lit(3)))
-    ).otherwise(F.array().cast("array<string>"))
-    tris = staged.select("id", F.explode(tri_arr).alias("tri"))
-    hits = (tris.join(F.broadcast(prof), "tri")
-            .groupBy("id", "lang")
-            .agg(F.count("*").alias("n_hits")))
-    w = Window.partitionBy("id").orderBy(F.desc("n_hits"), F.asc("lang"))
-    top2 = (hits.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= 2))
-    best = (top2.groupBy("id")
-            .agg(F.max(F.when(F.col("__rk") == 1,
-                              F.col("lang"))).alias("lang"),
-                 F.max(F.when(F.col("__rk") == 1,
-                              F.col("n_hits"))).alias("n1"),
-                 F.max(F.when(F.col("__rk") == 2,
-                              F.col("n_hits"))).alias("n2")))
-    out = (df.select(F.col(id_col).alias("id"))
-           .join(best, "id", "left")
-           .select(
-               F.col("id").alias(id_col),
-               F.coalesce("lang", F.lit("unknown")).alias("lang_pred"),
-               F.coalesce("n1", F.lit(0)).cast("long").alias("n_hits"),
-               F.coalesce("n2", F.lit(0)).cast("long")
-               .alias("n_hits_2nd")))
+    out = (_trigram_top2(df, text_col, id_col, sample_chars)
+           .select(F.col("id").alias(id_col),
+                   F.col("lang").alias("lang_pred"),
+                   F.col("n1").cast("long").alias("n_hits"),
+                   F.col("n2").cast("long").alias("n_hits_2nd")))
     margin = F.when(
         F.col("n_hits") > 0,
         F.expr("(n_hits - n_hits_2nd) * 10000 div n_hits")

@@ -791,6 +791,33 @@ def test_bpe_swapped_vocab_chunk_budgets(spark):
     assert got != committed
 
 
+def test_lang_id_trigram_matches_r5_pipeline(spark):
+    """r6: the one-map-stage trigram counter must return the SAME
+    rows as the r5 explode + broadcast-join + window pipeline (kept
+    as _trigram_top2_r5) — on the real corpus AND on adversarial
+    fixtures (non-ASCII, astral chars, ties, null/short text)."""
+    from historicaldatadocumentparsersystem_spark.operators import textstats
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    new = sorted(map(tuple, textstats._trigram_top2(
+        docs, "text", "doc_id", 256).collect()))
+    old = sorted(map(tuple, textstats._trigram_top2_r5(
+        docs, "text", "doc_id", 256).collect()))
+    assert new == old
+    rows = [(1, "der hund und die katze der der und"),
+            (2, "le chien est dans le jardin"),
+            (3, None), (4, ""), (5, "ab"), (6, "abc"),
+            (7, "ßİΣ der und die 世界"),
+            (8, "\U0001F600 the and is \U0001F600 der und"),
+            (9, "THE AND IS DER UND DIE LE EST LES"),
+            (10, "x" * 500 + " the and")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nw = sorted(map(tuple, textstats._trigram_top2(
+        df, "text", "doc_id", 256).collect()))
+    od = sorted(map(tuple, textstats._trigram_top2_r5(
+        df, "text", "doc_id", 256).collect()))
+    assert nw == od
+
+
 def test_lang_id_trigram_mixed_languages(spark):
     """Accuracy pin on mixed-language fixtures: the trigram profiles
     must separate the four languages and surface the no-evidence case,

@@ -188,14 +188,17 @@ def test_chunking_single_exchange(spark):
     assert count_exchanges(df) == 1, physical_plan(df)
 
 
-def test_lang_id_trigram_broadcasts_profiles(spark):
-    """The (few-hundred-row) trigram profile table must broadcast to
-    the exploded trigram stream — shuffling the corpus-sized trigram
-    side for a dictionary join would be the 100 TB mistake."""
-    import __spark_entry__ as entrymod
+def test_lang_id_trigram_is_one_map_stage(spark):
+    """r6: trigram language ID is a single map stage — scan, JVM
+    normalization projection, one Python batch stage. NO exchange, NO
+    join: the r5 shape (per-position substr explode + broadcast join
+    + window) paid an O(sample^2) UTF8String walk per doc and a
+    corpus-sized shuffle of hit rows."""
     df = _q("lang_id_trigram")(spark, SF)
     plan = physical_plan(df)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
 
 
 def test_line_dedup_no_cartesian(spark):
