@@ -4275,13 +4275,18 @@ def _span_df(spark: SparkSession) -> DataFrame:
 
 def _elements_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive deterministic (url, page, pos, text) element rows from the
-    documents table: 8-word sentences, 4 sentences per page."""
+    documents table: 8-word sentences, 4 sentences per page.
+
+    r6 shape: the 8-word groups come from ONE codegen regex pass over
+    the single-spaced token join (greedy ``\\S+( \\S+){0,7}`` ==
+    concat_ws(" ", slice(toks, i*8+1, 8)) row-for-row — verified
+    identical on sf1.0) instead of an interpreted
+    transform(sequence)+slice+concat_ws fold, which cost 5.3 s of the
+    query's 6.8 s at sf1.0 (higher-order functions never codegen)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), _TOKSPLIT), lambda t: t != "")
-    sent = F.transform(
-        F.sequence(F.lit(1), F.greatest(
-            ((F.size(toks) + 7) / 8).cast("int"), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8)))
+    sent = F.regexp_extract_all(F.concat_ws(" ", toks),
+                                F.lit(r"\S+( \S+){0,7}"), 0)
     return (docs.select(F.col("doc_id").cast("string").alias("url"),
                         F.posexplode(sent).alias("pos", "text"))
             .where(F.col("text") != "")

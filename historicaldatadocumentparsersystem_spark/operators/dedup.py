@@ -415,6 +415,11 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                                    edges.dst == labels.node)
                         .groupBy("src")
                         .agg(F.min("component").alias("nbr_min")))
+        # convergence detection rides the SAME join that produces the
+        # labels (r6, VERDICT r5 item 5): new < old iff the neighbor
+        # min undercuts the current label, so a __chg flag replaces
+        # the old second full label-set join per round; counting it is
+        # a scan of the just-checkpointed rows
         new_labels = (labels.join(neighbor_min,
                                   labels.node == neighbor_min.src,
                                   "left")
@@ -422,13 +427,12 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                               F.least("component",
                                       F.coalesce("nbr_min",
                                                  F.col("component")))
-                              .alias("component"))
+                              .alias("component"),
+                              (F.coalesce("nbr_min", F.col("component"))
+                               < F.col("component")).alias("__chg"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break

@@ -104,6 +104,52 @@ def hyperplane_signature(vec_col, planes: list[list[float]]) -> Column:
     return sig.cast("long")
 
 
+def _signatures_arrow(d: DataFrame, idc: str, vc: str,
+                      tables: list[list[list[float]]]) -> DataFrame:
+    """(id, vec as array<double>, t, sig) — one row per (input row,
+    table), signatures computed batch-vectorized in numpy with the
+    EXACT sequential dot fold of ``hyperplane_signature`` (same IEEE
+    ops in the same order, so the sign bits — which flip only at
+    dot == 0 — are bit-identical; pinned by
+    test_lsh_signatures_arrow_matches_expression). Replaces the r5
+    posexplode over 16 interpreted dim-wise folds per row (guide
+    §4.2: HOFs never codegen — this was ~3 s of lsh_topk's 4.7 s at
+    sf1.0). The vector rides as the cast double array (cast
+    float->double is exact, and downstream cosine() folds over
+    doubles either way)."""
+    import numpy as np
+    P = [np.array([[float(x) for x in pl] for pl in planes],
+                  dtype=np.float64) for planes in tables]
+    id_type = dict(d.dtypes)[idc]
+    schema = f"{idc} {id_type}, {vc} array<double>, t int, sig long"
+
+    def sign(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vc]], dtype=np.float64)
+            n = len(V)
+            frames = []
+            for t, planes in enumerate(P):
+                sig = np.zeros(n, dtype=np.int64)
+                for i in range(planes.shape[0]):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for dd in range(planes.shape[1]):
+                        acc += V[:, dd] * planes[i, dd]
+                    sig += np.where(acc > 0, 1 << i, 0)
+                frames.append(pd.DataFrame({
+                    idc: pdf[idc].values,
+                    vc: list(V),
+                    "t": np.full(n, t, dtype="int32"),
+                    "sig": sig}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return d.select(idc, vc).mapInPandas(sign, schema)
+
+
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state)."""
     import random
@@ -196,9 +242,7 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.5,
     wide vectors, dedup on ids and re-join instead).
     """
     tables = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
-    sig_arr = F.array(*[hyperplane_signature(vec_col, p) for p in tables])
-    sigs = df.select(id_col, vec_col,
-                     F.posexplode(sig_arr).alias("t", "sig"))
+    sigs = _signatures_arrow(df, id_col, vec_col, tables)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
                    & (F.col("a.sig") == F.col("b.sig"))
@@ -233,14 +277,8 @@ def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     prunes at the scan.
     """
     tables = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
-
-    def exploded(d: DataFrame, idc: str, vc: str) -> DataFrame:
-        sig_arr = F.array(*[hyperplane_signature(vc, p) for p in tables])
-        return d.select(F.col(idc), F.col(vc),
-                        F.posexplode(sig_arr).alias("t", "sig"))
-
-    c = exploded(df, id_col, vec_col)
-    q = (exploded(query_df, "query_id", "embedding")
+    c = _signatures_arrow(df, id_col, vec_col, tables)
+    q = (_signatures_arrow(query_df, "query_id", "embedding", tables)
          .withColumnRenamed("embedding", "__qv"))
     cand = (c.join(F.broadcast(q), ["t", "sig"])
             .where(F.col(id_col) != F.col("query_id"))

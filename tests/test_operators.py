@@ -1830,6 +1830,27 @@ def test_kmeans_broadcast_path_bit_identical(spark):
                for a, b in zip(lv, bv))
 
 
+def test_lsh_signatures_arrow_matches_expression(spark):
+    """r6: the numpy signature stage must reproduce the expression
+    path's sign bits exactly (same sequential dot fold; flips only at
+    dot == 0, covered by the zero vector)."""
+    from pyspark.sql import functions as F
+    from historicaldatadocumentparsersystem_spark.operators import similarity
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    zero = emb.sparkSession.createDataFrame(
+        [(10_000_000, [0.0] * 64)], "vec_id long, embedding array<float>")
+    src = emb.select("vec_id", "embedding").unionByName(zero)
+    tables = [similarity.make_planes(64, 8, 42 + t) for t in range(2)]
+    sig_arr = F.array(*[similarity.hyperplane_signature("embedding", p)
+                        for p in tables])
+    old = sorted(map(tuple, src.select(
+        "vec_id", F.posexplode(sig_arr).alias("t", "sig")).collect()))
+    new = sorted(map(tuple, similarity._signatures_arrow(
+        src, "vec_id", "embedding", tables)
+        .select("vec_id", "t", "sig").collect()))
+    assert new == old
+
+
 def test_kmeans_arrow_path_bit_identical(spark):
     """r6: the numpy-vectorized assignment + sufficient-statistics
     means (the new default) must be BIT-identical to the r5 literal
