@@ -4283,7 +4283,10 @@ def _elements_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical on sf1.0) instead of an interpreted
     transform(sequence)+slice+concat_ws fold, which cost 5.3 s of the
     query's 6.8 s at sf1.0 (higher-order functions never codegen)."""
-    docs = _t(spark, sf_dir, "documents")
+    from historicaldatadocumentparsersystem_spark.operators.skew import \
+        spread_small_scan
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.filter(F.split(F.trim("text"), _TOKSPLIT), lambda t: t != "")
     sent = F.regexp_extract_all(F.concat_ws(" ", toks),
                                 F.lit(r"\S+( \S+){0,7}"), 0)
@@ -5500,10 +5503,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # side; checkpointed so neither consumer re-runs the corpus
         # scan (r6 — was two full tokenization passes + one md5 per
         # token ROW instead of per distinct term)
-        term_counts = (docs.select(F.explode(F.transform(
-            _tk("text"), lambda t: F.lower(t))).alias("term"))
-            .groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
-            .localCheckpoint())
+        from historicaldatadocumentparsersystem_spark.operators.skew \
+            import spread_small_scan
+        term_counts = (spread_small_scan(docs.select("text"))
+                       .select(F.explode(F.transform(
+                           _tk("text"), lambda t: F.lower(t)))
+                           .alias("term"))
+                       .groupBy("term")
+                       .agg(F.count("*").cast("long").alias("cnt"))
+                       .localCheckpoint())
         sk = sketches.cms_table(term_counts, "term", d=4, w=256,
                                 weight_col="cnt")
         probes = spark.createDataFrame(

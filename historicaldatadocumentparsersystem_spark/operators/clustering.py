@@ -167,10 +167,11 @@ def _assign_arrow(df: DataFrame, cents: list[list[float]],
     import numpy as np
     C = np.array([[float(x) for x in v] for v in cents],
                  dtype=np.float64)
+    from .skew import spread_small_scan
     id_type = dict(df.dtypes)[id_col]
     schema = (f"{id_col} {id_type}, cluster int, "
               "__d double, __e array<double>")
-    narrow = df.select(id_col, vec_col)
+    narrow = spread_small_scan(df.select(id_col, vec_col))
 
     def assign(batches):
         import numpy as np
@@ -274,7 +275,8 @@ def _iter_means(df: DataFrame, cents: list[list[float]],
             yield pd.DataFrame(rows,
                                columns=["cluster", "pos", "nano", "cnt"])
 
-    parts = df.select(vec_col).mapInPandas(
+    from .skew import spread_small_scan
+    parts = spread_small_scan(df.select(vec_col)).mapInPandas(
         partials, "cluster int, pos int, nano long, cnt long")
     rows = (parts.groupBy("cluster", "pos")
             .agg(F.sum(F.col("nano").cast("decimal(38,0)")).alias("s"),

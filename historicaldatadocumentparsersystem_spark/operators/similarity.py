@@ -147,7 +147,8 @@ def _signatures_arrow(d: DataFrame, idc: str, vc: str,
                     "sig": sig}))
             yield pd.concat(frames, ignore_index=True)
 
-    return d.select(idc, vc).mapInPandas(sign, schema)
+    from .skew import spread_small_scan
+    return spread_small_scan(d.select(idc, vc)).mapInPandas(sign, schema)
 
 
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

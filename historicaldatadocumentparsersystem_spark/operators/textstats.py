@@ -166,8 +166,10 @@ def _trigram_top2(df: DataFrame, text_col: str, id_col: str,
     for lg, tris in sorted(TRIGRAM_PROFILES.items()):
         for t in tris:
             prof.setdefault(t, []).append(lg)
-    staged = df.select(F.col(id_col).alias("id"),
-                       _trigram_norm(text_col, sample_chars).alias("__s"))
+    from .skew import spread_small_scan
+    staged = spread_small_scan(
+        df.select(F.col(id_col).alias("id"),
+                  _trigram_norm(text_col, sample_chars).alias("__s")))
     id_type = dict(staged.dtypes)["id"]
     schema = f"id {id_type}, lang string, n1 long, n2 long"
 

@@ -7,5 +7,6 @@ dimension joins must broadcast. tests/test_plans.py enforces this so a
 regression that adds a shuffle or widens a scan fails CI.
 """
 
-from .checks import (count_exchanges, has_broadcast_join,  # noqa: F401
-                     physical_plan, scan_read_schemas)
+from .checks import (count_data_exchanges, count_exchanges,  # noqa: F401
+                     has_broadcast_join, physical_plan,
+                     scan_read_schemas)

@@ -23,6 +23,18 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
 
 
+def count_data_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges that move data BY KEY (hash/range
+    partitioning). Excludes RoundRobinPartitioning: the input-
+    spreading exchange (``operators.skew.spread_small_scan``) exists
+    only for sub-parallelism single-split scans and is the identity at
+    real scale, so pins on keyed-shuffle counts must not trip on it.
+    """
+    plan = physical_plan(df, "simple")
+    return len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning)", plan))
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     plan = physical_plan(df)
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1830,6 +1830,28 @@ def test_kmeans_broadcast_path_bit_identical(spark):
                for a, b in zip(lv, bv))
 
 
+def test_quality_classifier_arrow_matches_expr(spark):
+    """r6: the Python tokenizer+md5 replica must return the SAME rows
+    as the r5 pure-expression scorer — corpus plus adversarial
+    fixtures (unicode spaces that Java \\s does NOT split on, tabs/FF/
+    VT that it does, non-ASCII tokens, null/empty text, bare spaces)."""
+    from historicaldatadocumentparsersystem_spark.operators import quality
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    new = sorted(map(tuple, quality.quality_classifier(docs).collect()))
+    old = sorted(map(tuple,
+                     quality._quality_classifier_expr(docs).collect()))
+    assert new == old
+    rows = [(1, "the and is"),   # NBSP/figure space: NOT \s
+            (2, "a\tb\x0bc\x0cd\re\nf"),   # every Java \s char
+            (3, None), (4, ""), (5, "   "), (6, " x "),
+            (7, "Grüße ÜBER straße ΣΟΦΟΣ"),
+            (8, "世界 你好 世界"), (9, "a" * 5000 + " b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nw = sorted(map(tuple, quality.quality_classifier(df).collect()))
+    od = sorted(map(tuple, quality._quality_classifier_expr(df).collect()))
+    assert nw == od
+
+
 def test_lsh_signatures_arrow_matches_expression(spark):
     """r6: the numpy signature stage must reproduce the expression
     path's sign bits exactly (same sequential dot fold; flips only at
