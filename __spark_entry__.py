@@ -3822,7 +3822,12 @@ def _synth_cdx(docs: DataFrame) -> DataFrame:
     """Spark half of ``_CDX_CTE``: the same synthetic capture index,
     urlkey via the codegen ``functions.surt_urlkey``."""
     from historicaldatadocumentparsersystem_spark import functions as fn
+    from historicaldatadocumentparsersystem_spark.operators.skew import \
+        spread_small_scan
 
+    # the ~25-regex/row derivation otherwise runs on the table's ONE
+    # scan split (r6; see spread_small_scan)
+    docs = spread_small_scan(docs.select("doc_id", "source"))
     did = F.col("doc_id")
     url = F.concat(
         F.lit("https://"),
@@ -5329,7 +5334,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (SURT anti-join vs the capture index) — SQL-checked (NOT EXISTS
     # twin; even doc_ids rediscover captured urls, odd ones are novel)
     def _synth_frontier(spark, sf_dir):
-        cdx = _synth_cdx(_t(spark, sf_dir, "documents"))
+        # the capture index feeds BOTH join sides (disc derives loc
+        # from it, captured projects urlkey) — left lazy, the whole
+        # regex derivation runs twice (r6: checkpoint once per run)
+        cdx = _synth_cdx(_t(spark, sf_dir, "documents")).localCheckpoint()
         did = F.col("doc_id")
         loc = F.when(did % 2 == 0, F.col("url")).otherwise(
             F.concat(F.regexp_replace(F.col("url"), "/P.*$", ""),

@@ -306,9 +306,10 @@ def text_profile(df: DataFrame, text_col: str = "text",
     from it (a single regex split per row instead of one per stat;
     Catalyst's CollapseProject keeps multi-use non-cheap aliases
     materialized, so the two Projects don't re-inline)."""
+    from .skew import spread_small_scan
     toks = "__toks"
     c = F.col(text_col)
-    staged = df.select(
+    staged = spread_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col), c.alias("__text"), tokens(text_col).alias(toks))
     tk = F.col(toks)
     txt = F.col("__text")

@@ -554,14 +554,18 @@ def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
     scored stream; no window, no collect, no join wider than the
     query-term set.
     """
-    staged = df.select(F.col(id_col).alias("id"),
-                       tokens(text_col).alias("__tk"))
+    from .skew import spread_small_scan
+    staged = spread_small_scan(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
     base = staged.select(
-        "id", F.size("__tk").cast("double").alias("dl"),
-        F.transform("__tk", lambda t: F.lower(t)).alias("tk"))
+        "id", F.size("__tk").cast("double").alias("dl"), "__tk")
     corpus = base.agg(F.count("*").cast("double").alias("n_docs"),
                       F.sum("dl").alias("sum_dl"))
-    tf = (base.select("id", "dl", F.explode("tk").alias("term"))
+    # lower AFTER the explode (codegen per row) instead of an
+    # interpreted transform() over every token array (r6; HOFs never
+    # codegen) — same per-token value, same filtered stream
+    tf = (base.select("id", "dl", F.explode("__tk").alias("__t"))
+          .select("id", "dl", F.lower("__t").alias("term"))
           .where(F.col("term").isin(*[t.lower() for t in terms]))
           .groupBy("id", "dl", "term")
           .agg(F.count("*").cast("double").alias("tf")))
