@@ -193,25 +193,39 @@ def parse_cfb(payload) -> dict | None:
 
     def walk(idx: int, prefix: str, depth: int,
              seen: set[int]) -> None:
-        if idx >= nmax or idx == _FREESECT or depth > 64 \
-                or idx in seen or len(seen) > nmax:
+        # in-order sibling traversal with an explicit stack (r6,
+        # ADVICE r5): only CHILD descent counts toward the nesting
+        # cap — a degenerate linked-list-shaped sibling tree (which
+        # sloppy legacy writers do produce) must not silently drop
+        # entries past ~64 per storage; the seen-set guards cycles
+        if depth > 64:
             return
-        seen.add(idx)
-        e = entries_raw[idx]
-        if e is None:
-            return
-        walk(e["left"], prefix, depth + 1, seen)
-        path = prefix + e["name"]
-        entries.append((len(entries), path, e["kind"], e["size"],
-                        e["start"]))
-        if e["kind"] == "stream":
-            if e["size"] < mini_cutoff:
-                streams[path] = read_mini(e["start"], e["size"])
-            else:
-                streams[path] = read_chain(e["start"], e["size"])
-        if e["kind"] in ("storage", "root"):
-            walk(e["child"], path + "/", depth + 1, seen)
-        walk(e["right"], prefix, depth + 1, seen)
+        stack: list[tuple[int, bool]] = [(idx, False)]
+        while stack:
+            i, emit = stack.pop()
+            if i >= nmax or i == _FREESECT:
+                continue
+            e = entries_raw[i]
+            if e is None:
+                continue
+            if not emit:
+                if i in seen or len(seen) > nmax:
+                    continue
+                seen.add(i)
+                stack.append((i, True))
+                stack.append((e["left"], False))
+                continue
+            path = prefix + e["name"]
+            entries.append((len(entries), path, e["kind"], e["size"],
+                            e["start"]))
+            if e["kind"] == "stream":
+                if e["size"] < mini_cutoff:
+                    streams[path] = read_mini(e["start"], e["size"])
+                else:
+                    streams[path] = read_chain(e["start"], e["size"])
+            if e["kind"] in ("storage", "root"):
+                walk(e["child"], path + "/", depth + 1, seen)
+            stack.append((e["right"], False))
 
     try:
         walk(root["child"], "", 0, set())

@@ -138,10 +138,17 @@ def extract_document(payload: bytes | None, fallback_text: str | None
         if kind == KIND_EMPTY and is_cfb(payload):
             if is_ppt(payload):
                 text, spans = extract_ppt_text(payload)
-                if not spans:
+                if spans:
+                    return ExtractResult(KIND_PPT, text, spans,
+                                         len(spans), 0.0)
+                # is_ppt substring-probes the whole container, but a
+                # Word .doc with an EMBEDDED PowerPoint OLE object
+                # carries the marker under ObjectPool/ while only the
+                # top-level streams are extractable — fall through to
+                # the Word piece table before declaring failure (r6,
+                # ADVICE r5)
+                if not is_doc(payload):
                     return _fallback(fallback_text, failed=True)
-                return ExtractResult(KIND_PPT, text, spans,
-                                     len(spans), 0.0)
             if is_doc(payload):
                 text, spans = extract_doc_text(payload)
                 if not spans:

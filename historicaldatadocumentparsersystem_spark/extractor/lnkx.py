@@ -47,7 +47,11 @@ def parse_lnk(payload) -> dict | None:
     try:
         flags, attrs = struct.unpack_from("<II", b, 20)
         ct, at, wt = struct.unpack_from("<QQQ", b, 28)
-        size, icon, show = struct.unpack_from("<IIi", b, 52)
+        # IconIndex is SIGNED per [MS-SHLLINK] (negative resource ids,
+        # e.g. 0xFFFFFFFB = -5, are common in real .lnk files); read
+        # as u32 it overflowed the source-side Int32 column (r6,
+        # ADVICE r5)
+        size, icon, show = struct.unpack_from("<Iii", b, 52)
         out: dict = {
             "flags": "|".join(n for bit, n in _FLAGS
                               if flags & bit),

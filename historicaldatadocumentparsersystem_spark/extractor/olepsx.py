@@ -91,6 +91,16 @@ def _decode_value(b: bytes, off: int, codepage: int
     if vt == 30:    # VT_LPSTR (codepage, NUL-terminated)
         (n,) = struct.unpack_from("<I", b, p)
         n = min(n, len(b) - p - 4)
+        if codepage == 1200:
+            # CP_WINUNICODE (real Word 97 SummaryInformation streams):
+            # the bytes are UTF-16LE — a single-byte NUL split would
+            # truncate at the first ASCII pair's high byte, and Python
+            # has no 'cp1200' codec so the generic path decoded
+            # latin-1 mojibake (r6, ADVICE r5). n is the BYTE length;
+            # terminate on the first NUL CHARACTER after decoding.
+            return "lpstr", (b[p + 4:p + 4 + n - (n % 2)]
+                             .decode("utf-16-le", "replace")
+                             .split("\x00", 1)[0])
         raw = b[p + 4:p + 4 + n].split(b"\x00", 1)[0]
         enc = f"cp{codepage}" if codepage not in (0, 65001) \
             else "utf-8"

@@ -50,8 +50,13 @@ def _rect(b: bytes) -> tuple[int, int, int] | None:
     vals = []
     for i in range(4):
         shift = (3 - i) * nbits
-        vals.append((acc >> shift) & ((1 << nbits) - 1) if nbits
-                    else 0)
+        v = (acc >> shift) & ((1 << nbits) - 1) if nbits else 0
+        # RECT fields are SIGNED nbits values per the SWF spec (r6,
+        # ADVICE r5): sign-extend so negative xmin/ymin stages get
+        # the right width/height
+        if nbits and v & (1 << (nbits - 1)):
+            v -= 1 << nbits
+        vals.append(v)
     xmin, xmax, ymin, ymax = vals
     return ((xmax - xmin) // 20, (ymax - ymin) // 20, nbytes)
 

@@ -153,3 +153,40 @@ def test_fuzz_never_raises():
         cfbx.parse_cfb(cut)
         cfbx.extract_ppt_elements(cut)
         cfbx.extract_doc_pieces(cut)
+
+
+def test_degenerate_sibling_chain_keeps_all_entries():
+    """Regression (r6, ADVICE r5): the directory walk counted LEFT/
+    RIGHT sibling hops toward the 64 nesting cap, so a linked-list-
+    shaped sibling chain — exactly what build_cfb emits — silently
+    dropped entries (and their streams) past ~64 per storage."""
+    from historicaldatadocumentparsersystem_spark.extractor import cfbx
+    from historicaldatadocumentparsersystem_spark import fixtures
+    blobs = [(f"S{i:03d}", f"payload {i}".encode()) for i in range(120)]
+    doc = cfbx.parse_cfb(fixtures.build_cfb(blobs))
+    names = [p for _, p, k, _, _ in doc["entries"] if k == "stream"]
+    assert len(names) == 120, len(names)
+    assert doc["_streams"]["S007"] == b"payload 7"
+    assert doc["_streams"]["S119"] == b"payload 119"
+
+
+def test_doc_with_embedded_ppt_object_extracts_word_text():
+    """Regression (r6, ADVICE r5): is_ppt substring-probes the whole
+    container, so a Word .doc carrying an embedded PowerPoint OLE
+    object (the marker lives under ObjectPool/) dispatched as ppt,
+    extracted nothing, and was marked a FAILED extraction instead of
+    falling through to the fully-extractable Word piece table."""
+    from historicaldatadocumentparsersystem_spark.extractor import cfbx, core
+    from historicaldatadocumentparsersystem_spark import fixtures
+    doc_payload = next(r["payload"] for r in fixtures.cfb_file_rows()
+                       if r["url"].endswith("memo.doc"))
+    d = cfbx.parse_cfb(doc_payload)
+    entries = list(d["_streams"].items())
+    entries.append(("ObjectPool/pptobj",
+                    "PowerPoint Document".encode("utf-16-le")))
+    blob = fixtures.build_cfb(entries)
+    assert cfbx.is_ppt(blob) and cfbx.is_doc(blob)
+    res = core.extract_document(blob, "fallback")
+    assert not res.failed
+    assert res.doc_kind == "doc"
+    assert "Legacy Word text" in res.extracted_text

@@ -86,3 +86,20 @@ def test_fuzz_never_raises():
             base[rng.randrange(len(base))] = rng.randrange(256)
         lnkx.parse_lnk(bytes(base[:rng.randrange(
             0, len(base) + 1)]))
+
+
+def test_negative_icon_index_signed_and_int32_safe(spark):
+    """Regression (r6, ADVICE r5): IconIndex is SIGNED i32 per
+    [MS-SHLLINK]; read as u32, 0xFFFFFFFB (= -5, a real-world negative
+    resource id) became 4294967291 and killed the whole mapInPandas
+    batch at the Int32 column. The builder always writes icon=0, so
+    patch the header bytes directly."""
+    from historicaldatadocumentparsersystem_spark import sources
+    blob = bytearray(lnkx.build_lnk(target_size=7, name="x"))
+    blob[56:60] = (0xFFFFFFFB).to_bytes(4, "little")
+    d = lnkx.parse_lnk(bytes(blob))
+    assert d is not None and d["icon_index"] == -5
+    df = spark.createDataFrame([("u1", bytes(blob))],
+                               "url string, payload binary")
+    rows = sources.read_lnk_shortcuts(df).collect()
+    assert len(rows) == 1 and rows[0]["icon_index"] == -5
