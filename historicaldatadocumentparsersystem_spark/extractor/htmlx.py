@@ -394,9 +394,9 @@ def parse_dom(src: str, full_attrs: bool = False) -> _Node:
                     del stack[i:]
                     break
         elif c != "!" and c != "?":
-            tag = m.group(2).lower()
-            raw_attrs = m.group(3)
-            self_closing = m.group(4) == "/"
+            tag, raw_attrs, close = m.group(2, 3, 4)  # one C call, not 3
+            tag = tag.lower()
+            self_closing = close == "/"
             if tag in _AUTOCLOSE:
                 closees = _AUTOCLOSE[tag]
                 while len(stack) > 1 and stack[-1].tag in closees:

@@ -409,9 +409,19 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
+    # checkpointed frames carry NO size stats (ScanExistingRDD reports
+    # defaultSizeInBytes), so AQE never broadcasts the label table and
+    # every round pays two sort-merge shuffles even for tiny graphs.
+    # Decide from the MEASURED node count — the same call that seeds
+    # convergence context — and fall back to shuffle joins at scale
+    # (r6; label rows are ~32 B, threshold well under the 10 MB
+    # auto-broadcast default).
+    n_nodes = labels.count()
+    small = n_nodes * 64 < 8 << 20
+    bcast = F.broadcast if small else (lambda d: d)
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (edges.join(labels,
+        neighbor_min = (edges.join(bcast(labels),
                                    edges.dst == labels.node)
                         .groupBy("src")
                         .agg(F.min("component").alias("nbr_min")))
@@ -420,7 +430,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         # min undercuts the current label, so a __chg flag replaces
         # the old second full label-set join per round; counting it is
         # a scan of the just-checkpointed rows
-        new_labels = (labels.join(neighbor_min,
+        new_labels = (labels.join(bcast(neighbor_min),
                                   labels.node == neighbor_min.src,
                                   "left")
                       .select("node",
