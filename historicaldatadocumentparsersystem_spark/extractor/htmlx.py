@@ -363,84 +363,120 @@ def parse_dom(src: str, full_attrs: bool = False) -> _Node:
     pos = 0
     n = len(src)
 
-    def add_text(start: int, end: int) -> None:
-        if end <= start:
-            return
-        top = stack[-1]
-        if (top.children and isinstance(top.children[-1], _Text)
-                and top.children[-1].end == start):
-            top.children[-1].end = end
-            return
-        top.children.append(_Text(start, end, top))
-
     first_title: _Node | None = None
-    while pos < n:
-        m = _TAG_RE.search(src, pos)
-        if m is None:
-            add_text(pos, n)
-            break
-        if m.start() > pos:
-            add_text(pos, m.start())
-        pos = m.end()
-        # dispatch on the char after '<': the alternation's prefixes are
-        # disjoint ('</letter' = end tag, '<!'/'<?' = comment/decl/cdata,
-        # '<letter' = start tag), so one char test replaces building a
-        # 4-group tuple for every token
-        c = src[m.start() + 1]
-        if c == "/":
-            tag = m.group(1).lower()
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
-                    del stack[i:]
-                    break
-        elif c != "!" and c != "?":
-            tag, raw_attrs, close = m.group(2, 3, 4)  # one C call, not 3
-            tag = tag.lower()
-            self_closing = close == "/"
-            if tag in _AUTOCLOSE:
-                closees = _AUTOCLOSE[tag]
-                while len(stack) > 1 and stack[-1].tag in closees:
-                    stack.pop()
-            order += 1
-            # attr regexes only when 'class'/'id' can be present at all
-            # (case-insensitive guard: html.parser lowercases attribute
-            # names, so <DIV CLASS=Content> must classify identically —
-            # caught by the adversarial A/B corpus)
-            attrs = {}
-            if raw_attrs:
-                if full_attrs:
-                    attrs = _attr_dict_full(raw_attrs)
-                # fast path: lowercase source (the overwhelming case)
-                # needs no .lower() allocation; mixed-case pays one
-                elif "class" in raw_attrs or "id" in raw_attrs:
-                    attrs = _attr_dict(raw_attrs)
-                elif not raw_attrs.islower():
-                    low = raw_attrs.lower()
-                    if "class" in low or "id" in low:
-                        attrs = _attr_dict(raw_attrs)
-            node = _Node(tag, attrs, stack[-1], order)
-            stack[-1].children.append(node)
-            if first_title is None and tag == "title":
-                first_title = node
-            if not self_closing and tag not in VOID_TAGS:
-                # full_attrs mode mirrors stdlib html.parser exactly:
-                # CDATA content applies to script/style ONLY (title/
-                # textarea markup is parsed as elements there, and the
-                # satellite goldens pin that reading); the default
-                # extraction mode keeps the wider RAWTEXT set
-                if tag in (_RAWTEXT_CDATA if full_attrs else _RAWTEXT):
-                    cm = _RAWTEXT_CLOSE[tag].search(src, pos)
-                    body_end = cm.start() if cm else n
-                    if body_end > pos:
-                        node.children.append(_Text(pos, body_end, node))
-                    if cm:
-                        gt = src.find(">", cm.start())
-                        pos = (gt + 1) if gt != -1 else n
-                    else:
-                        pos = n
+    rawtext = _RAWTEXT_CDATA if full_attrs else _RAWTEXT
+    # finditer streams tokens through one C-driven iterator; the
+    # per-token `.search(src, pos)` it replaces paid a Python method
+    # call + regex-engine prologue per tag (~25% of scan time on
+    # link-dense pages). The iterator restarts ONLY after a RAWTEXT
+    # body skip: finditer would otherwise resume from inside the
+    # skipped body, where a stale match (e.g. `<!--` inside a script)
+    # could straddle past `pos` and swallow real markup.
+    restart = True
+    while restart:
+        restart = False
+        for m in _TAG_RE.finditer(src, pos):
+            start, end = m.span()
+            if start > pos:
+                # text run [pos, start): merge into a contiguous
+                # predecessor (data + charref + data -> one segment)
+                ch = stack[-1].children
+                last = ch[-1] if ch else None
+                if type(last) is _Text and last.end == pos:
+                    last.end = start
                 else:
+                    ch.append(_Text(pos, start, stack[-1]))
+            pos = end
+            # dispatch on the char after '<': the alternation's prefixes
+            # are disjoint ('</letter' = end tag, '<!'/'<?' = comment/
+            # decl/cdata, '<letter' = start tag), so one char test
+            # replaces building a 4-group tuple for every token
+            c = src[start + 1]
+            if c == "/":
+                tag = m.group(1).lower()
+                # well-formed fast path: the close matches the open on
+                # top of the stack (the overwhelming case) — one
+                # compare + pop instead of a reversed range scan
+                if len(stack) > 1 and stack[-1].tag == tag:
+                    stack.pop()
+                else:
+                    for i in range(len(stack) - 1, 0, -1):
+                        if stack[i].tag == tag:
+                            del stack[i:]
+                            break
+            elif c != "!" and c != "?":
+                tag, raw_attrs, close = m.group(2, 3, 4)  # one C call
+                tag = tag.lower()
+                self_closing = close == "/"
+                closees = _AUTOCLOSE.get(tag)
+                if closees is not None:
+                    while len(stack) > 1 and stack[-1].tag in closees:
+                        stack.pop()
+                order += 1
+                # attr regexes only when 'class'/'id' can be present at
+                # all (case-insensitive guard: html.parser lowercases
+                # attribute names, so <DIV CLASS=Content> must classify
+                # identically — caught by the adversarial A/B corpus)
+                attrs = {}
+                if raw_attrs:
+                    if full_attrs:
+                        attrs = _attr_dict_full(raw_attrs)
+                    # fast path: lowercase source (the overwhelming
+                    # case) needs no .lower() allocation; mixed-case
+                    # pays one
+                    elif "class" in raw_attrs or "id" in raw_attrs:
+                        attrs = _attr_dict(raw_attrs)
+                    elif not raw_attrs.islower():
+                        low = raw_attrs.lower()
+                        if "class" in low or "id" in low:
+                            attrs = _attr_dict(raw_attrs)
+                # inline _Node.__init__ (link-dense pages build 1000+
+                # nodes/doc; the call frame alone is ~5% of the scan)
+                top = stack[-1]
+                node = _Node.__new__(_Node)
+                node.tag = tag
+                node.attrs = attrs
+                node.parent = top
+                node.children = []
+                node.order = order
+                node.dropped = False
+                node.text_chars = 0
+                node.link_chars = 0
+                node.commas = 0
+                node.para_points = 0.0
+                node.in_link = top.tag == "a" or top.in_link
+                top.children.append(node)
+                if first_title is None and tag == "title":
+                    first_title = node
+                if not self_closing and tag not in VOID_TAGS:
+                    # full_attrs mode mirrors stdlib html.parser
+                    # exactly: CDATA content applies to script/style
+                    # ONLY (title/textarea markup is parsed as elements
+                    # there, and the satellite goldens pin that
+                    # reading); the default extraction mode keeps the
+                    # wider RAWTEXT set
+                    if tag in rawtext:
+                        cm = _RAWTEXT_CLOSE[tag].search(src, pos)
+                        body_end = cm.start() if cm else n
+                        if body_end > pos:
+                            node.children.append(
+                                _Text(pos, body_end, node))
+                        if cm:
+                            gt = src.find(">", cm.start())
+                            pos = (gt + 1) if gt != -1 else n
+                        else:
+                            pos = n
+                        restart = True
+                        break
                     stack.append(node)
-        # else: comment/doctype/decl — skipped
+            # else: comment/doctype/decl — skipped
+    if pos < n:                          # trailing text after last tag
+        ch = stack[-1].children
+        last = ch[-1] if ch else None
+        if type(last) is _Text and last.end == pos:
+            last.end = n
+        else:
+            ch.append(_Text(pos, n, stack[-1]))
     root.title_node = first_title
     return root
 
@@ -459,8 +495,12 @@ def _mark_dropped(node: _Node, src: str) -> None:
     1 + commas(d) + min(own_text(d)/100, 3) — accumulated bottom-up so
     candidate scoring is O(nodes), not O(candidates x subtree)."""
     node_is_link = node.tag == "a" or node.in_link
+    # accumulate in locals, store once per node: the slot += pairs
+    # (LOAD_ATTR+STORE_ATTR per stat per child) were ~half this pass
+    text = link = commas = 0
+    para = 0.0
     for child in node.children:
-        if isinstance(child, _Node):
+        if type(child) is _Node:
             if child.tag in DROP_TAGS:
                 child.dropped = True
                 continue  # stats of dropped subtrees stay zero
@@ -471,46 +511,35 @@ def _mark_dropped(node: _Node, src: str) -> None:
                     child.dropped = True
                     continue
             _mark_dropped(child, src)
-            node.text_chars += child.text_chars
-            node.link_chars += child.link_chars
-            node.commas += child.commas
-            node.para_points += child.para_points
+            text += child.text_chars
+            link += child.link_chars
+            commas += child.commas
+            para += child.para_points
             if child.tag in PARA_TAGS and child.text_chars > 0:
                 own = child.text_chars - child.link_chars
-                node.para_points += (1.0 + child.commas
-                                     + min(own / 100.0, 3.0))
+                para += (1.0 + child.commas
+                         + min(own / 100.0, 3.0))
         else:
             raw = src[child.start:child.end]
             stripped = raw.strip()
             n = len(stripped)
             if n == 0:
                 continue
-            node.text_chars += n
-            node.commas += (stripped.count(",") + stripped.count("，")
-                            + stripped.count("、"))
+            text += n
+            commas += (stripped.count(",") + stripped.count("，")
+                       + stripped.count("、"))
             if node_is_link:
-                node.link_chars += n
+                link += n
+    node.text_chars += text
+    node.link_chars += link
+    node.commas += commas
+    node.para_points += para
 
 
 def _link_density(node: _Node) -> float:
     if node.text_chars <= 0:
         return 0.0
     return node.link_chars / node.text_chars
-
-
-def _iter_nodes(node: _Node):
-    """Document-order traversal skipping dropped subtrees — an explicit
-    stack, not nested generators (``yield from`` chains cost O(depth)
-    per yielded node; this tree is regularly 10+ deep)."""
-    stack = [iter(node.children)]
-    while stack:
-        child = next(stack[-1], None)
-        if child is None:
-            stack.pop()
-        elif isinstance(child, _Node) and not child.dropped:
-            yield child
-            if child.children:
-                stack.append(iter(child.children))
 
 
 def score_candidates(root: _Node) -> list[tuple[float, _Node]]:
@@ -523,7 +552,18 @@ def score_candidates(root: _Node) -> list[tuple[float, _Node]]:
     this is one linear scan.
     """
     out: list[tuple[float, _Node]] = []
-    for node in _iter_nodes(root):
+    # explicit inline walk (the _iter_nodes generator costs a resume
+    # per node; this loop visits every non-dropped element)
+    stack = [iter(root.children)]
+    while stack:
+        node = next(stack[-1], None)
+        if node is None:
+            stack.pop()
+            continue
+        if type(node) is not _Node or node.dropped:
+            continue
+        if node.children:
+            stack.append(iter(node.children))
         if node.tag not in CANDIDATE_TAGS or node.text_chars <= 0:
             continue
         base = _TAG_WEIGHT.get(node.tag, 0.0)
@@ -550,7 +590,7 @@ def _kind_of(text: _Text, winner: _Node) -> str:
 def _collect_segments(node: _Node, winner: _Node, src: str,
                       out: list[tuple[int, int, str]]) -> None:
     for child in node.children:
-        if isinstance(child, _Node):
+        if type(child) is _Node:
             if child.dropped:
                 continue
             # prune high-link-density list/menu sub-blocks (text-density /

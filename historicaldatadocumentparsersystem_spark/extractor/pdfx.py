@@ -72,27 +72,33 @@ _ESCAPES = {
 
 
 def _unescape(raw: str) -> str:
+    # fast path: most show-string literals carry no escape at all
+    if "\\" not in raw:
+        return raw
     out: list[str] = []
     i, n = 0, len(raw)
     while i < n:
-        ch = raw[i]
-        if ch == "\\" and i + 1 < n:
-            nxt = raw[i + 1]
-            if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
-                i += 2
-                continue
-            if nxt.isdigit():  # octal \ooo (1-3 digits)
-                j = i + 1
-                while j < min(i + 4, n) and raw[j].isdigit():
-                    j += 1
-                out.append(chr(int(raw[i + 1:j], 8) & 0xFF))
-                i = j
-                continue
-            i += 1  # line continuation / unknown escape: drop backslash
+        # copy the run up to the next backslash in one slice
+        j = raw.find("\\", i)
+        if j == -1 or j == n - 1:
+            out.append(raw[i:])   # a trailing lone backslash is kept
+            break
+        if j > i:
+            out.append(raw[i:j])
+        i = j
+        nxt = raw[i + 1]
+        if nxt in _ESCAPES:
+            out.append(_ESCAPES[nxt])
+            i += 2
             continue
-        out.append(ch)
-        i += 1
+        if nxt.isdigit():  # octal \ooo (1-3 digits)
+            j = i + 1
+            while j < min(i + 4, n) and raw[j].isdigit():
+                j += 1
+            out.append(chr(int(raw[i + 1:j], 8) & 0xFF))
+            i = j
+            continue
+        i += 1  # line continuation / unknown escape: drop backslash
     return "".join(out)
 
 

@@ -424,3 +424,43 @@ def test_unterminated_comment_runs_to_eof():
     fast = extract_html(src)
     assert fast[0] == "kept text here"
     assert all("unterminated" not in src[s:e] for s, e, _ in fast[1])
+
+
+def test_rawtext_restart_does_not_swallow_markup():
+    """The finditer-driven scanner restarts its token iterator after a
+    RAWTEXT body skip. Without the restart, a stale match STARTED
+    inside the skipped body (here `<!--` inside a script) would extend
+    past the close tag and swallow the real markup that follows."""
+    from historicaldatadocumentparsersystem_spark.extractor import htmlx
+    src = ('<html><body><div><script>var a = "<!--";</script>'
+           '<p>hello after script</p></div></body></html>')
+    fast = extract_html(src)
+    assert fast[0] == "hello after script"
+    # and the A/B reference agrees
+    orig = htmlx.parse_dom
+    htmlx.parse_dom = htmlx.parse_dom_htmlparser
+    try:
+        ref = extract_html(src)
+    finally:
+        htmlx.parse_dom = orig
+    assert fast == ref
+    # same shape with style + an unterminated rawtext body at EOF
+    src2 = '<div><p>kept</p><style>a{content:"<div>"}</style>'
+    assert extract_html(src2)[0] == "kept"
+    src3 = '<div><p>kept</p><script>var x = "<p>lost'
+    assert extract_html(src3)[0] == "kept"
+
+
+def test_pdf_unescape_run_fast_path():
+    """_unescape's backslash-free fast path and run copying are
+    semantics-preserving: spec escapes, octal (1-3 digits), unknown
+    escape drops the backslash, a trailing lone backslash is kept."""
+    from historicaldatadocumentparsersystem_spark.extractor.pdfx import (
+        _unescape)
+    assert _unescape("plain text, no escapes") == "plain text, no escapes"
+    assert _unescape(r"a\nb\tc") == "a\nb\tc"
+    assert _unescape(r"par\(en\)s \\ ok") == "par(en)s \\ ok"
+    assert _unescape(r"oct \101 and \53 and \0531") == "oct A and + and +1"
+    assert _unescape(r"drop \x unknown") == "drop x unknown"
+    assert _unescape("tail\\") == "tail\\"
+    assert _unescape("") == ""
