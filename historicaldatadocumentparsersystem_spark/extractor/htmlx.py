@@ -26,7 +26,8 @@ Pure Python, stdlib only (environment has no lxml/bs4 — SURVEY.md §7.0).
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+from html import unescape
+from html.parser import HTMLParser, attrfind_tolerant
 
 # --- tag classes -----------------------------------------------------------
 
@@ -318,8 +319,6 @@ def _attr_dict_full(raw: str) -> dict:
     appends pairs; our builder dict()s them). Used by the full_attrs
     scanner mode the satellite extractors run on — equality with the
     reference builder is pinned by the attr A/B test."""
-    from html import unescape
-    from html.parser import attrfind_tolerant
     attrs: dict = {}
     i = _ATTR_SEP.match(raw).end()
     n = len(raw)
